@@ -1,0 +1,23 @@
+"""kubenetmon_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of ClickHouse/kubenetmon (reference at
+/root/reference, snapshot 2025-04-04).
+
+Not a port: the reference's Go agent/server + ClickHouse SummingMergeTree
+pipeline is re-expressed as idiomatic Spark — DataFrame/SQL transforms,
+Structured Streaming ingestion, partitioned-Parquet storage with a
+compaction job playing the role of MergeTree background merges.
+
+Modules
+-------
+session     SparkSession factory with engine defaults (AQE, zstd, UTC).
+schema      Canonical StructTypes (observations, dims, network_flows).
+config      Runtime deployment constants (environment/cloud/region/...).
+tables      Loaders for the driver's synthetic parquet tables.
+dims        Dimension builders (cloud prefixes w/ priority dedup, pods...).
+operators   label / lpm / flows / dedup / similarity / text / multimodal.
+sink        Partitioned fact-table writer, compaction, retention.
+streaming   Structured Streaming ingest job (the agent+server analogue).
+queries     The SQL/DataFrame query surface (cookbook + gate queries).
+"""
+
+__version__ = "0.1.0"

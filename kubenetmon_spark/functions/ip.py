@@ -1,0 +1,63 @@
+"""IPv4 helpers as pure Column expressions (no UDFs).
+
+The reference carries IPv4 as big-endian uint32 in the protobuf
+(reference pkg/grpc/flow_handler.proto:34, pkg/collector/collector.go:252-255)
+and renders dotted-quad at insert time. We keep both forms: dotted string
+for readability, numeric long for range joins (LPM).
+"""
+
+from __future__ import annotations
+
+import ipaddress
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def ip_to_long(ip: Column | str) -> Column:
+    """Dotted-quad string -> numeric (big-endian uint32 as long).
+
+    Pure expression: split + fold, stays in codegen.
+    """
+    col = F.col(ip) if isinstance(ip, str) else ip
+    return F.aggregate(
+        F.transform(F.split(col, r"\."), lambda x: x.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 256 + x,
+    )
+
+
+def long_to_ip(num: Column | str) -> Column:
+    """Numeric -> dotted-quad string."""
+    col = F.col(num) if isinstance(num, str) else num
+    return F.format_string(
+        "%d.%d.%d.%d",
+        F.shiftright(col, 24).bitwiseAND(F.lit(255)),
+        F.shiftright(col, 16).bitwiseAND(F.lit(255)),
+        F.shiftright(col, 8).bitwiseAND(F.lit(255)),
+        col.bitwiseAND(F.lit(255)),
+    )
+
+
+def is_private_ip_num(num: Column) -> Column:
+    """RFC1918 + loopback + link-local predicate on the numeric form.
+
+    Mirrors the reference's private-IP short-circuit that bypasses the
+    cloud-prefix LPM lookup (reference pkg/labeler/remote.go:131-140).
+    """
+    return (
+        ((num >= _N("10.0.0.0")) & (num <= _N("10.255.255.255")))
+        | ((num >= _N("172.16.0.0")) & (num <= _N("172.31.255.255")))
+        | ((num >= _N("192.168.0.0")) & (num <= _N("192.168.255.255")))
+        | ((num >= _N("127.0.0.0")) & (num <= _N("127.255.255.255")))
+        | ((num >= _N("169.254.0.0")) & (num <= _N("169.254.255.255")))
+    )
+
+
+def py_ip_to_long(ip: str) -> int:
+    """Driver-side helper (dimension building, test fixtures)."""
+    return int(ipaddress.IPv4Address(ip))
+
+
+def _N(ip: str) -> Column:
+    return F.lit(py_ip_to_long(ip))

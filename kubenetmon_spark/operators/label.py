@@ -1,0 +1,280 @@
+"""The flow labeler: raw observations -> enriched, classified flow rows.
+
+Re-expresses the reference's `Labeler.LabelFlow`
+(reference pkg/labeler/labeler.go:236-377) plus the agent-side filters
+(reference pkg/collector/collector.go:228-244) as one declarative
+DataFrame transform. Where the Go code returns typed errors per
+observation, we carry a ``reject_reason`` column and split the stream —
+the reference's error taxonomy (reference cmd/server/server.go:100-117)
+becomes a dead-letter predicate, preserving observability.
+
+Operator map (SURVEY.md §2): F1-F7 filters, J1-J7 joins, P1-P10
+projections, all in here; X1/A1/A2 live in operators/flows.py.
+
+Endpoint resolution and NAT: conntrack's reply tuple is the un-NAT'd
+truth — the real remote of a flow is ``reply_src`` (who answers), the
+real local is ``orig_src`` (who initiated). This single rule covers all
+four NAT shapes in the reference's conformance tests (egress NAT where
+reply comes back to the node IP, Azure-style reply to the pod IP, service
+VIPs resolving to a backend pod, and plain pod-to-pod;
+reference pkg/labeler/labeler_test.go:323-1177, endpoints 1775-2010).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kubenetmon_spark.config import RuntimeConfig
+from kubenetmon_spark.dims import pods_with_ambiguity
+from kubenetmon_spark.functions.ip import ip_to_long, is_private_ip_num
+from kubenetmon_spark.operators.lpm import lpm_lookup
+
+_POD_FIELDS = ["name", "namespace", "node_name", "label_app", "label_k8s_app", "label_control_plane_id"]
+
+
+def _reject(cond: Column, reason: str, current: Column) -> Column:
+    """First reject reason wins (mirrors the Go early-return order)."""
+    return F.when(current.isNotNull(), current).when(cond, F.lit(reason)).otherwise(F.lit(None))
+
+
+def label_flows(
+    observations: DataFrame,
+    pods: DataFrame,
+    nodes: DataFrame,
+    prefixes: DataFrame,
+    cfg: RuntimeConfig,
+    extra_flags: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Observations (OBSERVATION_SCHEMA) -> labeled flows.
+
+    Output: one row per observation with every network_flows dimension,
+    directional counters (bytes_out/in, packets_out/in) and a
+    ``reject_reason`` column (null = accepted). Feed accepted rows to
+    operators.flows.to_flow_rows for the 2-row direction fan-out.
+    """
+    obs = observations
+    r = F.lit(None).cast("string")
+
+    # --- Agent-side filters (would run before the wire in the reference) ---
+    # F1 zero counters (reference pkg/collector/collector.go:228-231)
+    all_zero = (
+        (F.coalesce("orig_bytes", F.lit(0)) == 0)
+        & (F.coalesce("orig_packets", F.lit(0)) == 0)
+        & (F.coalesce("reply_bytes", F.lit(0)) == 0)
+        & (F.coalesce("reply_packets", F.lit(0)) == 0)
+    )
+    r = _reject(all_zero, "zero_counters", r)
+    # F2 protocol (reference collector.go:233-236)
+    r = _reject(~F.col("proto").isin(6, 17), "unsupported_proto", r)
+    # F3 localhost (reference collector.go:238-244)
+    lo = F.lit("127.0.0.1")
+    r = _reject(
+        (F.col("orig_src_ip") == lo)
+        | (F.col("orig_dst_ip") == lo)
+        | (F.col("reply_src_ip") == lo)
+        | (F.col("reply_dst_ip") == lo),
+        "localhost",
+        r,
+    )
+    # --- Server-side filters ---
+    # F4 UDP ignore (reference pkg/labeler/labeler.go:183-188, 237-239)
+    if cfg.ignore_udp:
+        r = _reject(F.col("proto") == 17, "udp_ignored", r)
+    # F5 IPv6 (reference labeler.go:243-247, 379-405)
+    r = _reject(
+        F.col("orig_src_v6").isNotNull()
+        | F.col("orig_dst_v6").isNotNull()
+        | F.col("reply_src_v6").isNotNull()
+        | F.col("reply_dst_v6").isNotNull(),
+        "ipv6",
+        r,
+    )
+    obs = obs.withColumn("_r", r)
+
+    # P1 endpoint extraction with NAT resolution (see module docstring).
+    obs = (
+        obs.withColumn("src_ip", F.col("orig_src_ip"))
+        .withColumn("src_port", F.col("orig_src_port"))
+        .withColumn("dst_ip", F.col("reply_src_ip"))
+        .withColumn("dst_port", F.col("reply_src_port"))
+    )
+
+    # F6 node-flow filter (reference labeler.go:249-253, 407-427): traffic
+    # sourced from a node IP (hostNetwork) is ambiguous — reject. Expressed
+    # as two broadcast lookups; J2 in SURVEY §2 calls for a left-anti join,
+    # the reject-column variant keeps the row for the dead-letter stream.
+    node_ips = F.broadcast(nodes.select(F.col("internal_ip").alias("_nip")).distinct())
+    obs = obs.join(node_ips, obs["orig_src_ip"] == F.col("_nip"), "left").withColumn(
+        "_src_is_node", F.col("_nip").isNotNull()
+    ).drop("_nip")
+    obs = obs.join(node_ips, obs["reply_src_ip"] == F.col("_nip"), "left").withColumn(
+        "_reply_src_is_node", F.col("_nip").isNotNull()
+    ).drop("_nip")
+    obs = obs.withColumn(
+        "_r", _reject(F.col("_src_is_node") | F.col("_reply_src_is_node"), "node_flow", F.col("_r"))
+    ).drop("_src_is_node", "_reply_src_is_node")
+
+    # J1 pod-by-IP lookups for both endpoints (broadcast left outer joins;
+    # reference labeler.go:432-472, watcher.go:123-143). The multi-match
+    # error becomes an `ambiguous` flag from dims.pods_with_ambiguity.
+    pod_dim = F.broadcast(pods_with_ambiguity(pods))
+    for side in ("src", "dst"):
+        pd = pod_dim.select(
+            F.col("pod_ip").alias(f"_{side}_pod_ip"),
+            F.col("ambiguous").alias(f"{side}_pod_ambiguous"),
+            *[F.col(f"pod.{f}").alias(f"{side}_pod_{f}") for f in _POD_FIELDS],
+        )
+        obs = obs.join(pd, obs[f"{side}_ip"] == F.col(f"_{side}_pod_ip"), "left").drop(
+            f"_{side}_pod_ip"
+        )
+    obs = obs.withColumn(
+        "_r",
+        _reject(
+            F.coalesce("src_pod_ambiguous", F.lit(False))
+            | F.coalesce("dst_pod_ambiguous", F.lit(False)),
+            "ambiguous_pod",
+            F.col("_r"),
+        ),
+    )
+
+    # P3 flow-type classification (reference labeler.go:149-161, 475-499):
+    # which endpoint is local to the observing node.
+    src_on_node = F.col("src_pod_name").isNotNull() & (F.col("src_pod_node_name") == F.col("node_name"))
+    dst_on_node = F.col("dst_pod_name").isNotNull() & (F.col("dst_pod_node_name") == F.col("node_name"))
+    obs = obs.withColumn(
+        "flow_type",
+        F.when(src_on_node & dst_on_node, "betweenPodsOnNode")
+        .when(src_on_node, "fromPodOnNode")
+        .when(dst_on_node, "toPodOnNode")
+        .otherwise("unknown"),
+    )
+    # F7 unknown-direction drop (reference labeler.go:319-331) — a warning,
+    # not an error, in the reference; same dead-letter treatment here.
+    obs = obs.withColumn("_r", _reject(F.col("flow_type") == "unknown", "unknown_direction", F.col("_r")))
+
+    # P4 local/remote normalization + counter orientation
+    # (reference labeler.go:276-331): orig counters measure src->dst.
+    is_to_pod = F.col("flow_type") == "toPodOnNode"
+
+    def pick(local_side: str, remote_side: str, col: str) -> Column:
+        return F.when(is_to_pod, F.col(f"{remote_side}_{col}")).otherwise(F.col(f"{local_side}_{col}"))
+
+    sel = [
+        pick("src", "dst", "ip").alias("local_ip"),
+        pick("src", "dst", "port").alias("local_port"),
+        pick("dst", "src", "ip").alias("remote_ip"),
+        pick("dst", "src", "port").alias("remote_port"),
+        F.when(is_to_pod, F.col("reply_bytes")).otherwise(F.col("orig_bytes")).alias("bytes_out"),
+        F.when(is_to_pod, F.col("orig_bytes")).otherwise(F.col("reply_bytes")).alias("bytes_in"),
+        F.when(is_to_pod, F.col("reply_packets")).otherwise(F.col("orig_packets")).alias("packets_out"),
+        F.when(is_to_pod, F.col("orig_packets")).otherwise(F.col("reply_packets")).alias("packets_in"),
+    ]
+    for f in _POD_FIELDS:
+        sel.append(pick("src", "dst", f"pod_{f}").alias(f"local_pod_{f}"))
+        sel.append(pick("dst", "src", f"pod_{f}").alias(f"remote_pod_{f}"))
+    obs = obs.select("node_name", "ts", "proto", "flow_type", "_r", *sel)
+
+    # J6 private-IP short-circuit + J5 LPM + J7 classification
+    # (reference pkg/labeler/remote.go:131-175). The LPM join runs only
+    # over DISTINCT non-private remote IPs — the same work-avoidance as the
+    # reference's short-circuit, plus dedup so the per-IP reduce is tiny
+    # relative to fact rows.
+    obs = obs.withColumn("remote_ip_num", ip_to_long("remote_ip"))
+    obs = obs.withColumn("_remote_private", is_private_ip_num(F.col("remote_ip_num")))
+    public_ips = obs.filter(~F.col("_remote_private")).select("remote_ip_num").distinct()
+    matched = lpm_lookup(public_ips, prefixes, "remote_ip_num")
+    obs = obs.join(matched.withColumnRenamed("remote_ip_num", "_mip"),
+                   obs["remote_ip_num"] == F.col("_mip"), "left").drop("_mip")
+
+    same_cloud = F.col("lpm_cloud") == F.lit(cfg.cloud)
+    cls = (
+        F.when(F.col("_remote_private"), "INTRA_VPC")
+        .when(F.col("lpm_cloud").isNull(), "PUBLIC_INTERNET")  # trie miss
+        .when(~same_cloud, "PUBLIC_INTERNET")  # other/unknown cloud
+        .when(F.col("lpm_region") == "global", "INTRA_REGION")  # anycast assumption
+        .when(F.col("lpm_region") == cfg.region, "INTRA_REGION")
+        .when(F.col("lpm_region") == "", "UNKNOWN")  # error branch (remote.go:148-152)
+        .otherwise("INTER_REGION")
+    )
+    obs = obs.withColumn("connection_class", cls)
+    obs = obs.withColumn(
+        "_r", _reject(F.col("connection_class") == "UNKNOWN", "remote_label_error", F.col("_r"))
+    )
+    obs = obs.withColumn(
+        "remote_cloud",
+        F.when(F.col("_remote_private"), F.lit(cfg.cloud)).otherwise(F.coalesce("lpm_cloud", F.lit(""))),
+    ).withColumn(
+        "remote_region",
+        F.when(F.col("_remote_private"), F.lit(cfg.region))
+        .when(F.col("lpm_region") == "global", F.lit(cfg.region))  # anycast -> local region
+        .otherwise(F.coalesce("lpm_region", F.lit(""))),
+    ).withColumn("remote_service", F.coalesce("lpm_service", F.lit("")))
+
+    # P6 AZ lookup via the node dimension (reference labeler.go:341-346,
+    # 360-366): pod's node name -> zone label.
+    zones = F.broadcast(nodes.select(F.col("name").alias("_zn"), F.col("zone").alias("_zz")))
+    obs = obs.join(zones, obs["local_pod_node_name"] == F.col("_zn"), "left").withColumn(
+        "local_az", F.coalesce("_zz", F.lit(""))
+    ).drop("_zn", "_zz")
+    obs = obs.join(zones, obs["remote_pod_node_name"] == F.col("_zn"), "left").withColumn(
+        "remote_az", F.coalesce("_zz", F.lit(""))
+    ).drop("_zn", "_zz")
+
+    # P5 pod metadata projection with app-label fallback
+    # (reference labeler.go:334-373), P8 flags, P9 runtime constants,
+    # P2 proto rendering.
+    flags = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in (extra_flags or {})]),
+        F.array(*list((extra_flags or {}).values())),
+    ).cast("map<string,boolean>")
+    out = obs.select(
+        F.col("ts"),
+        F.col("_r").alias("reject_reason"),
+        F.col("flow_type"),
+        F.lit(cfg.environment).alias("environment"),
+        F.lit(cfg.cluster).alias("cluster"),
+        flags.alias("connectionFlags"),
+        F.lit(cfg.cloud).alias("localCloud"),
+        F.lit(cfg.region).alias("localRegion"),
+        F.lit("").alias("localCell"),
+        F.col("local_az").alias("localAvailabilityZone"),
+        F.coalesce("local_pod_node_name", F.lit("")).alias("localNode"),
+        F.coalesce("local_pod_label_control_plane_id", F.lit("")).alias("localInstanceID"),
+        F.coalesce("local_pod_namespace", F.lit("")).alias("localNamespace"),
+        F.coalesce("local_pod_name", F.lit("")).alias("localPod"),
+        F.coalesce("local_pod_label_app", "local_pod_label_k8s_app", F.lit("")).alias("localApp"),
+        F.col("local_ip").alias("localIPv4"),
+        F.col("local_port").alias("localPort"),
+        F.when(F.col("proto") == 6, "TCP").when(F.col("proto") == 17, "UDP").otherwise(
+            F.col("proto").cast("string")
+        ).alias("proto"),
+        F.col("connection_class").alias("connectionClass"),
+        F.col("remote_cloud").alias("remoteCloud"),
+        F.col("remote_region").alias("remoteRegion"),
+        F.lit("").alias("remoteCell"),
+        F.col("remote_az").alias("remoteAvailabilityZone"),
+        F.lit("UNKNOWN").alias("remoteCluster"),  # reference labeler.go:375
+        F.coalesce("remote_pod_node_name", F.lit("")).alias("remoteNode"),
+        F.coalesce("remote_pod_label_control_plane_id", F.lit("")).alias("remoteInstanceID"),
+        F.coalesce("remote_pod_namespace", F.lit("")).alias("remoteNamespace"),
+        F.coalesce("remote_pod_name", F.lit("")).alias("remotePod"),
+        F.coalesce("remote_pod_label_app", "remote_pod_label_k8s_app", F.lit("")).alias("remoteApp"),
+        F.col("remote_ip").alias("remoteIPv4"),
+        F.col("remote_port").alias("remotePort"),
+        F.col("remote_service").alias("remoteService"),
+        F.col("bytes_out"),
+        F.col("bytes_in"),
+        F.col("packets_out"),
+        F.col("packets_in"),
+    )
+    return out
+
+
+def split_rejected(labeled: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(accepted, dead_letter) — the reference counts expected errors and
+    skips them (reference cmd/server/server.go:100-113)."""
+    return (
+        labeled.filter(F.col("reject_reason").isNull()),
+        labeled.filter(F.col("reject_reason").isNotNull()),
+    )

@@ -1,0 +1,84 @@
+"""Fact-table storage lifecycle: partitioned writes, compaction, retention.
+
+Storage layout mirrors what the reference's DDL buys from ClickHouse
+(reference test/network_flows_0.sql:39-44):
+
+- ``PARTITION BY toDate(...)``      -> parquet ``partitionBy('date')``
+- SummingMergeTree background merge -> ``compact()`` re-aggregating a
+  partition with the same groupBy-sum contract (operators/flows.py)
+- sparse PRIMARY KEY index          -> ``sortWithinPartitions`` on the key
+  prefix so parquet row-group min/max stats skip data the same way
+- ``TTL ... toIntervalDay(90)`` with ``ttl_only_drop_parts=1``
+                                    -> ``apply_retention()`` dropping whole
+  date partitions (exact analogue: whole-part drops)
+"""
+
+from __future__ import annotations
+
+import shutil
+from datetime import date, timedelta
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kubenetmon_spark.operators.flows import summing_aggregate
+from kubenetmon_spark.schema import PRIMARY_KEY_PREFIX
+
+
+def write_flows(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Append fact rows, partitioned by date, sorted for data skipping."""
+    (
+        df.sortWithinPartitions(*[c for c in PRIMARY_KEY_PREFIX if c in df.columns])
+        .write.mode(mode)
+        .partitionBy("date")
+        .parquet(path)
+    )
+
+
+def read_flows(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def compact(spark: SparkSession, path: str, target_date: str | None = None) -> None:
+    """Re-sum a closed partition (or all) — the background-merge analogue.
+
+    Idempotent: summing_aggregate over already-compacted data is a no-op
+    row-wise. Runs per date partition, embarrassingly parallel, and with
+    dynamic partition overwrite only rewrites the partitions it touched.
+    """
+    df = spark.read.parquet(path)
+    if target_date is not None:
+        df = df.filter(F.col("date") == F.lit(target_date))
+    # Materialize before overwriting the same path we read from — the write
+    # must never delete input files while the read is still lazy.
+    compacted = summing_aggregate(df).localCheckpoint(eager=True)
+    (
+        compacted.sortWithinPartitions(*[c for c in PRIMARY_KEY_PREFIX if c in compacted.columns])
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(path)
+    )
+
+
+def apply_retention(path: str, keep_days: int = 90, today: date | None = None) -> list[str]:
+    """Drop whole date partitions older than ``keep_days``.
+
+    Matches the reference's ``ttl_only_drop_parts=1`` semantics (whole
+    parts dropped, never row-level deletes). Returns dropped partitions.
+    """
+    today = today or date.today()
+    cutoff = today - timedelta(days=keep_days)
+    dropped: list[str] = []
+    root = Path(path)
+    if not root.exists():
+        return dropped
+    for part in sorted(root.glob("date=*")):
+        try:
+            part_date = date.fromisoformat(part.name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if part_date < cutoff:
+            shutil.rmtree(part)
+            dropped.append(part.name)
+    return dropped

@@ -1,0 +1,82 @@
+"""Fan-out, SummingMergeTree contract, sink lifecycle tests."""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from kubenetmon_spark.dims import build_cloud_prefixes
+from kubenetmon_spark.operators.flows import summing_aggregate, to_flow_rows
+from kubenetmon_spark.operators.label import label_flows, split_rejected
+from kubenetmon_spark.schema import NETWORK_FLOWS_SCHEMA
+from kubenetmon_spark.sink import apply_retention, compact, read_flows, write_flows
+from tests.fixtures import CFG, nodes_df, observations_df, pods_df, raw_prefixes_df
+
+
+@pytest.fixture(scope="module")
+def fact(spark):
+    prefixes = build_cloud_prefixes(raw_prefixes_df(spark))
+    labeled = label_flows(observations_df(spark), pods_df(spark), nodes_df(spark), prefixes, CFG)
+    accepted, _ = split_rejected(labeled)
+    df = to_flow_rows(accepted)
+    df.cache()
+    return df
+
+
+def test_fanout_two_rows_per_obs(fact):
+    assert fact.count() == 24  # 12 accepted observations x 2 directions
+    assert fact.filter(F.col("direction") == "out").count() == 12
+    assert fact.filter(F.col("direction") == "in").count() == 12
+
+
+def test_schema_matches_contract(fact):
+    agg = summing_aggregate(fact)
+    got = {f.name: f.dataType.simpleString() for f in agg.schema.fields}
+    want = {f.name: f.dataType.simpleString() for f in NETWORK_FLOWS_SCHEMA.fields}
+    assert got == want
+
+
+def test_counter_orientation(fact):
+    out_row = fact.filter((F.col("localPort") == 5001) & (F.col("direction") == "out")).collect()[0]
+    in_row = fact.filter((F.col("localPort") == 5001) & (F.col("direction") == "in")).collect()[0]
+    assert out_row.bytes == 1000 and out_row.packets == 10
+    assert in_row.bytes == 2000 and in_row.packets == 20
+
+
+def test_summing_merge_contract(fact):
+    agg = summing_aggregate(fact)
+    # scenarios 18a+18b share key & minute -> folded; 18c is the next minute
+    rows = agg.filter((F.col("localPort") == 5018) & (F.col("direction") == "out")).collect()
+    by_minute = {r.intervalStartTime: (r.bytes, r.packets) for r in rows}
+    assert by_minute[datetime(2024, 3, 1, 12, 0)] == (10 + 30, 1 + 3)
+    assert by_minute[datetime(2024, 3, 1, 12, 1)] == (500, 5)
+    assert all(r.intervalSeconds == 60 for r in rows)
+    assert all(r.date == date(2024, 3, 1) for r in rows)
+
+
+def test_sink_write_compact_retention(spark, fact, tmp_path):
+    path = str(tmp_path / "network_flows")
+    pre = to_flow_rows(split_rejected(
+        label_flows(observations_df(spark), pods_df(spark), nodes_df(spark),
+                    build_cloud_prefixes(raw_prefixes_df(spark)), CFG))[0])
+    # two appends simulate two micro-batches producing unmerged "parts"
+    write_flows(pre, path)
+    write_flows(pre, path)
+    raw = read_flows(spark, path)
+    assert raw.count() == 48
+    # reads must re-aggregate (same caveat as ClickHouse unmerged parts);
+    # after compaction the stored rows ARE the aggregate
+    compact(spark, path)
+    compacted = read_flows(spark, path)
+    assert compacted.count() == summing_aggregate(pre).count()
+    total = compacted.agg(F.sum("bytes")).collect()[0][0]
+    assert total == 2 * pre.agg(F.sum("bytes")).collect()[0][0]
+    # retention: everything is from 2024-03-01, so a 90-day TTL from "today"
+    # drops the whole partition
+    dropped = apply_retention(path, keep_days=90, today=date(2024, 9, 1))
+    assert dropped == ["date=2024-03-01"]
+    from pathlib import Path
+
+    assert not list(Path(path).glob("date=*"))  # whole-part drop, like ttl_only_drop_parts

@@ -1,0 +1,66 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kubenetmon_spark.functions import (
+    canonical_flags_json,
+    format_readable_size,
+    ip_to_long,
+    is_private_ip_num,
+    long_to_ip,
+    py_ip_to_long,
+)
+
+
+def test_ip_roundtrip(spark):
+    ips = ["0.0.0.0", "10.0.0.1", "127.0.0.1", "192.168.255.254", "255.255.255.255", "1.2.3.4"]
+    df = spark.createDataFrame([(ip,) for ip in ips], "ip string")
+    rows = df.select(
+        "ip", ip_to_long("ip").alias("n"), long_to_ip(ip_to_long("ip")).alias("back")
+    ).collect()
+    for row in rows:
+        assert row.n == py_ip_to_long(row.ip)
+        assert row.back == row.ip
+
+
+def test_is_private(spark):
+    cases = {
+        "10.1.2.3": True,
+        "172.16.0.1": True,
+        "172.32.0.1": False,
+        "192.168.9.9": True,
+        "127.0.0.1": True,
+        "169.254.1.1": True,
+        "8.8.8.8": False,
+        "1.1.1.1": False,
+    }
+    df = spark.createDataFrame([(ip,) for ip in cases], "ip string")
+    rows = df.select("ip", is_private_ip_num(ip_to_long("ip")).alias("p")).collect()
+    for row in rows:
+        assert row.p == cases[row.ip], row.ip
+
+
+def test_format_readable_size(spark):
+    cases = [
+        (0, "0.00 B"),
+        (512, "512.00 B"),
+        (1024, "1.00 KiB"),
+        (1536, "1.50 KiB"),
+        (1048576, "1.00 MiB"),
+        (5 * 1024**3, "5.00 GiB"),
+        (3 * 1024**4, "3.00 TiB"),
+    ]
+    df = spark.createDataFrame([(n,) for n, _ in cases], "n long")
+    got = {r.n: r.s for r in df.select("n", format_readable_size("n").alias("s")).collect()}
+    for n, expect in cases:
+        assert got[n] == expect, (n, got[n])
+
+
+def test_canonical_flags_json(spark):
+    df = spark.createDataFrame(
+        [({"zeta": True, "alpha": False},), ({"alpha": False, "zeta": True},)],
+        "flags map<string, boolean>",
+    )
+    vals = [r.j for r in df.select(canonical_flags_json("flags").alias("j")).collect()]
+    assert vals[0] == vals[1]
+    assert vals[0] == '{"alpha":false,"zeta":true}'
