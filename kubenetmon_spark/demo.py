@@ -1,0 +1,125 @@
+"""Flagship end-to-end demo: derive a deterministic flow-observation
+stream from the driver's ``events`` table, run it through the FULL
+production pipeline (label -> fan-out -> summing aggregation), and answer
+the reference's README top-talkers query (reference README.md:180-184).
+
+The derivation is pure column arithmetic so a SQL oracle can reproduce
+the entire pipeline end-to-end (gate query q26_flow_pipeline):
+
+- user u's pod: ip 10.0.(u//256).(u%256), on node-(u%5+1)
+- event e of user u becomes one observation from u's pod:
+    view     -> 52.218.(e%200).(e%250+1)   AWS s3 prefix, local region
+    purchase -> 35.1.(e%200).(e%250+1)     GCP prefix -> PUBLIC_INTERNET
+    click    -> pod IP of user (u+1+e%97)%150 -> INTRA_VPC pod-to-pod
+    signup   -> 10.200.(e%200).(e%250+1)   private, not a pod -> INTRA_VPC
+    error    -> 99.(e%200).(e%250).(e%250+1 % 256) unlisted -> PUBLIC_INTERNET
+- counters: orig = round(value*100) + e%1000 + 1 bytes / e%50+1 packets,
+  reply = round(value*37) + e%777 + 1 / e%25+1 (always positive: no
+  zero-counter rejects by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kubenetmon_spark.config import RuntimeConfig
+from kubenetmon_spark.functions import format_readable_size
+from kubenetmon_spark.operators.flows import summing_aggregate, to_flow_rows
+from kubenetmon_spark.operators.label import label_flows, split_rejected
+from kubenetmon_spark.tables import load_table
+
+DEMO_CFG = RuntimeConfig(
+    environment="development", cloud="aws", region="us-west-2", cluster="demo", ignore_udp=True
+)
+
+
+def _pod_ip(uid):
+    return F.concat(
+        F.lit("10.0."), ((uid / 256).cast("int") % 256).cast("string"), F.lit("."), (uid % 256).cast("string")
+    )
+
+
+def build_flow_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(observations, pods, nodes, prefixes) derived from sf tables."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    pods = users.select(
+        _pod_ip(F.col("user_id")).alias("pod_ip"),
+        F.concat(F.lit("pod-"), F.col("user_id").cast("string")).alias("name"),
+        F.concat(F.lit("ns"), (F.col("user_id") % 10).cast("string")).alias("namespace"),
+        F.concat(F.lit("node-"), (F.col("user_id") % 5 + 1).cast("string")).alias("node_name"),
+        F.concat(F.lit("app-"), (F.col("user_id") % 7).cast("string")).alias("label_app"),
+        F.lit(None).cast("string").alias("label_k8s_app"),
+        F.concat(F.lit("i-"), F.col("user_id").cast("string")).alias("label_control_plane_id"),
+    )
+    nodes = spark.createDataFrame(
+        [(f"node-{i}", f"192.168.0.{i}", "zone-a" if i % 2 else "zone-b") for i in range(1, 6)],
+        "name string, internal_ip string, zone string",
+    )
+    prefixes = spark.createDataFrame(
+        [
+            # nested prefixes: the /16 must win LPM over the /8
+            ("52.218.0.0/16", 52 * 2**24 + 218 * 2**16, 52 * 2**24 + 219 * 2**16 - 1, 16, "aws", "s3", "us-west-2"),
+            ("52.0.0.0/8", 52 * 2**24, 53 * 2**24 - 1, 8, "aws", "amazon", "us-east-1"),
+            ("35.0.0.0/8", 35 * 2**24, 36 * 2**24 - 1, 8, "gcp", "gce", "us-central1"),
+        ],
+        "prefix string, net_start long, net_end long, prefix_len int, cloud string, service string, region string",
+    )
+    e = F.col("event_id")
+    u = F.col("user_id")
+    oct1 = (e % 200).cast("string")
+    oct2 = (e % 250 + 1).cast("string")
+    u2 = (u + 1 + e % 97) % 150
+    dst_ip = (
+        F.when(F.col("event_type") == "view", F.concat(F.lit("52.218."), oct1, F.lit("."), oct2))
+        .when(F.col("event_type") == "purchase", F.concat(F.lit("35.1."), oct1, F.lit("."), oct2))
+        .when(F.col("event_type") == "click", _pod_ip(u2))
+        .when(F.col("event_type") == "signup", F.concat(F.lit("10.200."), oct1, F.lit("."), oct2))
+        .otherwise(F.concat(F.lit("99."), oct1, F.lit("."), (e % 250).cast("string"), F.lit(".1")))
+    )
+    obs = ev.select(
+        F.concat(F.lit("node-"), (u % 5 + 1).cast("string")).alias("node_name"),
+        F.col("ts"),
+        F.lit(6).cast("int").alias("proto"),
+        _pod_ip(u).alias("orig_src_ip"),
+        F.lit(None).cast("string").alias("orig_src_v6"),
+        (30000 + e % 20000).cast("int").alias("orig_src_port"),
+        dst_ip.alias("orig_dst_ip"),
+        F.lit(None).cast("string").alias("orig_dst_v6"),
+        F.lit(443).cast("int").alias("orig_dst_port"),
+        (e % 50 + 1).cast("long").alias("orig_packets"),
+        (F.round(F.col("value") * 100, 0).cast("long") + e % 1000 + 1).alias("orig_bytes"),
+        dst_ip.alias("reply_src_ip"),
+        F.lit(None).cast("string").alias("reply_src_v6"),
+        F.lit(443).cast("int").alias("reply_src_port"),
+        _pod_ip(u).alias("reply_dst_ip"),
+        F.lit(None).cast("string").alias("reply_dst_v6"),
+        (30000 + e % 20000).cast("int").alias("reply_dst_port"),
+        (e % 25 + 1).cast("long").alias("reply_packets"),
+        (F.round(F.col("value") * 37, 0).cast("long") + e % 777 + 1).alias("reply_bytes"),
+    )
+    return obs, pods, nodes, prefixes
+
+
+def build_network_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregated network_flows fact table for the demo stream."""
+    obs, pods, nodes, prefixes = build_flow_inputs(spark, sf_dir)
+    labeled = label_flows(obs, pods, nodes, prefixes, DEMO_CFG)
+    accepted, _ = split_rejected(labeled)
+    return summing_aggregate(to_flow_rows(accepted))
+
+
+def flagship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README top-talkers over the demo fact table."""
+    flows = build_network_flows(spark, sf_dir)
+    return (
+        flows.filter(F.col("direction") == "out")
+        .groupBy("localPod", "remotePod", "connectionClass")
+        .agg(F.sum("bytes").alias("total_bytes"))
+        .withColumn("readable", format_readable_size("total_bytes"))
+        .orderBy(F.desc("total_bytes"), "localPod", "remotePod", "connectionClass")
+        .limit(20)
+    )

@@ -1,0 +1,960 @@
+"""The correctness-gate query surface: named queries over the driver's
+synthetic tables, each with a DuckDB oracle producing identical values.
+
+Design rules that make Spark-vs-DuckDB value-hash parity EXACT:
+- money/measure doubles in the test data are 2-decimal-intended; every
+  aggregation casts to DECIMAL first (exact, order-independent), rounds,
+  and emits DOUBLE — so shuffle/merge order can never change a result;
+- ratios are integer basis points (floor((x*10000)/y)) — no float division;
+- timestamps are emitted as formatted strings or compared against
+  second-truncated cutoffs (the events table is nanosecond-precision in
+  DuckDB but microsecond in Spark; second truncation erases the gap);
+- every hash is md5 over an explicit string — portable across engines;
+- top-k queries always carry a unique tie-break column.
+
+Each entry maps a SURVEY.md §2 operator (or an LLM-pipeline extension
+operator) onto the driver tables; the production operator implementations
+in kubenetmon_spark.operators are used wherever applicable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kubenetmon_spark.functions import (
+    canonical_flags_json,
+    format_readable_size,
+    ip_to_long,
+    long_to_ip,
+)
+from kubenetmon_spark.operators.dedup import (
+    exact_duplicate_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+)
+from kubenetmon_spark.operators.lpm import lpm_lookup
+from kubenetmon_spark.operators.similarity import brute_force_topk
+from kubenetmon_spark.operators.text import (
+    with_lang_scores,
+    with_quality,
+    with_simhash16,
+    with_token_stats,
+)
+from kubenetmon_spark.tables import load_table
+
+DEC2 = "decimal(12,2)"
+RATE = "decimal(6,4)"
+
+
+@dataclass
+class GateQuery:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+_REGISTRY: list[GateQuery] = []
+
+
+def _register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        _REGISTRY.append(GateQuery(name, fn, oracle, doc))
+        return fn
+
+    return deco
+
+
+def _dbl2(col):
+    return F.round(col, 2).cast("double")
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation core (A1/A2/A4 analogues)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 shape — wide hash aggregation with exact decimal arithmetic",
+)
+def q01(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    price = F.col("l_extendedprice").cast(DEC2)
+    disc = F.col("l_discount").cast(RATE)
+    tax = F.col("l_tax").cast(RATE)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dbl2(F.sum(F.col("l_quantity").cast(DEC2))).alias("sum_qty"),
+            _dbl2(F.sum(price)).alias("sum_base_price"),
+            _dbl2(F.sum(price * (F.lit(1) - disc))).alias("sum_disc_price"),
+            _dbl2(F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_register(
+    "q02_top_talkers",
+    """
+    SELECT user_id, event_type,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value,
+           COUNT(*) AS n
+    FROM events
+    WHERE ts >= (SELECT date_trunc('second', max(ts)) - INTERVAL 7 DAY FROM events)
+      AND event_type <> 'error'
+    GROUP BY user_id, event_type
+    ORDER BY total_value DESC, user_id, event_type
+    LIMIT 10
+    """,
+    "README top-talkers shape (reference README.md:180-184): time filter + group + top-N",
+)
+def q02(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (F.date_trunc("second", F.max("ts")) - F.expr("INTERVAL 7 DAYS")).alias("cutoff")
+    )
+    return (
+        ev.crossJoin(F.broadcast(cutoff))
+        .filter((F.col("ts") >= F.col("cutoff")) & (F.col("event_type") != "error"))
+        .groupBy("user_id", "event_type")
+        .agg(
+            _dbl2(F.sum(F.col("value").cast(DEC2))).alias("total_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.desc("total_value"), "user_id", "event_type")
+        .limit(10)
+    )
+
+
+@_register(
+    "q03_global_sum",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    """,
+    "full-table sum (reference integration/e2e_test.go:23 shape)",
+)
+def q03(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(
+        _dbl2(F.sum(F.col("l_extendedprice").cast(DEC2))).alias("total_price"),
+        _dbl2(F.sum(F.col("l_quantity").cast(DEC2))).alias("total_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "q04_minute_rollup",
+    """
+    SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
+           event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "minute-bucketed rollup — the SummingMergeTree tumbling-window contract (A1/A2)",
+)
+def q04(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("minute", "ts"), "yyyy-MM-dd HH:mm:ss").alias("minute"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dbl2(F.sum(F.col("value").cast(DEC2))).alias("total_value"),
+        )
+        .orderBy("minute", "event_type")
+    )
+
+
+@_register(
+    "q05_direction_fanout",
+    """
+    SELECT l_returnflag, direction,
+           CAST(ROUND(SUM(measure), 2) AS DOUBLE) AS total, COUNT(*) AS n
+    FROM (
+      SELECT l_returnflag, 'out' AS direction, CAST(l_extendedprice AS DECIMAL(12,2)) AS measure FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'in' AS direction, CAST(l_quantity AS DECIMAL(12,2)) AS measure FROM lineitem
+    )
+    GROUP BY l_returnflag, direction
+    ORDER BY l_returnflag, direction
+    """,
+    "X1 direction fan-out: one row -> two directional rows, then re-aggregate",
+)
+def q05(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    fan = li.select(
+        "l_returnflag",
+        F.explode(
+            F.array(
+                F.struct(F.lit("out").alias("direction"), F.col("l_extendedprice").cast(DEC2).alias("measure")),
+                F.struct(F.lit("in").alias("direction"), F.col("l_quantity").cast(DEC2).alias("measure")),
+            )
+        ).alias("d"),
+    ).select("l_returnflag", "d.direction", "d.measure")
+    return (
+        fan.groupBy("l_returnflag", "direction")
+        .agg(_dbl2(F.sum("measure")).alias("total"), F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag", "direction")
+    )
+
+
+@_register(
+    "q06_forecast_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    "TPC-H Q6 shape — selective filtered scan (predicate pushdown showcase, F8)",
+)
+def q06(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        _dbl2(F.sum(F.col("l_extendedprice").cast(DEC2) * F.col("l_discount").cast(RATE))).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J4 analogues)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q07_region_revenue",
+    """
+    SELECT r_name, n_name, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+    "dimension enrichment chain — broadcast hash joins (J1/J3 analogue)",
+)
+def q07(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dbl2(F.sum(F.col("o_totalprice").cast(DEC2))).alias("total"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@_register(
+    "q08_customers_without_orders",
+    """
+    SELECT c_nationkey, COUNT(*) AS n
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    "left-anti join (F6/J2 node-flow filter analogue)",
+)
+def q08(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_nationkey")
+    )
+
+
+@_register(
+    "q09_unambiguous_dim_guard",
+    """
+    WITH dim AS (
+      SELECT s_nationkey, COUNT(*) AS n_sup, MIN(s_name) AS any_name
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT n_nationkey, n_name, any_name
+    FROM nation JOIN dim ON n_nationkey = s_nationkey
+    WHERE n_sup = 1
+    ORDER BY n_nationkey
+    """,
+    "multi-match ambiguity guard (J1: >1 match -> drop; reference labeler.go:449-469)",
+)
+def q09(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    dim = s.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_sup"), F.min("s_name").alias("any_name")
+    )
+    return (
+        n.join(dim, n["n_nationkey"] == dim["s_nationkey"])
+        .filter(F.col("n_sup") == 1)
+        .select("n_nationkey", "n_name", "any_name")
+        .orderBy("n_nationkey")
+    )
+
+
+_LPM_PREFIX_SQL = """
+      SELECT CAST(n_nationkey AS VARCHAR) AS prefix,
+             CAST(n_nationkey AS BIGINT) * 4096 AS net_start,
+             CAST(n_nationkey AS BIGINT) * 4096 + 4095 AS net_end,
+             20 AS prefix_len,
+             CASE n_nationkey % 3 WHEN 0 THEN 'aws' WHEN 1 THEN 'gcp' ELSE 'azure' END AS cloud,
+             'coarse' AS service,
+             'r' || CAST(n_nationkey % 4 AS VARCHAR) AS region
+      FROM nation
+      UNION ALL
+      SELECT 'f' || CAST(k AS VARCHAR),
+             k * 256, k * 256 + 255, 24,
+             CASE sk % 4 WHEN 1 THEN 'gcp' WHEN 2 THEN 'azure' ELSE 'aws' END,
+             'fine',
+             CASE WHEN sk % 5 = 0 THEN 'global' ELSE 'r' || CAST(sk % 4 AS VARCHAR) END
+      FROM (SELECT s_suppkey % 400 AS k, MIN(s_suppkey) AS sk FROM supplier GROUP BY 1)
+"""
+
+@_register(
+    "q10_lpm_classify",
+    f"""
+    WITH prefixes AS ({_LPM_PREFIX_SQL}),
+    probes AS (
+      SELECT c_custkey, (c_custkey * 2971) % 110000 AS ip FROM customer
+    ),
+    matched AS (
+      SELECT p.c_custkey, p.ip, x.cloud, x.region,
+             ROW_NUMBER() OVER (PARTITION BY p.c_custkey ORDER BY x.prefix_len DESC, x.net_start ASC) AS rn
+      FROM probes p JOIN prefixes x ON p.ip BETWEEN x.net_start AND x.net_end
+    ),
+    best AS (SELECT * FROM matched WHERE rn = 1),
+    classified AS (
+      SELECT p.c_custkey, p.ip,
+             CASE
+               WHEN p.ip < 4096 THEN 'INTRA_VPC'
+               WHEN b.cloud IS NULL THEN 'PUBLIC_INTERNET'
+               WHEN b.cloud <> 'aws' THEN 'PUBLIC_INTERNET'
+               WHEN b.region = 'global' THEN 'INTRA_REGION'
+               WHEN b.region = 'r1' THEN 'INTRA_REGION'
+               ELSE 'INTER_REGION'
+             END AS connection_class
+      FROM probes p LEFT JOIN best b ON p.c_custkey = b.c_custkey
+    )
+    SELECT connection_class, COUNT(*) AS n, MIN(ip) AS min_ip, MAX(ip) AS max_ip
+    FROM classified GROUP BY connection_class ORDER BY connection_class
+    """,
+    "J5 longest-prefix-match join + J6 private short-circuit + J7 class CASE "
+    "— gates the production lpm_lookup operator (banded broadcast join)",
+)
+def q10(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    coarse = n.select(
+        F.col("n_nationkey").cast("string").alias("prefix"),
+        (F.col("n_nationkey").cast("long") * 4096).alias("net_start"),
+        (F.col("n_nationkey").cast("long") * 4096 + 4095).alias("net_end"),
+        F.lit(20).alias("prefix_len"),
+        F.when(F.col("n_nationkey") % 3 == 0, "aws")
+        .when(F.col("n_nationkey") % 3 == 1, "gcp")
+        .otherwise("azure")
+        .alias("cloud"),
+        F.lit("coarse").alias("service"),
+        F.concat(F.lit("r"), (F.col("n_nationkey") % 4).cast("string")).alias("region"),
+    )
+    fine = (
+        s.groupBy((F.col("s_suppkey") % 400).alias("k"))
+        .agg(F.min("s_suppkey").alias("sk"))
+        .select(
+            F.concat(F.lit("f"), F.col("k").cast("string")).alias("prefix"),
+            (F.col("k") * 256).cast("long").alias("net_start"),
+            (F.col("k") * 256 + 255).cast("long").alias("net_end"),
+            F.lit(24).alias("prefix_len"),
+            F.when(F.col("sk") % 4 == 1, "gcp")
+            .when(F.col("sk") % 4 == 2, "azure")
+            .otherwise("aws")
+            .alias("cloud"),
+            F.lit("fine").alias("service"),
+            F.when(F.col("sk") % 5 == 0, F.lit("global"))
+            .otherwise(F.concat(F.lit("r"), (F.col("sk") % 4).cast("string")))
+            .alias("region"),
+        )
+    )
+    prefixes = coarse.unionByName(fine)
+    probes = c.select(
+        "c_custkey", ((F.col("c_custkey") * 2971) % 110000).alias("ip")
+    )
+    matched = lpm_lookup(probes, prefixes, ip_num_col="ip")
+    cls = (
+        F.when(F.col("ip") < 4096, "INTRA_VPC")
+        .when(F.col("lpm_cloud").isNull(), "PUBLIC_INTERNET")
+        .when(F.col("lpm_cloud") != "aws", "PUBLIC_INTERNET")
+        .when(F.col("lpm_region") == "global", "INTRA_REGION")
+        .when(F.col("lpm_region") == "r1", "INTRA_REGION")
+        .otherwise("INTER_REGION")
+    )
+    return (
+        matched.withColumn("connection_class", cls)
+        .groupBy("connection_class")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ip").alias("min_ip"),
+            F.max("ip").alias("max_ip"),
+        )
+        .orderBy("connection_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions / top-N / distinct (A4+ — beyond-reference SQL surface)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q11_running_total",
+    """
+    SELECT event_id, user_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running
+    FROM events
+    ORDER BY event_id
+    """,
+    "cumulative window aggregation per key",
+)
+def q11(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        _dbl2(F.sum(F.col("value").cast(DEC2)).over(w)).alias("running"),
+    ).orderBy("event_id")
+
+
+@_register(
+    "q12_topn_per_group",
+    """
+    SELECT event_type, rn, event_id, value FROM (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    ORDER BY event_type, rn
+    """,
+    "top-N per group via ranking window",
+)
+def q12(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "rn", "event_id", "value")
+        .orderBy("event_type", "rn")
+    )
+
+
+@_register(
+    "q13_distinct_users",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "exact distinct aggregation",
+)
+def q13(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "q14_retention_window",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE ts >= (SELECT date_trunc('second', max(ts)) - INTERVAL 7 DAY FROM events)
+    GROUP BY 1 ORDER BY 1
+    """,
+    "K5/F8 retention-window filter + daily histogram",
+)
+def q14(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (F.date_trunc("second", F.max("ts")) - F.expr("INTERVAL 7 DAYS")).alias("cutoff")
+    )
+    return (
+        ev.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("ts") >= F.col("cutoff"))
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (P2/P8, §2.8)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q15_ip_format",
+    """
+    WITH ips AS (
+      SELECT c_custkey, 167772160 + (c_custkey * 7919) % 16777216 AS ip_num FROM customer
+    )
+    SELECT c_custkey, ip_num,
+           CAST((ip_num >> 24) & 255 AS VARCHAR) || '.' ||
+           CAST((ip_num >> 16) & 255 AS VARCHAR) || '.' ||
+           CAST((ip_num >> 8) & 255 AS VARCHAR) || '.' ||
+           CAST(ip_num & 255 AS VARCHAR) AS ip,
+           CAST(split_part(CAST((ip_num >> 24) & 255 AS VARCHAR) || '.' ||
+                           CAST((ip_num >> 16) & 255 AS VARCHAR) || '.' ||
+                           CAST((ip_num >> 8) & 255 AS VARCHAR) || '.' ||
+                           CAST(ip_num & 255 AS VARCHAR), '.', 1) AS BIGINT) * 16777216 +
+           CAST(split_part(CAST((ip_num >> 24) & 255 AS VARCHAR) || '.' ||
+                           CAST((ip_num >> 16) & 255 AS VARCHAR) || '.' ||
+                           CAST((ip_num >> 8) & 255 AS VARCHAR) || '.' ||
+                           CAST(ip_num & 255 AS VARCHAR), '.', 2) AS BIGINT) * 65536 +
+           CAST(split_part(CAST((ip_num >> 24) & 255 AS VARCHAR) || '.' ||
+                           CAST((ip_num >> 16) & 255 AS VARCHAR) || '.' ||
+                           CAST((ip_num >> 8) & 255 AS VARCHAR) || '.' ||
+                           CAST(ip_num & 255 AS VARCHAR), '.', 3) AS BIGINT) * 256 +
+           CAST(split_part(CAST((ip_num >> 24) & 255 AS VARCHAR) || '.' ||
+                           CAST((ip_num >> 16) & 255 AS VARCHAR) || '.' ||
+                           CAST((ip_num >> 8) & 255 AS VARCHAR) || '.' ||
+                           CAST(ip_num & 255 AS VARCHAR), '.', 4) AS BIGINT) AS ip_roundtrip
+    FROM ips ORDER BY c_custkey
+    """,
+    "P2 IP format/parse round-trip via pure expressions (no UDF)",
+)
+def q15(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    ips = c.select(
+        "c_custkey",
+        (F.lit(167772160) + (F.col("c_custkey") * 7919) % 16777216).alias("ip_num"),
+    )
+    return ips.select(
+        "c_custkey",
+        "ip_num",
+        long_to_ip("ip_num").alias("ip"),
+        ip_to_long(long_to_ip("ip_num")).alias("ip_roundtrip"),
+    ).orderBy("c_custkey")
+
+
+@_register(
+    "q16_readable_size",
+    """
+    WITH sums AS (
+      SELECT l_returnflag,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 0) AS BIGINT) AS bytes
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, bytes,
+           CASE
+             WHEN bytes >= 1099511627776.0 THEN CAST(CAST(bytes / 1099511627776.0 AS DECIMAL(38,2)) AS VARCHAR) || ' TiB'
+             WHEN bytes >= 1073741824.0 THEN CAST(CAST(bytes / 1073741824.0 AS DECIMAL(38,2)) AS VARCHAR) || ' GiB'
+             WHEN bytes >= 1048576.0 THEN CAST(CAST(bytes / 1048576.0 AS DECIMAL(38,2)) AS VARCHAR) || ' MiB'
+             WHEN bytes >= 1024.0 THEN CAST(CAST(bytes / 1024.0 AS DECIMAL(38,2)) AS VARCHAR) || ' KiB'
+             ELSE CAST(CAST(bytes AS DECIMAL(38,2)) AS VARCHAR) || ' B'
+           END AS readable
+    FROM sums ORDER BY l_returnflag
+    """,
+    "formatReadableSize analogue (reference README.md:180)",
+)
+def q16(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sums = li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.col("l_extendedprice").cast(DEC2)), 0).cast("long").alias("bytes")
+    )
+    return sums.select(
+        "l_returnflag", "bytes", format_readable_size("bytes").alias("readable")
+    ).orderBy("l_returnflag")
+
+
+@_register(
+    "q17_flags_canonical",
+    """
+    SELECT '{"big":' || CASE WHEN value > 100.0 THEN 'true' ELSE 'false' END ||
+           ',"even":' || CASE WHEN user_id % 2 = 0 THEN 'true' ELSE 'false' END || '}' AS flags_key,
+           COUNT(*) AS n
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "P8/§4.4 map canonicalization as a deterministic group key",
+)
+def q17(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    flags = F.create_map(
+        F.lit("big"), F.col("value") > 100.0, F.lit("even"), F.col("user_id") % 2 == 0
+    )
+    return (
+        ev.select(canonical_flags_json(flags).alias("flags_key"))
+        .groupBy("flags_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("flags_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions: dedup / text / similarity
+# ---------------------------------------------------------------------------
+
+_DOCS_WITH_COPIES = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+"""
+
+@_register(
+    "q18_exact_dedup",
+    f"""
+    WITH docs AS ({_DOCS_WITH_COPIES})
+    SELECT md5(lower(trim(text))) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n
+    FROM docs GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id
+    """,
+    "exact dedup via content fingerprint (hash-groupBy)",
+)
+def q18(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    groups = exact_duplicate_groups(d.unionByName(copies), "doc_id", "text")
+    return groups.filter(F.col("n") > 1).orderBy("keep_id")
+
+
+@_register(
+    "q19_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_distinct_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed
+    FROM documents ORDER BY doc_id
+    """,
+    "token counting (whitespace tokenizer)",
+)
+def q19(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return with_token_stats(d, "text").select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "n_chars_computed"
+    ).orderBy("doc_id")
+
+
+@_register(
+    "q20_quality_score",
+    """
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks, text FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS BIGINT) AS stop_count,
+           CAST((len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) * 10000) // len(toks) AS BIGINT) AS stop_ratio_bp,
+           CAST((len(list_distinct(toks)) * 10000) // len(toks) AS BIGINT) AS distinct_ratio_bp,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_chars
+    FROM t ORDER BY doc_id
+    """,
+    "quality scoring: stopword/distinct ratios in integer basis points",
+)
+def q20(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return with_quality(d, "text").select(
+        "doc_id", "n_tokens", "stop_count", "stop_ratio_bp", "distinct_ratio_bp", "alpha_chars"
+    ).orderBy("doc_id")
+
+
+def _lang_filter_sql(markers: list[str]) -> str:
+    inlist = ",".join(f"'{m}'" for m in markers)
+    return f"CAST(len(list_filter(toks, x -> list_contains([{inlist}], x))) AS BIGINT)"
+
+
+_LANG_MARKERS_SQL = {
+    "de": ["der", "und", "die"],
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "fr": ["le", "les", "des"],
+    "zh": ["de5", "shi4", "le5"],
+}
+
+@_register(
+    "q21_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             {_lang_filter_sql(_LANG_MARKERS_SQL['de'])} AS score_de,
+             {_lang_filter_sql(_LANG_MARKERS_SQL['en'])} AS score_en,
+             {_lang_filter_sql(_LANG_MARKERS_SQL['es'])} AS score_es,
+             {_lang_filter_sql(_LANG_MARKERS_SQL['fr'])} AS score_fr,
+             {_lang_filter_sql(_LANG_MARKERS_SQL['zh'])} AS score_zh
+      FROM t
+    )
+    SELECT doc_id, lang, score_de, score_en, score_es, score_fr, score_zh,
+           CASE
+             WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+             WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+             WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+             WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+             ELSE 'zh'
+           END AS pred_lang
+    FROM s ORDER BY doc_id
+    """,
+    "language-ID marker heuristic (deterministic scoring + argmax)",
+)
+def q21(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return with_lang_scores(d, "text").select(
+        "doc_id", "lang", "score_de", "score_en", "score_es", "score_fr", "score_zh", "pred_lang"
+    ).orderBy("doc_id")
+
+
+_SHINGLES_SQL = """
+      SELECT DISTINCT doc_id AS _id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(a) - 2, 0)),
+               i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]))) AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a FROM documents)
+"""
+
+@_register(
+    "q22_ngram_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT _id, COUNT(*) AS sz FROM sh GROUP BY _id),
+    inter AS (
+      SELECT s1._id AS id_1, s2._id AS id_2, COUNT(*) AS intersection
+      FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1._id < s2._id
+      GROUP BY s1._id, s2._id
+    )
+    SELECT id_1, id_2, intersection,
+           (intersection * 10000) // (z1.sz + z2.sz - intersection) AS jaccard_bp
+    FROM inter
+    JOIN sizes z1 ON z1._id = id_1
+    JOIN sizes z2 ON z2._id = id_2
+    WHERE (intersection * 10000) // (z1.sz + z2.sz - intersection) >= 3000
+    ORDER BY id_1, id_2
+    """,
+    "exact n-gram Jaccard near-dup pairs (word 3-grams, basis points)",
+)
+def q22(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "doc_id", "text", n=3, threshold_bp=3000).orderBy("id_1", "id_2")
+
+
+@_register(
+    "q23_minhash_lsh",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT _id, h, MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM sh, range(8) t(h) GROUP BY _id, h
+    ),
+    banded AS (
+      SELECT _id, h // 2 AS band,
+             string_agg(CAST(h AS VARCHAR) || '=' || minhash, '|'
+                        ORDER BY CAST(h AS VARCHAR) || '=' || minhash) AS band_key
+      FROM sig GROUP BY _id, h // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a._id AS id_1, b._id AS id_2
+      FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a._id < b._id
+    ),
+    sizes AS (SELECT _id, COUNT(*) AS sz FROM sh GROUP BY _id),
+    inter AS (
+      SELECT c.id_1, c.id_2, COUNT(*) AS intersection
+      FROM cand c
+      JOIN sh s1 ON s1._id = c.id_1
+      JOIN sh s2 ON s2._id = c.id_2 AND s2.shingle = s1.shingle
+      GROUP BY c.id_1, c.id_2
+    )
+    SELECT id_1, id_2,
+           (intersection * 10000) // (z1.sz + z2.sz - intersection) AS jaccard_bp
+    FROM inter
+    JOIN sizes z1 ON z1._id = id_1
+    JOIN sizes z2 ON z2._id = id_2
+    WHERE (intersection * 10000) // (z1.sz + z2.sz - intersection) >= 3000
+    ORDER BY id_1, id_2
+    """,
+    "MinHash(8)+LSH(4 bands) near-dup candidates, exact-verified — deterministic md5 hashing",
+)
+def q23(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, bands=4, n=3, verify_threshold_bp=3000
+    ).orderBy("id_1", "id_2")
+
+
+@_register(
+    "q24_embedding_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))), 4) AS score
+    FROM embeddings e, q
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+    """,
+    "brute-force inner-product top-k similarity search (ANN baseline)",
+)
+def q24(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return brute_force_topk(e, q, k=10)
+
+
+def _simhash_oracle() -> str:
+    digit_cols = ",\n             ".join(
+        f"instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1 AS d{j}" for j in range(4)
+    )
+    sums = []
+    for j in range(4):
+        for k in range(4):
+            ones = ",".join(str(v) for v in range(16) if (v >> k) & 1)
+            sums.append(
+                f"SUM(CASE WHEN d{j} IN ({ones}) THEN 1 ELSE -1 END) AS s{j}_{k}"
+            )
+    sum_cols = ",\n             ".join(sums)
+    fp_terms = " + ".join(
+        f"(CASE WHEN s{j}_{k} > 0 THEN 1 ELSE 0 END) * {1 << (4 * j + k)}"
+        for j in range(4)
+        for k in range(4)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    d AS (SELECT doc_id,
+             {digit_cols}
+          FROM h),
+    s AS (SELECT doc_id,
+             {sum_cols}
+          FROM d GROUP BY doc_id)
+    SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash16
+    FROM s ORDER BY doc_id
+    """
+
+
+@_register(
+    "q25_simhash",
+    _simhash_oracle(),
+    "16-bit SimHash document fingerprint (md5-bit voting, engine-exact)",
+)
+def q25(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return with_simhash16(d, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: the whole flow pipeline vs a golden oracle
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q26_flow_pipeline",
+    """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    base AS (
+      SELECT 'pod-' || CAST(e.user_id AS VARCHAR) AS localPod,
+             CASE WHEN e.event_type = 'click' AND p2.user_id IS NOT NULL
+                  THEN 'pod-' || CAST((e.user_id + 1 + e.event_id % 97) % 150 AS VARCHAR)
+                  ELSE '' END AS remotePod,
+             CASE e.event_type
+               WHEN 'view' THEN 'INTRA_REGION'
+               WHEN 'purchase' THEN 'PUBLIC_INTERNET'
+               WHEN 'click' THEN 'INTRA_VPC'
+               WHEN 'signup' THEN 'INTRA_VPC'
+               ELSE 'PUBLIC_INTERNET' END AS connectionClass,
+             CAST(ROUND(e.value * 100, 0) AS BIGINT) + e.event_id % 1000 + 1 AS bytes_out
+      FROM events e
+      LEFT JOIN users p2 ON p2.user_id = (e.user_id + 1 + e.event_id % 97) % 150
+    ),
+    agg AS (
+      SELECT localPod, remotePod, connectionClass,
+             CAST(SUM(bytes_out) AS BIGINT) AS total_bytes
+      FROM base GROUP BY 1, 2, 3
+      ORDER BY total_bytes DESC, localPod, remotePod, connectionClass
+      LIMIT 20
+    )
+    SELECT localPod, remotePod, connectionClass, total_bytes,
+           CASE
+             WHEN total_bytes >= 1073741824.0 THEN CAST(CAST(total_bytes / 1073741824.0 AS DECIMAL(38,2)) AS VARCHAR) || ' GiB'
+             WHEN total_bytes >= 1048576.0 THEN CAST(CAST(total_bytes / 1048576.0 AS DECIMAL(38,2)) AS VARCHAR) || ' MiB'
+             WHEN total_bytes >= 1024.0 THEN CAST(CAST(total_bytes / 1024.0 AS DECIMAL(38,2)) AS VARCHAR) || ' KiB'
+             ELSE CAST(CAST(total_bytes AS DECIMAL(38,2)) AS VARCHAR) || ' B'
+           END AS readable
+    FROM agg
+    ORDER BY total_bytes DESC, localPod, remotePod, connectionClass
+    """,
+    "GOLDEN end-to-end: observation derivation -> full labeler (filters, "
+    "pod joins, LPM with nested prefixes, classification) -> fan-out -> "
+    "summing aggregation -> README top-talkers. The oracle encodes the "
+    "EXPECTED per-scenario classes, so any pipeline regression (wrong LPM "
+    "winner, counter mis-orientation, lost rows) breaks the value hash.",
+)
+def q26(spark, sf_dir):
+    from kubenetmon_spark.demo import flagship_query
+
+    return flagship_query(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# registry accessors
+# ---------------------------------------------------------------------------
+
+def gate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {g.name: g.spark_fn for g in _REGISTRY}
+
+
+def gate_oracles() -> dict[str, str]:
+    return {g.name: g.oracle for g in _REGISTRY if g.oracle is not None}

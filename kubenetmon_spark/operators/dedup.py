@@ -1,0 +1,200 @@
+"""Deduplication operators for large-scale text/training-data pipelines.
+
+All pure DataFrame/built-in-function implementations (JVM-side, codegen-
+friendly) — no Python UDFs. Determinism is a design goal: every hash is
+md5 over an explicit string, so results are reproducible across engines
+and runs (and checkable against a SQL oracle).
+
+Scale notes (100 TB posture):
+- ``exact_*``: one hash-shuffle on the fingerprint; map-side combine
+  applies. Fingerprints are uniform -> no skew.
+- ``shingle`` joins: hot shingles (stopword runs) create join skew; cap
+  them with ``max_df`` (drop shingles appearing in more than ``max_df``
+  docs — standard MinHash/LSH practice) or rely on AQE skew splitting.
+- ``minhash_lsh_pairs``: candidate generation is an equi-join on band
+  keys (shuffle bounded by #bands x #docs), the verify join touches only
+  candidate pairs. This is the scale path; exact ``jaccard_pairs`` is the
+  small-scale/oracle path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Texts with fewer than n tokens yield an empty array (sequence() would
+    reject a 0 > -1 range, so guard explicitly).
+    """
+    toks = _tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str, text_col: str, normalize: bool = True
+) -> DataFrame:
+    """Group rows by content fingerprint: (fingerprint, keep_id, n).
+
+    keep_id is the minimum id — the deterministic survivor.
+    """
+    text = F.col(text_col)
+    if normalize:
+        text = F.lower(F.trim(text))
+    return (
+        df.withColumn("fingerprint", F.md5(text))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str, normalize: bool = True) -> DataFrame:
+    """Keep only the minimum-id row per identical (normalized) text."""
+    groups = exact_duplicate_groups(df, id_col, text_col, normalize)
+    return df.join(
+        groups.select(F.col("keep_id").alias(id_col)), on=id_col, how="left_semi"
+    )
+
+
+def shingle_set(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_df: int | None = None
+) -> DataFrame:
+    """(id, shingle) distinct pairs; optionally drop shingles with document
+    frequency > max_df (skew/recall tradeoff at scale)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    ).distinct()
+    if max_df is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_df).select("shingle")
+        sh = sh.join(hot, "shingle", "left_anti")
+    return sh
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_bp: int = 3000,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing a shingle.
+
+    Returns (id_1, id_2, intersection, jaccard_bp) with id_1 < id_2 and
+    jaccard_bp = floor(J * 10000) — integer basis points keep the result
+    engine-exact (no float division).
+    """
+    sh = shingle_set(df, id_col, text_col, n, max_df)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("_id").alias("id_1"), "shingle")
+    b = sh.select(F.col("_id").alias("id_2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("_id").alias("id_1"), F.col("sz").alias("_sz1")), "id_1")
+        .join(sizes.select(F.col("_id").alias("id_2"), F.col("sz").alias("_sz2")), "id_2")
+        .withColumn(
+            "jaccard_bp",
+            F.floor(
+                (F.col("intersection") * 10000)
+                / (F.col("_sz1") + F.col("_sz2") - F.col("intersection"))
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_bp") >= threshold_bp)
+        .select("id_1", "id_2", "intersection", "jaccard_bp")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, n: int = 3
+) -> DataFrame:
+    """(id, h, minhash) — deterministic MinHash: hash_h(s) = md5(h ':' s).
+
+    md5-based hashing makes the signature engine-independent (the SQL
+    oracle computes the identical signature), unlike seeded-random
+    permutations.
+    """
+    sh = shingle_set(df, id_col, text_col, n)
+    hashed = sh.withColumn("h", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))).withColumn(
+        "hv", F.md5(F.concat_ws(":", F.col("h"), F.col("shingle")))
+    )
+    return hashed.groupBy("_id", "h").agg(F.min("hv").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    verify_threshold_bp: int = 3000,
+) -> DataFrame:
+    """MinHash + LSH banding near-duplicate detection.
+
+    1. signatures: num_hashes MinHash values per doc;
+    2. banding: rows of the signature grouped into ``bands`` keys; docs
+       sharing any band key become candidate pairs (equi-join — the only
+       pair-generating shuffle);
+    3. verify: exact Jaccard on candidates only; keep >= threshold.
+
+    Returns (id_1, id_2, jaccard_bp).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    banded = (
+        sig.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
+        .groupBy("_id", "band")
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws("=", "h", "minhash")))).alias("band_key"))
+    )
+    ca = banded.select(F.col("_id").alias("id_1"), "band", "band_key")
+    cb = banded.select(F.col("_id").alias("id_2"), "band", "band_key")
+    candidates = (
+        ca.join(cb, ["band", "band_key"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    # Verify ONLY the candidate pairs (this is what makes LSH the scale
+    # path — the exact-Jaccard join never touches non-candidate docs).
+    sh = shingle_set(df, id_col, text_col, n)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("_id").alias("id_1"), "shingle")
+    b = sh.select(F.col("_id").alias("id_2"), "shingle")
+    inter = (
+        candidates.join(a, "id_1")
+        .join(b, ["id_2", "shingle"])
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    return (
+        inter.join(sizes.select(F.col("_id").alias("id_1"), F.col("sz").alias("_sz1")), "id_1")
+        .join(sizes.select(F.col("_id").alias("id_2"), F.col("sz").alias("_sz2")), "id_2")
+        .withColumn(
+            "jaccard_bp",
+            F.floor(
+                (F.col("intersection") * 10000)
+                / (F.col("_sz1") + F.col("_sz2") - F.col("intersection"))
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_bp") >= verify_threshold_bp)
+        .select("id_1", "id_2", "jaccard_bp")
+    )
