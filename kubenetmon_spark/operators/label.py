@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from kubenetmon_spark.config import RuntimeConfig
 from kubenetmon_spark.dims import pods_with_ambiguity
 from kubenetmon_spark.functions.ip import ip_to_long, is_private_ip_num
-from kubenetmon_spark.operators.lpm import lpm_lookup
+from kubenetmon_spark.operators.lpm import disjoint_prefixes, lpm_lookup, lpm_lookup_disjoint
 
 _POD_FIELDS = ["name", "namespace", "node_name", "label_app", "label_k8s_app", "label_control_plane_id"]
 
@@ -45,6 +45,7 @@ def label_flows(
     prefixes: DataFrame,
     cfg: RuntimeConfig,
     extra_flags: dict[str, Column] | None = None,
+    lpm_mode: str = "disjoint",
 ) -> DataFrame:
     """Observations (OBSERVATION_SCHEMA) -> labeled flows.
 
@@ -182,10 +183,21 @@ def label_flows(
     # relative to fact rows.
     obs = obs.withColumn("remote_ip_num", ip_to_long("remote_ip"))
     obs = obs.withColumn("_remote_private", is_private_ip_num(F.col("remote_ip_num")))
-    public_ips = obs.filter(~F.col("_remote_private")).select("remote_ip_num").distinct()
-    matched = lpm_lookup(public_ips, prefixes, "remote_ip_num")
-    obs = obs.join(matched.withColumnRenamed("remote_ip_num", "_mip"),
-                   obs["remote_ip_num"] == F.col("_mip"), "left").drop("_mip")
+    if lpm_mode == "disjoint":
+        # The dimension is flattened to disjoint intervals at build time, so
+        # the per-row LPM is a single broadcast equi+range join: no distinct,
+        # no per-IP reduce, no shuffle of fact rows — and streaming-safe
+        # (no stateful op), which lets the whole labeler run inside the
+        # Structured Streaming DSL (streaming/job.py).
+        obs = lpm_lookup_disjoint(obs, disjoint_prefixes(prefixes), "remote_ip_num")
+    else:
+        # "reduce" mode: classic distinct -> banded reduce -> join back.
+        # Kept for comparison; the private-IP rows skip the lookup entirely
+        # (the reference's short-circuit work-avoidance, remote.go:135-140).
+        public_ips = obs.filter(~F.col("_remote_private")).select("remote_ip_num").distinct()
+        matched = lpm_lookup(public_ips, prefixes, "remote_ip_num")
+        obs = obs.join(matched.withColumnRenamed("remote_ip_num", "_mip"),
+                       obs["remote_ip_num"] == F.col("_mip"), "left").drop("_mip")
 
     same_cloud = F.col("lpm_cloud") == F.lit(cfg.cloud)
     cls = (

@@ -47,6 +47,87 @@ def band_prefixes(prefixes: DataFrame) -> DataFrame:
     )
 
 
+def disjoint_prefixes(prefixes: DataFrame) -> DataFrame:
+    """Flatten a (possibly nested/overlapping) prefix dimension into
+    DISJOINT intervals, each carrying the attributes of its LPM winner.
+
+    Sweep construction: every ``net_start`` and ``net_end + 1`` is a
+    boundary; between two consecutive boundaries the set of covering
+    prefixes is constant, so the winner (max ``prefix_len``, tie-break
+    ``-net_start`` — same rule as :func:`lpm_lookup`) is constant too.
+    Segments covered by no prefix are dropped (a miss stays a miss).
+
+    Run once at dim-build time (~43k prefixes → ≤ ~87k segments,
+    reference README.md:127); the global sort window is over the tiny
+    dimension, never over fact rows. The payoff: LPM against the result
+    is a single broadcast equi+range join per fact row — no distinct, no
+    per-IP reduce shuffle, and legal inside the Structured Streaming DSL
+    (see streaming/job.py).
+    """
+    from pyspark.sql.window import Window
+
+    bounds = (
+        prefixes.select(F.col("net_start").alias("pt"))
+        .unionByName(prefixes.select((F.col("net_end") + 1).alias("pt")))
+        .distinct()
+    )
+    segs = (
+        bounds.withColumn("seg_end", F.lead("pt").over(Window.orderBy("pt")) - 1)
+        .filter(F.col("seg_end").isNotNull())
+        .select(F.col("pt").alias("seg_start"), "seg_end")
+    )
+    banded_segs = segs.withColumn(
+        "band", F.shiftright(F.col("seg_start"), BAND_SHIFT)
+    )
+    cand = banded_segs.alias("s").join(
+        F.broadcast(band_prefixes(prefixes)).alias("p"),
+        (F.col("s.band") == F.col("p.band"))
+        & F.col("s.seg_start").between(F.col("p.net_start"), F.col("p.net_end")),
+        "inner",
+    )
+    return (
+        cand.groupBy("seg_start", "seg_end")
+        .agg(
+            F.max_by(
+                F.struct(*MATCH_COLS), F.struct(F.col("prefix_len"), -F.col("net_start"))
+            ).alias("_m")
+        )
+        .select("seg_start", "seg_end", *[F.col(f"_m.{c}").alias(c) for c in MATCH_COLS])
+    )
+
+
+def lpm_lookup_disjoint(
+    ips: DataFrame,
+    disjoint: DataFrame,
+    ip_num_col: str = "ip_num",
+    out_prefix: str = "lpm_",
+) -> DataFrame:
+    """LPM against a :func:`disjoint_prefixes` dimension: one broadcast
+    equi+range left join, zero shuffles on the probe side, streaming-safe.
+    """
+    banded = F.broadcast(
+        disjoint.withColumn(
+            "band",
+            F.explode(
+                F.sequence(
+                    F.shiftright(F.col("seg_start"), BAND_SHIFT),
+                    F.shiftright(F.col("seg_end"), BAND_SHIFT),
+                )
+            ),
+        ).select("band", "seg_start", "seg_end", *MATCH_COLS)
+    )
+    joined = ips.join(
+        banded,
+        (F.shiftright(F.col(ip_num_col), BAND_SHIFT) == banded["band"])
+        & F.col(ip_num_col).between(F.col("seg_start"), F.col("seg_end")),
+        "left",
+    )
+    return joined.select(
+        *[c for c in ips.columns],
+        *[F.col(c).alias(out_prefix + c) for c in MATCH_COLS],
+    )
+
+
 def lpm_lookup(
     ips: DataFrame,
     prefixes: DataFrame,

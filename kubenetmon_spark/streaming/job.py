@@ -1,0 +1,201 @@
+"""Structured Streaming ingest: the Spark-native form of the reference's
+agent -> gRPC -> labeler -> batched-insert pipeline (SURVEY.md §3.1-3.2).
+
+Two complementary paths, mirroring the two halves of the reference's
+SummingMergeTree semantics (reference test/network_flows_0.sql:39-44):
+
+1. ``start_flow_stream`` — **merge-time path** (reference-faithful). A
+   ``foreachBatch`` sink runs the full batch labeler per micro-batch,
+   pre-sums within the batch, and appends to the partitioned fact table.
+   Rows for the same dimension key arriving in different micro-batches
+   coexist until ``sink.compact`` folds them — exactly ClickHouse's
+   asynchronous background merge. There is **no watermark**: arbitrarily
+   late data still lands and still gets folded, which is precisely the
+   reference's behavior (reference pkg/inserter/worker.go:134-147 writes
+   whatever timestamp arrives; SURVEY.md §2.9).
+
+   Delivery: the file-source checkpoint makes input exactly-once; the
+   write is made idempotent under foreachBatch retries with a per-batch
+   commit marker (the analogue of the reference's per-batch
+   ``insert_deduplication_token``, reference pkg/inserter/worker.go:248).
+
+2. ``start_windowed_flow_stream`` — **eager path** (stronger-than-
+   reference). The whole labeler runs inside the streaming DSL (possible
+   because the disjoint-interval LPM join is stateless, operators/lpm.py),
+   followed by a watermarked 1-minute tumbling-window aggregation in
+   append mode: each (minute, dims) bucket is emitted exactly once, final,
+   after the watermark passes. Late rows beyond the watermark are dropped
+   — the explicit late-data policy SURVEY.md §2.9 calls for. Use the
+   merge-time path when arbitrarily-late data must count.
+
+Batching knobs map 1:1 to the reference's: ``maxFilesPerTrigger`` is the
+batch-size bound (reference batchSize, values.yaml:63), the trigger
+interval is the flush timeout (batchSendTimeout, values.yaml:64), and
+Spark's executor parallelism replaces the 20 inserter workers
+(reference pkg/inserter/inserter.go:91).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kubenetmon_spark.config import RuntimeConfig
+from kubenetmon_spark.functions.flags import canonical_flags_json
+from kubenetmon_spark.operators.flows import summing_aggregate, to_flow_rows
+from kubenetmon_spark.operators.label import label_flows, split_rejected
+from kubenetmon_spark.schema import DIM_COLS, OBSERVATION_SCHEMA
+from kubenetmon_spark.sink import write_flows
+
+
+def read_observations(
+    spark: SparkSession,
+    input_path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source observation stream with the fixed schema (no inference —
+    SURVEY.md §1.2). ``max_files_per_trigger`` bounds micro-batch size the
+    way ``batchSize`` bounds the reference's insert batches."""
+    reader = spark.readStream.schema(OBSERVATION_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return getattr(reader, fmt)(input_path)
+
+
+def _apply_trigger(writer, trigger: dict[str, Any] | None):
+    return writer.trigger(**trigger) if trigger else writer
+
+
+def start_flow_stream(
+    observations: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    pods: DataFrame,
+    nodes: DataFrame,
+    prefixes: DataFrame,
+    cfg: RuntimeConfig,
+    dead_letter_path: str | None = None,
+    trigger: dict[str, Any] | None = None,
+    query_name: str = "network_flows_ingest",
+) -> StreamingQuery:
+    """Merge-time path: full labeler per micro-batch via foreachBatch."""
+    markers = Path(checkpoint_path) / "_committed_batches"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = markers / str(batch_id)
+        if marker.exists():  # foreachBatch retry of an already-written batch
+            return
+        labeled = label_flows(batch_df, pods, nodes, prefixes, cfg).persist()
+        try:
+            accepted, dead = split_rejected(labeled)
+            flows = summing_aggregate(to_flow_rows(accepted))
+            write_flows(flows, table_path)
+            if dead_letter_path is not None:
+                (
+                    dead.groupBy("reject_reason")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("append")
+                    .parquet(dead_letter_path)
+                )
+        finally:
+            labeled.unpersist()
+        markers.mkdir(parents=True, exist_ok=True)
+        marker.touch()
+
+    writer = (
+        observations.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(process_batch)
+    )
+    return _apply_trigger(writer, trigger).start()
+
+
+def streaming_network_flows(
+    observations: DataFrame,
+    pods: DataFrame,
+    nodes: DataFrame,
+    prefixes: DataFrame,
+    cfg: RuntimeConfig,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Eager path as a pure streaming DataFrame: watermarked labeler ->
+    fan-out -> 1-minute tumbling window summing aggregation.
+
+    Returns an unstarted streaming DataFrame with the NETWORK_FLOWS
+    column set; start it with ``start_windowed_flow_stream`` (or any
+    writeStream). Requires ``lpm_mode='disjoint'`` labeling, which keeps
+    the plan free of stateful ops before the single window aggregation.
+    """
+    labeled = label_flows(
+        observations.withWatermark("ts", watermark),
+        pods,
+        nodes,
+        prefixes,
+        cfg,
+        lpm_mode="disjoint",
+    )
+    accepted, _ = split_rejected(labeled)
+
+    directions = F.array(
+        F.struct(
+            F.lit("out").alias("direction"),
+            F.col("bytes_out").alias("bytes"),
+            F.col("packets_out").alias("packets"),
+        ),
+        F.struct(
+            F.lit("in").alias("direction"),
+            F.col("bytes_in").alias("bytes"),
+            F.col("packets_in").alias("packets"),
+        ),
+    )
+    fan = (
+        accepted.withColumn("_d", F.explode(directions))
+        .withColumn("direction", F.col("_d.direction"))
+        .withColumn("bytes", F.coalesce(F.col("_d.bytes"), F.lit(0)))
+        .withColumn("packets", F.coalesce(F.col("_d.packets"), F.lit(0)))
+        .drop("_d", "bytes_out", "bytes_in", "packets_out", "packets_in", "flow_type", "reject_reason")
+    )
+    group_cols = [c for c in DIM_COLS if c not in ("connectionFlags", "date", "intervalStartTime", "intervalSeconds")]
+    agg = (
+        fan.withColumn("_flags_key", canonical_flags_json("connectionFlags"))
+        .groupBy(F.window("ts", "1 minute").alias("_w"), F.col("_flags_key"), *group_cols)
+        .agg(
+            F.any_value("connectionFlags").alias("connectionFlags"),
+            F.sum("bytes").alias("bytes"),
+            F.sum("packets").alias("packets"),
+        )
+    )
+    return agg.select(
+        F.to_date("_w.start").alias("date"),
+        F.col("_w.start").alias("intervalStartTime"),
+        F.lit(60).cast("int").alias("intervalSeconds"),
+        *DIM_COLS[3:],
+        "bytes",
+        "packets",
+    )
+
+
+def start_windowed_flow_stream(
+    flows: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    trigger: dict[str, Any] | None = None,
+    query_name: str = "network_flows_windowed",
+) -> StreamingQuery:
+    """Start the eager path: append-mode partitioned parquet sink. Each
+    window is emitted once, final — readers never need to re-aggregate."""
+    writer = (
+        flows.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .partitionBy("date")
+        .format("parquet")
+        .option("path", table_path)
+    )
+    return _apply_trigger(writer, trigger).start()

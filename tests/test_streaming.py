@@ -1,0 +1,170 @@
+"""Streaming pipeline tests: foreachBatch merge-time path (checkpointed,
+idempotent, compaction-folded) and the pure-DSL watermarked eager path.
+Both must converge to the same answer as the batch pipeline.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from kubenetmon_spark.demo import DEMO_CFG, build_flow_inputs, build_network_flows
+from kubenetmon_spark.operators.flows import summing_aggregate
+from kubenetmon_spark.operators.label import label_flows
+from kubenetmon_spark.operators.lpm import disjoint_prefixes, lpm_lookup, lpm_lookup_disjoint
+from kubenetmon_spark.sink import compact, read_flows
+from kubenetmon_spark.streaming import (
+    read_observations,
+    start_flow_stream,
+    start_windowed_flow_stream,
+    streaming_network_flows,
+)
+from tests.fixtures import CFG, nodes_df, observations_df, pods_df, raw_prefixes_df
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _sorted_rows(df):
+    cols = sorted(df.columns)
+    flat = df.select(*[
+        F.to_json(F.map_from_entries(F.array_sort(F.map_entries(F.col(c))))).alias(c)
+        if dict(df.dtypes)[c].startswith("map") else F.col(c)
+        for c in cols
+    ])
+    return sorted([tuple(r) for r in flat.collect()])
+
+
+# ---------------------------------------------------------------------------
+# Disjoint-interval LPM == reduce LPM
+# ---------------------------------------------------------------------------
+
+def test_disjoint_lpm_equals_reduce_lpm(spark):
+    prefixes = spark.createDataFrame(
+        [
+            # nested: /8 containing /16 containing /24, plus a disjoint /12
+            ("10.0.0.0/8", 10 * 2**24, 11 * 2**24 - 1, 8, "aws", "amazon", "us-east-1"),
+            ("10.1.0.0/16", 10 * 2**24 + 2**16, 10 * 2**24 + 2 * 2**16 - 1, 16, "aws", "s3", "us-west-2"),
+            ("10.1.2.0/24", 10 * 2**24 + 2**16 + 2 * 256, 10 * 2**24 + 2**16 + 3 * 256 - 1, 24, "aws", "ec2", "eu-west-1"),
+            ("172.16.0.0/12", 172 * 2**24 + 16 * 2**16, 172 * 2**24 + 32 * 2**16 - 1, 12, "gcp", "gce", "us-central1"),
+        ],
+        "prefix string, net_start long, net_end long, prefix_len int, cloud string, service string, region string",
+    )
+    # probes: inside each nesting level, at boundaries, and misses
+    probe_vals = [
+        10 * 2**24,                      # /8 only
+        10 * 2**24 + 2**16,              # /16 start
+        10 * 2**24 + 2**16 + 2 * 256 + 7,  # /24 interior -> ec2 wins
+        10 * 2**24 + 2**16 + 3 * 256,    # just past /24 end -> /16
+        11 * 2**24 - 1,                  # /8 end
+        11 * 2**24,                      # miss
+        172 * 2**24 + 16 * 2**16 + 5,    # /12
+        1,                               # miss
+    ]
+    probes = spark.createDataFrame([(v,) for v in probe_vals], "ip_num long")
+    a = _sorted_rows(lpm_lookup(probes, prefixes, "ip_num"))
+    b = _sorted_rows(lpm_lookup_disjoint(probes, disjoint_prefixes(prefixes), "ip_num"))
+    assert a == b
+    # spot-check the nested winner
+    got = {
+        r.ip_num: r.lpm_prefix
+        for r in lpm_lookup_disjoint(probes, disjoint_prefixes(prefixes), "ip_num").collect()
+    }
+    assert got[10 * 2**24 + 2**16 + 2 * 256 + 7] == "10.1.2.0/24"
+    assert got[10 * 2**24 + 2**16 + 3 * 256] == "10.1.0.0/16"
+    assert got[11 * 2**24] is None
+
+
+def test_label_flows_disjoint_equals_reduce(spark):
+    from kubenetmon_spark.dims import build_cloud_prefixes
+
+    obs, pods, nodes, prefixes = (
+        observations_df(spark),
+        pods_df(spark),
+        nodes_df(spark),
+        build_cloud_prefixes(raw_prefixes_df(spark)),
+    )
+    a = _sorted_rows(label_flows(obs, pods, nodes, prefixes, CFG, lpm_mode="disjoint"))
+    b = _sorted_rows(label_flows(obs, pods, nodes, prefixes, CFG, lpm_mode="reduce"))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch merge-time path
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def stream_inputs(spark, tmp_path_factory):
+    obs, pods, nodes, prefixes = build_flow_inputs(spark, SF_DIR)
+    obs_dir = tmp_path_factory.mktemp("obs")
+    obs.repartition(3).write.mode("overwrite").parquet(str(obs_dir))
+    return str(obs_dir), pods, nodes, prefixes
+
+
+def test_foreachbatch_stream_matches_batch(spark, stream_inputs, tmp_path):
+    obs_dir, pods, nodes, prefixes = stream_inputs
+    table = str(tmp_path / "flows")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_observations(spark, obs_dir, max_files_per_trigger=1)
+    q = start_flow_stream(
+        stream, table, ckpt, pods, nodes, prefixes, DEMO_CFG,
+        dead_letter_path=str(tmp_path / "dead"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+    # pre-compaction: per-batch partial sums coexist, re-aggregation is safe
+    raw = read_flows(spark, table)
+    expected = build_network_flows(spark, SF_DIR)
+    assert raw.agg(F.sum("bytes")).collect()[0][0] == expected.agg(F.sum("bytes")).collect()[0][0]
+    # compaction = background merge: rows fold to exactly the batch answer
+    compact(spark, table)
+    assert _sorted_rows(read_flows(spark, table)) == _sorted_rows(expected)
+
+
+def test_foreachbatch_checkpoint_restart_no_duplicates(spark, stream_inputs, tmp_path):
+    obs_dir, pods, nodes, prefixes = stream_inputs
+    table = str(tmp_path / "flows")
+    ckpt = str(tmp_path / "ckpt")
+    run = lambda: start_flow_stream(
+        read_observations(spark, obs_dir), table, ckpt, pods, nodes, prefixes,
+        DEMO_CFG, trigger={"availableNow": True},
+    ).awaitTermination(300)
+    run()
+    total_once = read_flows(spark, table).agg(F.sum("bytes")).collect()[0][0]
+    run()  # restart against the same checkpoint: no new input -> no new rows
+    assert read_flows(spark, table).agg(F.sum("bytes")).collect()[0][0] == total_once
+
+
+# ---------------------------------------------------------------------------
+# Pure-DSL watermarked eager path
+# ---------------------------------------------------------------------------
+
+def test_windowed_stream_matches_batch(spark, stream_inputs, tmp_path):
+    shared_obs_dir, pods, nodes, prefixes = stream_inputs
+    # private copy: this test appends a sentinel file to the source dir
+    obs_dir = str(tmp_path / "obs")
+    spark.read.parquet(shared_obs_dir).write.parquet(obs_dir)
+    table = str(tmp_path / "flows")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = read_observations(spark, obs_dir)
+        flows = streaming_network_flows(stream, pods, nodes, prefixes, DEMO_CFG, watermark="10 minutes")
+        q = start_windowed_flow_stream(flows, table, ckpt, trigger={"availableNow": True})
+        q.awaitTermination(300)
+
+    run()  # one batch: every real window enters state; none past watermark yet
+
+    # a far-future sentinel observation advances the watermark so all real
+    # windows finalize on the next run (its own window stays in state)
+    max_ts = spark.read.parquet(obs_dir).agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.read.parquet(obs_dir).limit(1).withColumn(
+        "ts", F.lit(max_ts + timedelta(hours=2))
+    )
+    sentinel.write.mode("append").parquet(obs_dir)
+    run()
+
+    got = read_flows(spark, table)
+    expected = build_network_flows(spark, SF_DIR)
+    assert _sorted_rows(got) == _sorted_rows(expected)
