@@ -38,12 +38,18 @@ from kubenetmon_spark.operators.dedup import (
     minhash_lsh_pairs,
 )
 from kubenetmon_spark.operators.lpm import lpm_lookup
-from kubenetmon_spark.operators.similarity import brute_force_topk
+from kubenetmon_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    ivf_topk,
+)
 from kubenetmon_spark.operators.text import (
+    with_bpe_token_stats,
     with_lang_scores,
     with_quality,
     with_simhash16,
     with_token_stats,
+    with_winnow_fingerprint,
 )
 from kubenetmon_spark.tables import load_table
 
@@ -894,6 +900,167 @@ def _simhash_oracle() -> str:
 def q25(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return with_simhash16(d, "doc_id", "text").orderBy("doc_id")
+
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "k -> CAST({a}[k] AS DOUBLE) * CAST({b}[k] AS DOUBLE)))"
+)
+
+
+@_register(
+    "q27_cosine_near_dup",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 30
+    ),
+    n AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nm
+      FROM base
+    )
+    SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+           CAST(ROUND({_DOT.format(a='a.embedding', b='b.embedding')} / (a.nm * b.nm), 4) * 10000 AS BIGINT) AS cosine_bp
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE CAST(ROUND({_DOT.format(a='a.embedding', b='b.embedding')} / (a.nm * b.nm), 4) * 10000 AS BIGINT) >= 9500
+    ORDER BY id_1, id_2
+    """,
+    "embedding-cosine near-duplicate pairs (exact all-pairs baseline; "
+    "planted copies must surface at cosine_bp=10000)",
+)
+def q27(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = e.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return cosine_near_dup_pairs(e.unionByName(copies), threshold_bp=9500).orderBy(
+        "id_1", "id_2"
+    )
+
+
+@_register(
+    "q28_ivf_topk",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROUND({_DOT.format(a='e.embedding', b='c.cv')}, 6) AS cscore
+      FROM embeddings e, c
+    ),
+    asn AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid ASC) AS rn
+      FROM scored
+    ),
+    probes AS (
+      SELECT c.cid FROM q, c
+      ORDER BY ROUND({_DOT.format(a='q.qv', b='c.cv')}, 6) DESC, c.cid ASC
+      LIMIT 4
+    )
+    SELECT a.vec_id, ROUND({_DOT.format(a='a.embedding', b='q.qv')}, 4) AS score
+    FROM asn a JOIN probes p ON a.cid = p.cid, q
+    WHERE a.rn = 1
+    ORDER BY score DESC, a.vec_id
+    LIMIT 10
+    """,
+    "IVF approximate top-k: deterministic centroid init, max-IP assignment, "
+    "4-probe search — the partition-pruned ANN scale path",
+)
+def q28(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return ivf_topk(e, q, k=10, n_centroids=16, n_probe=4)
+
+
+@_register(
+    "q29_media_features",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           lower(substring(hex(encode(text)), 1, 16)) AS header_hex
+    FROM documents ORDER BY media_id
+    """,
+    "multimodal binary-column plumbing: documents -> binary payloads -> "
+    "Arrow-batched mapInPandas byte-feature extraction",
+)
+def q29(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    from kubenetmon_spark.operators.media import extract_media_features, media_from_text
+
+    return extract_media_features(media_from_text(d)).orderBy("media_id")
+
+
+@_register(
+    "q30_bpe_token_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_pieces,
+           CAST(len(list_filter(toks, x -> regexp_full_match(x, '[A-Za-z]+'))) AS BIGINT) AS n_alpha_pieces,
+           CAST(len(list_filter(toks, x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS n_num_pieces,
+           CAST(len(toks)
+                - len(list_filter(toks, x -> regexp_full_match(x, '[A-Za-z]+')))
+                - len(list_filter(toks, x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS n_punct_pieces
+    FROM t ORDER BY doc_id
+    """,
+    "BPE-style pre-tokenizer counts (letter/digit/punct runs)",
+)
+def q30(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return with_bpe_token_stats(d, "text").select(
+        "doc_id", "n_pieces", "n_alpha_pieces", "n_num_pieces", "n_punct_pieces"
+    ).orderBy("doc_id")
+
+
+@_register(
+    "q31_winnow_fingerprint",
+    """
+    WITH t AS (SELECT doc_id, trim(text) AS s FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN length(s) >= 8 THEN
+               list_transform(generate_series(1, length(s) - 7), i ->
+                 (CAST(unicode(s[i]) AS BIGINT) * 27512614111 +
+                  CAST(unicode(s[i+1]) AS BIGINT) * 887503681 +
+                  CAST(unicode(s[i+2]) AS BIGINT) * 28629151 +
+                  CAST(unicode(s[i+3]) AS BIGINT) * 923521 +
+                  CAST(unicode(s[i+4]) AS BIGINT) * 29791 +
+                  CAST(unicode(s[i+5]) AS BIGINT) * 961 +
+                  CAST(unicode(s[i+6]) AS BIGINT) * 31 +
+                  CAST(unicode(s[i+7]) AS BIGINT)) % 2147483647)
+             ELSE [] END AS hashes
+      FROM t
+    ),
+    w AS (
+      SELECT doc_id, hashes,
+             CASE WHEN len(hashes) >= 4 THEN
+               list_transform(generate_series(1, len(hashes) - 3), p ->
+                 list_min(hashes[p:p+3]))
+             ELSE [] END AS wins
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(len(hashes) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(wins)) AS BIGINT) AS n_fp,
+           md5(array_to_string(list_transform(list_sort(list_distinct(wins)), x -> CAST(x AS VARCHAR)), ',')) AS fp_digest
+    FROM w ORDER BY doc_id
+    """,
+    "winnowing fingerprint (MOSS): polynomial rolling k-gram hashes, "
+    "sliding-window minima, md5 of the fingerprint set",
+)
+def q31(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return with_winnow_fingerprint(d, "text", k=8, w=4).select(
+        "doc_id", "n_grams", "n_fp", "fp_digest"
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -60,6 +60,150 @@ def brute_force_topk(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold_bp: int = 9500,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "blocked",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all (i<j) with
+    round(cosine,4)*10000 >= threshold_bp.
+
+    ``method='blocked'`` (default): block-row matrix multiply. The corpus
+    matrix is normalized once and broadcast to executors; each Arrow batch
+    of rows computes ``V_block @ M.T`` with BLAS and emits only the
+    above-threshold pairs. O(n^2) work but at memory bandwidth, not
+    interpreted-expression speed (Spark's higher-order lambdas never enter
+    codegen — the pure-DataFrame form is ~50x slower). Scales until the
+    corpus matrix no longer fits an executor (n*dim*8 bytes); past that,
+    prefilter the pair space with sign-LSH buckets (``signlsh_topk``'s
+    sketch as a join key) and re-rank blocks within buckets.
+
+    ``method='sql'``: the pure-DataFrame self-join baseline (no Python,
+    no driver collect) — the form the DuckDB oracle mirrors expression
+    for expression.
+
+    Returns (id_1, id_2, cosine_bp) with cosine in integer basis points.
+    Rounding is HALF_UP at 4 decimals in both methods, so results are
+    bit-identical across engines.
+    """
+    if method == "sql":
+        norm = vectors.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            _norm(F.col(vec_col)).alias("_n"),
+        )
+        a, b = norm.alias("a"), norm.alias("b")
+        pairs = a.join(b, F.col("a._id") < F.col("b._id"))
+        cos = _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+        return (
+            pairs.select(
+                F.col("a._id").alias("id_1"),
+                F.col("b._id").alias("id_2"),
+                (F.round(cos, 4) * 10000).cast("long").alias("cosine_bp"),
+            )
+            .filter(F.col("cosine_bp") >= threshold_bp)
+        )
+
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = vectors.sparkSession
+    pdf = vectors.select(F.col(id_col), F.col(vec_col)).toPandas()
+    ids = pdf[id_col].to_numpy(dtype="int64")
+    m = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, m))
+
+    out_schema = StructType(
+        [
+            StructField("id_1", LongType(), False),
+            StructField("id_2", LongType(), False),
+            StructField("cosine_bp", LongType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        all_ids, full = bc.value
+        for b in batches:
+            row_ids = b[id_col].to_numpy(dtype="int64")
+            v = np.stack([np.asarray(x, dtype="float64") for x in b[vec_col]])
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            s = v @ full.T
+            # HALF_UP at 4 decimals then *1e4 -> long, replicating the
+            # exact double-op sequence of round(cos,4)*10000 CAST LONG
+            r4 = np.floor(np.abs(s) * 1e4 + 0.5) / 1e4 * np.sign(s)
+            bp = (r4 * 1e4).astype("int64")
+            keep = (bp >= threshold_bp) & (row_ids[:, None] < all_ids[None, :])
+            i, j = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id_1": row_ids[i], "id_2": all_ids[j], "cosine_bp": bp[i, j]}
+            )
+
+    return vectors.mapInPandas(gen, out_schema)
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k by inner product.
+
+    Deterministic flat IVF: the first ``n_centroids`` vectors by id act as
+    centroids (a fixed "init" — no iterative k-means, so the oracle can
+    reproduce the exact partition). Every vector is assigned to its
+    max-inner-product centroid (ties -> lowest centroid id); the query
+    probes its ``n_probe`` best centroids and re-ranks exactly only within
+    those inverted lists.
+
+    Scale path: the assignment is one broadcast join + max_by over
+    ``n_centroids`` candidates per row and can be precomputed/persisted as
+    a partition column, making the probe a partition-pruned scan of
+    n_probe/n_centroids of the data.
+    """
+    centroids = F.broadcast(
+        vectors.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+        )
+    )
+    assigned = (
+        vectors.join(centroids)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_cid"),
+            F.round(_dot(F.col(vec_col), F.col("_cv")), 6).alias("_cscore"),
+        )
+        .groupBy(id_col, vec_col)
+        .agg(F.max_by(F.col("_cid"), F.struct(F.col("_cscore"), -F.col("_cid"))).alias("_cid"))
+    )
+    probes = (
+        query.crossJoin(centroids)
+        .select(
+            F.col("qv"),
+            F.col("_cid"),
+            F.round(_dot(F.col("qv"), F.col("_cv")), 6).alias("_qscore"),
+        )
+        .orderBy(F.desc("_qscore"), F.col("_cid"))
+        .limit(n_probe)
+        .select("qv", "_cid")
+    )
+    cands = assigned.join(F.broadcast(probes), "_cid", "inner")
+    scored = cands.select(
+        F.col(id_col), F.round(_dot(F.col(vec_col), F.col("qv")), round_digits).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
 def _sketch_bits(vec: Column, dim: int, bits: int) -> Column:
     """b-bit sign sketch with deterministic pseudo-random hyperplanes.
 

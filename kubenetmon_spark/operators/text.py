@@ -85,6 +85,161 @@ def with_lang_scores(
     return out.withColumn("pred_lang", pred)
 
 
+#: BPE-ish pre-tokenization: letter runs, digit runs, punctuation runs —
+#: the coarse split every byte-pair tokenizer applies before merges
+#: (portable subset of the GPT-2 pattern, no lookarounds).
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def with_bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append subword-style token counts from the BPE pre-tokenizer split:
+    total pieces, alpha pieces, numeric pieces, punctuation pieces."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_PATTERN), 0)
+    is_alpha = lambda t: t.rlike("^[A-Za-z]+$")  # noqa: E731
+    is_num = lambda t: t.rlike("^[0-9]+$")  # noqa: E731
+    return (
+        df.withColumn("n_pieces", F.size(toks).cast("long"))
+        .withColumn("n_alpha_pieces", F.size(F.filter(toks, is_alpha)).cast("long"))
+        .withColumn("n_num_pieces", F.size(F.filter(toks, is_num)).cast("long"))
+        .withColumn(
+            "n_punct_pieces",
+            (F.size(toks) - F.size(F.filter(toks, is_alpha)) - F.size(F.filter(toks, is_num))).cast("long"),
+        )
+    )
+
+
+ROLL_BASE = 31
+ROLL_MOD = 2147483647  # 2^31 - 1; all arithmetic stays in int64 pre-mod
+
+
+def with_winnow_fingerprint(
+    df: DataFrame, text_col: str = "text", k: int = 8, w: int = 4, method: str = "arrow"
+) -> DataFrame:
+    """Winnowing document fingerprint over polynomial rolling hashes
+    (Schleimer et al., SIGMOD'03 — the MOSS algorithm).
+
+    1. hash every ``k``-char gram: sum(code(c_j) * 31^(k-1-j)) mod (2^31-1)
+       — pure integer arithmetic, identical in any engine;
+    2. slide a window of ``w`` grams, keep each window's minimum;
+    3. the distinct kept mins are the fingerprint set.
+
+    Appends: n_grams, n_fp, fp_digest (md5 of the sorted fingerprint set).
+    Two documents sharing a k-gram run share fingerprint hashes, so
+    near-dup candidates = equi-join on exploded fingerprints.
+
+    ``method='arrow'`` (default): vectorized NumPy over Arrow batches —
+    per-character work in Spark's higher-order lambdas is interpreted
+    (never codegen'd), so a mapInPandas stage with sliding-window ops is
+    an order of magnitude faster and the integer arithmetic is identical.
+    ``method='sql'``: pure built-in expressions (no Python) — the form
+    the DuckDB oracle mirrors.
+    """
+    if method == "arrow":
+        return _winnow_arrow(df, text_col, k, w)
+    s = F.trim(F.col(text_col))
+    n = F.length(s)
+    empty = F.expr("array()").cast("array<long>")
+    # Each stage lands in its OWN column so the expensive array expressions
+    # are evaluated once per row. (Building one nested Column would inline
+    # the rolling-hash transform into every downstream reference — the plan
+    # recomputes it per reference and the oversized expression tree falls
+    # out of whole-stage codegen.)
+    # Char codes are materialized once: higher-order lambdas are interpreted
+    # (never codegen'd), so per-gram substr() calls — which re-scan the
+    # string to find the char offset — dominate. An int-array slice is O(k).
+    out = df.withColumn(
+        "_codes", F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long"))
+    )
+    # Horner's rule, mod each step (values stay < 2^36, exact in int64).
+    # Guard short docs explicitly: Spark's sequence(1, 0) is DESCENDING
+    # [1, 0], not empty.
+    out = out.withColumn(
+        "_hashes",
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.aggregate(
+                    F.slice(F.col("_codes"), i, k),
+                    F.lit(0).cast("long"),
+                    lambda acc, c: (acc * ROLL_BASE + c) % ROLL_MOD,
+                ),
+            ),
+        ).otherwise(empty),
+    )
+    out = out.withColumn(
+        "_wins",
+        F.when(
+            F.size("_hashes") >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_hashes") - w + 1),
+                lambda p: F.array_min(F.slice(F.col("_hashes"), p, w)),
+            ),
+        ).otherwise(empty),
+    )
+    out = out.withColumn("_fps", F.array_sort(F.array_distinct(F.col("_wins"))))
+    return (
+        out.withColumn("n_grams", F.size("_hashes").cast("long"))
+        .withColumn("n_fp", F.size("_fps").cast("long"))
+        .withColumn(
+            "fp_digest",
+            F.md5(F.concat_ws(",", F.transform(F.col("_fps"), lambda x: x.cast("string")))),
+        )
+        .drop("_codes", "_hashes", "_wins", "_fps")
+    )
+
+
+def _winnow_arrow(df: DataFrame, text_col: str, k: int, w: int) -> DataFrame:
+    """Arrow/NumPy winnowing: same integer arithmetic as the SQL form,
+    vectorized with sliding_window_view per document."""
+    import hashlib
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("n_grams", LongType(), True),
+            StructField("n_fp", LongType(), True),
+            StructField("fp_digest", StringType(), True),
+        ]
+    )
+    pows = [ROLL_BASE ** (k - 1 - j) for j in range(k)]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        pw = np.array(pows, dtype="int64")
+        swv = np.lib.stride_tricks.sliding_window_view
+
+        def one(text):
+            if text is None:
+                return (None, None, None)
+            s = text.strip(" ")  # ASCII-space trim, same as SQL trim()
+            if len(s) < k:
+                return (0, 0, hashlib.md5(b"").hexdigest())
+            # UTF-32 decode = vectorized codepoints (matches Spark ascii())
+            codes = np.frombuffer(s.encode("utf-32-le"), dtype="uint32").astype("int64")
+            hashes = (swv(codes, k) * pw).sum(axis=1) % ROLL_MOD
+            if len(hashes) < w:
+                return (int(len(hashes)), 0, hashlib.md5(b"").hexdigest())
+            wins = swv(hashes, w).min(axis=1)
+            fps = np.unique(wins)
+            digest = hashlib.md5(",".join(str(x) for x in fps).encode()).hexdigest()
+            return (int(len(hashes)), int(len(fps)), digest)
+
+        for b in batches:
+            res = b[text_col].map(one)
+            b = b.copy()
+            b["n_grams"] = res.map(lambda t: t[0])
+            b["n_fp"] = res.map(lambda t: t[1])
+            b["fp_digest"] = res.map(lambda t: t[2])
+            yield b
+
+    return df.mapInPandas(gen, out_schema)
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the sorted distinct token
     set (bag-of-words identity, word-order insensitive)."""
