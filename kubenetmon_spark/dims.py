@@ -51,11 +51,14 @@ def build_cloud_prefixes(raw: DataFrame) -> DataFrame:
             - F.lit(1),
         )
     )
+    # reference priority map: s3(-1) < other(0) < amazon(1) < ec2(2) —
+    # services outside the map default to 0, i.e. they BEAT amazon/ec2
+    # (reference public_ranges.go:163-168).
     aws_priority = (
-        F.when(F.col("service") == "s3", 0)
+        F.when(F.col("service") == "s3", -1)
         .when(F.col("service") == "amazon", 1)
         .when(F.col("service") == "ec2", 2)
-        .otherwise(3)
+        .otherwise(0)
     )
     azure_priority = (
         F.when(F.col("service") == "", 1).otherwise(0)
@@ -74,6 +77,20 @@ def build_cloud_prefixes(raw: DataFrame) -> DataFrame:
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("prefix", "net_start", "net_end", "prefix_len", "cloud", "service", "region")
+    )
+
+
+def services_with_ambiguity(services: DataFrame) -> DataFrame:
+    """Service-by-clusterIP lookup dim (SURVEY.md §2 J4).
+
+    The reference maintains this informer index (`GetServiceByClusterIP`,
+    reference pkg/watcher/watcher.go:189-208) but the labeler never calls
+    it — implemented for surface parity. Same multi-match guard as pods:
+    the reference errors when >1 service shares a clusterIP.
+    """
+    return services.groupBy("cluster_ip").agg(
+        (F.count(F.lit(1)) > 1).alias("ambiguous"),
+        F.min_by(F.struct("name", "namespace"), F.col("name")).alias("service"),
     )
 
 
