@@ -1063,6 +1063,133 @@ def q31(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@_register(
+    "q32_rollup",
+    """
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP(event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+    ORDER BY event_type, day
+    """,
+    "hierarchical ROLLUP aggregation (beyond-reference SQL surface, free in Spark)",
+)
+def q32(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    return (
+        ev.rollup(F.col("event_type"), day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dbl2(F.sum(F.col("value").cast(DEC2))).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n",
+            "total_value",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@_register(
+    "q33_set_ops",
+    """
+    SELECT 'both' AS op, COUNT(*) AS n_users FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'error'
+    )
+    UNION ALL
+    SELECT 'purchase_only', COUNT(*) FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'error'
+    )
+    ORDER BY op
+    """,
+    "INTERSECT / EXCEPT set operations (X2 — absent in the reference, native here)",
+)
+def q33(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    both = purch.intersect(err).agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit("both").alias("op"), "n_users"
+    )
+    # subtract == SQL EXCEPT (set semantics); exceptAll would treat the
+    # duplicated purchase rows as a bag and keep survivors per-occurrence
+    only = purch.subtract(err).agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit("purchase_only").alias("op"), "n_users"
+    )
+    return both.unionByName(only).orderBy("op")
+
+
+@_register(
+    "q34_streaming_pipeline",
+    """
+    WITH base AS (
+      SELECT CASE e.event_type
+               WHEN 'view' THEN 'INTRA_REGION'
+               WHEN 'purchase' THEN 'PUBLIC_INTERNET'
+               WHEN 'click' THEN 'INTRA_VPC'
+               WHEN 'signup' THEN 'INTRA_VPC'
+               ELSE 'PUBLIC_INTERNET' END AS connectionClass,
+             CAST(ROUND(e.value * 100, 0) AS BIGINT) + e.event_id % 1000 + 1 AS bytes_out,
+             CAST(ROUND(e.value * 37, 0) AS BIGINT) + e.event_id % 777 + 1 AS bytes_in,
+             e.event_id % 50 + 1 AS packets_out,
+             e.event_id % 25 + 1 AS packets_in
+      FROM events e
+    )
+    SELECT * FROM (
+      SELECT connectionClass, 'out' AS direction,
+             CAST(SUM(bytes_out) AS BIGINT) AS bytes, CAST(SUM(packets_out) AS BIGINT) AS packets
+      FROM base GROUP BY connectionClass
+      UNION ALL
+      SELECT connectionClass, 'in',
+             CAST(SUM(bytes_in) AS BIGINT), CAST(SUM(packets_in) AS BIGINT)
+      FROM base GROUP BY connectionClass
+    ) ORDER BY connectionClass, direction
+    """,
+    "GOLDEN streaming end-to-end: observations land as files, the checkpointed "
+    "foreachBatch stream labels/fans-out/pre-sums per micro-batch, compaction "
+    "folds cross-batch rows, and the final table must carry EXACTLY the "
+    "per-class/direction sums the oracle derives from the events table "
+    "(lost batches, double-processing, or counter mis-orientation all break it)",
+)
+def q34(spark, sf_dir):
+    import tempfile
+
+    from kubenetmon_spark.demo import DEMO_CFG, build_flow_inputs
+    from kubenetmon_spark.sink import compact, read_flows
+    from kubenetmon_spark.streaming import read_observations, start_flow_stream
+
+    tmp = tempfile.mkdtemp(prefix="gate_stream_")
+    obs, pods, nodes, prefixes = build_flow_inputs(spark, sf_dir)
+    obs.repartition(2).write.mode("overwrite").parquet(f"{tmp}/obs")
+    q = start_flow_stream(
+        read_observations(spark, f"{tmp}/obs", max_files_per_trigger=1),
+        f"{tmp}/flows",
+        f"{tmp}/ckpt",
+        pods,
+        nodes,
+        prefixes,
+        DEMO_CFG,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(600)
+    compact(spark, f"{tmp}/flows")
+    return (
+        read_flows(spark, f"{tmp}/flows")
+        .groupBy("connectionClass", "direction")
+        .agg(F.sum("bytes").alias("bytes"), F.sum("packets").alias("packets"))
+        .orderBy("connectionClass", "direction")
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end: the whole flow pipeline vs a golden oracle
 # ---------------------------------------------------------------------------
