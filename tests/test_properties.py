@@ -1,0 +1,163 @@
+"""Property-based tests (hypothesis) — the reference has none
+(SURVEY.md §5 'Not used'); these pin the algebraic contracts the engine's
+scale story depends on.
+"""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kubenetmon_spark.functions.ip import ip_to_long, long_to_ip
+from kubenetmon_spark.operators.flows import summing_aggregate
+from kubenetmon_spark.operators.lpm import disjoint_prefixes, lpm_lookup, lpm_lookup_disjoint
+from kubenetmon_spark.schema import DIM_COLS
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@SLOW
+@given(ips=st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=1, max_size=20))
+def test_ip_roundtrip(spark, ips):
+    df = spark.createDataFrame([(v,) for v in ips], "ip_num long")
+    rows = df.select("ip_num", ip_to_long(long_to_ip("ip_num")).alias("rt")).collect()
+    assert all(r.ip_num == r.rt for r in rows)
+
+
+_interval = st.integers(min_value=0, max_value=2**20).flatmap(
+    lambda start: st.integers(min_value=0, max_value=2**14).map(
+        lambda width: (start, start + width)
+    )
+)
+
+
+@SLOW
+@given(
+    intervals=st.lists(_interval, min_size=1, max_size=12),
+    probes=st.lists(st.integers(min_value=0, max_value=2**20 + 2**14), min_size=1, max_size=25),
+)
+def test_lpm_disjoint_equals_reduce_on_arbitrary_intervals(spark, intervals, probes):
+    # arbitrary (even overlapping, non-CIDR) intervals: both LPM forms must
+    # agree — winner = max prefix_len, tie-break min net_start
+    rows = [
+        (f"p{i}", s, e, (32 - (e - s).bit_length()), ["aws", "gcp", "azure"][i % 3], f"svc{i % 2}", f"r{i % 4}")
+        for i, (s, e) in enumerate(intervals)
+    ]
+    prefixes = spark.createDataFrame(
+        rows,
+        "prefix string, net_start long, net_end long, prefix_len int, cloud string, service string, region string",
+    )
+    pdf = spark.createDataFrame([(p,) for p in probes], "ip_num long")
+    cols = ["ip_num", "lpm_prefix", "lpm_cloud", "lpm_region"]
+    a = sorted(map(tuple, lpm_lookup(pdf, prefixes, "ip_num").select(cols).collect()))
+    b = sorted(
+        map(tuple, lpm_lookup_disjoint(pdf, disjoint_prefixes(prefixes), "ip_num").select(cols).collect())
+    )
+    assert a == b
+
+
+def _fact_df(spark, rows):
+    base = {
+        "date": date(2024, 3, 1),
+        "intervalStartTime": datetime(2024, 3, 1, 12, 0),
+        "intervalSeconds": 60,
+        "environment": "development",
+        "cluster": "c",
+        "connectionFlags": {},
+        "direction": "out",
+        "localCloud": "aws",
+        "localRegion": "r",
+        "localCell": "",
+        "localAvailabilityZone": "z",
+        "localNode": "n",
+        "localInstanceID": "",
+        "localNamespace": "ns",
+        "localPod": "p",
+        "localApp": "a",
+        "localIPv4": "10.0.0.1",
+        "localPort": 1,
+        "proto": "TCP",
+        "connectionClass": "INTRA_VPC",
+        "remoteCloud": "",
+        "remoteRegion": "",
+        "remoteCell": "",
+        "remoteAvailabilityZone": "",
+        "remoteCluster": "UNKNOWN",
+        "remoteNode": "",
+        "remoteInstanceID": "",
+        "remoteNamespace": "",
+        "remotePod": "",
+        "remoteApp": "",
+        "remoteIPv4": "1.2.3.4",
+        "remotePort": 2,
+        "remoteService": "",
+    }
+    data = []
+    for pod, direction, port, flag, b, p in rows:
+        r = dict(base)
+        r.update(
+            localPod=f"pod{pod}",
+            direction="out" if direction else "in",
+            localPort=port,
+            connectionFlags={"f": True} if flag else {},
+            bytes=b,
+            packets=p,
+        )
+        data.append(r)
+    from kubenetmon_spark.schema import NETWORK_FLOWS_SCHEMA
+
+    return spark.createDataFrame(data, NETWORK_FLOWS_SCHEMA)
+
+
+_fact_row = st.tuples(
+    st.integers(min_value=0, max_value=3),   # pod
+    st.booleans(),                            # direction
+    st.integers(min_value=1, max_value=3),   # port
+    st.booleans(),                            # flags
+    st.integers(min_value=0, max_value=10**9),  # bytes
+    st.integers(min_value=0, max_value=10**6),  # packets
+)
+
+
+def _rows(df):
+    out = []
+    for r in df.collect():
+        d = r.asDict()
+        d["connectionFlags"] = tuple(sorted(d["connectionFlags"].items()))
+        out.append(tuple(d[k] for k in sorted(d)))
+    return sorted(out)
+
+
+@SLOW
+@given(rows=st.lists(_fact_row, min_size=1, max_size=25))
+def test_summing_aggregate_idempotent(spark, rows):
+    fact = _fact_df(spark, rows)
+    once = summing_aggregate(fact)
+    twice = summing_aggregate(once)
+    assert _rows(once) == _rows(twice)
+
+
+@SLOW
+@given(
+    rows=st.lists(_fact_row, min_size=2, max_size=25),
+    cut=st.integers(min_value=1, max_value=24),
+)
+def test_summing_aggregate_merge_associative(spark, rows, cut):
+    # compaction correctness: aggregating per-batch then re-aggregating the
+    # union equals aggregating everything at once (SummingMergeTree merges
+    # are associative)
+    cut = min(cut, len(rows) - 1)
+    whole = summing_aggregate(_fact_df(spark, rows))
+    parts = summing_aggregate(
+        summing_aggregate(_fact_df(spark, rows[:cut])).unionByName(
+            summing_aggregate(_fact_df(spark, rows[cut:]))
+        )
+    )
+    assert _rows(whole) == _rows(parts)
