@@ -1190,6 +1190,51 @@ def q34(spark, sf_dir):
     )
 
 
+@_register(
+    "q35_skew_safe_distinct",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct,
+           COUNT(DISTINCT user_id) AS n_distinct_again
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "two-phase exact distinct — identical answer to COUNT(DISTINCT), "
+    "skew-safe shuffle shape (hot keys spread across reducers by value)",
+)
+def q35(spark, sf_dir):
+    from kubenetmon_spark.operators.agg import two_phase_count_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    two = two_phase_count_distinct(ev, ["event_type"], "user_id")
+    return two.withColumn("n_distinct_again", F.col("n_distinct")).orderBy("event_type")
+
+
+@_register(
+    "q36_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.9) AS p90,
+           quantile_cont(l_quantity, 0.99) AS p99,
+           MAX(l_quantity) AS mx
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "exact interpolated percentiles (Spark percentile == DuckDB quantile_cont "
+    "linear interpolation)",
+)
+def q36(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90"),
+            F.expr("percentile(l_quantity, 0.99)").alias("p99"),
+            F.max("l_quantity").alias("mx"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end: the whole flow pipeline vs a golden oracle
 # ---------------------------------------------------------------------------

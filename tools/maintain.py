@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Storage-lifecycle maintenance CLI — the scheduled jobs a deployment
+runs against the flow fact table (SURVEY.md §4.1: compaction is the
+SummingMergeTree background-merge analogue, retention the TTL analogue).
+
+Usage:
+  python tools/maintain.py compact  <table_path> [--date YYYY-MM-DD]
+  python tools/maintain.py retention <table_path> --keep-days N
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("compact", help="re-sum partitions (background-merge analogue)")
+    c.add_argument("table_path")
+    c.add_argument("--date", default=None, help="only this date partition")
+    r = sub.add_parser("retention", help="drop date partitions past the TTL")
+    r.add_argument("table_path")
+    r.add_argument("--keep-days", type=int, default=90)
+    args = ap.parse_args()
+
+    from kubenetmon_spark.session import get_spark
+    from kubenetmon_spark.sink import apply_retention, compact
+
+    if args.cmd == "retention":
+        dropped = apply_retention(args.table_path, keep_days=args.keep_days)
+        print(f"dropped {len(dropped)} partitions: {dropped}")
+        return 0
+
+    spark = get_spark("maintain")
+    spark.sparkContext.setLogLevel("ERROR")
+    compact(spark, args.table_path, target_date=args.date)
+    print(f"compacted {args.table_path}" + (f" date={args.date}" if args.date else " (all partitions)"))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
