@@ -1,0 +1,70 @@
+"""Physical-plan invariant tests — machine-checked versions of the
+SCALE.md audit. If one of these breaks, a plan regressed (lost pushdown,
+a dim join fell back to sort-merge, the labeler gained a fact-side
+shuffle) even though results may still be correct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kubenetmon_spark.demo import DEMO_CFG, build_flow_inputs
+from kubenetmon_spark.operators.label import label_flows
+from kubenetmon_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_labeler_has_no_sort_merge_join(spark):
+    obs, pods, nodes, prefixes = build_flow_inputs(spark, SF_DIR)
+    plan = _plan(label_flows(obs, pods, nodes, prefixes, DEMO_CFG))
+    assert "SortMergeJoin" not in plan, "labeler dim join fell back to sort-merge"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_and_projection_pushdown(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.filter(F.col("l_quantity") < 5).select("l_quantity", "l_extendedprice")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5.0)" in plan
+    # column pruning: the scan must read only the 2 referenced columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_quantity" in read_schema and "l_extendedprice" in read_schema
+    assert "l_shipdate" not in read_schema and "l_comment" not in read_schema
+
+
+def test_disjoint_lpm_adds_no_fact_side_shuffle(spark):
+    from kubenetmon_spark.operators.lpm import disjoint_prefixes, lpm_lookup_disjoint
+
+    obs, _, _, prefixes = build_flow_inputs(spark, SF_DIR)
+    probes = obs.select(F.col("orig_src_port").cast("long").alias("ip_num"))
+    plan = _plan(lpm_lookup_disjoint(probes, disjoint_prefixes(prefixes), "ip_num"))
+    # the probe side must reach the join without any exchange; the only
+    # exchanges allowed are on the (tiny) dimension build + its broadcast
+    probe_section = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in probe_section, (
+        "probe/fact side of the disjoint LPM join got shuffled"
+    )
+
+
+def test_udp_kept_when_ignore_udp_off(spark):
+    from dataclasses import replace
+
+    from kubenetmon_spark.demo import build_flow_inputs
+
+    obs, pods, nodes, prefixes = build_flow_inputs(spark, SF_DIR)
+    udp_obs = obs.limit(5).withColumn("proto", F.lit(17))
+    keep_cfg = replace(DEMO_CFG, ignore_udp=False)
+    kept = label_flows(udp_obs, pods, nodes, prefixes, keep_cfg).filter(
+        F.col("reject_reason").isNull()
+    )
+    rows = kept.collect()
+    assert rows and all(r.proto == "UDP" for r in rows)
+    dropped = label_flows(udp_obs, pods, nodes, prefixes, DEMO_CFG).filter(
+        F.col("reject_reason") == "udp_ignored"
+    )
+    assert dropped.count() == 5
