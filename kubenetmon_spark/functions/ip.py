@@ -43,7 +43,9 @@ def is_private_ip_num(num: Column) -> Column:
     """RFC1918 + loopback + link-local predicate on the numeric form.
 
     Mirrors the reference's private-IP short-circuit that bypasses the
-    cloud-prefix LPM lookup (reference pkg/labeler/remote.go:131-140).
+    cloud-prefix LPM lookup (reference pkg/labeler/remote.go:131-140:
+    ``IsPrivate() || IsLocal() || IsLoopback()`` — site-local RFC1918,
+    link-local 169.254/16, loopback, and the unspecified address).
     """
     return (
         ((num >= _N("10.0.0.0")) & (num <= _N("10.255.255.255")))
@@ -51,6 +53,7 @@ def is_private_ip_num(num: Column) -> Column:
         | ((num >= _N("192.168.0.0")) & (num <= _N("192.168.255.255")))
         | ((num >= _N("127.0.0.0")) & (num <= _N("127.255.255.255")))
         | ((num >= _N("169.254.0.0")) & (num <= _N("169.254.255.255")))
+        | (num == F.lit(0))  # unspecified 0.0.0.0
     )
 
 
