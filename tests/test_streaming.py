@@ -168,3 +168,39 @@ def test_windowed_stream_matches_batch(spark, stream_inputs, tmp_path):
     got = read_flows(spark, table)
     expected = build_network_flows(spark, SF_DIR)
     assert _sorted_rows(got) == _sorted_rows(expected)
+
+
+def test_windowed_stream_drops_late_data(spark, stream_inputs, tmp_path):
+    """The eager path's explicit late-data policy: a row older than the
+    watermark is dropped (its window already finalized). The merge-time
+    foreachBatch path would have kept it — that's the documented tradeoff
+    (SURVEY.md §2.9)."""
+    shared_obs_dir, pods, nodes, prefixes = stream_inputs
+    obs_dir = str(tmp_path / "obs")
+    base = spark.read.parquet(shared_obs_dir).limit(20)
+    base.write.parquet(obs_dir)
+    max_ts = base.agg(F.max("ts")).collect()[0][0]
+    # sentinel far in the future pushes the watermark past every base window
+    base.limit(1).withColumn("ts", F.lit(max_ts + timedelta(hours=3))).write.mode(
+        "append"
+    ).parquet(obs_dir)
+    table = str(tmp_path / "flows")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = read_observations(spark, obs_dir)
+        flows = streaming_network_flows(stream, pods, nodes, prefixes, DEMO_CFG, watermark="10 minutes")
+        start_windowed_flow_stream(flows, table, ckpt, trigger={"availableNow": True}).awaitTermination(300)
+
+    run()
+    before = read_flows(spark, table).agg(F.sum("bytes"), F.count(F.lit(1))).collect()[0]
+
+    # a late observation with a distinctive port, timestamped behind the
+    # (checkpointed) watermark
+    late = base.limit(1).withColumn("orig_src_port", F.lit(59999))
+    late.write.mode("append").parquet(obs_dir)
+    run()
+    after_df = read_flows(spark, table)
+    after = after_df.agg(F.sum("bytes"), F.count(F.lit(1))).collect()[0]
+    assert tuple(after) == tuple(before)  # nothing new emitted
+    assert after_df.filter(F.col("localPort") == 59999).count() == 0
