@@ -67,6 +67,63 @@ def read_observations(
     return getattr(reader, fmt)(input_path)
 
 
+def parse_kafka_observations(kafka_df: DataFrame) -> DataFrame:
+    """Kafka wire format -> observation rows.
+
+    A Kafka record's ``value`` carries one JSON observation (the Spark
+    analogue of the reference's protobuf-over-gRPC boundary,
+    reference pkg/grpc/flow_handler.proto:8-13). Malformed payloads parse
+    to a null struct and are dropped — the reference likewise skips
+    per-observation errors and keeps the stream alive
+    (reference cmd/server/server.go:100-113).
+    """
+    obs = kafka_df.select(
+        F.from_json(F.col("value").cast("string"), OBSERVATION_SCHEMA).alias("o")
+    )
+    # PERMISSIVE from_json yields an all-null struct for malformed payloads;
+    # an observation without node_name+ts is unusable either way.
+    return obs.filter(
+        F.col("o.node_name").isNotNull() & F.col("o.ts").isNotNull()
+    ).select("o.*")
+
+
+def read_observations_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka observation stream (requires the spark-sql-kafka package on
+    the cluster; untestable in this environment — the value parsing is
+    covered by ``parse_kafka_observations`` tests). ``maxOffsetsPerTrigger``
+    is the batch-size bound, like the reference's batchSize."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return parse_kafka_observations(reader.load())
+
+
+def ingest_metrics(query) -> dict[str, Any]:
+    """Observability snapshot of a running/finished ingest query — the
+    analogue of the reference's per-stream observation count + insert
+    metrics (reference cmd/server/server.go:62-76, SURVEY.md §2 A5)."""
+    p = query.lastProgress or {}
+    return {
+        "query_name": p.get("name"),
+        "batch_id": p.get("batchId"),
+        "num_input_rows": p.get("numInputRows"),
+        "input_rows_per_second": p.get("inputRowsPerSecond"),
+        "process_rows_per_second": p.get("processedRowsPerSecond"),
+        "is_active": query.isActive,
+    }
+
+
 def _apply_trigger(writer, trigger: dict[str, Any] | None):
     return writer.trigger(**trigger) if trigger else writer
 

@@ -16,6 +16,8 @@ from kubenetmon_spark.operators.label import label_flows
 from kubenetmon_spark.operators.lpm import disjoint_prefixes, lpm_lookup, lpm_lookup_disjoint
 from kubenetmon_spark.sink import compact, read_flows
 from kubenetmon_spark.streaming import (
+    ingest_metrics,
+    parse_kafka_observations,
     read_observations,
     start_flow_stream,
     start_windowed_flow_stream,
@@ -134,6 +136,41 @@ def test_foreachbatch_checkpoint_restart_no_duplicates(spark, stream_inputs, tmp
     total_once = read_flows(spark, table).agg(F.sum("bytes")).collect()[0][0]
     run()  # restart against the same checkpoint: no new input -> no new rows
     assert read_flows(spark, table).agg(F.sum("bytes")).collect()[0][0] == total_once
+
+
+def test_kafka_value_parsing(spark):
+    import json
+
+    good = {
+        "node_name": "node-1", "ts": "2024-03-01T12:00:00", "proto": 6,
+        "orig_src_ip": "10.0.0.1", "orig_src_port": 1234,
+        "orig_dst_ip": "10.0.0.2", "orig_dst_port": 80,
+        "orig_packets": 3, "orig_bytes": 300,
+        "reply_src_ip": "10.0.0.2", "reply_src_port": 80,
+        "reply_dst_ip": "10.0.0.1", "reply_dst_port": 1234,
+        "reply_packets": 2, "reply_bytes": 200,
+    }
+    kafka_shaped = spark.createDataFrame(
+        [(bytearray(json.dumps(good).encode()),), (bytearray(b"not json"),)],
+        "value binary",
+    )
+    rows = parse_kafka_observations(kafka_shaped).collect()
+    assert len(rows) == 1  # malformed record dropped, stream stays alive
+    r = rows[0]
+    assert r.node_name == "node-1" and r.proto == 6 and r.orig_bytes == 300
+    assert r.reply_src_ip == "10.0.0.2"
+
+
+def test_ingest_metrics(spark, stream_inputs, tmp_path):
+    obs_dir, pods, nodes, prefixes = stream_inputs
+    q = start_flow_stream(
+        read_observations(spark, obs_dir), str(tmp_path / "t"), str(tmp_path / "c"),
+        pods, nodes, prefixes, DEMO_CFG, trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+    m = ingest_metrics(q)
+    assert m["num_input_rows"] > 0
+    assert m["is_active"] is False
 
 
 # ---------------------------------------------------------------------------
