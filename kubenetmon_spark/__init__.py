@@ -14,10 +14,13 @@ schema      Canonical StructTypes (observations, dims, network_flows).
 config      Runtime deployment constants (environment/cloud/region/...).
 tables      Loaders for the driver's synthetic parquet tables.
 dims        Dimension builders (cloud prefixes w/ priority dedup, pods...).
-operators   label / lpm / flows / dedup / similarity / text / multimodal.
+operators   label / lpm / flows / agg / dedup / similarity / text / media.
+sources     Cloud IP-range feed parsers (AWS/GCP/Google/Azure JSON).
 sink        Partitioned fact-table writer, compaction, retention.
-streaming   Structured Streaming ingest job (the agent+server analogue).
-queries     The SQL/DataFrame query surface (cookbook + gate queries).
+streaming   Structured Streaming ingest (foreachBatch + windowed paths,
+            Kafka boundary, progress metrics).
+queries     The SQL view + cookbook query surface.
+gate        The correctness-gate queries, each with a DuckDB oracle.
 """
 
 __version__ = "0.1.0"

@@ -93,6 +93,18 @@ def label_flows(
     )
     obs = obs.withColumn("_r", r)
 
+    # P8 flags, evaluated HERE so extra_flags expressions can reference the
+    # raw observation columns (the reference annotates flags from the flow
+    # record, reference pkg/labeler/labeler.go:120-123); the map rides along
+    # to the output projection.
+    obs = obs.withColumn(
+        "_flags",
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in (extra_flags or {})]),
+            F.array(*list((extra_flags or {}).values())),
+        ).cast("map<string,boolean>"),
+    )
+
     # P1 endpoint extraction with NAT resolution (see module docstring).
     obs = (
         obs.withColumn("src_ip", F.col("orig_src_ip"))
@@ -174,7 +186,7 @@ def label_flows(
     for f in _POD_FIELDS:
         sel.append(pick("src", "dst", f"pod_{f}").alias(f"local_pod_{f}"))
         sel.append(pick("dst", "src", f"pod_{f}").alias(f"remote_pod_{f}"))
-    obs = obs.select("node_name", "ts", "proto", "flow_type", "_r", *sel)
+    obs = obs.select("node_name", "ts", "proto", "flow_type", "_r", "_flags", *sel)
 
     # J6 private-IP short-circuit + J5 LPM + J7 classification
     # (reference pkg/labeler/remote.go:131-175). The LPM join runs only
@@ -234,12 +246,9 @@ def label_flows(
     ).drop("_zn", "_zz")
 
     # P5 pod metadata projection with app-label fallback
-    # (reference labeler.go:334-373), P8 flags, P9 runtime constants,
+    # (reference labeler.go:334-373), P9 runtime constants,
     # P2 proto rendering.
-    flags = F.map_from_arrays(
-        F.array(*[F.lit(k) for k in (extra_flags or {})]),
-        F.array(*list((extra_flags or {}).values())),
-    ).cast("map<string,boolean>")
+    flags = F.col("_flags")
     out = obs.select(
         F.col("ts"),
         F.col("_r").alias("reject_reason"),
