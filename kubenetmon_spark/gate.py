@@ -1209,6 +1209,34 @@ def q35(spark, sf_dir):
 
 
 @_register(
+    "q37_asof_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts, event_id AS view_event_id, value AS view_value
+          FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, v.view_event_id, v.view_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+    ORDER BY p.event_id
+    """,
+    "as-of join: each purchase matched to the user's most recent prior view "
+    "— union+window single-shuffle form vs DuckDB's native ASOF JOIN",
+)
+def q37(spark, sf_dir):
+    from kubenetmon_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id"), F.col("value").alias("view_value")
+    )
+    return (
+        asof_join(p, v, on=["user_id"], ts_col="ts")
+        .select("event_id", "user_id", "view_event_id", "view_value")
+        .orderBy("event_id")
+    )
+
+
+@_register(
     "q36_percentiles",
     """
     SELECT l_returnflag,

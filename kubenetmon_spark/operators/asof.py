@@ -1,0 +1,82 @@
+"""As-of (time-travel) join — match each left row to the most recent
+right row at or before its timestamp, per key.
+
+Spark has no native ASOF JOIN; the naive range-join formulation
+(``l.ts >= r.ts`` + row_number) explodes to O(|L|·|R|) per key. This
+implementation uses the scalable union+window form: one shuffle on the
+key, one ordered pass —
+
+1. union both sides with a side tag (right rows sort before left rows at
+   equal timestamps, giving inclusive 'at-or-before' semantics);
+2. ``last(right_payload, ignorenulls=True)`` over an unbounded-preceding
+   window carries the latest right payload forward;
+3. keep only left rows.
+
+Cost: one hash shuffle + one sort per key group — the same shape as any
+windowed aggregation, skew handled by AQE. Beyond-reference surface
+(the reference has no non-equi time join; SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    asof_ts_col: str = "asof_ts",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus the payload columns of the
+    most recent ``right`` row with ``right.ts_col <= left.ts_col`` and equal
+    ``on`` keys (null when no prior right row exists).
+
+    ``right_cols`` defaults to every right column not in ``on`` + ts; the
+    matched right timestamp is exposed as ``asof_ts_col``.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in set(on) | {ts_col}]
+    payload = F.struct(F.col(ts_col).alias("_ts"), *[F.col(c) for c in right_cols])
+
+    # right rows carry their payload; left rows carry null payload
+    r = right.select(
+        *on,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        payload.alias("_payload"),
+    )
+    left_only_cols = [c for c in left.columns if c not in set(on) | {ts_col}]
+    l = left.select(
+        *on,
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        *left_only_cols,
+    )
+    r = r.select(
+        *on,
+        ts_col,
+        "_side",
+        "_payload",
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_only_cols],
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("_m", F.last("_payload", ignorenulls=True).over(w))
+    out = matched.filter(F.col("_side") == 1).select(
+        *on,
+        ts_col,
+        *left_only_cols,
+        F.col("_m._ts").alias(asof_ts_col),
+        *[F.col(f"_m.{c}").alias(c) for c in right_cols],
+    )
+    return out

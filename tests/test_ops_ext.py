@@ -115,6 +115,34 @@ def test_bpe_token_stats(spark):
     assert (r.n_pieces, r.n_alpha_pieces, r.n_num_pieces, r.n_punct_pieces) == (7, 3, 2, 2)
 
 
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from kubenetmon_spark.operators.asof import asof_join
+
+    T = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "a", T("2024-01-01T10:00:00"), "L1"),
+         (2, "a", T("2024-01-01T09:00:00"), "L2"),   # before any right row
+         (3, "b", T("2024-01-01T12:00:00"), "L3"),   # equal-ts: inclusive
+         (4, "c", T("2024-01-01T12:00:00"), "L4")],  # key with no right rows
+        "event_id long, k string, ts timestamp, lval string",
+    )
+    right = spark.createDataFrame(
+        [("a", T("2024-01-01T09:30:00"), "R-a-0930"),
+         ("a", T("2024-01-01T09:45:00"), "R-a-0945"),
+         ("a", T("2024-01-01T11:00:00"), "R-a-1100"),  # after left 1
+         ("b", T("2024-01-01T12:00:00"), "R-b-1200")],
+        "k string, ts timestamp, rval string",
+    )
+    got = {r.event_id: r for r in asof_join(left, right, on=["k"], ts_col="ts").collect()}
+    assert got[1].rval == "R-a-0945"  # latest at-or-before 10:00
+    assert got[2].rval is None and got[2].asof_ts is None
+    assert got[3].rval == "R-b-1200"  # equal timestamp matches (<=)
+    assert got[4].rval is None
+    assert got[1].lval == "L1"  # left payload preserved
+
+
 def test_winnow_arrow_equals_sql(spark):
     df = spark.createDataFrame(
         [(1, "  the quick brown fox jumps over the lazy dog  "),
