@@ -1169,9 +1169,12 @@ def q34(spark, sf_dir):
 
     tmp = tempfile.mkdtemp(prefix="gate_stream_")
     obs, pods, nodes, prefixes = build_flow_inputs(spark, sf_dir)
-    obs.repartition(2).write.mode("overwrite").parquet(f"{tmp}/obs")
+    # One micro-batch here: the gate measures the end-to-end streaming path
+    # (source -> labeler -> sink -> compact); multi-batch sequencing and
+    # restart semantics are covered by tests/test_streaming.py.
+    obs.repartition(8).write.mode("overwrite").parquet(f"{tmp}/obs")
     q = start_flow_stream(
-        read_observations(spark, f"{tmp}/obs", max_files_per_trigger=1),
+        read_observations(spark, f"{tmp}/obs"),
         f"{tmp}/flows",
         f"{tmp}/ckpt",
         pods,

@@ -46,6 +46,7 @@ def label_flows(
     cfg: RuntimeConfig,
     extra_flags: dict[str, Column] | None = None,
     lpm_mode: str = "disjoint",
+    prefixes_are_disjoint: bool = False,
 ) -> DataFrame:
     """Observations (OBSERVATION_SCHEMA) -> labeled flows.
 
@@ -201,7 +202,12 @@ def label_flows(
         # no per-IP reduce, no shuffle of fact rows — and streaming-safe
         # (no stateful op), which lets the whole labeler run inside the
         # Structured Streaming DSL (streaming/job.py).
-        obs = lpm_lookup_disjoint(obs, disjoint_prefixes(prefixes), "remote_ip_num")
+        # ``prefixes_are_disjoint`` lets long-lived callers (the streaming
+        # jobs) flatten + persist the dimension ONCE instead of re-running
+        # the boundary sweep (a global sort over ~2x the prefix count) in
+        # every micro-batch.
+        disjoint = prefixes if prefixes_are_disjoint else disjoint_prefixes(prefixes)
+        obs = lpm_lookup_disjoint(obs, disjoint, "remote_ip_num")
     else:
         # "reduce" mode: classic distinct -> banded reduce -> join back.
         # Kept for comparison; the private-IP rows skip the lookup entirely

@@ -26,10 +26,24 @@ from kubenetmon_spark.operators.flows import summing_aggregate
 from kubenetmon_spark.schema import PRIMARY_KEY_PREFIX
 
 
-def write_flows(df: DataFrame, path: str, mode: str = "append") -> None:
-    """Append fact rows, partitioned by date, sorted for data skipping."""
+def write_flows(
+    df: DataFrame, path: str, mode: str = "append", files_per_partition: int = 1
+) -> None:
+    """Append fact rows, partitioned by date, sorted for data skipping.
+
+    Rows are shuffled to ``(date, salt)`` before the write so each task
+    owns whole date partitions: without this, every one of N shuffle
+    tasks appends a sliver to every date, producing N x dates tiny files
+    per batch (measured 960 files -> 30 at sf0.1). ``files_per_partition``
+    is the scale knob: 1 file per date per batch locally; on a large
+    cluster raise it so a single hot date fans out across that many
+    writer tasks instead of serializing through one.
+    """
+    key = [c for c in PRIMARY_KEY_PREFIX if c in df.columns]
+    salt = F.pmod(F.xxhash64(*key), F.lit(files_per_partition)).alias("_salt")
     (
-        df.sortWithinPartitions(*[c for c in PRIMARY_KEY_PREFIX if c in df.columns])
+        df.repartition(F.col("date"), salt)
+        .sortWithinPartitions(*key)
         .write.mode(mode)
         .partitionBy("date")
         .parquet(path)
@@ -53,8 +67,10 @@ def compact(spark: SparkSession, path: str, target_date: str | None = None) -> N
     # Materialize before overwriting the same path we read from — the write
     # must never delete input files while the read is still lazy.
     compacted = summing_aggregate(df).localCheckpoint(eager=True)
+    key = [c for c in PRIMARY_KEY_PREFIX if c in compacted.columns]
     (
-        compacted.sortWithinPartitions(*[c for c in PRIMARY_KEY_PREFIX if c in compacted.columns])
+        compacted.repartition(F.col("date"))
+        .sortWithinPartitions(*key)
         .write.mode("overwrite")
         .partitionBy("date")
         .parquet(path)

@@ -48,6 +48,7 @@ from kubenetmon_spark.config import RuntimeConfig
 from kubenetmon_spark.functions.flags import canonical_flags_json
 from kubenetmon_spark.operators.flows import summing_aggregate, to_flow_rows
 from kubenetmon_spark.operators.label import label_flows, split_rejected
+from kubenetmon_spark.operators.lpm import disjoint_prefixes
 from kubenetmon_spark.schema import DIM_COLS, OBSERVATION_SCHEMA
 from kubenetmon_spark.sink import write_flows
 
@@ -143,11 +144,20 @@ def start_flow_stream(
     """Merge-time path: full labeler per micro-batch via foreachBatch."""
     markers = Path(checkpoint_path) / "_committed_batches"
 
+    # Flatten the prefix dimension to disjoint intervals ONCE for the life
+    # of the stream (the reference builds its trie once per daily refresh,
+    # reference pkg/labeler/remote.go:98-126); persist so micro-batches
+    # broadcast the cached intervals instead of re-running the sweep.
+    disjoint = disjoint_prefixes(prefixes).persist()
+    disjoint.count()
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = markers / str(batch_id)
         if marker.exists():  # foreachBatch retry of an already-written batch
             return
-        labeled = label_flows(batch_df, pods, nodes, prefixes, cfg).persist()
+        labeled = label_flows(
+            batch_df, pods, nodes, disjoint, cfg, prefixes_are_disjoint=True
+        ).persist()
         try:
             accepted, dead = split_rejected(labeled)
             flows = summing_aggregate(to_flow_rows(accepted))
@@ -189,13 +199,18 @@ def streaming_network_flows(
     writeStream). Requires ``lpm_mode='disjoint'`` labeling, which keeps
     the plan free of stateful ops before the single window aggregation.
     """
+    # Flatten once and persist: the static side of a stream-static join is
+    # re-evaluated every micro-batch, so caching the interval sweep matters
+    # for the life of the query.
+    disjoint = disjoint_prefixes(prefixes).persist()
     labeled = label_flows(
         observations.withWatermark("ts", watermark),
         pods,
         nodes,
-        prefixes,
+        disjoint,
         cfg,
         lpm_mode="disjoint",
+        prefixes_are_disjoint=True,
     )
     accepted, _ = split_rejected(labeled)
 
