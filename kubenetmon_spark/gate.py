@@ -796,10 +796,9 @@ def q22(spark, sf_dir):
     return jaccard_pairs(d, "doc_id", "text", n=3, threshold_bp=3000).orderBy("id_1", "id_2")
 
 
-@_register(
-    "q23_minhash_lsh",
-    f"""
-    WITH sh AS ({_SHINGLES_SQL}),
+# MinHash(8) + LSH(4 bands) candidate pairs, exact-verified at >= 3000 bp —
+# shared between the pair query (q23) and the duplicate-cluster query (q43).
+_MINHASH_PAIRS_SQL = f"""sh AS ({_SHINGLES_SQL}),
     sig AS (
       SELECT _id, h, MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
       FROM sh, range(8) t(h) GROUP BY _id, h
@@ -821,14 +820,22 @@ def q22(spark, sf_dir):
       JOIN sh s1 ON s1._id = c.id_1
       JOIN sh s2 ON s2._id = c.id_2 AND s2.shingle = s1.shingle
       GROUP BY c.id_1, c.id_2
-    )
-    SELECT id_1, id_2,
-           (intersection * 10000) // (z1.sz + z2.sz - intersection) AS jaccard_bp
-    FROM inter
-    JOIN sizes z1 ON z1._id = id_1
-    JOIN sizes z2 ON z2._id = id_2
-    WHERE (intersection * 10000) // (z1.sz + z2.sz - intersection) >= 3000
-    ORDER BY id_1, id_2
+    ),
+    pairs AS (
+      SELECT id_1, id_2,
+             (intersection * 10000) // (z1.sz + z2.sz - intersection) AS jaccard_bp
+      FROM inter
+      JOIN sizes z1 ON z1._id = id_1
+      JOIN sizes z2 ON z2._id = id_2
+      WHERE (intersection * 10000) // (z1.sz + z2.sz - intersection) >= 3000
+    )"""
+
+
+@_register(
+    "q23_minhash_lsh",
+    f"""
+    WITH {_MINHASH_PAIRS_SQL}
+    SELECT id_1, id_2, jaccard_bp FROM pairs ORDER BY id_1, id_2
     """,
     "MinHash(8)+LSH(4 bands) near-dup candidates, exact-verified — deterministic md5 hashing",
 )
@@ -1316,6 +1323,394 @@ def q26(spark, sf_dir):
     from kubenetmon_spark.demo import flagship_query
 
     return flagship_query(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization / time series / SQL-surface width (beyond-reference ops)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q38_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS ts_s
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts_s,
+             CASE WHEN lag(ts_s) OVER w IS NULL
+                       OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts_s,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    per_sess AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             MAX(ts_s) - MIN(ts_s) AS duration_s
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT n_events, COUNT(*) AS n_sessions,
+           CAST(SUM(duration_s) AS BIGINT) AS total_duration_s
+    FROM per_sess GROUP BY n_events ORDER BY n_events
+    """,
+    "gap-based sessionization (30-min inactivity) via lag + running sum — "
+    "single shuffle on the session key; session-size distribution output",
+)
+def q38(spark, sf_dir):
+    from kubenetmon_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    per_sess = session_stats(
+        ev, ["user_id"], ts_col="ts", gap_seconds=1800, order_cols=["event_id"]
+    )
+    return (
+        per_sess.groupBy("n_events")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("duration_s").alias("total_duration_s"),
+        )
+        .orderBy("n_events")
+    )
+
+
+@_register(
+    "q39_gapfill",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS s, date_trunc('hour', max(ts)) AS e
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type,
+             unnest(generate_series(b.s, b.e, INTERVAL 1 HOUR)) AS bucket
+      FROM (SELECT DISTINCT event_type FROM events) t, bounds b
+    ),
+    observed AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, strftime(g.bucket, '%Y-%m-%d %H:00') AS hour,
+           COALESCE(o.n, 0) AS n, COALESCE(o.total_value, 0.0) AS total_value
+    FROM grid g LEFT JOIN observed o
+      ON o.event_type = g.event_type AND o.bucket = g.bucket
+    ORDER BY g.event_type, hour
+    """,
+    "time-series densification: sequence()-generated hourly grid per series "
+    "key, zero-filled left join — grid built without touching fact rows",
+)
+def q39(spark, sf_dir):
+    from kubenetmon_spark.operators.timeseries import densify
+
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("start"),
+        F.date_trunc("hour", F.max("ts")).alias("end"),
+    )
+    keys = ev.select("event_type").distinct()
+    observed = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dbl2(F.sum(F.col("value").cast(DEC2))).alias("total_value"),
+    )
+    dense = densify(observed, keys, bounds, "bucket", step="1 hour")
+    return dense.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:00").alias("hour"),
+        "n",
+        "total_value",
+    ).orderBy("event_type", "hour")
+
+
+@_register(
+    "q40_pivot",
+    """
+    SELECT source,
+           COUNT(*) FILTER (WHERE lang = 'de') AS de,
+           COUNT(*) FILTER (WHERE lang = 'en') AS en,
+           COUNT(*) FILTER (WHERE lang = 'es') AS es,
+           COUNT(*) FILTER (WHERE lang = 'fr') AS fr,
+           COUNT(*) FILTER (WHERE lang = 'zh') AS zh,
+           COUNT(*) AS total
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    "pivot (long -> wide): per-source document counts by language; "
+    "explicit pivot values keep the schema static for Catalyst",
+)
+def q40(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    wide = (
+        d.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+    )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("total"))
+    out = wide.join(counts, "source")
+    return out.select(
+        "source",
+        *[F.coalesce(F.col(l), F.lit(0)).alias(l) for l in langs],
+        "total",
+    ).orderBy("source")
+
+
+@_register(
+    "q41_cube",
+    """
+    SELECT COALESCE(pri, 'ALL') AS priority,
+           COALESCE(CAST(yr AS VARCHAR), 'ALL') AS year,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(price AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+    FROM (SELECT o_orderpriority AS pri, CAST(year(o_orderdate) AS INT) AS yr,
+                 o_totalprice AS price
+          FROM orders)
+    GROUP BY CUBE(pri, yr)
+    ORDER BY priority, year
+    """,
+    "CUBE aggregation: all 4 grouping-set combinations in one pass "
+    "(beyond-reference SQL surface, native in both engines)",
+)
+def q41(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return (
+        o.cube("pri", "yr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dbl2(F.sum(F.col("price").cast(DEC2))).alias("total"),
+        )
+        .select(
+            F.coalesce("pri", F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("year"),
+            "n",
+            "total",
+        )
+        .orderBy("priority", "year")
+    )
+
+
+@_register(
+    "q42_hash_sample",
+    """
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+    GROUP BY lang ORDER BY lang
+    """,
+    "deterministic 25% hash sample (md5 of the stable id) — reproducible "
+    "across runs/engines/partitionings, uniform within every stratum",
+)
+def q42(spark, sf_dir):
+    from kubenetmon_spark.operators.sampling import deterministic_sample
+
+    d = deterministic_sample(_t(spark, sf_dir, "documents"), "doc_id", keep_bp=2500)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "q43_dup_clusters",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_SQL},
+    edges AS (
+      SELECT id_1 AS a, id_2 AS b FROM pairs
+      UNION
+      SELECT id_2 AS a, id_1 AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS cluster_rep FROM reach GROUP BY node)
+    SELECT cluster_rep, COUNT(*) AS size, CAST(SUM(node) AS BIGINT) AS member_sum
+    FROM comp GROUP BY cluster_rep ORDER BY cluster_rep
+    """,
+    "near-dup pairs -> duplicate CLUSTERS via iterative min-label "
+    "connected components (canonical doc = min id); oracle closes the "
+    "same graph with a recursive CTE",
+)
+def q43(spark, sf_dir):
+    from kubenetmon_spark.operators.graph import duplicate_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, bands=4, n=3, verify_threshold_bp=3000
+    )
+    clusters = duplicate_clusters(pairs)
+    return (
+        clusters.groupBy("cluster_rep")
+        .agg(F.count(F.lit(1)).alias("size"), F.sum("node").alias("member_sum"))
+        .orderBy("cluster_rep")
+    )
+
+
+@_register(
+    "q44_semi_join",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+    "EXISTS semi-join (orders with any high-quantity line) — left-semi "
+    "hash join, fact side never duplicated",
+)
+def q44(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    hot = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return (
+        o.join(hot, o["o_orderkey"] == hot["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "q45_small_qty_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sq, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT COUNT(*) AS n_small,
+           COUNT(DISTINCT l.l_partkey) AS n_parts,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price
+    FROM lineitem l JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS BIGINT) * 5 * pa.cnt < sq
+    """,
+    "TPC-H Q17 shape: per-part average via self-aggregation join, exact "
+    "integer arithmetic for the 0.2*avg predicate (quantities are integral)",
+)
+def q45(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sq"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    j = li.join(pa, "l_partkey").filter(
+        F.col("l_quantity").cast("bigint") * 5 * F.col("cnt") < F.col("sq")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        _dbl2(F.sum(F.col("l_extendedprice").cast(DEC2))).alias("total_price"),
+    )
+
+
+@_register(
+    "q46_rank_ntile",
+    """
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, user_id, total,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk,
+             NTILE(4) OVER w AS quartile
+      FROM per_user WINDOW w AS (PARTITION BY event_type ORDER BY total DESC, user_id)
+    )
+    SELECT event_type, user_id, total, rnk, drnk, quartile
+    FROM ranked WHERE rnk <= 3 ORDER BY event_type, rnk, user_id
+    """,
+    "rank/dense_rank/ntile window family over per-key aggregates; "
+    "unique tie-break keeps every rank deterministic",
+)
+def q46(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        _dbl2(F.sum(F.col("value").cast(DEC2))).alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("total"), F.asc("user_id"))
+    return (
+        per_user.withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .withColumn("quartile", F.ntile(4).over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("event_type", "rnk", "user_id")
+    )
+
+
+@_register(
+    "q47_correlated_subquery",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+    FROM orders o
+    WHERE CAST(o.o_totalprice AS DECIMAL(12,2))
+          * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+          > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) FROM orders i
+             WHERE i.o_custkey = o.o_custkey)
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+    "correlated scalar subqueries (orders above their customer's average, "
+    "exact sum*count arithmetic) — Catalyst decorrelates to an aggregate "
+    "join; the Spark side IS the same SQL text via spark.sql",
+)
+def q47(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        FROM orders o
+        WHERE CAST(o.o_totalprice AS DECIMAL(12,2))
+              * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+              > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) FROM orders i
+                 WHERE i.o_custkey = o.o_custkey)
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """
+    )
+
+
+@_register(
+    "q48_json_extract",
+    """
+    SELECT CAST(CAST(props->>'k' AS BIGINT) // 10 AS BIGINT) AS k_decile,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+    "semi-structured escape hatch: JSON property extraction + typed "
+    "aggregation (the connectionFlags map analogue for open-ended attrs)",
+)
+def q48(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy(F.floor(k / 10).cast("bigint").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dbl2(F.sum(F.col("value").cast(DEC2))).alias("total_value"),
+        )
+        .orderBy("k_decile")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,91 @@
+"""Connected components over a pair list — duplicate-cluster assembly.
+
+Near-duplicate detection (operators/dedup.py) emits PAIRS; a training
+-data pipeline needs CLUSTERS: if A~B and B~C, then {A,B,C} keep one
+canonical document. That closure is connected components on the
+similarity graph.
+
+Algorithm: iterative min-label propagation ("hash-to-min"). Every node
+starts labeled with itself; each round a node takes the minimum label
+among itself and its neighbors; converged when no label changes. Rounds
+needed = graph diameter, and near-dup graphs are unions of small dense
+clusters (diameter 2-4), so a handful of rounds closes everything.
+
+Scale posture per round: one shuffle of the edge list keyed by node
+(join labels->edges), one groupBy(node).min aggregation. Edge count,
+not document count, drives the cost, and LSH banding already bounded
+pairs to genuinely-similar candidates. Lineage is cut each round with
+``localCheckpoint`` so the loop's plan doesn't grow (driver-side loop
+is over ITERATIONS, never over rows — each round is a distributed job;
+the only collect is the 1-row convergence count). For graphs with huge
+diameter (paths), switch to the large-star/small-star variant; dedup
+graphs don't need it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``.
+
+    ``component`` is the minimum node id reachable from ``node`` —
+    a deterministic canonical representative (use it to pick the doc
+    to keep). Raises if ``max_iter`` rounds don't converge.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"], "inner")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            sym.unpersist()
+            return labels
+    sym.unpersist()
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def duplicate_clusters(
+    pairs: DataFrame, id_1: str = "id_1", id_2: str = "id_2"
+) -> DataFrame:
+    """Near-dup pairs -> (node, cluster_rep). Singletons are absent by
+    construction (a doc with no similar partner forms no cluster)."""
+    return connected_components(pairs, id_1, id_2).withColumnRenamed(
+        "comp", "cluster_rep"
+    )

@@ -7,8 +7,15 @@ from kubenetmon_spark.streaming.job import (
     start_windowed_flow_stream,
     streaming_network_flows,
 )
+from kubenetmon_spark.streaming.sessions import (
+    deltify_batch,
+    deltify_stream,
+    streaming_session_stats,
+)
 
 __all__ = [
+    "deltify_batch",
+    "deltify_stream",
     "ingest_metrics",
     "parse_kafka_observations",
     "read_observations",
@@ -16,4 +23,5 @@ __all__ = [
     "start_flow_stream",
     "start_windowed_flow_stream",
     "streaming_network_flows",
+    "streaming_session_stats",
 ]
