@@ -1713,6 +1713,69 @@ def q48(spark, sf_dir):
     )
 
 
+@_register(
+    "q49_pii_redaction",
+    """
+    WITH seeded AS (
+      SELECT doc_id, lang,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ph 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-0107'
+                  || CASE WHEN doc_id % 2 = 0 THEN ' id 123-45-6789' ELSE '' END AS text
+      FROM documents
+    ),
+    red AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+             len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS n_phone,
+             len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+             length(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+               '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g')) AS red_len
+      FROM seeded
+    )
+    SELECT lang, CAST(SUM(n_email) AS BIGINT) AS emails,
+           CAST(SUM(n_phone) AS BIGINT) AS phones,
+           CAST(SUM(n_ssn) AS BIGINT) AS ssns,
+           CAST(SUM(red_len) AS BIGINT) AS redacted_chars
+    FROM red GROUP BY lang ORDER BY lang
+    """,
+    "PII redaction scrub (email/phone/SSN) — codegen'd regexp chain, "
+    "patterns valid in both Java regex and RE2; PII injected "
+    "deterministically from doc_id so matches are non-trivial",
+)
+def q49(spark, sf_dir):
+    from kubenetmon_spark.operators.text import with_redacted_text
+
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ph 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-0107"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(" id 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    red = with_redacted_text(seeded, "text")
+    return (
+        red.groupBy("lang")
+        .agg(
+            F.sum("n_email").alias("emails"),
+            F.sum("n_phone").alias("phones"),
+            F.sum("n_ssn").alias("ssns"),
+            F.sum(F.length("redacted")).alias("redacted_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -280,3 +280,41 @@ def with_simhash16(df: DataFrame, id_col: str, text_col: str = "text") -> DataFr
             bit = F.when(F.col(f"_s{j}_{k}") > 0, 1).otherwise(0)
             fp = fp + bit.cast("long") * F.lit(1 << (4 * j + k)).cast("long")
     return per_doc.select(F.col("_id").alias(id_col), fp.alias("simhash16"))
+
+
+# --- PII redaction -------------------------------------------------------
+
+# Patterns restricted to syntax valid in BOTH Java regex (Spark) and RE2
+# (DuckDB), so the oracle can run the identical pattern: no backrefs, no
+# lookaround, ASCII \b word boundaries only.
+DEFAULT_PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+}
+
+
+def with_redacted_text(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, tuple[str, str]] | None = None,
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Redact PII-shaped spans and count what was found.
+
+    Adds ``out_col`` (text with every match replaced by its tag) and one
+    ``n_<kind>`` count column per pattern. A training-data scrub this
+    common belongs in codegen: the chain of ``regexp_replace`` /
+    ``regexp_count`` runs JVM-side per row — no shuffle, no UDF, scales
+    as a pure scan-side projection. The SSN pattern must be applied
+    before (or ordered after) the phone pattern deliberately: the
+    default dict order applies email, then phone, then ssn, and the
+    phone/ssn shapes are disjoint (``.`` vs fixed group sizes).
+    """
+    pats = patterns or DEFAULT_PII_PATTERNS
+    out = df
+    redacted = F.col(text_col)
+    for kind, (pat, tag) in pats.items():
+        out = out.withColumn(f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        redacted = F.regexp_replace(redacted, pat, tag)
+    return out.withColumn(out_col, redacted)

@@ -116,3 +116,53 @@ class TestDeterministicSample:
         df = spark.createDataFrame([(i,) for i in range(100)], "id long")
         plan = deterministic_sample(df, "id", 2500)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestRedaction:
+    def test_counts_and_replacement(self, spark):
+        from kubenetmon_spark.operators.text import with_redacted_text
+
+        df = spark.createDataFrame(
+            [(1, "mail a@b.com or c@d.org call 555-123-4567"), (2, "clean")],
+            "id long, text string",
+        )
+        out = {r.id: r for r in with_redacted_text(df).collect()}
+        assert out[1].n_email == 2 and out[1].n_phone == 1 and out[1].n_ssn == 0
+        assert out[1].redacted == "mail <EMAIL> or <EMAIL> call <PHONE>"
+        assert out[2].redacted == "clean" and out[2].n_email == 0
+
+    def test_ssn_not_eaten_by_phone(self, spark):
+        from kubenetmon_spark.operators.text import with_redacted_text
+
+        df = spark.createDataFrame([(1, "id 123-45-6789")], "id long, text string")
+        r = with_redacted_text(df).collect()[0]
+        assert r.n_phone == 0 and r.n_ssn == 1 and r.redacted == "id <SSN>"
+
+    def test_no_shuffle(self, spark):
+        from kubenetmon_spark.operators.text import with_redacted_text
+
+        df = spark.createDataFrame([(1, "x")], "id long, text string")
+        plan = with_redacted_text(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestBucketedSink:
+    def test_agg_on_bucket_key_has_no_exchange(self, spark, tmp_path):
+        from kubenetmon_spark.sink import write_flows_bucketed
+
+        df = spark.createDataFrame(
+            [(f"pod-{i % 5}", i, 10 * i) for i in range(100)],
+            "localPod string, proto long, bytes long",
+        )
+        write_flows_bucketed(df, "nf_bucketed_test", buckets=4, bucket_cols=("localPod",))
+        try:
+            t = spark.table("nf_bucketed_test")
+            agg = t.groupBy("localPod").agg(F.sum("bytes").alias("b"))
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+            got = {r.localPod: r.b for r in agg.collect()}
+            expect = {r.localPod: r.b
+                      for r in df.groupBy("localPod").agg(F.sum("bytes").alias("b")).collect()}
+            assert got == expect
+        finally:
+            spark.sql("DROP TABLE IF EXISTS nf_bucketed_test")
