@@ -143,7 +143,9 @@ def jaccard_pairs(
     jaccard_bp = floor(J * 10000) — integer basis points keep the result
     engine-exact (no float division).
     """
-    sh = shingle_set(df, id_col, text_col, n, max_df)
+    # Materialize the shingle set once — it is scanned three times below
+    # (sizes + both sides of the self-join).
+    sh = shingle_set(df, id_col, text_col, n, max_df).localCheckpoint(eager=True)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("_id").alias("id_1"), "shingle")
     b = sh.select(F.col("_id").alias("id_2"), "shingle")
@@ -205,12 +207,36 @@ def minhash_lsh_pairs(
     Returns (id_1, id_2, jaccard_bp).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
-    banded = (
-        sig.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
-        .groupBy("_id", "band")
-        .agg(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws("=", "h", "minhash")))).alias("band_key"))
+    # One tokenization pass: the shingle set feeds BOTH the signature
+    # aggregation and the verify join; localCheckpoint materializes it so
+    # the Arrow shingle stage runs once, not once per downstream scan.
+    sh = shingle_set(df, id_col, text_col, n).localCheckpoint(eager=True)
+    # Signatures + set sizes in ONE shuffle over shingle rows: the 8
+    # minhashes are columnar MIN aggregates (map-side combined) instead of
+    # an 8x exploded (_id, h) row stream — same md5(h ':' shingle) values,
+    # 1/8th the exchanged rows.
+    per_doc = sh.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("sz"),
+        *[
+            F.min(F.md5(F.concat_ws(":", F.lit(h), F.col("shingle")))).alias(f"_mh{h}")
+            for h in range(num_hashes)
+        ],
     )
+    band_structs = []
+    for b in range(bands):
+        hs = range(b * rows_per_band, (b + 1) * rows_per_band)
+        keys = F.array(
+            *[F.concat_ws("=", F.lit(str(h)), F.col(f"_mh{h}")) for h in hs]
+        )
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", F.array_sort(keys)).alias("band_key"),
+            )
+        )
+    banded = per_doc.select(
+        "_id", F.explode(F.array(*band_structs)).alias("_b")
+    ).select("_id", "_b.band", "_b.band_key")
     ca = banded.select(F.col("_id").alias("id_1"), "band", "band_key")
     cb = banded.select(F.col("_id").alias("id_2"), "band", "band_key")
     candidates = (
@@ -221,8 +247,7 @@ def minhash_lsh_pairs(
     )
     # Verify ONLY the candidate pairs (this is what makes LSH the scale
     # path — the exact-Jaccard join never touches non-candidate docs).
-    sh = shingle_set(df, id_col, text_col, n)
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = per_doc.select("_id", "sz")
     a = sh.select(F.col("_id").alias("id_1"), "shingle")
     b = sh.select(F.col("_id").alias("id_2"), "shingle")
     inter = (
