@@ -1776,6 +1776,42 @@ def q49(spark, sf_dir):
     )
 
 
+@_register(
+    "q50_quantized_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e
+    ),
+    q AS (
+      SELECT vec_id,
+             CASE WHEN ma = 0
+                  THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(floor(x * 127 / ma + 0.5) AS BIGINT))
+             END AS qv
+      FROM m
+    ),
+    qq AS (SELECT qv AS query FROM q WHERE vec_id = 0)
+    SELECT q.vec_id,
+           CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+                i -> q.qv[i] * qq.query[i])) AS BIGINT) AS iscore
+    FROM q, qq WHERE q.vec_id != 0
+    ORDER BY iscore DESC, q.vec_id LIMIT 10
+    """,
+    "int8-range embedding quantization + integer dot-product top-k — "
+    "floor(x+0.5) rounding is engine-identical, integer accumulation is "
+    "order-independent, so ranks are reproducible bit-for-bit",
+)
+def q50(spark, sf_dir):
+    from kubenetmon_spark.operators.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, query_id=0, id_col="vec_id", vec_col="embedding", k=10)
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -208,6 +208,14 @@ def label_flows(
         # every micro-batch.
         disjoint = prefixes if prefixes_are_disjoint else disjoint_prefixes(prefixes)
         obs = lpm_lookup_disjoint(obs, disjoint, "remote_ip_num")
+    elif lpm_mode == "searchsorted":
+        # Broadcast interval table + vectorized binary search (the
+        # reference's per-worker trie shape); same disjoint dimension,
+        # same results, different physical strategy — see lpm.py.
+        from kubenetmon_spark.operators.lpm import lpm_lookup_searchsorted
+
+        disjoint = prefixes if prefixes_are_disjoint else disjoint_prefixes(prefixes)
+        obs = lpm_lookup_searchsorted(obs, disjoint, "remote_ip_num")
     else:
         # "reduce" mode: classic distinct -> banded reduce -> join back.
         # Kept for comparison; the private-IP rows skip the lookup entirely

@@ -163,3 +163,71 @@ def lpm_lookup(
     # distinct IPs, which AQE can size at runtime (small -> broadcast anyway;
     # huge at 100 TB -> shuffled hash join is the right call).
     return ips.join(best, ips[ip_num_col] == best["_ip"], "left").drop("_ip")
+
+
+def lpm_lookup_searchsorted(
+    ips: DataFrame,
+    disjoint: DataFrame,
+    ip_num_col: str = "ip_num",
+    out_prefix: str = "lpm_",
+) -> DataFrame:
+    """LPM via a broadcast in-memory interval table + vectorized binary
+    search — the reference's "trie in every worker" shape
+    (reference pkg/labeler/remote.go:23-26) done the NumPy way.
+
+    The :func:`disjoint_prefixes` intervals (~87k rows) are collected
+    once to the driver, shipped to executors inside the closure, and
+    probed with ``np.searchsorted`` per Arrow batch: O(log n) per row,
+    no join operator at all. Trade-off vs ``lpm_lookup_disjoint``: every
+    probe column crosses the JVM<->Arrow boundary, so prefer this form
+    when the probe projection is narrow (e.g. distinct IPs) or when the
+    equi+range broadcast join's band filter is the bottleneck; prefer
+    the join form when rows are wide or Python workers are scarce.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import StructType
+
+    rows = (
+        disjoint.select("seg_start", "seg_end", *MATCH_COLS)
+        .orderBy("seg_start")
+        .collect()
+    )
+    starts = np.array([r.seg_start for r in rows], dtype=np.int64)
+    ends = np.array([r.seg_end for r in rows], dtype=np.int64)
+    attrs = {
+        c: np.array([r[c] for r in rows], dtype=object) for c in MATCH_COLS
+    }
+    plen = np.array(
+        [r.prefix_len if r.prefix_len is not None else -1 for r in rows],
+        dtype=np.int64,
+    )
+
+    out_schema = StructType(
+        list(ips.schema.fields)
+        + [
+            type(f)(out_prefix + f.name, f.dataType, True)
+            for f in disjoint.schema.fields
+            if f.name in MATCH_COLS
+        ]
+    )
+
+    def probe(batches):
+        for b in batches:
+            ip = b[ip_num_col].to_numpy(dtype=np.int64, na_value=0)
+            idx = np.searchsorted(starts, ip, side="right") - 1
+            safe = np.clip(idx, 0, None)
+            hit = (idx >= 0) & (ip <= ends[safe]) & b[ip_num_col].notna().to_numpy()
+            for c in MATCH_COLS:
+                col = attrs[c][safe]
+                if c == "prefix_len":
+                    vals = plen[safe].astype(object)
+                    vals[~hit] = None
+                    b[out_prefix + c] = vals
+                else:
+                    col = col.copy()
+                    col[~hit] = None
+                    b[out_prefix + c] = col
+            yield b
+
+    return ips.mapInPandas(probe, out_schema)

@@ -166,3 +166,40 @@ class TestBucketedSink:
             assert got == expect
         finally:
             spark.sql("DROP TABLE IF EXISTS nf_bucketed_test")
+
+
+class TestQuantization:
+    def test_quantize_values(self, spark):
+        from kubenetmon_spark.operators.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+        # max|x|=1.0 -> scale 1/127; q = floor(x*127 + 0.5)
+        assert out[1].q_embedding == [127, -63, 32]
+        assert out[2].q_embedding == [0, 0, 0] and out[2].q_scale == 0.0
+
+    def test_reconstruction_error_bounded(self, spark):
+        from kubenetmon_spark.operators.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [(i, [((i * 13 + j * 7) % 200 - 100) / 100.0 for j in range(16)])
+             for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        for r in quantize_embeddings(df).collect():
+            for x, qi in zip(r.embedding, r.q_embedding):
+                assert abs(x - qi * r.q_scale) <= r.q_scale / 2 + 1e-12
+
+    def test_topk_self_similarity(self, spark):
+        from kubenetmon_spark.operators.similarity import quantized_topk
+
+        # period 23 > corpus size, so no accidental duplicates of vec 0
+        rows = [(i, [float((i * 7 + j * 3) % 23 - 11) for j in range(8)]) for i in range(20)]
+        rows[17] = (17, [x * 3.0 for x in rows[0][1]])  # scaled copy of the query
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        top = quantized_topk(df, query_id=0, k=3).collect()
+        # scaled copy quantizes to the identical int vector -> top score
+        assert top[0].vec_id == 17

@@ -241,3 +241,17 @@ def test_windowed_stream_drops_late_data(spark, stream_inputs, tmp_path):
     after = after_df.agg(F.sum("bytes"), F.count(F.lit(1))).collect()[0]
     assert tuple(after) == tuple(before)  # nothing new emitted
     assert after_df.filter(F.col("localPort") == 59999).count() == 0
+
+
+def test_searchsorted_lpm_equals_disjoint_lpm(spark):
+    from kubenetmon_spark.demo import DEMO_CFG, build_flow_inputs
+    from kubenetmon_spark.operators.label import label_flows
+
+    obs, pods, nodes, prefixes = build_flow_inputs(spark, "/root/testdata/sf0.001")
+    key = ["ts", "localIPv4", "remoteIPv4", "localPort", "remotePort"]
+    a = label_flows(obs, pods, nodes, prefixes, DEMO_CFG, lpm_mode="disjoint")
+    b = label_flows(obs, pods, nodes, prefixes, DEMO_CFG, lpm_mode="searchsorted")
+    cols = sorted(set(a.columns) & set(b.columns))
+    ra = sorted([tuple(r[c] for c in cols) for r in a.select(*cols).collect()])
+    rb = sorted([tuple(r[c] for c in cols) for r in b.select(*cols).collect()])
+    assert ra == rb
