@@ -1812,6 +1812,177 @@ def q50(spark, sf_dir):
     return quantized_topk(emb, query_id=0, id_col="vec_id", vec_col="embedding", k=10)
 
 
+@_register(
+    "q51_moving_avg",
+    """
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n,
+           CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d,
+           COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS w_size
+    FROM daily ORDER BY event_type, day
+    """,
+    "sliding-frame window (7-day moving sum + frame size) — emitting the "
+    "sum and count instead of their ratio keeps values engine-exact",
+)
+def q51(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.withColumn("n_7d", F.sum("n").over(w))
+        .withColumn("w_size", F.count(F.lit(1)).over(w))
+        .orderBy("event_type", "day")
+    )
+
+
+@_register(
+    "q52_unpivot",
+    """
+    WITH agg AS (
+      SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS total_cents,
+             COUNT(DISTINCT o_custkey) AS n_customers
+      FROM orders GROUP BY 1
+    )
+    SELECT priority, metric, value FROM (
+      SELECT priority, 'n_orders' AS metric, n_orders AS value FROM agg
+      UNION ALL
+      SELECT priority, 'total_cents', total_cents FROM agg
+      UNION ALL
+      SELECT priority, 'n_customers', n_customers FROM agg
+    ) ORDER BY priority, metric
+    """,
+    "wide -> long unpivot (Spark unpivot/stack; money carried as integer "
+    "cents so one bigint value column fits all metrics)",
+)
+def q52(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(F.col("o_totalprice").cast(DEC2)) * 100).cast("bigint").alias("total_cents"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+    return agg.unpivot(
+        ["priority"],
+        ["n_orders", "total_cents", "n_customers"],
+        "metric",
+        "value",
+    ).orderBy("priority", "metric")
+
+
+@_register(
+    "q53_percent_of_total",
+    """
+    WITH by_nation AS (
+      SELECT n.n_name AS nation,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1
+    )
+    SELECT nation, cents,
+           CAST((cents * 10000) // SUM(cents) OVER () AS BIGINT) AS share_bp
+    FROM by_nation ORDER BY cents DESC, nation
+    """,
+    "percent-of-total via unpartitioned window sum over the aggregated "
+    "(tiny) result — integer basis points, never a window over fact rows",
+)
+def q53(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    by_nation = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg((F.sum(F.col("o_totalprice").cast(DEC2)) * 100).cast("bigint").alias("cents"))
+    )
+    return (
+        by_nation.withColumn(
+            "share_bp",
+            F.floor((F.col("cents") * 10000) / F.sum("cents").over(Window.partitionBy()))
+            .cast("bigint"),
+        )
+        .orderBy(F.desc("cents"), "nation")
+    )
+
+
+@_register(
+    "q54_lead_lag",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             LAG(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+               OVER w AS prev_cents,
+             FIRST_VALUE(o_orderkey) OVER w AS first_order
+      FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey, cents,
+           COALESCE(cents - prev_cents, 0) AS delta_cents, first_order
+    FROM seq
+    WHERE o_custkey % 50 = 0
+    ORDER BY o_custkey, o_orderkey
+    """,
+    "lead/lag + first_value over a per-customer order sequence (unique "
+    "tie-break on o_orderkey); integer-cent deltas",
+)
+def q54(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast(DEC2) * 100).cast("bigint")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("cents", cents)
+        .withColumn("prev_cents", F.lag("cents").over(w))
+        .withColumn("first_order", F.first("o_orderkey").over(w))
+        .filter(F.col("o_custkey") % 50 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "cents",
+            F.coalesce(F.col("cents") - F.col("prev_cents"), F.lit(0)).alias("delta_cents"),
+            "first_order",
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@_register(
+    "q55_ordered_agg",
+    """
+    SELECT c_nationkey,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+           COUNT(*) AS n
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "ordered distinct string aggregation — Spark side sorts the collected "
+    "set so the output is deterministic under any shuffle order",
+)
+def q55(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("o_orderpriority"))).alias("priorities"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
