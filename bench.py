@@ -49,6 +49,32 @@ def main() -> int:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    # Ingest throughput vs BASELINE.md's derived >= 20k obs/s target:
+    # observations -> labeler -> fan-out -> summing aggregation, batch mode
+    # (the pipeline inside one streaming micro-batch), measured on a warm
+    # session so it reflects the plan, not JVM startup.
+    from kubenetmon_spark.demo import DEMO_CFG, build_flow_inputs
+    from kubenetmon_spark.operators.flows import summing_aggregate, to_flow_rows
+    from kubenetmon_spark.operators.label import label_flows, split_rejected
+
+    from kubenetmon_spark.operators.lpm import disjoint_prefixes
+
+    obs, pods, nodes, prefixes = build_flow_inputs(spark, sf_dir)
+    obs = obs.persist()
+    n_obs = obs.count()
+    # Steady-state shape: the LPM dim is flattened once per daily refresh
+    # (exactly what the streaming paths do), so it sits outside the
+    # per-batch ingest cost being measured.
+    dim = disjoint_prefixes(prefixes).persist()
+    dim.count()
+    t0 = time.perf_counter()
+    labeled = label_flows(obs, pods, nodes, dim, DEMO_CFG, prefixes_are_disjoint=True)
+    accepted, _ = split_rejected(labeled)
+    summing_aggregate(to_flow_rows(accepted)).write.format("noop").mode("overwrite").save()
+    ingest_s = time.perf_counter() - t0
+    obs.unpersist()
+
     print(
         json.dumps(
             {
@@ -57,6 +83,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "ingest_obs_per_sec": round(n_obs / ingest_s),
+                "ingest_obs": n_obs,
             }
         )
     )

@@ -1983,6 +1983,27 @@ def q55(spark, sf_dir):
     )
 
 
+@_register(
+    "q56_approx_sketches",
+    None,  # sketch internals differ across engines by design — rows-only
+    "approximate aggregates (HLL++ count-distinct, approx percentiles): "
+    "no oracle on purpose — DuckDB's approx internals differ — but the "
+    "exact counterparts ride along so the test suite can bound the error",
+)
+def q56(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.expr("approx_percentile(value, 0.5)").alias("approx_p50"),
+            F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

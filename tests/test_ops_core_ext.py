@@ -203,3 +203,75 @@ class TestQuantization:
         top = quantized_topk(df, query_id=0, k=3).collect()
         # scaled copy quantizes to the identical int vector -> top score
         assert top[0].vec_id == 17
+
+
+class TestSkewTools:
+    def test_salted_join_equals_plain_join(self, spark):
+        from kubenetmon_spark.operators.skew import salted_join
+
+        # 90% of large-side rows share one hot key
+        large = spark.createDataFrame(
+            [(1 if i % 10 else i, i) for i in range(500)], "k long, v long"
+        )
+        small = spark.createDataFrame([(i, f"d{i}") for i in range(60)], "k long, d string")
+        a = sorted((r.k, r.v, r.d) for r in salted_join(large, small, ["k"], salt_n=4).collect())
+        b = sorted((r.k, r.v, r.d) for r in large.join(small, "k").collect())
+        assert a == b
+
+    def test_salted_sum_equals_plain_sum(self, spark):
+        from kubenetmon_spark.operators.skew import salted_sum
+
+        df = spark.createDataFrame(
+            [("hot" if i % 20 else f"k{i}", i) for i in range(1000)], "k string, v long"
+        )
+        a = {r.k: r.v for r in salted_sum(df, ["k"], ["v"], salt_n=8).collect()}
+        b = {r.k: r.v for r in df.groupBy("k").agg(F.sum("v").alias("v")).collect()}
+        assert a == b
+
+
+class TestSCD2:
+    def test_intervals_from_snapshots(self, spark):
+        from kubenetmon_spark.operators.scd import scd2_from_snapshots
+
+        snaps = spark.createDataFrame(
+            [
+                ("pod-a", "app1", _ts(1)),
+                ("pod-a", "app1", _ts(2)),   # unchanged -> same interval
+                ("pod-a", "app2", _ts(3)),   # changed
+                ("pod-a", "app1", _ts(4)),   # changed BACK -> new interval, not merged
+                ("pod-b", "appX", _ts(2)),
+            ],
+            "pod string, app string, snapshot_ts timestamp",
+        )
+        out = scd2_from_snapshots(snaps, ["pod"], ["app"])
+        ivals = sorted(
+            (r.pod, r.app, r.valid_from.hour, r.valid_to.year)
+            for r in out.collect()
+        )
+        assert ivals == [
+            ("pod-a", "app1", 1, 2024),   # closed at ts(3)
+            ("pod-a", "app1", 4, 9999),   # reopened, current
+            ("pod-a", "app2", 3, 2024),
+            ("pod-b", "appX", 2, 9999),
+        ]
+
+    def test_as_of_lookup(self, spark):
+        from kubenetmon_spark.operators.scd import as_of_dimension, scd2_from_snapshots
+
+        snaps = spark.createDataFrame(
+            [("pod-a", "app1", _ts(1)), ("pod-a", "app2", _ts(5))],
+            "pod string, app string, snapshot_ts timestamp",
+        )
+        scd2 = scd2_from_snapshots(snaps, ["pod"], ["app"])
+        at3 = {r.pod: r.app for r in as_of_dimension(scd2, _ts(3)).collect()}
+        at6 = {r.pod: r.app for r in as_of_dimension(scd2, _ts(6)).collect()}
+        assert at3 == {"pod-a": "app1"} and at6 == {"pod-a": "app2"}
+
+
+def test_approx_sketches_error_bounded(spark):
+    from kubenetmon_spark.gate import gate_queries
+
+    df = gate_queries()["q56_approx_sketches"](spark, "/root/testdata/sf0.01")
+    for r in df.collect():
+        assert abs(r.approx_users - r.exact_users) <= max(2, 0.05 * r.exact_users)
+        assert abs(r.approx_p50 - r.exact_p50) <= 0.05 * max(1.0, abs(r.exact_p50))

@@ -14,6 +14,7 @@ from kubenetmon_spark.demo import DEMO_CFG, build_flow_inputs, build_network_flo
 from kubenetmon_spark.operators.flows import summing_aggregate
 from kubenetmon_spark.operators.label import label_flows
 from kubenetmon_spark.operators.lpm import disjoint_prefixes, lpm_lookup, lpm_lookup_disjoint
+from kubenetmon_spark.schema import OBSERVATION_SCHEMA
 from kubenetmon_spark.sink import compact, read_flows
 from kubenetmon_spark.streaming import (
     ingest_metrics,
@@ -255,3 +256,42 @@ def test_searchsorted_lpm_equals_disjoint_lpm(spark):
     ra = sorted([tuple(r[c] for c in cols) for r in a.select(*cols).collect()])
     rb = sorted([tuple(r[c] for c in cols) for r in b.select(*cols).collect()])
     assert ra == rb
+
+
+def test_dead_letter_reasons_match_batch(spark, stream_inputs, tmp_path):
+    from kubenetmon_spark.operators.label import label_flows, split_rejected
+
+    obs_dir, pods, nodes, prefixes = stream_inputs
+    # The demo observations are all clean — inject rejectable rows so the
+    # dead-letter stream has something to count: zero counters, localhost
+    # endpoints, and an unsupported protocol.
+    clean = spark.read.schema(OBSERVATION_SCHEMA).parquet(obs_dir)
+    bad = (
+        clean.limit(4).withColumn("orig_bytes", F.lit(0))
+        .withColumn("orig_packets", F.lit(0))
+        .withColumn("reply_bytes", F.lit(0))
+        .withColumn("reply_packets", F.lit(0))
+        .unionByName(clean.limit(3).withColumn("orig_src_ip", F.lit("127.0.0.1")))
+        .unionByName(clean.limit(2).withColumn("proto", F.lit(1)))
+    )
+    mixed_dir = str(tmp_path / "obs_mixed")
+    clean.unionByName(bad).coalesce(2).write.parquet(mixed_dir)
+    q = start_flow_stream(
+        read_observations(spark, mixed_dir),
+        str(tmp_path / "flows"), str(tmp_path / "ckpt"),
+        pods, nodes, prefixes, DEMO_CFG,
+        dead_letter_path=str(tmp_path / "dead"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+    dead = spark.read.parquet(str(tmp_path / "dead"))
+    got = {r.reject_reason: r.total for r in
+           dead.groupBy("reject_reason").agg(F.sum("n").alias("total")).collect()}
+    mixed = spark.read.schema(OBSERVATION_SCHEMA).parquet(mixed_dir)
+    _, batch_dead = split_rejected(label_flows(mixed, pods, nodes, prefixes, DEMO_CFG))
+    expected = {r.reject_reason: r.n for r in
+                batch_dead.groupBy("reject_reason").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == expected
+    assert got["zero_counters"] == 4
+    assert got["localhost"] == 3
+    assert got["unsupported_proto"] == 2
