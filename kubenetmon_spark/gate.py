@@ -2004,6 +2004,79 @@ def q56(spark, sf_dir):
     )
 
 
+@_register(
+    "q57_word_count",
+    """
+    SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+      FROM documents
+    )
+    WHERE word != ''
+    GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+    "the canonical explode -> aggregate shape (word count, top 20 with "
+    "deterministic tie-break) — lateral/unnest surface",
+)
+def q57(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+@_register(
+    "q58_region_supplier_volume",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(6,4)))) * 10000 AS BIGINT)
+             AS revenue_e4
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "TPC-H Q5 shape: 5-table snowflake join — Catalyst orders the joins, "
+    "dims broadcast, fact side shuffles only for the final aggregation; "
+    "revenue carried as exact integer 1e-4 units",
+)
+def q58(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast(DEC2) * (
+        F.lit(1) - F.col("l_discount").cast(RATE)
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(rev) * 10000).cast("bigint").alias("revenue_e4"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
