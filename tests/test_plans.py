@@ -68,3 +68,41 @@ def test_udp_kept_when_ignore_udp_off(spark):
         F.col("reject_reason") == "udp_ignored"
     )
     assert dropped.count() == 5
+
+
+def test_snowflake_join_dims_broadcast(spark):
+    """q58's 5-table join: every dim is a broadcast-hash join; the fact
+    side never sort-merges (at dim sizes up to ~10^5 rows a SMJ means a
+    lost broadcast threshold or a missing hint)."""
+    from kubenetmon_spark.gate import gate_queries
+
+    df = gate_queries()["q58_region_supplier_volume"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 4
+
+
+def test_percent_of_total_window_over_aggregate_only(spark):
+    """q53's unpartitioned window must sit ABOVE the aggregation (25
+    nation rows), never over fact rows — a window over the raw join
+    would single-partition the whole orders table."""
+    from kubenetmon_spark.gate import gate_queries
+
+    df = gate_queries()["q53_percent_of_total"](spark, SF_DIR)
+    plan = _plan(df)
+    w = plan.find("Window")
+    agg = plan.find("HashAggregate")
+    assert w != -1 and agg != -1 and w < agg, (
+        "window is not above the aggregation in the plan"
+    )
+
+
+def test_sessionize_single_fact_shuffle(spark):
+    from kubenetmon_spark.operators.sessions import sessionize
+    from kubenetmon_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    plan = _plan(sessionize(ev, ["user_id"], order_cols=["event_id"]))
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "sessionize should shuffle exactly once (on the session key)"
+    )
