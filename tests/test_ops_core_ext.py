@@ -275,3 +275,43 @@ def test_approx_sketches_error_bounded(spark):
     for r in df.collect():
         assert abs(r.approx_users - r.exact_users) <= max(2, 0.05 * r.exact_users)
         assert abs(r.approx_p50 - r.exact_p50) <= 0.05 * max(1.0, abs(r.exact_p50))
+
+
+class TestEmptyInputs:
+    """Operators must survive 0-row inputs — a real micro-batch shape
+    (an idle collection interval produces an empty batch)."""
+
+    def test_empty_labeler_pipeline(self, spark, tmp_path):
+        from kubenetmon_spark.demo import DEMO_CFG, build_flow_inputs
+        from kubenetmon_spark.operators.flows import summing_aggregate, to_flow_rows
+        from kubenetmon_spark.operators.label import label_flows, split_rejected
+        from kubenetmon_spark.sink import write_flows
+
+        obs, pods, nodes, prefixes = build_flow_inputs(spark, "/root/testdata/sf0.001")
+        empty = obs.filter(F.lit(False))
+        accepted, dead = split_rejected(label_flows(empty, pods, nodes, prefixes, DEMO_CFG))
+        flows = summing_aggregate(to_flow_rows(accepted))
+        assert flows.count() == 0 and dead.count() == 0
+        write_flows(flows, str(tmp_path / "flows"))  # empty write must not raise
+
+    def test_empty_sessionize_and_components(self, spark):
+        from kubenetmon_spark.operators.graph import connected_components
+        from kubenetmon_spark.operators.sessions import session_stats
+
+        ev = spark.createDataFrame([], "user_id long, event_id long, ts timestamp")
+        assert session_stats(ev, ["user_id"], order_cols=["event_id"]).count() == 0
+        edges = spark.createDataFrame([], "src long, dst long")
+        assert connected_components(edges).count() == 0
+
+    def test_empty_pair_dedup(self, spark):
+        from kubenetmon_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        assert minhash_lsh_pairs(docs, "doc_id", "text").count() == 0
+        assert jaccard_pairs(docs, "doc_id", "text").count() == 0
+
+    def test_empty_quantize(self, spark):
+        from kubenetmon_spark.operators.similarity import quantize_embeddings
+
+        df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        assert quantize_embeddings(df).count() == 0
