@@ -2077,6 +2077,24 @@ def q58(spark, sf_dir):
     )
 
 
+@_register(
+    "q59_heavy_hitters",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS n
+    FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+    """,
+    "sketch-then-verify top talkers: per-partition Misra-Gries candidates "
+    "+ exact verification — identical answer to the full groupBy (the "
+    "oracle) while shuffling only candidate keys; num_counters sized so "
+    "completeness holds at every tested scale factor",
+)
+def q59(spark, sf_dir):
+    from kubenetmon_spark.operators.sketch import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", k=10, num_counters=4096)
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -315,3 +315,28 @@ class TestEmptyInputs:
 
         df = spark.createDataFrame([], "vec_id long, embedding array<double>")
         assert quantize_embeddings(df).count() == 0
+
+
+class TestHeavyHitters:
+    def test_matches_exact_topk_on_skewed_data(self, spark):
+        from kubenetmon_spark.operators.sketch import heavy_hitters
+
+        # zipf-ish: key i appears ~3000/i times
+        rows = [(f"k{i}",) for i in range(1, 40) for _ in range(3000 // i)]
+        df = spark.createDataFrame(rows, "key string").repartition(8)
+        got = [(r.key, r.n) for r in heavy_hitters(df, "key", k=5, num_counters=64).collect()]
+        exact = [
+            (r.key, r.n)
+            for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("key")).limit(5).collect()
+        ]
+        assert got == exact
+
+    def test_mg_fold_eviction_bound(self):
+        from kubenetmon_spark.operators.sketch import _fold_mg
+
+        c: dict = {}
+        c = _fold_mg(c, {"a": 100, "b": 3, "d": 2}, 2)
+        assert len(c) <= 2 and "a" in c
+        # undercount: a's stored count dropped by the eviction threshold
+        assert c["a"] < 100
