@@ -86,7 +86,7 @@ def deltify_stream(
     ts_col: str = "ts",
     bytes_col: str = "bytes_total",
     packets_col: str = "packets_total",
-    idle_timeout_ms: int = 10 * 60 * 1000,
+    idle_timeout: str | None = None,
 ) -> DataFrame:
     """Cumulative per-connection counters -> per-interval deltas.
 
@@ -94,11 +94,25 @@ def deltify_stream(
     ``packets_delta``. First observation of a key (or after idle
     eviction / counter reset) contributes its full value — exactly the
     semantics of conntrack's zero-on-read dumps.
+
+    ``idle_timeout`` (e.g. ``"30 minutes"``) bounds state at scale: it
+    sets a watermark on ``ts_col`` and evicts a connection's snapshot
+    via **event-time** timeout once the watermark passes its last
+    observation + timeout. Event time, not processing time, on purpose:
+    a processing-time timeout forces the microbatch engine to keep
+    scheduling empty batches to re-check wall-clock timers, so a
+    ``trigger(availableNow)`` drain never terminates; an event-time
+    timeout only fires when new data advances the watermark, is
+    deterministic under replay, and costs nothing when the stream is
+    idle. ``None`` keeps state forever (exact; fine for bounded key
+    cardinality like test/backfill runs).
     """
     key_schema = StructType(
         [observations.schema[c] for c in key_cols]
     )
     out_schema = _deltify_group_schema(key_schema)
+    evict = idle_timeout is not None
+    timeout_delta = pd.Timedelta(idle_timeout) if evict else None
 
     def diff(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
@@ -106,6 +120,7 @@ def deltify_stream(
             return
         last_b, last_p = state.get if state.exists else (0, 0)
         frames = []
+        last_ts = None
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
             b = pdf[bytes_col].astype("int64")
@@ -122,11 +137,17 @@ def deltify_stream(
                 out.insert(i, c, key[i])
             frames.append(out)
             last_b, last_p = int(b.iloc[-1]), int(p.iloc[-1])
+            last_ts = pdf[ts_col].iloc[-1]
         state.update((last_b, last_p))
-        state.setTimeoutDuration(idle_timeout_ms)
+        if evict and last_ts is not None:
+            state.setTimeoutTimestamp(
+                int((pd.Timestamp(last_ts) + timeout_delta).timestamp() * 1000)
+            )
         if frames:
             yield pd.concat(frames, ignore_index=True)
 
+    if evict:
+        observations = observations.withWatermark(ts_col, idle_timeout)
     return (
         observations.groupBy(*key_cols)
         .applyInPandasWithState(
@@ -134,7 +155,11 @@ def deltify_stream(
             outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if evict
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 

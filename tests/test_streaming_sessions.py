@@ -120,3 +120,88 @@ class TestStreamingSessions:
         # user 1's 12:30 session is still OPEN state, correctly withheld
         # until later data advances the watermark.
         assert got == {(1, _ts(10, 0), 2), (2, _ts(10, 0), 1)}
+
+
+class TestDeltifyRestart:
+    def test_state_survives_checkpoint_restart(self, spark, tmp_path):
+        """Cumulative counters arriving AFTER a stream restart must diff
+        against the state saved before the restart, not restart from 0."""
+        src = str(tmp_path / "cum")
+        ckpt = str(tmp_path / "ckpt")
+        out_dir = str(tmp_path / "out")
+
+        def run_once():
+            # file sink, not memory: only durable sinks support restarting
+            # from a checkpoint
+            stream = spark.readStream.schema(
+                "conn string, ts timestamp, bytes_total long, packets_total long"
+            ).parquet(src)
+            q = (
+                deltify_stream(stream, ["conn"])
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            # NoTimeout (the default) is what makes this drain terminate:
+            # a processing-time timeout would schedule empty batches forever
+            assert q.awaitTermination(300), "availableNow drain did not finish"
+
+        batch1 = spark.createDataFrame(
+            [("c1", _ts(10, 0), 100, 10), ("c1", _ts(10, 1), 250, 25)], CUM_SCHEMA
+        )
+        batch1.coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        # new file lands while the stream is DOWN; restart from checkpoint
+        batch2 = spark.createDataFrame([("c1", _ts(10, 2), 400, 40)], CUM_SCHEMA)
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        got = {
+            r.ts: (r.bytes_delta, r.packets_delta)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        # 400-250: diffed against pre-restart state, not treated as a reset
+        assert got[_ts(10, 2)] == (150, 15)
+        assert got[_ts(10, 0)] == (100, 10) and got[_ts(10, 1)] == (150, 15)
+
+
+class TestDeltifyEviction:
+    def test_idle_key_evicted_by_event_time(self, spark, tmp_path):
+        """With ``idle_timeout``, a key silent past the watermark loses its
+        snapshot; its next observation counts in full — the same answer
+        conntrack gives after the kernel expires an idle connection."""
+        src = str(tmp_path / "cum")
+        ckpt = str(tmp_path / "ckpt")
+        out_dir = str(tmp_path / "out")
+
+        def run_once(*rows):
+            spark.createDataFrame(list(rows), CUM_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            stream = spark.readStream.schema(CUM_SCHEMA).parquet(src)
+            q = (
+                deltify_stream(stream, ["conn"], idle_timeout="10 minutes")
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300), "availableNow drain did not finish"
+
+        run_once(("c1", _ts(10, 0), 50, 5), ("c2", _ts(10, 0), 50, 5))
+        # c1 keeps talking; the watermark (max ts - 10 min) passes c2's
+        # timeout (10:10) during the 10:45 batch -> c2's state is evicted
+        run_once(("c1", _ts(10, 30), 60, 6))
+        run_once(("c1", _ts(10, 45), 70, 7))
+        run_once(("c2", _ts(10, 50), 120, 12))
+        got = {
+            (r.conn, r.ts): r.bytes_delta
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert got[("c1", _ts(10, 30))] == 10  # state survived: 60 - 50
+        # evicted key restarts from zero: full 120, not 120 - 50 = 70
+        assert got[("c2", _ts(10, 50))] == 120
