@@ -2095,6 +2095,150 @@ def q59(spark, sf_dir):
     return heavy_hitters(ev, "user_id", k=10, num_counters=4096)
 
 
+@_register(
+    "q60_promo_share",
+    """
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(6,4)))
+                         ELSE 0 END) * 10000 AS BIGINT) AS promo_e4,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(6,4)))) * 10000 AS BIGINT)
+             AS total_e4,
+           CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                   * (1 - CAST(l.l_discount AS DECIMAL(6,4)))
+                              ELSE 0 END) * 10000 AS BIGINT) * 10000
+                // CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(6,4)))) * 10000
+                        AS BIGINT)
+                AS BIGINT) AS promo_share_bp
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-01-01'
+    """,
+    "TPC-H Q14 shape: conditional aggregation over a fact x broadcast-dim "
+    "join — the CASE rides inside the partial aggregate so the join output "
+    "is never materialized; share as integer basis points over exact e4 sums",
+)
+def q60(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DEC2) * (
+        F.lit(1) - F.col("l_discount").cast(RATE)
+    )
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC2))
+    agg = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(promo_rev) * 10000).cast("bigint").alias("promo_e4"),
+            (F.sum(rev) * 10000).cast("bigint").alias("total_e4"),
+        )
+    )
+    return agg.withColumn(
+        "promo_share_bp",
+        F.expr("promo_e4 * 10000 DIV total_e4").cast("bigint"),
+    )
+
+
+@_register(
+    "q61_grouping_sets",
+    """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    ORDER BY priority, status
+    """,
+    "explicit GROUPING SETS (not a rollup/cube prefix lattice): four "
+    "user-chosen groupings in ONE shuffle via Catalyst's Expand — null "
+    "markers canonicalized to 'ALL' so the key is engine-portable",
+)
+def q61(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [
+                ["o_orderpriority", "o_orderstatus"],
+                ["o_orderpriority"],
+                ["o_orderstatus"],
+                [],
+            ],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("o_totalprice").cast(DEC2)) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "cents",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+@_register(
+    "q62_shipping_priority",
+    """
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(6,4)))) * 10000 AS BIGINT)
+             AS revenue_e4,
+           strftime(MIN(o.o_orderdate), '%Y-%m-%d') AS orderdate,
+           MIN(o.o_orderpriority) AS priority
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-06-01'
+      AND l.l_shipdate  > TIMESTAMP '1995-06-01'
+    GROUP BY l.l_orderkey
+    ORDER BY revenue_e4 DESC, orderkey LIMIT 10
+    """,
+    "TPC-H Q3 shape: segment-filtered customer dim broadcast into orders, "
+    "orders (date-pruned) joined to lineitem, top-10 unshipped orders by "
+    "revenue with a unique orderkey tie-break",
+)
+def q62(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-06-01").cast("timestamp_ntz")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-06-01").cast("timestamp_ntz")
+    )
+    rev = F.col("l_extendedprice").cast(DEC2) * (
+        F.lit(1) - F.col("l_discount").cast(RATE)
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(
+            (F.sum(rev) * 10000).cast("bigint").alias("revenue_e4"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("orderdate"),
+            F.min("o_orderpriority").alias("priority"),
+        )
+        .orderBy(F.desc("revenue_e4"), "orderkey")
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
