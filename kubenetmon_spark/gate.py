@@ -2239,6 +2239,40 @@ def q62(spark, sf_dir):
     )
 
 
+@_register(
+    "q63_incremental_rollup",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) * 10000 AS BIGINT) AS value_e4
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "materialized-view maintenance algebra (operators/mv.py): the fact "
+    "stream split into two arrival batches, each partially aggregated, "
+    "then merge_rollup folds the partials — the oracle aggregates the "
+    "union directly, proving batch-order-independent equivalence (the "
+    "SummingMergeTree merge contract, reference network_flows_0.sql:39)",
+)
+def q63(spark, sf_dir):
+    from kubenetmon_spark.operators.mv import aggregate_delta, merge_rollup
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    keys = ["day", "event_type"]
+    sum_exprs = {
+        "n": F.lit(1),
+        "value_e4": (F.col("value").cast(DEC2) * 10000).cast("bigint"),
+    }
+    batch1 = aggregate_delta(ev.filter(F.col("event_id") % 2 == 0), keys, sum_exprs)
+    batch2 = aggregate_delta(ev.filter(F.col("event_id") % 2 == 1), keys, sum_exprs)
+    return merge_rollup([batch1, batch2], keys, ["n", "value_e4"]).orderBy(
+        "day", "event_type"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

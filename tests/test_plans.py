@@ -97,6 +97,27 @@ def test_percent_of_total_window_over_aggregate_only(spark):
     )
 
 
+def test_promo_share_dim_broadcast_case_in_aggregate(spark):
+    """q60: the part dim must broadcast (never SMJ), and the CASE folds
+    into the aggregate — no materialization of the joined rows."""
+    from kubenetmon_spark.gate import gate_queries
+
+    plan = _plan(gate_queries()["q60_promo_share"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark):
+    """q61: four grouping sets must evaluate via ONE Expand + ONE
+    aggregation shuffle, not one pass per set."""
+    from kubenetmon_spark.gate import gate_queries
+
+    plan = _plan(gate_queries()["q61_grouping_sets"](spark, SF_DIR))
+    assert plan.count("Expand") >= 1
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "grouping sets should aggregate through exactly one shuffle"
+    )
+
+
 def test_sessionize_single_fact_shuffle(spark):
     from kubenetmon_spark.operators.sessions import sessionize
     from kubenetmon_spark.tables import load_table
