@@ -6,6 +6,8 @@ SummingMergeTree background-merge analogue, retention the TTL analogue).
 Usage:
   python tools/maintain.py compact  <table_path> [--date YYYY-MM-DD]
   python tools/maintain.py retention <table_path> --keep-days N
+  python tools/maintain.py refresh-rollup <fact_path> <rollup_path> \\
+      [--keys date,direction,localPod]   # incremental MV refresh
 """
 
 from __future__ import annotations
@@ -26,6 +28,17 @@ def main() -> int:
     r = sub.add_parser("retention", help="drop date partitions past the TTL")
     r.add_argument("table_path")
     r.add_argument("--keep-days", type=int, default=90)
+    m = sub.add_parser(
+        "refresh-rollup",
+        help="incrementally refresh a bytes/packets rollup of the fact table",
+    )
+    m.add_argument("fact_path")
+    m.add_argument("rollup_path")
+    m.add_argument(
+        "--keys",
+        default="date,direction,localPod,remotePod,connectionClass",
+        help="comma-separated rollup key (must include date)",
+    )
     args = ap.parse_args()
 
     from kubenetmon_spark.session import get_spark
@@ -38,8 +51,25 @@ def main() -> int:
 
     spark = get_spark("maintain")
     spark.sparkContext.setLogLevel("ERROR")
-    compact(spark, args.table_path, target_date=args.date)
-    print(f"compacted {args.table_path}" + (f" date={args.date}" if args.date else " (all partitions)"))
+    if args.cmd == "refresh-rollup":
+        from pyspark.sql import functions as F
+
+        from kubenetmon_spark.operators.mv import refresh_rollup
+
+        changed = refresh_rollup(
+            spark,
+            args.fact_path,
+            args.rollup_path,
+            args.keys.split(","),
+            {"bytes": F.col("bytes"), "packets": F.col("packets"), "n": F.lit(1)},
+        )
+        print(f"refreshed {len(changed)} partitions: {changed}")
+    else:
+        compact(spark, args.table_path, target_date=args.date)
+        print(
+            f"compacted {args.table_path}"
+            + (f" date={args.date}" if args.date else " (all partitions)")
+        )
     spark.stop()
     return 0
 
