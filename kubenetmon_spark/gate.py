@@ -2273,6 +2273,42 @@ def q63(spark, sf_dir):
     )
 
 
+@_register(
+    "q64_ngram_repetition",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+                  ELSE [] END AS ngr
+      FROM t
+    )
+    SELECT doc_id, CAST(len(ngr) AS BIGINT) AS n_ngrams,
+           CAST(len(list_distinct(ngr)) AS BIGINT) AS n_distinct_ngrams,
+           CAST(CASE WHEN len(ngr) > 0
+                THEN (len(ngr) - len(list_distinct(ngr))) * 10000 // len(ngr)
+                ELSE 0 END AS BIGINT) AS dup_ngram_bp
+    FROM g ORDER BY doc_id
+    """,
+    "duplicate word-trigram fraction per document (Gopher/RefinedWeb "
+    "repetition quality filter) — Arrow/NumPy single-pass tokenization, "
+    "scan-side projection with zero shuffle; integer basis points",
+)
+def q64(spark, sf_dir):
+    from kubenetmon_spark.operators.text import with_ngram_repetition
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        with_ngram_repetition(d, n=3)
+        .select("doc_id", "n_ngrams", "n_distinct_ngrams", "dup_ngram_bp")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

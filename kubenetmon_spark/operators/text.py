@@ -318,3 +318,84 @@ def with_redacted_text(
         out = out.withColumn(f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)))
         redacted = F.regexp_replace(redacted, pat, tag)
     return out.withColumn(out_col, redacted)
+
+
+def with_ngram_repetition(
+    df: DataFrame, text_col: str = "text", n: int = 3, method: str = "arrow"
+) -> DataFrame:
+    """Duplicate word-n-gram fraction — the Gopher/RefinedWeb-style
+    within-document repetition quality signal (high values flag boiler-
+    plate, keyword stuffing, generation loops).
+
+    Appends ``n_ngrams``, ``n_distinct_ngrams``, and ``dup_ngram_bp`` =
+    floor((n_ngrams - n_distinct_ngrams) * 10000 / n_ngrams) (0 for docs
+    shorter than ``n`` tokens). Integer basis points, engine-exact.
+
+    ``method='arrow'`` (default): one tokenization pass per document in
+    a NumPy/Pandas ``mapInPandas`` stage — per-gram ``concat_ws`` inside
+    Spark's higher-order lambdas is interpreted, so the Arrow path wins
+    by ~an order of magnitude on long documents. ``method='sql'``: pure
+    built-ins, the form the DuckDB oracle mirrors. Both are scan-side
+    projections: no shuffle, embarrassingly parallel at any scale.
+    """
+    if method == "arrow":
+        return _ngram_repetition_arrow(df, text_col, n)
+    toks = _tokens(F.col(text_col))
+    ngr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    out = df.withColumn("_ngr", ngr)
+    cnt = F.size("_ngr")
+    dis = F.size(F.array_distinct(F.col("_ngr")))
+    return (
+        out.withColumn("n_ngrams", cnt.cast("long"))
+        .withColumn("n_distinct_ngrams", dis.cast("long"))
+        .withColumn(
+            "dup_ngram_bp",
+            F.when(cnt > 0, F.floor((cnt - dis) * 10000 / cnt))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .drop("_ngr")
+    )
+
+
+def _ngram_repetition_arrow(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    import re
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("n_ngrams", LongType(), True),
+            StructField("n_distinct_ngrams", LongType(), True),
+            StructField("dup_ngram_bp", LongType(), True),
+        ]
+    )
+    ws = re.compile(r"\s+")
+
+    def gen(batches):
+        def one(text):
+            if text is None:
+                return (None, None, None)
+            toks = ws.split(text.strip(" "))  # ASCII-space trim = SQL trim()
+            total = len(toks) - n + 1
+            if total <= 0:
+                return (0, 0, 0)
+            distinct = len({tuple(toks[i : i + n]) for i in range(total)})
+            return (total, distinct, (total - distinct) * 10000 // total)
+
+        for b in batches:
+            res = b[text_col].map(one)
+            b = b.copy()
+            b["n_ngrams"] = res.map(lambda t: t[0])
+            b["n_distinct_ngrams"] = res.map(lambda t: t[1])
+            b["dup_ngram_bp"] = res.map(lambda t: t[2])
+            yield b
+
+    return df.mapInPandas(gen, out_schema)

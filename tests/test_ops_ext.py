@@ -169,3 +169,35 @@ def test_winnow_fingerprint_properties(spark):
     assert rows[1].fp_digest != rows[3].fp_digest
     assert rows[4].n_grams == 0 and rows[4].n_fp == 0
     assert rows[1].n_grams == len("the quick brown fox jumps over the lazy dog") - 7
+
+
+def test_ngram_repetition_arrow_equals_sql(spark):
+    from kubenetmon_spark.operators.text import with_ngram_repetition
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"),          # heavy trigram repetition
+         (2, "all words here are unique"),
+         (3, "a b"),                        # shorter than n
+         (4, ""),
+         (5, "  spaced   out   tokens  ")],
+        "doc_id long, text string",
+    )
+    cols = ["doc_id", "n_ngrams", "n_distinct_ngrams", "dup_ngram_bp"]
+    a = sorted(map(tuple, with_ngram_repetition(df, method="arrow").select(cols).collect()))
+    b = sorted(map(tuple, with_ngram_repetition(df, method="sql").select(cols).collect()))
+    assert a == b
+
+
+def test_ngram_repetition_values(spark):
+    from kubenetmon_spark.operators.text import with_ngram_repetition
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "one two three four"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in with_ngram_repetition(df, n=3).collect()}
+    # 9 tokens -> 7 trigrams, only 3 distinct (abc, bca, cab)
+    assert rows[1].n_ngrams == 7 and rows[1].n_distinct_ngrams == 3
+    assert rows[1].dup_ngram_bp == (7 - 3) * 10000 // 7
+    assert rows[2].n_ngrams == 2 and rows[2].dup_ngram_bp == 0
+    assert rows[3].n_ngrams == 0 and rows[3].dup_ngram_bp == 0
