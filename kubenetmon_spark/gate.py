@@ -1987,8 +1987,11 @@ def q55(spark, sf_dir):
     "q56_approx_sketches",
     None,  # sketch internals differ across engines by design — rows-only
     "approximate aggregates (HLL++ count-distinct, approx percentiles): "
-    "no oracle on purpose — DuckDB's approx internals differ — but the "
-    "exact counterparts ride along so the test suite can bound the error",
+    "no oracle on purpose — DuckDB's approx internals differ. Sketch-only "
+    "by design: mixing countDistinct with other aggs forces an Expand "
+    "double-scan, and exact percentile buffers every group value — at "
+    "100 TB you run the sketches alone (the test suite computes the exact "
+    "counterparts separately to bound the error)",
 )
 def q56(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -1996,9 +1999,7 @@ def q56(spark, sf_dir):
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id").alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
             F.expr("approx_percentile(value, 0.5)").alias("approx_p50"),
-            F.expr("percentile(value, 0.5)").alias("exact_p50"),
         )
         .orderBy("event_type")
     )

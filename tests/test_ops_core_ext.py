@@ -270,11 +270,29 @@ class TestSCD2:
 
 def test_approx_sketches_error_bounded(spark):
     from kubenetmon_spark.gate import gate_queries
+    from kubenetmon_spark.tables import load_table
 
-    df = gate_queries()["q56_approx_sketches"](spark, "/root/testdata/sf0.01")
-    for r in df.collect():
-        assert abs(r.approx_users - r.exact_users) <= max(2, 0.05 * r.exact_users)
-        assert abs(r.approx_p50 - r.exact_p50) <= 0.05 * max(1.0, abs(r.exact_p50))
+    approx = {
+        r.event_type: r
+        for r in gate_queries()["q56_approx_sketches"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    exact = {
+        r.event_type: r
+        for r in load_table(spark, "/root/testdata/sf0.01", "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a.approx_users - e.exact_users) <= max(2, 0.05 * e.exact_users)
+        assert abs(a.approx_p50 - e.exact_p50) <= 0.05 * max(1.0, abs(e.exact_p50))
 
 
 class TestEmptyInputs:
