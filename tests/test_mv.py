@@ -90,6 +90,33 @@ class TestRefreshRollup:
         assert changed == ["d1"]
         assert _read_rollup(spark, rollup_path) == {("d2", "a"): (1, 2)}
 
+    def test_refresh_matches_full_aggregation_randomized(self, spark, tmp_path):
+        """Whatever the append pattern, the incrementally-maintained rollup
+        must equal one full aggregation over everything appended so far."""
+        import random
+
+        rng = random.Random(7)
+        fact_path = str(tmp_path / "fact")
+        rollup_path = str(tmp_path / "rollup")
+        all_rows: list[tuple[str, str, int]] = []
+        for _ in range(4):
+            batch = [
+                (f"d{rng.randint(1, 3)}", rng.choice("ab"), rng.randint(1, 100))
+                for _ in range(rng.randint(1, 6))
+            ]
+            all_rows += batch
+            _facts(spark, batch).write.mode("append").partitionBy("date").parquet(
+                fact_path
+            )
+            refresh_rollup(spark, fact_path, rollup_path, KEYS, _sum_exprs())
+            want = {
+                (r.date, r.k): (r.n, r.v)
+                for r in aggregate_delta(
+                    _facts(spark, all_rows), KEYS, _sum_exprs()
+                ).collect()
+            }
+            assert _read_rollup(spark, rollup_path) == want
+
     def test_partition_col_must_be_key(self, spark, tmp_path):
         with pytest.raises(ValueError):
             refresh_rollup(
