@@ -2310,6 +2310,62 @@ def q64(spark, sf_dir):
     )
 
 
+@_register(
+    "q65_large_volume_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    )
+    SELECT c.c_name AS customer, o.o_orderkey AS orderkey,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT)
+             AS qty_e2,
+           CAST(CAST(MIN(o.o_totalprice) AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS totalprice_e2
+    FROM orders o
+    JOIN big ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    ORDER BY qty_e2 DESC, orderkey LIMIT 20
+    """,
+    "TPC-H Q18 shape: semi-join against a grouped-HAVING subquery — the "
+    "qualifying-keys set is aggregated FIRST (small output), then joined "
+    "back to facts; quantities as exact e2 integers, unique orderkey "
+    "tie-break",
+)
+def q65(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    qty = F.col("l_quantity").cast(DEC2)
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_sum_qty"))
+        .filter(F.col("_sum_qty") > 150)
+        .select(F.col("l_orderkey").alias("_big_orderkey"))
+    )
+    return (
+        o.join(big, o["o_orderkey"] == F.col("_big_orderkey"))
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(
+            F.col("c_name").alias("customer"),
+            F.col("o_orderkey").alias("orderkey"),
+        )
+        .agg(
+            (F.sum(qty) * 100).cast("bigint").alias("qty_e2"),
+            (F.min("o_totalprice").cast(DEC2) * 100)
+            .cast("bigint")
+            .alias("totalprice_e2"),
+        )
+        .orderBy(F.desc("qty_e2"), "orderkey")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
