@@ -2311,6 +2311,65 @@ def q64(spark, sf_dir):
 
 
 @_register(
+    "q66_dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_SQL},
+    edges AS (
+      SELECT id_1 AS a, id_2 AS b FROM pairs
+      UNION
+      SELECT id_2 AS a, id_1 AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS cluster_rep FROM reach GROUP BY node),
+    member AS (
+      SELECT c.cluster_rep, c.node, length(d.text) AS n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    )
+    SELECT cluster_rep, node AS member, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY cluster_rep
+                    ORDER BY n_chars DESC, node) = 1
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM member ORDER BY cluster_rep, member
+    """,
+    "the dedup pipeline's last mile: near-dup clusters -> ONE canonical "
+    "survivor per cluster (longest text, doc-id tie-break), the rest "
+    "marked for drop — window argmax over the clustered subset only "
+    "(never the full corpus)",
+)
+def q66(spark, sf_dir):
+    from kubenetmon_spark.operators.graph import duplicate_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, bands=4, n=3, verify_threshold_bp=3000
+    )
+    clusters = duplicate_clusters(pairs)
+    member = clusters.join(
+        d.select("doc_id", F.length("text").alias("n_chars")),
+        clusters["node"] == F.col("doc_id"),
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(F.desc("n_chars"), "node")
+    return (
+        member.withColumn("rn", F.row_number().over(w))
+        .select(
+            "cluster_rep",
+            F.col("node").alias("member"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.when(F.col("rn") == 1, F.lit(1)).otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("keep"),
+        )
+        .orderBy("cluster_rep", "member")
+    )
+
+
+@_register(
     "q65_large_volume_orders",
     """
     WITH big AS (
