@@ -2425,6 +2425,471 @@ def q65(spark, sf_dir):
     )
 
 
+@_register(
+    "q67_order_count_histogram",
+    """
+    WITH c_orders AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    "TPC-H Q13 shape: left outer join with a join-side predicate (NOT a "
+    "WHERE — unmatched customers must survive as count 0), then a second "
+    "aggregation over the first's output. Two shuffles, the second over "
+    "a tiny domain (distinct counts)",
+)
+def q67(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@_register(
+    "q68_dormant_rich_customers",
+    """
+    WITH t AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) * 100 AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey AS nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) * 100 AS BIGINT) AS totacctbal_c
+    FROM customer c, t
+    WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) > s // n
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey ORDER BY nationkey
+    """,
+    "TPC-H Q22 shape: scalar-subquery threshold (global avg as exact integer "
+    "cents, floor-divided) + anti-join against recent orders (every customer "
+    "has SOME order in this data, so dormancy = no order in the last ~18mo). "
+    "The anti-join build side is a pre-filtered key projection",
+)
+def q68(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    cents = (F.col("c_acctbal").cast(DEC2) * 100).cast("bigint")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast(DEC2)) * 100).cast("bigint").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.expr("s DIV n").alias("thr"))
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+        .crossJoin(F.broadcast(thr))
+        .filter(cents > F.col("thr"))
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(F.col("c_acctbal").cast(DEC2)) * 100)
+            .cast("bigint")
+            .alias("totacctbal_c"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@_register(
+    "q69_disjunctive_scan",
+    """
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(6,4)))) * 10000 AS BIGINT)
+             AS revenue_e4
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 15 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 25 AND 50
+           AND l.l_quantity BETWEEN 30 AND 45)
+    """,
+    "TPC-H Q19 shape: disjunction of conjunctive ranges across BOTH join "
+    "sides. Catalyst pushes the per-side residuals (l_quantity in the union "
+    "of ranges; p_brand IN (...)) below the join while keeping the cross-"
+    "side OR as a join residual — the scan never reads rows no disjunct "
+    "can accept",
+)
+def q69(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DEC2) * (
+        F.lit(1) - F.col("l_discount").cast(RATE)
+    )
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & qty.between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & qty.between(15, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(25, 50) & qty.between(30, 45))
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(rev) * 10000).cast("bigint").alias("revenue_e4"),
+        )
+    )
+
+
+@_register(
+    "q70_part_value_share",
+    """
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(6,4)))) * 10000 AS BIGINT)
+               AS rev_e4
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (SELECT CAST(SUM(rev_e4) AS BIGINT) AS t FROM pr)
+    SELECT l_partkey AS partkey, rev_e4
+    FROM pr, tot WHERE rev_e4 * 2000 > t
+    ORDER BY rev_e4 DESC, partkey
+    """,
+    "TPC-H Q11 shape: per-group value HAVING > fraction-of-global-scalar. "
+    "The global total is a second aggregation over the (small) per-part "
+    "aggregate, broadcast back — the fact table is scanned once",
+)
+def q70(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC2) * (
+        F.lit(1) - F.col("l_discount").cast(RATE)
+    )
+    pr = li.groupBy("l_partkey").agg(
+        (F.sum(rev) * 10000).cast("bigint").alias("rev_e4")
+    )
+    tot = pr.agg(F.sum("rev_e4").cast("bigint").alias("t"))
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .filter(F.col("rev_e4") * 2000 > F.col("t"))
+        .select(F.col("l_partkey").alias("partkey"), "rev_e4")
+        .orderBy(F.desc("rev_e4"), "partkey")
+    )
+
+
+@_register(
+    "q71_min_acctbal_supplier",
+    """
+    WITH mn AS (
+      SELECT s_nationkey, MIN(CAST(s_acctbal AS DECIMAL(12,2))) AS m
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT r.r_name AS region, n.n_name AS nation,
+           s.s_suppkey AS suppkey, s.s_name AS supplier,
+           CAST(CAST(s.s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS acctbal_c
+    FROM supplier s
+    JOIN mn ON mn.s_nationkey = s.s_nationkey
+           AND CAST(s.s_acctbal AS DECIMAL(12,2)) = mn.m
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    ORDER BY region, nation, suppkey
+    """,
+    "TPC-H Q2 shape: correlated-MIN subquery decorrelated into a per-group "
+    "aggregate joined back on (group key, min value) — ties all survive, as "
+    "in the reference query. Both the min table and the snowflake dims "
+    "broadcast; the supplier scan never shuffles",
+)
+def q71(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    bal = F.col("s_acctbal").cast(DEC2)
+    mn = s.groupBy(F.col("s_nationkey").alias("mn_nationkey")).agg(
+        F.min(bal).alias("m")
+    )
+    return (
+        s.join(
+            F.broadcast(mn),
+            (F.col("s_nationkey") == F.col("mn_nationkey")) & (bal == F.col("m")),
+        )
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier"),
+            (bal * 100).cast("bigint").alias("acctbal_c"),
+        )
+        .orderBy("region", "nation", "suppkey")
+    )
+
+
+@_register(
+    "q72_top_revenue_supplier",
+    """
+    WITH r AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(6,4)))) * 10000 AS BIGINT)
+               AS rev_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    ), m AS (SELECT MAX(rev_e4) AS mx FROM r)
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supplier, r.rev_e4
+    FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey, m
+    WHERE r.rev_e4 = m.mx
+    ORDER BY suppkey
+    """,
+    "TPC-H Q15 shape: revenue view + select-where-equal-to-global-MAX. "
+    "Tie-safe by construction (all maxima survive; exact integer revenue "
+    "means no float-equality hazard). The max is a broadcast scalar over "
+    "the already-aggregated view — no second fact scan",
+)
+def q72(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice").cast(DEC2) * (
+        F.lit(1) - F.col("l_discount").cast(RATE)
+    )
+    r = li.groupBy("l_suppkey").agg(
+        (F.sum(rev) * 10000).cast("bigint").alias("rev_e4")
+    )
+    m = r.agg(F.max("rev_e4").alias("mx"))
+    return (
+        r.crossJoin(F.broadcast(m))
+        .filter(F.col("rev_e4") == F.col("mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier"),
+            "rev_e4",
+        )
+        .orderBy("suppkey")
+    )
+
+
+@_register(
+    "q73_lone_late_shipper",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      GROUP BY 1, 2
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supplier, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, suppkey
+    LIMIT 20
+    """,
+    "TPC-H Q21 shape: EXISTS + NOT EXISTS correlated self-joins on the same "
+    "fact table — suppliers who were the ONLY late shipper (ship > order "
+    "date + 90d; the data has no commit/receipt dates) in a multi-supplier "
+    "finished order. Spark plan: distinct late (order,supp) pairs, then a "
+    "left-semi (another supplier exists) and a left-anti (no OTHER late "
+    "supplier) against key projections of the same relation",
+)
+def q73(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    late3 = late.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+    )
+    lone = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        lone.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier"),
+            "numwait",
+        )
+        .orderBy(F.desc("numwait"), "suppkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "q74_market_share",
+    """
+    WITH y AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS year,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(6,4)))) * 10000 AS BIGINT)
+               AS total_e4,
+             CAST(SUM(CASE WHEN ns.n_name = 'NATION_2'
+                           THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                * (1 - CAST(l.l_discount AS DECIMAL(6,4)))
+                           ELSE 0 END) * 10000 AS BIGINT) AS nation_e4
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = nc.n_regionkey AND r.r_name = 'ASIA'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      GROUP BY 1
+    )
+    SELECT year, total_e4, nation_e4,
+           nation_e4 * 10000 // total_e4 AS share_bp
+    FROM y ORDER BY year
+    """,
+    "TPC-H Q8 shape: market share — one supplier nation's revenue fraction "
+    "per year within one consumer region. 6-way snowflake with TWO roles "
+    "for nation (customer side filters via region; supplier side feeds the "
+    "CASE); the share CASE rides inside the partial aggregate, share as "
+    "integer basis points",
+)
+def q74(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nc = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_nationkey"),
+        F.col("n_regionkey").alias("nc_regionkey"),
+    )
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_nationkey"),
+        F.col("n_name").alias("ns_name"),
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice").cast(DEC2) * (
+        F.lit(1) - F.col("l_discount").cast(RATE)
+    )
+    nation_rev = F.when(F.col("ns_name") == "NATION_2", rev).otherwise(
+        F.lit(0).cast(DEC2)
+    )
+    y = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_nationkey"))
+        .join(F.broadcast(r), F.col("nc_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("year"))
+        .agg(
+            (F.sum(rev) * 10000).cast("bigint").alias("total_e4"),
+            (F.sum(nation_rev) * 10000).cast("bigint").alias("nation_e4"),
+        )
+    )
+    return y.select(
+        "year",
+        "total_e4",
+        "nation_e4",
+        F.expr("nation_e4 * 10000 DIV total_e4").alias("share_bp"),
+    ).orderBy("year")
+
+
+@_register(
+    "q75_returned_items",
+    """
+    SELECT c.c_custkey AS custkey, c.c_name AS customer, n.n_name AS nation,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(6,4)))) * 10000 AS BIGINT)
+             AS lost_e4
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY 1, 2, 3
+    ORDER BY lost_e4 DESC, custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10 shape: returned-item revenue ranking — date-windowed orders "
+    "join returned lineitems, customer + nation dims broadcast, top-20 by "
+    "exact integer lost revenue with unique custkey tie-break",
+)
+def q75(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast(DEC2) * (
+        F.lit(1) - F.col("l_discount").cast(RATE)
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("customer"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(rev) * 10000).cast("bigint").alias("lost_e4"),
+        )
+        .orderBy(F.desc("lost_e4"), "custkey")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
