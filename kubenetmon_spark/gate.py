@@ -2710,12 +2710,15 @@ def q72(spark, sf_dir):
     ORDER BY numwait DESC, suppkey
     LIMIT 20
     """,
-    "TPC-H Q21 shape: EXISTS + NOT EXISTS correlated self-joins on the same "
-    "fact table — suppliers who were the ONLY late shipper (ship > order "
-    "date + 90d; the data has no commit/receipt dates) in a multi-supplier "
-    "finished order. Spark plan: distinct late (order,supp) pairs, then a "
-    "left-semi (another supplier exists) and a left-anti (no OTHER late "
-    "supplier) against key projections of the same relation",
+    "TPC-H Q21 shape: EXISTS + NOT EXISTS correlated self-joins (the oracle "
+    "form) — suppliers who were the ONLY late shipper (ship > order date + "
+    "90d; the data has no commit/receipt dates) in a multi-supplier finished "
+    "order. The Spark plan uses the classic decorrelation instead of literal "
+    "semi/anti self-joins (which would compute `late` twice and broadcast a "
+    "fact projection): two per-order aggregates, both hash-partitioned on "
+    "l_orderkey, joined exchange-free — EXISTS becomes n_supps >= 2, NOT "
+    "EXISTS becomes n_late_supps = 1, and the lone supplier is MIN(supp) "
+    "of a 1-element set. One fact scan per aggregate, no self-broadcast",
 )
 def q73(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -2725,38 +2728,28 @@ def q73(spark, sf_dir):
         .select("o_orderkey", "o_orderdate")
     )
     s = _t(spark, sf_dir, "supplier")
-    late = (
+    late_per_order = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    others = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"),
-        F.col("l_suppkey").alias("o2_suppkey"),
-    )
-    late3 = late.select(
-        F.col("l_orderkey").alias("l3_orderkey"),
-        F.col("l_suppkey").alias("l3_suppkey"),
-    )
-    lone = (
-        late.join(
-            others,
-            (F.col("l_orderkey") == F.col("o2_orderkey"))
-            & (F.col("l_suppkey") != F.col("o2_suppkey")),
-            "left_semi",
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_late_supps"),
+            F.min("l_suppkey").alias("late_suppkey"),
         )
-        .join(
-            late3,
-            (F.col("l_orderkey") == F.col("l3_orderkey"))
-            & (F.col("l_suppkey") != F.col("l3_suppkey")),
-            "left_anti",
-        )
+        .filter(F.col("n_late_supps") == 1)
+    )
+    supps_per_order = (
+        li.groupBy(F.col("l_orderkey").alias("all_orderkey"))
+        .agg(F.countDistinct("l_suppkey").alias("n_supps"))
+        .filter(F.col("n_supps") >= 2)
+    )
+    lone = late_per_order.join(
+        supps_per_order, F.col("l_orderkey") == F.col("all_orderkey")
     )
     return (
-        lone.groupBy("l_suppkey")
+        lone.groupBy("late_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("late_suppkey"))
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("supplier"),

@@ -127,3 +127,62 @@ def test_sessionize_single_fact_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1, (
         "sessionize should shuffle exactly once (on the session key)"
     )
+
+
+def test_disjunctive_scan_pushes_per_side_residuals(spark):
+    """q69 (TPC-H Q19 shape): the OR-of-ANDs spans both join sides, but
+    each side's weaker residual must still reach its own scan — the
+    lineitem scan filters on the union of quantity ranges, the part scan
+    on the brand/size disjunction — and the dim side broadcasts."""
+    from kubenetmon_spark.gate import gate_queries
+
+    plan = _plan(gate_queries()["q69_disjunctive_scan"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    li_scan = [
+        l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l
+    ][0]
+    assert "l_quantity" in li_scan.split("DataFilters")[1].split("]")[0], (
+        "quantity-range union not pushed to the lineitem scan"
+    )
+    p_scan = [l for l in plan.splitlines() if "FileScan" in l and "part.parquet" in l][0]
+    assert "p_brand" in p_scan.split("DataFilters")[1].split("]")[0], (
+        "brand disjunction not pushed to the part scan"
+    )
+
+
+def test_lone_late_shipper_decorrelated_no_fact_broadcast(spark):
+    """q73 (TPC-H Q21 shape): the Spark plan must be the decorrelated
+    aggregate form — no semi/anti self-joins (which recompute the late
+    relation) and, critically for 100 TB, no broadcast built directly
+    over a lineitem scan (a literal EXISTS rewrite broadcasts a fact
+    projection)."""
+    from kubenetmon_spark.gate import gate_queries
+
+    plan = _plan(gate_queries()["q73_lone_late_shipper"](spark, SF_DIR))
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    # A broadcast subtree may contain a lineitem scan only BELOW an
+    # aggregation (broadcasting a per-order aggregate is a size decision
+    # AQE revisits at scale); a scan that reaches the broadcast without
+    # passing through HashAggregate is a raw fact broadcast — never legal.
+    for section in plan.split("BroadcastExchange")[1:]:
+        for line in section.splitlines():
+            if "HashAggregate" in line:
+                break
+            assert not ("FileScan" in line and "lineitem" in line), (
+                "a raw lineitem projection is being broadcast — fact-side "
+                "broadcast does not survive scale-up"
+            )
+
+
+def test_market_share_one_fact_shuffle_all_dims_broadcast(spark):
+    """q74 (TPC-H Q8 shape): 6 joins, but the fact side must reach the
+    aggregation through broadcast joins only — exactly one
+    hashpartitioning exchange (the year group-by), plus the final sort's
+    range partitioning."""
+    from kubenetmon_spark.gate import gate_queries
+
+    plan = _plan(gate_queries()["q74_market_share"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "market share should shuffle fact rows exactly once (group key)"
+    )
