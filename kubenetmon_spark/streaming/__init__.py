@@ -1,3 +1,7 @@
+from kubenetmon_spark.streaming.dedup import (
+    dedup_within_watermark,
+    interval_join_streams,
+)
 from kubenetmon_spark.streaming.job import (
     ingest_metrics,
     parse_kafka_observations,
@@ -14,9 +18,11 @@ from kubenetmon_spark.streaming.sessions import (
 )
 
 __all__ = [
+    "dedup_within_watermark",
     "deltify_batch",
     "deltify_stream",
     "ingest_metrics",
+    "interval_join_streams",
     "parse_kafka_observations",
     "read_observations",
     "read_observations_kafka",
