@@ -2883,6 +2883,69 @@ def q75(spark, sf_dir):
     )
 
 
+@_register(
+    "q76_keyword_search",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    )
+    SELECT doc_id, COUNT(DISTINCT token) AS n_match, COUNT(*) AS total_tf
+    FROM toks WHERE token IN ('spark', 'join', 'window')
+    GROUP BY doc_id
+    ORDER BY n_match DESC, total_tf DESC, doc_id
+    LIMIT 10
+    """,
+    "lexical retrieval, integer-deterministic ranking: (#distinct query "
+    "terms present, total tf, doc id). The float-scored BM25 counterpart "
+    "(operators/retrieval.py::bm25_topk) is NumPy-validated in "
+    "test_retrieval.py — floats deliberately stay out of the hash gate",
+)
+def q76(spark, sf_dir):
+    from kubenetmon_spark.operators.retrieval import keyword_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return keyword_topk(d, ["spark", "join", "window"], k=10)
+
+
+@_register(
+    "q77_inverted_index",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ), per_doc AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM toks
+      WHERE token != '' GROUP BY 1, 2
+    )
+    SELECT token, COUNT(*) AS n_docs, CAST(SUM(tf) AS BIGINT) AS total_tf,
+           to_json(list(doc_id ORDER BY doc_id)) AS postings
+    FROM per_doc GROUP BY token HAVING COUNT(*) >= 50
+    ORDER BY token
+    """,
+    "inverted-index build: term -> (doc frequency, collection tf, sorted "
+    "posting list). Postings serialize to canonical JSON so the array is "
+    "hash-comparable across engines; min_docs=50 mirrors a stop-list-"
+    "free index over the driver corpus's dense vocabulary",
+)
+def q77(spark, sf_dir):
+    from kubenetmon_spark.operators.retrieval import build_inverted_index
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        build_inverted_index(d, min_docs=50)
+        .select(
+            "token",
+            "n_docs",
+            "total_tf",
+            F.to_json("postings").alias("postings"),
+        )
+        .orderBy("token")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

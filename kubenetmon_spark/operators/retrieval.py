@@ -1,0 +1,158 @@
+"""Distributed text retrieval: inverted index, keyword search, BM25.
+
+The reference engine's query surface is SQL over structured flows; a
+training-data platform additionally needs lexical retrieval over the
+document corpus (find near-matches for a probe set, audit contamination,
+build dictionaries). Everything here is expressed with built-in
+DataFrame ops — explode, aggregate, broadcast join — so Catalyst keeps
+the whole pipeline in codegen and the only shuffles are the per-doc and
+per-term aggregations.
+
+Scale posture (100 TB corpus):
+- ``tokenize`` is a projection + explode: no shuffle, no Python.
+- ``build_inverted_index`` shuffles once on term; posting lists are the
+  classic skew hazard (stopword terms), so postings are capped with
+  ``max_postings`` (keep-lowest-doc_id semantics, deterministic) the way
+  production indexes cap/stop-list hot terms.
+- ``keyword_topk``/``bm25_topk`` filter to query terms IMMEDIATELY after
+  the explode — the per-(doc,term) aggregate touches only matching
+  tokens, never the full token stream. Document lengths (BM25's dl) do
+  need a full-corpus pass; at scale that aggregate is computed once and
+  reused across queries, which is exactly how ``doc_lengths`` is split
+  out here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, token) pairs: lowercased, whitespace-split, empties dropped.
+
+    Whitespace tokenization matches the rest of the text stack
+    (operators/text.py) and is exactly reproducible in ANSI SQL, which
+    keeps every retrieval query oracle-checkable.
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+                "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+    )
+
+
+def doc_lengths(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Tokens per document — BM25's dl, one row per doc."""
+    return tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+
+
+def build_inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 1,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """term -> (n_docs, total_tf, postings) with postings a sorted doc-id
+    array. ``max_postings`` caps hot terms by keeping the lowest doc ids
+    (deterministic); ``n_docs``/``total_tf`` still reflect the full
+    corpus so scoring stays exact even where postings are truncated.
+    """
+    per_doc = (
+        tokenize(df, text_col, id_col)
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idx = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tf").alias("total_tf"),
+        F.sort_array(F.collect_list(F.col(id_col))).alias("postings"),
+    )
+    if max_postings is not None:
+        idx = idx.withColumn("postings", F.slice("postings", 1, max_postings))
+    return idx.filter(F.col("n_docs") >= min_docs)
+
+
+def keyword_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integer-deterministic keyword retrieval: rank by (#distinct query
+    terms present, total tf of query terms, doc id). No floats anywhere,
+    so results are engine-portable — this is the oracle-checkable
+    counterpart of ``bm25_topk``.
+    """
+    toks = tokenize(df, text_col, id_col).filter(F.col("token").isin(query_terms))
+    return (
+        toks.groupBy(id_col)
+        .agg(
+            F.countDistinct("token").alias("n_match"),
+            F.count(F.lit(1)).alias("total_tf"),
+        )
+        .orderBy(F.desc("n_match"), F.desc("total_tf"), id_col)
+        .limit(k)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranking (Robertson/Sparck Jones idf, the Lucene variant:
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)), always positive).
+
+    Entirely built-in expressions: the idf table is |query| rows and
+    broadcast; N/avgdl is a broadcast scalar; the only fact-side work is
+    the tf aggregate over query-matching tokens plus the corpus-length
+    aggregate. Ties broken by doc id. Scores are doubles — validated in
+    tests against an independent NumPy implementation, deliberately NOT
+    part of the hash-equality gate (see keyword_topk for that).
+    """
+    toks = tokenize(df, text_col, id_col)
+    dl = doc_lengths(toks, id_col)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qtoks = toks.filter(F.col("token").isin(query_terms))
+    tf = qtoks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats.select("n_corpus"))).select(
+        "token",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_corpus") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("term_score").alias("score"))
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

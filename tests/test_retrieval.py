@@ -1,0 +1,112 @@
+"""Retrieval operators: BM25 validated against an independent pure-Python
+implementation; inverted-index and keyword-search invariants."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from kubenetmon_spark.operators.retrieval import (
+    bm25_topk,
+    build_inverted_index,
+    doc_lengths,
+    keyword_topk,
+    tokenize,
+)
+from kubenetmon_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+QUERY = ["spark", "join", "window"]
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"\s+", text.strip().lower()) if t]
+
+
+def _py_bm25(rows, query, k1=1.2, b=0.75):
+    docs = {doc_id: _py_tokens(text) for doc_id, text in rows}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {
+        q: sum(1 for toks in docs.values() if q in toks)
+        for q in query
+    }
+    scores = {}
+    for doc_id, toks in docs.items():
+        s = 0.0
+        for q in query:
+            tf = toks.count(q)
+            if tf == 0 or df[q] == 0:
+                continue
+            idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if s > 0:
+            scores[doc_id] = s
+    return scores
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").select("doc_id", "text").cache()
+
+
+def test_bm25_matches_pure_python(spark, docs):
+    got = {r.doc_id: r.score for r in bm25_topk(docs, QUERY, k=20).collect()}
+    expected = _py_bm25([(r.doc_id, r.text) for r in docs.collect()], QUERY)
+    top = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(got) == [doc_id for doc_id, _ in top]
+    for doc_id, score in top:
+        assert got[doc_id] == pytest.approx(score, rel=1e-9)
+
+
+def test_keyword_topk_subsumed_by_bm25_candidates(spark, docs):
+    """Every keyword_topk hit contains at least one query term, and
+    n_match/total_tf agree with a direct recount."""
+    hits = keyword_topk(docs, QUERY, k=10).collect()
+    assert len(hits) == 10
+    text_by_id = {r.doc_id: r.text for r in docs.collect()}
+    for h in hits:
+        toks = _py_tokens(text_by_id[h.doc_id])
+        matches = [t for t in toks if t in QUERY]
+        assert h.n_match == len(set(matches))
+        assert h.total_tf == len(matches)
+    # ranking is (n_match desc, total_tf desc, doc_id)
+    ranks = [(-h.n_match, -h.total_tf, h.doc_id) for h in hits]
+    assert ranks == sorted(ranks)
+
+
+def test_inverted_index_postings_sorted_and_exact(spark, docs):
+    idx = {r.token: r for r in build_inverted_index(docs).collect()}
+    # recount one mid-frequency term directly
+    term = "spark"
+    by_doc = {}
+    for r in docs.collect():
+        tf = _py_tokens(r.text).count(term)
+        if tf:
+            by_doc[r.doc_id] = tf
+    row = idx[term]
+    assert row.n_docs == len(by_doc)
+    assert row.total_tf == sum(by_doc.values())
+    assert row.postings == sorted(by_doc)
+
+
+def test_inverted_index_caps_postings_but_not_stats(spark, docs):
+    full = {r.token: r for r in build_inverted_index(docs).collect()}
+    capped = {
+        r.token: r for r in build_inverted_index(docs, max_postings=5).collect()
+    }
+    for term, row in capped.items():
+        assert row.postings == full[term].postings[:5]
+        assert row.n_docs == full[term].n_docs
+        assert row.total_tf == full[term].total_tf
+
+
+def test_doc_lengths_total_matches_token_count(spark, docs):
+    toks = tokenize(docs)
+    total = toks.count()
+    assert (
+        doc_lengths(toks).agg(F.sum("dl")).collect()[0][0] == total
+    )
