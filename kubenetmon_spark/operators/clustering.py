@@ -1,0 +1,166 @@
+"""Distributed k-means (Lloyd's) over embedding columns.
+
+The trainer for the IVF index (operators/similarity.py::ivf_topk uses a
+fixed deterministic "init" so its gate oracle can reproduce the
+partition; real deployments train centroids first). Also the generic
+clustering primitive a training-data pipeline needs: topic bucketing,
+dedup-by-cluster, stratified mixture control.
+
+Spark-first shape, sized for 100 TB:
+- **Assignment** is the only per-row work: an Arrow-batched
+  ``mapInPandas`` computing ``argmin ||v - c||^2`` with one NumPy block
+  matmul per batch against the broadcast (k x dim) centroid matrix —
+  the same pattern as the cosine near-dup operator (higher-order SQL
+  lambdas are interpreted in Spark; NumPy batches are ~10-20x faster).
+- **Update** is a two-level reduction that never collects vectors: the
+  same pass emits per-batch partial sums (k rows per batch), which
+  aggregate to k x (dim + 1) scalars via ``element_at`` sums (codegen'd,
+  no interpreted lambda) — only that k x dim matrix reaches the driver
+  each iteration.
+- Per-iteration cost: one scan + one k-row shuffle. Centroids stay tiny
+  (k * dim * 8 bytes), so the loop is scan-bound, exactly as it should
+  be.
+
+Determinism: init = the k lowest-id vectors (like IVF's fixed init).
+Floating-point partial-sum order varies across partitionings, so two
+runs can differ in the last ulp; tests therefore validate against an
+independent NumPy implementation with tolerances, and cluster-quality
+invariants (monotone inertia, label purity) rather than bit equality.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+
+def _init_centroids(
+    vectors: DataFrame, k: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(rows)}")
+    return np.array([list(r[1]) for r in rows], dtype=np.float64)
+
+
+def _partials_schema(dim: int) -> str:
+    return "cluster int, cnt long, vecsum array<double>"
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 10,
+    n_iter: int = 10,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd's iterations; returns the (k, dim) centroid matrix.
+
+    Stops early when the max centroid shift (L2) drops below ``tol``.
+    Empty clusters keep their previous centroid (deterministic, no
+    respawn randomness).
+    """
+    cents = _init_centroids(vectors, k, id_col, vec_col)
+    dim = cents.shape[1]
+    sc = vectors.sparkSession.sparkContext
+
+    for _ in range(n_iter):
+        bc = sc.broadcast(cents)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = bc.value
+            c_sq = (c * c).sum(axis=1)
+            for b in batches:
+                if not len(b):
+                    continue
+                v = np.array([np.asarray(x, dtype=np.float64) for x in b[vec_col]])
+                # ||v-c||^2 = v.v - 2 v.c + c.c; v.v constant per row
+                assign = np.argmin(-2.0 * (v @ c.T) + c_sq, axis=1)
+                out_rows = []
+                for cl in np.unique(assign):
+                    mask = assign == cl
+                    out_rows.append(
+                        (int(cl), int(mask.sum()), v[mask].sum(axis=0).tolist())
+                    )
+                yield pd.DataFrame(
+                    out_rows, columns=["cluster", "cnt", "vecsum"]
+                )
+
+        agg = (
+            vectors.select(vec_col)
+            .mapInPandas(partials, schema=_partials_schema(dim))
+            .groupBy("cluster")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                *[
+                    F.sum(F.element_at("vecsum", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new_cents = cents.copy()
+        for row in agg:
+            cl = row["cluster"]
+            s = np.array([row[f"s{i}"] for i in range(dim)])
+            new_cents[cl] = s / row["cnt"]
+        bc.destroy()
+        shift = float(np.sqrt(((new_cents - cents) ** 2).sum(axis=1)).max())
+        cents = new_cents
+        if shift < tol:
+            break
+    return cents
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``cluster`` (argmin squared L2, ties -> lowest id) and
+    ``sq_dist``. One Arrow pass, no shuffle — at scale, write ``cluster``
+    out as a partition column and IVF probes become partition-pruned
+    scans (see ivf_topk's scale note)."""
+    sc = vectors.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        c_sq = (c * c).sum(axis=1)
+        for b in batches:
+            if not len(b):
+                continue
+            v = np.array([np.asarray(x, dtype=np.float64) for x in b[vec_col]])
+            d = -2.0 * (v @ c.T) + c_sq
+            cl = np.argmin(d, axis=1)
+            b = b.copy()
+            b["cluster"] = cl.astype(np.int32)
+            b["sq_dist"] = d[np.arange(len(v)), cl] + (v * v).sum(axis=1)
+            yield b
+
+    schema = StructType(
+        list(vectors.schema.fields)
+        + [
+            StructField("cluster", IntegerType()),
+            StructField("sq_dist", DoubleType()),
+        ]
+    )
+    return vectors.mapInPandas(assign, schema=schema)
+
+
+def kmeans_inertia(assigned: DataFrame) -> float:
+    """Sum of squared distances of the ``kmeans_assign`` output —
+    the quantity Lloyd's iterations monotonically decrease."""
+    return assigned.agg(F.sum("sq_dist")).collect()[0][0]
