@@ -2946,6 +2946,128 @@ def q77(spark, sf_dir):
     )
 
 
+@_register(
+    "q78_chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(generate_series(0, greatest(len(toks) - 1, 0), 48)) AS start
+      FROM t WHERE len(toks) > 0 AND toks[1] != ''
+    )
+    SELECT doc_id, CAST(start // 48 AS INTEGER) AS chunk_idx,
+           CAST(LEAST(64, n - start) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk
+    FROM s
+    """,
+    "document chunking into overlapping token windows (window 64, overlap "
+    "16): explode of a computed offset sequence — no shuffle, output "
+    "volume predictable from token counts. Chunk text itself is part of "
+    "the hash gate",
+)
+def q78(spark, sf_dir):
+    from kubenetmon_spark.operators.curation import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    c = chunk_documents(d, window=64, overlap=16)
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "chunk",
+    )
+
+
+@_register(
+    "q79_pack_sequences",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT doc_id, source, n_tokens,
+             CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                   - n_tokens) // 512 AS BIGINT) AS bin
+      FROM d
+    )
+    SELECT source, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM b GROUP BY source, bin
+    ORDER BY source, bin
+    """,
+    "concat-then-split sequence packing into 512-token bins, per source "
+    "shard: one windowed cumulative sum partitioned by shard (never a "
+    "global sort), bin = tokens-before // budget. Oversized docs keep "
+    "their bin (overflow), as in training packers",
+)
+def q79(spark, sf_dir):
+    from kubenetmon_spark.operators.curation import pack_greedy
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    packed = pack_greedy(
+        d, budget=512, token_col="n_tokens", order_col="doc_id", shard_col="source"
+    )
+    return (
+        packed.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+@_register(
+    "q80_mixture_sample",
+    """
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_doc
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE source WHEN 'src0' THEN '8000'
+                      WHEN 'src1' THEN '4000'
+                      WHEN 'src2' THEN '2000'
+                      WHEN 'src3' THEN '0ccc'
+                      ELSE '0666' END
+    GROUP BY source ORDER BY source
+    """,
+    "per-source mixture sampling: deterministic md5 threshold per stratum "
+    "(50%/25%/12.5%/5%, default 2.5%) — a narrow filter on the scan; "
+    "changing one source's rate never reshuffles another source's sample",
+)
+def q80(spark, sf_dir):
+    from kubenetmon_spark.operators.curation import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        d,
+        rates_bp={"src0": 5000, "src1": 2500, "src2": 1250, "src3": 500},
+        stratum_col="source",
+        id_col="doc_id",
+        default_bp=250,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

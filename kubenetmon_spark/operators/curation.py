@@ -1,0 +1,116 @@
+"""Training-data curation: chunking, sequence packing, mixture sampling.
+
+The last mile of a pretraining pipeline, downstream of dedup/quality:
+split documents into model-window-sized chunks, pack them into fixed
+token budgets, and draw per-source mixture proportions. All three are
+pure DataFrame expressions — no UDFs, no state — so they run at corpus
+scale as scan + (at most) one windowed pass, and each is exactly
+reproducible in ANSI SQL for the correctness gate.
+
+Scale posture:
+- ``chunk_documents``: projection + explode of a computed offset
+  sequence; no shuffle. Chunk count = ceil(tokens/step) per doc, so
+  output size is predictable from input stats.
+- ``pack_greedy``: the classic concat-then-split packing. A running
+  token total within each shard assigns bin = cum_before // budget.
+  The window runs per ``shard_col`` — never a global sort; shards
+  (source files, date buckets) are how real pipelines bound the
+  sequential dependency of packing. A document larger than the budget
+  keeps its bin (overflow), exactly like concat-and-split training
+  tokenizers.
+- ``mixture_sample``: per-stratum deterministic hash thresholds
+  (sampling.py convention: md5 of the stable id, first 4 hex chars).
+  The decision is a pure function of (id, stratum rate) — identical
+  across runs, engines, partitionings; changing one source's rate
+  never reshuffles another source's sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kubenetmon_spark.operators.sampling import _BUCKETS
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode documents into overlapping token windows.
+
+    Output: (id, chunk_idx, n_tokens, chunk) with chunk_idx dense from 0,
+    stride = window - overlap, last chunk short. Empty documents produce
+    no chunks.
+    """
+    if not 0 <= overlap < window:
+        raise ValueError("need 0 <= overlap < window")
+    step = window - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.size(toks).alias("_n"),
+    ).filter((F.col("_n") > 0) & (F.element_at("_toks", 1) != ""))
+    return (
+        base.select(
+            id_col,
+            "_toks",
+            "_n",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(step))
+            ).alias("_start"),
+        )
+        .select(
+            id_col,
+            (F.col("_start") / step).cast("int").alias("chunk_idx"),
+            F.least(F.lit(window), F.col("_n") - F.col("_start")).alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("_start") + 1, window), " "
+            ).alias("chunk"),
+        )
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    order_col: str,
+    shard_col: str,
+) -> DataFrame:
+    """Assign each row a pack/bin id: contiguous concat-then-split
+    packing within each shard, in ``order_col`` order.
+
+    bin = (sum of tokens of all earlier rows in the shard) // budget.
+    Deterministic given a unique order column; the window partitions by
+    shard so no global sort exists at any scale.
+    """
+    w = Window.partitionBy(shard_col).orderBy(order_col)
+    cum_before = F.sum(token_col).over(w) - F.col(token_col)
+    return df.withColumn("bin", F.floor(cum_before / budget))
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates_bp: dict[str, int],
+    stratum_col: str,
+    id_col: str,
+    default_bp: int = 0,
+) -> DataFrame:
+    """Keep ~rates_bp[stratum]/10000 of each stratum's rows, decided
+    per-row by md5(id) against the stratum's threshold. Strata missing
+    from ``rates_bp`` fall back to ``default_bp`` (0 = drop)."""
+    hex4 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+
+    def thr(bp: int) -> str:
+        return format(int(_BUCKETS * bp / 10000), "04x")
+
+    expr = F.lit(thr(default_bp))
+    for stratum, bp in sorted(rates_bp.items()):
+        expr = F.when(F.col(stratum_col) == stratum, F.lit(thr(bp))).otherwise(expr)
+    return df.filter(hex4 < expr)

@@ -1,0 +1,107 @@
+"""Curation operators: chunk/pack/mixture invariants recomputed
+independently in Python."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from kubenetmon_spark.operators.curation import (
+    chunk_documents,
+    mixture_sample,
+    pack_greedy,
+)
+from kubenetmon_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+def _toks(text):
+    return [t for t in re.split(r"\s+", text.strip()) if t]
+
+
+def test_chunks_without_overlap_reconstruct_documents(spark, docs):
+    sample = docs.limit(30)
+    chunks = chunk_documents(sample, window=10, overlap=0).collect()
+    texts = {r.doc_id: r.text for r in sample.collect()}
+    by_doc = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append((c.chunk_idx, c.chunk))
+    assert set(by_doc) == {d for d, t in texts.items() if _toks(t)}
+    for doc_id, parts in by_doc.items():
+        parts.sort()
+        assert [i for i, _ in parts] == list(range(len(parts)))
+        rebuilt = " ".join(p for _, p in parts).split(" ")
+        assert rebuilt == _toks(texts[doc_id])
+
+
+def test_chunk_overlap_consistency(spark, docs):
+    window, overlap = 12, 4
+    chunks = chunk_documents(docs.limit(10), window=window, overlap=overlap).collect()
+    by_doc = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    for cs in by_doc.values():
+        cs.sort(key=lambda c: c.chunk_idx)
+        for a, b in zip(cs, cs[1:]):
+            a_toks, b_toks = a.chunk.split(" "), b.chunk.split(" ")
+            if len(a_toks) == window:
+                assert a_toks[-overlap:] == b_toks[: overlap if len(b_toks) >= overlap else len(b_toks)]
+            assert b.n_tokens == len(b_toks)
+
+
+def test_chunk_rejects_bad_params(spark, docs):
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=8, overlap=8)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=8, overlap=-1)
+
+
+def test_pack_matches_python_recount(spark, docs):
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    packed = pack_greedy(
+        d, budget=256, token_col="n_tokens", order_col="doc_id", shard_col="source"
+    ).collect()
+    by_shard = {}
+    for r in sorted(packed, key=lambda r: (r.source, r.doc_id)):
+        cum = by_shard.get(r.source, 0)
+        assert r.bin == cum // 256
+        by_shard[r.source] = cum + r.n_tokens
+    # bins are dense from 0 within each shard
+    bins = {}
+    for r in packed:
+        bins.setdefault(r.source, set()).add(r.bin)
+    for s, bs in bins.items():
+        assert bs == set(range(max(bs) + 1))
+
+
+def test_mixture_sample_rates_and_independence(spark, docs):
+    rates = {"src0": 5000, "src1": 1250}
+    kept = mixture_sample(docs, rates, "source", "doc_id", default_bp=0)
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r.source: r.n for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) <= {"src0", "src1"}  # default 0 drops the rest
+    # per-row decision matches an independent md5 recount
+    kept_ids = {(r.source, r.doc_id) for r in kept.collect()}
+    for r in docs.collect():
+        h = hashlib.md5(str(r.doc_id).encode()).hexdigest()[:4]
+        thr = {"src0": "8000", "src1": "2000"}.get(r.source)
+        expected = thr is not None and h < thr
+        assert ((r.source, r.doc_id) in kept_ids) == expected
+    # independence: doubling src1's rate leaves src0's kept set unchanged
+    kept2 = mixture_sample(docs, {"src0": 5000, "src1": 2500}, "source", "doc_id")
+    src0_a = {r.doc_id for r in kept.collect() if r.source == "src0"}
+    src0_b = {r.doc_id for r in kept2.collect() if r.source == "src0"}
+    assert src0_a == src0_b
