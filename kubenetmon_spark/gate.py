@@ -3068,6 +3068,50 @@ def q80(spark, sf_dir):
     )
 
 
+@_register(
+    "q81_contamination",
+    """
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0),
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+    csh AS (
+      SELECT DISTINCT doc_id AS corpus_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(a) - 2, 0)),
+        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]))) AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+            FROM corpus)
+    ), bsh AS (
+      SELECT DISTINCT doc_id AS bench_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(a) - 2, 0)),
+        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]))) AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+            FROM bench)
+    ), bsz AS (SELECT bench_id, COUNT(*) AS bench_total FROM bsh GROUP BY 1),
+    inter AS (
+      SELECT corpus_id, bench_id, COUNT(*) AS shared
+      FROM csh JOIN bsh USING (shingle) GROUP BY 1, 2
+    )
+    SELECT corpus_id, bench_id, shared, bench_total,
+           shared * 10000 // bench_total AS containment_bp
+    FROM inter JOIN bsz USING (bench_id)
+    WHERE shared * 10000 // bench_total >= 250
+    ORDER BY corpus_id, bench_id
+    """,
+    "benchmark decontamination: asymmetric n-gram containment (shared / "
+    "|benchmark shingles|, basis points) of a deterministic eval subset "
+    "(doc_id % 97 = 0) inside the remaining corpus. Benchmark shingles "
+    "broadcast -> zero corpus-side shuffle before the match-count agg",
+)
+def q81(spark, sf_dir):
+    from kubenetmon_spark.operators.contamination import contamination_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return contamination_pairs(
+        corpus, bench, "doc_id", "text", n=3, threshold_bp=250
+    ).orderBy("corpus_id", "bench_id")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

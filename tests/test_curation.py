@@ -105,3 +105,59 @@ def test_mixture_sample_rates_and_independence(spark, docs):
     src0_a = {r.doc_id for r in kept.collect() if r.source == "src0"}
     src0_b = {r.doc_id for r in kept2.collect() if r.source == "src0"}
     assert src0_a == src0_b
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def test_contamination_full_quote_scores_10000(spark):
+    from kubenetmon_spark.operators.contamination import (
+        contamination_pairs,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # full quote embedded in a longer doc -> containment 10000
+            (1, "xx yy alpha beta gamma delta epsilon zz ww qq"),
+            # partial: shares 1 of the 3 bench shingles
+            (2, "alpha beta gamma something else entirely here"),
+            # no overlap
+            (3, "totally different words with no shared trigrams at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        r.corpus_id: r
+        for r in contamination_pairs(corpus, bench, threshold_bp=1).collect()
+    }
+    assert pairs[1].containment_bp == 10000
+    assert pairs[2].containment_bp == 3333  # 1/3 floor bp
+    assert 3 not in pairs
+    clean = decontaminate(corpus, bench, threshold_bp=5000)
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 3]
+
+
+def test_contamination_asymmetry_vs_jaccard(spark):
+    """A short benchmark item fully inside a long doc: containment maxes
+    out while Jaccard stays tiny — the reason dedup can't do this job."""
+    from kubenetmon_spark.operators.contamination import contamination_pairs
+    from kubenetmon_spark.operators.dedup import jaccard_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(300)) + " needle one two three"
+    bench = spark.createDataFrame(
+        [(7, "needle one two three")], "doc_id long, text string"
+    )
+    both = spark.createDataFrame(
+        [(1, long_text), (7, "needle one two three")], "doc_id long, text string"
+    )
+    cont = contamination_pairs(
+        both.filter("doc_id = 1"), bench, threshold_bp=1
+    ).collect()
+    assert cont[0].containment_bp == 10000
+    jac = jaccard_pairs(both, "doc_id", "text", n=3, threshold_bp=500).collect()
+    assert jac == []  # 2 shared / ~300 union < 5%
