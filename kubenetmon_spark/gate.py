@@ -3112,6 +3112,51 @@ def q81(spark, sf_dir):
     ).orderBy("corpus_id", "bench_id")
 
 
+@_register(
+    "q82_moment_profile",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_e2,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                * 10000 AS BIGINT) AS sumsq_e4,
+           CAST(MIN(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS min_e2,
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS max_e2
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "exact algebraic moment sums (the core of ClickHouse's varSamp/"
+    "avg surface) as integers — variance/mean derive driver-side; the "
+    "distributed aggregation never touches a float, so results are "
+    "identical under any shuffle order",
+)
+def q82(spark, sf_dir):
+    from kubenetmon_spark.operators.agg import exact_moments
+
+    ev = _t(spark, sf_dir, "events")
+    return exact_moments(ev, "value", ["event_type"]).orderBy("event_type")
+
+
+@_register(
+    "q83_value_histogram",
+    """
+    SELECT event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 2500 AS bucket,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+    "fixed-width histogram (25.00-unit buckets) via integer floor "
+    "division — shuffle key cardinality = groups x buckets, independent "
+    "of row count",
+)
+def q83(spark, sf_dir):
+    from kubenetmon_spark.operators.agg import width_bucket_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return width_bucket_histogram(
+        ev, "value", ["event_type"], bucket_width_e2=2500
+    ).orderBy("event_type", "bucket")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -32,3 +32,49 @@ def two_phase_count_distinct(
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias(out_col))
     )
+
+
+def exact_moments(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    decimals: int = 2,
+) -> DataFrame:
+    """Order-independent moment sums for 2-decimal measures, as exact
+    integers: n, sum (1e2 units), sum of squares (1e4 units), min/max.
+
+    Downstream stats derive in one driver-side step — mean = sum_e2 /
+    (100 n), variance = (n*sumsq_e4*1e0 - sum_e2^2) / (1e4 n^2) — but the
+    distributed aggregation itself never touches a float, so the result
+    is identical under any shuffle/merge order and any engine (the
+    ClickHouse-style varSamp/quantile surface, split into its exact
+    algebraic core). Plain partial-aggregating shuffle; skew-neutral.
+    """
+    v = F.col(value_col).cast(f"decimal(18,{decimals})")
+    e = 10**decimals
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(v) * e).cast("bigint").alias("sum_e2"),
+        (F.sum(v * v) * e * e).cast("bigint").alias("sumsq_e4"),
+        (F.min(v) * e).cast("bigint").alias("min_e2"),
+        (F.max(v) * e).cast("bigint").alias("max_e2"),
+    )
+
+
+def width_bucket_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    bucket_width_e2: int,
+    decimals: int = 2,
+) -> DataFrame:
+    """Fixed-width histogram over a 2-decimal measure: bucket = value in
+    1e2 units // bucket_width_e2 (integer floor — engine-exact), counts
+    per (group, bucket). One partial-aggregating shuffle whose key
+    cardinality is groups x buckets, independent of row count."""
+    v_e2 = (F.col(value_col).cast(f"decimal(18,{decimals})") * (10**decimals)).cast(
+        "bigint"
+    )
+    return df.groupBy(
+        *group_cols, F.floor(v_e2 / bucket_width_e2).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -358,3 +358,35 @@ class TestHeavyHitters:
         assert len(c) <= 2 and "a" in c
         # undercount: a's stored count dropped by the eviction threshold
         assert c["a"] < 100
+
+
+class TestExactMoments:
+    def test_variance_derives_exactly(self, spark):
+        from kubenetmon_spark.operators.agg import exact_moments
+        from kubenetmon_spark.tables import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        rows = {r.event_type: r for r in exact_moments(ev, "value", ["event_type"]).collect()}
+        vals = {}
+        for r in ev.select("event_type", "value").collect():
+            vals.setdefault(r.event_type, []).append(round(r.value, 2))
+        import statistics
+
+        for et, xs in vals.items():
+            m = rows[et]
+            assert m.n == len(xs)
+            assert m.sum_e2 == round(sum(round(x * 100) for x in xs))
+            mean = m.sum_e2 / (100 * m.n)
+            assert mean == pytest.approx(statistics.fmean(xs), rel=1e-9)
+            var = (m.n * m.sumsq_e4 - m.sum_e2 * m.sum_e2) / (10000 * m.n * m.n)
+            assert var == pytest.approx(statistics.pvariance(xs), rel=1e-6)
+
+    def test_histogram_counts_total(self, spark):
+        from kubenetmon_spark.operators.agg import width_bucket_histogram
+        from kubenetmon_spark.tables import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        h = width_bucket_histogram(ev, "value", ["event_type"], bucket_width_e2=2500)
+        assert h.agg(F.sum("n")).collect()[0][0] == ev.count()
+        for r in h.collect():
+            assert r.bucket >= 0
