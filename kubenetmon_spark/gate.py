@@ -3157,6 +3157,233 @@ def q83(spark, sf_dir):
     ).orderBy("event_type", "bucket")
 
 
+@_register(
+    "q84_window_funnel",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch(date_trunc('second', ts)) AS t
+      FROM events
+    ),
+    base AS (
+      SELECT DISTINCT user_id FROM e
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+    l2 AS (
+      SELECT DISTINCT a.user_id
+      FROM e a JOIN e b ON a.user_id = b.user_id
+      WHERE a.event_type = 'view' AND b.event_type = 'click'
+        AND b.t > a.t AND b.t - a.t <= 21600
+    ),
+    l3 AS (
+      SELECT DISTINCT a.user_id
+      FROM e a
+      JOIN e b ON a.user_id = b.user_id
+      JOIN e c ON a.user_id = c.user_id
+      WHERE a.event_type = 'view' AND b.event_type = 'click'
+        AND c.event_type = 'purchase'
+        AND b.t > a.t AND c.t > b.t AND c.t - a.t <= 21600
+    )
+    SELECT b.user_id,
+           CAST(CASE WHEN b.user_id IN (SELECT user_id FROM l3) THEN 3
+                     WHEN b.user_id IN (SELECT user_id FROM l2) THEN 2
+                     WHEN b.user_id IN (SELECT user_id FROM l1) THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_level
+    FROM base b ORDER BY user_id
+    """,
+    "ClickHouse windowFunnel analogue: per-user max funnel depth for "
+    "view->click->purchase with every step within 6h of the first and "
+    "strictly increasing timestamps. Spark side is the one-shuffle "
+    "Arrow DP of operators/funnel.py; the oracle states the same "
+    "semantics declaratively as EXISTS-chains (provably equivalent — "
+    "see the operator docstring's exchange argument)",
+)
+def q84(spark, sf_dir):
+    from kubenetmon_spark.operators.funnel import window_funnel
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.date_trunc("second", "ts"))
+    return window_funnel(
+        ev, ["view", "click", "purchase"], window_seconds=21600
+    ).orderBy("user_id")
+
+
+@_register(
+    "q85_sequence_count",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch(date_trunc('second', ts)) AS t
+      FROM events
+    )
+    SELECT t.user_id, COUNT(*) AS n_conversions
+    FROM e t
+    WHERE t.event_type = 'purchase' AND EXISTS (
+      SELECT 1 FROM e f
+      WHERE f.user_id = t.user_id AND f.event_type = 'view'
+        AND f.t < t.t AND t.t - f.t <= 21600
+    )
+    GROUP BY t.user_id ORDER BY t.user_id
+    """,
+    "ClickHouse sequenceCount two-step shape: purchases with a view "
+    "strictly before them within 6h. Spark side is pure built-ins — a "
+    "rangeBetween window over integer microseconds (exact strictness, "
+    "no Python); oracle is the set-wise EXISTS definition",
+)
+def q85(spark, sf_dir):
+    from kubenetmon_spark.operators.funnel import sequence_count
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.date_trunc("second", "ts"))
+    return sequence_count(ev, "view", "purchase", window_seconds=21600).orderBy(
+        "user_id"
+    )
+
+
+@_register(
+    "q86_behavior_signature",
+    """
+    WITH s AS (
+      SELECT user_id,
+             array_to_string(list_sort(list(DISTINCT event_type)), ',') AS signature
+      FROM events GROUP BY user_id
+    )
+    SELECT signature, COUNT(*) AS n_users, MIN(user_id) AS min_user
+    FROM s GROUP BY signature ORDER BY signature
+    """,
+    "ordered set aggregation (ClickHouse groupUniqArray + "
+    "arrayStringConcat): per-user sorted distinct event-type signature, "
+    "then users per signature — two-level aggregation where the inner "
+    "key is an array-valued aggregate made deterministic by sorting",
+)
+def q86(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    sig = ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "signature"
+        )
+    )
+    return (
+        sig.groupBy("signature")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("user_id").alias("min_user"),
+        )
+        .orderBy("signature")
+    )
+
+
+@_register(
+    "q87_argmax",
+    """
+    WITH k AS (
+      SELECT event_type, user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * 1000000000000 + event_id AS key
+      FROM events
+    )
+    SELECT event_type,
+           arg_max(user_id, key) AS top_user,
+           arg_min(user_id, key) AS bottom_user,
+           CAST(MAX(key) // 1000000000000 AS BIGINT) AS max_value_e2
+    FROM k GROUP BY event_type ORDER BY event_type
+    """,
+    "ClickHouse argMax/argMin surface via Spark max_by/min_by. The "
+    "ordering key packs (value_e2, event_id) into one int64 so ties "
+    "break identically in any engine — float comparators never decide",
+)
+def q87(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    key = (
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        * F.lit(1_000_000_000_000).cast("long")
+        + F.col("event_id")
+    ).alias("key")
+    k = ev.select("event_type", "user_id", key)
+    return (
+        k.groupBy("event_type")
+        .agg(
+            F.max_by("user_id", F.col("key")).alias("top_user"),
+            F.min_by("user_id", F.col("key")).alias("bottom_user"),
+            F.max("key").alias("_mk"),
+        )
+        .select(
+            "event_type",
+            "top_user",
+            "bottom_user",
+            F.expr("_mk div 1000000000000").alias("max_value_e2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "q88_fuzzy_pairs",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS typ FROM part
+    )
+    SELECT a.typ AS block,
+           COUNT(*) AS n_close_pairs,
+           CAST(MIN(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_d,
+           CAST(SUM(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS sum_d,
+           MIN(a.p_partkey * 10000000 + b.p_partkey) AS min_pair
+    FROM p a JOIN p b
+      ON a.typ = b.typ AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    GROUP BY a.typ ORDER BY block
+    """,
+    "fuzzy record linkage: blocked edit-distance self-join on part names "
+    "(block = part type token). Spark side runs the length-band prefilter "
+    "+ threshold-bounded 3-arg levenshtein of operators/fuzzy.py; the "
+    "oracle recomputes every surviving distance exactly",
+)
+def q88(spark, sf_dir):
+    from kubenetmon_spark.operators.fuzzy import blocked_levenshtein_pairs
+
+    p = _t(spark, sf_dir, "part")
+    pairs = blocked_levenshtein_pairs(
+        p,
+        id_col="p_partkey",
+        text_col="p_name",
+        block_col=F.element_at(F.split("p_name", " "), 2),
+        max_distance=3,
+    )
+    return (
+        pairs.groupBy("block")
+        .agg(
+            F.count(F.lit(1)).alias("n_close_pairs"),
+            F.min("distance").alias("min_d"),
+            F.sum("distance").alias("sum_d"),
+            F.min(F.col("a_id") * 10000000 + F.col("b_id")).alias("min_pair"),
+        )
+        .orderBy("block")
+    )
+
+
+@_register(
+    "q89_semantic_dedup",
+    None,  # kmeans centroids are float-order sensitive -> rows-only check
+    "SemDeDup (cluster-scoped cosine pruning): k-means bucketing keeps "
+    "the quadratic similarity term local to a cluster. Rows-only gate "
+    "by design (centroid floats vary in the last ulp across partition "
+    "orders); exactness is covered by tests/test_clustering.py and the "
+    "NumPy-reference test for semantic_dedup",
+)
+def q89(spark, sf_dir):
+    from kubenetmon_spark.operators.clustering import kmeans_fit
+    from kubenetmon_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, n_iter=5)
+    pruned = semantic_dedup(emb, cents, threshold=0.9)
+    return (
+        pruned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -269,3 +269,83 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard_bp") >= verify_threshold_bp)
         .select("id_1", "id_2", "jaccard_bp")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space, then greedily drop items whose cosine similarity to
+    an already-kept item in the SAME cluster exceeds ``threshold``.
+
+    Survivor rule is deterministic: iterate ids ascending within each
+    cluster, keep an item iff its max cosine to every previously-kept
+    item is < threshold. Returns ``(id_col, cluster, keep, max_sim)``
+    where ``max_sim`` is the similarity to the closest previously-kept
+    item (-1.0 for the first item of a cluster).
+
+    Scale shape: assignment is a shuffle-free Arrow scan against the
+    broadcast centroid matrix (``kmeans_assign``); pruning is ONE hash
+    shuffle on ``cluster`` followed by an O(m^2) NumPy block matmul per
+    cluster — the whole point of SemDeDup is that m ~ n/k keeps the
+    quadratic term local and bounded, vs the global O(n^2) of
+    ``cosine_near_dup_pairs``. Oversized clusters are the skew hazard:
+    raise k (finer clustering) rather than capping rows.
+    """
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from kubenetmon_spark.operators.clustering import kmeans_assign
+
+    assigned = kmeans_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    slim = assigned.select(id_col, vec_col, "cluster")
+    id_type = dict(slim.dtypes)[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType() if id_type == "bigint" else slim.schema[id_col].dataType),
+            StructField("cluster", IntegerType()),
+            StructField("keep", BooleanType()),
+            StructField("max_sim", DoubleType()),
+        ]
+    )
+
+    def prune(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+        norms = np.linalg.norm(v, axis=1)
+        norms[norms == 0.0] = 1.0
+        v = v / norms[:, None]
+        sims = v @ v.T
+        m = len(pdf)
+        keep = np.zeros(m, dtype=bool)
+        max_sim = np.full(m, -1.0)
+        kept_idx: list[int] = []
+        for i in range(m):
+            if kept_idx:
+                max_sim[i] = sims[i, kept_idx].max()
+            if max_sim[i] < threshold:
+                keep[i] = True
+                kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                "cluster": np.full(m, key[0], dtype=np.int32),
+                "keep": keep,
+                "max_sim": max_sim,
+            }
+        )
+
+    return slim.groupBy("cluster").applyInPandas(prune, out_schema)

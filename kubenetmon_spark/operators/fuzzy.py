@@ -1,0 +1,68 @@
+"""Fuzzy string matching: blocked edit-distance self-join.
+
+Record-linkage / near-duplicate matching for short strings (names, product
+titles, entity labels) — the classic LLM-data-curation and MDM primitive
+that complements the token-set dedup family (``operators/dedup.py``): edit
+distance catches typo-level variants that shingle Jaccard misses on short
+strings.
+
+Scale design: an all-pairs edit-distance join is O(n^2) and never viable;
+the standard fix is **blocking** — only pairs sharing a cheap-to-compute
+block key are compared. The join is then an equi-join on the block key
+(broadcast or shuffle, Catalyst's choice), and within a block two
+scan-side prefilters run before the quadratic comparator:
+
+- length band: |len(a) - len(b)| <= d is a necessary condition for
+  levenshtein(a, b) <= d and costs two pushed-down ints;
+- Spark's 3-arg ``levenshtein(l, r, threshold)`` short-circuits the DP
+  once the threshold is exceeded (O(d * min(len)) instead of O(len^2)).
+
+Skewed blocks (one hot key) split under AQE skew-join handling; a hard
+``max_block`` cap is deliberately NOT applied here because dropping rows
+changes answers — callers with pathological blocks should refine the
+block key instead (e.g. add a length bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def blocked_levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | Column,
+    max_distance: int,
+) -> DataFrame:
+    """All pairs (a, b) with ``a.id < b.id`` sharing a block key and
+    ``levenshtein(a.text, b.text) <= max_distance``.
+
+    Returns columns: ``block``, ``a_id``, ``b_id``, ``distance``.
+    """
+    block = F.col(block_col) if isinstance(block_col, str) else block_col
+    slim = df.select(
+        block.alias("block"),
+        F.col(id_col).alias("a_id"),
+        F.col(text_col).alias("a_text"),
+        F.length(text_col).alias("a_len"),
+    )
+    right = slim.select(
+        F.col("block"),
+        F.col("a_id").alias("b_id"),
+        F.col("a_text").alias("b_text"),
+        F.col("a_len").alias("b_len"),
+    )
+    pairs = slim.join(right, on="block").filter(
+        (F.col("a_id") < F.col("b_id"))
+        & (F.abs(F.col("a_len") - F.col("b_len")) <= max_distance)
+    )
+    # 3-arg levenshtein (threshold-bounded DP) returns -1 when the bound
+    # is exceeded; keep only true matches and re-emit the exact distance.
+    d = F.levenshtein(F.col("a_text"), F.col("b_text"), int(max_distance))
+    return (
+        pairs.withColumn("distance", d.cast("long"))
+        .filter(F.col("distance") >= 0)
+        .select("block", "a_id", "b_id", "distance")
+    )

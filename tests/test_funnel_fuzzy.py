@@ -1,0 +1,252 @@
+"""Tests for funnel analysis (windowFunnel/sequenceCount analogues),
+blocked fuzzy matching, and semantic dedup — each checked against an
+independent brute-force Python reference on randomized inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kubenetmon_spark.operators.funnel import sequence_count, window_funnel
+from kubenetmon_spark.operators.fuzzy import blocked_levenshtein_pairs
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _events_df(spark, rows):
+    # rows: (user_id, offset_seconds, event_type)
+    return spark.createDataFrame(
+        [(u, EPOCH + dt.timedelta(seconds=s), t) for u, s, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def _brute_funnel(rows, steps, window_s):
+    """Exists-a-chain reference: try every combination (tiny inputs)."""
+    by_user: dict[int, list[tuple[int, str]]] = {}
+    for u, s, t in rows:
+        if t in steps:
+            by_user.setdefault(u, []).append((s, t))
+    out = {}
+    for u, evs in by_user.items():
+        best = 0
+        for lvl in range(len(steps), 0, -1):
+            found = False
+            pools = [
+                sorted(s for s, t in evs if t == steps[i]) for i in range(lvl)
+            ]
+            for combo in itertools.product(*pools):
+                if all(combo[i] < combo[i + 1] for i in range(lvl - 1)) and (
+                    combo[-1] - combo[0] <= window_s
+                ):
+                    found = True
+                    break
+            if found:
+                best = lvl
+                break
+        out[u] = best
+    return out
+
+
+class TestWindowFunnel:
+    def test_basic_chain(self, spark):
+        rows = [
+            (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),  # full
+            (2, 0, "view"), (2, 10, "click"),                        # level 2
+            (3, 0, "click"), (3, 10, "purchase"),                    # no view
+            (4, 0, "view"), (4, 5000, "click"),                      # window miss
+        ]
+        got = {
+            r["user_id"]: r["funnel_level"]
+            for r in window_funnel(
+                _events_df(spark, rows), ["view", "click", "purchase"], 100
+            ).collect()
+        }
+        assert got == {1: 3, 2: 2, 3: 0, 4: 1}
+
+    def test_equal_timestamps_never_chain(self, spark):
+        rows = [(1, 0, "view"), (1, 0, "click"), (1, 1, "click")]
+        got = window_funnel(
+            _events_df(spark, rows), ["view", "click"], 100
+        ).collect()
+        assert got[0]["funnel_level"] == 2  # via the t=1 click, not the tie
+
+    def test_window_binds_to_chain_start(self, spark):
+        # Late restart: the second view starts a fresh chain whose window
+        # accommodates the purchase — max-start DP must pick it up.
+        rows = [
+            (1, 0, "view"), (1, 10, "click"),
+            (1, 200, "view"), (1, 210, "click"), (1, 250, "purchase"),
+        ]
+        got = window_funnel(
+            _events_df(spark, rows), ["view", "click", "purchase"], 60
+        ).collect()
+        assert got[0]["funnel_level"] == 3
+
+    def test_randomized_against_brute_force(self, spark):
+        rng = random.Random(7)
+        steps = ["a", "b", "c"]
+        rows = []
+        for u in range(12):
+            n = rng.randint(0, 12)
+            offs = rng.sample(range(0, 500), n)
+            for s in offs:
+                rows.append((u, s, rng.choice(["a", "b", "c", "x"])))
+        expected = _brute_funnel(rows, steps, 120)
+        got = {
+            r["user_id"]: r["funnel_level"]
+            for r in window_funnel(_events_df(spark, rows), steps, 120).collect()
+        }
+        assert got == expected
+
+    def test_duplicate_steps_rejected(self, spark):
+        with pytest.raises(ValueError):
+            window_funnel(_events_df(spark, []), ["a", "a"], 10)
+
+
+class TestSequenceCount:
+    def test_counts_then_events_with_prior_first(self, spark):
+        rows = [
+            (1, 0, "view"),
+            (1, 10, "purchase"),   # counts
+            (1, 20, "purchase"),   # counts (same view)
+            (1, 4000, "purchase"), # window miss
+            (2, 5, "purchase"),    # no prior view
+            (2, 6, "view"),
+        ]
+        got = {
+            r["user_id"]: r["n_conversions"]
+            for r in sequence_count(
+                _events_df(spark, rows), "view", "purchase", 100
+            ).collect()
+        }
+        assert got == {1: 2}
+
+    def test_tie_does_not_mask_earlier_first(self, spark):
+        # view@0, then view@10 and purchase@10 tie: the purchase must
+        # still convert via the strictly-earlier view@0.
+        rows = [(1, 0, "view"), (1, 10, "view"), (1, 10, "purchase")]
+        got = sequence_count(_events_df(spark, rows), "view", "purchase", 100)
+        assert got.collect()[0]["n_conversions"] == 1
+
+    def test_randomized_against_reference(self, spark):
+        rng = random.Random(11)
+        rows = []
+        for u in range(10):
+            for s in rng.sample(range(0, 300), rng.randint(0, 15)):
+                rows.append((u, s, rng.choice(["view", "purchase", "x"])))
+        W = 50
+        expected: dict[int, int] = {}
+        for u, s, t in rows:
+            if t != "purchase":
+                continue
+            if any(
+                f_t == "view" and f_s < s and s - f_s <= W
+                for f_u, f_s, f_t in rows
+                if f_u == u
+            ):
+                expected[u] = expected.get(u, 0) + 1
+        got = {
+            r["user_id"]: r["n_conversions"]
+            for r in sequence_count(
+                _events_df(spark, rows), "view", "purchase", W
+            ).collect()
+        }
+        assert got == expected
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class TestFuzzyPairs:
+    def test_matches_python_levenshtein(self, spark):
+        words = [
+            "small ring", "smell ring", "red ring", "red king", "blue bolt",
+            "blue belt", "blue bolts", "green anvil", "grain anvil",
+        ]
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "id long, name string"
+        )
+        got = {
+            (r["a_id"], r["b_id"]): r["distance"]
+            for r in blocked_levenshtein_pairs(
+                df, "id", "name", F.element_at(F.split("name", " "), 2), 3
+            ).collect()
+        }
+        expected = {}
+        for i, j in itertools.combinations(range(len(words)), 2):
+            if words[i].split()[1] != words[j].split()[1]:
+                continue
+            d = _py_lev(words[i], words[j])
+            if d <= 3:
+                expected[(i, j)] = d
+        assert got == expected
+
+    def test_blocking_prunes_cross_block_pairs(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a ring"), (1, "a rings")], "id long, name string"
+        )
+        # distance 1 but different blocks -> no pair
+        out = blocked_levenshtein_pairs(
+            df, "id", "name", F.element_at(F.split("name", " "), 2), 3
+        )
+        assert out.count() == 0
+
+
+class TestSemanticDedup:
+    def test_matches_numpy_greedy(self, spark):
+        from kubenetmon_spark.operators.dedup import semantic_dedup
+
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(4, 8))
+        rows = []
+        vid = 0
+        for c in range(4):
+            for _ in range(10):
+                v = base[c] + rng.normal(scale=0.05, size=8)
+                rows.append((vid, v.tolist()))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = base.copy()
+        got = semantic_dedup(df, cents, threshold=0.995)
+        got_rows = {r["vec_id"]: (r["cluster"], r["keep"]) for r in got.collect()}
+
+        # independent reference
+        V = np.array([r[1] for r in rows])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        d = -2 * (V @ cents.T) + (cents * cents).sum(axis=1)
+        assign = d.argmin(axis=1)
+        expected = {}
+        for c in np.unique(assign):
+            ids = np.where(assign == c)[0]
+            kept: list[int] = []
+            for i in ids:
+                ms = max((Vn[i] @ Vn[j] for j in kept), default=-1.0)
+                keep = ms < 0.995
+                if keep:
+                    kept.append(i)
+                expected[i] = (c, keep)
+        assert got_rows == expected
+
+    def test_zero_vector_safe(self, spark):
+        from kubenetmon_spark.operators.dedup import semantic_dedup
+
+        df = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = semantic_dedup(df, np.array([[1.0, 0.0]]), threshold=0.99).collect()
+        kept = {r["vec_id"]: r["keep"] for r in out}
+        assert kept[0] and kept[1] and not kept[2]
