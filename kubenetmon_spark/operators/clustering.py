@@ -75,6 +75,10 @@ def kmeans_fit(
     dim = cents.shape[1]
     sc = vectors.sparkSession.sparkContext
 
+    # Each Lloyd's iteration is an action over the same input; persist it
+    # once so iterations 2..n read cached columnar batches, not parquet.
+    vec_slim = vectors.select(vec_col).persist()
+
     for _ in range(n_iter):
         bc = sc.broadcast(cents)
 
@@ -98,7 +102,7 @@ def kmeans_fit(
                 )
 
         agg = (
-            vectors.select(vec_col)
+            vec_slim
             .mapInPandas(partials, schema=_partials_schema(dim))
             .groupBy("cluster")
             .agg(
@@ -120,6 +124,7 @@ def kmeans_fit(
         cents = new_cents
         if shift < tol:
             break
+    vec_slim.unpersist()
     return cents
 
 

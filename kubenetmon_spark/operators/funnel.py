@@ -18,25 +18,36 @@ This "exists a chain" definition is equivalent to ClickHouse's default
 (non-strict modes aside) and — unlike an imperative scan — has a direct
 SQL formulation via EXISTS joins, which the correctness gate exercises.
 
-Plan shape: filter to step events (scan-side, pushed down) -> one hash
-shuffle on the user key -> Arrow-batched per-user DP. State per user is
-one timestamp per funnel level, so a 100 TB event log funnels with
-shuffle volume = step events only and O(levels) memory per key.
+Plan shape: filter to step events (scan-side, pushed down) -> ONE hash
+shuffle + ONE sort on (user, ts) -> L-1 cascaded window functions over
+the SAME window spec (Spark computes them in a single pass over the
+sorted partition) -> per-user aggregate. Everything stays JVM-side; no
+Python, no per-group overhead. State per (user, level) is one running
+max, so a 100 TB event log funnels with shuffle volume = step events
+only.
 
-The DP keeps, per level i, the **latest** chain-start timestamp among
-chains reaching level i using only events processed so far. Exchange
-argument for correctness: a later start can extend in every case an
-earlier start can (the window constraint ``t - start <= window`` only
-loosens as start grows, and event-order feasibility is guaranteed by
-processing events in timestamp order with per-timestamp snapshots for
-strictness). So "exists a chain to level i" == "DP filled seen[i]".
+The recurrence (a DP over events in time order) keeps, per level i, the
+**latest** chain-start timestamp among chains reaching level i using
+only strictly-earlier events:
+
+    prev_s[0](e) = max ts of step-1 events strictly before e
+    start[i](e)  = prev_s[i-1](e)   if e is a step-(i+1) event and
+                                       ts(e) - prev_s[i-1](e) <= window
+    prev_s[i](e) = max start[i] over events strictly before e
+
+Exchange argument for correctness: a later chain-start can extend in
+every case an earlier one can (the window constraint ``t - start <=
+window`` only loosens as start grows; event-order feasibility is given
+by the strictly-earlier window frame). So "exists a chain to level i+1"
+== "start[i] is non-null somewhere", and ``rangeBetween(unbounded, -1)``
+over integer microseconds makes "strictly earlier" exact — ties never
+chain, independent of tie order.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
 
 
 def window_funnel(
@@ -58,6 +69,7 @@ def window_funnel(
     if len(set(steps)) != len(steps):
         raise ValueError("funnel steps must be distinct event types")
     user_cols = user_cols or ["user_id"]
+    from pyspark.sql.window import Window
 
     step_idx = F.when(F.col(type_col) == steps[0], 0)
     for i, s in enumerate(steps[1:], start=1):
@@ -66,52 +78,44 @@ def window_funnel(
     # Scan-side reduction: only step events reach the shuffle.
     slim = events.filter(F.col(type_col).isin(list(steps))).select(
         *user_cols,
-        F.col(ts_col).alias("_ts"),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
         step_idx.cast("int").alias("_step"),
     )
 
-    out_schema = StructType(
-        [slim.schema[c] for c in user_cols]
-        + [StructField("funnel_level", LongType(), False)]
-    )
     n_steps = len(steps)
     window_us = int(window_seconds) * 1_000_000
+    strictly_before = (
+        Window.partitionBy(*user_cols)
+        .orderBy("_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
 
-    def dp(key, pdf):
-        import numpy as np
-        import pandas as pd
+    # prev_s[i-1] -> start[i] cascade; every window shares one spec, so
+    # the physical plan is a single Exchange + Sort + one Window node.
+    out = slim
+    prev = F.max(F.when(F.col("_step") == 0, F.col("_us"))).over(strictly_before)
+    level_flags = [F.max((F.col("_step") == 0).cast("int")).alias("_l1")]
+    for i in range(1, n_steps):
+        out = out.withColumn(f"_p{i - 1}", prev)
+        start_i = F.when(
+            (F.col("_step") == i)
+            & F.col(f"_p{i - 1}").isNotNull()
+            & (F.col("_us") - F.col(f"_p{i - 1}") <= window_us),
+            F.col(f"_p{i - 1}"),
+        )
+        out = out.withColumn(f"_s{i}", start_i)
+        prev = F.max(F.col(f"_s{i}")).over(strictly_before)
+        level_flags.append(
+            F.max(F.col(f"_s{i}").isNotNull().cast("int")).alias(f"_l{i + 1}")
+        )
 
-        ts = pdf["_ts"].values.astype("datetime64[us]").astype("int64")
-        st = pdf["_step"].values
-        order = np.argsort(ts, kind="stable")
-        ts, st = ts[order], st[order]
-
-        seen = [None] * n_steps  # latest chain-start ts reaching level i
-        i, n = 0, len(ts)
-        while i < n:
-            j = i
-            while j < n and ts[j] == ts[i]:
-                j += 1
-            snapshot = list(seen)  # state from strictly-earlier timestamps
-            t = ts[i]
-            for p in range(i, j):
-                k = int(st[p])
-                if k == 0:
-                    if seen[0] is None or t > seen[0]:
-                        seen[0] = t
-                elif snapshot[k - 1] is not None and t - snapshot[k - 1] <= window_us:
-                    if seen[k] is None or snapshot[k - 1] > seen[k]:
-                        seen[k] = snapshot[k - 1]
-            i = j
-
-        level = 0
-        for lvl in range(n_steps, 0, -1):
-            if seen[lvl - 1] is not None:
-                level = lvl
-                break
-        return pd.DataFrame([list(key) + [level]], columns=list(out_schema.names))
-
-    return slim.groupBy(*user_cols).applyInPandas(dp, out_schema)
+    per_user = out.groupBy(*user_cols).agg(*level_flags)
+    level = F.lit(0)
+    for i in range(1, n_steps + 1):
+        level = F.when(F.col(f"_l{i}") == 1, i).otherwise(level)
+    return per_user.select(
+        *user_cols, level.cast("long").alias("funnel_level")
+    )
 
 
 def sequence_count(

@@ -35,11 +35,20 @@ def blocked_levenshtein_pairs(
     text_col: str,
     block_col: str | Column,
     max_distance: int,
+    probe_partitions: int | None = None,
 ) -> DataFrame:
     """All pairs (a, b) with ``a.id < b.id`` sharing a block key and
     ``levenshtein(a.text, b.text) <= max_distance``.
 
     Returns columns: ``block``, ``a_id``, ``b_id``, ``distance``.
+
+    The comparator work is quadratic in block size while the *input* is
+    tiny, so when the dim side broadcasts, task parallelism is inherited
+    from the input file layout — often a single file, i.e. one task doing
+    all the O(block^2) comparisons. ``probe_partitions`` (default: the
+    session's shuffle parallelism) repartitions the probe side first;
+    a cheap round-robin exchange of n rows buys n_cores-way parallelism
+    over the n^2 comparator.
     """
     block = F.col(block_col) if isinstance(block_col, str) else block_col
     slim = df.select(
@@ -48,13 +57,20 @@ def blocked_levenshtein_pairs(
         F.col(text_col).alias("a_text"),
         F.length(text_col).alias("a_len"),
     )
+    n_parts = probe_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    slim = slim.repartition(n_parts)
     right = slim.select(
         F.col("block"),
         F.col("a_id").alias("b_id"),
         F.col("a_text").alias("b_text"),
         F.col("a_len").alias("b_len"),
     )
-    pairs = slim.join(right, on="block").filter(
+    # Broadcast the build side explicitly: with two equally-tiny inputs
+    # Catalyst may broadcast the probe side instead, which would collapse
+    # parallelism back to the build side's file layout.
+    pairs = slim.join(F.broadcast(right), on="block").filter(
         (F.col("a_id") < F.col("b_id"))
         & (F.abs(F.col("a_len") - F.col("b_len")) <= max_distance)
     )
