@@ -1,0 +1,152 @@
+"""Tests for Z-order clustering (multi-dim data skipping) and the
+dead-letter ingest readers."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from kubenetmon_spark.operators.zorder import with_zorder_key, zorder_write
+from kubenetmon_spark.sources.ingest import dead_letter_stats, read_csv, read_jsonl
+
+
+def _morton2(x: int, y: int, bits: int) -> int:
+    out = 0
+    for b in range(bits):
+        out |= ((x >> b) & 1) << (2 * b)
+        out |= ((y >> b) & 1) << (2 * b + 1)
+    return out
+
+
+class TestZorderKey:
+    def test_interleaving_matches_reference(self, spark):
+        rows = [(x, y) for x in range(4) for y in range(4)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = {
+            (r["x"], r["y"]): r["zkey"]
+            for r in with_zorder_key(df, ["x", "y"], bits=2).collect()
+        }
+        # min-max scaling over 0..3 at 2 bits is the identity
+        for (x, y), z in got.items():
+            assert z == _morton2(x, y, 2)
+
+    def test_constant_and_null_columns_safe(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (1, 5), (1, 9)], "x long, y long"
+        )
+        out = with_zorder_key(df, ["x", "y"], bits=4).collect()
+        assert all(r["zkey"] is not None for r in out)
+
+    def test_rejects_bad_arity(self, spark):
+        df = spark.createDataFrame([(1,)], "x long")
+        with pytest.raises(ValueError):
+            with_zorder_key(df, ["x"])
+
+    def test_two_dim_skipping_beats_single_sort(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        # 64x64 grid: both dims uniform; single-column sort leaves the
+        # secondary dimension unclustered.
+        rows = [(x, y) for x in range(64) for y in range(64)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        n_files = 16
+
+        single = str(tmp_path / "single")
+        (
+            df.repartitionByRange(n_files, "x")
+            .sortWithinPartitions("x")
+            .write.mode("overwrite")
+            .parquet(single)
+        )
+        zpath = str(tmp_path / "zorder")
+        zorder_write(df, zpath, ["x", "y"], n_files=n_files)
+
+        def files_overlapping_y_box(path, lo, hi):
+            import glob
+
+            n_total, n_hit = 0, 0
+            for f in glob.glob(f"{path}/*.parquet"):
+                md = pq.read_metadata(f)
+                ymin = min(
+                    md.row_group(i).column(1).statistics.min
+                    for i in range(md.num_row_groups)
+                )
+                ymax = max(
+                    md.row_group(i).column(1).statistics.max
+                    for i in range(md.num_row_groups)
+                )
+                n_total += 1
+                if ymax >= lo and ymin <= hi:
+                    n_hit += 1
+            return n_hit, n_total
+
+        s_hit, s_total = files_overlapping_y_box(single, 10, 15)
+        z_hit, z_total = files_overlapping_y_box(zpath, 10, 15)
+        assert s_total == z_total == n_files
+        # x-sorted files all span the full y range -> nothing prunes
+        assert s_hit == n_files
+        # z-ordered files are curve segments -> most files prune away
+        assert z_hit <= n_files // 2
+
+    def test_roundtrip_preserves_rows(self, spark, tmp_path):
+        rows = [(x, x * 7 % 50) for x in range(500)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        p = str(tmp_path / "rt")
+        zorder_write(df, p, ["x", "y"], n_files=4)
+        back = spark.read.parquet(p)
+        assert back.count() == 500
+        assert set(back.columns) == {"x", "y"}
+        assert back.agg(F.sum("x")).collect()[0][0] == sum(r[0] for r in rows)
+
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+class TestDeadLetterIngest:
+    def test_jsonl_split(self, spark, tmp_path):
+        p = tmp_path / "docs.jsonl"
+        lines = [
+            json.dumps({"doc_id": 1, "text": "hello"}),
+            "{not valid json",
+            json.dumps({"doc_id": "not-a-number", "text": "oops"}),
+            json.dumps({"doc_id": 2, "text": "world"}),
+        ]
+        p.write_text("\n".join(lines) + "\n")
+        good, bad = read_jsonl(spark, str(p), DOC_SCHEMA)
+        assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+        bad_rows = [r["raw"] for r in bad.collect()]
+        assert len(bad_rows) == 2
+        assert any("not valid json" in r for r in bad_rows)
+        stats = dead_letter_stats(bad).collect()[0]
+        assert stats["n_dead"] == 2
+
+    def test_csv_split(self, spark, tmp_path):
+        p = tmp_path / "docs.csv"
+        p.write_text("doc_id,text\n1,hello\nnot-a-number,oops\n2,world\n")
+        good, bad = read_csv(spark, str(p), DOC_SCHEMA)
+        assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+        assert bad.count() == 1
+
+    def test_schema_with_corrupt_col_rejected(self, spark, tmp_path):
+        s = StructType([StructField("_corrupt_record", StringType())])
+        with pytest.raises(ValueError):
+            read_jsonl(spark, str(tmp_path), s)
+
+    def test_all_good_yields_empty_dead_letter(self, spark, tmp_path):
+        p = tmp_path / "ok.jsonl"
+        p.write_text(json.dumps({"doc_id": 5, "text": "x"}) + "\n")
+        good, bad = read_jsonl(spark, str(p), DOC_SCHEMA)
+        assert good.count() == 1 and bad.count() == 0
