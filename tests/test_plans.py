@@ -186,3 +186,24 @@ def test_market_share_one_fact_shuffle_all_dims_broadcast(spark):
     assert plan.count("Exchange hashpartitioning") == 1, (
         "market share should shuffle fact rows exactly once (group key)"
     )
+
+
+def test_funnel_single_sort_and_shuffle(spark):
+    """q84 windowFunnel: the L-1 cascaded running-max windows must share
+    ONE (user, ts) sort and ONE user-key exchange — if a window spec
+    drifts (different ordering/frame), Spark inserts a Sort per window
+    and the single-pass design is lost. The per-user aggregate must then
+    reuse the window's partitioning (subset-key rule): no second
+    hashpartitioning exchange."""
+    from kubenetmon_spark.gate import gate_queries
+
+    plan = _plan(gate_queries()["q84_window_funnel"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "funnel should shuffle step events exactly once (user key)"
+    )
+    # the final orderBy is a GLOBAL sort (flag `true`); the windows' one
+    # shared (user, ts) sort is the only LOCAL sort (flag `false`)
+    local_sorts = [
+        l for l in plan.splitlines() if "Sort [" in l and " false, 0" in l
+    ]
+    assert len(local_sorts) <= 1, f"cascaded windows re-sorted: {local_sorts}"

@@ -8,6 +8,8 @@ Usage:
   python tools/maintain.py retention <table_path> --keep-days N
   python tools/maintain.py refresh-rollup <fact_path> <rollup_path> \\
       [--keys date,direction,localPod]   # incremental MV refresh
+  python tools/maintain.py zorder <in_path> <out_path> --cols a,b \\
+      [--files N]   # rewrite clustered on a Morton curve
 """
 
 from __future__ import annotations
@@ -39,6 +41,14 @@ def main() -> int:
         default="date,direction,localPod,remotePod,connectionClass",
         help="comma-separated rollup key (must include date)",
     )
+    z = sub.add_parser(
+        "zorder",
+        help="rewrite a table clustered on the Morton curve of 2-4 columns",
+    )
+    z.add_argument("in_path")
+    z.add_argument("out_path")
+    z.add_argument("--cols", required=True, help="comma-separated numeric columns")
+    z.add_argument("--files", type=int, default=32)
     args = ap.parse_args()
 
     from kubenetmon_spark.session import get_spark
@@ -64,6 +74,12 @@ def main() -> int:
             {"bytes": F.col("bytes"), "packets": F.col("packets"), "n": F.lit(1)},
         )
         print(f"refreshed {len(changed)} partitions: {changed}")
+    elif args.cmd == "zorder":
+        from kubenetmon_spark.operators.zorder import zorder_write
+
+        df = spark.read.parquet(args.in_path)
+        zorder_write(df, args.out_path, args.cols.split(","), n_files=args.files)
+        print(f"z-ordered {args.in_path} -> {args.out_path} on {args.cols}")
     else:
         compact(spark, args.table_path, target_date=args.date)
         print(
