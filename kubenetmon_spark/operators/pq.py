@@ -1,0 +1,216 @@
+"""Product quantization (PQ) for embedding search at the 100 TB scale.
+
+IVF (`similarity.ivf_topk`) prunes WHICH vectors a query scans; int8
+quantization (`similarity.quantize_embeddings`) shrinks them 4x. PQ
+(Jegou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011) is the third standard lever: split each d-dim vector into
+``m`` subvectors, vector-quantize each subspace against its own k-entry
+codebook, and store only the m code indices — 64 floats (256 B) become
+m=8 bytes, a 32x cut, while distances remain computable directly on the
+codes via ADC (asymmetric distance computation: one (m, k) lookup table
+per query, then m table lookups + adds per row).
+
+Spark shapes, sized for 1000 executors:
+
+- **Training** is Lloyd's over ALL m subspaces in one pass: per
+  iteration, one Arrow scan emits (subspace, cluster) partial sums; one
+  m*k-row shuffle reduces them; only m*k*dsub scalars reach the driver.
+  Iteration cost is scan-bound and independent of m.
+- **Encoding** is a shuffle-free Arrow projection against the broadcast
+  codebooks; the code column is what lands at rest (the raw embedding
+  column can be dropped or tiered to cold storage).
+- **Search** never touches raw vectors: broadcast the query's ADC table,
+  one Arrow scan over codes, one k-row sort. Compose with IVF cluster
+  partition-pruning for the full FAISS-style IVFPQ layout.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _check_geometry(dim: int, m: int) -> int:
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    return dim // m
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train per-subspace codebooks; returns a (m, k, dim/m) array.
+
+    Deterministic init: the k lowest-id vectors, sliced per subspace
+    (same convention as ``clustering.kmeans_fit``). Empty clusters keep
+    their previous centroid. One scan + one m*k-row shuffle per
+    iteration, regardless of m.
+    """
+    first = (
+        vectors.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    if len(first) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(first)}")
+    dim = len(first[0][1])
+    dsub = _check_geometry(dim, m)
+    books = np.stack(
+        [
+            np.array([list(r[1]) for r in first], dtype=np.float64)[
+                :, j * dsub : (j + 1) * dsub
+            ]
+            for j in range(m)
+        ]
+    )  # (m, k, dsub)
+
+    sc = vectors.sparkSession.sparkContext
+    vec_slim = vectors.select(vec_col).persist()
+    partial_schema = "subspace int, cluster int, cnt long, vecsum array<double>"
+
+    for _ in range(n_iter):
+        bc = sc.broadcast(books)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cb = bc.value  # (m, k, dsub)
+            cb_sq = (cb * cb).sum(axis=2)  # (m, k)
+            for b in batches:
+                if not len(b):
+                    continue
+                v = np.array(
+                    [np.asarray(x, dtype=np.float64) for x in b[vec_col]]
+                ).reshape(len(b), m, dsub)
+                rows = []
+                for j in range(m):
+                    vj = v[:, j, :]  # (n, dsub)
+                    d = -2.0 * (vj @ cb[j].T) + cb_sq[j]
+                    assign = np.argmin(d, axis=1)
+                    for cl in np.unique(assign):
+                        mask = assign == cl
+                        rows.append(
+                            (j, int(cl), int(mask.sum()), vj[mask].sum(axis=0).tolist())
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["subspace", "cluster", "cnt", "vecsum"]
+                )
+
+        agg = (
+            vec_slim.mapInPandas(partials, schema=partial_schema)
+            .groupBy("subspace", "cluster")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                *[
+                    F.sum(F.element_at("vecsum", i + 1)).alias(f"s{i}")
+                    for i in range(dsub)
+                ],
+            )
+            .collect()
+        )
+        new_books = books.copy()
+        for row in agg:
+            s = np.array([row[f"s{i}"] for i in range(dsub)])
+            new_books[row["subspace"], row["cluster"]] = s / row["cnt"]
+        bc.destroy()
+        books = new_books
+
+    vec_slim.unpersist()
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Append the m-byte PQ code (array<int>, one codebook index per
+    subspace; ties -> lowest index via argmin). Shuffle-free Arrow scan."""
+    m, k, dsub = codebooks.shape
+    sc = vectors.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(codebooks, dtype=np.float64))
+
+    out_schema = StructType(
+        list(vectors.schema.fields)
+        + [StructField(out_col, ArrayType(IntegerType()), True)]
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb = bc.value
+        cb_sq = (cb * cb).sum(axis=2)
+        for b in batches:
+            if not len(b):
+                continue
+            v = np.array(
+                [np.asarray(x, dtype=np.float64) for x in b[vec_col]]
+            ).reshape(len(b), m, dsub)
+            codes = np.empty((len(b), m), dtype=np.int32)
+            for j in range(m):
+                d = -2.0 * (v[:, j, :] @ cb[j].T) + cb_sq[j]
+                codes[:, j] = np.argmin(d, axis=1)
+            b = b.copy()
+            b[out_col] = [row.tolist() for row in codes]
+            yield b
+
+    return vectors.mapInPandas(enc, out_schema)
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query_vec,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Approximate top-k nearest (squared L2) via ADC over PQ codes.
+
+    ``query_vec`` is a plain sequence of floats. The (m, k) distance
+    table is built driver-side (m*k scalars) and broadcast; scoring is
+    one Arrow pass over the code column — the raw embedding column is
+    never read. Returns (id_col, adc_dist) ascending, ties by id.
+    """
+    m, k, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64).reshape(m, dsub)
+    table = ((codebooks - q[:, None, :]) ** 2).sum(axis=2)  # (m, k)
+    sc = encoded.sparkSession.sparkContext
+    bc = sc.broadcast(table)
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), True),
+            StructField("adc_dist", DoubleType(), True),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = bc.value
+        cols = np.arange(m)
+        for b in batches:
+            if not len(b):
+                continue
+            codes = np.array([np.asarray(c, dtype=np.int64) for c in b[code_col]])
+            dist = t[cols, codes].sum(axis=1)
+            yield pd.DataFrame({id_col: b[id_col], "adc_dist": dist})
+
+    return (
+        encoded.select(id_col, code_col)
+        .mapInPandas(score, out_schema)
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(topk)
+    )
