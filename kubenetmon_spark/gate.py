@@ -3384,6 +3384,141 @@ def q89(spark, sf_dir):
     )
 
 
+@_register(
+    "q90_exp_moving_avg",
+    """
+    WITH o AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             epoch(date_trunc('second', ts)) AS t, event_id
+      FROM events
+    )
+    SELECT user_id, COUNT(*) AS n,
+           CAST(list_reduce(list(x ORDER BY t, event_id),
+                            (a, b) -> (a + b) // 2) AS BIGINT) AS ema_e2
+    FROM o GROUP BY user_id ORDER BY user_id
+    """,
+    "ClickHouse exponentialMovingAverage analogue, made engine-exact: "
+    "alpha=1/2 EMA as an integer floor-fold over the per-user "
+    "time-ordered value sequence — floor((acc+x)/2) at every step, so "
+    "no float accumulation anywhere. Spark folds with aggregate() over "
+    "a sorted collect_list (per-user arrays are micro-batch sized); the "
+    "oracle folds with DuckDB's list_reduce over an ordered list",
+)
+def q90(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+        F.col("ts").cast("long").alias("t"),
+        "event_id",
+    )
+    arr = F.array_sort(F.collect_list(F.struct("t", "event_id", "x")))
+    per_user = o.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), arr.alias("_arr")
+    )
+    xs = F.transform(F.col("_arr"), lambda s: s["x"])
+    ema = F.aggregate(
+        F.slice(xs, 2, F.size(xs) - 1),
+        F.element_at(xs, 1),
+        lambda acc, x: F.shiftright(acc + x, 1),
+    )
+    return per_user.select(
+        "user_id", "n", ema.cast("long").alias("ema_e2")
+    ).orderBy("user_id")
+
+
+@_register(
+    "q91_weighted_avg",
+    """
+    WITH o AS (
+      SELECT event_type, user_id % 5 + 1 AS w,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(w) AS BIGINT) AS sum_w,
+           CAST(SUM(w * x) AS BIGINT) AS sum_wx_e2,
+           CAST(SUM(w * x) // SUM(w) AS BIGINT) AS wavg_e2
+    FROM o GROUP BY event_type ORDER BY event_type
+    """,
+    "ClickHouse avgWeighted surface: integer weighted sums with an "
+    "exact floor-division ratio — associative, order-independent, "
+    "identical under any shuffle",
+)
+def q91(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        (F.col("user_id") % 5 + 1).alias("w"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+    )
+    return (
+        o.groupBy("event_type")
+        .agg(
+            F.sum("w").alias("sum_w"),
+            F.sum(F.col("w") * F.col("x")).alias("sum_wx_e2"),
+        )
+        .select(
+            "event_type",
+            "sum_w",
+            "sum_wx_e2",
+            F.expr("sum_wx_e2 div sum_w").alias("wavg_e2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "q92_array_analytics",
+    """
+    WITH d AS (
+      SELECT source, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT source,
+             len(toks) AS n_toks,
+             list_sum(list_transform(toks, s -> length(s))) AS sum_len,
+             list_max(list_transform(toks, s -> length(s))) AS max_len,
+             len(list_filter(toks, s -> length(s) > 4)) AS n_long
+      FROM d
+    )
+    SELECT source, CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+           CAST(SUM(sum_len) AS BIGINT) AS total_len,
+           CAST(MAX(max_len) AS BIGINT) AS max_tok_len,
+           CAST(SUM(n_long) AS BIGINT) AS total_long
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    "array higher-order-function surface parity (ClickHouse arrayMap/"
+    "arrayFilter/arraySum): transform/filter/aggregate over token "
+    "arrays, mirrored by DuckDB list lambdas. Integer outputs only. "
+    "Per the interpreted-HOF rule these stay on short per-row arrays; "
+    "corpus-scale loops belong in Arrow stages (see operators/text.py)",
+)
+def q92(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    lens = F.transform(toks, F.length)
+    per_doc = d.select(
+        "source",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.aggregate(lens, F.lit(0), lambda a, x: a + x).cast("long").alias("sum_len"),
+        F.array_max(lens).cast("long").alias("max_len"),
+        F.size(F.filter(toks, lambda s: F.length(s) > 4)).cast("long").alias("n_long"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n_toks").alias("total_toks"),
+            F.sum("sum_len").alias("total_len"),
+            F.max("max_len").alias("max_tok_len"),
+            F.sum("n_long").alias("total_long"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
