@@ -214,3 +214,128 @@ def pq_topk(
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(topk)
     )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    coarse_centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec,
+    topk: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS-style IVFPQ: coarse quantizer prunes WHICH rows are scanned,
+    residual PQ codes decide HOW each scanned row is scored.
+
+    Every vector belongs to its nearest coarse centroid (squared L2);
+    its PQ code encodes the RESIDUAL ``v - centroid`` (residuals are
+    near zero-mean, so the same codebook budget quantizes them much
+    tighter than raw vectors). A query probes its ``n_probe`` nearest
+    coarse cells and scores only those rows, each against the ADC table
+    of the query's residual in that cell.
+
+    Scale shape: assignment + encoding are one shuffle-free Arrow scan
+    (at rest, write ``coarse`` as a partition column and the probe
+    becomes a partition-pruned scan of n_probe/n_cells of the data —
+    same layout note as ``similarity.ivf_topk``); per-query work is
+    n_probe ADC tables (tiny, driver-built) + one scan over the probed
+    cells' codes. Train ``codebooks`` on residuals via
+    ``pq_train_residual``.
+    """
+    m, k, dsub = codebooks.shape
+    cc = np.asarray(coarse_centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+
+    # nearest coarse cells for the query, deterministic ties -> lowest id
+    qd = ((cc - q) ** 2).sum(axis=1)
+    probe_cells = np.argsort(qd, kind="stable")[:n_probe]
+    # one ADC table per probed cell, over the query's residual there
+    tables = {}
+    for c in probe_cells:
+        r = (q - cc[c]).reshape(m, dsub)
+        tables[int(c)] = ((codebooks - r[:, None, :]) ** 2).sum(axis=2)
+
+    sc = vectors.sparkSession.sparkContext
+    bc = sc.broadcast((cc, np.asarray(codebooks), tables))
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), True),
+            StructField("adc_dist", DoubleType(), True),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        centroids, cb, tbls = bc.value
+        cb_sq = (cb * cb).sum(axis=2)
+        cols = np.arange(m)
+        for b in batches:
+            if not len(b):
+                continue
+            v = np.array([np.asarray(x, dtype=np.float64) for x in b[vec_col]])
+            coarse = ((v[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            ids = b[id_col].to_numpy()
+            out_ids, out_d = [], []
+            for c, t in tbls.items():
+                mask = coarse == c
+                if not mask.any():
+                    continue
+                res = (v[mask] - centroids[c]).reshape(mask.sum(), m, dsub)
+                codes = np.empty((mask.sum(), m), dtype=np.int64)
+                for j in range(m):
+                    codes[:, j] = (
+                        -2.0 * (res[:, j, :] @ cb[j].T) + cb_sq[j]
+                    ).argmin(axis=1)
+                out_ids.append(ids[mask])
+                out_d.append(t[cols, codes].sum(axis=1))
+            if out_ids:
+                yield pd.DataFrame(
+                    {id_col: np.concatenate(out_ids), "adc_dist": np.concatenate(out_d)}
+                )
+
+    return (
+        vectors.select(id_col, vec_col)
+        .mapInPandas(score, out_schema)
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(topk)
+    )
+
+
+def pq_train_residual(
+    vectors: DataFrame,
+    coarse_centroids: np.ndarray,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks on coarse-quantizer RESIDUALS (the IVFPQ
+    convention): subtract each vector's nearest coarse centroid before
+    the subspace k-means. Same one-scan-per-iteration shape as
+    ``pq_train`` — the residual is computed inside the Arrow stage, so
+    no materialized residual column is ever shuffled or stored."""
+    cc = np.asarray(coarse_centroids, dtype=np.float64)
+
+    from kubenetmon_spark.operators.clustering import kmeans_assign
+
+    # residuals as a transient projection (never lands at rest)
+    assigned = kmeans_assign(vectors, cc, id_col=id_col, vec_col=vec_col)
+
+    def residualize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            v = np.array([np.asarray(x, dtype=np.float64) for x in b[vec_col]])
+            r = v - cc[b["cluster"].to_numpy()]
+            b = b.copy()
+            b[vec_col] = [row.tolist() for row in r]
+            yield b[[id_col, vec_col]]
+
+    res_schema = StructType(
+        [vectors.schema[id_col], vectors.schema[vec_col]]
+    )
+    residuals = assigned.mapInPandas(residualize, res_schema)
+    return pq_train(residuals, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)

@@ -107,3 +107,72 @@ def test_compression_ratio(spark, clustered):
     enc = pq_encode(df, books)
     row = enc.select("pq_code").first()
     assert len(row["pq_code"]) == 8  # 16 floats -> 8 small ints
+
+
+class TestIVFPQ:
+    def test_residual_training_and_search_recall(self, spark, clustered):
+        from kubenetmon_spark.operators.clustering import kmeans_fit
+        from kubenetmon_spark.operators.pq import ivfpq_topk, pq_train_residual
+
+        df, V = clustered
+        coarse = kmeans_fit(df, k=6, n_iter=5)
+        books = pq_train_residual(df, coarse, m=8, k=16, n_iter=4)
+        q = V[100]
+        got = [
+            r["vec_id"]
+            for r in ivfpq_topk(df, coarse, books, q, topk=10, n_probe=2).collect()
+        ]
+        exact = np.argsort(((V - q) ** 2).sum(axis=1))[:10].tolist()
+        recall = len(set(got) & set(exact)) / 10
+        assert recall >= 0.7, f"IVFPQ recall@10 too low: {recall}"
+
+    def test_probe_pruning_restricts_cells(self, spark, clustered):
+        from kubenetmon_spark.operators.clustering import kmeans_assign, kmeans_fit
+        from kubenetmon_spark.operators.pq import ivfpq_topk, pq_train_residual
+
+        df, V = clustered
+        coarse = kmeans_fit(df, k=6, n_iter=5)
+        books = pq_train_residual(df, coarse, m=4, k=8, n_iter=2)
+        q = V[0]
+        # with n_probe=1 every returned id must live in the query's cell
+        got = [
+            r["vec_id"]
+            for r in ivfpq_topk(df, coarse, books, q, topk=20, n_probe=1).collect()
+        ]
+        cells = {
+            r["vec_id"]: r["cluster"]
+            for r in kmeans_assign(df, coarse).select("vec_id", "cluster").collect()
+        }
+        qcell = int(((coarse - q) ** 2).sum(axis=1).argmin())
+        assert got and all(cells[i] == qcell for i in got)
+
+    def test_residuals_quantize_tighter_than_raw(self, spark, clustered):
+        """The point of residual encoding: same codebook budget, lower
+        reconstruction error than raw-vector PQ."""
+        from kubenetmon_spark.operators.clustering import kmeans_assign, kmeans_fit
+        from kubenetmon_spark.operators.pq import pq_train, pq_train_residual
+
+        df, V = clustered
+        coarse = kmeans_fit(df, k=6, n_iter=5)
+        raw_books = pq_train(df, m=4, k=8, n_iter=4)
+        res_books = pq_train_residual(df, coarse, m=4, k=8, n_iter=4)
+
+        assign = np.array(
+            [
+                r["cluster"]
+                for r in kmeans_assign(df, coarse).orderBy("vec_id").collect()
+            ]
+        )
+
+        def recon_err(X, books):
+            m, k, dsub = books.shape
+            x = X.reshape(len(X), m, dsub)
+            tot = 0.0
+            for j in range(m):
+                d = ((x[:, j, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                tot += d.min(axis=1).sum()
+            return tot
+
+        raw_err = recon_err(V, raw_books)
+        res_err = recon_err(V - coarse[assign], res_books)
+        assert res_err < raw_err
