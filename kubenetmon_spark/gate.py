@@ -3519,6 +3519,76 @@ def q92(spark, sf_dir):
     )
 
 
+@_register(
+    "q93_replacing_latest",
+    """
+    WITH v AS (
+      SELECT user_id, event_type, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM events
+    )
+    SELECT user_id, event_type,
+           MAX(event_id) AS event_id,
+           arg_max(x, event_id) AS x
+    FROM v GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    "ReplacingMergeTree merge contract: highest-version row wins per "
+    "key (version = event_id, unique so ties cannot occur). One hash "
+    "aggregation via a packed (version, payload) struct max — "
+    "operators/mergetree.py::replacing_aggregate",
+)
+def q93(spark, sf_dir):
+    from kubenetmon_spark.operators.mergetree import replacing_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+    )
+    return replacing_aggregate(
+        v, ["user_id", "event_type"], version_col="event_id"
+    ).orderBy("user_id", "event_type")
+
+
+@_register(
+    "q94_collapsing_state",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             CASE WHEN event_id % 3 = 0 THEN -1 ELSE 1 END AS sign,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(SUM(sign * x) AS BIGINT) AS net_x,
+           COUNT(*) AS n_rows
+    FROM s GROUP BY user_id, event_type
+    HAVING SUM(sign) > 0
+    ORDER BY user_id, event_type
+    """,
+    "CollapsingMergeTree read contract: sign-weighted sums with the "
+    "HAVING sum(sign) > 0 guard baked into the operator so cancelled "
+    "keys vanish — operators/mergetree.py::collapsing_aggregate "
+    "(sign simulated from event_id parity; integer sums, exact)",
+)
+def q94(spark, sf_dir):
+    from kubenetmon_spark.operators.mergetree import collapsing_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.when(F.col("event_id") % 3 == 0, -1).otherwise(1).alias("sign"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+    )
+    return collapsing_aggregate(
+        s, ["user_id", "event_type"], sign_col="sign", value_cols=["x"]
+    ).orderBy("user_id", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
