@@ -129,3 +129,40 @@ def write_flows_bucketed(
         .sortBy(*key)
         .saveAsTable(table_name)
     )
+
+
+def table_stats(path: str) -> list[dict]:
+    """Per-partition storage statistics — the ClickHouse ``system.parts``
+    observability analogue (file count, compressed bytes, row count,
+    row-group count per date partition).
+
+    Reads parquet FOOTERS only (a metadata operation, no data IO) via
+    pyarrow on the caller's machine; at warehouse scale the same numbers
+    come from the table catalog. The row counts let an operator verify
+    compaction took effect (files collapse, rows drop to the live-key
+    count) without scanning data.
+    """
+    import pyarrow.parquet as pq
+
+    root = Path(path)
+    out: list[dict] = []
+    for part in sorted(root.glob("date=*")):
+        files = sorted(part.glob("*.parquet"))
+        rows = 0
+        row_groups = 0
+        nbytes = 0
+        for f in files:
+            md = pq.read_metadata(f)
+            rows += md.num_rows
+            row_groups += md.num_row_groups
+            nbytes += f.stat().st_size
+        out.append(
+            {
+                "partition": part.name,
+                "n_files": len(files),
+                "n_rows": rows,
+                "n_row_groups": row_groups,
+                "bytes": nbytes,
+            }
+        )
+    return out

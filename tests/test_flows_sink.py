@@ -80,3 +80,22 @@ def test_sink_write_compact_retention(spark, fact, tmp_path):
     from pathlib import Path
 
     assert not list(Path(path).glob("date=*"))  # whole-part drop, like ttl_only_drop_parts
+
+
+class TestTableStats:
+    def test_stats_reflect_compaction(self, spark, fact, tmp_path):
+        from kubenetmon_spark.sink import table_stats
+
+        path = str(tmp_path / "flows")
+        rows = fact
+        write_flows(rows, path)
+        write_flows(rows, path)  # second batch: same keys again
+        before = table_stats(path)
+        assert before and all(p["n_files"] >= 2 for p in before)
+        total_before = sum(p["n_rows"] for p in before)
+
+        compact(spark, path)
+        after = table_stats(path)
+        assert sum(p["n_rows"] for p in after) < total_before
+        assert all(p["n_files"] == 1 for p in after)
+        assert [p["partition"] for p in after] == sorted(p["partition"] for p in after)
