@@ -250,3 +250,55 @@ class TestSemanticDedup:
         out = semantic_dedup(df, np.array([[1.0, 0.0]]), threshold=0.99).collect()
         kept = {r["vec_id"]: r["keep"] for r in out}
         assert kept[0] and kept[1] and not kept[2]
+
+
+class TestEmptyInputs:
+    """Empty-input robustness, matching the engine-wide contract that
+    every operator accepts an empty (but well-typed) DataFrame."""
+
+    def test_window_funnel_empty(self, spark):
+        out = window_funnel(_events_df(spark, []), ["a", "b"], 10)
+        assert out.count() == 0
+        assert out.columns == ["user_id", "funnel_level"]
+
+    def test_sequence_count_empty(self, spark):
+        assert sequence_count(_events_df(spark, []), "a", "b", 10).count() == 0
+
+    def test_fuzzy_pairs_empty(self, spark):
+        df = spark.createDataFrame([], "id long, name string")
+        out = blocked_levenshtein_pairs(
+            df, "id", "name", F.element_at(F.split("name", " "), 1), 2
+        )
+        assert out.count() == 0
+        assert out.columns == ["block", "a_id", "b_id", "distance"]
+
+    def test_semantic_dedup_empty(self, spark):
+        from kubenetmon_spark.operators.dedup import semantic_dedup
+
+        df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        out = semantic_dedup(df, np.array([[1.0, 0.0]]), threshold=0.9)
+        assert out.count() == 0
+
+    def test_zorder_key_empty(self, spark):
+        from kubenetmon_spark.operators.zorder import with_zorder_key
+
+        df = spark.createDataFrame([], "x long, y long")
+        assert with_zorder_key(df, ["x", "y"]).count() == 0
+
+    def test_replacing_collapsing_empty(self, spark):
+        from kubenetmon_spark.operators.mergetree import (
+            collapsing_aggregate,
+            replacing_aggregate,
+        )
+
+        df = spark.createDataFrame([], "k string, ver long, val long")
+        assert replacing_aggregate(df, ["k"], "ver").count() == 0
+        dfc = spark.createDataFrame([], "k string, sign int, val long")
+        assert collapsing_aggregate(dfc, ["k"], "sign", ["val"]).count() == 0
+
+    def test_pq_encode_empty(self, spark):
+        from kubenetmon_spark.operators.pq import pq_encode
+
+        df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        books = np.zeros((2, 4, 2))
+        assert pq_encode(df, books).count() == 0
