@@ -3589,6 +3589,297 @@ def q94(spark, sf_dir):
     ).orderBy("user_id", "event_type")
 
 
+@_register(
+    "q95_retention",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c0,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(c0) AS BIGINT) AS kept_1,
+           CAST(SUM(c0 * c1) AS BIGINT) AS kept_2,
+           CAST(SUM(c0 * c2) AS BIGINT) AS kept_3,
+           COUNT(*) AS cohort_users
+    FROM per_user
+    """,
+    "ClickHouse retention() aggregate: anchor condition gates every "
+    "later flag (no time ordering, per CH contract) — "
+    "operators/funnel.py::retention, one map-side-combined hash agg",
+)
+def q95(spark, sf_dir):
+    from kubenetmon_spark.operators.funnel import retention
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = retention(
+        ev,
+        [
+            F.col("event_type") == "signup",
+            F.col("event_type") == "view",
+            F.col("event_type") == "purchase",
+        ],
+    )
+    return per_user.agg(
+        F.sum("r1").alias("kept_1"),
+        F.sum("r2").alias("kept_2"),
+        F.sum("r3").alias("kept_3"),
+        F.count(F.lit(1)).alias("cohort_users"),
+    )
+
+
+@_register(
+    "q96_sequence_match",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('signup', 'click', 'purchase')
+    ),
+    u AS (SELECT DISTINCT user_id FROM s),
+    t1 AS (
+      SELECT user_id, MIN(ts) AS ts1 FROM s
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT s.user_id, MIN(s.ts) AS ts2 FROM s JOIN t1 USING (user_id)
+      WHERE s.event_type = 'click' AND s.ts > t1.ts1 GROUP BY s.user_id
+    ),
+    t3 AS (
+      SELECT s.user_id, MIN(s.ts) AS ts3 FROM s JOIN t2 USING (user_id)
+      WHERE s.event_type = 'purchase' AND s.ts > t2.ts2 GROUP BY s.user_id
+    )
+    SELECT u.user_id, (t3.user_id IS NOT NULL) AS matched
+    FROM u LEFT JOIN t3 ON u.user_id = t3.user_id
+    ORDER BY u.user_id
+    """,
+    "ClickHouse sequenceMatch('(?1).*(?2).*(?3)'): ordered existence "
+    "with strictly increasing timestamps — "
+    "operators/funnel.py::sequence_match (window_funnel with unbounded "
+    "window; oracle uses the greedy-earliest chain, equivalent for "
+    "existence)",
+)
+def q96(spark, sf_dir):
+    from kubenetmon_spark.operators.funnel import sequence_match
+
+    ev = _t(spark, sf_dir, "events")
+    return sequence_match(ev, ["signup", "click", "purchase"]).orderBy(
+        "user_id"
+    )
+
+
+@_register(
+    "q97_delta_sum",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM events
+    ),
+    d AS (
+      SELECT user_id,
+             x - LAG(x) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dx
+      FROM o
+    )
+    SELECT user_id,
+           CAST(COALESCE(SUM(CASE WHEN dx > 0 THEN dx END), 0) AS BIGINT)
+             AS delta_sum
+    FROM d GROUP BY user_id ORDER BY user_id
+    """,
+    "ClickHouse deltaSum: positive consecutive differences in time "
+    "order, integer cents — operators/timeseries.py::delta_sum, one "
+    "shuffle+sort, lag+sum in a single window pass",
+)
+def q97(spark, sf_dir):
+    from kubenetmon_spark.operators.timeseries import delta_sum
+
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+    )
+    return delta_sum(
+        o, ["user_id"], "ts", "x", "event_id", out_col="delta_sum"
+    ).orderBy("user_id")
+
+
+@_register(
+    "q98_sum_map",
+    """
+    WITH e AS (
+      SELECT user_id % 10 AS grp, event_type AS k,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events
+    ),
+    pk AS (SELECT grp, k, SUM(v) AS s FROM e GROUP BY grp, k)
+    SELECT grp,
+           '{' || string_agg('"' || k || '":' || s, ',' ORDER BY k) || '}'
+             AS sum_map_json,
+           COUNT(*) AS n_keys
+    FROM pk GROUP BY grp ORDER BY grp
+    """,
+    "ClickHouse sumMap over a map column (the connectionFlags shape, "
+    "network_flows_0.sql:9) — operators/agg.py::map_aggregate; "
+    "key-sorted entries serialize to a canonical JSON string built by "
+    "the same recipe in both engines",
+)
+def q98(spark, sf_dir):
+    from kubenetmon_spark.operators.agg import map_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    mapped = ev.select(
+        (F.col("user_id") % 10).alias("grp"),
+        F.create_map(
+            F.col("event_type"),
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+        ).alias("m"),
+    )
+    agg = map_aggregate(mapped, "m", ["grp"], how="sum", out_col="sum_map")
+    ents = F.map_entries(F.col("sum_map"))
+    as_json = F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(
+                ents,
+                lambda e: F.concat(
+                    F.lit('"'), e["key"], F.lit('":'), e["value"].cast("string")
+                ),
+            ),
+            ",",
+        ),
+        F.lit("}"),
+    )
+    return agg.select(
+        "grp",
+        as_json.alias("sum_map_json"),
+        F.size(ents).cast("long").alias("n_keys"),
+    ).orderBy("grp")
+
+
+@_register(
+    "q99_moving_sum",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(x) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS msum3
+    FROM o ORDER BY user_id, event_id
+    """,
+    "ClickHouse groupArrayMovingSum(3): per-key moving sum over the "
+    "last 3 time-ordered values — native rowsBetween window, integer "
+    "cents, unique (ts, event_id) total order in both engines",
+)
+def q99(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        o.select(
+            "user_id",
+            "event_id",
+            F.sum("x").over(w).cast("long").alias("msum3"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@_register(
+    "q100_lttb_downsample",
+    """
+    WITH pts AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY epoch(date_trunc('second', ts)), event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    bkt AS (
+      SELECT *,
+             CASE WHEN rn = 1 THEN 0
+                  WHEN rn = n THEN 11
+                  ELSE CAST(FLOOR(((rn - 2) * 10) / GREATEST(n - 2, 1)) AS BIGINT) + 1
+             END AS b
+      FROM pts
+    ),
+    sums AS (
+      SELECT event_type, b, SUM(t) AS st, SUM(v) AS sv, COUNT(*) AS c
+      FROM bkt GROUP BY event_type, b
+    ),
+    anch AS (
+      SELECT event_type, b,
+             LAG(st) OVER w AS pt, LAG(sv) OVER w AS pv, LAG(c) OVER w AS pc,
+             LEAD(st) OVER w AS nt, LEAD(sv) OVER w AS nv, LEAD(c) OVER w AS nc
+      FROM sums
+      WINDOW w AS (PARTITION BY event_type ORDER BY b)
+    ),
+    mid AS (
+      SELECT k.event_type, k.b, k.t, k.v, k.event_id, k.rn,
+             ABS((a.pt - a.pc * k.t) * (a.nv - a.nc * k.v)
+               - (a.nt - a.nc * k.t) * (a.pv - a.pc * k.v)) AS a2
+      FROM bkt k JOIN anch a ON k.event_type = a.event_type AND k.b = a.b
+      WHERE k.b > 0 AND k.b < 11
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type, b ORDER BY a2 DESC, rn ASC
+      ) AS pick
+      FROM mid
+    )
+    SELECT event_type, b AS bucket, t, v, event_id
+    FROM ranked WHERE pick = 1
+    UNION ALL
+    SELECT event_type, b AS bucket, t, v, event_id
+    FROM bkt WHERE b IN (0, 11)
+    ORDER BY event_type, bucket
+    """,
+    "ClickHouse largestTriangleThreeBuckets: 12-bucket downsample per "
+    "event_type series; parallel variant anchoring on neighbor-bucket "
+    "averages, argmax over exact int64 cross products (scaled by both "
+    "bucket counts so no division) — "
+    "operators/timeseries.py::lttb_downsample",
+)
+def q100(spark, sf_dir):
+    from kubenetmon_spark.operators.timeseries import lttb_downsample
+
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        F.col("ts").cast("long").alias("t"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v"),
+        "event_id",
+    )
+    out = lttb_downsample(o, ["event_type"], "t", "v", 12, "event_id")
+    return out.select(
+        "event_type",
+        "bucket",
+        "t",
+        "v",
+        "event_id",
+    ).orderBy("event_type", "bucket")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

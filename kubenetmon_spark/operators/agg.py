@@ -78,3 +78,41 @@ def width_bucket_histogram(
     return df.groupBy(
         *group_cols, F.floor(v_e2 / bucket_width_e2).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def map_aggregate(
+    df: DataFrame,
+    map_col: str,
+    group_cols: list[str],
+    how: str = "sum",
+    out_col: str | None = None,
+) -> DataFrame:
+    """ClickHouse ``sumMap`` / ``minMap`` / ``maxMap`` analogue:
+    element-wise aggregation of a MapType column's values by key,
+    per group. The reference's ``connectionFlags`` is exactly such a
+    map column (test/network_flows_0.sql:9); ClickHouse aggregates it
+    with the *Map combinators — Spark has no map-merging aggregate, so
+    this is the idiomatic two-level composition.
+
+    Result map entries are key-sorted (``map_from_entries`` over
+    ``array_sort``), so downstream canonical-JSON serialization is
+    deterministic.
+
+    Plan: explode(map_entries) -> groupBy(group+key) with map-side
+    combine (the only full shuffle, volume = total map entries) ->
+    groupBy(group) collect of the ALREADY-AGGREGATED per-key rows
+    (second shuffle carries one row per distinct (group, key) — tiny).
+    Both aggregations are hash aggs; nothing leaves the JVM.
+    """
+    aggs = {"sum": F.sum, "min": F.min, "max": F.max}
+    if how not in aggs:
+        raise ValueError(f"how must be one of {sorted(aggs)}")
+    out_col = out_col or f"{how}_map"
+    e = df.select(*group_cols, F.explode(map_col).alias("_k", "_v"))
+    per_key = e.groupBy(*group_cols, "_k").agg(aggs[how]("_v").alias("_a"))
+    entries = F.array_sort(
+        F.collect_list(F.struct(F.col("_k").alias("key"), F.col("_a").alias("value")))
+    )
+    return per_key.groupBy(*group_cols).agg(
+        F.map_from_entries(entries).alias(out_col)
+    )

@@ -167,3 +167,62 @@ def sequence_count(
         .agg(F.count(F.lit(1)).alias("n_conversions"))
     )
     return conv
+
+
+def retention(
+    events: DataFrame,
+    conds: list,
+    user_cols: list[str] | None = None,
+) -> DataFrame:
+    """ClickHouse ``retention(cond1, cond2, ...)`` analogue.
+
+    Per user, emits ``r1..rN`` 0/1 flags: ``r1`` = cond1 held on some
+    event; ``r{i}`` (i>1) = cond1 AND cond_i each held on some event
+    (ClickHouse's exact contract — every later flag is gated on the
+    first/anchor condition only, with no time-ordering requirement).
+    ``conds`` are boolean Columns over the event row.
+
+    Plan: a single hash aggregation with map-side combine — each
+    condition folds to a per-user max(0/1) in one pass; shuffle rows
+    carry N small ints per user. No window, no join; at 100 TB this is
+    as cheap as a group-by count.
+    """
+    user_cols = user_cols or ["user_id"]
+    aggs = [
+        F.max(F.when(c, F.lit(1)).otherwise(F.lit(0))).alias(f"_c{i}")
+        for i, c in enumerate(conds)
+    ]
+    g = events.groupBy(*user_cols).agg(*aggs)
+    out = [F.col("_c0").alias("r1")] + [
+        (F.col("_c0") * F.col(f"_c{i}")).cast("int").alias(f"r{i + 1}")
+        for i in range(1, len(conds))
+    ]
+    return g.select(*user_cols, *out)
+
+
+def sequence_match(
+    events: DataFrame,
+    steps: list[str],
+    user_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2)...')`` analogue: per user,
+    did events of the given types occur in order (strictly increasing
+    timestamps, any events in between)?
+
+    Defined as window_funnel with an effectively unbounded window, so
+    it inherits the funnel's one-shuffle cascaded-window plan and its
+    exact tie semantics (equal timestamps never chain). Returns
+    ``user_cols + [matched]`` for every user with >=1 step event.
+    """
+    # ~136 years in seconds; * 1e6 us stays far inside int64.
+    unbounded = 1 << 32
+    lv = window_funnel(
+        events, steps, unbounded, user_cols=user_cols, ts_col=ts_col,
+        type_col=type_col,
+    )
+    return lv.select(
+        *(user_cols or ["user_id"]),
+        (F.col("funnel_level") >= len(steps)).alias("matched"),
+    )

@@ -45,9 +45,11 @@ def sessionize(
     also makes the split identical across engines whose sub-second
     precision differs.
     """
-    order = [F.col(ts_col).cast("long")] + [F.col(c) for c in (order_cols or [])]
+    # cast through LTZ so TIMESTAMP_NTZ inputs (Spark 4 refuses a direct
+    # NTZ -> long cast) and plain timestamps both land on epoch seconds.
+    ts_s: Column = F.col(ts_col).cast("timestamp").cast("long")
+    order = [ts_s] + [F.col(c) for c in (order_cols or [])]
     w = Window.partitionBy(*key_cols).orderBy(*order)
-    ts_s: Column = F.col(ts_col).cast("long")
     prev = F.lag(ts_s).over(w)
     new_session = F.when(
         prev.isNull() | ((ts_s - prev) > F.lit(gap_seconds)), F.lit(1)
@@ -67,7 +69,7 @@ def session_stats(
 ) -> DataFrame:
     """Per-session rollup: (key, session_id, n_events, duration_s)."""
     s = sessionize(df, key_cols, ts_col, gap_seconds, order_cols)
-    ts_s = F.col(ts_col).cast("long")
+    ts_s = F.col(ts_col).cast("timestamp").cast("long")
     return s.groupBy(*key_cols, "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.max(ts_s) - F.min(ts_s)).alias("duration_s"),

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def bucket_grid(
@@ -61,3 +62,151 @@ def densify(
     for c, v in measures.items():
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
     return out
+
+
+def delta_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    out_col: str = "delta_sum",
+) -> DataFrame:
+    """ClickHouse ``deltaSum`` analogue: per key, the sum of POSITIVE
+    arithmetic differences between consecutive values in time order.
+    Negative differences are ignored; the first value contributes
+    nothing (it has no predecessor) — both exactly ClickHouse's
+    contract (reference's analytics engine surface; the repo itself
+    defines only sum() queries, README.md:180-185).
+
+    Determinism: callers pass an integer ``value_col`` (e.g. cents) and
+    a unique ``tiebreak_col`` so equal timestamps order identically in
+    every engine. Plan shape: ONE hash shuffle + sort on
+    (key, ts, tiebreak), a lag() and a sum() computed in the same
+    window pass — all JVM-side, whole-stage codegen. At 100 TB the
+    shuffle carries only (key, ts, tiebreak, value) — project before
+    calling.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    d = F.col(value_col) - F.lag(value_col).over(w)
+    return (
+        df.withColumn("_d", F.when(d > 0, d))
+        .groupBy(*key_cols)
+        .agg(F.coalesce(F.sum("_d"), F.lit(0)).alias(out_col))
+    )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    n_buckets: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (ClickHouse
+    ``largestTriangleThreeBuckets``), parallel variant.
+
+    Per series key, splits the time-ordered points into ``n_buckets``
+    equal-count buckets (first and last point are their own buckets,
+    as in the classic algorithm) and keeps, from each middle bucket,
+    the point forming the largest triangle with the NEIGHBOR BUCKET
+    AVERAGES. Classic LTTB anchors on the previously *selected* point,
+    which is inherently sequential; anchoring both sides on bucket
+    averages (the same approximation LTTB already uses for the right
+    anchor) makes every bucket independent — embarrassingly parallel,
+    deterministic, and visually near-identical. Documented deviation.
+
+    Exactness: ``ts_col``/``value_col`` must be integers (epoch
+    seconds / cents). The doubled triangle area against average
+    anchors is compared after multiplying through by the two bucket
+    counts, so the argmax is over exact int64 cross products — no
+    float division anywhere, same winner in any engine. Overflow
+    bound: |area2 * n_prev * n_next| <= (n*span_t) * (n*span_v) * 2;
+    keep bucket_count * value-range products under ~1e18.
+
+    Plan: one shuffle+sort for row_number, per-bucket partial sums
+    (map-side combined), a lag/lead over the tiny bucket-level frame,
+    one co-partitioned join back, and a max_by per bucket. Shuffle
+    volume beyond the first sort is O(keys * buckets), not O(rows).
+
+    Returns ``key_cols + [bucket, ts, value, tiebreak]`` — the kept
+    points, ≤ n_buckets per key.
+    """
+    if n_buckets < 3:
+        raise ValueError("n_buckets must be >= 3")
+    wk = Window.partitionBy(*key_cols).orderBy("_t", "_tb")
+    wn = Window.partitionBy(*key_cols)
+    pts = df.select(
+        *key_cols,
+        F.col(ts_col).cast("long").alias("_t"),
+        F.col(value_col).cast("long").alias("_v"),
+        F.col(tiebreak_col).alias("_tb"),
+    ).withColumn("_rn", F.row_number().over(wk)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn)
+    )
+    # bucket 0 = first point, bucket n_buckets-1 = last point, middles
+    # spread evenly by rank (count-equal buckets, the LTTB convention).
+    pts = pts.withColumn(
+        "_b",
+        F.when(F.col("_rn") == 1, F.lit(0))
+        .when(F.col("_rn") == F.col("_n"), F.lit(n_buckets - 1))
+        .otherwise(
+            F.floor(
+                ((F.col("_rn") - 2) * (n_buckets - 2))
+                / F.greatest(F.col("_n") - 2, F.lit(1))
+            )
+            + 1
+        ),
+    )
+    sums = pts.groupBy(*key_cols, "_b").agg(
+        F.sum("_t").alias("_st"),
+        F.sum("_v").alias("_sv"),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    wb = Window.partitionBy(*key_cols).orderBy("_b")
+    anchors = sums.select(
+        *key_cols,
+        "_b",
+        F.lag("_st").over(wb).alias("_pt"),
+        F.lag("_sv").over(wb).alias("_pv"),
+        F.lag("_c").over(wb).alias("_pc"),
+        F.lead("_st").over(wb).alias("_nt"),
+        F.lead("_sv").over(wb).alias("_nv"),
+        F.lead("_c").over(wb).alias("_nc"),
+    )
+    mid = pts.filter((F.col("_b") > 0) & (F.col("_b") < n_buckets - 1)).join(
+        anchors, on=[*key_cols, "_b"]
+    )
+    # area2 * pc * nc = (sum_pt - pc*t)*(sum_nv - nc*v) - (sum_nt - nc*t)*(sum_pv - pc*v)
+    a2 = F.abs(
+        (F.col("_pt") - F.col("_pc") * F.col("_t"))
+        * (F.col("_nv") - F.col("_nc") * F.col("_v"))
+        - (F.col("_nt") - F.col("_nc") * F.col("_t"))
+        * (F.col("_pv") - F.col("_pc") * F.col("_v"))
+    )
+    picked = (
+        mid.withColumn("_a2", a2)
+        .groupBy(*key_cols, "_b")
+        .agg(
+            F.max_by(
+                F.struct("_t", "_v", "_tb"),
+                # max area; ties -> earliest point, exactly and portably
+                F.struct(F.col("_a2"), (-F.col("_rn")).alias("_neg")),
+            ).alias("_p")
+        )
+        .select(*key_cols, "_b", "_p._t", "_p._v", "_p._tb")
+    )
+    ends = pts.filter(
+        (F.col("_b") == 0) | (F.col("_b") == n_buckets - 1)
+    ).select(*key_cols, "_b", "_t", "_v", "_tb")
+    return (
+        picked.unionByName(ends)
+        .select(
+            *key_cols,
+            F.col("_b").alias("bucket"),
+            F.col("_t").alias(ts_col),
+            F.col("_v").alias(value_col),
+            F.col("_tb").alias(tiebreak_col),
+        )
+    )

@@ -27,10 +27,19 @@ TABLE_NAMES = [
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos -> micros; truncation (floor) matches DuckDB's second/minute
-        # truncation downstream since all values are positive.
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            # nanos -> micros; truncation (floor) matches DuckDB's
+            # second/minute truncation downstream (all values positive).
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        elif dt == "timestamp_ntz":
+            # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+            # NTZ; with the session pinned to UTC the LTZ cast is
+            # value-preserving, and downstream epoch casts need LTZ.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -1,0 +1,293 @@
+"""Tests for the ClickHouse time-ordered/map aggregate analogues:
+retention, sequenceMatch, deltaSum, sumMap/minMap/maxMap, and LTTB
+downsampling — each validated against a pure-Python reference on
+randomized data, plus empty-input robustness.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from kubenetmon_spark.operators.agg import map_aggregate
+from kubenetmon_spark.operators.funnel import retention, sequence_match
+from kubenetmon_spark.operators.timeseries import delta_sum, lttb_downsample
+
+EV_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("t", LongType()),
+        StructField("event_type", StringType()),
+        StructField("x", LongType()),
+        StructField("event_id", LongType()),
+    ]
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, EV_SCHEMA)
+
+
+def _rand_rows(seed, n_users=8, n=200, types=("a", "b", "c", "d")):
+    rng = random.Random(seed)
+    return [
+        (
+            rng.randrange(n_users),
+            rng.randrange(0, 500),
+            rng.choice(types),
+            rng.randrange(-1000, 1000),
+            i,
+        )
+        for i in range(n)
+    ]
+
+
+class TestRetention:
+    def test_matches_python(self, spark):
+        rows = _rand_rows(7)
+        conds = ["a", "b", "c"]
+        got = {
+            r.user_id: (r.r1, r.r2, r.r3)
+            for r in retention(
+                _mk(spark, rows),
+                [F.col("event_type") == c for c in conds],
+            ).collect()
+        }
+        users = {u for u, *_ in rows}
+        for u in users:
+            seen = {tp for uu, _, tp, _, _ in rows if uu == u}
+            c0 = int("a" in seen)
+            exp = (c0, c0 * int("b" in seen), c0 * int("c" in seen))
+            assert got[u] == exp, u
+
+    def test_anchor_gates_later_flags(self, spark):
+        # user has 'b' events but never the anchor 'a' -> all flags 0
+        rows = [(1, 10, "b", 0, 0), (1, 20, "b", 0, 1)]
+        out = retention(
+            _mk(spark, rows),
+            [F.col("event_type") == "a", F.col("event_type") == "b"],
+        ).collect()
+        assert out[0].r1 == 0 and out[0].r2 == 0
+
+
+class TestSequenceMatch:
+    def _brute(self, rows, steps):
+        # exists a strictly-increasing-ts chain of the step types
+        by_user = {}
+        for u, t, tp, _, _ in rows:
+            by_user.setdefault(u, []).append((t, tp))
+        out = {}
+        for u, evs in by_user.items():
+            if not any(tp in steps for _, tp in evs):
+                continue
+            evs.sort()
+            best = -1  # earliest end-ts of a chain to level i (greedy)
+            level = 0
+            for t, tp in evs:
+                if level < len(steps) and tp == steps[level] and t > best:
+                    level += 1
+                    best = t
+            out[u] = level >= len(steps)
+        return out
+
+    def test_matches_brute_force(self, spark):
+        for seed in (1, 2, 3):
+            rows = _rand_rows(seed, n_users=6, n=120)
+            steps = ["a", "b", "c"]
+            df = _mk(spark, rows).withColumn(
+                "ts", F.timestamp_seconds(F.col("t"))
+            )
+            got = {
+                r.user_id: r.matched
+                for r in sequence_match(df, steps).collect()
+            }
+            assert got == self._brute(rows, steps), seed
+
+    def test_equal_ts_never_chain(self, spark):
+        rows = [(1, 100, "a", 0, 0), (1, 100, "b", 0, 1)]
+        df = _mk(spark, rows).withColumn(
+            "ts", F.timestamp_seconds(F.col("t"))
+        )
+        got = sequence_match(df, ["a", "b"]).collect()
+        assert got[0].matched is False
+
+
+class TestDeltaSum:
+    def test_matches_python(self, spark):
+        rows = _rand_rows(11)
+        got = {
+            r.user_id: r.delta_sum
+            for r in delta_sum(
+                _mk(spark, rows), ["user_id"], "t", "x", "event_id"
+            ).collect()
+        }
+        by_user = {}
+        for u, t, _, x, eid in rows:
+            by_user.setdefault(u, []).append((t, eid, x))
+        for u, vs in by_user.items():
+            vs.sort()
+            exp = sum(
+                max(0, b[2] - a[2]) for a, b in zip(vs, vs[1:])
+            )
+            assert got[u] == exp, u
+
+    def test_single_row_is_zero(self, spark):
+        out = delta_sum(
+            _mk(spark, [(1, 5, "a", 42, 0)]), ["user_id"], "t", "x", "event_id"
+        ).collect()
+        assert out[0].delta_sum == 0
+
+
+class TestMapAggregate:
+    def test_sum_min_max_match_python(self, spark):
+        rows = _rand_rows(13)
+        df = _mk(spark, rows).select(
+            "user_id", F.create_map(F.col("event_type"), F.col("x")).alias("m")
+        )
+        ref: dict[int, dict[str, list[int]]] = {}
+        for u, _, tp, x, _ in rows:
+            ref.setdefault(u, {}).setdefault(tp, []).append(x)
+        for how, fold in [("sum", sum), ("min", min), ("max", max)]:
+            got = {
+                r.user_id: r.out
+                for r in map_aggregate(
+                    df, "m", ["user_id"], how=how, out_col="out"
+                ).collect()
+            }
+            for u, per_key in ref.items():
+                assert got[u] == {k: fold(v) for k, v in per_key.items()}, (
+                    how,
+                    u,
+                )
+
+    def test_entries_key_sorted(self, spark):
+        rows = [(1, 0, "z", 1, 0), (1, 0, "a", 2, 1), (1, 0, "m", 3, 2)]
+        df = _mk(spark, rows).select(
+            "user_id", F.create_map(F.col("event_type"), F.col("x")).alias("m")
+        )
+        out = map_aggregate(df, "m", ["user_id"]).select(
+            F.map_keys("sum_map").alias("ks")
+        ).collect()
+        assert out[0].ks == ["a", "m", "z"]
+
+    def test_rejects_unknown_how(self, spark):
+        df = _mk(spark, []).select(
+            "user_id", F.create_map(F.col("event_type"), F.col("x")).alias("m")
+        )
+        with pytest.raises(ValueError):
+            map_aggregate(df, "m", ["user_id"], how="avg")
+
+
+def _py_lttb(points, n_buckets):
+    """Pure-Python reference of the parallel LTTB variant: neighbor
+    bucket-average anchors, exact integer cross products."""
+    pts = sorted(points)  # (t, tb, v) ordering below; store as (t, tb, v)
+    n = len(pts)
+    if n == 0:
+        return []
+    buckets: dict[int, list] = {}
+    for i, p in enumerate(pts):
+        rn = i + 1
+        if rn == 1:
+            b = 0
+        elif rn == n:
+            b = n_buckets - 1
+        else:
+            b = (rn - 2) * (n_buckets - 2) // max(n - 2, 1) + 1
+        buckets.setdefault(b, []).append((rn, p))
+    sums = {
+        b: (
+            sum(p[0] for _, p in v),
+            sum(p[2] for _, p in v),
+            len(v),
+        )
+        for b, v in buckets.items()
+    }
+    out = []
+    ordered = sorted(sums)
+    for bi, b in enumerate(ordered):
+        if b == 0 or b == n_buckets - 1:
+            out.extend((b, p) for _, p in buckets[b])
+            continue
+        pb, nb = ordered[bi - 1], ordered[bi + 1]
+        pt_, pv_, pc = sums[pb]
+        nt_, nv_, nc = sums[nb]
+        best = None
+        for rn, (t, tb, v) in buckets[b]:
+            a2 = abs(
+                (pt_ - pc * t) * (nv_ - nc * v)
+                - (nt_ - nc * t) * (pv_ - pc * v)
+            )
+            key = (a2, -rn)
+            if best is None or key > best[0]:
+                best = (key, (t, tb, v))
+        out.append((b, best[1]))
+    return sorted((b, t, v, tb) for b, (t, tb, v) in out)
+
+
+class TestLTTB:
+    def test_matches_python_reference(self, spark):
+        for seed in (3, 5):
+            rng = random.Random(seed)
+            rows = [
+                (1, rng.randrange(0, 10_000), "a", rng.randrange(-500, 500), i)
+                for i in range(300)
+            ]
+            got = sorted(
+                (r.bucket, r.t, r.x, r.event_id)
+                for r in lttb_downsample(
+                    _mk(spark, rows).select("user_id", "t", "x", "event_id"),
+                    ["user_id"],
+                    "t",
+                    "x",
+                    10,
+                    "event_id",
+                ).collect()
+            )
+            exp = _py_lttb([(t, eid, x) for _, t, _, x, eid in rows], 10)
+            assert got == exp, seed
+
+    def test_keeps_first_and_last(self, spark):
+        rows = [(1, i, "a", i * 7 % 13, i) for i in range(50)]
+        out = lttb_downsample(
+            _mk(spark, rows).select("user_id", "t", "x", "event_id"),
+            ["user_id"],
+            "t",
+            "x",
+            5,
+            "event_id",
+        ).collect()
+        ts = {r.t for r in out}
+        assert 0 in ts and 49 in ts
+        assert len(out) <= 5
+
+    def test_rejects_tiny_bucket_count(self, spark):
+        with pytest.raises(ValueError):
+            lttb_downsample(
+                _mk(spark, []), ["user_id"], "t", "x", 2, "event_id"
+            )
+
+
+class TestEmptyInputs:
+    def test_all_empty_safe(self, spark):
+        e = _mk(spark, [])
+        assert retention(e, [F.col("event_type") == "a"]).count() == 0
+        ets = e.withColumn("ts", F.timestamp_seconds(F.col("t")))
+        assert sequence_match(ets, ["a", "b"]).count() == 0
+        assert delta_sum(e, ["user_id"], "t", "x", "event_id").count() == 0
+        m = e.select(
+            "user_id", F.create_map(F.col("event_type"), F.col("x")).alias("m")
+        )
+        assert map_aggregate(m, "m", ["user_id"]).count() == 0
+        assert (
+            lttb_downsample(e, ["user_id"], "t", "x", 5, "event_id").count()
+            == 0
+        )
