@@ -3880,6 +3880,162 @@ def q100(spark, sf_dir):
     ).orderBy("event_type", "bucket")
 
 
+@_register(
+    "q101_duplicate_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, array_to_string(t[i:i+7], ' ') AS span
+      FROM toks, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    counts AS (SELECT span, COUNT(*) AS c FROM spans GROUP BY span),
+    per_doc AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_spans,
+             CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans
+      FROM spans s JOIN counts c USING (span)
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_spans, n_dup_spans,
+           n_dup_spans * 10000 // n_spans AS dup_bp
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    "Span-level duplication audit (Lee et al. 2022 repeated-substring "
+    "filter, relational form): fraction of each doc's 8-token spans "
+    "occurring >=2 times corpus-wide — "
+    "operators/dedup.py::duplicate_span_fraction",
+)
+def q101(spark, sf_dir):
+    from kubenetmon_spark.operators.dedup import duplicate_span_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_span_fraction(docs, "doc_id", "text", n=8).orderBy(
+        "doc_id"
+    )
+
+
+@_register(
+    "q102_url_functions",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'www.' || source || '.example.com/docs/' || doc_id
+                  ELSE 'https://' || source || '.example.com:8443/docs/'
+                       || doc_id || '?lang=' || lang || '&p=' || doc_id % 7
+                       || '#frag'
+             END AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)
+             AS proto,
+           regexp_extract(url,
+             '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)', 1)
+             AS host,
+           regexp_extract(regexp_extract(url,
+             '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)', 1),
+             '\\.([^.]+)$', 1) AS tld,
+           regexp_extract(url,
+             '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*(/[^?#]*)', 1)
+             AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS qs,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           regexp_extract(url, '^([^?#]*)', 1) AS no_query
+    FROM u ORDER BY doc_id
+    """,
+    "ClickHouse URL-function family (protocol/domain/topLevelDomain/"
+    "path/queryString/extractURLParameter/cutQueryString) over "
+    "synthesized URLs incl. scheme-less, port, userinfo-free, fragment "
+    "cases — functions/url.py, pure regexp_extract compositions",
+)
+def q102(spark, sf_dir):
+    from kubenetmon_spark.functions.url import (
+        cut_query_string,
+        domain,
+        protocol,
+        query_string,
+        top_level_domain,
+        url_param,
+        url_path,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("www."),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com:8443/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?lang="),
+            F.col("lang"),
+            F.lit("&p="),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("#frag"),
+        )
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        protocol("url").alias("proto"),
+        domain("url").alias("host"),
+        top_level_domain("url").alias("tld"),
+        url_path("url").alias("path"),
+        query_string("url").alias("qs"),
+        url_param("url", "lang").alias("lang_param"),
+        cut_query_string("url").alias("no_query"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "q103_source_quota",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM ranked WHERE rk <= 7
+    GROUP BY source ORDER BY source
+    """,
+    "Per-source quota cap (ClickHouse LIMIT k BY group): keep at most "
+    "7 docs per source, picked by the deterministic md5(doc_id) order "
+    "— operators/curation.py::cap_per_group; summarized per source so "
+    "the value-hash pins exactly WHICH rows survived",
+)
+def q103(spark, sf_dir):
+    from kubenetmon_spark.operators.curation import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = cap_per_group(docs, ["source"], 7, "doc_id")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -114,3 +114,37 @@ def mixture_sample(
     for stratum, bp in sorted(rates_bp.items()):
         expr = F.when(F.col(stratum_col) == stratum, F.lit(thr(bp))).otherwise(expr)
     return df.filter(hex4 < expr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    id_col: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group — ClickHouse's ``LIMIT k BY
+    group`` clause, and the per-domain/per-source quota every web-scale
+    curation pipeline applies before mixing.
+
+    Deterministic: rows rank by ``order_col`` (best-first) if given,
+    else by ``md5(id)`` — an unbiased, reproducible pseudo-random pick
+    that needs no seed state; ``id_col`` always breaks ties.
+
+    Plan: one hash shuffle + in-partition sort and row_number, filter
+    <= k. Skewed groups (one domain = half the corpus) sort within a
+    single partition — for those, pre-filter with a cheap per-partition
+    partial cap (groupBy group+salt, cap at k each) before the exact
+    pass; at our gate scales the single window is optimal.
+    """
+    rank_on = (
+        [F.col(order_col), F.col(id_col)]
+        if order_col
+        else [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*rank_on)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -349,3 +349,58 @@ def semantic_dedup(
         )
 
     return slim.groupBy("cluster").applyInPandas(prune, out_schema)
+
+
+def duplicate_span_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Span-level (paragraph-style) duplication audit: for every doc,
+    the fraction of its n-token spans that occur >= ``min_count`` times
+    ACROSS THE WHOLE CORPUS. The repeated-substring filter of
+    "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al. 2022) expressed relationally — no suffix array, just
+    exact span counting, which at n>=8 catches the same boilerplate.
+
+    Docs shorter than ``n`` tokens produce no row (they have no spans).
+    Fraction is integer basis points (floor), exact in any engine.
+
+    Scale: spans explode to ~one row per token — the groupBy(span)
+    count and the join back both shuffle O(total tokens), which is the
+    inherent cost of exact global span counting. Both sides of the join
+    are hash-partitioned on span (co-partitioned, AQE coalesces); the
+    per-doc rollup then shuffles one row per (doc, distinct span). For
+    100 TB corpora swap the raw span string for xxhash64(span) before
+    the shuffle — collision probability is negligible and shuffle bytes
+    drop ~5x; kept as the string here so the DuckDB oracle can mirror
+    exactly.
+    """
+    toks = F.split(F.col(text_col), " ")
+    spans_arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    spans = (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(spans_arr).alias("span"))
+    )
+    counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = (
+        spans.join(counts, on="span")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("_c") >= min_count, 1).otherwise(0)
+            ).alias("n_dup_spans"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_spans",
+        "n_dup_spans",
+        F.expr("n_dup_spans * 10000 div n_spans").alias("dup_bp"),
+    )
