@@ -4036,6 +4036,96 @@ def q103(spark, sf_dir):
     )
 
 
+@_register(
+    "q104_weighted_quantile",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             user_id % 5 + 1 AS w
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, x, w,
+             SUM(w) OVER (PARTITION BY event_type ORDER BY x
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumw,
+             SUM(w) OVER (PARTITION BY event_type) AS totw
+      FROM o
+    )
+    SELECT event_type,
+           CAST(MIN(CASE WHEN cumw * 100 >= totw * 25 THEN x END) AS BIGINT) AS p25,
+           CAST(MIN(CASE WHEN cumw * 100 >= totw * 50 THEN x END) AS BIGINT) AS p50,
+           CAST(MIN(CASE WHEN cumw * 100 >= totw * 90 THEN x END) AS BIGINT) AS p90
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+    "ClickHouse quantileExactWeighted: smallest value whose cumulative "
+    "weight reaches p%% of total, integer-exact reach test — "
+    "operators/agg.py::weighted_quantile_exact (one shuffle+sort, two "
+    "frames over one Window pass, conditional-min agg)",
+)
+def q104(spark, sf_dir):
+    from kubenetmon_spark.operators.agg import weighted_quantile_exact
+
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+        (F.col("user_id") % 5 + 1).alias("w"),
+    )
+    return weighted_quantile_exact(
+        o, ["event_type"], "x", "w", [25, 50, 90]
+    ).orderBy("event_type")
+
+
+@_register(
+    "q105_agg_combinators",
+    """
+    SELECT event_type,
+           CAST(COUNT(CASE WHEN value > 50 THEN 1 END) AS BIGINT)
+             AS count_if_hi,
+           CAST(COALESCE(SUM(CASE WHEN user_id % 2 = 0
+                 THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 END), 0) AS BIGINT) AS sum_if_even_e2,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_exact,
+           CAST(LEAST(COUNT(DISTINCT user_id), 11) AS BIGINT) AS uniq_up_to_10,
+           CAST(BIT_AND(user_id + 256) AS BIGINT) AS bits_and,
+           CAST(BIT_OR(user_id) AS BIGINT) AS bits_or,
+           CAST(BIT_XOR(user_id * 2654435761 % 1000000007) AS BIGINT)
+             AS bits_xor
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    "ClickHouse aggregate-combinator surface in one shape: countIf / "
+    "sumIf (the -If combinator), uniqExact, uniqUpTo(10) (exact count "
+    "capped at N+1), and groupBitAnd/Or/Xor — all native Spark "
+    "aggregates (count(when), sum(when), count_distinct, bit_and/or/"
+    "xor), one hash aggregation with map-side combine",
+)
+def q105(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    x_e2 = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("value") > 50, 1)).alias("count_if_hi"),
+            F.coalesce(
+                F.sum(F.when(F.col("user_id") % 2 == 0, x_e2)), F.lit(0)
+            ).alias("sum_if_even_e2"),
+            F.count_distinct(F.col("user_id")).alias("uniq_exact"),
+            F.least(F.count_distinct(F.col("user_id")), F.lit(11)).alias(
+                "uniq_up_to_10"
+            ),
+            F.bit_and(F.col("user_id") + 256).alias("bits_and"),
+            F.bit_or(F.col("user_id")).alias("bits_or"),
+            F.bit_xor(
+                F.col("user_id") * 2654435761 % 1000000007
+            ).alias("bits_xor"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

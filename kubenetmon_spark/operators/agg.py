@@ -116,3 +116,46 @@ def map_aggregate(
     return per_key.groupBy(*group_cols).agg(
         F.map_from_entries(entries).alias(out_col)
     )
+
+
+def weighted_quantile_exact(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    percents: list[int],
+) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted`` analogue: per group, for
+    each integer percent p, the smallest value whose cumulative weight
+    reaches p% of the group's total weight (CH's lower-bound rule).
+
+    Integer-exact: the reach test is ``100*cumw >= p*totw`` — no float
+    division, so results are identical in any engine. Values and
+    weights must be integers (cents / counts).
+
+    Plan: ONE shuffle+sort on (group, value); the running cumulative
+    weight and the full-partition total are two frames over the same
+    sort (single Window pass), then a hash agg computes every
+    percentile as a conditional min in one pass. Ties in value are
+    harmless: any tie-order yields the same selected VALUE.
+    """
+    from pyspark.sql.window import Window
+
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    c = df.withColumn("_cumw", F.sum(weight_col).over(wcum)).withColumn(
+        "_totw", F.sum(weight_col).over(wtot)
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("_cumw") * 100 >= F.col("_totw") * p, F.col(value_col)
+            )
+        ).alias(f"p{p}")
+        for p in percents
+    ]
+    return c.groupBy(*group_cols).agg(*aggs)

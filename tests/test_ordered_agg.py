@@ -291,3 +291,45 @@ class TestEmptyInputs:
             lttb_downsample(e, ["user_id"], "t", "x", 5, "event_id").count()
             == 0
         )
+
+
+class TestWeightedQuantile:
+    def test_matches_python(self, spark):
+        from kubenetmon_spark.operators.agg import weighted_quantile_exact
+
+        rows = _rand_rows(17, n_users=4, n=150)
+        df = _mk(spark, rows).select(
+            "user_id", "x", (F.col("event_id") % 5 + 1).alias("w")
+        )
+        got = {
+            r.user_id: (r.p25, r.p50, r.p90)
+            for r in weighted_quantile_exact(
+                df, ["user_id"], "x", "w", [25, 50, 90]
+            ).collect()
+        }
+        by_user = {}
+        for u, _, _, x, eid in rows:
+            by_user.setdefault(u, []).append((x, eid % 5 + 1))
+        for u, vs in by_user.items():
+            vs.sort()
+            tot = sum(w for _, w in vs)
+            exp = []
+            for p in (25, 50, 90):
+                cum = 0
+                for x, w in vs:
+                    cum += w
+                    if cum * 100 >= tot * p:
+                        exp.append(x)
+                        break
+            assert got[u] == tuple(exp), u
+
+    def test_unit_weights_are_plain_quantiles(self, spark):
+        from kubenetmon_spark.operators.agg import weighted_quantile_exact
+
+        df = _mk(
+            spark, [(1, 0, "a", v, i) for i, v in enumerate(range(1, 101))]
+        ).select("user_id", "x", F.lit(1).alias("w"))
+        r = weighted_quantile_exact(
+            df, ["user_id"], "x", "w", [50, 100]
+        ).collect()[0]
+        assert r.p50 == 50 and r.p100 == 100
