@@ -2570,8 +2570,11 @@ def q69(spark, sf_dir):
     ORDER BY rev_e4 DESC, partkey
     """,
     "TPC-H Q11 shape: per-group value HAVING > fraction-of-global-scalar. "
-    "The global total is a second aggregation over the (small) per-part "
-    "aggregate, broadcast back — the fact table is scanned once",
+    "The global total is an unpartitioned window SUM over the per-part "
+    "aggregate — the fact table is scanned and aggregated exactly once "
+    "(a scalar-subquery formulation re-scans the fact side twice), and "
+    "the single-partition window only ever sees |partkey| pre-aggregated "
+    "rows, never facts",
 )
 def q70(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -2581,10 +2584,10 @@ def q70(spark, sf_dir):
     pr = li.groupBy("l_partkey").agg(
         (F.sum(rev) * 10000).cast("bigint").alias("rev_e4")
     )
-    tot = pr.agg(F.sum("rev_e4").cast("bigint").alias("t"))
+    t = F.sum("rev_e4").over(Window.partitionBy())
     return (
-        pr.crossJoin(F.broadcast(tot))
-        .filter(F.col("rev_e4") * 2000 > F.col("t"))
+        pr.withColumn("_t", t.cast("bigint"))
+        .filter(F.col("rev_e4") * 2000 > F.col("_t"))
         .select(F.col("l_partkey").alias("partkey"), "rev_e4")
         .orderBy(F.desc("rev_e4"), "partkey")
     )
@@ -2673,10 +2676,12 @@ def q72(spark, sf_dir):
     r = li.groupBy("l_suppkey").agg(
         (F.sum(rev) * 10000).cast("bigint").alias("rev_e4")
     )
-    m = r.agg(F.max("rev_e4").alias("mx"))
+    # global max via an unpartitioned window over the per-supplier
+    # aggregate (|suppkey| rows) — one fact scan, not two.
+    mx = F.max("rev_e4").over(Window.partitionBy())
     return (
-        r.crossJoin(F.broadcast(m))
-        .filter(F.col("rev_e4") == F.col("mx"))
+        r.withColumn("_mx", mx)
+        .filter(F.col("rev_e4") == F.col("_mx"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
             F.col("s_suppkey").alias("suppkey"),
@@ -4123,6 +4128,92 @@ def q105(spark, sf_dir):
             ).alias("bits_xor"),
         )
         .orderBy("event_type")
+    )
+
+
+@_register(
+    "q106_any_left_join",
+    """
+    WITH pick AS (
+      SELECT l_partkey, MIN(l_orderkey * 16 + l_linenumber) AS pk
+      FROM lineitem GROUP BY l_partkey
+    ),
+    d AS (
+      SELECT l.l_partkey,
+             CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS any_qty_e2,
+             l.l_returnflag AS any_flag
+      FROM lineitem l
+      JOIN pick p ON l.l_partkey = p.l_partkey
+                 AND l.l_orderkey * 16 + l.l_linenumber = p.pk
+    )
+    SELECT pt.p_partkey, pt.p_brand, d.any_qty_e2, d.any_flag
+    FROM part pt LEFT JOIN d ON pt.p_partkey = d.l_partkey
+    ORDER BY pt.p_partkey
+    """,
+    "ClickHouse ANY LEFT JOIN strictness: at most one lineitem per "
+    "part, picked by min packed (orderkey, linenumber) — "
+    "operators/joins.py::any_left_join (right side dedupes via one "
+    "min_by hash agg BEFORE the join, so the join can never explode)",
+)
+def q106(spark, sf_dir):
+    from kubenetmon_spark.operators.joins import any_left_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        (F.col("l_quantity").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("any_qty_e2"),
+        F.col("l_returnflag").alias("any_flag"),
+        (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias("_pk"),
+    )
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = any_left_join(
+        pt,
+        li.select("p_partkey", "any_qty_e2", "any_flag", "_pk"),
+        ["p_partkey"],
+        F.col("_pk"),
+        broadcast_right=False,
+    )
+    return joined.select(
+        "p_partkey", "p_brand", "any_qty_e2", "any_flag"
+    ).orderBy("p_partkey")
+
+
+@_register(
+    "q107_left_array_join",
+    """
+    WITH a AS (
+      SELECT user_id,
+             list_sort(list(DISTINCT event_type)
+               FILTER (WHERE value > 99.5)) AS types
+      FROM events GROUP BY user_id
+    ),
+    x AS (
+      SELECT user_id,
+             CASE WHEN types IS NULL OR len(types) = 0
+                  THEN [NULL] ELSE types END AS types2
+      FROM a
+    )
+    SELECT user_id, u.t AS event_type
+    FROM x, UNNEST(types2) AS u(t)
+    ORDER BY user_id, event_type
+    """,
+    "ClickHouse LEFT ARRAY JOIN: explode an array column but keep "
+    "rows whose array is empty (NULL element) — native explode_outer "
+    "over a collect_set; the oracle pads empties with [NULL] to mirror",
+)
+def q107(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_set(F.when(F.col("value") > 99.5, F.col("event_type")))
+        ).alias("types")
+    )
+    return (
+        a.select(
+            "user_id", F.explode_outer("types").alias("event_type")
+        ).orderBy("user_id", "event_type")
     )
 
 

@@ -1,0 +1,47 @@
+"""ClickHouse join-strictness analogues.
+
+ClickHouse's ``ANY`` strictness (``ANY LEFT JOIN``) returns at most one
+right-side row per left row — Spark joins are always ``ALL`` strictness,
+so ANY must be expressed as a deterministic right-side dedup BEFORE the
+join. That composition is also the scale-correct plan: deduping first
+shrinks the build side (often down to broadcast range) and guarantees
+the join can never explode row counts, where a naive join + post-dedup
+would shuffle the multiplied rows first.
+
+The reference itself performs exactly this shape in its informer
+lookups (pkg/watcher/watcher.go:123-143 returns the FIRST pod for an
+IP; the labeler errors on >1) — dims.py handles that guarded variant;
+this module provides the general any-match contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def any_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    pick_order: Column,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """LEFT JOIN with ClickHouse ANY strictness: at most one right row
+    per join key, the one minimizing ``pick_order`` (pass a single
+    unique expression — e.g. a packed int64 key — so the pick is total
+    and engine-portable).
+
+    Plan: the right side reduces to one row per key via a single
+    min_by hash aggregation (map-side combined), then joins — broadcast
+    by default since an ANY right side is a dimension by construction;
+    set ``broadcast_right=False`` for dims beyond broadcast size (the
+    equi-join then shuffles both sides on the key).
+    """
+    payload = [c for c in right.columns if c not in on]
+    deduped = right.groupBy(*on).agg(
+        F.min_by(F.struct(*payload), pick_order).alias("_p")
+    ).select(*on, "_p.*")
+    if broadcast_right:
+        deduped = F.broadcast(deduped)
+    return left.join(deduped, on=on, how="left")
