@@ -215,13 +215,16 @@ def minhash_lsh_pairs(
     # minhashes are columnar MIN aggregates (map-side combined) instead of
     # an 8x exploded (_id, h) row stream — same md5(h ':' shingle) values,
     # 1/8th the exchanged rows.
+    # Checkpointed as well: the signature aggregate feeds three branches
+    # (banding, and both size joins of the verify step) — without the cut
+    # the 8-way md5 min-agg over every shingle row would execute 3x.
     per_doc = sh.groupBy("_id").agg(
         F.count(F.lit(1)).alias("sz"),
         *[
             F.min(F.md5(F.concat_ws(":", F.lit(h), F.col("shingle")))).alias(f"_mh{h}")
             for h in range(num_hashes)
         ],
-    )
+    ).localCheckpoint(eager=True)
     band_structs = []
     for b in range(bands):
         hs = range(b * rows_per_band, (b + 1) * rows_per_band)

@@ -40,11 +40,19 @@ def connected_components(
     a deterministic canonical representative (use it to pick the doc
     to keep). Raises if ``max_iter`` rounds don't converge.
     """
+    # Symmetric closure PLUS self-loops: with (n, n) edges present, the
+    # per-round update is a single join+min-agg — a formulation without
+    # them needs an extra left join to fold a node's own label back in.
+    # All four unions read `edges` inside ONE materialization
+    # (localCheckpoint), so an expensive upstream pair-generation plan
+    # (e.g. MinHash-LSH) executes exactly once, not once per branch.
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .unionByName(e.select("a", F.col("a").alias("b")))
+        .unionByName(e.select(F.col("b").alias("a"), "b"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -52,32 +60,24 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # Labels only ever decrease, so the (exact, decimal) label sum is a
+    # monotone potential: unchanged sum <=> no label changed. That makes
+    # the convergence check a cheap aggregate instead of a self-join.
+    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iter):
-        neighbor_min = (
+        new_labels = (
             sym.join(labels, sym["b"] == labels["node"], "inner")
             .groupBy(F.col("a").alias("node"))
-            .agg(F.min("comp").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
-            )
+            .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels = new_labels
-        if changed == 0:
-            sym.unpersist()
+        if cur_sum == prev_sum:
             return labels
-    sym.unpersist()
+        prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
