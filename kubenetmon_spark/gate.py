@@ -4217,6 +4217,177 @@ def q107(spark, sf_dir):
     )
 
 
+@_register(
+    "q108_range_frame",
+    """
+    WITH o AS (
+      SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM events
+    )
+    SELECT user_id, event_id,
+           COUNT(*) OVER w - 1 AS n_prev_1h,
+           CAST(SUM(x) OVER w - x AS BIGINT) AS sum_prev_1h_e2
+    FROM o
+    WINDOW w AS (PARTITION BY user_id ORDER BY t
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    "value-based RANGE window frame: per event, how many events (and "
+    "their value sum) the same user produced in the preceding hour — "
+    "sliding lookback without a self-join; the frame includes ALL rows "
+    "at the current timestamp then subtracts self, so equal-ts rows "
+    "need no tie order (engine-portable). One shuffle+sort",
+)
+def q108(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("t"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return o.select(
+        "user_id",
+        "event_id",
+        (F.count(F.lit(1)).over(w) - 1).alias("n_prev_1h"),
+        (F.sum("x").over(w) - F.col("x")).cast("long").alias("sum_prev_1h_e2"),
+    ).orderBy("user_id", "event_id")
+
+
+@_register(
+    "q109_array_calculus",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             list(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ORDER BY ts, event_id) AS xs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           len(xs) AS n,
+           CAST(list_sum(list_transform(generate_series(1, len(xs)),
+                i -> CASE WHEN i = 1 THEN 0 ELSE abs(xs[i] - xs[i-1]) END))
+             AS BIGINT) AS total_variation_e2,
+           CAST(list_sum(list_transform(generate_series(1, len(xs)),
+                i -> CASE WHEN i = 1 OR xs[i] <> xs[i-1] THEN 1 ELSE 0 END))
+             AS BIGINT) AS n_compacted,
+           CAST(list_max(list_transform(generate_series(1, len(xs)),
+                i -> CASE WHEN i = 1 THEN 0 ELSE xs[i] - xs[i-1] END))
+             AS BIGINT) AS max_jump_e2
+    FROM per_user ORDER BY user_id
+    """,
+    "ClickHouse array-calculus surface (arrayDifference, arrayCompact, "
+    "running deltas) over per-user time-ordered value arrays: total "
+    "variation, compacted length, max jump — Spark transform() with "
+    "index lambdas over a sorted collect_list; DuckDB mirrors with "
+    "list_transform over generate_series. Arrays are per-user sized "
+    "(collect_list after the group shuffle), all integer-exact",
+)
+def q109(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        F.struct(
+            # microseconds: the oracle's list(... ORDER BY ts) orders at
+            # full timestamp precision, so the sort key must match it
+            F.unix_micros(F.col("ts")).alias("t"), "event_id",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("x"),
+        ).alias("s"),
+    )
+    per_user = o.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list("s")), lambda s: s["x"]
+        ).alias("xs")
+    )
+    xs = F.col("xs")
+    idx = F.sequence(F.lit(1), F.size(xs))
+    diffs = F.transform(
+        idx,
+        lambda i: F.when(i == 1, F.lit(0)).otherwise(
+            F.abs(F.element_at(xs, i) - F.element_at(xs, i - 1))
+        ),
+    )
+    compact = F.transform(
+        idx,
+        lambda i: F.when(
+            (i == 1) | (F.element_at(xs, i) != F.element_at(xs, i - 1)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    jumps = F.transform(
+        idx,
+        lambda i: F.when(i == 1, F.lit(0)).otherwise(
+            F.element_at(xs, i) - F.element_at(xs, i - 1)
+        ),
+    )
+    return per_user.select(
+        "user_id",
+        F.size(xs).cast("long").alias("n"),
+        F.aggregate(diffs, F.lit(0).cast("long"), lambda a, b: a + b).alias(
+            "total_variation_e2"
+        ),
+        F.aggregate(compact, F.lit(0).cast("long"), lambda a, b: a + b).alias(
+            "n_compacted"
+        ),
+        F.array_max(jumps).cast("long").alias("max_jump_e2"),
+    ).orderBy("user_id")
+
+
+@_register(
+    "q110_media_decode",
+    """
+    WITH src AS (
+      SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+    ),
+    px AS (
+      SELECT doc_id, k,
+             ascii(substr(text, CAST((k * n) // 192 AS BIGINT) + 1, 1)) AS v,
+             k % 3 AS c
+      FROM src, UNNEST(range(0, 192)) AS u(k)
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN c = 0 THEN v END) * 100 // 64 AS BIGINT) AS mean_r_e2,
+           CAST(SUM(CASE WHEN c = 1 THEN v END) * 100 // 64 AS BIGINT) AS mean_g_e2,
+           CAST(SUM(CASE WHEN c = 2 THEN v END) * 100 // 64 AS BIGINT) AS mean_b_e2
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    "multimodal decode->feature path, driven END-TO-END via the "
+    "deterministic fake codec: documents' UTF-8 bytes wrapped as "
+    "binary media (media_from_text), nearest-neighbor 'decoded' to "
+    "8x8x3 RGB in Arrow batches (decode_image codec='fake'), then "
+    "per-channel integer means (mean_channel_features). The oracle "
+    "replays the identical byte arithmetic in SQL (ASCII text = "
+    "byte-per-char). A real codec replaces only the per-batch body — "
+    "operators/media.py",
+)
+def q110(spark, sf_dir):
+    from kubenetmon_spark.operators.media import (
+        decode_image,
+        mean_channel_features,
+        media_from_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = media_from_text(docs)
+    decoded = decode_image(media, out_width=8, out_height=8, codec="fake")
+    feats = mean_channel_features(decoded)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "mean_r_e2",
+        "mean_g_e2",
+        "mean_b_e2",
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -147,22 +147,115 @@ def sample_frames(
     )
 
 
-def decode_image(media: DataFrame, out_width: int = 224, out_height: int = 224) -> DataFrame:
-    """Decode+resize images to fixed-size float arrays.
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("pixels", BinaryType(), True),  # H*W*3 interleaved RGB
+    ]
+)
 
-    STUB: requires an image library (PIL/opencv), not present in this
-    environment. The mapInPandas plumbing is identical to
-    ``extract_media_features``; only the per-batch body differs.
+
+def decode_image(
+    media: DataFrame,
+    out_width: int = 224,
+    out_height: int = 224,
+    codec: str = "auto",
+) -> DataFrame:
+    """Decode+resize images to fixed-size ``H*W*3`` RGB byte buffers.
+
+    ``codec='auto'`` requires an image library (PIL/opencv) — not
+    present in this environment, so it raises ``NotImplementedError``
+    naming the dependency. ``codec='fake'`` runs the identical Spark
+    plumbing (mapInPandas, Arrow batches, DECODED_SCHEMA, NumPy
+    vectorized per batch) with a deterministic stand-in decode: the
+    content bytes are treated as a flat pixel stream and
+    nearest-neighbor-resampled to the output size — so resize geometry,
+    batch shapes, and downstream feature code are all exercised for
+    real; only the codec math is fake. A real decoder replaces ONLY the
+    per-batch body.
     """
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "decode_image needs an image codec (pillow or opencv-python); "
-            "not available in this environment. Use extract_media_features "
-            "for byte-level work or media_from_text for plumbing tests."
-        ) from e
-    raise NotImplementedError("codec integration point")  # pragma: no cover
+    if codec == "auto":
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "decode_image needs an image codec (pillow or opencv-python); "
+                "not available in this environment. Pass codec='fake' for "
+                "the deterministic plumbing path, or use "
+                "extract_media_features for byte-level work."
+            ) from e
+        raise NotImplementedError("codec integration point")  # pragma: no cover
+    if codec != "fake":
+        raise ValueError("codec must be 'auto' or 'fake'")
+    n_out = out_width * out_height * 3
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        # nearest-neighbor index map is shared by every row of a batch
+        def resample(buf: bytes) -> bytes:
+            src = np.frombuffer(buf, dtype=np.uint8)
+            if src.size == 0:
+                src = np.zeros(1, dtype=np.uint8)
+            idx = (np.arange(n_out, dtype=np.int64) * src.size) // n_out
+            return src[idx].tobytes()
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": out_width,
+                    "height": out_height,
+                    "pixels": pdf["content"].map(
+                        lambda b: resample(bytes(b)) if b is not None else None
+                    ),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, DECODED_SCHEMA
+    )
+
+
+def mean_channel_features(decoded: DataFrame) -> DataFrame:
+    """Per-image mean of each RGB channel from the decoded buffer —
+    the smallest real "feature extraction over decoded pixels" stage,
+    JVM-free NumPy over the same Arrow batches."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("mean_r_e2", LongType(), True),
+            StructField("mean_g_e2", LongType(), True),
+            StructField("mean_b_e2", LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": pdf["media_id"]}
+            means = {0: [], 1: [], 2: []}
+            for b in pdf["pixels"]:
+                if b is None:
+                    for c in means:
+                        means[c].append(None)
+                    continue
+                a = np.frombuffer(b, dtype=np.uint8).reshape(-1, 3)
+                # integer centi-units: floor(mean*100) exactly via sums
+                for c in means:
+                    s = int(a[:, c].astype(np.int64).sum())
+                    means[c].append(s * 100 // a.shape[0])
+            out["mean_r_e2"] = means[0]
+            out["mean_g_e2"] = means[1]
+            out["mean_b_e2"] = means[2]
+            yield pd.DataFrame(out)
+
+    return decoded.select("media_id", "pixels").mapInPandas(batches, schema)
 
 
 def resample_audio(media: DataFrame, target_rate: int = 16000) -> DataFrame:

@@ -201,3 +201,59 @@ def test_ngram_repetition_values(spark):
     assert rows[1].dup_ngram_bp == (7 - 3) * 10000 // 7
     assert rows[2].n_ngrams == 2 and rows[2].dup_ngram_bp == 0
     assert rows[3].n_ngrams == 0 and rows[3].dup_ngram_bp == 0
+
+
+class TestFakeDecode:
+    def test_decode_fake_geometry_and_determinism(self, spark):
+        from kubenetmon_spark.operators.media import decode_image, media_from_text
+
+        docs = spark.createDataFrame(
+            [(1, "hello world"), (2, "abc")], ["doc_id", "text"]
+        )
+        d1 = {
+            r.media_id: bytes(r.pixels)
+            for r in decode_image(
+                media_from_text(docs), 4, 4, codec="fake"
+            ).collect()
+        }
+        d2 = {
+            r.media_id: bytes(r.pixels)
+            for r in decode_image(
+                media_from_text(docs), 4, 4, codec="fake"
+            ).collect()
+        }
+        assert d1 == d2
+        assert all(len(v) == 4 * 4 * 3 for v in d1.values())
+        # nearest-neighbor reference for doc 2 ("abc")
+        src = b"abc"
+        exp = bytes(src[(k * len(src)) // 48] for k in range(48))
+        assert d1[2] == exp
+
+    def test_mean_channels_match_numpy(self, spark):
+        import numpy as np
+
+        from kubenetmon_spark.operators.media import (
+            decode_image,
+            mean_channel_features,
+            media_from_text,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            ["doc_id", "text"],
+        )
+        decoded = decode_image(media_from_text(docs), 8, 8, codec="fake")
+        pix = bytes(decoded.collect()[0].pixels)
+        a = np.frombuffer(pix, dtype=np.uint8).reshape(-1, 3)
+        r = mean_channel_features(decoded).collect()[0]
+        for i, col in enumerate(["mean_r_e2", "mean_g_e2", "mean_b_e2"]):
+            assert r[col] == int(a[:, i].astype(int).sum()) * 100 // 64
+
+    def test_auto_codec_raises_cleanly(self, spark):
+        import pytest as _pytest
+
+        from kubenetmon_spark.operators.media import decode_image, media_from_text
+
+        docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with _pytest.raises((NotImplementedError, Exception)):
+            decode_image(media_from_text(docs)).collect()
