@@ -4388,6 +4388,80 @@ def q110(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@_register(
+    "q111_rank_family",
+    """
+    WITH o AS (
+      SELECT user_id, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, x,
+             RANK() OVER w AS rk,
+             ROW_NUMBER() OVER w AS le_cnt,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM o
+      WINDOW w AS (PARTITION BY user_id ORDER BY x, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST((rk - 1) * 10000 // GREATEST(n - 1, 1) AS BIGINT)
+             AS percent_rank_bp,
+           CAST(le_cnt * 10000 // n AS BIGINT) AS cume_dist_bp
+    FROM r ORDER BY user_id, event_id
+    """,
+    "percent_rank / cume_dist in integer basis points (floor), with a "
+    "unique (x, event_id) total order so both engines agree exactly — "
+    "completes the native rank-function family beyond q46's "
+    "rank/dense_rank/ntile",
+)
+def q111(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("user_id").orderBy("x", "event_id")
+    wn = Window.partitionBy("user_id")
+    r = o.select(
+        "user_id",
+        "event_id",
+        F.rank().over(w).alias("rk"),
+        F.row_number().over(w).alias("le_cnt"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.select(
+        "user_id",
+        "event_id",
+        F.expr("(rk - 1) * 10000 div greatest(n - 1, 1)").alias(
+            "percent_rank_bp"
+        ),
+        F.expr("le_cnt * 10000 div n").alias("cume_dist_bp"),
+    ).orderBy("user_id", "event_id")
+
+
+@_register(
+    "q112_bpe_tokenize",
+    None,  # merge training is iterative/procedural — no SQL oracle; the
+    # trainer and applier are validated token-for-token against an
+    # independent pure-Python reference in tests/test_bpe.py
+    "real BPE: merges trained on the corpus (distinct-word-weighted "
+    "pair counting, one small shuffle per merge, lexicographic "
+    "tie-break) then applied via Arrow batches with per-batch word "
+    "memoization — operators/bpe.py",
+)
+def q112(spark, sf_dir):
+    from kubenetmon_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", num_merges=16)
+    return (
+        bpe_apply(docs, merges, "doc_id", "text")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
