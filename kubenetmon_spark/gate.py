@@ -4462,6 +4462,28 @@ def q112(spark, sf_dir):
     )
 
 
+@_register(
+    "q113_dsir_select",
+    None,  # float log-weights + Gumbel draws — validated against a
+    # NumPy/pure-Python reference in tests/test_dsir.py (BM25 pattern)
+    "DSIR data selection (Xie et al. 2023): hashed-n-gram importance "
+    "weights of every doc against a target slice (sources src0/src1), "
+    "deterministic Gumbel top-k sample — operators/dsir.py; ratio "
+    "table broadcast, one token-volume shuffle",
+)
+def q113(spark, sf_dir):
+    from kubenetmon_spark.operators.dsir import dsir_log_weights, gumbel_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    w = dsir_log_weights(docs, target, "doc_id", buckets=4096)
+    return (
+        gumbel_topk(w, "doc_id", 50, seed=42)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -1,0 +1,133 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al., 2023).
+
+Selects raw-corpus documents whose hashed n-gram distribution looks like
+a (small) target corpus: per-document importance weight = product over
+the doc's features of p_target(f)/p_raw(f), then Gumbel top-k sampling
+proportional to the weights. This is the standard pretraining
+data-selection recipe; on this engine it is three DataFrame stages:
+
+1. ``hashed_ngram_counts`` — word uni+bigrams hashed into ``buckets``
+   via xxhash64 (built-in, JVM): (id, bucket, cnt). One explode + one
+   hash agg; shuffle volume = tokens.
+2. ``dsir_log_weights`` — bucket log-ratios log(p_t(f)) - log(p_r(f))
+   with +1 smoothing, computed from two bucket-count aggregates. The
+   ratio table is at most ``buckets`` rows -> broadcast; per-doc
+   log-weight is one broadcast join + sum agg. The raw corpus is
+   scanned twice (once for its feature distribution, once for doc
+   features) — at 100 TB fold both into one cached feature pass.
+3. ``gumbel_topk`` — deterministic sampling without replacement:
+   perturb each log-weight with a Gumbel draw derived from
+   xxhash64(id, seed) (no RNG state, reproducible on any cluster
+   layout), take the global top-k with a unique tie-break.
+
+Float note: log-weights are doubles, so cross-engine value-hash parity
+is not guaranteed at the margins — the correctness evidence is the
+NumPy reference comparison in tests/test_dsir.py (same pattern as BM25
+and the PQ/IVF family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hashed_ngram_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """(id, bucket, cnt) over word unigrams + bigrams, hashed with
+    xxhash64 into ``buckets`` (non-negative via pmod)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.concat(
+        toks,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("g"))
+        .filter(F.col("g") != "")
+        .select("_id", F.pmod(F.xxhash64("g"), F.lit(buckets)).alias("bucket"))
+        .groupBy("_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _bucket_dist(features: DataFrame) -> DataFrame:
+    """(bucket, total) feature counts over a corpus' (id, bucket, cnt)."""
+    return features.groupBy("bucket").agg(F.sum("cnt").alias("total"))
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """(id, log_weight) for every raw doc.
+
+    log_weight = sum_f cnt_doc(f) * [log p_target(f) - log p_raw(f)]
+    with add-one smoothing over the ``buckets``-sized vocabulary.
+    """
+    raw_feats = hashed_ngram_counts(raw, id_col, text_col, buckets)
+    tgt_feats = hashed_ngram_counts(target, id_col, text_col, buckets)
+    raw_dist = _bucket_dist(raw_feats)
+    tgt_dist = _bucket_dist(tgt_feats)
+    # full outer over the two (<= buckets)-row tables; +1 smoothing makes
+    # absent buckets well-defined on both sides
+    joined = raw_dist.withColumnRenamed("total", "raw_n").join(
+        tgt_dist.withColumnRenamed("total", "tgt_n"), "bucket", "outer"
+    )
+    # totals via a tiny agg joined back (the table is <= buckets rows)
+    totals = joined.agg(
+        F.sum(F.coalesce("raw_n", F.lit(0))).alias("_rt"),
+        F.sum(F.coalesce("tgt_n", F.lit(0))).alias("_tt"),
+    )
+    ratios = (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log(F.coalesce("tgt_n", F.lit(0)) + 1)
+                - F.log(F.col("_tt") + buckets)
+                - F.log(F.coalesce("raw_n", F.lit(0)) + 1)
+                + F.log(F.col("_rt") + buckets)
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        raw_feats.join(F.broadcast(ratios), "bucket")
+        .groupBy("_id")
+        .agg(F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_weight"))
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def gumbel_topk(
+    weights: DataFrame,
+    id_col: str,
+    k: int,
+    seed: int = 0,
+    weight_col: str = "log_weight",
+) -> DataFrame:
+    """Deterministic Gumbel top-k: sample ``k`` ids without replacement
+    with probability proportional to exp(weight). The Gumbel noise is
+    derived from xxhash64(id, seed) — stateless, identical on any
+    cluster — and the final ordering carries the id as tie-break."""
+    # u in (0, 1): (h mod M + 0.5) / M keeps u strictly inside the
+    # interval so both logs are finite
+    m = F.lit(1 << 20)
+    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), m) + 0.5) / m
+    g = -F.log(-F.log(u))
+    return (
+        weights.withColumn("_key", F.col(weight_col) + g)
+        .orderBy(F.desc("_key"), F.col(id_col))
+        .limit(k)
+        .drop("_key")
+    )

@@ -1,0 +1,118 @@
+"""DSIR importance resampling vs a NumPy/pure-Python reference."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from kubenetmon_spark.operators.dsir import (
+    dsir_log_weights,
+    gumbel_topk,
+    hashed_ngram_counts,
+)
+
+BUCKETS = 64
+
+
+def _py_grams(text: str) -> list[str]:
+    t = text.strip().split()
+    return [g for g in t + [" ".join(p) for p in zip(t, t[1:])] if g]
+
+
+def _spark_bucket(spark, grams):
+    """xxhash64 is JVM-side; fetch the engine's own bucket assignment so
+    the reference uses identical feature hashing."""
+    df = spark.createDataFrame([(g,) for g in sorted(set(grams))], ["g"])
+    from pyspark.sql import functions as F
+
+    return {
+        r.g: r.b
+        for r in df.select(
+            "g", F.pmod(F.xxhash64("g"), F.lit(BUCKETS)).alias("b")
+        ).collect()
+    }
+
+
+def _corpora(seed):
+    rng = random.Random(seed)
+    vocab_raw = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    vocab_tgt = ["alpha", "beta", "target", "quality", "clean"]
+    raw = [
+        (i, " ".join(rng.choice(vocab_raw + vocab_tgt) for _ in range(12)))
+        for i in range(40)
+    ]
+    tgt = [
+        (i, " ".join(rng.choice(vocab_tgt) for _ in range(10)))
+        for i in range(10)
+    ]
+    return raw, tgt
+
+
+def test_ngram_counts_match_python(spark):
+    raw, _ = _corpora(1)
+    df = spark.createDataFrame(raw, ["doc_id", "text"])
+    got = {
+        (r._id, r.bucket): r.cnt
+        for r in hashed_ngram_counts(df, "doc_id", buckets=BUCKETS).collect()
+    }
+    all_grams = [g for _, t in raw for g in _py_grams(t)]
+    bucket_of = _spark_bucket(spark, all_grams)
+    exp: dict = {}
+    for did, text in raw:
+        for g in _py_grams(text):
+            k = (did, bucket_of[g])
+            exp[k] = exp.get(k, 0) + 1
+    assert got == exp
+
+
+def test_log_weights_match_python(spark):
+    raw, tgt = _corpora(2)
+    raw_df = spark.createDataFrame(raw, ["doc_id", "text"])
+    tgt_df = spark.createDataFrame(tgt, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.log_weight
+        for r in dsir_log_weights(
+            raw_df, tgt_df, "doc_id", buckets=BUCKETS
+        ).collect()
+    }
+    bucket_of = _spark_bucket(
+        spark,
+        [g for _, t in raw + tgt for g in _py_grams(t)],
+    )
+    raw_counts: dict = {}
+    tgt_counts: dict = {}
+    for (corpus, counts) in ((raw, raw_counts), (tgt, tgt_counts)):
+        for _, text in corpus:
+            for g in _py_grams(text):
+                b = bucket_of[g]
+                counts[b] = counts.get(b, 0) + 1
+    rt, tt = sum(raw_counts.values()), sum(tgt_counts.values())
+
+    def log_ratio(b):
+        return (
+            math.log(tgt_counts.get(b, 0) + 1)
+            - math.log(tt + BUCKETS)
+            - math.log(raw_counts.get(b, 0) + 1)
+            + math.log(rt + BUCKETS)
+        )
+
+    for did, text in raw:
+        exp = sum(log_ratio(bucket_of[g]) for g in _py_grams(text))
+        assert abs(got[did] - exp) < 1e-9, did
+
+
+def test_gumbel_topk_deterministic_and_biased(spark):
+    raw, tgt = _corpora(3)
+    raw_df = spark.createDataFrame(raw, ["doc_id", "text"])
+    tgt_df = spark.createDataFrame(tgt, ["doc_id", "text"])
+    w = dsir_log_weights(raw_df, tgt_df, "doc_id", buckets=BUCKETS)
+    a = sorted(r.doc_id for r in gumbel_topk(w, "doc_id", 10, seed=7).collect())
+    b = sorted(r.doc_id for r in gumbel_topk(w, "doc_id", 10, seed=7).collect())
+    assert a == b and len(a) == 10
+    c = sorted(r.doc_id for r in gumbel_topk(w, "doc_id", 10, seed=8).collect())
+    assert a != c  # different seed -> different draw (overwhelmingly)
+    # selection is weight-biased: mean weight of selected > corpus mean
+    ws = {r.doc_id: r.log_weight for r in w.collect()}
+    sel_mean = sum(ws[i] for i in a) / len(a)
+    all_mean = sum(ws.values()) / len(ws)
+    assert sel_mean > all_mean
