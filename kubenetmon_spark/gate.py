@@ -4484,6 +4484,89 @@ def q113(spark, sf_dir):
     )
 
 
+@_register(
+    "q114_string_search",
+    """
+    SELECT doc_id,
+           CAST(strpos(text, 'data') AS BIGINT) AS pos_data,
+           (strpos(text, 'spark') > 0 OR strpos(text, 'query') > 0)
+             AS multi_any,
+           CAST(length(text) - length(replace(text, 'data', ''))
+                AS BIGINT) / 4 AS n_data,
+           regexp_matches(text, 'merge.*merge') AS has_double_merge,
+           starts_with(text, 'the') AS starts_the,
+           CAST(CASE WHEN strpos(text, 'batch') > 0
+                THEN strpos(text, 'batch') ELSE 0 END AS BIGINT)
+             AS pos_batch
+    FROM documents ORDER BY doc_id
+    """,
+    "ClickHouse string-search family in one shape: position(), "
+    "multiSearchAny(), countSubstrings() (via length-difference — "
+    "non-overlapping count, both engines), match() regex, "
+    "startsWith() — all native codegen string expressions",
+)
+def q114(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_data = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("data"))))
+        / 4
+    )
+    return d.select(
+        "doc_id",
+        F.instr("text", "data").cast("long").alias("pos_data"),
+        (
+            (F.instr("text", "spark") > 0) | (F.instr("text", "query") > 0)
+        ).alias("multi_any"),
+        n_data.alias("n_data"),
+        F.col("text").rlike("merge.*merge").alias("has_double_merge"),
+        F.startswith(F.col("text"), F.lit("the")).alias("starts_the"),
+        F.when(F.instr("text", "batch") > 0, F.instr("text", "batch"))
+        .otherwise(0)
+        .cast("long")
+        .alias("pos_batch"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "q115_datetime_functions",
+    """
+    SELECT event_id,
+           CAST(year(ts) AS BIGINT) AS y,
+           CAST(month(ts) AS BIGINT) AS m,
+           CAST(dayofweek(ts) + 1 AS BIGINT) AS dow_sunday1,
+           strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS fmt,
+           CAST(date_part('epoch', date_trunc('day', ts)) AS BIGINT)
+             AS day_start_epoch,
+           strftime(ts + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3mo,
+           CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                AS BIGINT) AS days_since_y24
+    FROM events ORDER BY event_id
+    """,
+    "ClickHouse date/time function family: toYear/toMonth/toDayOfWeek "
+    "(Sunday=1 convention pinned on both engines), formatDateTime, "
+    "toStartOfDay as epoch, addMonths (calendar-aware), dateDiff — "
+    "all built-in, portable across Spark and DuckDB",
+)
+def q115(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofweek("ts").cast("long").alias("dow_sunday1"),
+        F.date_format(F.date_trunc("second", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "fmt"
+        ),
+        F.date_trunc("day", F.col("ts")).cast("long").alias("day_start_epoch"),
+        F.date_format(
+            F.add_months(F.col("ts"), 3), "yyyy-MM-dd"
+        ).alias("plus_3mo"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_y24"),
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
