@@ -50,8 +50,20 @@ def write_flows(
     )
 
 
-def read_flows(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_flows(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """Read the flow table. ``merge_schema=True`` unions the schemas of
+    every partition (parquet ``mergeSchema``) so a column added later —
+    the reference handles this case with its open ``connectionFlags``
+    map (network_flows_0.sql:9), but a true new column is the general
+    form — appears as null in old partitions. Schema merging reads
+    every file footer; at 100 TB keep it off for hot queries and run
+    evolved-schema reads through this flag only when needed."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 def compact(spark: SparkSession, path: str, target_date: str | None = None) -> None:

@@ -99,3 +99,30 @@ class TestTableStats:
         assert sum(p["n_rows"] for p in after) < total_before
         assert all(p["n_files"] == 1 for p in after)
         assert [p["partition"] for p in after] == sorted(p["partition"] for p in after)
+
+
+def test_read_flows_schema_evolution(spark, tmp_path):
+    """A column added in a later partition surfaces via merge_schema=True
+    (null in old partitions) and stays invisible without it."""
+    from pyspark.sql import functions as F
+
+    from kubenetmon_spark.sink import read_flows
+
+    p = str(tmp_path / "evolve")
+    spark.createDataFrame([("2024-01-01", 10)], ["date", "bytes"]).write.partitionBy(
+        "date"
+    ).parquet(p)
+    spark.createDataFrame(
+        [("2024-01-02", 20, "tcp-fast-open")], ["date", "bytes", "new_flag"]
+    ).write.mode("append").partitionBy("date").parquet(p)
+
+    plain = read_flows(spark, p)
+    merged = read_flows(spark, p, merge_schema=True)
+    assert "new_flag" in merged.columns
+    rows = {
+        str(r.date): r.new_flag
+        for r in merged.select("date", "new_flag").collect()
+    }
+    assert rows["2024-01-01"] is None and rows["2024-01-02"] == "tcp-fast-open"
+    # without merging, reads still work on the base schema
+    assert plain.select(F.sum("bytes")).collect()[0][0] == 30
