@@ -178,3 +178,72 @@ def table_stats(path: str) -> list[dict]:
             }
         )
     return out
+
+
+def write_projection(
+    spark: SparkSession,
+    base_path: str,
+    proj_path: str,
+    sort_cols: list[str],
+    target_date: str | None = None,
+) -> None:
+    """Maintain a ClickHouse-PROJECTION-style alternate copy of the flow
+    table: same rows, same day partitioning, but sorted WITHIN partitions
+    on a different key so parquet row-group min/max stats skip for a
+    different predicate family (the base copy sorts on
+    PRIMARY_KEY_PREFIX; a remote-centric projection sorts on e.g.
+    (remoteApp, remotePod)).
+
+    ClickHouse picks the projection automatically at query time;
+    ``scan_flows`` below does the same by matching predicate columns
+    against each copy's sort prefix. Maintenance is per-partition and
+    embarrassingly parallel, exactly like ``compact`` — run both in the
+    same lifecycle job (a projection of compacted data re-sorts the
+    already-merged rows; re-running is idempotent).
+    """
+    src = spark.read.parquet(base_path)
+    if target_date is not None:
+        src = src.filter(F.col("date") == target_date)
+    cols = [c for c in sort_cols if c in src.columns]
+    (
+        src.repartition(F.col("date"))
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date")
+        .parquet(proj_path)
+    )
+
+
+def scan_flows(
+    spark: SparkSession,
+    base_path: str,
+    predicate_cols: list[str],
+    projections: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Projection-aware scan: pick the copy whose sort-key PREFIX covers
+    the most leading predicate columns (ClickHouse's projection chooser,
+    simplified to prefix-match scoring); fall back to the base table.
+    ``projections`` maps path -> its sort key. Row-group skipping does
+    the rest once the right copy is chosen — same data, better stats
+    locality, zero query rewrite."""
+    from kubenetmon_spark.schema import PRIMARY_KEY_PREFIX as _PK
+
+    best_path, best_score = base_path, _prefix_score(tuple(_PK), predicate_cols)
+    for path, key in (projections or {}).items():
+        score = _prefix_score(tuple(key), predicate_cols)
+        if score > best_score:
+            best_path, best_score = path, score
+    return spark.read.parquet(best_path)
+
+
+def _prefix_score(sort_key: tuple[str, ...], predicate_cols: list[str]) -> int:
+    """Number of LEADING sort-key columns that appear in the predicate —
+    stats-based skipping only helps while the prefix is constrained."""
+    score = 0
+    for c in sort_key:
+        if c in predicate_cols:
+            score += 1
+        else:
+            break
+    return score

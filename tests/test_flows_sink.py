@@ -126,3 +126,35 @@ def test_read_flows_schema_evolution(spark, tmp_path):
     assert rows["2024-01-01"] is None and rows["2024-01-02"] == "tcp-fast-open"
     # without merging, reads still work on the base schema
     assert plain.select(F.sum("bytes")).collect()[0][0] == 30
+
+
+def test_projection_chooser_and_equivalence(spark, tmp_path):
+    """write_projection keeps the same rows under an alternate sort;
+    scan_flows routes by sort-prefix coverage and falls back to base."""
+    from kubenetmon_spark.sink import scan_flows, write_projection
+
+    base = str(tmp_path / "base")
+    proj = str(tmp_path / "proj")
+    rows = [
+        ("2024-01-01", "appA", "rem9", 10),
+        ("2024-01-01", "appB", "rem1", 20),
+        ("2024-01-02", "appA", "rem5", 30),
+    ]
+    df = spark.createDataFrame(rows, ["date", "localApp", "remoteApp", "bytes"])
+    df.write.partitionBy("date").parquet(base)
+    write_projection(spark, base, proj, ["remoteApp", "localApp"])
+
+    projections = {proj: ("remoteApp", "localApp")}
+    # remote-side predicate -> projection copy wins
+    picked = scan_flows(spark, base, ["remoteApp"], projections)
+    assert picked.inputFiles()[0].startswith("file:" + proj) or proj in picked.inputFiles()[0]
+    # no sort-prefix coverage -> base
+    fallback = scan_flows(spark, base, ["bytes"], projections)
+    assert proj not in fallback.inputFiles()[0]
+    # identical data either way
+    from pyspark.sql import functions as F
+
+    sel = [F.col("date").cast("string"), "localApp", "remoteApp", "bytes"]
+    a = sorted(map(tuple, picked.select(*sel).collect()))
+    b = sorted(map(tuple, fallback.select(*sel).collect()))
+    assert a == b == sorted(rows)
