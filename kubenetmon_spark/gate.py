@@ -4567,6 +4567,38 @@ def q115(spark, sf_dir):
     ).orderBy("event_id")
 
 
+@_register(
+    "q116_sequence_next_node",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, event_type, ts,
+             LAG(event_type, 1) OVER w AS p1,
+             LAG(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    m AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM o WHERE p2 = 'signup' AND p1 = 'click'
+    )
+    SELECT user_id, event_type AS next_node
+    FROM m WHERE rn = 1
+    ORDER BY user_id
+    """,
+    "ClickHouse sequenceNextNode (head/first_match): the event type "
+    "directly following the first CONSECUTIVE signup->click chain per "
+    "user — lag() stack over one (user, ts, id) sort, single window "
+    "pass — operators/funnel.py::sequence_next_node",
+)
+def q116(spark, sf_dir):
+    from kubenetmon_spark.operators.funnel import sequence_next_node
+
+    ev = _t(spark, sf_dir, "events")
+    return sequence_next_node(ev, ["signup", "click"]).orderBy("user_id")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

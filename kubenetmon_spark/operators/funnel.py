@@ -226,3 +226,57 @@ def sequence_match(
         *(user_cols or ["user_id"]),
         (F.col("funnel_level") >= len(steps)).alias("matched"),
     )
+
+
+def sequence_next_node(
+    events: DataFrame,
+    base_steps: list[str],
+    user_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """ClickHouse ``sequenceNextNode`` (head/first_match flavor):
+    per user, the event type that directly FOLLOWS the first
+    occurrence of the exact consecutive chain ``base_steps`` in the
+    user's time-ordered event sequence; users whose chain is never
+    followed by anything (or never matched) are absent.
+
+    "Consecutive" means adjacent in the user's event sequence (no other
+    events in between) — stricter than window_funnel's "exists a
+    chain". Implemented with lag() stacks over one (user, ts, tiebreak)
+    sort: event at position i matches if the k-th lag's type equals
+    base_steps[-1-k] for every k. The follower is then the matching
+    position's OWN type where the match anchors at lag(1).
+
+    One shuffle+sort; L-1 lag columns evaluate in a single window pass.
+    """
+    user_cols = user_cols or ["user_id"]
+    from pyspark.sql.window import Window
+
+    L = len(base_steps)
+    if L == 0:
+        raise ValueError("base_steps must be non-empty")
+    w = Window.partitionBy(*user_cols).orderBy(
+        F.unix_micros(F.col(ts_col)), tiebreak_col
+    )
+    # chain of length L ends at lag 1 .. lag L relative to the follower row
+    cond = F.lit(True)
+    for k in range(1, L + 1):
+        cond = cond & (
+            F.lag(F.col(type_col), k).over(w) == base_steps[L - k]
+        )
+    matched = (
+        events.withColumn("_is_next", cond)
+        .filter(F.col("_is_next"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*user_cols).orderBy(
+                    F.unix_micros(F.col(ts_col)), tiebreak_col
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    return matched.select(*user_cols, F.col(type_col).alias("next_node"))

@@ -302,3 +302,44 @@ class TestEmptyInputs:
         df = spark.createDataFrame([], "vec_id long, embedding array<double>")
         books = np.zeros((2, 4, 2))
         assert pq_encode(df, books).count() == 0
+
+
+class TestSequenceNextNode:
+    def _df(self, spark, rows):
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [
+                (u, t0 + timedelta(seconds=s), tp, i)
+                for i, (u, s, tp) in enumerate(rows)
+            ],
+            ["user_id", "ts", "event_type", "event_id"],
+        )
+
+    def test_consecutive_chain_required(self, spark):
+        from kubenetmon_spark.operators.funnel import sequence_next_node
+
+        rows = [
+            (1, 0, "signup"), (1, 1, "click"), (1, 2, "buy"),     # match -> buy
+            (2, 0, "signup"), (2, 1, "view"), (2, 2, "click"),    # not adjacent
+            (2, 3, "pay"),
+            (3, 0, "signup"), (3, 1, "click"),                    # nothing after
+        ]
+        got = {
+            r.user_id: r.next_node
+            for r in sequence_next_node(
+                self._df(spark, rows), ["signup", "click"]
+            ).collect()
+        }
+        assert got == {1: "buy"}
+
+    def test_first_match_wins(self, spark):
+        from kubenetmon_spark.operators.funnel import sequence_next_node
+
+        rows = [
+            (1, 0, "signup"), (1, 1, "click"), (1, 2, "A"),
+            (1, 3, "signup"), (1, 4, "click"), (1, 5, "B"),
+        ]
+        got = sequence_next_node(self._df(spark, rows), ["signup", "click"]).collect()
+        assert len(got) == 1 and got[0].next_node == "A"
