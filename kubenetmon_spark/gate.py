@@ -4599,6 +4599,27 @@ def q116(spark, sf_dir):
     return sequence_next_node(ev, ["signup", "click"]).orderBy("user_id")
 
 
+@_register(
+    "q117_uniq_state_merge",
+    None,  # HLL sketch estimates are engine-specific (DataSketches vs
+    # DuckDB's HLL) — merge associativity and error bounds are asserted
+    # in tests/test_ops_core_ext.py::TestUniqStateMerge
+    "ClickHouse uniqState/uniqMerge: per-day mergeable HLL sketch "
+    "states unioned into range distinct counts without a fact rescan "
+    "— operators/sketch.py::uniq_state/uniq_merge",
+)
+def q117(spark, sf_dir):
+    from kubenetmon_spark.operators.sketch import uniq_merge, uniq_state
+
+    ev = _t(spark, sf_dir, "events")
+    daily = uniq_state(
+        ev.withColumn("day", F.to_date("ts")),
+        ["event_type", "day"],
+        "user_id",
+    )
+    return uniq_merge(daily, ["event_type"]).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

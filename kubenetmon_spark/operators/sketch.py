@@ -75,3 +75,46 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return exact.orderBy(F.desc("n"), F.asc(key_col)).limit(k)
+
+
+def uniq_state(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+    out_col: str = "uniq_sketch",
+) -> DataFrame:
+    """ClickHouse ``uniqState`` analogue: per group, a MERGEABLE
+    distinct-count sketch (Apache DataSketches HLL via Spark's
+    ``hll_sketch_agg``) stored as bytes. Persist these per partition
+    (e.g. per day) and distinct counts over any date range become a
+    sketch union instead of a fact rescan — exactly what
+    AggregatingMergeTree buys ClickHouse with the -State/-Merge
+    combinators.
+
+    One hash aggregation, map-side combined; sketch size is O(2^lg_k)
+    bytes per group regardless of cardinality.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias(out_col)
+    )
+
+
+def uniq_merge(
+    sketches: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "uniq_sketch",
+    out_col: str = "n_distinct_est",
+) -> DataFrame:
+    """ClickHouse ``uniqMerge``: union per-partition sketches and
+    estimate. The shuffle carries one sketch per (partition, group) —
+    bytes, not rows. HLL union is associative/commutative at the set
+    level, but Spark's sketch packing can vary slightly with merge
+    order, so estimates from different partitionings agree within the
+    configured error (~1.6% at lg_k=12), not bit-for-bit — treat the
+    result as an estimate, never a grouping key."""
+    return sketches.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col(sketch_col), F.lit(True))
+        ).alias(out_col)
+    )
