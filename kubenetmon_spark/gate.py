@@ -4620,6 +4620,96 @@ def q117(spark, sf_dir):
     return uniq_merge(daily, ["event_type"]).orderBy("event_type")
 
 
+@_register(
+    "q118_curation_pipeline",
+    """
+    WITH t AS (
+      SELECT doc_id, source, text,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, source,
+             (len(list_filter(toks, x -> list_contains(
+                ['the','a','of','and','to','in'], x))) * 10000) // len(toks)
+               AS stop_bp,
+             (len(list_distinct(toks)) * 10000) // len(toks) AS distinct_bp,
+             len(toks) AS n_tokens
+      FROM t
+    ),
+    spans AS (
+      SELECT doc_id, array_to_string(a[i:i+7], ' ') AS span
+      FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents) s,
+           UNNEST(range(1, len(a) - 8 + 2)) AS u(i)
+      WHERE len(a) >= 8
+    ),
+    counts AS (SELECT span, COUNT(*) AS c FROM spans GROUP BY span),
+    dup AS (
+      SELECT s.doc_id,
+             SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+               AS dup_bp
+      FROM spans s JOIN counts c USING (span) GROUP BY s.doc_id
+    ),
+    kept AS (
+      SELECT q.doc_id, q.source, q.n_tokens
+      FROM quality q JOIN dup d USING (doc_id)
+      WHERE q.distinct_bp >= 3000 AND d.dup_bp <= 7000 AND q.n_tokens >= 8
+    ),
+    capped AS (
+      SELECT doc_id, source, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM kept
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM capped WHERE rk <= 10
+    GROUP BY source ORDER BY source
+    """,
+    "END-TO-END curation pipeline in one plan: quality gates "
+    "(distinct-token ratio floor, token-count floor) x span-duplication "
+    "ceiling (corpus-wide 8-token spans) -> deterministic per-source "
+    "quota of 10 -> per-source token budget. Composes with_quality, "
+    "duplicate_span_fraction, and cap_per_group; id_sum pins exactly "
+    "which docs survived",
+)
+def q118(spark, sf_dir):
+    from kubenetmon_spark.operators.curation import cap_per_group
+    from kubenetmon_spark.operators.dedup import duplicate_span_fraction
+    from kubenetmon_spark.operators.text import with_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    q = with_quality(docs, "text").select(
+        "doc_id", "source", "n_tokens", "distinct_ratio_bp"
+    )
+    dup = duplicate_span_fraction(docs, "doc_id", "text", n=8).select(
+        "doc_id", "dup_bp"
+    )
+    kept = (
+        q.join(dup, "doc_id")
+        .filter(
+            (F.col("distinct_ratio_bp") >= 3000)
+            & (F.col("dup_bp") <= 7000)
+            & (F.col("n_tokens") >= 8)
+        )
+        .select("doc_id", "source", "n_tokens")
+    )
+    capped = cap_per_group(kept, ["source"], 10, "doc_id")
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
