@@ -10,6 +10,8 @@ Usage:
       [--keys date,direction,localPod]   # incremental MV refresh
   python tools/maintain.py zorder <in_path> <out_path> --cols a,b \\
       [--files N]   # rewrite clustered on a Morton curve
+  python tools/maintain.py projection <base_path> <proj_path> \\
+      --sort-cols remoteApp,remotePod [--date YYYY-MM-DD]
 """
 
 from __future__ import annotations
@@ -49,6 +51,14 @@ def main() -> int:
     z.add_argument("out_path")
     z.add_argument("--cols", required=True, help="comma-separated numeric columns")
     z.add_argument("--files", type=int, default=32)
+    p = sub.add_parser(
+        "projection",
+        help="maintain an alternate-sort copy (ClickHouse PROJECTION analogue)",
+    )
+    p.add_argument("base_path")
+    p.add_argument("proj_path")
+    p.add_argument("--sort-cols", required=True, help="comma-separated sort key")
+    p.add_argument("--date", default=None, help="only this date partition")
     args = ap.parse_args()
 
     from kubenetmon_spark.session import get_spark
@@ -74,6 +84,17 @@ def main() -> int:
             {"bytes": F.col("bytes"), "packets": F.col("packets"), "n": F.lit(1)},
         )
         print(f"refreshed {len(changed)} partitions: {changed}")
+    elif args.cmd == "projection":
+        from kubenetmon_spark.sink import write_projection
+
+        write_projection(
+            spark,
+            args.base_path,
+            args.proj_path,
+            args.sort_cols.split(","),
+            target_date=args.date,
+        )
+        print(f"projected {args.base_path} -> {args.proj_path} on {args.sort_cols}")
     elif args.cmd == "zorder":
         from kubenetmon_spark.operators.zorder import zorder_write
 
