@@ -75,7 +75,11 @@ def dsir_log_weights(
     log_weight = sum_f cnt_doc(f) * [log p_target(f) - log p_raw(f)]
     with add-one smoothing over the ``buckets``-sized vocabulary.
     """
-    raw_feats = hashed_ngram_counts(raw, id_col, text_col, buckets)
+    # one feature pass over the raw corpus: the (id, bucket, cnt) table
+    # feeds both the raw distribution and the per-doc weights
+    raw_feats = hashed_ngram_counts(
+        raw, id_col, text_col, buckets
+    ).localCheckpoint(eager=True)
     tgt_feats = hashed_ngram_counts(target, id_col, text_col, buckets)
     raw_dist = _bucket_dist(raw_feats)
     tgt_dist = _bucket_dist(tgt_feats)
