@@ -4710,6 +4710,46 @@ def q118(spark, sf_dir):
     )
 
 
+@_register(
+    "q119_funnel_strict_order",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type, 1) OVER w AS p1,
+             LAG(ts, 1) OVER w AS pts1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    d AS (
+      SELECT user_id,
+             CASE
+               WHEN event_type = 'click' AND p1 = 'signup'
+                    AND epoch_us(ts) - epoch_us(pts1) <= CAST(86400 AS BIGINT) * 1000000
+                 THEN 2
+               WHEN event_type = 'signup' THEN 1
+               ELSE 0
+             END AS depth
+      FROM o
+    )
+    SELECT user_id, CAST(MAX(depth) AS INT) AS funnel_level
+    FROM d GROUP BY user_id ORDER BY user_id
+    """,
+    "windowFunnel strict_order mode: signup immediately followed by "
+    "click in the user's FULL event sequence (any other event "
+    "interrupts), 1-day window — lag-stack depth over one sort, "
+    "operators/funnel.py::window_funnel_strict_order",
+)
+def q119(spark, sf_dir):
+    from kubenetmon_spark.operators.funnel import window_funnel_strict_order
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        window_funnel_strict_order(ev, ["signup", "click"], 86400)
+        .withColumn("funnel_level", F.col("funnel_level").cast("int"))
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

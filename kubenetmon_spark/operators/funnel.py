@@ -280,3 +280,57 @@ def sequence_next_node(
         .filter(F.col("_rn") == 1)
     )
     return matched.select(*user_cols, F.col(type_col).alias("next_node"))
+
+
+def window_funnel_strict_order(
+    events: DataFrame,
+    steps: list[str],
+    window_seconds: int,
+    user_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """ClickHouse ``windowFunnel(..., 'strict_order')``: the step chain
+    must be CONSECUTIVE in the user's full event sequence — any other
+    event in between interrupts it (vs the default mode's
+    "exists a chain" semantics in :func:`window_funnel`).
+
+    Adjacency makes the depth a fixed lag pattern: an event at position
+    i closes a depth-d chain iff its d-1 immediate predecessors are
+    exactly steps[0..d-2] (in order) and it is steps[d-1], with the
+    chain fitting in the time window. depth(i) is computed from L lag
+    stacks over ONE (user, ts, tiebreak) sort; the per-user funnel
+    level is the max depth. Still one shuffle, one window pass.
+    """
+    user_cols = user_cols or ["user_id"]
+    from pyspark.sql.window import Window
+
+    L = len(steps)
+    w = Window.partitionBy(*user_cols).orderBy(
+        F.unix_micros(F.col(ts_col)), tiebreak_col
+    )
+    lag_type = [F.col(type_col)] + [
+        F.lag(type_col, k).over(w) for k in range(1, L)
+    ]
+    lag_us = [F.unix_micros(F.col(ts_col))] + [
+        F.lag(F.unix_micros(F.col(ts_col)), k).over(w) for k in range(1, L)
+    ]
+    window_us = int(window_seconds) * 1_000_000
+    # depth d closed at this row: predecessors k=d-1..1 hold steps[d-1-k],
+    # current row holds steps[d-1], and the span fits the window
+    depth = F.lit(0)
+    for d in range(1, L + 1):
+        cond = lag_type[0] == steps[d - 1]
+        for k in range(1, d):
+            cond = cond & (lag_type[k] == steps[d - 1 - k])
+        cond = cond & (
+            (lag_us[0] - lag_us[d - 1]) <= F.lit(window_us)
+        )
+        depth = F.when(cond, F.lit(d)).otherwise(depth)
+    slim = events.filter(F.col(type_col).isNotNull())
+    return (
+        slim.withColumn("_depth", depth)
+        .groupBy(*user_cols)
+        .agg(F.max("_depth").alias("funnel_level"))
+    )

@@ -343,3 +343,48 @@ class TestSequenceNextNode:
         ]
         got = sequence_next_node(self._df(spark, rows), ["signup", "click"]).collect()
         assert len(got) == 1 and got[0].next_node == "A"
+
+
+class TestStrictOrderFunnel:
+    def _df(self, spark, rows):
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [
+                (u, t0 + timedelta(seconds=s), tp, i)
+                for i, (u, s, tp) in enumerate(rows)
+            ],
+            ["user_id", "ts", "event_type", "event_id"],
+        )
+
+    def test_interruption_blocks_chain(self, spark):
+        from kubenetmon_spark.operators.funnel import (
+            window_funnel,
+            window_funnel_strict_order,
+        )
+
+        rows = [
+            (1, 0, "a"), (1, 1, "b"), (1, 2, "c"),          # adjacent: full
+            (2, 0, "a"), (2, 1, "x"), (2, 2, "b"), (2, 3, "c"),  # interrupted
+        ]
+        df = self._df(spark, rows)
+        strict = {
+            r.user_id: r.funnel_level
+            for r in window_funnel_strict_order(df, ["a", "b", "c"], 3600).collect()
+        }
+        loose = {
+            r.user_id: r.funnel_level
+            for r in window_funnel(df, ["a", "b", "c"], 3600).collect()
+        }
+        assert strict[1] == 3 and strict[2] == 1   # x breaks adjacency
+        assert loose[2] == 3                        # default mode tolerates x
+
+    def test_window_bound_applies(self, spark):
+        from kubenetmon_spark.operators.funnel import window_funnel_strict_order
+
+        rows = [(1, 0, "a"), (1, 5000, "b")]
+        got = window_funnel_strict_order(
+            self._df(spark, rows), ["a", "b"], 3600
+        ).collect()
+        assert got[0].funnel_level == 1  # adjacent but outside the window
