@@ -216,7 +216,7 @@ class TestSkewTools:
         small = spark.createDataFrame([(i, f"d{i}") for i in range(60)], "k long, d string")
         a = sorted((r.k, r.v, r.d) for r in salted_join(large, small, ["k"], salt_n=4).collect())
         b = sorted((r.k, r.v, r.d) for r in large.join(small, "k").collect())
-        assert abs(a - b) / 2000 < 0.02  # estimates agree within error
+        assert a == b
 
     def test_salted_sum_equals_plain_sum(self, spark):
         from kubenetmon_spark.operators.skew import salted_sum
@@ -226,7 +226,7 @@ class TestSkewTools:
         )
         a = {r.k: r.v for r in salted_sum(df, ["k"], ["v"], salt_n=8).collect()}
         b = {r.k: r.v for r in df.groupBy("k").agg(F.sum("v").alias("v")).collect()}
-        assert abs(a - b) / 2000 < 0.02  # estimates agree within error
+        assert a == b
 
 
 class TestSCD2:
