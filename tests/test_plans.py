@@ -207,3 +207,52 @@ def test_funnel_single_sort_and_shuffle(spark):
         l for l in plan.splitlines() if "Sort [" in l and " false, 0" in l
     ]
     assert len(local_sorts) <= 1, f"cascaded windows re-sorted: {local_sorts}"
+
+
+def test_q70_single_fact_aggregation(spark):
+    """The fraction-of-global shape must scan+aggregate the fact table
+    exactly once (regression guard for the crossJoin-rescan bug)."""
+    from kubenetmon_spark.gate import gate_queries
+
+    plan = _plan(gate_queries()["q70_part_value_share"](spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1, (
+        "q70 should read lineitem once; a scalar-subquery formulation reads it twice"
+    )
+
+
+def test_any_left_join_broadcasts_deduped_side(spark):
+    from kubenetmon_spark.operators.joins import any_left_join
+
+    left = load_table(spark, SF_DIR, "part").select("p_partkey")
+    right = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        "l_quantity",
+        (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias("pk"),
+    )
+    plan = _plan(any_left_join(left, right, ["p_partkey"], F.col("pk")))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_delta_sum_single_shuffle(spark):
+    from kubenetmon_spark.operators.timeseries import delta_sum
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", F.col("value").cast("long").alias("x")
+    )
+    plan = _plan(delta_sum(ev, ["user_id"], "ts", "x", "event_id"))
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "deltaSum should shuffle once on the key; the window and the final "
+        "aggregate share that partitioning"
+    )
+
+
+def test_weighted_quantile_single_shuffle(spark):
+    from kubenetmon_spark.operators.agg import weighted_quantile_exact
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type",
+        F.col("value").cast("long").alias("x"),
+        (F.col("user_id") % 5 + 1).alias("w"),
+    )
+    plan = _plan(weighted_quantile_exact(ev, ["event_type"], "x", "w", [50]))
+    assert plan.count("Exchange hashpartitioning") == 1
