@@ -4750,6 +4750,132 @@ def q119(spark, sf_dir):
     )
 
 
+@_register(
+    "q120_priority_shipping",
+    """
+    SELECT l.l_returnflag AS returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+    "TPC-H Q12 shape (shipmode -> returnflag adaptation): date-ranged "
+    "fact join + CASE-conditional counts folding into the aggregate; "
+    "orders side joins on the shuffle key, date filter pushed to the "
+    "lineitem scan",
+)
+def q120(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+@_register(
+    "q121_supplier_part_variety",
+    """
+    WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    SELECT p.p_brand AS brand, p.p_size % 5 AS size_bucket,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type <> 'PROMO'
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+    GROUP BY p.p_brand, p.p_size % 5
+    ORDER BY supplier_cnt DESC, brand, size_bucket
+    """,
+    "TPC-H Q16 shape (lineitem as the part-supplier relation): distinct "
+    "supplier counts per (brand, size bucket) with a NOT-IN exclusion "
+    "list — the exclusion is a broadcast left-anti join (safe here: the "
+    "subquery side is null-free by construction), the part dim "
+    "broadcasts, one shuffle for the distinct aggregation",
+)
+def q121(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (F.col("p_size") % 5).alias("size_bucket"),
+        )
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "brand", "size_bucket")
+    )
+
+
+@_register(
+    "q122_profit_by_nation_year",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS y,
+           CAST(SUM(
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(6,4))) * 10000
+             - CAST(p.p_retailprice AS DECIMAL(12,2))
+               * CAST(l.l_quantity AS DECIMAL(12,2)) * 1000
+           ) AS BIGINT) AS profit_e4
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE '%a%'
+    GROUP BY n.n_name, year(l.l_shipdate)
+    ORDER BY nation, y
+    """,
+    "TPC-H Q9 shape (retailprice/10 as the pseudo supply cost): profit "
+    "by supplier nation x ship year through a 4-table snowflake — every "
+    "dim broadcasts, the fact scans once and shuffles once on the "
+    "final group key; exact integer fixed-point arithmetic",
+)
+def q122(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%a%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    profit = F.col("l_extendedprice").cast(DEC2) * (
+        F.lit(1) - F.col("l_discount").cast(RATE)
+    ) * 10000 - F.col("p_retailprice").cast(DEC2) * F.col(
+        "l_quantity"
+    ).cast(DEC2) * 1000
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("y"),
+        )
+        .agg(F.sum(profit).cast("bigint").alias("profit_e4"))
+        .orderBy("nation", "y")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
