@@ -4876,6 +4876,99 @@ def q122(spark, sf_dir):
     )
 
 
+@_register(
+    "q123_topk_weighted",
+    """
+    WITH w AS (
+      SELECT CAST(user_id AS VARCHAR) AS user_key,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE value > 0
+    )
+    SELECT user_key, CAST(SUM(cents) AS BIGINT) AS total_weight
+    FROM w GROUP BY user_key
+    ORDER BY total_weight DESC, user_key LIMIT 5
+    """,
+    "ClickHouse topKWeighted — the README top-talkers semantics (top "
+    "keys by summed bytes, not row count): Misra-Gries candidate sketch "
+    "fed weighted increments, exact sums over survivors only — "
+    "operators/sketch.py::heavy_hitters_weighted. Oracle computes the "
+    "exact answer directly; the sketch must reproduce it at this skew",
+)
+def q123(spark, sf_dir):
+    from kubenetmon_spark.operators.sketch import heavy_hitters_weighted
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = ev.select(
+        F.col("user_id").cast("string").alias("user_key"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    return heavy_hitters_weighted(w, "user_key", "cents", k=5)
+
+
+@_register(
+    "q124_display_functions",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY event_type
+    ),
+    m AS (SELECT MAX(cents) AS mx FROM s)
+    SELECT event_type,
+           CASE
+             WHEN cents >= 1000000000 THEN
+               CAST(CAST(cents AS DECIMAL(28,6)) / 1000000000 AS DECIMAL(18,2))
+                 || ' billion'
+             WHEN cents >= 1000000 THEN
+               CAST(CAST(cents AS DECIMAL(28,6)) / 1000000 AS DECIMAL(18,2))
+                 || ' million'
+             WHEN cents >= 1000 THEN
+               CAST(CAST(cents AS DECIMAL(28,6)) / 1000 AS DECIMAL(18,2))
+                 || ' thousand'
+             ELSE CAST(cents AS VARCHAR)
+           END AS readable,
+           repeat('#', CAST((cents * 20) // mx AS BIGINT)) AS bar
+    FROM s, m ORDER BY event_type
+    """,
+    "ClickHouse display functions: formatReadableQuantity (thousand/"
+    "million/billion ladder, exact decimal rounding so both engines "
+    "emit identical strings) and bar() rendered with '#' at width 20 "
+    "scaled by the max — pure expressions over a tiny aggregate",
+)
+def q124(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    c = F.col("cents")
+
+    def _scaled(div):
+        return F.concat(
+            (c.cast("decimal(28,6)") / div).cast("decimal(18,2)").cast("string")
+        )
+
+    readable = (
+        F.when(c >= 1_000_000_000, F.concat(_scaled(1_000_000_000), F.lit(" billion")))
+        .when(c >= 1_000_000, F.concat(_scaled(1_000_000), F.lit(" million")))
+        .when(c >= 1_000, F.concat(_scaled(1_000), F.lit(" thousand")))
+        .otherwise(c.cast("string"))
+    )
+    mx = F.max("cents").over(Window.partitionBy())
+    return (
+        s.withColumn("_mx", mx)
+        .select(
+            "event_type",
+            readable.alias("readable"),
+            F.repeat(F.lit("#"), F.expr("cents * 20 div _mx").cast("int")).alias(
+                "bar"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

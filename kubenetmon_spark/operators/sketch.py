@@ -118,3 +118,45 @@ def uniq_merge(
             F.hll_union_agg(F.col(sketch_col), F.lit(True))
         ).alias(out_col)
     )
+
+
+def heavy_hitters_weighted(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 10,
+    num_counters: int = 256,
+) -> DataFrame:
+    """ClickHouse ``topKWeighted``: top-``k`` keys by SUMMED WEIGHT
+    (bytes, revenue) rather than row count — the actual top-talkers
+    semantics of the README query (reference README.md:180-185).
+    Same Misra-Gries candidate pass as :func:`heavy_hitters` but fed
+    weighted increments (MG admits arbitrary positive increments), then
+    exact weight sums over the surviving candidates only. Complete
+    whenever the k-th heaviest key holds > 1/num_counters of the total
+    weight."""
+    sketch_schema = StructType([StructField("key", StringType(), True)])
+
+    def sketch(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for b in batches:
+            sums = b.groupby(key_col)[weight_col].sum()
+            counters = _fold_mg(counters, sums, num_counters)
+        yield pd.DataFrame({"key": list(counters.keys())})
+
+    slim = df.select(
+        F.col(key_col).cast("string").alias(key_col), weight_col
+    )
+    candidates = (
+        slim.mapInPandas(sketch, sketch_schema)
+        .select(F.col("key").alias(key_col))
+        .distinct()
+    )
+    exact = (
+        slim.join(F.broadcast(candidates), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.sum(weight_col).cast("long").alias("total_weight"))
+    )
+    return exact.orderBy(F.desc("total_weight"), F.asc(key_col)).limit(k)

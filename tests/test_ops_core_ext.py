@@ -431,3 +431,26 @@ class TestUniqStateMerge:
             ["grp"],
         ).collect()[0].n_distinct_est
         assert abs(a - b) / 2000 < 0.02  # estimates agree within error
+
+
+class TestWeightedHeavyHitters:
+    def test_matches_exact_on_skewed_weights(self, spark):
+        from kubenetmon_spark.operators.sketch import heavy_hitters_weighted
+
+        import random
+
+        rng = random.Random(4)
+        # one key holds most of the total weight, tail is flat
+        rows = [("whale", 10_000)] * 50 + [
+            (f"k{rng.randrange(200)}", rng.randrange(1, 50)) for _ in range(2000)
+        ]
+        df = spark.createDataFrame(rows, "k string, w long")
+        got = [
+            (r.k, r.total_weight)
+            for r in heavy_hitters_weighted(df, "k", "w", k=3).collect()
+        ]
+        exact: dict = {}
+        for k, w in rows:
+            exact[k] = exact.get(k, 0) + w
+        exp = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        assert got == exp
