@@ -4969,6 +4969,109 @@ def q124(spark, sf_dir):
     )
 
 
+@_register(
+    "q125_nonneg_derivative",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             epoch_us(ts) AS us
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, event_id,
+             x - LAG(x) OVER w AS dx,
+             us - LAG(us) OVER w AS dus
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(CASE WHEN dx IS NULL OR dx < 0 OR dus = 0 THEN NULL
+                ELSE (dx * 1000000) // dus END AS BIGINT)
+             AS rate_e2_per_s
+    FROM d ORDER BY user_id, event_id
+    """,
+    "ClickHouse nonNegativeDerivative: per-event rate of change per "
+    "second, negatives nulled, integer-exact via floor((dx * 1e6) / "
+    "d_microseconds) — lag pair over one sort, no Python",
+)
+def q125(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dx = F.col("x") - F.lag("x").over(w)
+    dus = F.col("us") - F.lag("us").over(w)
+    return (
+        o.select(
+            "user_id",
+            "event_id",
+            F.when(
+                dx.isNull() | (dx < 0) | (dus == 0), F.lit(None)
+            )
+            .otherwise(F.expr("1") * dx * 1_000_000)
+            .alias("_num"),
+            dus.alias("_dus"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("_num div _dus").cast("long").alias("rate_e2_per_s"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@_register(
+    "q126_interval_union",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+               + (abs(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) // 100)
+                 % 600 + 60 AS e
+      FROM events
+    ),
+    sweep AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_e
+      FROM iv
+    )
+    SELECT user_id,
+           CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(prev_e, s))))
+                AS BIGINT) AS union_len
+    FROM sweep GROUP BY user_id ORDER BY user_id
+    """,
+    "ClickHouse intervalLengthSum: total length of the UNION of "
+    "[start, end) activity intervals per user (overlaps counted once) "
+    "— running-max-of-ends sweep as window algebra, integer seconds — "
+    "operators/timeseries.py::interval_union_length",
+)
+def q126(spark, sf_dir):
+    from kubenetmon_spark.operators.timeseries import interval_union_length
+
+    ev = _t(spark, sf_dir, "events")
+    s = F.col("ts").cast("long")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    dur = (F.abs(cents).cast("long") / 100).cast("long") % 600 + 60
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + dur).alias("e"),
+    )
+    return interval_union_length(
+        iv, ["user_id"], "s", "e", "event_id", out_col="union_len"
+    ).orderBy("user_id")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -210,3 +210,39 @@ def lttb_downsample(
             F.col("_tb").alias(tiebreak_col),
         )
     )
+
+
+def interval_union_length(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    tiebreak_col: str,
+    out_col: str = "union_len",
+) -> DataFrame:
+    """ClickHouse ``intervalLengthSum``: per key, the total length of
+    the UNION of [start, end) intervals — overlaps counted once.
+
+    Classic sweep as window algebra: sort intervals by start, carry the
+    running max of previous ends; each interval contributes
+    max(0, end - max(start, running_prev_end)). Summing those
+    contributions equals the union length (every covered point is
+    counted exactly by the first interval that covers it). Integer
+    endpoints -> exact in any engine; one shuffle+sort per key, the
+    lag-style running max and the final sum share the partitioning.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(start_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(end_col).over(w)
+    contrib = F.greatest(
+        F.lit(0),
+        F.col(end_col) - F.greatest(F.col(start_col), F.coalesce(prev_end, F.col(start_col))),
+    )
+    return (
+        df.withColumn("_c", contrib)
+        .groupBy(*key_cols)
+        .agg(F.sum("_c").cast("long").alias(out_col))
+    )

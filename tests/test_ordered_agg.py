@@ -333,3 +333,46 @@ class TestWeightedQuantile:
             df, ["user_id"], "x", "w", [50, 100]
         ).collect()[0]
         assert r.p50 == 50 and r.p100 == 100
+
+
+class TestIntervalUnion:
+    def test_matches_python_sweep(self, spark):
+        from kubenetmon_spark.operators.timeseries import interval_union_length
+
+        rng = random.Random(9)
+        rows = [
+            (rng.randrange(5), rng.randrange(1000), 0, i)
+            for i in range(300)
+        ]
+        ivs = [(u, s, s + rng.randrange(1, 50), i) for i, (u, s, _, _) in enumerate(rows)]
+        df = spark.createDataFrame(ivs, ["user_id", "s", "e", "event_id"])
+        got = {
+            r.user_id: r.union_len
+            for r in interval_union_length(
+                df, ["user_id"], "s", "e", "event_id"
+            ).collect()
+        }
+        by_user: dict = {}
+        for u, s, e, _ in ivs:
+            by_user.setdefault(u, []).append((s, e))
+        for u, v in by_user.items():
+            v.sort()
+            total, cur_s, cur_e = 0, None, None
+            for s, e in v:
+                if cur_e is None or s > cur_e:
+                    if cur_e is not None:
+                        total += cur_e - cur_s
+                    cur_s, cur_e = s, e
+                else:
+                    cur_e = max(cur_e, e)
+            total += cur_e - cur_s
+            assert got[u] == total, u
+
+    def test_disjoint_and_nested(self, spark):
+        from kubenetmon_spark.operators.timeseries import interval_union_length
+
+        ivs = [(1, 0, 10, 0), (1, 20, 30, 1), (1, 2, 5, 2)]  # nested inside [0,10)
+        got = interval_union_length(
+            spark.createDataFrame(ivs, ["u", "s", "e", "id"]), ["u"], "s", "e", "id"
+        ).collect()[0].union_len
+        assert got == 20
