@@ -5072,6 +5072,122 @@ def q126(spark, sf_dir):
     ).orderBy("user_id")
 
 
+@_register(
+    "q127_welch_ttest",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(CASE WHEN variant = 'a' THEN 1 END) AS n1,
+             SUM(CASE WHEN variant = 'a' THEN x END) AS sx1,
+             SUM(CASE WHEN variant = 'a' THEN x * x END) AS sxx1,
+             COUNT(CASE WHEN variant = 'b' THEN 1 END) AS n2,
+             SUM(CASE WHEN variant = 'b' THEN x END) AS sx2,
+             SUM(CASE WHEN variant = 'b' THEN x * x END) AS sxx2
+      FROM o GROUP BY event_type
+    )
+    SELECT event_type, n1, n2,
+           ROUND(sx1 / n1, 6) AS mean_control,
+           ROUND(sx2 / n2, 6) AS mean_treatment,
+           ROUND(
+             (sx1 / n1 - sx2 / n2) / sqrt(
+               ((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+               + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2
+             ), 6) AS t_stat
+    FROM s ORDER BY event_type
+    """,
+    "ClickHouse welchTTest: unequal-variance t statistic between two "
+    "user cohorts per event type, computed from exact integer sums so "
+    "the final IEEE divisions/sqrt yield identical doubles in both "
+    "engines — operators/stats.py::welch_t_test (one hash agg)",
+)
+def q127(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import welch_t_test
+
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("variant"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+    )
+    return welch_t_test(o, ["event_type"], "x", "variant", "a", "b").orderBy(
+        "event_type"
+    )
+
+
+@_register(
+    "q128_pearson_corr",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             CAST(user_id % 7 AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM o GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((n * sxy - sx * sy)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+    FROM s ORDER BY event_type
+    """,
+    "Pearson correlation from exact integer sums (never Spark's "
+    "built-in corr — it accumulates floats in shuffle order and is "
+    "non-deterministic) — operators/stats.py::pearson_corr_exact",
+)
+def q128(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import pearson_corr_exact
+
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+        (F.col("user_id") % 7).alias("y"),
+    )
+    return pearson_corr_exact(o, ["event_type"], "x", "y").orderBy(
+        "event_type"
+    )
+
+
+@_register(
+    "q129_entropy",
+    """
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, user_id
+    ),
+    s AS (
+      SELECT event_type, SUM(cnt) AS n,
+             SUM(cnt * log2(cnt)) AS clogc
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type, ROUND(log2(n) - clogc / n, 6) AS entropy_bits
+    FROM s ORDER BY event_type
+    """,
+    "ClickHouse entropy: Shannon entropy (bits) of each event type's "
+    "user distribution — two-level exact-count aggregation, the float "
+    "step uses only integer counts — "
+    "operators/stats.py::shannon_entropy",
+)
+def q129(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import shannon_entropy
+
+    ev = _t(spark, sf_dir, "events")
+    return shannon_entropy(ev, ["event_type"], "user_id").orderBy(
+        "event_type"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

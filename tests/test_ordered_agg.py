@@ -376,3 +376,60 @@ class TestIntervalUnion:
             spark.createDataFrame(ivs, ["u", "s", "e", "id"]), ["u"], "s", "e", "id"
         ).collect()[0].union_len
         assert got == 20
+
+
+class TestStatsAggregates:
+    def test_welch_matches_scipy_formula(self, spark):
+        import math
+
+        from kubenetmon_spark.operators.stats import welch_t_test
+
+        rng = random.Random(21)
+        rows = [
+            ("g", "a" if i % 2 else "b", rng.randrange(-500, 500))
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, ["grp", "variant", "x"])
+        r = welch_t_test(df, ["grp"], "x", "variant", "a", "b").collect()[0]
+        xa = [x for _, v, x in rows if v == "a"]
+        xb = [x for _, v, x in rows if v == "b"]
+
+        def mv(xs):
+            n = len(xs)
+            m = sum(xs) / n
+            var = sum((x - m) ** 2 for x in xs) / (n - 1)
+            return n, m, var
+
+        na, ma, va = mv(xa)
+        nb, mb, vb = mv(xb)
+        t = (ma - mb) / math.sqrt(va / na + vb / nb)
+        assert abs(r.t_stat - t) < 1e-5
+        assert r.n1 == na and r.n2 == nb
+
+    def test_corr_perfect_and_independent(self, spark):
+        from kubenetmon_spark.operators.stats import pearson_corr_exact
+
+        lin = [("g", i, 3 * i + 7) for i in range(100)]
+        r = pearson_corr_exact(
+            spark.createDataFrame(lin, ["grp", "x", "y"]), ["grp"], "x", "y"
+        ).collect()[0]
+        assert abs(r.corr - 1.0) < 1e-9
+        const = [("g", i, 5) for i in range(10)]
+        r2 = pearson_corr_exact(
+            spark.createDataFrame(const, ["grp", "x", "y"]), ["grp"], "x", "y"
+        ).collect()[0]
+        assert r2.corr is None  # zero variance side -> null
+
+    def test_entropy_uniform_and_point_mass(self, spark):
+        from kubenetmon_spark.operators.stats import shannon_entropy
+
+        uni = [("u", v) for v in range(8) for _ in range(5)]
+        r = shannon_entropy(
+            spark.createDataFrame(uni, ["grp", "v"]), ["grp"], "v"
+        ).collect()[0]
+        assert abs(r.entropy_bits - 3.0) < 1e-9  # 8 equally likely -> 3 bits
+        point = [("p", 42)] * 10
+        r2 = shannon_entropy(
+            spark.createDataFrame(point, ["grp", "v"]), ["grp"], "v"
+        ).collect()[0]
+        assert abs(r2.entropy_bits - 0.0) < 1e-9
