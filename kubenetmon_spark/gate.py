@@ -5188,6 +5188,109 @@ def q129(spark, sf_dir):
     )
 
 
+@_register(
+    "q130_mann_whitney",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 10 AS x
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, variant,
+             2 * RANK() OVER (PARTITION BY event_type ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY event_type, x) - 1 AS dmr,
+             COUNT(*) OVER (PARTITION BY event_type, x) AS eq
+      FROM o
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(CASE WHEN variant = 'a' THEN 1 END) AS n1,
+             COUNT(CASE WHEN variant = 'b' THEN 1 END) AS n2,
+             SUM(CASE WHEN variant = 'a' THEN dmr END) AS dblr1,
+             SUM(eq * eq - 1) AS tie3
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n1, n2,
+           CAST((dblr1 - n1 * (n1 + 1)) AS DOUBLE) / 2 AS u1,
+           ROUND(
+             ((dblr1 - n1 * (n1 + 1)) / 2 - n1 * n2 / 2)
+             / sqrt(CAST(n1 * n2 AS DOUBLE) / 12
+               * ((n1 + n2 + 1) - CAST(tie3 AS DOUBLE)
+                  / ((n1 + n2) * (n1 + n2 - 1)))), 6) AS z
+    FROM s ORDER BY event_type
+    """,
+    "ClickHouse mannWhitneyUTest: rank-sum U between two user cohorts "
+    "with EXACT integer midranks (doubled midranks stay in int64; the "
+    "only floats are the final z divisions over exact integers) — "
+    "operators/stats.py::mann_whitney_u; x deciscaled to force ties so "
+    "the midrank path is genuinely exercised",
+)
+def q130(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("variant"),
+        F.expr(
+            "cast(cast(value as decimal(18,2)) * 100 as bigint) div 10"
+        ).alias("x"),
+    )
+    return mann_whitney_u(o, ["event_type"], "x", "variant", "a", "b").orderBy(
+        "event_type"
+    )
+
+
+@_register(
+    "q131_ks_test",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS i1,
+             CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS i2,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 10 AS x
+      FROM events
+    ),
+    st AS (
+      SELECT event_type,
+             SUM(i1) OVER (PARTITION BY event_type ORDER BY x
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+             SUM(i2) OVER (PARTITION BY event_type ORDER BY x
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+             SUM(i1) OVER (PARTITION BY event_type) AS n1,
+             SUM(i2) OVER (PARTITION BY event_type) AS n2
+      FROM o
+    )
+    SELECT event_type,
+           CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(n2) AS BIGINT) AS n2,
+           ROUND(CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS DOUBLE)
+                 / CAST(MAX(n1) * MAX(n2) AS DOUBLE), 6) AS d_stat
+    FROM st GROUP BY event_type ORDER BY event_type
+    """,
+    "ClickHouse kolmogorovSmirnovTest: two-sample ECDF sup-difference "
+    "with the argmax taken over EXACT integers (|c1*n2 - c2*n1|), one "
+    "float division at the end — operators/stats.py::ks_test; RANGE "
+    "frames make the cumulative counts tie-order-independent",
+)
+def q131(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import ks_test
+
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("variant"),
+        F.expr(
+            "cast(cast(value as decimal(18,2)) * 100 as bigint) div 10"
+        ).alias("x"),
+    )
+    return ks_test(o, ["event_type"], "x", "variant", "a", "b").orderBy(
+        "event_type"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

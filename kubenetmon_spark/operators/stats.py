@@ -129,3 +129,118 @@ def shannon_entropy(
     )
     h = F.log2("_n") - F.col("_clogc") / F.col("_n")
     return agg.select(*group_cols, F.round(h, 6).alias(out_col))
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    variant_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """Mann-Whitney U (ClickHouse ``mannWhitneyUTest``) with midrank tie
+    handling, EXACT: doubled midranks are integers (rank sums stay in
+    int64), so U is computed without any float until the final z
+    statistic. Returns n1, n2, u1 (doubled-U halved via exact division
+    by 2 — doubled U is always even), and z (normal approximation with
+    tie correction, rounded; null for degenerate groups).
+
+    Plan: one shuffle+sort of the pooled values per group (the rank
+    window), then a hash agg — rank windows and aggregation share the
+    partitioning.
+    """
+    from pyspark.sql.window import Window
+
+    x = F.col(value_col)
+    w = Window.partitionBy(*group_cols).orderBy(x)
+    # doubled midrank = rank_first + rank_last = 2*rank + (ties-1)
+    r_lo = F.rank().over(w)
+    cnt_eq = F.count(F.lit(1)).over(
+        Window.partitionBy(*group_cols, value_col)
+    )
+    dbl_midrank = 2 * r_lo + (cnt_eq - 1)
+    is1 = F.col(variant_col) == control
+    is2 = F.col(variant_col) == treatment
+    agg = (
+        df.withColumn("_dmr", dbl_midrank)
+        .withColumn("_eq", cnt_eq)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.when(is1, 1)).alias("n1"),
+            F.count(F.when(is2, 1)).alias("n2"),
+            F.sum(F.when(is1, F.col("_dmr"))).alias("dblr1"),
+            # sum over rows of (t^2 - 1) = sum over tie groups of
+            # t*(t^2-1) = the sum(t^3 - t) the tie correction needs
+            F.sum((F.col("_eq") * F.col("_eq") - 1)).alias("tie3"),
+        )
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    # U1 = R1 - n1(n1+1)/2 with R1 = dblr1/2 (dblr1 always even in sum)
+    u1 = (F.col("dblr1") - n1 * (n1 + 1)) / 2
+    mu = n1 * n2 / 2
+    tie_term = F.col("tie3").cast("double") / (n * (n - 1))
+    sigma2 = (n1 * n2).cast("double") / 12 * ((n + 1).cast("double") - tie_term)
+    z = F.when((n1 > 0) & (n2 > 0) & (sigma2 > 0), (u1 - mu) / F.sqrt(sigma2))
+    return agg.select(
+        *group_cols,
+        "n1",
+        "n2",
+        u1.cast("double").alias("u1"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def ks_test(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    variant_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D (ClickHouse
+    ``kolmogorovSmirnovTest``), exact: the ECDF sup-difference is
+    max |c1*n2 - c2*n1| over pooled points with integer cumulative
+    counts, divided by n1*n2 only at the end — the argmax is over
+    exact int64 values, so D is identical in any engine.
+    """
+    from pyspark.sql.window import Window
+
+    is1 = (F.col(variant_col) == control).cast("long")
+    is2 = (F.col(variant_col) == treatment).cast("long")
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_x")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    stepped = (
+        df.select(
+            *group_cols,
+            F.col(value_col).alias("_x"),
+            is1.alias("_i1"),
+            is2.alias("_i2"),
+        )
+        # RANGE frame: all rows sharing a value get the FULL cumulative
+        # count at that value — the ECDF evaluated at the step, in any
+        # tie order
+        .withColumn("_c1", F.sum("_i1").over(wcum))
+        .withColumn("_c2", F.sum("_i2").over(wcum))
+        .withColumn("_n1", F.sum("_i1").over(wtot))
+        .withColumn("_n2", F.sum("_i2").over(wtot))
+    )
+    agg = stepped.groupBy(*group_cols).agg(
+        F.max("_n1").alias("n1"),
+        F.max("_n2").alias("n2"),
+        F.max(
+            F.abs(F.col("_c1") * F.col("_n2") - F.col("_c2") * F.col("_n1"))
+        ).alias("dnum"),
+    )
+    d = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0),
+        F.col("dnum").cast("double")
+        / (F.col("n1") * F.col("n2")).cast("double"),
+    )
+    return agg.select(*group_cols, "n1", "n2", F.round(d, 6).alias("d_stat"))

@@ -433,3 +433,77 @@ class TestStatsAggregates:
             spark.createDataFrame(point, ["grp", "v"]), ["grp"], "v"
         ).collect()[0]
         assert abs(r2.entropy_bits - 0.0) < 1e-9
+
+
+class TestRankStats:
+    def _data(self, seed, n=300):
+        rng = random.Random(seed)
+        # coarse values force ties so midrank handling is exercised
+        return [
+            ("g", "a" if rng.random() < 0.5 else "b", rng.randrange(0, 40))
+            for _ in range(n)
+        ]
+
+    def test_mann_whitney_matches_python(self, spark):
+        import math
+
+        from kubenetmon_spark.operators.stats import mann_whitney_u
+
+        rows = self._data(31)
+        df = spark.createDataFrame(rows, ["grp", "variant", "x"])
+        r = mann_whitney_u(df, ["grp"], "x", "variant", "a", "b").collect()[0]
+        xs = sorted((x, v) for _, v, x in rows)
+        # midranks
+        ranks = {}
+        i = 0
+        vals = [x for x, _ in xs]
+        while i < len(vals):
+            j = i
+            while j < len(vals) and vals[j] == vals[i]:
+                j += 1
+            mid = (i + 1 + j) / 2  # average of ranks i+1..j
+            ranks.setdefault(vals[i], mid)
+            i = j
+        r1 = sum(ranks[x] for x, v in xs if v == "a")
+        n1 = sum(1 for _, v in xs if v == "a")
+        n2 = len(xs) - n1
+        u1 = r1 - n1 * (n1 + 1) / 2
+        n = n1 + n2
+        tie3 = sum(
+            t**3 - t
+            for t in __import__("collections").Counter(vals).values()
+        )
+        sigma2 = n1 * n2 / 12 * ((n + 1) - tie3 / (n * (n - 1)))
+        z = (u1 - n1 * n2 / 2) / math.sqrt(sigma2)
+        assert r.n1 == n1 and r.n2 == n2
+        assert abs(r.u1 - u1) < 1e-9
+        assert abs(r.z - z) < 1e-5
+
+    def test_ks_matches_python(self, spark):
+        from kubenetmon_spark.operators.stats import ks_test
+
+        rows = self._data(37)
+        df = spark.createDataFrame(rows, ["grp", "variant", "x"])
+        r = ks_test(df, ["grp"], "x", "variant", "a", "b").collect()[0]
+        a = sorted(x for _, v, x in rows if v == "a")
+        b = sorted(x for _, v, x in rows if v == "b")
+        n1, n2 = len(a), len(b)
+        points = sorted(set(a + b))
+        import bisect
+
+        d = max(
+            abs(
+                bisect.bisect_right(a, p) / n1
+                - bisect.bisect_right(b, p) / n2
+            )
+            for p in points
+        )
+        assert r.n1 == n1 and r.n2 == n2
+        assert abs(r.d_stat - d) < 1e-6
+
+    def test_ks_identical_samples_zero(self, spark):
+        from kubenetmon_spark.operators.stats import ks_test
+
+        rows = [("g", v, x) for x in range(20) for v in ("a", "b")]
+        df = spark.createDataFrame(rows, ["grp", "variant", "x"])
+        assert ks_test(df, ["grp"], "x", "variant", "a", "b").collect()[0].d_stat == 0.0
