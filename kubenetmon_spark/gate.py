@@ -5291,6 +5291,196 @@ def q131(spark, sf_dir):
     )
 
 
+@_register(
+    "q132_spearman_corr",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 10 AS x,
+             CAST(user_id % 7 AS BIGINT) AS y
+      FROM events
+    ),
+    r AS (
+      SELECT event_type,
+             2 * RANK() OVER (PARTITION BY event_type ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY event_type, x) - 1
+               - (COUNT(*) OVER (PARTITION BY event_type) + 1) AS cx,
+             2 * RANK() OVER (PARTITION BY event_type ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY event_type, y) - 1
+               - (COUNT(*) OVER (PARTITION BY event_type) + 1) AS cy
+      FROM o
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(cx * cy) AS sxy, SUM(cx * cx) AS sxx, SUM(cy * cy) AS syy
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(sxy / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)), 6)
+             AS rho
+    FROM s ORDER BY event_type
+    """,
+    "ClickHouse rankCorr: Spearman rank correlation with integer "
+    "midranks; centered doubled midranks (mean is exactly n+1) keep "
+    "every sum in int64, one float division at the end — "
+    "operators/stats.py::spearman_rank_corr; x deciscaled and y a "
+    "small modulus so both tie paths are exercised",
+)
+def q132(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import spearman_rank_corr
+
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        F.expr(
+            "cast(cast(value as decimal(18,2)) * 100 as bigint) div 10"
+        ).alias("x"),
+        (F.col("user_id") % 7).alias("y"),
+    )
+    return spearman_rank_corr(o, ["event_type"], "x", "y").orderBy(
+        "event_type"
+    )
+
+
+@_register(
+    "q133_cramers_v",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CAST(user_id % 5 AS BIGINT) AS a,
+             CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  % 7 AS BIGINT) AS b
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, a, b, COUNT(*) AS o FROM o GROUP BY event_type, a, b
+    ),
+    m AS (
+      SELECT event_type, a, b, o,
+             CAST(o * o * 1000000000 AS BIGINT)
+               // (SUM(o) OVER (PARTITION BY event_type, a)
+                   * SUM(o) OVER (PARTITION BY event_type, b)) AS t
+      FROM cells
+    ),
+    s AS (
+      SELECT event_type, CAST(SUM(o) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS s_scaled,
+             COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb
+      FROM m GROUP BY event_type
+    )
+    SELECT event_type, n, ka, kb,
+           ROUND(sqrt(GREATEST(n * (CAST(s_scaled AS DOUBLE) / 1000000000.0
+                                    - 1.0), 0.0)
+                      / (n * (LEAST(ka, kb) - 1))), 6) AS v
+    FROM s ORDER BY event_type
+    """,
+    "ClickHouse cramersV: categorical association from exact cell "
+    "counts; each chi^2 cell term is INTEGER division (o^2*1e9 div "
+    "ra*cb), so the sum is over int64 and no float-accumulation-order "
+    "hazard exists — operators/stats.py::cramers_v",
+)
+def q133(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import cramers_v
+
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        (F.col("user_id") % 5).alias("a"),
+        (
+            F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)") % 7
+        ).alias("b"),
+    )
+    return cramers_v(o, ["event_type"], "a", "b").orderBy("event_type")
+
+
+@_register(
+    "q134_linear_regression",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CAST(user_id % 100 AS BIGINT) AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM o GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept
+    FROM s ORDER BY event_type
+    """,
+    "ClickHouse simpleLinearRegression: OLS slope/intercept per event "
+    "type from exact integer sums, one hash agg with map-side combine "
+    "— operators/stats.py::simple_linear_regression",
+)
+def q134(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import simple_linear_regression
+
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        (F.col("user_id") % 100).alias("x"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("y"),
+    )
+    return simple_linear_regression(o, ["event_type"], "x", "y").orderBy(
+        "event_type"
+    )
+
+
+@_register(
+    "q135_skew_kurtosis",
+    """
+    WITH o AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2,
+             SUM(x * x * x) AS s3, SUM(x * x * x * x) AS s4
+      FROM o GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND(s1 / CAST(n AS DOUBLE), 6) AS mean,
+           ROUND((s3 / CAST(n AS DOUBLE)
+                  - 3 * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))
+                  + 2 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                    * (s1 / CAST(n AS DOUBLE)))
+                 / ((s2 / CAST(n AS DOUBLE)
+                     - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+                    * sqrt(s2 / CAST(n AS DOUBLE)
+                           - (s1 / CAST(n AS DOUBLE))
+                             * (s1 / CAST(n AS DOUBLE)))), 6) AS skew_pop,
+           ROUND((s4 / CAST(n AS DOUBLE)
+                  - 4 * (s1 / CAST(n AS DOUBLE)) * (s3 / CAST(n AS DOUBLE))
+                  + 6 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                    * (s2 / CAST(n AS DOUBLE))
+                  - 3 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                    * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+                 / ((s2 / CAST(n AS DOUBLE)
+                     - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+                    * (s2 / CAST(n AS DOUBLE)
+                       - (s1 / CAST(n AS DOUBLE))
+                         * (s1 / CAST(n AS DOUBLE)))), 6) AS kurt_pop
+    FROM s ORDER BY l_returnflag
+    """,
+    "ClickHouse skewPop/kurtPop: population skewness and kurtosis from "
+    "exact integer raw moments (quantity <= 50, so x^4 sums stay in "
+    "int64 to ~1e9 rows/group); one fixed float expression shape over "
+    "the integer sums — operators/stats.py::skew_kurtosis",
+)
+def q135(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import skew_kurtosis
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = li.select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("x")
+    )
+    return skew_kurtosis(o, ["l_returnflag"], "x").orderBy("l_returnflag")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

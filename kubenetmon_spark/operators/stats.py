@@ -192,6 +192,175 @@ def mann_whitney_u(
     )
 
 
+def spearman_rank_corr(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    out_col: str = "rho",
+) -> DataFrame:
+    """Spearman rank correlation (ClickHouse ``rankCorr``) with midrank
+    ties, EXACT until the final division: doubled midranks are integers
+    whose per-group mean is exactly n+1, so the CENTERED doubled
+    midranks (dmr - (n+1)) are integers summing to zero and
+    rho = sum(cx*cy) / sqrt(sum(cx^2) * sum(cy^2)) needs no mean
+    subtraction at float time. |cx| < n, so sum(cx*cy) <= n^3 — fits
+    int64 to ~2M rows/group; beyond that pre-bucket the values.
+
+    Plan: two rank windows (one sort per axis) sharing the group
+    partitioning, then one hash agg."""
+    from pyspark.sql.window import Window
+
+    def dmr(col: str) -> Column:
+        w = Window.partitionBy(*group_cols).orderBy(F.col(col))
+        ties = Window.partitionBy(*group_cols, col)
+        return 2 * F.rank().over(w) + F.count(F.lit(1)).over(ties) - 1
+
+    n = F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    centered = df.select(
+        *group_cols,
+        (dmr(x_col) - (n + 1)).alias("_cx"),
+        (dmr(y_col) - (n + 1)).alias("_cy"),
+    )
+    agg = centered.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_cx") * F.col("_cy")).alias("sxy"),
+        F.sum(F.col("_cx") * F.col("_cx")).alias("sxx"),
+        F.sum(F.col("_cy") * F.col("_cy")).alias("syy"),
+    )
+    rho = F.when(
+        (F.col("sxx") > 0) & (F.col("syy") > 0),
+        F.col("sxy")
+        / F.sqrt(F.col("sxx").cast("double") * F.col("syy").cast("double")),
+    )
+    return agg.select(*group_cols, "n", F.round(rho, 6).alias(out_col))
+
+
+def cramers_v(
+    df: DataFrame,
+    group_cols: list[str],
+    a_col: str,
+    b_col: str,
+    out_col: str = "v",
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Cramér's V association between two categorical columns per group
+    (ClickHouse ``cramersV``), DETERMINISTIC: chi^2 = n * (S - 1) with
+    S = sum over observed cells of o^2/(row_total*col_total), and each
+    cell term is computed as integer division (o*o*scale) div (ra*cb) —
+    identical in any engine, so the "float sum order" hazard never
+    arises (the sum is over int64). Truncation error <= cells/scale,
+    far below the 6-digit rounding. o^2*scale must fit int64: cell
+    counts up to ~3000 at scale=1e9; shrink ``scale`` for hotter cells.
+
+    Plan: one exact cell-count agg, two window sums for the margins
+    (sharing the group partitioning), one final agg."""
+    from pyspark.sql.window import Window
+
+    cells = df.groupBy(*group_cols, a_col, b_col).agg(
+        F.count(F.lit(1)).alias("_o")
+    )
+    ra = F.sum("_o").over(Window.partitionBy(*group_cols, a_col))
+    cb = F.sum("_o").over(Window.partitionBy(*group_cols, b_col))
+    terms = cells.select(
+        *group_cols,
+        a_col,
+        b_col,
+        "_o",
+        (F.col("_o") * F.col("_o") * F.lit(scale)).alias("_num"),
+        (ra * cb).alias("_den"),
+    ).withColumn("_t", F.expr("_num div _den"))
+    agg = terms.groupBy(*group_cols).agg(
+        F.sum("_o").alias("n"),
+        F.sum("_t").alias("s_scaled"),
+        F.count_distinct(F.col(a_col)).alias("ka"),
+        F.count_distinct(F.col(b_col)).alias("kb"),
+    )
+    chi2 = F.col("n") * (
+        F.col("s_scaled").cast("double") / F.lit(float(scale)) - 1.0
+    )
+    denom = F.col("n") * (F.least(F.col("ka"), F.col("kb")) - 1)
+    v = F.when(denom > 0, F.sqrt(F.greatest(chi2, F.lit(0.0)) / denom))
+    return agg.select(
+        *group_cols, "n", "ka", "kb", F.round(v, 6).alias(out_col)
+    )
+
+
+def simple_linear_regression(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Ordinary least squares y = slope*x + intercept per group
+    (ClickHouse ``simpleLinearRegression``) from exact integer sums:
+    slope = (n*sxy - sx*sy) / (n*sxx - sx^2), intercept =
+    (sy - slope*sx) / n. Both columns must be integer fixed-point;
+    null slope when x is constant. One hash agg with map-side combine."""
+    x, y = F.col(x_col), F.col(y_col)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        dx > 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / dx,
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+def skew_kurtosis(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Population skewness and excess-free kurtosis per group
+    (ClickHouse ``skewPop`` / ``kurtPop``) from exact integer raw
+    moments sum(x..x^4): m2/m3/m4 are derived with one fixed
+    expression shape, so engines given the same integer sums agree
+    bit-for-bit. |x|^4 * rows must fit int64 — |x| <= 300 allows ~1e9
+    rows/group; rescale the fixed point above that."""
+    x = F.col(value_col)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s1") / n
+    m2 = F.col("s2") / n - m * m
+    m3 = F.col("s3") / n - 3 * m * (F.col("s2") / n) + 2 * m * m * m
+    m4 = (
+        F.col("s4") / n
+        - 4 * m * (F.col("s3") / n)
+        + 6 * m * m * (F.col("s2") / n)
+        - 3 * m * m * m * m
+    )
+    # m2*sqrt(m2) rather than pow(m2, 1.5): sqrt/mul are IEEE
+    # correctly-rounded everywhere, pow is libm-dependent
+    skew = F.when(m2 > 0, m3 / (m2 * F.sqrt(m2)))
+    kurt = F.when(m2 > 0, m4 / (m2 * m2))
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(m, 6).alias("mean"),
+        F.round(skew, 6).alias("skew_pop"),
+        F.round(kurt, 6).alias("kurt_pop"),
+    )
+
+
 def ks_test(
     df: DataFrame,
     group_cols: list[str],

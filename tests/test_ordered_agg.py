@@ -507,3 +507,148 @@ class TestRankStats:
         rows = [("g", v, x) for x in range(20) for v in ("a", "b")]
         df = spark.createDataFrame(rows, ["grp", "variant", "x"])
         assert ks_test(df, ["grp"], "x", "variant", "a", "b").collect()[0].d_stat == 0.0
+
+
+class TestMomentAndAssociationStats:
+    def test_spearman_matches_python(self, spark):
+        import math
+
+        from kubenetmon_spark.operators.stats import spearman_rank_corr
+
+        rng = random.Random(41)
+        # coarse values on both axes force midrank ties on both sides
+        rows = [("g", rng.randrange(0, 25), rng.randrange(0, 12)) for _ in range(300)]
+        df = spark.createDataFrame(rows, ["grp", "x", "y"])
+        r = spearman_rank_corr(df, ["grp"], "x", "y").collect()[0]
+
+        def midranks(vals):
+            order = sorted(range(len(vals)), key=lambda i: vals[i])
+            ranks = [0.0] * len(vals)
+            i = 0
+            while i < len(order):
+                j = i
+                while j < len(order) and vals[order[j]] == vals[order[i]]:
+                    j += 1
+                mid = (i + 1 + j) / 2
+                for k in range(i, j):
+                    ranks[order[k]] = mid
+                i = j
+            return ranks
+
+        xs = [x for _, x, _ in rows]
+        ys = [y for _, _, y in rows]
+        rx, ry = midranks(xs), midranks(ys)
+        mx = sum(rx) / len(rx)
+        my = sum(ry) / len(ry)
+        num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        den = math.sqrt(
+            sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+        )
+        assert r.n == 300
+        assert abs(r.rho - num / den) < 1e-5
+
+    def test_spearman_monotone_is_one(self, spark):
+        from kubenetmon_spark.operators.stats import spearman_rank_corr
+
+        rows = [("g", i, i * i) for i in range(50)]  # monotone, nonlinear
+        r = spearman_rank_corr(
+            spark.createDataFrame(rows, ["grp", "x", "y"]), ["grp"], "x", "y"
+        ).collect()[0]
+        assert r.rho == 1.0
+
+    def test_cramers_v_matches_python(self, spark):
+        import math
+
+        from kubenetmon_spark.operators.stats import cramers_v
+
+        rng = random.Random(43)
+        rows = [("g", rng.randrange(0, 4), rng.randrange(0, 5)) for _ in range(500)]
+        df = spark.createDataFrame(rows, ["grp", "a", "b"])
+        r = cramers_v(df, ["grp"], "a", "b").collect()[0]
+        from collections import Counter
+
+        cells = Counter((a, b) for _, a, b in rows)
+        ra = Counter(a for _, a, _ in rows)
+        cb = Counter(b for _, _, b in rows)
+        n = len(rows)
+        chi2 = sum(
+            (o - ra[a] * cb[b] / n) ** 2 / (ra[a] * cb[b] / n)
+            for (a, b), o in cells.items()
+        ) + sum(
+            ra[a] * cb[b] / n
+            for a in ra
+            for b in cb
+            if (a, b) not in cells
+        )
+        v = math.sqrt(chi2 / (n * (min(len(ra), len(cb)) - 1)))
+        assert r.n == n and r.ka == len(ra) and r.kb == len(cb)
+        assert abs(r.v - v) < 1e-6
+
+    def test_cramers_v_perfect_association(self, spark):
+        from kubenetmon_spark.operators.stats import cramers_v
+
+        rows = [("g", i % 3, i % 3) for i in range(90)]  # b determined by a
+        r = cramers_v(
+            spark.createDataFrame(rows, ["grp", "a", "b"]), ["grp"], "a", "b"
+        ).collect()[0]
+        assert abs(r.v - 1.0) < 1e-6
+
+    def test_linear_regression_exact_line(self, spark):
+        from kubenetmon_spark.operators.stats import simple_linear_regression
+
+        rows = [("g", i, 5 * i - 40) for i in range(100)]
+        r = simple_linear_regression(
+            spark.createDataFrame(rows, ["grp", "x", "y"]), ["grp"], "x", "y"
+        ).collect()[0]
+        assert r.slope == 5.0 and r.intercept == -40.0
+        const = [("c", 3, y) for y in range(10)]
+        r2 = simple_linear_regression(
+            spark.createDataFrame(const, ["grp", "x", "y"]), ["grp"], "x", "y"
+        ).collect()[0]
+        assert r2.slope is None  # constant x -> undefined slope
+
+    def test_linear_regression_matches_python(self, spark):
+        from kubenetmon_spark.operators.stats import simple_linear_regression
+
+        rng = random.Random(47)
+        rows = [("g", rng.randrange(0, 100), rng.randrange(-500, 500)) for _ in range(400)]
+        r = simple_linear_regression(
+            spark.createDataFrame(rows, ["grp", "x", "y"]), ["grp"], "x", "y"
+        ).collect()[0]
+        xs = [x for _, x, _ in rows]
+        ys = [y for _, _, y in rows]
+        n = len(rows)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        assert abs(r.slope - slope) < 1e-5
+        assert abs(r.intercept - intercept) < 1e-4
+
+    def test_skew_kurtosis_matches_python(self, spark):
+        from kubenetmon_spark.operators.stats import skew_kurtosis
+
+        rng = random.Random(53)
+        rows = [("g", rng.randrange(1, 51)) for _ in range(500)]
+        r = skew_kurtosis(
+            spark.createDataFrame(rows, ["grp", "x"]), ["grp"], "x"
+        ).collect()[0]
+        xs = [x for _, x in rows]
+        n = len(xs)
+        m = sum(xs) / n
+        m2 = sum((x - m) ** 2 for x in xs) / n
+        m3 = sum((x - m) ** 3 for x in xs) / n
+        m4 = sum((x - m) ** 4 for x in xs) / n
+        assert abs(r.mean - m) < 1e-6
+        assert abs(r.skew_pop - m3 / m2**1.5) < 1e-5
+        assert abs(r.kurt_pop - m4 / m2**2) < 1e-5
+
+    def test_skew_symmetric_is_zero(self, spark):
+        from kubenetmon_spark.operators.stats import skew_kurtosis
+
+        rows = [("g", x) for x in (-2, -1, -1, 0, 0, 0, 1, 1, 2)]
+        r = skew_kurtosis(
+            spark.createDataFrame(rows, ["grp", "x"]), ["grp"], "x"
+        ).collect()[0]
+        assert r.skew_pop == 0.0
