@@ -5481,6 +5481,107 @@ def q135(spark, sf_dir):
     return skew_kurtosis(o, ["l_returnflag"], "x").orderBy("l_returnflag")
 
 
+@_register(
+    "q136_bitmap_family",
+    """
+    WITH trip AS (
+      SELECT DISTINCT event_type, dayofweek(ts) AS s, user_id FROM events
+    ),
+    per_elem AS (
+      SELECT event_type, user_id, COUNT(*) AS k
+      FROM trip GROUP BY event_type, user_id
+    ),
+    ns AS (
+      SELECT event_type, COUNT(DISTINCT s) AS nk
+      FROM trip GROUP BY event_type
+    )
+    SELECT p.event_type,
+           CAST(MAX(nk) AS BIGINT) AS n_sets,
+           CAST(COUNT(CASE WHEN k = nk THEN 1 END) AS BIGINT) AS and_card,
+           CAST(COUNT(*) AS BIGINT) AS or_card,
+           CAST(COUNT(CASE WHEN k % 2 = 1 THEN 1 END) AS BIGINT) AS xor_card
+    FROM per_elem p JOIN ns ON ns.event_type = p.event_type
+    GROUP BY p.event_type ORDER BY p.event_type
+    """,
+    "ClickHouse groupBitmapAnd/Or/Xor: per event type, one bitmap of "
+    "active users per weekday; |intersection| (users active every "
+    "weekday), |union|, |odd-membership symmetric difference| — no "
+    "roaring bitmaps, multiplicity counting is exact and every "
+    "post-distinct shuffle carries one row per user or group — "
+    "operators/agg.py::bitmap_aggregate (weekday numbering conventions "
+    "differ between engines but induce the same set partition)",
+)
+def q136(spark, sf_dir):
+    from kubenetmon_spark.operators.agg import bitmap_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type", F.dayofweek("ts").alias("s"), "user_id"
+    )
+    return bitmap_aggregate(o, ["event_type"], "s", "user_id").orderBy(
+        "event_type"
+    )
+
+
+@_register(
+    "q137_max_intersections",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+               + (abs(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) // 100)
+                 % 600 + 60 AS e
+      FROM events
+    ),
+    pts AS (
+      SELECT user_id, s AS p, 1 AS d, event_id AS tb FROM iv
+      UNION ALL
+      SELECT user_id, e, -1, event_id FROM iv
+    ),
+    sw AS (
+      SELECT user_id, p,
+             SUM(d) OVER (PARTITION BY user_id ORDER BY p, d, tb
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS depth
+      FROM pts
+    ),
+    g AS (
+      SELECT user_id, p, depth,
+             MAX(depth) OVER (PARTITION BY user_id) AS gmax
+      FROM sw
+    )
+    SELECT user_id,
+           CAST(MAX(depth) AS BIGINT) AS max_intersections,
+           CAST(MIN(CASE WHEN depth = gmax THEN p END) AS BIGINT) AS position
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+    "ClickHouse maxIntersections/maxIntersectionsPosition: the densest "
+    "point of each user's [start, end) activity intervals — sweep line "
+    "as window algebra (+1/-1 deltas, closes before opens at equal "
+    "points), integer depths so engines agree exactly — "
+    "operators/timeseries.py::max_intersections; same interval "
+    "synthesis as q126 so union length and peak overlap are directly "
+    "comparable",
+)
+def q137(spark, sf_dir):
+    from kubenetmon_spark.operators.timeseries import max_intersections
+
+    ev = _t(spark, sf_dir, "events")
+    s = F.col("ts").cast("long")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    dur = (F.abs(cents).cast("long") / 100).cast("long") % 600 + 60
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + dur).alias("e"),
+    )
+    return max_intersections(iv, ["user_id"], "s", "e", "event_id").orderBy(
+        "user_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -159,3 +159,43 @@ def weighted_quantile_exact(
         for p in percents
     ]
     return c.groupBy(*group_cols).agg(*aggs)
+
+
+def bitmap_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    set_col: str,
+    elem_col: str,
+) -> DataFrame:
+    """ClickHouse ``groupBitmapAnd`` / ``groupBitmapOr`` /
+    ``groupBitmapXor`` cardinalities, per group: each distinct value of
+    ``set_col`` defines one bitmap holding its distinct ``elem_col``
+    values; the three results are |intersection of all bitmaps|,
+    |union|, and |symmetric difference| (elements present in an ODD
+    number of bitmaps).
+
+    No roaring bitmaps needed — multiplicity counting is exact and
+    distributed: for each element, k = number of distinct sets
+    containing it, K = number of sets in the group; then
+    AND counts k = K, OR counts all, XOR counts odd k.
+
+    Plan: one distinct-triple agg (the only shuffle proportional to
+    data volume), a per-element count agg and a per-group set count agg
+    both hash-partitioned on the group key, then a co-partitioned join
+    + final agg — every shuffle after the first carries at most one row
+    per distinct element or group.
+    """
+    trip = df.select(*group_cols, set_col, elem_col).distinct()
+    per_elem = trip.groupBy(*group_cols, elem_col).agg(
+        F.count(F.lit(1)).alias("_k")
+    )
+    n_sets = trip.groupBy(*group_cols).agg(
+        F.count_distinct(F.col(set_col)).alias("_nk")
+    )
+    joined = per_elem.join(n_sets, group_cols)
+    return joined.groupBy(*group_cols).agg(
+        F.max("_nk").cast("long").alias("n_sets"),
+        F.count(F.when(F.col("_k") == F.col("_nk"), 1)).alias("and_card"),
+        F.count(F.lit(1)).alias("or_card"),
+        F.count(F.when(F.col("_k") % 2 == 1, 1)).alias("xor_card"),
+    )

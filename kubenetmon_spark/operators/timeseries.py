@@ -246,3 +246,53 @@ def interval_union_length(
         .groupBy(*key_cols)
         .agg(F.sum("_c").cast("long").alias(out_col))
     )
+
+
+def max_intersections(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """ClickHouse ``maxIntersections`` / ``maxIntersectionsPosition``:
+    per key, the maximum number of [start, end) intervals covering any
+    single point, and the smallest such point.
+
+    Sweep line as window algebra: each interval emits (+1 at start,
+    -1 at end); the running sum ordered by (point, delta) — closes
+    before opens at the same point, the half-open convention — is the
+    coverage depth just after each point. Integer points and depths,
+    so any engine agrees exactly. One shuffle+sort per key; the final
+    argmin-of-argmax is a plain hash agg over the swept rows.
+    """
+    pts = df.select(
+        *key_cols,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).cast("long").alias("p"),
+                    F.lit(1).alias("d"),
+                ),
+                F.struct(
+                    F.col(end_col).cast("long").alias("p"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("_e"),
+        F.col(tiebreak_col).alias("_tb"),
+    ).select(*key_cols, F.col("_e.p").alias("_p"), F.col("_e.d").alias("_d"), "_tb")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_p", "_d", "_tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    depth = pts.withColumn("_depth", F.sum("_d").over(w)).withColumn(
+        "_gmax", F.max("_depth").over(Window.partitionBy(*key_cols))
+    )
+    return depth.groupBy(*key_cols).agg(
+        F.max("_depth").cast("long").alias("max_intersections"),
+        F.min(F.when(F.col("_depth") == F.col("_gmax"), F.col("_p")))
+        .cast("long")
+        .alias("position"),
+    )

@@ -652,3 +652,66 @@ class TestMomentAndAssociationStats:
             spark.createDataFrame(rows, ["grp", "x"]), ["grp"], "x"
         ).collect()[0]
         assert r.skew_pop == 0.0
+
+
+class TestBitmapAggregate:
+    def test_matches_python_sets(self, spark):
+        from kubenetmon_spark.operators.agg import bitmap_aggregate
+
+        rng = random.Random(61)
+        rows = [
+            ("g", rng.randrange(0, 5), rng.randrange(0, 30))
+            for _ in range(400)
+        ]
+        df = spark.createDataFrame(rows, ["grp", "s", "elem"])
+        r = bitmap_aggregate(df, ["grp"], "s", "elem").collect()[0]
+        sets = {}
+        for _, s, e in rows:
+            sets.setdefault(s, set()).add(e)
+        bitmaps = list(sets.values())
+        union = set().union(*bitmaps)
+        inter = set.intersection(*bitmaps)
+        xor = {e for e in union if sum(e in b for b in bitmaps) % 2 == 1}
+        assert r.n_sets == len(bitmaps)
+        assert r.or_card == len(union)
+        assert r.and_card == len(inter)
+        assert r.xor_card == len(xor)
+
+    def test_single_set_all_equal(self, spark):
+        from kubenetmon_spark.operators.agg import bitmap_aggregate
+
+        rows = [("g", 1, e) for e in range(10)] * 3  # duplicates collapse
+        r = bitmap_aggregate(
+            spark.createDataFrame(rows, ["grp", "s", "elem"]), ["grp"], "s", "elem"
+        ).collect()[0]
+        assert (r.n_sets, r.and_card, r.or_card, r.xor_card) == (1, 10, 10, 10)
+
+
+class TestMaxIntersections:
+    def test_matches_python_sweep(self, spark):
+        from kubenetmon_spark.operators.timeseries import max_intersections
+
+        rng = random.Random(67)
+        ivs = []
+        for i in range(200):
+            s = rng.randrange(0, 500)
+            ivs.append(("u", s, s + rng.randrange(1, 60), i))
+        df = spark.createDataFrame(ivs, ["u", "s", "e", "id"])
+        r = max_intersections(df, ["u"], "s", "e", "id").collect()[0]
+        # brute force: depth at every start point (max occurs at a start)
+        best, pos = 0, None
+        for p in sorted({s for _, s, _, _ in ivs}):
+            depth = sum(1 for _, s, e, _ in ivs if s <= p < e)
+            if depth > best:
+                best, pos = depth, p
+        assert r.max_intersections == best
+        assert r.position == pos
+
+    def test_half_open_no_touch_overlap(self, spark):
+        from kubenetmon_spark.operators.timeseries import max_intersections
+
+        ivs = [("u", 0, 10, 0), ("u", 10, 20, 1)]  # [0,10) and [10,20) don't overlap
+        r = max_intersections(
+            spark.createDataFrame(ivs, ["u", "s", "e", "id"]), ["u"], "s", "e", "id"
+        ).collect()[0]
+        assert r.max_intersections == 1 and r.position == 0
