@@ -5582,6 +5582,160 @@ def q137(spark, sf_dir):
     )
 
 
+@_register(
+    "q138_association_family",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CAST(user_id % 5 AS BIGINT) AS a,
+             CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  % 7 AS BIGINT) AS b
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, a, b, COUNT(*) AS o FROM o GROUP BY event_type, a, b
+    ),
+    m AS (
+      SELECT event_type, a, b, o,
+             SUM(o) OVER (PARTITION BY event_type, a) AS ra,
+             SUM(o) OVER (PARTITION BY event_type, b) AS cb,
+             CAST(o * o * 1000000000 AS BIGINT)
+               // (SUM(o) OVER (PARTITION BY event_type, a)
+                   * SUM(o) OVER (PARTITION BY event_type, b)) AS t
+      FROM cells
+    ),
+    s AS (
+      SELECT event_type, CAST(SUM(o) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS s_scaled,
+             COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb,
+             SUM(o * log2(o)) AS slo,
+             SUM(o * log2(ra)) AS sla,
+             SUM(o * log2(cb)) AS slb
+      FROM m GROUP BY event_type
+    )
+    SELECT event_type, n, ka, kb,
+           ROUND(((log2(n) - sla / n) + (log2(n) - slb / n)
+                  - (log2(n) - slo / n)) / (log2(n) - sla / n), 6)
+             AS theils_u,
+           ROUND(sqrt(GREATEST(n * (CAST(s_scaled AS DOUBLE) / 1000000000.0
+                                    - 1.0), 0.0)
+                      / (GREATEST(n * (CAST(s_scaled AS DOUBLE)
+                                       / 1000000000.0 - 1.0), 0.0) + n)), 6)
+             AS contingency_coef,
+           ROUND(sqrt(GREATEST(GREATEST(n * (CAST(s_scaled AS DOUBLE)
+                                             / 1000000000.0 - 1.0), 0.0) / n
+                               - (ka - 1) * (kb - 1) / (n - 1), 0.0)
+                      / (LEAST(ka - (ka - 1) * (ka - 1) / (n - 1),
+                               kb - (kb - 1) * (kb - 1) / (n - 1)) - 1)), 6)
+             AS cramers_v_corr
+    FROM s ORDER BY event_type
+    """,
+    "ClickHouse theilsU/contingency/cramersVBiasCorrected in one pass: "
+    "the margin-attached cell counts yield all three (the identity "
+    "sum_a ra*log2(ra) = sum_cells o*log2(ra) folds the entropies into "
+    "the same aggregate); chi^2 cell terms stay integer-divided as in "
+    "q133 — operators/stats.py::association_measures",
+)
+def q138(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import association_measures
+
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        (F.col("user_id") % 5).alias("a"),
+        (
+            F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)") % 7
+        ).alias("b"),
+    )
+    return association_measures(o, ["event_type"], "a", "b").orderBy(
+        "event_type"
+    )
+
+
+@_register(
+    "q139_student_ttest",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(CASE WHEN variant = 'a' THEN 1 END) AS n1,
+             SUM(CASE WHEN variant = 'a' THEN x END) AS sx1,
+             SUM(CASE WHEN variant = 'a' THEN x * x END) AS sxx1,
+             COUNT(CASE WHEN variant = 'b' THEN 1 END) AS n2,
+             SUM(CASE WHEN variant = 'b' THEN x END) AS sx2,
+             SUM(CASE WHEN variant = 'b' THEN x * x END) AS sxx2
+      FROM o GROUP BY event_type
+    )
+    SELECT event_type, n1, n2,
+           ROUND(sx1 / n1, 6) AS mean_control,
+           ROUND(sx2 / n2, 6) AS mean_treatment,
+           ROUND(
+             (sx1 / n1 - sx2 / n2) / sqrt(
+               (((sxx1 - sx1 * sx1 / n1) + (sxx2 - sx2 * sx2 / n2))
+                / (n1 + n2 - 2)) * (1.0 / n1 + 1.0 / n2)
+             ), 6) AS t_stat
+    FROM s ORDER BY event_type
+    """,
+    "ClickHouse studentTTest: pooled-variance two-sample t from the "
+    "same exact integer sums as q127's Welch variant — "
+    "operators/stats.py::student_t_test",
+)
+def q139(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import student_t_test
+
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("variant"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+    )
+    return student_t_test(o, ["event_type"], "x", "variant", "a", "b").orderBy(
+        "event_type"
+    )
+
+
+@_register(
+    "q140_covariance",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             CAST(user_id % 7 AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy
+      FROM o GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+             AS covar_pop,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE), 6) AS covar_samp
+    FROM s ORDER BY event_type
+    """,
+    "ClickHouse covarPop/covarSamp from exact integer sums (never "
+    "Spark's float-accumulating built-ins) — "
+    "operators/stats.py::covariance_exact",
+)
+def q140(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import covariance_exact
+
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+        (F.col("user_id") % 7).alias("y"),
+    )
+    return covariance_exact(o, ["event_type"], "x", "y").orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -413,3 +413,157 @@ def ks_test(
         / (F.col("n1") * F.col("n2")).cast("double"),
     )
     return agg.select(*group_cols, "n1", "n2", F.round(d, 6).alias("d_stat"))
+
+
+def association_measures(
+    df: DataFrame,
+    group_cols: list[str],
+    a_col: str,
+    b_col: str,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """ClickHouse ``theilsU`` / ``contingency`` / ``cramersVBiasCorrected``
+    in one pass over the contingency cells.
+
+    All three derive from the same exact integer cell counts:
+    - Theil's U(a|b) = I(a;b) / H(a), with every entropy term computed
+      from sum(o * log2(margin-or-cell count)) — the identity
+      sum_a ra*log2(ra) = sum_cells o*log2(ra) lets one aggregate over
+      cells (margins attached by window) produce H(a), H(b), H(a,b).
+    - contingency coefficient = sqrt(chi2 / (chi2 + n)).
+    - bias-corrected Cramér's V (Bergsma): phi2' = max(0, phi2 -
+      (ka-1)(kb-1)/(n-1)), k' = k - (k-1)^2/(n-1), V = sqrt(phi2' /
+      min(ka'-1, kb'-1)).
+    chi2 uses the same integer-division cell-term trick as
+    ``cramers_v`` (deterministic); the entropy sums are float but over
+    integer counts, rounded well inside their error (q129 precedent).
+
+    Plan: one cell-count agg (the only data-volume shuffle), two margin
+    windows and one final agg — all on one row per contingency cell.
+    """
+    from pyspark.sql.window import Window
+
+    cells = df.groupBy(*group_cols, a_col, b_col).agg(
+        F.count(F.lit(1)).alias("_o")
+    )
+    ra = F.sum("_o").over(Window.partitionBy(*group_cols, a_col))
+    cb = F.sum("_o").over(Window.partitionBy(*group_cols, b_col))
+    m = cells.select(
+        *group_cols,
+        a_col,
+        b_col,
+        "_o",
+        ra.alias("_ra"),
+        cb.alias("_cb"),
+        (F.col("_o") * F.col("_o") * F.lit(scale)).alias("_num"),
+        (ra * cb).alias("_den"),
+    ).withColumn("_t", F.expr("_num div _den"))
+    agg = m.groupBy(*group_cols).agg(
+        F.sum("_o").alias("n"),
+        F.sum("_t").alias("s_scaled"),
+        F.count_distinct(F.col(a_col)).alias("ka"),
+        F.count_distinct(F.col(b_col)).alias("kb"),
+        F.sum(F.col("_o") * F.log2("_o")).alias("_slo"),
+        F.sum(F.col("_o") * F.log2("_ra")).alias("_sla"),
+        F.sum(F.col("_o") * F.log2("_cb")).alias("_slb"),
+    )
+    n = F.col("n").cast("double")
+    h_a = F.log2("n") - F.col("_sla") / n
+    h_b = F.log2("n") - F.col("_slb") / n
+    h_ab = F.log2("n") - F.col("_slo") / n
+    mi = h_a + h_b - h_ab
+    theils_u = F.when(h_a > 0, mi / h_a).otherwise(F.lit(0.0))
+    chi2 = F.col("n") * (
+        F.col("s_scaled").cast("double") / F.lit(float(scale)) - 1.0
+    )
+    chi2 = F.greatest(chi2, F.lit(0.0))
+    contingency = F.sqrt(chi2 / (chi2 + n))
+    phi2 = chi2 / n
+    ka, kb = F.col("ka").cast("double"), F.col("kb").cast("double")
+    phi2c = F.greatest(
+        phi2 - (ka - 1) * (kb - 1) / (n - 1), F.lit(0.0)
+    )
+    kac = ka - (ka - 1) * (ka - 1) / (n - 1)
+    kbc = kb - (kb - 1) * (kb - 1) / (n - 1)
+    denom = F.least(kac, kbc) - 1
+    v_corr = F.when(denom > 0, F.sqrt(phi2c / denom)).otherwise(F.lit(0.0))
+    return agg.select(
+        *group_cols,
+        "n",
+        "ka",
+        "kb",
+        F.round(theils_u, 6).alias("theils_u"),
+        F.round(contingency, 6).alias("contingency_coef"),
+        F.round(v_corr, 6).alias("cramers_v_corr"),
+    )
+
+
+def student_t_test(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    variant_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """ClickHouse ``studentTTest``: equal-variance (pooled) two-sample t
+    statistic from exact integer sums; the Welch sibling is
+    ``welch_t_test``. Null when either side has < 2 rows or the pooled
+    variance is zero."""
+    x = F.col(value_col)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.when(F.col(variant_col) == control, 1)).alias("n1"),
+        F.sum(F.when(F.col(variant_col) == control, x)).alias("sx1"),
+        F.sum(F.when(F.col(variant_col) == control, x * x)).alias("sxx1"),
+        F.count(F.when(F.col(variant_col) == treatment, 1)).alias("n2"),
+        F.sum(F.when(F.col(variant_col) == treatment, x)).alias("sx2"),
+        F.sum(F.when(F.col(variant_col) == treatment, x * x)).alias("sxx2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("sx1") / n1
+    m2 = F.col("sx2") / n2
+    ss1 = F.col("sxx1") - F.col("sx1") * F.col("sx1") / n1
+    ss2 = F.col("sxx2") - F.col("sx2") * F.col("sx2") / n2
+    sp2 = (ss1 + ss2) / (n1 + n2 - 2)
+    se2 = sp2 * (1.0 / n1 + 1.0 / n2)
+    t = F.when((n1 >= 2) & (n2 >= 2) & (se2 > 0), (m1 - m2) / F.sqrt(se2))
+    return agg.select(
+        *group_cols,
+        "n1",
+        "n2",
+        F.round(m1, 6).alias("mean_control"),
+        F.round(m2, 6).alias("mean_treatment"),
+        F.round(t, 6).alias("t_stat"),
+    )
+
+
+def covariance_exact(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """ClickHouse ``covarPop`` / ``covarSamp`` from exact integer sums:
+    pop = (n*sxy - sx*sy) / n^2, samp = (n*sxy - sx*sy) / (n*(n-1)).
+    Never Spark's built-in covar_* (float accumulation in shuffle
+    order). n*sxy must fit int64 — same fixed-point bounds as
+    ``pearson_corr_exact``."""
+    x, y = F.col(x_col), F.col(y_col)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    n = F.col("n")
+    pop = num / (n * n).cast("double")
+    samp = F.when(n >= 2, num / (n * (n - 1)).cast("double"))
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(pop, 6).alias("covar_pop"),
+        F.round(samp, 6).alias("covar_samp"),
+    )

@@ -715,3 +715,102 @@ class TestMaxIntersections:
             spark.createDataFrame(ivs, ["u", "s", "e", "id"]), ["u"], "s", "e", "id"
         ).collect()[0]
         assert r.max_intersections == 1 and r.position == 0
+
+
+class TestAssociationFamily:
+    def _contingency(self, seed, n=500):
+        rng = random.Random(seed)
+        return [("g", rng.randrange(0, 4), rng.randrange(0, 5)) for _ in range(n)]
+
+    def test_theils_u_matches_python(self, spark):
+        import math
+        from collections import Counter
+
+        from kubenetmon_spark.operators.stats import association_measures
+
+        rows = self._contingency(71)
+        df = spark.createDataFrame(rows, ["grp", "a", "b"])
+        r = association_measures(df, ["grp"], "a", "b").collect()[0]
+        n = len(rows)
+        ca = Counter(a for _, a, _ in rows)
+        cb = Counter(b for _, _, b in rows)
+        cab = Counter((a, b) for _, a, b in rows)
+
+        def h(counter):
+            return -sum(c / n * math.log2(c / n) for c in counter.values())
+
+        mi = h(ca) + h(cb) - h(cab)
+        assert abs(r.theils_u - mi / h(ca)) < 1e-5
+
+    def test_theils_u_deterministic_relation(self, spark):
+        from kubenetmon_spark.operators.stats import association_measures
+
+        rows = [("g", i % 4, (i % 4) * 2) for i in range(200)]  # b = f(a)
+        r = association_measures(
+            spark.createDataFrame(rows, ["grp", "a", "b"]), ["grp"], "a", "b"
+        ).collect()[0]
+        # knowing b fully determines a -> U(a|b) = 1
+        assert abs(r.theils_u - 1.0) < 1e-6
+        assert abs(r.cramers_v_corr - 1.0) < 1e-2  # bias correction shrinks
+
+    def test_contingency_coef_matches_python(self, spark):
+        import math
+        from collections import Counter
+
+        from kubenetmon_spark.operators.stats import association_measures
+
+        rows = self._contingency(73)
+        r = association_measures(
+            spark.createDataFrame(rows, ["grp", "a", "b"]), ["grp"], "a", "b"
+        ).collect()[0]
+        n = len(rows)
+        ca = Counter(a for _, a, _ in rows)
+        cb = Counter(b for _, _, b in rows)
+        cab = Counter((a, b) for _, a, b in rows)
+        chi2 = sum(
+            (cab.get((a, b), 0) - ca[a] * cb[b] / n) ** 2 / (ca[a] * cb[b] / n)
+            for a in ca
+            for b in cb
+        )
+        assert abs(r.contingency_coef - math.sqrt(chi2 / (chi2 + n))) < 1e-5
+
+    def test_student_t_matches_python(self, spark):
+        import math
+
+        from kubenetmon_spark.operators.stats import student_t_test
+
+        rng = random.Random(79)
+        rows = [
+            ("g", "a" if i % 2 else "b", rng.randrange(-500, 500))
+            for i in range(400)
+        ]
+        r = student_t_test(
+            spark.createDataFrame(rows, ["grp", "variant", "x"]),
+            ["grp"], "x", "variant", "a", "b",
+        ).collect()[0]
+        xa = [x for _, v, x in rows if v == "a"]
+        xb = [x for _, v, x in rows if v == "b"]
+        na, nb = len(xa), len(xb)
+        ma, mb = sum(xa) / na, sum(xb) / nb
+        ssa = sum((x - ma) ** 2 for x in xa)
+        ssb = sum((x - mb) ** 2 for x in xb)
+        sp2 = (ssa + ssb) / (na + nb - 2)
+        t = (ma - mb) / math.sqrt(sp2 * (1 / na + 1 / nb))
+        assert abs(r.t_stat - t) < 1e-5
+
+    def test_covariance_matches_python(self, spark):
+        from kubenetmon_spark.operators.stats import covariance_exact
+
+        rng = random.Random(83)
+        rows = [("g", rng.randrange(-100, 100), rng.randrange(0, 50)) for _ in range(300)]
+        r = covariance_exact(
+            spark.createDataFrame(rows, ["grp", "x", "y"]), ["grp"], "x", "y"
+        ).collect()[0]
+        xs = [x for _, x, _ in rows]
+        ys = [y for _, _, y in rows]
+        n = len(rows)
+        mx, my = sum(xs) / n, sum(ys) / n
+        cp = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / n
+        cs = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / (n - 1)
+        assert abs(r.covar_pop - cp) < 1e-5
+        assert abs(r.covar_samp - cs) < 1e-5
