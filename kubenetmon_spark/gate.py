@@ -5736,6 +5736,79 @@ def q140(spark, sf_dir):
     return covariance_exact(o, ["event_type"], "x", "y").orderBy("event_type")
 
 
+@_register(
+    "q141_perceptual_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS L
+      FROM documents WHERE length(text) >= 64
+    ),
+    raw_pos AS (
+      SELECT doc_id, text, L, unnest(generate_series(1, L)) AS p FROM d
+    ),
+    pos AS (
+      SELECT doc_id, L, p,
+             unicode(substring(text, CAST(p AS INTEGER), 1)) AS cp,
+             ((p - 1) * 64) // L AS c
+      FROM raw_pos
+    ),
+    luma AS (
+      SELECT doc_id, c, SUM(cp) AS luma FROM pos GROUP BY doc_id, c
+    ),
+    tot AS (SELECT doc_id, SUM(luma) AS total FROM luma GROUP BY doc_id),
+    bits AS (
+      SELECT l.doc_id, l.c,
+             CASE WHEN 64 * l.luma >= t.total THEN 1 ELSE 0 END AS bit
+      FROM luma l JOIN tot t ON t.doc_id = l.doc_id
+    ),
+    bands AS (
+      SELECT doc_id, c // 16 AS bj,
+             CAST(SUM(bit * (1 << (15 - (c % 16)))) AS BIGINT) AS bv
+      FROM bits GROUP BY doc_id, c // 16
+    ),
+    wide AS (
+      SELECT doc_id,
+             COALESCE(SUM(CASE WHEN bj = 0 THEN bv END), 0) AS b0,
+             COALESCE(SUM(CASE WHEN bj = 1 THEN bv END), 0) AS b1,
+             COALESCE(SUM(CASE WHEN bj = 2 THEN bv END), 0) AS b2,
+             COALESCE(SUM(CASE WHEN bj = 3 THEN bv END), 0) AS b3
+      FROM bands GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+      FROM bands a
+      JOIN bands b ON a.bj = b.bj AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_1, c.id_2,
+           CAST(bit_count(xor(w1.b0, w2.b0)) + bit_count(xor(w1.b1, w2.b1))
+              + bit_count(xor(w1.b2, w2.b2)) + bit_count(xor(w1.b3, w2.b3))
+              AS BIGINT) AS hamming
+    FROM cand c
+    JOIN wide w1 ON w1.doc_id = c.id_1
+    JOIN wide w2 ON w2.doc_id = c.id_2
+    WHERE bit_count(xor(w1.b0, w2.b0)) + bit_count(xor(w1.b1, w2.b1))
+        + bit_count(xor(w1.b2, w2.b2)) + bit_count(xor(w1.b3, w2.b3)) <= 3
+    ORDER BY id_1, id_2
+    """,
+    "perceptual-hash (aHash) near-dup media pairs: Arrow-batched "
+    "decode stand-in -> 64 position-chunk luma sums -> integer "
+    "mean-threshold bits -> four 16-bit LSH bands -> band-equality "
+    "self-join -> exact Hamming <= 3 (pigeonhole: every such pair "
+    "shares a band, so recall is total) — "
+    "operators/media.py::perceptual_hash_pairs over media_from_text; "
+    "length >= 64 keeps every chunk populated in both engines",
+)
+def q141(spark, sf_dir):
+    from kubenetmon_spark.operators.media import (
+        media_from_text,
+        perceptual_hash_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 64)
+    media = media_from_text(d, "doc_id", "text")
+    return perceptual_hash_pairs(media, max_hamming=3).orderBy("id_1", "id_2")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

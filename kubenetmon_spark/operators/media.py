@@ -269,3 +269,133 @@ def resample_audio(media: DataFrame, target_rate: int = 16000) -> DataFrame:
             "not available in this environment."
         ) from e
     raise NotImplementedError("codec integration point")  # pragma: no cover
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("b0", LongType(), True),
+        StructField("b1", LongType(), True),
+        StructField("b2", LongType(), True),
+        StructField("b3", LongType(), True),
+    ]
+)
+
+
+def ahash_bands(media: DataFrame) -> DataFrame:
+    """Average-hash (aHash) of each media item's decoded signal, split
+    into four 16-bit LSH bands.
+
+    The decode stand-in (real image libs are absent here) maps content
+    bytes -> UTF-8 codepoints and the 8x8 downsample -> 64 contiguous
+    chunk sums ("luma"); a real decoder drops into the same mapInPandas
+    body with pixels instead of codepoints — the schema, Arrow batch
+    shape, and everything downstream are identical. Bit c is
+    64*luma_c >= total (an integer comparison — no float mean), packed
+    MSB-first into bands b0..b3 of 16 bits each. Chunks are
+    position-partitioned ((pos*64) div length), so a localized edit
+    perturbs few chunks and Hamming distance is a locality measure.
+    Items whose decoded length < 64 leave some chunks empty (zero
+    luma); callers comparing against engines that omit empty groups
+    should pre-filter to length >= 64.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def hash_one(b) -> tuple[int, int, int, int] | None:
+            if b is None:
+                return None
+            cp = np.frombuffer(
+                bytes(b).decode("utf-8").encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            n = cp.size
+            if n == 0:
+                return None
+            luma = np.zeros(64, dtype=np.int64)
+            np.add.at(luma, (np.arange(n) * 64) // n, cp)
+            bits = (64 * luma >= luma.sum()).astype(np.int64)
+            weights = 1 << (15 - (np.arange(64) % 16))
+            vals = bits * weights
+            return tuple(int(vals[j * 16 : (j + 1) * 16].sum()) for j in range(4))
+
+        for pdf in it:
+            hashes = pdf["content"].map(hash_one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    **{
+                        f"b{j}": hashes.map(
+                            lambda h, j=j: h[j] if h is not None else None
+                        )
+                        for j in range(4)
+                    },
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(batches, AHASH_SCHEMA)
+
+
+def perceptual_hash_pairs(
+    media: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate media pairs by banded aHash Hamming distance.
+
+    LSH banding with the pigeonhole guarantee: 64 bits in 4 bands means
+    any pair within Hamming distance 3 shares at least one identical
+    band, so the band-equality join finds ALL such pairs (plus random
+    collisions that the exact Hamming filter then removes —
+    ``max_hamming`` > 3 weakens the guarantee and is rejected).
+
+    Plan: one Arrow-batched hash pass, explode to (band_idx, value) —
+    4 rows per item — one self equi-join on (band_idx, value), pair
+    dedup, then the exact Hamming check on the carried band values
+    (no join back to the corpus). At 100 TB the join is
+    hash-partitioned on band value; a hot all-zeros band (blank media)
+    is the skew risk — drop degenerate all-zero hashes upstream.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            "banding guarantee only covers max_hamming <= 3 with 4 bands"
+        )
+    h = ahash_bands(media)
+    exploded = h.select(
+        "media_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("bj"), F.col(f"b{j}").alias("bv"))
+                for j in range(4)
+            ])
+        ).alias("_band"),
+    ).select("media_id", "b0", "b1", "b2", "b3", "_band.bj", "_band.bv")
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.bj") == F.col("r.bj"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.media_id") < F.col("r.media_id")),
+        )
+        .select(
+            F.col("l.media_id").alias("id_1"),
+            F.col("r.media_id").alias("id_2"),
+            *[F.col(f"l.b{j}").alias(f"b{j}_1") for j in range(4)],
+            *[F.col(f"r.b{j}").alias(f"b{j}_2") for j in range(4)],
+        )
+        .dropDuplicates(["id_1", "id_2"])
+    )
+    hamming = sum(
+        F.bit_count(
+            F.col(f"b{j}_1").bitwiseXOR(F.col(f"b{j}_2"))
+        )
+        for j in range(4)
+    )
+    return cand.select(
+        "id_1", "id_2", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -257,3 +257,90 @@ class TestFakeDecode:
         docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         with _pytest.raises((NotImplementedError, Exception)):
             decode_image(media_from_text(docs)).collect()
+
+
+class TestPerceptualHash:
+    def _media(self, spark, texts):
+        from kubenetmon_spark.operators.media import media_from_text
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        return media_from_text(df, "doc_id", "text")
+
+    def _ref_bands(self, text):
+        cps = [ord(ch) for ch in text]
+        n = len(cps)
+        luma = [0] * 64
+        for i, cp in enumerate(cps):
+            luma[(i * 64) // n] += cp
+        total = sum(luma)
+        bits = [1 if 64 * v >= total else 0 for v in luma]
+        return [
+            sum(b << (15 - k) for k, b in enumerate(bits[j * 16 : (j + 1) * 16]))
+            for j in range(4)
+        ]
+
+    def test_bands_match_python(self, spark):
+        from kubenetmon_spark.operators.media import ahash_bands
+
+        texts = ["the quick brown fox jumps over the lazy dog " * 3,
+                 "lorem ipsum dolor sit amet consectetur adipiscing elit " * 2]
+        rows = {r.media_id: r for r in ahash_bands(self._media(spark, texts)).collect()}
+        for i, t in enumerate(texts):
+            want = self._ref_bands(t)
+            got = [rows[i][f"b{j}"] for j in range(4)]
+            assert got == want, (i, got, want)
+
+    def test_localized_edit_small_hamming(self, spark):
+        from kubenetmon_spark.operators.media import perceptual_hash_pairs
+
+        base = "abcdefgh" * 40  # 320 chars
+        edited = base[:100] + "XYZW" + base[104:]  # same length, local change
+        pairs = perceptual_hash_pairs(
+            self._media(spark, [base, edited]), max_hamming=3
+        ).collect()
+        assert len(pairs) == 1
+        assert pairs[0].id_1 == 0 and pairs[0].id_2 == 1
+        assert pairs[0].hamming <= 3
+
+    def test_recall_matches_brute_force(self, spark):
+        import random as rnd
+
+        from kubenetmon_spark.operators.media import perceptual_hash_pairs
+
+        rng = rnd.Random(91)
+        base = "".join(rng.choice("abcdefgh ") for _ in range(200))
+        texts = [base]
+        for _ in range(6):  # random local mutations of the base
+            i = rng.randrange(0, 190)
+            texts.append(base[:i] + rng.choice("xyz") + base[i + 1 :])
+        texts += [
+            "".join(rng.choice("mnopqrst ") for _ in range(200)) for _ in range(5)
+        ]
+        got = {
+            (r.id_1, r.id_2): r.hamming
+            for r in perceptual_hash_pairs(
+                self._media(spark, texts), max_hamming=3
+            ).collect()
+        }
+        bands = [self._ref_bands(t) for t in texts]
+
+        def hamming(a, b):
+            return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+        want = {
+            (i, j): hamming(bands[i], bands[j])
+            for i in range(len(texts))
+            for j in range(i + 1, len(texts))
+            if hamming(bands[i], bands[j]) <= 3
+        }
+        assert got == want  # banding recall is total for hamming <= 3
+
+    def test_max_hamming_guard(self, spark):
+        import pytest
+
+        from kubenetmon_spark.operators.media import perceptual_hash_pairs
+
+        with pytest.raises(ValueError):
+            perceptual_hash_pairs(self._media(spark, ["x" * 80]), max_hamming=4)
