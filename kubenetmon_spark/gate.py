@@ -5809,6 +5809,73 @@ def q141(spark, sf_dir):
     return perceptual_hash_pairs(media, max_hamming=3).orderBy("id_1", "id_2")
 
 
+@_register(
+    "q142_sql_function_surface",
+    """
+    WITH s AS (
+      SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+             COUNT(*) AS n,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+               AS cents
+      FROM orders GROUP BY year(o_orderdate) * 100 + month(o_orderdate)
+    )
+    SELECT ym, CAST(n AS BIGINT) AS n,
+           CASE
+             WHEN cents >= 1099511627776.0 THEN CAST(CAST(cents / 1099511627776.0 AS DECIMAL(38,2)) AS VARCHAR) || ' TiB'
+             WHEN cents >= 1073741824.0 THEN CAST(CAST(cents / 1073741824.0 AS DECIMAL(38,2)) AS VARCHAR) || ' GiB'
+             WHEN cents >= 1048576.0 THEN CAST(CAST(cents / 1048576.0 AS DECIMAL(38,2)) AS VARCHAR) || ' MiB'
+             WHEN cents >= 1024.0 THEN CAST(CAST(cents / 1024.0 AS DECIMAL(38,2)) AS VARCHAR) || ' KiB'
+             ELSE CAST(CAST(cents AS DECIMAL(38,2)) AS VARCHAR) || ' B'
+           END AS size_str,
+           CASE
+             WHEN n >= 1000000.0 THEN CAST(CAST(n / 1000000.0 AS DECIMAL(38,2)) AS VARCHAR) || ' million'
+             WHEN n >= 1000.0 THEN CAST(CAST(n / 1000.0 AS DECIMAL(38,2)) AS VARCHAR) || ' thousand'
+             ELSE CAST(CAST(n AS DECIMAL(38,2)) AS VARCHAR)
+           END AS qty_str,
+           CAST(cents % 4294967296 // 16777216 % 256 AS VARCHAR) || '.'
+             || CAST(cents % 4294967296 // 65536 % 256 AS VARCHAR) || '.'
+             || CAST(cents % 4294967296 // 256 % 256 AS VARCHAR) || '.'
+             || CAST(cents % 4294967296 % 256 AS VARCHAR) AS ip_str,
+           CAST(cents // n AS BIGINT) AS avg_cents,
+           repeat('█', CAST(floor((n % 32) / 32.0 * 8 * 8) AS INTEGER) // 8)
+             || CASE WHEN CAST(floor((n % 32) / 32.0 * 8 * 8) AS INTEGER) % 8 = 0
+                THEN '' ELSE substring('▏▎▍▌▋▊▉█',
+                  CAST(floor((n % 32) / 32.0 * 8 * 8) AS INTEGER) % 8, 1) END
+             AS n_bar
+    FROM s ORDER BY ym
+    """,
+    "the ClickHouse-name SQL surface end-to-end: the whole query runs "
+    "through spark.sql with sql.py's declarative SQL UDFs "
+    "(formatReadableSize/Quantity, IPv4NumToString, toYYYYMM, intDiv, "
+    "bar) — Catalyst inlines every body into codegen (asserted in "
+    "test_sql_surface.py), and the oracle re-derives each rendering "
+    "with plain DuckDB SQL",
+)
+def q142(spark, sf_dir):
+    from kubenetmon_spark.sql import register_sql_surface
+
+    register_sql_surface(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH s AS (
+          SELECT toYYYYMM(o_orderdate) AS ym,
+                 COUNT(*) AS n,
+                 SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                     AS BIGINT)) AS cents
+          FROM orders GROUP BY toYYYYMM(o_orderdate)
+        )
+        SELECT ym, n,
+               formatReadableSize(CAST(cents AS DOUBLE)) AS size_str,
+               formatReadableQuantity(CAST(n AS DOUBLE)) AS qty_str,
+               IPv4NumToString(cents % 4294967296) AS ip_str,
+               intDiv(cents, n) AS avg_cents,
+               bar(CAST(n % 32 AS DOUBLE), CAST(0 AS DOUBLE),
+                   CAST(32 AS DOUBLE), CAST(8 AS DOUBLE)) AS n_bar
+        FROM s ORDER BY ym
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

