@@ -5876,6 +5876,96 @@ def q142(spark, sf_dir):
     )
 
 
+@_register(
+    "q143_variance_family",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+      FROM o GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+             AS var_pop,
+           ROUND(CAST(n * sxx - sx * sx AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE), 6) AS var_samp,
+           ROUND(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      / CAST(n * n AS DOUBLE)), 6) AS stddev_pop,
+           ROUND(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      / CAST(n * (n - 1) AS DOUBLE)), 6) AS stddev_samp
+    FROM s ORDER BY event_type
+    """,
+    "ClickHouse varPop/varSamp/stddevPop/stddevSamp from exact integer "
+    "sums (never the float-accumulating built-ins) — "
+    "operators/stats.py::variance_exact",
+)
+def q143(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import variance_exact
+
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+    )
+    return variance_exact(o, ["event_type"], "x").orderBy("event_type")
+
+
+@_register(
+    "q144_quantile_definitions",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM o
+    ),
+    s AS (
+      SELECT event_type, MAX(n) AS n,
+             MIN(CASE WHEN rn = floor(0.5 * (n - 1)) + 1 THEN x END) AS lo50,
+             MIN(CASE WHEN rn = ceil(0.5 * (n - 1)) + 1 THEN x END) AS hi50,
+             MIN(CASE WHEN rn = floor(0.5 * (n - 1)) + 1
+                 THEN 0.5 * (n - 1) - floor(0.5 * (n - 1)) END) AS fr50,
+             MIN(CASE WHEN rn = floor(0.9 * (n - 1)) + 1 THEN x END) AS lo90,
+             MIN(CASE WHEN rn = ceil(0.9 * (n - 1)) + 1 THEN x END) AS hi90,
+             MIN(CASE WHEN rn = floor(0.9 * (n - 1)) + 1
+                 THEN 0.9 * (n - 1) - floor(0.9 * (n - 1)) END) AS fr90
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           lo50 AS p50_low, hi50 AS p50_high,
+           ROUND(lo50 + fr50 * (hi50 - lo50), 6) AS p50_inc,
+           lo90 AS p90_low, hi90 AS p90_high,
+           ROUND(lo90 + fr90 * (hi90 - lo90), 6) AS p90_inc
+    FROM s ORDER BY event_type
+    """,
+    "ClickHouse quantileExactLow/High/Inclusive definition family in "
+    "one sorted pass: rank positions floor/ceil(p*(n-1)) picked by a "
+    "row_number window (tie order cannot change the picked VALUE), "
+    "interpolation is the single float step — "
+    "operators/stats.py::quantile_definitions",
+)
+def q144(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import quantile_definitions
+
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+    )
+    return quantile_definitions(o, ["event_type"], "x", (0.5, 0.9)).orderBy(
+        "event_type"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

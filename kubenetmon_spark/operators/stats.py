@@ -567,3 +567,91 @@ def covariance_exact(
         F.round(pop, 6).alias("covar_pop"),
         F.round(samp, 6).alias("covar_samp"),
     )
+
+
+def variance_exact(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """ClickHouse ``varPop`` / ``varSamp`` / ``stddevPop`` /
+    ``stddevSamp`` from exact integer sums: SS = n*sxx - sx^2 (int64),
+    then var_pop = SS/n^2, var_samp = SS/(n*(n-1)) — one float division
+    each, sqrt for the stddevs. n*sxx must fit int64 (same fixed-point
+    bounds as ``pearson_corr_exact``)."""
+    x = F.col(value_col)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    ss = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    n = F.col("n")
+    vp = ss / (n * n).cast("double")
+    vs = F.when(n >= 2, ss / (n * (n - 1)).cast("double"))
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(vp, 6).alias("var_pop"),
+        F.round(vs, 6).alias("var_samp"),
+        F.round(F.sqrt(vp), 6).alias("stddev_pop"),
+        F.round(F.sqrt(vs), 6).alias("stddev_samp"),
+    )
+
+
+def quantile_definitions(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    levels: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """The ClickHouse exact-quantile definition family in one sorted
+    pass: for each level p, ``quantileExactLow`` (value at
+    floor(p*(n-1))), ``quantileExactHigh`` (at ceil(p*(n-1))), and the
+    Excel/R-7 style interpolated ``quantileExactInclusive``.
+
+    The rank positions come from one row_number window per group (ties
+    land on equal values, so the picked VALUE is deterministic in any
+    tie order); low/high are exact integers, the interpolation is the
+    single float step. floor/ceil of p*(n-1) use one IEEE multiply —
+    identical in any engine given the same p literal.
+
+    Plan: one shuffle+sort per group (the rank window) and one hash agg
+    sharing that partitioning; each level adds expressions, not passes.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    wn = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).alias("_x"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    aggs = [F.max("_n").alias("n")]
+    outs = []
+    for p in levels:
+        tag = str(int(p * 100))
+        h = F.lit(p) * (F.col("_n") - 1)
+        lo_idx = F.floor(h) + 1
+        hi_idx = F.ceil(h) + 1
+        aggs += [
+            F.min(F.when(F.col("_rn") == lo_idx, F.col("_x"))).alias(f"_lo{tag}"),
+            F.min(F.when(F.col("_rn") == hi_idx, F.col("_x"))).alias(f"_hi{tag}"),
+            # h - floor(h) is the same double in every engine
+            F.min(F.when(F.col("_rn") == lo_idx, h - F.floor(h))).alias(
+                f"_fr{tag}"
+            ),
+        ]
+    agg = ranked.groupBy(*group_cols).agg(*aggs)
+    cols = [*group_cols, "n"]
+    for p in levels:
+        tag = str(int(p * 100))
+        lo, hi, fr = F.col(f"_lo{tag}"), F.col(f"_hi{tag}"), F.col(f"_fr{tag}")
+        cols += [
+            lo.alias(f"p{tag}_low"),
+            hi.alias(f"p{tag}_high"),
+            F.round(lo + fr * (hi - lo), 6).alias(f"p{tag}_inc"),
+        ]
+    return agg.select(*cols)

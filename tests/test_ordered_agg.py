@@ -814,3 +814,59 @@ class TestAssociationFamily:
         cs = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / (n - 1)
         assert abs(r.covar_pop - cp) < 1e-5
         assert abs(r.covar_samp - cs) < 1e-5
+
+
+class TestVarianceAndQuantiles:
+    def test_variance_matches_python(self, spark):
+        import math
+
+        from kubenetmon_spark.operators.stats import variance_exact
+
+        rng = random.Random(97)
+        rows = [("g", rng.randrange(-300, 300)) for _ in range(400)]
+        r = variance_exact(
+            spark.createDataFrame(rows, ["grp", "x"]), ["grp"], "x"
+        ).collect()[0]
+        xs = [x for _, x in rows]
+        n = len(xs)
+        m = sum(xs) / n
+        vp = sum((x - m) ** 2 for x in xs) / n
+        vs = sum((x - m) ** 2 for x in xs) / (n - 1)
+        assert abs(r.var_pop - vp) < 1e-5
+        assert abs(r.var_samp - vs) < 1e-5
+        assert abs(r.stddev_pop - math.sqrt(vp)) < 1e-5
+        assert abs(r.stddev_samp - math.sqrt(vs)) < 1e-5
+
+    def test_quantiles_match_python(self, spark):
+        import math
+
+        from kubenetmon_spark.operators.stats import quantile_definitions
+
+        rng = random.Random(101)
+        rows = [("g", rng.randrange(0, 1000)) for _ in range(257)]
+        r = quantile_definitions(
+            spark.createDataFrame(rows, ["grp", "x"]), ["grp"], "x", (0.5, 0.9)
+        ).collect()[0]
+        xs = sorted(x for _, x in rows)
+        n = len(xs)
+        for p, tag in [(0.5, "50"), (0.9, "90")]:
+            h = p * (n - 1)
+            lo, hi = xs[math.floor(h)], xs[math.ceil(h)]
+            inc = lo + (h - math.floor(h)) * (hi - lo)
+            assert r[f"p{tag}_low"] == lo
+            assert r[f"p{tag}_high"] == hi
+            assert abs(r[f"p{tag}_inc"] - inc) < 1e-5
+
+    def test_quantiles_small_group_edges(self, spark):
+        from kubenetmon_spark.operators.stats import quantile_definitions
+
+        rows = [("g", v) for v in (10, 20)]  # n=2: median interpolates
+        r = quantile_definitions(
+            spark.createDataFrame(rows, ["grp", "x"]), ["grp"], "x", (0.5,)
+        ).collect()[0]
+        assert r.p50_low == 10 and r.p50_high == 20 and r.p50_inc == 15.0
+        one = [("s", 7)]
+        r1 = quantile_definitions(
+            spark.createDataFrame(one, ["grp", "x"]), ["grp"], "x", (0.5, 0.9)
+        ).collect()[0]
+        assert r1.p50_low == 7 and r1.p90_high == 7 and r1.p90_inc == 7.0
