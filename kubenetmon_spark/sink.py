@@ -247,3 +247,87 @@ def _prefix_score(sort_key: tuple[str, ...], predicate_cols: list[str]) -> int:
         else:
             break
     return score
+
+
+def mutate(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    assignments: dict[str, str],
+) -> list[str]:
+    """ClickHouse mutation analogue: ``ALTER TABLE ... UPDATE col =
+    expr WHERE predicate`` as a partition-scoped rewrite job.
+
+    Like ClickHouse, mutations rewrite whole parts, never rows in
+    place; unlike ClickHouse they are synchronous here. Only the date
+    partitions that CONTAIN matching rows are rewritten (dynamic
+    partition overwrite — the exact analogue of mutating only the
+    parts whose min/max ranges intersect the predicate), so a
+    one-day fix on a 90-day table touches one partition. Predicate
+    and assignment values are SQL expression strings, evaluated
+    per-row; non-matching rows in an affected partition are rewritten
+    byte-identical.
+
+    Returns the list of rewritten ``date=...`` partition names.
+    """
+    df = spark.read.parquet(path)
+    pred = F.expr(predicate)
+    affected = [r.date for r in df.filter(pred).select("date").distinct().collect()]
+    if not affected:
+        return []
+    sub = df.filter(F.col("date").isin(affected))
+    updated = sub
+    for col, expr in assignments.items():
+        updated = updated.withColumn(
+            col,
+            F.when(pred, F.expr(expr).cast(dict(sub.dtypes)[col])).otherwise(
+                F.col(col)
+            ),
+        )
+    updated = updated.localCheckpoint(eager=True)
+    key = [c for c in PRIMARY_KEY_PREFIX if c in updated.columns]
+    (
+        updated.repartition(F.col("date"))
+        .sortWithinPartitions(*key)
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(path)
+    )
+    return sorted(f"date={d}" for d in affected)
+
+
+def delete_where(spark: SparkSession, path: str, predicate: str) -> list[str]:
+    """ClickHouse ``ALTER TABLE ... DELETE WHERE`` / lightweight-DELETE
+    analogue: partition-scoped rewrite keeping only non-matching rows.
+    Partitions with no matching rows are not touched (row-level
+    retention, vs ``apply_retention``'s whole-partition drops).
+    Returns the rewritten partition names."""
+    df = spark.read.parquet(path)
+    pred = F.expr(predicate)
+    affected = [r.date for r in df.filter(pred).select("date").distinct().collect()]
+    if not affected:
+        return []
+    remaining = (
+        df.filter(F.col("date").isin(affected))
+        .filter(~pred)
+        .localCheckpoint(eager=True)
+    )
+    # Dynamic overwrite only rewrites partitions PRESENT in the output —
+    # a fully-deleted partition writes no rows, so drop it explicitly.
+    kept = {r.date for r in remaining.select("date").distinct().collect()}
+    emptied = [d for d in affected if d not in kept]
+    key = [c for c in PRIMARY_KEY_PREFIX if c in remaining.columns]
+    if kept:
+        (
+            remaining.filter(F.col("date").isin(list(kept)))
+            .repartition(F.col("date"))
+            .sortWithinPartitions(*key)
+            .write.mode("overwrite")
+            .partitionBy("date")
+            .parquet(path)
+        )
+    for d in emptied:
+        part = Path(path) / f"date={d}"
+        if part.exists():
+            shutil.rmtree(part)
+    return sorted(f"date={d}" for d in affected)

@@ -158,3 +158,87 @@ def test_projection_chooser_and_equivalence(spark, tmp_path):
     a = sorted(map(tuple, picked.select(*sel).collect()))
     b = sorted(map(tuple, fallback.select(*sel).collect()))
     assert a == b == sorted(rows)
+
+
+class TestMutations:
+    def _write(self, spark, fact, tmp_path):
+        path = str(tmp_path / "flows")
+        write_flows(fact, path)
+        return path
+
+    def test_mutate_updates_only_matching_rows(self, spark, fact, tmp_path):
+        from kubenetmon_spark.sink import mutate
+
+        path = self._write(spark, fact, tmp_path)
+        before = read_flows(spark, path)
+        schema_before = before.schema
+        n_total = before.count()
+        # materialize every before-value NOW: `before` is lazy over files
+        # the mutation will replace
+        sum_in_bytes = (
+            before.filter("direction = 'in'").agg(F.sum("bytes")).collect()[0][0]
+        )
+        sum_out_bytes = (
+            before.filter("direction = 'out'").agg(F.sum("bytes")).collect()[0][0]
+        )
+        rewritten = mutate(
+            spark, path, "direction = 'out'", {"bytes": "bytes * 2"}
+        )
+        assert rewritten  # at least one partition touched
+        after = read_flows(spark, path)
+        assert after.count() == n_total  # mutation never changes row count
+        assert (
+            after.filter("direction = 'in'").agg(F.sum("bytes")).collect()[0][0]
+            == sum_in_bytes
+        )  # non-matching rows byte-identical
+        assert (
+            after.filter("direction = 'out'").agg(F.sum("bytes")).collect()[0][0]
+            == 2 * sum_out_bytes
+        )
+        assert after.schema == schema_before  # types preserved by cast
+
+    def test_mutate_no_match_touches_nothing(self, spark, fact, tmp_path):
+        import os
+
+        from kubenetmon_spark.sink import mutate
+
+        path = self._write(spark, fact, tmp_path)
+        files_before = {
+            p: os.path.getmtime(p)
+            for p in __import__("glob").glob(f"{path}/date=*/*.parquet")
+        }
+        assert mutate(spark, path, "bytes < 0", {"bytes": "0"}) == []
+        files_after = {
+            p: os.path.getmtime(p)
+            for p in __import__("glob").glob(f"{path}/date=*/*.parquet")
+        }
+        assert files_before == files_after  # zero partitions rewritten
+
+    def test_delete_where_row_level(self, spark, fact, tmp_path):
+        from kubenetmon_spark.sink import delete_where
+
+        path = self._write(spark, fact, tmp_path)
+        before = read_flows(spark, path)
+        n_total = before.count()
+        n_del = before.filter("direction = 'out'").count()
+        assert 0 < n_del < n_total
+        delete_where(spark, path, "direction = 'out'")
+        after = read_flows(spark, path)
+        assert after.count() == n_total - n_del
+        assert after.filter("direction = 'out'").count() == 0
+
+    def test_delete_where_drops_emptied_partition(self, spark, fact, tmp_path):
+        from pathlib import Path
+
+        from kubenetmon_spark.sink import delete_where
+
+        path = str(tmp_path / "flows")
+        write_flows(fact, path)
+        write_flows(fact.withColumn("date", F.date_add("date", 1)), path)
+        parts = sorted(p.name for p in Path(path).glob("date=*"))
+        assert len(parts) == 2
+        victim = parts[0].split("=", 1)[1]
+        delete_where(spark, path, f"date = '{victim}'")
+        assert not (Path(path) / f"date={victim}").exists()
+        survivors = read_flows(spark, path)
+        assert survivors.filter(F.col("date") == victim).count() == 0
