@@ -5966,6 +5966,74 @@ def q144(spark, sf_dir):
     )
 
 
+@_register(
+    "q145_dict_hierarchy",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT 1000000 + c_custkey AS id, 2000000 + c_nationkey AS parent
+      FROM customer
+      UNION ALL
+      SELECT 2000000 + n_nationkey, 3000000 + n_regionkey FROM nation
+      UNION ALL
+      SELECT 3000000 + r_regionkey, CAST(NULL AS BIGINT) FROM region
+    ),
+    walk(key, tip, path) AS (
+      SELECT id, parent, CAST(id AS VARCHAR) FROM edges
+      WHERE id >= 1000000 AND id < 2000000
+      UNION ALL
+      SELECT w.key, e.parent, w.path || '/' || CAST(w.tip AS VARCHAR)
+      FROM walk w JOIN edges e ON e.id = w.tip
+    ),
+    done AS (SELECT key, path FROM walk WHERE tip IS NULL)
+    SELECT key - 1000000 AS c_custkey,
+           path AS path_str,
+           CAST(1 + length(path) - length(replace(path, '/', ''))
+                AS BIGINT) AS depth,
+           ('/' || path || '/') LIKE '%/3000000/%' AS in_region0
+    FROM done ORDER BY c_custkey
+    """,
+    "ClickHouse hierarchical dictionary (dictGetHierarchy + dictIsIn): "
+    "customer -> nation -> region parent chains; the closure is "
+    "flattened ONCE over the broadcast-size dictionary (rounds = "
+    "depth, never per fact row), facts resolve in one broadcast join "
+    "— operators/dicts.py; the oracle re-walks with a recursive CTE",
+)
+def q145(spark, sf_dir):
+    from kubenetmon_spark.operators.dicts import dict_get_hierarchy, dict_is_in
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    edges = (
+        cust.select(
+            (F.col("c_custkey") + 1000000).alias("id"),
+            (F.col("c_nationkey") + 2000000).alias("parent"),
+        )
+        .unionByName(
+            nat.select(
+                (F.col("n_nationkey") + 2000000).alias("id"),
+                (F.col("n_regionkey") + 3000000).alias("parent"),
+            )
+        )
+        .unionByName(
+            reg.select(
+                (F.col("r_regionkey") + 3000000).alias("id"),
+                F.lit(None).cast("long").alias("parent"),
+            )
+        )
+    )
+    keys = cust.select(
+        "c_custkey", (F.col("c_custkey") + 1000000).alias("key")
+    )
+    hier = dict_get_hierarchy(keys, edges, "key")
+    return hier.select(
+        "c_custkey",
+        F.concat_ws("/", F.col("path")).alias("path_str"),
+        F.size("path").cast("long").alias("depth"),
+        dict_is_in(F.lit(3000000)).alias("in_region0"),
+    ).orderBy("c_custkey")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
