@@ -6034,6 +6034,77 @@ def q145(spark, sf_dir):
     ).orderBy("c_custkey")
 
 
+#: hexagon in the 0..1000 x 0..1000 synthetic coordinate space (odd
+#: coordinates so the edge sign tests never meet data points head-on)
+_HEX = [(501, 51), (901, 301), (901, 701), (501, 951), (101, 701), (101, 301)]
+
+
+def _pip_sql_terms(xe: str, ye: str) -> str:
+    terms = []
+    n = len(_HEX)
+    for i in range(n):
+        ax, ay = _HEX[i]
+        bx, by = _HEX[(i + 1) % n]
+        if ay == by:
+            continue
+        spans = f"(({ay} > {ye}) != ({by} > {ye}))"
+        t = f"({bx - ax} * ({ye} - {ay}) - ({xe} - {ax}) * {by - ay})"
+        crosses = f"(({t} > 0) = {str(by > ay).upper()})"
+        terms.append(f"CAST({spans} AND {crosses} AS INTEGER)")
+    return " + ".join(terms)
+
+
+@_register(
+    "q146_point_in_polygon",
+    f"""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 1000 AS x,
+             (user_id * 37) % 1000 AS y
+      FROM events
+    ),
+    t AS (
+      SELECT event_type,
+             ({_pip_sql_terms("x", "y")}) % 2 = 1 AS inside
+      FROM pts WHERE x >= 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN inside THEN 1 END) AS BIGINT) AS n_inside,
+           ROUND(COUNT(CASE WHEN inside THEN 1 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS share
+    FROM t GROUP BY event_type ORDER BY event_type
+    """,
+    "ClickHouse pointInPolygon, exact: crossing-number parity with "
+    "cross-multiplied sign tests (no division, no floats) over a fixed "
+    "hexagon — a codegen expression chain per row, no join, no "
+    "shuffle; negative-modulo rows filtered identically in both "
+    "engines — operators/geo.py::point_in_polygon",
+)
+def q146(spark, sf_dir):
+    from kubenetmon_spark.operators.geo import point_in_polygon
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        (
+            F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+            % 1000
+        ).alias("x"),
+        ((F.col("user_id") * 37) % 1000).alias("y"),
+    ).filter(F.col("x") >= 0)
+    t = pts.withColumn("inside", point_in_polygon("x", "y", _HEX))
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("inside"), 1)).alias("n_inside"),
+        F.round(
+            F.count(F.when(F.col("inside"), 1))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("share"),
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
