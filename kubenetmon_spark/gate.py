@@ -6034,6 +6034,95 @@ def q145(spark, sf_dir):
     ).orderBy("c_custkey")
 
 
+@_register(
+    "q147_aggregate_odds",
+    """
+    WITH o AS (
+      SELECT event_type, user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM events
+    ),
+    uc AS (
+      SELECT event_type,
+             LEAST(COUNT(DISTINCT user_id), 11) AS uniq_up_to_10
+      FROM o GROUP BY event_type
+    ),
+    br AS (
+      SELECT event_type,
+             MIN(x) AS min_x, MAX(x) AS max_x,
+             MIN_BY(y, x) AS y_first, MAX_BY(y, x) AS y_last
+      FROM (SELECT event_type, x, MIN(y) AS y FROM o GROUP BY event_type, x)
+      GROUP BY event_type
+    ),
+    md AS (
+      SELECT event_type, user_id, COUNT(*) AS c
+      FROM o GROUP BY event_type, user_id
+    ),
+    mode_pick AS (
+      -- composite (c, -user_id) packed into one BIGINT: c dominates,
+      -- smaller user_id wins ties (user_id << 1e8)
+      SELECT event_type,
+             MAX_BY(user_id, c * 100000000 - user_id) AS mode_user
+      FROM md GROUP BY event_type
+    )
+    SELECT uc.event_type,
+           CAST(uniq_up_to_10 AS BIGINT) AS uniq_up_to_10,
+           ROUND(CAST(y_last - y_first AS DOUBLE)
+                 / CAST(max_x - min_x AS DOUBLE), 6) AS bounding_ratio,
+           CAST(mode_user AS BIGINT) AS mode_user
+    FROM uc
+    JOIN br ON br.event_type = uc.event_type
+    JOIN mode_pick ON mode_pick.event_type = uc.event_type
+    ORDER BY uc.event_type
+    """,
+    "ClickHouse uniqUpTo(10) (exact distinct capped at N+1), "
+    "boundingRatio (slope between the extreme-x points; ties on x "
+    "collapsed to min y so both engines pick the same endpoint), and a "
+    "DETERMINISTIC anyHeavy (exact mode, ties to smallest id — "
+    "ClickHouse's is sketchy by design, ours is reproducible)",
+)
+def q147(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        "user_id",
+        F.col("ts").cast("long").alias("x"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("y"),
+    )
+    uc = o.groupBy("event_type").agg(
+        F.least(F.count_distinct("user_id"), F.lit(11)).alias("uniq_up_to_10")
+    )
+    per_x = o.groupBy("event_type", "x").agg(F.min("y").alias("y"))
+    br = per_x.groupBy("event_type").agg(
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min_by("y", "x").alias("y_first"),
+        F.max_by("y", "x").alias("y_last"),
+    )
+    md = o.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    mode_pick = md.groupBy("event_type").agg(
+        F.max_by(
+            "user_id", F.col("c") * 100000000 - F.col("user_id")
+        ).alias("mode_user")
+    )
+    return (
+        uc.join(br, "event_type")
+        .join(mode_pick, "event_type")
+        .select(
+            "event_type",
+            "uniq_up_to_10",
+            F.round(
+                (F.col("y_last") - F.col("y_first")).cast("double")
+                / (F.col("max_x") - F.col("min_x")).cast("double"),
+                6,
+            ).alias("bounding_ratio"),
+            "mode_user",
+        )
+        .orderBy("event_type")
+    )
+
+
 #: hexagon in the 0..1000 x 0..1000 synthetic coordinate space (odd
 #: coordinates so the edge sign tests never meet data points head-on)
 _HEX = [(501, 51), (901, 301), (901, 701), (501, 951), (101, 701), (101, 301)]

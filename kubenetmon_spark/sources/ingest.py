@@ -70,16 +70,20 @@ def read_csv(
     schema: StructType,
     header: bool = True,
     sep: str = ",",
+    null_value: str = "",
 ) -> tuple[DataFrame, DataFrame]:
     """Read CSV with an explicit schema; same dead-letter contract as
     :func:`read_jsonl`. Wrong column counts and uncastable values land
-    in the dead letter with the raw line preserved."""
+    in the dead letter with the raw line preserved. Pass
+    ``null_value=sources.export.CSV_NULL`` to round-trip exports (the
+    ClickHouse ``\\N`` marker)."""
     df = (
         spark.read.schema(_with_corrupt(schema))
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .option("header", str(header).lower())
         .option("sep", sep)
+        .option("nullValue", null_value)
         .option("enforceSchema", "true")
         .csv(path)
     )

@@ -150,3 +150,61 @@ class TestDeadLetterIngest:
         p.write_text(json.dumps({"doc_id": 5, "text": "x"}) + "\n")
         good, bad = read_jsonl(spark, str(p), DOC_SCHEMA)
         assert good.count() == 1 and bad.count() == 0
+
+
+class TestExportRoundTrip:
+    SCHEMA = __import__("pyspark.sql.types", fromlist=["x"]).StructType([
+        __import__("pyspark.sql.types", fromlist=["x"]).StructField("id", __import__("pyspark.sql.types", fromlist=["x"]).LongType()),
+        __import__("pyspark.sql.types", fromlist=["x"]).StructField("name", __import__("pyspark.sql.types", fromlist=["x"]).StringType()),
+        __import__("pyspark.sql.types", fromlist=["x"]).StructField("score", __import__("pyspark.sql.types", fromlist=["x"]).DoubleType()),
+    ])
+
+    def _df(self, spark):
+        rows = [
+            (1, "alpha", 1.5),
+            (2, None, 2.25),          # null string
+            (3, "with,comma", None),  # null double + quoting-needed value
+            (4, "", 0.0),             # empty string stays empty, not null
+        ]
+        return spark.createDataFrame(rows, self.SCHEMA)
+
+    def test_jsonl_round_trip(self, spark, tmp_path):
+        from kubenetmon_spark.sources.export import export_jsonl
+        from kubenetmon_spark.sources.ingest import read_jsonl
+
+        p = str(tmp_path / "out_jsonl")
+        export_jsonl(self._df(spark), p)
+        good, bad = read_jsonl(spark, p, self.SCHEMA)
+        assert bad.count() == 0
+        got = sorted(good.collect(), key=lambda r: r.id)
+        want = sorted(self._df(spark).collect(), key=lambda r: r.id)
+        # JSON drops null fields; empty string survives distinctly
+        assert [(r.id, r.name, r.score) for r in got] == [
+            (r.id, r.name, r.score) for r in want
+        ]
+
+    def test_csv_round_trip_with_null_marker(self, spark, tmp_path):
+        from kubenetmon_spark.sources.export import CSV_NULL, export_csv
+        from kubenetmon_spark.sources.ingest import read_csv
+
+        p = str(tmp_path / "out_csv")
+        export_csv(self._df(spark), p)
+        good, bad = read_csv(spark, p, self.SCHEMA, null_value=CSV_NULL)
+        assert bad.count() == 0
+        got = sorted(good.collect(), key=lambda r: r.id)
+        assert [(r.id, r.name, r.score) for r in got] == [
+            (1, "alpha", 1.5),
+            (2, None, 2.25),
+            (3, "with,comma", None),
+            (4, "", 0.0),
+        ]
+
+    def test_single_file_export(self, spark, tmp_path):
+        import glob
+
+        from kubenetmon_spark.sources.export import export_jsonl
+
+        p = str(tmp_path / "single")
+        export_jsonl(self._df(spark), p, single_file=True)
+        parts = glob.glob(f"{p}/part-*")
+        assert len(parts) == 1
