@@ -6194,6 +6194,130 @@ def q146(spark, sf_dir):
     ).orderBy("event_type")
 
 
+@_register(
+    "q148_rounding_family",
+    """
+    WITH e AS (
+      SELECT event_type, user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(1::BIGINT << (length(bin(cents)) - 1)) AS BIGINT) AS s_exp2,
+           CAST(SUM(CASE WHEN user_id % 100 < 1 THEN 0
+                    WHEN user_id % 100 < 18 THEN 17
+                    WHEN user_id % 100 < 25 THEN 18
+                    WHEN user_id % 100 < 35 THEN 25
+                    WHEN user_id % 100 < 45 THEN 35
+                    WHEN user_id % 100 < 55 THEN 45 ELSE 55 END) AS BIGINT)
+             AS s_age,
+           CAST(SUM(CASE WHEN cents % 40000 < 1 THEN 0
+                    WHEN cents % 40000 < 10 THEN 1
+                    WHEN cents % 40000 < 30 THEN 10
+                    WHEN cents % 40000 < 60 THEN 30
+                    WHEN cents % 40000 < 120 THEN 60
+                    WHEN cents % 40000 < 180 THEN 120
+                    WHEN cents % 40000 < 240 THEN 180
+                    WHEN cents % 40000 < 300 THEN 240
+                    WHEN cents % 40000 < 600 THEN 300
+                    WHEN cents % 40000 < 1200 THEN 600
+                    WHEN cents % 40000 < 1800 THEN 1200
+                    WHEN cents % 40000 < 3600 THEN 1800
+                    WHEN cents % 40000 < 7200 THEN 3600
+                    WHEN cents % 40000 < 18000 THEN 7200
+                    WHEN cents % 40000 < 36000 THEN 18000
+                    ELSE 36000 END) AS BIGINT) AS s_dur,
+           CAST(SUM(COALESCE(list_max(list_filter(
+                 [0, 10, 50, 100, 250, 500, 750],
+                 x -> x <= user_id % 1000)), 0)) AS BIGINT) AS s_down,
+           CAST(SUM(CAST(round_even(cents / 4.0, 0) AS BIGINT)) AS BIGINT)
+             AS s_bankers
+    FROM e GROUP BY event_type ORDER BY event_type
+    """,
+    "ClickHouse rounding family — roundToExp2 (floor-log2 as a binary "
+    "STRING length, never a float log), roundAge/roundDuration ladders, "
+    "roundDown (largest array element <= x), roundBankers on cents/4 "
+    "(exactly-representable quarters, so the half-to-even branch fires "
+    "identically in both engines) — sql.py SQL UDFs, Catalyst-inlined",
+)
+def q148(spark, sf_dir):
+    from kubenetmon_spark.sql import register_sql_surface
+
+    register_sql_surface(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT event_type, user_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT event_type,
+               SUM(roundToExp2(cents)) AS s_exp2,
+               SUM(roundAge(user_id % 100)) AS s_age,
+               SUM(roundDuration(cents % 40000)) AS s_dur,
+               SUM(roundDown(user_id % 1000,
+                   array(CAST(0 AS BIGINT), 10, 50, 100, 250, 500, 750)))
+                 AS s_down,
+               SUM(CAST(roundBankers(CAST(cents AS DOUBLE) / 4)
+                   AS BIGINT)) AS s_bankers
+        FROM e GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+
+@_register(
+    "q149_bit_functions",
+    """
+    WITH e AS (
+      SELECT event_type, user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(bit_count(cents)) AS BIGINT) AS s_popcnt,
+           CAST(SUM((cents >> 5) & 1) AS BIGINT) AS s_bit5,
+           CAST(SUM(bit_count(xor(cents, user_id))) AS BIGINT) AS s_hamm,
+           CAST(SUM(((cents % 4294967296 << 7) % 4294967296)
+               + (cents % 4294967296 >> 25)) AS BIGINT) AS s_rot,
+           CAST(SUM(1::BIGINT << CAST(user_id % 20 AS INTEGER)) AS BIGINT)
+             AS s_iexp2,
+           CAST(SUM(CAST('1' || repeat('0', CAST(user_id % 10 AS INTEGER))
+               AS BIGINT)) AS BIGINT) AS s_iexp10,
+           MAX(upper(to_hex(cents))) AS hex_max,
+           MAX(to_base64(encode(event_type))) AS b64
+    FROM e GROUP BY event_type ORDER BY event_type
+    """,
+    "ClickHouse bit/encoding family — bitCount, bitTest, "
+    "bitHammingDistance, bitRotateLeft32, intExp2, intExp10, "
+    "base64Encode, native hex — all integer-exact sql.py SQL UDFs "
+    "inlined into one hash aggregation (hex/unhex/bin are Spark "
+    "builtins under the ClickHouse names already)",
+)
+def q149(spark, sf_dir):
+    from kubenetmon_spark.sql import register_sql_surface
+
+    register_sql_surface(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT event_type, user_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT event_type,
+               SUM(bitCount(cents)) AS s_popcnt,
+               SUM(bitTest(cents, 5)) AS s_bit5,
+               SUM(bitHammingDistance(cents, user_id)) AS s_hamm,
+               SUM(bitRotateLeft32(cents, 7)) AS s_rot,
+               SUM(intExp2(CAST(user_id % 20 AS INT))) AS s_iexp2,
+               SUM(intExp10(CAST(user_id % 10 AS INT))) AS s_iexp10,
+               MAX(hex(cents)) AS hex_max,
+               MAX(base64Encode(event_type)) AS b64
+        FROM e GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -116,6 +116,75 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
      "array_join(a, sep)"),
     ("empty", "(s STRING)", "BOOLEAN", "s IS NULL OR s = ''"),
     ("notEmpty", "(s STRING)", "BOOLEAN", "s IS NOT NULL AND s != ''"),
+    # --- rounding family (ClickHouse docs/sql-reference/functions/rounding-functions) ---
+    # roundBankers: IEEE 754 round-half-to-even (ClickHouse's default for
+    # Float inputs); Spark's bround is exactly that. Single-arg (scale 0)
+    # form only: bround requires a FOLDABLE scale, which a SQL-UDF
+    # parameter is not — for other scales call bround(x, n) directly.
+    ("roundBankers", "(x DOUBLE)", "DOUBLE", "bround(x, 0)"),
+    # roundToExp2: x < 1 -> 0, else the largest power of two <= x.
+    # floor(log2(x)) computed EXACTLY as length(bin(x)) - 1 — a string
+    # length, not a float log, so values at/near powers of two can never
+    # land in the wrong bucket.
+    (
+        "roundToExp2",
+        "(x BIGINT)",
+        "BIGINT",
+        "CASE WHEN x < 1 THEN CAST(0 AS BIGINT) ELSE"
+        " shiftleft(CAST(1 AS BIGINT), cast(length(bin(x)) as int) - 1) END",
+    ),
+    # roundDown: largest array element <= x; below the lowest bound the
+    # lowest bound is returned (ClickHouse semantics).
+    (
+        "roundDown",
+        "(x BIGINT, arr ARRAY<BIGINT>)",
+        "BIGINT",
+        "coalesce(array_max(filter(arr, e -> e <= x)), array_min(arr))",
+    ),
+    # roundAge / roundDuration: ClickHouse's fixed CASE ladders.
+    (
+        "roundAge",
+        "(x BIGINT)",
+        "BIGINT",
+        "CASE WHEN x < 1 THEN 0 WHEN x < 18 THEN 17 WHEN x < 25 THEN 18"
+        " WHEN x < 35 THEN 25 WHEN x < 45 THEN 35 WHEN x < 55 THEN 45"
+        " ELSE 55 END",
+    ),
+    (
+        "roundDuration",
+        "(x BIGINT)",
+        "BIGINT",
+        "CASE WHEN x < 1 THEN 0 WHEN x < 10 THEN 1 WHEN x < 30 THEN 10"
+        " WHEN x < 60 THEN 30 WHEN x < 120 THEN 60 WHEN x < 180 THEN 120"
+        " WHEN x < 240 THEN 180 WHEN x < 300 THEN 240 WHEN x < 600 THEN 300"
+        " WHEN x < 1200 THEN 600 WHEN x < 1800 THEN 1200"
+        " WHEN x < 3600 THEN 1800 WHEN x < 7200 THEN 3600"
+        " WHEN x < 18000 THEN 7200 WHEN x < 36000 THEN 18000"
+        " ELSE 36000 END",
+    ),
+    # --- bit family (docs/sql-reference/functions/bit-functions) ---
+    # hex/unhex/bin are native Spark builtins with the ClickHouse names
+    # already (numeric hex is unpadded here — document, don't shadow).
+    ("bitCount", "(x BIGINT)", "BIGINT", "cast(bit_count(x) as bigint)"),
+    ("bitTest", "(x BIGINT, k INT)", "BIGINT", "shiftright(x, k) & 1"),
+    ("bitHammingDistance", "(a BIGINT, b BIGINT)", "BIGINT",
+     "cast(bit_count(a ^ b) as bigint)"),
+    # 32-bit rotate; defined (as in ClickHouse) on the UInt32 value range.
+    (
+        "bitRotateLeft32",
+        "(x BIGINT, k INT)",
+        "BIGINT",
+        "(shiftleft(x % 4294967296, k) % 4294967296)"
+        " + shiftright(x % 4294967296, 32 - k)",
+    ),
+    # --- encoding / math (exact-integer bodies only) ---
+    ("base64Encode", "(s STRING)", "STRING", "base64(cast(s as binary))"),
+    ("base64Decode", "(s STRING)", "STRING",
+     "cast(unbase64(s) as string)"),
+    ("intExp2", "(n INT)", "BIGINT", "shiftleft(CAST(1 AS BIGINT), n)"),
+    # exact for n <= 18 (fits int64) — a string build, not pow()'s double
+    ("intExp10", "(n INT)", "BIGINT",
+     "cast(concat('1', repeat('0', n)) as bigint)"),
     # bar(): eighth-block rendering via pure floor arithmetic (no
     # round-half ambiguity): e8 = floor(scaled_width * 8) eighths total.
     (

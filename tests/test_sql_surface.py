@@ -159,3 +159,78 @@ class TestInlining:
         names = register_clickhouse_sql_functions(spark)
         names2 = register_clickhouse_sql_functions(spark)
         assert names == names2 and len(names) >= 25
+
+
+class TestRoundingFamily:
+    """ClickHouse rounding-function ladder semantics, pinned against
+    pure-Python references (reference behavior per ClickHouse docs:
+    rounding-functions.md — roundToExp2/roundDown/roundAge/roundDuration)."""
+
+    def test_round_to_exp2(self, spark):
+        cases = {0: 0, 1: 1, 2: 2, 3: 2, 4: 4, 5: 4, 7: 4, 8: 8,
+                 1023: 512, 1024: 1024, 1025: 1024, (1 << 40) + 17: 1 << 40}
+        for x, want in cases.items():
+            assert _one(spark, f"roundToExp2(CAST({x} AS BIGINT))") == want, x
+
+    def test_round_down(self, spark):
+        arr = "array(CAST(0 AS BIGINT), 10, 50, 100)"
+        for x, want in {-5: 0, 0: 0, 9: 0, 10: 10, 49: 10, 50: 50,
+                        99: 50, 100: 100, 5000: 100}.items():
+            assert _one(spark, f"roundDown(CAST({x} AS BIGINT), {arr})") == want
+
+    def test_round_age_ladder(self, spark):
+        for x, want in {0: 0, 1: 17, 17: 17, 18: 18, 24: 18, 25: 25,
+                        34: 25, 35: 35, 44: 35, 45: 45, 54: 45, 55: 55,
+                        99: 55}.items():
+            assert _one(spark, f"roundAge(CAST({x} AS BIGINT))") == want
+
+    def test_round_duration_ladder(self, spark):
+        for x, want in {0: 0, 1: 1, 9: 1, 10: 10, 29: 10, 30: 30, 59: 30,
+                        60: 60, 119: 60, 3600: 3600, 35999: 18000,
+                        36000: 36000, 99999: 36000}.items():
+            assert _one(spark, f"roundDuration(CAST({x} AS BIGINT))") == want
+
+    def test_round_bankers_half_even(self, spark):
+        # exactly-representable halves: the half-to-even branch must fire
+        for x, want in {0.5: 0.0, 1.5: 2.0, 2.5: 2.0, 3.5: 4.0,
+                        -0.5: -0.0, -1.5: -2.0, 2.25: 2.0}.items():
+            got = _one(spark, f"roundBankers(CAST({x} AS DOUBLE))")
+            assert got == want, (x, got)
+
+
+class TestBitEncodingFamily:
+    def test_bit_count_matches_python(self, spark):
+        for x in [0, 1, 5, 255, 12345, (1 << 62) + 3]:
+            assert _one(spark, f"bitCount(CAST({x} AS BIGINT))") == bin(x).count("1")
+
+    def test_bit_test(self, spark):
+        for x, k, want in [(13, 0, 1), (13, 1, 0), (13, 2, 1), (13, 3, 1),
+                           (13, 4, 0)]:
+            assert _one(spark, f"bitTest(CAST({x} AS BIGINT), {k})") == want
+
+    def test_hamming(self, spark):
+        assert _one(spark, "bitHammingDistance(CAST(13 AS BIGINT), CAST(9 AS BIGINT))") == 1
+        assert _one(spark, "bitHammingDistance(CAST(0 AS BIGINT), CAST(255 AS BIGINT))") == 8
+
+    def test_rotate32(self, spark):
+        def rot32(x, k):
+            return ((x << k) | (x >> (32 - k))) & 0xFFFFFFFF
+
+        for x in [1, 0x80000000, 0xDEADBEEF, 0xFFFFFFFF]:
+            for k in [1, 7, 31]:
+                got = _one(spark, f"bitRotateLeft32(CAST({x} AS BIGINT), {k})")
+                assert got == rot32(x, k), (x, k)
+
+    def test_base64_roundtrip(self, spark):
+        import base64
+
+        for s in ["", "hello", "Grüße", "a b\tc"]:
+            got = _one(spark, f"base64Encode('{s}')")
+            assert got == base64.b64encode(s.encode()).decode()
+            assert _one(spark, f"base64Decode(base64Encode('{s}'))") == s
+
+    def test_int_exp(self, spark):
+        assert _one(spark, "intExp2(0)") == 1
+        assert _one(spark, "intExp2(20)") == 1 << 20
+        assert _one(spark, "intExp10(0)") == 1
+        assert _one(spark, "intExp10(18)") == 10 ** 18
