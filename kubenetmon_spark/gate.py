@@ -6318,6 +6318,102 @@ def q149(spark, sf_dir):
     )
 
 
+@_register(
+    "q150_ip_ranges",
+    """
+    WITH e AS (
+      SELECT event_type,
+             (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              * 2654435761 + user_id) % 4294967296 AS ip
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN ip // 16777216 = 10 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_10,
+           CAST(SUM(CASE WHEN ip // 1048576 = 2753 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_172,
+           CAST(SUM(CASE WHEN ip // 65536 = 49320 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_192,
+           CAST(SUM(ip - ip % 256) AS BIGINT) AS s_lo,
+           CAST(SUM(255) AS BIGINT) AS s_span
+    FROM e GROUP BY event_type ORDER BY event_type
+    """,
+    "ClickHouse IP-range family — isIPAddressInRange over RFC1918 CIDR "
+    "literals (dotted-quad parse inlined into codegen) and "
+    "IPv4CIDRToRange struct results; the oracle re-derives membership "
+    "with pure integer division. Complements the LPM join (q10): this "
+    "is the scalar per-row form a migrating user writes in ad-hoc SQL",
+)
+def q150(spark, sf_dir):
+    from kubenetmon_spark.sql import register_sql_surface
+
+    register_sql_surface(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT event_type,
+                 (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  * 2654435761 + user_id) % 4294967296 AS ip
+          FROM events
+        )
+        SELECT event_type,
+               SUM(CASE WHEN isIPAddressInRange(IPv4NumToString(ip),
+                   '10.0.0.0/8') THEN 1 ELSE 0 END) AS n_10,
+               SUM(CASE WHEN isIPAddressInRange(IPv4NumToString(ip),
+                   '172.16.0.0/12') THEN 1 ELSE 0 END) AS n_172,
+               SUM(CASE WHEN isIPAddressInRange(IPv4NumToString(ip),
+                   '192.168.0.0/16') THEN 1 ELSE 0 END) AS n_192,
+               SUM(IPv4CIDRToRange(ip, 24).lo) AS s_lo,
+               SUM(IPv4CIDRToRange(ip, 24).hi
+                   - IPv4CIDRToRange(ip, 24).lo) AS s_span
+        FROM e GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+
+def _geohash_oracle_sql() -> str:
+    from kubenetmon_spark.sql import geohash6_sql
+
+    gh = geohash6_sql("lon", "lat")
+    return f"""
+    WITH pts AS (
+      SELECT ((user_id * 77) % 720) / 2.0 - 180 + 0.25 AS lon,
+             ((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 360))
+               / 2.0 - 90 + 0.25 AS lat
+      FROM events
+    )
+    SELECT {gh} AS gh, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pts GROUP BY 1 ORDER BY gh
+    """
+
+
+@_register(
+    "q151_geohash",
+    _geohash_oracle_sql(),
+    "ClickHouse geohashEncode (fixed precision 6): cell indices from an "
+    "IEEE-identical float chain, then pure integer interleave + base32 "
+    "substring — the SAME generated SQL body (sql.py::geohash6_sql) "
+    "runs as the Spark SQL UDF and as the DuckDB oracle, so parity is "
+    "by construction; grouping by geohash = the spatial-bucketing use",
+)
+def q151(spark, sf_dir):
+    from kubenetmon_spark.sql import register_sql_surface
+
+    register_sql_surface(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH pts AS (
+          SELECT ((user_id * 77) % 720) / 2.0 - 180 + 0.25 AS lon,
+                 ((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   % 360)) / 2.0 - 90 + 0.25 AS lat
+          FROM events
+        )
+        SELECT geohashEncode(lon, lat) AS gh, COUNT(*) AS n
+        FROM pts GROUP BY 1 ORDER BY gh
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

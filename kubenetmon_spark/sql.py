@@ -55,6 +55,38 @@ def _quantity_case() -> str:
     return "CASE " + " ".join(arms) + " END"
 
 
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash6_sql(lon: str, lat: str) -> str:
+    """Pure-SQL geohash at precision 6 (30 bits: 15 lon + 15 lat,
+    lon first — the standard even/odd interleave).
+
+    Engine-portable by construction: cell indices come from one float
+    multiply-divide chain every IEEE 754 engine computes identically,
+    and the interleave/base32 steps are integer shifts and a constant-
+    alphabet substring — usable verbatim as a DuckDB oracle expression.
+    """
+    loni = (f"cast(least(32767, greatest(0, floor(({lon} + 180) / 360 "
+            f"* 32768))) as bigint)")
+    lati = (f"cast(least(32767, greatest(0, floor(({lat} + 90) / 180 "
+            f"* 32768))) as bigint)")
+    # every term fully parenthesized: SQL engines in the Postgres
+    # tradition give '+' HIGHER precedence than '<<', so an unwrapped
+    # 'x << 29 + y << 28' chain-shifts instead of summing
+    terms = []
+    for i in range(15):
+        terms.append(f"(((({loni}) >> {14 - i}) & 1) << {29 - 2 * i})")
+        terms.append(f"(((({lati}) >> {14 - i}) & 1) << {28 - 2 * i})")
+    g = "(" + " + ".join(terms) + ")"
+    chars = [
+        f"substring('{_GEOHASH32}', "
+        f"cast((({g}) >> {25 - 5 * c}) & 31 as int) + 1, 1)"
+        for c in range(6)
+    ]
+    return "concat(" + ", ".join(chars) + ")"
+
+
 #: (name, signature, return type, body) — bodies are pure SQL expressions.
 _FUNCTIONS: list[tuple[str, str, str, str]] = [
     (
@@ -185,6 +217,42 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
     # exact for n <= 18 (fits int64) — a string build, not pow()'s double
     ("intExp10", "(n INT)", "BIGINT",
      "cast(concat('1', repeat('0', n)) as bigint)"),
+    # --- IP range family (docs/sql-reference/functions/ip-address-functions) ---
+    # IPv4CIDRToRange: (network base, broadcast) of ip/prefix as a struct.
+    (
+        "IPv4CIDRToRange",
+        "(ip BIGINT, prefix INT)",
+        "STRUCT<lo: BIGINT, hi: BIGINT>",
+        "named_struct("
+        " 'lo', ip - (ip % shiftleft(CAST(1 AS BIGINT), 32 - prefix)),"
+        " 'hi', ip - (ip % shiftleft(CAST(1 AS BIGINT), 32 - prefix))"
+        "       + shiftleft(CAST(1 AS BIGINT), 32 - prefix) - 1)",
+    ),
+    # isIPAddressInRange('1.2.3.4', '10.0.0.0/8') — the dotted-quad parse
+    # is inlined (a SQL UDF body can't reliably call sibling temp
+    # functions at definition time).
+    (
+        "isIPAddressInRange",
+        "(s STRING, cidr STRING)",
+        "BOOLEAN",
+        "(cast(split_part(s, '.', 1) as bigint) * 16777216"
+        " + cast(split_part(s, '.', 2) as bigint) * 65536"
+        " + cast(split_part(s, '.', 3) as bigint) * 256"
+        " + cast(split_part(s, '.', 4) as bigint))"
+        " div shiftleft(CAST(1 AS BIGINT),"
+        "   32 - cast(split_part(cidr, '/', 2) as int))"
+        " = (cast(split_part(split_part(cidr, '/', 1), '.', 1) as bigint) * 16777216"
+        " + cast(split_part(split_part(cidr, '/', 1), '.', 2) as bigint) * 65536"
+        " + cast(split_part(split_part(cidr, '/', 1), '.', 3) as bigint) * 256"
+        " + cast(split_part(split_part(cidr, '/', 1), '.', 4) as bigint))"
+        " div shiftleft(CAST(1 AS BIGINT),"
+        "   32 - cast(split_part(cidr, '/', 2) as int))",
+    ),
+    # geohashEncode at fixed precision 6 (ClickHouse's is 1..12; six
+    # chars ≈ 1.2 km cells — the bucketing/skipping use case). The body
+    # is geohash6_sql(), shared verbatim with the DuckDB oracle.
+    ("geohashEncode", "(lon DOUBLE, lat DOUBLE)", "STRING",
+     geohash6_sql("lon", "lat")),
     # bar(): eighth-block rendering via pure floor arithmetic (no
     # round-half ambiguity): e8 = floor(scaled_width * 8) eighths total.
     (

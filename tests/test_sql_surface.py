@@ -234,3 +234,86 @@ class TestBitEncodingFamily:
         assert _one(spark, "intExp2(20)") == 1 << 20
         assert _one(spark, "intExp10(0)") == 1
         assert _one(spark, "intExp10(18)") == 10 ** 18
+
+
+class TestIpRangeFamily:
+    def test_cidr_to_range_matches_ipaddress(self, spark):
+        import ipaddress
+
+        for cidr in ["10.0.0.0/8", "172.16.0.0/12", "192.168.1.0/24",
+                     "1.2.3.4/32", "128.0.0.0/1"]:
+            net = ipaddress.ip_network(cidr)
+            base, p = cidr.split("/")
+            some_ip = int(net.network_address) + 5 % net.num_addresses
+            row = spark.sql(
+                f"SELECT IPv4CIDRToRange(CAST({some_ip} AS BIGINT), {p}) v"
+            ).collect()[0].v
+            assert row.lo == int(net.network_address), cidr
+            assert row.hi == int(net.broadcast_address), cidr
+
+    def test_is_ip_in_range_matches_ipaddress(self, spark):
+        import ipaddress
+
+        cases = [
+            ("10.1.2.3", "10.0.0.0/8"),
+            ("11.0.0.0", "10.0.0.0/8"),
+            ("172.16.0.1", "172.16.0.0/12"),
+            ("172.32.0.0", "172.16.0.0/12"),
+            ("192.168.255.255", "192.168.0.0/16"),
+            ("192.169.0.0", "192.168.0.0/16"),
+            ("8.8.8.8", "0.0.0.0/1"),
+            ("200.8.8.8", "0.0.0.0/1"),
+        ]
+        for ip, cidr in cases:
+            want = ipaddress.ip_address(ip) in ipaddress.ip_network(cidr)
+            got = _one(spark, f"isIPAddressInRange('{ip}', '{cidr}')")
+            assert got is want, (ip, cidr)
+
+
+def _ref_geohash6(lon, lat):
+    """Independent textbook geohash encoder (bisection form)."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+    bits, out, even = 0, [], True
+    bit_count = 0
+    for _ in range(30):
+        if even:
+            mid = (lo_lon + hi_lon) / 2
+            if lon >= mid:
+                bits = (bits << 1) | 1
+                lo_lon = mid
+            else:
+                bits <<= 1
+                hi_lon = mid
+        else:
+            mid = (lo_lat + hi_lat) / 2
+            if lat >= mid:
+                bits = (bits << 1) | 1
+                lo_lat = mid
+            else:
+                bits <<= 1
+                hi_lat = mid
+        even = not even
+        bit_count += 1
+        if bit_count % 5 == 0:
+            out.append(alphabet[bits & 31])
+    return "".join(out)
+
+
+class TestGeohash:
+    def test_against_bisection_reference(self, spark):
+        cases = [(0.0, 0.0), (-179.75, -89.75), (179.75, 89.75),
+                 (13.25, 52.5), (-122.5, 37.75), (2.25, 48.75),
+                 (-0.25, 51.5)]
+        exprs = ", ".join(
+            f"geohashEncode(CAST({lon} AS DOUBLE), CAST({lat} AS DOUBLE)) g{i}"
+            for i, (lon, lat) in enumerate(cases)
+        )
+        row = spark.sql(f"SELECT {exprs}").collect()[0]
+        for i, (lon, lat) in enumerate(cases):
+            assert row[i] == _ref_geohash6(lon, lat), (lon, lat)
+
+    def test_known_value(self, spark):
+        # geohash of (lon=-5.6, lat=42.6) is 'ezs42...' (classic example)
+        got = _one(spark, "geohashEncode(CAST(-5.6 AS DOUBLE), CAST(42.6 AS DOUBLE))")
+        assert got.startswith("ezs42")
