@@ -6414,6 +6414,77 @@ def q151(spark, sf_dir):
     )
 
 
+_NGRAM_PROBE = "merge batch value row"
+_LEV_PROBE = "merge batch row"
+
+
+@_register(
+    "q152_string_similarity",
+    f"""
+    WITH d AS (SELECT doc_id, source, text FROM documents),
+    g AS (
+      SELECT doc_id, substring(text, CAST(i AS INTEGER), 3) AS gram
+      FROM d, UNNEST(generate_series(1, greatest(length(text) - 2, 0))) u(i)
+    ),
+    gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+    p AS (
+      SELECT substring('{_NGRAM_PROBE}', CAST(i AS INTEGER), 3) AS gram,
+             COUNT(*) AS pc
+      FROM UNNEST(generate_series(1, {len(_NGRAM_PROBE) - 2})) u(i)
+      GROUP BY 1
+    ),
+    com AS (
+      SELECT doc_id, SUM(LEAST(c, pc)) AS common
+      FROM gc JOIN p USING (gram) GROUP BY 1
+    ),
+    per AS (
+      SELECT d.doc_id, d.source,
+             greatest(length(d.text) - 2, 0) + {len(_NGRAM_PROBE) - 2}
+               AS denom,
+             COALESCE(com.common, 0) AS common,
+             levenshtein(substring(d.text, 1, 16), '{_LEV_PROBE}') AS lev
+      FROM d LEFT JOIN com USING (doc_id)
+    )
+    SELECT source,
+           CAST(SUM((denom - 2 * common) * 10000 // denom) AS BIGINT)
+             AS s_ngram_bp,
+           CAST(SUM(CASE WHEN (denom - 2 * common) * 10000 // denom < 9000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+           CAST(SUM(lev) AS BIGINT) AS s_lev,
+           CAST(MIN(lev) AS BIGINT) AS min_lev
+    FROM per GROUP BY source ORDER BY source
+    """,
+    "ClickHouse string-similarity family — ngramDistance against a "
+    "constant probe (exact integer multiset symmetric difference in "
+    "basis points; per-doc gram counts -> broadcast probe join, the "
+    "corpus never broadcast-sides) plus levenshteinDistance (native "
+    "codegen in both engines) — "
+    "operators/text.py::ngram_distance_to_probe",
+)
+def q152(spark, sf_dir):
+    from kubenetmon_spark.operators.text import ngram_distance_to_probe
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = ngram_distance_to_probe(
+        d, "doc_id", "text", _NGRAM_PROBE, n=3
+    ).withColumn(
+        "lev",
+        F.levenshtein(F.substring(F.col("text"), 1, 16), F.lit(_LEV_PROBE)),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.sum("ngram_dist_bp").alias("s_ngram_bp"),
+            F.sum(
+                F.when(F.col("ngram_dist_bp") < 9000, 1).otherwise(0)
+            ).alias("n_close"),
+            F.sum("lev").alias("s_lev"),
+            F.min("lev").alias("min_lev"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

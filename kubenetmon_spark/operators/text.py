@@ -411,3 +411,82 @@ def _ngram_repetition_arrow(df: DataFrame, text_col: str, n: int) -> DataFrame:
             yield b
 
     return df.mapInPandas(gen, out_schema)
+
+
+def char_ngram_counts(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Overlapping character n-gram multiset counts per document:
+    ``(id, gram, cnt)``.
+
+    Built-in ``sequence -> transform -> explode`` (one narrow pass), then
+    a partial-aggregated groupBy — the explode never leaves the input
+    partitioning until the count shuffle, and the gram strings are short
+    (n chars), so shuffle volume ≈ n x corpus size worst case. At 100 TB
+    the probe-distance use below never shuffles the corpus at all.
+    """
+    # substring with a dynamic start needs expr(): the Column form takes
+    # only literal positions.
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)),"
+        f" i -> substring({text_col}, i, {n}))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def ngram_distance_to_probe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    probe: str,
+    n: int = 3,
+    out_col: str = "ngram_dist_bp",
+) -> DataFrame:
+    """ClickHouse ``ngramDistance(text, probe)`` with a constant probe,
+    in integer basis points (0 = identical multisets, 10000 = disjoint).
+
+    Definition (matching ClickHouse's symmetric-difference form):
+    ``|A Δ B| / (|A| + |B|)`` over the overlapping character n-gram
+    MULTISETS — computed as exact integers:
+    ``dist_bp = floor(((|A| + |B| - 2*common) * 10000) / (|A| + |B|))``
+    with ``common = Σ_g min(cnt_A(g), cnt_B(g))``.
+
+    Plan shape: per-doc gram counts (one partial-agg shuffle on
+    (id, gram)), broadcast join against the probe's ~|probe| distinct
+    grams, one more groupBy(id) — the fact table never broadcast-sides
+    and the probe side is bytes. Rows shorter than n get |A| = 0
+    (distance 10000 unless the probe is also empty).
+
+    Reference surface: ClickHouse string-search-functions.md
+    ngramDistance; used for fuzzy matching in curation filters.
+    """
+    spark = df.sparkSession
+    probe_grams: dict[str, int] = {}
+    for i in range(max(len(probe) - n + 1, 0)):
+        g = probe[i : i + n]
+        probe_grams[g] = probe_grams.get(g, 0) + 1
+    size_b = sum(probe_grams.values())
+    pdf = spark.createDataFrame(
+        [(g, c) for g, c in probe_grams.items()], ["gram", "probe_cnt"]
+    )
+    counts = char_ngram_counts(df, id_col, text_col, n)
+    common = (
+        counts.join(F.broadcast(pdf), "gram")
+        .groupBy(id_col)
+        .agg(F.sum(F.least("cnt", "probe_cnt")).alias("common"))
+    )
+    size_a = F.greatest(F.length(F.col(text_col)) - (n - 1), F.lit(0))
+    joined = df.join(common, id_col, "left").withColumn(
+        "common", F.coalesce(F.col("common"), F.lit(0))
+    )
+    denom = size_a + F.lit(size_b)
+    dist = F.when(denom == 0, F.lit(0)).otherwise(
+        ((denom - 2 * F.col("common")) * 10000).cast("bigint") / denom
+    )
+    return joined.withColumn(
+        out_col, F.floor(dist).cast("bigint")
+    ).drop("common")

@@ -344,3 +344,43 @@ class TestPerceptualHash:
 
         with pytest.raises(ValueError):
             perceptual_hash_pairs(self._media(spark, ["x" * 80]), max_hamming=4)
+
+
+class TestNgramDistance:
+    """operators/text.py::ngram_distance_to_probe vs a pure-Python
+    multiset reference (ClickHouse ngramDistance semantics, integer bp)."""
+
+    @staticmethod
+    def _ref_bp(s, probe, n=3):
+        from collections import Counter
+
+        a = Counter(s[i : i + n] for i in range(max(len(s) - n + 1, 0)))
+        b = Counter(probe[i : i + n] for i in range(max(len(probe) - n + 1, 0)))
+        sa, sb = sum(a.values()), sum(b.values())
+        if sa + sb == 0:
+            return 0
+        common = sum(min(c, b[g]) for g, c in a.items())
+        return ((sa + sb - 2 * common) * 10000) // (sa + sb)
+
+    def test_matches_python_reference(self, spark):
+        from kubenetmon_spark.operators.text import ngram_distance_to_probe
+
+        probe = "abc abd"
+        rows = [
+            (0, "abc abd"),        # identical -> 0
+            (1, "xyz qpr"),        # disjoint -> 10000
+            (2, "abc"),            # subset
+            (3, "abd abc"),        # same multiset, reordered grams differ
+            (4, ""),               # shorter than n
+            (5, "ab"),             # shorter than n
+            (6, "abcabcabc abd"),  # repeated grams (multiset counts matter)
+        ]
+        df = spark.createDataFrame(rows, ["id", "s"])
+        got = {
+            r.id: r.ngram_dist_bp
+            for r in ngram_distance_to_probe(df, "id", "s", probe).collect()
+        }
+        for i, s in rows:
+            assert got[i] == self._ref_bp(s, probe), (i, s, got[i])
+        assert got[0] == 0
+        assert got[1] == 10000
