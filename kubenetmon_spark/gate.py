@@ -6485,6 +6485,55 @@ def q152(spark, sf_dir):
     )
 
 
+@_register(
+    "q153_transform_enumerate",
+    """
+    WITH m AS (
+      SELECT user_id,
+             CASE event_type
+               WHEN 'click' THEN 'c' WHEN 'view' THEN 'v'
+               WHEN 'purchase' THEN 'p' ELSE '?' END AS t,
+             CASE WHEN event_type = 'click' THEN 'C'
+                  WHEN value > 400 THEN 'HI' ELSE 'other' END AS mi,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS occ
+      FROM events
+    )
+    SELECT t, mi,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(occ) AS BIGINT) AS s_occ,
+           CAST(MAX(occ) AS BIGINT) AS max_occ
+    FROM m GROUP BY t, mi ORDER BY t, mi
+    """,
+    "ClickHouse conditional family + arrayEnumerateUniq: transform() "
+    "(registered as its alias caseWithExpression — 'transform' would "
+    "shadow Spark's lambda builtin), multiIf, and per-key occurrence "
+    "numbering (arrayEnumerateUniq over the per-user event sequence = "
+    "one row_number window, no arrays materialized)",
+)
+def q153(spark, sf_dir):
+    from kubenetmon_spark.sql import register_sql_surface
+
+    register_sql_surface(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH m AS (
+          SELECT user_id,
+                 caseWithExpression(event_type,
+                   array('click', 'view', 'purchase'),
+                   array('c', 'v', 'p'), '?') AS t,
+                 multiIf(event_type = 'click', 'C',
+                         value > 400, 'HI', 'other') AS mi,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS occ
+          FROM events
+        )
+        SELECT t, mi, COUNT(*) AS n, SUM(occ) AS s_occ, MAX(occ) AS max_occ
+        FROM m GROUP BY t, mi ORDER BY t, mi
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -248,6 +248,27 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
         " div shiftleft(CAST(1 AS BIGINT),"
         "   32 - cast(split_part(cidr, '/', 2) as int))",
     ),
+    # --- conditional family (docs/sql-reference/functions/conditional-functions) ---
+    # ClickHouse transform(x, from, to, default). Registered under its
+    # ClickHouse ALIAS caseWithExpression: the name 'transform' would
+    # shadow Spark's higher-order transform(array, lambda), which this
+    # engine (and any user lambda) relies on. ClickHouse's
+    # 'CASE x WHEN ... END' form works verbatim in Spark SQL too.
+    (
+        "caseWithExpression",
+        "(x STRING, f ARRAY<STRING>, t ARRAY<STRING>, d STRING)",
+        "STRING",
+        "CASE WHEN array_position(f, x) > 0"
+        " THEN element_at(t, cast(array_position(f, x) as int)) ELSE d END",
+    ),
+    # multiIf in the two-branch arity (SQL UDFs are fixed-arity; deeper
+    # ladders nest, or use native CASE which is what multiIf compiles to).
+    (
+        "multiIf",
+        "(c1 BOOLEAN, v1 STRING, c2 BOOLEAN, v2 STRING, e STRING)",
+        "STRING",
+        "CASE WHEN c1 THEN v1 WHEN c2 THEN v2 ELSE e END",
+    ),
     # geohashEncode at fixed precision 6 (ClickHouse's is 1..12; six
     # chars ≈ 1.2 km cells — the bucketing/skipping use case). The body
     # is geohash6_sql(), shared verbatim with the DuckDB oracle.

@@ -317,3 +317,20 @@ class TestGeohash:
         # geohash of (lon=-5.6, lat=42.6) is 'ezs42...' (classic example)
         got = _one(spark, "geohashEncode(CAST(-5.6 AS DOUBLE), CAST(42.6 AS DOUBLE))")
         assert got.startswith("ezs42")
+
+
+class TestConditionalFamily:
+    def test_case_with_expression(self, spark):
+        arr = "array('a','b'), array('1','2')"
+        assert _one(spark, f"caseWithExpression('a', {arr}, 'd')") == "1"
+        assert _one(spark, f"caseWithExpression('b', {arr}, 'd')") == "2"
+        assert _one(spark, f"caseWithExpression('z', {arr}, 'd')") == "d"
+
+    def test_multi_if(self, spark):
+        assert _one(spark, "multiIf(true, 'x', true, 'y', 'z')") == "x"
+        assert _one(spark, "multiIf(false, 'x', true, 'y', 'z')") == "y"
+        assert _one(spark, "multiIf(false, 'x', false, 'y', 'z')") == "z"
+
+    def test_lambda_transform_not_shadowed(self, spark):
+        # the reason we register the ClickHouse alias, not 'transform'
+        assert _one(spark, "transform(array(1,2,3), x -> x * 2)") == [2, 4, 6]
