@@ -6534,6 +6534,56 @@ def q153(spark, sf_dir):
     )
 
 
+@_register(
+    "q154_quantile_timing",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CASE WHEN v < 1024 THEN v
+                  WHEN v <= 30000 THEN v - v % 16
+                  ELSE 30000 END AS tb
+      FROM (SELECT event_type,
+                   greatest(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                            AS BIGINT), 0) AS v
+            FROM events)
+    ),
+    c AS (SELECT event_type, tb, COUNT(*) AS w FROM m GROUP BY 1, 2),
+    x AS (
+      SELECT event_type, tb,
+             SUM(w) OVER (PARTITION BY event_type ORDER BY tb) AS cumw,
+             SUM(w) OVER (PARTITION BY event_type) AS totw
+      FROM c
+    )
+    SELECT event_type,
+           CAST(MIN(CASE WHEN cumw * 100 >= totw * 50 THEN tb END)
+             AS BIGINT) AS p50,
+           CAST(MIN(CASE WHEN cumw * 100 >= totw * 90 THEN tb END)
+             AS BIGINT) AS p90,
+           CAST(MIN(CASE WHEN cumw * 100 >= totw * 99 THEN tb END)
+             AS BIGINT) AS p99
+    FROM x GROUP BY event_type ORDER BY event_type
+    """,
+    "ClickHouse quantileTiming: exact below 1024 ms, 16 ms buckets to "
+    "30 s, saturating above — the bucket map is a pure integer "
+    "expression and the quantile is the exact lower-bound weighted "
+    "quantile over bucket HISTOGRAMS (the hash agg shrinks 100 TB of "
+    "rows to <= ~3k buckets per group before any sort) — "
+    "operators/agg.py::quantile_timing; cents stand in for milliseconds "
+    "so all three bands are exercised",
+)
+def q154(spark, sf_dir):
+    from kubenetmon_spark.operators.agg import quantile_timing
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+            "ms"
+        ),
+    )
+    out = quantile_timing(ev, ["event_type"], "ms", [50, 90, 99])
+    return out.orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -11,7 +11,7 @@ per key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -199,3 +199,44 @@ def bitmap_aggregate(
         F.count(F.lit(1)).alias("or_card"),
         F.count(F.when(F.col("_k") % 2 == 1, 1)).alias("xor_card"),
     )
+
+
+def timing_bucket(value: Column) -> Column:
+    """ClickHouse ``quantileTiming`` value mapping: millisecond timings
+    are stored exactly below 1024, in width-16 buckets from 1024 to
+    30000, and saturate at 30000 above that (negatives clamp to 0).
+    Pure integer expression — identical in any engine.
+
+    Reference semantics: ClickHouse QuantileTiming state
+    (docs/sql-reference/aggregate-functions/reference/quantiletiming.md:
+    'values over 30,000 ms' + the 16 ms precision band).
+    """
+    v = F.greatest(value.cast("bigint"), F.lit(0))
+    return (
+        F.when(v < 1024, v)
+        .when(v <= 30000, (v - (v % 16)))
+        .otherwise(F.lit(30000))
+    )
+
+
+def quantile_timing(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    percents: list[int],
+) -> DataFrame:
+    """``quantileTiming(p)(v)`` per group: the timing-bucket map above,
+    then the exact lower-bound weighted quantile over bucket counts.
+
+    Plan: one hash agg shrinks the input to <= ~3000 distinct buckets
+    per group BEFORE the quantile's shuffle+sort — at 100 TB the sort
+    runs over bucket histograms, not raw rows (the same state-compression
+    trick ClickHouse's QuantileTiming struct plays in memory).
+    """
+    counts = (
+        df.select(*group_cols, timing_bucket(F.col(value_col)).alias("_tb"))
+        .groupBy(*group_cols, "_tb")
+        .agg(F.count(F.lit(1)).alias("_w"))
+    )
+    out = weighted_quantile_exact(counts, group_cols, "_tb", "_w", percents)
+    return out

@@ -870,3 +870,62 @@ class TestVarianceAndQuantiles:
             spark.createDataFrame(one, ["grp", "x"]), ["grp"], "x", (0.5, 0.9)
         ).collect()[0]
         assert r1.p50_low == 7 and r1.p90_high == 7 and r1.p90_inc == 7.0
+
+
+class TestQuantileTiming:
+    def test_bucket_map_and_quantiles(self, spark):
+        from kubenetmon_spark.operators.agg import quantile_timing
+
+        # values spanning the three bands, plus a negative (clamps to 0)
+        vals = [-5, 0, 1, 1023, 1024, 1039, 1040, 29999, 30000, 30001,
+                99999, 500, 500, 500]
+        df = spark.createDataFrame([("g", v) for v in vals], ["k", "v"])
+        row = quantile_timing(df, ["k"], "v", [0, 50, 100]).collect()[0]
+
+        def bucket(v):
+            v = max(v, 0)
+            if v < 1024:
+                return v
+            if v <= 30000:
+                return v - v % 16
+            return 30000
+
+        mapped = sorted(bucket(v) for v in vals)
+        n = len(mapped)
+
+        def q(p):
+            # smallest value whose cumulative count reaches p% of total
+            need = p * n
+            cum = 0
+            for i, m in enumerate(mapped):
+                cum += 100
+                if cum * n >= need * n and 100 * (i + 1) >= p * n:
+                    return m
+            return mapped[-1]
+
+        assert row.p0 == mapped[0]
+        assert row.p100 == mapped[-1]
+        # p50: lower-bound rule — cumw*100 >= 50*totw
+        cum = 0
+        want = None
+        for m in mapped:
+            cum += 1
+            if cum * 100 >= 50 * n:
+                want = m
+                break
+        assert row.p50 == want
+
+    def test_bands_are_exact_vs_bucketed(self, spark):
+        from kubenetmon_spark.operators.agg import timing_bucket
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(v,) for v in [500, 1025, 1039, 30010]], ["v"]
+        )
+        got = [
+            r.b
+            for r in df.select(timing_bucket(F.col("v")).alias("b"))
+            .orderBy("v")
+            .collect()
+        ]
+        assert got == [500, 1024, 1024, 30000]
