@@ -6584,6 +6584,84 @@ def q154(spark, sf_dir):
     return out.orderBy("event_type")
 
 
+@_register(
+    "q155_gopher_rules",
+    r"""
+    WITH d AS (
+      SELECT source,
+             regexp_split_to_array(trim(text), '\s+') AS words,
+             trim(text) AS t,
+             text
+      FROM documents
+    ),
+    m AS (
+      SELECT source,
+             len(words) AS n,
+             length(regexp_replace(t, '\s+', '', 'g')) AS total_len,
+             len(regexp_extract_all(t, '#'))
+               + len(regexp_extract_all(t, '\.\.\.')) AS n_sym,
+             len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+               AS n_alpha,
+             (CASE WHEN regexp_matches(t, '(^|\s)the(\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(t, '(^|\s)be(\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(t, '(^|\s)to(\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(t, '(^|\s)of(\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(t, '(^|\s)and(\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(t, '(^|\s)that(\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(t, '(^|\s)have(\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(t, '(^|\s)with(\s|$)') THEN 1 ELSE 0 END)
+               AS n_stop
+      FROM d
+    ),
+    f AS (
+      SELECT source,
+             CASE WHEN n >= 50 AND n <= 100000 THEN 1 ELSE 0 END AS wc_ok,
+             CASE WHEN total_len >= 3 * n AND total_len <= 10 * n
+               THEN 1 ELSE 0 END AS ml_ok,
+             CASE WHEN n_sym * 10 <= n THEN 1 ELSE 0 END AS sym_ok,
+             CASE WHEN n_alpha * 100 >= n * 80 THEN 1 ELSE 0 END AS al_ok,
+             CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS st_ok
+      FROM m
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(wc_ok) AS BIGINT) AS n_word_ok,
+           CAST(SUM(ml_ok) AS BIGINT) AS n_meanlen_ok,
+           CAST(SUM(sym_ok) AS BIGINT) AS n_symbol_ok,
+           CAST(SUM(al_ok) AS BIGINT) AS n_alpha_ok,
+           CAST(SUM(st_ok) AS BIGINT) AS n_stop_ok,
+           CAST(SUM(wc_ok * ml_ok * sym_ok * al_ok * st_ok) AS BIGINT)
+             AS n_pass
+    FROM f GROUP BY source ORDER BY source
+    """,
+    "the Gopher quality-filter rule set (Rae et al. 2021 App. A1.1) as "
+    "integer-exact flags: word count, cross-multiplied mean word "
+    "length, symbol ratio, alpha-word fraction, stopword presence — "
+    "one codegen expression chain per row that fuses into the scan at "
+    "100 TB — operators/text.py::with_gopher_rules (bullet/ellipsis "
+    "line rules default-pass on the newline-free synthetic corpus)",
+)
+def q155(spark, sf_dir):
+    from kubenetmon_spark.operators.text import with_gopher_rules
+
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    g = with_gopher_rules(d)
+    b = lambda c: F.col(c).cast("int")  # noqa: E731
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(b("g_word_count_ok")).alias("n_word_ok"),
+            F.sum(b("g_mean_len_ok")).alias("n_meanlen_ok"),
+            F.sum(b("g_symbol_ok")).alias("n_symbol_ok"),
+            F.sum(b("g_alpha_ok")).alias("n_alpha_ok"),
+            F.sum(b("g_stopword_ok")).alias("n_stop_ok"),
+            F.sum(b("gopher_pass")).alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -490,3 +490,90 @@ def ngram_distance_to_probe(
     return joined.withColumn(
         out_col, F.floor(dist).cast("bigint")
     ).drop("common")
+
+
+#: Gopher rule-set stopwords (Rae et al. 2021, "Scaling Language Models:
+#: Methods, Analysis & Insights from Training Gopher", App. A1.1).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def with_gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_per_10_words: int = 1,
+    min_alpha_word_pct: int = 80,
+    min_stopwords: int = 2,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, App. A1.1),
+    as integer-exact boolean flag columns plus an overall ``gopher_pass``.
+
+    Every ratio threshold is a cross-multiplied INTEGER comparison
+    (``3n <= total_len <= 10n`` instead of a float mean), so the flags
+    are engine-exact and the filter is one codegen expression chain per
+    row — no UDF, no shuffle; at 100 TB this fuses into the scan.
+
+    Rules: word count in [min,max]; mean word length in [3,10]; symbol
+    (# or ...) to word ratio <= 0.1; <= 90% of lines bullet-started;
+    <= 30% of lines ellipsis-ended; >= 80% of words contain an
+    alphabetic char; >= 2 of the 8 Gopher stopwords present.
+    """
+    stopwords = stopwords if stopwords is not None else GOPHER_STOPWORDS
+    t = F.trim(F.col(text_col))
+    words = F.split(t, r"\s+")
+    n = F.size(words)
+    total_len = F.length(F.regexp_replace(t, r"\s+", ""))
+    n_hash = F.regexp_count(t, F.lit("#"))
+    n_ellipsis = F.regexp_count(t, F.lit(r"\.\.\."))
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    )
+    n_ell_end = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    stop_present = None
+    for w in stopwords:
+        present = (
+            F.regexp_count(t, F.lit(rf"(?:^|\s){w}(?=\s|$)")) > 0
+        ).cast("int")
+        stop_present = present if stop_present is None else stop_present + present
+
+    out = (
+        df.withColumn("g_words", n.cast("long"))
+        .withColumn(
+            "g_word_count_ok",
+            (n >= min_words) & (n <= max_words),
+        )
+        .withColumn(
+            "g_mean_len_ok",
+            (total_len >= min_mean_word_len * n)
+            & (total_len <= max_mean_word_len * n),
+        )
+        .withColumn(
+            "g_symbol_ok",
+            (n_hash + n_ellipsis) * 10 <= n * max_symbol_per_10_words,
+        )
+        .withColumn("g_bullet_ok", n_bullet * 10 <= n_lines * 9)
+        .withColumn("g_ellipsis_ok", n_ell_end * 10 <= n_lines * 3)
+        .withColumn(
+            "g_alpha_ok", n_alpha_words * 100 >= n * min_alpha_word_pct
+        )
+        .withColumn("g_stopword_ok", stop_present >= min_stopwords)
+    )
+    return out.withColumn(
+        "gopher_pass",
+        F.col("g_word_count_ok")
+        & F.col("g_mean_len_ok")
+        & F.col("g_symbol_ok")
+        & F.col("g_bullet_ok")
+        & F.col("g_ellipsis_ok")
+        & F.col("g_alpha_ok")
+        & F.col("g_stopword_ok"),
+    )

@@ -161,3 +161,60 @@ def test_contamination_asymmetry_vs_jaccard(spark):
     assert cont[0].containment_bp == 10000
     jac = jaccard_pairs(both, "doc_id", "text", n=3, threshold_bp=500).collect()
     assert jac == []  # 2 shared / ~300 union < 5%
+
+
+class TestGopherRules:
+    def test_flags_against_python_reference(self, spark):
+        import re
+
+        from kubenetmon_spark.operators.text import (
+            GOPHER_STOPWORDS,
+            with_gopher_rules,
+        )
+
+        docs = [
+            (0, "the quick brown fox jumps over the lazy dog and that "
+                "hound有 " + "word " * 60),
+            (1, "a b c d e"),                      # too few words, short mean
+            (2, "### ### ### some #tagged text"),   # symbol heavy
+            (3, "- one\n- two\n- three\nplain"),    # bullet lines
+            (4, "ends badly...\nalso ends...\nok line\nfine here"),
+            (5, "1 2 3 4 5 6 7 8 9 10 11 12"),      # no alpha words
+            (6, ("solid prose with the usual words and that should have "
+                 "plenty of signal to pass every gate " * 3)),
+        ]
+        df = spark.createDataFrame(docs, ["id", "text"])
+        got = {r.id: r for r in with_gopher_rules(df, min_words=5).collect()}
+
+        for i, text in docs:
+            words = re.split(r"\s+", text.strip())
+            n = len(words)
+            total_len = sum(len(w) for w in words)
+            n_sym = text.count("#") + len(re.findall(r"\.\.\.", text))
+            n_alpha = sum(1 for w in words if re.search("[A-Za-z]", w))
+            lines = text.split("\n")
+            n_bullet = sum(
+                1 for l in lines if re.match(r"^[-*•]", l.strip())
+            )
+            n_ell = sum(
+                1
+                for l in lines
+                if re.search(r"(\.\.\.|…)$", l.strip())
+            )
+            n_stop = sum(
+                1
+                for w in GOPHER_STOPWORDS
+                if re.search(rf"(?:^|\s){w}(?=\s|$)", text.strip())
+            )
+            r = got[i]
+            assert r.g_word_count_ok == (5 <= n <= 100_000), i
+            assert r.g_mean_len_ok == (3 * n <= total_len <= 10 * n), i
+            assert r.g_symbol_ok == (n_sym * 10 <= n), i
+            assert r.g_bullet_ok == (n_bullet * 10 <= len(lines) * 9), i
+            assert r.g_ellipsis_ok == (n_ell * 10 <= len(lines) * 3), i
+            assert r.g_alpha_ok == (n_alpha * 100 >= n * 80), i
+            assert r.g_stopword_ok == (n_stop >= 2), i
+
+        assert got[2].g_symbol_ok is False
+        assert got[5].g_alpha_ok is False
+        assert got[6].gopher_pass is True
