@@ -6662,6 +6662,82 @@ def q155(spark, sf_dir):
     )
 
 
+@_register(
+    "q156_group_array_misc",
+    """
+    WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+    ranked AS (
+      SELECT event_type, user_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(user_id AS VARCHAR) || '|s0'), user_id
+             ) AS rn
+      FROM pairs
+    ),
+    samp AS (
+      SELECT event_type,
+             string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id)
+               AS sample_csv
+      FROM ranked WHERE rn <= 5 GROUP BY event_type
+    ),
+    slots AS (
+      SELECT event_type, user_id % 8 AS pos,
+             MIN(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    ins AS (
+      SELECT event_type,
+             COALESCE(CAST(MIN(CASE WHEN pos = 0 THEN v END) AS VARCHAR), '-')
+             || '|' || COALESCE(CAST(MIN(CASE WHEN pos = 1 THEN v END) AS VARCHAR), '-')
+             || '|' || COALESCE(CAST(MIN(CASE WHEN pos = 2 THEN v END) AS VARCHAR), '-')
+             || '|' || COALESCE(CAST(MIN(CASE WHEN pos = 3 THEN v END) AS VARCHAR), '-')
+             || '|' || COALESCE(CAST(MIN(CASE WHEN pos = 4 THEN v END) AS VARCHAR), '-')
+             || '|' || COALESCE(CAST(MIN(CASE WHEN pos = 5 THEN v END) AS VARCHAR), '-')
+             || '|' || COALESCE(CAST(MIN(CASE WHEN pos = 6 THEN v END) AS VARCHAR), '-')
+             || '|' || COALESCE(CAST(MIN(CASE WHEN pos = 7 THEN v END) AS VARCHAR), '-')
+               AS insert_at
+      FROM slots GROUP BY event_type
+    )
+    SELECT samp.event_type, sample_csv, insert_at
+    FROM samp JOIN ins ON samp.event_type = ins.event_type
+    ORDER BY samp.event_type
+    """,
+    "groupArraySample as a DETERMINISTIC md5-rank draw over distinct "
+    "elements (same sample every run, every engine — "
+    "operators/agg.py::group_array_sample) and groupArrayInsertAt as "
+    "slot-scatter with default fill (8 conditional mins in one hash "
+    "agg, no array state)",
+)
+def q156(spark, sf_dir):
+    from kubenetmon_spark.operators.agg import group_array_sample
+
+    ev = _t(spark, sf_dir, "events")
+    samp = group_array_sample(ev, ["event_type"], "user_id", 5).select(
+        "event_type",
+        F.concat_ws(",", F.transform(
+            F.col("sample"), lambda x: x.cast("string")
+        )).alias("sample_csv"),
+    )
+    slots = ev.groupBy(
+        "event_type", (F.col("user_id") % 8).alias("pos")
+    ).agg(
+        F.min(
+            F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+        ).alias("v")
+    )
+    parts = [
+        F.coalesce(
+            F.min(F.when(F.col("pos") == i, F.col("v"))).cast("string"),
+            F.lit("-"),
+        )
+        for i in range(8)
+    ]
+    ins = slots.groupBy("event_type").agg(
+        F.concat_ws("|", *parts).alias("insert_at")
+    )
+    return samp.join(ins, "event_type").orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -240,3 +240,36 @@ def quantile_timing(
     )
     out = weighted_quantile_exact(counts, group_cols, "_tb", "_w", percents)
     return out
+
+
+def group_array_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int,
+    salt: str = "s0",
+) -> DataFrame:
+    """Deterministic ``groupArraySample(k)`` analogue: per group, k
+    distinct elements chosen by md5 rank — a uniform-looking but
+    REPRODUCIBLE draw (ClickHouse's is seeded-random; a deterministic
+    engine wants the same sample on every run and every engine).
+
+    Plan: distinct -> one window rank per group over the hash order ->
+    filter rank <= k -> collect sorted. The rank sort runs over
+    DISTINCT (group, value) pairs only, so a 100 TB fact table with a
+    bounded value domain ranks a bounded set.
+
+    Returns one row per group with ``sample`` (sorted array).
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat_ws("|", F.col(value_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(*group_cols).orderBy(h, F.col(value_col))
+    return (
+        df.select(*group_cols, value_col)
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list(value_col)).alias("sample"))
+    )

@@ -929,3 +929,33 @@ class TestQuantileTiming:
             .collect()
         ]
         assert got == [500, 1024, 1024, 30000]
+
+
+class TestGroupArraySample:
+    def test_deterministic_and_k_bounded(self, spark):
+        import hashlib
+
+        from kubenetmon_spark.operators.agg import group_array_sample
+
+        rows = [("g", v) for v in range(40)] + [("h", v) for v in range(3)]
+        df = spark.createDataFrame(rows * 2, ["k", "v"])  # dups collapse
+        out = {
+            r.k: r.sample
+            for r in group_array_sample(df, ["k"], "v", 5).collect()
+        }
+        # reference: md5 rank over distinct values, take 5, sort
+        def ref(vals, k):
+            ranked = sorted(
+                vals,
+                key=lambda v: (hashlib.md5(f"{v}|s0".encode()).hexdigest(), v),
+            )
+            return sorted(ranked[:k])
+
+        assert out["g"] == ref(range(40), 5)
+        assert out["h"] == ref(range(3), 5)  # fewer than k -> all
+        # rerun: identical draw
+        out2 = {
+            r.k: r.sample
+            for r in group_array_sample(df, ["k"], "v", 5).collect()
+        }
+        assert out == out2
