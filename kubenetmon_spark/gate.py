@@ -6738,6 +6738,56 @@ def q156(spark, sf_dir):
     return samp.join(ins, "event_type").orderBy("event_type")
 
 
+@_register(
+    "q157_sequence_match_timed",
+    """
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s
+      FROM events
+      WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    users AS (SELECT DISTINCT user_id FROM e),
+    m AS (
+      SELECT u.user_id,
+             EXISTS (
+               SELECT 1 FROM e a, e b, e c
+               WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+                 AND c.user_id = u.user_id
+                 AND a.event_type = 'click' AND b.event_type = 'view'
+                 AND c.event_type = 'purchase'
+                 AND b.s > a.s AND c.s > b.s
+                 AND b.s - a.s <= 21600 AND c.s - b.s <= 43200
+             ) AS matched
+      FROM users u
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched
+    FROM m
+    """,
+    "ClickHouse sequenceMatch with PER-GAP time bounds — "
+    "'(?1)(?t<=6h)(?2)(?t<=12h)(?3)' — via the greedy running-max "
+    "cascade (latest feasible chain completion minimizes the next gap, "
+    "so one window per step decides existence exactly; proof in the "
+    "docstring): one shuffle+sort per user total, while the oracle pays "
+    "a cubic self-join — operators/funnel.py::sequence_match_timed",
+)
+def q157(spark, sf_dir):
+    from kubenetmon_spark.operators.funnel import sequence_match_timed
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    m = sequence_match_timed(
+        ev, ["click", "view", "purchase"], [21600, 43200]
+    )
+    return m.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("matched").cast("int")).alias("n_matched"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

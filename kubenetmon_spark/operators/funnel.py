@@ -334,3 +334,74 @@ def window_funnel_strict_order(
         .groupBy(*user_cols)
         .agg(F.max("_depth").alias("funnel_level"))
     )
+
+
+def sequence_match_timed(
+    events: DataFrame,
+    steps: list[str],
+    max_gaps_seconds: list[int],
+    user_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1)(?t<=g1)(?2)(?t<=g2)(?3)...')``:
+    does a strictly-time-ordered chain step1 -> step2 -> ... exist where
+    each ADJACENT gap is <= its bound (seconds)?
+
+    Exactness argument for the greedy cascade: for a ``<=`` gap, among
+    all feasible completions of steps 1..i strictly before an event, the
+    LATEST one minimizes the gap — so if the running max fails the
+    bound, every earlier completion fails it too. Hence one running-max
+    window per step decides existence exactly. (``?t>=`` gaps would need
+    the symmetric running-min and are not part of this operator.)
+
+    Plan: one shuffle+sort on (user, ts); all windows share the frame,
+    so the physical plan is a single Exchange + Sort + Window cascade —
+    same shape as window_funnel (funnel.py), which mirrors the
+    reference-class ClickHouse sequenceMatch implementation note in
+    MIGRATION.md. Returns ``user_cols + [matched]``.
+    """
+    if len(max_gaps_seconds) != len(steps) - 1:
+        raise ValueError("need exactly len(steps)-1 gap bounds")
+    if len(set(steps)) != len(steps):
+        raise ValueError("steps must be distinct event types")
+    user_cols = user_cols or ["user_id"]
+    from pyspark.sql.window import Window
+
+    step_idx = F.when(F.col(type_col) == steps[0], 0)
+    for i, s in enumerate(steps[1:], start=1):
+        step_idx = step_idx.when(F.col(type_col) == s, i)
+
+    slim = events.filter(F.col(type_col).isin(list(steps))).select(
+        *user_cols,
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        step_idx.cast("int").alias("_step"),
+    )
+
+    strictly_before = (
+        Window.partitionBy(*user_cols)
+        .orderBy("_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+
+    out = slim
+    # completion time of a 1-chain is the step-0 event's own time
+    done = F.when(F.col("_step") == 0, F.col("_us"))
+    out = out.withColumn("_d0", done)
+    for i in range(1, len(steps)):
+        prev = F.max(F.col(f"_d{i - 1}")).over(strictly_before)
+        gap_us = int(max_gaps_seconds[i - 1]) * 1_000_000
+        out = out.withColumn(f"_p{i}", prev)
+        out = out.withColumn(
+            f"_d{i}",
+            F.when(
+                (F.col("_step") == i)
+                & F.col(f"_p{i}").isNotNull()
+                & (F.col("_us") - F.col(f"_p{i}") <= gap_us),
+                F.col("_us"),
+            ),
+        )
+    last = len(steps) - 1
+    return out.groupBy(*user_cols).agg(
+        F.max(F.col(f"_d{last}").isNotNull()).alias("matched")
+    )

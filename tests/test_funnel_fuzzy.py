@@ -388,3 +388,97 @@ class TestStrictOrderFunnel:
             self._df(spark, rows), ["a", "b"], 3600
         ).collect()
         assert got[0].funnel_level == 1  # adjacent but outside the window
+
+
+class TestSequenceMatchTimed:
+    def _df(self, spark, rows):
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [
+                (u, t0 + timedelta(seconds=s), tp, i)
+                for i, (u, s, tp) in enumerate(rows)
+            ],
+            ["user_id", "ts", "event_type", "event_id"],
+        )
+
+    @staticmethod
+    def _brute(rows, steps, gaps):
+        """O(n^k) chain existence per user."""
+        from collections import defaultdict
+
+        per_user = defaultdict(list)
+        for u, s, tp in rows:
+            per_user[u].append((s, tp))
+        out = {}
+        for u, evs in per_user.items():
+            evs.sort()
+
+            def extend(prev_t, idx):
+                if idx == len(steps):
+                    return True
+                for s, tp in evs:
+                    if tp != steps[idx]:
+                        continue
+                    if prev_t is not None:
+                        if s <= prev_t or s - prev_t > gaps[idx - 1]:
+                            continue
+                    if extend(s, idx + 1):
+                        return True
+                return False
+
+            out[u] = extend(None, 0)
+        return out
+
+    def test_adjacent_gap_bounds(self, spark):
+        from kubenetmon_spark.operators.funnel import sequence_match_timed
+
+        rows = [
+            # u1: a..b gap 10 ok, b..c gap 100 > 50 -> no
+            (1, 0, "a"), (1, 10, "b"), (1, 110, "c"),
+            # u2: c is out of range of the first b but a later b (still
+            # within the a-gap) rescues the chain — the greedy max case
+            (2, 0, "a"), (2, 10, "b"), (2, 15, "b"), (2, 62, "c"),
+            # u3: gap from FIRST a too big but later a works (greedy max)
+            (3, 0, "a"), (3, 95, "a"), (3, 100, "b"), (3, 120, "c"),
+            # u4: all in order, all within bounds
+            (4, 0, "a"), (4, 5, "b"), (4, 30, "c"),
+        ]
+        df = self._df(spark, rows)
+        got = {
+            r.user_id: r.matched
+            for r in sequence_match_timed(
+                df, ["a", "b", "c"], [20, 50]
+            ).collect()
+        }
+        want = self._brute(rows, ["a", "b", "c"], [20, 50])
+        assert got == want
+        assert got[1] is False and got[2] is True
+        assert got[3] is True and got[4] is True
+
+    def test_randomized_vs_brute_force(self, spark):
+        import random
+
+        from kubenetmon_spark.operators.funnel import sequence_match_timed
+
+        rng = random.Random(20260814)
+        rows = []
+        for u in range(30):
+            n = rng.randint(0, 12)
+            times = sorted(rng.sample(range(0, 500), n))
+            for s in times:
+                rows.append((u, s, rng.choice("abcx")))
+        df = self._df(spark, rows)
+        gaps = [60, 120]
+        got = {
+            r.user_id: r.matched
+            for r in sequence_match_timed(df, ["a", "b", "c"], gaps).collect()
+        }
+        want = self._brute(rows, ["a", "b", "c"], gaps)
+        # operator only emits users having at least one step event
+        for u, m in got.items():
+            assert m == want[u], u
+        for u, m in want.items():
+            if m:
+                assert got.get(u) is True, u
