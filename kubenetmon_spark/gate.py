@@ -6788,6 +6788,231 @@ def q157(spark, sf_dir):
     )
 
 
+@_register(
+    "q158_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(6,4))) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                           AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7 shape: a five-way join with a disjunctive cross-nation "
+    "pair predicate — the nation pair filter lands on BOTH broadcast "
+    "dims before the fact joins, so the big tables only join rows that "
+    "can survive; exact decimal volume arithmetic",
+)
+def q158(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp_ntz"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = F.col("l_extendedprice").cast(DEC2) * (
+        F.lit(1) - F.col("l_discount").cast(RATE)
+    )
+    # supplier+nation1 and customer+nation2 shrink FIRST (the pair
+    # predicate cuts both dims to two nations before any fact join)
+    sn = supp.join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cn = cust.join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    oc = orders.join(cn, orders.o_custkey == cn.c_custkey).select(
+        "o_orderkey", "cust_nation"
+    )
+    out = (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(oc, li.l_orderkey == oc.o_orderkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            volume.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_dbl2(F.sum("volume")).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+    return out
+
+
+@_register(
+    "q159_array_set_functions",
+    """
+    WITH t AS (
+      SELECT user_id, list_sort(list_distinct(list(event_type))) AS types
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             ts, event_id
+      FROM events
+    ),
+    cum AS (
+      SELECT user_id,
+             SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS cs,
+             ts, event_id
+      FROM c
+    ),
+    d AS (
+      SELECT user_id,
+             md5(string_agg(CAST(cs AS VARCHAR), ','
+                            ORDER BY ts, event_id)) AS cum_digest
+      FROM cum GROUP BY user_id
+    )
+    SELECT t.user_id,
+           list_has_all(types, ['click', 'view']) AS has_all,
+           list_has_any(types, ['error', 'signup']) AS has_any,
+           CAST(len(list_intersect(types, ['click', 'purchase', 'error']))
+             AS BIGINT) AS n_inter,
+           CAST(len(list_distinct(list_concat(types,
+             ['click', 'purchase', 'error']))) AS BIGINT) AS n_union,
+           cum_digest
+    FROM t JOIN d ON t.user_id = d.user_id
+    ORDER BY t.user_id
+    """,
+    "ClickHouse array set functions — hasAll/hasAny/arrayIntersect/"
+    "arrayUnion over per-user type sets (native array_except/"
+    "arrays_overlap/array_intersect/array_union, one hash agg) — plus "
+    "arrayCumSum reproduced scale-correctly: a running-sum WINDOW over "
+    "the same sort instead of a quadratic per-array prefix loop, "
+    "digested per user for exact comparison",
+)
+def q159(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+            "cents"
+        ),
+    )
+    types = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    lit_av = F.array(F.lit("click"), F.lit("view"))
+    lit_es = F.array(F.lit("error"), F.lit("signup"))
+    lit_cpe = F.array(F.lit("click"), F.lit("purchase"), F.lit("error"))
+    sets = types.select(
+        "user_id",
+        (F.size(F.array_except(lit_av, F.col("types"))) == 0).alias("has_all"),
+        F.arrays_overlap(F.col("types"), lit_es).alias("has_any"),
+        F.size(F.array_intersect(F.col("types"), lit_cpe)).alias("n_inter"),
+        F.size(F.array_union(F.col("types"), lit_cpe)).alias("n_union"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ev.withColumn("cs", F.sum("cents").over(w))
+    digest = cum.groupBy("user_id").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "cs"))
+                    ),
+                    lambda s: s["cs"].cast("string"),
+                ),
+            )
+        ).alias("cum_digest")
+    )
+    return sets.join(digest, "user_id").orderBy("user_id")
+
+
+@_register(
+    "q160_json_family",
+    """
+    WITH j AS (
+      SELECT event_type,
+             '{"a": ' || CAST(user_id AS VARCHAR)
+             || ', "b": "' || event_type
+             || '", "flag": ' || CASE WHEN user_id % 2 = 0
+                  THEN 'true' ELSE 'false' END
+             || ', "arr": [' || CAST(user_id AS VARCHAR) || ', '
+             || CAST(event_id % 7 AS VARCHAR) || ']}' AS doc
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(doc, '$.a') AS BIGINT)) AS BIGINT)
+             AS s_a,
+           MAX(json_extract_string(doc, '$.b')) AS max_b,
+           CAST(SUM(CASE WHEN CAST(json_extract(doc, '$.flag') AS BOOLEAN)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flag,
+           CAST(SUM(json_array_length(doc, '$.arr')) AS BIGINT) AS s_len,
+           CAST(SUM(CASE WHEN json_extract(doc, '$.missing') IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM j GROUP BY event_type ORDER BY event_type
+    """,
+    "ClickHouse typed JSON extraction — JSONExtractInt/String/Bool, "
+    "JSONHas, JSONLength as inlined SQL UDFs over get_json_object "
+    "(codegen JsonPath evaluation, no Python) — the document is "
+    "composed per row so every branch (typed hit, bool cast, array "
+    "length, missing key) is exercised",
+)
+def q160(spark, sf_dir):
+    from kubenetmon_spark.sql import register_sql_surface
+
+    register_sql_surface(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH j AS (
+          SELECT event_type,
+                 concat('{"a": ', CAST(user_id AS STRING),
+                        ', "b": "', event_type,
+                        '", "flag": ',
+                        CASE WHEN user_id % 2 = 0 THEN 'true'
+                             ELSE 'false' END,
+                        ', "arr": [', CAST(user_id AS STRING), ', ',
+                        CAST(event_id % 7 AS STRING), ']}') AS doc
+          FROM events
+        )
+        SELECT event_type,
+               SUM(JSONExtractInt(doc, 'a')) AS s_a,
+               MAX(JSONExtractString(doc, 'b')) AS max_b,
+               SUM(CASE WHEN JSONExtractBool(doc, 'flag')
+                   THEN 1 ELSE 0 END) AS n_flag,
+               SUM(JSONLength(doc, 'arr')) AS s_len,
+               SUM(CASE WHEN JSONHas(doc, 'missing')
+                   THEN 1 ELSE 0 END) AS n_missing
+        FROM j GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

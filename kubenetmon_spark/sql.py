@@ -269,6 +269,22 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
         "STRING",
         "CASE WHEN c1 THEN v1 WHEN c2 THEN v2 ELSE e END",
     ),
+    # --- JSON family (docs/sql-reference/functions/json-functions) ---
+    # ClickHouse's JSONExtract* take a path of keys/indices; the common
+    # single-key form maps to get_json_object with a '$.key' path.
+    ("JSONHas", "(j STRING, k STRING)", "BOOLEAN",
+     "get_json_object(j, concat('$.', k)) IS NOT NULL"),
+    ("JSONExtractString", "(j STRING, k STRING)", "STRING",
+     "get_json_object(j, concat('$.', k))"),
+    ("JSONExtractInt", "(j STRING, k STRING)", "BIGINT",
+     "cast(get_json_object(j, concat('$.', k)) as bigint)"),
+    ("JSONExtractFloat", "(j STRING, k STRING)", "DOUBLE",
+     "cast(get_json_object(j, concat('$.', k)) as double)"),
+    ("JSONExtractBool", "(j STRING, k STRING)", "BOOLEAN",
+     "cast(get_json_object(j, concat('$.', k)) as boolean)"),
+    # JSONLength of an array at key (ClickHouse returns element count)
+    ("JSONLength", "(j STRING, k STRING)", "BIGINT",
+     "json_array_length(get_json_object(j, concat('$.', k)))"),
     # geohashEncode at fixed precision 6 (ClickHouse's is 1..12; six
     # chars ≈ 1.2 km cells — the bucketing/skipping use case). The body
     # is geohash6_sql(), shared verbatim with the DuckDB oracle.

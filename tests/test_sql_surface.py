@@ -334,3 +334,18 @@ class TestConditionalFamily:
     def test_lambda_transform_not_shadowed(self, spark):
         # the reason we register the ClickHouse alias, not 'transform'
         assert _one(spark, "transform(array(1,2,3), x -> x * 2)") == [2, 4, 6]
+
+
+class TestJsonFamily:
+    def test_typed_extraction(self, spark):
+        j = '{"a": 7, "b": "x", "flag": true, "arr": [1, 2, 3]}'
+        assert _one(spark, f"JSONExtractInt('{j}', 'a')") == 7
+        assert _one(spark, f"JSONExtractString('{j}', 'b')") == "x"
+        assert _one(spark, f"JSONExtractBool('{j}', 'flag')") is True
+        assert _one(spark, f"JSONExtractFloat('{j}', 'a')") == 7.0
+        assert _one(spark, f"JSONLength('{j}', 'arr')") == 3
+        assert _one(spark, f"JSONHas('{j}', 'a')") is True
+        assert _one(spark, f"JSONHas('{j}', 'zz')") is False
+
+    def test_missing_key_is_null(self, spark):
+        assert _one(spark, "JSONExtractInt('{}', 'a')") is None
