@@ -79,6 +79,19 @@ KNOWN = {
     "q138_association_family": "same contingency-cell shape as "
     "q133_cramers_v: one data-volume cell-count agg, then margin "
     "windows and the final agg on one row per cell",
+    "q147_aggregate_odds": "three aggregates over genuinely different "
+    "keys (event_type / +x / +user_id) must each shuffle once; the "
+    "joins after them are per-event_type rows (broadcast-size)",
+    "q152_string_similarity": "the SMJ is the per-doc common-count "
+    "join-back on doc_id — both sides are corpus-cardinality, so a "
+    "shuffled join IS the 100 TB plan; the probe-gram side broadcasts",
+    "q156_group_array_misc": "distinct-pairs agg, sample rank window, "
+    "slot agg, and the final per-group join are four different keys by "
+    "design; all post-distinct exchanges carry rows bounded by the "
+    "value domain, not the fact table",
+    "q158_volume_shipping": "the SMJ is TPC-H Q7's lineitem-orders "
+    "join — both sides fact-scale after dim pruning, the textbook "
+    "shuffle join; supplier/customer sides broadcast",
     "q10_lpm_classify": "appears only at sf0.1+: the distinct-IP "
     "join-back deliberately carries no broadcast hint (lpm_lookup "
     "docstring) — AQE sizes it at runtime, and beyond the threshold a "
