@@ -7013,6 +7013,135 @@ def q160(spark, sf_dir):
     )
 
 
+@_register(
+    "q161_vector_distances",
+    """
+    WITH p AS (
+      SELECT list_transform(range(0, 64), i -> (i * 37) % 100 - 50) AS pv
+    ),
+    e AS (
+      SELECT label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS ev
+      FROM embeddings
+    ),
+    d AS (
+      SELECT label,
+             list_sum(list_transform(range(1, 65),
+               i -> ev[CAST(i AS INTEGER)] * pv[CAST(i AS INTEGER)]))
+               AS dot,
+             list_sum(list_transform(range(1, 65),
+               i -> (ev[CAST(i AS INTEGER)] - pv[CAST(i AS INTEGER)])
+                    * (ev[CAST(i AS INTEGER)] - pv[CAST(i AS INTEGER)])))
+               AS l2sq,
+             list_sum(list_transform(ev, x -> x * x)) AS na,
+             list_sum(list_transform(pv, x -> x * x)) AS nb
+      FROM e, p
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dot) AS BIGINT) AS s_dot,
+           CAST(SUM(l2sq) AS BIGINT) AS s_l2sq,
+           CAST(SUM(CASE WHEN na = 0 OR nb = 0 THEN 0
+                ELSE CAST(floor((CAST(dot AS DOUBLE) * 10000.0)
+                     / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))))
+                     AS BIGINT) END) AS BIGINT) AS s_cos_bp
+    FROM d GROUP BY label ORDER BY label
+    """,
+    "ClickHouse vector-distance function surface — dotProduct, "
+    "L2SquaredDistance, cosineDistance — EXACT via integer-scaled "
+    "vectors (floor(x*1e6): float32 widening + one multiply are IEEE-"
+    "exact) folded JVM-side with zip_with/aggregate; the only float "
+    "steps are two correctly-rounded sqrts written identically in the "
+    "oracle — operators/similarity.py::dot_product_int/l2_squared_int/"
+    "cosine_similarity_bp",
+)
+def q161(spark, sf_dir):
+    from kubenetmon_spark.operators.similarity import (
+        cosine_similarity_bp,
+        dot_product_int,
+        int_scaled_vec,
+        l2_squared_int,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: ((i * 37) % 100 - 50).cast("bigint"),
+    )
+    e = emb.select(
+        "label",
+        int_scaled_vec(F.col("embedding")).alias("ev"),
+        probe.alias("pv"),
+    )
+    d = e.select(
+        "label",
+        dot_product_int(F.col("ev"), F.col("pv")).alias("dot"),
+        l2_squared_int(F.col("ev"), F.col("pv")).alias("l2sq"),
+        cosine_similarity_bp(F.col("ev"), F.col("pv")).alias("cos_bp"),
+    )
+    return (
+        d.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dot").alias("s_dot"),
+            F.sum("l2sq").alias("s_l2sq"),
+            F.sum("cos_bp").alias("s_cos_bp"),
+        )
+        .orderBy("label")
+    )
+
+
+@_register(
+    "q162_multiset_ops",
+    """
+    WITH a AS (SELECT user_id % 50 AS v FROM events
+               WHERE event_type = 'click'),
+    b AS (SELECT user_id % 50 AS v FROM events
+          WHERE event_type = 'view'),
+    i AS (SELECT v FROM a INTERSECT ALL SELECT v FROM b),
+    x AS (SELECT v FROM a EXCEPT ALL SELECT v FROM b)
+    SELECT 'intersect_all' AS op,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(v), 0) AS BIGINT) AS s,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS nd
+    FROM i
+    UNION ALL
+    SELECT 'except_all' AS op,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(v), 0) AS BIGINT) AS s,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS nd
+    FROM x
+    ORDER BY op
+    """,
+    "multiset set operations — INTERSECT ALL keeps min(multiplicity), "
+    "EXCEPT ALL subtracts multiplicities (native intersectAll/exceptAll; "
+    "Spark plans both as a count-compare aggregation + generate, no "
+    "sort) — completes q33's DISTINCT-only set-op row",
+)
+def q162(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        (F.col("user_id") % 50).alias("v")
+    )
+    b = ev.filter(F.col("event_type") == "view").select(
+        (F.col("user_id") % 50).alias("v")
+    )
+
+    def summarize(df, op):
+        return df.agg(
+            F.lit(op).alias("op"),
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("v"), F.lit(0)).alias("s"),
+            F.count_distinct(F.col("v")).alias("nd"),
+        ).select("op", "n", "s", "nd")
+
+    return summarize(a.intersectAll(b), "intersect_all").unionByName(
+        summarize(a.exceptAll(b), "except_all")
+    ).orderBy("op")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -358,3 +358,53 @@ def quantized_topk(
         .orderBy(F.desc("iscore"), F.asc(id_col))
         .limit(k)
     )
+
+
+def int_scaled_vec(vec: Column, scale: int = 1_000_000) -> Column:
+    """float32 embedding -> integer-scaled BIGINT vector:
+    ``floor(double(x) * scale)``. The float32->double widening and the
+    single multiply are IEEE-exact, so every engine lands on the same
+    integers — the foundation of the exact distance surface below.
+    """
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * scale).cast("bigint")
+    )
+
+
+def dot_product_int(a: Column, b: Column) -> Column:
+    """ClickHouse ``dotProduct`` over integer-scaled vectors — exact."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_squared_int(a: Column, b: Column) -> Column:
+    """ClickHouse ``L2SquaredDistance`` over integer-scaled vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_similarity_bp(a: Column, b: Column) -> Column:
+    """ClickHouse ``cosineDistance`` complement in basis points:
+    ``floor(dot * 10000 / (sqrt(|a|²) * sqrt(|b|²)))``.
+
+    The integer dot/norms are exact; the three float steps (two
+    correctly-rounded sqrts, one multiply, one divide) are IEEE-
+    deterministic, so the floored bp value is engine-portable as long
+    as the oracle writes the SAME expression shape. Zero-norm inputs
+    yield 0.
+    """
+    dot = dot_product_int(a, b)
+    na = dot_product_int(a, a)
+    nb = dot_product_int(b, b)
+    return F.when((na == 0) | (nb == 0), F.lit(0)).otherwise(
+        F.floor(
+            (dot.cast("double") * 10000.0)
+            / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+        )
+    ).cast("bigint")

@@ -331,3 +331,85 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> list[str]:
         if part.exists():
             shutil.rmtree(part)
     return sorted(f"date={d}" for d in affected)
+
+
+def deduplicate(
+    spark: SparkSession, path: str, by: list[str] | None = None
+) -> list[str]:
+    """ClickHouse ``OPTIMIZE TABLE ... DEDUPLICATE [BY col, ...]``
+    analogue: drop duplicate rows at rest, partition-scoped.
+
+    ``by=None`` removes full-row duplicates (ClickHouse's default);
+    with ``by`` the surviving row per key is chosen DETERMINISTICALLY —
+    the min over the canonical string form of the remaining columns
+    (ClickHouse keeps an arbitrary row; an engine whose gate is
+    value-hash equality wants reproducible picks).
+
+    Deduplication is PER PARTITION (``date`` joins the key implicitly) —
+    ClickHouse merges never cross partition boundaries either, and it
+    keeps the rewrite partition-local. Only partitions that actually
+    contain duplicates are rewritten (same touch-minimal contract as
+    ``mutate``/``delete_where``). Returns the rewritten partition names.
+    """
+    df = spark.read.parquet(path)
+    key = list(by) if by is not None else [c for c in df.columns]
+    if "date" not in key:
+        key = ["date"] + key
+
+    # A map column can never be a Spark group/distinct key — substitute
+    # its canonical sorted-JSON form (same trick as the summing
+    # aggregation's flags key, functions/flags.py).
+    types = dict(df.dtypes)
+
+    def key_expr(c: str):
+        if types[c].startswith("map"):
+            return F.to_json(
+                F.map_from_entries(F.array_sort(F.map_entries(F.col(c))))
+            ).alias(f"_k_{c}")
+        return F.col(c)
+
+    key_exprs = [key_expr(c) for c in key]
+    key_names = [
+        f"_k_{c}" if types[c].startswith("map") else c for c in key
+    ]
+    dup_dates = [
+        r.date
+        for r in df.select(*key_exprs)
+        .groupBy(*key_names)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("date")
+        .distinct()
+        .collect()
+    ]
+    if not dup_dates:
+        return []
+    from pyspark.sql.window import Window
+
+    scoped = df.filter(F.col("date").isin(dup_dates))
+    rest = [c for c in df.columns if c not in key]
+    tiebreak = (
+        F.concat_ws("\x01", *[F.col(c).cast("string") for c in rest])
+        if rest
+        else F.lit(1)
+    )
+    aug = scoped
+    for c in key:
+        if types[c].startswith("map"):
+            aug = aug.withColumn(f"_k_{c}", key_expr(c))
+    w = Window.partitionBy(*key_names).orderBy(tiebreak)
+    deduped = (
+        aug.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", *[n for n in key_names if n.startswith("_k_")])
+    )
+    deduped = deduped.localCheckpoint(eager=True)
+    sort_key = [c for c in PRIMARY_KEY_PREFIX if c in deduped.columns]
+    (
+        deduped.repartition(F.col("date"))
+        .sortWithinPartitions(*sort_key)
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(path)
+    )
+    return sorted(f"date={d}" for d in dup_dates)
