@@ -7142,6 +7142,143 @@ def q162(spark, sf_dir):
     ).orderBy("op")
 
 
+@_register(
+    "q163_ignore_nulls_fill",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             END AS v
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, ts, event_id, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS ff,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS fv
+      FROM e
+    )
+    SELECT user_id,
+           md5(string_agg(COALESCE(CAST(ff AS VARCHAR), '-'), ','
+               ORDER BY ts, event_id)) AS fill_digest,
+           CAST(SUM(CASE WHEN v IS NULL AND ff IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(MIN(fv) AS BIGINT) AS first_obs
+    FROM f GROUP BY user_id ORDER BY user_id
+    """,
+    "IGNORE NULLS window family — last_value IGNORE NULLS is the "
+    "forward-fill (last-observation-carried-forward) idiom over sparse "
+    "measurements; first_value IGNORE NULLS gives the first real "
+    "observation — one shuffle+sort per user, both frames share it; "
+    "digested per user for exact comparison",
+)
+def q163(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"),
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = ev.withColumn(
+        "ff", F.last("v", ignorenulls=True).over(w)
+    ).withColumn("fv", F.first("v", ignorenulls=True).over(w))
+    return (
+        f.groupBy("user_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "ff")
+                            )
+                        ),
+                        lambda s: F.coalesce(
+                            s["ff"].cast("string"), F.lit("-")
+                        ),
+                    ),
+                )
+            ).alias("fill_digest"),
+            F.sum(
+                (F.col("v").isNull() & F.col("ff").isNotNull()).cast("int")
+            ).alias("n_filled"),
+            F.min("fv").alias("first_obs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "q164_map_functions",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           '{' || string_agg('"' || event_type || '":' || cnt, ','
+                             ORDER BY event_type) || '}' AS m_json,
+           COALESCE('{' || string_agg('"' || event_type || '":' || cnt,
+                    ',' ORDER BY event_type)
+                    FILTER (WHERE cnt >= 3) || '}', '{}') AS filtered_json,
+           '{' || string_agg('"' || event_type || '":' || cnt * 2, ','
+                             ORDER BY event_type) || '}' AS doubled_json,
+           CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1
+             AS BOOLEAN) AS has_click,
+           CAST(SUM(cnt) AS BIGINT) AS total
+    FROM c GROUP BY user_id ORDER BY user_id
+    """,
+    "ClickHouse map function family — mapFilter / mapApply / "
+    "mapContains / map value aggregation — via native map_filter, "
+    "transform_values, map_keys, aggregate over a canonically-built "
+    "map (sorted entries, so to_json is deterministic — the same "
+    "canonicalization the flags group key uses); the oracle builds the "
+    "identical JSON strings from the flat counts",
+)
+def q164(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = c.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    filtered = F.map_filter(F.col("m"), lambda k, v: v >= 3)
+    doubled = F.transform_values(F.col("m"), lambda k, v: v * 2)
+    total = F.aggregate(
+        F.map_values(F.col("m")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return m.select(
+        "user_id",
+        F.to_json(F.col("m")).alias("m_json"),
+        F.to_json(filtered).alias("filtered_json"),
+        F.to_json(doubled).alias("doubled_json"),
+        F.array_contains(F.map_keys(F.col("m")), "click").alias(
+            "has_click"
+        ),
+        total.alias("total"),
+    ).orderBy("user_id")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
