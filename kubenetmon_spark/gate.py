@@ -7279,6 +7279,82 @@ def q164(spark, sf_dir):
     ).orderBy("user_id")
 
 
+@_register(
+    "q165_knn_join",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS ev
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, ev AS cv FROM e WHERE vec_id < 16),
+    ascore AS (
+      SELECT e.vec_id, e.ev, cent.cid,
+             list_sum(list_transform(range(1, 65),
+               i -> ev[CAST(i AS INTEGER)] * cv[CAST(i AS INTEGER)])) AS s
+      FROM e, cent
+    ),
+    assigned AS (
+      SELECT vec_id, ev, cid FROM (
+        SELECT vec_id, ev, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cid) AS rn
+        FROM ascore
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, ev AS qv FROM e WHERE vec_id % 10 = 0),
+    pscore AS (
+      SELECT q.qid, q.qv, cent.cid,
+             list_sum(list_transform(range(1, 65),
+               i -> qv[CAST(i AS INTEGER)] * cv[CAST(i AS INTEGER)])) AS s
+      FROM q, cent
+    ),
+    probes AS (
+      SELECT qid, qv, cid FROM (
+        SELECT qid, qv, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY s DESC, cid) AS rn
+        FROM pscore
+      ) WHERE rn <= 4
+    ),
+    cands AS (
+      SELECT p.qid, a.vec_id AS nbr_id,
+             list_sum(list_transform(range(1, 65),
+               i -> qv[CAST(i AS INTEGER)] * ev[CAST(i AS INTEGER)])) AS score
+      FROM probes p JOIN assigned a USING (cid)
+      WHERE a.vec_id != p.qid
+    )
+    SELECT qid AS query_id, nbr_id, CAST(score AS BIGINT) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT qid, nbr_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, nbr_id) AS rank
+      FROM cands
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    "batch kNN JOIN (the all-pairs ANN form): deterministic flat IVF — "
+    "corpus assigned to its argmax centroid and shuffled ONCE on the "
+    "centroid id (the partition layout you'd persist at 100 TB), "
+    "queries explode to their n_probe best centroids, candidates are "
+    "one equi-join per inverted list, exact integer dot products, "
+    "per-query top-k window — operators/similarity.py::knn_join; the "
+    "oracle replays the identical pipeline in SQL",
+)
+def q165(spark, sf_dir):
+    from kubenetmon_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_join(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return out.orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

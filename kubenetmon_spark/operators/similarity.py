@@ -408,3 +408,95 @@ def cosine_similarity_bp(a: Column, b: Column) -> Column:
             / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
         )
     ).cast("bigint")
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batch kNN JOIN: for EVERY query row, the top-k corpus neighbors
+    by inner product — the all-pairs form of ``ivf_topk``.
+
+    Exact-integer scoring: both sides are integer-scaled
+    (``int_scaled_vec``), so every dot product is a BIGINT and the
+    result is engine-reproducible (ties broken by neighbor id).
+
+    IVF structure (deterministic flat init: first ``n_centroids``
+    corpus ids are the centroids, assignment = max inner product with
+    ties to the lowest centroid):
+
+    - corpus assignment: one broadcast join + per-row argmax, then the
+      corpus shuffles ONCE on its centroid id — at 100 TB this is the
+      partition layout you persist, making later joins co-located;
+    - each query explodes to its ``n_probe`` best centroids (broadcast
+      centroids, rank per query — queries never see the corpus yet);
+    - candidates = probe x inverted-list equi-join on the centroid id
+      (the ONLY corpus-sized shuffle consumer; skewed hot centroids are
+      AQE-split), scored JVM-side with a zip_with fold;
+    - per-query top-k = one row_number window on (query, -score).
+
+    Recall/cost dial: n_probe/n_centroids of the corpus is scored per
+    query instead of all of it.
+    """
+    from pyspark.sql.window import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"), int_scaled_vec(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), int_scaled_vec(F.col(vec_col)).alias("qv")
+    )
+    cents = F.broadcast(
+        c.filter(F.col("nbr_id") < n_centroids).select(
+            F.col("nbr_id").alias("cid"), F.col("cv").alias("centv")
+        )
+    )
+    cscore = dot_product_int(F.col("cv"), F.col("centv"))
+    assigned = (
+        c.join(cents)
+        .select("nbr_id", "cv", "cid", cscore.alias("_s"))
+        .groupBy("nbr_id", "cv")
+        .agg(
+            F.max_by(
+                F.col("cid"), F.struct(F.col("_s"), -F.col("cid"))
+            ).alias("cid")
+        )
+    )
+    qscore = dot_product_int(F.col("qv"), F.col("centv"))
+    wprobe = Window.partitionBy("qid").orderBy(
+        F.desc("_qs"), F.col("cid")
+    )
+    probes = (
+        q.join(cents)
+        .select("qid", "qv", "cid", qscore.alias("_qs"))
+        .withColumn("_rn", F.row_number().over(wprobe))
+        .filter(F.col("_rn") <= n_probe)
+        .select("qid", "qv", "cid")
+    )
+    cands = probes.join(assigned, "cid").filter(
+        F.col("nbr_id") != F.col("qid")
+    )
+    scored = cands.select(
+        "qid",
+        "nbr_id",
+        dot_product_int(F.col("qv"), F.col("cv")).alias("score"),
+    )
+    wtop = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.col("nbr_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(wtop))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            "nbr_id",
+            "score",
+            F.col("_rn").alias("rank"),
+        )
+    )

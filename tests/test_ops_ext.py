@@ -384,3 +384,91 @@ class TestNgramDistance:
             assert got[i] == self._ref_bp(s, probe), (i, s, got[i])
         assert got[0] == 0
         assert got[1] == 10000
+
+
+class TestKnnJoin:
+    def _mk(self, spark, n=60, dim=8, seed=7):
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+        ]
+        from pyspark.sql.types import (
+            ArrayType,
+            FloatType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(FloatType())),
+            ]
+        )
+        return spark.createDataFrame(rows, schema), rows
+
+    @staticmethod
+    def _scaled(vec):
+        import math
+
+        return [math.floor(float(np32(x)) * 1_000_000) for x in vec]
+
+    def test_full_probe_equals_brute_force(self, spark):
+        """With n_probe == n_centroids every list is scanned, so the
+        result must equal exact brute-force top-k."""
+        from kubenetmon_spark.operators.similarity import knn_join
+
+        df, rows = self._mk(spark)
+        queries = df.filter("vec_id % 11 = 0").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        got = knn_join(
+            df, queries, k=3, n_centroids=4, n_probe=4
+        ).collect()
+        scaled = {i: self._scaled(v) for i, v in rows}
+
+        def dot(a, b):
+            return sum(x * y for x, y in zip(a, b))
+
+        for qid in [r.query_id for r in queries.collect()]:
+            want = sorted(
+                (
+                    (-dot(scaled[qid], scaled[i]), i)
+                    for i in scaled
+                    if i != qid
+                ),
+            )[:3]
+            got_q = sorted(
+                (r.rank, r.nbr_id, r.score)
+                for r in got
+                if r.query_id == qid
+            )
+            assert [g[1] for g in got_q] == [w[1] for w in want], qid
+            assert [g[2] for g in got_q] == [-w[0] for w in want], qid
+
+    def test_probe_subset_is_subset_of_lists(self, spark):
+        from kubenetmon_spark.operators.similarity import knn_join
+
+        df, _ = self._mk(spark)
+        queries = df.filter("vec_id % 7 = 0").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        got = knn_join(df, queries, k=5, n_centroids=8, n_probe=2)
+        per_q = (
+            got.groupBy("query_id")
+            .count()
+            .collect()
+        )
+        assert all(r["count"] <= 5 for r in per_q)
+        assert got.filter("query_id = nbr_id").count() == 0
+
+
+def np32(x):
+    """round-trip a python float through float32 (what the DataFrame
+    schema stores) so the reference scales the same value Spark sees."""
+    import struct
+
+    return struct.unpack("f", struct.pack("f", x))[0]
