@@ -7355,6 +7355,120 @@ def q165(spark, sf_dir):
     return out.orderBy("query_id", "rank")
 
 
+@_register(
+    "q166_paste_join",
+    """
+    WITH a AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS click_c,
+             event_id AS click_id
+      FROM events WHERE event_type = 'click'
+      ORDER BY click_c DESC, click_id LIMIT 100
+    ),
+    b AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS view_c,
+             event_id AS view_id
+      FROM events WHERE event_type = 'view'
+      ORDER BY view_c DESC, view_id LIMIT 100
+    ),
+    ia AS (SELECT click_c, click_id,
+                  ROW_NUMBER() OVER (ORDER BY click_c DESC, click_id) - 1
+                    AS pos FROM a),
+    ib AS (SELECT view_c, view_id,
+                  ROW_NUMBER() OVER (ORDER BY view_c DESC, view_id) - 1
+                    AS pos FROM b)
+    SELECT CAST(ia.pos AS BIGINT) AS pos, click_c, view_c,
+           CAST(click_c - view_c AS BIGINT) AS diff
+    FROM ia JOIN ib ON ia.pos = ib.pos
+    ORDER BY pos
+    """,
+    "ClickHouse PASTE JOIN (positional zip) — the Q-Q-plot idiom: the "
+    "ranked click and view distributions joined rank-for-rank. Global "
+    "indices come from zipWithIndex over a distributed sort (one "
+    "per-partition offset pass), NEVER a partitionless row_number — "
+    "operators/joins.py::paste_join",
+)
+def q166(spark, sf_dir):
+    from kubenetmon_spark.operators.joins import paste_join
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .select(cents.alias("click_c"), F.col("event_id").alias("click_id"))
+        .orderBy(F.desc("click_c"), "click_id")
+        .limit(100)
+    )
+    b = (
+        ev.filter(F.col("event_type") == "view")
+        .select(cents.alias("view_c"), F.col("event_id").alias("view_id"))
+        .orderBy(F.desc("view_c"), "view_id")
+        .limit(100)
+    )
+    # pack (cents DESC, id ASC) into one ascending sort key (ids < 1e5)
+    z = paste_join(
+        a.withColumn("_o", -F.col("click_c") * 100000 + F.col("click_id")),
+        b.withColumn("_p", -F.col("view_c") * 100000 + F.col("view_id")),
+        ["_o"],
+        ["_p"],
+    )
+    return z.select(
+        "pos", "click_c", "view_c",
+        (F.col("click_c") - F.col("view_c")).alias("diff"),
+    ).orderBy("pos")
+
+
+@_register(
+    "q167_with_fill_numeric",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000
+               AS b,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT event_type, CAST(g.b AS BIGINT) AS b
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT UNNEST(generate_series(0, 9)) AS b) g
+    )
+    SELECT grid.event_type AS event_type, grid.b AS b,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n
+    FROM grid LEFT JOIN c
+      ON grid.event_type = c.event_type AND grid.b = c.b
+    ORDER BY grid.event_type, grid.b
+    """,
+    "ORDER BY ... WITH FILL STEP over a NUMERIC axis (q39 covers the "
+    "time axis): the bucket grid is sequence()+explode per group, "
+    "missing buckets fill with 0 via a left join — grid side is "
+    "|groups| x |steps| rows, never fact-scale",
+)
+def q167(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type",
+        F.expr(
+            "cast(cast(value as decimal(18,2)) * 100 as bigint) div 5000"
+        ).alias("b"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("b"),
+        )
+        .withColumn("b", F.col("b").cast("bigint"))
+    )
+    return (
+        grid.join(c, ["event_type", "b"], "left")
+        .select(
+            "event_type", "b", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
+        .orderBy("event_type", "b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -45,3 +45,42 @@ def any_left_join(
     if broadcast_right:
         deduped = F.broadcast(deduped)
     return left.join(deduped, on=on, how="left")
+
+
+def paste_join(
+    left: DataFrame,
+    right: DataFrame,
+    order_left: list[str],
+    order_right: list[str],
+    pos_col: str = "pos",
+) -> DataFrame:
+    """ClickHouse ``PASTE JOIN``: zip two relations row-by-row after
+    ordering each side (row N joins row N; result length = the shorter
+    side). Column names must be disjoint.
+
+    Positional joins need a GLOBAL row index. ``row_number()`` without
+    a partition key would collapse to one partition — the anti-pattern —
+    so each side is sorted (distributed range sort) and indexed with
+    ``zipWithIndex`` (one pass computing per-partition offsets). This is
+    one of the few operations where dropping to the RDD layer is the
+    scale-correct move; the join back is a plain equi-join on the index.
+
+    Reference: ClickHouse docs/sql-reference/statements/select/join
+    (PASTE JOIN ordering caveat applies there too: positional semantics
+    are only meaningful with an explicit order, which this API demands).
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"paste_join requires disjoint columns: {overlap}")
+
+    from pyspark.sql.types import LongType, StructField
+
+    def index(df: DataFrame, order: list[str]) -> DataFrame:
+        sdf = df.orderBy(*order)
+        schema = sdf.schema.add(StructField(pos_col, LongType(), False))
+        rdd = sdf.rdd.zipWithIndex().map(lambda t: tuple(t[0]) + (t[1],))
+        return df.sparkSession.createDataFrame(rdd, schema)
+
+    li = index(left, order_left)
+    ri = index(right, order_right)
+    return li.join(ri, pos_col, "inner")

@@ -248,6 +248,18 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
         " div shiftleft(CAST(1 AS BIGINT),"
         "   32 - cast(split_part(cidr, '/', 2) as int))",
     ),
+    # --- remaining date/string aliases ---
+    # generic bucket: toStartOfInterval(t, INTERVAL n SECOND) — the
+    # seconds form covers minute/hour/day buckets (pass 60/3600/86400)
+    ("toStartOfInterval", "(t TIMESTAMP, secs BIGINT)", "TIMESTAMP",
+     "timestamp_seconds(unix_timestamp(t) div secs * secs)"),
+    ("toDayOfYear", "(d DATE)", "BIGINT", "dayofyear(d)"),
+    ("toISOWeek", "(d DATE)", "BIGINT", "weekofyear(d)"),
+    ("leftPad", "(s STRING, n INT, p STRING)", "STRING", "lpad(s, n, p)"),
+    ("rightPad", "(s STRING, n INT, p STRING)", "STRING", "rpad(s, n, p)"),
+    ("trimLeft", "(s STRING)", "STRING", "ltrim(s)"),
+    ("trimRight", "(s STRING)", "STRING", "rtrim(s)"),
+    ("trimBoth", "(s STRING)", "STRING", "trim(s)"),
     # --- conditional family (docs/sql-reference/functions/conditional-functions) ---
     # ClickHouse transform(x, from, to, default). Registered under its
     # ClickHouse ALIAS caseWithExpression: the name 'transform' would

@@ -55,3 +55,37 @@ def test_empty_right_keeps_left(spark):
     right = spark.createDataFrame([], "k long, val string, ord long")
     out = any_left_join(left, right, ["k"], F.col("ord")).collect()
     assert len(out) == 2 and all(r.val is None for r in out)
+
+
+class TestPasteJoin:
+    def test_zips_rows_by_rank(self, spark):
+        from kubenetmon_spark.operators.joins import paste_join
+
+        a = spark.createDataFrame(
+            [(x,) for x in [30, 10, 20, 40]], ["l"]
+        )
+        b = spark.createDataFrame(
+            [(x,) for x in ["c", "a", "d", "b"]], ["r"]
+        )
+        got = sorted(
+            (r.pos, r.l, r.r)
+            for r in paste_join(a, b, ["l"], ["r"]).collect()
+        )
+        assert got == [(0, 10, "a"), (1, 20, "b"), (2, 30, "c"),
+                       (3, 40, "d")]
+
+    def test_shorter_side_truncates(self, spark):
+        from kubenetmon_spark.operators.joins import paste_join
+
+        a = spark.createDataFrame([(1,), (2,), (3,)], ["l"])
+        b = spark.createDataFrame([(9,), (8,)], ["r"])
+        assert paste_join(a, b, ["l"], ["r"]).count() == 2
+
+    def test_overlapping_columns_rejected(self, spark):
+        import pytest
+
+        from kubenetmon_spark.operators.joins import paste_join
+
+        a = spark.createDataFrame([(1,)], ["x"])
+        with pytest.raises(ValueError):
+            paste_join(a, a, ["x"], ["x"])

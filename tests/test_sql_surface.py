@@ -349,3 +349,26 @@ class TestJsonFamily:
 
     def test_missing_key_is_null(self, spark):
         assert _one(spark, "JSONExtractInt('{}', 'a')") is None
+
+
+class TestDateStringAliases:
+    def test_to_start_of_interval(self, spark):
+        got = _one(
+            spark,
+            "toStartOfInterval(TIMESTAMP '2024-03-05 13:47:29', 900)",
+        )
+        assert str(got) == "2024-03-05 13:45:00"
+        got = _one(
+            spark,
+            "toStartOfInterval(TIMESTAMP '2024-03-05 13:47:29', 86400)",
+        )
+        assert str(got) == "2024-03-05 00:00:00"
+
+    def test_day_week_pads_trims(self, spark):
+        assert _one(spark, "toDayOfYear(DATE '2024-02-01')") == 32
+        assert _one(spark, "toISOWeek(DATE '2024-01-04')") == 1
+        assert _one(spark, "leftPad('7', 3, '0')") == "007"
+        assert _one(spark, "rightPad('7', 3, 'x')") == "7xx"
+        assert _one(spark, "trimLeft('  a ')") == "a "
+        assert _one(spark, "trimRight('  a ')") == "  a"
+        assert _one(spark, "trimBoth('  a ')") == "a"
