@@ -413,3 +413,41 @@ def deduplicate(
         .parquet(path)
     )
     return sorted(f"date={d}" for d in dup_dates)
+
+
+def sample_files(
+    spark: SparkSession,
+    path: str,
+    fraction_pct: int,
+    salt: str = "s0",
+) -> DataFrame:
+    """ClickHouse ``SAMPLE n`` in its cheap form — file-level (SYSTEM)
+    sampling: read only a deterministic ~fraction of the table's parquet
+    FILES, touching no excluded bytes (row-level hash sampling — q42 —
+    still scans everything).
+
+    The pick is md5 over the file's path relative to the table root
+    (stable across moves of the root, deterministic across engines and
+    runs): keep file iff ``int(md5[:8], 16) % 100 < fraction_pct``.
+    Partition columns are recovered with ``basePath``.
+
+    Statistical caveat (same as ClickHouse SYSTEM sampling): files are
+    the sampling unit, so estimates are unbiased only across files —
+    fine for profiling/ad-hoc scans, not for per-key exactness.
+    """
+    import hashlib
+
+    root = Path(path)
+    files = sorted(
+        str(p.relative_to(root)) for p in root.rglob("*.parquet")
+    )
+    keep = [
+        str(root / f)
+        for f in files
+        if int(hashlib.md5(f"{f}|{salt}".encode()).hexdigest()[:8], 16)
+        % 100
+        < fraction_pct
+    ]
+    if not keep:
+        return spark.read.parquet(path).limit(0)
+    return spark.read.option("basePath", path).parquet(*keep)

@@ -281,3 +281,43 @@ class TestDeduplicate:
         deduplicate(spark, path2, by=key)
         s2 = read_flows(spark, path2).agg(F.sum("bytes")).collect()[0][0]
         assert s1 == s2
+
+
+class TestSampleFiles:
+    def test_deterministic_subset_with_partition_cols(self, spark, fact, tmp_path):
+        from kubenetmon_spark.sink import sample_files, table_stats
+
+        import hashlib
+        from pathlib import Path
+
+        path = str(tmp_path / "flows_sample")
+        for _ in range(6):  # six append batches -> six files
+            write_flows(fact, path)
+        n_files = sum(s["n_files"] for s in table_stats(path))
+        assert n_files == 6
+
+        # expected pick set straight from the documented md5 rule
+        rel = sorted(
+            str(p.relative_to(path)) for p in Path(path).rglob("*.parquet")
+        )
+        expected_kept = [
+            f
+            for f in rel
+            if int(hashlib.md5(f"{f}|s0".encode()).hexdigest()[:8], 16) % 100
+            < 50
+        ]
+        per_file_rows = fact.count()
+
+        s50a = sample_files(spark, path, 50)
+        s50b = sample_files(spark, path, 50)
+        assert s50a.count() == s50b.count()  # deterministic
+        assert s50a.count() == len(expected_kept) * per_file_rows
+        assert "date" in s50a.columns  # basePath recovered partitions
+
+        full = read_flows(spark, path).count()
+        assert sample_files(spark, path, 100).count() == full
+        assert sample_files(spark, path, 0).count() == 0
+        # 0% keeps the schema
+        assert set(sample_files(spark, path, 0).columns) == set(
+            read_flows(spark, path).columns
+        )
