@@ -7469,6 +7469,66 @@ def q167(spark, sf_dir):
     )
 
 
+_PHRASE = "merge batch"
+
+
+@_register(
+    "q168_phrase_search",
+    f"""
+    WITH d AS (SELECT doc_id, source, lower(trim(text)) AS t
+               FROM documents),
+    toks AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) - 1 AS pos,
+             regexp_split_to_array(t, '\\s+')[CAST(i AS INTEGER)] AS token
+      FROM d, UNNEST(generate_series(1,
+             len(regexp_split_to_array(t, '\\s+')))) u(i)
+    ),
+    offs AS (
+      SELECT 'merge' AS token, 0 AS j UNION ALL
+      SELECT 'batch' AS token, 1 AS j
+    ),
+    cand AS (
+      SELECT toks.doc_id, pos - j AS anchor, j
+      FROM toks JOIN offs USING (token) WHERE pos - j >= 0
+    ),
+    occ AS (
+      SELECT doc_id, anchor FROM cand
+      GROUP BY doc_id, anchor HAVING COUNT(DISTINCT j) = 2
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_occ FROM occ GROUP BY doc_id
+    )
+    SELECT source,
+           CAST(COUNT(per_doc.doc_id) AS BIGINT) AS n_docs_matched,
+           CAST(COALESCE(SUM(n_occ), 0) AS BIGINT) AS total_occurrences
+    FROM d LEFT JOIN per_doc USING (doc_id)
+    GROUP BY source ORDER BY source
+    """,
+    "exact phrase search over a positional index — the anchor trick: a "
+    "token matching phrase word j at position p votes for anchor p-j; "
+    "an anchor holding all k slots is one occurrence (repeated-word "
+    "safe). The token stream filters to the phrase's terms BEFORE any "
+    "shuffle — operators/retrieval.py::phrase_search",
+)
+def q168(spark, sf_dir):
+    from kubenetmon_spark.operators.retrieval import phrase_search
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    per_doc = phrase_search(d, _PHRASE)
+    return (
+        d.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.col("n_occurrences")).alias("n_docs_matched"),
+            F.coalesce(F.sum("n_occurrences"), F.lit(0)).alias(
+                "total_occurrences"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -156,3 +156,61 @@ def bm25_topk(
         .orderBy(F.desc("score"), id_col)
         .limit(k)
     )
+
+
+def tokenize_positions(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pos, token) triples (pos is 0-based) — the positional form
+    of ``tokenize`` that phrase queries need. Still a pure projection +
+    posexplode: no shuffle, no Python."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "token")
+    ).filter(F.col("token") != "")
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase occurrence counts per document — the positional-
+    index query a BM25/keyword layer can't answer.
+
+    Anchor trick (the classic positional-postings intersection, done as
+    one aggregation): a token matching phrase word j at position p
+    votes for anchor ``p - j``; an anchor with all k distinct j's
+    present is one phrase occurrence. Correct with REPEATED words in
+    the phrase (a token joins every offset it serves, and the
+    count-distinct per anchor still requires every slot).
+
+    Plan: tokenize (no shuffle) -> filter to the phrase's terms
+    IMMEDIATELY (the token stream never shuffles wholesale) ->
+    broadcast join the (term, offset) table -> one groupBy
+    (doc, anchor) -> one groupBy doc. Returns (id, n_occurrences > 0
+    docs only).
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    k = len(terms)
+    spark = df.sparkSession
+    offsets = spark.createDataFrame(
+        [(t, j) for j, t in enumerate(terms)], ["token", "j"]
+    )
+    toks = tokenize_positions(df, text_col, id_col).filter(
+        F.col("token").isin(list(set(terms)))
+    )
+    cand = toks.join(F.broadcast(offsets), "token").select(
+        F.col(id_col), (F.col("pos") - F.col("j")).alias("anchor"), "j"
+    ).filter(F.col("anchor") >= 0)
+    occ = (
+        cand.groupBy(id_col, "anchor")
+        .agg(F.count_distinct("j").alias("_slots"))
+        .filter(F.col("_slots") == k)
+    )
+    return occ.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )

@@ -110,3 +110,51 @@ def test_doc_lengths_total_matches_token_count(spark, docs):
     assert (
         doc_lengths(toks).agg(F.sum("dl")).collect()[0][0] == total
     )
+
+
+class TestPhraseSearch:
+    def test_counts_match_python_reference(self, spark):
+        import re
+
+        from kubenetmon_spark.operators.retrieval import phrase_search
+
+        docs = [
+            (0, "a b c a b c"),          # "a b c" twice, "b c" twice
+            (1, "a a a"),                # repeated-word phrase territory
+            (2, "x y z"),                # no match
+            (3, "a b"),                  # partial only for 3-word phrase
+            (4, "c a b c a b c"),        # overlapping region
+            (5, "A  B   c"),             # case/whitespace normalization
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+        def ref(text, phrase):
+            toks = re.split(r"\s+", text.strip().lower())
+            p = phrase.split()
+            n = sum(
+                1
+                for i in range(len(toks) - len(p) + 1)
+                if toks[i : i + len(p)] == p
+            )
+            return n
+
+        for phrase in ["a b c", "b c", "a a", "a"]:
+            got = {
+                r.doc_id: r.n_occurrences
+                for r in phrase_search(df, phrase).collect()
+            }
+            for i, text in docs:
+                want = ref(text, phrase)
+                assert got.get(i, 0) == want, (phrase, i)
+
+    def test_repeated_word_phrase(self, spark):
+        from kubenetmon_spark.operators.retrieval import phrase_search
+
+        df = spark.createDataFrame(
+            [(0, "a a a a"), (1, "a b a")], ["doc_id", "text"]
+        )
+        got = {
+            r.doc_id: r.n_occurrences
+            for r in phrase_search(df, "a a").collect()
+        }
+        assert got == {0: 3}  # overlapping matches count; doc 1 has none
