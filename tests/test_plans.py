@@ -256,3 +256,75 @@ def test_weighted_quantile_single_shuffle(spark):
     )
     plan = _plan(weighted_quantile_exact(ev, ["event_type"], "x", "w", [50]))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_gopher_rules_fuse_into_scan(spark):
+    """The Gopher filter must be one expression chain over the scan —
+    no exchange, no Python eval node, no join."""
+    from kubenetmon_spark.operators.text import with_gopher_rules
+
+    d = load_table(spark, SF_DIR, "documents")
+    plan = _plan(with_gopher_rules(d))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_knn_join_corpus_never_broadcasts(spark):
+    """Centroids broadcast; the corpus side must NOT — a broadcast
+    corpus would OOM at scale. Assignment + candidates shuffle on the
+    centroid id / window keys only."""
+    from kubenetmon_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    plan = _plan(knn_join(emb, queries, k=3, n_centroids=8, n_probe=2))
+    # the centroid table rides BroadcastExchange (its cross-join against
+    # corpus/queries is a BroadcastNestedLoopJoin with the TINY side
+    # built) — every broadcast subtree must be fed by the centroid scan,
+    # recognizable by its pushed vec_id < n_centroids filter
+    sections = plan.split("BroadcastExchange")[1:]
+    assert sections, "no broadcast at all — centroids should broadcast"
+    for s in sections:
+        assert "LessThan(vec_id,8)" in s, (
+            "a non-centroid relation got broadcast"
+        )
+    # the corpus reaches its inverted-list equi-join via a hash exchange,
+    # and nothing collapses to a single partition
+    assert "Exchange hashpartitioning" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_quantile_timing_aggregates_before_sort(spark):
+    """The bucket histogram hash-agg must appear BELOW the window sort:
+    the sort runs over bucket counts, not raw rows."""
+    from kubenetmon_spark.operators.agg import quantile_timing
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", F.col("user_id").alias("ms")
+    )
+    plan = _plan(quantile_timing(ev, ["event_type"], "ms", [50]))
+    agg_pos = plan.find("HashAggregate")
+    sort_pos = plan.find("Sort ")
+    assert agg_pos != -1 and sort_pos != -1
+    # executedPlan prints top-down: the LAST HashAggregate (bottom-most)
+    # must be the pre-sort histogram agg — verify a hash agg exists
+    # below the window's sort in the tree
+    below_sort = plan[sort_pos:]
+    assert "HashAggregate" in below_sort
+
+
+def test_phrase_search_filters_tokens_before_shuffle(spark):
+    """The phrase-term filter must sit under the first exchange — the
+    full token stream never shuffles."""
+    from kubenetmon_spark.operators.retrieval import phrase_search
+
+    d = load_table(spark, SF_DIR, "documents")
+    plan = _plan(phrase_search(d, "merge batch"))
+    first_exchange = plan.find("Exchange hashpartitioning")
+    assert first_exchange != -1
+    below = plan[first_exchange:]
+    assert "token" in below and ("Filter" in below or "Generate" in below)
+    assert "BroadcastHashJoin" in plan  # the (term, offset) table
