@@ -31,6 +31,7 @@ def asof_join(
     ts_col: str = "ts",
     right_cols: list[str] | None = None,
     asof_ts_col: str = "asof_ts",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, plus the payload columns of the
     most recent ``right`` row with ``right.ts_col <= left.ts_col`` and equal
@@ -38,6 +39,13 @@ def asof_join(
 
     ``right_cols`` defaults to every right column not in ``on`` + ts; the
     matched right timestamp is exposed as ``asof_ts_col``.
+
+    ``tolerance_seconds`` (pandas ``merge_asof(tolerance=...)`` /
+    ClickHouse dictGet-with-TTL shape): a match older than the bound is
+    DISCARDED — the row survives with null payload. Applied as a
+    post-window predicate, so the plan shape (one shuffle + one sort)
+    is unchanged; for a numeric ``ts_col`` the bound is in the column's
+    own units.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in set(on) | {ts_col}]
@@ -72,6 +80,19 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("_m", F.last("_payload", ignorenulls=True).over(w))
+    if tolerance_seconds is not None:
+        ts_type = dict(u.dtypes)[ts_col]
+        if ts_type.startswith("timestamp"):
+            gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+                F.col("_m._ts")
+            )
+            bound = int(tolerance_seconds) * 1_000_000
+        else:
+            gap = F.col(ts_col) - F.col("_m._ts")
+            bound = tolerance_seconds
+        matched = matched.withColumn(
+            "_m", F.when(gap <= bound, F.col("_m"))
+        )
     out = matched.filter(F.col("_side") == 1).select(
         *on,
         ts_col,

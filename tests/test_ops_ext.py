@@ -472,3 +472,45 @@ def np32(x):
     import struct
 
     return struct.unpack("f", struct.pack("f", x))[0]
+
+
+class TestAsofTolerance:
+    def test_stale_matches_dropped(self, spark):
+        from datetime import datetime, timedelta
+
+        from kubenetmon_spark.operators.asof import asof_join
+
+        t = lambda s: datetime(2024, 1, 1) + timedelta(seconds=s)  # noqa: E731
+        left = spark.createDataFrame(
+            [("k", t(10), "L1"), ("k", t(100), "L2"), ("k", t(5), "L0")],
+            ["k", "ts", "lbl"],
+        )
+        right = spark.createDataFrame(
+            [("k", t(8), 80), ("k", t(9), 90)], ["k", "ts", "quote"]
+        )
+        # no tolerance: L2 still matches the (stale) t=9 quote
+        loose = {
+            r.lbl: r.quote
+            for r in asof_join(left, right, ["k"]).collect()
+        }
+        assert loose == {"L0": None, "L1": 90, "L2": 90}
+        # 30s tolerance: the 91-second-old match for L2 is discarded
+        tight = {
+            r.lbl: (r.quote, r.asof_ts)
+            for r in asof_join(
+                left, right, ["k"], tolerance_seconds=30
+            ).collect()
+        }
+        assert tight["L1"][0] == 90
+        assert tight["L2"] == (None, None)
+        assert tight["L0"] == (None, None)
+
+    def test_numeric_ts_units(self, spark):
+        from kubenetmon_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([("k", 100, "L")], ["k", "ts", "lbl"])
+        right = spark.createDataFrame([("k", 60, 1)], ["k", "ts", "v"])
+        hit = asof_join(left, right, ["k"], tolerance_seconds=40).collect()[0]
+        assert hit.v == 1
+        miss = asof_join(left, right, ["k"], tolerance_seconds=39).collect()[0]
+        assert miss.v is None
