@@ -67,3 +67,21 @@ def export_csv(
     if codec:
         w = w.option("compression", codec)
     w.csv(path)
+
+
+def export_orc(
+    df: DataFrame,
+    path: str,
+    single_file: bool = False,
+    codec: str = "zstd",
+) -> None:
+    """Write ``df`` as ORC (ClickHouse ``FORMAT ORC``) — the columnar
+    interchange format besides parquet; nested types round-trip
+    natively, zstd by default like the at-rest parquet."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("compression", codec).orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """Read an ORC export (schema carried by the file, like parquet)."""
+    return spark.read.orc(path)

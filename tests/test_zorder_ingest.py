@@ -208,3 +208,27 @@ class TestExportRoundTrip:
         export_jsonl(self._df(spark), p, single_file=True)
         parts = glob.glob(f"{p}/part-*")
         assert len(parts) == 1
+
+
+class TestOrcRoundTrip:
+    def test_lossless_including_nested_types(self, spark, tmp_path):
+        from kubenetmon_spark.sources.export import export_orc, read_orc
+
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [
+                (1, "a", [1, 2], {"x": True}, None),
+                (2, None, [], {}, 2.5),
+                (3, "c\nnewline,comma", None, None, -0.0),
+            ],
+            "id bigint, s string, arr array<int>, m map<string,boolean>, d double",
+        )
+        p = str(tmp_path / "orc_out")
+        export_orc(df, p)
+        back = read_orc(spark, p)
+        assert back.schema == df.schema
+        key = lambda r: r[0]  # noqa: E731
+        a = sorted(df.collect(), key=key)
+        b = sorted(back.collect(), key=key)
+        assert a == b
