@@ -92,6 +92,18 @@ KNOWN = {
     "q158_volume_shipping": "the SMJ is TPC-H Q7's lineitem-orders "
     "join — both sides fact-scale after dim pruning, the textbook "
     "shuffle join; supplier/customer sides broadcast",
+    "q165_knn_join": "the SMJ is the probe-x-inverted-list equi-join on "
+    "the centroid id — both sides corpus/query-cardinality, the "
+    "designed single corpus shuffle (plan-asserted: only centroids "
+    "broadcast); assignment agg + top-k window account for the rest",
+    "q166_paste_join": "positional zip: each side pays one distributed "
+    "range sort for its global index, and the index equi-join of two "
+    "equal-cardinality sides is correctly SMJ — no broadcastable side "
+    "exists by construction",
+    "q168_phrase_search": "the SMJ is the per-source LEFT join of the "
+    "corpus against per-doc match counts (both corpus-cardinality); "
+    "token-stream exchanges carry only phrase-term hits "
+    "(plan-asserted in test_plans.py)",
     "q10_lpm_classify": "appears only at sf0.1+: the distinct-IP "
     "join-back deliberately carries no broadcast hint (lpm_lookup "
     "docstring) — AQE sizes it at runtime, and beyond the threshold a "
