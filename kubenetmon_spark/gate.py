@@ -7529,6 +7529,57 @@ def q168(spark, sf_dir):
     )
 
 
+@_register(
+    "q169_linear_quality_scorer",
+    r"""
+    WITH d AS (SELECT doc_id, source, trim(text) AS t FROM documents),
+    toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(t, '\s+')[CAST(i AS INTEGER)] AS token
+      FROM d, UNNEST(generate_series(1,
+             len(regexp_split_to_array(t, '\s+')))) u(i)
+    ),
+    scored AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             SUM((CAST('0x' || substring(md5(token), 1, 8) AS BIGINT)
+                  % 4096 % 2001) - 1000) AS logit
+      FROM toks WHERE token != '' GROUP BY doc_id
+    )
+    SELECT source,
+           CAST(SUM(logit) AS BIGINT) AS s_logit,
+           CAST(SUM(n_tokens) AS BIGINT) AS s_tokens,
+           CAST(SUM(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass
+    FROM d JOIN scored USING (doc_id)
+    GROUP BY source ORDER BY source
+    """,
+    "fastText-shape hashed-feature linear quality scorer: "
+    "md5(token)->bucket->weight, summed per doc in ONE per-row fold "
+    "(no explode, no shuffle — fuses into the scan); weights are a "
+    "deterministic function of the bucket so the logit is "
+    "integer-exact, and swapping in trained weights is a broadcast "
+    "map lookup with the same plan — "
+    "operators/text.py::with_hashed_linear_score",
+)
+def q169(spark, sf_dir):
+    from kubenetmon_spark.operators.text import with_hashed_linear_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    s = with_hashed_linear_score(d)
+    return (
+        s.groupBy("source")
+        .agg(
+            F.sum("quality_logit").alias("s_logit"),
+            F.sum("n_tokens").alias("s_tokens"),
+            F.sum(
+                F.when(F.col("quality_logit") > 0, 1).otherwise(0)
+            ).alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -577,3 +577,46 @@ def with_gopher_rules(
         & F.col("g_alpha_ok")
         & F.col("g_stopword_ok"),
     )
+
+
+def with_hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """fastText-style hashed-feature LINEAR quality scorer with a
+    deterministic synthetic weight table — the exact computation shape
+    of production quality classifiers (hash token -> bucket -> weight,
+    sum), with weights derived from the bucket id instead of trained
+    floats so the score is INTEGER-exact and oracle-checkable:
+
+    ``bucket = int(md5(token)[:8], 16) % n_buckets``
+    ``weight = (bucket % 2001) - 1000``         (uniform in [-1000, 1000])
+    ``quality_logit = sum(weight over tokens)``
+
+    Swapping in real trained weights = replacing the weight expression
+    with a broadcast map lookup; the plan shape is unchanged.
+
+    One per-row array fold — no explode, no shuffle; the scorer fuses
+    into the scan. (The fold is an interpreted lambda: for corpora where
+    per-token Python-side batching wins, the winnowing precedent in this
+    module applies — but a linear scorer is ~one hash per token, far
+    below the Arrow-switch threshold.)
+
+    Appends ``n_tokens`` and ``quality_logit`` (bigint).
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    weight = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+        % 2001
+        - 1000
+    )
+    logit = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + weight(t)
+    )
+    return df.withColumn("n_tokens", F.size(toks).cast("long")).withColumn(
+        "quality_logit", logit
+    )

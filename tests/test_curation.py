@@ -218,3 +218,27 @@ class TestGopherRules:
         assert got[2].g_symbol_ok is False
         assert got[5].g_alpha_ok is False
         assert got[6].gopher_pass is True
+
+
+class TestHashedLinearScore:
+    def test_matches_python_reference(self, spark):
+        import hashlib
+        import re
+
+        from kubenetmon_spark.operators.text import with_hashed_linear_score
+
+        docs = [(0, "alpha beta gamma"), (1, "  x  "), (2, ""),
+                (3, "alpha alpha alpha")]
+        df = spark.createDataFrame(docs, ["id", "text"])
+        got = {
+            r.id: (r.n_tokens, r.quality_logit)
+            for r in with_hashed_linear_score(df).collect()
+        }
+
+        def w(tok):
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 4096
+            return (b % 2001) - 1000
+
+        for i, text in docs:
+            toks = [t for t in re.split(r"\s+", text.strip()) if t]
+            assert got[i] == (len(toks), sum(w(t) for t in toks)), i
