@@ -7580,6 +7580,67 @@ def q169(spark, sf_dir):
     )
 
 
+@_register(
+    "q170_corr_matrix",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x0,
+             user_id AS x1,
+             event_id % 1000 AS x2
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x0) AS s0, SUM(x1) AS s1, SUM(x2) AS s2,
+             SUM(x0*x0) AS p00, SUM(x0*x1) AS p01, SUM(x0*x2) AS p02,
+             SUM(x1*x1) AS p11, SUM(x1*x2) AS p12, SUM(x2*x2) AS p22
+      FROM o GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, 0 AS i, 0 AS j,
+             ROUND((n*p00 - s0*s0) / sqrt(CAST(n*p00 - s0*s0 AS DOUBLE)
+                   * CAST(n*p00 - s0*s0 AS DOUBLE)), 6) AS corr FROM s
+      UNION ALL SELECT event_type, 0, 1,
+             ROUND((n*p01 - s0*s1) / sqrt(CAST(n*p00 - s0*s0 AS DOUBLE)
+                   * CAST(n*p11 - s1*s1 AS DOUBLE)), 6) FROM s
+      UNION ALL SELECT event_type, 0, 2,
+             ROUND((n*p02 - s0*s2) / sqrt(CAST(n*p00 - s0*s0 AS DOUBLE)
+                   * CAST(n*p22 - s2*s2 AS DOUBLE)), 6) FROM s
+      UNION ALL SELECT event_type, 1, 1,
+             ROUND((n*p11 - s1*s1) / sqrt(CAST(n*p11 - s1*s1 AS DOUBLE)
+                   * CAST(n*p11 - s1*s1 AS DOUBLE)), 6) FROM s
+      UNION ALL SELECT event_type, 1, 2,
+             ROUND((n*p12 - s1*s2) / sqrt(CAST(n*p11 - s1*s1 AS DOUBLE)
+                   * CAST(n*p22 - s2*s2 AS DOUBLE)), 6) FROM s
+      UNION ALL SELECT event_type, 2, 2,
+             ROUND((n*p22 - s2*s2) / sqrt(CAST(n*p22 - s2*s2 AS DOUBLE)
+                   * CAST(n*p22 - s2*s2 AS DOUBLE)), 6) FROM s
+    )
+    SELECT event_type, CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+           corr
+    FROM m ORDER BY event_type, i, j
+    """,
+    "ClickHouse corrMatrix: every pairwise Pearson correlation from "
+    "ONE hash aggregation (k + k(k+1)/2 exact integer sums in a single "
+    "pass — never k² scans); the q128 precedent handles the lone float "
+    "sqrt/divide — operators/stats.py::corr_matrix",
+)
+def q170(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import corr_matrix
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+            "x0"
+        ),
+        F.col("user_id").alias("x1"),
+        (F.col("event_id") % 1000).alias("x2"),
+    )
+    out = corr_matrix(ev, ["event_type"], ["x0", "x1", "x2"])
+    return out.orderBy("event_type", "i", "j")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

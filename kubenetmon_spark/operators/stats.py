@@ -655,3 +655,60 @@ def quantile_definitions(
             F.round(lo + fr * (hi - lo), 6).alias(f"p{tag}_inc"),
         ]
     return agg.select(*cols)
+
+
+def corr_matrix(
+    df: DataFrame,
+    group_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """ClickHouse ``corrMatrix``: all pairwise Pearson correlations of
+    ``value_cols`` per group, from exact integer sums in ONE hash
+    aggregation (k columns -> k + k(k+1)/2 sums, one pass, map-side
+    combined — never k² separate scans).
+
+    Output: one row per (group, i, j) with i <= j, ``corr`` rounded at
+    1e-6 (the only float step is the q128-precedent sqrt/divide).
+    Columns must be integer fixed-point.
+    """
+    k = len(value_cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, c in enumerate(value_cols):
+        aggs.append(F.sum(F.col(c)).alias(f"s{i}"))
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(
+                F.sum(F.col(value_cols[i]) * F.col(value_cols[j])).alias(
+                    f"p{i}_{j}"
+                )
+            )
+    agg = df.groupBy(*group_cols).agg(*aggs)
+
+    rows = []
+    for i in range(k):
+        for j in range(i, k):
+            num = F.col("n") * F.col(f"p{i}_{j}") - F.col(f"s{i}") * F.col(
+                f"s{j}"
+            )
+            di = F.col("n") * F.col(f"p{i}_{i}") - F.col(f"s{i}") * F.col(
+                f"s{i}"
+            )
+            dj = F.col("n") * F.col(f"p{j}_{j}") - F.col(f"s{j}") * F.col(
+                f"s{j}"
+            )
+            r = F.when(
+                (di > 0) & (dj > 0),
+                num / F.sqrt(di.cast("double") * dj.cast("double")),
+            )
+            rows.append(
+                agg.select(
+                    *group_cols,
+                    F.lit(i).alias("i"),
+                    F.lit(j).alias("j"),
+                    F.round(r, 6).alias("corr"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -959,3 +959,40 @@ class TestGroupArraySample:
             for r in group_array_sample(df, ["k"], "v", 5).collect()
         }
         assert out == out2
+
+
+class TestCorrMatrix:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from kubenetmon_spark.operators.stats import corr_matrix
+
+        rng = np.random.RandomState(3)
+        x0 = rng.randint(0, 1000, 200)
+        x1 = (x0 * 2 + rng.randint(0, 300, 200))  # correlated
+        x2 = rng.randint(0, 1000, 200)            # independent
+        rows = [("g", int(a), int(b), int(c)) for a, b, c in zip(x0, x1, x2)]
+        df = spark.createDataFrame(rows, ["k", "x0", "x1", "x2"])
+        got = {
+            (r.i, r.j): r.corr
+            for r in corr_matrix(df, ["k"], ["x0", "x1", "x2"]).collect()
+        }
+        m = np.corrcoef(np.vstack([x0, x1, x2]))
+        for i in range(3):
+            for j in range(i, 3):
+                assert abs(got[(i, j)] - m[i, j]) < 2e-6, (i, j)
+        assert got[(0, 0)] == 1.0
+        assert got[(0, 1)] > 0.9
+
+    def test_constant_column_yields_null(self, spark):
+        from kubenetmon_spark.operators.stats import corr_matrix
+
+        df = spark.createDataFrame(
+            [("g", 1, 5), ("g", 2, 5), ("g", 3, 5)], ["k", "a", "b"]
+        )
+        got = {
+            (r.i, r.j): r.corr
+            for r in corr_matrix(df, ["k"], ["a", "b"]).collect()
+        }
+        assert got[(0, 1)] is None and got[(1, 1)] is None
+        assert got[(0, 0)] == 1.0
