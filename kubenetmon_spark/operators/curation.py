@@ -148,3 +148,36 @@ def cap_per_group(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def shuffle_epoch(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for one training epoch — every
+    epoch sees the whole dataset in a different but REPRODUCIBLE order
+    (the property data loaders need: re-running epoch 3 after a crash
+    yields byte-identical shard contents).
+
+    Order key = md5(id | epoch). Scale shape: ``repartitionByRange`` on
+    the key then ``sortWithinPartitions`` — a distributed range sort
+    (sampled range exchange + local sorts), NEVER a single-partition
+    global orderBy. Ranges are sampled so the row order across shard
+    boundaries is still globally sorted by the key; with ``n_shards``
+    the output is that many ordered shards (files map 1:1 to shards on
+    write).
+
+    Appends ``shuffle_key`` (kept so a reader can verify the order).
+    """
+    key = F.md5(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(epoch)))
+    )
+    out = df.withColumn("shuffle_key", key)
+    parts = (
+        out.repartitionByRange(n_shards, "shuffle_key")
+        if n_shards
+        else out.repartitionByRange("shuffle_key")
+    )
+    return parts.sortWithinPartitions("shuffle_key")

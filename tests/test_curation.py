@@ -242,3 +242,37 @@ class TestHashedLinearScore:
         for i, text in docs:
             toks = [t for t in re.split(r"\s+", text.strip()) if t]
             assert got[i] == (len(toks), sum(w(t) for t in toks)), i
+
+
+class TestShuffleEpoch:
+    def test_reproducible_and_epoch_dependent(self, spark):
+        import hashlib
+
+        from kubenetmon_spark.operators.curation import shuffle_epoch
+
+        df = spark.createDataFrame([(i,) for i in range(300)], ["id"])
+        a1 = [r.id for r in shuffle_epoch(df, "id", 3, n_shards=4).collect()]
+        a2 = [r.id for r in shuffle_epoch(df, "id", 3, n_shards=4).collect()]
+        b = [r.id for r in shuffle_epoch(df, "id", 4, n_shards=4).collect()]
+        assert a1 == a2            # reproducible
+        assert a1 != b             # epochs differ
+        assert sorted(a1) == sorted(b) == list(range(300))  # permutations
+        # the realized order IS the md5 order (global across shards)
+        want = sorted(
+            range(300),
+            key=lambda i: hashlib.md5(f"{i}|3".encode()).hexdigest(),
+        )
+        assert a1 == want
+
+    def test_no_single_partition_exchange(self, spark):
+        from kubenetmon_spark.operators.curation import shuffle_epoch
+
+        df = spark.createDataFrame([(i,) for i in range(100)], ["id"])
+        plan = (
+            shuffle_epoch(df, "id", 1, n_shards=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "rangepartitioning" in plan
+        assert "SinglePartition" not in plan
