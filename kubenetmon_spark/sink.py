@@ -451,3 +451,60 @@ def sample_files(
     if not keep:
         return spark.read.parquet(path).limit(0)
     return spark.read.option("basePath", path).parquet(*keep)
+
+
+def apply_rollup_ttl(
+    spark: SparkSession,
+    path: str,
+    age_days: int,
+    granularity_seconds: int = 86400,
+    today: date | None = None,
+) -> list[str]:
+    """ClickHouse ``TTL ... GROUP BY <dims> SET bytes = sum(bytes)``
+    analogue: partitions older than ``age_days`` are re-aggregated IN
+    PLACE at a coarser time granularity — minute rows age into (by
+    default) daily rows, preserving every dimension and the exact sums
+    while shrinking old storage ~1440x.
+
+    The rewrite is partition-scoped (only partitions older than the
+    cutoff are touched) and IDEMPOTENT: rows already at the coarse
+    granularity re-aggregate to themselves. Composes with
+    ``apply_retention``: the common lifecycle is 7 days raw ->
+    rollup-TTL to daily -> 90 days -> drop.
+    """
+    today = today or date.today()
+    cutoff = (today - timedelta(days=age_days)).isoformat()
+    df = spark.read.parquet(path)
+    old = df.filter(F.col("date") < F.lit(cutoff))
+    affected = [r.date for r in old.select("date").distinct().collect()]
+    if not affected:
+        return []
+    g = int(granularity_seconds)
+    coarse = old.withColumn(
+        "intervalStartTime",
+        F.timestamp_seconds(
+            (F.unix_timestamp("intervalStartTime") / g).cast("bigint") * g
+        ),
+    ).withColumn("intervalSeconds", F.lit(g).cast("int"))
+    rolled = summing_aggregate(coarse).withColumn(
+        "date", F.to_date("intervalStartTime")
+    )
+    rolled = rolled.localCheckpoint(eager=True)
+    key = [c for c in PRIMARY_KEY_PREFIX if c in rolled.columns]
+    (
+        rolled.repartition(F.col("date"))
+        .sortWithinPartitions(*key)
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(path)
+    )
+    # granularities coarser than a day move rows to the bucket's first
+    # day — source partitions the dynamic overwrite didn't rewrite must
+    # be dropped explicitly (same contract as delete_where)
+    kept = {str(r.date) for r in rolled.select("date").distinct().collect()}
+    for d in affected:
+        if str(d) not in kept:
+            part = Path(path) / f"date={d}"
+            if part.exists():
+                shutil.rmtree(part)
+    return sorted(f"date={d}" for d in affected)

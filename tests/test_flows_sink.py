@@ -321,3 +321,50 @@ class TestSampleFiles:
         assert set(sample_files(spark, path, 0).columns) == set(
             read_flows(spark, path).columns
         )
+
+
+class TestRollupTtl:
+    def test_old_partitions_age_into_daily_rows(self, spark, fact, tmp_path):
+        from kubenetmon_spark.sink import apply_rollup_ttl
+
+        path = str(tmp_path / "flows_ttl")
+        write_flows(fact, path)
+        before = read_flows(spark, path)
+        n_before = before.count()
+        bytes_before = before.agg(F.sum("bytes")).collect()[0][0]
+        pkts_before = before.agg(F.sum("packets")).collect()[0][0]
+
+        # all fixture data is 2024-03-01; a cutoff after it triggers aging
+        rewritten = apply_rollup_ttl(
+            spark, path, age_days=7, today=date(2024, 3, 20)
+        )
+        assert rewritten == ["date=2024-03-01"]
+        after = read_flows(spark, path)
+        assert after.count() < n_before  # minutes folded into days
+        assert after.agg(F.sum("bytes")).collect()[0][0] == bytes_before
+        assert after.agg(F.sum("packets")).collect()[0][0] == pkts_before
+        assert after.select("intervalSeconds").distinct().collect()[0][0] == 86400
+        # every timestamp now sits on a day boundary
+        assert (
+            after.filter(
+                F.col("intervalStartTime")
+                != F.date_trunc("day", F.col("intervalStartTime"))
+            ).count()
+            == 0
+        )
+        # idempotent: aging again changes nothing
+        n1 = after.count()
+        apply_rollup_ttl(spark, path, age_days=7, today=date(2024, 3, 20))
+        assert read_flows(spark, path).count() == n1
+
+    def test_recent_partitions_untouched(self, spark, fact, tmp_path):
+        from kubenetmon_spark.sink import apply_rollup_ttl
+
+        path = str(tmp_path / "flows_ttl2")
+        write_flows(fact, path)
+        n = read_flows(spark, path).count()
+        assert (
+            apply_rollup_ttl(spark, path, age_days=7, today=date(2024, 3, 2))
+            == []
+        )
+        assert read_flows(spark, path).count() == n
