@@ -7641,6 +7641,85 @@ def q170(spark, sf_dir):
     return out.orderBy("event_type", "i", "j")
 
 
+@_register(
+    "q171_with_totals",
+    """
+    SELECT COALESCE(event_type, '__totals__') AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), ())
+    ORDER BY event_type
+    """,
+    "GROUP BY ... WITH TOTALS as an explicit surface row (q32/q41/q61 "
+    "cover the general grouping-set machinery): rollup over one key "
+    "yields the per-group rows plus the totals row in ONE aggregation "
+    "— ClickHouse's extra totals block is the null-key row relabeled",
+)
+def q171(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+            ).alias("cents"),
+            F.count_distinct("user_id").alias("users"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("__totals__")).alias(
+                "event_type"
+            ),
+            "n",
+            "cents",
+            "users",
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "q172_limit_by_offset",
+    """
+    WITH r AS (
+      SELECT event_type, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        DESC, event_id
+             ) AS rk
+      FROM events
+    )
+    SELECT event_type, CAST(event_id AS BIGINT) AS event_id, cents
+    FROM r WHERE rk > 2 AND rk <= 5
+    ORDER BY event_type, cents DESC, event_id
+    """,
+    "ClickHouse LIMIT k OFFSET o BY group: rows 3..5 of each group's "
+    "value-ranked order — cap_per_group's offset parameter "
+    "(operators/curation.py), one window pass",
+)
+def q172(spark, sf_dir):
+    from kubenetmon_spark.operators.curation import cap_per_group
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+            "cents"
+        ),
+    ).withColumn("_neg", -F.col("cents"))
+    out = cap_per_group(
+        ev, ["event_type"], 3, "event_id", order_col="_neg", offset=2
+    )
+    return out.select("event_type", "event_id", "cents").orderBy(
+        "event_type", F.desc("cents"), "event_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

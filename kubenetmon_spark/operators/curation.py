@@ -122,6 +122,7 @@ def cap_per_group(
     k: int,
     id_col: str,
     order_col: str | None = None,
+    offset: int = 0,
 ) -> DataFrame:
     """Keep at most ``k`` rows per group — ClickHouse's ``LIMIT k BY
     group`` clause, and the per-domain/per-source quota every web-scale
@@ -130,6 +131,8 @@ def cap_per_group(
     Deterministic: rows rank by ``order_col`` (best-first) if given,
     else by ``md5(id)`` — an unbiased, reproducible pseudo-random pick
     that needs no seed state; ``id_col`` always breaks ties.
+    ``offset`` gives ClickHouse's ``LIMIT k OFFSET o BY group`` form
+    (skip the first o ranked rows of each group).
 
     Plan: one hash shuffle + in-partition sort and row_number, filter
     <= k. Skewed groups (one domain = half the corpus) sort within a
@@ -145,7 +148,7 @@ def cap_per_group(
     w = Window.partitionBy(*group_cols).orderBy(*rank_on)
     return (
         df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
+        .filter((F.col("_rk") > offset) & (F.col("_rk") <= offset + k))
         .drop("_rk")
     )
 
