@@ -7720,6 +7720,84 @@ def q172(spark, sf_dir):
     )
 
 
+@_register(
+    "q173_html_extract",
+    r"""
+    WITH h AS (
+      SELECT doc_id, source, text,
+             '<html><head><style>p{color:red}</style>'
+             || '<script>var x = "' || source || '";</script></head>'
+             || '<body><p>' || replace(text, ' ', '</p><p>')
+             || '</p><!-- trailing comment -->&amp;done</body></html>'
+               AS html
+      FROM documents
+    ),
+    x AS (
+      SELECT doc_id, source, text,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(html,
+                         '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS extracted
+      FROM h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN extracted =
+                trim(regexp_replace(text, '\s+', ' ', 'g')) || ' &done'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip,
+           CAST(SUM(length(extracted)) AS BIGINT) AS s_len
+    FROM x GROUP BY source ORDER BY source
+    """,
+    "extractTextFromHTML — script/style subtree removal, comment and "
+    "tag stripping, core entity decode (&amp; decoded LAST so "
+    "&amp;lt; survives as &lt;), whitespace collapse — one "
+    "RE2-compatible regexp chain, codegen in Spark and replayed "
+    "verbatim by the oracle; the round-trip predicate proves "
+    "extraction recovers the original text from the synthetic markup — "
+    "operators/text.py::with_html_stripped",
+)
+def q173(spark, sf_dir):
+    from kubenetmon_spark.operators.text import with_html_stripped
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    h = d.withColumn(
+        "html",
+        F.concat(
+            F.lit('<html><head><style>p{color:red}</style>'),
+            F.lit('<script>var x = "'),
+            F.col("source"),
+            F.lit('";</script></head><body><p>'),
+            F.replace(F.col("text"), F.lit(" "), F.lit("</p><p>")),
+            F.lit("</p><!-- trailing comment -->&amp;done</body></html>"),
+        ),
+    )
+    x = with_html_stripped(h, "html", "extracted")
+    expect = F.concat(
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")),
+        F.lit(" &done"),
+    )
+    return (
+        x.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("extracted") == expect, 1).otherwise(0)
+            ).alias("n_roundtrip"),
+            F.sum(F.length("extracted")).alias("s_len"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -620,3 +620,36 @@ def with_hashed_linear_score(
     return df.withColumn("n_tokens", F.size(toks).cast("long")).withColumn(
         "quality_logit", logit
     )
+
+
+def with_html_stripped(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text_extracted",
+) -> DataFrame:
+    """ClickHouse ``extractTextFromHTML`` analogue — the boilerplate
+    step of every web-corpus pipeline: drop <script>/<style> subtrees
+    and comments, strip remaining tags, decode the five core entities,
+    collapse whitespace.
+
+    Pure regexp chain (RE2-compatible: no lookarounds, non-greedy
+    subtree matches), so it is codegen in Spark AND replayable verbatim
+    as a DuckDB oracle; one projection, no shuffle, fuses into the scan.
+    """
+    s = F.col(html_col)
+    # kill script/style subtrees first (non-greedy, case-insensitive,
+    # dot-matches-newline), then comments, then every remaining tag
+    s = F.regexp_replace(s, r"(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"<[^>]*>", " ")
+    for ent, ch in [
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # LAST: so &amp;lt; decodes to &lt;, not <
+    ]:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return df.withColumn(out_col, s)

@@ -276,3 +276,26 @@ class TestShuffleEpoch:
         )
         assert "rangepartitioning" in plan
         assert "SinglePartition" not in plan
+
+
+class TestHtmlStripped:
+    def test_nasty_cases(self, spark):
+        from kubenetmon_spark.operators.text import with_html_stripped
+
+        cases = [
+            (0, "<p>hello <b>world</b></p>", "hello world"),
+            (1, "<script>if (a<b) { x('</p>'); }</script>ok", "ok"),
+            (2, "<style>p { }</style>text", "text"),
+            (3, "<!-- hidden -->shown", "shown"),
+            (4, "a&amp;b &lt;tag&gt; &quot;q&quot; &#39;s&#39;",
+             "a&b <tag> \"q\" 's'"),
+            (5, "&amp;lt; stays encoded-ish", "&lt; stays encoded-ish"),
+            (6, "  lots   of\n\nspace  ", "lots of space"),
+            (7, "<SCRIPT>upper</SCRIPT>case", "case"),
+        ]
+        df = spark.createDataFrame(
+            [(i, h) for i, h, _ in cases], ["id", "html"]
+        )
+        got = {r.id: r.text_extracted for r in with_html_stripped(df).collect()}
+        for i, _, want in cases:
+            assert got[i] == want, (i, got[i])
