@@ -161,3 +161,53 @@ def test_summing_aggregate_merge_associative(spark, rows, cut):
         )
     )
     assert _rows(whole) == _rows(parts)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.integers(min_value=-100, max_value=10**12), min_size=1, max_size=40))
+def test_round_to_exp2_invariant(spark, vals):
+    """roundToExp2(x): 0 for x<1, else the unique power of two p with
+    p <= x < 2p — checked for arbitrary int64 inputs."""
+    from kubenetmon_spark.sql import register_clickhouse_sql_functions
+
+    register_clickhouse_sql_functions(spark)
+    df = spark.createDataFrame([(v,) for v in vals], "x bigint")
+    df.createOrReplaceTempView("_exp2_in")
+    got = {
+        r.x: r.p
+        for r in spark.sql(
+            "SELECT x, roundToExp2(x) AS p FROM _exp2_in"
+        ).collect()
+    }
+    for v in vals:
+        p = got[v]
+        if v < 1:
+            assert p == 0
+        else:
+            assert p & (p - 1) == 0  # power of two
+            assert p <= v < 2 * p
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=2, max_size=40))
+def test_timing_bucket_properties(spark, vals):
+    """timing_bucket is monotone, idempotent, and never above its input
+    (after the 0-clamp) — so quantileTiming can only round DOWN."""
+    from kubenetmon_spark.operators.agg import timing_bucket
+
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    got = [
+        (r.v, r.b, r.bb)
+        for r in df.select(
+            "v",
+            timing_bucket(F.col("v")).alias("b"),
+            timing_bucket(timing_bucket(F.col("v"))).alias("bb"),
+        ).collect()
+    ]
+    by_v = sorted(got)
+    for i, (v, b, bb) in enumerate(by_v):
+        assert b == bb                      # idempotent
+        assert b <= max(v, 0)               # never rounds up
+        assert 0 <= b <= 30000
+        if i > 0:
+            assert by_v[i - 1][1] <= b      # monotone
