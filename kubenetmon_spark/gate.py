@@ -7798,6 +7798,140 @@ def q173(spark, sf_dir):
     )
 
 
+@_register(
+    "q174_sparkbar",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM events
+    ),
+    mm AS (SELECT event_type, MIN(x) AS minx, MAX(x) AS maxx
+           FROM e GROUP BY event_type),
+    s AS (
+      SELECT e.event_type,
+             LEAST(11, ((x - minx) * 12) // (maxx - minx + 1)) AS b,
+             SUM(y) AS yb
+      FROM e JOIN mm ON e.event_type = mm.event_type
+      GROUP BY 1, 2
+    ),
+    mx AS (SELECT event_type, MAX(yb) AS maxy FROM s GROUP BY event_type),
+    grid AS (
+      SELECT t.event_type, CAST(g.b AS BIGINT) AS b
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT UNNEST(generate_series(0, 11)) AS b) g
+    )
+    SELECT grid.event_type AS event_type,
+           string_agg(
+             CASE WHEN yb IS NULL OR yb <= 0 THEN ' '
+                  ELSE substring('▁▂▃▄▅▆▇█',
+                       CAST(1 + (yb * 7) // maxy AS INTEGER), 1) END,
+             '' ORDER BY grid.b) AS sparkbar
+    FROM grid
+    LEFT JOIN s ON grid.event_type = s.event_type AND grid.b = s.b
+    JOIN mx ON grid.event_type = mx.event_type
+    GROUP BY grid.event_type ORDER BY grid.event_type
+    """,
+    "ClickHouse sparkbar: per group, a 12-char unicode bar chart of "
+    "hourly value totals — integer-exact rendering (bucket and level "
+    "via true integer division, never a float quotient that could "
+    "round across a boundary) — operators/agg.py::sparkbar",
+)
+def q174(spark, sf_dir):
+    from kubenetmon_spark.operators.agg import sparkbar
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("second", F.col("ts"))) / 3600)
+        .cast("bigint")
+        .alias("x"),
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+            "y"
+        ),
+    )
+    return sparkbar(ev, ["event_type"], "x", "y", width=12).orderBy(
+        "event_type"
+    )
+
+
+@_register(
+    "q175_readable_timedelta",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, MAX(s) - MIN(s) AS span,
+             (MAX(s) - MIN(s)) % 90061 AS small
+      FROM e GROUP BY event_type
+    )
+    SELECT event_type,
+           CASE WHEN span = 0 THEN '0 seconds' ELSE concat_ws(', ',
+             CASE WHEN span // 86400 = 1 THEN '1 day'
+                  WHEN span // 86400 > 1
+                    THEN CAST(span // 86400 AS VARCHAR) || ' days' END,
+             CASE WHEN span % 86400 // 3600 = 1 THEN '1 hour'
+                  WHEN span % 86400 // 3600 > 1
+                    THEN CAST(span % 86400 // 3600 AS VARCHAR) || ' hours'
+                  END,
+             CASE WHEN span % 3600 // 60 = 1 THEN '1 minute'
+                  WHEN span % 3600 // 60 > 1
+                    THEN CAST(span % 3600 // 60 AS VARCHAR) || ' minutes'
+                  END,
+             CASE WHEN span % 60 = 1 THEN '1 second'
+                  WHEN span % 60 > 1
+                    THEN CAST(span % 60 AS VARCHAR) || ' seconds' END)
+           END AS span_str,
+           CASE WHEN small = 0 THEN '0 seconds' ELSE concat_ws(', ',
+             CASE WHEN small // 86400 = 1 THEN '1 day'
+                  WHEN small // 86400 > 1
+                    THEN CAST(small // 86400 AS VARCHAR) || ' days' END,
+             CASE WHEN small % 86400 // 3600 = 1 THEN '1 hour'
+                  WHEN small % 86400 // 3600 > 1
+                    THEN CAST(small % 86400 // 3600 AS VARCHAR) || ' hours'
+                  END,
+             CASE WHEN small % 3600 // 60 = 1 THEN '1 minute'
+                  WHEN small % 3600 // 60 > 1
+                    THEN CAST(small % 3600 // 60 AS VARCHAR) || ' minutes'
+                  END,
+             CASE WHEN small % 60 = 1 THEN '1 second'
+                  WHEN small % 60 > 1
+                    THEN CAST(small % 60 AS VARCHAR) || ' seconds' END)
+           END AS small_str
+    FROM d ORDER BY event_type
+    """,
+    "formatReadableTimeDelta: largest-unit-first rendering with exact "
+    "singular/plural and zero-unit skipping, pure integer splits — "
+    "sql.py SQL UDF; the % 90061 probe (1 day + 1 hour + 1 minute + "
+    "1 second) exercises the singular branches",
+)
+def q175(spark, sf_dir):
+    from kubenetmon_spark.sql import register_sql_surface
+
+    register_sql_surface(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT event_type,
+                 unix_timestamp(date_trunc('second', ts)) AS s
+          FROM events
+        ),
+        d AS (
+          SELECT event_type, MAX(s) - MIN(s) AS span,
+                 (MAX(s) - MIN(s)) % 90061 AS small
+          FROM e GROUP BY event_type
+        )
+        SELECT event_type,
+               formatReadableTimeDelta(span) AS span_str,
+               formatReadableTimeDelta(small) AS small_str
+        FROM d ORDER BY event_type
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

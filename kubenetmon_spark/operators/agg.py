@@ -273,3 +273,61 @@ def group_array_sample(
         .groupBy(*group_cols)
         .agg(F.array_sort(F.collect_list(value_col)).alias("sample"))
     )
+
+
+#: lower-eighth .. full block — sparkbar's 8 levels
+_SPARK_BLOCKS = "▁▂▃▄▅▆▇█"
+
+
+def sparkbar(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    width: int = 10,
+) -> DataFrame:
+    """ClickHouse ``sparkbar(width)(x, y)``: per group, a ``width``-char
+    unicode bar chart of y summed over equal x buckets spanning
+    [min(x), max(x)].
+
+    Integer-exact rendering convention (pinned; ClickHouse's own
+    scaling is float): bucket = ``(x - min_x) * width div span`` clamped
+    to width-1; level = ``1 + (y_bucket * 7) div max_y`` (so the max
+    bucket is the full block, any positive bucket at least the lowest
+    eighth); empty buckets render a space.
+
+    Plan: per-group min/max agg (rows = |groups|) joined back, one
+    (group, bucket) sum, one final per-group assembly — the only
+    data-volume shuffle is the bucket sum.
+    """
+    mm = df.groupBy(*group_cols).agg(
+        F.min(x_col).alias("_minx"), F.max(x_col).alias("_maxx")
+    )
+    j = df.join(mm, group_cols)
+    # `div` (true integer division), never float `/`: a double quotient
+    # can round across an integer boundary for large values
+    bucket = F.expr(
+        f"least(cast({width - 1} as bigint),"
+        f" (({x_col} - _minx) * {width}) div (_maxx - _minx + 1))"
+    )
+    sums = (
+        j.withColumn("_b", bucket)
+        .groupBy(*group_cols, "_b")
+        .agg(F.sum(y_col).alias("_y"))
+    )
+    asm = sums.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_y")))
+        ).alias("_m")
+    )
+    chars = F.expr(
+        f"transform(sequence(0, {width - 1}), i -> CASE"
+        " WHEN element_at(_m, cast(i as bigint)) IS NULL"
+        "   OR element_at(_m, cast(i as bigint)) <= 0 THEN ' '"
+        " ELSE substring('" + _SPARK_BLOCKS + "',"
+        " cast(1 + (element_at(_m, cast(i as bigint)) * 7)"
+        " div array_max(map_values(_m)) as int), 1) END)"
+    )
+    return asm.select(
+        *group_cols, F.concat_ws("", chars).alias("sparkbar")
+    )

@@ -260,6 +260,27 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("trimLeft", "(s STRING)", "STRING", "ltrim(s)"),
     ("trimRight", "(s STRING)", "STRING", "rtrim(s)"),
     ("trimBoth", "(s STRING)", "STRING", "trim(s)"),
+    # formatReadableTimeDelta(sec): "N days, N hours, N minutes,
+    # N seconds" — largest-unit-first, zero units skipped (except a
+    # bare "0 seconds"), singular/plural exact; pure integer splits.
+    (
+        "formatReadableTimeDelta",
+        "(sec BIGINT)",
+        "STRING",
+        "CASE WHEN sec = 0 THEN '0 seconds' ELSE concat_ws(', ',"
+        " CASE WHEN sec div 86400 = 1 THEN '1 day'"
+        "      WHEN sec div 86400 > 1 THEN concat(sec div 86400, ' days')"
+        " END,"
+        " CASE WHEN sec % 86400 div 3600 = 1 THEN '1 hour'"
+        "      WHEN sec % 86400 div 3600 > 1"
+        "        THEN concat(sec % 86400 div 3600, ' hours') END,"
+        " CASE WHEN sec % 3600 div 60 = 1 THEN '1 minute'"
+        "      WHEN sec % 3600 div 60 > 1"
+        "        THEN concat(sec % 3600 div 60, ' minutes') END,"
+        " CASE WHEN sec % 60 = 1 THEN '1 second'"
+        "      WHEN sec % 60 > 1 THEN concat(sec % 60, ' seconds') END)"
+        " END",
+    ),
     # --- conditional family (docs/sql-reference/functions/conditional-functions) ---
     # ClickHouse transform(x, from, to, default). Registered under its
     # ClickHouse ALIAS caseWithExpression: the name 'transform' would

@@ -996,3 +996,28 @@ class TestCorrMatrix:
         }
         assert got[(0, 1)] is None and got[(1, 1)] is None
         assert got[(0, 0)] == 1.0
+
+
+class TestSparkbar:
+    def test_rendering_matches_reference(self, spark):
+        from kubenetmon_spark.operators.agg import sparkbar
+
+        rows = (
+            [("g", 0, 1)] * 1          # bucket 0 small
+            + [("g", 5, 7)]            # mid bucket, max value
+            + [("g", 9, 3)]            # last bucket, mid value
+        )
+        df = spark.createDataFrame(rows, ["k", "x", "y"])
+        got = sparkbar(df, ["k"], "x", "y", width=5).collect()[0].sparkbar
+        # span = 10; buckets of 2: x=0->0, x=5->2, x=9->4
+        # maxy=7: levels 1+(1*7)//7=2? no: 1+(1*7)//7 = 2 -> '▂';
+        # y=7 -> 1+49//7=8 -> '█'; y=3 -> 1+21//7=4 -> '▄'
+        assert got == "▂ █ ▄"
+        assert len(got) == 5
+
+    def test_single_x_value(self, spark):
+        from kubenetmon_spark.operators.agg import sparkbar
+
+        df = spark.createDataFrame([("g", 4, 5), ("g", 4, 5)], ["k", "x", "y"])
+        got = sparkbar(df, ["k"], "x", "y", width=3).collect()[0].sparkbar
+        assert got == "█  "  # all mass in bucket 0, rest empty

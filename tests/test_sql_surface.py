@@ -372,3 +372,23 @@ class TestDateStringAliases:
         assert _one(spark, "trimLeft('  a ')") == "a "
         assert _one(spark, "trimRight('  a ')") == "  a"
         assert _one(spark, "trimBoth('  a ')") == "a"
+
+
+class TestReadableTimeDelta:
+    def test_rendering(self, spark):
+        cases = {
+            0: "0 seconds",
+            1: "1 second",
+            59: "59 seconds",
+            60: "1 minute",
+            61: "1 minute, 1 second",
+            3600: "1 hour",
+            3661: "1 hour, 1 minute, 1 second",
+            86400: "1 day",
+            90061: "1 day, 1 hour, 1 minute, 1 second",
+            2 * 86400 + 3 * 3600: "2 days, 3 hours",
+            86400 + 59: "1 day, 59 seconds",
+        }
+        for sec, want in cases.items():
+            got = _one(spark, f"formatReadableTimeDelta(CAST({sec} AS BIGINT))")
+            assert got == want, (sec, got)
