@@ -7932,6 +7932,104 @@ def q175(spark, sf_dir):
     )
 
 
+@_register(
+    "q176_mean_z_test",
+    """
+    WITH e AS (
+      SELECT user_id % 10 AS g,
+             CASE WHEN event_type = 'click' THEN 'x'
+                  WHEN event_type = 'view' THEN 'y' END AS side,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    a AS (
+      SELECT g,
+             SUM(CASE WHEN side = 'x' THEN v END) AS sx,
+             COUNT(CASE WHEN side = 'x' THEN 1 END) AS nx,
+             SUM(CASE WHEN side = 'y' THEN v END) AS sy,
+             COUNT(CASE WHEN side = 'y' THEN 1 END) AS ny
+      FROM e GROUP BY g
+    )
+    SELECT CAST(g AS BIGINT) AS g, CAST(nx AS BIGINT) AS nx,
+           CAST(ny AS BIGINT) AS ny,
+           ROUND((CAST(sx AS DOUBLE) / nx - CAST(sy AS DOUBLE) / ny)
+                 / sqrt(2000000.0 / nx + 1500000.0 / ny), 6) AS z
+    FROM a ORDER BY g
+    """,
+    "ClickHouse meanZTest: two-sample z with KNOWN population "
+    "variances — means from exact integer sums, one sqrt over a float "
+    "sum of two exact ratios, identical expression shape in the "
+    "oracle — operators/stats.py::mean_z_test",
+)
+def q176(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import mean_z_test
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        (F.col("user_id") % 10).alias("g"),
+        F.when(F.col("event_type") == "click", "x")
+        .otherwise("y")
+        .alias("side"),
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+            "v"
+        ),
+    )
+    return mean_z_test(
+        ev, ["g"], "v", "side", 2_000_000, 1_500_000
+    ).orderBy("g")
+
+
+@_register(
+    "q177_information_value",
+    """
+    WITH e AS (
+      SELECT event_type AS cat, user_id % 2 AS tag FROM events
+    ),
+    c AS (
+      SELECT cat,
+             COUNT(CASE WHEN tag = 0 THEN 1 END) AS n0,
+             COUNT(CASE WHEN tag = 1 THEN 1 END) AS n1
+      FROM e GROUP BY cat
+    ),
+    t AS (SELECT SUM(n0) AS t0, SUM(n1) AS t1 FROM c)
+    SELECT cat, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           ROUND((CAST(n0 AS DOUBLE) / t0 - CAST(n1 AS DOUBLE) / t1)
+                 * ln((CAST(n0 AS DOUBLE) / t0)
+                      / (CAST(n1 AS DOUBLE) / t1)), 6) AS iv
+    FROM c, t ORDER BY cat
+    """,
+    "ClickHouse categoricalInformationValue: per-category weight of "
+    "evidence x probability gap over a binary tag — all inputs exact "
+    "integer counts; the single ln follows the q129 entropy precedent "
+    "(rounded at 1e-6)",
+)
+def q177(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("cat"),
+        (F.col("user_id") % 2).alias("tag"),
+    )
+    c = ev.groupBy("cat").agg(
+        F.count(F.when(F.col("tag") == 0, 1)).alias("n0"),
+        F.count(F.when(F.col("tag") == 1, 1)).alias("n1"),
+    )
+    t = c.agg(
+        F.sum("n0").alias("t0"), F.sum("n1").alias("t1")
+    )
+    p0 = F.col("n0").cast("double") / F.col("t0")
+    p1 = F.col("n1").cast("double") / F.col("t1")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "cat",
+            "n0",
+            "n1",
+            F.round((p0 - p1) * F.log(p0 / p1), 6).alias("iv"),
+        )
+        .orderBy("cat")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -714,3 +714,43 @@ def corr_matrix(
     return agg.select(
         *group_cols, F.explode(F.array(*cells)).alias("_c")
     ).select(*group_cols, "_c.i", "_c.j", "_c.corr")
+
+
+def mean_z_test(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    side_col: str,
+    pop_var_x: int,
+    pop_var_y: int,
+) -> DataFrame:
+    """ClickHouse ``meanZTest(pop_var_x, pop_var_y, conf)``'s statistic:
+    z = (mean_x - mean_y) / sqrt(var_x/n_x + var_y/n_y) with KNOWN
+    population variances. ``side_col`` = 'x'/'y' membership.
+
+    Means come from exact integer sums; the z expression is written as
+    one sqrt over a float sum of two exact ratios — the oracle mirrors
+    the same shape, rounded at 1e-6 (q127 precedent).
+    """
+    agg = df.groupBy(*group_cols).agg(
+        F.sum(
+            F.when(F.col(side_col) == "x", F.col(value_col))
+        ).alias("sx"),
+        F.count(F.when(F.col(side_col) == "x", 1)).alias("nx"),
+        F.sum(
+            F.when(F.col(side_col) == "y", F.col(value_col))
+        ).alias("sy"),
+        F.count(F.when(F.col(side_col) == "y", 1)).alias("ny"),
+    )
+    mx = F.col("sx").cast("double") / F.col("nx")
+    my = F.col("sy").cast("double") / F.col("ny")
+    se = F.sqrt(
+        F.lit(float(pop_var_x)) / F.col("nx")
+        + F.lit(float(pop_var_y)) / F.col("ny")
+    )
+    return agg.select(
+        *group_cols,
+        "nx",
+        "ny",
+        F.round((mx - my) / se, 6).alias("z"),
+    )

@@ -1021,3 +1021,21 @@ class TestSparkbar:
         df = spark.createDataFrame([("g", 4, 5), ("g", 4, 5)], ["k", "x", "y"])
         got = sparkbar(df, ["k"], "x", "y", width=3).collect()[0].sparkbar
         assert got == "█  "  # all mass in bucket 0, rest empty
+
+
+class TestMeanZTest:
+    def test_matches_scipy_style_formula(self, spark):
+        import math
+
+        from kubenetmon_spark.operators.stats import mean_z_test
+
+        xs = [100, 120, 130, 90, 110]
+        ys = [80, 95, 105]
+        rows = [("g", "x", v) for v in xs] + [("g", "y", v) for v in ys]
+        df = spark.createDataFrame(rows, ["k", "side", "v"])
+        got = mean_z_test(df, ["k"], "v", "side", 400, 250).collect()[0]
+        want = (sum(xs) / len(xs) - sum(ys) / len(ys)) / math.sqrt(
+            400 / len(xs) + 250 / len(ys)
+        )
+        assert got.nx == 5 and got.ny == 3
+        assert abs(got.z - round(want, 6)) < 1e-9
