@@ -8030,6 +8030,70 @@ def q177(spark, sf_dir):
     )
 
 
+@_register(
+    "q178_array_manipulation",
+    """
+    WITH o AS (
+      SELECT user_id,
+             list(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ORDER BY ts, event_id) AS arr
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(arr) AS BIGINT) AS n,
+           md5(array_to_string(
+             list_concat(arr[4:], arr[1:3]), ',')) AS rot_digest,
+           CAST(greatest(len(arr) - 2, 0) AS BIGINT) AS n_shingles,
+           md5(array_to_string(list_transform(
+               generate_series(1, greatest(len(arr) - 2, 0)),
+               i -> array_to_string(arr[i:i+2], '-')), ',')) AS shingle_digest,
+           md5(array_to_string(list_sort(arr)[1:3], ',')) AS top3_digest
+    FROM o ORDER BY user_id
+    """,
+    "ClickHouse array-manipulation family — arrayRotateLeft (slice + "
+    "concat), arrayShingles (sliding sub-arrays via sequence + slice), "
+    "arrayPartialSort's observable prefix (sort + slice) — pure "
+    "higher-order expressions over per-user ordered arrays, digested; "
+    "the DuckDB oracle replays with list_slice/list_transform",
+)
+def q178(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+            "v"
+        ),
+    )
+    o = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "v"))),
+            lambda s: s["v"],
+        ).alias("arr")
+    )
+    arr = F.col("arr")
+    n = F.size(arr)
+    rot = F.concat(F.slice(arr, 4, F.greatest(n - 3, F.lit(0))), F.slice(arr, 1, 3))
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
+    shingles = F.expr(
+        "CASE WHEN size(arr) >= 3 THEN transform(sequence(1, size(arr) - 2),"
+        " i -> array_join(slice(arr, i, 3), '-'))"
+        " ELSE array() END"
+    )
+    top3 = F.slice(F.array_sort(arr), 1, 3)
+    to_csv = lambda a: F.concat_ws(  # noqa: E731
+        ",", F.transform(a, lambda x: x.cast("string"))
+    )
+    return o.select(
+        "user_id",
+        n.cast("bigint").alias("n"),
+        F.md5(to_csv(rot)).alias("rot_digest"),
+        F.greatest(n - 2, F.lit(0)).cast("bigint").alias("n_shingles"),
+        F.md5(F.concat_ws(",", shingles)).alias("shingle_digest"),
+        F.md5(to_csv(top3)).alias("top3_digest"),
+    ).orderBy("user_id")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
