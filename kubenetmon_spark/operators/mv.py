@@ -141,3 +141,41 @@ def refresh_rollup(
     rollup_root.mkdir(parents=True, exist_ok=True)
     state_path.write_text(json.dumps(current, sort_keys=True))
     return sorted(changed + dropped)
+
+
+def answer_from_rollup(
+    spark: SparkSession,
+    base_path: str,
+    rollups: dict[str, list[str]],
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """ClickHouse AGGREGATE-projection chooser: answer
+    ``GROUP BY group_cols SUM(sum_cols)`` from the SMALLEST registered
+    rollup that can, falling back to the base fact table.
+
+    ``rollups`` maps rollup path -> its grouping key. A rollup grouped
+    by G answers a query grouped by g iff g ⊆ G (sums re-aggregate —
+    the partial-aggregate algebra of merge_rollup); among candidates
+    the one with the FEWEST key columns wins (coarsest = smallest).
+
+    This is the read-side of the materialized-view pair: refresh_rollup
+    maintains the tables, answer_from_rollup routes queries — together
+    they are ClickHouse's `PROJECTION (SELECT ... GROUP BY ...)` with
+    the chooser made explicit. A dashboard group-by over 100 TB of raw
+    flows reads a few MB of rollup instead.
+    """
+    want = set(group_cols)
+    candidates = [
+        (len(keys), path)
+        for path, keys in rollups.items()
+        if want <= set(keys)
+    ]
+    source = (
+        spark.read.parquet(min(candidates)[1])
+        if candidates
+        else spark.read.parquet(base_path)
+    )
+    return source.groupBy(*group_cols).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )

@@ -122,3 +122,48 @@ class TestRefreshRollup:
             refresh_rollup(
                 spark, str(tmp_path), str(tmp_path / "r"), ["k"], _sum_exprs()
             )
+
+
+class TestAnswerFromRollup:
+    def _setup(self, spark, tmp_path):
+        from kubenetmon_spark.operators.mv import refresh_rollup
+
+        rows = [
+            ("2024-01-01", "a", 1), ("2024-01-01", "a", 2),
+            ("2024-01-01", "b", 10), ("2024-01-02", "a", 5),
+            ("2024-01-02", "b", 20), ("2024-01-02", "b", 30),
+        ]
+        base = str(tmp_path / "base")
+        _facts(spark, rows).write.partitionBy("date").parquet(base)
+        fine = str(tmp_path / "roll_fine")    # by (date, k)
+        coarse = str(tmp_path / "roll_date")  # by (date)
+        refresh_rollup(spark, base, fine, ["date", "k"], _sum_exprs())
+        refresh_rollup(spark, base, coarse, ["date"], _sum_exprs())
+        return base, {fine: ["date", "k"], coarse: ["date"]}
+
+    def test_routes_to_smallest_capable_rollup(self, spark, tmp_path):
+        from kubenetmon_spark.operators.mv import answer_from_rollup
+
+        base, rollups = self._setup(spark, tmp_path)
+        # group by date: the coarse (date) rollup suffices and wins
+        got = answer_from_rollup(spark, base, rollups, ["date"], ["v"])
+        files = got.inputFiles()
+        assert all("roll_date" in f for f in files)
+        vals = {str(r.date): r.v for r in got.collect()}
+        assert vals == {"2024-01-01": 13, "2024-01-02": 55}
+        # group by (date, k): only the fine rollup qualifies
+        got2 = answer_from_rollup(
+            spark, base, rollups, ["date", "k"], ["v"]
+        )
+        assert all("roll_fine" in f for f in got2.inputFiles())
+        assert {(str(r.date), r.k): r.v for r in got2.collect()}[
+            ("2024-01-02", "b")
+        ] == 50
+
+    def test_falls_back_to_base(self, spark, tmp_path):
+        from kubenetmon_spark.operators.mv import answer_from_rollup
+
+        base, rollups = self._setup(spark, tmp_path)
+        got = answer_from_rollup(spark, base, rollups, ["k"], ["v"])
+        assert all("base" in f for f in got.inputFiles())
+        assert {r.k: r.v for r in got.collect()} == {"a": 8, "b": 60}
