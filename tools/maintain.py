@@ -12,6 +12,9 @@ Usage:
       [--files N]   # rewrite clustered on a Morton curve
   python tools/maintain.py projection <base_path> <proj_path> \\
       --sort-cols remoteApp,remotePod [--date YYYY-MM-DD]
+  python tools/maintain.py rollup-ttl <table_path> --age-days N \\
+      [--granularity 86400]   # age old partitions into coarser buckets
+  python tools/maintain.py deduplicate <table_path> [--by col1,col2]
 """
 
 from __future__ import annotations
@@ -59,6 +62,20 @@ def main() -> int:
     p.add_argument("proj_path")
     p.add_argument("--sort-cols", required=True, help="comma-separated sort key")
     p.add_argument("--date", default=None, help="only this date partition")
+    rt = sub.add_parser(
+        "rollup-ttl",
+        help="re-aggregate partitions older than the cutoff at coarser "
+        "time granularity (ClickHouse TTL ... GROUP BY analogue)",
+    )
+    rt.add_argument("table_path")
+    rt.add_argument("--age-days", type=int, required=True)
+    rt.add_argument("--granularity", type=int, default=86400)
+    dd = sub.add_parser(
+        "deduplicate",
+        help="drop duplicate rows at rest (OPTIMIZE ... DEDUPLICATE)",
+    )
+    dd.add_argument("table_path")
+    dd.add_argument("--by", default=None, help="comma-separated key (default: full row)")
     args = ap.parse_args()
 
     from kubenetmon_spark.session import get_spark
@@ -101,6 +118,25 @@ def main() -> int:
         df = spark.read.parquet(args.in_path)
         zorder_write(df, args.out_path, args.cols.split(","), n_files=args.files)
         print(f"z-ordered {args.in_path} -> {args.out_path} on {args.cols}")
+    elif args.cmd == "rollup-ttl":
+        from kubenetmon_spark.sink import apply_rollup_ttl
+
+        touched = apply_rollup_ttl(
+            spark,
+            args.table_path,
+            age_days=args.age_days,
+            granularity_seconds=args.granularity,
+        )
+        print(f"rolled up {len(touched)} partitions: {touched}")
+    elif args.cmd == "deduplicate":
+        from kubenetmon_spark.sink import deduplicate
+
+        touched = deduplicate(
+            spark,
+            args.table_path,
+            by=args.by.split(",") if args.by else None,
+        )
+        print(f"deduplicated {len(touched)} partitions: {touched}")
     else:
         compact(spark, args.table_path, target_date=args.date)
         print(
