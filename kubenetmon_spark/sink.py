@@ -404,11 +404,16 @@ def deduplicate(
         .drop("_rn", *[n for n in key_names if n.startswith("_k_")])
     )
     deduped = deduped.localCheckpoint(eager=True)
-    sort_key = [c for c in PRIMARY_KEY_PREFIX if c in deduped.columns]
+    # non-flow tables share none of the flow primary key — fall back to
+    # the dedup key so the rewrite is still deterministically ordered
+    sort_key = [c for c in PRIMARY_KEY_PREFIX if c in deduped.columns] or [
+        c for c in key if c in deduped.columns
+    ]
+    out = deduped.repartition(F.col("date"))
+    if sort_key:
+        out = out.sortWithinPartitions(*sort_key)
     (
-        deduped.repartition(F.col("date"))
-        .sortWithinPartitions(*sort_key)
-        .write.mode("overwrite")
+        out.write.mode("overwrite")
         .partitionBy("date")
         .parquet(path)
     )
