@@ -8094,6 +8094,50 @@ def q178(spark, sf_dir):
     ).orderBy("user_id")
 
 
+@_register(
+    "q179_versioned_collapsing",
+    """
+    SELECT user_id,
+           CAST(MAX(event_id) AS BIGINT) AS version,
+           CAST(arg_max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+                        event_id) AS BIGINT) AS cents
+    FROM events WHERE event_type != 'error'
+    GROUP BY user_id ORDER BY user_id
+    """,
+    "VersionedCollapsingMergeTree FINAL: a cancel row annihilates only "
+    "the SAME version (safe under out-of-order multi-writer streams, "
+    "unlike plain Collapsing) — per-(key, version) sign netting then a "
+    "latest-survivor pick; the synthetic stream inserts every event at "
+    "version=event_id and cancels exactly the 'error' versions, so the "
+    "oracle reduces to arg_max over the non-cancelled set — "
+    "operators/mergetree.py::versioned_collapsing_latest",
+)
+def q179(spark, sf_dir):
+    from kubenetmon_spark.operators.mergetree import (
+        versioned_collapsing_latest,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("version"),
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+            "cents"
+        ),
+        "event_type",
+    )
+    inserts = ev.select(
+        "user_id", "version", "cents", F.lit(1).alias("sign")
+    )
+    cancels = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "version", "cents", F.lit(-1).alias("sign")
+    )
+    stream = inserts.unionByName(cancels)
+    out = versioned_collapsing_latest(
+        stream, ["user_id"], "version", "sign", ["cents"]
+    )
+    return out.select("user_id", "version", "cents").orderBy("user_id")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

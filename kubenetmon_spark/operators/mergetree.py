@@ -68,3 +68,42 @@ def collapsing_aggregate(
         F.count(F.lit(1)).alias("n_rows"),
     )
     return out.filter(F.col("_net_sign") > 0).drop("_net_sign")
+
+
+def versioned_collapsing_latest(
+    df: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    sign_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """VersionedCollapsingMergeTree ``FINAL`` read contract: a (+1) row
+    is cancelled ONLY by a (-1) row carrying the SAME version (unlike
+    plain Collapsing, where any cancel nets against any insert — that
+    difference is what makes Versioned safe under out-of-order
+    multi-writer streams). The surviving state per key is the row with
+    the highest un-cancelled version.
+
+    Plan: one hash agg on (key, version) nets signs per version, a
+    second max_by picks the latest survivor — both shuffles are on the
+    same key prefix, so AQE plans the second as a near-local agg.
+
+    Reference: ClickHouse docs/engines/table-engines/mergetree-family/
+    versionedcollapsingmergetree.md.
+    """
+    sign = F.col(sign_col)
+    per_version = df.groupBy(*key_cols, version_col).agg(
+        F.sum(sign).alias("_net"),
+        *[
+            F.max(F.when(sign > 0, F.col(v))).alias(v)
+            for v in value_cols
+        ],
+    )
+    alive = per_version.filter(F.col("_net") > 0)
+    return alive.groupBy(*key_cols).agg(
+        F.max(version_col).alias(version_col),
+        *[
+            F.max_by(F.col(v), F.col(version_col)).alias(v)
+            for v in value_cols
+        ],
+    )

@@ -84,3 +84,31 @@ class TestCollapsing:
         assert sorted((r["k"], r["net_val"]) for r in direct.collect()) == sorted(
             (r["k"], r["net_val"]) for r in refolded.collect()
         )
+
+
+class TestVersionedCollapsing:
+    def test_cancel_must_match_version(self, spark):
+        from kubenetmon_spark.operators.mergetree import (
+            versioned_collapsing_latest,
+        )
+
+        rows = [
+            # key A: v1 inserted, v2 inserted then cancelled -> survives v1
+            ("A", 1, 10, 1), ("A", 2, 20, 1), ("A", 2, 20, -1),
+            # key B: cancel arrives BEFORE its insert (out of order) and
+            # a plain-collapsing engine would net it against v1 — here it
+            # only kills v2; v3 survives
+            ("B", 2, 99, -1), ("B", 1, 11, 1), ("B", 2, 99, 1),
+            ("B", 3, 33, 1),
+            # key C: everything cancelled -> key disappears
+            ("C", 1, 5, 1), ("C", 1, 5, -1),
+        ]
+        df = spark.createDataFrame(rows, ["k", "version", "v", "sign"])
+        got = {
+            r.k: (r.version, r.v)
+            for r in versioned_collapsing_latest(
+                df, ["k"], "version", "sign", ["v"]
+            ).collect()
+        }
+        assert got == {"A": (1, 10), "B": (3, 33)}
+        assert "C" not in got
