@@ -8138,6 +8138,121 @@ def q179(spark, sf_dir):
     return out.select("user_id", "version", "cents").orderBy("user_id")
 
 
+@_register(
+    "q180_exact_auc",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 500
+               AS score,
+             CASE WHEN (user_id + event_id) % 3 = 0 THEN 1 ELSE 0 END
+               AS label
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, score, label,
+             2 * RANK() OVER (PARTITION BY event_type ORDER BY score)
+               + COUNT(*) OVER (PARTITION BY event_type, score) - 1 AS dmr
+      FROM o
+    ),
+    a AS (
+      SELECT event_type,
+             COUNT(CASE WHEN label = 1 THEN 1 END) AS n_pos,
+             COUNT(CASE WHEN label = 0 THEN 1 END) AS n_neg,
+             SUM(CASE WHEN label = 1 THEN dmr END) AS dblr1
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND(CAST(dblr1 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2 * n_pos * n_neg), 6) AS auc
+    FROM a ORDER BY event_type
+    """,
+    "exact AUC (ClickHouse arrayAUC as a grouped aggregate): the "
+    "Mann-Whitney U normalization over integer doubled midranks — ties "
+    "earn the standard half credit exactly, everything before the "
+    "final division is int64 — operators/stats.py::exact_auc; one "
+    "rank window + one hash agg per group",
+)
+def q180(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import exact_auc
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+            % 500
+        ).alias("score"),
+        F.when((F.col("user_id") + F.col("event_id")) % 3 == 0, 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    return exact_auc(ev, ["event_type"], "score", "label").orderBy(
+        "event_type"
+    )
+
+
+@_register(
+    "q181_group_array_intersect",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             list_sort(list_distinct(list(event_type))) AS types
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    x AS (
+      SELECT user_id, t.t AS typ, COUNT(*) AS n_days_with,
+             (SELECT COUNT(*) FROM daily d2
+              WHERE d2.user_id = daily.user_id) AS n_days
+      FROM daily, UNNEST(types) t(t)
+      GROUP BY user_id, t.t
+    )
+    SELECT user_id,
+           COALESCE(string_agg(CASE WHEN n_days_with = n_days THEN typ END,
+                    ',' ORDER BY typ), '') AS everyday_types
+    FROM x GROUP BY user_id ORDER BY user_id
+    """,
+    "ClickHouse groupArrayIntersect: the intersection of per-row "
+    "arrays across a group (event types seen EVERY active day) — "
+    "explode + presence counting (an element survives iff its day "
+    "count equals the group's day count), never an iterative "
+    "array_intersect fold over collected rows",
+)
+def q181(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    )
+    daily = ev.groupBy("user_id", "d").agg(
+        F.collect_set("event_type").alias("types")
+    )
+    n_days = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    x = (
+        daily.select("user_id", F.explode("types").alias("typ"))
+        .groupBy("user_id", "typ")
+        .agg(F.count(F.lit(1)).alias("n_days_with"))
+        .join(n_days, "user_id")
+    )
+    return (
+        x.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("n_days_with") == F.col("n_days"),
+                            F.col("typ"),
+                        )
+                    )
+                ),
+            ).alias("everyday_types")
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

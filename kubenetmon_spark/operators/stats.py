@@ -754,3 +754,51 @@ def mean_z_test(
         "ny",
         F.round((mx - my) / se, 6).alias("z"),
     )
+
+
+def exact_auc(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """ClickHouse ``arrayAUC`` as a grouped aggregate: the exact area
+    under the ROC curve of integer scores against binary labels.
+
+    AUC is the Mann-Whitney U statistic normalized: with doubled
+    midranks (integers — ties handled exactly, same device as
+    mann_whitney_u above), ``AUC = (dblR1 - n1*(n1+1)) / (2*n1*n0)``
+    where dblR1 sums the positives' doubled midranks. Everything up to
+    the final division is int64, so the oracle reproduces it bit-for-
+    bit; ties contribute the standard half credit.
+
+    Plan: one shuffle+sort per group for the rank window, one hash agg.
+    Returns n_pos, n_neg, auc (null when a class is empty).
+    """
+    from pyspark.sql.window import Window
+
+    s = F.col(score_col)
+    w = Window.partitionBy(*group_cols).orderBy(s)
+    r_lo = F.rank().over(w)
+    cnt_eq = F.count(F.lit(1)).over(Window.partitionBy(*group_cols, score_col))
+    dmr = 2 * r_lo + (cnt_eq - 1)
+    pos = F.col(label_col) == 1
+    agg = (
+        df.withColumn("_dmr", dmr)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.when(pos, 1)).alias("n_pos"),
+            F.count(F.when(~pos, 1)).alias("n_neg"),
+            F.sum(F.when(pos, F.col("_dmr"))).alias("dblr1"),
+        )
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        (F.col("dblr1") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+            "double"
+        )
+        / (2 * F.col("n_pos") * F.col("n_neg")),
+    )
+    return agg.select(
+        *group_cols, "n_pos", "n_neg", F.round(auc, 6).alias("auc")
+    )

@@ -1039,3 +1039,37 @@ class TestMeanZTest:
         )
         assert got.nx == 5 and got.ny == 3
         assert abs(got.z - round(want, 6)) < 1e-9
+
+
+class TestExactAuc:
+    def test_matches_sklearn_style_reference(self, spark):
+        from kubenetmon_spark.operators.stats import exact_auc
+
+        # hand-checkable: scores with ties across both classes
+        rows = [("g", s, l) for s, l in
+                [(10, 1), (8, 1), (8, 0), (5, 0), (5, 1), (1, 0)]]
+        df = spark.createDataFrame(rows, ["k", "score", "label"])
+        got = exact_auc(df, ["k"], "score", "label").collect()[0]
+
+        def ref_auc(pairs):
+            pos = [s for s, l in pairs if l == 1]
+            neg = [s for s, l in pairs if l == 0]
+            total = 0.0
+            for p in pos:
+                for n in neg:
+                    total += 1.0 if p > n else (0.5 if p == n else 0.0)
+            return total / (len(pos) * len(neg))
+
+        want = ref_auc([(s, l) for _, s, l in rows])
+        assert got.n_pos == 3 and got.n_neg == 3
+        assert abs(got.auc - round(want, 6)) < 1e-9
+
+    def test_perfect_and_random(self, spark):
+        from kubenetmon_spark.operators.stats import exact_auc
+
+        perfect = [("g", s, 1 if s >= 50 else 0) for s in range(100)]
+        df = spark.createDataFrame(perfect, ["k", "score", "label"])
+        assert exact_auc(df, ["k"], "score", "label").collect()[0].auc == 1.0
+        const = [("g", 7, l) for l in [0, 1] * 20]
+        df2 = spark.createDataFrame(const, ["k", "score", "label"])
+        assert exact_auc(df2, ["k"], "score", "label").collect()[0].auc == 0.5
