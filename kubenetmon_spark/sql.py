@@ -41,6 +41,23 @@ def _size_case() -> str:
     return "CASE " + " ".join(arms) + " END"
 
 
+def _decimal_size_case() -> str:
+    """ClickHouse formatReadableDecimalSize: powers of 1000, KB/MB/...
+    (vs formatReadableSize's 1024 KiB/MiB ladder)."""
+    arms = []
+    units = ["B", "KB", "MB", "GB", "TB", "PB", "EB"]
+    for p in range(6, 0, -1):
+        denom = f"CAST(pow(CAST(1000 AS DOUBLE), {p}) AS DOUBLE)"
+        arms.append(
+            f"WHEN x >= {denom} THEN concat(cast(cast(x / {denom} as "
+            f"decimal(38,2)) as string), ' {units[p]}')"
+        )
+    arms.append(
+        "ELSE concat(cast(cast(x as decimal(38,2)) as string), ' B')"
+    )
+    return "CASE " + " ".join(arms) + " END"
+
+
 def _quantity_case() -> str:
     arms = []
     units = ["", " thousand", " million", " billion", " trillion",
@@ -115,6 +132,16 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
         r"{3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$'",
     ),
     ("formatReadableSize", "(x DOUBLE)", "STRING", _size_case()),
+    ("formatReadableDecimalSize", "(x DOUBLE)", "STRING",
+     _decimal_size_case()),
+    ("fromUnixTimestamp64Milli", "(ms BIGINT)", "TIMESTAMP",
+     "timestamp_millis(ms)"),
+    ("fromUnixTimestamp64Micro", "(us BIGINT)", "TIMESTAMP",
+     "timestamp_micros(us)"),
+    ("toUnixTimestamp64Milli", "(t TIMESTAMP)", "BIGINT",
+     "unix_millis(t)"),
+    ("toUnixTimestamp64Micro", "(t TIMESTAMP)", "BIGINT",
+     "unix_micros(t)"),
     ("formatReadableQuantity", "(x DOUBLE)", "STRING", _quantity_case()),
     ("today", "()", "DATE", "current_date()"),
     ("yesterday", "()", "DATE", "date_sub(current_date(), 1)"),

@@ -392,3 +392,27 @@ class TestReadableTimeDelta:
         for sec, want in cases.items():
             got = _one(spark, f"formatReadableTimeDelta(CAST({sec} AS BIGINT))")
             assert got == want, (sec, got)
+
+
+class TestDecimalSizeAndTs64:
+    def test_decimal_size_ladder(self, spark):
+        cases = {
+            "CAST(999 AS DOUBLE)": "999.00 B",
+            "CAST(1000 AS DOUBLE)": "1.00 KB",
+            "CAST(1500000 AS DOUBLE)": "1.50 MB",
+            "CAST(2000000000 AS DOUBLE)": "2.00 GB",
+        }
+        for expr, want in cases.items():
+            assert _one(spark, f"formatReadableDecimalSize({expr})") == want
+
+    def test_ts64_roundtrip(self, spark):
+        assert (
+            _one(spark, "toUnixTimestamp64Milli(fromUnixTimestamp64Milli"
+                        "(CAST(1700000000123 AS BIGINT)))")
+            == 1700000000123
+        )
+        assert (
+            _one(spark, "toUnixTimestamp64Micro(fromUnixTimestamp64Micro"
+                        "(CAST(1700000000123456 AS BIGINT)))")
+            == 1700000000123456
+        )
