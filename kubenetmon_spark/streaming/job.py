@@ -140,23 +140,52 @@ def start_flow_stream(
     dead_letter_path: str | None = None,
     trigger: dict[str, Any] | None = None,
     query_name: str = "network_flows_ingest",
+    dim_loader: Any | None = None,
+    dim_refresh_batches: int = 0,
 ) -> StreamingQuery:
-    """Merge-time path: full labeler per micro-batch via foreachBatch."""
+    """Merge-time path: full labeler per micro-batch via foreachBatch.
+
+    ``dim_loader`` (optional): a zero-arg callable returning fresh
+    ``(pods, nodes, prefixes)`` DataFrames. When set with
+    ``dim_refresh_batches = N > 0``, dimensions reload every N batches —
+    the reference's daily cloud-range refresh and live k8s informers
+    (reference pkg/labeler/remote.go:99-126; pkg/watcher) as a stream
+    concern: a pod rescheduled mid-stream labels correctly from the next
+    refresh on. Reloading is driver-side metadata work; the rebuilt
+    disjoint-interval LPM dimension is re-persisted and the stale one
+    released, so micro-batches always broadcast a cached build.
+    """
     markers = Path(checkpoint_path) / "_committed_batches"
 
-    # Flatten the prefix dimension to disjoint intervals ONCE for the life
-    # of the stream (the reference builds its trie once per daily refresh,
+    # Flatten the prefix dimension to disjoint intervals ONCE per refresh
+    # (the reference builds its trie once per daily refresh,
     # reference pkg/labeler/remote.go:98-126); persist so micro-batches
     # broadcast the cached intervals instead of re-running the sweep.
     disjoint = disjoint_prefixes(prefixes).persist()
     disjoint.count()
+    dims = {"pods": pods, "nodes": nodes, "disjoint": disjoint, "n": 0}
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = markers / str(batch_id)
         if marker.exists():  # foreachBatch retry of an already-written batch
             return
+        if dim_loader is not None and dim_refresh_batches > 0:
+            dims["n"] += 1
+            if dims["n"] % dim_refresh_batches == 0:
+                new_pods, new_nodes, new_prefixes = dim_loader()
+                fresh = disjoint_prefixes(new_prefixes).persist()
+                fresh.count()
+                dims["disjoint"].unpersist()
+                dims.update(
+                    pods=new_pods, nodes=new_nodes, disjoint=fresh
+                )
         labeled = label_flows(
-            batch_df, pods, nodes, disjoint, cfg, prefixes_are_disjoint=True
+            batch_df,
+            dims["pods"],
+            dims["nodes"],
+            dims["disjoint"],
+            cfg,
+            prefixes_are_disjoint=True,
         ).persist()
         try:
             accepted, dead = split_rejected(labeled)

@@ -295,3 +295,46 @@ def test_dead_letter_reasons_match_batch(spark, stream_inputs, tmp_path):
     assert got["zero_counters"] == 4
     assert got["localhost"] == 3
     assert got["unsupported_proto"] == 2
+
+
+def test_dim_refresh_between_batches(spark, stream_inputs, tmp_path):
+    """A pod dimension change becomes visible to later micro-batches
+    when a dim_loader is set — the reference's live informers / daily
+    range refresh as a stream concern. With no loader, dims stay frozen
+    (and the run equals the batch answer, covered above)."""
+    obs_dir, pods, nodes, prefixes = stream_inputs
+    table = str(tmp_path / "flows")
+    ckpt = str(tmp_path / "ckpt")
+
+    renamed = pods.withColumn(
+        "name", F.concat(F.col("name"), F.lit("-v2"))
+    )
+    calls = {"n": 0}
+
+    def loader():
+        calls["n"] += 1
+        return renamed, nodes, prefixes
+
+    q = start_flow_stream(
+        read_observations(spark, obs_dir, max_files_per_trigger=1),
+        table,
+        ckpt,
+        pods,
+        nodes,
+        prefixes,
+        DEMO_CFG,
+        trigger={"availableNow": True},
+        dim_loader=loader,
+        dim_refresh_batches=2,  # batches 1,3 use stale dims; 2+ refreshed
+    )
+    q.awaitTermination(300)
+    assert calls["n"] >= 1  # loader actually consulted
+    pods_seen = {
+        r.localPod
+        for r in read_flows(spark, table).select("localPod").distinct().collect()
+        if r.localPod
+    }
+    # both generations appear: early batches labeled with original names,
+    # post-refresh batches with the renamed dimension
+    assert any(p.endswith("-v2") for p in pods_seen)
+    assert any(p and not p.endswith("-v2") for p in pods_seen)
