@@ -232,3 +232,39 @@ class TestOrcRoundTrip:
         a = sorted(df.collect(), key=key)
         b = sorted(back.collect(), key=key)
         assert a == b
+
+
+class TestGenerateTable:
+    def test_deterministic_and_distributed(self, spark):
+        from kubenetmon_spark.sources.generate import generate_table, numbers
+
+        spec = {
+            "v": ("int", 10, 99),
+            "price": ("double2", 0.0, 50.0),
+            "name": ("string", "user_", 7),
+            "kind": ("choice", ["a", "b", "c"]),
+            "ts": ("ts", "2024-01-01 00:00:00", 3),
+        }
+        a = generate_table(spark, spec, 500, seed="x", partitions=8)
+        b = generate_table(spark, spec, 500, seed="x", partitions=2)
+        # identical values regardless of partitioning
+        ka = sorted(map(tuple, a.collect()))
+        kb = sorted(map(tuple, b.collect()))
+        assert ka == kb
+        # a different seed is a different table
+        c = generate_table(spark, spec, 500, seed="y")
+        assert ka != sorted(map(tuple, c.collect()))
+        # range respected, cents-exact doubles
+        row = a.agg(
+            F.min("v"), F.max("v"), F.min("price"), F.max("price"),
+            F.count_distinct("kind"), F.min("ts"), F.max("ts"),
+        ).collect()[0]
+        assert 10 <= row[0] and row[1] <= 99
+        assert 0.0 <= row[2] and row[3] <= 50.0
+        assert row[4] == 3
+        assert str(row[5]) >= "2024-01-01 00:00:00"
+        assert str(row[6]) < "2024-01-04 00:00:00"
+        # no shuffle: pure projection over range
+        plan = a._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert numbers(spark, 5).count() == 5
