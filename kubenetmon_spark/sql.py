@@ -175,6 +175,19 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
      "array_join(a, sep)"),
     ("empty", "(s STRING)", "BOOLEAN", "s IS NULL OR s = ''"),
     ("notEmpty", "(s STRING)", "BOOLEAN", "s IS NOT NULL AND s != ''"),
+    ("splitByRegexp", "(re STRING, s STRING)", "ARRAY<STRING>",
+     "split(s, re)"),
+    # ClickHouse extract(haystack, pattern) cannot take that name here —
+    # 'extract' is Spark's EXTRACT(field FROM timestamp) builtin and a
+    # SQL UDF may not replace it. The unambiguous forms:
+    ("extractFirst", "(s STRING, re STRING)", "STRING",
+     "regexp_extract(s, re, 0)"),
+    ("extractGroup", "(s STRING, re STRING)", "STRING",
+     "regexp_extract(s, re, 1)"),
+    ("extractAll", "(s STRING, re STRING)", "ARRAY<STRING>",
+     "regexp_extract_all(s, re, 0)"),
+    ("JSONExtractKeys", "(j STRING)", "ARRAY<STRING>",
+     "json_object_keys(j)"),
     # --- rounding family (ClickHouse docs/sql-reference/functions/rounding-functions) ---
     # roundBankers: IEEE 754 round-half-to-even (ClickHouse's default for
     # Float inputs); Spark's bround is exactly that. Single-arg (scale 0)

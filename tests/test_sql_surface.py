@@ -416,3 +416,16 @@ class TestDecimalSizeAndTs64:
                         "(CAST(1700000000123456 AS BIGINT)))")
             == 1700000000123456
         )
+
+
+class TestScalarStragglers:
+    def test_split_by_regexp_and_extract(self, spark):
+        assert _one(spark, r"splitByRegexp('[0-9]+', 'a12b3c')") == ["a", "b", "c"]
+        assert _one(spark, r"extractFirst('v=42;', 'v=[0-9]+')") == "v=42"
+        assert _one(spark, r"extractGroup('v=42;', 'v=([0-9]+)')") == "42"
+        assert _one(spark, r"extractFirst('none', 'v=[0-9]+')") == ""
+        assert _one(spark, r"extractAll('a1 b22', '[0-9]+')") == ["1", "22"]
+
+    def test_json_extract_keys(self, spark):
+        got = _one(spark, """JSONExtractKeys('{"b": 1, "a": 2}')""")
+        assert got == ["b", "a"]  # document order, like ClickHouse
