@@ -326,3 +326,31 @@ def test_phrase_search_filters_tokens_before_shuffle(spark):
     below = plan[first_exchange:]
     assert "token" in below and ("Filter" in below or "Generate" in below)
     assert "BroadcastHashJoin" in plan  # the (term, offset) table
+
+
+def test_join_algorithm_hint_surface(spark):
+    """ClickHouse's SETTINGS join_algorithm = 'hash' | 'partial_merge' |
+    'broadcast' maps to Spark join hints: the same query flips physical
+    strategy under a hint while producing identical results."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    merged = li.join(
+        orders.hint("merge"), li.l_orderkey == orders.o_orderkey
+    )
+    shuffled = li.join(
+        orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+    )
+    bcast = li.join(
+        F.broadcast(orders), li.l_orderkey == orders.o_orderkey
+    )
+    assert "SortMergeJoin" in _plan(merged)
+    assert "ShuffledHashJoin" in _plan(shuffled)
+    assert "BroadcastHashJoin" in _plan(bcast)
+    n = plain.count()
+    assert merged.count() == shuffled.count() == bcast.count() == n
