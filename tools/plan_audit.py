@@ -104,6 +104,10 @@ KNOWN = {
     "corpus against per-doc match counts (both corpus-cardinality); "
     "token-stream exchanges carry only phrase-term hits "
     "(plan-asserted in test_plans.py)",
+    "q181_group_array_intersect": "only the per-(user, day) set agg "
+    "shuffles data volume; every later exchange (presence counts, day "
+    "totals, final intersect) carries at most users x active-days rows "
+    "— calendar-bounded, never fact-scale",
     "q10_lpm_classify": "appears only at sf0.1+: the distinct-IP "
     "join-back deliberately carries no broadcast hint (lpm_lookup "
     "docstring) — AQE sizes it at runtime, and beyond the threshold a "
