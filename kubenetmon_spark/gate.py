@@ -8253,6 +8253,84 @@ def q181(spark, sf_dir):
     )
 
 
+@_register(
+    "q182_bigram_perplexity",
+    r"""
+    WITH d AS (SELECT doc_id, source, lower(trim(text)) AS t
+               FROM documents),
+    toks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             regexp_split_to_array(t, '\s+')[CAST(i AS INTEGER)] AS tok
+      FROM d, UNNEST(generate_series(1,
+             len(regexp_split_to_array(t, '\s+')))) u(i)
+    ),
+    uni AS (SELECT tok, COUNT(*) AS cu FROM toks GROUP BY tok),
+    vs AS (SELECT COUNT(*) AS v FROM uni),
+    pairs AS (
+      SELECT doc_id, tok,
+             lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM toks
+    ),
+    bi AS (SELECT prev, tok, COUNT(*) AS cb FROM pairs
+           WHERE prev IS NOT NULL GROUP BY prev, tok),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(round(log2((COALESCE(b.cb, 0) + 1.0)
+                  / (COALESCE(u.cu, 0) + v)) * 1000000) AS BIGINT)
+               AS micro
+      FROM pairs p
+      LEFT JOIN bi b ON p.prev = b.prev AND p.tok = b.tok
+      LEFT JOIN uni u ON p.prev = u.tok
+      CROSS JOIN vs
+      WHERE p.prev IS NOT NULL
+    ),
+    per_doc AS (
+      SELECT doc_id, SUM(micro) AS lp, COUNT(*) AS np
+      FROM scored GROUP BY doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(lp) AS BIGINT) AS s_lp_micro,
+           CAST(SUM(np) AS BIGINT) AS s_pairs,
+           CAST(SUM(CASE WHEN lp > np * -4910000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_low_ppl
+    FROM d JOIN per_doc USING (doc_id)
+    GROUP BY source ORDER BY source
+    """,
+    "CCNet-style bigram-LM perplexity filter, deterministic end to "
+    "end: corpus-trained add-one-smoothed bigram scores with each "
+    "per-pair log2 term rounded to integer micro-bits BEFORE summation "
+    "— float addition is not associative, so a shuffle must never "
+    "change a score; the n_low_ppl threshold is the filter's keep "
+    "predicate — operators/lm.py",
+)
+def q182(spark, sf_dir):
+    from kubenetmon_spark.operators.lm import (
+        train_bigram_counts,
+        with_bigram_logprob,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    uni, bi = train_bigram_counts(d)
+    v = uni.count()
+    scored = with_bigram_logprob(d, uni, bi, v)
+    return (
+        scored.filter(F.col("lp_micro").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("lp_micro").alias("s_lp_micro"),
+            F.sum("n_pairs").alias("s_pairs"),
+            F.sum(
+                F.when(
+                    F.col("lp_micro") > F.col("n_pairs") * -4_910_000, 1
+                ).otherwise(0)
+            ).alias("n_low_ppl"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

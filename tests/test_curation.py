@@ -299,3 +299,71 @@ class TestHtmlStripped:
         got = {r.id: r.text_extracted for r in with_html_stripped(df).collect()}
         for i, _, want in cases:
             assert got[i] == want, (i, got[i])
+
+
+class TestBigramLm:
+    def test_matches_python_reference(self, spark):
+        import math
+        import re
+        from collections import Counter
+
+        from kubenetmon_spark.operators.lm import (
+            train_bigram_counts,
+            with_bigram_logprob,
+        )
+
+        docs = [
+            (0, "the cat sat on the mat"),
+            (1, "the cat ate"),
+            (2, "dogs bark"),
+            (3, "single"),          # no pairs -> null score
+            (4, "the the the"),     # repeated bigram
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        uni, bi = train_bigram_counts(df)
+        v = uni.count()
+        got = {
+            r.doc_id: (r.lp_micro, r.n_pairs)
+            for r in with_bigram_logprob(df, uni, bi, v).collect()
+        }
+
+        # pure-Python reference
+        tok = lambda t: [w for w in re.split(r"\s+", t.strip().lower()) if w]
+        cu = Counter(w for _, t in docs for w in tok(t))
+        cb = Counter(
+            (ts[i - 1], ts[i])
+            for _, t in docs
+            for ts in [tok(t)]
+            for i in range(1, len(ts))
+        )
+        assert v == len(cu)
+        for i, t in docs:
+            ts = tok(t)
+            if len(ts) < 2:
+                assert got[i] == (None, None), i
+                continue
+            micro = sum(
+                round(
+                    math.log2((cb[(ts[j - 1], ts[j])] + 1) / (cu[ts[j - 1]] + v))
+                    * 1_000_000
+                )
+                for j in range(1, len(ts))
+            )
+            assert got[i] == (micro, len(ts) - 1), i
+
+    def test_in_distribution_scores_higher(self, spark):
+        from kubenetmon_spark.operators.lm import (
+            train_bigram_counts,
+            with_bigram_logprob,
+        )
+
+        corpus = [(i, "alpha beta gamma delta") for i in range(20)]
+        corpus += [(100, "zeta eta theta iota")]
+        df = spark.createDataFrame(corpus, ["doc_id", "text"])
+        uni, bi = train_bigram_counts(df)
+        got = {
+            r.doc_id: r.lp_micro / r.n_pairs
+            for r in with_bigram_logprob(df, uni, bi, uni.count()).collect()
+        }
+        # the common document scores far better than the one-off
+        assert got[0] > got[100]
