@@ -8331,6 +8331,75 @@ def q182(spark, sf_dir):
     )
 
 
+@_register(
+    "q183_tukey_outliers",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM events
+    ),
+    c AS (SELECT event_type, x, COUNT(*) AS w FROM e GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, x,
+             SUM(w) OVER (PARTITION BY event_type ORDER BY x) AS cumw,
+             SUM(w) OVER (PARTITION BY event_type) AS totw
+      FROM c
+    ),
+    q AS (
+      SELECT event_type,
+             MIN(CASE WHEN cumw * 4 >= totw THEN x END) AS q1,
+             MIN(CASE WHEN cumw * 4 >= totw * 3 THEN x END) AS q3
+      FROM r GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(MIN(q1) AS BIGINT) AS q1, CAST(MIN(q3) AS BIGINT) AS q3,
+           CAST(SUM(CASE WHEN 2 * x < 2 * q1 - 3 * (q3 - q1)
+                         OR 2 * x > 2 * q3 + 3 * (q3 - q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    "Tukey-fence outlier detection (ClickHouse "
+    "seriesOutliersDetectTukey): exact-low quartiles via the integer "
+    "reach test (q104's rule) and the 1.5xIQR fences cross-multiplied "
+    "to pure integer comparisons (2x < 2q1 - 3(q3-q1)) — no float "
+    "anywhere; quartiles ride the weighted-quantile machinery over "
+    "value histograms, the fences broadcast back",
+)
+def q183(spark, sf_dir):
+    from kubenetmon_spark.operators.agg import weighted_quantile_exact
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+            "x"
+        ),
+    )
+    counts = ev.groupBy("event_type", "x").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    q = weighted_quantile_exact(
+        counts, ["event_type"], "x", "w", [25, 75]
+    ).select("event_type", F.col("p25").alias("q1"), F.col("p75").alias("q3"))
+    iqr3 = 3 * (F.col("q3") - F.col("q1"))
+    outlier = (2 * F.col("x") < 2 * F.col("q1") - iqr3) | (
+        2 * F.col("x") > 2 * F.col("q3") + iqr3
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("q1").alias("q1"),
+            F.min("q3").alias("q3"),
+            F.sum(outlier.cast("int")).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
