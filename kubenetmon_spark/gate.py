@@ -8400,6 +8400,74 @@ def q183(spark, sf_dir):
     )
 
 
+@_register(
+    "q184_vector_norms",
+    """
+    WITH p AS (
+      SELECT list_transform(range(0, 64), i -> (i * 37) % 100 - 50) AS pv
+    ),
+    e AS (
+      SELECT label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS ev
+      FROM embeddings
+    ),
+    d AS (
+      SELECT label,
+             list_sum(list_transform(range(1, 65),
+               i -> abs(ev[CAST(i AS INTEGER)] - pv[CAST(i AS INTEGER)])))
+               AS l1,
+             list_max(list_transform(range(1, 65),
+               i -> abs(ev[CAST(i AS INTEGER)] - pv[CAST(i AS INTEGER)])))
+               AS linf
+      FROM e, p
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l1) AS BIGINT) AS s_l1,
+           CAST(MAX(linf) AS BIGINT) AS max_linf,
+           CAST(MIN(linf) AS BIGINT) AS min_linf
+    FROM d GROUP BY label ORDER BY label
+    """,
+    "L1Distance / LinfDistance completing the q161 vector-distance "
+    "family — exact integer folds (sum/max of absolute differences) "
+    "over integer-scaled vectors, JVM-side zip_with — "
+    "operators/similarity.py::l1_distance_int/linf_distance_int",
+)
+def q184(spark, sf_dir):
+    from kubenetmon_spark.operators.similarity import (
+        int_scaled_vec,
+        l1_distance_int,
+        linf_distance_int,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: ((i * 37) % 100 - 50).cast("bigint"),
+    )
+    e = emb.select(
+        "label",
+        int_scaled_vec(F.col("embedding")).alias("ev"),
+        probe.alias("pv"),
+    )
+    d = e.select(
+        "label",
+        l1_distance_int(F.col("ev"), F.col("pv")).alias("l1"),
+        linf_distance_int(F.col("ev"), F.col("pv")).alias("linf"),
+    )
+    return (
+        d.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l1").alias("s_l1"),
+            F.max("linf").alias("max_linf"),
+            F.min("linf").alias("min_linf"),
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

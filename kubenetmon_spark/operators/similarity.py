@@ -500,3 +500,17 @@ def knn_join(
             F.col("_rn").alias("rank"),
         )
     )
+
+
+def l1_distance_int(a: Column, b: Column) -> Column:
+    """ClickHouse ``L1Distance`` over integer-scaled vectors — exact."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def linf_distance_int(a: Column, b: Column) -> Column:
+    """ClickHouse ``LinfDistance`` over integer-scaled vectors — exact."""
+    return F.array_max(F.zip_with(a, b, lambda x, y: F.abs(x - y)))
