@@ -273,14 +273,34 @@ def test_gopher_rules_fuse_into_scan(spark):
 def test_knn_join_corpus_never_broadcasts(spark):
     """Centroids broadcast; the corpus side must NOT — a broadcast
     corpus would OOM at scale. Assignment + candidates shuffle on the
-    centroid id / window keys only."""
+    centroid id / window keys only.
+
+    Plan-shape assertions depend on the broadcast threshold and AQE
+    coalescing, which other suite members may legitimately have
+    touched — pin both for the duration (the 10 MB default) so the
+    test is hermetic under any suite ordering.
+    """
     from kubenetmon_spark.operators.similarity import knn_join
 
-    emb = load_table(spark, SF_DIR, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 10 == 0).selectExpr(
-        "vec_id as query_id", "embedding"
-    )
-    plan = _plan(knn_join(emb, queries, k=3, n_centroids=8, n_probe=2))
+    pinned = {
+        "spark.sql.autoBroadcastJoinThreshold": "10485760",
+        "spark.sql.adaptive.enabled": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in pinned}
+    for k, v in pinned.items():
+        spark.conf.set(k, v)
+    try:
+        emb = load_table(spark, SF_DIR, "embeddings")
+        queries = emb.filter(F.col("vec_id") % 10 == 0).selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        plan = _plan(knn_join(emb, queries, k=3, n_centroids=8, n_probe=2))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     # the centroid table rides BroadcastExchange (its cross-join against
     # corpus/queries is a BroadcastNestedLoopJoin building the tiny
     # side); the centroid scan's pushed filter must appear in the plan
