@@ -303,9 +303,15 @@ def test_knn_join_corpus_never_broadcasts(spark):
                 spark.conf.set(k, v)
     # the centroid table rides BroadcastExchange (its cross-join against
     # corpus/queries is a BroadcastNestedLoopJoin building the tiny
-    # side); the centroid scan's pushed filter must appear in the plan
+    # side); the centroid filter appears as PushedFilters on a parquet
+    # scan — or as a plain Filter node when another suite member cached
+    # the embeddings table (InMemoryTableScan carries no pushdown text)
+    import re
+
     assert "BroadcastExchange" in plan
-    assert "LessThan(vec_id,8)" in plan
+    assert "LessThan(vec_id,8)" in plan or re.search(
+        r"vec_id#\d+L? < 8", plan
+    ), "centroid filter not visible in the plan"
     # the corpus-side pipeline shuffles on its aggregation/window keys —
     # hash exchanges exist and nothing collapses to a single partition
     assert "Exchange hashpartitioning" in plan
