@@ -8468,6 +8468,89 @@ def q184(spark, sf_dir):
     )
 
 
+@_register(
+    "q185_zipf_profile",
+    r"""
+    WITH toks AS (
+      SELECT regexp_split_to_array(lower(trim(text)), '\s+')
+               [CAST(i AS INTEGER)] AS tok
+      FROM documents,
+           UNNEST(generate_series(1,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')))) u(i)
+    ),
+    c AS (SELECT tok, COUNT(*) AS cnt FROM toks
+          WHERE tok != '' GROUP BY tok),
+    ranked AS (
+      SELECT tok, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+      FROM c
+    ),
+    top AS (
+      SELECT CAST(round(ln(rnk) * 1000000) AS BIGINT) AS x,
+             CAST(round(ln(cnt) * 1000000) AS BIGINT) AS y
+      FROM ranked WHERE rnk <= 200
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM top
+    ),
+    head AS (
+      SELECT string_agg(tok, ',' ORDER BY rnk) AS top5
+      FROM ranked WHERE rnk <= 5
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS vocab,
+           CAST(n AS BIGINT) AS n_points,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+           top5
+    FROM s, head
+    """,
+    "corpus vocabulary Zipf profile: word frequencies -> rank -> exact "
+    "OLS of ln(freq) on ln(rank) with both logs micro-rounded to "
+    "integers BEFORE the sums (the q182 trick — the regression inputs "
+    "are exact int64, the slope is one float division); top-5 word "
+    "list rides along — operators/stats.py::simple_linear_regression",
+)
+def q185(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from kubenetmon_spark.operators.retrieval import tokenize
+    from kubenetmon_spark.operators.stats import simple_linear_regression
+
+    d = _t(spark, sf_dir, "documents")
+    c = tokenize(d).groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = c.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.desc("cnt"), F.col("token"))
+        ),
+    )
+    top = ranked.filter(F.col("rnk") <= 200).select(
+        F.lit("corpus").alias("g"),
+        F.round(F.log(F.col("rnk")) * 1_000_000).cast("bigint").alias("x"),
+        F.round(F.log(F.col("cnt")) * 1_000_000).cast("bigint").alias("y"),
+    )
+    ols = simple_linear_regression(top, ["g"], "x", "y").select(
+        F.col("n").alias("n_points"), F.col("slope").alias("zipf_slope")
+    )
+    head = ranked.filter(F.col("rnk") <= 5).agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rnk", "token"))
+                ),
+                lambda s: s["token"],
+            ),
+        ).alias("top5")
+    )
+    vocab = c.agg(F.count(F.lit(1)).alias("vocab"))
+    return vocab.crossJoin(ols).crossJoin(head).select(
+        "vocab", "n_points", "zipf_slope", "top5"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
