@@ -8551,6 +8551,66 @@ def q185(spark, sf_dir):
     )
 
 
+def _morton2_sql(x: str, y: str, bits: int = 10) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((({x}) >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((({y}) >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@_register(
+    "q186_morton_encode",
+    f"""
+    WITH e AS (
+      SELECT user_id % 1024 AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 1024 AS y,
+             event_type
+      FROM events
+    ),
+    m AS (SELECT event_type, x, y, {_morton2_sql("x", "y")} AS z FROM e)
+    SELECT event_type,
+           CAST(SUM(z) AS BIGINT) AS s_z,
+           CAST(MIN(z) AS BIGINT) AS min_z,
+           CAST(MAX(z) AS BIGINT) AS max_z,
+           CAST(SUM(CASE WHEN z % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_q3
+    FROM m GROUP BY event_type ORDER BY event_type
+    """,
+    "ClickHouse mortonEncode — the raw integer bit interleave behind "
+    "the Z-order clustering writer (operators/zorder.py::morton_encode2"
+    "/morton_decode2, round-trip unit-tested); every term fully "
+    "parenthesized for the Postgres-tradition '+' precedence, same as "
+    "geohash",
+)
+def q186(spark, sf_dir):
+    from kubenetmon_spark.operators.zorder import morton_encode2
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 1024).alias("x"),
+        (
+            F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+            % 1024
+        ).alias("y"),
+    )
+    m = ev.withColumn(
+        "z", morton_encode2(F.col("x"), F.col("y"), bits=10)
+    )
+    return (
+        m.groupBy("event_type")
+        .agg(
+            F.sum("z").alias("s_z"),
+            F.min("z").alias("min_z"),
+            F.max("z").alias("max_z"),
+            F.sum(F.when(F.col("z") % 4 == 3, 1).otherwise(0)).alias(
+                "n_q3"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

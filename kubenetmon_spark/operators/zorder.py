@@ -94,3 +94,34 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def morton_encode2(x: Column, y: Column, bits: int = 16) -> Column:
+    """ClickHouse ``mortonEncode(x, y)`` — RAW integer bit interleave
+    (no quantization; callers bound their inputs to ``bits`` each).
+    Output bit 2b is bit b of x, bit 2b+1 is bit b of y — matching the
+    quantized key ``with_zorder_key`` builds after scaling.
+    """
+    key: Column = F.lit(0).cast("long")
+    for b in range(bits):
+        key = key + F.shiftleft(
+            F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b
+        )
+        key = key + F.shiftleft(
+            F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1
+        )
+    return key
+
+
+def morton_decode2(key: Column, bits: int = 16) -> tuple[Column, Column]:
+    """Inverse of ``morton_encode2``: recover (x, y)."""
+    x: Column = F.lit(0).cast("long")
+    y: Column = F.lit(0).cast("long")
+    for b in range(bits):
+        x = x + F.shiftleft(
+            F.shiftright(key, 2 * b).bitwiseAND(F.lit(1)), b
+        )
+        y = y + F.shiftleft(
+            F.shiftright(key, 2 * b + 1).bitwiseAND(F.lit(1)), b
+        )
+    return x, y

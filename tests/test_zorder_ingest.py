@@ -268,3 +268,31 @@ class TestGenerateTable:
         plan = a._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert numbers(spark, 5).count() == 5
+
+
+class TestMortonRawCodec:
+    def test_roundtrip_and_reference(self, spark):
+        from pyspark.sql import functions as F
+
+        from kubenetmon_spark.operators.zorder import (
+            morton_decode2,
+            morton_encode2,
+        )
+
+        def ref(x, y, bits=16):
+            z = 0
+            for b in range(bits):
+                z |= ((x >> b) & 1) << (2 * b)
+                z |= ((y >> b) & 1) << (2 * b + 1)
+            return z
+
+        rows = [(0, 0), (1, 0), (0, 1), (5, 9), (1023, 1), (65535, 65535)]
+        df = spark.createDataFrame(rows, "x bigint, y bigint")
+        enc = df.withColumn(
+            "z", morton_encode2(F.col("x"), F.col("y"))
+        )
+        dx, dy = morton_decode2(F.col("z"))
+        out = enc.withColumn("rx", dx).withColumn("ry", dy).collect()
+        for r in out:
+            assert r.z == ref(r.x, r.y), (r.x, r.y)
+            assert (r.rx, r.ry) == (r.x, r.y)
