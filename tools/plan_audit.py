@@ -108,6 +108,11 @@ KNOWN = {
     "shuffles data volume; every later exchange (presence counts, day "
     "totals, final intersect) carries at most users x active-days rows "
     "— calendar-bounded, never fact-scale",
+    "q182_bigram_perplexity": "LM training and scoring are separate "
+    "passes by design (counts must exist before scoring): token lag "
+    "window, unigram agg, bigram agg, count joins, per-doc sum — the "
+    "lag window and per-doc sum share the doc partitioning, and count "
+    "tables are vocabulary-bounded (broadcast at realistic vocab sizes)",
     "q10_lpm_classify": "appears only at sf0.1+: the distinct-IP "
     "join-back deliberately carries no broadcast hint (lpm_lookup "
     "docstring) — AQE sizes it at runtime, and beyond the threshold a "
