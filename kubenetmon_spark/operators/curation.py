@@ -108,6 +108,10 @@ def mixture_sample(
     hex4 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
 
     def thr(bp: int) -> str:
+        # 'g' sorts above every hex digit: bp >= 10000 keeps everything
+        # (format(65536, '04x') = '10000' is lexicographically < 'ffff')
+        if bp >= 10000:
+            return "g"
         return format(int(_BUCKETS * bp / 10000), "04x")
 
     expr = F.lit(thr(default_bp))
@@ -184,3 +188,45 @@ def shuffle_epoch(
         else out.repartitionByRange("shuffle_key")
     )
     return parts.sortWithinPartitions("shuffle_key")
+
+
+def temperature_rates_bp(
+    sizes: dict[str, int], alpha: float = 0.7, budget: int | None = None
+) -> dict[str, int]:
+    """Temperature-based mixture rates (the ``size^alpha`` reweighting
+    used for multilingual/pretraining mixes): returns per-stratum
+    keep-rates in basis points for ``mixture_sample``, such that the
+    EXPECTED kept counts are proportional to ``size_s ** alpha`` and
+    total ~``budget`` rows (default: the smallest stratum's equalized
+    budget — alpha=0 equalizes strata, alpha=1 keeps natural
+    proportions).
+
+    Pure driver-side arithmetic over the stratum sizes (a handful of
+    numbers); determinism of the actual sampling comes from
+    mixture_sample's md5 thresholds. Rates clamp to 10000 — a stratum
+    smaller than its target keeps everything (the standard
+    oversample-not-available caveat; callers wanting replication handle
+    it upstream).
+    """
+    if not sizes:
+        return {}
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    weights = {s: float(n) ** alpha if n > 0 else 0.0 for s, n in sizes.items()}
+    wtot = sum(weights.values())
+    if wtot == 0:
+        return {s: 0 for s in sizes}
+    if budget is None:
+        # equalized default: every stratum could fill its share of the
+        # total implied by the smallest stratum at its weight share
+        smallest = min((n for n in sizes.values() if n > 0), default=0)
+        smin = min(
+            (s for s, n in sizes.items() if n == smallest),
+            default=None,
+        )
+        budget = int(smallest / (weights[smin] / wtot)) if smin else 0
+    rates = {}
+    for s, n in sizes.items():
+        target = budget * (weights[s] / wtot)
+        rates[s] = min(10000, int(round(target / n * 10000))) if n else 0
+    return rates

@@ -28,8 +28,15 @@ def hash_keep(id_col: Column, keep_bp: int) -> Column:
     """Boolean keep-decision: md5(id) falls in the first keep_bp/10000
     of the [0, ffff] hex space. Lexicographic compare on fixed-width
     lowercase hex == numeric compare, and both Spark and DuckDB emit
-    lowercase hex md5, so the predicate is engine-portable verbatim."""
-    threshold = format(int(_BUCKETS * keep_bp / 10000), "04x")
+    lowercase hex md5, so the predicate is engine-portable verbatim.
+
+    keep_bp >= 10000 keeps EVERYTHING: the naive threshold would be
+    '10000' — five chars, lexicographically BELOW 'ffff' — silently
+    keeping only 1/16 of rows; 'g' sorts above every hex digit."""
+    if keep_bp >= 10000:
+        threshold = "g"
+    else:
+        threshold = format(int(_BUCKETS * keep_bp / 10000), "04x")
     return F.substring(F.md5(id_col.cast("string")), 1, 4) < F.lit(threshold)
 
 

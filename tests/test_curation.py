@@ -367,3 +367,61 @@ class TestBigramLm:
         }
         # the common document scores far better than the one-off
         assert got[0] > got[100]
+
+
+class TestTemperatureRates:
+    def test_alpha_endpoints(self, spark):
+        from kubenetmon_spark.operators.curation import temperature_rates_bp
+
+        sizes = {"big": 100_000, "mid": 10_000, "small": 1_000}
+        # alpha=1: natural proportions -> every stratum same rate
+        r1 = temperature_rates_bp(sizes, alpha=1.0, budget=11_100)
+        assert len({r1[s] for s in sizes}) == 1
+        # alpha=0: equal EXPECTED counts per stratum
+        r0 = temperature_rates_bp(sizes, alpha=0.0, budget=3_000)
+        exp = {s: sizes[s] * r0[s] / 10000 for s in sizes}
+        assert max(exp.values()) - min(exp.values()) < 0.02 * max(exp.values())
+        # intermediate alpha upweights small strata relative to natural
+        r7 = temperature_rates_bp(sizes, alpha=0.7, budget=11_100)
+        assert r7["small"] > r7["big"]
+
+    def test_clamp_and_degenerate(self, spark):
+        from kubenetmon_spark.operators.curation import temperature_rates_bp
+
+        r = temperature_rates_bp({"tiny": 10, "big": 100000}, 0.0, 50000)
+        assert r["tiny"] == 10000  # cannot keep more than everything
+        assert temperature_rates_bp({}, 0.5) == {}
+        assert temperature_rates_bp({"z": 0}, 0.5) == {"z": 0}
+
+    def test_composes_with_mixture_sample(self, spark):
+        from kubenetmon_spark.operators.curation import (
+            mixture_sample,
+            temperature_rates_bp,
+        )
+
+        rows = [(i, "big") for i in range(2000)] + [
+            (10_000 + i, "small") for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, ["id", "src"])
+        sizes = {"big": 2000, "small": 200}
+        rates = temperature_rates_bp(sizes, alpha=0.0, budget=400)
+        kept = mixture_sample(df, rates, "src", "id")
+        by = {r.src: r.cnt for r in kept.groupBy("src").agg(
+            F.count(F.lit(1)).alias("cnt")).collect()}
+        # expected ~200 each; md5 thresholds are approximate — wide band
+        assert 120 <= by.get("big", 0) <= 280
+        assert 120 <= by.get("small", 0) <= 280
+
+
+def test_keep_all_rate_keeps_everything(spark):
+    """Regression: bp=10000 must keep 100% of rows — the naive hex
+    threshold '10000' is lexicographically BELOW 'ffff' and silently
+    kept ~1/16."""
+    from kubenetmon_spark.operators.curation import mixture_sample
+    from kubenetmon_spark.operators.sampling import deterministic_sample
+
+    df = spark.createDataFrame([(i, "s") for i in range(500)], ["id", "src"])
+    assert deterministic_sample(df, "id", 10000).count() == 500
+    assert mixture_sample(df, {"s": 10000}, "src", "id").count() == 500
+    # and 0 still drops everything
+    assert deterministic_sample(df, "id", 0).count() == 0
