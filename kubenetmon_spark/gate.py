@@ -8611,6 +8611,93 @@ def q186(spark, sf_dir):
     )
 
 
+@_register(
+    "q187_curation_pipeline_v2",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source, trim(text) AS t,
+             regexp_split_to_array(trim(text), '\s+') AS words
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, t, len(words) AS n,
+             length(regexp_replace(t, '\s+', '', 'g')) AS total_len,
+             len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+               AS n_alpha,
+             (CASE WHEN regexp_matches(t, '(^|\s)the(\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(t, '(^|\s)a(\s|$)') THEN 1 ELSE 0 END)
+               AS n_stop
+      FROM d
+    ),
+    passed AS (
+      SELECT doc_id, source, t FROM g
+      WHERE n >= 20 AND n <= 100000
+        AND total_len >= 2 * n AND total_len <= 10 * n
+        AND n_alpha * 100 >= n * 80 AND n_stop >= 2
+    ),
+    toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(t, '\s+')[CAST(i AS INTEGER)] AS tok
+      FROM passed, UNNEST(generate_series(1,
+             len(regexp_split_to_array(t, '\s+')))) u(i)
+    ),
+    scored AS (
+      SELECT doc_id,
+             SUM((CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT)
+                  % 4096 % 2001) - 1000) AS logit
+      FROM toks WHERE tok != '' GROUP BY doc_id
+    ),
+    pos AS (
+      SELECT p.doc_id, p.source, s.logit,
+             ROW_NUMBER() OVER (PARTITION BY p.source
+                                ORDER BY s.logit DESC, p.doc_id) AS rk
+      FROM passed p JOIN scored s USING (doc_id)
+      WHERE s.logit > 0
+    )
+    SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(logit AS BIGINT) AS logit
+    FROM pos WHERE rk <= 5
+    ORDER BY source, logit DESC, doc_id
+    """,
+    "the round's curation operators composed in ONE plan — Gopher "
+    "rule gate (codegen flags fused into the scan) -> hashed linear "
+    "quality scorer (per-row fold) -> positive-logit filter -> "
+    "best-first per-source quota (one window) — the q118 composition "
+    "precedent with this round's stages; the oracle replays the full "
+    "CTE chain",
+)
+def q187(spark, sf_dir):
+    from kubenetmon_spark.operators.curation import cap_per_group
+    from kubenetmon_spark.operators.text import (
+        with_gopher_rules,
+        with_hashed_linear_score,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # corpus-adapted parameters (the operator's whole point): this
+    # vocabulary contains only 'the'/'a' from any stopword list and its
+    # words are short — the rule SHAPES stay Gopher's
+    g = with_gopher_rules(
+        d,
+        min_words=20,
+        min_mean_word_len=2,
+        stopwords=["the", "a"],
+    ).filter(
+        F.col("g_word_count_ok")
+        & F.col("g_mean_len_ok")
+        & F.col("g_alpha_ok")
+        & F.col("g_stopword_ok")
+    )
+    s = with_hashed_linear_score(g).filter(F.col("quality_logit") > 0)
+    s = s.withColumn("_neg", -F.col("quality_logit"))
+    top = cap_per_group(s, ["source"], 5, "doc_id", order_col="_neg")
+    return top.select(
+        "source",
+        "doc_id",
+        F.col("quality_logit").alias("logit"),
+    ).orderBy("source", F.desc("logit"), "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
