@@ -8698,6 +8698,62 @@ def q187(spark, sf_dir):
     ).orderBy("source", F.desc("logit"), "doc_id")
 
 
+@_register(
+    "q188_ngram_search",
+    f"""
+    WITH d AS (SELECT doc_id, source, text FROM documents),
+    g AS (
+      SELECT doc_id, substring(text, CAST(i AS INTEGER), 3) AS gram
+      FROM d, UNNEST(generate_series(1, greatest(length(text) - 2, 0))) u(i)
+    ),
+    gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+    p AS (
+      SELECT substring('{_NGRAM_PROBE}', CAST(i AS INTEGER), 3) AS gram,
+             COUNT(*) AS pc
+      FROM UNNEST(generate_series(1, {len(_NGRAM_PROBE) - 2})) u(i)
+      GROUP BY 1
+    ),
+    com AS (
+      SELECT doc_id, SUM(LEAST(c, pc)) AS common
+      FROM gc JOIN p USING (gram) GROUP BY 1
+    ),
+    per AS (
+      SELECT d.doc_id, d.source,
+             (COALESCE(com.common, 0) * 10000)
+               // {len(_NGRAM_PROBE) - 2} AS bp
+      FROM d LEFT JOIN com USING (doc_id)
+    )
+    SELECT source,
+           CAST(SUM(bp) AS BIGINT) AS s_bp,
+           CAST(SUM(CASE WHEN bp = 10000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_full,
+           CAST(MAX(bp) AS BIGINT) AS max_bp
+    FROM per GROUP BY source ORDER BY source
+    """,
+    "ClickHouse ngramSearch — the asymmetric containment sibling of "
+    "ngramDistance (q152): the fraction of the PROBE's gram multiset a "
+    "document covers, in basis points; n_full counts documents "
+    "containing the whole probe — "
+    "operators/text.py::ngram_search_to_probe",
+)
+def q188(spark, sf_dir):
+    from kubenetmon_spark.operators.text import ngram_search_to_probe
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    s = ngram_search_to_probe(d, "doc_id", "text", _NGRAM_PROBE, n=3)
+    return (
+        s.groupBy("source")
+        .agg(
+            F.sum("ngram_search_bp").alias("s_bp"),
+            F.sum(
+                F.when(F.col("ngram_search_bp") == 10000, 1).otherwise(0)
+            ).alias("n_full"),
+            F.max("ngram_search_bp").alias("max_bp"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -653,3 +653,45 @@ def with_html_stripped(
         s = F.replace(s, F.lit(ent), F.lit(ch))
     s = F.trim(F.regexp_replace(s, r"\s+", " "))
     return df.withColumn(out_col, s)
+
+
+def ngram_search_to_probe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    probe: str,
+    n: int = 3,
+    out_col: str = "ngram_search_bp",
+) -> DataFrame:
+    """ClickHouse ``ngramSearch(text, probe)`` — the ASYMMETRIC sibling
+    of ngramDistance: what fraction of the PROBE's n-gram multiset the
+    document covers, in basis points (10000 = every probe gram present
+    at full multiplicity). Same plan as ngram_distance_to_probe (per-doc
+    counts, broadcast probe join); a containment-style needle finder.
+    """
+    spark = df.sparkSession
+    probe_grams: dict[str, int] = {}
+    for i in range(max(len(probe) - n + 1, 0)):
+        g = probe[i : i + n]
+        probe_grams[g] = probe_grams.get(g, 0) + 1
+    size_b = sum(probe_grams.values())
+    pdf = spark.createDataFrame(
+        [(g, c) for g, c in probe_grams.items()], ["gram", "probe_cnt"]
+    )
+    counts = char_ngram_counts(df, id_col, text_col, n)
+    common = (
+        counts.join(F.broadcast(pdf), "gram")
+        .groupBy(id_col)
+        .agg(F.sum(F.least("cnt", "probe_cnt")).alias("common"))
+    )
+    joined = df.join(common, id_col, "left").withColumn(
+        "common", F.coalesce(F.col("common"), F.lit(0))
+    )
+    sim = (
+        F.lit(0)
+        if size_b == 0
+        else (F.col("common") * 10000).cast("bigint") / size_b
+    )
+    return joined.withColumn(out_col, F.floor(sim).cast("bigint")).drop(
+        "common"
+    )

@@ -514,3 +514,31 @@ class TestAsofTolerance:
         assert hit.v == 1
         miss = asof_join(left, right, ["k"], tolerance_seconds=39).collect()[0]
         assert miss.v is None
+
+
+class TestNgramSearch:
+    def test_asymmetric_containment(self, spark):
+        from collections import Counter
+
+        from kubenetmon_spark.operators.text import ngram_search_to_probe
+
+        probe = "abcde"  # grams: abc bcd cde (3 grams)
+        rows = [(0, "xx abcde yy"),  # full containment -> 10000
+                (1, "abc"),          # 1 of 3
+                (2, "zzz"),          # none
+                (3, "cdebcdabc")]    # all three present scattered
+        df = spark.createDataFrame(rows, ["id", "s"])
+        got = {
+            r.id: r.ngram_search_bp
+            for r in ngram_search_to_probe(df, "id", "s", probe).collect()
+        }
+
+        def ref(s):
+            a = Counter(s[i:i + 3] for i in range(max(len(s) - 2, 0)))
+            b = Counter(probe[i:i + 3] for i in range(len(probe) - 2))
+            common = sum(min(c, b[g]) for g, c in a.items() if g in b)
+            return common * 10000 // sum(b.values())
+
+        for i, s in rows:
+            assert got[i] == ref(s), (i, s)
+        assert got[0] == 10000 and got[2] == 0
