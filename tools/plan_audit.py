@@ -82,6 +82,9 @@ KNOWN = {
     "q147_aggregate_odds": "three aggregates over genuinely different "
     "keys (event_type / +x / +user_id) must each shuffle once; the "
     "joins after them are per-event_type rows (broadcast-size)",
+    "q188_ngram_search": "same shape as q152_string_similarity: the "
+    "SMJ is the per-doc common-count join-back on doc_id (both sides "
+    "corpus-cardinality); the probe-gram side broadcasts",
     "q152_string_similarity": "the SMJ is the per-doc common-count "
     "join-back on doc_id — both sides are corpus-cardinality, so a "
     "shuffled join IS the 100 TB plan; the probe-gram side broadcasts",
