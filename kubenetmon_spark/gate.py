@@ -8754,6 +8754,175 @@ def q188(spark, sf_dir):
     )
 
 
+@_register(
+    "q189_bit_aggregates",
+    """
+    WITH e AS (
+      SELECT event_type, (event_id * 2654435761) % 1048576 AS x
+      FROM events
+    )
+    SELECT event_type,
+           CAST(BIT_AND(x) AS BIGINT) AS b_and,
+           CAST(BIT_OR(x) AS BIGINT) AS b_or,
+           CAST(BIT_XOR(x) AS BIGINT) AS b_xor,
+           CAST(SUM(BIT_COUNT(x)) AS BIGINT) AS s_pop
+    FROM e GROUP BY event_type ORDER BY event_type
+    """,
+    "ClickHouse groupBitAnd/groupBitOr/groupBitXor (+ a popcount sum) — "
+    "native Spark bit_and/bit_or/bit_xor aggregates: one hash-agg "
+    "shuffle, fully associative/commutative so partial (map-side) "
+    "aggregation applies; x is a Knuth-multiplicative spread of "
+    "event_id, identical integer math in both engines",
+)
+def q189(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.col("event_id") * F.lit(2654435761)) % 1048576).alias("x"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("bit_and(x)").alias("b_and"),
+            F.expr("bit_or(x)").alias("b_or"),
+            F.expr("bit_xor(x)").alias("b_xor"),
+            F.sum(F.bit_count("x")).cast("long").alias("s_pop"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "q190_minmax_map",
+    """
+    WITH e AS (
+      SELECT user_id % 10 AS grp, event_type AS k,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events
+    ),
+    pk AS (SELECT grp, k, MIN(v) AS mn, MAX(v) AS mx FROM e GROUP BY grp, k)
+    SELECT grp,
+           '{' || string_agg('"' || k || '":' || mn, ',' ORDER BY k) || '}'
+             AS min_map_json,
+           '{' || string_agg('"' || k || '":' || mx, ',' ORDER BY k) || '}'
+             AS max_map_json
+    FROM pk GROUP BY grp ORDER BY grp
+    """,
+    "ClickHouse minMap/maxMap — operators/agg.py::map_aggregate with "
+    "how='min'/'max' (q98 covered only sumMap); both maps come from the "
+    "same explode+two-level hash agg shape, joined on the group key "
+    "(broadcast-size: one row per grp)",
+)
+def q190(spark, sf_dir):
+    from kubenetmon_spark.operators.agg import map_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    mapped = ev.select(
+        (F.col("user_id") % 10).alias("grp"),
+        F.create_map(
+            F.col("event_type"),
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+        ).alias("m"),
+    )
+
+    def as_json(map_col):
+        ents = F.map_entries(F.col(map_col))
+        return F.concat(
+            F.lit("{"),
+            F.array_join(
+                F.transform(
+                    ents,
+                    lambda e: F.concat(
+                        F.lit('"'), e["key"], F.lit('":'),
+                        e["value"].cast("string"),
+                    ),
+                ),
+                ",",
+            ),
+            F.lit("}"),
+        )
+
+    mn = map_aggregate(mapped, "m", ["grp"], how="min", out_col="mnm")
+    mx = map_aggregate(mapped, "m", ["grp"], how="max", out_col="mxm")
+    return (
+        mn.join(mx, "grp")
+        .select(
+            "grp",
+            as_json("mnm").alias("min_map_json"),
+            as_json("mxm").alias("max_map_json"),
+        )
+        .orderBy("grp")
+    )
+
+
+@_register(
+    "q191_multi_search",
+    """
+    WITH d AS (
+      SELECT doc_id, source, text,
+             list_transform(['window stream', 'merge batch', 'zebra'],
+                            n -> strpos(text, n)) AS pos
+      FROM documents
+    ),
+    m AS (
+      SELECT source,
+             CASE WHEN len(list_filter(pos, p -> p > 0)) > 0
+                  THEN 1 ELSE 0 END AS any_hit,
+             coalesce(list_position(pos,
+                 list_min(list_filter(pos, p -> p > 0))), 0) AS first_idx,
+             CASE WHEN length(text) = 0 THEN 0 ELSE
+               (length(text) - length(replace(text, 'table', '')))
+                 // length('table') END AS n_table,
+             CASE WHEN contains(' ' || regexp_replace(text,
+                    '[^A-Za-z0-9_]', ' ', 'g') || ' ', ' value ')
+                  THEN 1 ELSE 0 END AS tok_hit,
+             strpos(text, 'spark') AS pos_spark
+      FROM d
+    )
+    SELECT source,
+           CAST(SUM(any_hit) AS BIGINT) AS n_any,
+           CAST(SUM(first_idx) AS BIGINT) AS s_first_idx,
+           CAST(SUM(n_table) AS BIGINT) AS s_count_sub,
+           CAST(SUM(tok_hit) AS BIGINT) AS n_token,
+           CAST(SUM(pos_spark) AS BIGINT) AS s_pos
+    FROM m GROUP BY source ORDER BY source
+    """,
+    "ClickHouse string-search family — position, countSubstrings "
+    "(non-overlapping), hasToken (separator-bounded), multiSearchAny, "
+    "multiSearchFirstIndex (leftmost-occurrence needle index) as "
+    "inlined SQL UDFs (sql.py); the DuckDB oracle re-derives each with "
+    "list_transform/strpos — no UDF boundary on either engine",
+)
+def q191(spark, sf_dir):
+    from kubenetmon_spark.sql import register_sql_surface
+
+    register_sql_surface(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH m AS (
+          SELECT source,
+                 CASE WHEN multiSearchAny(text,
+                      array('window stream', 'merge batch', 'zebra'))
+                      THEN 1 ELSE 0 END AS any_hit,
+                 multiSearchFirstIndex(text,
+                      array('window stream', 'merge batch', 'zebra'))
+                   AS first_idx,
+                 countSubstrings(text, 'table') AS n_table,
+                 CASE WHEN hasToken(text, 'value') THEN 1 ELSE 0 END
+                   AS tok_hit,
+                 positionUTF8(text, 'spark') AS pos_spark
+          FROM documents
+        )
+        SELECT source,
+               CAST(SUM(any_hit) AS BIGINT) AS n_any,
+               CAST(SUM(first_idx) AS BIGINT) AS s_first_idx,
+               CAST(SUM(n_table) AS BIGINT) AS s_count_sub,
+               CAST(SUM(tok_hit) AS BIGINT) AS n_token,
+               CAST(SUM(pos_spark) AS BIGINT) AS s_pos
+        FROM m GROUP BY source ORDER BY source
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -188,6 +188,43 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
      "regexp_extract_all(s, re, 0)"),
     ("JSONExtractKeys", "(j STRING)", "ARRAY<STRING>",
      "json_object_keys(j)"),
+    # --- string-search family (ClickHouse docs/sql-reference/functions/
+    # string-search-functions) ---
+    # position: 1-based offset of the first occurrence, 0 if absent.
+    # 'position' itself is Spark's POSITION(substr IN str) builtin and a
+    # SQL UDF may not replace it (the 'extract' precedent above) — the
+    # UTF8 alias is the ClickHouse-parity name we can register; our
+    # strings are always UTF-8 so the semantics coincide.
+    ("positionUTF8", "(s STRING, n STRING)", "INT", "instr(s, n)"),
+    ("positionCaseInsensitive", "(s STRING, n STRING)", "INT",
+     "instr(lower(s), lower(n))"),
+    # countSubstrings counts NON-overlapping occurrences (ClickHouse
+    # semantics): the replace-length identity is exact for that contract
+    # and stays a pure codegen expression.
+    ("countSubstrings", "(s STRING, n STRING)", "BIGINT",
+     "CASE WHEN n IS NULL OR length(n) = 0 THEN CAST(0 AS BIGINT) ELSE"
+     " (length(s) - length(replace(s, n, ''))) div length(n) END"),
+    # hasToken: needle bounded by non-word separators (or string edges).
+    # Implemented by collapsing every separator to a space and padding —
+    # no runtime regex-escaping of the needle is ever needed.
+    ("hasToken", "(s STRING, tok STRING)", "BOOLEAN",
+     "contains(concat(' ', regexp_replace(s, '[^A-Za-z0-9_]', ' '), ' '),"
+     " concat(' ', tok, ' '))"),
+    # multiSearchAny: any needle occurs as a substring (HOF exists —
+    # inlined, short-circuits per row inside codegen).
+    ("multiSearchAny", "(s STRING, needles ARRAY<STRING>)", "BOOLEAN",
+     "exists(needles, n -> contains(s, n))"),
+    # multiSearchFirstIndex: 1-based index (into the needle list) of the
+    # needle whose occurrence starts LEFTMOST in s; ties keep the earlier
+    # list index; 0 when none occur (ClickHouse contract). One aggregate()
+    # fold over the needle indices — no explode, no shuffle.
+    ("multiSearchFirstIndex", "(s STRING, needles ARRAY<STRING>)", "INT",
+     "aggregate(sequence(1, size(needles)),"
+     " named_struct('p', 2147483647, 'i', 0),"
+     " (acc, k) -> CASE WHEN instr(s, element_at(needles, k)) > 0"
+     " AND instr(s, element_at(needles, k)) < acc.p"
+     " THEN named_struct('p', instr(s, element_at(needles, k)), 'i', k)"
+     " ELSE acc END).i"),
     # --- rounding family (ClickHouse docs/sql-reference/functions/rounding-functions) ---
     # roundBankers: IEEE 754 round-half-to-even (ClickHouse's default for
     # Float inputs); Spark's bround is exactly that. Single-arg (scale 0)

@@ -429,3 +429,32 @@ class TestScalarStragglers:
     def test_json_extract_keys(self, spark):
         got = _one(spark, """JSONExtractKeys('{"b": 1, "a": 2}')""")
         assert got == ["b", "a"]  # document order, like ClickHouse
+
+
+class TestStringSearchFamily:
+    def test_position(self, spark):
+        assert _one(spark, "positionUTF8('hello world', 'world')") == 7
+        assert _one(spark, "positionUTF8('hello', 'zzz')") == 0
+        assert _one(spark, "positionCaseInsensitive('Hello World', 'world')") == 7
+
+    def test_count_substrings_non_overlapping(self, spark):
+        assert _one(spark, "countSubstrings('aaaa', 'aa')") == 2
+        assert _one(spark, "countSubstrings('abcabc', 'abc')") == 2
+        assert _one(spark, "countSubstrings('abc', 'z')") == 0
+        assert _one(spark, "countSubstrings('abc', '')") == 0
+
+    def test_has_token(self, spark):
+        assert _one(spark, "hasToken('a value row', 'value')")
+        assert not _one(spark, "hasToken('devalued rows', 'value')")
+        assert _one(spark, "hasToken('x,value;y', 'value')")
+        assert _one(spark, "hasToken('value', 'value')")
+
+    def test_multi_search(self, spark):
+        arr = "array('brown', 'quick', 'zebra')"
+        assert _one(spark, f"multiSearchAny('the quick brown fox', {arr})")
+        assert not _one(spark, f"multiSearchAny('nothing here', {arr})")
+        # 'quick' (pos 5) starts before 'brown' (pos 11) -> index 2
+        assert _one(spark, f"multiSearchFirstIndex('the quick brown fox', {arr})") == 2
+        assert _one(spark, f"multiSearchFirstIndex('no hits', {arr})") == 0
+        # tie on position keeps the earlier list index
+        assert _one(spark, "multiSearchFirstIndex('ab', array('ab', 'a'))") == 1
