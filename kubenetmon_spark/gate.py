@@ -8807,13 +8807,13 @@ def q189(spark, sf_dir):
              AS max_map_json
     FROM pk GROUP BY grp ORDER BY grp
     """,
-    "ClickHouse minMap/maxMap — operators/agg.py::map_aggregate with "
-    "how='min'/'max' (q98 covered only sumMap); both maps come from the "
-    "same explode+two-level hash agg shape, joined on the group key "
-    "(broadcast-size: one row per grp)",
+    "ClickHouse minMap/maxMap — operators/agg.py::map_aggregate_many "
+    "(q98 covered only sumMap): BOTH maps from one explode + two-level "
+    "hash agg — 2 exchanges total, no join, regardless of how many "
+    "combinators are requested",
 )
 def q190(spark, sf_dir):
-    from kubenetmon_spark.operators.agg import map_aggregate
+    from kubenetmon_spark.operators.agg import map_aggregate_many
 
     ev = _t(spark, sf_dir, "events")
     mapped = ev.select(
@@ -8841,17 +8841,12 @@ def q190(spark, sf_dir):
             F.lit("}"),
         )
 
-    mn = map_aggregate(mapped, "m", ["grp"], how="min", out_col="mnm")
-    mx = map_aggregate(mapped, "m", ["grp"], how="max", out_col="mxm")
-    return (
-        mn.join(mx, "grp")
-        .select(
-            "grp",
-            as_json("mnm").alias("min_map_json"),
-            as_json("mxm").alias("max_map_json"),
-        )
-        .orderBy("grp")
-    )
+    both = map_aggregate_many(mapped, "m", ["grp"], ["min", "max"])
+    return both.select(
+        "grp",
+        as_json("min_map").alias("min_map_json"),
+        as_json("max_map").alias("max_map_json"),
+    ).orderBy("grp")
 
 
 @_register(
@@ -8920,6 +8915,125 @@ def q191(spark, sf_dir):
                CAST(SUM(pos_spark) AS BIGINT) AS s_pos
         FROM m GROUP BY source ORDER BY source
         """
+    )
+
+
+@_register(
+    "q192_c4_line_filter",
+    """
+    WITH d AS (
+      SELECT doc_id, source, text, string_split(text, ' table ') AS lines
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, source, text, len(lines) AS n_lines,
+             list_filter(lines, l ->
+               len(list_filter(string_split(l, ' '), w -> w != '')) >= 3
+               AND NOT contains(lower(l), 'slow')) AS kept
+      FROM d
+    ),
+    c AS (
+      SELECT source, n_lines, len(kept) AS n_kept,
+             length(array_to_string(kept, ' table ')) AS clean_len,
+             CASE WHEN len(kept) >= 2
+                   AND NOT contains(lower(text), 'lorem ipsum')
+                   AND NOT contains(text, '{') THEN 1 ELSE 0 END AS keep
+      FROM k
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_keep,
+           CAST(SUM(n_kept) AS BIGINT) AS s_kept_lines,
+           CAST(SUM(clean_len) AS BIGINT) AS s_clean_len
+    FROM c GROUP BY source ORDER BY source
+    """,
+    "C4 line-structure cleaning (Raffel et al. 2020 §2.2) — "
+    "operators/curation.py::c4_line_filter: line survives on word "
+    "count + no-drop-token, document on kept-line count + lorem-ipsum/"
+    "brace tells; all split/filter/array_join HOFs fused into the scan "
+    "(no shuffle before the final rollup). Lines are synthesized by "
+    "splitting on the literal token ' table ' — rule parameters are "
+    "corpus-adapted (q187 stance), rule shapes are C4's",
+)
+def q192(spark, sf_dir):
+    from kubenetmon_spark.operators.curation import c4_line_filter
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    c = c4_line_filter(
+        d,
+        text_col="text",
+        line_sep=" table ",
+        min_words_per_line=3,
+        min_kept_lines=2,
+        terminal_chars=None,
+        drop_tokens=("slow",),
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("c4_keep"), 1).otherwise(0)).alias("n_keep"),
+            F.sum("c4_n_kept").cast("long").alias("s_kept_lines"),
+            F.sum(F.length("c4_clean")).cast("long").alias("s_clean_len"),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "q193_line_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id, source, string_split(text, ' table ') AS lines
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, source, i - 1 AS pos,
+             lines[CAST(i AS INTEGER)] AS line
+      FROM d, UNNEST(generate_series(1, len(lines))) u(i)
+      WHERE lines[CAST(i AS INTEGER)] != ''
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY line
+                                   ORDER BY doc_id, pos) AS rk
+      FROM l
+    ),
+    p AS (
+      SELECT doc_id, source, COUNT(*) AS n_lines,
+             SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS n_kept,
+             coalesce(string_agg(CASE WHEN rk = 1 THEN line END,
+                                 ' table ' ORDER BY pos), '') AS t
+      FROM r GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_lines) AS BIGINT) AS s_lines,
+           CAST(SUM(n_kept) AS BIGINT) AS s_kept,
+           CAST(SUM(length(t)) AS BIGINT) AS s_len
+    FROM p GROUP BY source ORDER BY source
+    """,
+    "RefinedWeb/Falcon global line-level exact dedup with document "
+    "reassembly — operators/curation.py::dedup_lines: first occurrence "
+    "corpus-wide wins (deterministic (doc_id, pos) order), documents "
+    "rebuilt from surviving lines in original order; two natural-key "
+    "shuffles (by line text, then by doc) — the dedup state IS the "
+    "partitioning, no driver state",
+)
+def q193(spark, sf_dir):
+    from kubenetmon_spark.operators.curation import dedup_lines
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    p = dedup_lines(d, "doc_id", "text", line_sep=" table ")
+    joined = p.join(d.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_lines").cast("long").alias("s_lines"),
+            F.sum("n_kept").cast("long").alias("s_kept"),
+            F.sum(F.length("dedup_text")).cast("long").alias("s_len"),
+        )
+        .orderBy("source")
     )
 
 

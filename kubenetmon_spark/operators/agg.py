@@ -104,17 +104,46 @@ def map_aggregate(
     (second shuffle carries one row per distinct (group, key) — tiny).
     Both aggregations are hash aggs; nothing leaves the JVM.
     """
-    aggs = {"sum": F.sum, "min": F.min, "max": F.max}
-    if how not in aggs:
-        raise ValueError(f"how must be one of {sorted(aggs)}")
     out_col = out_col or f"{how}_map"
+    out = map_aggregate_many(df, map_col, group_cols, [how])
+    return out.withColumnRenamed(f"{how}_map", out_col)
+
+
+def map_aggregate_many(
+    df: DataFrame,
+    map_col: str,
+    group_cols: list[str],
+    hows: list[str],
+) -> DataFrame:
+    """Several *Map combinators (e.g. ``minMap`` AND ``maxMap``) from
+    ONE explode + two-level hash agg: the per-key aggregation computes
+    every requested reduction in the same shuffle, and the regroup
+    builds all result maps from the same collected rows. Running
+    ``map_aggregate`` N times would cost N explodes, 2N exchanges, and
+    N−1 joins; this is always 2 exchanges regardless of len(hows).
+
+    Output columns are named ``{how}_map``, entries key-sorted.
+    """
+    aggs = {"sum": F.sum, "min": F.min, "max": F.max}
+    bad = [h for h in hows if h not in aggs]
+    if bad or not hows:
+        raise ValueError(f"hows must be non-empty, from {sorted(aggs)}")
     e = df.select(*group_cols, F.explode(map_col).alias("_k", "_v"))
-    per_key = e.groupBy(*group_cols, "_k").agg(aggs[how]("_v").alias("_a"))
-    entries = F.array_sort(
-        F.collect_list(F.struct(F.col("_k").alias("key"), F.col("_a").alias("value")))
+    per_key = e.groupBy(*group_cols, "_k").agg(
+        *[aggs[h]("_v").alias(f"_{h}") for h in hows]
     )
+
+    def entries(h):
+        return F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("_k").alias("key"), F.col(f"_{h}").alias("value")
+                )
+            )
+        )
+
     return per_key.groupBy(*group_cols).agg(
-        F.map_from_entries(entries).alias(out_col)
+        *[F.map_from_entries(entries(h)).alias(f"{h}_map") for h in hows]
     )
 
 

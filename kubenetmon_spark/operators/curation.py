@@ -230,3 +230,118 @@ def temperature_rates_bp(
         target = budget * (weights[s] / wtot)
         rates[s] = min(10000, int(round(target / n * 10000))) if n else 0
     return rates
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    terminal_chars: str | None = None,
+    drop_tokens: tuple[str, ...] = (),
+    out_prefix: str = "c4_",
+) -> DataFrame:
+    """C4-style line-structure cleaning (Raffel et al. 2020, §2.2):
+    a document is a list of lines; a line survives iff it has at least
+    ``min_words_per_line`` words, (optionally) ends in a terminal
+    punctuation character, and contains none of ``drop_tokens``
+    (case-insensitive — C4 drops lines with the word "javascript");
+    the document survives iff at least ``min_kept_lines`` lines do and
+    it carries neither "lorem ipsum" nor a curly brace (C4's code/
+    boilerplate tells).
+
+    Adds ``{p}clean`` (kept lines re-joined), ``{p}n_lines``,
+    ``{p}n_kept``, ``{p}keep``. Everything is split/filter/array_join
+    higher-order expressions over the row — whole-stage codegen, no
+    UDF, no shuffle, no state: at 100 TB this fuses into the scan like
+    the Gopher gate (q155) and costs one pass.
+
+    ``terminal_chars=None`` disables the end-punctuation rule (for
+    corpora without punctuation — rule parameters are corpus-adapted,
+    the rule SHAPES are C4's; same stance as q187's Gopher gate).
+    """
+    p = out_prefix
+    lines = F.split(F.col(text_col), line_sep)
+
+    def line_ok(l):
+        words = F.filter(F.split(l, " "), lambda w: w != "")
+        ok = F.size(words) >= min_words_per_line
+        if terminal_chars is not None:
+            term = F.substring(l, -1, 1).isin(*list(terminal_chars))
+            ok = ok & term
+        for tok in drop_tokens:
+            ok = ok & ~F.contains(F.lower(l), F.lit(tok.lower()))
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    doc_ok = (
+        (F.size(kept) >= min_kept_lines)
+        & ~F.contains(F.lower(F.col(text_col)), F.lit("lorem ipsum"))
+        & ~F.contains(F.col(text_col), F.lit("{"))
+    )
+    return (
+        df.withColumn(f"{p}n_lines", F.size(lines))
+        .withColumn(f"{p}n_kept", F.size(kept))
+        .withColumn(f"{p}clean", F.array_join(kept, line_sep))
+        .withColumn(f"{p}keep", doc_ok)
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    line_sep: str = "\n",
+    out_col: str = "dedup_text",
+) -> DataFrame:
+    """Global line/paragraph-level exact deduplication with document
+    reassembly (the RefinedWeb/Falcon pass that strips boilerplate
+    headers, nav bars, cookie banners shared across pages): every line
+    keeps only its FIRST occurrence corpus-wide (ordered by
+    ``(id_col, position)`` — deterministic under any partitioning),
+    then each document is rebuilt from its surviving lines in original
+    order. Empty lines are dropped outright.
+
+    Returns ``(id_col, {out_col}, n_lines, n_kept)`` — one row per
+    input document (documents whose every line was claimed elsewhere
+    come back with an empty string, so corpus accounting stays exact).
+
+    Scale: two shuffles, both on natural keys — (1) hash partition by
+    line text for the first-occurrence window (the dedup state IS the
+    partitioning; skew from a mega-duplicated line is bounded because
+    row_number needs no buffering beyond the sort run), (2) regroup by
+    document id to reassemble. Volume never exceeds the exploded line
+    count; no driver state, no collect.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("_pos", "_line"),
+    ).filter(F.col("_line") != "")
+    w = Window.partitionBy("_line").orderBy(F.col(id_col), F.col("_pos"))
+    ranked = lines.withColumn("_rk", F.row_number().over(w))
+    per_doc = (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("_rk") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rk") == 1,
+                                F.struct(
+                                    F.col("_pos").alias("pos"),
+                                    F.col("_line").alias("line"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                line_sep,
+            ).alias(out_col),
+        )
+    )
+    return per_doc

@@ -425,3 +425,84 @@ def test_keep_all_rate_keeps_everything(spark):
     assert mixture_sample(df, {"s": 10000}, "src", "id").count() == 500
     # and 0 still drops everything
     assert deterministic_sample(df, "id", 0).count() == 0
+
+
+class TestC4LineFilter:
+    def test_rules(self, spark):
+        from kubenetmon_spark.operators.curation import c4_line_filter
+
+        docs = [
+            # 3 good lines -> kept
+            (0, "here is a full sentence.\nanother proper line here.\n"
+                "and one more good line."),
+            # short lines + no terminal punctuation -> dropped lines
+            (1, "too short\nnope\nalso not ending right here"),
+            # javascript line dropped, still 3 good lines -> kept
+            (2, "enable javascript to view this page.\n"
+                "real content sentence one.\nreal content sentence two.\n"
+                "real content sentence three."),
+            # lorem ipsum -> doc dropped even with good lines
+            (3, "lorem ipsum dolor sit amet etc.\nreal line number one.\n"
+                "real line number two.\nreal line number three."),
+            # curly brace -> doc dropped
+            (4, "function f() { return 1; }\ngood sentence number one.\n"
+                "good sentence number two.\ngood sentence number three."),
+        ]
+        df = spark.createDataFrame(docs, ["id", "text"])
+        out = c4_line_filter(
+            df,
+            min_words_per_line=4,
+            min_kept_lines=3,
+            terminal_chars=".!?\"",
+            drop_tokens=("javascript",),
+        )
+        got = {r.id: r for r in out.collect()}
+        assert got[0].c4_keep and got[0].c4_n_kept == 3
+        assert not got[1].c4_keep and got[1].c4_n_kept == 0
+        assert got[2].c4_keep and got[2].c4_n_kept == 3
+        assert "javascript" not in got[2].c4_clean
+        assert not got[3].c4_keep  # lorem ipsum tell
+        assert not got[4].c4_keep  # brace tell
+        # cleaned text preserves original line order
+        assert got[0].c4_clean.startswith("here is a full sentence.")
+
+    def test_terminal_disabled(self, spark):
+        from kubenetmon_spark.operators.curation import c4_line_filter
+
+        df = spark.createDataFrame(
+            [(0, "three words here\nfour more words now")], ["id", "text"]
+        )
+        out = c4_line_filter(
+            df, min_words_per_line=3, min_kept_lines=2, terminal_chars=None
+        ).collect()[0]
+        assert out.c4_keep and out.c4_n_kept == 2
+
+
+class TestDedupLines:
+    def test_first_occurrence_wins_and_reassembly(self, spark):
+        from kubenetmon_spark.operators.curation import dedup_lines
+
+        docs = [
+            (1, "cookie banner\nunique alpha\ncookie banner"),
+            (2, "cookie banner\nunique beta"),
+            (3, "unique alpha\nunique gamma"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {r.doc_id: r for r in dedup_lines(df, "doc_id").collect()}
+        # doc 1 keeps its first 'cookie banner', drops its own repeat
+        assert got[1].dedup_text == "cookie banner\nunique alpha"
+        assert (got[1].n_lines, got[1].n_kept) == (3, 2)
+        # doc 2 loses the banner claimed by doc 1
+        assert got[2].dedup_text == "unique beta"
+        # doc 3 loses 'unique alpha' (first seen in doc 1)
+        assert got[3].dedup_text == "unique gamma"
+
+    def test_fully_claimed_doc_comes_back_empty(self, spark):
+        from kubenetmon_spark.operators.curation import dedup_lines
+
+        df = spark.createDataFrame(
+            [(1, "only line"), (2, "only line")], ["doc_id", "text"]
+        )
+        got = {r.doc_id: r for r in dedup_lines(df, "doc_id").collect()}
+        assert got[1].dedup_text == "only line"
+        assert got[2].dedup_text == "" and got[2].n_kept == 0

@@ -1073,3 +1073,45 @@ class TestExactAuc:
         const = [("g", 7, l) for l in [0, 1] * 20]
         df2 = spark.createDataFrame(const, ["k", "score", "label"])
         assert exact_auc(df2, ["k"], "score", "label").collect()[0].auc == 0.5
+
+
+class TestMapAggregateMany:
+    def test_matches_single_how(self, spark):
+        from kubenetmon_spark.operators.agg import (
+            map_aggregate,
+            map_aggregate_many,
+        )
+
+        rows = [
+            (1, {"a": 3, "b": 1}),
+            (1, {"a": 5}),
+            (2, {"c": 7, "a": 2}),
+        ]
+        df = spark.createDataFrame(rows, "g int, m map<string,bigint>")
+        many = {
+            r.g: r
+            for r in map_aggregate_many(
+                df, "m", ["g"], ["min", "max", "sum"]
+            ).collect()
+        }
+        for how in ["min", "max", "sum"]:
+            single = {
+                r.g: r
+                for r in map_aggregate(df, "m", ["g"], how=how).collect()
+            }
+            for g in (1, 2):
+                assert single[g][f"{how}_map"] == many[g][f"{how}_map"]
+        assert many[1].min_map == {"a": 3, "b": 1}
+        assert many[1].max_map == {"a": 5, "b": 1}
+        assert many[1].sum_map == {"a": 8, "b": 1}
+
+    def test_rejects_bad_how(self, spark):
+        import pytest
+
+        from kubenetmon_spark.operators.agg import map_aggregate_many
+
+        df = spark.createDataFrame([(1, {"a": 1})], "g int, m map<string,bigint>")
+        with pytest.raises(ValueError):
+            map_aggregate_many(df, "m", ["g"], ["avg"])
+        with pytest.raises(ValueError):
+            map_aggregate_many(df, "m", ["g"], [])
