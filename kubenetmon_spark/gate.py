@@ -9037,6 +9037,123 @@ def q193(spark, sf_dir):
     )
 
 
+@_register(
+    "q194_seasonal_decompose",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, h, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) - 1
+               AS idx
+      FROM h
+    ),
+    t AS (
+      SELECT event_type, idx, cnt,
+             2 * SUM(cnt) OVER w12
+               - LAG(cnt, 12) OVER wo - LEAD(cnt, 12) OVER wo AS tnum,
+             COUNT(cnt) OVER w12 AS c
+      FROM s
+      WINDOW wo AS (PARTITION BY event_type ORDER BY idx),
+             w12 AS (PARTITION BY event_type ORDER BY idx
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    d AS (
+      SELECT event_type, idx % 24 AS phase, 48 * cnt - tnum AS dn
+      FROM t WHERE c = 25
+    )
+    SELECT event_type, CAST(phase AS BIGINT) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dn) AS BIGINT) AS s_detr,
+           CAST(floor(CAST(SUM(dn) * 1000 AS DOUBLE) / (COUNT(*) * 48))
+                AS BIGINT) AS seasonal_milli
+    FROM d GROUP BY event_type, phase ORDER BY event_type, phase
+    """,
+    "ClickHouse seriesDecomposeSTL's job — classical additive seasonal-"
+    "trend decomposition (2x24 centered MA over the hourly event-count "
+    "series, period 24) in SCALED INTEGER arithmetic: "
+    "operators/timeseries.py::seasonal_decompose/seasonal_profile; all "
+    "windows share one (group, ord) sort, floor-division (not "
+    "truncation) for the negative detrended values",
+)
+def q194(spark, sf_dir):
+    from kubenetmon_spark.operators.timeseries import seasonal_profile
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    prof = seasonal_profile(hourly, ["event_type"], "h", "cnt", 24)
+    return prof.select(
+        "event_type",
+        F.col("phase").cast("long").alias("phase"),
+        F.col("n").cast("long").alias("n"),
+        F.col("s_detr").cast("long").alias("s_detr"),
+        "seasonal_milli",
+    ).orderBy("event_type", "phase")
+
+
+@_register(
+    "q195_period_detect",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) - 1
+               AS idx,
+             COUNT(*) OVER (PARTITION BY event_type) * cnt
+               - SUM(cnt) OVER (PARTITION BY event_type) AS y
+      FROM h
+    ),
+    ac AS (
+      SELECT a.event_type, l.lag AS lag,
+             SUM(a.y * b.y) AS ac, COUNT(*) AS pairs
+      FROM s a
+      JOIN UNNEST(generate_series(2, 36)) l(lag) ON TRUE
+      JOIN s b ON b.event_type = a.event_type
+              AND b.idx = a.idx + l.lag
+      GROUP BY a.event_type, l.lag
+    ),
+    best AS (
+      SELECT event_type, lag, ac, pairs,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ac DESC, lag) AS rk
+      FROM ac
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS best_lag,
+           CAST(ac AS BIGINT) AS autocov,
+           CAST(pairs AS BIGINT) AS n_pairs
+    FROM best WHERE rk = 1 ORDER BY event_type
+    """,
+    "ClickHouse seriesPeriodDetectFFT's job — dominant period per "
+    "series via exact-integer autocovariance argmax over lags 2..36 "
+    "(operators/timeseries.py::detect_period): mean-centering scaled "
+    "by n keeps everything integer; the lag join shuffles on the "
+    "natural (series, idx) key, verdict reproducible bit-for-bit",
+)
+def q195(spark, sf_dir):
+    from kubenetmon_spark.operators.timeseries import detect_period
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        detect_period(
+            hourly, ["event_type"], "h", "cnt", min_lag=2, max_lag=36
+        )
+        .select("event_type", "best_lag", "autocov", "n_pairs")
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

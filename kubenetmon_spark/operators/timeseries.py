@@ -296,3 +296,179 @@ def max_intersections(
         .cast("long")
         .alias("position"),
     )
+
+
+def _floor_div(num, den):
+    """Exact floor(num/den) for integer columns with |num| < 2^52:
+    the double quotient of two exactly-representable integers can only
+    cross a floor boundary if the true remainder is 0, and an exact
+    multiple divides exactly in IEEE 754. Floor semantics (toward -inf)
+    — NOT Spark's `div`, which truncates toward zero for negatives and
+    would disagree with SQL engines' `//` on every negative detrended
+    value."""
+    return F.floor(num.cast("double") / den).cast("long")
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    group_cols: list[str],
+    ord_col: str,
+    value_col: str,
+    period: int,
+) -> DataFrame:
+    """Classical additive seasonal-trend decomposition (the moving-
+    average method inside every STL-family tool; ClickHouse ships it as
+    ``seriesDecomposeSTL``). Rows are consecutive series steps per
+    group, ordered by ``ord_col``.
+
+    Adds: ``idx`` (0-based step), ``phase`` (= idx % period),
+    ``trend_num`` (trend scaled by ``trend_den`` = period for odd
+    periods, 2*period for even — the standard 2xP centered MA), and
+    ``detr_num`` (= trend_den * x − trend_num, the detrended value at
+    the same scale). Scaled INTEGER arithmetic throughout — no float
+    sum-order hazard; boundary rows without a full window get NULL
+    trend/detrended, exactly like R's ``decompose``.
+
+    Scale: every window shares the one (group, ord) sort — a single
+    Exchange+Sort pass; no joins, no driver state. Decompose AFTER
+    bucket aggregation (series steps, not raw facts), so volume is
+    #groups x #steps.
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    w = Window.partitionBy(*group_cols).orderBy(ord_col)
+    half = period // 2
+    span = w.rowsBetween(-half, half)
+    x = F.col(value_col)
+    out = df.withColumn("idx", F.row_number().over(w) - 1)
+    if period % 2 == 1:
+        trend_den = period
+        full = period
+        tnum = F.sum(x).over(span)
+    else:
+        trend_den = 2 * period
+        full = period + 1
+        tnum = (
+            2 * F.sum(x).over(span)
+            - F.lag(x, half).over(w)
+            - F.lead(x, half).over(w)
+        )
+    defined = F.count(x).over(span) == full
+    out = out.withColumn("trend_num", F.when(defined, tnum))
+    return (
+        out.withColumn("phase", F.col("idx") % period)
+        .withColumn(
+            "detr_num",
+            F.when(defined, F.lit(trend_den) * x - F.col("trend_num")),
+        )
+        .withColumn("trend_den", F.lit(trend_den))
+    )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    group_cols: list[str],
+    ord_col: str,
+    value_col: str,
+    period: int,
+) -> DataFrame:
+    """Per-phase seasonal component from ``seasonal_decompose``:
+    one row per (group, phase) with ``n`` contributing steps, the exact
+    integer ``s_detr`` (sum of scaled detrended values), and
+    ``seasonal_milli`` = floor(mean detrended * 1000) — the additive
+    seasonal index in milli-units. Second (tiny) shuffle: one row per
+    group x phase."""
+    d = seasonal_decompose(df, group_cols, ord_col, value_col, period)
+    den = 2 * period if period % 2 == 0 else period
+    return (
+        d.filter(F.col("detr_num").isNotNull())
+        .groupBy(*group_cols, "phase")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("detr_num").alias("s_detr"),
+        )
+        .withColumn(
+            "seasonal_milli",
+            _floor_div(F.col("s_detr") * 1000, F.col("n") * den),
+        )
+    )
+
+
+def detect_period(
+    df: DataFrame,
+    group_cols: list[str],
+    ord_col: str,
+    value_col: str,
+    min_lag: int = 2,
+    max_lag: int = 36,
+) -> DataFrame:
+    """Dominant-period detection per series (ClickHouse
+    ``seriesPeriodDetectFFT``'s job) via the raw autocovariance argmax
+    — O(n * n_lags) exact integer work instead of a float FFT, so the
+    verdict is reproducible bit-for-bit on any engine/partitioning.
+
+    Values are mean-centered in scaled integers (y = n*x − sum, i.e.
+    centered then scaled by n — scale does not move an argmax), then
+    for each lag L in [min_lag, max_lag] the autocovariance
+    ``sum(y_t * y_{t+L})`` is taken over all available pairs; the
+    winning lag (ties → smallest L) is returned per group with its
+    score and pair count.
+
+    Overflow contract: |y| <= n * max|x|; the product sum needs
+    (n*max|x|)^2 * n < 2^63 — holds for series up to ~100k steps of
+    counts; for larger magnitudes pre-scale value_col down.
+
+    Scale: one (group, ord) sort to index; the lag join is an
+    equi-join on (group, idx+L) after an explode of the ~35 lags —
+    shuffle volume = n_rows * n_lags, partitioned on the natural key;
+    the per-(group, lag) aggregation and argmax are tiny.
+    """
+    if not (1 <= min_lag <= max_lag):
+        raise ValueError("need 1 <= min_lag <= max_lag")
+    w = Window.partitionBy(*group_cols)
+    wo = w.orderBy(ord_col)
+    x = F.col(value_col)
+    s = (
+        df.withColumn("_idx", F.row_number().over(wo) - 1)
+        .withColumn("_n", F.count(x).over(w))
+        .withColumn("_s", F.sum(x).over(w))
+        .select(
+            *group_cols,
+            "_idx",
+            (F.col("_n") * x - F.col("_s")).alias("_y"),
+        )
+    )
+    lags = s.withColumn(
+        "_lag", F.explode(F.sequence(F.lit(min_lag), F.lit(max_lag)))
+    ).withColumn("_tgt", F.col("_idx") + F.col("_lag"))
+    right = s.select(
+        *[F.col(c).alias(f"_r_{c}") for c in group_cols],
+        F.col("_idx").alias("_r_idx"),
+        F.col("_y").alias("_r_y"),
+    )
+    cond = [lags[c] == right[f"_r_{c}"] for c in group_cols] + [
+        lags["_tgt"] == right["_r_idx"]
+    ]
+    per_lag = (
+        lags.join(right, cond)
+        .groupBy(*group_cols, "_lag")
+        .agg(
+            F.sum(F.col("_y") * F.col("_r_y")).alias("_ac"),
+            F.count("*").alias("_pairs"),
+        )
+    )
+    best = per_lag.groupBy(*group_cols).agg(
+        F.max(
+            F.struct(
+                F.col("_ac").alias("ac"),
+                (-F.col("_lag")).alias("neg_lag"),
+                F.col("_pairs").alias("pairs"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        *group_cols,
+        (-F.col("_b.neg_lag")).cast("long").alias("best_lag"),
+        F.col("_b.ac").alias("autocov"),
+        F.col("_b.pairs").alias("n_pairs"),
+    )

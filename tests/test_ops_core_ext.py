@@ -454,3 +454,64 @@ class TestWeightedHeavyHitters:
             exact[k] = exact.get(k, 0) + w
         exp = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
         assert got == exp
+
+
+class TestSeasonalDecompose:
+    def test_recovers_injected_pattern(self, spark):
+        from kubenetmon_spark.operators.timeseries import (
+            seasonal_decompose,
+            seasonal_profile,
+        )
+
+        # x_t = 100 + (t % 4)*8: pure period-4 seasonality, flat trend.
+        rows = [("a", t, 100 + (t % 4) * 8) for t in range(40)]
+        df = spark.createDataFrame(rows, ["g", "t", "x"])
+        prof = {
+            r.phase: r
+            for r in seasonal_profile(df, ["g"], "t", "x", 4).collect()
+        }
+        # mean of pattern = 112; additive indices = (-12, -4, +4, +12)
+        assert [prof[p].seasonal_milli for p in range(4)] == [
+            -12000, -4000, 4000, 12000,
+        ]
+        d = seasonal_decompose(df, ["g"], "t", "x", 4)
+        rowsd = {r.idx: r for r in d.collect()}
+        # boundary rows (first/last half-window) are undefined
+        assert rowsd[0].trend_num is None and rowsd[39].detr_num is None
+        # interior trend = 112 exactly (scaled by 2*period=8)
+        assert rowsd[10].trend_num == 112 * 8
+
+    def test_odd_period(self, spark):
+        from kubenetmon_spark.operators.timeseries import seasonal_profile
+
+        rows = [("a", t, 50 + [0, 9, 0][t % 3]) for t in range(30)]
+        df = spark.createDataFrame(rows, ["g", "t", "x"])
+        prof = {
+            r.phase: r
+            for r in seasonal_profile(df, ["g"], "t", "x", 3).collect()
+        }
+        assert [prof[p].seasonal_milli for p in range(3)] == [
+            -3000, 6000, -3000,
+        ]
+
+
+class TestDetectPeriod:
+    def test_finds_injected_period(self, spark):
+        from kubenetmon_spark.operators.timeseries import detect_period
+
+        rows = [("a", t, 10 + (20 if t % 7 == 0 else 0)) for t in range(70)]
+        rows += [("b", t, 10 + (15 if t % 12 == 0 else 0)) for t in range(96)]
+        df = spark.createDataFrame(rows, ["g", "t", "x"])
+        got = {r.g: r for r in detect_period(df, ["g"], "t", "x").collect()}
+        assert got["a"].best_lag == 7
+        assert got["b"].best_lag == 12
+        assert got["a"].autocov > 0
+
+    def test_rejects_bad_lags(self, spark):
+        import pytest
+
+        from kubenetmon_spark.operators.timeseries import detect_period
+
+        df = spark.createDataFrame([("a", 1, 1)], ["g", "t", "x"])
+        with pytest.raises(ValueError):
+            detect_period(df, ["g"], "t", "x", min_lag=5, max_lag=2)
