@@ -9154,6 +9154,73 @@ def q195(spark, sf_dir):
     )
 
 
+@_register(
+    "q196_ols_two_features",
+    """
+    WITH e AS (
+      SELECT event_type, user_id % 97 AS x1, event_id % 89 AS x2,
+             (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) % 10007
+               AS y
+      FROM events
+    ),
+    a AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+             SUM(x1*x1) AS s11, SUM(x2*x2) AS s22, SUM(x1*x2) AS s12,
+             SUM(x1*y) AS s1y, SUM(x2*y) AS s2y
+      FROM e GROUP BY 1
+    ),
+    c AS (
+      SELECT event_type, n, s1, s2, sy,
+             n*s11 - s1*s1 AS c11, n*s22 - s2*s2 AS c22,
+             n*s12 - s1*s2 AS c12,
+             n*s1y - s1*sy AS c1y, n*s2y - s2*sy AS c2y
+      FROM a
+    ),
+    d AS (
+      SELECT event_type, n, s1, s2, sy,
+             c11*c22 - c12*c12 AS det,
+             c1y*c22 - c2y*c12 AS n1,
+             c2y*c11 - c1y*c12 AS n2
+      FROM c
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(det AS VARCHAR) AS det,
+           CAST(n1 AS VARCHAR) AS b1_num,
+           CAST(n2 AS VARCHAR) AS b2_num,
+           CAST(sy*det - n1*s1 - n2*s2 AS VARCHAR) AS b0_num,
+           CAST(n*det AS VARCHAR) AS b0_den
+    FROM d ORDER BY event_type
+    """,
+    "ClickHouse stochasticLinearRegression's surface for p=2, solved "
+    "EXACTLY: normal equations + Cramer's rule over n-scaled centered "
+    "integer moments, determinant algebra in DECIMAL(38,0) (Spark) / "
+    "HUGEINT (DuckDB) — operators/stats.py::ols2_exact; the gate "
+    "hashes the exact numerator/denominator integer strings, immune "
+    "to any float or sum-order effect",
+)
+def q196(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import ols2_exact
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 97).alias("x1"),
+        (F.col("event_id") % 89).alias("x2"),
+        (
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            % 10007
+        ).alias("y"),
+    )
+    return (
+        ols2_exact(ev, ["event_type"], "x1", "x2", "y")
+        .select(
+            "event_type", "n", "det", "b1_num", "b2_num", "b0_num",
+            "b0_den",
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -802,3 +802,72 @@ def exact_auc(
     return agg.select(
         *group_cols, "n_pos", "n_neg", F.round(auc, 6).alias("auc")
     )
+
+
+def ols2_exact(
+    df: DataFrame,
+    group_cols: list[str],
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Two-feature linear regression y ~ b0 + b1*x1 + b2*x2 per group,
+    solved EXACTLY via the normal equations on centered integer sums
+    (ClickHouse ships this surface as stochasticLinearRegression; for
+    p=2 the closed form needs no descent and no floats).
+
+    With n-scaled centered second moments
+      Cab = n*Sum(a*b) − Sum(a)*Sum(b)        (integers),
+    Cramer's rule gives
+      b1 = (C1y*C22 − C2y*C12) / D,  b2 = (C2y*C11 − C1y*C12) / D,
+      D  = C11*C22 − C12²,
+      b0 = (Sy*D − N1*S1 − N2*S2) / (n*D).
+    The moments are int64-safe; their PRODUCTS are not (n² amplifies
+    them), so the determinant algebra runs in DECIMAL(38,0) — exact in
+    both Spark and any int128/decimal engine. Results are emitted as
+    exact integer strings (num/den pairs hash identically across
+    engines) plus convenience float betas.
+
+    Overflow contract: |x|,|y| ≤ ~1e4 and n ≤ ~1e6 keep every product
+    under 1e38. One hash-agg shuffle; everything else is per-group
+    scalar algebra on one row per group.
+    """
+    x1, x2, y = F.col(x1_col), F.col(x2_col), F.col(y_col)
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x1 * y).alias("s1y"),
+        F.sum(x2 * y).alias("s2y"),
+    )
+    D38 = "decimal(38,0)"
+
+    def dec(c):
+        return F.col(c).cast(D38)
+
+    n = dec("n")
+    c11 = n * dec("s11") - dec("s1") * dec("s1")
+    c22 = n * dec("s22") - dec("s2") * dec("s2")
+    c12 = n * dec("s12") - dec("s1") * dec("s2")
+    c1y = n * dec("s1y") - dec("s1") * dec("sy")
+    c2y = n * dec("s2y") - dec("s2") * dec("sy")
+    det = c11 * c22 - c12 * c12
+    n1 = c1y * c22 - c2y * c12
+    n2 = c2y * c11 - c1y * c12
+    n0 = dec("sy") * det - n1 * dec("s1") - n2 * dec("s2")
+    return agg.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        det.cast("string").alias("det"),
+        n1.cast("string").alias("b1_num"),
+        n2.cast("string").alias("b2_num"),
+        n0.cast("string").alias("b0_num"),
+        (n * det).cast("string").alias("b0_den"),
+        F.when(det != 0, (n1 / det).cast("double")).alias("b1"),
+        F.when(det != 0, (n2 / det).cast("double")).alias("b2"),
+        F.when(det != 0, (n0 / (n * det)).cast("double")).alias("b0"),
+    )

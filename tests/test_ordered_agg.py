@@ -1115,3 +1115,32 @@ class TestMapAggregateMany:
             map_aggregate_many(df, "m", ["g"], ["avg"])
         with pytest.raises(ValueError):
             map_aggregate_many(df, "m", ["g"], [])
+
+
+class TestOls2Exact:
+    def test_exact_plane_recovered(self, spark):
+        from kubenetmon_spark.operators.stats import ols2_exact
+
+        # y = 3 + 2*x1 - 5*x2, no noise -> betas are exact rationals
+        rows = [
+            ("g", x1, x2, 3 + 2 * x1 - 5 * x2)
+            for x1 in range(6)
+            for x2 in range(5)
+        ]
+        df = spark.createDataFrame(rows, ["g", "x1", "x2", "y"])
+        r = ols2_exact(df, ["g"], "x1", "x2", "y").collect()[0]
+        det = int(r.det)
+        assert det > 0
+        assert int(r.b1_num) == 2 * det
+        assert int(r.b2_num) == -5 * det
+        assert int(r.b0_num) == 3 * int(r.b0_den)
+        assert (r.b1, r.b2, r.b0) == (2.0, -5.0, 3.0)
+
+    def test_collinear_features_null_betas(self, spark):
+        from kubenetmon_spark.operators.stats import ols2_exact
+
+        rows = [("g", x, 2 * x, x + 1) for x in range(8)]
+        df = spark.createDataFrame(rows, ["g", "x1", "x2", "y"])
+        r = ols2_exact(df, ["g"], "x1", "x2", "y").collect()[0]
+        assert int(r.det) == 0
+        assert r.b1 is None and r.b2 is None and r.b0 is None
