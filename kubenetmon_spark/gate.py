@@ -9221,6 +9221,147 @@ def q196(spark, sf_dir):
     )
 
 
+@_register(
+    "q197_datetime_completion",
+    """
+    WITH x AS (
+      SELECT event_type,
+             floor(epoch_us(ts) / 3600000000.0) AS hr,
+             floor(epoch_us(ts) / 86400000000.0) AS dy,
+             isodow(ts) AS dow,
+             floor((epoch_us(ts) / 1000000.0 + 5400) / 1800)
+               - floor(epoch_us(ts) / 1000000.0 / 1800) + 1 AS n_slots,
+             floor((epoch_us(ts) / 1000000.0 + 18000) / 3600)
+               - floor(epoch_us(ts) / 3600000000.0) AS h5,
+             strftime(last_day(ts), '%Y-%m-%d') AS ld
+      FROM events
+    )
+    SELECT event_type,
+           CAST(MIN(hr) AS BIGINT) AS min_hr,
+           CAST(MAX(dy) AS BIGINT) AS max_dy,
+           CAST(SUM(dow) AS BIGINT) AS s_dow,
+           CAST(SUM(n_slots) AS BIGINT) AS s_slots,
+           CAST(SUM(h5) AS BIGINT) AS s_h5,
+           CAST(COUNT(DISTINCT ld) AS BIGINT) AS n_ld
+    FROM x GROUP BY event_type ORDER BY event_type
+    """,
+    "ClickHouse datetime completion — toRelativeHour/DayNum, dayOfWeek "
+    "(Monday=1), timeSlots (slot-boundary fan-out), addHours, "
+    "toLastDayOfMonth as inlined SQL UDFs (sql.py); identical IEEE "
+    "epoch arithmetic on whole-microsecond inputs keeps every floor "
+    "exact in both engines",
+)
+def q197(spark, sf_dir):
+    from kubenetmon_spark.sql import register_sql_surface
+
+    register_sql_surface(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH x AS (
+          SELECT event_type,
+                 toRelativeHourNum(ts) AS hr,
+                 toRelativeDayNum(ts) AS dy,
+                 toDayOfWeek(ts) AS dow,
+                 size(timeSlots(ts, CAST(5400 AS BIGINT),
+                                CAST(1800 AS BIGINT))) AS n_slots,
+                 toRelativeHourNum(addHours(ts, 5))
+                   - toRelativeHourNum(ts) AS h5,
+                 date_format(toLastDayOfMonth(ts), 'yyyy-MM-dd') AS ld
+          FROM events
+        )
+        SELECT event_type,
+               CAST(MIN(hr) AS BIGINT) AS min_hr,
+               CAST(MAX(dy) AS BIGINT) AS max_dy,
+               CAST(SUM(dow) AS BIGINT) AS s_dow,
+               CAST(SUM(n_slots) AS BIGINT) AS s_slots,
+               CAST(SUM(h5) AS BIGINT) AS s_h5,
+               CAST(COUNT(DISTINCT ld) AS BIGINT) AS n_ld
+        FROM x GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+
+@_register(
+    "q198_array_completion",
+    """
+    WITH e AS (
+      SELECT user_id % 20 AS grp, ts, event_id,
+             (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) % 7 AS v
+      FROM events
+    ),
+    arrs AS (
+      SELECT grp, list(v ORDER BY ts, event_id) AS a FROM e GROUP BY grp
+    ),
+    compacted AS (
+      SELECT grp, a,
+             len(list_filter(a, (x, i) -> i = 1 OR x != a[i - 1]))
+               AS compact_len
+      FROM arrs
+    ),
+    pos AS (
+      SELECT grp, u.i AS p, a[CAST(u.i AS INTEGER)] AS v
+      FROM arrs, UNNEST(generate_series(1, len(a))) u(i)
+    ),
+    filled AS (
+      SELECT grp,
+             coalesce(last_value(CASE WHEN v != 0 THEN v END IGNORE NULLS)
+               OVER (PARTITION BY grp ORDER BY p), 0) AS fv
+      FROM pos
+    ),
+    fs AS (SELECT grp, SUM(fv) AS filled_sum FROM filled GROUP BY grp),
+    jac AS (
+      SELECT grp,
+             len(list_distinct(list_intersect(a, [0,1,2,3]))) AS ni,
+             len(list_distinct(a || [0,1,2,3])) AS nu
+      FROM compacted
+    )
+    SELECT c.grp,
+           CAST(c.compact_len AS BIGINT) AS compact_len,
+           CAST(f.filled_sum AS BIGINT) AS filled_sum,
+           CAST((j.ni * 10000) // j.nu AS BIGINT) AS jaccard_bp
+    FROM compacted c
+    JOIN fs f ON f.grp = c.grp
+    JOIN jac j ON j.grp = c.grp
+    ORDER BY c.grp
+    """,
+    "ClickHouse array completion — arrayCompact (consecutive-dup "
+    "collapse via indexed filter), arrayFill forward-fill (aggregate "
+    "fold), arrayJaccardIndex — inlined SQL UDF bodies over per-group "
+    "ordered arrays (one deterministic (ts, event_id) sort feeds the "
+    "collect); the oracle re-derives the fill with an IGNORE NULLS "
+    "window over unnested positions — different mechanism, same values",
+)
+def q198(spark, sf_dir):
+    from kubenetmon_spark.sql import register_sql_surface
+
+    register_sql_surface(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT user_id % 20 AS grp, ts, event_id,
+                 (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) % 7
+                   AS v
+          FROM events
+        ),
+        arrs AS (
+          SELECT grp,
+                 transform(array_sort(collect_list(
+                   struct(ts, event_id, v))), s -> s.v) AS a
+          FROM e GROUP BY grp
+        )
+        SELECT grp,
+               CAST(size(arrayCompact(a)) AS BIGINT) AS compact_len,
+               CAST(aggregate(arrayFillForward(a), CAST(0 AS BIGINT),
+                              (acc, x) -> acc + x) AS BIGINT)
+                 AS filled_sum,
+               CAST((size(array_intersect(a, array(0, 1, 2, 3))) * 10000)
+                    div size(array_union(a, array(0, 1, 2, 3)))
+                 AS BIGINT) AS jaccard_bp
+        FROM arrs ORDER BY grp
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -225,6 +225,52 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
      " AND instr(s, element_at(needles, k)) < acc.p"
      " THEN named_struct('p', instr(s, element_at(needles, k)), 'i', k)"
      " ELSE acc END).i"),
+    # --- array completion (ClickHouse docs/sql-reference/functions/
+    # array-functions). SQL UDFs are monomorphic — registered for
+    # ARRAY<BIGINT>, the measure-array shape; other element types call
+    # the same expression bodies inline. ---
+    # arrayCompact: collapse CONSECUTIVE duplicates (not a distinct).
+    ("arrayCompact", "(a ARRAY<BIGINT>)", "ARRAY<BIGINT>",
+     "transform(filter(transform(a, (x, i) -> named_struct('x', x, 'i', i)),"
+     " s -> s.i = 0 OR NOT (s.x <=> element_at(a, s.i))), s -> s.x)"),
+    # arrayFill with the fixed predicate x != 0 (ClickHouse's lambda
+    # parameter cannot cross a SQL-UDF boundary): forward-fill zeros
+    # with the last non-zero; leading zeros stay zero.
+    ("arrayFillForward", "(a ARRAY<BIGINT>)", "ARRAY<BIGINT>",
+     "aggregate(a, cast(array() as array<bigint>),"
+     " (acc, x) -> if(x != 0 OR size(acc) = 0, concat(acc, array(x)),"
+     " concat(acc, array(element_at(acc, -1)))))"),
+    ("arrayJaccardIndex", "(a ARRAY<BIGINT>, b ARRAY<BIGINT>)", "DOUBLE",
+     "size(array_intersect(a, b)) / size(array_union(a, b))"),
+    # --- datetime completion (ClickHouse docs/sql-reference/functions/
+    # date-time-functions) ---
+    # Relative-number family: monotone bucket ordinals since epoch —
+    # the idiom behind "group by hour number" queries.
+    ("toRelativeDayNum", "(t TIMESTAMP)", "BIGINT",
+     "floor(cast(t as double) / 86400)"),
+    ("toRelativeHourNum", "(t TIMESTAMP)", "BIGINT",
+     "floor(cast(t as double) / 3600)"),
+    ("toRelativeMinuteNum", "(t TIMESTAMP)", "BIGINT",
+     "floor(cast(t as double) / 60)"),
+    ("toLastDayOfMonth", "(t TIMESTAMP)", "DATE", "last_day(t)"),
+    # ClickHouse dayOfWeek: Monday=1..Sunday=7 (Spark's weekday is
+    # Monday=0, dayofweek is Sunday=1 — neither matches directly).
+    ("toDayOfWeek", "(t TIMESTAMP)", "INT", "weekday(t) + 1"),
+    ("addDays", "(t TIMESTAMP, n INT)", "TIMESTAMP",
+     "timestampadd(DAY, n, t)"),
+    ("addHours", "(t TIMESTAMP, n INT)", "TIMESTAMP",
+     "timestampadd(HOUR, n, t)"),
+    ("addMinutes", "(t TIMESTAMP, n INT)", "TIMESTAMP",
+     "timestampadd(MINUTE, n, t)"),
+    # timeSlots(start, duration, size): every size-second slot boundary
+    # the half-open interval [start, start+duration] touches —
+    # ClickHouse's session-to-slots fan-out for per-slot accounting.
+    ("timeSlots",
+     "(t TIMESTAMP, duration BIGINT, size BIGINT)",
+     "ARRAY<TIMESTAMP>",
+     "transform(sequence(floor(cast(t as double) / size),"
+     " floor((cast(t as double) + duration) / size)),"
+     " k -> timestamp_seconds(k * size))"),
     # --- rounding family (ClickHouse docs/sql-reference/functions/rounding-functions) ---
     # roundBankers: IEEE 754 round-half-to-even (ClickHouse's default for
     # Float inputs); Spark's bround is exactly that. Single-arg (scale 0)

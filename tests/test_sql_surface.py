@@ -458,3 +458,55 @@ class TestStringSearchFamily:
         assert _one(spark, f"multiSearchFirstIndex('no hits', {arr})") == 0
         # tie on position keeps the earlier list index
         assert _one(spark, "multiSearchFirstIndex('ab', array('ab', 'a'))") == 1
+
+
+class TestDatetimeCompletion:
+    def test_relative_nums_and_dow(self, spark):
+        t = "TIMESTAMP '2024-01-15 13:30:00'"  # a Monday
+        assert _one(spark, f"toRelativeDayNum({t})") == 19737
+        assert _one(spark, f"toRelativeHourNum({t})") == 19737 * 24 + 13
+        assert _one(spark, f"toRelativeMinuteNum({t})") == (19737 * 24 + 13) * 60 + 30
+        assert _one(spark, f"toDayOfWeek({t})") == 1      # Monday = 1
+        assert _one(spark, "toDayOfWeek(TIMESTAMP '2024-01-21 00:00:00')") == 7
+
+    def test_last_day_and_adds(self, spark):
+        t = "TIMESTAMP '2024-02-10 01:02:03'"
+        assert str(_one(spark, f"toLastDayOfMonth({t})")) == "2024-02-29"
+        assert str(_one(spark, f"addDays({t}, 20)")) == "2024-03-01 01:02:03"
+        assert str(_one(spark, f"addHours({t}, 25)")) == "2024-02-11 02:02:03"
+        assert str(_one(spark, f"addMinutes({t}, -3)")) == "2024-02-10 00:59:03"
+
+    def test_time_slots(self, spark):
+        # 00:10 .. +1h30m touches the 00:00, 00:30, 01:00, 01:30 slots
+        got = _one(
+            spark,
+            "timeSlots(TIMESTAMP '2024-01-01 00:10:00',"
+            " CAST(5400 AS BIGINT), CAST(1800 AS BIGINT))",
+        )
+        assert [str(t) for t in got] == [
+            "2024-01-01 00:00:00",
+            "2024-01-01 00:30:00",
+            "2024-01-01 01:00:00",
+            "2024-01-01 01:30:00",
+        ]
+
+
+class TestArrayCompletion:
+    def test_array_compact(self, spark):
+        a = "array(CAST(1 AS BIGINT), 1, 2, 2, 2, 1, 3, 3)"
+        assert _one(spark, f"arrayCompact({a})") == [1, 2, 1, 3]
+        assert _one(spark, "arrayCompact(cast(array() as array<bigint>))") == []
+        assert _one(spark, "arrayCompact(array(CAST(5 AS BIGINT)))") == [5]
+
+    def test_array_fill_forward(self, spark):
+        a = "array(CAST(0 AS BIGINT), 0, 3, 0, 0, 7, 0)"
+        assert _one(spark, f"arrayFillForward({a})") == [0, 0, 3, 3, 3, 7, 7]
+        assert _one(spark, "arrayFillForward(array(CAST(0 AS BIGINT)))") == [0]
+
+    def test_array_jaccard(self, spark):
+        got = _one(
+            spark,
+            "arrayJaccardIndex(array(CAST(1 AS BIGINT), 2, 3),"
+            " array(CAST(2 AS BIGINT), 3, 4))",
+        )
+        assert got == 0.5
