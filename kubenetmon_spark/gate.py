@@ -9362,6 +9362,67 @@ def q198(spark, sf_dir):
     )
 
 
+def _pagerank_oracle_sql(iters: int = 10) -> str:
+    """Unrolled fixed-iteration PageRank as plain CTE SQL (DuckDB has
+    no aggregates-in-recursive-CTE, so the oracle unrolls — every
+    division is integer floor `//`, matching pagerank_exact)."""
+    parts = [
+        """
+    WITH e AS (
+      SELECT DISTINCT user_id % 60 AS s,
+             (user_id // 60 + event_id) % 60 AS d
+      FROM events
+      WHERE user_id % 60 != (user_id // 60 + event_id) % 60
+    ),
+    deg AS (SELECT s, COUNT(*) AS dg FROM e GROUP BY s),
+    nodes AS (SELECT DISTINCT s AS node FROM e
+              UNION SELECT DISTINCT d FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    pr0 AS (SELECT node,
+            CAST(1000000000 AS BIGINT) // (SELECT n FROM nn) AS pr
+            FROM nodes)"""
+    ]
+    for k in range(iters):
+        parts.append(f"""
+    c{k} AS (SELECT e.d AS node, SUM(p.pr // deg.dg) AS sc
+             FROM e JOIN deg ON deg.s = e.s
+             JOIN pr{k} p ON p.node = e.s
+             GROUP BY e.d),
+    pr{k + 1} AS (SELECT n.node,
+             (CAST(1000000000 AS BIGINT) * 15)
+               // (100 * (SELECT n FROM nn))
+             + (85 * COALESCE(c.sc, 0)) // 100 AS pr
+           FROM nodes n LEFT JOIN c{k} c ON c.node = n.node)""")
+    final = f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(pr AS BIGINT) AS pr
+    FROM pr{iters} ORDER BY node"""
+    return ",".join(parts) + final
+
+
+@_register(
+    "q200_pagerank",
+    _pagerank_oracle_sql(10),
+    "Fixed-iteration PageRank in exact integer ppb arithmetic — "
+    "operators/graph.py::pagerank_exact (rank duplicate clusters / "
+    "link graphs; floor division at both divide sites makes every "
+    "engine and partitioning agree bit-for-bit); oracle = the 10 "
+    "iterations unrolled as CTEs, one join+groupBy shuffle per round "
+    "on the Spark side with localCheckpoint lineage cuts",
+)
+def q200(spark, sf_dir):
+    from kubenetmon_spark.operators.graph import pagerank_exact
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 60).alias("s"),
+        ((F.expr("user_id div 60") + F.col("event_id")) % 60).alias("d"),
+    ).filter(F.col("s") != F.col("d"))
+    pr = pagerank_exact(ev, "s", "d", iterations=10)
+    return pr.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("pr").cast("long").alias("pr"),
+    ).orderBy("node")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

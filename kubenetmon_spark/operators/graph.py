@@ -89,3 +89,70 @@ def duplicate_clusters(
     return connected_components(pairs, id_1, id_2).withColumnRenamed(
         "comp", "cluster_rep"
     )
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping_pct: int = 85,
+    unit: int = 1_000_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT integer arithmetic — link
+    analysis for the duplicate/citation graphs this pipeline builds
+    (rank duplicate clusters by centrality, pick canonical docs).
+
+    All mass is tracked in integer ``unit``-ths (default ppb) with
+    floor division at the two places real PageRank divides:
+      contrib(u) = pr(u) // outdeg(u)
+      pr'(v) = (unit * (100-d)) // (100 * N) + (d * sum contribs) // 100
+    Floor division leaks a bounded trickle of mass (< N*outdeg units
+    per round) instead of renormalizing — the tradeoff that makes every
+    engine/partitioning produce IDENTICAL ranks; convergence behavior
+    is unchanged for ranking purposes. Dangling mass is dropped (nodes
+    with no out-edges contribute nothing), the standard simplification.
+
+    Scale posture per iteration: one shuffle joining ranks to the edge
+    list on ``src`` (partitioning reused across rounds since the key
+    never changes), one groupBy(dst).sum. The driver loops over
+    ITERATIONS (a handful), never over rows; lineage is cut each round
+    with localCheckpoint so the plan stays flat.
+
+    Returns (node, pr) with pr in units; sum(pr) <= unit.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    out_deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    ).persist()
+    n = nodes.count()
+    base = (unit * (100 - damping_pct)) // (100 * n)
+    pr = nodes.withColumn("pr", F.lit(unit // n).cast("long"))
+    ed = e.join(out_deg, "_s").persist()
+    for _ in range(iterations):
+        contribs = (
+            ed.join(pr, ed["_s"] == pr["node"])
+            .select("_d", (F.col("pr") / F.col("_deg")).cast("long").alias("_c"))
+            .groupBy("_d")
+            .agg(F.sum("_c").alias("_sc"))
+        )
+        pr = (
+            nodes.join(contribs, nodes["node"] == contribs["_d"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + (F.lit(damping_pct) * F.coalesce(F.col("_sc"), F.lit(0)))
+                    / 100
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ed.unpersist()
+    nodes.unpersist()
+    return pr

@@ -515,3 +515,37 @@ class TestDetectPeriod:
         df = spark.createDataFrame([("a", 1, 1)], ["g", "t", "x"])
         with pytest.raises(ValueError):
             detect_period(df, ["g"], "t", "x", min_lag=5, max_lag=2)
+
+
+class TestPagerankExact:
+    def test_cycle_is_uniform_and_star_center_wins(self, spark):
+        from kubenetmon_spark.operators.graph import pagerank_exact
+
+        cycle = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0)], ["src", "dst"]
+        )
+        pr = {r.node: r.pr for r in pagerank_exact(cycle, iterations=5).collect()}
+        # symmetric cycle: identical rank, ~1/3 of a ppb unit each
+        assert len(set(pr.values())) == 1
+        assert abs(pr[0] - 1_000_000_000 // 3) < 1000
+
+        star = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 0), (0, 1)], ["src", "dst"]
+        )
+        ps = {r.node: r.pr for r in pagerank_exact(star, iterations=10).collect()}
+        # mass concentrates in the 0<->1 two-cycle; both beat the leaves
+        assert ps[0] > ps[2] and ps[1] > ps[2]
+        assert ps[2] == ps[3]  # symmetric leaves
+        # total mass bounded by unit (floor leaks only downward)
+        assert sum(ps.values()) <= 1_000_000_000
+
+    def test_deterministic_across_partitionings(self, spark):
+        from kubenetmon_spark.operators.graph import pagerank_exact
+
+        edges = [(i % 13, (i * 7 + 3) % 13) for i in range(60)]
+        edges = [e for e in edges if e[0] != e[1]]
+        a = spark.createDataFrame(edges, ["src", "dst"])
+        b = a.repartition(7)
+        ra = sorted((r.node, r.pr) for r in pagerank_exact(a, iterations=6).collect())
+        rb = sorted((r.node, r.pr) for r in pagerank_exact(b, iterations=6).collect())
+        assert ra == rb
