@@ -9423,6 +9423,106 @@ def q200(spark, sf_dir):
     ).orderBy("node")
 
 
+@_register(
+    "q201_media_dedup_pipeline",
+    """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, text, length(text) AS L
+      FROM documents WHERE length(text) >= 64
+    ),
+    raw_pos AS (
+      SELECT doc_id, text, L, unnest(generate_series(1, L)) AS p FROM d
+    ),
+    pos AS (
+      SELECT doc_id, L, p,
+             unicode(substring(text, CAST(p AS INTEGER), 1)) AS cp,
+             ((p - 1) * 64) // L AS c
+      FROM raw_pos
+    ),
+    luma AS (
+      SELECT doc_id, c, SUM(cp) AS luma FROM pos GROUP BY doc_id, c
+    ),
+    tot AS (SELECT doc_id, SUM(luma) AS total FROM luma GROUP BY doc_id),
+    bits AS (
+      SELECT l.doc_id, l.c,
+             CASE WHEN 64 * l.luma >= t.total THEN 1 ELSE 0 END AS bit
+      FROM luma l JOIN tot t ON t.doc_id = l.doc_id
+    ),
+    bands AS (
+      SELECT doc_id, c // 16 AS bj,
+             CAST(SUM(bit * (1 << (15 - (c % 16)))) AS BIGINT) AS bv
+      FROM bits GROUP BY doc_id, c // 16
+    ),
+    wide AS (
+      SELECT doc_id,
+             COALESCE(SUM(CASE WHEN bj = 0 THEN bv END), 0) AS b0,
+             COALESCE(SUM(CASE WHEN bj = 1 THEN bv END), 0) AS b1,
+             COALESCE(SUM(CASE WHEN bj = 2 THEN bv END), 0) AS b2,
+             COALESCE(SUM(CASE WHEN bj = 3 THEN bv END), 0) AS b3
+      FROM bands GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+      FROM bands a
+      JOIN bands b ON a.bj = b.bj AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.id_1, c.id_2
+      FROM cand c
+      JOIN wide w1 ON w1.doc_id = c.id_1
+      JOIN wide w2 ON w2.doc_id = c.id_2
+      WHERE bit_count(xor(w1.b0, w2.b0)) + bit_count(xor(w1.b1, w2.b1))
+          + bit_count(xor(w1.b2, w2.b2)) + bit_count(xor(w1.b3, w2.b3))
+          <= 3
+    ),
+    edges AS (
+      SELECT id_1 AS a, id_2 AS b FROM pairs
+      UNION SELECT id_2, id_1 FROM pairs
+    ),
+    gnodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM gnodes
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS cluster_rep FROM reach GROUP BY node)
+    SELECT comp.cluster_rep,
+           CAST(COUNT(*) AS BIGINT) AS size,
+           CAST(SUM(comp.node) AS BIGINT) AS member_sum,
+           CAST(COUNT(DISTINCT doc.source) AS BIGINT) AS n_sources
+    FROM comp JOIN documents doc ON doc.doc_id = comp.node
+    GROUP BY comp.cluster_rep ORDER BY comp.cluster_rep
+    """,
+    "the multimodal dedup pipeline composed end to end in ONE plan: "
+    "decode stand-in -> aHash (Arrow batch) -> banded Hamming LSH "
+    "pairs (q141) -> connected-component duplicate clusters (q43's "
+    "closure) -> canonical representative + cross-source accounting; "
+    "oracle replays the full chain with a recursive-CTE closure",
+)
+def q201(spark, sf_dir):
+    from kubenetmon_spark.operators.graph import duplicate_clusters
+    from kubenetmon_spark.operators.media import (
+        media_from_text,
+        perceptual_hash_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 64)
+    media = media_from_text(d, "doc_id", "text")
+    pairs = perceptual_hash_pairs(media, max_hamming=3)
+    clusters = duplicate_clusters(pairs)
+    src = d.select(F.col("doc_id").alias("node"), "source")
+    return (
+        clusters.join(src, "node")
+        .groupBy("cluster_rep")
+        .agg(
+            F.count("*").alias("size"),
+            F.sum("node").alias("member_sum"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("cluster_rep")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

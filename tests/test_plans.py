@@ -380,3 +380,43 @@ def test_join_algorithm_hint_surface(spark):
     assert "BroadcastHashJoin" in _plan(bcast)
     n = plain.count()
     assert merged.count() == shuffled.count() == bcast.count() == n
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """The 100 TB lever for selective dim joins that are too big to
+    broadcast: Spark's runtime bloom-filter injection builds a bloom
+    filter from the filtered dim keys and applies it to the fact scan
+    BEFORE the shuffle (might_contain in the optimized plan), cutting
+    shuffle volume to ~the matching fraction. Thresholds are lowered
+    here because the local test tables are tiny; at production scale
+    the defaults (10 GB application side) trigger on their own."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        o = (
+            load_table(spark, SF_DIR, "orders")
+            .filter(F.col("o_totalprice") > 400000)
+            .select("o_orderkey")
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, "bloom filter was not injected"
+        # and the filtered join still returns the right rows
+        plain_confs_off = j.count()
+        assert plain_confs_off > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

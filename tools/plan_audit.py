@@ -116,6 +116,11 @@ KNOWN = {
     "window, unigram agg, bigram agg, count joins, per-doc sum — the "
     "lag window and per-doc sum share the doc partitioning, and count "
     "tables are vocabulary-bounded (broadcast at realistic vocab sizes)",
+    "q195_period_detect": "every exchange/window runs over the POST-"
+    "aggregation series table (#series x #steps rows — thousands, not "
+    "facts): idx/mean windows share one sort, the lag join keys on "
+    "(series, idx), and the per-lag agg + argmax carry #series x "
+    "n_lags rows; the one fact-scale shuffle is the hourly bucket agg",
     "q10_lpm_classify": "appears only at sf0.1+: the distinct-IP "
     "join-back deliberately carries no broadcast hint (lpm_lookup "
     "docstring) — AQE sizes it at runtime, and beyond the threshold a "
