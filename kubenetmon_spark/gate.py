@@ -9523,6 +9523,51 @@ def q201(spark, sf_dir):
     )
 
 
+@_register(
+    "q202_dataset_split",
+    """
+    WITH b AS (
+      SELECT doc_id, source,
+             (CAST('0x' || substring(md5('split:' ||
+                CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) * 10000)
+               // 65536 AS m
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source,
+             CASE WHEN m < 8000 THEN 'train'
+                  WHEN m < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b
+    )
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM s GROUP BY source, split ORDER BY source, split
+    """,
+    "deterministic train/val/test split — "
+    "operators/curation.py::split_dataset: assignment is a pure "
+    "function of md5(salt:id), so eval membership never shifts as the "
+    "corpus grows; exact integer bucket rescale, zero shuffle before "
+    "the accounting rollup",
+)
+def q202(spark, sf_dir):
+    from kubenetmon_spark.operators.curation import split_dataset
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    s = split_dataset(
+        d, "doc_id", {"train": 8000, "val": 1000, "test": 1000}
+    )
+    return (
+        s.groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source", "split")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

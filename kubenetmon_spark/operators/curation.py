@@ -345,3 +345,50 @@ def dedup_lines(
         )
     )
     return per_doc
+
+
+def split_dataset(
+    df: DataFrame,
+    id_col: str,
+    fractions_bp: dict[str, int],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets a split
+    label from md5(salt:id) alone — reproducible across runs, engines,
+    partitionings, and table versions (adding rows never reassigns
+    existing ones, the property that keeps eval sets stable as the
+    corpus grows). Fractions are basis points and must sum to 10000.
+
+    The hash bucket is the first 4 md5 hex chars (0..65535) rescaled to
+    [0, 10000) by exact integer floor — label boundaries are crisp, no
+    float thresholds. Pure codegen expression; zero shuffle.
+    """
+    if sum(fractions_bp.values()) != 10000:
+        raise ValueError("fractions_bp must sum to 10000")
+    if any(v < 0 for v in fractions_bp.values()):
+        raise ValueError("fractions must be non-negative")
+    b = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt), F.lit(":"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # exact floor: b*10000 < 2^52, so the double quotient floors true
+    milli = F.floor((b * 10000) / 65536).cast("long")
+    expr = None
+    cum = 0
+    *init, (last_name, _) = list(fractions_bp.items())
+    for name, bp in init:
+        cum += bp
+        cond = milli < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(last_name) if expr is None else expr.otherwise(last_name)
+    return df.withColumn(out_col, expr)

@@ -506,3 +506,38 @@ class TestDedupLines:
         got = {r.doc_id: r for r in dedup_lines(df, "doc_id").collect()}
         assert got[1].dedup_text == "only line"
         assert got[2].dedup_text == "" and got[2].n_kept == 0
+
+
+class TestSplitDataset:
+    def test_partition_is_total_and_stable(self, spark):
+        from kubenetmon_spark.operators.curation import split_dataset
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        s = split_dataset(
+            df, "doc_id", {"train": 8000, "val": 1000, "test": 1000}
+        )
+        counts = {r.split: r.n for r in
+                  s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 2000
+        # roughly proportional (hash uniformity, generous bounds)
+        assert 1400 < counts["train"] < 1800
+        assert 100 < counts["val"] < 320 and 100 < counts["test"] < 320
+
+        # growing the corpus never reassigns existing rows
+        small = {r.doc_id: r.split for r in
+                 split_dataset(spark.range(0, 500)
+                               .withColumnRenamed("id", "doc_id"),
+                               "doc_id",
+                               {"train": 8000, "val": 1000, "test": 1000}
+                               ).collect()}
+        big = {r.doc_id: r.split for r in s.collect()}
+        assert all(big[k] == v for k, v in small.items())
+
+    def test_rejects_bad_fractions(self, spark):
+        import pytest
+
+        from kubenetmon_spark.operators.curation import split_dataset
+
+        df = spark.range(3).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError):
+            split_dataset(df, "doc_id", {"a": 5000, "b": 4000})
