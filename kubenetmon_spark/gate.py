@@ -9568,6 +9568,84 @@ def q202(spark, sf_dir):
     )
 
 
+@_register(
+    "q203_seasonal_forecast",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hh, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, hh, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) - 1
+               AS idx
+      FROM h
+    ),
+    t AS (
+      SELECT event_type, idx, cnt,
+             2 * SUM(cnt) OVER w12
+               - LAG(cnt, 12) OVER wo - LEAD(cnt, 12) OVER wo AS tnum,
+             COUNT(cnt) OVER w12 AS c
+      FROM s
+      WINDOW wo AS (PARTITION BY event_type ORDER BY idx),
+             w12 AS (PARTITION BY event_type ORDER BY idx
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    last_trend AS (
+      SELECT event_type, tnum FROM t WHERE c = 25
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY idx DESC) = 1
+    ),
+    last_idx AS (
+      SELECT event_type, MAX(idx) AS li FROM s GROUP BY event_type
+    ),
+    prof AS (
+      SELECT event_type, idx % 24 AS phase,
+             COUNT(*) AS n, SUM(48 * cnt - tnum) AS s_detr
+      FROM t WHERE c = 25 GROUP BY event_type, idx % 24
+    ),
+    fc AS (
+      SELECT li.event_type, u.h AS h, (li.li + u.h) % 24 AS phase
+      FROM last_idx li, UNNEST(generate_series(1, 12)) u(h)
+    )
+    SELECT fc.event_type, CAST(fc.h AS BIGINT) AS h,
+           CAST(fc.phase AS BIGINT) AS phase,
+           CAST(CAST(floor(CAST(lt.tnum * 1000 AS DOUBLE) / 48) AS BIGINT)
+             + COALESCE(CAST(floor(CAST(p.s_detr * 1000 AS DOUBLE)
+                                   / (p.n * 48)) AS BIGINT), 0)
+             AS BIGINT) AS forecast_milli
+    FROM fc
+    JOIN last_trend lt ON lt.event_type = fc.event_type
+    LEFT JOIN prof p ON p.event_type = fc.event_type
+                    AND p.phase = fc.phase
+    ORDER BY fc.event_type, fc.h
+    """,
+    "seasonal-naive forecast (the baseline every forecaster must "
+    "beat): last defined 2x24-MA trend + per-phase seasonal index, "
+    "12 hours ahead, exact scaled integers end to end — "
+    "operators/timeseries.py::seasonal_forecast composing "
+    "seasonal_decompose (q194); capacity planning over the flow "
+    "table's minute/hour rollups is the kubenetmon use case",
+)
+def q203(spark, sf_dir):
+    from kubenetmon_spark.operators.timeseries import seasonal_forecast
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hh"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    fc = seasonal_forecast(
+        hourly, ["event_type"], "hh", "cnt", period=24, horizon=12
+    )
+    return fc.select(
+        "event_type",
+        F.col("h").cast("long").alias("h"),
+        F.col("phase").cast("long").alias("phase"),
+        "forecast_milli",
+    ).orderBy("event_type", "h")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

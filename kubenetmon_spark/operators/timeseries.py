@@ -472,3 +472,57 @@ def detect_period(
         F.col("_b.ac").alias("autocov"),
         F.col("_b.pairs").alias("n_pairs"),
     )
+
+
+def seasonal_forecast(
+    df: DataFrame,
+    group_cols: list[str],
+    ord_col: str,
+    value_col: str,
+    period: int,
+    horizon: int,
+) -> DataFrame:
+    """Seasonal-naive forecast on top of ``seasonal_decompose``:
+    ŷ(T+h) = last defined trend + seasonal index of the target phase —
+    the standard baseline every fancier forecaster must beat, and the
+    capacity-planning shape for the flow table ("what does next
+    Tuesday 14:00 look like").
+
+    Emits (group, h, phase, forecast_milli) for h = 1..horizon, in
+    exact scaled-integer arithmetic end to end (trend at trend_den
+    scale, seasonal in milli-units, floor division only at the final
+    milli rescale).
+
+    Scale: decompose's one sort + two tiny aggregations (last-trend
+    argmax and the phase profile are #groups(+x period) rows); the
+    horizon explode is driver-free and adds horizon rows per group.
+    """
+    d = seasonal_decompose(df, group_cols, ord_col, value_col, period)
+    den = 2 * period if period % 2 == 0 else period
+    last = d.groupBy(*group_cols).agg(
+        F.max("idx").alias("last_idx"),
+        F.max_by(
+            "trend_num", F.when(F.col("trend_num").isNotNull(), F.col("idx"))
+        ).alias("last_trend"),
+    )
+    prof = (
+        d.filter(F.col("detr_num").isNotNull())
+        .groupBy(*group_cols, "phase")
+        .agg(F.count("*").alias("n"), F.sum("detr_num").alias("s_detr"))
+    )
+    fc = last.withColumn(
+        "h", F.explode(F.sequence(F.lit(1), F.lit(horizon)))
+    ).withColumn("phase", (F.col("last_idx") + F.col("h")) % period)
+    out = fc.join(prof, [*group_cols, "phase"], "left")
+    return out.select(
+        *group_cols,
+        "h",
+        "phase",
+        (
+            _floor_div(F.col("last_trend") * 1000, F.lit(den))
+            + F.coalesce(
+                _floor_div(F.col("s_detr") * 1000, F.col("n") * den),
+                F.lit(0),
+            )
+        ).alias("forecast_milli"),
+    )

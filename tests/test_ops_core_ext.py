@@ -549,3 +549,23 @@ class TestPagerankExact:
         ra = sorted((r.node, r.pr) for r in pagerank_exact(a, iterations=6).collect())
         rb = sorted((r.node, r.pr) for r in pagerank_exact(b, iterations=6).collect())
         assert ra == rb
+
+
+class TestSeasonalForecast:
+    def test_pure_seasonal_series_forecast_exact(self, spark):
+        from kubenetmon_spark.operators.timeseries import seasonal_forecast
+
+        # x_t = 100 + (t % 4)*8, flat trend 112: forecast = pattern value
+        rows = [("a", t, 100 + (t % 4) * 8) for t in range(40)]
+        df = spark.createDataFrame(rows, ["g", "t", "x"])
+        fc = {
+            r.h: r
+            for r in seasonal_forecast(
+                df, ["g"], "t", "x", period=4, horizon=8
+            ).collect()
+        }
+        assert len(fc) == 8
+        for h, r in fc.items():
+            phase = (39 + h) % 4
+            assert r.phase == phase
+            assert r.forecast_milli == (100 + phase * 8) * 1000
