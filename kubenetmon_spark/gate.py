@@ -9646,6 +9646,86 @@ def q203(spark, sf_dir):
     ).orderBy("event_type", "h")
 
 
+@_register(
+    "q204_seasonal_anomalies",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hh, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, hh, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) - 1
+               AS idx
+      FROM h
+    ),
+    t AS (
+      SELECT event_type, idx, cnt,
+             2 * SUM(cnt) OVER w12
+               - LAG(cnt, 12) OVER wo - LEAD(cnt, 12) OVER wo AS tnum,
+             COUNT(cnt) OVER w12 AS c
+      FROM s
+      WINDOW wo AS (PARTITION BY event_type ORDER BY idx),
+             w12 AS (PARTITION BY event_type ORDER BY idx
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    d AS (
+      SELECT event_type, idx, idx % 24 AS phase, 48 * cnt - tnum AS dn
+      FROM t WHERE c = 25
+    ),
+    prof AS (
+      SELECT event_type, phase, COUNT(*) AS np, SUM(dn) AS sd
+      FROM d GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT d.event_type, d.idx,
+             d.dn - CAST(floor(CAST(p.sd AS DOUBLE) / p.np) AS BIGINT)
+               AS rn
+      FROM d JOIN prof p ON p.event_type = d.event_type
+                        AND p.phase = d.phase
+    ),
+    st AS (
+      SELECT event_type, COUNT(*) AS n, SUM(rn * rn) AS ss
+      FROM r GROUP BY 1
+    )
+    SELECT r.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_steps,
+           CAST(SUM(CASE WHEN 100 * r.rn * r.rn * st.n > 900 * st.ss
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
+           CAST(MAX(abs(r.rn)) AS BIGINT) AS max_abs_resid
+    FROM r JOIN st ON st.event_type = r.event_type
+    GROUP BY r.event_type ORDER BY r.event_type
+    """,
+    "seasonally-adjusted anomaly detection — "
+    "operators/timeseries.py::seasonal_anomalies: residual vs 3.0 "
+    "sigma via the cross-multiplied integer rule 100*r^2*n > k^2*Sum "
+    "r^2 (no sqrt, no floats); the daily shape is removed first so "
+    "peak hours don't false-positive — the metering alarm use case",
+)
+def q204(spark, sf_dir):
+    from kubenetmon_spark.operators.timeseries import seasonal_anomalies
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hh"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    a = seasonal_anomalies(
+        hourly, ["event_type"], "hh", "cnt", period=24, k_tenths=30
+    )
+    return (
+        a.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_steps"),
+            F.sum(F.when(F.col("is_anomaly"), 1).otherwise(0)).alias(
+                "n_anom"
+            ),
+            F.max(F.abs(F.col("resid_num"))).alias("max_abs_resid"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

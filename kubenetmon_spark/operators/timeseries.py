@@ -526,3 +526,66 @@ def seasonal_forecast(
             )
         ).alias("forecast_milli"),
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    group_cols: list[str],
+    ord_col: str,
+    value_col: str,
+    period: int,
+    k_tenths: int = 30,
+) -> DataFrame:
+    """Seasonally-adjusted anomaly detection: a step is anomalous when
+    its residual (value − trend − seasonal index) exceeds k standard
+    deviations of the group's residuals — the "traffic at 3am looks
+    like 3pm" alarm a metering pipeline wants, with the daily shape
+    removed first so peak hours don't false-positive.
+
+    EXACT integer decision rule: with residuals r_i in trend_den scale
+    and σ² = Σr²/n, the test |r| > (k/10)·σ squares and
+    cross-multiplies once to
+        100 · r² · n  >  k² · Σr²
+    (k in tenths), so no square roots and no floats ever happen; ties
+    (=) are not anomalous. The residual scale cancels on both sides.
+
+    Overflow contract: |r| ≤ trend_den·max|x|; 100·n·r²_max < 2^63
+    holds for counts series up to ~1e5 steps — pre-scale larger
+    magnitudes.
+
+    Returns per-step rows with ``resid_num`` (residual at trend_den
+    scale; the phase mean is floor-divided once) and ``is_anomaly``;
+    boundary steps without a defined trend are excluded (no residual
+    exists there).
+    """
+    d = seasonal_decompose(df, group_cols, ord_col, value_col, period)
+    den = 2 * period if period % 2 == 0 else period
+    prof = (
+        d.filter(F.col("detr_num").isNotNull())
+        .groupBy(*group_cols, "phase")
+        .agg(
+            F.count("*").alias("_np"),
+            F.sum("detr_num").alias("_sd"),
+        )
+    )
+    r = (
+        d.filter(F.col("detr_num").isNotNull())
+        .join(prof, [*group_cols, "phase"])
+        .withColumn(
+            "resid_num",
+            F.col("detr_num")
+            - _floor_div(F.col("_sd"), F.col("_np")),
+        )
+    )
+    w = Window.partitionBy(*group_cols)
+    r = r.withColumn(
+        "_n", F.count("*").over(w)
+    ).withColumn("_ss", F.sum(F.col("resid_num") * F.col("resid_num")).over(w))
+    return r.withColumn(
+        "is_anomaly",
+        100 * F.col("resid_num") * F.col("resid_num") * F.col("_n")
+        > F.lit(k_tenths * k_tenths) * F.col("_ss"),
+    ).select(
+        *group_cols, "idx", "phase", F.col(value_col), "resid_num",
+        "is_anomaly",
+    )

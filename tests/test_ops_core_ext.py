@@ -569,3 +569,29 @@ class TestSeasonalForecast:
             phase = (39 + h) % 4
             assert r.phase == phase
             assert r.forecast_milli == (100 + phase * 8) * 1000
+
+
+class TestSeasonalAnomalies:
+    def test_injected_spike_flagged(self, spark):
+        from kubenetmon_spark.operators.timeseries import seasonal_anomalies
+
+        # flat 100 with period-4 pattern, one big spike at t=21
+        rows = [
+            ("a", t, (100 + (t % 4) * 8) + (500 if t == 21 else 0))
+            for t in range(48)
+        ]
+        df = spark.createDataFrame(rows, ["g", "t", "x"])
+        out = seasonal_anomalies(df, ["g"], "t", "x", period=4, k_tenths=30)
+        flagged = {r.idx for r in out.filter("is_anomaly").collect()}
+        assert 21 in flagged
+        # the spike contaminates its neighbors' trend window, so allow
+        # nearby flags, but the quiet far tail must be clean
+        assert all(abs(i - 21) <= 2 for i in flagged)
+
+    def test_clean_series_has_no_anomalies(self, spark):
+        from kubenetmon_spark.operators.timeseries import seasonal_anomalies
+
+        rows = [("a", t, 100 + (t % 4) * 8) for t in range(48)]
+        df = spark.createDataFrame(rows, ["g", "t", "x"])
+        out = seasonal_anomalies(df, ["g"], "t", "x", period=4, k_tenths=30)
+        assert out.filter("is_anomaly").count() == 0
