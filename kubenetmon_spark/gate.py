@@ -9726,6 +9726,88 @@ def q204(spark, sf_dir):
     )
 
 
+@_register(
+    "q205_data_quality",
+    """
+    WITH v AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50)
+                       OR l_quantity IS NULL THEN 1 ELSE 0 END) AS v_qty,
+             SUM(CASE WHEN NOT (l_extendedprice > 0)
+                       OR l_extendedprice IS NULL THEN 1 ELSE 0 END)
+               AS v_price,
+             SUM(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 0.1)
+                       OR l_discount IS NULL THEN 1 ELSE 0 END) AS v_disc,
+             SUM(CASE WHEN NOT (l_shipdate >= DATE '1992-01-01')
+                       OR l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_ship
+      FROM lineitem
+    ),
+    rules AS (
+      SELECT 'qty_range' AS rule, n_rows, v_qty AS n_violations FROM v
+      UNION ALL SELECT 'price_positive', n_rows, v_price FROM v
+      UNION ALL SELECT 'discount_range', n_rows, v_disc FROM v
+      UNION ALL SELECT 'shipdate_floor', n_rows, v_ship FROM v
+    ),
+    ref AS (
+      SELECT 'orders_customer_fk' AS rule,
+             (SELECT COUNT(*) FROM orders) AS n_rows,
+             (SELECT COUNT(*) FROM orders o
+              WHERE o.o_custkey IS NULL OR NOT EXISTS
+                (SELECT 1 FROM customer c
+                 WHERE c.c_custkey = o.o_custkey)) AS n_violations
+    ),
+    allr AS (SELECT * FROM rules UNION ALL SELECT * FROM ref)
+    SELECT rule, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(CASE WHEN n_rows > 0
+                THEN floor(CAST(n_violations * 10000 AS DOUBLE) / n_rows)
+                ELSE 0 END AS BIGINT) AS viol_bp
+    FROM allr ORDER BY rule
+    """,
+    "declarative data-quality audit (the Deequ/dbt-test capability) — "
+    "operators/audit.py::check_rules folds every rule into ONE "
+    "aggregation over one scan (null predicate = violation, the 3VL "
+    "trap made explicit); referential_violations = one anti-join "
+    "against the projected parent key set; the reference's pre-INSERT "
+    "invariants (labeler.go error taxonomy) moved into the engine",
+)
+def q205(spark, sf_dir):
+    from kubenetmon_spark.operators.audit import (
+        check_rules,
+        referential_violations,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    rules = check_rules(
+        li,
+        {
+            "qty_range": F.col("l_quantity").between(1, 50),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "discount_range": F.col("l_discount").between(0, 0.1),
+            "shipdate_floor": F.col("l_shipdate") >= F.lit("1992-01-01").cast("date"),
+        },
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n_orders = o.agg(F.count("*").alias("n")).collect()[0].n
+    orphans = referential_violations(o, c, "o_custkey", "c_custkey").agg(
+        F.count("*").alias("n_violations")
+    )
+    ref = orphans.select(
+        F.lit("orders_customer_fk").alias("rule"),
+        F.lit(n_orders).cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long"),
+        F.when(
+            F.lit(n_orders) > 0,
+            F.floor(F.col("n_violations") * 10000 / F.lit(n_orders)),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("viol_bp"),
+    )
+    return rules.unionByName(ref).orderBy("rule")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

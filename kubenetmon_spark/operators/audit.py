@@ -1,0 +1,84 @@
+"""Data-quality constraint auditing (the Deequ/dbt-test capability):
+declarative row-level rules and referential-integrity checks evaluated
+in ONE pass, returning violation counts — the admission gate in front
+of every table this engine writes (the reference enforces its
+invariants in Go code before INSERT, labeler.go's error taxonomy;
+at 100 TB the checks move into the engine).
+
+Scale posture: ``check_rules`` folds every rule into a single
+aggregation over one scan — adding a rule adds an expression, never a
+pass. ``referential_violations`` is one left-anti join against the
+(usually broadcast-sized, pre-projected) parent key set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def check_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Evaluate named row-level constraints; returns one row per rule:
+    (rule, n_rows, n_violations, viol_bp). A rule's Column is the
+    PASS predicate; NULL predicate results count as violations (a
+    constraint that cannot be evaluated did not pass — the SQL
+    three-valued-logic trap made explicit).
+
+    One scan, one aggregation, no shuffle beyond the final 1-row-per-
+    rule reduce: every rule is a conditional-sum expression in the
+    same hash agg.
+    """
+    if not rules:
+        raise ValueError("need at least one rule")
+    aggs = [F.count("*").alias("n_rows")]
+    for name, pred in rules.items():
+        aggs.append(
+            F.sum(
+                F.when(pred.isNull() | ~pred, 1).otherwise(0)
+            ).alias(f"_v_{name}")
+        )
+    one = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"_v_{name}").alias("n_violations"),
+            )
+            for name in rules
+        ]
+    )
+    return one.select(
+        "n_rows", F.explode(pairs).alias("p")
+    ).select(
+        F.col("p.rule").alias("rule"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("p.n_violations").cast("long").alias("n_violations"),
+        F.when(
+            F.col("n_rows") > 0,
+            F.floor(
+                F.col("p.n_violations") * 10000 / F.col("n_rows")
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("viol_bp"),
+    )
+
+
+def referential_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Orphaned-foreign-key audit: child rows whose key has no parent.
+    Returns the orphan rows (count them or dead-letter them). NULL
+    child keys are orphans (they reference nothing).
+
+    One left-anti join; project the parent to its key column first so
+    a dimension of any width broadcasts by its key size.
+    """
+    p = parent.select(F.col(parent_key).alias("__pk")).distinct()
+    return child.join(
+        p, child[child_key] == F.col("__pk"), "left_anti"
+    )

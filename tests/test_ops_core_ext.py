@@ -595,3 +595,42 @@ class TestSeasonalAnomalies:
         df = spark.createDataFrame(rows, ["g", "t", "x"])
         out = seasonal_anomalies(df, ["g"], "t", "x", period=4, k_tenths=30)
         assert out.filter("is_anomaly").count() == 0
+
+
+class TestDataQualityAudit:
+    def test_rules_one_pass_and_null_is_violation(self, spark):
+        from kubenetmon_spark.operators.audit import check_rules
+
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, -3.0), (3, None), (4, 99.0)],
+            "id long, x double",
+        )
+        out = {r.rule: r for r in check_rules(
+            df,
+            {
+                "x_positive": F.col("x") > 0,
+                "x_small": F.col("x") < 50,
+                "id_known": F.col("id").isin(1, 2, 3, 4),
+            },
+        ).collect()}
+        assert out["x_positive"].n_violations == 2  # -3 and NULL
+        assert out["x_small"].n_violations == 2     # 99 and NULL
+        assert out["id_known"].n_violations == 0
+        assert all(r.n_rows == 4 for r in out.values())
+        assert out["x_positive"].viol_bp == 5000
+        # the whole audit is one aggregation — a single scan of df
+        plan = check_rules(
+            df, {"a": F.col("x") > 0, "b": F.col("id") > 0}
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("LogicalRDD") == 1
+
+    def test_referential_orphans(self, spark):
+        from kubenetmon_spark.operators.audit import referential_violations
+
+        child = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, None), (4, 99)],
+            "id long, fk long",
+        )
+        parent = spark.createDataFrame([(10,), (20,)], "pk long")
+        orphans = referential_violations(child, parent, "fk", "pk")
+        assert sorted(r.id for r in orphans.collect()) == [3, 4]
