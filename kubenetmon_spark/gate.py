@@ -9808,6 +9808,52 @@ def q205(spark, sf_dir):
     return rules.unionByName(ref).orderBy("rule")
 
 
+@_register(
+    "q206_scalar_round2",
+    """
+    WITH x AS (
+      SELECT strftime(ts, '%Y-%m') AS ym,
+             len(regexp_extract_all(props, '[0-9]')) AS nd,
+             length(regexp_replace(props, '[0-9]+', '#', 'g')) AS lr,
+             CASE WHEN regexp_replace(event_type, '[aeiou]', 'X')
+                       != event_type THEN 1 ELSE 0 END AS ch
+      FROM events
+    )
+    SELECT ym, CAST(SUM(nd) AS BIGINT) AS s_digits,
+           CAST(SUM(lr) AS BIGINT) AS s_len,
+           CAST(SUM(ch) AS BIGINT) AS n_changed,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM x GROUP BY ym ORDER BY ym
+    """,
+    "scalar stragglers round 2 — formatDateTime (ClickHouse "
+    "%-patterns chained-replace-translated to date_format), "
+    "countMatches, replaceRegexpAll/replaceRegexpOne as inlined SQL "
+    "UDFs (sql.py); DuckDB oracle uses its native %-strftime and "
+    "non-global regexp_replace for the replace-one semantics",
+)
+def q206(spark, sf_dir):
+    from kubenetmon_spark.sql import register_sql_surface
+
+    register_sql_surface(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH x AS (
+          SELECT formatDateTime(ts, '%Y-%m') AS ym,
+                 countMatches(props, '[0-9]') AS nd,
+                 length(replaceRegexpAll(props, '[0-9]+', '#')) AS lr,
+                 CASE WHEN replaceRegexpOne(event_type, '[aeiou]', 'X')
+                           != event_type THEN 1 ELSE 0 END AS ch
+          FROM events
+        )
+        SELECT ym, CAST(SUM(nd) AS BIGINT) AS s_digits,
+               CAST(SUM(lr) AS BIGINT) AS s_len,
+               CAST(SUM(ch) AS BIGINT) AS n_changed,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM x GROUP BY ym ORDER BY ym
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -225,6 +225,35 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
      " AND instr(s, element_at(needles, k)) < acc.p"
      " THEN named_struct('p', instr(s, element_at(needles, k)), 'i', k)"
      " ELSE acc END).i"),
+    # formatDateTime: ClickHouse/MySQL %-patterns translated to Java
+    # date_format patterns by a chained replace (composite %F/%T first).
+    # Contract: fmt = %-patterns + punctuation/space only — bare
+    # letters would be read as Java pattern letters. %i is minute
+    # (ClickHouse), %M intentionally unmapped (its meaning flipped
+    # between ClickHouse versions — refuse the ambiguity).
+    ("formatDateTime", "(t TIMESTAMP, f STRING)", "STRING",
+     "date_format(t, "
+     "replace(replace(replace(replace(replace(replace(replace(replace("
+     "replace(replace(replace(replace(replace(f,"
+     " '%F', 'yyyy-MM-dd'), '%T', 'HH:mm:ss'),"
+     " '%Y', 'yyyy'), '%y', 'yy'), '%m', 'MM'), '%d', 'dd'),"
+     " '%e', 'd'), '%H', 'HH'), '%h', 'hh'), '%i', 'mm'),"
+     " '%S', 'ss'), '%j', 'DDD'), '%%', '%'))"),
+    ("replaceRegexpAll", "(s STRING, re STRING, r STRING)", "STRING",
+     "regexp_replace(s, re, r)"),
+    # replaceRegexpOne: replace only the FIRST match. The match is
+    # located by instr on the extracted text — correct for patterns
+    # without anchors/lookarounds (leftmost-first scanning means the
+    # extracted text's first occurrence IS the match position; an
+    # earlier occurrence of the same text would itself have matched).
+    ("replaceRegexpOne", "(s STRING, re STRING, r STRING)", "STRING",
+     "CASE WHEN regexp_extract(s, re, 0) = '' THEN s ELSE"
+     " concat(substring(s, 1, instr(s, regexp_extract(s, re, 0)) - 1),"
+     " regexp_replace(regexp_extract(s, re, 0), re, r),"
+     " substring(s, instr(s, regexp_extract(s, re, 0))"
+     " + length(regexp_extract(s, re, 0)))) END"),
+    ("countMatches", "(s STRING, re STRING)", "BIGINT",
+     "size(regexp_extract_all(s, re, 0))"),
     # --- array completion (ClickHouse docs/sql-reference/functions/
     # array-functions). SQL UDFs are monomorphic — registered for
     # ARRAY<BIGINT>, the measure-array shape; other element types call

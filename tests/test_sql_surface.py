@@ -510,3 +510,25 @@ class TestArrayCompletion:
             " array(CAST(2 AS BIGINT), 3, 4))",
         )
         assert got == 0.5
+
+
+class TestScalarRound2:
+    def test_format_datetime(self, spark):
+        t = "TIMESTAMP '2024-02-05 09:07:03'"
+        assert _one(spark, f"formatDateTime({t}, '%Y-%m-%d %H:%i:%S')") == \
+            "2024-02-05 09:07:03"
+        assert _one(spark, f"formatDateTime({t}, '%F %T')") == \
+            "2024-02-05 09:07:03"
+        assert _one(spark, f"formatDateTime({t}, '%d/%m/%y')") == "05/02/24"
+        assert _one(spark, f"formatDateTime({t}, '%j')") == "036"
+
+    def test_replace_regexp(self, spark):
+        assert _one(spark, r"replaceRegexpAll('a1b22c', '[0-9]+', '#')") == "a#b#c"
+        assert _one(spark, r"replaceRegexpOne('a1b22c', '[0-9]+', '#')") == "a#b22c"
+        assert _one(spark, r"replaceRegexpOne('abc', '[0-9]+', '#')") == "abc"
+        # replacement lands at the match position, not an earlier copy
+        assert _one(spark, r"replaceRegexpOne('ab ab1', 'ab[0-9]', 'X')") == "ab X"
+
+    def test_count_matches(self, spark):
+        assert _one(spark, r"countMatches('a1b22c333', '[0-9]+')") == 3
+        assert _one(spark, r"countMatches('none', '[0-9]')") == 0
