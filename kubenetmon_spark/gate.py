@@ -9285,7 +9285,7 @@ def q197(spark, sf_dir):
     "q198_array_completion",
     """
     WITH e AS (
-      SELECT user_id % 20 AS grp, ts, event_id,
+      SELECT user_id % 500 AS grp, ts, event_id,
              (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) % 7 AS v
       FROM events
     ),
@@ -9338,7 +9338,7 @@ def q198(spark, sf_dir):
     return spark.sql(
         """
         WITH e AS (
-          SELECT user_id % 20 AS grp, ts, event_id,
+          SELECT user_id % 500 AS grp, ts, event_id,
                  (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) % 7
                    AS v
           FROM events

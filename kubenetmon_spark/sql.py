@@ -264,7 +264,11 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
      " s -> s.i = 0 OR NOT (s.x <=> element_at(a, s.i))), s -> s.x)"),
     # arrayFill with the fixed predicate x != 0 (ClickHouse's lambda
     # parameter cannot cross a SQL-UDF boundary): forward-fill zeros
-    # with the last non-zero; leading zeros stay zero.
+    # with the last non-zero; leading zeros stay zero. The aggregate-
+    # fold rebuilds the array per element — O(len^2) — so this is for
+    # row-bounded arrays (hundreds of elements); for long sequences
+    # fill at the ROW level with an IGNORE NULLS window (q163) before
+    # collecting.
     ("arrayFillForward", "(a ARRAY<BIGINT>)", "ARRAY<BIGINT>",
      "aggregate(a, cast(array() as array<bigint>),"
      " (acc, x) -> if(x != 0 OR size(acc) = 0, concat(acc, array(x)),"
@@ -496,20 +500,35 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
 ]
 
 
+#: per-session registration memo: id(session) -> content hash. Running
+#: ~70 CREATE OR REPLACE statements costs seconds; callers (the gate,
+#: notebooks) invoke registration defensively before every query, so
+#: the re-registration of an unchanged surface must be free.
+_REGISTERED: dict[int, int] = {}
+
+
 def register_clickhouse_sql_functions(spark: SparkSession) -> list[str]:
     """Register the ClickHouse-name scalar surface; returns the names.
 
     Every body is a plain SQL expression, so Catalyst inlines it at the
     call site — ``EXPLAIN`` on a caller shows the expanded expression
     inside WholeStageCodegen, never a UDF boundary.
+
+    Idempotent AND cheap when repeated: a per-session memo skips the
+    DDL round-trips if this exact surface is already registered
+    (functions are session-scoped TEMPORARY, so the memo key is the
+    session object identity).
     """
-    names = []
+    key = hash(tuple(_FUNCTIONS))
+    names = [name for name, _, _, _ in _FUNCTIONS]
+    if _REGISTERED.get(id(spark)) == key:
+        return names
     for name, sig, ret, body in _FUNCTIONS:
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} "
             f"RETURNS {ret} RETURN {body}"
         )
-        names.append(name)
+    _REGISTERED[id(spark)] = key
     return names
 
 

@@ -47,9 +47,24 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+#: (session id, sf_dir) pairs whose views are current — re-registering
+#: the same directory re-reads ten parquet footers for nothing, and the
+#: gate calls this before every spark.sql query.
+_VIEWS_REGISTERED: set[tuple[int, str]] = set()
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load every table and register it as a temp view for spark.sql use."""
+    """Load every table and register it as a temp view for spark.sql
+    use. Memoized per (session, sf_dir): repeated calls with the same
+    directory are free; a different sf_dir re-registers (and takes
+    over the view names, latest wins)."""
     tables = load_tables(spark, sf_dir)
+    if (id(spark), sf_dir) in _VIEWS_REGISTERED:
+        return tables
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
+    _VIEWS_REGISTERED.add((id(spark), sf_dir))
+    # a different directory's registration is now stale for this session
+    for k in [k for k in _VIEWS_REGISTERED if k[0] == id(spark) and k[1] != sf_dir]:
+        _VIEWS_REGISTERED.discard(k)
     return tables
