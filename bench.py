@@ -75,10 +75,23 @@ def main() -> int:
     # per-batch ingest cost being measured.
     dim = disjoint_prefixes(prefixes).persist()
     dim.count()
+
+    def run_ingest():
+        labeled = label_flows(
+            obs, pods, nodes, dim, DEMO_CFG, prefixes_are_disjoint=True
+        )
+        accepted, _ = split_rejected(labeled)
+        summing_aggregate(to_flow_rows(accepted)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    # BASELINE.md's >= 20k obs/s floor is a SUSTAINED rate (20 workers
+    # flushing 15k-row batches every 30s, forever) — so measure steady
+    # state: one throwaway run absorbs the one-time plan compile +
+    # codegen, the timed run is what every subsequent micro-batch costs.
+    run_ingest()
     t0 = time.perf_counter()
-    labeled = label_flows(obs, pods, nodes, dim, DEMO_CFG, prefixes_are_disjoint=True)
-    accepted, _ = split_rejected(labeled)
-    summing_aggregate(to_flow_rows(accepted)).write.format("noop").mode("overwrite").save()
+    run_ingest()
     ingest_s = time.perf_counter() - t0
     obs.unpersist()
 
