@@ -9854,6 +9854,58 @@ def q206(spark, sf_dir):
     )
 
 
+@_register(
+    "q207_covariance_matrix",
+    """
+    WITH e AS (
+      SELECT list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT u.i - 1 AS i, v.j - 1 AS j,
+             q[CAST(u.i AS INTEGER)] * q[CAST(v.j AS INTEGER)] AS xy
+      FROM e,
+           UNNEST(generate_series(1, 64)) u(i),
+           UNNEST(generate_series(1, 64)) v(j)
+      WHERE v.j >= u.i
+    ),
+    sij AS (
+      SELECT i, j, SUM(xy) AS s_ij, COUNT(*) AS n
+      FROM pairs GROUP BY i, j
+    ),
+    ds AS (
+      SELECT u.i - 1 AS d, SUM(q[CAST(u.i AS INTEGER)]) AS s
+      FROM e, UNNEST(generate_series(1, 64)) u(i) GROUP BY u.i
+    )
+    SELECT sij.i, sij.j,
+           CAST(sij.n AS BIGINT) AS n,
+           CAST(sij.s_ij AS BIGINT) AS s_ij,
+           CAST(sij.n * sij.s_ij - a.s * b.s AS BIGINT) AS cov_num
+    FROM sij JOIN ds a ON a.d = sij.i JOIN ds b ON b.d = sij.j
+    WHERE sij.i < 8 AND sij.j < 8
+    ORDER BY sij.i, sij.j
+    """,
+    "exact n-scaled covariance matrix of the embedding corpus (PCA/"
+    "whitening input) — operators/similarity.py::covariance_matrix_"
+    "exact: per-row upper-triangle outer products, one hash agg whose "
+    "key space is the FIXED d(d+1)/2 cells (map-side combine collapses "
+    "before the exchange); gate emits the leading 8x8 block",
+)
+def q207(spark, sf_dir):
+    from kubenetmon_spark.operators.similarity import (
+        covariance_matrix_exact,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cov = covariance_matrix_exact(emb, "embedding", dims=64, scale=1000)
+    return (
+        cov.filter((F.col("i") < 8) & (F.col("j") < 8))
+        .select("i", "j", "n", "s_ij", "cov_num")
+        .orderBy("i", "j")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -514,3 +514,124 @@ def l1_distance_int(a: Column, b: Column) -> Column:
 def linf_distance_int(a: Column, b: Column) -> Column:
     """ClickHouse ``LinfDistance`` over integer-scaled vectors — exact."""
     return F.array_max(F.zip_with(a, b, lambda x, y: F.abs(x - y)))
+
+
+def covariance_matrix_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Exact n-scaled covariance matrix of an embedding column — the
+    input to PCA / whitening / Mahalanobis, computed as integers so
+    every engine agrees bit-for-bit.
+
+    Vectors are int-scaled (``int_scaled_vec``), then each row emits
+    its upper-triangle outer-product terms (d(d+1)/2 per row) and one
+    grouped sum produces S_ij = Σ q_i q_j; per-dimension sums S_i come
+    from the same exploded stream's diagonal-free projection. Output
+    rows (i, j, n, s_ij, cov_num) with
+        cov_num = n*S_ij − S_i*S_j     (scale²·n² units, exact).
+
+    Scale posture: the explode is d(d+1)/2 rows per vector — quadratic
+    in DIMENSION, linear in rows; one hash-agg shuffle whose key space
+    is the fixed 2080 cells, so map-side combine collapses almost
+    everything before the exchange. For 100 TB corpora compute on a
+    deterministic hash sample (operators/sampling.py) — the estimate
+    converges long before the full pass matters.
+
+    Overflow: |q| ≤ scale, so cov_num ≤ n²·scale² — keep n·scale
+    under ~3e9 (e.g. 1e6 rows at scale 1000) or pre-scale down.
+    """
+    q = df.select(int_scaled_vec(F.col(vec_col), scale).alias("q"))
+    pairs = q.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dims - 1)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(dims - 1)),
+                        lambda j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (
+                                F.element_at(F.col("q"), i + 1)
+                                * F.element_at(F.col("q"), j + 1)
+                            ).alias("xy"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.xy")
+    s_ij = pairs.groupBy("i", "j").agg(
+        F.sum("xy").alias("s_ij"), F.count("*").alias("n")
+    )
+    dim_sums = (
+        df.select(F.posexplode(int_scaled_vec(F.col(vec_col), scale)))
+        .groupBy("pos")
+        .agg(F.sum("col").alias("s"))
+    )
+    si = dim_sums.select(F.col("pos").alias("i"), F.col("s").alias("s_i"))
+    sj = dim_sums.select(F.col("pos").alias("j"), F.col("s").alias("s_j"))
+    return (
+        s_ij.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            "i",
+            "j",
+            F.col("n").cast("long").alias("n"),
+            F.col("s_ij").cast("long").alias("s_ij"),
+            (
+                F.col("n") * F.col("s_ij") - F.col("s_i") * F.col("s_j")
+            ).cast("long").alias("cov_num"),
+        )
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    cov_rows,
+    vec_col: str = "embedding",
+    dims: int = 64,
+    k: int = 8,
+    scale: int = 1000,
+) -> DataFrame:
+    """Project embeddings onto the top-k principal components.
+    ``cov_rows`` is the collected output of ``covariance_matrix_exact``
+    (a 2080-row driver-side list — the ONLY driver-side data, fixed by
+    dimension, never by corpus size). Eigendecomposition runs in numpy
+    on the d x d matrix; component signs are canonicalized (largest-
+    magnitude coordinate positive) so the projection is deterministic.
+
+    Returns the input plus ``pca`` (array<double>, length k). The
+    projection itself is a per-row transform over the broadcast
+    component matrix — no shuffle, no UDF.
+    """
+    import numpy as np
+
+    n = cov_rows[0]["n"]
+    cov = np.zeros((dims, dims))
+    for r in cov_rows:
+        v = r["cov_num"] / (float(n) * n * scale * scale)
+        cov[r["i"], r["j"]] = v
+        cov[r["j"], r["i"]] = v
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order]
+    for c in range(comps.shape[1]):
+        if comps[np.argmax(np.abs(comps[:, c])), c] < 0:
+            comps[:, c] = -comps[:, c]
+    proj_cols = []
+    for c in range(comps.shape[1]):
+        expr = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(comps[d, c])) for d in range(dims)]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        proj_cols.append(expr)
+    return df.withColumn("pca", F.array(*proj_cols))

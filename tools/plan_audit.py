@@ -121,6 +121,15 @@ KNOWN = {
     "facts): idx/mean windows share one sort, the lag join keys on "
     "(series, idx), and the per-lag agg + argmax carry #series x "
     "n_lags rows; the one fact-scale shuffle is the hourly bucket agg",
+    "q203_seasonal_forecast": "q195's situation: decompose windows "
+    "share one sort over the POST-aggregation series table; the last-"
+    "trend argmax, phase profile, and horizon join exchanges each "
+    "carry #series(+x period/horizon) rows — the only fact-scale "
+    "shuffle is the hourly bucket agg",
+    "q204_seasonal_anomalies": "q195's situation: every exchange/"
+    "window after the hourly bucket agg runs over #series x #steps "
+    "rows (profile join, residual windows, final rollup) — thousands "
+    "of rows, never facts",
     "q10_lpm_classify": "appears only at sf0.1+: the distinct-IP "
     "join-back deliberately carries no broadcast hint (lpm_lookup "
     "docstring) — AQE sizes it at runtime, and beyond the threshold a "
