@@ -368,3 +368,74 @@ class TestRollupTtl:
             == []
         )
         assert read_flows(spark, path).count() == n
+
+
+class TestBackfill:
+    def test_backfill_restores_lost_partition_and_leaves_others(
+        self, spark, tmp_path
+    ):
+        import shutil
+        from pathlib import Path
+
+        from kubenetmon_spark.backfill import backfill_dates
+        from kubenetmon_spark.demo import DEMO_CFG, build_flow_inputs
+        from kubenetmon_spark.operators.flows import (
+            summing_aggregate,
+            to_flow_rows,
+        )
+        from kubenetmon_spark.operators.label import (
+            label_flows,
+            split_rejected,
+        )
+        from kubenetmon_spark.sink import read_flows, write_flows
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.001"
+        table = str(tmp_path / "flows")
+        obs, pods, nodes, prefixes = build_flow_inputs(spark, sf)
+        labeled = label_flows(obs, pods, nodes, prefixes, DEMO_CFG)
+        accepted, _ = split_rejected(labeled)
+        write_flows(summing_aggregate(to_flow_rows(accepted)), table)
+
+        def per_date():
+            return {
+                str(r.date): (r.b, r.p, r.n)
+                for r in read_flows(spark, table)
+                .groupBy("date")
+                .agg(
+                    F.sum("bytes").alias("b"),
+                    F.sum("packets").alias("p"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
+            }
+
+        before = per_date()
+        assert len(before) >= 2
+        victim = sorted(before)[0]
+        survivor = sorted(before)[1]
+        shutil.rmtree(Path(table) / f"date={victim}")
+        assert victim not in per_date()
+
+        surv_files = sorted(
+            p.name for p in (Path(table) / f"date={survivor}").iterdir()
+        )
+        n = backfill_dates(
+            spark, obs, table, [victim], pods, nodes, prefixes, DEMO_CFG
+        )
+        assert n > 0
+        after = per_date()
+        assert after == before
+        # untouched partitions keep their exact files
+        assert (
+            sorted(
+                p.name
+                for p in (Path(table) / f"date={survivor}").iterdir()
+            )
+            == surv_files
+        )
+        # idempotent: rerun converges to the same content
+        backfill_dates(
+            spark, obs, table, [victim], pods, nodes, prefixes, DEMO_CFG
+        )
+        assert per_date() == before
