@@ -15,6 +15,9 @@ Usage:
   python tools/maintain.py rollup-ttl <table_path> --age-days N \\
       [--granularity 86400]   # age old partitions into coarser buckets
   python tools/maintain.py deduplicate <table_path> [--by col1,col2]
+  python tools/maintain.py backfill <obs_path> <table_path> \\
+      --dates 2024-01-03,2024-01-04 --pods p.parquet --nodes n.parquet \\
+      --prefixes cp.parquet   # late-data / fixed-labeler replay
 """
 
 from __future__ import annotations
@@ -76,6 +79,17 @@ def main() -> int:
     )
     dd.add_argument("table_path")
     dd.add_argument("--by", default=None, help="comma-separated key (default: full row)")
+    bf = sub.add_parser(
+        "backfill",
+        help="re-derive flow-table date partitions from raw observations "
+        "(late-data / fixed-labeler replay)",
+    )
+    bf.add_argument("obs_path", help="raw observations parquet")
+    bf.add_argument("table_path")
+    bf.add_argument("--dates", required=True, help="comma-separated YYYY-MM-DD")
+    bf.add_argument("--pods", required=True, help="pods dim parquet snapshot")
+    bf.add_argument("--nodes", required=True, help="nodes dim parquet snapshot")
+    bf.add_argument("--prefixes", required=True, help="cloud-prefix dim parquet")
     args = ap.parse_args()
 
     from kubenetmon_spark.session import get_spark
@@ -137,6 +151,23 @@ def main() -> int:
             by=args.by.split(",") if args.by else None,
         )
         print(f"deduplicated {len(touched)} partitions: {touched}")
+    elif args.cmd == "backfill":
+        from kubenetmon_spark.backfill import backfill_dates
+        from kubenetmon_spark.config import RuntimeConfig
+        from kubenetmon_spark.schema import OBSERVATION_SCHEMA
+
+        obs = spark.read.schema(OBSERVATION_SCHEMA).parquet(args.obs_path)
+        n = backfill_dates(
+            spark,
+            obs,
+            args.table_path,
+            args.dates.split(","),
+            spark.read.parquet(args.pods),
+            spark.read.parquet(args.nodes),
+            spark.read.parquet(args.prefixes),
+            RuntimeConfig(),
+        )
+        print(f"backfilled {args.dates}: {n} rows")
     else:
         compact(spark, args.table_path, target_date=args.date)
         print(
