@@ -9906,6 +9906,98 @@ def q207(spark, sf_dir):
     )
 
 
+@_register(
+    "q208_array_map_stragglers",
+    """
+    WITH e AS (
+      SELECT user_id % 500 AS grp, ts, event_id,
+             (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) % 5 AS v,
+             event_id % 7 + 1 AS k,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    arrs AS (
+      SELECT grp, list(v ORDER BY ts, event_id) AS a FROM e GROUP BY grp
+    ),
+    dense AS (
+      SELECT grp,
+             list_sum(list_transform(a, x ->
+               len(list_distinct(a[1:list_position(a, x)])))) AS s_dense
+      FROM arrs
+    ),
+    pk AS (SELECT grp, k, SUM(cents) AS v FROM e GROUP BY grp, k),
+    bounds AS (SELECT grp, MIN(k) AS mn, MAX(k) AS mx FROM pk GROUP BY grp),
+    series AS (
+      SELECT b.grp, u.k FROM bounds b,
+             UNNEST(generate_series(b.mn, b.mx)) u(k)
+    ),
+    filled AS (
+      SELECT s.grp, s.k, COALESCE(pk.v, 0) AS v
+      FROM series s LEFT JOIN pk ON pk.grp = s.grp AND pk.k = s.k
+    ),
+    pop AS (
+      SELECT grp,
+             '{' || string_agg('"' || k || '":' || v, ',' ORDER BY k)
+               || '}' AS pop_json
+      FROM filled GROUP BY grp
+    )
+    SELECT d.grp, CAST(d.s_dense AS BIGINT) AS s_dense, p.pop_json
+    FROM dense d JOIN pop p ON p.grp = d.grp ORDER BY d.grp
+    """,
+    "array/map stragglers — arrayEnumerateDense (dense rank by first "
+    "occurrence; the oracle uses the order-insensitive prefix-distinct-"
+    "count identity because DuckDB's list_distinct does not preserve "
+    "order) and mapPopulateSeries (integer-key gap fill, entries "
+    "key-ascending by construction) — sql.py inlined UDFs over "
+    "per-group ordered arrays / canonical maps",
+)
+def q208(spark, sf_dir):
+    from kubenetmon_spark.sql import register_sql_surface
+
+    register_sql_surface(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT user_id % 500 AS grp, ts, event_id,
+                 (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) % 5
+                   AS v,
+                 CAST(event_id % 7 + 1 AS BIGINT) AS k,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM events
+        ),
+        arrs AS (
+          SELECT grp,
+                 transform(array_sort(collect_list(
+                   struct(ts, event_id, v))), s -> s.v) AS a
+          FROM e GROUP BY grp
+        ),
+        dense AS (
+          SELECT grp,
+                 aggregate(arrayEnumerateDense(a), CAST(0 AS BIGINT),
+                           (acc, x) -> acc + x) AS s_dense
+          FROM arrs
+        ),
+        pk AS (SELECT grp, k, SUM(cents) AS v FROM e GROUP BY grp, k),
+        maps AS (
+          SELECT grp, map_from_entries(collect_list(struct(k, v))) AS m
+          FROM pk GROUP BY grp
+        ),
+        pop AS (
+          SELECT grp,
+                 concat('{', array_join(transform(
+                   map_entries(mapPopulateSeries(m)),
+                   en -> concat('"', cast(en.key as string), '":',
+                                cast(en.value as string))), ','), '}')
+                   AS pop_json
+          FROM maps
+        )
+        SELECT d.grp, d.s_dense, p.pop_json
+        FROM dense d JOIN pop p ON p.grp = d.grp ORDER BY d.grp
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -275,6 +275,18 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
      " concat(acc, array(element_at(acc, -1)))))"),
     ("arrayJaccardIndex", "(a ARRAY<BIGINT>, b ARRAY<BIGINT>)", "DOUBLE",
      "size(array_intersect(a, b)) / size(array_union(a, b))"),
+    # arrayEnumerateDense: dense rank by FIRST OCCURRENCE order —
+    # array_distinct preserves first-occurrence order in Spark, so the
+    # rank is just the position in the distinct array.
+    ("arrayEnumerateDense", "(a ARRAY<BIGINT>)", "ARRAY<INT>",
+     "transform(a, x -> cast(array_position(array_distinct(a), x) as int))"),
+    # mapPopulateSeries: fill integer keys from min(key) to max(key)
+    # step 1, missing values 0; entries come out key-ascending by
+    # construction (the sequence IS the order).
+    ("mapPopulateSeries", "(m MAP<BIGINT,BIGINT>)", "MAP<BIGINT,BIGINT>",
+     "map_from_entries(transform("
+     "sequence(array_min(map_keys(m)), array_max(map_keys(m))),"
+     " k -> struct(k, coalesce(element_at(m, k), CAST(0 AS BIGINT)))))"),
     # --- datetime completion (ClickHouse docs/sql-reference/functions/
     # date-time-functions) ---
     # Relative-number family: monotone bucket ordinals since epoch —

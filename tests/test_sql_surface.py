@@ -532,3 +532,18 @@ class TestScalarRound2:
     def test_count_matches(self, spark):
         assert _one(spark, r"countMatches('a1b22c333', '[0-9]+')") == 3
         assert _one(spark, r"countMatches('none', '[0-9]')") == 0
+
+
+class TestArrayMapStragglers:
+    def test_array_enumerate_dense(self, spark):
+        a = "array(CAST(30 AS BIGINT), 10, 30, 20, 10)"
+        assert _one(spark, f"arrayEnumerateDense({a})") == [1, 2, 1, 3, 2]
+        assert _one(spark, "arrayEnumerateDense(array(CAST(7 AS BIGINT)))") == [1]
+
+    def test_map_populate_series(self, spark):
+        got = _one(
+            spark,
+            "mapPopulateSeries(map(CAST(1 AS BIGINT), CAST(10 AS BIGINT),"
+            " CAST(4 AS BIGINT), CAST(40 AS BIGINT)))",
+        )
+        assert got == {1: 10, 2: 0, 3: 0, 4: 40}
