@@ -9998,6 +9998,85 @@ def q208(spark, sf_dir):
     )
 
 
+@_register(
+    "q209_remove_duplicate_spans",
+    r"""
+    WITH arr AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '')
+               AS t
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, source, u.i - 1 AS p,
+             t[CAST(u.i AS INTEGER)] AS tok
+      FROM arr, UNNEST(generate_series(1, len(t))) u(i)
+    ),
+    g AS (
+      SELECT doc_id, u.i - 1 AS pos,
+             array_to_string(t[CAST(u.i AS INTEGER):CAST(u.i + 7 AS INTEGER)],
+                             ' ') AS gram
+      FROM arr, UNNEST(generate_series(1, len(t) - 7)) u(i)
+      WHERE len(t) >= 8
+    ),
+    ranked AS (
+      SELECT doc_id, pos, gram,
+             ROW_NUMBER() OVER (PARTITION BY gram
+                                ORDER BY doc_id, pos) AS rk,
+             COUNT(*) OVER (PARTITION BY gram) AS cnt
+      FROM g
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, u.c AS cov
+      FROM ranked, UNNEST(generate_series(pos, pos + 7)) u(c)
+      WHERE cnt > 1 AND rk > 1
+    ),
+    kept AS (
+      SELECT t.doc_id, t.source, t.p, t.tok
+      FROM toks t LEFT JOIN covered c
+        ON c.doc_id = t.doc_id AND c.cov = t.p
+      WHERE c.doc_id IS NULL
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             coalesce(string_agg(tok, ' ' ORDER BY p), '') AS rebuilt,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id, source
+    ),
+    tot AS (
+      SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id
+    )
+    SELECT p.source,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS s_tokens,
+           CAST(SUM(t.n_tokens - p.n_kept) AS BIGINT) AS s_removed,
+           CAST(SUM(length(p.rebuilt)) AS BIGINT) AS s_len
+    FROM per_doc p JOIN tot t ON t.doc_id = p.doc_id
+    GROUP BY p.source ORDER BY p.source
+    """,
+    "exact-substring dedup WITH REMOVAL (Lee et al. 2022 ExactSubstr; "
+    "q101 only measured) — operators/dedup.py::remove_duplicate_spans: "
+    "duplicated 8-token spans keep their first (doc, pos) occurrence, "
+    "all other occurrences' tokens are cut and documents reassembled; "
+    "one gram-text shuffle (the dedup state IS the partitioning), "
+    "covered-position explode bounded by k x duplicated occurrences",
+)
+def q209(spark, sf_dir):
+    from kubenetmon_spark.operators.dedup import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = remove_duplicate_spans(d, "doc_id", "text", k=8)
+    joined = out.join(d.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("s_tokens"),
+            F.sum("n_removed").alias("s_removed"),
+            F.sum(F.length("dedup_text")).alias("s_len"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _tokens(text: Column) -> Column:
@@ -406,4 +407,111 @@ def duplicate_span_fraction(
         "n_spans",
         "n_dup_spans",
         F.expr("n_dup_spans * 10000 div n_spans").alias("dup_bp"),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    out_col: str = "dedup_text",
+) -> DataFrame:
+    """Exact-substring deduplication WITH removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): every k-token span that occurs more than once in the
+    corpus keeps only its FIRST occurrence (ordered by (doc, position)
+    — deterministic under any partitioning); every other occurrence's
+    tokens are removed and documents are reassembled from the
+    surviving tokens. q101 MEASURES span duplication; this operator
+    actually removes it.
+
+    Returns (id, out_col, n_tokens, n_removed).
+
+    Plan (all DataFrame ops, no driver state):
+      1. explode k-gram starts: (doc, pos, gram-text) — volume =
+         total tokens;
+      2. one shuffle keyed on GRAM TEXT: first-occurrence rank +
+         occurrence count per gram (the dedup state IS the hash
+         partitioning; a boilerplate mega-gram lands in one sort run);
+      3. non-first occurrences of duplicated grams expand to their
+         covered token positions (sequence/explode, ≤ k rows per
+         duplicated occurrence) — distinct per doc;
+      4. left-anti join tokens against covered positions (both sides
+         already keyed by doc), regroup per doc to reassemble.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("_p", "_t"),
+    ).filter(F.col("_t") != "")
+    arr = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias(
+            "_a"
+        ),
+    )
+    grams = arr.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                # guard: Spark's sequence(0, -1) DESCENDS; short docs
+                # must yield no gram starts at all
+                F.when(
+                    F.size("_a") >= k,
+                    F.sequence(F.lit(0), F.size("_a") - k),
+                ).otherwise(F.expr("array()").cast("array<int>")),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice(F.col("_a"), i + 1, k), " ").alias(
+                        "gram"
+                    ),
+                ),
+            )
+        ).alias("g"),
+    ).select(F.col(id_col), F.col("g.pos").alias("_pos"), F.col("g.gram"))
+    w = Window.partitionBy("gram").orderBy(F.col(id_col), F.col("_pos"))
+    wc = Window.partitionBy("gram")
+    ranked = grams.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_cnt", F.count("*").over(wc)
+    )
+    covered = (
+        ranked.filter((F.col("_cnt") > 1) & (F.col("_rk") > 1))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + (k - 1))
+            ).alias("_cov"),
+        )
+        .distinct()
+    )
+    kept = toks.join(
+        covered,
+        (toks[id_col] == covered[id_col]) & (toks["_p"] == covered["_cov"]),
+        "left_anti",
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_p").alias("p"),
+                                F.col("_t").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                " ",
+            ).alias(out_col),
+            F.count("*").alias("n_kept"),
+        )
+        .join(
+            toks.groupBy(id_col).agg(F.count("*").alias("n_tokens")),
+            id_col,
+        )
+        .withColumn("n_removed", F.col("n_tokens") - F.col("n_kept"))
+        .drop("n_kept")
     )

@@ -596,3 +596,59 @@ class TestCovariancePca:
         # projection onto e2 (sign-canonicalized) == original axis-2 value
         for i in range(0, 200, 37):
             assert abs(got[i] - float(X[i, 2])) < 0.15
+
+
+class TestRemoveDuplicateSpans:
+    def test_second_occurrence_removed_first_kept(self, spark):
+        from kubenetmon_spark.operators.dedup import remove_duplicate_spans
+
+        span = "one two three four"
+        docs = [
+            (1, f"intro words here {span} tail a"),
+            (2, f"other prefix {span} closing words"),
+            (3, "completely unrelated text with no duplicates at all"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r.doc_id: r
+            for r in remove_duplicate_spans(df, "doc_id", k=4).collect()
+        }
+        # doc 1 (first occurrence by (doc, pos)) keeps the span
+        assert span in got[1].dedup_text
+        assert got[1].n_removed == 0
+        # doc 2 loses exactly the span tokens
+        assert span not in got[2].dedup_text
+        assert got[2].dedup_text == "other prefix closing words"
+        assert got[2].n_removed == 4
+        # untouched doc intact
+        assert got[3].n_removed == 0 and got[3].dedup_text == docs[2][1]
+
+    def test_overlapping_duplicate_spans_merge(self, spark):
+        from kubenetmon_spark.operators.dedup import remove_duplicate_spans
+
+        # 5-token duplicate with k=4 -> two overlapping 4-gram hits in
+        # the copy; covered positions union to the whole 5-token run
+        run = "a b c d e"
+        df = spark.createDataFrame(
+            [(1, f"{run} x"), (2, f"y {run} z")],
+            ["doc_id", "text"],
+        )
+        got = {
+            r.doc_id: r
+            for r in remove_duplicate_spans(df, "doc_id", k=4).collect()
+        }
+        assert got[1].n_removed == 0
+        assert got[2].dedup_text == "y z" and got[2].n_removed == 5
+
+    def test_short_docs_pass_through(self, spark):
+        from kubenetmon_spark.operators.dedup import remove_duplicate_spans
+
+        df = spark.createDataFrame(
+            [(1, "tiny doc"), (2, "tiny doc")], ["doc_id", "text"]
+        )
+        got = {
+            r.doc_id: r
+            for r in remove_duplicate_spans(df, "doc_id", k=8).collect()
+        }
+        # below k tokens: no grams, nothing removed (even exact copies)
+        assert got[1].n_removed == 0 and got[2].n_removed == 0
