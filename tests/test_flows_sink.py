@@ -439,3 +439,28 @@ class TestBackfill:
             spark, obs, table, [victim], pods, nodes, prefixes, DEMO_CFG
         )
         assert per_date() == before
+
+
+class TestQueryLog:
+    def test_log_entry_and_slow_query_surface(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from kubenetmon_spark.querylog import run_logged, slow_queries
+
+        log = str(tmp_path / "qlog")
+        df = spark.range(1000).groupBy((F.col("id") % 7).alias("g")).count()
+        e1 = run_logged(spark, "mod7", df, log)
+        assert e1["n_output_rows"] == 7 and e1["wall_s"] > 0
+        # same logical query -> same plan hash; different query -> different
+        e2 = run_logged(spark, "mod7_again", df, log)
+        assert e2["plan_hash"] == e1["plan_hash"]
+        other = spark.range(10).groupBy((F.col("id") % 3).alias("g")).count()
+        e3 = run_logged(spark, "mod3", other, log)
+        assert e3["plan_hash"] != e1["plan_hash"]
+
+        entries = spark.read.parquet(log)
+        assert entries.count() == 3
+        slow = slow_queries(spark, log, threshold_s=0.0)
+        rows = {r.name: r for r in slow.collect()}
+        assert rows["mod7"].n_runs == 2
+        assert rows["mod3"].n_runs == 1
