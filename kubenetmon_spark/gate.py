@@ -10077,6 +10077,71 @@ def q209(spark, sf_dir):
     )
 
 
+@_register(
+    "q210_winsorize",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM o
+    ),
+    b AS (
+      SELECT event_type,
+             MIN(CASE WHEN rn = CAST(floor(0.1 * (n - 1)) AS BIGINT) + 1
+                      THEN x END) AS wlo,
+             MIN(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+                      THEN x END) AS whi
+      FROM r GROUP BY event_type
+    )
+    SELECT o.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o.x < b.wlo THEN b.wlo
+                         WHEN o.x > b.whi THEN b.whi
+                         ELSE o.x END) AS BIGINT) AS s_wins,
+           CAST(SUM(CASE WHEN o.x < b.wlo OR o.x > b.whi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+           CAST(MIN(b.wlo) AS BIGINT) AS wlo,
+           CAST(MAX(b.whi) AS BIGINT) AS whi
+    FROM o JOIN b ON b.event_type = o.event_type
+    GROUP BY o.event_type ORDER BY o.event_type
+    """,
+    "per-group winsorization (robust clamping at exact [p10, p90] "
+    "quantileExactLow bounds) — operators/stats.py::winsorize: one "
+    "sorted pass for bounds (q144's machinery), broadcast join + "
+    "clamp expression; sums of clamped integers are exact",
+)
+def q210(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import winsorize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("x"),
+    )
+    wz = winsorize(ev, ["event_type"], "x", 0.1, 0.9)
+    return (
+        wz.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x_wins").alias("s_wins"),
+            F.sum(
+                F.when(F.col("x") != F.col("x_wins"), 1).otherwise(0)
+            ).alias("n_clamped"),
+            F.min("x_wins").alias("wlo"),
+            F.max("x_wins").alias("whi"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -871,3 +871,46 @@ def ols2_exact(
         F.when(det != 0, (n2 / det).cast("double")).alias("b2"),
         F.when(det != 0, (n0 / (n * det)).cast("double")).alias("b0"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo_p: float = 0.1,
+    hi_p: float = 0.9,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization (robust clamping for feature
+    normalization / outlier-tamed aggregates): values are clamped to
+    the group's exact [p_lo, p_hi] quantiles, both taken by the
+    ``quantileExactLow`` definition (value at floor(p*(n-1)) of the
+    sorted run) so the bounds are actual data values and every engine
+    lands on the same integers.
+
+    Plan: reuses quantile_definitions' one sorted pass per group to
+    get bounds (a #groups-row table), then a broadcast join + clamp
+    expression — the fact table is touched once for the bounds and
+    once for the clamp, never sorted twice.
+    """
+    out_col = out_col or f"{value_col}_wins"
+    q = quantile_definitions(
+        df, group_cols, value_col, levels=(lo_p, hi_p)
+    )
+    lo_tag, hi_tag = str(int(lo_p * 100)), str(int(hi_p * 100))
+    bounds = q.select(
+        *group_cols,
+        F.col(f"p{lo_tag}_low").alias("_wlo"),
+        F.col(f"p{hi_tag}_low").alias("_whi"),
+    )
+    x = F.col(value_col)
+    return (
+        df.join(F.broadcast(bounds), group_cols)
+        .withColumn(
+            out_col,
+            F.when(x < F.col("_wlo"), F.col("_wlo"))
+            .when(x > F.col("_whi"), F.col("_whi"))
+            .otherwise(x),
+        )
+        .drop("_wlo", "_whi")
+    )

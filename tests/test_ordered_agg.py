@@ -1144,3 +1144,28 @@ class TestOls2Exact:
         r = ols2_exact(df, ["g"], "x1", "x2", "y").collect()[0]
         assert int(r.det) == 0
         assert r.b1 is None and r.b2 is None and r.b0 is None
+
+
+class TestWinsorize:
+    def test_bounds_and_clamping(self, spark):
+        from kubenetmon_spark.operators.stats import winsorize
+
+        rows = [("g", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 100]]
+        df = spark.createDataFrame(rows, ["g", "x"])
+        out = winsorize(df, ["g"], "x", 0.1, 0.9)
+        got = sorted(r.x_wins for r in out.collect())
+        # p10 low = value at floor(.1*9)=0 -> 1; p90 low = floor(.9*9)=8 -> 9
+        assert got == [1, 2, 3, 4, 5, 6, 7, 8, 9, 9]
+        # untouched original column still present
+        assert {r.x for r in out.collect()} == {1, 2, 3, 4, 5, 6, 7, 8, 9, 100}
+
+    def test_groups_independent(self, spark):
+        from kubenetmon_spark.operators.stats import winsorize
+
+        rows = [("a", v) for v in range(1, 11)] + [("b", v * 100) for v in range(1, 11)]
+        df = spark.createDataFrame(rows, ["g", "x"])
+        out = winsorize(df, ["g"], "x", 0.1, 0.9)
+        per = {}
+        for r in out.collect():
+            per.setdefault(r.g, []).append(r.x_wins)
+        assert max(per["a"]) == 9 and max(per["b"]) == 900
