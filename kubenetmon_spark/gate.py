@@ -10142,6 +10142,59 @@ def q210(spark, sf_dir):
     )
 
 
+@_register(
+    "q211_negative_sampling",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 8 AS b
+      FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS aid, a.label AS albl, c.vec_id AS cid
+      FROM v a JOIN v c ON c.b = a.b AND c.label != a.label
+                       AND c.vec_id != a.vec_id
+    ),
+    r AS (
+      SELECT aid, albl, cid,
+             ROW_NUMBER() OVER (PARTITION BY aid ORDER BY
+               CAST('0x' || substring(md5('neg:' || aid || ':' || cid),
+                    1, 8) AS BIGINT), cid) AS rk
+      FROM p
+    )
+    SELECT CAST(albl AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(cid) AS BIGINT) AS s_neg_ids,
+           CAST(COUNT(DISTINCT aid) AS BIGINT) AS n_anchors
+    FROM r WHERE rk <= 3 GROUP BY albl ORDER BY label
+    """,
+    "deterministic negative sampling for contrastive pairs — "
+    "operators/curation.py::sample_negatives: negatives are a pure "
+    "function of md5(salt:anchor:candidate) within the anchor's hash "
+    "bucket (n/buckets candidates per anchor, never all-pairs) — "
+    "reproducible contrastive datasets on any engine/partitioning",
+)
+def q211(spark, sf_dir):
+    from kubenetmon_spark.operators.curation import sample_negatives
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    neg = sample_negatives(emb, "vec_id", "label", k=3, buckets=8)
+    joined = neg.join(
+        emb.select(F.col("vec_id").alias("anchor_id"), "label"),
+        "anchor_id",
+    )
+    return (
+        joined.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("neg_id").alias("s_neg_ids"),
+            F.countDistinct("anchor_id").alias("n_anchors"),
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

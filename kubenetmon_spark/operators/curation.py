@@ -392,3 +392,66 @@ def split_dataset(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(last_name) if expr is None else expr.otherwise(last_name)
     return df.withColumn(out_col, expr)
+
+
+def sample_negatives(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    k: int = 3,
+    buckets: int = 8,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for every anchor row, pick ``k`` rows with a DIFFERENT label,
+    chosen by the md5(salt:anchor:candidate) order — a pure function
+    of the ids, so the same negatives come back on any engine, run,
+    or partitioning (the property that makes contrastive datasets
+    reproducible and resumable).
+
+    Candidates are restricted to the anchor's hash bucket
+    (md5(candidate) % buckets == md5(anchor) % buckets), so the join
+    is (n/buckets)-per-anchor instead of all-pairs: at corpus scale
+    raise ``buckets`` to keep per-anchor candidate counts constant —
+    the bucket equi-join shuffles both sides once on the bucket key.
+    Anchors whose bucket lacks k differently-labeled rows return
+    fewer negatives (count them; don't silently re-draw).
+
+    Returns (anchor_id, neg_id, neg_rank 1..k).
+    """
+    h = lambda c: F.conv(
+        F.substring(F.md5(c), 1, 8), 16, 10
+    ).cast("long")
+    a = df.select(
+        F.col(id_col).alias("_aid"),
+        F.col(label_col).alias("_albl"),
+        (h(F.col(id_col).cast("string")) % buckets).alias("_b"),
+    )
+    c = df.select(
+        F.col(id_col).alias("_cid"),
+        F.col(label_col).alias("_clbl"),
+        (h(F.col(id_col).cast("string")) % buckets).alias("_cb"),
+    )
+    pairs = a.join(c, (a["_b"] == c["_cb"])).filter(
+        (F.col("_albl") != F.col("_clbl"))
+        & (F.col("_aid") != F.col("_cid"))
+    )
+    key = h(
+        F.concat(
+            F.lit(salt),
+            F.lit(":"),
+            F.col("_aid").cast("string"),
+            F.lit(":"),
+            F.col("_cid").cast("string"),
+        )
+    )
+    w = Window.partitionBy("_aid").orderBy(key, F.col("_cid"))
+    return (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            F.col("_aid").alias("anchor_id"),
+            F.col("_cid").alias("neg_id"),
+            F.col("_rk").alias("neg_rank"),
+        )
+    )

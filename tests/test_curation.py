@@ -541,3 +541,36 @@ class TestSplitDataset:
         df = spark.range(3).withColumnRenamed("id", "doc_id")
         with pytest.raises(ValueError):
             split_dataset(df, "doc_id", {"a": 5000, "b": 4000})
+
+
+class TestSampleNegatives:
+    def test_labels_differ_and_deterministic(self, spark):
+        from kubenetmon_spark.operators.curation import sample_negatives
+
+        rows = [(i, i % 3) for i in range(60)]
+        df = spark.createDataFrame(rows, ["id", "label"])
+        a = sample_negatives(df, "id", "label", k=2, buckets=4)
+        got = [(r.anchor_id, r.neg_id, r.neg_rank) for r in a.collect()]
+        labels = dict(rows)
+        for aid, nid, rk in got:
+            assert labels[aid] != labels[nid]
+            assert 1 <= rk <= 2
+        # at most k per anchor
+        from collections import Counter
+
+        per = Counter(aid for aid, _, _ in got)
+        assert max(per.values()) <= 2
+        # partitioning-independent
+        b = sample_negatives(
+            df.repartition(7), "id", "label", k=2, buckets=4
+        )
+        assert sorted(got) == sorted(
+            (r.anchor_id, r.neg_id, r.neg_rank) for r in b.collect()
+        )
+
+    def test_sparse_bucket_returns_fewer(self, spark):
+        from kubenetmon_spark.operators.curation import sample_negatives
+
+        # only 2 rows, same label -> no negatives at all
+        df = spark.createDataFrame([(1, 0), (2, 0)], ["id", "label"])
+        assert sample_negatives(df, "id", "label", k=3, buckets=1).count() == 0
