@@ -10195,6 +10195,54 @@ def q211(spark, sf_dir):
     )
 
 
+@_register(
+    "q212_calibration_bins",
+    """
+    WITH s AS (
+      SELECT (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 10000)
+               AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    b AS (
+      SELECT LEAST(CAST(floor(score * 10 / 10000) AS INTEGER), 9) AS bin,
+             score, y
+      FROM s
+    )
+    SELECT CAST(bin AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(floor(CAST(SUM(score) * 10000 AS DOUBLE)
+                      / (COUNT(*) * 10000)) AS BIGINT) AS mean_score_bp,
+           CAST(floor(CAST(SUM(y) * 10000 AS DOUBLE) / COUNT(*))
+             AS BIGINT) AS pos_rate_bp
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+    "reliability-diagram / calibration bins (the eval loop behind "
+    "quality-scorer thresholds; ECE derivable without another pass) — "
+    "operators/stats.py::calibration_bins: integer-scaled scores, one "
+    "hash agg over the fixed bin keyspace, exact integer sums + floor "
+    "division",
+)
+def q212(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import calibration_bins
+
+    ev = _t(spark, sf_dir, "events").select(
+        (
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            % 10000
+        ).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return calibration_bins(ev, "score", "y", n_bins=10).select(
+        F.col("bin").cast("int").alias("bin"),
+        "n",
+        "n_pos",
+        "mean_score_bp",
+        "pos_rate_bp",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

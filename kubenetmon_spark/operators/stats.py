@@ -914,3 +914,43 @@ def winsorize(
         )
         .drop("_wlo", "_whi")
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    score_scale: int = 10000,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier (the
+    eval loop behind every quality-scorer threshold choice): scores
+    are integer-scaled in [0, score_scale]; bin b covers
+    [b/n, (b+1)/n) with the top edge closed. Per bin: count, positive
+    count, mean score and positive rate in basis points (exact
+    integer sums, floor division).
+
+    Also useful as the input to ECE: sum over bins of
+    n_b * |pos_rate − mean_score| / N — derivable from these columns
+    without another pass. One hash agg; bins are the fixed keyspace.
+    """
+    s = F.col(score_col)
+    b = F.least(
+        F.floor(s * n_bins / score_scale).cast("int"), F.lit(n_bins - 1)
+    )
+    y = F.col(label_col).cast("long")
+    return (
+        df.withColumn("bin", b)
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(y).alias("n_pos"),
+            F.floor(F.sum(s) * 10000 / (F.count("*") * score_scale))
+            .cast("long")
+            .alias("mean_score_bp"),
+            F.floor(F.sum(y) * 10000 / F.count("*"))
+            .cast("long")
+            .alias("pos_rate_bp"),
+        )
+        .orderBy("bin")
+    )

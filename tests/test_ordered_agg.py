@@ -1169,3 +1169,34 @@ class TestWinsorize:
         for r in out.collect():
             per.setdefault(r.g, []).append(r.x_wins)
         assert max(per["a"]) == 9 and max(per["b"]) == 900
+
+
+class TestCalibrationBins:
+    def test_bins_against_python(self, spark):
+        from kubenetmon_spark.operators.stats import calibration_bins
+
+        rows = [(s, 1 if s >= 6000 else 0) for s in range(0, 10000, 173)]
+        df = spark.createDataFrame(rows, ["score", "y"])
+        got = {r.bin: r for r in calibration_bins(df, "score", "y").collect()}
+        import math
+        from collections import defaultdict
+
+        bins = defaultdict(lambda: [0, 0, 0])
+        for s, y in rows:
+            b = min(s * 10 // 10000, 9)
+            bins[b][0] += 1
+            bins[b][1] += y
+            bins[b][2] += s
+        for b, (n, npos, ssum) in bins.items():
+            assert got[b].n == n and got[b].n_pos == npos
+            assert got[b].pos_rate_bp == npos * 10000 // n
+            assert got[b].mean_score_bp == math.floor(ssum * 10000 / (n * 10000))
+        # perfect separation: low bins 0% positive, high bins 100%
+        assert got[0].pos_rate_bp == 0 and got[9].pos_rate_bp == 10000
+
+    def test_top_edge_closed(self, spark):
+        from kubenetmon_spark.operators.stats import calibration_bins
+
+        df = spark.createDataFrame([(10000, 1)], ["score", "y"])
+        r = calibration_bins(df, "score", "y").collect()[0]
+        assert r.bin == 9  # score == scale lands in the last bin
