@@ -10243,6 +10243,47 @@ def q212(spark, sf_dir):
     )
 
 
+@_register(
+    "q213_cohens_kappa",
+    """
+    WITH r AS (
+      SELECT user_id % 4 AS a,
+             (user_id + event_id % 3) % 4 AS b
+      FROM events
+    ),
+    cells AS (SELECT a, b, COUNT(*) AS c FROM r GROUP BY a, b),
+    n AS (SELECT SUM(c) AS n FROM cells),
+    d AS (SELECT COALESCE(SUM(c), 0) AS s_diag FROM cells WHERE a = b),
+    am AS (SELECT a, SUM(c) AS an FROM cells GROUP BY a),
+    bm AS (SELECT b, SUM(c) AS bn FROM cells GROUP BY b),
+    e AS (
+      SELECT COALESCE(SUM(am.an * bm.bn), 0) AS s_e
+      FROM am JOIN bm ON bm.b = am.a
+    )
+    SELECT CAST(n.n AS BIGINT) AS n,
+           CAST(d.s_diag AS BIGINT) AS s_diag,
+           CAST(e.s_e AS BIGINT) AS s_e,
+           CAST(n.n * d.s_diag - e.s_e AS BIGINT) AS kappa_num,
+           CAST(n.n * n.n - e.s_e AS BIGINT) AS kappa_den,
+           CAST(floor(CAST((n.n * d.s_diag - e.s_e) * 10000 AS DOUBLE)
+                      / (n.n * n.n - e.s_e)) AS BIGINT) AS kappa_bp
+    FROM n, d, e
+    """,
+    "Cohen's kappa (annotation-QA agreement beyond chance) — "
+    "operators/stats.py::cohens_kappa: one confusion-cell aggregation, "
+    "marginals re-aggregated from the label-space-sized cell table, "
+    "cross-multiplied exact num/den + floor basis points",
+)
+def q213(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import cohens_kappa
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("a"),
+        ((F.col("user_id") + F.col("event_id") % 3) % 4).alias("b"),
+    )
+    return cohens_kappa(ev, "a", "b")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -954,3 +954,68 @@ def calibration_bins(
         )
         .orderBy("bin")
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa between two categorical raters — the annotation-
+    QA statistic for labeled training data (rater agreement beyond
+    chance). EXACT integer arithmetic end to end:
+
+        kappa = (po − pe) / (1 − pe)
+              = (n·Σ_diag − Σ_k a_k·b_k) / (n² − Σ_k a_k·b_k)
+
+    where a_k, b_k are the raters' marginal counts — one cross-
+    multiplication removes every division. Emits the numerator/
+    denominator pair plus kappa in basis points (floor toward −inf;
+    kappa can be negative).
+
+    One pass: the confusion cells, both marginals, and n all come from
+    a single groupBy over the (a, b) pair (marginals by re-aggregating
+    the already-tiny cell table — label-space sized, never row-sized).
+    """
+    cells = (
+        df.groupBy(
+            F.col(rater_a_col).alias("_a"), F.col(rater_b_col).alias("_b")
+        )
+        .agg(F.count("*").alias("_c"))
+        .persist()
+    )
+    n = cells.agg(F.sum("_c").alias("n"))
+    diag = cells.filter(F.col("_a") == F.col("_b")).agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).alias("s_diag")
+    )
+    am = cells.groupBy("_a").agg(F.sum("_c").alias("_an"))
+    bm = cells.groupBy("_b").agg(F.sum("_c").alias("_bn"))
+    pe_num = (
+        am.join(bm, am["_a"] == bm["_b"])
+        .agg(F.coalesce(F.sum(F.col("_an") * F.col("_bn")), F.lit(0)).alias("s_e"))
+    )
+    out = (
+        n.crossJoin(diag)
+        .crossJoin(pe_num)
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("s_diag").cast("long").alias("s_diag"),
+            F.col("s_e").cast("long").alias("s_e"),
+            (F.col("n") * F.col("s_diag") - F.col("s_e"))
+            .cast("long")
+            .alias("kappa_num"),
+            (F.col("n") * F.col("n") - F.col("s_e"))
+            .cast("long")
+            .alias("kappa_den"),
+        )
+        .withColumn(
+            "kappa_bp",
+            F.floor(
+                F.col("kappa_num").cast("double")
+                * 10000
+                / F.col("kappa_den")
+            ).cast("long"),
+        )
+    )
+    cells.unpersist()
+    return out

@@ -1200,3 +1200,44 @@ class TestCalibrationBins:
         df = spark.createDataFrame([(10000, 1)], ["score", "y"])
         r = calibration_bins(df, "score", "y").collect()[0]
         assert r.bin == 9  # score == scale lands in the last bin
+
+
+class TestCohensKappa:
+    def test_against_sklearn_formula(self, spark):
+        from kubenetmon_spark.operators.stats import cohens_kappa
+
+        rows = [
+            ("x", "x")] * 20 + [("y", "y")] * 15 + [("x", "y")] * 5 + [
+            ("y", "x")] * 10
+        df = spark.createDataFrame(rows, ["a", "b"])
+        r = cohens_kappa(df, "a", "b").collect()[0]
+        n = 50
+        po = 35 / n
+        pe = (25 / n) * (30 / n) + (25 / n) * (20 / n)
+        kappa = (po - pe) / (1 - pe)
+        assert r.n == 50 and r.s_diag == 35
+        assert abs(r.kappa_num / r.kappa_den - kappa) < 1e-12
+        from fractions import Fraction
+
+        exact = Fraction(r.kappa_num, r.kappa_den)
+        assert exact == Fraction(
+            Fraction(35, 50) - (Fraction(25 * 30 + 25 * 20, 2500)),
+            1 - Fraction(25 * 30 + 25 * 20, 2500),
+        )
+        assert r.kappa_bp == (exact * 10000).__floor__()
+
+    def test_perfect_and_chance(self, spark):
+        from kubenetmon_spark.operators.stats import cohens_kappa
+
+        same = spark.createDataFrame(
+            [(str(i % 3), str(i % 3)) for i in range(30)], ["a", "b"]
+        )
+        r = cohens_kappa(same, "a", "b").collect()[0]
+        assert r.kappa_num == r.kappa_den and r.kappa_bp == 10000
+        # independent raters hover near zero (exact value data-driven)
+        ind = spark.createDataFrame(
+            [(str(i % 2), str((i // 2) % 2)) for i in range(40)],
+            ["a", "b"],
+        )
+        r2 = cohens_kappa(ind, "a", "b").collect()[0]
+        assert abs(r2.kappa_bp) < 1500
