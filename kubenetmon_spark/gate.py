@@ -10284,6 +10284,121 @@ def q213(spark, sf_dir):
     return cohens_kappa(ev, "a", "b")
 
 
+@_register(
+    "q214_scorer_eval_pipeline",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source, trim(text) AS t,
+             regexp_split_to_array(trim(text), '\s+') AS words
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, t, len(words) AS n,
+             length(regexp_replace(t, '\s+', '', 'g')) AS total_len,
+             len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+               AS n_alpha,
+             (CASE WHEN regexp_matches(t, '(^|\s)the(\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(t, '(^|\s)a(\s|$)') THEN 1 ELSE 0 END)
+               AS n_stop
+      FROM d
+    ),
+    lab AS (
+      SELECT doc_id, source, t,
+             CASE WHEN n >= 20 AND n <= 100000
+                   AND total_len >= 2 * n AND total_len <= 10 * n
+                   AND n_alpha * 100 >= n * 80 AND n_stop >= 2
+                  THEN 1 ELSE 0 END AS y
+      FROM g
+    ),
+    toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(t, '\s+')[CAST(i AS INTEGER)] AS tok
+      FROM lab, UNNEST(generate_series(1,
+             len(regexp_split_to_array(t, '\s+')))) u(i)
+    ),
+    scored AS (
+      SELECT doc_id,
+             SUM((CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT)
+                  % 4096 % 2001) - 1000) AS logit
+      FROM toks WHERE tok != '' GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT l.source, l.y, s.logit,
+             ROW_NUMBER() OVER (PARTITION BY l.source
+                                ORDER BY s.logit, l.doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY l.source) AS n
+      FROM lab l JOIN scored s USING (doc_id)
+    ),
+    sc AS (
+      SELECT source, y,
+             ((rk - 1) * 10000) // GREATEST(n - 1, 1) AS score
+      FROM ranked
+    ),
+    b AS (
+      SELECT source, y, score,
+             LEAST(CAST(floor(score * 5 / 10000) AS INTEGER), 4) AS bin
+      FROM sc
+    )
+    SELECT source, CAST(bin AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(floor(CAST(SUM(score) * 10000 AS DOUBLE)
+                      / (COUNT(*) * 10000)) AS BIGINT) AS mean_score_bp,
+           CAST(floor(CAST(SUM(y) * 10000 AS DOUBLE) / COUNT(*))
+             AS BIGINT) AS pos_rate_bp
+    FROM b GROUP BY source, bin ORDER BY source, bin
+    """,
+    "quality-scorer EVALUATION pipeline in one plan: hashed linear "
+    "scorer (q169) -> per-source exact rank score (percent-rank in "
+    "integer bp, partitioned window — never a global sort) -> Gopher "
+    "gate as pseudo-labels (q155) -> grouped calibration bins (q212) "
+    "— the loop that picks a production quality threshold; every "
+    "stage exact-integer, full CTE replay in the oracle",
+)
+def q214(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import calibration_bins
+    from kubenetmon_spark.operators.text import (
+        with_gopher_rules,
+        with_hashed_linear_score,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    g = with_gopher_rules(
+        d, min_words=20, min_mean_word_len=2, stopwords=["the", "a"]
+    ).withColumn(
+        "y",
+        (
+            F.col("g_word_count_ok")
+            & F.col("g_mean_len_ok")
+            & F.col("g_alpha_ok")
+            & F.col("g_stopword_ok")
+        ).cast("int"),
+    )
+    s = with_hashed_linear_score(g)
+    w = Window.partitionBy("source").orderBy("quality_logit", "doc_id")
+    wn = Window.partitionBy("source")
+    scored = s.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(wn)
+    ).withColumn(
+        "score",
+        F.floor(
+            (F.col("_rk") - 1)
+            * 10000
+            / F.greatest(F.col("_n") - 1, F.lit(1))
+        ).cast("long"),
+    )
+    return calibration_bins(
+        scored, "score", "y", n_bins=5, group_cols=["source"]
+    ).select(
+        "source",
+        F.col("bin").cast("int").alias("bin"),
+        "n",
+        "n_pos",
+        "mean_score_bp",
+        "pos_rate_bp",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -922,6 +922,7 @@ def calibration_bins(
     label_col: str,
     n_bins: int = 10,
     score_scale: int = 10000,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Reliability-diagram bins for a probabilistic classifier (the
     eval loop behind every quality-scorer threshold choice): scores
@@ -939,9 +940,10 @@ def calibration_bins(
         F.floor(s * n_bins / score_scale).cast("int"), F.lit(n_bins - 1)
     )
     y = F.col(label_col).cast("long")
+    keys = [*(group_cols or []), "bin"]
     return (
         df.withColumn("bin", b)
-        .groupBy("bin")
+        .groupBy(*keys)
         .agg(
             F.count("*").alias("n"),
             F.sum(y).alias("n_pos"),
@@ -952,7 +954,7 @@ def calibration_bins(
             .cast("long")
             .alias("pos_rate_bp"),
         )
-        .orderBy("bin")
+        .orderBy(*keys)
     )
 
 
