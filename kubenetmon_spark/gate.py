@@ -10031,27 +10031,22 @@ def q208(spark, sf_dir):
       FROM ranked, UNNEST(generate_series(pos, pos + 7)) u(c)
       WHERE cnt > 1 AND rk > 1
     ),
-    kept AS (
-      SELECT t.doc_id, t.source, t.p, t.tok
+    per_doc AS (
+      SELECT t.doc_id, t.source,
+             coalesce(string_agg(CASE WHEN c.doc_id IS NULL THEN t.tok END,
+                                 ' ' ORDER BY t.p), '') AS rebuilt,
+             COUNT(*) AS n_tokens,
+             SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_removed
       FROM toks t LEFT JOIN covered c
         ON c.doc_id = t.doc_id AND c.cov = t.p
-      WHERE c.doc_id IS NULL
-    ),
-    per_doc AS (
-      SELECT doc_id, source,
-             coalesce(string_agg(tok, ' ' ORDER BY p), '') AS rebuilt,
-             COUNT(*) AS n_kept
-      FROM kept GROUP BY doc_id, source
-    ),
-    tot AS (
-      SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id
+      GROUP BY t.doc_id, t.source
     )
-    SELECT p.source,
-           CAST(SUM(t.n_tokens) AS BIGINT) AS s_tokens,
-           CAST(SUM(t.n_tokens - p.n_kept) AS BIGINT) AS s_removed,
-           CAST(SUM(length(p.rebuilt)) AS BIGINT) AS s_len
-    FROM per_doc p JOIN tot t ON t.doc_id = p.doc_id
-    GROUP BY p.source ORDER BY p.source
+    SELECT source,
+           CAST(SUM(n_tokens) AS BIGINT) AS s_tokens,
+           CAST(SUM(n_removed) AS BIGINT) AS s_removed,
+           CAST(SUM(length(rebuilt)) AS BIGINT) AS s_len
+    FROM per_doc GROUP BY source ORDER BY source
     """,
     "exact-substring dedup WITH REMOVAL (Lee et al. 2022 ExactSubstr; "
     "q101 only measured) — operators/dedup.py::remove_duplicate_spans: "

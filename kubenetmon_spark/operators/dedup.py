@@ -484,34 +484,31 @@ def remove_duplicate_spans(
         )
         .distinct()
     )
-    kept = toks.join(
-        covered,
-        (toks[id_col] == covered[id_col]) & (toks["_p"] == covered["_cov"]),
-        "left_anti",
+    # LEFT join + null-flag instead of an anti-join feeding a separate
+    # token-count agg: one regroup per doc yields the rebuilt text,
+    # total tokens, AND removed count — one exchange fewer, and the
+    # doc partitioning is reused for all three.
+    cov = covered.withColumnRenamed(id_col, "_cid").withColumn(
+        "_hit", F.lit(1)
     )
-    return (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("_p").alias("p"),
-                                F.col("_t").alias("t"),
-                            )
-                        )
-                    ),
-                    lambda s: s["t"],
-                ),
-                " ",
-            ).alias(out_col),
-            F.count("*").alias("n_kept"),
-        )
-        .join(
-            toks.groupBy(id_col).agg(F.count("*").alias("n_tokens")),
-            id_col,
-        )
-        .withColumn("n_removed", F.col("n_tokens") - F.col("n_kept"))
-        .drop("n_kept")
+    flagged = toks.join(
+        cov,
+        (toks[id_col] == cov["_cid"]) & (toks["_p"] == cov["_cov"]),
+        "left",
+    )
+    keep_struct = F.when(
+        F.col("_hit").isNull(),
+        F.struct(F.col("_p").alias("p"), F.col("_t").alias("t")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(keep_struct)), lambda s: s["t"]
+            ),
+            " ",
+        ).alias(out_col),
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).alias(
+            "n_removed"
+        ),
     )

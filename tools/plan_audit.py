@@ -130,6 +130,15 @@ KNOWN = {
     "window after the hourly bucket agg runs over #series x #steps "
     "rows (profile join, residual windows, final rollup) — thousands "
     "of rows, never facts",
+    "q213_cohens_kappa": "the single-partition exchanges are 1-row "
+    "scalar reductions (n, diagonal, expected-agreement) crossed back "
+    "together; every input to them is the label-space-sized confusion "
+    "cell table — nothing fact-scale moves after the first hash agg",
+    "q209_remove_duplicate_spans": "the only fact-scale exchange is "
+    "the gram-text shuffle (the dedup state); covered-position "
+    "explode is bounded by k x duplicated occurrences, and the "
+    "left-join flag + single per-doc regroup folds text, totals, and "
+    "removed counts into one exchange",
     "q10_lpm_classify": "appears only at sf0.1+: the distinct-IP "
     "join-back deliberately carries no broadcast hint (lpm_lookup "
     "docstring) — AQE sizes it at runtime, and beyond the threshold a "
