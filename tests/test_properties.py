@@ -211,3 +211,77 @@ def test_timing_bucket_properties(spark, vals):
         assert 0 <= b <= 30000
         if i > 0:
             assert by_v[i - 1][1] <= b      # monotone
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.dictionaries(
+                st.sampled_from(["a", "b", "c", "d"]),
+                st.integers(min_value=-1000, max_value=1000),
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_map_aggregate_many_matches_python_reference(spark, rows):
+    from kubenetmon_spark.operators.agg import map_aggregate_many
+
+    df = spark.createDataFrame(rows, "g int, m map<string,bigint>")
+    got = {
+        r.g: r for r in map_aggregate_many(df, "m", ["g"], ["sum", "min", "max"]).collect()
+    }
+    ref: dict[int, dict[str, dict[str, int]]] = {}
+    for g, m in rows:
+        for k, v in m.items():
+            d = ref.setdefault(g, {}).setdefault(k, {"sum": 0, "min": v, "max": v})
+            d["sum"] += v
+            d["min"] = min(d["min"], v)
+            d["max"] = max(d["max"], v)
+    for g, per_key in ref.items():
+        if not per_key:
+            continue
+        assert got[g].sum_map == {k: d["sum"] for k, d in per_key.items()}
+        assert got[g].min_map == {k: d["min"] for k, d in per_key.items()}
+        assert got[g].max_map == {k: d["max"] for k, d in per_key.items()}
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=0,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dedup_lines_conservation_and_first_wins(spark, docs):
+    from kubenetmon_spark.operators.curation import dedup_lines
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup_lines(df, "doc_id").collect()}
+    seen: set[str] = set()
+    for i, lines in enumerate(docs):
+        nonempty = [l for l in lines if l != ""]
+        if not nonempty:
+            assert i not in out
+            continue
+        expect = []
+        for pos, l in enumerate(nonempty):
+            # first occurrence corpus-wide wins, ordered by (doc, pos);
+            # within a doc only the first copy of a line survives
+            if l not in seen:
+                seen.add(l)
+                expect.append(l)
+        r = out[i]
+        assert r.n_lines == len(nonempty)
+        assert r.dedup_text == "\n".join(expect)
+        assert r.n_kept == len(expect)
