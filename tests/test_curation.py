@@ -574,3 +574,30 @@ class TestSampleNegatives:
         # only 2 rows, same label -> no negatives at all
         df = spark.createDataFrame([(1, 0), (2, 0)], ["id", "label"])
         assert sample_negatives(df, "id", "label", k=3, buckets=1).count() == 0
+
+
+class TestDedupSkewStress:
+    def test_mega_duplicated_boilerplate_line(self, spark):
+        """The worst case for the line-dedup shuffle: one line shared
+        by EVERY document (a cookie banner). All copies land in one
+        partition's sort run; the operator must stay correct and keep
+        exactly the first."""
+        from kubenetmon_spark.operators.curation import dedup_lines
+
+        n = 2000
+        rows = [
+            (i, f"cookie banner\nunique line {i}\ncookie banner")
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(16)
+        out = dedup_lines(df, "doc_id")
+        agg = out.agg(
+            F.sum("n_lines").alias("sl"), F.sum("n_kept").alias("sk")
+        ).collect()[0]
+        assert agg.sl == 3 * n
+        # kept: n unique lines + exactly ONE banner copy
+        assert agg.sk == n + 1
+        first = out.filter(F.col("doc_id") == 0).collect()[0]
+        assert first.dedup_text.startswith("cookie banner")
+        later = out.filter(F.col("doc_id") == n - 1).collect()[0]
+        assert "cookie banner" not in later.dedup_text
