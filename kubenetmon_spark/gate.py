@@ -10394,6 +10394,83 @@ def q214(spark, sf_dir):
     )
 
 
+@_register(
+    "q215_incremental_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id, source, string_split(text, ' table ') AS lines
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, source, i - 1 AS pos,
+             lines[CAST(i AS INTEGER)] AS line
+      FROM d, UNNEST(generate_series(1, len(lines))) u(i)
+      WHERE lines[CAST(i AS INTEGER)] != ''
+    ),
+    seen AS (SELECT DISTINCT line FROM l WHERE doc_id % 2 = 0),
+    fresh AS (
+      SELECT l.* FROM l
+      WHERE doc_id % 2 = 1
+        AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.line = l.line)
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY line
+                                   ORDER BY doc_id, pos) AS rk
+      FROM fresh
+    ),
+    tot AS (
+      SELECT doc_id, source, COUNT(*) AS n_lines
+      FROM l WHERE doc_id % 2 = 1 GROUP BY doc_id, source
+    ),
+    keptd AS (
+      SELECT doc_id,
+             COUNT(*) AS n_kept,
+             string_agg(line, ' table ' ORDER BY pos) AS t
+      FROM r WHERE rk = 1 GROUP BY doc_id
+    )
+    SELECT tot.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tot.n_lines) AS BIGINT) AS s_lines,
+           CAST(SUM(COALESCE(keptd.n_kept, 0)) AS BIGINT) AS s_kept,
+           CAST(SUM(length(COALESCE(keptd.t, ''))) AS BIGINT) AS s_len
+    FROM tot LEFT JOIN keptd ON keptd.doc_id = tot.doc_id
+    GROUP BY tot.source ORDER BY tot.source
+    """,
+    "INCREMENTAL corpus dedup (today's batch vs the historical line "
+    "index — the production shape; sequential increments are provably "
+    "equivalent to one whole-corpus pass, pinned in "
+    "test_curation.py) — operators/curation.py::dedup_lines_"
+    "incremental: even doc_ids play the historical index, odd the new "
+    "batch; anti-join and first-occurrence window share the line-text "
+    "partitioning",
+)
+def q215(spark, sf_dir):
+    from kubenetmon_spark.operators.curation import (
+        dedup_lines_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    hist = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    _, idx = dedup_lines_incremental(
+        hist, None, "doc_id", "text", line_sep=" table "
+    )
+    out, _ = dedup_lines_incremental(
+        new, idx, "doc_id", "text", line_sep=" table "
+    )
+    joined = out.join(new.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_lines").alias("s_lines"),
+            F.sum("n_kept").alias("s_kept"),
+            F.sum(F.length("dedup_text")).alias("s_len"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

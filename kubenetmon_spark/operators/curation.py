@@ -455,3 +455,83 @@ def sample_negatives(
             F.col("_rk").alias("neg_rank"),
         )
     )
+
+
+def dedup_lines_incremental(
+    new_docs: DataFrame,
+    seen_lines: DataFrame | None,
+    id_col: str,
+    text_col: str = "text",
+    line_sep: str = "\n",
+    out_col: str = "dedup_text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental form of :func:`dedup_lines` — the production shape
+    where today's crawl is deduplicated against the HISTORICAL line
+    index instead of re-processing the whole corpus: a line survives
+    iff it is absent from ``seen_lines`` (one column, ``line``) AND it
+    is the first occurrence within the new batch.
+
+    Returns ``(deduped, updated_index)``: the per-document reassembly
+    (same columns as dedup_lines) and the new index (old ∪ new batch's
+    surviving lines) to persist for the next increment. Running the
+    batches in sequence is EXACTLY equivalent to one dedup_lines over
+    the concatenated corpus in batch order — the invariant the test
+    pins.
+
+    Scale: the anti-join against the index hash-partitions on line
+    text (same key as the in-batch first-occurrence window, so the
+    exchange is reused); the index grows by distinct new lines only.
+    """
+    lines = new_docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias(
+            "_pos", "_line"
+        ),
+    ).filter(F.col("_line") != "")
+    if seen_lines is not None:
+        idx = seen_lines.select(F.col("line").alias("_seen"))
+        fresh = lines.join(
+            idx, lines["_line"] == F.col("_seen"), "left_anti"
+        )
+    else:
+        fresh = lines
+    w = Window.partitionBy("_line").orderBy(F.col(id_col), F.col("_pos"))
+    ranked = fresh.withColumn("_rk", F.row_number().over(w))
+    per_doc = (
+        lines.groupBy(id_col)
+        .agg(F.count("*").alias("n_lines"))
+        .join(
+            ranked.filter(F.col("_rk") == 1)
+            .groupBy(id_col)
+            .agg(
+                F.count("*").alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("_pos").alias("pos"),
+                                    F.col("_line").alias("line"),
+                                )
+                            )
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    line_sep,
+                ).alias(out_col),
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)))
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+    )
+    new_lines = ranked.filter(F.col("_rk") == 1).select(
+        F.col("_line").alias("line")
+    )
+    updated = (
+        seen_lines.select("line").unionByName(new_lines).distinct()
+        if seen_lines is not None
+        else new_lines.distinct()
+    )
+    return per_doc, updated

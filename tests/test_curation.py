@@ -601,3 +601,49 @@ class TestDedupSkewStress:
         assert first.dedup_text.startswith("cookie banner")
         later = out.filter(F.col("doc_id") == n - 1).collect()[0]
         assert "cookie banner" not in later.dedup_text
+
+
+class TestDedupLinesIncremental:
+    def test_sequence_of_batches_equals_one_batch(self, spark):
+        from kubenetmon_spark.operators.curation import (
+            dedup_lines,
+            dedup_lines_incremental,
+        )
+
+        docs = [
+            (1, "banner\nalpha"),
+            (2, "banner\nbeta"),
+            (3, "alpha\ngamma"),
+            (4, "gamma\ndelta\nbanner"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        whole = {
+            r.doc_id: (r.dedup_text, r.n_lines, r.n_kept)
+            for r in dedup_lines(df, "doc_id").collect()
+        }
+        # two increments: docs 1-2, then docs 3-4 against the index
+        b1 = df.filter("doc_id <= 2")
+        b2 = df.filter("doc_id > 2")
+        out1, idx = dedup_lines_incremental(b1, None, "doc_id")
+        out2, idx2 = dedup_lines_incremental(b2, idx, "doc_id")
+        got = {
+            r.doc_id: (r.dedup_text, r.n_lines, r.n_kept)
+            for r in out1.unionByName(out2).collect()
+        }
+        assert got == whole
+        # final index = all distinct surviving lines
+        assert sorted(r.line for r in idx2.collect()) == [
+            "alpha", "banner", "beta", "delta", "gamma",
+        ]
+
+    def test_fully_seen_doc_comes_back_empty(self, spark):
+        from kubenetmon_spark.operators.curation import (
+            dedup_lines_incremental,
+        )
+
+        idx = spark.createDataFrame([("x",), ("y",)], ["line"])
+        df = spark.createDataFrame([(9, "x\ny")], ["doc_id", "text"])
+        out, idx2 = dedup_lines_incremental(df, idx, "doc_id")
+        r = out.collect()[0]
+        assert r.dedup_text == "" and r.n_kept == 0 and r.n_lines == 2
+        assert idx2.count() == 2
