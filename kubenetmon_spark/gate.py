@@ -10471,6 +10471,73 @@ def q215(spark, sf_dir):
     )
 
 
+def _logreg_oracle_sql(iters: int = 6) -> str:
+    """Unrolled full-batch logistic GD (the pagerank-oracle pattern):
+    per-row gradient terms micro-rounded BEFORE the integer sum, so
+    each iteration is engine-exact."""
+    sig = (
+        "GREATEST(CAST(0 AS BIGINT), LEAST(CAST(1000000 AS BIGINT),"
+        " 500000 + CAST(floor((w.w0 + w.w1 * e.x1 + w.w2 * e.x2)"
+        " / 4.0) AS BIGINT)))"
+    )
+    parts = [
+        """
+    WITH e AS (
+      SELECT user_id % 5 AS x1, event_id % 3 AS x2,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM e),
+    w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                  CAST(0 AS BIGINT) AS w2)"""
+    ]
+    for k in range(iters):
+        parts.append(f"""
+    g{k} AS (
+      SELECT SUM(e.y * 1000000 - {sig}) AS g0,
+             SUM(e.x1 * (e.y * 1000000 - {sig})) AS g1,
+             SUM(e.x2 * (e.y * 1000000 - {sig})) AS g2
+      FROM e CROSS JOIN w{k} w
+    ),
+    w{k + 1} AS (
+      SELECT w.w0 + CAST(floor(CAST(g.g0 AS DOUBLE) / nn.n) AS BIGINT) AS w0,
+             w.w1 + CAST(floor(CAST(g.g1 AS DOUBLE) / nn.n) AS BIGINT) AS w1,
+             w.w2 + CAST(floor(CAST(g.g2 AS DOUBLE) / nn.n) AS BIGINT) AS w2
+      FROM w{k} w, g{k} g, nn
+    )""")
+    final = f"""
+    SELECT CAST(w0 AS BIGINT) AS w0_micro, CAST(w1 AS BIGINT) AS w1_micro,
+           CAST(w2 AS BIGINT) AS w2_micro
+    FROM w{iters}"""
+    return ",".join(parts) + final
+
+
+@_register(
+    "q216_logistic_regression",
+    _logreg_oracle_sql(6),
+    "ClickHouse stochasticLogisticRegression's surface as DETERMINISTIC "
+    "full-batch GD — operators/stats.py::logistic_regression_gd: "
+    "weights in integer micro-units, clamp(1/2+z/4) "
+    "HARD-sigmoid surrogate makes every gradient term a pure integer "
+    "(a smooth sigmoid diverges at the ulp level and AMPLIFIES through "
+    "iterations — measured); one hash agg per iteration, "
+    "driver holds only p+1 weights; oracle = the 6 iterations unrolled",
+)
+def q216(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import logistic_regression_gd
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 5).alias("x1"),
+        (F.col("event_id") % 3).alias("x2"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    w = logistic_regression_gd(ev, ["x1", "x2"], "y", iterations=6)
+    return spark.createDataFrame(
+        [(w[0], w[1], w[2])],
+        "w0_micro long, w1_micro long, w2_micro long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

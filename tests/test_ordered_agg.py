@@ -1241,3 +1241,29 @@ class TestCohensKappa:
         )
         r2 = cohens_kappa(ind, "a", "b").collect()[0]
         assert abs(r2.kappa_bp) < 1500
+
+
+class TestLogisticRegressionGd:
+    def test_learns_separable_data(self, spark):
+        from kubenetmon_spark.operators.stats import logistic_regression_gd
+
+        # y = 1 iff x1 >= 3: weights must separate with positive w1
+        rows = [(x1, x2, 1 if x1 >= 3 else 0)
+                for x1 in range(6) for x2 in range(3) for _ in range(5)]
+        df = spark.createDataFrame(rows, ["x1", "x2", "y"])
+        w = logistic_regression_gd(df, ["x1", "x2"], "y", iterations=20)
+        assert w[1] > 0            # x1 drives the label
+        assert abs(w[2]) < w[1]    # x2 is noise
+        # decision at the boundary: score(x1=5) > 0 > score(x1=0)
+        assert w[0] + 5 * w[1] > 0 > w[0] + 0 * w[1]
+
+    def test_partitioning_invariant(self, spark):
+        from kubenetmon_spark.operators.stats import logistic_regression_gd
+
+        rows = [((i * 7) % 5, (i * 3) % 4, (i % 3) % 2) for i in range(200)]
+        df = spark.createDataFrame(rows, ["x1", "x2", "y"])
+        a = logistic_regression_gd(df, ["x1", "x2"], "y", iterations=5)
+        b = logistic_regression_gd(
+            df.repartition(13), ["x1", "x2"], "y", iterations=5
+        )
+        assert a == b
