@@ -10538,6 +10538,85 @@ def q216(spark, sf_dir):
     )
 
 
+@_register(
+    "q217_kaplan_meier",
+    """
+    WITH u AS (
+      SELECT user_id % 2 AS cohort,
+             CAST(floor(epoch_us(MIN(ts)) / 86400000000.0) AS BIGINT)
+               AS d0,
+             CAST(floor(epoch_us(MAX(ts)) / 86400000000.0) AS BIGINT)
+               AS d1
+      FROM events GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(d1) AS dmax FROM u),
+    dur AS (
+      SELECT cohort, d1 - d0 + 1 AS duration,
+             CASE WHEN d1 < (SELECT dmax FROM mx) - 3 THEN 1 ELSE 0 END
+               AS ev
+      FROM u
+    ),
+    steps AS (
+      SELECT cohort, duration, COUNT(*) AS c, SUM(ev) AS d_events
+      FROM dur GROUP BY cohort, duration
+    ),
+    risk AS (
+      SELECT cohort, duration, d_events,
+             SUM(c) OVER (PARTITION BY cohort ORDER BY duration DESC
+                          ROWS UNBOUNDED PRECEDING) AS n_risk
+      FROM steps
+    ),
+    terms AS (
+      SELECT cohort, duration, d_events, n_risk,
+             CASE WHEN d_events >= n_risk THEN -1000000000000
+                  ELSE CAST(round(ln(1.0 - CAST(d_events AS DOUBLE)
+                                            / n_risk) * 1000000)
+                       AS BIGINT) END AS term
+      FROM risk
+    )
+    SELECT cohort, CAST(duration AS BIGINT) AS duration,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d_events AS BIGINT) AS d_events,
+           CAST(SUM(term) OVER (PARTITION BY cohort ORDER BY duration
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS s_log_micro
+    FROM terms ORDER BY cohort, duration
+    """,
+    "Kaplan-Meier survival per cohort (user-churn analysis: duration "
+    "= active-day span, churn observed when activity stops 3+ days "
+    "before the corpus end, else right-censored) — "
+    "operators/stats.py::kaplan_meier: micro-rounded log terms make "
+    "the cumulative log-survival an exact integer running sum; both "
+    "windows share one (cohort, duration) sort",
+)
+def q217(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import kaplan_meier
+
+    day = F.floor(
+        F.col("ts").cast("double") / 86400
+    ).cast("long")
+    u = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", day.alias("_d"))
+        .groupBy("user_id")
+        .agg(F.min("_d").alias("d0"), F.max("_d").alias("d1"))
+    )
+    dmax = u.agg(F.max("d1").alias("dmax"))
+    dur = u.crossJoin(F.broadcast(dmax)).select(
+        (F.col("user_id") % 2).alias("cohort"),
+        (F.col("d1") - F.col("d0") + 1).alias("dur"),
+        F.when(F.col("d1") < F.col("dmax") - 3, 1).otherwise(0).alias("ev"),
+    )
+    km = kaplan_meier(dur, ["cohort"], "dur", "ev")
+    return km.select(
+        "cohort",
+        F.col("duration").cast("long").alias("duration"),
+        "n_risk",
+        "d_events",
+        "s_log_micro",
+    ).orderBy("cohort", "duration")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -1081,3 +1081,75 @@ def logistic_regression_gd(
         for j in range(p + 1):
             w[j] = w[j] + (lr_num * g[f"g{j}"]) // (lr_den * n)
     return w
+
+
+def kaplan_meier(
+    df: DataFrame,
+    group_cols: list[str],
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator per group (user churn /
+    connection lifetime analysis over the events table):
+    S(t) = Π_{t_i ≤ t} (1 − d_i / n_i) with d_i deaths at t_i and n_i
+    at risk (duration ≥ t_i); ``event_col`` = 1 for an observed event,
+    0 for right-censored.
+
+    Engine-exact trick (q129 precedent): each step's log term
+    ln(1 − d/n) is MICRO-ROUNDED to an integer, then the cumulative
+    log-survival is an integer RUNNING SUM over the time-ordered steps
+    — deterministic under any partitioning, and two engines disagree
+    only if a correctly-rounded ln lands within 5e-7 of a micro
+    boundary (q129 odds). A step where everyone at risk dies
+    (d = n, survival hits exactly 0) carries the −1e12 sentinel.
+
+    Returns one row per (group, step): duration, n_risk, d_events,
+    s_log_micro (exact integer), survival (double convenience).
+
+    Plan: one hash agg to (group, duration) step counts, then two
+    windows over the SAME (group, duration) sort — reverse running sum
+    for n_risk, forward running sum for the log — one Exchange+Sort.
+    """
+    from pyspark.sql.window import Window
+
+    steps = df.groupBy(*group_cols, duration_col).agg(
+        F.count("*").alias("_c"),
+        F.sum(F.col(event_col).cast("long")).alias("d_events"),
+    )
+    w_desc = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(duration_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_asc = (
+        Window.partitionBy(*group_cols)
+        .orderBy(duration_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = steps.withColumn("n_risk", F.sum("_c").over(w_desc))
+    term = F.when(
+        F.col("d_events") >= F.col("n_risk"), F.lit(-1_000_000_000_000)
+    ).otherwise(
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("d_events").cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * 1_000_000,
+            0,
+        ).cast("long")
+    )
+    out = stepped.withColumn("_term", term).withColumn(
+        "s_log_micro", F.sum("_term").over(w_asc)
+    )
+    return out.select(
+        *group_cols,
+        F.col(duration_col).alias("duration"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d_events").cast("long").alias("d_events"),
+        F.col("s_log_micro").cast("long").alias("s_log_micro"),
+        F.exp(F.col("s_log_micro").cast("double") / 1_000_000).alias(
+            "survival"
+        ),
+    )

@@ -1267,3 +1267,42 @@ class TestLogisticRegressionGd:
             df.repartition(13), ["x1", "x2"], "y", iterations=5
         )
         assert a == b
+
+
+class TestKaplanMeier:
+    def test_textbook_example(self, spark):
+        import math
+
+        from kubenetmon_spark.operators.stats import kaplan_meier
+
+        # classic toy: durations (event=1 observed, 0 censored)
+        rows = [
+            ("g", 6, 1), ("g", 6, 1), ("g", 6, 0), ("g", 7, 1),
+            ("g", 9, 0), ("g", 10, 1), ("g", 13, 1),
+        ]
+        df = spark.createDataFrame(rows, ["g", "dur", "ev"])
+        got = {r.duration: r for r in kaplan_meier(df, ["g"], "dur", "ev").collect()}
+        # step 6: n=7, d=2 -> S = 5/7
+        assert (got[6].n_risk, got[6].d_events) == (7, 2)
+        s = 1.0
+        expect_log = 0
+        for t in sorted(got):
+            r = got[t]
+            if r.d_events < r.n_risk:
+                expect_log += round(
+                    math.log(1 - r.d_events / r.n_risk) * 1e6
+                )
+            else:  # everyone at risk dies: survival hits exactly 0
+                expect_log += -(10 ** 12)
+            assert r.s_log_micro == expect_log, t
+        # survival after step 6 close to 5/7
+        assert abs(got[6].survival - 5 / 7) < 1e-5
+
+    def test_all_die_hits_zero(self, spark):
+        from kubenetmon_spark.operators.stats import kaplan_meier
+
+        df = spark.createDataFrame(
+            [("g", 1, 1), ("g", 1, 1)], ["g", "dur", "ev"]
+        )
+        r = kaplan_meier(df, ["g"], "dur", "ev").collect()[0]
+        assert r.s_log_micro <= -(10 ** 11) and r.survival < 1e-40
