@@ -10617,6 +10617,68 @@ def q217(spark, sf_dir):
     ).orderBy("cohort", "duration")
 
 
+@_register(
+    "q218_min_sample_sizes",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END AS s
+      FROM events
+    ),
+    a AS (
+      SELECT event_type, COUNT(*) AS n, SUM(s) AS npos,
+             SUM(x) AS sx, SUM(x * x) AS sxx
+      FROM e GROUP BY event_type
+    ),
+    c AS (
+      SELECT event_type, n, npos,
+             CAST(npos AS DOUBLE) / n AS p1,
+             CAST(npos AS DOUBLE) / n - 0.02 AS p2,
+             CAST(sx AS DOUBLE) / n AS mean,
+             (sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS var
+      FROM a
+    ),
+    f AS (
+      SELECT event_type, n, npos, p1, p2, mean, var,
+             (1.9599639845400545
+               * sqrt(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
+              + 0.8416212335729143
+               * sqrt(p1 * (1 - p1) + p2 * (1 - p2))) / 0.02 AS cv
+      FROM c
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n, CAST(npos AS BIGINT) AS npos,
+           CASE WHEN p2 > 0 AND p1 < 1
+                THEN CAST(ceil(cv * cv) AS BIGINT) END AS n_conversion,
+           CASE WHEN n > 1 AND var > 0 AND mean != 0 THEN CAST(ceil(
+             2 * 7.848879734349091 * var
+             / ((0.01 * mean) * (0.01 * mean))) AS BIGINT)
+           END AS n_continuous
+    FROM f ORDER BY event_type
+    """,
+    "A/B experiment planning (minSampleSizeConversion/Continuous, "
+    "alpha=.05 power=.8) — operators/stats.py::min_sample_sizes: all "
+    "inputs are exact integer sums, the z constants are shared exact "
+    "literals, one fixed expression shape -> identical doubles and "
+    "ceil landings in both engines",
+)
+def q218(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import min_sample_sizes
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("x"),
+        (F.col("user_id") % 5 == 0).cast("int").alias("s"),
+    )
+    return (
+        min_sample_sizes(ev, ["event_type"], "x", "s")
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -1153,3 +1153,75 @@ def kaplan_meier(
             "survival"
         ),
     )
+
+
+#: fixed-design z constants (alpha=0.05 two-sided, power=0.8) — written
+#: as exact literals so every engine computes the identical doubles
+Z_ALPHA_2 = 1.9599639845400545
+Z_POWER = 0.8416212335729143
+
+
+def min_sample_sizes(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    success_col: str,
+    mde_conv: float = 0.02,
+    mde_cont_rel: float = 0.01,
+) -> DataFrame:
+    """A/B test planning (ClickHouse ``minSampleSizeConversion`` /
+    ``minSampleSizeContinuous``) at alpha=0.05 / power=0.8 — the
+    metering-analytics question "how long must this experiment run".
+
+    Per group, from EXACT integer sums only:
+      conversion: n = (z_a*sqrt(2*p̄(1−p̄)) + z_p*sqrt(p1(1−p1)+p2(1−p2)))²
+                      / mde²,  p2 = p1 − mde, p̄ = (p1+p2)/2
+      continuous: n = 2*(z_a+z_p)²·σ̂² / (mde_rel·mean)²
+    The doubles derive from identical integer inputs through one fixed
+    expression shape, so engines agree bit-for-bit; ceil() lands on the
+    same integer (a flip needs the true value within ~1e-10 of an
+    integer). Null when the group is degenerate (p1 ≤ mde, zero mean
+    or variance).
+    """
+    x = F.col(value_col)
+    s = F.col(success_col).cast("long")
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(s).alias("npos"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    p1 = F.col("npos") / n
+    p2 = p1 - F.lit(mde_conv)
+    pbar = (p1 + p2) / 2
+    conv = (
+        (
+            F.lit(Z_ALPHA_2) * F.sqrt(2 * pbar * (1 - pbar))
+            + F.lit(Z_POWER)
+            * F.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+        )
+        / F.lit(mde_conv)
+    )
+    n_conv = F.when(
+        (p2 > 0) & (p1 < 1), F.ceil(conv * conv).cast("long")
+    )
+    mean = F.col("sx") / n
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    mde_abs = F.lit(mde_cont_rel) * mean
+    n_cont = F.when(
+        (F.col("n") > 1) & (var > 0) & (mean != 0),
+        F.ceil(
+            2
+            * F.lit((Z_ALPHA_2 + Z_POWER) ** 2)
+            * var
+            / (mde_abs * mde_abs)
+        ).cast("long"),
+    )
+    return agg.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.col("npos").cast("long").alias("npos"),
+        n_conv.alias("n_conversion"),
+        n_cont.alias("n_continuous"),
+    )

@@ -1306,3 +1306,42 @@ class TestKaplanMeier:
         )
         r = kaplan_meier(df, ["g"], "dur", "ev").collect()[0]
         assert r.s_log_micro <= -(10 ** 11) and r.survival < 1e-40
+
+
+class TestMinSampleSizes:
+    def test_against_hand_formula(self, spark):
+        import math
+
+        from kubenetmon_spark.operators.stats import (
+            Z_ALPHA_2,
+            Z_POWER,
+            min_sample_sizes,
+        )
+
+        # p1 = 0.25 (50 of 200), values with known mean/variance
+        rows = [("g", 100 + (i % 21), 1 if i % 4 == 0 else 0) for i in range(200)]
+        df = spark.createDataFrame(rows, ["g", "x", "s"])
+        r = min_sample_sizes(df, ["g"], "x", "s").collect()[0]
+        p1, mde = 0.25, 0.02
+        p2 = p1 - mde
+        pbar = (p1 + p2) / 2
+        conv = (
+            Z_ALPHA_2 * math.sqrt(2 * pbar * (1 - pbar))
+            + Z_POWER * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+        ) / mde
+        assert r.n_conversion == math.ceil(conv * conv)
+        xs = [100 + (i % 21) for i in range(200)]
+        mean = sum(xs) / 200
+        var = (sum(x * x for x in xs) - sum(xs) ** 2 / 200) / 199
+        cont = 2 * (Z_ALPHA_2 + Z_POWER) ** 2 * var / ((0.01 * mean) ** 2)
+        assert abs(r.n_continuous - math.ceil(cont)) <= 1
+        assert r.n == 200 and r.npos == 50
+
+    def test_degenerate_groups_null(self, spark):
+        from kubenetmon_spark.operators.stats import min_sample_sizes
+
+        # p1 = 0.01 < mde -> conversion null; constant x -> continuous null
+        rows = [("g", 5, 1 if i == 0 else 0) for i in range(100)]
+        df = spark.createDataFrame(rows, ["g", "x", "s"])
+        r = min_sample_sizes(df, ["g"], "x", "s").collect()[0]
+        assert r.n_conversion is None and r.n_continuous is None
