@@ -21,6 +21,9 @@ streaming   Structured Streaming ingest (foreachBatch + windowed paths,
             Kafka boundary, progress metrics).
 queries     The SQL view + cookbook query surface.
 gate        The correctness-gate queries, each with a DuckDB oracle.
+sql         ClickHouse-name scalar surface as Catalyst-inlined SQL UDFs.
+backfill    Date-partition replay from raw observations (late data).
+querylog    system.query_log analogue (run_logged / slow_queries).
 """
 
 __version__ = "0.1.0"

@@ -10679,6 +10679,37 @@ def q218(spark, sf_dir):
     )
 
 
+@_register(
+    "q219_kmeans",
+    None,  # iterative float ML: rows-only check (like q89/q112/q113)
+    "Lloyd's k-means over the embedding corpus — "
+    "operators/clustering.py::kmeans_fit/kmeans_assign (Arrow-batched "
+    "per-partition partial sums, deterministic first-k init; "
+    "centroids are driver-side k x d only); validated against a "
+    "numpy Lloyd reference in test_clustering.py — float centroid "
+    "sums are shuffle-order sensitive at the ulp level, so this is a "
+    "rows-only gate by design",
+)
+def q219(spark, sf_dir):
+    from kubenetmon_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(
+        emb, k=8, n_iter=5, id_col="vec_id", vec_col="embedding"
+    )
+    assigned = kmeans_assign(
+        emb, centroids, id_col="vec_id", vec_col="embedding"
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .orderBy("cluster")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -139,6 +139,14 @@ KNOWN = {
     "explode is bounded by k x duplicated occurrences, and the "
     "left-join flag + single per-doc regroup folds text, totals, and "
     "removed counts into one exchange",
+    "q215_incremental_dedup": "dedup_lines' q193 shape plus one anti-"
+    "join against the historical line index — that join and the first-"
+    "occurrence window share the line-text partitioning; the extra "
+    "exchanges carry per-doc totals (doc-bounded, not line-stream)",
+    "q217_kaplan_meier": "all exchanges after the per-user span agg "
+    "carry the STEP table (#cohorts x #distinct durations — dozens of "
+    "rows); the two survival windows share one (cohort, duration) "
+    "sort",
     "q10_lpm_classify": "appears only at sf0.1+: the distinct-IP "
     "join-back deliberately carries no broadcast hint (lpm_lookup "
     "docstring) — AQE sizes it at runtime, and beyond the threshold a "
