@@ -10710,6 +10710,63 @@ def q219(spark, sf_dir):
     )
 
 
+@_register(
+    "q220_line_repetition",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' table '), l -> l != '')
+               AS lines
+      FROM documents
+    ),
+    m AS (
+      SELECT source,
+             len(lines) AS n,
+             len(list_distinct(lines)) AS nd,
+             list_sum(list_transform(lines, l -> length(l))) AS tc,
+             list_sum(list_transform(list_distinct(lines),
+                                     l -> length(l))) AS dc
+      FROM d
+    ),
+    b AS (
+      SELECT source,
+             CASE WHEN n > 0 THEN (n - nd) * 10000 // n ELSE 0 END
+               AS dup_line_bp,
+             CASE WHEN tc > 0 THEN (tc - dc) * 10000 // tc ELSE 0 END
+               AS dup_char_bp
+      FROM m
+    )
+    SELECT source,
+           CAST(SUM(dup_line_bp) AS BIGINT) AS s_line_bp,
+           CAST(SUM(dup_char_bp) AS BIGINT) AS s_char_bp,
+           CAST(SUM(CASE WHEN dup_line_bp > 2000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_over_gate
+    FROM b GROUP BY source ORDER BY source
+    """,
+    "Gopher duplicate-LINE metrics (Rae et al. 2021 A1.1 — companion "
+    "to q64's duplicate n-gram fractions): repeat-line and repeat-"
+    "character fractions in basis points — operators/text.py::"
+    "with_line_repetition, pure HOFs fused into the scan; lines "
+    "synthesized by the ' table ' split (q192 convention)",
+)
+def q220(spark, sf_dir):
+    from kubenetmon_spark.operators.text import with_line_repetition
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    r = with_line_repetition(d, "text", " table ")
+    return (
+        r.groupBy("source")
+        .agg(
+            F.sum("dup_line_bp").alias("s_line_bp"),
+            F.sum("dup_char_bp").alias("s_char_bp"),
+            F.sum(
+                F.when(F.col("dup_line_bp") > 2000, 1).otherwise(0)
+            ).alias("n_over_gate"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -695,3 +695,50 @@ def ngram_search_to_probe(
     return joined.withColumn(out_col, F.floor(sim).cast("bigint")).drop(
         "common"
     )
+
+
+def with_line_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Gopher's within-document duplicate-LINE metrics (Rae et al.
+    2021 A1.1 — the companion to the duplicate n-gram fractions of
+    with_ngram_repetition): fraction of lines that are repeats of an
+    earlier line, and fraction of characters sitting in those repeat
+    copies (first occurrences are not counted as duplicates).
+
+    Adds ``dup_line_bp`` and ``dup_char_bp`` (integer basis points,
+    floor; 0 for empty docs). Pure split/distinct/aggregate HOFs —
+    fuses into the scan, zero shuffle, exact in any engine.
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), line_sep), lambda l: l != ""
+    )
+    n = F.size(lines)
+    nd = F.size(F.array_distinct(lines))
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    distinct_chars = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0).cast("long"),
+        lambda acc, l: acc + F.length(l),
+    )
+    return (
+        df.withColumn(
+            "dup_line_bp",
+            F.when(n > 0, ((n - nd) * 10000 / n).cast("long")).otherwise(0),
+        )
+        .withColumn(
+            "dup_char_bp",
+            F.when(
+                total_chars > 0,
+                F.floor(
+                    (total_chars - distinct_chars)
+                    * 10000
+                    / total_chars
+                ).cast("long"),
+            ).otherwise(0),
+        )
+    )

@@ -647,3 +647,33 @@ class TestDedupLinesIncremental:
         r = out.collect()[0]
         assert r.dedup_text == "" and r.n_kept == 0 and r.n_lines == 2
         assert idx2.count() == 2
+
+
+class TestLineRepetition:
+    def test_fractions_against_hand_counts(self, spark):
+        from kubenetmon_spark.operators.text import with_line_repetition
+
+        docs = [
+            # 4 lines, 'aa' repeated once -> 1/4 lines, 2/8 chars dup
+            (1, "aa\nbb\naa\ncc"),
+            (2, "unique\nlines\nonly"),
+            (3, ""),
+        ]
+        df = spark.createDataFrame(docs, ["id", "text"])
+        got = {r.id: r for r in with_line_repetition(df).collect()}
+        assert got[1].dup_line_bp == 2500
+        assert got[1].dup_char_bp == 2500  # 2 of 8 chars in repeats
+        assert got[2].dup_line_bp == 0 and got[2].dup_char_bp == 0
+        assert got[3].dup_line_bp == 0 and got[3].dup_char_bp == 0
+
+    def test_no_shuffle(self, spark):
+        from kubenetmon_spark.operators.text import with_line_repetition
+
+        df = spark.createDataFrame([(1, "a\nb")], ["id", "text"])
+        plan = (
+            with_line_repetition(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
