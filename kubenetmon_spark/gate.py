@@ -10767,6 +10767,112 @@ def q220(spark, sf_dir):
     )
 
 
+@_register(
+    "q221_corpus_pipeline_v3",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source, string_split(text, ' table ') AS lines
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, source,
+             list_filter(lines, l ->
+               len(list_filter(string_split(l, ' '), w -> w != '')) >= 3
+               AND NOT contains(lower(l), 'slow')) AS kept
+      FROM d
+    ),
+    passed AS (
+      SELECT doc_id, source, kept FROM k WHERE len(kept) >= 2
+    ),
+    l AS (
+      SELECT doc_id, source, u.i - 1 AS pos,
+             kept[CAST(u.i AS INTEGER)] AS line
+      FROM passed, UNNEST(generate_series(1, len(kept))) u(i)
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY line
+                                   ORDER BY doc_id, pos) AS rk
+      FROM l
+    ),
+    rebuilt AS (
+      SELECT p.doc_id, p.source,
+             coalesce((SELECT string_agg(r2.line, ' table '
+                                         ORDER BY r2.pos)
+                       FROM r r2
+                       WHERE r2.doc_id = p.doc_id AND r2.rk = 1), '')
+               AS t
+      FROM passed p
+    ),
+    toks AS (
+      SELECT doc_id, source, t,
+             len(list_filter(string_split_regex(t, '\s+'), x -> x != ''))
+               AS n_tok
+      FROM rebuilt
+    ),
+    gated AS (SELECT * FROM toks WHERE n_tok >= 10),
+    final AS (
+      SELECT * FROM gated
+      WHERE (CAST('0x' || substring(md5('split:' ||
+               CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) * 10000)
+             // 65536 < 8000
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS s_tokens,
+           CAST(SUM(length(t)) AS BIGINT) AS s_len
+    FROM final GROUP BY source ORDER BY source
+    """,
+    "corpus pipeline v3 — the round's curation operators composed in "
+    "ONE plan: C4 line cleaning (q192) -> global line dedup with "
+    "reassembly (q193) -> token-count gate -> deterministic train "
+    "split (q202) -> per-source accounting; the q118/q187/q214 "
+    "composition precedent over this round's stages, full CTE replay "
+    "in the oracle",
+)
+def q221(spark, sf_dir):
+    from kubenetmon_spark.operators.curation import (
+        c4_line_filter,
+        dedup_lines,
+        split_dataset,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    clean = c4_line_filter(
+        d,
+        text_col="text",
+        line_sep=" table ",
+        min_words_per_line=3,
+        min_kept_lines=2,
+        terminal_chars=None,
+        drop_tokens=("slow",),
+    ).filter(F.col("c4_n_kept") >= 2)
+    cleaned = clean.select(
+        "doc_id", "source", F.col("c4_clean").alias("text")
+    )
+    dd = dedup_lines(cleaned, "doc_id", "text", line_sep=" table ")
+    toks = dd.withColumn(
+        "n_tok",
+        F.size(
+            F.filter(
+                F.split(F.col("dedup_text"), r"\s+"), lambda x: x != ""
+            )
+        ),
+    ).filter(F.col("n_tok") >= 10)
+    final = split_dataset(toks, "doc_id", {"train": 8000, "val": 1000, "test": 1000}).filter(
+        F.col("split") == "train"
+    )
+    joined = final.join(cleaned.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("s_tokens"),
+            F.sum(F.length("dedup_text")).alias("s_len"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
