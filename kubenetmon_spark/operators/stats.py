@@ -986,7 +986,7 @@ def cohens_kappa(
         .agg(F.count("*").alias("_c"))
         .persist()
     )
-    n = cells.agg(F.sum("_c").alias("n"))
+    n = cells.agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("n"))
     diag = cells.filter(F.col("_a") == F.col("_b")).agg(
         F.coalesce(F.sum("_c"), F.lit(0)).alias("s_diag")
     )

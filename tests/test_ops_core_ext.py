@@ -634,3 +634,53 @@ class TestDataQualityAudit:
         parent = spark.createDataFrame([(10,), (20,)], "pk long")
         orphans = referential_violations(child, parent, "fk", "pk")
         assert sorted(r.id for r in orphans.collect()) == [3, 4]
+
+
+class TestEmptyInputSweep:
+    """Round-5 operators must degrade to empty/zero outputs, not throw,
+    on empty inputs (the first micro-batch of a cold stream is empty)."""
+
+    def test_empty_inputs(self, spark):
+        from kubenetmon_spark.operators.curation import (
+            c4_line_filter,
+            dedup_lines,
+            sample_negatives,
+            split_dataset,
+        )
+        from kubenetmon_spark.operators.dedup import remove_duplicate_spans
+        from kubenetmon_spark.operators.stats import (
+            calibration_bins,
+            cohens_kappa,
+            min_sample_sizes,
+            ols2_exact,
+            winsorize,
+        )
+        from kubenetmon_spark.operators.timeseries import (
+            detect_period,
+            seasonal_decompose,
+            seasonal_profile,
+        )
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        assert dedup_lines(docs, "doc_id").count() == 0
+        assert c4_line_filter(docs).count() == 0
+        assert remove_duplicate_spans(docs, "doc_id").count() == 0
+        assert split_dataset(
+            docs, "doc_id", {"train": 10000}
+        ).count() == 0
+
+        lab = spark.createDataFrame([], "id long, label int")
+        assert sample_negatives(lab, "id", "label").count() == 0
+
+        xy = spark.createDataFrame([], "g string, x1 long, x2 long, y long")
+        assert ols2_exact(xy, ["g"], "x1", "x2", "y").count() == 0
+        assert min_sample_sizes(xy, ["g"], "x1", "y").count() == 0
+        assert winsorize(xy, ["g"], "x1").count() == 0
+        assert calibration_bins(xy, "x1", "y").count() == 0
+        k = cohens_kappa(xy, "x1", "x2").collect()[0]
+        assert k.n == 0
+
+        ts = spark.createDataFrame([], "g string, t long, x long")
+        assert seasonal_decompose(ts, ["g"], "t", "x", 4).count() == 0
+        assert seasonal_profile(ts, ["g"], "t", "x", 4).count() == 0
+        assert detect_period(ts, ["g"], "t", "x").count() == 0
