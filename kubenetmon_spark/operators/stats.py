@@ -1012,11 +1012,14 @@ def cohens_kappa(
         )
         .withColumn(
             "kappa_bp",
-            F.floor(
-                F.col("kappa_num").cast("double")
-                * 10000
-                / F.col("kappa_den")
-            ).cast("long"),
+            F.when(
+                F.col("kappa_den") != 0,
+                F.floor(
+                    F.col("kappa_num").cast("double")
+                    * 10000
+                    / F.col("kappa_den")
+                ).cast("long"),
+            ),
         )
     )
     cells.unpersist()
