@@ -10873,6 +10873,54 @@ def q221(spark, sf_dir):
     )
 
 
+@_register(
+    "q222_char_entropy",
+    """
+    WITH m AS (
+      SELECT source,
+             CASE WHEN length(text) > 0 THEN
+               CAST(round((log2(length(text))
+                 - list_sum(list_transform(
+                     list_distinct(string_split(text, '')),
+                     c -> len(list_filter(string_split(text, ''),
+                              x -> x = c))
+                          * log2(len(list_filter(string_split(text, ''),
+                                     x -> x = c)))))
+                   / length(text)) * 1000000) AS BIGINT)
+             ELSE 0 END AS h
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(h) AS BIGINT) AS s_h,
+           CAST(MAX(h) AS BIGINT) AS max_h,
+           CAST(SUM(CASE WHEN h < 3800000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low
+    FROM m GROUP BY source ORDER BY source
+    """,
+    "per-document character entropy (gibberish / encoded-blob "
+    "detector) — operators/text.py::with_char_entropy: alphabet-"
+    "bounded HOFs, zero shuffle, micro-bit rounding absorbs both libm "
+    "log2 wobble AND the engines' differing distinct-order float-sum "
+    "associativity",
+)
+def q222(spark, sf_dir):
+    from kubenetmon_spark.operators.text import with_char_entropy
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    e = with_char_entropy(d)
+    return (
+        e.groupBy("source")
+        .agg(
+            F.sum("char_entropy_micro").alias("s_h"),
+            F.max("char_entropy_micro").alias("max_h"),
+            F.sum(
+                F.when(F.col("char_entropy_micro") < 3_800_000, 1).otherwise(0)
+            ).alias("n_low"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -742,3 +742,36 @@ def with_line_repetition(
             ).otherwise(0),
         )
     )
+
+
+def with_char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Shannon entropy of each document's CHARACTER distribution, in
+    micro-bits (``char_entropy_micro``) — the classic gibberish /
+    encoded-blob detector (random base64 ≈ 6 bits, English prose ≈
+    4.0-4.5, repeated padding ≪ 1).
+
+    Computed per row with pure HOFs — distinct chars (≤ alphabet
+    size), per-char counts via filter, then
+    H = log2(n) − Σ c·log2(c) / n over INTEGER counts, micro-rounded
+    (q129 precedent absorbs libm log2 wobble). Zero shuffle; cost is
+    O(distinct_chars × len) per row — alphabet-bounded, not O(len²).
+    Empty docs get 0.
+    """
+    chars = F.split(F.col(text_col), "")
+    n = F.size(chars)
+    distinct = F.array_distinct(chars)
+    clogc = F.aggregate(
+        distinct,
+        F.lit(0.0),
+        lambda acc, ch: acc
+        + F.size(F.filter(chars, lambda x: x == ch)).cast("double")
+        * F.log2(F.size(F.filter(chars, lambda x: x == ch)).cast("double")),
+    )
+    h = F.log2(n.cast("double")) - clogc / n.cast("double")
+    return df.withColumn(
+        "char_entropy_micro",
+        F.when(n > 0, F.round(h * 1_000_000, 0).cast("long")).otherwise(0),
+    )

@@ -677,3 +677,43 @@ class TestLineRepetition:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestCharEntropy:
+    def test_known_distributions(self, spark):
+        import math
+
+        from kubenetmon_spark.operators.text import with_char_entropy
+
+        docs = [
+            (1, "aaaa"),          # 0 bits
+            (2, "abab"),          # 1 bit
+            (3, "abcd"),          # 2 bits
+            (4, ""),              # empty -> 0
+        ]
+        df = spark.createDataFrame(docs, ["id", "text"])
+        got = {r.id: r.char_entropy_micro for r in with_char_entropy(df).collect()}
+        assert got[1] == 0
+        assert got[2] == 1_000_000
+        assert got[3] == 2_000_000
+        assert got[4] == 0
+        # matches a python reference on mixed text
+        text = "hello world entropy check"
+        df2 = spark.createDataFrame([(1, text)], ["id", "text"])
+        h = with_char_entropy(df2).collect()[0].char_entropy_micro
+        from collections import Counter
+
+        n = len(text)
+        ref = -sum(
+            (c / n) * math.log2(c / n) for c in Counter(text).values()
+        )
+        assert abs(h - round(ref * 1e6)) <= 2
+
+    def test_no_shuffle(self, spark):
+        from kubenetmon_spark.operators.text import with_char_entropy
+
+        df = spark.createDataFrame([(1, "xy")], ["id", "text"])
+        plan = (
+            with_char_entropy(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
