@@ -10921,6 +10921,114 @@ def q222(spark, sf_dir):
     )
 
 
+#: 2001:db8::/32 and its aaaa/48, bbbb/48 children — hi64 constants
+_V6_BASE = 0x20010DB8 << 32
+_V6_AAAA = _V6_BASE + (0xAAAA << 16)
+_V6_BBBB = _V6_BASE + (0xBBBB << 16)
+_V6_OUT = 0x30000000 << 32
+_V6_DIM = [
+    ("2001:db8::/32", "aws", "ec2", "us-east-1"),
+    ("2001:db8:aaaa::/48", "aws", "s3", "us-east-1"),
+]
+
+
+def _lpm6_oracle_sql() -> str:
+    sign = -(2**63)
+    ux = lambda c: f"xor({c}, CAST({sign} AS BIGINT))"
+    import ipaddress
+
+    vals = []
+    for cidr, cloud, svc, region in _V6_DIM:
+        net = ipaddress.ip_network(cidr)
+
+        def sp(v):
+            hi, lo = (v >> 64) & (2**64 - 1), v & (2**64 - 1)
+            return (hi - 2**64 if hi >= 2**63 else hi,
+                    lo - 2**64 if lo >= 2**63 else lo)
+
+        sh, sl = sp(int(net.network_address))
+        eh, el = sp(int(net.broadcast_address))
+        vals.append(
+            f"(CAST({sh} AS BIGINT), CAST({sl} AS BIGINT),"
+            f" CAST({eh} AS BIGINT), CAST({el} AS BIGINT),"
+            f" {net.prefixlen}, '{cloud}', '{svc}', '{region}')"
+        )
+    pair_lte = (
+        lambda ah, al, bh, bl: f"(({ux(ah)} < {ux(bh)}) OR"
+        f" ({ah} = {bh} AND {ux(al)} <= {ux(bl)}))"
+    )
+    return f"""
+    WITH dim(net_hi, net_lo, end_hi, end_lo, prefix_len, cloud,
+             service, region) AS (VALUES {", ".join(vals)}),
+    f AS (
+      SELECT event_id,
+             CASE event_id % 3
+               WHEN 0 THEN CAST({_V6_AAAA} AS BIGINT)
+               WHEN 1 THEN CAST({_V6_BBBB} AS BIGINT)
+               ELSE CAST({_V6_OUT} AS BIGINT) END AS ip_hi,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS ip_lo
+      FROM events
+    ),
+    j AS (
+      SELECT f.event_id, f.ip_lo, d.cloud, d.service, d.prefix_len,
+             ROW_NUMBER() OVER (PARTITION BY f.event_id
+                                ORDER BY d.prefix_len DESC,
+                                         {ux("d.net_hi")},
+                                         {ux("d.net_lo")}) AS rk
+      FROM f LEFT JOIN dim d
+        ON {pair_lte("d.net_hi", "d.net_lo", "f.ip_hi", "f.ip_lo")}
+       AND {pair_lte("f.ip_hi", "f.ip_lo", "d.end_hi", "d.end_lo")}
+    )
+    SELECT COALESCE(cloud, '') AS cloud, COALESCE(service, '') AS svc,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ip_lo) AS BIGINT) AS s_lo
+    FROM j WHERE rk = 1
+    GROUP BY cloud, service ORDER BY cloud, svc
+    """
+
+
+@_register(
+    "q223_lpm6",
+    _lpm6_oracle_sql(),
+    "IPv6 longest-prefix match — the reference DROPS v6 flows "
+    "(labeler.go:243-247); this engine meters them: 128-bit addresses "
+    "as signed int64 pairs, unsigned order via the xor-sign-bit trick, "
+    "broadcast range join + per-row longest-prefix pick — "
+    "operators/lpm.py::lpm_lookup6 / prefixes6_from_cidrs (nested-"
+    "prefix and top-bit cases pinned in test_functions.py)",
+)
+def q223(spark, sf_dir):
+    from kubenetmon_spark.operators.lpm import (
+        lpm_lookup6,
+        prefixes6_from_cidrs,
+    )
+
+    dim = prefixes6_from_cidrs(spark, _V6_DIM)
+    f = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, F.lit(_V6_AAAA))
+        .when(F.col("event_id") % 3 == 1, F.lit(_V6_BBBB))
+        .otherwise(F.lit(_V6_OUT))
+        .cast("long")
+        .alias("ip_hi"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("ip_lo"),
+    )
+    out = lpm_lookup6(f, dim)
+    return (
+        out.groupBy(
+            F.coalesce(F.col("r_cloud"), F.lit("")).alias("cloud"),
+            F.coalesce(F.col("r_service"), F.lit("")).alias("svc"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("ip_lo").alias("s_lo"),
+        )
+        .orderBy("cloud", "svc")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

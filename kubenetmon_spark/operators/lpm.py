@@ -231,3 +231,106 @@ def lpm_lookup_searchsorted(
             yield b
 
     return ips.mapInPandas(probe, out_schema)
+
+
+# --- IPv6 longest-prefix match -----------------------------------------
+#
+# The reference DROPS IPv6 flows outright (pkg/labeler/labeler.go:243-247
+# filters them; the proto carries v6 as opaque bytes) — a real metering
+# gap this engine closes. Addresses are (hi, lo) SIGNED int64 pairs
+# holding the raw 128 bits; unsigned comparison is the XOR-sign-bit
+# trick (x ^ MIN_LONG flips the top bit, making signed order equal
+# unsigned order) — pure integer expressions, portable to any engine
+# with a 64-bit xor.
+
+_SIGN = -(2**63)
+
+
+def _ux(c):
+    return c.bitwiseXOR(F.lit(_SIGN))
+
+
+def _pair_lte(a_hi, a_lo, b_hi, b_lo):
+    """unsigned (a_hi, a_lo) <= (b_hi, b_lo)"""
+    return (_ux(a_hi) < _ux(b_hi)) | (
+        (a_hi == b_hi) & (_ux(a_lo) <= _ux(b_lo))
+    )
+
+
+def prefixes6_from_cidrs(spark, rows):
+    """Build the v6 prefix dimension from CIDR strings:
+    rows = [(cidr, cloud, service, region), ...] -> DataFrame with
+    (net_hi, net_lo, end_hi, end_lo, prefix_len, cloud, service,
+    region). Parsing uses Python's ipaddress on the DRIVER — the
+    dimension is feed-sized (tens of thousands of rows, rebuilt daily),
+    never fact-sized, so this is the same posture as the v4 feed
+    parsers."""
+    import ipaddress
+
+    def split128(v: int) -> tuple[int, int]:
+        hi = (v >> 64) & 0xFFFFFFFFFFFFFFFF
+        lo = v & 0xFFFFFFFFFFFFFFFF
+        # reinterpret as signed int64
+        if hi >= 2**63:
+            hi -= 2**64
+        if lo >= 2**63:
+            lo -= 2**64
+        return hi, lo
+
+    out = []
+    for cidr, cloud, service, region in rows:
+        net = ipaddress.ip_network(cidr, strict=False)
+        s_hi, s_lo = split128(int(net.network_address))
+        e_hi, e_lo = split128(int(net.broadcast_address))
+        out.append(
+            (s_hi, s_lo, e_hi, e_lo, net.prefixlen, cloud, service, region)
+        )
+    return spark.createDataFrame(
+        out,
+        "net_hi long, net_lo long, end_hi long, end_lo long,"
+        " prefix_len int, cloud string, service string, region string",
+    )
+
+
+def lpm_lookup6(
+    ips: DataFrame,
+    prefixes6: DataFrame,
+    hi_col: str = "ip_hi",
+    lo_col: str = "ip_lo",
+    out_prefix: str = "r_",
+) -> DataFrame:
+    """IPv6 longest-prefix match: broadcast range join on the unsigned
+    (hi, lo) pair order, longest prefix_len wins (tie -> lowest
+    net_hi/net_lo, deterministic). Misses keep null detail (public
+    internet), mirroring the v4 lpm_lookup contract.
+
+    Scale: the prefix dim broadcasts (~50k rows); a fact row meets
+    only the prefixes containing it (nested-chain depth — a handful),
+    and the per-row winner is picked by one row_number window keyed on
+    the fact's natural id-free (hi, lo, monotonic id) — implemented as
+    a groupBy on a generated row id to avoid any fact-side sort
+    spanning rows.
+    """
+    from pyspark.sql.window import Window
+
+    f = ips.withColumn("_rid", F.monotonically_increasing_id())
+    p = F.broadcast(prefixes6)
+    cond = _pair_lte(
+        p["net_hi"], p["net_lo"], f[hi_col], f[lo_col]
+    ) & _pair_lte(f[hi_col], f[lo_col], p["end_hi"], p["end_lo"])
+    joined = f.join(p, cond, "left")
+    w = Window.partitionBy("_rid").orderBy(
+        F.desc("prefix_len"), _ux(F.col("net_hi")), _ux(F.col("net_lo"))
+    )
+    best = (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "net_hi", "net_lo", "end_hi", "end_lo")
+    )
+    return (
+        best.withColumnRenamed("cloud", f"{out_prefix}cloud")
+        .withColumnRenamed("service", f"{out_prefix}service")
+        .withColumnRenamed("region", f"{out_prefix}region")
+        .withColumnRenamed("prefix_len", f"{out_prefix}prefix_len")
+        .drop("_rid")
+    )

@@ -108,3 +108,62 @@ class TestArrayReduce:
 
         with pytest.raises(ValueError):
             array_reduce("nope", F.lit(None))
+
+
+class TestLpm6:
+    def test_nested_prefixes_and_misses(self, spark):
+        import ipaddress
+
+        from pyspark.sql import functions as F
+
+        from kubenetmon_spark.operators.lpm import (
+            lpm_lookup6,
+            prefixes6_from_cidrs,
+        )
+
+        dim = prefixes6_from_cidrs(
+            spark,
+            [
+                ("2001:db8::/32", "aws", "ec2", "us-east-1"),
+                ("2001:db8:aaaa::/48", "aws", "s3", "us-east-1"),
+                ("fd00::/8", "private", "", ""),
+                # top-bit-set hi: exercises the unsigned compare
+                ("ff00::/8", "mcast", "", ""),
+            ],
+        )
+
+        def pair(addr):
+            v = int(ipaddress.ip_address(addr))
+            hi, lo = (v >> 64) & (2**64 - 1), v & (2**64 - 1)
+            return (hi - 2**64 if hi >= 2**63 else hi,
+                    lo - 2**64 if lo >= 2**63 else lo)
+
+        cases = {
+            "2001:db8:aaaa::1": "s3",        # longest (48) wins
+            "2001:db8:bbbb::1": "ec2",       # only /32 contains
+            "fd12::1": None,                 # fd00::/8 -> 'private' svc ''
+            "ff02::1": None,                 # mcast
+            "2607:f8b0::1": "MISS",
+        }
+        rows = [(a, *pair(a)) for a in cases]
+        df = spark.createDataFrame(rows, "addr string, ip_hi long, ip_lo long")
+        out = {r.addr: r for r in lpm_lookup6(df, dim).collect()}
+        assert out["2001:db8:aaaa::1"].r_service == "s3"
+        assert out["2001:db8:bbbb::1"].r_service == "ec2"
+        assert out["fd12::1"].r_cloud == "private"
+        assert out["ff02::1"].r_cloud == "mcast"     # unsigned hi compare
+        assert out["2607:f8b0::1"].r_cloud is None   # miss -> nulls
+
+    def test_every_row_survives_exactly_once(self, spark):
+        from kubenetmon_spark.operators.lpm import (
+            lpm_lookup6,
+            prefixes6_from_cidrs,
+        )
+
+        dim = prefixes6_from_cidrs(spark, [("::/0", "any", "", "")])
+        df = spark.createDataFrame(
+            [(i, 0, i) for i in range(50)], "k long, ip_hi long, ip_lo long"
+        )
+        out = lpm_lookup6(df, dim)
+        assert out.count() == 50
+        assert out.filter(F.col("r_cloud") == "any").count() == 50
