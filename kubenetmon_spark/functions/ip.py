@@ -64,3 +64,25 @@ def py_ip_to_long(ip: str) -> int:
 
 def _N(ip: str) -> Column:
     return F.lit(py_ip_to_long(ip))
+
+
+def ipv6_pair_to_string(hi, lo):
+    """(hi, lo) int64 pair -> full uncompressed lowercase IPv6 string
+    ("2001:0db8:0000:..."), for display/joins on the v6 metering path
+    (operators/lpm.py::lpm_lookup6). Pure hex/format expressions —
+    no UDF; the :: compression is presentation sugar readers don't
+    need and engines disagree on, so the canonical form is fixed-width.
+    """
+    from pyspark.sql import functions as F
+
+    def grp(col, shift):
+        return F.lpad(
+            F.lower(F.hex(F.shiftrightunsigned(col, shift).bitwiseAND(F.lit(0xFFFF)))),
+            4,
+            "0",
+        )
+
+    parts = [grp(hi, s) for s in (48, 32, 16, 0)] + [
+        grp(lo, s) for s in (48, 32, 16, 0)
+    ]
+    return F.concat_ws(":", *parts)

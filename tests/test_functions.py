@@ -167,3 +167,26 @@ class TestLpm6:
         out = lpm_lookup6(df, dim)
         assert out.count() == 50
         assert out.filter(F.col("r_cloud") == "any").count() == 50
+
+
+def test_ipv6_pair_to_string(spark):
+    import ipaddress
+
+    from kubenetmon_spark.functions.ip import ipv6_pair_to_string
+
+    addrs = ["2001:db8:aaaa::1", "::1", "ff02::fb", "fe80::a:b:c:d"]
+
+    def pair(a):
+        v = int(ipaddress.ip_address(a))
+        hi, lo = (v >> 64) & (2**64 - 1), v & (2**64 - 1)
+        return (hi - 2**64 if hi >= 2**63 else hi,
+                lo - 2**64 if lo >= 2**63 else lo)
+
+    df = spark.createDataFrame(
+        [(a, *pair(a)) for a in addrs], "a string, hi long, lo long"
+    )
+    out = {r.a: r.s for r in df.select(
+        "a", ipv6_pair_to_string(F.col("hi"), F.col("lo")).alias("s")
+    ).collect()}
+    for a in addrs:
+        assert out[a] == ipaddress.ip_address(a).exploded
