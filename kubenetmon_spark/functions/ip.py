@@ -86,3 +86,18 @@ def ipv6_pair_to_string(hi, lo):
         grp(lo, s) for s in (48, 32, 16, 0)
     ]
     return F.concat_ws(":", *parts)
+
+
+def is_private_ipv6_pair(hi, lo):
+    """v6 analogue of is_private_ip_num (labeler J6 short-circuit,
+    reference pkg/labeler/remote.go:131-140): true for ULA fc00::/7,
+    link-local fe80::/10, and loopback ::1 — the ranges that must
+    bypass the cloud-prefix LPM and classify as INTRA_VPC/local.
+    Pure bit tests on the hi64; loopback checks both halves.
+    """
+    from pyspark.sql import functions as F
+
+    ula = F.shiftrightunsigned(hi, 57) == F.lit(0x7E)    # fc00::/7
+    link_local = F.shiftrightunsigned(hi, 54) == F.lit(0x3FA)  # fe80::/10
+    loopback = (hi == F.lit(0)) & (lo == F.lit(1))
+    return ula | link_local | loopback

@@ -190,3 +190,32 @@ def test_ipv6_pair_to_string(spark):
     ).collect()}
     for a in addrs:
         assert out[a] == ipaddress.ip_address(a).exploded
+
+
+def test_is_private_ipv6_pair(spark):
+    import ipaddress
+
+    from kubenetmon_spark.functions.ip import is_private_ipv6_pair
+
+    cases = {
+        "fc00::1": True, "fdff:abcd::9": True,   # ULA fc00::/7
+        "fe80::1": True, "febf::2": True,        # link-local /10
+        "fec0::1": False,                        # just past fe80::/10
+        "::1": True,                             # loopback
+        "::2": False,
+        "2001:db8::1": False, "ff02::1": False,
+    }
+
+    def pair(a):
+        v = int(ipaddress.ip_address(a))
+        hi, lo = (v >> 64) & (2**64 - 1), v & (2**64 - 1)
+        return (hi - 2**64 if hi >= 2**63 else hi,
+                lo - 2**64 if lo >= 2**63 else lo)
+
+    df = spark.createDataFrame(
+        [(a, *pair(a)) for a in cases], "a string, hi long, lo long"
+    )
+    got = {r.a: r.p for r in df.select(
+        "a", is_private_ipv6_pair(F.col("hi"), F.col("lo")).alias("p")
+    ).collect()}
+    assert got == cases
