@@ -11029,6 +11029,131 @@ def q223(spark, sf_dir):
     )
 
 
+def _lpm6_classify_oracle_sql() -> str:
+    sign = -(2**63)
+    ux = lambda c: f"xor({c}, CAST({sign} AS BIGINT))"
+    pair_lte = (
+        lambda ah, al, bh, bl: f"(({ux(ah)} < {ux(bh)}) OR"
+        f" ({ah} = {bh} AND {ux(al)} <= {ux(bl)}))"
+    )
+    import ipaddress
+
+    vals = []
+    for cidr, cloud, svc, region in _V6_DIM:
+        net = ipaddress.ip_network(cidr)
+
+        def sp(v):
+            hi, lo = (v >> 64) & (2**64 - 1), v & (2**64 - 1)
+            return (hi - 2**64 if hi >= 2**63 else hi,
+                    lo - 2**64 if lo >= 2**63 else lo)
+
+        sh, sl = sp(int(net.network_address))
+        eh, el = sp(int(net.broadcast_address))
+        vals.append(
+            f"(CAST({sh} AS BIGINT), CAST({sl} AS BIGINT),"
+            f" CAST({eh} AS BIGINT), CAST({el} AS BIGINT),"
+            f" {net.prefixlen}, '{cloud}', '{svc}', '{region}')"
+        )
+    ula_hi = 0xFC00 << 48
+    if ula_hi >= 2**63:
+        ula_hi -= 2**64
+    return f"""
+    WITH dim(net_hi, net_lo, end_hi, end_lo, prefix_len, cloud,
+             service, region) AS (VALUES {", ".join(vals)}),
+    f AS (
+      SELECT event_id,
+             CASE event_id % 4
+               WHEN 0 THEN CAST({_V6_AAAA} AS BIGINT)
+               WHEN 1 THEN CAST({_V6_BBBB} AS BIGINT)
+               WHEN 2 THEN CAST({_V6_OUT} AS BIGINT)
+               ELSE CAST({ula_hi} AS BIGINT) END AS ip_hi,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS ip_lo,
+             CASE WHEN event_id % 2 = 0 THEN 'us-east-1'
+                  ELSE 'eu-west-1' END AS local_region
+      FROM events
+    ),
+    j AS (
+      SELECT f.*, d.cloud, d.region,
+             ROW_NUMBER() OVER (PARTITION BY f.event_id
+                                ORDER BY d.prefix_len DESC,
+                                         {ux("d.net_hi")},
+                                         {ux("d.net_lo")}) AS rk
+      FROM f LEFT JOIN dim d
+        ON {pair_lte("d.net_hi", "d.net_lo", "f.ip_hi", "f.ip_lo")}
+       AND {pair_lte("f.ip_hi", "f.ip_lo", "d.end_hi", "d.end_lo")}
+    ),
+    c AS (
+      SELECT CASE
+               WHEN xor(ip_hi, CAST({sign} AS BIGINT))
+                    // 144115188075855872 = xor(CAST({ula_hi} AS BIGINT),
+                    CAST({sign} AS BIGINT)) // 144115188075855872
+                 THEN 'INTRA_VPC'
+               WHEN cloud IS NULL THEN 'PUBLIC_INTERNET'
+               WHEN region = local_region THEN 'INTRA_REGION'
+               ELSE 'INTER_REGION' END AS connection_class
+      FROM j WHERE rk = 1
+    )
+    SELECT connection_class, CAST(COUNT(*) AS BIGINT) AS n
+    FROM c GROUP BY connection_class ORDER BY connection_class
+    """
+
+
+@_register(
+    "q224_lpm6_classify",
+    _lpm6_classify_oracle_sql(),
+    "end-to-end IPv6 connection classification — the J6/J7 CASE "
+    "(private short-circuit -> LPM -> same/other-region/public) over "
+    "the v6 metering path (q223's lpm_lookup6 + "
+    "functions/ip.py::is_private_ipv6_pair); ULA addresses classify "
+    "INTRA_VPC without touching the prefix join, exactly like the v4 "
+    "labeler's work-avoidance branch (remote.go:131-140)",
+)
+def q224(spark, sf_dir):
+    from kubenetmon_spark.functions.ip import is_private_ipv6_pair
+    from kubenetmon_spark.operators.lpm import (
+        lpm_lookup6,
+        prefixes6_from_cidrs,
+    )
+
+    ula_hi = 0xFC00 << 48
+    if ula_hi >= 2**63:
+        ula_hi -= 2**64
+    dim = prefixes6_from_cidrs(spark, _V6_DIM)
+    f = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 4 == 0, F.lit(_V6_AAAA))
+        .when(F.col("event_id") % 4 == 1, F.lit(_V6_BBBB))
+        .when(F.col("event_id") % 4 == 2, F.lit(_V6_OUT))
+        .otherwise(F.lit(ula_hi))
+        .cast("long")
+        .alias("ip_hi"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("ip_lo"),
+        F.when(F.col("event_id") % 2 == 0, "us-east-1")
+        .otherwise("eu-west-1")
+        .alias("local_region"),
+    )
+    looked = lpm_lookup6(f, dim)
+    cls = F.when(
+        is_private_ipv6_pair(F.col("ip_hi"), F.col("ip_lo")),
+        "INTRA_VPC",
+    ).otherwise(
+        F.when(F.col("r_cloud").isNull(), "PUBLIC_INTERNET").otherwise(
+            F.when(
+                F.col("r_region") == F.col("local_region"),
+                "INTRA_REGION",
+            ).otherwise("INTER_REGION")
+        )
+    )
+    return (
+        looked.withColumn("connection_class", cls)
+        .groupBy("connection_class")
+        .agg(F.count("*").alias("n"))
+        .orderBy("connection_class")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
