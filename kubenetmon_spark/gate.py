@@ -11154,6 +11154,65 @@ def q224(spark, sf_dir):
     )
 
 
+@_register(
+    "q225_percent_change",
+    """
+    WITH d AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')
+               AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, day, n,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS prev,
+             LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day)
+               AS prev_wk
+      FROM d
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           CAST(CASE WHEN prev > 0
+                THEN floor(CAST((n - prev) * 10000 AS DOUBLE) / prev)
+                END AS BIGINT) AS dod_bp,
+           CAST(CASE WHEN prev_wk > 0
+                THEN floor(CAST((n - prev_wk) * 10000 AS DOUBLE)
+                           / prev_wk) END AS BIGINT) AS wow_bp
+    FROM c ORDER BY event_type, day
+    """,
+    "day-over-day / week-over-week percent change (the dashboard "
+    "staple over the minute/day rollups): two lag offsets over ONE "
+    "(series, day) sort, integer-bp floor division, null for missing "
+    "baselines — pure native windows, listed for cookbook parity",
+)
+def q225(spark, sf_dir):
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("n").over(w)
+    prev_wk = F.lag("n", 7).over(w)
+
+    def bp(cur, base):
+        return F.when(
+            base > 0,
+            F.floor((cur - base) * 10000 / base),
+        ).cast("long")
+
+    return d.select(
+        "event_type",
+        "day",
+        "n",
+        bp(F.col("n"), prev).alias("dod_bp"),
+        bp(F.col("n"), prev_wk).alias("wow_bp"),
+    ).orderBy("event_type", "day")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
