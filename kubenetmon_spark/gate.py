@@ -11213,6 +11213,54 @@ def q225(spark, sf_dir):
     ).orderBy("event_type", "day")
 
 
+@_register(
+    "q226_funnel_durations",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch(date_trunc('second', ts)) AS t
+      FROM events
+    ),
+    chains AS (
+      SELECT a.user_id, MIN(c.t - a.t) AS min_s
+      FROM e a
+      JOIN e b ON a.user_id = b.user_id
+      JOIN e c ON a.user_id = c.user_id
+      WHERE a.event_type = 'view' AND b.event_type = 'click'
+        AND c.event_type = 'purchase'
+        AND b.t > a.t AND c.t > b.t AND c.t - a.t <= 21600
+      GROUP BY a.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(SUM(min_s) AS BIGINT) AS s_min_s,
+           CAST(MIN(min_s) AS BIGINT) AS fastest_s,
+           CAST(MAX(min_s) AS BIGINT) AS slowest_s
+    FROM chains
+    """,
+    "funnel TIME-TO-CONVERT: per converted user the exact minimum "
+    "view->click->purchase duration within the 6h window — "
+    "operators/funnel.py::window_funnel_durations (the cascade's max-"
+    "anchor propagation gives min duration with NO self-join; the "
+    "oracle states the same min over the declarative 3-way chain "
+    "join); one Exchange+Sort+Window, same plan as q84",
+)
+def q226(spark, sf_dir):
+    from kubenetmon_spark.operators.funnel import window_funnel_durations
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.date_trunc("second", "ts")
+    )
+    d = window_funnel_durations(
+        ev, ["view", "click", "purchase"], window_seconds=21600
+    ).filter(F.col("min_convert_us").isNotNull())
+    sec = (F.col("min_convert_us") / 1_000_000).cast("long")
+    return d.agg(
+        F.count("*").alias("n_converted"),
+        F.sum(sec).alias("s_min_s"),
+        F.min(sec).alias("fastest_s"),
+        F.max(sec).alias("slowest_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

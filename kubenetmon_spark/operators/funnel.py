@@ -405,3 +405,86 @@ def sequence_match_timed(
     return out.groupBy(*user_cols).agg(
         F.max(F.col(f"_d{last}").isNotNull()).alias("matched")
     )
+
+
+def window_funnel_durations(
+    events: DataFrame,
+    steps: list[str],
+    window_seconds: int,
+    user_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """``window_funnel`` plus TIME-TO-CONVERT: for fully-converted
+    users, ``min_convert_us`` is the exact minimum duration over all
+    valid chains (first step -> last step), null below full depth.
+
+    Exactness argument: the cascade propagates, at each final-step
+    event time t, the MAX chain anchor among chains completing by t —
+    the max anchor gives the min duration ending at t, so the min over
+    final-step events of (t − anchor) is the true minimum over ALL
+    valid chains (same greedy invariant as window_funnel's depth, see
+    its docstring; the q84 oracle states the equivalent declaratively
+    as a MIN over the EXISTS-chain join).
+
+    Same plan as window_funnel: one Exchange+Sort, one Window cascade,
+    one hash agg — duration adds expressions, not passes.
+    """
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    user_cols = user_cols or ["user_id"]
+    from pyspark.sql.window import Window
+
+    step_idx = F.when(F.col(type_col) == steps[0], 0)
+    for i, s in enumerate(steps[1:], start=1):
+        step_idx = step_idx.when(F.col(type_col) == s, i)
+    slim = events.filter(F.col(type_col).isin(list(steps))).select(
+        *user_cols,
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        step_idx.cast("int").alias("_step"),
+    )
+    n_steps = len(steps)
+    window_us = int(window_seconds) * 1_000_000
+    strictly_before = (
+        Window.partitionBy(*user_cols)
+        .orderBy("_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    out = slim
+    prev = F.max(F.when(F.col("_step") == 0, F.col("_us"))).over(
+        strictly_before
+    )
+    level_flags = [F.max((F.col("_step") == 0).cast("int")).alias("_l1")]
+    for i in range(1, n_steps):
+        out = out.withColumn(f"_p{i - 1}", prev)
+        start_i = F.when(
+            (F.col("_step") == i)
+            & F.col(f"_p{i - 1}").isNotNull()
+            & (F.col("_us") - F.col(f"_p{i - 1}") <= window_us),
+            F.col(f"_p{i - 1}"),
+        )
+        out = out.withColumn(f"_s{i}", start_i)
+        prev = F.max(F.col(f"_s{i}")).over(strictly_before)
+        level_flags.append(
+            F.max(F.col(f"_s{i}").isNotNull().cast("int")).alias(
+                f"_l{i + 1}"
+            )
+        )
+    final = n_steps - 1
+    dur = F.min(
+        F.when(
+            F.col(f"_s{final}").isNotNull(),
+            F.col("_us") - F.col(f"_s{final}"),
+        )
+    ).alias("_dur")
+    per_user = out.groupBy(*user_cols).agg(*level_flags, dur)
+    level = F.lit(0)
+    for i in range(1, n_steps + 1):
+        level = F.when(F.col(f"_l{i}") == 1, i).otherwise(level)
+    return per_user.select(
+        *user_cols,
+        level.cast("long").alias("funnel_level"),
+        F.when(F.col(f"_l{n_steps}") == 1, F.col("_dur"))
+        .cast("long")
+        .alias("min_convert_us"),
+    )

@@ -482,3 +482,65 @@ class TestSequenceMatchTimed:
         for u, m in want.items():
             if m:
                 assert got.get(u) is True, u
+
+
+class TestWindowFunnelDurations:
+    def _brute_min_dur(self, rows, steps, window):
+        # min over all valid strictly-increasing in-window chains
+        from itertools import product
+
+        by_user = {}
+        for u, t, tp in rows:
+            by_user.setdefault(u, []).append((t, tp))
+        out = {}
+        for u, evs in by_user.items():
+            per_step = [
+                sorted(t for t, tp in evs if tp == s) for s in steps
+            ]
+            best = None
+            for chain in product(*per_step):
+                if all(b > a for a, b in zip(chain, chain[1:])) and (
+                    chain[-1] - chain[0] <= window
+                ):
+                    d = chain[-1] - chain[0]
+                    best = d if best is None else min(best, d)
+            if best is not None:
+                out[u] = best
+        return out
+
+    def test_matches_brute_force(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from kubenetmon_spark.operators.funnel import (
+            window_funnel_durations,
+        )
+
+        for seed in (5, 9):
+            rng = random.Random(seed)
+            rows = [
+                (
+                    rng.randrange(6),
+                    rng.randrange(0, 400),
+                    rng.choice(["a", "b", "c", "x"]),
+                )
+                for _ in range(150)
+            ]
+            df = spark.createDataFrame(
+                rows, "user_id long, t long, event_type string"
+            ).withColumn("ts", F.timestamp_seconds(F.col("t")))
+            got = {
+                r.user_id: r.min_convert_us
+                for r in window_funnel_durations(
+                    df, ["a", "b", "c"], window_seconds=120
+                ).collect()
+                if r.min_convert_us is not None
+            }
+            want = {
+                u: d * 1_000_000
+                for u, d in self._brute_min_dur(
+                    rows, ["a", "b", "c"], 120
+                ).items()
+            }
+            assert got == want, seed
