@@ -11261,6 +11261,86 @@ def q226(spark, sf_dir):
     )
 
 
+@_register(
+    "q227_last_touch_attribution",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, epoch(date_trunc('second', ts)) AS t
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT user_id, event_type, event_id AS m_id,
+             epoch(date_trunc('second', ts)) AS t
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    att AS (
+      SELECT p.event_id,
+             (SELECT m.event_type FROM m
+              WHERE m.user_id = p.user_id AND m.t <= p.t
+                AND p.t - m.t <= 86400
+              ORDER BY m.t DESC, m.m_id DESC LIMIT 1) AS channel
+      FROM p
+    )
+    SELECT COALESCE(channel, 'unattributed') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM att GROUP BY channel ORDER BY channel
+    """,
+    "last-touch attribution (marketing-analytics staple): each "
+    "purchase credits the most recent view/click within 24h — one "
+    "asof join (operators/asof.py: union+window single-shuffle form, "
+    "NO per-purchase subquery), ties broken deterministically by "
+    "event id; unattributed purchases stay visible",
+)
+def q227(spark, sf_dir):
+    from kubenetmon_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.date_trunc("second", "ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    m = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_type").alias("channel"),
+            F.col("event_id").alias("m_id"),
+        )
+        # deterministic tie-break at equal ts: keep the highest m_id
+        # (the asof picks the LAST right row at or before left.ts in
+        # (ts, input-order); make that order explicit)
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(
+                    F.desc("m_id")
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    j = asof_join(
+        p,
+        m,
+        on=["user_id"],
+        ts_col="ts",
+        right_cols=["channel"],
+        tolerance_seconds=86400,
+    )
+    return (
+        j.groupBy(
+            F.coalesce(F.col("channel"), F.lit("unattributed")).alias(
+                "channel"
+            )
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("channel")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
