@@ -11341,6 +11341,88 @@ def q227(spark, sf_dir):
     )
 
 
+@_register(
+    "q228_linear_attribution",
+    """
+    WITH p AS (
+      SELECT event_id AS p_id, user_id,
+             epoch(date_trunc('second', ts)) AS t
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT user_id, event_type AS channel, event_id AS m_id,
+             epoch(date_trunc('second', ts)) AS t
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    touches AS (
+      SELECT p.p_id, m.channel, m.m_id, m.t,
+             COUNT(*) OVER (PARTITION BY p.p_id) AS n_touch,
+             ROW_NUMBER() OVER (PARTITION BY p.p_id
+                                ORDER BY m.t DESC, m.m_id DESC) AS rk
+      FROM p JOIN m ON m.user_id = p.user_id
+       AND m.t <= p.t AND p.t - m.t <= 86400
+    ),
+    credit AS (
+      SELECT channel,
+             1000 // n_touch
+               + CASE WHEN rk = 1 THEN 1000 % n_touch ELSE 0 END
+               AS c_milli
+      FROM touches
+    )
+    SELECT channel,
+           CAST(SUM(c_milli) AS BIGINT) AS credit_milli,
+           CAST(COUNT(*) AS BIGINT) AS n_touches
+    FROM credit GROUP BY channel ORDER BY channel
+    """,
+    "linear multi-touch attribution: every marketing touch within 24h "
+    "of a purchase shares 1000 milli-credits EXACTLY — floor share "
+    "each, remainder to the last touch (deterministic, credits sum to "
+    "1000*n_purchases by construction, no float leakage); join volume "
+    "bounded by touches-per-purchase, window shares the join key",
+)
+def q228(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.date_trunc("second", "ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    m = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("event_id").alias("m_id"),
+        F.col("ts").alias("m_ts"),
+    )
+    touches = p.join(m, "user_id").filter(
+        (F.col("m_ts") <= F.col("p_ts"))
+        & (
+            F.col("p_ts").cast("long") - F.col("m_ts").cast("long")
+            <= 86400
+        )
+    )
+    wp = Window.partitionBy("p_id")
+    wr = Window.partitionBy("p_id").orderBy(
+        F.desc("m_ts"), F.desc("m_id")
+    )
+    credited = touches.withColumn(
+        "n_touch", F.count("*").over(wp)
+    ).withColumn("rk", F.row_number().over(wr))
+    c = F.expr("1000 div n_touch") + F.when(
+        F.col("rk") == 1, F.expr("1000 % n_touch")
+    ).otherwise(0)
+    return (
+        credited.withColumn("c_milli", c)
+        .groupBy("channel")
+        .agg(
+            F.sum("c_milli").alias("credit_milli"),
+            F.count("*").alias("n_touches"),
+        )
+        .orderBy("channel")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
