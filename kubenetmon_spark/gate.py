@@ -11423,6 +11423,66 @@ def q228(spark, sf_dir):
     )
 
 
+@_register(
+    "q229_cohort_retention",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) // 7
+               AS wk
+      FROM events
+    ),
+    c AS (SELECT user_id, MIN(wk) AS cohort FROM ud GROUP BY user_id),
+    m AS (
+      SELECT c.cohort, ud.wk - c.cohort AS offset_wk,
+             COUNT(DISTINCT ud.user_id) AS n_active
+      FROM ud JOIN c ON c.user_id = ud.user_id
+      GROUP BY c.cohort, ud.wk - c.cohort
+    ),
+    base AS (SELECT cohort, COUNT(*) AS n_cohort FROM c GROUP BY cohort)
+    SELECT m.cohort, CAST(m.offset_wk AS BIGINT) AS offset_wk,
+           CAST(m.n_active AS BIGINT) AS n_active,
+           CAST(b.n_cohort AS BIGINT) AS n_cohort,
+           CAST(m.n_active * 10000 // b.n_cohort AS BIGINT)
+             AS retained_bp
+    FROM m JOIN base b ON b.cohort = m.cohort
+    ORDER BY m.cohort, offset_wk
+    """,
+    "cohort retention triangle (signup-week x weeks-since retention — "
+    "THE product-analytics query): distinct (user, week) activity, "
+    "min-week cohort assignment, per-(cohort, offset) distinct actives "
+    "over the cohort base in exact basis points; the user-week "
+    "projection shuffles once and both aggregations reuse its key",
+)
+def q229(spark, sf_dir):
+    wk = F.expr(
+        "cast(floor(cast(ts as double) / 86400) as bigint) div 7"
+    )
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", wk.alias("wk"))
+        .distinct()
+    )
+    c = ud.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    m = (
+        ud.join(c, "user_id")
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("offset_wk"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    base = c.groupBy("cohort").agg(F.count("*").alias("n_cohort"))
+    return (
+        m.join(base, "cohort")
+        .select(
+            "cohort",
+            F.col("offset_wk").cast("long").alias("offset_wk"),
+            "n_active",
+            "n_cohort",
+            F.expr("n_active * 10000 div n_cohort").alias("retained_bp"),
+        )
+        .orderBy("cohort", "offset_wk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
