@@ -11483,6 +11483,63 @@ def q229(spark, sf_dir):
     )
 
 
+@_register(
+    "q230_dau_mau_stickiness",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+    mau AS (
+      SELECT days.d, COUNT(DISTINCT ud.user_id) AS mau
+      FROM days JOIN ud ON ud.d BETWEEN days.d - 29 AND days.d
+      GROUP BY days.d
+    )
+    SELECT dau.d AS day_num,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(mau.mau AS BIGINT) AS mau,
+           CAST(dau.dau * 10000 // mau.mau AS BIGINT) AS stickiness_bp
+    FROM dau JOIN mau ON mau.d = dau.d
+    ORDER BY day_num
+    """,
+    "DAU/MAU stickiness per day: rolling 30-day distinct actives via "
+    "a day-grid range join over the DISTINCT (user, day) projection — "
+    "rolling COUNT DISTINCT cannot ride a window frame, so the grid "
+    "join (volume = user-days x <=30) is the scale-correct shape; "
+    "exact basis points",
+)
+def q230(spark, sf_dir):
+    d = F.expr("cast(floor(cast(ts as double) / 86400) as bigint)")
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", d.alias("d"))
+        .distinct()
+    )
+    days = ud.select("d").distinct().withColumnRenamed("d", "day")
+    dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    mau = (
+        days.join(
+            ud,
+            (F.col("d") >= F.col("day") - 29) & (F.col("d") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, dau["d"] == mau["day"])
+        .select(
+            F.col("d").alias("day_num"),
+            "dau",
+            "mau",
+            F.expr("dau * 10000 div mau").alias("stickiness_bp"),
+        )
+        .orderBy("day_num")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
