@@ -11540,6 +11540,67 @@ def q230(spark, sf_dir):
     )
 
 
+@_register(
+    "q231_entity_resolution",
+    """
+    WITH RECURSIVE p AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS typ
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS id_1, b.p_partkey AS id_2
+      FROM p a JOIN p b
+        ON a.typ = b.typ AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    edges AS (
+      SELECT id_1 AS a, id_2 AS b FROM pairs
+      UNION SELECT id_2, id_1 FROM pairs
+    ),
+    gnodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM gnodes
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS canonical FROM reach GROUP BY node)
+    SELECT CAST(canonical AS BIGINT) AS canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(node) AS BIGINT) AS member_sum
+    FROM comp GROUP BY canonical
+    HAVING COUNT(*) >= 3
+    ORDER BY canonical
+    """,
+    "entity resolution end to end in ONE plan: blocked edit-distance "
+    "linkage (q88's length-band + bounded levenshtein) -> connected-"
+    "component identity clusters -> canonical id (min member) — the "
+    "q201 composition for RECORD identity instead of media; clusters "
+    "of 3+ records reported; oracle closes the same graph recursively",
+)
+def q231(spark, sf_dir):
+    from kubenetmon_spark.operators.fuzzy import blocked_levenshtein_pairs
+    from kubenetmon_spark.operators.graph import duplicate_clusters
+
+    p = _t(spark, sf_dir, "part")
+    pairs = blocked_levenshtein_pairs(
+        p,
+        id_col="p_partkey",
+        text_col="p_name",
+        block_col=F.element_at(F.split("p_name", " "), 2),
+        max_distance=2,
+    )
+    clusters = duplicate_clusters(pairs, id_1="a_id", id_2="b_id")
+    return (
+        clusters.groupBy(F.col("cluster_rep").alias("canonical"))
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("node").alias("member_sum"),
+        )
+        .filter(F.col("n_records") >= 3)
+        .orderBy("canonical")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

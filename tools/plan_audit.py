@@ -147,6 +147,14 @@ KNOWN = {
     "carry the STEP table (#cohorts x #distinct durations — dozens of "
     "rows); the two survival windows share one (cohort, duration) "
     "sort",
+    "q229_cohort_retention": "every exchange after the distinct "
+    "(user, week) projection carries user- or cohort-cardinality rows "
+    "(cohort assignment, matrix agg incl. its 2-phase distinct, base "
+    "counts) — the one fact-scale shuffle is the initial distinct",
+    "q230_dau_mau_stickiness": "rolling COUNT DISTINCT cannot ride a "
+    "window frame; the day-grid range join carries user-days x <=30 "
+    "rows and its distinct agg is 2-phase — all exchanges are over "
+    "the distinct (user, day) projection, never raw events",
     "q10_lpm_classify": "appears only at sf0.1+: the distinct-IP "
     "join-back deliberately carries no broadcast hint (lpm_lookup "
     "docstring) — AQE sizes it at runtime, and beyond the threshold a "
