@@ -11601,6 +11601,89 @@ def q231(spark, sf_dir):
     )
 
 
+@_register(
+    "q232_cohort_ltv",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) // 7
+               AS wk,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END AS cents
+      FROM events
+    ),
+    c AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id),
+    base AS (SELECT cohort, COUNT(*) AS n_users FROM c GROUP BY cohort),
+    rev AS (
+      SELECT c.cohort, e.wk - c.cohort AS offset_wk,
+             SUM(e.cents) AS cents
+      FROM e JOIN c ON c.user_id = e.user_id
+      GROUP BY c.cohort, e.wk - c.cohort
+    ),
+    cum AS (
+      SELECT cohort, offset_wk, cents,
+             SUM(cents) OVER (PARTITION BY cohort ORDER BY offset_wk
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents
+      FROM rev
+    )
+    SELECT cum.cohort, CAST(offset_wk AS BIGINT) AS offset_wk,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(cum_cents AS BIGINT) AS cum_cents,
+           CAST(cum_cents * 1000 // b.n_users AS BIGINT)
+             AS ltv_milli_per_user
+    FROM cum JOIN base b ON b.cohort = cum.cohort
+    ORDER BY cohort, offset_wk
+    """,
+    "cohort LTV curve (cumulative purchase revenue per signup-week "
+    "cohort, per-capita in exact milli-cents) — q229's triangle with "
+    "money semantics: one fact shuffle for the (cohort, offset) "
+    "revenue matrix, the cumulative window runs over the tiny matrix",
+)
+def q232(spark, sf_dir):
+    wk = F.expr(
+        "cast(floor(cast(ts as double) / 86400) as bigint) div 7"
+    )
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        wk.alias("wk"),
+        F.when(
+            F.col("event_type") == "purchase",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+        )
+        .otherwise(0)
+        .alias("cents"),
+    )
+    c = e.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    base = c.groupBy("cohort").agg(F.count("*").alias("n_users"))
+    rev = (
+        e.join(c, "user_id")
+        .groupBy(
+            "cohort", (F.col("wk") - F.col("cohort")).alias("offset_wk")
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("offset_wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn("cum_cents", F.sum("cents").over(w))
+    return (
+        cum.join(base, "cohort")
+        .select(
+            "cohort",
+            F.col("offset_wk").cast("long").alias("offset_wk"),
+            "cents",
+            "cum_cents",
+            F.expr("cum_cents * 1000 div n_users").alias(
+                "ltv_milli_per_user"
+            ),
+        )
+        .orderBy("cohort", "offset_wk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
