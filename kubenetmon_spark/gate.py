@@ -11633,7 +11633,7 @@ def q231(spark, sf_dir):
            CAST(cum_cents * 1000 // b.n_users AS BIGINT)
              AS ltv_milli_per_user
     FROM cum JOIN base b ON b.cohort = cum.cohort
-    ORDER BY cohort, offset_wk
+    ORDER BY cum.cohort, offset_wk
     """,
     "cohort LTV curve (cumulative purchase revenue per signup-week "
     "cohort, per-capita in exact milli-cents) — q229's triangle with "
