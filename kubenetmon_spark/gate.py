@@ -11684,6 +11684,70 @@ def q232(spark, sf_dir):
     )
 
 
+@_register(
+    "q233_ship_lag_sla",
+    """
+    WITH lag_t AS (
+      SELECT o.o_orderpriority AS pri,
+             datediff('day', o.o_orderdate, l.l_shipdate) AS lag_d
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    r AS (
+      SELECT pri, lag_d,
+             ROW_NUMBER() OVER (PARTITION BY pri ORDER BY lag_d) AS rn,
+             COUNT(*) OVER (PARTITION BY pri) AS n
+      FROM lag_t
+    )
+    SELECT pri,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+                              + 1 THEN lag_d END) AS BIGINT) AS p50,
+           CAST(MIN(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT)
+                              + 1 THEN lag_d END) AS BIGINT) AS p90,
+           CAST(MIN(CASE WHEN rn = CAST(floor(0.99 * (n - 1)) AS BIGINT)
+                              + 1 THEN lag_d END) AS BIGINT) AS p99,
+           CAST(SUM(CASE WHEN lag_d <= 30 THEN 1 ELSE 0 END) * 10000
+                // MAX(n) AS BIGINT) AS within_sla_bp
+    FROM r GROUP BY pri ORDER BY pri
+    """,
+    "order-to-ship SLA report: exact p50/p90/p99 lag days per order "
+    "priority (quantileExactLow positions, q144 machinery) + fraction "
+    "within the 30-day SLA in exact bp — the operational-latency "
+    "report every metering deployment runs; one broadcast join, one "
+    "sorted pass",
+)
+def q233(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import quantile_definitions
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag_t = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff("l_shipdate", "o_orderdate").alias("lag_d"),
+    )
+    q = quantile_definitions(
+        lag_t, ["pri"], "lag_d", levels=(0.5, 0.9, 0.99)
+    )
+    sla = lag_t.groupBy("pri").agg(
+        F.sum(F.when(F.col("lag_d") <= 30, 1).otherwise(0)).alias("_in"),
+        F.count("*").alias("_n"),
+    )
+    return (
+        q.join(sla, "pri")
+        .select(
+            "pri",
+            F.col("n").cast("long").alias("n"),
+            F.col("p50_low").cast("long").alias("p50"),
+            F.col("p90_low").cast("long").alias("p90"),
+            F.col("p99_low").cast("long").alias("p99"),
+            F.expr("_in * 10000 div _n").alias("within_sla_bp"),
+        )
+        .orderBy("pri")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
