@@ -11748,6 +11748,77 @@ def q233(spark, sf_dir):
     )
 
 
+@_register(
+    "q234_abc_analysis",
+    """
+    WITH rev AS (
+      SELECT p.p_brand AS brand,
+             SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                 AS BIGINT)) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand
+    ),
+    tot AS (SELECT SUM(cents) AS t FROM rev),
+    c AS (
+      SELECT brand, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, brand
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM rev
+    ),
+    cls AS (
+      SELECT brand, cents,
+             CASE WHEN cum * 100 <= t * 80 THEN 'A'
+                  WHEN cum * 100 <= t * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM c, tot
+    )
+    SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_brands,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM cls GROUP BY abc ORDER BY abc
+    """,
+    "ABC / Pareto inventory classification (brands by cumulative "
+    "revenue share, 80/95 cut points via the cross-multiplied integer "
+    "rule cum*100 <= total*p): the cumulative window runs over the "
+    "BRAND-cardinality rollup, never facts; deterministic tie-break "
+    "on the sort",
+)
+def q234(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    tot = rev.agg(F.sum("cents").alias("t"))
+    w = (
+        Window.orderBy(F.desc("cents"), "brand")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = rev.withColumn("cum", F.sum("cents").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    abc = (
+        F.when(F.col("cum") * 100 <= F.col("t") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("t") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        c.withColumn("abc", abc)
+        .groupBy("abc")
+        .agg(
+            F.count("*").alias("n_brands"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("abc")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
