@@ -11819,6 +11819,72 @@ def q234(spark, sf_dir):
     )
 
 
+@_register(
+    "q235_basket_affinity",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    nn AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM ob),
+    cnt AS (SELECT brand, COUNT(*) AS n FROM ob GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS b1, b.brand AS b2, COUNT(*) AS n_ab
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT p.b1, p.b2,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST(p.n_ab * nn.n_orders * 10000
+                // (ca.n * cb.n) AS BIGINT) AS lift_bp
+    FROM pairs p
+    JOIN cnt ca ON ca.brand = p.b1
+    JOIN cnt cb ON cb.brand = p.b2
+    CROSS JOIN nn
+    WHERE p.n_ab >= 5
+    ORDER BY p.b1, p.b2
+    """,
+    "market-basket affinity: brand co-occurrence within orders with "
+    "LIFT = P(ab)/(P(a)P(b)) as the exact integer cross-multiply "
+    "n_ab*N*10000 // (n_a*n_b) — the self-join is bounded by "
+    "brands-per-order^2 (distinct projection first), counts broadcast "
+    "back; min-support 5 keeps noise out",
+)
+def q235(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = ob.select("ok").distinct().count()
+    cnt = ob.groupBy("brand").agg(F.count("*").alias("n"))
+    a = ob.select(F.col("ok"), F.col("brand").alias("b1"))
+    b = ob.select(F.col("ok").alias("ok2"), F.col("brand").alias("b2"))
+    pairs = (
+        a.join(b, (a["ok"] == b["ok2"]) & (a["b1"] < b["b2"]))
+        .groupBy("b1", "b2")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    ca = cnt.select(F.col("brand").alias("b1"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("brand").alias("b2"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "b1")
+        .join(F.broadcast(cb), "b2")
+        .select(
+            "b1",
+            "b2",
+            "n_ab",
+            F.expr(
+                f"n_ab * {n_orders}L * 10000 div (n_a * n_b)"
+            ).alias("lift_bp"),
+        )
+        .orderBy("b1", "b2")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
