@@ -11885,6 +11885,67 @@ def q235(spark, sf_dir):
     )
 
 
+@_register(
+    "q236_supplier_hhi",
+    """
+    WITH rev AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey,
+             SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                 AS BIGINT)) AS cents
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    h AS (
+      SELECT nation,
+             SUM(cents * cents) AS ss,
+             SUM(cents) AS t,
+             COUNT(*) AS n_suppliers
+      FROM rev GROUP BY nation
+    )
+    SELECT CAST(nation AS BIGINT) AS nation,
+           CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(t AS BIGINT) AS cents,
+           CAST(ss * 10000 // (t * t) AS BIGINT) AS hhi_bp
+    FROM h ORDER BY nation
+    """,
+    "supplier concentration per nation (Herfindahl-Hirschman index in "
+    "exact basis points): share-square sums in HUGEINT/DECIMAL(38) "
+    "(cents^2 overflows int64 — the q196 precedent), one rollup + one "
+    "per-nation reduce; HHI_bp = sum(s_i^2)*10000 // T^2",
+)
+def q236(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    d38 = "decimal(38,0)"
+    h = rev.groupBy("nation").agg(
+        F.sum(F.col("cents").cast(d38) * F.col("cents").cast(d38)).alias(
+            "ss"
+        ),
+        F.sum("cents").alias("t"),
+        F.count("*").alias("n_suppliers"),
+    )
+    hhi = (
+        (F.col("ss") * 10000)
+        / (F.col("t").cast(d38) * F.col("t").cast(d38))
+    )
+    return h.select(
+        F.col("nation").cast("long").alias("nation"),
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        F.col("t").cast("long").alias("cents"),
+        F.floor(hhi).cast("long").alias("hhi_bp"),
+    ).orderBy("nation")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
