@@ -11946,6 +11946,111 @@ def q236(spark, sf_dir):
     ).orderBy("nation")
 
 
+@_register(
+    "q237_new_vs_returning",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END AS cents
+      FROM events
+    ),
+    first_d AS (SELECT user_id, MIN(d) AS d0 FROM e GROUP BY user_id),
+    tagged AS (
+      SELECT e.d, e.cents,
+             CASE WHEN e.d = f.d0 THEN 'new' ELSE 'returning' END
+               AS cohort
+      FROM e JOIN first_d f ON f.user_id = e.user_id
+    )
+    SELECT d AS day_num, cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM tagged GROUP BY d, cohort ORDER BY d, cohort
+    """,
+    "new-vs-returning split per day (growth accounting): first-touch "
+    "day per user broadcast back onto the event stream; one fact "
+    "shuffle for the user min, the tag is a join + CASE",
+)
+def q237(spark, sf_dir):
+    d = F.expr("cast(floor(cast(ts as double) / 86400) as bigint)")
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        d.alias("d"),
+        F.when(
+            F.col("event_type") == "purchase",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+        )
+        .otherwise(0)
+        .alias("cents"),
+    )
+    f0 = e.groupBy("user_id").agg(F.min("d").alias("d0"))
+    tagged = e.join(f0, "user_id").withColumn(
+        "cohort",
+        F.when(F.col("d") == F.col("d0"), "new").otherwise("returning"),
+    )
+    return (
+        tagged.groupBy(F.col("d").alias("day_num"), "cohort")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("day_num", "cohort")
+    )
+
+
+@_register(
+    "q238_activity_gini",
+    """
+    WITH u AS (
+      SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i,
+             COUNT(*) OVER () AS n, SUM(x) OVER () AS t
+      FROM u
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(MAX(t) AS BIGINT) AS total,
+           CAST(floor(CAST(10000 * (2 * SUM(i * x) - (MAX(n) + 1)
+                                    * MAX(t)) AS DOUBLE)
+                      / (MAX(n) * MAX(t))) AS BIGINT) AS gini_bp
+    FROM r
+    """,
+    "Gini coefficient of per-user activity (the power-user inequality "
+    "curve): exact integer rank-weighted sums, one global sort over "
+    "USER-cardinality rows (never events), cross-multiplied closed "
+    "form G = (2*Sum(i*x_i) - (n+1)*T) / (n*T) floored to bp",
+)
+def q238(spark, sf_dir):
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("x"))
+    )
+    w = Window.orderBy("x", "user_id")
+    r = u.withColumn("i", F.row_number().over(w))
+    agg = r.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("t"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("t").cast("long").alias("total"),
+        F.floor(
+            (
+                10000
+                * (2 * F.col("six") - (F.col("n") + 1) * F.col("t"))
+            ).cast("double")
+            / (F.col("n") * F.col("t"))
+        )
+        .cast("long")
+        .alias("gini_bp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
