@@ -12051,6 +12051,102 @@ def q238(spark, sf_dir):
     )
 
 
+@_register(
+    "q239_dup_cluster_sizes",
+    """
+    WITH g AS (
+      SELECT md5(trim(text)) AS h, COUNT(*) AS sz
+      FROM documents GROUP BY md5(trim(text))
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM g GROUP BY sz ORDER BY sz
+    """,
+    "exact-duplicate cluster-size distribution (the corpus-health "
+    "histogram behind dedup planning: how much is singleton vs "
+    "boilerplate families) — two hash aggs, second over "
+    "distinct-content cardinality",
+)
+def q239(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy(F.md5(F.trim(F.col("text"))).alias("h")).agg(
+        F.count("*").alias("sz")
+    )
+    return (
+        g.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@_register(
+    "q240_source_vocab_overlap",
+    r"""
+    WITH st AS (
+      SELECT DISTINCT source, unnest(regexp_split_to_array(trim(text),
+                                     '\s+')) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+    pairs AS (
+      SELECT a.source AS s1, b.source AS s2, COUNT(*) AS inter
+      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT p.s1, p.s2,
+           CAST(p.inter AS BIGINT) AS inter,
+           CAST(p.inter * 10000 // (na.n + nb.n - p.inter) AS BIGINT)
+             AS jaccard_bp
+    FROM pairs p
+    JOIN sizes na ON na.source = p.s1
+    JOIN sizes nb ON nb.source = p.s2
+    WHERE p.inter * 10000 // (na.n + nb.n - p.inter) >= 5000
+    ORDER BY p.s1, p.s2
+    """,
+    "source vocabulary-overlap matrix (mixture diagnostics: which "
+    "sources are near-clones of each other at the vocab level): "
+    "distinct (source, token) projection, token-keyed pair join, "
+    "exact Jaccard bp with a report threshold",
+)
+def q240(spark, sf_dir):
+    st = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").alias("n"))
+    a = st.select(F.col("source").alias("s1"), "tok")
+    b = st.select(F.col("source").alias("s2"), F.col("tok").alias("tok2"))
+    pairs = (
+        a.join(b, (a["tok"] == b["tok2"]) & (a["s1"] < b["s2"]))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("source").alias("s1"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("source").alias("s2"), F.col("n").alias("n_b"))
+    j = F.expr("inter * 10000 div (n_a + n_b - inter)")
+    return (
+        pairs.join(F.broadcast(na), "s1")
+        .join(F.broadcast(nb), "s2")
+        .withColumn("jaccard_bp", j)
+        .filter(F.col("jaccard_bp") >= 5000)
+        .select("s1", "s2", "inter", "jaccard_bp")
+        .orderBy("s1", "s2")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

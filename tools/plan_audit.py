@@ -155,6 +155,16 @@ KNOWN = {
     "window frame; the day-grid range join carries user-days x <=30 "
     "rows and its distinct agg is 2-phase — all exchanges are over "
     "the distinct (user, day) projection, never raw events",
+    "q232_cohort_ltv": "q229's situation plus the cumulative window — "
+    "every exchange after the first fact shuffle carries user- or "
+    "(cohort x offset)-cardinality rows",
+    "q233_ship_lag_sla": "the SMJ is lineitem JOIN orders — a genuine "
+    "fact-fact join where sort-merge IS the correct 100 TB plan (no "
+    "broadcastable side); the quantile window then shares the "
+    "per-priority sort",
+    "q235_basket_affinity": "exchanges bound by the DISTINCT (order, "
+    "brand) projection and its self-join (brands-per-order^2), count "
+    "tables broadcast back — nothing re-shuffles raw lineitem",
     "q10_lpm_classify": "appears only at sf0.1+: the distinct-IP "
     "join-back deliberately carries no broadcast hint (lpm_lookup "
     "docstring) — AQE sizes it at runtime, and beyond the threshold a "
