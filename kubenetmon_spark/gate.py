@@ -12147,6 +12147,105 @@ def q240(spark, sf_dir):
     )
 
 
+@_register(
+    "q241_markov_transitions",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    t AS (
+      SELECT prev, event_type AS nxt, COUNT(*) AS n
+      FROM o WHERE prev IS NOT NULL GROUP BY prev, event_type
+    ),
+    tot AS (SELECT prev, SUM(n) AS row_n FROM t GROUP BY prev)
+    SELECT t.prev, t.nxt,
+           CAST(t.n AS BIGINT) AS n,
+           CAST(t.n * 10000 // tot.row_n AS BIGINT) AS p_bp
+    FROM t JOIN tot ON tot.prev = t.prev
+    ORDER BY t.prev, t.nxt
+    """,
+    "first-order Markov transition matrix between event types "
+    "(behavior modeling / next-action priors): one lag window over "
+    "the (user, ts) sort, transition counts + exact row-normalized "
+    "basis points; matrix cardinality = |types|^2",
+)
+def q241(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = _t(spark, sf_dir, "events").withColumn(
+        "prev", F.lag("event_type").over(w)
+    )
+    t = (
+        o.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("nxt"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = t.groupBy("prev").agg(F.sum("n").alias("row_n"))
+    return (
+        t.join(tot, "prev")
+        .select(
+            "prev",
+            "nxt",
+            "n",
+            F.expr("n * 10000 div row_n").alias("p_bp"),
+        )
+        .orderBy("prev", "nxt")
+    )
+
+
+@_register(
+    "q242_session_depth",
+    """
+    WITH o AS (
+      SELECT user_id, epoch(date_trunc('second', ts)) AS t, event_id
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, t, event_id,
+             CASE WHEN t - LAG(t) OVER w > 1800 THEN 1 ELSE 0 END
+               AS brk
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    s AS (
+      SELECT user_id,
+             1 + SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    ),
+    d AS (
+      SELECT user_id, session_id, COUNT(*) AS depth
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM d GROUP BY depth ORDER BY depth
+    """,
+    "session-depth distribution (events per 30-min-gap session) — "
+    "operators/sessions.py::sessionize composed into the histogram "
+    "every engagement dashboard shows; gap-detect lag and session "
+    "numbering share ONE (user, ts) sort",
+)
+def q242(spark, sf_dir):
+    from kubenetmon_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.date_trunc("second", "ts")
+    )
+    s = sessionize(
+        ev, ["user_id"], gap_seconds=1800, order_cols=["event_id"]
+    )
+    d = s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("depth")
+    )
+    return (
+        d.groupBy("depth")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy("depth")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
