@@ -165,6 +165,13 @@ KNOWN = {
     "q235_basket_affinity": "exchanges bound by the DISTINCT (order, "
     "brand) projection and its self-join (brands-per-order^2), count "
     "tables broadcast back — nothing re-shuffles raw lineitem",
+    "q240_source_vocab_overlap": "all exchanges ride the DISTINCT "
+    "(source, token) projection (vocab-cardinality) — the token-keyed "
+    "pair join and the per-pair/per-source aggs never touch raw "
+    "documents again; size tables broadcast back",
+    "q241_markov_transitions": "the lag window is the one fact-scale "
+    "pass; the transition counts, row totals, and the normalizing "
+    "join all carry the |types|^2 matrix (dozens of rows)",
     "q10_lpm_classify": "appears only at sf0.1+: the distinct-IP "
     "join-back deliberately carries no broadcast hint (lpm_lookup "
     "docstring) — AQE sizes it at runtime, and beyond the threshold a "
