@@ -12246,6 +12246,227 @@ def q242(spark, sf_dir):
     )
 
 
+@_register(
+    "q243_rfm_segments",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MAX(CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT))
+               AS last_d,
+             COUNT(*) AS freq,
+             SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 ELSE 0 END) AS cents
+      FROM events GROUP BY user_id
+    ),
+    q AS (
+      SELECT user_id,
+             NTILE(5) OVER (ORDER BY last_d DESC, user_id) AS r,
+             NTILE(5) OVER (ORDER BY freq DESC, user_id) AS f,
+             NTILE(5) OVER (ORDER BY cents DESC, user_id) AS m
+      FROM u
+    )
+    SELECT r * 100 + f * 10 + m AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM q GROUP BY r * 100 + f * 10 + m
+    HAVING COUNT(*) >= 3
+    ORDER BY segment
+    """,
+    "RFM segmentation (recency/frequency/monetary quintiles — the CRM "
+    "staple): three ntile windows over the USER rollup (deterministic "
+    "tie-breaks), segment code r*100+f*10+m; windows run over user-"
+    "cardinality rows, never events",
+)
+def q243(spark, sf_dir):
+    d = F.expr("cast(floor(cast(ts as double) / 86400) as bigint)")
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(d).alias("last_d"),
+            F.count("*").alias("freq"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    (F.col("value").cast("decimal(18,2)") * 100).cast(
+                        "long"
+                    ),
+                ).otherwise(0)
+            ).alias("cents"),
+        )
+    )
+    q = u.select(
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("last_d"), "user_id"))
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("freq"), "user_id"))
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("cents"), "user_id"))
+        .alias("m"),
+    )
+    return (
+        q.groupBy(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias(
+                "segment"
+            )
+        )
+        .agg(F.count("*").alias("n_users"))
+        .filter(F.col("n_users") >= 3)
+        .orderBy("segment")
+    )
+
+
+@_register(
+    "q244_mad_outliers",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM o
+    ),
+    med AS (
+      SELECT event_type,
+             MIN(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                      THEN x END) AS m
+      FROM r GROUP BY event_type
+    ),
+    dev AS (
+      SELECT o.event_type, o.x, abs(o.x - med.m) AS ad, med.m
+      FROM o JOIN med ON med.event_type = o.event_type
+    ),
+    rd AS (
+      SELECT event_type, x, ad, m,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type,
+             MIN(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                      THEN ad END) AS mad
+      FROM rd GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(MAX(d.m) AS BIGINT) AS median_c,
+           CAST(MAX(mad.mad) AS BIGINT) AS mad_c,
+           CAST(SUM(CASE WHEN d.ad * 10 > 35 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad ON mad.event_type = d.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+    "robust outlier detection by MEDIAN ABSOLUTE DEVIATION (the "
+    "breakdown-resistant sibling of Tukey fences, q183): exact "
+    "quantileExactLow medians in two sorted passes, flag rule "
+    "|x-med|*10 > 35*MAD (k=3.5) cross-multiplied — no floats",
+)
+def q244(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import quantile_definitions
+
+    o = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("x"),
+    )
+    med = quantile_definitions(o, ["event_type"], "x", levels=(0.5,)).select(
+        "event_type", F.col("p50_low").alias("m")
+    )
+    dev = o.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("x") - F.col("m"))
+    )
+    mad = quantile_definitions(
+        dev, ["event_type"], "ad", levels=(0.5,)
+    ).select("event_type", F.col("p50_low").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("m").alias("median_c"),
+            F.max("mad").alias("mad_c"),
+            F.sum(
+                F.when(
+                    F.col("ad") * 10 > 35 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "q245_oov_rate",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+        FROM toks WHERE tok != '' GROUP BY tok
+      ) WHERE rk <= 20
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS oov_bp
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    WHERE t.tok != ''
+    GROUP BY t.source ORDER BY t.source
+    """,
+    "out-of-vocabulary rate per source vs the corpus top-K vocab "
+    "(tokenizer-coverage diagnostics): vocab = one token rollup + "
+    "top-K (deterministic ties), broadcast anti-membership flag on "
+    "the token stream, exact bp",
+)
+def q245(spark, sf_dir):
+    toks = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+            )
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("c"), "tok")),
+        )
+        .filter(F.col("rk") <= 20)
+        .select("tok")
+        .withColumn("_in", F.lit(1))
+    )
+    j = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .withColumn("oov_bp", F.expr("n_oov * 10000 div n_tokens"))
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
