@@ -12467,6 +12467,214 @@ def q245(spark, sf_dir):
     )
 
 
+@_register(
+    "q246_share_of_parent",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                 AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    ),
+    reg AS (SELECT region, SUM(cents) AS rc FROM rev GROUP BY region),
+    tot AS (SELECT SUM(cents) AS t FROM rev)
+    SELECT rev.region, rev.nation,
+           CAST(rev.cents AS BIGINT) AS cents,
+           CAST(rev.cents * 10000 // reg.rc AS BIGINT)
+             AS share_of_region_bp,
+           CAST(reg.rc * 10000 // tot.t AS BIGINT)
+             AS region_share_bp
+    FROM rev JOIN reg ON reg.region = rev.region CROSS JOIN tot
+    ORDER BY rev.region, rev.nation
+    """,
+    "share-of-parent hierarchy report (nation within region within "
+    "total, exact bp at both levels): the reporting shape behind "
+    "every drill-down dashboard; dim chain broadcasts, shares come "
+    "from re-aggregating the already-tiny rollup",
+)
+def q246(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    reg = rev.groupBy("region").agg(F.sum("cents").alias("rc"))
+    tot = rev.agg(F.sum("cents").alias("t"))
+    return (
+        rev.join(reg, "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            "cents",
+            F.expr("cents * 10000 div rc").alias("share_of_region_bp"),
+            F.expr("rc * 10000 div t").alias("region_share_bp"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@_register(
+    "q247_minmax_scaling",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, MIN(x) AS mn, MAX(x) AS mx FROM o
+      GROUP BY event_type
+    ),
+    s AS (
+      SELECT o.event_type,
+             CASE WHEN b.mx > b.mn
+                  THEN (o.x - b.mn) * 10000 // (b.mx - b.mn)
+                  ELSE 0 END AS scaled_bp
+      FROM o JOIN b ON b.event_type = o.event_type
+    )
+    SELECT event_type,
+           CAST(SUM(scaled_bp) AS BIGINT) AS s_scaled,
+           CAST(MIN(scaled_bp) AS BIGINT) AS mn_bp,
+           CAST(MAX(scaled_bp) AS BIGINT) AS mx_bp
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    "per-group min-max feature scaling in exact basis points "
+    "(winsorize's sibling for bounded normalization): bounds from one "
+    "hash agg broadcast back, constant-group guard; endpoints land on "
+    "exactly 0 and 10000",
+)
+def q247(spark, sf_dir):
+    o = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("x"),
+    )
+    b = o.groupBy("event_type").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    s = o.join(F.broadcast(b), "event_type").withColumn(
+        "scaled_bp",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.expr("(x - mn) * 10000 div (mx - mn)"),
+        ).otherwise(0),
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.sum("scaled_bp").alias("s_scaled"),
+            F.min("scaled_bp").alias("mn_bp"),
+            F.max("scaled_bp").alias("mx_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "q248_weekly_rank_movers",
+    """
+    WITH wk AS (
+      SELECT p.p_brand AS brand,
+             CASE WHEN l.l_shipdate <
+                    (SELECT MIN(l_shipdate) FROM lineitem)
+                    + INTERVAL 200 DAY
+                  THEN 0 ELSE 1 END AS half,
+             SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                 AS BIGINT)) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT brand, half, cents,
+             ROW_NUMBER() OVER (PARTITION BY half
+                                ORDER BY cents DESC, brand) AS r
+      FROM wk
+    )
+    SELECT a.brand,
+           CAST(a.r AS BIGINT) AS rank_before,
+           CAST(b.r AS BIGINT) AS rank_after,
+           CAST(a.r - b.r AS BIGINT) AS moved_up
+    FROM rk a JOIN rk b ON b.brand = a.brand AND a.half = 0
+                       AND b.half = 1
+    WHERE abs(a.r - b.r) >= 3
+    ORDER BY abs(a.r - b.r) DESC, a.brand
+    """,
+    "rank movers between periods (the 'biggest movers' report): "
+    "period revenue ranks with deterministic ties, self-join on the "
+    "brand-cardinality rank table, movement threshold — window + "
+    "join over rollups only",
+)
+def q248(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    min_ship = li.agg(F.min("l_shipdate").alias("m0"))
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    wk = (
+        li.crossJoin(F.broadcast(min_ship))
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.when(
+                F.col("l_shipdate") < F.date_add(F.col("m0"), 200), 0
+            )
+            .otherwise(1)
+            .alias("half"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+                .cast("long")
+            ).alias("cents")
+        )
+    )
+    rk = wk.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("half").orderBy(F.desc("cents"), "brand")
+        ),
+    )
+    a = rk.filter(F.col("half") == 0).select(
+        "brand", F.col("r").alias("rank_before")
+    )
+    b = rk.filter(F.col("half") == 1).select(
+        F.col("brand").alias("brand2"), F.col("r").alias("rank_after")
+    )
+    return (
+        a.join(b, a["brand"] == b["brand2"])
+        .select(
+            "brand",
+            F.col("rank_before").cast("long"),
+            F.col("rank_after").cast("long"),
+            (F.col("rank_before") - F.col("rank_after"))
+            .cast("long")
+            .alias("moved_up"),
+        )
+        .filter(F.abs(F.col("moved_up")) >= 3)
+        .orderBy(F.abs(F.col("moved_up")).desc(), "brand")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
