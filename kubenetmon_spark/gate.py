@@ -12675,6 +12675,115 @@ def q248(spark, sf_dir):
     )
 
 
+@_register(
+    "q249_skyline",
+    """
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_c,
+             p_size
+      FROM part
+    )
+    SELECT a.p_partkey, CAST(a.price_c AS BIGINT) AS price_c,
+           CAST(a.p_size AS BIGINT) AS p_size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+        AND (b.price_c < a.price_c OR b.p_size > a.p_size)
+    )
+    ORDER BY a.p_partkey
+    """,
+    "skyline / Pareto frontier (parts not dominated on cheaper-AND-"
+    "bigger): the classic multi-criteria query class, expressed as a "
+    "dominance anti-join. At 100 TB pre-prune with the monotone "
+    "sort-scan (sort by price asc, keep rows whose size exceeds the "
+    "running max — exactly the frontier for 2D) which is what the "
+    "Spark side runs: ONE sort + running-max window, no self-join",
+)
+def q249(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+        "p_size",
+    )
+    # 2D skyline via one sort: ascending price (ties: size desc), a row
+    # is on the frontier iff its size strictly exceeds every earlier
+    # size — except equal-price ties, which are frontier TOGETHER when
+    # they share the max size at that price.
+    prior_strict = Window.orderBy("price_c").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    strict_max = F.max("p_size").over(prior_strict)
+    peer_max = F.max("p_size").over(
+        Window.partitionBy("price_c")
+    )
+    sky = p.withColumn("_sm", strict_max).withColumn("_pm", peer_max)
+    return (
+        sky.filter(
+            (F.col("p_size") == F.col("_pm"))
+            & (
+                F.col("_sm").isNull()
+                | (F.col("p_size") > F.col("_sm"))
+            )
+        )
+        .select(
+            "p_partkey",
+            "price_c",
+            F.col("p_size").cast("long").alias("p_size"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@_register(
+    "q250_top_paths",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER w AS p1,
+             LAG(event_type, 2) OVER w AS p2
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT p2 || '>' || p1 || '>' || event_type AS path, COUNT(*) AS n
+      FROM o WHERE p2 IS NOT NULL GROUP BY 1
+    ),
+    ranked AS (
+      SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rk
+      FROM paths
+    )
+    SELECT path, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 15 ORDER BY rk
+    """,
+    "top 3-step user paths (behavioral path mining — the q241 "
+    "transition matrix extended one hop): two lag offsets over ONE "
+    "(user, ts) sort, path-string rollup, deterministic top-15",
+)
+def q250(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = (
+        _t(spark, sf_dir, "events")
+        .withColumn("p1", F.lag("event_type").over(w))
+        .withColumn("p2", F.lag("event_type", 2).over(w))
+        .filter(F.col("p2").isNotNull())
+    )
+    paths = o.groupBy(
+        F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+    ).agg(F.count("*").alias("n"))
+    ranked = paths.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("n"), "path"))
+    )
+    return (
+        ranked.filter(F.col("rk") <= 15)
+        .select("path", "n", F.col("rk").cast("long").alias("rk"))
+        .orderBy("rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
