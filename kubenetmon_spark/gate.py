@@ -12784,6 +12784,138 @@ def q250(spark, sf_dir):
     )
 
 
+@_register(
+    "q251_entry_channel_conversion",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             epoch(date_trunc('second', ts)) AS t, event_id
+      FROM events
+    ),
+    g AS (
+      SELECT *, CASE WHEN t - LAG(t) OVER w > 1800 THEN 1 ELSE 0 END
+               AS brk
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    s AS (
+      SELECT *, 1 + SUM(brk) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ),
+    per0 AS (
+      SELECT user_id, sid, event_type,
+             FIRST_VALUE(event_type) OVER (PARTITION BY user_id, sid
+                                           ORDER BY t, event_id)
+               AS entry
+      FROM s
+    ),
+    per AS (
+      SELECT user_id, sid, ANY_VALUE(entry) AS entry,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM per0 GROUP BY user_id, sid
+    )
+    SELECT entry,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) * 10000 // COUNT(*) AS BIGINT)
+             AS conv_bp
+    FROM per GROUP BY entry ORDER BY entry
+    """,
+    "conversion rate by session ENTRY channel (which first action "
+    "leads to purchase) — sessionize composed with a per-session "
+    "min_by entry pick and purchase flag; gap-detect, numbering, and "
+    "the session rollup all share one (user, ts) sort",
+)
+def q251(spark, sf_dir):
+    from kubenetmon_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.date_trunc("second", "ts")
+    )
+    s = sessionize(
+        ev, ["user_id"], gap_seconds=1800, order_cols=["event_id"]
+    )
+    per = s.groupBy("user_id", "session_id").agg(
+        F.min_by(
+            "event_type", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("entry"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted"),
+    )
+    return (
+        per.groupBy("entry")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("converted").alias("n_converted"),
+        )
+        .withColumn(
+            "conv_bp", F.expr("n_converted * 10000 div n_sessions")
+        )
+        .orderBy("entry")
+    )
+
+
+@_register(
+    "q252_token_burstiness",
+    r"""
+    WITH d AS (
+      SELECT source,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> t != '')) AS x
+      FROM documents
+    ),
+    a AS (
+      SELECT source, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS ss
+      FROM d GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s_tok,
+           CAST(CASE WHEN n > 1 AND s > 0 THEN
+             floor(CAST((n * ss - s * s) * 10000 AS DOUBLE)
+                   / ((n - 1) * s)) END AS BIGINT) AS vmr_bp
+    FROM a ORDER BY source
+    """,
+    "token-count burstiness per source (variance-to-mean ratio in "
+    "exact bp — uniform sources sit near their mean, bursty ones "
+    "blow up): VMR = (n*Sxx - S^2)/((n-1)*S), one cross-multiply "
+    "from exact integer sums",
+)
+def q252(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+            )
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    a = d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    vmr = F.when(
+        (F.col("n") > 1) & (F.col("s") > 0),
+        F.floor(
+            (
+                (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+                * 10000
+            ).cast("double")
+            / ((F.col("n") - 1) * F.col("s"))
+        ),
+    ).cast("long")
+    return a.select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("s_tok"),
+        vmr.alias("vmr_bp"),
+    ).orderBy("source")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
