@@ -12916,6 +12916,114 @@ def q252(spark, sf_dir):
     ).orderBy("source")
 
 
+@_register(
+    "q253_repurchase_intervals",
+    """
+    WITH p AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d,
+             event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    iv AS (
+      SELECT user_id,
+             d - LAG(d) OVER (PARTITION BY user_id
+                              ORDER BY d, event_id) AS gap_d
+      FROM p
+    ),
+    g AS (SELECT gap_d FROM iv WHERE gap_d IS NOT NULL),
+    r AS (
+      SELECT gap_d, ROW_NUMBER() OVER (ORDER BY gap_d) AS rn,
+             COUNT(*) OVER () AS n
+      FROM g
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_intervals,
+           CAST(SUM(gap_d) AS BIGINT) AS s_days,
+           CAST(MIN(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+                              + 1 THEN gap_d END) AS BIGINT) AS p50_d,
+           CAST(MIN(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT)
+                              + 1 THEN gap_d END) AS BIGINT) AS p90_d
+    FROM r
+    """,
+    "repeat-purchase interval distribution (days between consecutive "
+    "purchases; the repurchase-cycle metric behind replenishment "
+    "campaigns): per-user lag over one sort, exact p50/p90 via the "
+    "q144 positions",
+)
+def q253(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import quantile_definitions
+
+    d = F.expr("cast(floor(cast(ts as double) / 86400) as bigint)")
+    p = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", d.alias("d"), "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("d", "event_id")
+    iv = p.withColumn("gap_d", F.col("d") - F.lag("d").over(w)).filter(
+        F.col("gap_d").isNotNull()
+    ).withColumn("g", F.lit(1))
+    q = quantile_definitions(iv, ["g"], "gap_d", levels=(0.5, 0.9))
+    s = iv.groupBy("g").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("gap_d").alias("s_days"),
+    )
+    return (
+        q.join(s, "g")
+        .select(
+            F.col("n_intervals").cast("long"),
+            F.col("s_days").cast("long"),
+            F.col("p50_low").cast("long").alias("p50_d"),
+            F.col("p90_low").cast("long").alias("p90_d"),
+        )
+    )
+
+
+@_register(
+    "q254_discount_effectiveness",
+    """
+    WITH b AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                  AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT disc_pct,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(qty) AS BIGINT) AS s_qty,
+           CAST(SUM(qty) * 100 // COUNT(*) AS BIGINT)
+             AS avg_qty_x100,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM b GROUP BY disc_pct ORDER BY disc_pct
+    """,
+    "discount effectiveness by band (does a deeper discount move more "
+    "units): integer percent bands from the 2-decimal discount, exact "
+    "avg-quantity x100 by floor division — one hash agg",
+)
+def q254(spark, sf_dir):
+    b = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100, 0)
+        .cast("long")
+        .alias("disc_pct"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        b.groupBy("disc_pct")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("qty").alias("s_qty"),
+            F.sum("cents").alias("cents"),
+        )
+        .withColumn("avg_qty_x100", F.expr("s_qty * 100 div n"))
+        .select("disc_pct", "n", "s_qty", "avg_qty_x100", "cents")
+        .orderBy("disc_pct")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
