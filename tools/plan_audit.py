@@ -172,6 +172,16 @@ KNOWN = {
     "q241_markov_transitions": "the lag window is the one fact-scale "
     "pass; the transition counts, row totals, and the normalizing "
     "join all carry the |types|^2 matrix (dozens of rows)",
+    "q244_mad_outliers": "MAD is inherently TWO sorted passes over "
+    "the facts (median, then median of deviations) — both share the "
+    "per-type partitioning; bounds broadcast back",
+    "q246_share_of_parent": "the SMJ joins the nation-level rollup to "
+    "its region re-aggregation — both derived (no stats pre-AQE) and "
+    "nation/region-cardinality; AQE broadcasts at runtime (the audit "
+    "reads initial plans, its header notes they are upper bounds)",
+    "q248_weekly_rank_movers": "same derived-rollup situation: the "
+    "rank-table self-join is brand-cardinality on both sides; AQE "
+    "sizes it at runtime",
     "q10_lpm_classify": "appears only at sf0.1+: the distinct-IP "
     "join-back deliberately carries no broadcast hint (lpm_lookup "
     "docstring) — AQE sizes it at runtime, and beyond the threshold a "
