@@ -13024,6 +13024,143 @@ def q254(spark, sf_dir):
     )
 
 
+@_register(
+    "q255_vocab_growth",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    firsts AS (
+      SELECT tok, MIN(doc_id) AS d0 FROM toks WHERE tok != ''
+      GROUP BY tok
+    ),
+    nn AS (SELECT MAX(doc_id) + 1 AS n_docs FROM documents),
+    newv AS (
+      SELECT CAST(d0 * 10 // nn.n_docs AS BIGINT) AS decile,
+             COUNT(*) AS new_tokens
+      FROM firsts, nn GROUP BY 1
+    ),
+    vol AS (
+      SELECT CAST(doc_id * 10 // nn.n_docs AS BIGINT) AS decile,
+             COUNT(*) AS tokens
+      FROM toks, nn WHERE tok != '' GROUP BY 1
+    )
+    SELECT v.decile,
+           CAST(v.tokens AS BIGINT) AS tokens,
+           CAST(COALESCE(n.new_tokens, 0) AS BIGINT) AS new_tokens,
+           CAST(SUM(COALESCE(n.new_tokens, 0))
+                OVER (ORDER BY v.decile ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS vocab_size
+    FROM vol v LEFT JOIN newv n ON n.decile = v.decile
+    ORDER BY v.decile
+    """,
+    "vocabulary growth curve (Heaps'-law diagnostics: distinct-token "
+    "count vs corpus volume by doc-order decile): first-occurrence "
+    "doc per token (one token shuffle), decile rollups, cumulative "
+    "window over 10 rows — the saturation signal that says when more "
+    "of the same source stops adding vocabulary",
+)
+def q255(spark, sf_dir):
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+            )
+        ).alias("tok"),
+    )
+    n_docs = (
+        _t(spark, sf_dir, "documents")
+        .agg((F.max("doc_id") + 1).alias("n"))
+        .collect()[0]
+        .n
+    )
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("d0"))
+    newv = firsts.groupBy(
+        F.expr(f"d0 * 10 div {n_docs}L").alias("decile")
+    ).agg(F.count("*").alias("new_tokens"))
+    vol = toks.groupBy(
+        F.expr(f"doc_id * 10 div {n_docs}L").alias("decile")
+    ).agg(F.count("*").alias("tokens"))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        vol.join(newv, "decile", "left")
+        .withColumn(
+            "new_tokens", F.coalesce(F.col("new_tokens"), F.lit(0))
+        )
+        .withColumn("vocab_size", F.sum("new_tokens").over(w))
+        .select("decile", "tokens", "new_tokens", "vocab_size")
+        .orderBy("decile")
+    )
+
+
+@_register(
+    "q256_interarrival_dispersion",
+    """
+    WITH o AS (
+      SELECT user_id, epoch(date_trunc('second', ts)) AS t, event_id
+      FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             t - LAG(t) OVER (PARTITION BY user_id
+                              ORDER BY t, event_id) AS gap_s
+      FROM o
+    ),
+    a AS (
+      SELECT user_id, COUNT(*) AS n, SUM(gap_s) AS s,
+             SUM(gap_s * gap_s) AS ss
+      FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+      HAVING COUNT(*) >= 5
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN (n * ss - s * s) * n
+                          > (n - 1) * s * s THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_bursty,
+           CAST(SUM(n) AS BIGINT) AS n_gaps
+    FROM a
+    """,
+    "inter-arrival burstiness per user (CV^2 > 1 marks burstier-than-"
+    "Poisson arrival, the bot/batch-traffic tell): exact integer "
+    "cross-multiplied test n*(n*Sxx - S^2) > (n-1)*S^2 — no variance "
+    "float ever computed; per-user lag over one sort",
+)
+def q256(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    o = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("long").alias("t"),
+        "event_id",
+    )
+    g = o.withColumn("gap_s", F.col("t") - F.lag("t").over(w)).filter(
+        F.col("gap_s").isNotNull()
+    )
+    a = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("gap_s").alias("s"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).alias("ss"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+    bursty = F.when(
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        * F.col("n")
+        > (F.col("n") - 1) * F.col("s") * F.col("s"),
+        1,
+    ).otherwise(0)
+    return a.agg(
+        F.count("*").alias("n_users"),
+        F.sum(bursty).alias("n_bursty"),
+        F.sum("n").alias("n_gaps"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
