@@ -13161,6 +13161,95 @@ def q256(spark, sf_dir):
     )
 
 
+@_register(
+    "q257_weekday_hour_heatmap",
+    """
+    WITH x AS (
+      SELECT isodow(ts) AS dow, hour(ts) AS hr,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+      FROM events
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hr AS BIGINT) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(p) AS BIGINT) AS n_purchases
+    FROM x GROUP BY dow, hr HAVING COUNT(*) > 0
+    ORDER BY dow, hr
+    """,
+    "weekday x hour activity heatmap (the ops-dashboard staple; "
+    "ClickHouse Monday=1 dayOfWeek convention via weekday+1): one "
+    "hash agg over the fixed 7x24 keyspace",
+)
+def q257(spark, sf_dir):
+    x = _t(spark, sf_dir, "events").select(
+        (F.weekday("ts") + 1).alias("dow"),
+        F.hour("ts").alias("hr"),
+        (F.col("event_type") == "purchase").cast("int").alias("p"),
+    )
+    return (
+        x.groupBy(
+            F.col("dow").cast("long").alias("dow"),
+            F.col("hr").cast("long").alias("hr"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("p").alias("n_purchases"),
+        )
+        .orderBy("dow", "hr")
+    )
+
+
+@_register(
+    "q258_return_rate_by_brand",
+    """
+    WITH x AS (
+      SELECT p.p_brand AS brand,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(r) AS BIGINT) AS n_returned,
+           CAST(SUM(r) * 10000 // COUNT(*) AS BIGINT) AS return_bp,
+           CAST(SUM(CASE WHEN r = 1 THEN cents ELSE 0 END) AS BIGINT)
+             AS returned_cents
+    FROM x GROUP BY brand ORDER BY brand
+    """,
+    "return-rate by brand (the product-quality signal buyers watch): "
+    "broadcast part join, exact bp share plus returned revenue — one "
+    "hash agg",
+)
+def q258(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_returnflag") == "R").cast("int").alias("r"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return (
+        x.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("r").alias("n_returned"),
+            F.sum(
+                F.when(F.col("r") == 1, F.col("cents")).otherwise(0)
+            ).alias("returned_cents"),
+        )
+        .withColumn(
+            "return_bp", F.expr("n_returned * 10000 div n_lines")
+        )
+        .select(
+            "brand", "n_lines", "n_returned", "return_bp",
+            "returned_cents",
+        )
+        .orderBy("brand")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
