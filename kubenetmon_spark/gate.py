@@ -13250,6 +13250,111 @@ def q258(spark, sf_dir):
     )
 
 
+@_register(
+    "q259_hourly_propensity_lift",
+    """
+    WITH x AS (
+      SELECT hour(ts) AS hr,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+      FROM events
+    ),
+    h AS (SELECT hr, COUNT(*) AS n, SUM(p) AS np FROM x GROUP BY hr),
+    tot AS (SELECT SUM(n) AS tn, SUM(np) AS tp FROM h)
+    SELECT CAST(h.hr AS BIGINT) AS hr,
+           CAST(h.n AS BIGINT) AS n,
+           CAST(h.np AS BIGINT) AS n_purchases,
+           CAST(h.np * tot.tn * 10000 // (h.n * tot.tp) AS BIGINT)
+             AS lift_bp
+    FROM h, tot ORDER BY hr
+    """,
+    "purchase-propensity lift by hour (when are users in buying mode "
+    "vs baseline): lift = P(buy|hr)/P(buy) as the exact integer "
+    "cross-multiply np*TN*10000 // (n*TP); 24-row keyspace",
+)
+def q259(spark, sf_dir):
+    x = _t(spark, sf_dir, "events").select(
+        F.hour("ts").alias("hr"),
+        (F.col("event_type") == "purchase").cast("int").alias("p"),
+    )
+    h = x.groupBy("hr").agg(
+        F.count("*").alias("n"), F.sum("p").alias("np")
+    )
+    tot = h.agg(F.sum("n").alias("tn"), F.sum("np").alias("tp"))
+    return (
+        h.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("hr").cast("long").alias("hr"),
+            "n",
+            F.col("np").alias("n_purchases"),
+            F.expr("np * tn * 10000 div (n * tp)").alias("lift_bp"),
+        )
+        .orderBy("hr")
+    )
+
+
+@_register(
+    "q260_vs_trailing_baseline",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT event_type, day, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS trail7,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS trail_days
+      FROM d
+    )
+    SELECT event_type, CAST(day AS BIGINT) AS day,
+           CAST(n AS BIGINT) AS n,
+           CAST(trail7 AS BIGINT) AS trail7,
+           CAST(CASE WHEN trail7 > 0
+                THEN n * trail_days * 10000 // trail7 END AS BIGINT)
+             AS vs_baseline_bp
+    FROM b WHERE trail_days = 7 ORDER BY event_type, day
+    """,
+    "today-vs-trailing-7-day baseline (the alerting comparison behind "
+    "'traffic is 2x normal'): trailing window sum+count share one "
+    "(series, day) sort; ratio = n*days*10000 // trail_sum exact; "
+    "rows without a full 7-day history are excluded, not guessed",
+)
+def q260(spark, sf_dir):
+    day = F.expr("cast(floor(cast(ts as double) / 86400) as bigint)")
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", day.alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    b = d.withColumn("trail7", F.sum("n").over(w)).withColumn(
+        "trail_days", F.count("n").over(w)
+    )
+    return (
+        b.filter(F.col("trail_days") == 7)
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "trail7",
+            F.when(
+                F.col("trail7") > 0,
+                F.expr("n * trail_days * 10000 div trail7"),
+            ).alias("vs_baseline_bp"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
