@@ -13355,6 +13355,158 @@ def q260(spark, sf_dir):
     )
 
 
+@_register(
+    "q261_delta_contribution",
+    """
+    WITH bounds AS (
+      SELECT MIN(CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT))
+               AS d0,
+             MAX(CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT))
+               AS d1
+      FROM events
+    ),
+    x AS (
+      SELECT event_type,
+             CASE WHEN CAST(floor(epoch_us(ts) / 86400000000.0)
+                       AS BIGINT) - bounds.d0
+                       < (bounds.d1 - bounds.d0 + 1) // 2
+                  THEN 0 ELSE 1 END AS half
+      FROM events, bounds
+    ),
+    seg AS (
+      SELECT event_type,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n2
+      FROM x GROUP BY event_type
+    ),
+    tot AS (SELECT SUM(n2 - n1) AS td FROM seg)
+    SELECT seg.event_type,
+           CAST(seg.n1 AS BIGINT) AS n_before,
+           CAST(seg.n2 AS BIGINT) AS n_after,
+           CAST(seg.n2 - seg.n1 AS BIGINT) AS delta,
+           CAST(CASE WHEN tot.td != 0
+                THEN CAST(floor(CAST((seg.n2 - seg.n1) * 10000
+                                     AS DOUBLE) / tot.td) AS BIGINT)
+                END AS BIGINT) AS contribution_bp
+    FROM seg, tot ORDER BY seg.event_type
+    """,
+    "delta-contribution decomposition (FP&A's 'what drove the change' "
+    "— every segment's share of the period-over-period total delta, "
+    "signs preserved, shares sum to ~10000): two conditional sums in "
+    "ONE pass, floor division (negative-safe) against the total delta",
+)
+def q261(spark, sf_dir):
+    day = F.expr("cast(floor(cast(ts as double) / 86400) as bigint)")
+    b = _t(spark, sf_dir, "events").agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    x = (
+        _t(spark, sf_dir, "events")
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.when(
+                day - F.col("d0")
+                < F.expr("(d1 - d0 + 1) div 2"),
+                0,
+            )
+            .otherwise(1)
+            .alias("half"),
+        )
+    )
+    seg = x.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n2"),
+    )
+    tot = seg.agg(F.sum(F.col("n2") - F.col("n1")).alias("td"))
+    return (
+        seg.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("n1").alias("n_before"),
+            F.col("n2").alias("n_after"),
+            (F.col("n2") - F.col("n1")).alias("delta"),
+            F.when(
+                F.col("td") != 0,
+                F.floor(
+                    ((F.col("n2") - F.col("n1")) * 10000).cast("double")
+                    / F.col("td")
+                ).cast("long"),
+            ).alias("contribution_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "q262_nation_trade_balance",
+    """
+    WITH buy AS (
+      SELECT c.c_nationkey AS nation,
+             SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                 AS BIGINT)) AS buy_c
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey
+    ),
+    sell AS (
+      SELECT s.s_nationkey AS nation,
+             SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                 AS BIGINT)) AS sell_c
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey
+    )
+    SELECT CAST(COALESCE(b.nation, s.nation) AS BIGINT) AS nation,
+           CAST(COALESCE(b.buy_c, 0) AS BIGINT) AS buy_c,
+           CAST(COALESCE(s.sell_c, 0) AS BIGINT) AS sell_c,
+           CAST(COALESCE(s.sell_c, 0) - COALESCE(b.buy_c, 0)
+             AS BIGINT) AS balance_c
+    FROM buy b FULL OUTER JOIN sell s ON s.nation = b.nation
+    ORDER BY nation
+    """,
+    "nation trade balance (demand via customers vs supply via "
+    "suppliers — the two-fact-table reconciliation shape): two "
+    "independent rollups FULL OUTER joined on the tiny nation key; "
+    "neither side's absence hides the other",
+)
+def q262(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    buy = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.sum("cents").alias("buy_c"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sell = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nation2"))
+        .agg(F.sum("cents").alias("sell_c"))
+    )
+    j = buy.join(sell, buy["nation"] == sell["nation2"], "full_outer")
+    return j.select(
+        F.coalesce(F.col("nation"), F.col("nation2"))
+        .cast("long")
+        .alias("nation"),
+        F.coalesce(F.col("buy_c"), F.lit(0)).alias("buy_c"),
+        F.coalesce(F.col("sell_c"), F.lit(0)).alias("sell_c"),
+        (
+            F.coalesce(F.col("sell_c"), F.lit(0))
+            - F.coalesce(F.col("buy_c"), F.lit(0))
+        ).alias("balance_c"),
+    ).orderBy("nation")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
