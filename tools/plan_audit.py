@@ -182,6 +182,10 @@ KNOWN = {
     "q248_weekly_rank_movers": "same derived-rollup situation: the "
     "rank-table self-join is brand-cardinality on both sides; AQE "
     "sizes it at runtime",
+    "q262_nation_trade_balance": "the SMJ is the FULL OUTER join of "
+    "the two nation-level rollups (full-outer cannot broadcast in "
+    "Spark; both sides are nation-cardinality, dozens of rows, so the "
+    "sort-merge costs nothing and is the only strategy available)",
     "q10_lpm_classify": "appears only at sf0.1+: the distinct-IP "
     "join-back deliberately carries no broadcast hint (lpm_lookup "
     "docstring) — AQE sizes it at runtime, and beyond the threshold a "
