@@ -13507,6 +13507,102 @@ def q262(spark, sf_dir):
     ).orderBy("nation")
 
 
+@_register(
+    "q263_top_decile_concentration",
+    """
+    WITH u AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 ELSE 0 END) AS cents
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT cents, NTILE(10) OVER (ORDER BY cents DESC, user_id)
+               AS decile
+      FROM u
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(SUM(cents) * 10000 // (SELECT SUM(cents) FROM u)
+             AS BIGINT) AS share_bp
+    FROM r GROUP BY decile ORDER BY decile
+    """,
+    "revenue concentration by user decile ('the top 10% drive X%'): "
+    "ntile over the USER rollup with deterministic ties, exact bp "
+    "shares against the grand total — q238's Gini as the readable "
+    "decile table",
+)
+def q263(spark, sf_dir):
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    (F.col("value").cast("decimal(18,2)") * 100).cast(
+                        "long"
+                    ),
+                ).otherwise(0)
+            ).alias("cents")
+        )
+    )
+    tot = u.agg(F.sum("cents").alias("t"))
+    r = u.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.desc("cents"), "user_id")),
+    )
+    return (
+        r.groupBy(F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("cents").alias("cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("share_bp", F.expr("cents * 10000 div t"))
+        .select("decile", "n_users", "cents", "share_bp")
+        .orderBy("decile")
+    )
+
+
+@_register(
+    "q264_json_key_canary",
+    """
+    WITH k AS (
+      SELECT unnest(json_keys(props)) AS key,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d
+      FROM events
+    )
+    SELECT key,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(d) AS BIGINT) AS first_day,
+           CAST(MAX(d) AS BIGINT) AS last_day
+    FROM k GROUP BY key ORDER BY key
+    """,
+    "JSON-key schema-drift canary over the open props column (the "
+    "connectionFlags analogue, network_flows_0.sql:9): per-key counts "
+    "and first/last appearance days — a NEW key shows up here before "
+    "it breaks a consumer; json_object_keys explode + one hash agg",
+)
+def q264(spark, sf_dir):
+    day = F.expr("cast(floor(cast(ts as double) / 86400) as bigint)")
+    k = _t(spark, sf_dir, "events").select(
+        F.explode(F.json_object_keys("props")).alias("key"),
+        day.alias("d"),
+    )
+    return (
+        k.groupBy("key")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("d").alias("first_day"),
+            F.max("d").alias("last_day"),
+        )
+        .orderBy("key")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
