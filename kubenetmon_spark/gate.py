@@ -13603,6 +13603,111 @@ def q264(spark, sf_dir):
     )
 
 
+@_register(
+    "q265_bounce_rate",
+    """
+    WITH o AS (
+      SELECT user_id, epoch(date_trunc('second', ts)) AS t, event_id
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, t, event_id,
+             CASE WHEN t - LAG(t) OVER w > 1800 THEN 1 ELSE 0 END
+               AS brk
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    s AS (
+      SELECT user_id,
+             1 + SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ),
+    d AS (
+      SELECT user_id, sid, COUNT(*) AS depth
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS bounce_bp
+    FROM d
+    """,
+    "bounce rate (share of single-event sessions — q242's histogram "
+    "reduced to the headline engagement KPI): sessionize + depth, "
+    "exact bp",
+)
+def q265(spark, sf_dir):
+    from kubenetmon_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.date_trunc("second", "ts")
+    )
+    s = sessionize(
+        ev, ["user_id"], gap_seconds=1800, order_cols=["event_id"]
+    )
+    d = s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("depth")
+    )
+    return d.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("depth") == 1, 1).otherwise(0)).alias(
+            "n_bounces"
+        ),
+    ).withColumn(
+        "bounce_bp", F.expr("n_bounces * 10000 div n_sessions")
+    )
+
+
+@_register(
+    "q266_price_dispersion",
+    """
+    WITH p AS (
+      SELECT p_type,
+             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_c
+      FROM part
+    )
+    SELECT p_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(price_c) AS BIGINT) AS min_c,
+           CAST(MAX(price_c) AS BIGINT) AS max_c,
+           CAST(CASE WHEN MIN(price_c) > 0
+                THEN MAX(price_c) * 10000 // MIN(price_c) END
+             AS BIGINT) AS spread_bp
+    FROM p GROUP BY p_type HAVING COUNT(*) >= 3 ORDER BY p_type
+    """,
+    "price dispersion per part type (max/min spread in exact bp — "
+    "the assortment-pricing sanity report): one hash agg, "
+    "zero-price guard",
+)
+def q266(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select(
+        "p_type",
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+    )
+    return (
+        p.groupBy("p_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("price_c").alias("min_c"),
+            F.max("price_c").alias("max_c"),
+        )
+        .filter(F.col("n") >= 3)
+        .withColumn(
+            "spread_bp",
+            F.when(
+                F.col("min_c") > 0,
+                F.expr("max_c * 10000 div min_c"),
+            ),
+        )
+        .select("p_type", "n", "min_c", "max_c", "spread_bp")
+        .orderBy("p_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
