@@ -51,7 +51,14 @@ def backfill_dates(
     accepted, _ = split_rejected(labeled)
     flows = summing_aggregate(to_flow_rows(accepted))
     flows = flows.filter(F.col("date").cast("string").isin(dates))
-    n = flows.count()
+    # Row count via an Observation on the write itself: the full
+    # label+aggregate pipeline executes exactly ONCE (a pre-count would
+    # run the whole backfill twice and could diverge from what lands if
+    # inputs change between the two executions).
+    from pyspark.sql import Observation
+
+    row_obs = Observation()
+    flows = flows.observe(row_obs, F.count(F.lit(1)).alias("n"))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -65,4 +72,4 @@ def backfill_dates(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         else:
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    return n
+    return int(row_obs.get["n"])

@@ -292,45 +292,191 @@ def prefixes6_from_cidrs(spark, rows):
     )
 
 
+#: /32-of-hi banding for v6 segments: band = top 32 bits of the
+#: sign-flipped hi word, monotone in unsigned (hi, lo) order.
+_BAND6_SHIFT = 32
+#: segments spanning more than this many bands skip banding and go
+#: through the (tiny) wide-segment nested-loop side instead — so a
+#: ::/0 or /8 feed entry can never explode the band sequence.
+_BAND6_MAX_SPAN = 4096
+
+_MATCH6 = ["prefix_len", "cloud", "service", "region"]
+
+
+def _band6(hi):
+    return F.shiftrightunsigned(_ux(hi), _BAND6_SHIFT)
+
+
+def disjoint_prefixes6(prefixes6: DataFrame) -> DataFrame:
+    """Flatten a (possibly nested/overlapping) IPv6 prefix dimension
+    into DISJOINT 128-bit intervals carrying their LPM winner's
+    attributes — the (hi, lo)-pair port of :func:`disjoint_prefixes`.
+
+    Sweep construction over unsigned (hi, lo) order (xor-sign-bit
+    trick): boundaries are every ``net`` and every ``end + 1`` (128-bit
+    increment with carry; an ``end`` at all-ones contributes no upper
+    boundary — the final segment runs to the end of the address space,
+    so ``ff00::/8`` and ``::/0`` close correctly). Between consecutive
+    boundaries the covering set is constant; the winner is
+    ``max_by(struct, (prefix_len, ~ux(net_hi), ~ux(net_lo)))`` —
+    longest prefix, ties to the unsigned-lowest net (bitwise NOT, not
+    negation: ``-ux`` overflows at MIN_LONG). Uncovered segments drop
+    (a miss stays a miss).
+
+    Runs once at dim-build time over the feed-sized dimension — the
+    global sort window orders boundary points, never fact rows.
+    """
+    from pyspark.sql.window import Window
+
+    all_ones = (F.col("end_hi") == -1) & (F.col("end_lo") == -1)
+    inc_hi = F.when(F.col("end_lo") == -1, F.col("end_hi") + 1).otherwise(
+        F.col("end_hi")
+    )
+    inc_lo = (
+        F.when(F.col("end_lo") == -1, F.lit(0))
+        .otherwise(F.col("end_lo") + 1)
+        .cast("long")
+    )
+    pts = (
+        prefixes6.select(
+            F.col("net_hi").alias("pt_hi"), F.col("net_lo").alias("pt_lo")
+        )
+        .unionByName(
+            prefixes6.filter(~all_ones).select(
+                inc_hi.alias("pt_hi"), inc_lo.alias("pt_lo")
+            )
+        )
+        .distinct()
+    )
+    w = Window.orderBy(_ux(F.col("pt_hi")), _ux(F.col("pt_lo")))
+    nxt_hi = F.lead("pt_hi").over(w)
+    nxt_lo = F.lead("pt_lo").over(w)
+    # segment end = next boundary - 1 (128-bit decrement with borrow);
+    # no next boundary -> the segment runs to ffff..ffff
+    segs = pts.select(
+        F.col("pt_hi").alias("s_hi"),
+        F.col("pt_lo").alias("s_lo"),
+        F.when(nxt_hi.isNull(), F.lit(-1))
+        .when(nxt_lo == 0, nxt_hi - 1)
+        .otherwise(nxt_hi)
+        .cast("long")
+        .alias("e_hi"),
+        F.when(nxt_hi.isNull(), F.lit(-1))
+        .when(nxt_lo == 0, F.lit(-1))
+        .otherwise(nxt_lo - 1)
+        .cast("long")
+        .alias("e_lo"),
+    )
+    p = F.broadcast(prefixes6)
+    cand = segs.alias("s").join(
+        p.alias("p"),
+        _pair_lte(
+            F.col("p.net_hi"), F.col("p.net_lo"), F.col("s.s_hi"), F.col("s.s_lo")
+        )
+        & _pair_lte(
+            F.col("s.s_hi"), F.col("s.s_lo"), F.col("p.end_hi"), F.col("p.end_lo")
+        ),
+        "inner",
+    )
+    not_ux = lambda c: _ux(c).bitwiseXOR(F.lit(-1))
+    return (
+        cand.groupBy("s_hi", "s_lo", "e_hi", "e_lo")
+        .agg(
+            F.max_by(
+                F.struct(*_MATCH6),
+                F.struct(
+                    F.col("prefix_len"),
+                    not_ux(F.col("net_hi")),
+                    not_ux(F.col("net_lo")),
+                ),
+            ).alias("_m")
+        )
+        .select(
+            "s_hi",
+            "s_lo",
+            "e_hi",
+            "e_lo",
+            *[F.col(f"_m.{c}").alias(c) for c in _MATCH6],
+        )
+    )
+
+
 def lpm_lookup6(
     ips: DataFrame,
     prefixes6: DataFrame,
     hi_col: str = "ip_hi",
     lo_col: str = "ip_lo",
     out_prefix: str = "r_",
+    disjoint: DataFrame | None = None,
 ) -> DataFrame:
-    """IPv6 longest-prefix match: broadcast range join on the unsigned
-    (hi, lo) pair order, longest prefix_len wins (tie -> lowest
-    net_hi/net_lo, deterministic). Misses keep null detail (public
-    internet), mirroring the v4 lpm_lookup contract.
+    """IPv6 longest-prefix match on the disjoint-interval design —
+    the exact v4 zero-fact-shuffle posture (:func:`lpm_lookup_disjoint`)
+    ported to 128-bit (hi, lo) pairs. Misses keep null detail (public
+    internet), mirroring the v4 contract; the reference behavior being
+    beaten is a trie lookup (reference pkg/labeler/remote.go:177-186)
+    over v4 only — it DROPS v6 flows (labeler.go:243-247).
 
-    Scale: the prefix dim broadcasts (~50k rows); a fact row meets
-    only the prefixes containing it (nested-chain depth — a handful),
-    and the per-row winner is picked by one row_number window keyed on
-    the fact's natural id-free (hi, lo, monotonic id) — implemented as
-    a groupBy on a generated row id to avoid any fact-side sort
-    spanning rows.
+    Plan shape: the dim flattens to disjoint intervals once
+    (:func:`disjoint_prefixes6` — pass ``disjoint`` to reuse a cached
+    build across micro-batches), then fact rows take TWO broadcast left
+    joins, each matching at most one segment:
+
+    - narrow segments (≤ ``_BAND6_MAX_SPAN`` /32-of-hi bands) explode
+      into bands and join EQUI on ``band(ip_hi)`` + range-filter — a
+      broadcast HASH join, so the per-row probe cost is the band
+      bucket, not the dimension;
+    - wide segments (short prefixes like ::/0 — a handful at most) use
+      a broadcast nested-loop join; the tiny row count bounds the scan.
+
+    Disjointness means no per-row winner pick at all: no window, no
+    groupBy, ZERO fact-side shuffle or sort — streaming-legal, and the
+    plan test asserts the probe side stays exchange-free.
     """
-    from pyspark.sql.window import Window
-
-    f = ips.withColumn("_rid", F.monotonically_increasing_id())
-    p = F.broadcast(prefixes6)
-    cond = _pair_lte(
-        p["net_hi"], p["net_lo"], f[hi_col], f[lo_col]
-    ) & _pair_lte(f[hi_col], f[lo_col], p["end_hi"], p["end_lo"])
-    joined = f.join(p, cond, "left")
-    w = Window.partitionBy("_rid").orderBy(
-        F.desc("prefix_len"), _ux(F.col("net_hi")), _ux(F.col("net_lo"))
+    d = disjoint if disjoint is not None else disjoint_prefixes6(prefixes6)
+    span = _band6(F.col("e_hi")) - _band6(F.col("s_hi"))
+    narrow = (
+        d.filter(span <= _BAND6_MAX_SPAN)
+        .withColumn(
+            "_band",
+            F.explode(F.sequence(_band6(F.col("s_hi")), _band6(F.col("e_hi")))),
+        )
+        .select(
+            "_band",
+            "s_hi",
+            "s_lo",
+            "e_hi",
+            "e_lo",
+            *[F.col(c).alias(f"_n_{c}") for c in _MATCH6],
+        )
     )
-    best = (
-        joined.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk", "net_hi", "net_lo", "end_hi", "end_lo")
+    wide = d.filter(span > _BAND6_MAX_SPAN).select(
+        F.col("s_hi").alias("_w_s_hi"),
+        F.col("s_lo").alias("_w_s_lo"),
+        F.col("e_hi").alias("_w_e_hi"),
+        F.col("e_lo").alias("_w_e_lo"),
+        *[F.col(c).alias(f"_w_{c}") for c in _MATCH6],
     )
-    return (
-        best.withColumnRenamed("cloud", f"{out_prefix}cloud")
-        .withColumnRenamed("service", f"{out_prefix}service")
-        .withColumnRenamed("region", f"{out_prefix}region")
-        .withColumnRenamed("prefix_len", f"{out_prefix}prefix_len")
-        .drop("_rid")
+    f_hi, f_lo = F.col(hi_col), F.col(lo_col)
+    step1 = ips.join(
+        F.broadcast(narrow),
+        (_band6(f_hi) == F.col("_band"))
+        & _pair_lte(F.col("s_hi"), F.col("s_lo"), f_hi, f_lo)
+        & _pair_lte(f_hi, f_lo, F.col("e_hi"), F.col("e_lo")),
+        "left",
+    ).drop("_band", "s_hi", "s_lo", "e_hi", "e_lo")
+    step2 = step1.join(
+        F.broadcast(wide),
+        _pair_lte(F.col("_w_s_hi"), F.col("_w_s_lo"), f_hi, f_lo)
+        & _pair_lte(f_hi, f_lo, F.col("_w_e_hi"), F.col("_w_e_lo")),
+        "left",
     )
+    out = step2.select(
+        *[F.col(c) for c in ips.columns],
+        *[
+            F.coalesce(F.col(f"_n_{c}"), F.col(f"_w_{c}")).alias(
+                f"{out_prefix}{c}"
+            )
+            for c in _MATCH6
+        ],
+    )
+    return out

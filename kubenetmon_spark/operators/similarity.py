@@ -60,32 +60,72 @@ def brute_force_topk(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
+def _band_sign_matrix(dim: int, bands: int, band_bits: int):
+    """Deterministic ±1 hyperplane matrix, (bands*band_bits) x dim.
+
+    Hyperplane p, component i has sign +1 iff md5('p:i')'s first hex
+    digit is >= '8' — the same fixed, engine-independent pseudo-random
+    convention as :func:`_sketch_bits`, but materialized in NumPy so the
+    sketch costs one BLAS matmul per Arrow batch instead of dim*bits
+    interpreted SQL expressions.
+    """
+    import hashlib
+
+    import numpy as np
+
+    n_planes = bands * band_bits
+    s = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for i in range(dim):
+            h = hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0]
+            s[p, i] = 1.0 if h >= "8" else -1.0
+    return s
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold_bp: int = 9500,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "blocked",
+    bands: int = 12,
+    band_bits: int = 2,
 ) -> DataFrame:
-    """Exact embedding-cosine near-duplicate pairs: all (i<j) with
+    """Embedding-cosine near-duplicate pairs: all (i<j) with
     round(cosine,4)*10000 >= threshold_bp.
 
-    ``method='blocked'`` (default): block-row matrix multiply. The corpus
-    matrix is normalized once and broadcast to executors; each Arrow batch
-    of rows computes ``V_block @ M.T`` with BLAS and emits only the
-    above-threshold pairs. O(n^2) work but at memory bandwidth, not
-    interpreted-expression speed (Spark's higher-order lambdas never enter
-    codegen — the pure-DataFrame form is ~50x slower). Scales until the
-    corpus matrix no longer fits an executor (n*dim*8 bytes); past that,
-    prefilter the pair space with sign-LSH buckets (``signlsh_topk``'s
-    sketch as a join key) and re-rank blocks within buckets.
+    ``method='blocked'`` (default): **sign-LSH banded candidate
+    generation + exact blocked re-rank — fully distributed, no driver
+    collect.** Each vector gets ``bands`` band keys (``band_bits`` sign
+    bits per band, deterministic md5-derived hyperplanes, computed with
+    one BLAS matmul per Arrow batch); candidate pairs are rows agreeing
+    on ANY band key — a plain equi self-join on (band, key), exactly the
+    MinHash-LSH shape of operators/dedup.py. Only candidates are scored
+    (vectorized, Arrow-batched), with the identical HALF_UP double-op
+    sequence as the oracle.
+
+    Recall: a pair at cosine c survives a band with prob
+    p^band_bits, p = 1 − arccos(c)/π; missing ALL bands has prob
+    (1−p^r)^bands — at the 0.95 default threshold ~2e-9 with the
+    default 12×2 bands (and exact 1.0 duplicates are NEVER missed: all
+    their band keys agree). Tighten bands/band_bits for lower
+    thresholds. Shuffle cost is ``bands`` copies of the corpus — linear,
+    the same posture as MinHash-LSH; per-bucket work is O(bucket²) only
+    within 2^band_bits-way random partitions of the key space.
+
+    ``method='broadcast_matrix'``: the exact O(n²) block-row matrix
+    multiply — the corpus matrix is COLLECTED TO THE DRIVER, normalized,
+    and broadcast; each Arrow batch computes ``V_block @ M.T`` with
+    BLAS. Fastest for small corpora (≲ a few hundred MB of vectors);
+    the driver/executor memory ceiling makes it unusable at 100 TB —
+    use the default instead.
 
     ``method='sql'``: the pure-DataFrame self-join baseline (no Python,
     no driver collect) — the form the DuckDB oracle mirrors expression
     for expression.
 
     Returns (id_1, id_2, cosine_bp) with cosine in integer basis points.
-    Rounding is HALF_UP at 4 decimals in both methods, so results are
+    Rounding is HALF_UP at 4 decimals in all methods, so results are
     bit-identical across engines.
     """
     if method == "sql":
@@ -109,14 +149,7 @@ def cosine_near_dup_pairs(
     import numpy as np
     from pyspark.sql.types import LongType, StructField, StructType
 
-    spark = vectors.sparkSession
-    pdf = vectors.select(F.col(id_col), F.col(vec_col)).toPandas()
-    ids = pdf[id_col].to_numpy(dtype="int64")
-    m = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, m))
-
-    out_schema = StructType(
+    pair_schema = StructType(
         [
             StructField("id_1", LongType(), False),
             StructField("id_2", LongType(), False),
@@ -124,26 +157,132 @@ def cosine_near_dup_pairs(
         ]
     )
 
-    def gen(batches):
+    def _bp_halfup(s: "np.ndarray") -> "np.ndarray":
+        # HALF_UP at 4 decimals then *1e4 -> long, replicating the
+        # exact double-op sequence of round(cos,4)*10000 CAST LONG
+        r4 = np.floor(np.abs(s) * 1e4 + 0.5) / 1e4 * np.sign(s)
+        return (r4 * 1e4).astype("int64")
+
+    if method == "broadcast_matrix":
+        spark = vectors.sparkSession
+        pdf = vectors.select(F.col(id_col), F.col(vec_col)).toPandas()
+        ids = pdf[id_col].to_numpy(dtype="int64")
+        m = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast((ids, m))
+
+        def gen(batches):
+            import pandas as pd
+
+            all_ids, full = bc.value
+            for b in batches:
+                row_ids = b[id_col].to_numpy(dtype="int64")
+                v = np.stack(
+                    [np.asarray(x, dtype="float64") for x in b[vec_col]]
+                )
+                v = v / np.linalg.norm(v, axis=1, keepdims=True)
+                bp = _bp_halfup(v @ full.T)
+                keep = (bp >= threshold_bp) & (
+                    row_ids[:, None] < all_ids[None, :]
+                )
+                i, j = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "id_1": row_ids[i],
+                        "id_2": all_ids[j],
+                        "cosine_bp": bp[i, j],
+                    }
+                )
+
+        return vectors.mapInPandas(gen, pair_schema)
+
+    if method != "blocked":
+        raise ValueError(f"unknown method {method!r}")
+
+    # --- default: sign-LSH banded candidates + exact Arrow re-rank ----
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+    band_schema = StructType(
+        [
+            StructField("_id", LongType(), False),
+            StructField("_v", ArrayType(DoubleType()), False),
+            StructField("_band", IntegerType(), False),
+            StructField("_key", LongType(), False),
+        ]
+    )
+    n_bands, r = int(bands), int(band_bits)
+
+    def band_gen(batches):
         import pandas as pd
 
-        all_ids, full = bc.value
+        planes = {}  # dim -> sign matrix (built once per worker)
         for b in batches:
-            row_ids = b[id_col].to_numpy(dtype="int64")
+            if not len(b):
+                continue
+            ids = b[id_col].to_numpy(dtype="int64")
             v = np.stack([np.asarray(x, dtype="float64") for x in b[vec_col]])
-            v = v / np.linalg.norm(v, axis=1, keepdims=True)
-            s = v @ full.T
-            # HALF_UP at 4 decimals then *1e4 -> long, replicating the
-            # exact double-op sequence of round(cos,4)*10000 CAST LONG
-            r4 = np.floor(np.abs(s) * 1e4 + 0.5) / 1e4 * np.sign(s)
-            bp = (r4 * 1e4).astype("int64")
-            keep = (bp >= threshold_bp) & (row_ids[:, None] < all_ids[None, :])
-            i, j = np.nonzero(keep)
+            dim = v.shape[1]
+            if dim not in planes:
+                planes[dim] = _band_sign_matrix(dim, n_bands, r)
+            bits = (v @ planes[dim].T) > 0  # (n, bands*r) booleans
+            keys = np.zeros((len(ids), n_bands), dtype=np.int64)
+            for p in range(n_bands * r):
+                keys[:, p // r] |= bits[:, p].astype(np.int64) << (p % r)
+            out_ids = np.repeat(ids, n_bands)
+            out_band = np.tile(np.arange(n_bands, dtype=np.int32), len(ids))
             yield pd.DataFrame(
-                {"id_1": row_ids[i], "id_2": all_ids[j], "cosine_bp": bp[i, j]}
+                {
+                    "_id": out_ids,
+                    "_v": [row for row in v for _ in range(n_bands)],
+                    "_band": out_band,
+                    "_key": keys.reshape(-1),
+                }
             )
 
-    return vectors.mapInPandas(gen, out_schema)
+    banded = vectors.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        band_gen, band_schema
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_1"),
+            F.col("b._id").alias("id_2"),
+            F.col("a._v").alias("v1"),
+            F.col("b._v").alias("v2"),
+        )
+        # a pair agreeing on several bands appears once per band — keep one
+        .dropDuplicates(["id_1", "id_2"])
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for b2 in batches:
+            if not len(b2):
+                continue
+            v1 = np.stack([np.asarray(x, dtype="float64") for x in b2["v1"]])
+            v2 = np.stack([np.asarray(x, dtype="float64") for x in b2["v2"]])
+            cos = np.einsum("ij,ij->i", v1, v2) / (
+                np.linalg.norm(v1, axis=1) * np.linalg.norm(v2, axis=1)
+            )
+            bp = _bp_halfup(cos)
+            keep = bp >= threshold_bp
+            yield pd.DataFrame(
+                {
+                    "id_1": b2["id_1"].to_numpy(dtype="int64")[keep],
+                    "id_2": b2["id_2"].to_numpy(dtype="int64")[keep],
+                    "cosine_bp": bp[keep],
+                }
+            )
+
+    return cand.mapInPandas(score, pair_schema)
 
 
 def ivf_topk(

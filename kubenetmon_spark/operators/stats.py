@@ -979,12 +979,18 @@ def cohens_kappa(
     a single groupBy over the (a, b) pair (marginals by re-aggregating
     the already-tiny cell table — label-space sized, never row-sized).
     """
+    # Materialize the tiny cell table eagerly (label-space sized):
+    # persist() alone during lazy plan construction caches nothing, and
+    # an unpersist() before the action would drop it before use — so the
+    # four derived branches (n, diag, both marginals) each recompute the
+    # full confusion aggregation. localCheckpoint(eager=True) runs the
+    # one row-sized pass now; the branches below read the cached cells.
     cells = (
         df.groupBy(
             F.col(rater_a_col).alias("_a"), F.col(rater_b_col).alias("_b")
         )
         .agg(F.count("*").alias("_c"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n = cells.agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("n"))
     diag = cells.filter(F.col("_a") == F.col("_b")).agg(
@@ -1022,7 +1028,6 @@ def cohens_kappa(
             ),
         )
     )
-    cells.unpersist()
     return out
 
 

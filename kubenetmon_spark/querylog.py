@@ -34,14 +34,22 @@ def run_logged(
     ``{name, started_at, wall_s, n_output_rows, plan_hash}``; when
     ``log_path`` is given the entry is also appended to the parquet
     query log, partitioned by ``log_date``."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     plan_hash = hashlib.md5(optimized.encode()).hexdigest()[:16]
     started = datetime.now(timezone.utc)
     t0 = time.perf_counter()
-    # count() both executes the full plan and yields the output-row
-    # metric the query log wants; for write-path queries log the write
-    # separately.
-    n = df.count()
+    # The no-op sink consumes FULL rows, so every projection in the plan
+    # actually executes (count() would let Catalyst prune expensive
+    # computed columns and understate wall_s); the row count comes from
+    # an Observation on the same execution — no second pass.
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    n = int(obs.get["n"])
     wall = time.perf_counter() - t0
     entry = {
         "name": name,

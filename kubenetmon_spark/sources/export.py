@@ -109,11 +109,23 @@ def dataset_manifest(
     file-parallel. Paths are emitted root-relative for replica
     portability (the sample_files convention).
     """
+    import re
+
     from pyspark.sql import functions as F
 
     df = spark.read.format(fmt).load(path)
+    # input_file_name() returns a URL-ENCODED file URI (space -> %20), so
+    # the raw user path can never be string-matched directly. Decode the
+    # URI first — protecting literal '+' (legal in URI paths, but
+    # url_decode's form-decoding would turn it into a space) — then strip
+    # the re.escape()d literal path. re.escape only backslash-escapes
+    # non-alphanumerics, which Java's regex engine accepts for any
+    # punctuation, so metacharacter paths ('+', '(', ...) are safe.
+    decoded = F.url_decode(
+        F.regexp_replace(F.input_file_name(), "[+]", "%2B")
+    )
     rel = F.regexp_replace(
-        F.input_file_name(), ".*" + path.rstrip("/") + "/", ""
+        decoded, ".*" + re.escape(path.rstrip("/") + "/"), ""
     )
     return (
         df.select(

@@ -8,14 +8,27 @@ deduplicated against the PERSISTED historical line index, emits its
 reassembled survivors to the output table, and appends its new lines to
 the index — so a crawl feed flows through `readStream` end to end and
 the corpus-wide first-occurrence guarantee still holds across batches
-AND restarts (the index is the durable state; the checkpoint guarantees
-each batch lands exactly once).
+AND restarts.
+
+Retry idempotency (foreachBatch is AT-LEAST-ONCE — the checkpoint can
+replay a batch whose writes partially landed): both writes are
+batch-id-DETERMINISTIC, not appends. Survivors land in
+``out_path/_bid=<batch_id>`` and new index lines in
+``index_path/_bid=<batch_id>``, each with ``mode("overwrite")`` of that
+one partition directory; the dedup itself reads the index EXCLUDING the
+current batch's own partition. A replayed batch therefore recomputes
+the identical survivor set (its own half-written state is invisible to
+the anti-join) and overwrites the same two directories — effective
+exactly-once without any cross-write ordering assumption. This is the
+directory-deterministic variant of streaming/job.py's marker-file
+pattern (job.py:168-171), chosen here because TWO stores must stay
+mutually consistent, which a single post-hoc marker cannot guarantee.
 
 Scale posture: the per-batch cost is the batch's line volume (anti-join
 against the index hash-partitions on line text); the index is an
-append-only parquet of distinct lines — compact it with
-sink.deduplicate on a schedule if re-delivered batches ever double-write
-(exactly-once via checkpoint means they normally cannot).
+append-only-by-partition parquet of distinct lines — compact it with
+sink.deduplicate on a schedule if needed. Readers of ``out_path`` and
+``index_path`` see a ``_bid`` partition column (the batch id).
 """
 
 from __future__ import annotations
@@ -35,8 +48,12 @@ def start_incremental_dedup_stream(
     trigger: dict | None = None,
 ) -> StreamingQuery:
     """foreachBatch wiring of ``dedup_lines_incremental``: read the
-    index (empty on first batch), dedup the micro-batch, append
-    survivors to ``out_path`` and new lines to ``index_path``."""
+    index (empty on first batch, minus this batch's own partition on a
+    retry), dedup the micro-batch, overwrite survivors into
+    ``out_path/_bid=<batch_id>`` and new lines into
+    ``index_path/_bid=<batch_id>``."""
+    from pyspark.sql import functions as F
+
     from kubenetmon_spark.operators.curation import dedup_lines_incremental
     from kubenetmon_spark.streaming.job import _apply_trigger
 
@@ -46,16 +63,25 @@ def start_incremental_dedup_stream(
             seen = spark.read.parquet(index_path)
         except Exception:
             seen = None
+        if seen is not None:
+            # A replayed batch must not see its own partial writes:
+            # partition-prune away _bid == batch_id before the anti-join.
+            if "_bid" in seen.columns:
+                seen = seen.filter(F.col("_bid") != batch_id).drop("_bid")
         out, updated = dedup_lines_incremental(
             batch_df, seen, id_col, text_col, line_sep
         )
-        out.write.mode("append").parquet(out_path)
         if seen is not None:
-            # append only the lines the index does not already hold
+            # only the lines the (pruned) index does not already hold
             new_lines = updated.join(seen, "line", "left_anti")
         else:
             new_lines = updated
-        new_lines.write.mode("append").parquet(index_path)
+        # Deterministic per-batch directories: a retry overwrites the
+        # same content instead of appending duplicates.
+        out.write.mode("overwrite").parquet(f"{out_path}/_bid={batch_id}")
+        new_lines.write.mode("overwrite").parquet(
+            f"{index_path}/_bid={batch_id}"
+        )
 
     writer = docs_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

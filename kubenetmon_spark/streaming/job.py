@@ -328,8 +328,11 @@ def write_flows_kafka(
     checkpoint_dir: str,
     trigger: dict[str, Any] | None = None,
 ) -> StreamingQuery:
-    """Streaming flow rows -> a Kafka topic (exactly-once per the
-    checkpoint + Kafka idempotent-producer contract). Requires the
+    """Streaming flow rows -> a Kafka topic. AT-LEAST-ONCE: the Kafka
+    sink replays in-flight records on recovery (Kafka producers cannot
+    participate in Spark's checkpoint transaction), so downstream
+    consumers must dedup on the record key — which ``to_kafka_records``
+    makes byte-stable for exactly that purpose. Requires the
     spark-sql-kafka package on the classpath; record shaping is
     ``to_kafka_records`` and is unit-tested without a broker."""
     writer = (

@@ -39,6 +39,35 @@ def test_cosine_near_dup_finds_scaled_copy(vectors):
     assert (7, 37) in [(r.id_1, r.id_2) for r in pairs]
 
 
+def test_cosine_near_dup_methods_agree(vectors):
+    # exact-direction duplicates agree on every LSH band, so at a
+    # 0.9999 threshold all three methods must return identical pairs
+    got = {}
+    for m in ("blocked", "broadcast_matrix", "sql"):
+        rows = cosine_near_dup_pairs(
+            vectors, threshold_bp=9999, method=m
+        ).collect()
+        got[m] = sorted((r.id_1, r.id_2, r.cosine_bp) for r in rows)
+    assert got["blocked"] == got["broadcast_matrix"] == got["sql"]
+
+
+def test_cosine_near_dup_default_path_no_driver_collect(vectors, monkeypatch):
+    # the default (blocked) path must be fully distributed: constructing
+    # AND executing the plan may never pull the corpus to the driver
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **k):  # pragma: no cover - fails the test if hit
+        raise AssertionError("driver-side toPandas() in default path")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    monkeypatch.setattr(
+        DataFrame, "collect", lambda self, *a, **k: _boom(self)
+    )
+    df = cosine_near_dup_pairs(vectors, threshold_bp=9999)
+    monkeypatch.undo()
+    assert (7, 37) in [(r.id_1, r.id_2) for r in df.collect()]
+
+
 def test_ivf_contains_exact_top1(vectors):
     q = vectors.filter(F.col("vec_id") == 3).select(F.col("embedding").alias("qv"))
     bf = [r.vec_id for r in brute_force_topk(vectors, q, k=5).collect()]

@@ -51,6 +51,36 @@ def test_disjoint_lpm_adds_no_fact_side_shuffle(spark):
     )
 
 
+def test_disjoint_lpm6_adds_no_fact_side_shuffle(spark):
+    from kubenetmon_spark.operators.lpm import lpm_lookup6, prefixes6_from_cidrs
+
+    dim = prefixes6_from_cidrs(
+        spark,
+        [
+            ("2001:db8::/32", "aws", "ec2", "us-east-1"),
+            ("2001:db8:aaaa::/48", "aws", "s3", "us-east-1"),
+            ("::/0", "any", "", ""),  # wide segment -> nested-loop side
+        ],
+    )
+    probes = spark.range(1000).select(
+        F.lit(0x20010DB8 << 32).alias("ip_hi"), F.col("id").alias("ip_lo")
+    )
+    plan = _plan(lpm_lookup6(probes, dim))
+    # the fact side must reach both broadcast joins without any
+    # exchange, window, or sort: disjoint segments mean at most one
+    # match per row, so no per-row winner pick exists in the plan
+    # the dim-build sweep legitimately uses a Window over the tiny
+    # boundary-point table (inside the BroadcastExchange subtree); the
+    # PROBE side — everything above the first broadcast — must be free
+    # of exchanges, windows, and sorts
+    probe_section = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in probe_section, (
+        "probe/fact side of the disjoint v6 LPM join got shuffled"
+    )
+    assert "Window" not in probe_section and "Sort" not in probe_section
+    assert "SortMergeJoin" not in plan
+
+
 def test_udp_kept_when_ignore_udp_off(spark):
     from dataclasses import replace
 
