@@ -5,10 +5,16 @@ LLM-pipeline extensions) at $SPARK_GRAFT_SF_DIR (default
 
 Each query is materialized through Spark's no-op sink so the full plan
 executes (scan -> shuffle -> agg) without driver-collect overhead skewing
-the numbers. Prints exactly ONE JSON line:
+the numbers. Prints exactly ONE JSON line, kept SMALL so the driver can
+capture it whole (the ~270-entry per-query map exceeded the round-1
+capture window): the line carries the totals, the top slowest queries,
+and a regression list vs the previous run; the FULL per-query map lands
+in BENCH_DETAIL.json next to this script.
 
   {"metric": "gate_suite_seconds", "value": <total>, "unit": "sec",
-   "queries": {"q01_pricing_summary": <sec>, ...}, "sf": 0.1}
+   "queries": {<top-20 slowest>}, "n_queries": N, "sf": 0.1,
+   "ingest_obs_per_sec": ..., "regressions": [...],
+   "detail": "BENCH_DETAIL.json"}
 """
 
 from __future__ import annotations
@@ -108,16 +114,62 @@ def main() -> int:
         ingest_s = dt if ingest_s is None else min(ingest_s, dt)
     obs.unpersist()
 
+    # Regression diff vs the previous run's full detail (if present):
+    # a query is flagged when it got both absolutely (>0.3 s) and
+    # relatively (>1.5x) slower — plan regressions, not timer noise.
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    regressions = []
+    if detail_path.exists():
+        try:
+            prev_doc = json.loads(detail_path.read_text())
+            # only diff like against like — a previous run at another
+            # scale factor is not a regression baseline
+            prev = (
+                prev_doc.get("queries", {})
+                if prev_doc.get("sf") == sf
+                else {}
+            )
+        except Exception:
+            prev = {}
+        for name, now in timings.items():
+            p = prev.get(name)
+            if p is not None and now > p * 1.5 and now - p > 0.3:
+                regressions.append(
+                    {"q": name, "prev": p, "now": now}
+                )
+        regressions.sort(key=lambda r: r["now"] - r["prev"], reverse=True)
+
+    ingest_rate = round(n_obs / ingest_s)
+    detail_path.write_text(
+        json.dumps(
+            {
+                "sf": sf,
+                "total_s": total,
+                "queries": timings,
+                "ingest_obs_per_sec": ingest_rate,
+                "ingest_obs": n_obs,
+                "regressions": regressions,
+            },
+            indent=1,
+            sort_keys=True,
+        )
+    )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:20]
+    )
     print(
         json.dumps(
             {
                 "metric": "gate_suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": len(timings),
                 "sf": sf,
-                "ingest_obs_per_sec": round(n_obs / ingest_s),
+                "ingest_obs_per_sec": ingest_rate,
                 "ingest_obs": n_obs,
+                "regressions": regressions[:10],
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

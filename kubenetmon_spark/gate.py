@@ -1135,9 +1135,10 @@ def q33(spark, sf_dir):
     return both.unionByName(only).orderBy("op")
 
 
-@_register(
-    "q34_streaming_pipeline",
-    """
+#: oracle for the end-to-end flow-stream gates (q34 JSON/parquet path,
+#: q267 protobuf wire path): per-class/direction byte+packet sums
+#: derived straight from the events table.
+_FLOW_STREAM_ORACLE = """
     WITH base AS (
       SELECT CASE e.event_type
                WHEN 'view' THEN 'INTRA_REGION'
@@ -1160,7 +1161,12 @@ def q33(spark, sf_dir):
              CAST(SUM(bytes_in) AS BIGINT), CAST(SUM(packets_in) AS BIGINT)
       FROM base GROUP BY connectionClass
     ) ORDER BY connectionClass, direction
-    """,
+    """
+
+
+@_register(
+    "q34_streaming_pipeline",
+    _FLOW_STREAM_ORACLE,
     "GOLDEN streaming end-to-end: observations land as files, the checkpointed "
     "foreachBatch stream labels/fans-out/pre-sums per micro-batch, compaction "
     "folds cross-batch rows, and the final table must carry EXACTLY the "
@@ -11588,6 +11594,9 @@ def q231(spark, sf_dir):
         text_col="p_name",
         block_col=F.element_at(F.split("p_name", " "), 2),
         max_distance=2,
+        # hot word-blocks split ~8 ways by the lossless length bucket
+        # before the O(block^2) comparator (see fuzzy.py docstring)
+        length_bucket=8,
     )
     clusters = duplicate_clusters(pairs, id_1="a_id", id_2="b_id")
     return (
@@ -13705,6 +13714,58 @@ def q266(spark, sf_dir):
         )
         .select("p_type", "n", "min_c", "max_c", "spread_bp")
         .orderBy("p_type")
+    )
+
+
+@_register(
+    "q267_proto_ingest",
+    _FLOW_STREAM_ORACLE,
+    "q34 over the reference's ACTUAL wire format: observations are "
+    "protobuf-encoded to the agent's Observation message bytes "
+    "(reference pkg/grpc/flow_handler.proto:24-68), land as binary "
+    "payloads, stream through the hand-rolled wire decoder "
+    "(sources/proto.py — no protobuf lib, no gRPC server), and the "
+    "labeled/compacted flow table must carry EXACTLY the same sums as "
+    "the JSON-path gate — proving a reference agent can point at this "
+    "engine unmodified",
+)
+def q267(spark, sf_dir):
+    import tempfile
+
+    from kubenetmon_spark.demo import DEMO_CFG, build_flow_inputs
+    from kubenetmon_spark.sink import compact, read_flows
+    from kubenetmon_spark.sources.proto import (
+        encode_observations_df,
+        parse_proto_observations,
+    )
+    from kubenetmon_spark.streaming import start_flow_stream
+
+    tmp = tempfile.mkdtemp(prefix="gate_proto_")
+    obs, pods, nodes, prefixes = build_flow_inputs(spark, sf_dir)
+    # producer side: the exact bytes a reference agent would Submit
+    encode_observations_df(obs).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/wire")
+    wire_stream = (
+        spark.readStream.schema("value binary").parquet(f"{tmp}/wire")
+    )
+    q = start_flow_stream(
+        parse_proto_observations(wire_stream),
+        f"{tmp}/flows",
+        f"{tmp}/ckpt",
+        pods,
+        nodes,
+        prefixes,
+        DEMO_CFG,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(600)
+    compact(spark, f"{tmp}/flows")
+    return (
+        read_flows(spark, f"{tmp}/flows")
+        .groupBy("connectionClass", "direction")
+        .agg(F.sum("bytes").alias("bytes"), F.sum("packets").alias("packets"))
+        .orderBy("connectionClass", "direction")
     )
 
 

@@ -36,6 +36,7 @@ def blocked_levenshtein_pairs(
     block_col: str | Column,
     max_distance: int,
     probe_partitions: int | None = None,
+    length_bucket: int | None = None,
 ) -> DataFrame:
     """All pairs (a, b) with ``a.id < b.id`` sharing a block key and
     ``levenshtein(a.text, b.text) <= max_distance``.
@@ -49,6 +50,16 @@ def blocked_levenshtein_pairs(
     session's shuffle parallelism) repartitions the probe side first;
     a cheap round-robin exchange of n rows buys n_cores-way parallelism
     over the n^2 comparator.
+
+    ``length_bucket=W`` refines the equi-key with a ``len // W`` bucket
+    — LOSSLESSLY: a qualifying pair's lengths differ by at most
+    ``max_distance``, so the probe side keeps its single bucket while
+    the build side fans out to every bucket its length could pair with
+    (``(len-d)//W .. (len+d)//W`` — at most ``2d/W + 2`` copies). Every
+    qualifying pair still meets exactly once (on the PROBE row's
+    bucket), but a hot block key now splits ~W ways before the
+    quadratic comparator — the standard hot-block refinement, applied
+    as a key instead of a row-dropping cap so answers never change.
     """
     block = F.col(block_col) if isinstance(block_col, str) else block_col
     slim = df.select(
@@ -67,10 +78,26 @@ def blocked_levenshtein_pairs(
         F.col("a_text").alias("b_text"),
         F.col("a_len").alias("b_len"),
     )
+    join_keys = ["block"]
+    if length_bucket:
+        w = int(length_bucket)
+        slim = slim.withColumn(
+            "lbucket", F.floor(F.col("a_len") / w).cast("long")
+        )
+        right = right.withColumn(
+            "lbucket",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("b_len") - max_distance) / w),
+                    F.floor((F.col("b_len") + max_distance) / w),
+                ).cast("array<long>")
+            ),
+        )
+        join_keys.append("lbucket")
     # Broadcast the build side explicitly: with two equally-tiny inputs
     # Catalyst may broadcast the probe side instead, which would collapse
     # parallelism back to the build side's file layout.
-    pairs = slim.join(F.broadcast(right), on="block").filter(
+    pairs = slim.join(F.broadcast(right), on=join_keys).filter(
         (F.col("a_id") < F.col("b_id"))
         & (F.abs(F.col("a_len") - F.col("b_len")) <= max_distance)
     )

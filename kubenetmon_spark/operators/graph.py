@@ -43,15 +43,24 @@ def connected_components(
     # Symmetric closure PLUS self-loops: with (n, n) edges present, the
     # per-round update is a single join+min-agg — a formulation without
     # them needs an extra left join to fold a node's own label back in.
-    # All four unions read `edges` inside ONE materialization
+    # Self-loops are built from the DISTINCT node set, not another full
+    # edge copy: on dense near-clique pair graphs (avg degree in the
+    # hundreds) that halves the volume the closure's distinct shuffles.
+    # All branches read `edges` inside ONE materialization
     # (localCheckpoint), so an expensive upstream pair-generation plan
     # (e.g. MinHash-LSH) executes exactly once, not once per branch.
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .unionByName(e.select("a", F.col("a").alias("b")))
-        .unionByName(e.select(F.col("b").alias("a"), "b"))
         .distinct()
+        .unionByName(
+            nodes.select(F.col("node").alias("a"), F.col("node").alias("b"))
+        )
         .localCheckpoint(eager=True)
     )
     labels = (

@@ -88,8 +88,8 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "blocked",
-    bands: int = 12,
-    band_bits: int = 2,
+    bands: int = 16,
+    band_bits: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (i<j) with
     round(cosine,4)*10000 >= threshold_bp.
@@ -104,14 +104,16 @@ def cosine_near_dup_pairs(
     (vectorized, Arrow-batched), with the identical HALF_UP double-op
     sequence as the oracle.
 
-    Recall: a pair at cosine c survives a band with prob
-    p^band_bits, p = 1 − arccos(c)/π; missing ALL bands has prob
-    (1−p^r)^bands — at the 0.95 default threshold ~2e-9 with the
-    default 12×2 bands (and exact 1.0 duplicates are NEVER missed: all
-    their band keys agree). Tighten bands/band_bits for lower
-    thresholds. Shuffle cost is ``bands`` copies of the corpus — linear,
-    the same posture as MinHash-LSH; per-bucket work is O(bucket²) only
-    within 2^band_bits-way random partitions of the key space.
+    Recall: a pair at cosine c survives a band with prob p^band_bits,
+    p = 1 − arccos(c)/π; missing ALL bands has prob (1−p^r)^bands.
+    Exact duplicates (cosine 1.0) are NEVER missed — every band key
+    agrees. At the 16×16 default, borderline 0.95 pairs are found with
+    ~96% probability and 0.97 pairs with ~99.4%; raise ``bands`` for a
+    tighter tail (each band adds one skinny corpus copy of shuffle).
+    The bits/bands pair also sets candidate volume: random unrelated
+    pairs collide per band with ~2^-band_bits probability, so expected
+    candidates ≈ bands · n² / 2^band_bits — at 16 bits that is n²/4096,
+    which is what keeps the re-rank off the full pair space.
 
     ``method='broadcast_matrix'``: the exact O(n²) block-row matrix
     multiply — the corpus matrix is COLLECTED TO THE DRIVER, normalized,
@@ -200,12 +202,20 @@ def cosine_near_dup_pairs(
         raise ValueError(f"unknown method {method!r}")
 
     # --- default: sign-LSH banded candidates + exact Arrow re-rank ----
-    from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+    #
+    # Three stages, each shuffling only what it must:
+    # 1. sketch pass emits SKINNY (id, band, key) rows — the 64-dim
+    #    vectors never ride through the band explosion;
+    # 2. candidate pairs = equi self-join on (band, key) + dedup —
+    #    ids only, so even a hot bucket shuffles longs, not arrays;
+    # 3. the surviving candidate ids join back to the vectors table
+    #    (AQE picks broadcast vs shuffle by size) for the exact
+    #    Arrow-batched re-rank.
+    from pyspark.sql.types import IntegerType
 
     band_schema = StructType(
         [
             StructField("_id", LongType(), False),
-            StructField("_v", ArrayType(DoubleType()), False),
             StructField("_band", IntegerType(), False),
             StructField("_key", LongType(), False),
         ]
@@ -228,13 +238,12 @@ def cosine_near_dup_pairs(
             keys = np.zeros((len(ids), n_bands), dtype=np.int64)
             for p in range(n_bands * r):
                 keys[:, p // r] |= bits[:, p].astype(np.int64) << (p % r)
-            out_ids = np.repeat(ids, n_bands)
-            out_band = np.tile(np.arange(n_bands, dtype=np.int32), len(ids))
             yield pd.DataFrame(
                 {
-                    "_id": out_ids,
-                    "_v": [row for row in v for _ in range(n_bands)],
-                    "_band": out_band,
+                    "_id": np.repeat(ids, n_bands),
+                    "_band": np.tile(
+                        np.arange(n_bands, dtype=np.int32), len(ids)
+                    ),
                     "_key": keys.reshape(-1),
                 }
             )
@@ -244,22 +253,24 @@ def cosine_near_dup_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a._band") == F.col("b._band"))
             & (F.col("a._key") == F.col("b._key"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_1"),
-            F.col("b._id").alias("id_2"),
-            F.col("a._v").alias("v1"),
-            F.col("b._v").alias("v2"),
-        )
+        .select(F.col("a._id").alias("id_1"), F.col("b._id").alias("id_2"))
         # a pair agreeing on several bands appears once per band — keep one
         .dropDuplicates(["id_1", "id_2"])
     )
+    v1 = vectors.select(
+        F.col(id_col).alias("id_1"), F.col(vec_col).alias("v1")
+    )
+    v2 = vectors.select(
+        F.col(id_col).alias("id_2"), F.col(vec_col).alias("v2")
+    )
+    cand = cand_ids.join(v1, "id_1").join(v2, "id_2")
 
     def score(batches):
         import pandas as pd

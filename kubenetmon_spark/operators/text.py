@@ -753,25 +753,42 @@ def with_char_entropy(
     encoded-blob detector (random base64 ≈ 6 bits, English prose ≈
     4.0-4.5, repeated padding ≪ 1).
 
-    Computed per row with pure HOFs — distinct chars (≤ alphabet
-    size), per-char counts via filter, then
     H = log2(n) − Σ c·log2(c) / n over INTEGER counts, micro-rounded
-    (q129 precedent absorbs libm log2 wobble). Zero shuffle; cost is
-    O(distinct_chars × len) per row — alphabet-bounded, not O(len²).
-    Empty docs get 0.
+    HALF_UP (q129 precedent: the integer micro-bits absorb libm log2
+    wobble AND the engines' differing float-sum association orders).
+    Empty and null docs get 0.
+
+    Arrow-batched NumPy, not SQL higher-order functions: the HOF form
+    (distinct chars × per-char filter) never enters codegen and ran
+    ~7 s at sf0.1; here each batch decodes to codepoint arrays and
+    np.unique supplies the histogram — O(len·log alphabet) per row,
+    a scan-side projection with zero shuffle.
     """
-    chars = F.split(F.col(text_col), "")
-    n = F.size(chars)
-    distinct = F.array_distinct(chars)
-    clogc = F.aggregate(
-        distinct,
-        F.lit(0.0),
-        lambda acc, ch: acc
-        + F.size(F.filter(chars, lambda x: x == ch)).cast("double")
-        * F.log2(F.size(F.filter(chars, lambda x: x == ch)).cast("double")),
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("char_entropy_micro", LongType(), False)]
     )
-    h = F.log2(n.cast("double")) - clogc / n.cast("double")
-    return df.withColumn(
-        "char_entropy_micro",
-        F.when(n > 0, F.round(h * 1_000_000, 0).cast("long")).otherwise(0),
-    )
+
+    def gen(batches):
+        for b in batches:
+            out = np.zeros(len(b), dtype=np.int64)
+            for i, t in enumerate(b[text_col]):
+                if isinstance(t, str) and t:
+                    cp = np.frombuffer(
+                        t.encode("utf-32-le"), dtype=np.uint32
+                    )
+                    _, c = np.unique(cp, return_counts=True)
+                    c = c.astype(np.float64)
+                    n = float(len(cp))
+                    h = np.log2(n) - float((c * np.log2(c)).sum()) / n
+                    # HALF_UP like round(h*1e6, 0) — h is never negative
+                    out[i] = int(np.floor(h * 1_000_000 + 0.5))
+            b = b.copy()
+            b["char_entropy_micro"] = out
+            yield b
+
+    return df.mapInPandas(gen, out_schema)
