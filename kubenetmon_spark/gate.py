@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kubenetmon_spark.gate_kmeans import kmeans_exact_ctes
 from kubenetmon_spark.functions import (
     canonical_flags_json,
     format_readable_size,
@@ -3369,22 +3370,69 @@ def q88(spark, sf_dir):
     )
 
 
+_Q89_BASE = (
+    "(SELECT vec_id, embedding FROM embeddings "
+    "UNION ALL "
+    "SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 30)"
+)
+
+
+def _q89_oracle_sql() -> str:
+    cos = (
+        f"({_DOT.format(a='a.embedding', b='b.embedding')}) / "
+        f"(sqrt({_DOT.format(a='a.embedding', b='a.embedding')}) * "
+        f"sqrt({_DOT.format(a='b.embedding', b='b.embedding')}))"
+    )
+    return f"""
+    WITH {kmeans_exact_ctes(8, 5, 64, 10_000, _Q89_BASE)},
+    base AS (SELECT * FROM {_Q89_BASE} t),
+    asn AS (
+      SELECT a6.vec_id, a6.cl, base.embedding
+      FROM a6 JOIN base ON base.vec_id = a6.vec_id
+      WHERE a6.rk = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM asn a JOIN asn b
+        ON a.cl = b.cl AND b.vec_id < a.vec_id
+      WHERE {cos} >= 0.9
+    )
+    SELECT cl AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_in,
+           CAST(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM dropped)
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+    FROM asn GROUP BY cl ORDER BY cluster
+    """
+
+
 @_register(
     "q89_semantic_dedup",
-    None,  # kmeans centroids are float-order sensitive -> rows-only check
-    "SemDeDup (cluster-scoped cosine pruning): k-means bucketing keeps "
-    "the quadratic similarity term local to a cluster. Rows-only gate "
-    "by design (centroid floats vary in the last ulp across partition "
-    "orders); exactness is covered by tests/test_clustering.py and the "
-    "NumPy-reference test for semantic_dedup",
+    _q89_oracle_sql(),
+    "SemDeDup (cluster-scoped cosine pruning) with planted duplicates: "
+    "exact-integer k-means bucketing (kmeans_fit_exact — deterministic "
+    "across engines/partitionings) keeps the quadratic similarity term "
+    "local to a cluster; 30 planted copies (cosine 1.0) must be pruned "
+    "while every organic pair (max cosine ~0.6, wide margin to the 0.9 "
+    "threshold) survives. The oracle unrolls the same integer Lloyd "
+    "recurrence and applies the no-earlier-conflict rule — equal to "
+    "the operator's greedy rule whenever the conflict graph is "
+    "disjoint original/copy pairs, which the planted layout guarantees",
 )
 def q89(spark, sf_dir):
-    from kubenetmon_spark.operators.clustering import kmeans_fit
+    from kubenetmon_spark.operators.clustering import (
+        kmeans_assign_exact,
+        kmeans_fit_exact,
+    )
     from kubenetmon_spark.operators.dedup import semantic_dedup
 
-    emb = _t(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb, k=8, n_iter=5)
-    pruned = semantic_dedup(emb, cents, threshold=0.9)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    base = emb.unionByName(copies)
+    cents = kmeans_fit_exact(base, k=8, n_iter=5)
+    assigned = kmeans_assign_exact(base, cents)
+    pruned = semantic_dedup(base, cents, threshold=0.9, assigned=assigned)
     return (
         pruned.groupBy("cluster")
         .agg(
@@ -4605,25 +4653,55 @@ def q116(spark, sf_dir):
     return sequence_next_node(ev, ["signup", "click"]).orderBy("user_id")
 
 
+def _kmv_oracle_sql(k: int) -> str:
+    # 13-hex-digit md5 prefix -> 52-bit integer, the q25 instr-fold idiom
+    hash_expr = (
+        "list_sum(list_transform(range(1, 14), i -> "
+        "(instr('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), "
+        "i, 1)) - 1) * (16 ** (13 - i))::BIGINT))"
+    )
+    num = (2**52) * (k - 1)
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {hash_expr} AS h FROM events
+    ),
+    r AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM h
+    )
+    SELECT event_type,
+           CAST(CASE WHEN MAX(n) < {k} THEN MAX(n)
+                ELSE {num} // MAX(CASE WHEN rk = {k} THEN h END)
+                END AS BIGINT) AS n_distinct_est
+    FROM r GROUP BY event_type ORDER BY event_type
+    """
+
+
 @_register(
     "q117_uniq_state_merge",
-    None,  # HLL sketch estimates are engine-specific (DataSketches vs
-    # DuckDB's HLL) — merge associativity and error bounds are asserted
-    # in tests/test_ops_core_ext.py::TestUniqStateMerge
-    "ClickHouse uniqState/uniqMerge: per-day mergeable HLL sketch "
-    "states unioned into range distinct counts without a fact rescan "
-    "— operators/sketch.py::uniq_state/uniq_merge",
+    _kmv_oracle_sql(256),
+    "ClickHouse uniqState/uniqMerge over ENGINE-EXACT KMV sketches: "
+    "per-day mergeable k-minimum-values states (52-bit md5 hashes) "
+    "unioned into range distinct counts without a fact rescan — "
+    "operators/sketch.py::kmv_state/kmv_merge. Unlike HLL (whose "
+    "packing varies per library/merge order — the uniq_state HLL twin "
+    "stays for interop, tests/test_ops_core_ext.py), the KMV state is "
+    "a pure set function, so the DuckDB oracle reproduces the exact "
+    "estimates: merging per-day top-k minima equals the global top-k",
 )
 def q117(spark, sf_dir):
-    from kubenetmon_spark.operators.sketch import uniq_merge, uniq_state
+    from kubenetmon_spark.operators.sketch import kmv_merge, kmv_state
 
     ev = _t(spark, sf_dir, "events")
-    daily = uniq_state(
+    daily = kmv_state(
         ev.withColumn("day", F.to_date("ts")),
         ["event_type", "day"],
         "user_id",
+        k=256,
     )
-    return uniq_merge(daily, ["event_type"]).orderBy("event_type")
+    return kmv_merge(daily, ["event_type"], k=256).orderBy("event_type")
 
 
 @_register(
@@ -10687,26 +10765,32 @@ def q218(spark, sf_dir):
 
 @_register(
     "q219_kmeans",
-    None,  # iterative float ML: rows-only check (like q89/q112/q113)
-    "Lloyd's k-means over the embedding corpus — "
-    "operators/clustering.py::kmeans_fit/kmeans_assign (Arrow-batched "
-    "per-partition partial sums, deterministic first-k init; "
-    "centroids are driver-side k x d only); validated against a "
-    "numpy Lloyd reference in test_clustering.py — float centroid "
-    "sums are shuffle-order sensitive at the ulp level, so this is a "
-    "rows-only gate by design",
+    f"""
+    WITH {kmeans_exact_ctes(8, 5, 64, 10_000, "embeddings")}
+    SELECT cl AS cluster, CAST(COUNT(*) AS BIGINT) AS n
+    FROM a6 WHERE rk = 1
+    GROUP BY cl ORDER BY cluster
+    """,
+    "Lloyd's k-means over the embedding corpus in EXACT integer "
+    "arithmetic — operators/clustering.py::kmeans_fit_exact/"
+    "kmeans_assign_exact: int-quantized inputs, associative int64 "
+    "partial sums (any partitioning, same bits), truncating centroid "
+    "re-quantization each round — so five full Lloyd iterations "
+    "hash-match a DuckDB oracle that unrolls the same recurrence "
+    "(float kmeans_fit stays for callers preferring exact-mean "
+    "centroids; its numpy-reference tests are unchanged)",
 )
 def q219(spark, sf_dir):
     from kubenetmon_spark.operators.clustering import (
-        kmeans_assign,
-        kmeans_fit,
+        kmeans_assign_exact,
+        kmeans_fit_exact,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = kmeans_fit(
+    centroids = kmeans_fit_exact(
         emb, k=8, n_iter=5, id_col="vec_id", vec_col="embedding"
     )
-    assigned = kmeans_assign(
+    assigned = kmeans_assign_exact(
         emb, centroids, id_col="vec_id", vec_col="embedding"
     )
     return (

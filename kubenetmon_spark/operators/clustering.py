@@ -169,3 +169,146 @@ def kmeans_inertia(assigned: DataFrame) -> float:
     """Sum of squared distances of the ``kmeans_assign`` output —
     the quantity Lloyd's iterations monotonically decrease."""
     return assigned.agg(F.sum("sq_dist")).collect()[0][0]
+
+
+# --- exact-integer k-means ---------------------------------------------
+#
+# The ENGINE-EXACT twin of kmeans_fit: inputs are integer-quantized
+# (floor(double(x) * scale) — IEEE-exact, the int_scaled_vec pattern),
+# partial sums are int64 (associative: ANY partitioning produces the
+# same bits, unlike float sums), and centroids are re-quantized to
+# integers each round with truncating division (the one op every
+# engine's integer `div` agrees on). The result is bit-reproducible
+# across engines, partitionings, and retries — which is what lets gates
+# q89/q219 pair iterative clustering with a DuckDB oracle, and what a
+# 100 TB pipeline wants anyway: re-running assignment on new data with
+# stored centroids must not depend on last summer's shuffle order.
+# Quantization (1/scale per coordinate per round) is noise at clustering
+# granularity; use kmeans_fit when float centroids are acceptable.
+
+
+def _trunc_div(s: np.ndarray, c) -> np.ndarray:
+    """Truncating integer division (toward zero) — matches SQL's
+    integer div in Spark and DuckDB; NumPy's // floors, so route
+    through magnitudes."""
+    s = np.asarray(s, dtype=np.int64)
+    return np.sign(s) * (np.abs(s) // np.int64(c))
+
+
+def kmeans_fit_exact(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd's iterations in exact integer arithmetic; returns the
+    (k, dim) int64 centroid matrix at input scale ``scale``.
+
+    Init = the k lowest-id vectors (cluster j is the j-th of them);
+    fixed ``n_iter`` rounds (no float tolerance test — determinism over
+    early exit); empty clusters keep their previous centroid. Per
+    iteration: one Arrow scan emitting per-batch integer partial sums,
+    one k-row shuffle, a k x dim driver update — same plan shape and
+    cost as ``kmeans_fit``.
+
+    Overflow margins (int64): per-dim |q| <= scale * max|x|; batch
+    partial sums add len(batch) of them and distances square one
+    difference times dim — all far inside 2^63 for embedding-range
+    inputs at the default scale.
+    """
+    init_rows = (
+        vectors.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(init_rows)}")
+
+    def quant(m: np.ndarray) -> np.ndarray:
+        return np.floor(m.astype(np.float64) * scale).astype(np.int64)
+
+    cents = quant(np.array([list(r[1]) for r in init_rows], dtype=np.float64))
+    dim = cents.shape[1]
+    sc = vectors.sparkSession.sparkContext
+    vec_slim = vectors.select(vec_col).persist()
+
+    for _ in range(n_iter):
+        bc = sc.broadcast(cents)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = bc.value
+            for b in batches:
+                if not len(b):
+                    continue
+                q = quant(
+                    np.array(
+                        [np.asarray(x, dtype=np.float64) for x in b[vec_col]]
+                    )
+                )
+                d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d, axis=1)  # ties -> lowest cluster
+                rows = []
+                for cl in np.unique(assign):
+                    mask = assign == cl
+                    rows.append(
+                        (int(cl), int(mask.sum()), q[mask].sum(axis=0).tolist())
+                    )
+                yield pd.DataFrame(rows, columns=["cluster", "cnt", "vecsum"])
+
+        agg = (
+            vec_slim.mapInPandas(
+                partials, schema="cluster int, cnt long, vecsum array<long>"
+            )
+            .groupBy("cluster")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                *[
+                    F.sum(F.element_at("vecsum", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new_cents = cents.copy()
+        for row in agg:
+            s = np.array([row[f"s{i}"] for i in range(dim)], dtype=np.int64)
+            new_cents[row["cluster"]] = _trunc_div(s, row["cnt"])
+        bc.destroy()
+        cents = new_cents
+    vec_slim.unpersist()
+    return cents
+
+
+def kmeans_assign_exact(
+    vectors: DataFrame,
+    int_centroids: np.ndarray,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``cluster`` by exact integer argmin against
+    ``kmeans_fit_exact`` centroids (ties -> lowest cluster). One Arrow
+    pass, no shuffle, bit-reproducible."""
+    sc = vectors.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(int_centroids, dtype=np.int64))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            q = np.floor(
+                np.array(
+                    [np.asarray(x, dtype=np.float64) for x in b[vec_col]]
+                )
+                * scale
+            ).astype(np.int64)
+            d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            b = b.copy()
+            b["cluster"] = np.argmin(d, axis=1).astype(np.int32)
+            yield b
+
+    schema = StructType(
+        list(vectors.schema.fields) + [StructField("cluster", IntegerType())]
+    )
+    return vectors.mapInPandas(assign, schema=schema)

@@ -281,6 +281,7 @@ def semantic_dedup(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
     embedding space, then greedily drop items whose cosine similarity to
@@ -311,7 +312,13 @@ def semantic_dedup(
 
     from kubenetmon_spark.operators.clustering import kmeans_assign
 
-    assigned = kmeans_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    if assigned is None:
+        # pass `assigned` (id, vec, cluster) to use a different
+        # assignment rule, e.g. kmeans_assign_exact for the
+        # engine-reproducible integer path (gate q89)
+        assigned = kmeans_assign(
+            vectors, centroids, id_col=id_col, vec_col=vec_col
+        )
     slim = assigned.select(id_col, vec_col, "cluster")
     id_type = dict(slim.dtypes)[id_col]
     out_schema = StructType(

@@ -160,3 +160,79 @@ def heavy_hitters_weighted(
         .agg(F.sum(weight_col).cast("long").alias("total_weight"))
     )
     return exact.orderBy(F.desc("total_weight"), F.asc(key_col)).limit(k)
+
+
+# --- KMV (k-minimum-values) distinct-count sketch ----------------------
+#
+# The ENGINE-EXACT twin of uniq_state/uniq_merge: where HLL packing
+# varies with merge order (and across libraries), the KMV synopsis —
+# the k smallest distinct 60-bit md5-derived hash values — is a pure
+# SET function of the input: any engine, any partitioning, any merge
+# tree produces byte-identical states and estimates. That makes it safe
+# to persist per partition, diff across replicas, and ORACLE-CHECK
+# (gate q117), at the cost of a larger state than HLL for equal error
+# (k=1024 doubles -> ~1.6% typical relative error, like lg_k=12 HLL).
+
+#: 52-bit hash (13 hex digits of md5): small enough that the estimator
+#: numerator (k-1) * 2^52 stays inside a signed BIGINT for k up to
+#: ~2000, so the whole estimate is integer floor division — no decimal
+#: rounding rules to reconcile across engines. 52-bit space keeps the
+#: collision term n^2/2^53 negligible to beyond 10^7 distincts per
+#: group; for more, widen to 15 digits and a DECIMAL numerator.
+_KMV_BITS = 52
+
+
+def _kmv_hash(col):
+    return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_state(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 1024,
+    out_col: str = "kmv_sketch",
+) -> DataFrame:
+    """Per group, the sorted array of the ``k`` smallest distinct
+    60-bit hash values — a mergeable distinct-count state that is
+    bit-identical across engines and partitionings.
+
+    Two hash aggregations: distinct (group, hash) pairs first (map-side
+    combined), then the bounded top-k fold via sort+slice. State size
+    is at most ``k`` longs per group."""
+    h = _kmv_hash(value_col).alias("_h")
+    return (
+        df.select(*group_cols, h)
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(
+            F.slice(F.sort_array(F.collect_set("_h")), 1, k).alias(out_col)
+        )
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "kmv_sketch",
+    k: int = 1024,
+    out_col: str = "n_distinct_est",
+) -> DataFrame:
+    """Union KMV states and estimate distinct counts — ClickHouse's
+    ``uniqMerge`` with deterministic integer math: fewer than ``k``
+    values means the count is EXACT; otherwise the classic estimator
+    ``(k-1) * 2^60 div kth_min`` (all BIGINT, floor division), so every
+    engine lands on the same integer."""
+    merged = (
+        sketches.select(*group_cols, F.explode(sketch_col).alias("_h"))
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(F.slice(F.sort_array(F.collect_set("_h")), 1, k).alias("_m"))
+    )
+    n = F.size(F.col("_m"))
+    est = F.when(n < k, n.cast("long")).otherwise(
+        F.expr(f"{(2 ** _KMV_BITS) * (k - 1)}L div element_at(_m, {k})")
+    )
+    return merged.select(*group_cols, est.alias(out_col))

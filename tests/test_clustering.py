@@ -105,3 +105,59 @@ def test_assign_schema_and_distance(spark, emb):
 def test_kmeans_requires_enough_vectors(spark, emb):
     with pytest.raises(ValueError):
         kmeans_fit(emb.limit(3), k=10)
+
+
+class TestKmeansExact:
+    def test_matches_pure_python_reference(self, spark):
+        import numpy as np
+
+        from kubenetmon_spark.operators.clustering import (
+            kmeans_assign_exact,
+            kmeans_fit_exact,
+        )
+
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(120, 6)).astype(np.float32)
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(120)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        k, iters, scale = 4, 3, 10_000
+        got = kmeans_fit_exact(df, k=k, n_iter=iters, scale=scale)
+
+        # independent reference: quantize, Lloyd with trunc-div update
+        q = np.floor(vecs.astype(np.float64) * scale).astype(np.int64)
+        c = q[:k].copy()
+        for _ in range(iters):
+            d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d, axis=1)
+            for j in range(k):
+                m = a == j
+                if m.any():
+                    s = q[m].sum(axis=0)
+                    c[j] = np.sign(s) * (np.abs(s) // m.sum())
+        assert (got == c).all()
+
+        assigned = {
+            r.vec_id: r.cluster
+            for r in kmeans_assign_exact(df, got, scale=scale).collect()
+        }
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        ref = np.argmin(d, axis=1)
+        assert all(assigned[i] == ref[i] for i in range(120))
+
+    def test_partitioning_invariance(self, spark):
+        import numpy as np
+
+        from kubenetmon_spark.operators.clustering import kmeans_fit_exact
+
+        rng = np.random.default_rng(3)
+        rows = [
+            (i, [float(x) for x in rng.normal(size=5)]) for i in range(200)
+        ]
+        cents = []
+        for parts in (1, 9):
+            df = spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ).repartition(parts)
+            cents.append(kmeans_fit_exact(df, k=3, n_iter=4))
+        # int64 partial sums are associative: same bits, any partitioning
+        assert (cents[0] == cents[1]).all()

@@ -684,3 +684,47 @@ class TestEmptyInputSweep:
         assert seasonal_decompose(ts, ["g"], "t", "x", 4).count() == 0
         assert seasonal_profile(ts, ["g"], "t", "x", 4).count() == 0
         assert detect_period(ts, ["g"], "t", "x").count() == 0
+
+
+class TestKmvStateMerge:
+    def test_exact_below_k_and_merge_equals_whole(self, spark):
+        from kubenetmon_spark.operators.sketch import kmv_merge, kmv_state
+
+        rows = [(d, f"u{i % 50}") for d in ("d1", "d2", "d3") for i in range(300)]
+        df = spark.createDataFrame(rows, ["day", "user"]).withColumn(
+            "grp", F.lit("all")
+        )
+        states = kmv_state(df, ["grp", "day"], "user", k=256)
+        merged = kmv_merge(states, ["grp"], k=256).collect()[0].n_distinct_est
+        assert merged == 50  # below k -> EXACT count
+
+    def test_estimate_close_and_partition_invariant(self, spark):
+        from kubenetmon_spark.operators.sketch import kmv_merge, kmv_state
+
+        rows = [("g", f"v{i}") for i in range(5000)]
+        ests = []
+        for parts in (2, 7):
+            df = spark.createDataFrame(rows, ["grp", "v"]).repartition(parts)
+            ests.append(
+                kmv_merge(
+                    kmv_state(df, ["grp"], "v", k=256), ["grp"], k=256
+                ).collect()[0].n_distinct_est
+            )
+        # KMV state is a pure set function: any partitioning, same bits
+        assert ests[0] == ests[1]
+        assert abs(ests[0] - 5000) / 5000 < 0.15
+
+    def test_merge_of_parts_equals_global_state(self, spark):
+        from kubenetmon_spark.operators.sketch import kmv_merge, kmv_state
+
+        rows = [(f"d{i % 4}", f"u{i}") for i in range(2000)]
+        df = spark.createDataFrame(rows, ["day", "user"]).withColumn(
+            "grp", F.lit("all")
+        )
+        via_parts = kmv_merge(
+            kmv_state(df, ["grp", "day"], "user", k=128), ["grp"], k=128
+        ).collect()[0].n_distinct_est
+        direct = kmv_merge(
+            kmv_state(df, ["grp"], "user", k=128), ["grp"], k=128
+        ).collect()[0].n_distinct_est
+        assert via_parts == direct  # mergeability: top-k of union of top-ks
