@@ -162,6 +162,7 @@ def decode_image(
     out_width: int = 224,
     out_height: int = 224,
     codec: str = "auto",
+    decoder=None,
 ) -> DataFrame:
     """Decode+resize images to fixed-size ``H*W*3`` RGB byte buffers.
 
@@ -175,7 +176,47 @@ def decode_image(
     batch shapes, and downstream feature code are all exercised for
     real; only the codec math is fake. A real decoder replaces ONLY the
     per-batch body.
+
+    ``decoder`` is the injection point for a real codec (the feed
+    fetcher's injectable-callable design, sources/fetch.py): a picklable
+    ``bytes -> np.ndarray[H, W, 3] uint8`` callable that runs inside the
+    Arrow batches; this function supplies the nearest-neighbor resize to
+    (out_height, out_width) and the DECODED_SCHEMA packaging. Production
+    passes e.g. a PIL/turbojpeg wrapper; tests pass a deterministic
+    double — the full decode -> features -> near-dup chain is covered in
+    tests/test_media_chain.py either way.
     """
+    if decoder is not None:
+        def decode_batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            import numpy as np
+            import pandas as pd
+
+            def one(b) -> bytes | None:
+                if b is None:
+                    return None
+                img = np.asarray(decoder(bytes(b)), dtype=np.uint8)
+                if img.ndim != 3 or img.shape[2] != 3:
+                    raise ValueError(
+                        f"decoder must return (H, W, 3) uint8, got {img.shape}"
+                    )
+                h, w = img.shape[:2]
+                ri = (np.arange(out_height, dtype=np.int64) * h) // out_height
+                ci = (np.arange(out_width, dtype=np.int64) * w) // out_width
+                return img[ri][:, ci].tobytes()
+
+            for pdf in it:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "width": out_width,
+                        "height": out_height,
+                        "pixels": pdf["content"].map(one),
+                    }
+                )
+
+        return media.select("media_id", "content").mapInPandas(
+            decode_batches, DECODED_SCHEMA
+        )
     if codec == "auto":
         try:
             import PIL.Image  # noqa: F401
