@@ -11668,26 +11668,26 @@ def q230(spark, sf_dir):
     "of 3+ records reported; oracle closes the same graph recursively",
 )
 def q231(spark, sf_dir):
-    from kubenetmon_spark.operators.fuzzy import blocked_levenshtein_pairs
-    from kubenetmon_spark.operators.graph import duplicate_clusters
+    from kubenetmon_spark.operators.fuzzy import entity_clusters
 
     p = _t(spark, sf_dir, "part")
-    pairs = blocked_levenshtein_pairs(
+    # exact-duplicate texts collapse BEFORE the comparator and the
+    # connected components (entity_clusters docstring) — the pair space
+    # and the iterative graph are distinct-name sized, invariant to how
+    # duplicated the corpus is; row-level clusters re-expand exactly
+    clusters = entity_clusters(
         p,
         id_col="p_partkey",
         text_col="p_name",
         block_col=F.element_at(F.split("p_name", " "), 2),
         max_distance=2,
-        # hot word-blocks split ~8 ways by the lossless length bucket
-        # before the O(block^2) comparator (see fuzzy.py docstring)
         length_bucket=8,
     )
-    clusters = duplicate_clusters(pairs, id_1="a_id", id_2="b_id")
     return (
-        clusters.groupBy(F.col("cluster_rep").alias("canonical"))
-        .agg(
-            F.count("*").alias("n_records"),
-            F.sum("node").alias("member_sum"),
+        clusters.select(
+            F.col("cluster_rep").alias("canonical"),
+            "n_records",
+            "member_sum",
         )
         .filter(F.col("n_records") >= 3)
         .orderBy("canonical")

@@ -109,3 +109,64 @@ def blocked_levenshtein_pairs(
         .filter(F.col("distance") >= 0)
         .select("block", "a_id", "b_id", "distance")
     )
+
+
+def entity_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | Column,
+    max_distance: int,
+    length_bucket: int | None = 8,
+) -> DataFrame:
+    """Entity resolution end to end: records -> (cluster_rep, n_records,
+    member_sum) identity clusters, where records link when their texts
+    are within ``max_distance`` edits inside a block.
+
+    The scale move: EXACT-duplicate texts collapse FIRST. Real entity
+    data is duplication-heavy (the same name appears hundreds of times);
+    identical texts are trivially the same entity, so the quadratic
+    comparator and the iterative connected components run over the
+    DISTINCT-text table (one hash aggregation to build), and per-text
+    membership stats (count, id-sum, min-id) re-expand at the end with
+    one broadcast-sized join. Cost becomes O(distinct_texts^2 / blocks)
+    + O(distinct-text graph) instead of O(rows^2 / blocks): on 200k
+    records over 640 distinct names that is a 100,000x smaller pair
+    space, and it is invariant to how duplicated the corpus gets.
+
+    Clusters equal the row-level formulation exactly: contracting
+    identical-text nodes (pairwise distance 0, always linked) preserves
+    components; the cluster representative is the min member id.
+    Texts with no fuzzy partner still form (exact-duplicate) clusters.
+    """
+    stats = (
+        df.groupBy(F.col(text_col).alias("_text"))
+        .agg(
+            F.min(id_col).alias("_rep"),
+            F.count("*").alias("_n"),
+            F.sum(id_col).alias("_sum"),
+            F.first(
+                F.col(block_col) if isinstance(block_col, str) else block_col
+            ).alias("_block"),
+        )
+    )
+    pairs = blocked_levenshtein_pairs(
+        stats,
+        id_col="_rep",
+        text_col="_text",
+        block_col="_block",
+        max_distance=max_distance,
+        length_bucket=length_bucket,
+    )
+    from kubenetmon_spark.operators.graph import duplicate_clusters
+
+    cc = duplicate_clusters(pairs, id_1="a_id", id_2="b_id").select(
+        F.col("node").alias("_rep"), "cluster_rep"
+    )
+    labeled = stats.join(cc, "_rep", "left").withColumn(
+        "cluster_rep", F.coalesce(F.col("cluster_rep"), F.col("_rep"))
+    )
+    return (
+        labeled.groupBy("cluster_rep")
+        .agg(F.sum("_n").alias("n_records"), F.sum("_sum").alias("member_sum"))
+    )

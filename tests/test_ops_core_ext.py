@@ -728,3 +728,68 @@ class TestKmvStateMerge:
             kmv_state(df, ["grp"], "user", k=128), ["grp"], k=128
         ).collect()[0].n_distinct_est
         assert via_parts == direct  # mergeability: top-k of union of top-ks
+
+
+class TestEntityClusters:
+    def test_collapsed_equals_row_level_formulation(self, spark):
+        from kubenetmon_spark.operators.fuzzy import (
+            blocked_levenshtein_pairs,
+            entity_clusters,
+        )
+        from kubenetmon_spark.operators.graph import duplicate_clusters
+
+        rows = []
+        rid = 0
+        # duplication-heavy corpus: names repeat, typo variants chain
+        for name, copies in [
+            ("alpha widget", 4), ("alpha wldget", 2),  # 1 edit from above
+            ("beta widget", 3),                        # 1 edit from alpha widget
+            ("gamma gizmo", 3), ("gamma gizmos", 1),   # 1 edit chain
+            ("lonely part", 2),                        # exact-dup-only cluster
+        ]:
+            for _ in range(copies):
+                rows.append((rid, name))
+                rid += 1
+        df = spark.createDataFrame(rows, "pid long, name string")
+        kw = dict(
+            id_col="pid", text_col="name",
+            block_col=F.element_at(F.split("name", " "), 2),
+            max_distance=2,
+        )
+        fast = {
+            r.cluster_rep: (r.n_records, r.member_sum)
+            for r in entity_clusters(df, length_bucket=4, **kw).collect()
+        }
+        pairs = blocked_levenshtein_pairs(df, **kw)
+        slow_nodes = duplicate_clusters(pairs, id_1="a_id", id_2="b_id")
+        slow = {
+            r.cluster_rep: (r.n, r.s)
+            for r in slow_nodes.groupBy("cluster_rep")
+            .agg(F.count("*").alias("n"), F.sum("node").alias("s"))
+            .collect()
+        }
+        # the collapsed formulation matches row-level CC exactly on every
+        # multi-record cluster; it ADDITIONALLY reports singleton records
+        # (row-level CC never sees a node without an edge) — "gamma
+        # gizmos" blocks under a different word than "gamma gizmo", so
+        # its single record is exactly such a singleton
+        assert {k: v for k, v in fast.items() if v[0] > 1 or k in slow} == slow
+        singletons = {k: v for k, v in fast.items() if k not in slow}
+        assert singletons == {12: (1, 12)}
+
+    def test_singleton_text_forms_own_cluster(self, spark):
+        from kubenetmon_spark.operators.fuzzy import entity_clusters
+
+        df = spark.createDataFrame(
+            [(1, "unique alpha"), (2, "unique alpha"), (7, "faraway zebra")],
+            "pid long, name string",
+        )
+        got = {
+            r.cluster_rep: (r.n_records, r.member_sum)
+            for r in entity_clusters(
+                df, id_col="pid", text_col="name",
+                block_col=F.element_at(F.split("name", " "), 2),
+                max_distance=2,
+            ).collect()
+        }
+        assert got == {1: (2, 3), 7: (1, 7)}
