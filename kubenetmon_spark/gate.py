@@ -13853,6 +13853,77 @@ def q267(spark, sf_dir):
     )
 
 
+def _quantile_sample_oracle_sql(k: int, qs: list[int]) -> str:
+    # 13-hex-digit md5 prefix of the KEY -> 52-bit hash (the q117 idiom)
+    hash_expr = (
+        "list_sum(list_transform(range(1, 14), i -> "
+        "(instr('0123456789abcdef', substring(md5(CAST(event_id AS VARCHAR)), "
+        "i, 1)) - 1) * (16 ** (13 - i))::BIGINT))"
+    )
+    pcols = ",\n           ".join(
+        f"CAST(MAX(CASE WHEN vr = (n - 1) * {q} // 100 + 1 THEN v END)"
+        f" AS BIGINT) AS p{q}"
+        for q in qs
+    )
+    return f"""
+    WITH h AS (
+      SELECT event_type, {hash_expr} AS h,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, h, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, v) AS rk
+      FROM h
+    ),
+    s AS (SELECT event_type, v FROM r WHERE rk <= {k}),
+    o AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS vr,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM s
+    )
+    SELECT event_type, CAST(MAX(n) AS INTEGER) AS n_sample,
+           {pcols}
+    FROM o GROUP BY event_type ORDER BY event_type
+    """
+
+
+@_register(
+    "q268_quantile_sketch",
+    _quantile_sample_oracle_sql(256, [50, 90, 99]),
+    "ClickHouse quantileState/-Merge as an ENGINE-EXACT bottom-k hash "
+    "sample (operators/sketch.py::quantile_sample_state/quantile_merge): "
+    "per-day mergeable uniform row samples (52-bit md5 of the row key) "
+    "union into range percentiles without a fact rescan; the estimate "
+    "is pure integer indexing into the value-sorted sample, so the "
+    "DuckDB oracle reproduces every percentile bit-for-bit (below k "
+    "rows the sample IS the group and quantiles are exact) — the "
+    "deterministic, oracle-able twin of q56's engine-specific "
+    "approx_percentile",
+)
+def q268(spark, sf_dir):
+    from kubenetmon_spark.operators.sketch import (
+        quantile_merge,
+        quantile_sample_state,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = quantile_sample_state(
+        ev, ["event_type", "day"], "cents", "event_id", k=256
+    )
+    return quantile_merge(
+        daily, ["event_type"], [50, 90, 99], k=256
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

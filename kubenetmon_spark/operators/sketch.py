@@ -236,3 +236,68 @@ def kmv_merge(
         F.expr(f"{(2 ** _KMV_BITS) * (k - 1)}L div element_at(_m, {k})")
     )
     return merged.select(*group_cols, est.alias(out_col))
+
+# --- bottom-k hash sample: engine-exact approximate quantiles ----------
+#
+# The quantile twin of the KMV distinct sketch: a MERGEABLE uniform row
+# sample that every engine reproduces bit-for-bit. Each row gets a
+# 52-bit md5 hash of its KEY (a unique row identifier, not the value —
+# equal values must each count); the state is the k rows with the
+# smallest hashes (a uniform-without-replacement sample, by symmetry of
+# the hash); merging states = keeping the k smallest of the union, so
+# per-day states roll up into range quantiles without a fact rescan —
+# ClickHouse's quantileState/-Merge shape with deterministic contents.
+# Quantile estimate = the floor((n_sample - 1) * q / 100) + 1-th element
+# of the value-sorted sample — pure integer indexing, no interpolation
+# floats, identical in any engine.
+
+
+def quantile_sample_state(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_col: str,
+    k: int = 1024,
+    out_col: str = "q_sample",
+) -> DataFrame:
+    """Per group, the (hash, value) pairs of the ``k`` smallest-hash
+    rows — a deterministic mergeable uniform sample. ``key_col`` must
+    uniquely identify a row within the group (e.g. event_id)."""
+    h = _kmv_hash(key_col).alias("_h")
+    return (
+        df.select(*group_cols, h, F.col(value_col).alias("_v"))
+        .groupBy(*group_cols)
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("_h", "_v"))), 1, k
+            ).alias(out_col)
+        )
+    )
+
+
+def quantile_merge(
+    sketches: DataFrame,
+    group_cols: list[str],
+    quantiles_pct: list[int],
+    sketch_col: str = "q_sample",
+    k: int = 1024,
+) -> DataFrame:
+    """Union bottom-k sample states and estimate the given percentiles
+    (integer percents). Fewer than ``k`` sampled rows means the sample
+    IS the group and the quantiles are exact."""
+    merged = (
+        sketches.select(*group_cols, F.explode(sketch_col).alias("_e"))
+        .groupBy(*group_cols)
+        .agg(
+            F.slice(F.sort_array(F.collect_list("_e")), 1, k).alias("_m")
+        )
+    )
+    vals = F.array_sort(F.transform(F.col("_m"), lambda s: s["_v"]))
+    n = F.size(vals)
+    cols = [
+        F.element_at(
+            vals, (F.floor((n - 1) * F.lit(int(q)) / 100) + 1).cast("int")
+        ).alias(f"p{q}")
+        for q in quantiles_pct
+    ]
+    return merged.select(*group_cols, n.alias("n_sample"), *cols)

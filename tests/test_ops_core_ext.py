@@ -793,3 +793,46 @@ class TestEntityClusters:
             ).collect()
         }
         assert got == {1: (2, 3), 7: (1, 7)}
+
+
+class TestQuantileSketch:
+    def test_exact_below_k_and_merge_equals_whole(self, spark):
+        from kubenetmon_spark.operators.sketch import (
+            quantile_merge,
+            quantile_sample_state,
+        )
+
+        rows = [("g", f"d{i % 3}", i, i * 10) for i in range(100)]
+        df = spark.createDataFrame(rows, "grp string, day string, k long, v long")
+        daily = quantile_sample_state(df, ["grp", "day"], "v", "k", k=256)
+        got = quantile_merge(daily, ["grp"], [0, 50, 100], k=256).collect()[0]
+        # below k: the sample IS the group -> exact quantiles
+        assert got.n_sample == 100
+        assert (got.p0, got.p50, got.p100) == (0, 490, 990)
+        whole = quantile_merge(
+            quantile_sample_state(df, ["grp"], "v", "k", k=256),
+            ["grp"], [0, 50, 100], k=256,
+        ).collect()[0]
+        assert (whole.p0, whole.p50, whole.p100) == (got.p0, got.p50, got.p100)
+
+    def test_partition_invariance_and_accuracy(self, spark):
+        from pyspark.sql import functions as F
+
+        from kubenetmon_spark.operators.sketch import (
+            quantile_merge,
+            quantile_sample_state,
+        )
+
+        rows = [(i, i) for i in range(20000)]  # v uniform 0..19999
+        res = []
+        for parts in (2, 11):
+            df = spark.createDataFrame(rows, "k long, v long").repartition(parts)
+            st = quantile_sample_state(df, [], "v", "k", k=512)
+            r = quantile_merge(st.withColumn("_g", F.lit(1)), ["_g"], [50, 90], k=512).collect()[0]
+            res.append((r.n_sample, r.p50, r.p90))
+        # deterministic sample: any partitioning, same bits
+        assert res[0] == res[1]
+        n, p50, p90 = res[0]
+        assert n == 512
+        # uniform data: sampled percentile within ~10% of the true one
+        assert abs(p50 - 10000) < 2000 and abs(p90 - 18000) < 2000
