@@ -13924,6 +13924,124 @@ def q268(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def _kmv_overlap_oracle_sql(k: int) -> str:
+    hash_expr = (
+        "list_sum(list_transform(range(1, 14), i -> "
+        "(instr('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR) "
+        "|| ':' || CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)), "
+        "i, 1)) - 1) * (16 ** (13 - i))::BIGINT))"
+    )
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {hash_expr} AS h FROM events
+    ),
+    r AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM h
+    ),
+    s AS (
+      SELECT event_type, list(h ORDER BY h) AS sk
+      FROM r WHERE rk <= {k} GROUP BY event_type
+    ),
+    p AS (
+      SELECT a.event_type AS group_1, b.event_type AS group_2,
+             (list_sort(list_distinct(list_concat(a.sk, b.sk))))[1:{k}] AS u,
+             a.sk AS sa, b.sk AS sb
+      FROM s a JOIN s b ON a.event_type < b.event_type
+    )
+    SELECT group_1, group_2,
+           CAST(len(u) AS INTEGER) AS n_union_sample,
+           CAST(len(list_filter(u, x -> list_contains(sa, x)
+                                    AND list_contains(sb, x))) AS INTEGER)
+             AS n_common,
+           CAST(len(list_filter(u, x -> list_contains(sa, x)
+                                    AND list_contains(sb, x))) * 10000
+                // len(u) AS BIGINT) AS jaccard_bp
+    FROM p ORDER BY group_1, group_2
+    """
+
+
+@_register(
+    "q269_kmv_overlap",
+    _kmv_overlap_oracle_sql(256),
+    "audience-overlap estimation from KMV states "
+    "(operators/sketch.py::kmv_overlap): pairwise Jaccard of the "
+    "(user, day) activity sets of every event-type pair, computed "
+    "entirely from the per-type bottom-k sketches — no fact rescan, "
+    "engine-exact like the whole KMV family (q117); the classic "
+    "'which segments share users' question at sketch cost",
+)
+def q269(spark, sf_dir):
+    from kubenetmon_spark.operators.sketch import kmv_overlap, kmv_state
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.concat_ws(
+            ":", F.col("user_id"), F.to_date("ts").cast("string")
+        ).alias("user_day"),
+    )
+    states = kmv_state(ev, ["event_type"], "user_day", k=256)
+    return kmv_overlap(states, "event_type", k=256).orderBy(
+        "group_1", "group_2"
+    )
+
+
+@_register(
+    "q270_dup_triangles",
+    f"""
+    WITH {_MINHASH_PAIRS_SQL},
+    e AS (SELECT id_1 AS a, id_2 AS b FROM pairs),
+    tri AS (
+      SELECT 1 AS one
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY node
+    )
+    SELECT CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT)
+             AS n_wedges
+    """,
+    "triangle census of the document near-dup graph (global clustering "
+    "signal: triangles/wedges tells how clique-like the duplicate "
+    "neighborhoods are — near-1 means true duplicate groups, near-0 "
+    "means chained false positives): the classic ORIENTED 2-join "
+    "triangle count over a<b<c edges (each triangle counted once, the "
+    "shuffle-minimal formulation) plus the wedge count from the degree "
+    "table — both plain equi-joins over the verified MinHash-LSH pairs",
+)
+def q270(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    e = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, bands=4, n=3,
+        verify_threshold_bp=3000,
+    ).select(F.col("id_1").alias("a"), F.col("id_2").alias("b"))
+    e = e.localCheckpoint(eager=True)  # pair generation runs once, not 5x
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = e1.join(e2, F.col("e2.a") == F.col("e1.b")).join(
+        e3,
+        (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+    )
+    nodes = e.select(F.col("a").alias("node")).unionByName(
+        e.select(F.col("b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count("*").alias("d"))
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+    )
+    return (
+        tri.agg(F.count("*").alias("n_triangles"))
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .crossJoin(wedges)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

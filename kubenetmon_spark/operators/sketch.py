@@ -301,3 +301,60 @@ def quantile_merge(
         for q in quantiles_pct
     ]
     return merged.select(*group_cols, n.alias("n_sample"), *cols)
+
+
+def kmv_overlap(
+    sketches: DataFrame,
+    group_col: str,
+    sketch_col: str = "kmv_sketch",
+    k: int = 1024,
+) -> DataFrame:
+    """Pairwise set-overlap estimates between groups from their KMV
+    states — "how much do these audiences overlap" without rescanning
+    facts, deterministic across engines (like everything KMV).
+
+    For groups A, B: U = the k smallest hashes of A ∪ B; with
+    m = |U ∩ A ∩ B|, Jaccard ≈ m / |U| (exact when both sets fit in
+    k). Emitted: ``jaccard_bp`` (integer basis points, floor) and
+    ``n_common`` (m — the shared-sample size the estimate rests on).
+    One tiny self-join over group-count rows; the heavy lifting
+    happened when the states were built.
+    """
+    s = sketches.select(
+        F.col(group_col).alias("_g"), F.col(sketch_col).alias("_s")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(b, F.col("a._g") < F.col("b._g"))
+    union_k = F.slice(
+        F.array_sort(
+            F.array_union(F.col("a._s"), F.col("b._s"))
+        ),
+        1,
+        k,
+    )
+    mid = pairs.select(
+        F.col("a._g").alias("group_1"),
+        F.col("b._g").alias("group_2"),
+        union_k.alias("_u"),
+        F.col("a._s").alias("_sa"),
+        F.col("b._s").alias("_sb"),
+    )
+    m = F.size(
+        F.array_intersect(
+            F.array_intersect(F.col("_u"), F.col("_sa")), F.col("_sb")
+        )
+    )
+    u = F.size(F.col("_u"))
+    return mid.select(
+        "group_1",
+        "group_2",
+        u.alias("n_union_sample"),
+        m.alias("n_common"),
+        (m * F.lit(10_000)).cast("long").alias("_num"),
+    ).select(
+        "group_1",
+        "group_2",
+        "n_union_sample",
+        "n_common",
+        F.expr("_num div n_union_sample").alias("jaccard_bp"),
+    )
