@@ -836,3 +836,35 @@ class TestQuantileSketch:
         assert n == 512
         # uniform data: sampled percentile within ~10% of the true one
         assert abs(p50 - 10000) < 2000 and abs(p90 - 18000) < 2000
+
+
+class TestKmvOverlap:
+    def test_exact_overlap_below_k(self, spark):
+        from kubenetmon_spark.operators.sketch import kmv_overlap, kmv_state
+
+        rows = (
+            [("a", f"u{i}") for i in range(100)]          # a: u0..u99
+            + [("b", f"u{i}") for i in range(50, 150)]    # b: u50..u149
+            + [("c", f"x{i}") for i in range(30)]         # c: disjoint
+        )
+        df = spark.createDataFrame(rows, "grp string, user string")
+        st = kmv_state(df, ["grp"], "user", k=1024)
+        got = {
+            (r.group_1, r.group_2): (r.n_union_sample, r.n_common, r.jaccard_bp)
+            for r in kmv_overlap(st, "grp", k=1024).collect()
+        }
+        # below k the sketch IS the set: overlap and Jaccard are exact
+        assert got[("a", "b")] == (150, 50, 50 * 10000 // 150)
+        assert got[("a", "c")] == (130, 0, 0)
+        assert got[("b", "c")] == (130, 0, 0)
+
+    def test_estimate_reasonable_above_k(self, spark):
+        from kubenetmon_spark.operators.sketch import kmv_overlap, kmv_state
+
+        rows = [("a", f"u{i}") for i in range(4000)] + [
+            ("b", f"u{i}") for i in range(2000, 6000)
+        ]  # true Jaccard = 2000/6000 = 1/3
+        df = spark.createDataFrame(rows, "grp string, user string")
+        st = kmv_state(df, ["grp"], "user", k=512)
+        r = kmv_overlap(st, "grp", k=512).collect()[0]
+        assert abs(r.jaccard_bp - 3333) < 700  # within sampling error
