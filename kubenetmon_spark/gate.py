@@ -3895,8 +3895,10 @@ def q99(spark, sf_dir):
     ),
     mid AS (
       SELECT k.event_type, k.b, k.t, k.v, k.event_id, k.rn,
-             ABS((a.pt - a.pc * k.t) * (a.nv - a.nc * k.v)
-               - (a.nt - a.nc * k.t) * (a.pv - a.pc * k.v)) AS a2
+             ABS((a.pt::HUGEINT - a.pc::HUGEINT * k.t)
+                   * (a.nv::HUGEINT - a.nc::HUGEINT * k.v)
+               - (a.nt::HUGEINT - a.nc::HUGEINT * k.t)
+                   * (a.pv::HUGEINT - a.pc::HUGEINT * k.v)) AS a2
       FROM bkt k JOIN anch a ON k.event_type = a.event_type AND k.b = a.b
       WHERE k.b > 0 AND k.b < 11
     ),

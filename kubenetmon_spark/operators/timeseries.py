@@ -179,11 +179,19 @@ def lttb_downsample(
         anchors, on=[*key_cols, "_b"]
     )
     # area2 * pc * nc = (sum_pt - pc*t)*(sum_nv - nc*v) - (sum_nt - nc*t)*(sum_pv - pc*v)
+    #
+    # DECIMAL(38,0), not BIGINT: each factor is bucket_count x
+    # coordinate-spread; with epoch-seconds t and 100 TB bucket counts
+    # the cross product overflows int64 (found by the sf1 scaling run).
+    # Decimal keeps the argmax exact — the oracle mirrors with HUGEINT.
+    def _d(c):
+        return c.cast("decimal(20,0)")
+
     a2 = F.abs(
-        (F.col("_pt") - F.col("_pc") * F.col("_t"))
-        * (F.col("_nv") - F.col("_nc") * F.col("_v"))
-        - (F.col("_nt") - F.col("_nc") * F.col("_t"))
-        * (F.col("_pv") - F.col("_pc") * F.col("_v"))
+        (_d(F.col("_pt")) - _d(F.col("_pc")) * _d(F.col("_t")))
+        * (_d(F.col("_nv")) - _d(F.col("_nc")) * _d(F.col("_v")))
+        - (_d(F.col("_nt")) - _d(F.col("_nc")) * _d(F.col("_t")))
+        * (_d(F.col("_pv")) - _d(F.col("_pc")) * _d(F.col("_v")))
     )
     picked = (
         mid.withColumn("_a2", a2)
