@@ -7365,9 +7365,9 @@ def q164(spark, sf_dir):
     ).orderBy("user_id")
 
 
-@_register(
-    "q165_knn_join",
-    """
+#: shared oracle CTE chain replaying knn_join's IVF pipeline in SQL
+#: (q165 neighbors; q271 extends with label votes)
+_KNN_IVF_CTES = """
     WITH e AS (
       SELECT vec_id,
              list_transform(embedding,
@@ -7411,15 +7411,22 @@ def q164(spark, sf_dir):
                i -> qv[CAST(i AS INTEGER)] * ev[CAST(i AS INTEGER)])) AS score
       FROM probes p JOIN assigned a USING (cid)
       WHERE a.vec_id != p.qid
-    )
-    SELECT qid AS query_id, nbr_id, CAST(score AS BIGINT) AS score,
-           CAST(rank AS BIGINT) AS rank
-    FROM (
+    )"""
+
+
+@_register(
+    "q165_knn_join",
+    f"""
+{_KNN_IVF_CTES},
+    ranked AS (
       SELECT qid, nbr_id, score,
              ROW_NUMBER() OVER (PARTITION BY qid
                                 ORDER BY score DESC, nbr_id) AS rank
       FROM cands
-    ) WHERE rank <= 5
+    )
+    SELECT qid AS query_id, nbr_id, CAST(score AS BIGINT) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank
     """,
     "batch kNN JOIN (the all-pairs ANN form): deterministic flat IVF — "
@@ -14041,6 +14048,86 @@ def q270(spark, sf_dir):
         tri.agg(F.count("*").alias("n_triangles"))
         .crossJoin(e.agg(F.count("*").alias("n_edges")))
         .crossJoin(wedges)
+    )
+
+
+@_register(
+    "q271_knn_classify",
+    f"""
+{_KNN_IVF_CTES},
+    ranked AS (
+      SELECT qid, nbr_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, nbr_id) AS rank
+      FROM cands
+    ),
+    nbr AS (
+      SELECT r.qid, emb.label AS nl
+      FROM ranked r JOIN embeddings emb ON emb.vec_id = r.nbr_id
+      WHERE r.rank <= 5
+    ),
+    votes AS (
+      SELECT qid, nl, COUNT(*) AS c FROM nbr GROUP BY qid, nl
+    ),
+    pred AS (
+      SELECT qid, nl AS predicted FROM (
+        SELECT qid, nl,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY c DESC, nl ASC) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    )
+    SELECT emb.label AS true_label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN p.predicted = emb.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN p.predicted = emb.label THEN 1 ELSE 0 END)
+                * 10000 // COUNT(*) AS BIGINT) AS accuracy_bp
+    FROM pred p JOIN embeddings emb ON emb.vec_id = p.qid
+    GROUP BY emb.label ORDER BY true_label
+    """,
+    "kNN classification evaluation over the labeled embedding corpus "
+    "(the data-quality probe for an embedding space: can 5 exact-integer "
+    "IVF neighbors recover the label?): q165's kNN JOIN + per-query "
+    "majority vote (ties -> lowest label) -> per-class accuracy in "
+    "basis points — neighbors, votes, and accuracy all "
+    "engine-reproducible, oracle replays the identical pipeline",
+)
+def q271(spark, sf_dir):
+    from kubenetmon_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nbrs = knn_join(emb, queries, k=5, n_centroids=16, n_probe=4)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        nbrs.join(labels, nbrs["nbr_id"] == labels["vec_id"])
+        .groupBy("query_id", F.col("label").alias("nl"))
+        .agg(F.count("*").alias("c"))
+    )
+    pred = votes.groupBy("query_id").agg(
+        F.max_by(
+            F.col("nl"), F.struct(F.col("c"), (-F.col("nl")).alias("_t"))
+        ).alias("predicted")
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    hit = F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0)
+    return (
+        pred.join(truth, "query_id")
+        .groupBy("true_label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(hit).alias("n_correct"),
+            F.expr(
+                "CAST(sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("accuracy_bp"),
+        )
+        .orderBy("true_label")
     )
 
 
