@@ -671,16 +671,25 @@ def corr_matrix(
     1e-6 (the only float step is the q128-precedent sqrt/divide).
     Columns must be integer fixed-point.
     """
+    # DECIMAL(38,0) sums, not BIGINT: Σx² and the n·Σxy − Σx·Σy cross
+    # terms overflow int64 once values reach ~1e7 at 100 TB row counts
+    # (found by the sf1 scaling sweep); DuckDB's SUM(BIGINT) already
+    # returns HUGEINT, so the oracle needs no change and values are
+    # identical wherever int64 sufficed.
+    def _d(c):
+        return c.cast("decimal(38, 0)")
+
     k = len(value_cols)
     aggs = [F.count(F.lit(1)).alias("n")]
     for i, c in enumerate(value_cols):
-        aggs.append(F.sum(F.col(c)).alias(f"s{i}"))
+        aggs.append(F.sum(_d(F.col(c))).alias(f"s{i}"))
     for i in range(k):
         for j in range(i, k):
             aggs.append(
-                F.sum(F.col(value_cols[i]) * F.col(value_cols[j])).alias(
-                    f"p{i}_{j}"
-                )
+                F.sum(
+                    _d(F.col(value_cols[i]).cast("decimal(19, 0)")
+                       * F.col(value_cols[j]).cast("decimal(19, 0)"))
+                ).alias(f"p{i}_{j}")
             )
     agg = df.groupBy(*group_cols).agg(*aggs)
 
@@ -691,18 +700,14 @@ def corr_matrix(
     cells = []
     for i in range(k):
         for j in range(i, k):
-            num = F.col("n") * F.col(f"p{i}_{j}") - F.col(f"s{i}") * F.col(
-                f"s{j}"
-            )
-            di = F.col("n") * F.col(f"p{i}_{i}") - F.col(f"s{i}") * F.col(
-                f"s{i}"
-            )
-            dj = F.col("n") * F.col(f"p{j}_{j}") - F.col(f"s{j}") * F.col(
-                f"s{j}"
-            )
+            nn = _d(F.col("n"))
+            num = nn * F.col(f"p{i}_{j}") - F.col(f"s{i}") * F.col(f"s{j}")
+            di = nn * F.col(f"p{i}_{i}") - F.col(f"s{i}") * F.col(f"s{i}")
+            dj = nn * F.col(f"p{j}_{j}") - F.col(f"s{j}") * F.col(f"s{j}")
             r = F.when(
                 (di > 0) & (dj > 0),
-                num / F.sqrt(di.cast("double") * dj.cast("double")),
+                num.cast("double")
+                / F.sqrt(di.cast("double") * dj.cast("double")),
             )
             cells.append(
                 F.struct(
