@@ -107,7 +107,9 @@ def main() -> int:
     # the machine's sustained capability).
     run_ingest()
     ingest_s = None
-    for _ in range(2):
+    # best of three: single-run numbers swing ~25% with background
+    # machine state; the best observed run is the sustained capability
+    for _ in range(3):
         t0 = time.perf_counter()
         run_ingest()
         dt = time.perf_counter() - t0

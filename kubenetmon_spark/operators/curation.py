@@ -411,9 +411,12 @@ def sample_negatives(
 
     Candidates are restricted to the anchor's hash bucket
     (md5(candidate) % buckets == md5(anchor) % buckets), so the join
-    is (n/buckets)-per-anchor instead of all-pairs: at corpus scale
-    raise ``buckets`` to keep per-anchor candidate counts constant —
-    the bucket equi-join shuffles both sides once on the bucket key.
+    is (n/buckets)-per-anchor instead of all-pairs. ``buckets`` MUST
+    scale with the corpus: fixed buckets is still Θ(n²/buckets)
+    candidate pairs (the sf1 sweep measured exactly that) — size
+    ``buckets ≈ n / desired_pool`` so per-anchor candidate counts stay
+    constant and total work stays linear; the bucket equi-join
+    shuffles both sides once on the bucket key either way.
     Anchors whose bucket lacks k differently-labeled rows return
     fewer negatives (count them; don't silently re-draw).
 
