@@ -336,13 +336,21 @@ def encode_observations_df(
 
     def gen(batches):
         for b in batches:
+            b = b.drop(columns=[ts_col]).rename(
+                columns={"_ts_seconds": "ts_seconds"}
+            )
+            names = list(b.columns)
             vals = []
-            for r in b.to_dict("records"):
-                r["ts_seconds"] = r.pop("_ts_seconds")
-                r.pop(ts_col, None)
+            # itertuples, not to_dict('records') — ~2x less per-row
+            # conversion overhead on the producer hot loop
+            for tup in b.itertuples(index=False, name=None):
                 vals.append(
                     encode_observation(
-                        {k: v for k, v in r.items() if not pd.isna(v)}
+                        {
+                            k: v
+                            for k, v in zip(names, tup)
+                            if not (v is None or v != v)
+                        }
                     )
                 )
             yield pd.DataFrame({"value": vals})
