@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Whole-surface scaling sweep: execute EVERY gate query at a larger
+scale factor and report failures + timings — the scale-bug hunter that
+caught the q100/q170 int64 overflows (SCALE.md round-2 section).
+
+Usage:
+    python tools/scale_sweep.py [SF_DIR] [--skip qNN,qMM]
+
+SF_DIR defaults to .scale/sf1 (build it with tools/make_scale_data.py).
+Queries run one at a time through the no-op sink; failures are caught
+and summarized instead of aborting the sweep. Exit code 1 if anything
+failed.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+#: known output-bound quadratic baselines excluded by default (their
+#: documented scale substitutes are swept instead — see SCALE.md)
+DEFAULT_SKIP = {"q22_ngram_jaccard"}
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else str(
+        Path(__file__).resolve().parent.parent / ".scale/sf1"
+    )
+    skip = set(DEFAULT_SKIP)
+    for a in sys.argv[1:]:
+        if a.startswith("--skip"):
+            skip |= set(a.split("=", 1)[1].split(","))
+
+    from kubenetmon_spark.gate import gate_queries
+    from kubenetmon_spark.session import get_spark
+    from kubenetmon_spark.tables import load_tables
+
+    spark = get_spark("scale_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).write.format("noop").mode("overwrite").save()
+
+    fails: list[str] = []
+    t_all = time.perf_counter()
+    for name, fn in gate_queries().items():
+        if any(name.startswith(s) for s in skip):
+            print(f"SKIP {name}")
+            continue
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            print(f"OK {name} {time.perf_counter() - t0:.1f}s", flush=True)
+        except Exception as e:  # noqa: BLE001 - sweep must not abort
+            fails.append(name)
+            msg = str(e).splitlines()[0][:160]
+            print(f"FAIL {name}: {type(e).__name__}: {msg}", flush=True)
+    print(
+        f"DONE {time.perf_counter() - t_all:.0f}s; "
+        f"{len(fails)} failures: {fails}"
+    )
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
