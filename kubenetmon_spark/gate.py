@@ -14131,6 +14131,80 @@ def q271(spark, sf_dir):
     )
 
 
+def _ttc_oracle_sql(k: int) -> str:
+    hash_expr = (
+        "list_sum(list_transform(range(1, 14), i -> "
+        "(instr('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), "
+        "i, 1)) - 1) * (16 ** (13 - i))::BIGINT))"
+    )
+    return f"""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'
+                 THEN epoch(date_trunc('second', ts)) END) AS t0,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN epoch(date_trunc('second', ts)) END) AS t1
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT user_id, CAST(t1 - t0 AS BIGINT) AS ttc
+      FROM f WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+    ),
+    h AS (SELECT user_id, ttc, {hash_expr} AS h FROM conv),
+    r AS (
+      SELECT ttc, ROW_NUMBER() OVER (ORDER BY h, ttc) AS rk FROM h
+    ),
+    s AS (SELECT ttc FROM r WHERE rk <= {k}),
+    o AS (
+      SELECT ttc, ROW_NUMBER() OVER (ORDER BY ttc) AS vr,
+             COUNT(*) OVER () AS n
+      FROM s
+    )
+    SELECT CAST(MAX(n) AS INTEGER) AS n_sample,
+           CAST(MAX(CASE WHEN vr = (n - 1) * 50 // 100 + 1 THEN ttc END)
+                AS BIGINT) AS p50,
+           CAST(MAX(CASE WHEN vr = (n - 1) * 90 // 100 + 1 THEN ttc END)
+                AS BIGINT) AS p90
+    FROM o
+    """
+
+
+@_register(
+    "q272_time_to_convert",
+    _ttc_oracle_sql(256),
+    "funnel latency percentiles (signup -> first purchase) through the "
+    "mergeable quantile sketch: per-user first-touch times from one "
+    "conditional aggregation, converters' time-to-convert sampled with "
+    "q268's bottom-k state and read out as engine-exact p50/p90 — the "
+    "product question every funnel dashboard asks, at sketch cost",
+)
+def q272(spark, sf_dir):
+    from kubenetmon_spark.operators.sketch import (
+        quantile_merge,
+        quantile_sample_state,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts").cast("long"))
+        ).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts").cast("long"))
+        ).alias("t1"),
+    )
+    conv = f.filter(
+        F.col("t0").isNotNull()
+        & F.col("t1").isNotNull()
+        & (F.col("t1") >= F.col("t0"))
+    ).select("user_id", (F.col("t1") - F.col("t0")).alias("ttc"))
+    st = quantile_sample_state(conv, [], "ttc", "user_id", k=256)
+    out = quantile_merge(
+        st.withColumn("_g", F.lit(1)), ["_g"], [50, 90], k=256
+    )
+    return out.select("n_sample", "p50", "p90")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
