@@ -775,7 +775,11 @@ _SHINGLES_SQL = """
 @_register(
     "q22_ngram_jaccard",
     f"""
-    WITH sh AS ({_SHINGLES_SQL}),
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    hot AS (
+      SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 5
+    ),
+    sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (shingle)),
     sizes AS (SELECT _id, COUNT(*) AS sz FROM sh GROUP BY _id),
     inter AS (
       SELECT s1._id AS id_1, s2._id AS id_2, COUNT(*) AS intersection
@@ -790,11 +794,18 @@ _SHINGLES_SQL = """
     WHERE (intersection * 10000) // (z1.sz + z2.sz - intersection) >= 3000
     ORDER BY id_1, id_2
     """,
-    "exact n-gram Jaccard near-dup pairs (word 3-grams, basis points)",
+    "exact n-gram Jaccard near-dup pairs (word 3-grams, basis points) "
+    "through the GUARDED form: max_df=5 drops ubiquitous shingles "
+    "(df-capped fan-out keeps the self-join linear in shingle volume; "
+    "the unbounded all-pairs plan now refuses to run above "
+    "JACCARD_UNGUARDED_DOC_LIMIT without an explicit unsafe_exact "
+    "opt-in), oracle mirrors the df cap shingle for shingle",
 )
 def q22(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return jaccard_pairs(d, "doc_id", "text", n=3, threshold_bp=3000).orderBy("id_1", "id_2")
+    return jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold_bp=3000, max_df=5
+    ).orderBy("id_1", "id_2")
 
 
 # MinHash(8) + LSH(4 bands) candidate pairs, exact-verified at >= 3000 bp —
@@ -936,16 +947,19 @@ _DOT = (
     ORDER BY id_1, id_2
     """,
     "embedding-cosine near-duplicate pairs (exact all-pairs baseline; "
-    "planted copies must surface at cosine_bp=10000)",
+    "planted copies must surface at cosine_bp=10000). Uses the explicit "
+    "exact method='sql' so the gate's exactness promise matches the "
+    "oracle's on ANY dataset; the approximate LSH default is gated "
+    "separately (q273) at the never-miss threshold",
 )
 def q27(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = e.filter(F.col("vec_id") < 30).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
     )
-    return cosine_near_dup_pairs(e.unionByName(copies), threshold_bp=9500).orderBy(
-        "id_1", "id_2"
-    )
+    return cosine_near_dup_pairs(
+        e.unionByName(copies), threshold_bp=9500, method="sql"
+    ).orderBy("id_1", "id_2")
 
 
 @_register(
@@ -14203,6 +14217,43 @@ def q272(spark, sf_dir):
         st.withColumn("_g", F.lit(1)), ["_g"], [50, 90], k=256
     )
     return out.select("n_sample", "p50", "p90")
+
+
+@_register(
+    "q273_cosine_lsh_exact_dups",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 30
+    ),
+    n AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nm
+      FROM base
+    )
+    SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+           CAST(ROUND({_DOT.format(a='a.embedding', b='b.embedding')} / (a.nm * b.nm), 4) * 10000 AS BIGINT) AS cosine_bp
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE CAST(ROUND({_DOT.format(a='a.embedding', b='b.embedding')} / (a.nm * b.nm), 4) * 10000 AS BIGINT) >= 10000
+    ORDER BY id_1, id_2
+    """,
+    "the sign-LSH default path of cosine_near_dup_pairs, oracle-paired "
+    "at the exact-duplicate threshold (cosine_bp=10000): LSH output is "
+    "always a SUBSET of the exact answer (candidates are re-ranked with "
+    "the exact formula), and exact-direction pairs agree on every band "
+    "key, so the planted copies are provably never missed — the "
+    "scale-default path gets a real hash-matched oracle without "
+    "promising recall it does not have (q27 gates the exact methods)",
+)
+def q273(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = e.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return cosine_near_dup_pairs(
+        e.unionByName(copies), threshold_bp=10000, method="lsh"
+    ).orderBy("id_1", "id_2")
 
 
 # ---------------------------------------------------------------------------

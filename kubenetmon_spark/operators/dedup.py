@@ -130,6 +130,17 @@ def shingle_set(
     return sh
 
 
+#: Above this many documents, an UNBOUNDED all-pairs shingle self-join
+#: is refused (measured 80x runtime at 10x data — SCALE.md): the caller
+#: must either cap shingle document-frequency (``max_df``, which bounds
+#: the join fan-out to <= max_df matches per shingle, making total work
+#: linear in shingle volume) or explicitly accept the quadratic plan
+#: with ``unsafe_exact=True``. The engine protecting users from
+#: accidentally-quadratic plans is the Spark analogue of ClickHouse's
+#: ``max_bytes_to_read``-style query safety limits.
+JACCARD_UNGUARDED_DOC_LIMIT = 10_000
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -137,13 +148,37 @@ def jaccard_pairs(
     n: int = 3,
     threshold_bp: int = 3000,
     max_df: int | None = None,
+    unsafe_exact: bool = False,
+    unguarded_doc_limit: int = JACCARD_UNGUARDED_DOC_LIMIT,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing a shingle.
 
     Returns (id_1, id_2, intersection, jaccard_bp) with id_1 < id_2 and
     jaccard_bp = floor(J * 10000) — integer basis points keep the result
     engine-exact (no float division).
+
+    **Scale boundary (enforced).** Without ``max_df`` the shingle
+    self-join is all-pairs: a shingle shared by d documents emits
+    d*(d-1)/2 candidate rows, so corpora with hot shingles go quadratic.
+    Above ``unguarded_doc_limit`` documents this function therefore
+    REFUSES to run unless the caller passes ``max_df`` (drop shingles
+    appearing in more than that many documents — bounded fan-out, and
+    near-dup semantics barely care because ubiquitous shingles carry no
+    signal) or opts in explicitly with ``unsafe_exact=True``. The
+    production-scale substitute is :func:`minhash_lsh_pairs` (bucketed
+    candidates, exact verification).
     """
+    if max_df is None and not unsafe_exact:
+        n_docs = df.select(id_col).count()
+        if n_docs > unguarded_doc_limit:
+            raise ValueError(
+                f"jaccard_pairs: {n_docs} documents exceeds the "
+                f"unguarded limit ({unguarded_doc_limit}) for the "
+                "all-pairs shingle self-join. Pass max_df=<cap> to bound "
+                "the join fan-out, use minhash_lsh_pairs for bucketed "
+                "near-dup at scale, or force the quadratic plan with "
+                "unsafe_exact=True."
+            )
     # Materialize the shingle set once — it is scanned three times below
     # (sizes + both sides of the self-join).
     sh = shingle_set(df, id_col, text_col, n, max_df).localCheckpoint(eager=True)

@@ -138,6 +138,14 @@ def entity_clusters(
     identical-text nodes (pairwise distance 0, always linked) preserves
     components; the cluster representative is the min member id.
     Texts with no fuzzy partner still form (exact-duplicate) clusters.
+
+    **Precondition**: ``block_col`` must be a PURE FUNCTION of the text
+    (e.g. a prefix, soundex, or length bucket of ``text_col``) — the
+    distinct-text contraction keeps one block per text (``F.min`` for
+    determinism), so a blocking key derived from anything else (another
+    column, arbitrary row state) would arbitrarily collapse a text's
+    other blocks and change which candidate pairs are generated. The
+    row-level-equality claim above holds only under this precondition.
     """
     stats = (
         df.groupBy(F.col(text_col).alias("_text"))
@@ -145,7 +153,10 @@ def entity_clusters(
             F.min(id_col).alias("_rep"),
             F.count("*").alias("_n"),
             F.sum(id_col).alias("_sum"),
-            F.first(
+            # min, NOT first: deterministic under any partitioning. With
+            # the block-is-function-of-text precondition all rows of a
+            # text agree, so min == the unique block.
+            F.min(
                 F.col(block_col) if isinstance(block_col, str) else block_col
             ).alias("_block"),
         )

@@ -87,14 +87,24 @@ def cosine_near_dup_pairs(
     threshold_bp: int = 9500,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "blocked",
+    method: str = "lsh",
     bands: int = 16,
     band_bits: int = 16,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: all (i<j) with
-    round(cosine,4)*10000 >= threshold_bp.
+    """Embedding-cosine near-duplicate pairs (i<j, scored as
+    round(cosine,4)*10000 >= threshold_bp).
 
-    ``method='blocked'`` (default): **sign-LSH banded candidate
+    **Exactness depends on ``method``.** ``'sql'`` and
+    ``'broadcast_matrix'`` are exact: they return ALL qualifying pairs.
+    The default ``'lsh'`` is **approximate with quantified recall** (see
+    below): scores are exact for every pair it emits (its output is
+    always a subset of the exact answer — candidates are re-ranked with
+    the exact formula), and exact-direction duplicates (cosine 1.0) are
+    never missed, but a borderline pair can be deterministically missed
+    if it collides on no band. Callers needing the exact answer on a
+    corpus small enough to afford it must pass an exact method.
+
+    ``method='lsh'`` (default): **sign-LSH banded candidate
     generation + exact blocked re-rank — fully distributed, no driver
     collect.** Each vector gets ``bands`` band keys (``band_bits`` sign
     bits per band, deterministic md5-derived hyperplanes, computed with
@@ -115,16 +125,17 @@ def cosine_near_dup_pairs(
     candidates ≈ bands · n² / 2^band_bits — at 16 bits that is n²/4096,
     which is what keeps the re-rank off the full pair space.
 
-    ``method='broadcast_matrix'``: the exact O(n²) block-row matrix
+    ``method='broadcast_matrix'``: exact — the O(n²) block-row matrix
     multiply — the corpus matrix is COLLECTED TO THE DRIVER, normalized,
     and broadcast; each Arrow batch computes ``V_block @ M.T`` with
     BLAS. Fastest for small corpora (≲ a few hundred MB of vectors);
     the driver/executor memory ceiling makes it unusable at 100 TB —
     use the default instead.
 
-    ``method='sql'``: the pure-DataFrame self-join baseline (no Python,
-    no driver collect) — the form the DuckDB oracle mirrors expression
-    for expression.
+    ``method='sql'``: exact — the pure-DataFrame self-join baseline (no
+    Python, no driver collect) — the form the DuckDB oracle mirrors
+    expression for expression. O(n²) comparisons: fine for oracle-scale
+    corpora, not a 100 TB path.
 
     Returns (id_1, id_2, cosine_bp) with cosine in integer basis points.
     Rounding is HALF_UP at 4 decimals in all methods, so results are
@@ -198,7 +209,7 @@ def cosine_near_dup_pairs(
 
         return vectors.mapInPandas(gen, pair_schema)
 
-    if method != "blocked":
+    if method not in ("lsh", "blocked"):  # 'blocked' = legacy alias
         raise ValueError(f"unknown method {method!r}")
 
     # --- default: sign-LSH banded candidates + exact Arrow re-rank ----

@@ -188,6 +188,49 @@ def _kmv_hash(col):
     )
 
 
+def _partition_bottom_k(
+    df: DataFrame, group_cols: list[str], k: int, dedup: bool
+) -> DataFrame:
+    """Per INPUT PARTITION, keep only the ``k`` smallest-``_h`` rows of
+    each group — a zero-shuffle Arrow-batched fold that bounds what any
+    later per-group collect can see.
+
+    Without this, a billion-row group would materialize entirely inside
+    one ``collect_list``/``collect_set`` array before the slice-to-k —
+    unbounded executor memory, the opposite of what a bounded sketch
+    promises (ADVICE r02). After the fold, the downstream collect holds
+    at most ``k × num_partitions`` entries per group: bounded by cluster
+    topology, not data size — the standard partial-state/merge shape of
+    every mergeable sketch in this module.
+
+    Correctness: the global bottom-k of a union is the bottom-k of the
+    per-part bottom-ks (any row in the global bottom-k is necessarily in
+    its own partition's bottom-k), so the final state is bit-identical
+    to the unbounded build. Rows are ordered by ALL non-group columns
+    (``_h`` first), matching the struct sort order of the final
+    ``sort_array``, so hash ties keep identical survivors too.
+    ``dedup=True`` additionally drops duplicate (group, _h) pairs
+    locally (KMV wants distinct hashes; the final collect_set still
+    dedups across partitions)."""
+    sort_cols = [c for c in df.columns if c not in group_cols]
+    gcols = list(group_cols)
+
+    def fold(batches):
+        import pandas as pd
+
+        acc = None
+        for b in batches:
+            cur = pd.concat([acc, b], ignore_index=True) if acc is not None else b
+            if dedup:
+                cur = cur.drop_duplicates(subset=gcols + ["_h"])
+            cur = cur.sort_values(sort_cols, kind="mergesort")
+            acc = cur.groupby(gcols, sort=False).head(k) if gcols else cur.head(k)
+        if acc is not None and len(acc):
+            yield acc
+
+    return df.mapInPandas(fold, df.schema)
+
+
 def kmv_state(
     df: DataFrame,
     group_cols: list[str],
@@ -199,14 +242,18 @@ def kmv_state(
     60-bit hash values — a mergeable distinct-count state that is
     bit-identical across engines and partitionings.
 
-    Two hash aggregations: distinct (group, hash) pairs first (map-side
-    combined), then the bounded top-k fold via sort+slice. State size
-    is at most ``k`` longs per group."""
+    Build shape: a zero-shuffle per-partition bottom-k fold
+    (:func:`_partition_bottom_k`) bounds per-group state BEFORE the one
+    hash shuffle, which then carries at most ``k`` longs per
+    (partition, group) — no global distinct over every (group, hash)
+    pair, and no unbounded collect. Final state size is at most ``k``
+    longs per group."""
     h = _kmv_hash(value_col).alias("_h")
+    pre = _partition_bottom_k(
+        df.select(*group_cols, h), group_cols, k, dedup=True
+    )
     return (
-        df.select(*group_cols, h)
-        .distinct()
-        .groupBy(*group_cols)
+        pre.groupBy(*group_cols)
         .agg(
             F.slice(F.sort_array(F.collect_set("_h")), 1, k).alias(out_col)
         )
@@ -262,11 +309,20 @@ def quantile_sample_state(
 ) -> DataFrame:
     """Per group, the (hash, value) pairs of the ``k`` smallest-hash
     rows — a deterministic mergeable uniform sample. ``key_col`` must
-    uniquely identify a row within the group (e.g. event_id)."""
+    uniquely identify a row within the group (e.g. event_id).
+
+    Bounded build: the per-partition bottom-k fold runs first (zero
+    shuffle), so the per-group collect sees at most ``k`` rows per
+    input partition — never the whole group (ADVICE r02)."""
     h = _kmv_hash(key_col).alias("_h")
+    pre = _partition_bottom_k(
+        df.select(*group_cols, h, F.col(value_col).alias("_v")),
+        group_cols,
+        k,
+        dedup=False,
+    )
     return (
-        df.select(*group_cols, h, F.col(value_col).alias("_v"))
-        .groupBy(*group_cols)
+        pre.groupBy(*group_cols)
         .agg(
             F.slice(
                 F.sort_array(F.collect_list(F.struct("_h", "_v"))), 1, k

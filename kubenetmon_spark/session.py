@@ -26,6 +26,29 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def default_driver_mem() -> str:
+    """Local-mode driver heap default, derived from the machine actually
+    running us rather than baked in: local mode runs executors INSIDE
+    the driver JVM, so the one heap does all the work — but a fixed big
+    number (48g) would fail JVM startup or invite the OS OOM-killer on
+    smaller hosts (ADVICE r02). ~1/3 of physical RAM leaves room for
+    Python workers (Arrow batches live in the pyspark daemons, off-heap)
+    and the OS page cache; clamped to [2g, 48g]. Bench/scale tooling
+    pins the measured-box value explicitly via SPARK_GRAFT_DRIVER_MEM,
+    which always wins. A real cluster ignores this and sizes executors."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            kb = int(
+                next(ln for ln in f if ln.startswith("MemTotal")).split()[1]
+            )
+        return f"{max(2, min(48, kb // (3 * 1024 * 1024)))}g"
+    except (OSError, StopIteration, ValueError, IndexError):
+        return "4g"
+
+
 def get_spark(
     app_name: str = "kubenetmon_spark",
     master: str | None = None,
@@ -53,10 +76,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # local mode runs executors INSIDE the driver JVM: size the one
-        # heap for 32 concurrent tasks (the box has 128 GiB; 8g caused
-        # GC-lock thrash on ~100M-row cached graphs at sf1). A real
-        # cluster ignores this and sizes executors instead.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # heap from the actual machine (8g caused GC-lock thrash on
+        # ~100M-row cached graphs at sf1 on the 128 GiB bench box; see
+        # default_driver_mem for the derivation and the env override).
+        .config("spark.driver.memory", default_driver_mem())
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -46,6 +46,21 @@ from pyspark.sql import functions as F
 
 _VARINT, _FIXED64, _LEN, _FIXED32 = 0, 1, 2, 5
 
+_I64_MAX = (1 << 63) - 1
+_I32_MAX = (1 << 31) - 1
+
+
+def _i64(val: int, what: str) -> int:
+    # uint64 wire values above int64 max cannot ride a LongType column:
+    # left unchecked they poison the whole Arrow batch at mapInPandas
+    # conversion (ArrowInvalid), killing the stream. Raising here routes
+    # the single hostile/corrupt message through the caller's
+    # skip-and-continue except-clause instead — the reference server's
+    # per-message error tolerance (cmd/server/server.go:100-113).
+    if val > _I64_MAX:
+        raise ValueError(f"{what} {val} exceeds int64 range")
+    return int(val)
+
 
 def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
     val, shift = 0, 0
@@ -124,9 +139,9 @@ def _decode_tuple(buf: bytes) -> dict[str, Any]:
         elif fnum == 2 and wt == _LEN:
             out["dst"] = _decode_endpoint(val)
         elif fnum == 3 and wt == _VARINT:
-            out["packets"] = int(val)
+            out["packets"] = _i64(val, "packets")
         elif fnum == 4 and wt == _VARINT:
-            out["bytes"] = int(val)
+            out["bytes"] = _i64(val, "bytes")
     return out
 
 
@@ -143,6 +158,8 @@ def decode_observation(buf: bytes) -> dict[str, Any]:
         if fnum == 1 and wt == _LEN:  # Flow
             for ffnum, fwt, fval in _fields(val):
                 if ffnum == 1 and fwt == _VARINT:
+                    if fval > _I32_MAX:
+                        raise ValueError(f"proto {fval} exceeds int32 range")
                     proto = int(fval)
                 elif ffnum == 2 and fwt == _LEN:
                     orig = _decode_tuple(fval)
@@ -151,7 +168,7 @@ def decode_observation(buf: bytes) -> dict[str, Any]:
         elif fnum == 2 and wt == _LEN:
             node_name = bytes(val).decode("utf-8")
         elif fnum == 3 and wt == _VARINT:
-            ts = int(val)
+            ts = _i64(val, "timestamp")
     return {
         "node_name": node_name,
         "ts_seconds": ts,

@@ -328,6 +328,59 @@ class TestEmptyInputs:
         assert minhash_lsh_pairs(docs, "doc_id", "text").count() == 0
         assert jaccard_pairs(docs, "doc_id", "text").count() == 0
 
+    def test_jaccard_scale_guard(self, spark):
+        from kubenetmon_spark.operators.dedup import jaccard_pairs
+
+        docs = spark.range(0, 30).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("alpha beta gamma delta "), F.col("id")).alias(
+                "text"
+            ),
+        )
+        # unbounded all-pairs above the doc limit: refused
+        with pytest.raises(ValueError, match="unguarded limit"):
+            jaccard_pairs(
+                docs, "doc_id", "text", unguarded_doc_limit=10
+            ).count()
+        # max_df bounds the fan-out: allowed at any size
+        assert (
+            jaccard_pairs(
+                docs, "doc_id", "text", max_df=5, unguarded_doc_limit=10
+            ).count()
+            >= 0
+        )
+        # explicit opt-in forces the quadratic plan
+        n_unsafe = jaccard_pairs(
+            docs,
+            "doc_id",
+            "text",
+            threshold_bp=5000,
+            unsafe_exact=True,
+            unguarded_doc_limit=10,
+        ).count()
+        # all 30 docs share the 'alpha beta gamma'+'beta gamma delta'
+        # shingles out of 4-5 each -> every pair is ~50% similar
+        assert n_unsafe == 30 * 29 // 2
+
+    def test_jaccard_max_df_drops_hot_shingles(self, spark):
+        from kubenetmon_spark.operators.dedup import jaccard_pairs
+
+        # 10 docs all sharing one ubiquitous shingle; with max_df=5 the
+        # shared shingle is dropped, so no pair survives
+        docs = spark.range(0, 10).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("common one two "), F.col("id")).alias("text"),
+        )
+        assert (
+            jaccard_pairs(docs, "doc_id", "text", threshold_bp=1).count() > 0
+        )
+        assert (
+            jaccard_pairs(
+                docs, "doc_id", "text", threshold_bp=1, max_df=5
+            ).count()
+            == 0
+        )
+
     def test_empty_quantize(self, spark):
         from kubenetmon_spark.operators.similarity import quantize_embeddings
 

@@ -43,16 +43,37 @@ def test_cosine_near_dup_methods_agree(vectors):
     # exact-direction duplicates agree on every LSH band, so at a
     # 0.9999 threshold all three methods must return identical pairs
     got = {}
-    for m in ("blocked", "broadcast_matrix", "sql"):
+    for m in ("lsh", "blocked", "broadcast_matrix", "sql"):
         rows = cosine_near_dup_pairs(
             vectors, threshold_bp=9999, method=m
         ).collect()
         got[m] = sorted((r.id_1, r.id_2, r.cosine_bp) for r in rows)
-    assert got["blocked"] == got["broadcast_matrix"] == got["sql"]
+    # 'blocked' is the legacy alias for 'lsh'
+    assert got["lsh"] == got["blocked"] == got["broadcast_matrix"] == got["sql"]
+
+
+def test_cosine_lsh_subset_of_exact(vectors):
+    # the approximate default may MISS borderline pairs but must never
+    # emit a pair the exact method would not (re-rank is exact)
+    lsh = {
+        (r.id_1, r.id_2, r.cosine_bp)
+        for r in cosine_near_dup_pairs(
+            vectors, threshold_bp=9500, method="lsh"
+        ).collect()
+    }
+    exact = {
+        (r.id_1, r.id_2, r.cosine_bp)
+        for r in cosine_near_dup_pairs(
+            vectors, threshold_bp=9500, method="sql"
+        ).collect()
+    }
+    assert lsh <= exact
+    # exact-direction duplicates are never missed at any threshold
+    assert (7, 37, 10000) in lsh
 
 
 def test_cosine_near_dup_default_path_no_driver_collect(vectors, monkeypatch):
-    # the default (blocked) path must be fully distributed: constructing
+    # the default (lsh) path must be fully distributed: constructing
     # AND executing the plan may never pull the corpus to the driver
     from pyspark.sql import DataFrame
 

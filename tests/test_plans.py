@@ -450,3 +450,124 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --- skew kill-tests (VERDICT r02 #3) ----------------------------------
+# The reference deployment's real skew shape is a single chatty pod: 90%
+# of observations landing on ONE full dimension key (SURVEY.md §4.5).
+
+
+def test_summing_aggregation_survives_90pct_one_key_skew(spark):
+    # The flagship shuffle is keyed by the 33 dims. Structural defense:
+    # map-side partial aggregation (HashAggregate BELOW the exchange)
+    # collapses the hot key to one row per mapper before any shuffle,
+    # so a 90%-one-key distribution never rides the wire — and the
+    # summing contract stays exact.
+    from kubenetmon_spark.operators.flows import summing_aggregate, to_flow_rows
+    from kubenetmon_spark.operators.label import label_flows as lf, split_rejected
+    from kubenetmon_spark.dims import build_cloud_prefixes
+    from tests.fixtures import CFG, nodes_df, observations_df, pods_df, raw_prefixes_df
+
+    prefixes = build_cloud_prefixes(raw_prefixes_df(spark))
+    labeled = lf(observations_df(spark), pods_df(spark), nodes_df(spark), prefixes, CFG)
+    accepted, _ = split_rejected(labeled)
+    base = to_flow_rows(accepted)
+    hot = base.orderBy("localPort", "direction").limit(1)
+    hot_many = hot.withColumn(
+        "_i", F.explode(F.sequence(F.lit(1), F.lit(9000)))
+    ).drop("_i")
+    fact = base.unionByName(hot_many)
+
+    agg = summing_aggregate(fact)
+    rows = agg.collect()
+    plan = _plan(agg)
+
+    # partial/final shape: a HashAggregate must sit BELOW the exchange
+    # (plan prints top-down, so it appears after the Exchange line)
+    assert "Exchange hashpartitioning" in plan
+    below_exchange = plan.split("Exchange hashpartitioning", 1)[1]
+    assert "HashAggregate" in below_exchange, (
+        "summing aggregation lost its map-side partial aggregate — "
+        "key skew would ride the shuffle at full row volume"
+    )
+
+    # the gate stays green under skew: totals exact, one row per key
+    tot_bytes = fact.agg(F.sum("bytes")).collect()[0][0]
+    assert sum(r.bytes for r in rows) == tot_bytes
+    # MAP columns can't join set ops: count keys via the canonical
+    # flags JSON (exactly how summing_aggregate groups them)
+    from kubenetmon_spark.functions.flags import canonical_flags_json
+
+    n_keys = (
+        fact.withColumn("_fk", canonical_flags_json("connectionFlags"))
+        .select(
+            "_fk",
+            *[
+                c
+                for c in agg.columns
+                if c not in ("bytes", "packets", "connectionFlags")
+            ],
+        )
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_keys
+
+
+def test_aqe_skew_join_split_activates(spark):
+    # For genuinely skewed SHUFFLE joins (fact-to-fact, too big to
+    # broadcast), the engine's session defaults turn on AQE skew-join
+    # splitting; this pins that a 90%-one-key join actually triggers it
+    # (executedPlan carries skew=true) and returns exact results.
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # AQE has its own runtime broadcast threshold; keep the join a
+        # shuffle join so the skew machinery (not broadcast) handles it
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+    }
+    old = {}
+    for k, v in tuned.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        # pad must SURVIVE into the join output (else column pruning
+        # drops it) and be incompressible (else 54k identical keys
+        # compress below any skew threshold in the shuffle stats)
+        left = spark.range(0, 60_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(
+                F.md5(F.col("id").cast("string")),
+                F.md5((F.col("id") + 7).cast("string")),
+                F.md5((F.col("id") + 13).cast("string")),
+            ).alias("pad"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.col("id").alias("r")
+        )
+        j = left.join(right, "k").select("k", "pad", "r")
+        # collect() (not count()) so the inspected queryExecution is the
+        # one that actually ran and carries the final adaptive plan
+        got = len(j.collect())
+        plan = _plan(j)
+        assert "skew=true" in plan, (
+            "AQE did not split the 90%-one-key join — skew config "
+            "regressed in session defaults"
+        )
+        # exact under the split: 54k rows match k=0; ids 9,19..99 match
+        # themselves
+        assert got == 54_000 + 10
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -126,6 +126,18 @@ class TestDecode:
         with pytest.raises(ValueError):
             decode_observation(bad)
 
+    @pytest.mark.parametrize(
+        "field", ["ts_seconds", "orig_packets", "orig_bytes", "reply_bytes"]
+    )
+    def test_uint64_over_int64_raises(self, field):
+        # A structurally-valid message whose uint64 varint exceeds int64
+        # max must raise (-> skip-and-continue drops the row) rather
+        # than reach the Arrow batch and kill the stream with
+        # ArrowInvalid (ADVICE r02).
+        row = {"node_name": "evil", "ts_seconds": 1, "proto": 6, field: 2**63}
+        with pytest.raises(ValueError):
+            decode_observation(encode_observation(row))
+
 
 class TestSparkRoundtrip:
     def test_demo_observations_roundtrip(self, spark):
@@ -155,3 +167,19 @@ class TestSparkRoundtrip:
         out = parse_proto_observations(df)
         got = {r.node_name for r in out.collect()}
         assert got == {"node", "n2"}
+
+    def test_hostile_uint64_dropped_batch_survives(self, spark):
+        # One valid row, one structurally-valid row carrying a uint64
+        # timestamp above int64 max. The hostile row must be dropped
+        # per-message; the batch (and the valid row) must survive.
+        evil = encode_observation(
+            {"node_name": "evil", "ts_seconds": 2**64 - 1, "proto": 6}
+        )
+        big = encode_observation(
+            {"node_name": "big", "ts_seconds": 7, "proto": 6,
+             "orig_bytes": 2**63 + 42}
+        )
+        rows = [(bytearray(GOLDEN),), (bytearray(evil),), (bytearray(big),)]
+        df = spark.createDataFrame(rows, "value binary")
+        got = {r.node_name for r in parse_proto_observations(df).collect()}
+        assert got == {"node"}

@@ -88,3 +88,73 @@ def test_streamed_quantile_states_merge_to_batch_answer(spark, event_files, tmp_
         ).collect()
     }
     assert streamed == batch
+
+
+def test_sketch_build_state_is_bounded_pre_shuffle(spark):
+    # ADVICE r02: the build must never materialize a whole group in one
+    # collect array. The per-partition bottom-k fold runs BEFORE the
+    # shuffle, so the rows entering the final per-group collect number
+    # at most k x num_partitions — bounded by topology, not group size.
+    from kubenetmon_spark.operators.sketch import _partition_bottom_k
+
+    k = 16
+    one_group = spark.range(0, 20000, 1, 8).select(
+        F.lit("g").alias("typ"),
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        .alias("_h"),
+        (F.col("id") % 100).alias("_v"),
+    )
+    pre = _partition_bottom_k(one_group, ["typ"], k, dedup=False)
+    n_pre = pre.count()
+    assert n_pre <= k * 8  # bounded: 20k-row group -> <=128 pre-agg rows
+    assert n_pre >= k      # at least one full partition's k
+
+
+def test_bounded_build_states_bit_identical_to_unbounded(spark):
+    # the bounded fold must not change the state: compare against a
+    # direct unbounded collect_list/collect_set build
+    rows = [(i, f"t{i % 3}", f"u{i % 97}", (i * 13) % 500) for i in range(5000)]
+    df = spark.createDataFrame(
+        rows, "eid long, typ string, user string, v long"
+    ).repartition(7)
+
+    got_kmv = {
+        r.typ: list(r.kmv_sketch)
+        for r in kmv_state(df, ["typ"], "user", k=32).collect()
+    }
+    want_kmv = {
+        r.typ: list(r.s)
+        for r in df.select(
+            "typ",
+            F.conv(F.substring(F.md5(F.col("user").cast("string")), 1, 13), 16, 10)
+            .cast("long")
+            .alias("_h"),
+        )
+        .distinct()
+        .groupBy("typ")
+        .agg(F.slice(F.sort_array(F.collect_set("_h")), 1, 32).alias("s"))
+        .collect()
+    }
+    assert got_kmv == want_kmv
+
+    got_q = {
+        r.typ: list(map(tuple, r.q_sample))
+        for r in quantile_sample_state(df, ["typ"], "v", "eid", k=32).collect()
+    }
+    want_q = {
+        r.typ: list(map(tuple, r.s))
+        for r in df.select(
+            "typ",
+            F.conv(F.substring(F.md5(F.col("eid").cast("string")), 1, 13), 16, 10)
+            .cast("long")
+            .alias("_h"),
+            F.col("v").alias("_v"),
+        )
+        .groupBy("typ")
+        .agg(
+            F.slice(F.sort_array(F.collect_list(F.struct("_h", "_v"))), 1, 32).alias("s")
+        )
+        .collect()
+    }
+    assert got_q == want_q

@@ -14,6 +14,7 @@ failed.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -22,7 +23,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 #: known output-bound quadratic baselines excluded by default (their
 #: documented scale substitutes are swept instead — see SCALE.md)
-DEFAULT_SKIP = {"q22_ngram_jaccard"}
+# No default exclusions: q22's all-pairs Jaccard used to be skipped
+# here, but its gate now runs the max_df-guarded form (bounded fan-out),
+# so the whole surface sweeps unexcluded.
+DEFAULT_SKIP: set[str] = set()
 
 
 def main() -> int:
@@ -34,6 +38,10 @@ def main() -> int:
     for a in sys.argv[1:]:
         if a.startswith("--skip"):
             skip |= set(a.split("=", 1)[1].split(","))
+
+    # sf1-in-local-mode needs the big-box heap (SCALE.md driver-heap
+    # note); pin it here, not in the library default.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
     from kubenetmon_spark.gate import gate_queries
     from kubenetmon_spark.session import get_spark
