@@ -193,6 +193,28 @@ KNOWN = {
     "uses the zero-shuffle disjoint-interval form instead",
 }
 
+#: adjudicated bench-timing regressions (VERDICT r02 #2): every entry a
+#: BENCH_r* regression list ever flags gets a reviewed note here, and the
+#: notes render into PLAN_AUDIT.md so the adjudication ships with the
+#: audit. (bench.py additionally re-times sub-3s flags best-of-2 on the
+#: warm session before listing them, so pure timer noise self-clears.)
+BENCH_NOTES = {
+    "q106_any_left_join": "r02 flag 0.99s->1.52s adjudicated as timer "
+    "noise: plan unchanged (min_by pre-agg then shuffle join, broadcast "
+    "deliberately off — gate.py q106, operators/joins.py), and best-of-3 "
+    "re-timing on an idle box (r03: 0.96s warm) reproduces the r01 "
+    "number; sub-2s single-shot timings swing 1.5-2x with background "
+    "load.",
+    "q223_lpm6": "r02 growth 1.02s->1.90s is the disjoint6 rewrite's "
+    "deliberate trade: the v6 LPM lost its per-row row_number window and "
+    "ALL fact-side shuffles (plan-asserted, "
+    "test_plans.py::test_disjoint_lpm6_adds_no_fact_side_shuffle) in "
+    "exchange for a banded broadcast join that costs ~0.6s more "
+    "local-mode CPU at sf0.1 (r03 best-of-3 warm: 1.62s vs r01 1.02s) — "
+    "at 100 TB the shuffle it removed dominates, not the local "
+    "arithmetic it added.",
+}
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -258,6 +280,10 @@ def main() -> int:
             f"{len(unreviewed)} UNREVIEWED flag(s) — a plan likely regressed; "
             "investigate before shipping."
         )
+
+    lines += ["", "## Bench regression adjudications", ""]
+    for q, why in BENCH_NOTES.items():
+        lines.append(f"- {q}: {why}")
 
     Path(out_md).write_text("\n".join(lines) + "\n")
     print(f"wrote {out_md} ({len(rows)} queries, {len(flagged)} flagged)")
