@@ -4511,15 +4511,23 @@ def q111(spark, sf_dir):
     ).orderBy("user_id", "event_id")
 
 
+from kubenetmon_spark.gate_bpe import bpe_oracle_sql
+
+
 @_register(
     "q112_bpe_tokenize",
-    None,  # merge training is iterative/procedural — no SQL oracle; the
-    # trainer and applier are validated token-for-token against an
+    # iterative merge training, oracled the gate_kmeans way: one
+    # generated MATERIALIZED CTE pair per merge round (argmax pair +
+    # string-replace splice), replace-chain application over distinct
+    # words — upgraded from rows-only in r03 (VERDICT r02 #7); the
+    # token-level algorithm is additionally validated against an
     # independent pure-Python reference in tests/test_bpe.py
+    bpe_oracle_sql(16),
     "real BPE: merges trained on the corpus (distinct-word-weighted "
     "pair counting, one small shuffle per merge, lexicographic "
     "tie-break) then applied via Arrow batches with per-batch word "
-    "memoization — operators/bpe.py",
+    "memoization — operators/bpe.py; oracle = gate_bpe.py's unrolled "
+    "deterministic merge chain",
 )
 def q112(spark, sf_dir):
     from kubenetmon_spark.operators.bpe import bpe_apply, bpe_train
