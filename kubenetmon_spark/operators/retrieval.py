@@ -70,13 +70,32 @@ def build_inverted_index(
         .groupBy("token", id_col)
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    idx = per_doc.groupBy("token").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("tf").alias("total_tf"),
-        F.sort_array(F.collect_list(F.col(id_col))).alias("postings"),
-    )
-    if max_postings is not None:
-        idx = idx.withColumn("postings", F.slice("postings", 1, max_postings))
+    if max_postings is None:
+        idx = per_doc.groupBy("token").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tf").alias("total_tf"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("postings"),
+        )
+    else:
+        # Bound BEFORE collecting (same posture as the sketch builds):
+        # the rank window sorts with disk spill, so a stopword-grade
+        # term never materializes its full posting array in one
+        # executor's memory — only the max_postings survivors reach the
+        # collect. n_docs/total_tf still aggregate the FULL corpus
+        # (window-independent columns), so scoring stays exact.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("token").orderBy(F.col(id_col))
+        ranked = per_doc.withColumn("_rk", F.row_number().over(w))
+        idx = ranked.groupBy("token").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tf").alias("total_tf"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rk") <= max_postings, F.col(id_col))
+                )
+            ).alias("postings"),
+        )
     return idx.filter(F.col("n_docs") >= min_docs)
 
 
