@@ -183,3 +183,57 @@ class TestSparkRoundtrip:
         df = spark.createDataFrame(rows, "value binary")
         got = {r.node_name for r in parse_proto_observations(df).collect()}
         assert got == {"node"}
+
+
+class TestFuzz:
+    """Adversarial decode robustness: arbitrary bytes must either decode
+    to a schema-valid row or raise ValueError/UnicodeDecodeError (the two
+    exceptions the streaming path's skip-and-continue catches) — never
+    crash with anything else, never return out-of-range values that
+    would poison an Arrow batch downstream."""
+
+    def test_arbitrary_bytes_never_escape_contract(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        I64 = 2**63
+
+        @settings(max_examples=400, deadline=None)
+        @given(st.binary(max_size=200))
+        def check(buf):
+            try:
+                row = decode_observation(buf)
+            except (ValueError, UnicodeDecodeError):
+                return
+            assert -I64 <= row["ts_seconds"] < I64
+            assert 0 <= row["proto"] < 2**31
+            for side in ("orig", "reply"):
+                assert -I64 <= row[f"{side}_packets"] < I64
+                assert -I64 <= row[f"{side}_bytes"] < I64
+                for end in ("src", "dst"):
+                    assert 0 <= row[f"{side}_{end}_port"] <= 0xFFFF
+
+        check()
+
+    def test_mutated_golden_bytes_never_escape_contract(self):
+        # bit-flips of a VALID message probe deeper decode paths than
+        # pure random bytes (which mostly die at the first varint)
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=400, deadline=None)
+        @given(
+            st.integers(0, len(GOLDEN) - 1),
+            st.integers(0, 7),
+        )
+        def check(pos, bit):
+            buf = bytearray(GOLDEN)
+            buf[pos] ^= 1 << bit
+            try:
+                row = decode_observation(bytes(buf))
+            except (ValueError, UnicodeDecodeError):
+                return
+            assert isinstance(row["node_name"], str)
+            assert 0 <= row["ts_seconds"] < 2**63
+
+        check()
