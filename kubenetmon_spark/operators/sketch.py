@@ -224,7 +224,14 @@ def _partition_bottom_k(
             if dedup:
                 cur = cur.drop_duplicates(subset=gcols + ["_h"])
             cur = cur.sort_values(sort_cols, kind="mergesort")
-            acc = cur.groupby(gcols, sort=False).head(k) if gcols else cur.head(k)
+            # dropna=False: Spark's groupBy keeps null group keys; the
+            # pandas default silently drops them, which would erase the
+            # null group's state entirely
+            acc = (
+                cur.groupby(gcols, sort=False, dropna=False).head(k)
+                if gcols
+                else cur.head(k)
+            )
         if acc is not None and len(acc):
             yield acc
 

@@ -158,3 +158,19 @@ def test_bounded_build_states_bit_identical_to_unbounded(spark):
         .collect()
     }
     assert got_q == want_q
+
+
+def test_null_group_keys_keep_their_state(spark):
+    # Spark groupBy keeps null keys; the per-partition pandas fold must
+    # too (pandas groupby drops NaN groups unless dropna=False)
+    rows = [(i, None if i % 2 else "t", f"u{i % 50}", i % 100) for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "eid long, typ string, user string, v long"
+    ).repartition(4)
+    got = {r.typ for r in kmv_state(df, ["typ"], "user", k=16).collect()}
+    assert got == {None, "t"}
+    got_q = {
+        r.typ
+        for r in quantile_sample_state(df, ["typ"], "v", "eid", k=16).collect()
+    }
+    assert got_q == {None, "t"}
