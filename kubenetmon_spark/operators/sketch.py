@@ -51,7 +51,13 @@ def heavy_hitters(
     """Exact counts of the top-``k`` keys, found without shuffling every
     distinct key. Returns (key_col, n) ordered by n desc, key asc.
     Complete whenever the k-th heaviest key holds > 1/num_counters of
-    all rows; raise ``num_counters`` for flatter distributions."""
+    all rows; raise ``num_counters`` for flatter distributions.
+
+    NULL keys are excluded — explicitly (filter below), matching
+    ClickHouse's aggregate-function convention (``topK`` skips NULLs);
+    without the explicit filter the exclusion would still happen, but
+    accidentally (pandas ``value_counts`` drops NaN and an equi
+    semi-join never matches null) — deliberate beats incidental."""
     sketch_schema = StructType([StructField("key", StringType(), True)])
 
     def sketch(batches):
@@ -62,15 +68,16 @@ def heavy_hitters(
             counters = _fold_mg(counters, b[key_col].value_counts(), num_counters)
         yield pd.DataFrame({"key": list(counters.keys())})
 
+    keyed = df.select(
+        F.col(key_col).cast("string").alias(key_col)
+    ).filter(F.col(key_col).isNotNull())
     candidates = (
-        df.select(F.col(key_col).cast("string").alias(key_col))
-        .mapInPandas(sketch, sketch_schema)
+        keyed.mapInPandas(sketch, sketch_schema)
         .select(F.col("key").alias(key_col))
         .distinct()
     )
     exact = (
-        df.select(F.col(key_col).cast("string").alias(key_col))
-        .join(F.broadcast(candidates), key_col, "left_semi")
+        keyed.join(F.broadcast(candidates), key_col, "left_semi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -134,7 +141,7 @@ def heavy_hitters_weighted(
     weighted increments (MG admits arbitrary positive increments), then
     exact weight sums over the surviving candidates only. Complete
     whenever the k-th heaviest key holds > 1/num_counters of the total
-    weight."""
+    weight. NULL keys excluded, like :func:`heavy_hitters`."""
     sketch_schema = StructType([StructField("key", StringType(), True)])
 
     def sketch(batches):
@@ -148,7 +155,7 @@ def heavy_hitters_weighted(
 
     slim = df.select(
         F.col(key_col).cast("string").alias(key_col), weight_col
-    )
+    ).filter(F.col(key_col).isNotNull())
     candidates = (
         slim.mapInPandas(sketch, sketch_schema)
         .select(F.col("key").alias(key_col))
