@@ -921,3 +921,27 @@ class TestKmvOverlap:
         st = kmv_state(df, ["grp"], "user", k=512)
         r = kmv_overlap(st, "grp", k=512).collect()[0]
         assert abs(r.jaccard_bp - 3333) < 700  # within sampling error
+
+
+class TestEntityClustersDeterminism:
+    def test_deterministic_under_repartition(self, spark):
+        # ADVICE r02: block pick is min(), not first() — identical
+        # clusters from any partitioning (block is a pure function of
+        # the text, per the documented precondition)
+        from kubenetmon_spark.operators.fuzzy import entity_clusters
+
+        rows = [(i, ["red ring", "red king", "blue bolt"][i % 3]) for i in range(60)]
+        df = spark.createDataFrame(rows, "pid long, name string")
+        kw = dict(
+            id_col="pid", text_col="name",
+            block_col=F.element_at(F.split("name", " "), 2),
+            max_distance=2,
+        )
+        outs = []
+        for parts in (1, 4, 13):
+            got = {
+                r.cluster_rep: (r.n_records, r.member_sum)
+                for r in entity_clusters(df.repartition(parts), **kw).collect()
+            }
+            outs.append(got)
+        assert outs[0] == outs[1] == outs[2]
