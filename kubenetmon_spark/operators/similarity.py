@@ -82,6 +82,14 @@ def _band_sign_matrix(dim: int, bands: int, band_bits: int):
     return s
 
 
+#: Above this many vectors the exact all-pairs methods refuse to run
+#: without an explicit opt-in — same posture as
+#: dedup.JACCARD_UNGUARDED_DOC_LIMIT: n² pair scoring is a
+#: cluster-killer at scale and the engine should protect users from
+#: accidentally-quadratic plans (the ClickHouse max_* limit analogue).
+COSINE_EXACT_UNGUARDED_LIMIT = 10_000
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold_bp: int = 9500,
@@ -90,6 +98,8 @@ def cosine_near_dup_pairs(
     method: str = "lsh",
     bands: int = 16,
     band_bits: int = 16,
+    unsafe_exact: bool = False,
+    unguarded_limit: int = COSINE_EXACT_UNGUARDED_LIMIT,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (i<j, scored as
     round(cosine,4)*10000 >= threshold_bp).
@@ -103,6 +113,12 @@ def cosine_near_dup_pairs(
     never missed, but a borderline pair can be deterministically missed
     if it collides on no band. Callers needing the exact answer on a
     corpus small enough to afford it must pass an exact method.
+
+    **Scale boundary (enforced).** The exact methods are O(n²): above
+    ``unguarded_limit`` vectors they refuse to run unless the caller
+    opts in with ``unsafe_exact=True`` (mirroring
+    :func:`~kubenetmon_spark.operators.dedup.jaccard_pairs`). The LSH
+    default has no such limit — banded candidates keep it near-linear.
 
     ``method='lsh'`` (default): **sign-LSH banded candidate
     generation + exact blocked re-rank — fully distributed, no driver
@@ -141,6 +157,17 @@ def cosine_near_dup_pairs(
     Rounding is HALF_UP at 4 decimals in all methods, so results are
     bit-identical across engines.
     """
+    if method in ("sql", "broadcast_matrix") and not unsafe_exact:
+        n_vecs = vectors.select(id_col).count()
+        if n_vecs > unguarded_limit:
+            raise ValueError(
+                f"cosine_near_dup_pairs: {n_vecs} vectors exceeds the "
+                f"unguarded limit ({unguarded_limit}) for exact "
+                f"all-pairs method {method!r}. Use the default "
+                "method='lsh' (banded candidates, exact re-rank) at "
+                "scale, or force the quadratic plan with "
+                "unsafe_exact=True."
+            )
     if method == "sql":
         norm = vectors.select(
             F.col(id_col).alias("_id"),

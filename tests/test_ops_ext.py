@@ -52,6 +52,32 @@ def test_cosine_near_dup_methods_agree(vectors):
     assert got["lsh"] == got["blocked"] == got["broadcast_matrix"] == got["sql"]
 
 
+def test_cosine_exact_methods_scale_guard(vectors):
+    # exact all-pairs methods refuse unbounded corpora (q22 posture)
+    for m in ("sql", "broadcast_matrix"):
+        with pytest.raises(ValueError, match="unguarded limit"):
+            cosine_near_dup_pairs(
+                vectors, threshold_bp=9999, method=m, unguarded_limit=10
+            ).count()
+    # opt-in forces it; the LSH default has no limit
+    assert (
+        cosine_near_dup_pairs(
+            vectors,
+            threshold_bp=9999,
+            method="sql",
+            unguarded_limit=10,
+            unsafe_exact=True,
+        ).count()
+        > 0
+    )
+    assert (
+        cosine_near_dup_pairs(
+            vectors, threshold_bp=9999, method="lsh", unguarded_limit=10
+        ).count()
+        > 0
+    )
+
+
 def test_cosine_lsh_subset_of_exact(vectors):
     # the approximate default may MISS borderline pairs but must never
     # emit a pair the exact method would not (re-rank is exact)
