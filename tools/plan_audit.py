@@ -191,6 +191,23 @@ KNOWN = {
     "docstring) — AQE sizes it at runtime, and beyond the threshold a "
     "shuffled join IS the correct 100 TB plan; the q26 production path "
     "uses the zero-shuffle disjoint-interval form instead",
+    "q231_entity_resolution": "q246's derived-rollup situation: the "
+    "comparator and the re-expansion join DISTINCT-TEXT tables (built "
+    "by the exact-collapse rewrite, so both sides are derived with no "
+    "pre-AQE stats and vocabulary-bounded — 64 distinct names here); "
+    "AQE broadcasts at runtime, and the exchanges carry distinct-text "
+    "or cluster-cardinality rows, never the record stream",
+    "q270_dup_triangles": "the 2 SMJs are the oriented triangle "
+    "count's edge-edge self-joins — both sides are the SAME verified "
+    "near-dup pair list (candidate-bounded, derived, no broadcastable "
+    "side by construction), the textbook shuffle formulation; the "
+    "single-partition exchanges are the three scalar census counts "
+    "(triangles/edges/wedges) crossed into one row",
+    "q271_knn_classify": "q165's situation end-to-end: the SMJ is the "
+    "probe-x-inverted-list equi-join on centroid id (both sides "
+    "corpus/query-cardinality; plan-asserted that only centroids "
+    "broadcast — tests/test_plans.py kNN test), plus the label-vote "
+    "agg and eval join over k-row-per-probe tables",
 }
 
 #: adjudicated bench-timing regressions (VERDICT r02 #2): every entry a
