@@ -9,11 +9,19 @@ the next merge cycle, so a micro-batch that takes longer than its
 accumulation interval means the stream falls behind forever.
 
 Usage: python tools/stream_scale.py [sf_dir] [n_files] [files_per_trigger]
+                                    [--windowed]
 Defaults: .scale/sf1, 12 input files, 2 files per trigger -> 6 batches.
 
 Prints one JSON line: per-batch rows + trigger latency, the max batch
 latency vs target, and the exactness check (streamed+compacted table sums
 == one-shot batch pipeline sums over the same observations).
+
+``--windowed`` drives the OTHER streaming mode — the watermarked eager
+path (``streaming_network_flows``: tumbling 1-min window aggregation,
+append-mode sink, each window emitted once, final). A sentinel
+observation 10 min past max event time (rejected by the labeler, so it
+contributes no rows) closes the last real windows so the append sink
+emits everything and the exactness check is apples-to-apples.
 """
 
 from __future__ import annotations
@@ -31,7 +39,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main() -> int:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
-    args = sys.argv[1:]
+    windowed = "--windowed" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else str(
         Path(__file__).resolve().parent.parent / ".scale/sf1"
     )
@@ -53,20 +62,96 @@ def main() -> int:
 
     tmp = tempfile.mkdtemp(prefix="stream_scale_")
     obs, pods, nodes, prefixes = build_flow_inputs(spark, sf_dir)
-    obs.repartition(n_files).write.mode("overwrite").parquet(f"{tmp}/obs")
+    if windowed:
+        # the watermarked path assumes roughly event-time-ordered
+        # arrival (true of any live stream; a watermark exists to bound
+        # exactly how out-of-order). Replaying a month of history from
+        # files in RANDOM order makes almost every row "late" and the
+        # engine correctly drops it — so simulate a live feed: each
+        # file a contiguous time range, replayed oldest-first (the file
+        # source consumes in path order).
+        obs.repartitionByRange(n_files, "ts").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/obs")
+        # the file source orders by MODIFICATION TIME, and parallel
+        # write tasks finish in random order — pin mtimes so replay
+        # order == range order (part-00000 = earliest range first)
+        for i, p in enumerate(sorted(Path(f"{tmp}/obs").glob("part-*"))):
+            os.utime(p, (1_000_000 + i, 1_000_000 + i))
+    else:
+        obs.repartition(n_files).write.mode("overwrite").parquet(
+            f"{tmp}/obs"
+        )
     n_obs = spark.read.parquet(f"{tmp}/obs").count()
+    if windowed:
+        # sentinel: advances the watermark past every real window so the
+        # append sink emits them all; node_name matches nothing, so the
+        # labeler rejects it and it contributes no output rows
+        max_ts = obs.agg(F.max("ts")).collect()[0][0]
+        # proto=0 + zeroed counters: the TCP/UDP-only and zero-counter
+        # filters each drop it deterministically, so it advances the
+        # watermark without ever contributing a flow row
+        sentinel = obs.limit(1).select(
+            F.lit("zz-watermark-sentinel").alias("node_name"),
+            (F.lit(max_ts) + F.expr("INTERVAL 10 MINUTES")).alias("ts"),
+            *[
+                (
+                    F.lit(0).cast("int")
+                    if c == "proto"
+                    else F.lit(0).cast("long")
+                    if c.endswith(("_packets", "_bytes"))
+                    else F.col(c)
+                ).alias(c)
+                for c in obs.columns
+                if c not in ("node_name", "ts")
+            ],
+        ).select(*obs.columns)
+        # the file source consumes in path order: the sentinel must be
+        # the LAST file read (a 'part-...' name from a plain append can
+        # lexicographically sort before the data files, putting the
+        # future timestamp in batch 0 and making everything after it
+        # late) — write it aside and move it to a path sorting after
+        # every 'part-*'
+        sentinel.coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp}/sentinel"
+        )
+        part = next(Path(f"{tmp}/sentinel").glob("part-*.parquet"))
+        dst = f"{tmp}/obs/zzz-watermark-sentinel.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (2_000_000, 2_000_000))  # strictly last
 
     t0 = time.perf_counter()
-    q = start_flow_stream(
-        read_observations(spark, f"{tmp}/obs", max_files_per_trigger=fpt),
-        f"{tmp}/flows",
-        f"{tmp}/ckpt",
-        pods,
-        nodes,
-        prefixes,
-        DEMO_CFG,
-        trigger={"availableNow": True},
-    )
+    if windowed:
+        from kubenetmon_spark.streaming import (
+            start_windowed_flow_stream,
+            streaming_network_flows,
+        )
+
+        flows = streaming_network_flows(
+            read_observations(spark, f"{tmp}/obs", max_files_per_trigger=fpt),
+            pods,
+            nodes,
+            prefixes,
+            DEMO_CFG,
+            watermark="5 minutes",
+        )
+        q = start_windowed_flow_stream(
+            flows,
+            f"{tmp}/flows",
+            f"{tmp}/ckpt",
+            trigger={"availableNow": True},
+        )
+    else:
+        q = start_flow_stream(
+            read_observations(spark, f"{tmp}/obs", max_files_per_trigger=fpt),
+            f"{tmp}/flows",
+            f"{tmp}/ckpt",
+            pods,
+            nodes,
+            prefixes,
+            DEMO_CFG,
+            trigger={"availableNow": True},
+        )
     q.awaitTermination(3600)
     stream_wall = round(time.perf_counter() - t0, 1)
 
@@ -79,9 +164,15 @@ def main() -> int:
         for p in q.recentProgress
         if p["numInputRows"] > 0
     ]
-    t0 = time.perf_counter()
-    compact(spark, f"{tmp}/flows")
-    compact_s = round(time.perf_counter() - t0, 1)
+    if windowed:
+        # each window was emitted once, final — nothing to compact; and
+        # the file-stream sink's _spark_metadata log would be
+        # invalidated by an overwrite rewrite anyway
+        compact_s = None
+    else:
+        t0 = time.perf_counter()
+        compact(spark, f"{tmp}/flows")
+        compact_s = round(time.perf_counter() - t0, 1)
 
     # Exactness: the streamed-and-compacted table must carry the same
     # class/direction sums as the one-shot batch pipeline over the same
@@ -105,10 +196,20 @@ def main() -> int:
         .collect()
     }
 
+    if streamed != batch_ans:
+        for k in sorted(set(streamed) | set(batch_ans)):
+            if streamed.get(k) != batch_ans.get(k):
+                print(
+                    f"# MISMATCH {k}: streamed={streamed.get(k)} "
+                    f"batch={batch_ans.get(k)}",
+                    file=sys.stderr,
+                )
+
     max_batch_s = max((b["trigger_s"] for b in batches), default=0.0)
     print(
         json.dumps(
             {
+                "mode": "windowed" if windowed else "foreachBatch",
                 "sf_dir": sf_dir,
                 "n_obs": n_obs,
                 "n_files": n_files,
