@@ -931,7 +931,7 @@ _DOT = (
     "q27_cosine_near_dup",
     f"""
     WITH base AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
       UNION ALL
       SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 30
     ),
@@ -949,7 +949,7 @@ _DOT = (
     "embedding-cosine near-duplicate pairs (exact all-pairs baseline; "
     "planted copies must surface at cosine_bp=10000). Uses the explicit "
     "exact method='sql' so the gate's exactness promise matches the "
-    "oracle's on ANY dataset, over a BOUNDED slice (vec_id < 1000, "
+    "oracle's on ANY dataset, over a BOUNDED slice (vec_id < 500, "
     "mirrored in the oracle) — the exact methods are the small-scale "
     "baseline and now refuse unbounded corpora without an opt-in "
     "(COSINE_EXACT_UNGUARDED_LIMIT); the scale-path LSH default is "
@@ -959,7 +959,7 @@ def q27(spark, sf_dir):
     e = (
         _t(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
-        .filter(F.col("vec_id") < 1000)
+        .filter(F.col("vec_id") < 500)
     )
     copies = e.filter(F.col("vec_id") < 30).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding"

@@ -222,6 +222,13 @@ BENCH_NOTES = {
     "re-timing on an idle box (r03: 0.96s warm) reproduces the r01 "
     "number; sub-2s single-shot timings swing 1.5-2x with background "
     "load.",
+    "q27_cosine_near_dup": "r03 1.4s->12.3s was the INTENTIONAL "
+    "exactness fix (ADVICE r02): the gate switched from the "
+    "approximate LSH default to the explicit exact method='sql' whose "
+    "interpreted all-pairs scoring mirrors the oracle expression for "
+    "expression; the LSH scale path kept its own gate (q273, ~1.5s on "
+    "the FULL table) and the exact slice was subsequently bounded to "
+    "vec_id<500 (~3s) — not a plan regression, a contract repair.",
     "q223_lpm6": "r02 growth 1.02s->1.90s is the disjoint6 rewrite's "
     "deliberate trade: the v6 LPM lost its per-row row_number window and "
     "ALL fact-side shuffles (plan-asserted, "
