@@ -86,16 +86,10 @@ def main() -> int:
 
     from kubenetmon_spark.operators.lpm import disjoint_prefixes
 
-    from kubenetmon_spark.session import default_parallelism
-
     obs, pods, nodes, prefixes = build_flow_inputs(spark, sf_dir)
-    # The demo observation frame derives from a single parquet file ->
-    # ONE partition, and the labeler is all narrow ops (broadcast joins,
-    # projections), so without this the whole pre-shuffle ingest stage
-    # (scan -> decode -> label) runs as a single task on one core. Real
-    # ingest arrives pre-partitioned (Kafka partitions / many files);
-    # spread it so the measurement exercises the machine.
-    obs = obs.repartition(default_parallelism()).persist()
+    # build_flow_inputs spreads the single-file events scan across the
+    # machine (see its docstring) — the representative ingest shape.
+    obs = obs.persist()
     n_obs = obs.count()
     # Steady-state shape: the LPM dim is flattened once per daily refresh
     # (exactly what the streaming paths do), so it sits outside the
