@@ -174,3 +174,60 @@ def test_null_group_keys_keep_their_state(spark):
         for r in quantile_sample_state(df, ["typ"], "v", "eid", k=16).collect()
     }
     assert got_q == {None, "t"}
+
+
+def test_bottom_k_fold_bit_identity_property(spark):
+    # hypothesis over the DATA SHAPE: for arbitrary value/key/group
+    # distributions and partitionings, the bounded fold must produce
+    # byte-identical states to the unbounded build
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 500),        # eid basis (dups possible)
+                st.sampled_from(["a", "b", None]),
+                st.integers(0, 40),          # user basis
+                st.integers(-100, 100),      # value
+            ),
+            min_size=1,
+            max_size=120,
+        ),
+        st.integers(1, 9),                   # partitions
+        st.sampled_from([1, 4, 16]),         # k
+    )
+    def check(rows, parts, k):
+        data = [
+            (i * 1000 + eid, typ, f"u{user}", val)
+            for i, (eid, typ, user, val) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            data, "eid long, typ string, user string, v long"
+        ).repartition(parts)
+
+        got = {
+            r.typ: list(r.kmv_sketch)
+            for r in kmv_state(df, ["typ"], "user", k=k).collect()
+        }
+        want = {
+            r.typ: list(r.s)
+            for r in df.select(
+                "typ",
+                F.conv(
+                    F.substring(F.md5(F.col("user").cast("string")), 1, 13),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("_h"),
+            )
+            .distinct()
+            .groupBy("typ")
+            .agg(F.slice(F.sort_array(F.collect_set("_h")), 1, k).alias("s"))
+            .collect()
+        }
+        assert got == want
+
+    check()
