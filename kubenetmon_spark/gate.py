@@ -14271,6 +14271,67 @@ def q273(spark, sf_dir):
     ).orderBy("id_1", "id_2")
 
 
+@_register(
+    "q274_dsir_integer",
+    """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id, source,
+             unnest(list_concat(t,
+               list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                              i -> t[i] || ' ' || t[i + 1]))) AS g
+      FROM toks
+    ),
+    rawf AS MATERIALIZED (
+      SELECT doc_id AS _id,
+             CAST('0x' || substr(md5(g), 1, 13) AS BIGINT) % 4096 AS bucket,
+             COUNT(*) AS cnt
+      FROM grams GROUP BY 1, 2
+    ),
+    tgtf AS MATERIALIZED (
+      SELECT CAST('0x' || substr(md5(g), 1, 13) AS BIGINT) % 4096 AS bucket,
+             COUNT(*) AS tgt_n
+      FROM grams WHERE source IN ('src0', 'src1') GROUP BY 1
+    ),
+    rdist AS (SELECT bucket, SUM(cnt) AS raw_n FROM rawf GROUP BY bucket),
+    tot AS (SELECT (SELECT SUM(raw_n) FROM rdist) AS R,
+                   (SELECT COALESCE(SUM(tgt_n), 0) FROM tgtf) AS T),
+    ratio AS (
+      SELECT r.bucket,
+             ((COALESCE(t.tgt_n, 0) + 1) * (tot.R + 4096) * 10000)
+               // ((r.raw_n + 1) * (tot.T + 4096)) AS ratio_bp
+      FROM rdist r LEFT JOIN tgtf t USING (bucket), tot
+    )
+    SELECT f._id AS doc_id,
+           CAST(SUM(f.cnt * (ratio_bp - 10000)) AS BIGINT) AS score
+    FROM rawf f JOIN ratio USING (bucket)
+    GROUP BY f._id
+    ORDER BY score DESC, doc_id LIMIT 50
+    """,
+    "DSIR importance RANKING with exact-integer scoring — the "
+    "oracle-able twin of q113's float path (same pipeline shape: "
+    "hashed uni+bigram features, two bucket distributions, broadcast "
+    "basis-point ratio table, one per-doc weighted sum, deterministic "
+    "top-k; the md5-prefix bucket hash is engine-portable where "
+    "xxhash64 is not) — operators/dsir.py::dsir_integer_scores; "
+    "shrinks the un-oracled surface to the two genuinely float-bound "
+    "gates (q56 HLL, q113 Gumbel)",
+)
+def q274(spark, sf_dir):
+    from kubenetmon_spark.operators.dsir import dsir_integer_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    return dsir_integer_scores(
+        docs, target, "doc_id", buckets=4096, k=50
+    ).orderBy(F.desc("score"), "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

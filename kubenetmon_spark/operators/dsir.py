@@ -135,3 +135,107 @@ def gumbel_topk(
         .limit(k)
         .drop("_key")
     )
+
+
+# --- exact-integer surrogate (oracle-able twin of the float path) -------
+#
+# The float path's log-weights and Gumbel draws are libm-bound, so q113
+# is a rows-only gate by design. This surrogate keeps the IDENTICAL
+# pipeline shape — hashed-gram features, two bucket distributions, a
+# broadcast ratio table, one per-doc weighted sum, deterministic top-k —
+# but scores with exact integer arithmetic, so a DuckDB oracle
+# hash-matches it on any engine (the q268/q112 recipe). Ratio per
+# bucket (add-one smoothing, basis points, floor division):
+#
+#   ratio_bp(f) = ((t_f + 1) * (R + B) * 10000) div ((r_f + 1) * (T + B))
+#
+# which is floor(10000 * p_target(f) / p_raw(f)); per-doc score =
+# sum_f cnt_doc(f) * (ratio_bp(f) - 10000) — CENTERED at the neutral
+# ratio, so features rarer in the target than in the raw corpus push
+# the score NEGATIVE exactly as their log-ratio would (a positive-only
+# sum would reward sheer length instead of target affinity).
+# Selection = top-k by (score desc, id) —
+# the importance-RANKING mechanics of DSIR without the sampling noise.
+# The bucket hash is the engine-portable md5-prefix integer (q117
+# idiom), not xxhash64, precisely so the oracle can reproduce it.
+
+
+def _portable_grams(df: DataFrame, id_col: str, text_col: str):
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    grams = F.concat(
+        toks,
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("_id"), F.explode(grams).alias("g")
+    )
+
+
+def dsir_integer_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    buckets: int = 4096,
+    k: int = 50,
+) -> DataFrame:
+    """(id, score) for the top-``k`` raw docs by exact-integer DSIR
+    importance score (basis-point bucket ratios, deterministic
+    id tie-break). See module comment above for the formula."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("g")), 1, 13), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+
+    def feats(df):
+        return (
+            _portable_grams(df, id_col, text_col)
+            .select("_id", bucket.alias("bucket"))
+            .groupBy("_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    raw_feats = feats(raw).localCheckpoint(eager=True)
+    tgt_feats = feats(target)
+    rdist = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("raw_n"))
+    tdist = tgt_feats.groupBy("bucket").agg(F.sum("cnt").alias("tgt_n"))
+    totals = rdist.agg(F.sum("raw_n")).collect()[0][0] or 0
+    t_totals = tdist.agg(F.sum("tgt_n")).collect()[0][0] or 0
+    # pure int64 `div`, NOT decimal floor-division: Spark rounds a
+    # decimal quotient to the result scale BEFORE floor, which can
+    # disagree with an engine's integer division at exact boundaries.
+    # int64 envelope: numerator <= (T+B)(R+B)*1e4 — safe through
+    # ~1e7-gram corpora per side; widen both engines to DECIMAL beyond.
+    num = (
+        (F.coalesce("tgt_n", F.lit(0)) + 1)
+        * F.lit(int(totals) + buckets)
+        * F.lit(10_000)
+    ).cast("long")
+    den = ((F.col("raw_n") + 1) * F.lit(int(t_totals) + buckets)).cast(
+        "long"
+    )
+    ratio = (
+        rdist.join(tdist, "bucket", "left")
+        .select(
+            "bucket",
+            num.alias("_num"),
+            den.alias("_den"),
+        )
+        .select("bucket", F.expr("_num div _den").alias("ratio_bp"))
+    )
+    return (
+        raw_feats.join(F.broadcast(ratio), "bucket")
+        .groupBy("_id")
+        .agg(
+            F.sum(F.col("cnt") * (F.col("ratio_bp") - 10_000)).alias("score")
+        )
+        .orderBy(F.desc("score"), F.col("_id"))
+        .limit(k)
+        .withColumnRenamed("_id", id_col)
+    )

@@ -116,3 +116,29 @@ def test_gumbel_topk_deterministic_and_biased(spark):
     sel_mean = sum(ws[i] for i in a) / len(a)
     all_mean = sum(ws.values()) / len(ws)
     assert sel_mean > all_mean
+
+
+def test_integer_scores_rank_target_like_docs_first(spark):
+    from kubenetmon_spark.operators.dsir import dsir_integer_scores
+
+    raw, tgt = _corpora(5)
+    # plant two docs that are pure target vocabulary: they must outrank
+    # the mixed-vocabulary corpus under the integer importance score
+    raw = raw + [
+        (1000, "target quality clean target quality clean target"),
+        (1001, "quality clean target quality clean target quality"),
+    ]
+    raw_df = spark.createDataFrame(raw, ["doc_id", "text"])
+    tgt_df = spark.createDataFrame(tgt, ["doc_id", "text"])
+    top = dsir_integer_scores(
+        raw_df, tgt_df, "doc_id", buckets=512, k=5
+    ).collect()
+    assert {1000, 1001} <= {r.doc_id for r in top}
+    # deterministic under repartition
+    top2 = dsir_integer_scores(
+        raw_df.repartition(7), tgt_df.repartition(3), "doc_id",
+        buckets=512, k=5,
+    ).collect()
+    assert [(r.doc_id, r.score) for r in top] == [
+        (r.doc_id, r.score) for r in top2
+    ]
