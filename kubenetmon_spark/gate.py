@@ -4995,7 +4995,7 @@ def q122(spark, sf_dir):
     "q123_topk_weighted",
     """
     WITH w AS (
-      SELECT CAST(user_id AS VARCHAR) AS user_key,
+      SELECT CAST(length(bin(user_id + 1)) AS VARCHAR) AS user_key,
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       FROM events WHERE value > 0
     )
@@ -5006,15 +5006,22 @@ def q122(spark, sf_dir):
     "ClickHouse topKWeighted — the README top-talkers semantics (top "
     "keys by summed bytes, not row count): Misra-Gries candidate sketch "
     "fed weighted increments, exact sums over survivors only — "
-    "operators/sketch.py::heavy_hitters_weighted. Oracle computes the "
-    "exact answer directly; the sketch must reproduce it at this skew",
+    "operators/sketch.py::heavy_hitters_weighted. Keys are exponential "
+    "cohorts (floor-log2 of user_id, computed as a binary-string length "
+    "in both engines): cohort k holds ~2^k users, so the top keys carry "
+    "a CONSTANT share of total weight at EVERY scale factor — the "
+    "heavy-hitter regime the sketch is designed for and guaranteed "
+    "complete in (the r02 form keyed by raw user_id was flat: at sf0.1 "
+    "the 5th-heaviest user held ~1/15000 of weight, far under the "
+    "1/num_counters completeness bound, and the sf0.1 parity run "
+    "caught the sketch legally missing it)",
 )
 def q123(spark, sf_dir):
     from kubenetmon_spark.operators.sketch import heavy_hitters_weighted
 
     ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
     w = ev.select(
-        F.col("user_id").cast("string").alias("user_key"),
+        F.length(F.bin(F.col("user_id") + 1)).cast("string").alias("user_key"),
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
     )
     return heavy_hitters_weighted(w, "user_key", "cents", k=5)
@@ -6318,7 +6325,11 @@ def q146(spark, sf_dir):
       FROM events
     )
     SELECT event_type,
-           CAST(SUM(1::BIGINT << (length(bin(cents)) - 1)) AS BIGINT) AS s_exp2,
+           -- roundToExp2: x < 1 -> 0 (ClickHouse contract; caught at
+           -- sf0.1, which has value=0 rows that sf0.01 lacks)
+           CAST(SUM(CASE WHEN cents < 1 THEN 0
+                    ELSE 1::BIGINT << (length(bin(cents)) - 1) END)
+                AS BIGINT) AS s_exp2,
            CAST(SUM(CASE WHEN user_id % 100 < 1 THEN 0
                     WHEN user_id % 100 < 18 THEN 17
                     WHEN user_id % 100 < 25 THEN 18
