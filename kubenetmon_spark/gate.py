@@ -11682,14 +11682,22 @@ def q230(spark, sf_dir):
 @_register(
     "q231_entity_resolution",
     """
-    WITH RECURSIVE p AS (
-      SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS typ
-      FROM part
+    WITH RECURSIVE names AS MATERIALIZED (
+      -- exact-duplicate texts contract FIRST, exactly like the engine's
+      -- r02 rewrite: identical names are trivially the same entity
+      -- (pairwise distance 0), so the comparator and the recursive
+      -- closure run over DISTINCT names — without this the closure is
+      -- quadratic in duplication and the sf0.1 oracle (300x-duplicated
+      -- names) never finishes
+      SELECT p_name, split_part(p_name, ' ', 2) AS typ,
+             MIN(p_partkey) AS rep, COUNT(*) AS n,
+             SUM(p_partkey) AS s
+      FROM part GROUP BY p_name
     ),
     pairs AS (
-      SELECT a.p_partkey AS id_1, b.p_partkey AS id_2
-      FROM p a JOIN p b
-        ON a.typ = b.typ AND a.p_partkey < b.p_partkey
+      SELECT a.rep AS id_1, b.rep AS id_2
+      FROM names a JOIN names b
+        ON a.typ = b.typ AND a.rep < b.rep
       WHERE levenshtein(a.p_name, b.p_name) <= 2
     ),
     edges AS (
@@ -11702,19 +11710,27 @@ def q230(spark, sf_dir):
       UNION
       SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
     ),
-    comp AS (SELECT node, MIN(r) AS canonical FROM reach GROUP BY node)
+    comp AS (SELECT node, MIN(r) AS canonical FROM reach GROUP BY node),
+    labeled AS (
+      SELECT names.n, names.s,
+             COALESCE(comp.canonical, names.rep) AS canonical
+      FROM names LEFT JOIN comp ON comp.node = names.rep
+    )
     SELECT CAST(canonical AS BIGINT) AS canonical,
-           CAST(COUNT(*) AS BIGINT) AS n_records,
-           CAST(SUM(node) AS BIGINT) AS member_sum
-    FROM comp GROUP BY canonical
-    HAVING COUNT(*) >= 3
+           CAST(SUM(n) AS BIGINT) AS n_records,
+           CAST(SUM(s) AS BIGINT) AS member_sum
+    FROM labeled GROUP BY canonical
+    HAVING SUM(n) >= 3
     ORDER BY canonical
     """,
     "entity resolution end to end in ONE plan: blocked edit-distance "
     "linkage (q88's length-band + bounded levenshtein) -> connected-"
     "component identity clusters -> canonical id (min member) — the "
     "q201 composition for RECORD identity instead of media; clusters "
-    "of 3+ records reported; oracle closes the same graph recursively",
+    "of 3+ records reported; oracle contracts exact-duplicate names "
+    "then closes the distinct-name graph recursively (bit-equal to the "
+    "row-level closure: contracting distance-0 cliques preserves "
+    "components, min-rep per name preserves the canonical id)",
 )
 def q231(spark, sf_dir):
     from kubenetmon_spark.operators.fuzzy import entity_clusters
