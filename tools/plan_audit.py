@@ -191,6 +191,13 @@ KNOWN = {
     "docstring) — AQE sizes it at runtime, and beyond the threshold a "
     "shuffled join IS the correct 100 TB plan; the q26 production path "
     "uses the zero-shuffle disjoint-interval form instead",
+    "q274_dsir_integer": "the four hash exchanges are two corpora x "
+    "(per-doc feature agg + bucket distribution agg): the raw feature "
+    "agg is the one fact-scale shuffle (token volume, localCheckpointed "
+    "so it runs once), the target corpus is small by definition, and "
+    "both distribution aggs carry <= buckets rows; the ratio table "
+    "broadcasts back and the final per-doc sum rides the feature "
+    "table — q113's exact plan shape with integer scoring",
     "q231_entity_resolution": "q246's derived-rollup situation: the "
     "comparator and the re-expansion join DISTINCT-TEXT tables (built "
     "by the exact-collapse rewrite, so both sides are derived with no "
