@@ -46,8 +46,14 @@ def scd2_from_snapshots(
     """
     attrs = F.struct(*[F.col(c) for c in attr_cols])
     w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    # eqNullSafe, not !=: a struct comparison with a NULL attribute
+    # field yields NULL, so a null->value (or value->null) transition
+    # would silently NOT count as a change and two different versions
+    # would merge into one run (with first() then picking an arbitrary
+    # one). Null-safe equality makes every transition a boundary; the
+    # first row's null lag also lands on the changed side for free.
     changed = F.when(
-        F.lag(attrs).over(w).isNull() | (F.lag(attrs).over(w) != attrs), 1
+        ~F.lag(attrs).over(w).eqNullSafe(attrs), 1
     ).otherwise(0)
     run = Window.partitionBy(*key_cols).orderBy(ts_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -945,3 +945,31 @@ class TestEntityClustersDeterminism:
             }
             outs.append(got)
         assert outs[0] == outs[1] == outs[2]
+
+
+class TestScd2NullTransitions:
+    def test_null_attribute_transitions_are_version_boundaries(self, spark):
+        # struct != yields NULL when an attribute field is null, which
+        # used to merge null->value transitions into one run; eqNullSafe
+        # makes every transition a boundary
+        from kubenetmon_spark.operators.scd import scd2_from_snapshots
+
+        snaps = spark.createDataFrame(
+            [
+                ("p1", None, "2024-01-01 00:00:00"),
+                ("p1", "a", "2024-01-02 00:00:00"),
+                ("p1", None, "2024-01-03 00:00:00"),
+                ("p1", None, "2024-01-04 00:00:00"),
+            ],
+            "pod string, app string, snapshot_ts string",
+        ).withColumn("snapshot_ts", F.col("snapshot_ts").cast("timestamp"))
+        out = sorted(
+            (str(r.valid_from), r.app)
+            for r in scd2_from_snapshots(snaps, ["pod"], ["app"]).collect()
+        )
+        # three versions: null, 'a', null (the repeat null folds)
+        assert out == [
+            ("2024-01-01 00:00:00", None),
+            ("2024-01-02 00:00:00", "a"),
+            ("2024-01-03 00:00:00", None),
+        ]
