@@ -14359,6 +14359,56 @@ def q274(spark, sf_dir):
     ).orderBy(F.desc("score"), "doc_id")
 
 
+@_register(
+    "q275_scd2_dimension",
+    """
+    WITH s AS (
+      SELECT user_id % 50 AS k, date_trunc('day', ts) AS snapshot_ts,
+             MAX(event_type) AS etype
+      FROM events GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT k, snapshot_ts, etype,
+             CASE WHEN lag(etype) OVER w IS DISTINCT FROM etype
+                  THEN 1 ELSE 0 END AS chg
+      FROM s WINDOW w AS (PARTITION BY k ORDER BY snapshot_ts)
+    ),
+    r AS (
+      SELECT k, snapshot_ts, etype,
+             SUM(chg) OVER (PARTITION BY k ORDER BY snapshot_ts
+                            ROWS UNBOUNDED PRECEDING) AS ver
+      FROM v
+    ),
+    pv AS (
+      SELECT k, ver, MIN(etype) AS etype,
+             MIN(snapshot_ts) AS valid_from
+      FROM r GROUP BY k, ver
+    )
+    SELECT CAST(k AS BIGINT) AS k, etype, valid_from,
+           COALESCE(LEAD(valid_from) OVER (PARTITION BY k ORDER BY ver),
+                    TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+    FROM pv ORDER BY k, valid_from
+    """,
+    "SCD2 dimension history from periodic snapshots "
+    "(operators/scd.py::scd2_from_snapshots): per-key daily attribute "
+    "snapshots collapse into validity intervals — change detection is "
+    "null-safe (IS DISTINCT FROM / eqNullSafe), valid_to = next "
+    "version's valid_from or the open-interval sentinel; the informer "
+    "dim history a labeler replay needs (as_of_dimension reads it)",
+)
+def q275(spark, sf_dir):
+    from kubenetmon_spark.operators.scd import scd2_from_snapshots
+
+    ev = _t(spark, sf_dir, "events")
+    snaps = ev.groupBy(
+        (F.col("user_id") % 50).alias("k"),
+        F.date_trunc("day", F.col("ts")).alias("snapshot_ts"),
+    ).agg(F.max("event_type").alias("etype"))
+    return scd2_from_snapshots(snaps, ["k"], ["etype"]).orderBy(
+        "k", "valid_from"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-FAR_FUTURE = "9999-12-31 00:00:00"
+# Open-interval sentinel. NOT the SQL-conventional 9999-12-31: pandas /
+# Arrow nanosecond timestamps top out at 2262-04-11, so a 9999 sentinel
+# poisons every toPandas()/Arrow hop downstream (including any Pandas-UDF
+# stage a caller composes after this). 2200-01-01 is safely beyond any
+# fact timestamp and survives ns conversion.
+FAR_FUTURE = "2200-01-01 00:00:00"
 
 
 def scd2_from_snapshots(

@@ -250,9 +250,9 @@ class TestSCD2:
         )
         assert ivals == [
             ("pod-a", "app1", 1, 2024),   # closed at ts(3)
-            ("pod-a", "app1", 4, 9999),   # reopened, current
+            ("pod-a", "app1", 4, 2200),   # reopened, current
             ("pod-a", "app2", 3, 2024),
-            ("pod-b", "appX", 2, 9999),
+            ("pod-b", "appX", 2, 2200),
         ]
 
     def test_as_of_lookup(self, spark):
