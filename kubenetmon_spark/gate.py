@@ -14409,6 +14409,85 @@ def q275(spark, sf_dir):
     )
 
 
+@_register(
+    "q276_asof_dimension_replay",
+    """
+    WITH s AS (
+      SELECT user_id % 50 AS k, date_trunc('day', ts) AS snapshot_ts,
+             MAX(event_type) AS etype
+      FROM events GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT k, snapshot_ts, etype,
+             CASE WHEN lag(etype) OVER w IS DISTINCT FROM etype
+                  THEN 1 ELSE 0 END AS chg
+      FROM s WINDOW w AS (PARTITION BY k ORDER BY snapshot_ts)
+    ),
+    r AS (
+      SELECT k, snapshot_ts, etype,
+             SUM(chg) OVER (PARTITION BY k ORDER BY snapshot_ts
+                            ROWS UNBOUNDED PRECEDING) AS ver
+      FROM v
+    ),
+    pv AS (
+      SELECT k, ver, MIN(etype) AS etype,
+             MIN(snapshot_ts) AS valid_from
+      FROM r GROUP BY k, ver
+    ),
+    scd AS (
+      SELECT k, etype, valid_from,
+             COALESCE(LEAD(valid_from) OVER (PARTITION BY k ORDER BY ver),
+                      TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+      FROM pv
+    ),
+    dim AS (
+      SELECT CAST(k AS BIGINT) AS k, etype AS dim_etype FROM scd
+      WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+        AND TIMESTAMP '2024-01-15 12:00:00' < valid_to
+    )
+    SELECT dim_etype, COUNT(*) AS n_facts,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN dim ON e.user_id % 50 = dim.k
+    WHERE date_trunc('day', e.ts) = TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY dim_etype ORDER BY dim_etype
+    """,
+    "as-of dimension replay (operators/scd.py::as_of_dimension): "
+    "reconstruct the dimension exactly as it stood at an instant from "
+    "SCD2 intervals, then broadcast-label one day of facts with it — "
+    "the history-reprocessing join the reference cannot do (its "
+    "informer cache only knows 'now'; reference "
+    "pkg/watcher/watcher.go:52-120)",
+)
+def q276(spark, sf_dir):
+    from kubenetmon_spark.operators.scd import (
+        as_of_dimension,
+        scd2_from_snapshots,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    snaps = ev.groupBy(
+        (F.col("user_id") % 50).alias("k"),
+        F.date_trunc("day", F.col("ts")).alias("snapshot_ts"),
+    ).agg(F.max("event_type").alias("etype"))
+    dim = as_of_dimension(
+        scd2_from_snapshots(snaps, ["k"], ["etype"]),
+        "2024-01-15 12:00:00",
+    ).withColumnRenamed("etype", "dim_etype")
+    facts = ev.filter(
+        F.date_trunc("day", F.col("ts"))
+        == F.lit("2024-01-15 00:00:00").cast("timestamp")
+    ).withColumn("k", F.col("user_id") % 50)
+    return (
+        facts.join(F.broadcast(dim), "k")
+        .groupBy("dim_etype")
+        .agg(
+            F.count("*").alias("n_facts"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("dim_etype")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
