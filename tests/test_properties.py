@@ -285,3 +285,65 @@ def test_dedup_lines_conservation_and_first_wins(spark, docs):
         assert r.n_lines == len(nonempty)
         assert r.dedup_text == "\n".join(expect)
         assert r.n_kept == len(expect)
+
+
+@SLOW
+@given(
+    snaps=st.lists(
+        st.tuples(
+            st.sampled_from(["k0", "k1", "k2"]),
+            st.integers(min_value=0, max_value=15),  # hour offset = ts
+            st.sampled_from(["a", "b", None]),  # attr, null transitions incl.
+        ),
+        min_size=1,
+        max_size=25,
+        # one snapshot per (key, ts): duplicate timestamps have no
+        # defined order and the operator documents snapshot granularity
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_scd2_matches_run_collapse_reference(spark, snaps):
+    """scd2_from_snapshots == a sequential run-collapse over each key's
+    time-ordered snapshots: intervals tile [first_ts, FAR_FUTURE), no two
+    consecutive intervals share attrs (null-safely), and as-of lookup at
+    every snapshot ts reproduces that snapshot exactly."""
+    from kubenetmon_spark.operators.scd import (
+        FAR_FUTURE,
+        as_of_dimension,
+        scd2_from_snapshots,
+    )
+
+    rows = [(k, datetime(2024, 1, 1, h), a) for k, h, a in snaps]
+    df = spark.createDataFrame(rows, "k string, snapshot_ts timestamp, app string")
+    out = scd2_from_snapshots(df, ["k"], ["app"]).collect()
+
+    # python reference: collapse runs of equal attr per key
+    expect: dict[str, list[tuple]] = {}
+    for k, h, a in sorted(snaps):
+        runs = expect.setdefault(k, [])
+        if not runs or runs[-1][0] != a:
+            runs.append((a, datetime(2024, 1, 1, h)))
+    far = datetime.fromisoformat(FAR_FUTURE.replace(" ", "T"))
+    nskey = lambda t: (t[0], t[1] is not None, t[1] or "", t[2])  # noqa: E731
+    want = sorted(
+        (
+            (k, a, vf, runs[i + 1][1] if i + 1 < len(runs) else far)
+            for k, runs in expect.items()
+            for i, (a, vf) in enumerate(runs)
+        ),
+        key=nskey,
+    )
+    got = sorted(
+        ((r.k, r.app, r.valid_from, r.valid_to) for r in out), key=nskey
+    )
+    assert got == want
+
+    # as-of at each snapshot instant reproduces the snapshot
+    by_ts: dict[datetime, dict[str, str | None]] = {}
+    for k, h, a in snaps:
+        by_ts.setdefault(datetime(2024, 1, 1, h), {})[k] = a
+    scd2 = scd2_from_snapshots(df, ["k"], ["app"])
+    for ts in list(by_ts)[:3]:  # cap lookups; each is a Spark job
+        at = {r.k: r.app for r in as_of_dimension(scd2, ts).collect()}
+        for k, a in by_ts[ts].items():
+            assert at[k] == a
