@@ -14410,6 +14410,63 @@ def q275(spark, sf_dir):
 
 
 @_register(
+    "q277_scd2_incremental",
+    """
+    WITH s AS (
+      SELECT user_id % 50 AS k, date_trunc('day', ts) AS snapshot_ts,
+             MAX(event_type) AS etype
+      FROM events GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT k, snapshot_ts, etype,
+             CASE WHEN lag(etype) OVER w IS DISTINCT FROM etype
+                  THEN 1 ELSE 0 END AS chg
+      FROM s WINDOW w AS (PARTITION BY k ORDER BY snapshot_ts)
+    ),
+    r AS (
+      SELECT k, snapshot_ts, etype,
+             SUM(chg) OVER (PARTITION BY k ORDER BY snapshot_ts
+                            ROWS UNBOUNDED PRECEDING) AS ver
+      FROM v
+    ),
+    pv AS (
+      SELECT k, ver, MIN(etype) AS etype,
+             MIN(snapshot_ts) AS valid_from
+      FROM r GROUP BY k, ver
+    )
+    SELECT CAST(k AS BIGINT) AS k, etype, valid_from,
+           COALESCE(LEAD(valid_from) OVER (PARTITION BY k ORDER BY ver),
+                    TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+    FROM pv ORDER BY k, valid_from
+    """,
+    "incremental SCD2 maintenance "
+    "(operators/scd.py::scd2_apply_batch): fold the second half-month "
+    "of snapshots into the SCD2 table built from the first half — "
+    "closed history and untouched keys pass through unshuffled, so a "
+    "refresh costs O(batch), not O(history); result must equal the "
+    "full-history rebuild (oracle = q275's whole-range collapse)",
+)
+def q277(spark, sf_dir):
+    from kubenetmon_spark.operators.scd import (
+        scd2_apply_batch,
+        scd2_from_snapshots,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    snaps = ev.groupBy(
+        (F.col("user_id") % 50).alias("k"),
+        F.date_trunc("day", F.col("ts")).alias("snapshot_ts"),
+    ).agg(F.max("event_type").alias("etype"))
+    base = scd2_from_snapshots(
+        snaps.filter(F.dayofmonth("snapshot_ts") <= 15), ["k"], ["etype"]
+    )
+    rest = snaps.filter(F.dayofmonth("snapshot_ts") > 15)
+    return scd2_apply_batch(base, rest, ["k"], ["etype"]).orderBy(
+        "k", "valid_from"
+    )
+
+
+@_register(
     "q276_asof_dimension_replay",
     """
     WITH s AS (

@@ -78,6 +78,49 @@ def scd2_from_snapshots(
     ).drop("_ver")
 
 
+def scd2_apply_batch(
+    scd2: DataFrame,
+    snapshots: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str = "snapshot_ts",
+) -> DataFrame:
+    """Incrementally fold a new snapshot batch into an existing SCD2
+    table — the continuous-refresh shape (the reference's informer
+    re-lists on a timer; reference pkg/watcher/watcher.go:52-120, daily
+    cloud-range refresh pkg/labeler/remote.go:99-126).
+
+    Equivalent to ``scd2_from_snapshots`` over the full concatenated
+    history (property-tested), but touches only the OPEN intervals of
+    keys present in the batch: closed history and untouched keys pass
+    through unshuffled, so a refresh costs O(batch + touched open
+    tails), not O(history) — the difference between a dimension refresh
+    and a dimension rebuild at 100 TB of accumulated history.
+
+    Precondition (append-only time): every batch ``ts_col`` must be >=
+    the existing history's max snapshot time for its key. Out-of-order
+    snapshots need the full rebuild path.
+    """
+    open_iv = scd2.filter(F.col("valid_to") == F.lit(FAR_FUTURE).cast("timestamp"))
+    closed = scd2.filter(F.col("valid_to") != F.lit(FAR_FUTURE).cast("timestamp"))
+    touched = snapshots.select(*key_cols).distinct()
+    # untouched keys keep their open interval verbatim
+    keep_open = open_iv.join(F.broadcast(touched), key_cols, "left_anti")
+    # a touched key's open interval re-enters the collapse as a pseudo
+    # snapshot at its own valid_from: an unchanged batch row extends the
+    # run (same valid_from survives the MIN), a changed one closes it
+    pseudo = open_iv.join(F.broadcast(touched), key_cols, "left_semi").select(
+        *key_cols, F.col("valid_from").alias(ts_col), *attr_cols
+    )
+    redone = scd2_from_snapshots(
+        pseudo.unionByName(snapshots.select(*key_cols, ts_col, *attr_cols)),
+        key_cols,
+        attr_cols,
+        ts_col,
+    )
+    return closed.unionByName(keep_open).unionByName(redone)
+
+
 def as_of_dimension(
     scd2: DataFrame, ts, key_cols: list[str] | None = None
 ) -> DataFrame:

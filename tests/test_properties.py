@@ -347,3 +347,53 @@ def test_scd2_matches_run_collapse_reference(spark, snaps):
         at = {r.k: r.app for r in as_of_dimension(scd2, ts).collect()}
         for k, a in by_ts[ts].items():
             assert at[k] == a
+
+
+@SLOW
+@given(
+    snaps=st.lists(
+        st.tuples(
+            st.sampled_from(["k0", "k1", "k2"]),
+            st.integers(min_value=0, max_value=15),
+            st.sampled_from(["a", "b", None]),
+        ),
+        min_size=2,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    cuts=st.lists(st.integers(min_value=1, max_value=14), max_size=2, unique=True),
+)
+def test_scd2_incremental_equals_rebuild(spark, snaps, cuts):
+    """Applying time-ordered snapshot batches via scd2_apply_batch, in any
+    batching, equals scd2_from_snapshots over the concatenated history."""
+    from kubenetmon_spark.operators.scd import (
+        scd2_apply_batch,
+        scd2_from_snapshots,
+    )
+
+    schema = "k string, snapshot_ts timestamp, app string"
+
+    def df_of(sub):
+        return spark.createDataFrame(
+            [(k, datetime(2024, 1, 1, h), a) for k, h, a in sub], schema
+        )
+
+    bounds = sorted(set(cuts)) + [16]
+    lo = -1
+    batches = []
+    for b in bounds:
+        batch = [t for t in snaps if lo < t[1] <= b]
+        lo = b
+        if batch:
+            batches.append(batch)
+    if not batches:
+        return
+    inc = scd2_from_snapshots(df_of(batches[0]), ["k"], ["app"])
+    for batch in batches[1:]:
+        inc = scd2_apply_batch(inc, df_of(batch), ["k"], ["app"])
+    full = scd2_from_snapshots(df_of(snaps), ["k"], ["app"])
+    nskey = lambda t: (t[0], t[1] is not None, t[1] or "", t[2])  # noqa: E731
+    rows = lambda df: sorted(  # noqa: E731
+        ((r.k, r.app, r.valid_from, r.valid_to) for r in df.collect()), key=nskey
+    )
+    assert rows(inc) == rows(full)
