@@ -198,6 +198,18 @@ KNOWN = {
     "both distribution aggs carry <= buckets rows; the ratio table "
     "broadcasts back and the final per-doc sum rides the feature "
     "table — q113's exact plan shape with integer scoring",
+    "q276_asof_dimension_replay": "the fact side touches exactly one "
+    "exchange pair (the final countDistinct expand-agg); the other "
+    "exchanges build the SCD2 dimension — snapshot groupBy + window "
+    "collapse over a 50-key table — which then BroadcastExchanges "
+    "onto the fact scan (BuildRight, plan-verified), so fact rows "
+    "never shuffle for the join itself",
+    "q277_scd2_incremental": "every exchange is dimension-sized: the "
+    "incremental path runs the run-collapse twice (base half + "
+    "apply-batch) plus semi/anti splits of the open set, all over the "
+    "50-key snapshot table; the operator's scale claim is about "
+    "avoiding O(history) REWRITE on refresh, and the one fact-scale "
+    "stage (the snapshot groupBy feeding both halves) is shared",
     "q231_entity_resolution": "q246's derived-rollup situation: the "
     "comparator and the re-expansion join DISTINCT-TEXT tables (built "
     "by the exact-collapse rewrite, so both sides are derived with no "
