@@ -14410,6 +14410,36 @@ def q275(spark, sf_dir):
 
 
 @_register(
+    "q278_stratified_sample",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) t WHERE rn <= 7
+    ORDER BY lang, source, doc_id
+    """,
+    "exact per-stratum quota sampling "
+    "(operators/sampling.py::stratified_sample_exact): the n smallest "
+    "md5(id) per (lang, source) stratum — an absolute quota, not a "
+    "rate, deterministic across runs/engines/partitionings; the "
+    "bounded build folds per-partition bottom-n BEFORE the stratum "
+    "sort so a billion-row stratum shuffles n x partitions rows, "
+    "bit-identical to the unbounded window (balanced eval-set draw "
+    "for training pipelines)",
+)
+def q278(spark, sf_dir):
+    from kubenetmon_spark.operators.sampling import stratified_sample_exact
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample_exact(
+        docs, ["lang", "source"], 7, "doc_id"
+    ).orderBy("lang", "source", "doc_id")
+
+
+@_register(
     "q277_scd2_incremental",
     """
     WITH s AS (

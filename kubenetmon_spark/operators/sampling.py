@@ -43,3 +43,52 @@ def hash_keep(id_col: Column, keep_bp: int) -> Column:
 def deterministic_sample(df: DataFrame, id_col: str, keep_bp: int) -> DataFrame:
     """Keep ~keep_bp/10000 of rows, decided per-row by md5(id)."""
     return df.filter(hash_keep(F.col(id_col), keep_bp))
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: list[str],
+    n: int,
+    id_col: str,
+    bounded: bool = True,
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum — the balanced
+    eval-set / per-source quota draw ``hash_keep`` cannot give (a rate
+    is proportional; a quota is absolute). Deterministic: the winners
+    are the ``n`` smallest ``md5(id)`` per stratum (ties broken by
+    ``id``), a pure function of the data — identical across runs,
+    engines, partitionings, and scale factors.
+
+    Scale posture (``bounded=True``, default): a per-partition bottom-n
+    fold (the mergeable-sketch build from operators/sketch.py) runs
+    BEFORE the per-stratum sort, so the shuffle carries at most
+    ``n x num_partitions`` rows per stratum instead of the whole
+    stratum — a billion-row stratum shuffles kilobytes. The global
+    bottom-n of a union is the bottom-n of per-part bottom-ns, so the
+    result is bit-identical to the unbounded window (property of the
+    fold; see _partition_bottom_k's correctness note). ``bounded=False``
+    keeps the single window sort — simpler plan, same answer.
+
+    ``id_col`` must uniquely identify rows; duplicate ids make the
+    rank among their copies arbitrary (same caveat as any hash draw).
+    """
+    from pyspark.sql.window import Window
+
+    from kubenetmon_spark.operators.sketch import _partition_bottom_k
+
+    rest = [c for c in df.columns if c not in strata_cols and c != id_col]
+    sel = df.select(
+        *strata_cols,
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+        id_col,
+        *rest,
+    )
+    if bounded:
+        sel = _partition_bottom_k(sel, list(strata_cols), n, dedup=False)
+    w = Window.partitionBy(*strata_cols).orderBy("_h", id_col)
+    return (
+        sel.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_h", "_rn")
+        .select(*df.columns)
+    )

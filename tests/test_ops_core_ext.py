@@ -118,6 +118,41 @@ class TestDeterministicSample:
         assert "Exchange" not in plan
 
 
+class TestStratifiedSampleExact:
+    def _df(self, spark):
+        # skewed strata: s0 has 400 rows, s1 has 3, s2 has 1
+        rows = [(i, "s0" if i < 400 else ("s1" if i < 403 else "s2"), i * 2)
+                for i in range(404)]
+        return spark.createDataFrame(rows, "id long, stratum string, v long")
+
+    def test_exact_quota_and_small_strata_survive(self, spark):
+        from kubenetmon_spark.operators.sampling import stratified_sample_exact
+
+        out = stratified_sample_exact(self._df(spark), ["stratum"], 5, "id")
+        by = {}
+        for r in out.collect():
+            by.setdefault(r.stratum, []).append(r.id)
+        assert len(by["s0"]) == 5          # quota capped
+        assert len(by["s1"]) == 3          # whole small stratum kept
+        assert len(by["s2"]) == 1
+
+    def test_bounded_equals_unbounded_under_repartition(self, spark):
+        from kubenetmon_spark.operators.sampling import stratified_sample_exact
+
+        df = self._df(spark)
+        key = lambda r: (r.stratum, r.id, r.v)  # noqa: E731
+        want = sorted(
+            map(key, stratified_sample_exact(df, ["stratum"], 5, "id",
+                                             bounded=False).collect())
+        )
+        for parts in (1, 7):
+            got = sorted(
+                map(key, stratified_sample_exact(
+                    df.repartition(parts), ["stratum"], 5, "id").collect())
+            )
+            assert got == want  # fold is partitioning-invariant + exact
+
+
 class TestRedaction:
     def test_counts_and_replacement(self, spark):
         from kubenetmon_spark.operators.text import with_redacted_text
