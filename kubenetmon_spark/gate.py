@@ -14410,6 +14410,34 @@ def q275(spark, sf_dir):
 
 
 @_register(
+    "q279_minhash_dedup_incremental",
+    f"""
+    WITH {_MINHASH_PAIRS_SQL}
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_2 = d.doc_id)
+    ORDER BY d.doc_id
+    """,
+    "incremental crawl-feed near-dup dedup "
+    "(operators/dedup.py::minhash_dedup_incremental): each batch "
+    "band-joins a persisted survivor index, exact-verifies candidates "
+    "only, appends survivors' bands+shingles — the corpus is never "
+    "re-shingled; cold-start single-batch semantics = drop any doc "
+    "with a verified smaller-id match, which is q23's pair list as an "
+    "anti-join (the oracle); the multi-batch path matches a sequential "
+    "survivor-index spec (test_dedup_incremental.py)",
+)
+def q279(spark, sf_dir):
+    from kubenetmon_spark.operators.dedup import minhash_dedup_incremental
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    survivors, _, _ = minhash_dedup_incremental(
+        d, None, None, "doc_id", "text",
+        num_hashes=8, bands=4, n=3, verify_threshold_bp=3000,
+    )
+    return survivors.select("doc_id").orderBy("doc_id")
+
+
+@_register(
     "q278_stratified_sample",
     """
     SELECT doc_id, lang, source FROM (

@@ -310,6 +310,121 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_dedup_incremental(
+    batch: DataFrame,
+    index_bands: DataFrame | None,
+    index_shingles: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    verify_threshold_bp: int = 3000,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Near-duplicate dedup of a NEW batch against a persisted MinHash
+    index — the continuous-crawl shape: each arriving batch is checked
+    against everything already kept, without ever re-shingling the
+    corpus (the batch analogue of ``dedup_lines_incremental``; streamed
+    by streaming/curation.py::start_minhash_dedup_stream).
+
+    Returns ``(survivors, new_bands, new_shingles)``: survivors are the
+    batch rows to keep; the band/shingle rows of the survivors are the
+    caller's index delta (append them for the next batch).
+
+    Drop rule (deterministic): a batch doc is dropped iff its exact
+    verified Jaccard >= threshold against (a) any indexed survivor, or
+    (b) any SMALLER-id doc within its own batch. (b) is deliberately
+    conservative versus a strictly-greedy sequential pass — a doc whose
+    only match was itself dropped still drops; at crawl scale a
+    near-dup of a near-dup is near-duplicate material, and the rule
+    stays a pure function of the batch (order-free, retry-stable).
+    With an empty index this equals "keep docs that never appear as
+    id_2 in the verified pair list" — the q279 oracle.
+
+    Scale posture: identical to ``minhash_lsh_pairs`` — candidates come
+    only from band-key equi-joins (batch x batch and batch x index);
+    exact verification touches candidates only. Index growth is
+    survivors-only: bands are 4 rows/doc, shingles ~tokens/doc (the
+    same index a re-run from scratch would build).
+
+    Index schemas: ``index_bands (_id, band, band_key, sz)``,
+    ``index_shingles (_id, shingle)``. Pass None/None for a cold start.
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingle_set(batch, id_col, text_col, n).localCheckpoint(eager=True)
+    per_doc = sh.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("sz"),
+        *[
+            F.min(F.md5(F.concat_ws(":", F.lit(h), F.col("shingle")))).alias(f"_mh{h}")
+            for h in range(num_hashes)
+        ],
+    ).localCheckpoint(eager=True)
+    band_structs = []
+    for b in range(bands):
+        hs = range(b * rows_per_band, (b + 1) * rows_per_band)
+        keys = F.array(
+            *[F.concat_ws("=", F.lit(str(h)), F.col(f"_mh{h}")) for h in hs]
+        )
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", F.array_sort(keys)).alias("band_key"),
+            )
+        )
+    banded = per_doc.select(
+        "_id", "sz", F.explode(F.array(*band_structs)).alias("_b")
+    ).select("_id", "sz", "_b.band", "_b.band_key")
+
+    def verify(cands, sh2, sz2):
+        """exact jaccard >= threshold for (id_1=other, id_2=batch doc)."""
+        inter = (
+            cands.join(sh2.select(F.col("_id").alias("id_1"), "shingle"), "id_1")
+            .join(sh.select(F.col("_id").alias("id_2"), "shingle"), ["id_2", "shingle"])
+            .groupBy("id_1", "id_2")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+        return (
+            inter.join(sz2.select(F.col("_id").alias("id_1"), F.col("sz").alias("_s1")), "id_1")
+            .join(
+                per_doc.select(F.col("_id").alias("id_2"), F.col("sz").alias("_s2")),
+                "id_2",
+            )
+            .filter(
+                F.floor((F.col("i") * 10000) / (F.col("_s1") + F.col("_s2") - F.col("i")))
+                >= verify_threshold_bp
+            )
+            .select("id_2")
+        )
+
+    ca = banded.select(F.col("_id").alias("id_1"), "band", "band_key")
+    cb = banded.select(F.col("_id").alias("id_2"), "band", "band_key")
+    internal = (
+        ca.join(cb, ["band", "band_key"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    dropped = verify(internal, sh, per_doc)
+    if index_bands is not None:
+        cross = (
+            index_bands.select(F.col("_id").alias("id_1"), "band", "band_key")
+            .join(cb, ["band", "band_key"])
+            .select("id_1", "id_2")
+            .distinct()
+        )
+        idx_sizes = index_bands.select("_id", "sz").distinct()
+        dropped = dropped.unionByName(verify(cross, index_shingles, idx_sizes))
+    dropped = dropped.select(F.col("id_2").alias("_drop")).distinct()
+
+    survivors = batch.join(
+        dropped, batch[id_col] == F.col("_drop"), "left_anti"
+    )
+    keep_ids = survivors.select(F.col(id_col).cast("long").alias("_keep"))
+    new_bands = banded.join(keep_ids, banded["_id"] == F.col("_keep"), "left_semi")
+    new_shingles = sh.join(keep_ids, sh["_id"] == F.col("_keep"), "left_semi")
+    return survivors, new_bands, new_shingles
+
+
 def semantic_dedup(
     vectors: DataFrame,
     centroids,

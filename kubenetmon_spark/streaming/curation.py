@@ -87,3 +87,64 @@ def start_incremental_dedup_stream(
         "checkpointLocation", checkpoint_dir
     )
     return _apply_trigger(writer, trigger).start()
+
+
+def start_minhash_dedup_stream(
+    docs_stream: DataFrame,
+    out_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    verify_threshold_bp: int = 3000,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """foreachBatch wiring of ``minhash_dedup_incremental``: NEAR-dup
+    (not just exact-line) dedup of a crawl feed against a persisted
+    survivor index. Survivors land in ``out_path/_bid=<n>``; their band
+    keys and shingle sets append to ``index_path/bands|shingles/_bid=<n>``
+    — deterministic per-batch dirs, so an at-least-once retry overwrites
+    its own output (same contract as start_incremental_dedup_stream).
+    The corpus is never re-shingled: each batch pays its own shingling
+    plus a band-key equi-join against the index."""
+    from pyspark.sql import functions as F
+
+    from kubenetmon_spark.operators.dedup import minhash_dedup_incremental
+    from kubenetmon_spark.streaming.job import _apply_trigger
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+
+        def read_index(sub):
+            try:
+                df = spark.read.option(
+                    "basePath", f"{index_path}/{sub}"
+                ).parquet(f"{index_path}/{sub}")
+            except Exception:
+                return None
+            # a replayed batch must not see its own partial writes
+            return df.filter(F.col("_bid") != batch_id).drop("_bid")
+
+        ib, ish = read_index("bands"), read_index("shingles")
+        if ib is None or ish is None:
+            ib = ish = None
+        survivors, new_bands, new_shingles = minhash_dedup_incremental(
+            batch_df, ib, ish, id_col, text_col,
+            num_hashes=num_hashes, bands=bands, n=n,
+            verify_threshold_bp=verify_threshold_bp,
+        )
+        survivors.write.mode("overwrite").parquet(f"{out_path}/_bid={batch_id}")
+        new_bands.write.mode("overwrite").parquet(
+            f"{index_path}/bands/_bid={batch_id}"
+        )
+        new_shingles.write.mode("overwrite").parquet(
+            f"{index_path}/shingles/_bid={batch_id}"
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    return _apply_trigger(writer, trigger).start()

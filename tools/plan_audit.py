@@ -61,6 +61,12 @@ def flags_for(a: dict) -> list[str]:
 KNOWN = {
     "q23_minhash_lsh": "banded candidate join + exact verify join are "
     "separate keyed stages by design (SCALE.md MinHash notes)",
+    "q279_minhash_dedup_incremental": "q23's exact plan family (cold-start "
+    "single-batch path): band-key candidate self-join + exact-verify "
+    "shingle SMJ over DERIVED candidate tables (no pre-AQE stats, no "
+    "broadcastable side by construction), then one anti-join of the doc "
+    "table against the dropped-id list; ~linear at sf1 (30.5s, same "
+    "cost envelope as q23 + anti-join)",
     "q26_flow_pipeline": "only 2 exchanges are fact-side (summing agg + "
     "query group key, asserted in test_plans.py); the rest build tiny "
     "broadcast dimensions",
