@@ -14410,6 +14410,80 @@ def q275(spark, sf_dir):
 
 
 @_register(
+    "q280_interpolate_linear",
+    """
+    WITH s AS (
+      SELECT user_id % 5 AS k, CAST(day(ts) AS BIGINT) AS x, COUNT(*) AS y
+      FROM events WHERE day(ts) % 3 <> 0 GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT ks.k, xs.x
+      FROM (SELECT DISTINCT user_id % 5 AS k FROM events) ks
+      CROSS JOIN (SELECT CAST(range AS BIGINT) + 1 AS x FROM range(30)) xs
+    ),
+    g AS (
+      SELECT grid.k, grid.x, s.y
+      FROM grid LEFT JOIN s ON s.k = grid.k AND s.x = grid.x
+    ),
+    w AS (
+      SELECT k, x, y,
+        last_value(CASE WHEN y IS NOT NULL THEN x END IGNORE NULLS)
+          OVER pw AS px,
+        last_value(CASE WHEN y IS NOT NULL THEN y END IGNORE NULLS)
+          OVER pw AS py,
+        first_value(CASE WHEN y IS NOT NULL THEN x END IGNORE NULLS)
+          OVER nw AS nx,
+        first_value(CASE WHEN y IS NOT NULL THEN y END IGNORE NULLS)
+          OVER nw AS ny
+      FROM g
+      WINDOW pw AS (PARTITION BY k ORDER BY x ROWS UNBOUNDED PRECEDING),
+             nw AS (PARTITION BY k ORDER BY x
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT k, x,
+           CASE WHEN y IS NOT NULL THEN y
+                WHEN px IS NOT NULL AND nx IS NOT NULL AND nx <> px
+                THEN py + CAST(floor(CAST((ny - py) * (x - px) AS DOUBLE)
+                                     / (nx - px)) AS BIGINT)
+           END AS y_filled
+    FROM w ORDER BY k, x
+    """,
+    "linear gap interpolation over a densified axis "
+    "(operators/timeseries.py::interpolate_linear) — the INTERPOLATE "
+    "member of the WITH FILL family: every 3rd day is removed from a "
+    "per-key daily count series, the grid re-densifies it, and nulls "
+    "fill with exact-integer floor((next-prev)*(x-px)/(nx-px)) between "
+    "anchors; leading/trailing gaps stay null; one shuffle + one "
+    "shared sort per key",
+)
+def q280(spark, sf_dir):
+    from kubenetmon_spark.operators.timeseries import interpolate_linear
+
+    ev = _t(spark, sf_dir, "events")
+    sparse = (
+        ev.filter(F.dayofmonth("ts") % 3 != 0)
+        .groupBy(
+            (F.col("user_id") % 5).alias("k"),
+            F.dayofmonth("ts").cast("long").alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    grid = (
+        ev.select((F.col("user_id") % 5).alias("k"))
+        .distinct()
+        .crossJoin(
+            spark.range(1, 31).select(F.col("id").alias("x"))
+        )
+    )
+    g = grid.join(sparse, ["k", "x"], "left")
+    return (
+        interpolate_linear(g, ["k"], "x", "y")
+        .select("k", "x", "y_filled")
+        .orderBy("k", "x")
+    )
+
+
+@_register(
     "q279_minhash_dedup_incremental",
     f"""
     WITH {_MINHASH_PAIRS_SQL}

@@ -317,6 +317,56 @@ def _floor_div(num, den):
     return F.floor(num.cast("double") / den).cast("long")
 
 
+def interpolate_linear(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    out_col: str = "y_filled",
+) -> DataFrame:
+    """Linear gap interpolation over a numeric axis — the missing third
+    of ClickHouse's ``ORDER BY ... WITH FILL`` family (STEP = densify,
+    carry-forward = arrayFillForward idiom, INTERPOLATE = this): null
+    ``y_col`` rows get ``prev + floor((next-prev)*(x-px)/(nx-px))``
+    between their nearest non-null anchors; anchors pass through;
+    leading/trailing nulls (no anchor on one side) stay null.
+
+    Exact-integer contract: y values are integers and the floor-div
+    uses the same IEEE-exact double quotient as ``_floor_div`` (|num| <
+    2^52), so results hash-match any SQL engine. One shuffle + one sort
+    per key: both window passes share the (key, x) sort order, Catalyst
+    runs them over a single exchange.
+    """
+    anchor = F.when(
+        F.col(y_col).isNotNull(),
+        F.struct(F.col(x_col).cast("long").alias("x"), F.col(y_col).cast("long").alias("y")),
+    )
+    wprev = (
+        Window.partitionBy(*key_cols)
+        .orderBy(x_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy(*key_cols)
+        .orderBy(x_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    p = F.last(anchor, ignorenulls=True).over(wprev)
+    n = F.first(anchor, ignorenulls=True).over(wnext)
+    filled = (
+        F.when(F.col(y_col).isNotNull(), F.col(y_col).cast("long"))
+        .when(
+            p.isNotNull() & n.isNotNull() & (n["x"] != p["x"]),
+            p["y"]
+            + _floor_div(
+                (n["y"] - p["y"]) * (F.col(x_col).cast("long") - p["x"]),
+                n["x"] - p["x"],
+            ),
+        )
+    )
+    return df.withColumn(out_col, filled)
+
+
 def seasonal_decompose(
     df: DataFrame,
     group_cols: list[str],

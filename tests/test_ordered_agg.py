@@ -1345,3 +1345,38 @@ class TestMinSampleSizes:
         df = spark.createDataFrame(rows, ["g", "x", "s"])
         r = min_sample_sizes(df, ["g"], "x", "s").collect()[0]
         assert r.n_conversion is None and r.n_continuous is None
+
+
+class TestInterpolateLinear:
+    def _run(self, spark, rows):
+        from kubenetmon_spark.operators.timeseries import interpolate_linear
+
+        df = spark.createDataFrame(rows, "k string, x long, y long")
+        out = interpolate_linear(df, ["k"], "x", "y")
+        return {(r.k, r.x): r.y_filled for r in out.collect()}
+
+    def test_anchors_gaps_and_edges(self, spark):
+        got = self._run(spark, [
+            ("a", 1, None),           # leading gap -> stays null
+            ("a", 2, 0), ("a", 3, None), ("a", 4, None), ("a", 5, 10),
+            ("a", 6, None),           # trailing gap -> stays null
+            ("b", 1, 7),              # single anchor
+        ])
+        assert got[("a", 1)] is None and got[("a", 6)] is None
+        assert got[("a", 2)] == 0 and got[("a", 5)] == 10
+        assert got[("a", 3)] == 3 and got[("a", 4)] == 6  # floor(10i/3)
+        assert got[("b", 1)] == 7
+
+    def test_floor_toward_neg_infinity_on_descending(self, spark):
+        # (ny-py) negative: floor, NOT truncation-toward-zero
+        got = self._run(spark, [
+            ("a", 0, 0), ("a", 1, None), ("a", 2, None), ("a", 3, -5),
+        ])
+        assert got[("a", 1)] == -2  # floor(-5/3) = -2, trunc would say -1
+        assert got[("a", 2)] == -4  # floor(-10/3)
+
+    def test_nonuniform_axis(self, spark):
+        got = self._run(spark, [
+            ("a", 10, 100), ("a", 13, None), ("a", 20, 200),
+        ])
+        assert got[("a", 13)] == 100 + (100 * 3) // 10
