@@ -363,6 +363,37 @@ class TestEmptyInputs:
         assert minhash_lsh_pairs(docs, "doc_id", "text").count() == 0
         assert jaccard_pairs(docs, "doc_id", "text").count() == 0
 
+    def test_empty_round3_additions(self, spark):
+        from kubenetmon_spark.operators.dedup import minhash_dedup_incremental
+        from kubenetmon_spark.operators.sampling import stratified_sample_exact
+        from kubenetmon_spark.operators.scd import scd2_apply_batch, scd2_from_snapshots
+        from kubenetmon_spark.operators.timeseries import interpolate_linear
+
+        snaps = spark.createDataFrame([], "k string, snapshot_ts timestamp, app string")
+        scd2 = scd2_from_snapshots(snaps, ["k"], ["app"])
+        assert scd2.count() == 0
+        # empty batch applied to an empty (and a non-empty) history
+        assert scd2_apply_batch(scd2, snaps, ["k"], ["app"]).count() == 0
+        one = scd2_from_snapshots(
+            spark.createDataFrame(
+                [("k0", datetime(2024, 1, 1), "a")],
+                "k string, snapshot_ts timestamp, app string",
+            ),
+            ["k"], ["app"],
+        )
+        assert scd2_apply_batch(one, snaps, ["k"], ["app"]).count() == 1
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        surv, nb, ns = minhash_dedup_incremental(docs, None, None, "doc_id", "text")
+        assert surv.count() == 0 and nb.count() == 0 and ns.count() == 0
+
+        assert stratified_sample_exact(
+            spark.createDataFrame([], "id long, s string"), ["s"], 3, "id"
+        ).count() == 0
+        assert interpolate_linear(
+            spark.createDataFrame([], "k string, x long, y long"), ["k"], "x", "y"
+        ).count() == 0
+
     def test_jaccard_scale_guard(self, spark):
         from kubenetmon_spark.operators.dedup import jaccard_pairs
 
