@@ -14410,6 +14410,51 @@ def q275(spark, sf_dir):
 
 
 @_register(
+    "q281_ivf_index_search",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROUND({_DOT.format(a='e.embedding', b='c.cv')}, 6) AS cscore
+      FROM embeddings e, c
+    ),
+    asn AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid ASC) AS rn
+      FROM scored
+    ),
+    probes AS (
+      SELECT c.cid FROM q, c
+      ORDER BY ROUND({_DOT.format(a='q.qv', b='c.cv')}, 6) DESC, c.cid ASC
+      LIMIT 4
+    )
+    SELECT a.vec_id, ROUND({_DOT.format(a='a.embedding', b='q.qv')}, 4) AS score
+    FROM asn a JOIN probes p ON a.cid = p.cid, q
+    WHERE a.rn = 1
+    ORDER BY score DESC, a.vec_id
+    LIMIT 10
+    """,
+    "PERSISTED IVF index search (operators/similarity.py::"
+    "build_ivf_index + ivf_search): the q28 inline IVF split into its "
+    "production halves — assignments written parquet-partitioned BY "
+    "centroid once, then the probe reads ONLY its n_probe centroid "
+    "directories (PartitionFilters plan-asserted in test_plans.py); "
+    "identical results to the inline form and the q28 oracle",
+)
+def q281(spark, sf_dir):
+    import tempfile
+
+    from kubenetmon_spark.operators.similarity import build_ivf_index, ivf_search
+
+    e = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="gate_ivf_")
+    build_ivf_index(e, tmp, n_centroids=16)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return ivf_search(spark, tmp, q, k=10, n_probe=4)
+
+
+@_register(
     "q280_interpolate_linear",
     """
     WITH s AS (

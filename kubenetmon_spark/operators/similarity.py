@@ -392,6 +392,95 @@ def ivf_topk(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
+def build_ivf_index(
+    vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> None:
+    """Persist the IVF index ``ivf_topk`` recomputes per call — the ANN
+    SERVING shape: assignments land as parquet PARTITIONED BY centroid,
+    so a probe is a partition-pruned scan of n_probe/n_centroids of the
+    data (the scan's PartitionFilters carry the probe list — asserted in
+    test_plans.py), with the corpus embedded once, searched many times.
+
+    Same deterministic contract as ``ivf_topk`` (first n_centroids ids
+    as centroids; max round(dot,6) assignment, ties -> lowest centroid
+    id), so a persisted-index search returns exactly what the inline
+    form and the q28 SQL oracle return.
+
+    Layout: ``<index_path>/assignments/centroid=<cid>/`` (id, vector),
+    ``<index_path>/centroids/`` (cid, vector).
+    """
+    centroids = F.broadcast(
+        vectors.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+        )
+    )
+    assigned = (
+        vectors.join(centroids)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_cid"),
+            F.round(_dot(F.col(vec_col), F.col("_cv")), 6).alias("_cscore"),
+        )
+        .groupBy(id_col, vec_col)
+        .agg(
+            F.max_by(
+                F.col("_cid"), F.struct(F.col("_cscore"), -F.col("_cid"))
+            ).alias("centroid")
+        )
+    )
+    assigned.write.mode("overwrite").partitionBy("centroid").parquet(
+        f"{index_path}/assignments"
+    )
+    centroids.select(
+        F.col("_cid").alias("cid"), F.col("_cv").alias("cv")
+    ).write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+
+def ivf_search(
+    spark,
+    index_path: str,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Query a ``build_ivf_index`` index: score the query against the
+    (small, broadcastable) centroid table, pick the ``n_probe`` best
+    centroid ids on the driver (n_probe scalars — the bounded collect
+    that BUYS partition pruning: literal partition values reach the
+    file index, non-probed centroid directories are never opened), then
+    exact-re-rank only the probed partitions."""
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    probe_rows = (
+        query.crossJoin(F.broadcast(cents))
+        .select(
+            F.col("qv"),
+            F.col("cid"),
+            F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("_qs"),
+        )
+        .orderBy(F.desc("_qs"), F.col("cid"))
+        .limit(n_probe)
+        .select("cid")
+        .collect()
+    )
+    probes = [r.cid for r in probe_rows]
+    cand = spark.read.parquet(f"{index_path}/assignments").filter(
+        F.col("centroid").isin(probes)
+    )
+    scored = cand.crossJoin(F.broadcast(query)).select(
+        F.col(id_col),
+        F.round(_dot(F.col(vec_col), F.col("qv")), round_digits).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
 def _sketch_bits(vec: Column, dim: int, bits: int) -> Column:
     """b-bit sign sketch with deterministic pseudo-random hyperplanes.
 
