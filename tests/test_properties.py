@@ -351,6 +351,54 @@ def test_scd2_matches_run_collapse_reference(spark, snaps):
 
 @SLOW
 @given(
+    left=st.lists(
+        st.tuples(
+            st.sampled_from(["k0", "k1"]),
+            st.integers(min_value=0, max_value=100),  # ts (numeric units)
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.sampled_from(["k0", "k1"]),
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=0, max_value=9),  # payload
+        ),
+        min_size=0,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),  # one right row per (key, ts):
+        # equal-ts right rows tie on the window order and the winner
+        # would be arbitrary — same precondition as any as-of source
+    ),
+    tol=st.sampled_from([None, 10, 40]),
+)
+def test_asof_join_matches_sequential_reference(spark, left, right, tol):
+    """asof_join == per-left-row max{right.ts <= left.ts} scan, incl.
+    inclusive-at-equal-ts semantics and the tolerance discard."""
+    from kubenetmon_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)], "k string, ts long, lid long"
+    )
+    rdf = spark.createDataFrame(right, "k string, ts long, v long")
+    got = {
+        r.lid: (r.asof_ts, r.v)
+        for r in asof_join(ldf, rdf, ["k"], tolerance_seconds=tol).collect()
+    }
+    assert len(got) == len(left)
+    for i, (k, ts) in enumerate(left):
+        matches = [(rts, v) for rk, rts, v in right if rk == k and rts <= ts]
+        want = max(matches) if matches else None
+        if want is not None and tol is not None and ts - want[0] > tol:
+            want = None
+        assert got[i] == (want if want else (None, None)), (
+            f"left row {i} (k={k}, ts={ts}): {got[i]} != {want}"
+        )
+
+
+@SLOW
+@given(
     snaps=st.lists(
         st.tuples(
             st.sampled_from(["k0", "k1", "k2"]),
