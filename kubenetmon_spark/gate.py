@@ -14455,6 +14455,67 @@ def q281(spark, sf_dir):
 
 
 @_register(
+    "q282_ivf_search_many",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN (0, 7)),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROUND({_DOT.format(a='e.embedding', b='c.cv')}, 6) AS cscore
+      FROM embeddings e, c
+    ),
+    asn AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid ASC) AS rn
+      FROM scored
+    ),
+    probes AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY ROUND({_DOT.format(a='q.qv', b='c.cv')}, 6) DESC,
+                          c.cid ASC) AS prn
+        FROM q, c
+      ) t WHERE prn <= 4
+    )
+    SELECT qid, vec_id, score FROM (
+      SELECT q.qid, a.vec_id,
+             ROUND({_DOT.format(a='a.embedding', b='q.qv')}, 4) AS score,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY ROUND({_DOT.format(a='a.embedding', b='q.qv')}, 4) DESC,
+                        a.vec_id ASC) AS krn
+      FROM asn a JOIN probes p ON a.cid = p.cid JOIN q ON q.qid = p.qid
+      WHERE a.rn = 1
+    ) s WHERE krn <= 10
+    ORDER BY qid, score DESC, vec_id
+    """,
+    "batched persisted-IVF search (operators/similarity.py::"
+    "ivf_search_many): many queries, ONE pruned scan — per-query "
+    "probes rank distributed, only the deduped probe-id union (<= "
+    "n_probe x n_queries scalars) collects to drive PartitionFilters, "
+    "the query batch broadcasts onto the pruned scan, one window "
+    "takes top-k per query",
+)
+def q282(spark, sf_dir):
+    import tempfile
+
+    from kubenetmon_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search_many,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="gate_ivfm_")
+    build_ivf_index(e, tmp, n_centroids=16)
+    qs = e.filter(F.col("vec_id").isin(0, 7)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return ivf_search_many(spark, tmp, qs, k=10, n_probe=4).orderBy(
+        "qid", F.desc("score"), "vec_id"
+    )
+
+
+@_register(
     "q280_interpolate_linear",
     """
     WITH s AS (

@@ -481,6 +481,72 @@ def ivf_search(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
+def ivf_search_many(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Batch form of ``ivf_search``: many queries against one persisted
+    index in a single pruned scan. Per-query probes are ranked
+    DISTRIBUTED (window over qid); only the UNION of probe ids — at
+    most n_probe × n_queries scalars, usually far fewer after dedup —
+    collects to the driver to become literal PartitionFilters. Scoring
+    then broadcasts the query batch onto the pruned scan and takes
+    top-k per query with one window. Returns (qid, vec_id, score)."""
+    from pyspark.sql.window import Window
+
+    cents = F.broadcast(spark.read.parquet(f"{index_path}/centroids"))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("_qs"), F.col("cid"))
+    probes = (
+        queries.crossJoin(cents)
+        .select(
+            F.col(qid_col),
+            F.col("cid"),
+            F.round(_dot(F.col(qvec_col), F.col("cv")), 6).alias("_qs"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_probe)
+        .select(qid_col, "cid")
+    )
+    probe_ids = [r.cid for r in probes.select("cid").distinct().collect()]
+    cand = spark.read.parquet(f"{index_path}/assignments").filter(
+        F.col("centroid").isin(probe_ids)
+    )
+    # each query scores only ITS probed lists (join on (centroid, qid)
+    # via the probe table), so overlapping probes across queries are
+    # shared in the scan but not over-scored
+    scored = (
+        cand.join(
+            F.broadcast(
+                probes.join(queries, qid_col).select(
+                    F.col(qid_col), F.col("cid").alias("centroid"), F.col(qvec_col)
+                )
+            ),
+            "centroid",
+        )
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.round(_dot(F.col(vec_col), F.col(qvec_col)), round_digits).alias(
+                "score"
+            ),
+        )
+    )
+    wk = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def _sketch_bits(vec: Column, dim: int, bits: int) -> Column:
     """b-bit sign sketch with deterministic pseudo-random hyperplanes.
 
