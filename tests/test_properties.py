@@ -399,6 +399,42 @@ def test_asof_join_matches_sequential_reference(spark, left, right, tol):
 
 @SLOW
 @given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["u0", "u1"]),
+            st.integers(min_value=0, max_value=500),  # epoch seconds
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    gap=st.sampled_from([1, 30, 100]),
+)
+def test_sessionize_matches_sequential_scan(spark, events, gap):
+    """sessionize == a per-key sequential scan over (ts, id)-ordered
+    events, incl. duplicate timestamps (broken by the unique id)."""
+    from kubenetmon_spark.operators.sessions import sessionize
+
+    rows = [(k, datetime(2024, 1, 1, 0, 0, 0) + __import__("datetime").timedelta(seconds=s), i)
+            for i, (k, s) in enumerate(events)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long")
+    got = {
+        r.eid: r.session_id
+        for r in sessionize(df, ["k"], gap_seconds=gap, order_cols=["eid"]).collect()
+    }
+    by_key: dict[str, list[tuple[int, int]]] = {}
+    for i, (k, s) in enumerate(events):
+        by_key.setdefault(k, []).append((s, i))
+    for k, evs in by_key.items():
+        sid, prev = 0, None
+        for s, i in sorted(evs):
+            if prev is None or s - prev > gap:
+                sid += 1
+            prev = s
+            assert got[i] == sid, f"event {i} (k={k}, t={s}): {got[i]} != {sid}"
+
+
+@SLOW
+@given(
     snaps=st.lists(
         st.tuples(
             st.sampled_from(["k0", "k1", "k2"]),

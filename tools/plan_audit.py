@@ -241,6 +241,14 @@ KNOWN = {
 #: audit. (bench.py additionally re-times sub-3s flags best-of-2 on the
 #: warm session before listing them, so pure timer noise self-clears.)
 BENCH_NOTES = {
+    "q04_minute_rollup": "r03 flag 0.62s->0.99s adjudicated as session "
+    "drift on a sub-second query: plan unchanged (scan -> partial/final "
+    "hash agg -> sort, the SummingMergeTree rollup's minimal shape, "
+    "re-explained at flag time), and best-of-3 on an idle box lands "
+    "0.84-0.89s warm — between the two bench readings; no commit in the "
+    "window touched flows.py/gate q04, and the bench's own best-of-2 "
+    "re-time already halves such flags (sub-second JVM/GC state swings "
+    "~0.3s run-to-run).",
     "q106_any_left_join": "r02 flag 0.99s->1.52s adjudicated as timer "
     "noise: plan unchanged (min_by pre-agg then shuffle join, broadcast "
     "deliberately off — gate.py q106, operators/joins.py), and best-of-3 "
