@@ -24,6 +24,8 @@ gate        The correctness-gate queries, each with a DuckDB oracle.
 sql         ClickHouse-name scalar surface as Catalyst-inlined SQL UDFs.
 backfill    Date-partition replay from raw observations (late data).
 querylog    system.query_log analogue (run_logged / slow_queries).
+observability  Per-batch metrics listener, reference-named Prometheus
+            counters + textfile exposition, stream health.
 """
 
 __version__ = "0.1.0"
