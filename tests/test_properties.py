@@ -481,3 +481,55 @@ def test_scd2_incremental_equals_rebuild(spark, snaps, cuts):
         ((r.k, r.app, r.valid_from, r.valid_to) for r in df.collect()), key=nskey
     )
     assert rows(inc) == rows(full)
+
+
+_series = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=1_000_000),
+        st.one_of(st.none(), st.integers(min_value=-1_000_000, max_value=1_000_000)),
+    ),
+    min_size=1,
+    max_size=24,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@SLOW
+@given(rows=_series)
+def test_interpolate_linear_matches_sequential_reference(spark, rows):
+    """interpolate_linear == per-key sequential scan: anchors pass
+    through, interior nulls get prev + floor-div slope fill, edge nulls
+    (missing anchor on either side) stay null. Python // on ints IS the
+    exact floor the operator's IEEE-double quotient reproduces."""
+    from kubenetmon_spark.operators.timeseries import interpolate_linear
+
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    got = {
+        (r.k, r.x): r.y_filled
+        for r in interpolate_linear(df, ["k"], "x", "y").collect()
+    }
+
+    expected = {}
+    by_key: dict = {}
+    for k, x, y in rows:
+        by_key.setdefault(k, []).append((x, y))
+    for k, series in by_key.items():
+        series.sort()
+        for i, (x, y) in enumerate(series):
+            if y is not None:
+                expected[(k, x)] = y
+                continue
+            prev = next(
+                ((px, py) for px, py in reversed(series[:i]) if py is not None),
+                None,
+            )
+            nxt = next(
+                ((nx, ny) for nx, ny in series[i + 1 :] if ny is not None), None
+            )
+            if prev is None or nxt is None:
+                expected[(k, x)] = None
+            else:
+                (px, py), (nx, ny) = prev, nxt
+                expected[(k, x)] = py + ((ny - py) * (x - px)) // (nx - px)
+    assert got == expected
