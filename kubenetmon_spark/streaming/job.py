@@ -219,9 +219,17 @@ def streaming_network_flows(
     prefixes: DataFrame,
     cfg: RuntimeConfig,
     watermark: str = "10 minutes",
+    observe_metrics: bool = False,
 ) -> DataFrame:
     """Eager path as a pure streaming DataFrame: watermarked labeler ->
     fan-out -> 1-minute tumbling window summing aggregation.
+
+    ``observe_metrics=True`` attaches the labeled/rejected observe()
+    split (observability.with_ingest_observation) so every progress
+    event carries ``n_labeled``/``n_rejected`` — the counts
+    ``observability.reference_counters`` projects onto the reference's
+    processed/dropped counter names. It rides the normal execution; no
+    extra pass.
 
     Returns an unstarted streaming DataFrame with the NETWORK_FLOWS
     column set; start it with ``start_windowed_flow_stream`` (or any
@@ -241,6 +249,10 @@ def streaming_network_flows(
         lpm_mode="disjoint",
         prefixes_are_disjoint=True,
     )
+    if observe_metrics:
+        from kubenetmon_spark.observability import with_ingest_observation
+
+        labeled = with_ingest_observation(labeled)
     accepted, _ = split_rejected(labeled)
 
     directions = F.array(

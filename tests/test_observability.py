@@ -105,6 +105,58 @@ def test_listener_records_batches_and_observed_metrics(spark, tmp_path):
     )
 
 
+def test_windowed_pipeline_carries_observed_split(spark, tmp_path):
+    """The production eager path with observe_metrics=True: every
+    micro-batch's progress carries the labeled/rejected split that
+    reference_counters maps to processed/dropped."""
+    from kubenetmon_spark.demo import DEMO_CFG, build_flow_inputs
+    from kubenetmon_spark.operators.label import label_flows, split_rejected
+    from kubenetmon_spark.streaming import (
+        start_windowed_flow_stream,
+        streaming_network_flows,
+    )
+
+    obs, pods, nodes, prefixes = build_flow_inputs(spark, "/root/testdata/sf0.001")
+    obs_dir = str(tmp_path / "obs")
+    obs.limit(400).repartition(2).write.parquet(obs_dir)
+
+    # batch reference: how many of these rows label vs reject
+    batch_labeled = label_flows(
+        spark.read.parquet(obs_dir), pods, nodes, prefixes, DEMO_CFG
+    )
+    acc, dead = split_rejected(batch_labeled)
+    n_acc, n_dead = acc.count(), dead.count()
+
+    listener = BatchMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = spark.readStream.schema(
+            spark.read.parquet(obs_dir).schema
+        ).parquet(obs_dir)
+        flows = streaming_network_flows(
+            stream, pods, nodes, prefixes, DEMO_CFG, observe_metrics=True
+        )
+        q = start_windowed_flow_stream(
+            flows,
+            str(tmp_path / "flows"),
+            str(tmp_path / "ckpt"),
+            trigger={"availableNow": True},
+            query_name="windowed_obs_test",
+        )
+        q.awaitTermination(180)
+        rows = listener.wait_for_batches(1)
+    finally:
+        spark.streams.removeListener(listener)
+
+    rows = [r for r in rows if r["query_name"] == "windowed_obs_test"]
+    assert rows
+    samples = reference_counters(rows)
+    by_key = {(s[0], tuple(sorted(s[1].items()))): s[2] for s in samples}
+    key = "kubenetmon_server_processed_observations_total"
+    assert by_key[(key, (("type", "labeled"),))] == n_acc
+    assert by_key[(key, (("type", "dropped"),))] == n_dead
+
+
 def test_reference_counters_without_observed_metrics():
     rows = [
         {
