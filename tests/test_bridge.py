@@ -137,3 +137,43 @@ def test_bridge_to_streaming_pipeline(spark, tmp_path, wire_frames):
         .agg(F.sum("bytes").alias("b"), F.sum("packets").alias("p"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_daemon_entrypoint_drains_and_exports(tmp_path):
+    """tools/ingest_bridge.py embedded run: serves, exports the
+    Prometheus textfile, drains on stop. No Spark involved."""
+    import threading
+
+    import tests.test_proto as tp
+    from tools.ingest_bridge import main
+
+    landing = str(tmp_path / "landing")
+    prom = str(tmp_path / "kubenetmon.prom")
+    ready, stop = threading.Event(), threading.Event()
+    t = threading.Thread(
+        target=main,
+        args=(
+            [
+                "--landing-dir", landing,
+                "--host", "127.0.0.1",
+                "--port", "0",
+                "--flush-interval-s", "0.2",
+                "--metrics-textfile", prom,
+            ],
+            ready,
+            stop,
+        ),
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(10)
+    host, port = main.bound
+    send_frames(host, port, [bytes(tp.GOLDEN)] * 5)
+    _wait(lambda: os.path.exists(prom) and "enqueued\"} 5" in open(prom).read(), 15)
+    stop.set()
+    t.join(timeout=15)
+    assert not t.is_alive()
+    body = open(prom).read()
+    assert 'kubenetmon_server_processed_observations_total{type="enqueued"} 5' in body
+    names = os.listdir(landing)
+    assert names and all(n.startswith("obs-") for n in names)
