@@ -177,3 +177,36 @@ def test_daemon_entrypoint_drains_and_exports(tmp_path):
     assert 'kubenetmon_server_processed_observations_total{type="enqueued"} 5' in body
     names = os.listdir(landing)
     assert names and all(n.startswith("obs-") for n in names)
+
+
+def test_framing_roundtrip_arbitrary_bytes(tmp_path):
+    """The varint framing codec alone: arbitrary binary frames (incl.
+    empty, huge-varint-boundary sizes, 0x80/0x7f patterns) arrive
+    intact and in order with validation off."""
+    import random
+
+    rng = random.Random(77)
+    frames = [
+        b"",
+        b"\x00",
+        b"\x80" * 127,
+        b"\x7f" * 128,
+        bytes(rng.getrandbits(8) for _ in range(16383)),
+        bytes(rng.getrandbits(8) for _ in range(16384)),
+    ] + [bytes(rng.getrandbits(8) for _ in range(rng.randrange(0, 300))) for _ in range(50)]
+
+    landing = str(tmp_path / "landing")
+    with IngestBridge(landing, validate=False, flush_interval_s=0.2) as bridge:
+        send_frames(bridge._host, bridge._port, frames)
+        _wait(lambda: bridge.stats["received"] == len(frames))
+    assert bridge.stats["dropped"] == 0
+
+    import pyarrow.parquet as pq
+
+    got = []
+    for name in sorted(os.listdir(landing)):
+        got += [
+            bytes(v) if v is not None else b""
+            for v in pq.read_table(os.path.join(landing, name))["value"].to_pylist()
+        ]
+    assert sorted(got) == sorted(frames)
