@@ -14783,6 +14783,72 @@ def q276(spark, sf_dir):
     )
 
 
+def _hll_oracle_sql(p: int) -> str:
+    from kubenetmon_spark.operators.sketch import _HLL_BITS, _hll_alpha_e6
+
+    m = 1 << p
+    w = _HLL_BITS - p
+    scale = 1 << (w + 1)
+    num = _hll_alpha_e6(m) * m * m * scale
+    # 13-hex-digit md5 prefix -> 52-bit integer, the q117 idiom
+    hash_expr = (
+        "list_sum(list_transform(range(1, 14), i -> "
+        "(instr('0123456789abcdef', substring(md5(CAST(event_id AS VARCHAR)), "
+        "i, 1)) - 1) * (16 ** (13 - i))::BIGINT))"
+    )
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {hash_expr} AS h
+      FROM events WHERE event_id IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, h // {1 << w} AS b,
+             CASE WHEN h % {1 << w} = 0 THEN {w + 1}
+                  ELSE instr(lpad(bin(h % {1 << w}), {w}, '0'), '1') END AS rho
+      FROM h
+    ),
+    regs AS (SELECT event_type, b, MAX(rho) AS rho FROM r GROUP BY event_type, b),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n_regs, SUM({scale} >> rho) AS sum_pow
+      FROM regs GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST({num}::HUGEINT //
+                (CAST(sum_pow + ({m} - n_regs) * {scale} AS HUGEINT) * 1000000)
+             AS BIGINT) AS n_distinct_est,
+           CAST(n_regs AS BIGINT) AS n_regs
+    FROM agg ORDER BY event_type
+    """
+
+
+@_register(
+    "q283_hll_exact_merge",
+    _hll_oracle_sql(8),
+    "ENGINE-EXACT HyperLogLog (operators/sketch.py::hll_exact_state/"
+    "hll_exact_merge): per-day mergeable register tables (top-8-bit "
+    "bucket, first-1-bit rank over the shared 52-bit md5 hash) unioned "
+    "into per-type distinct-event estimates with the raw Flajolet "
+    "harmonic-mean estimator in PURE integer arithmetic (fixed-point "
+    "2^-rho terms, 128-bit alpha numerator) — so unlike the library "
+    "sketches of q56 (rows-only: packed bytes differ per engine), the "
+    "DuckDB oracle reproduces registers AND estimates bit-for-bit: "
+    "merging per-day MAX registers equals the global build. No "
+    "small-range linear counting by design (ln() is not portable-"
+    "exact); the small-cardinality regime is exact under KMV (q117)",
+)
+def q283(spark, sf_dir):
+    from kubenetmon_spark.operators.sketch import hll_exact_merge, hll_exact_state
+
+    ev = _t(spark, sf_dir, "events")
+    daily = hll_exact_state(
+        ev.withColumn("day", F.to_date("ts")),
+        ["event_type", "day"],
+        "event_id",
+        p=8,
+    )
+    return hll_exact_merge(daily, ["event_type"], p=8).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -428,3 +428,120 @@ def kmv_overlap(
         "n_common",
         F.expr("_num div n_union_sample").alias("jaccard_bp"),
     )
+
+
+# --- portable exact-integer HyperLogLog --------------------------------
+#
+# The HLL twin of the KMV sketch above, with the same engine-exactness
+# contract: every quantity is integer arithmetic over the shared 52-bit
+# md5 hash, so registers AND estimates are bit-identical across engines,
+# partitionings, and merge orders — unlike library HLLs (Spark's
+# hll_sketch_agg, uniq_state above), whose packed bytes vary per
+# implementation and are rows-only by design in the gate (q56).
+#
+# Register build: bucket = top ``p`` hash bits; rho = position of the
+# first 1-bit in the remaining ``52 - p`` bits (all-zero remainder =>
+# 52 - p + 1). State = per-group sparse register table {bucket: max rho}
+# — at most 2^p entries per group regardless of cardinality, mergeable
+# by per-bucket MAX (associative, commutative, idempotent).
+#
+# Estimator: the raw HyperLogLog harmonic mean (Flajolet et al. 2007),
+#     E = alpha_m * m^2 / sum_j 2^(-M[j])
+# computed entirely in integers: each 2^(-M[j]) term is scaled by
+# 2^(W+1) (W = 52 - p, max rho = W + 1), so the denominator
+# sum fits a BIGINT (<= m * 2^(W+1) = 2^53 at p=8) and the alpha-scaled
+# numerator is one 128-bit constant. DELIBERATELY no small/large-range
+# correction: linear counting needs ln() (float, not portable-exact);
+# the small-cardinality regime is served exactly by the KMV sketch
+# (kmv_state/kmv_merge, gate q117), which IS exact below k distincts.
+
+#: Total hash bits (13 hex digits of md5) — shared with the KMV sketch.
+_HLL_BITS = _KMV_BITS
+
+
+def _hll_alpha_e6(m: int) -> int:
+    """alpha_m (Flajolet's bias constant for m >= 128) in fixed-point
+    millionths — a compile-time integer both engines share."""
+    return int(round(1_000_000 * 0.7213 / (1.0 + 1.079 / m)))
+
+
+def hll_exact_state(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 8,
+    out_col: str = "hll_regs",
+) -> DataFrame:
+    """ClickHouse ``uniqState`` analogue with deterministic contents:
+    per group, the sparse HLL register table as a bucket-sorted
+    ``array<struct<b:int, rho:int>>``. NULL values are skipped
+    (ClickHouse ``uniq`` convention, same as kmv_state's hash filter).
+
+    Build shape: one hash shuffle on (group, bucket) with map-side
+    combined MAX partials — per-task state is bounded by
+    ``groups x 2^p`` registers, never by row count — then a tiny
+    second aggregation packs <= 2^p register rows per group into the
+    state array."""
+    w_bits = _HLL_BITS - p
+    mask = (1 << w_bits) - 1
+    rho = (
+        f"CASE WHEN (_h & {mask}) = 0 THEN {w_bits + 1} "
+        f"ELSE instr(lpad(bin(_h & {mask}), {w_bits}, '0'), '1') END"
+    )
+    regs = (
+        df.select(*group_cols, _kmv_hash(value_col).alias("_h"))
+        .filter(F.col("_h").isNotNull())
+        .select(
+            *group_cols,
+            F.shiftright("_h", w_bits).cast("int").alias("_b"),
+            F.expr(rho).cast("int").alias("_rho"),
+        )
+        .groupBy(*group_cols, "_b")
+        .agg(F.max("_rho").alias("_rho"))
+    )
+    return regs.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list(F.struct("_b", "_rho"))).alias(out_col)
+    )
+
+
+def hll_exact_merge(
+    sketches: DataFrame,
+    group_cols: list[str],
+    p: int = 8,
+    sketch_col: str = "hll_regs",
+    out_col: str = "n_distinct_est",
+) -> DataFrame:
+    """ClickHouse ``uniqMerge`` over the exact-integer HLL states:
+    per-bucket MAX across states, then the raw integer estimator.
+    Returns (group_cols..., out_col, n_regs) where ``n_regs`` is the
+    count of non-empty registers — bit-identical in any engine.
+
+    The shuffle carries at most 2^p register structs per (state, group)
+    — bytes, not fact rows; range rollups over persisted per-day states
+    never rescan facts."""
+    m = 1 << p
+    w_bits = _HLL_BITS - p
+    scale = 1 << (w_bits + 1)  # 2^(W+1): the 2^-rho fixed-point scale
+    numerator = _hll_alpha_e6(m) * m * m * scale
+    merged = (
+        sketches.select(*group_cols, F.explode(sketch_col).alias("_e"))
+        .select(*group_cols, F.col("_e._b").alias("_b"), F.col("_e._rho").alias("_rho"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.max("_rho").alias("_rho"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_regs"),
+            F.sum(F.expr(f"shiftright(CAST({scale} AS BIGINT), _rho)")).alias(
+                "_sum_pow"
+            ),
+        )
+    )
+    return merged.select(
+        *group_cols,
+        F.expr(
+            f"CAST(CAST('{numerator}' AS DECIMAL(38,0)) div "
+            f"(CAST(_sum_pow + ({m} - n_regs) * CAST({scale} AS BIGINT) "
+            f"AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+        ).alias(out_col),
+        F.col("n_regs").cast("long").alias("n_regs"),
+    )

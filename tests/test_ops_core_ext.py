@@ -849,6 +849,64 @@ class TestKmvStateMerge:
         assert via_parts == direct  # mergeability: top-k of union of top-ks
 
 
+class TestHllExactStateMerge:
+    def test_merge_of_daily_states_equals_global_build(self, spark):
+        from kubenetmon_spark.operators.sketch import hll_exact_merge, hll_exact_state
+
+        rows = [(f"d{i % 5}", f"u{i % 700}") for i in range(3000)]
+        df = spark.createDataFrame(rows, ["day", "user"]).withColumn(
+            "grp", F.lit("all")
+        )
+        via_days = hll_exact_merge(
+            hll_exact_state(df, ["grp", "day"], "user", p=8), ["grp"], p=8
+        ).collect()[0]
+        direct = hll_exact_merge(
+            hll_exact_state(df, ["grp"], "user", p=8), ["grp"], p=8
+        ).collect()[0]
+        # per-bucket MAX is associative/commutative/idempotent: any
+        # split of the data merges to the identical register table
+        assert (via_days.n_distinct_est, via_days.n_regs) == (
+            direct.n_distinct_est,
+            direct.n_regs,
+        )
+
+    def test_estimate_close_and_partition_invariant(self, spark):
+        from kubenetmon_spark.operators.sketch import hll_exact_merge, hll_exact_state
+
+        rows = [("g", f"v{i}") for i in range(5000)]
+        ests = []
+        for parts in (2, 7):
+            df = spark.createDataFrame(rows, ["grp", "v"]).repartition(parts)
+            ests.append(
+                hll_exact_merge(
+                    hll_exact_state(df, ["grp"], "v", p=8), ["grp"], p=8
+                ).collect()[0].n_distinct_est
+            )
+        assert ests[0] == ests[1]  # registers are a pure set function
+        # raw estimator std error ~ 1.04/sqrt(256) = 6.5%; allow 3 sigma
+        assert abs(ests[0] - 5000) / 5000 < 0.20
+
+    def test_nulls_skipped_and_empty_input(self, spark):
+        from kubenetmon_spark.operators.sketch import hll_exact_merge, hll_exact_state
+
+        df = spark.createDataFrame(
+            [("g", "a"), ("g", None), ("g", "b")], "grp string, v string"
+        )
+        st = hll_exact_state(df, ["grp"], "v", p=8)
+        assert st.collect()[0].hll_regs  # built from the 2 non-null rows
+        n_regs = hll_exact_merge(st, ["grp"], p=8).collect()[0].n_regs
+        assert n_regs == 2
+
+        empty = spark.createDataFrame([], "grp string, v string")
+        assert hll_exact_state(empty, ["grp"], "v").count() == 0
+        assert (
+            hll_exact_merge(
+                hll_exact_state(empty, ["grp"], "v"), ["grp"]
+            ).count()
+            == 0
+        )
+
+
 class TestEntityClusters:
     def test_collapsed_equals_row_level_formulation(self, spark):
         from kubenetmon_spark.operators.fuzzy import (

@@ -204,6 +204,11 @@ KNOWN = {
     "both distribution aggs carry <= buckets rows; the ratio table "
     "broadcasts back and the final per-doc sum rides the feature "
     "table — q113's exact plan shape with integer scoring",
+    "q283_hll_exact_merge": "one fact-scale exchange total: the "
+    "register build's partial_max combines map-side, so exchange #1 "
+    "carries at most groups x days x 256 register rows, not events; "
+    "the remaining three exchanges are state-pack, merge re-max, and "
+    "the final 5-row sort — all sketch-sized by construction",
     "q276_asof_dimension_replay": "the fact side touches exactly one "
     "exchange pair (the final countDistinct expand-agg); the other "
     "exchanges build the SCD2 dimension — snapshot groupBy + window "
