@@ -14849,6 +14849,96 @@ def q283(spark, sf_dir):
     return hll_exact_merge(daily, ["event_type"], p=8).orderBy("event_type")
 
 
+def _pii_oracle_sql() -> str:
+    from kubenetmon_spark.operators.curation import PII_PATTERNS
+
+    inject = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com or 555-' || "
+        "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.' || "
+        "CAST(doc_id % 256 AS VARCHAR) || '.0.1 card 4' || "
+        "lpad(CAST(doc_id % 100000 AS VARCHAR), 15, '0')"
+    )
+    ctes = [
+        "base AS (SELECT doc_id, source, "
+        f"CASE WHEN doc_id % 3 < 2 THEN {inject} ELSE text END AS t0 "
+        "FROM documents)"
+    ]
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        ctes.append(
+            f"s{i + 1} AS (SELECT doc_id, source, "
+            + "".join(f"n_{n}, " for n, _, _ in PII_PATTERNS[:i])
+            + f"len(regexp_extract_all(t{i}, '{pat}')) AS n_{name}, "
+            f"regexp_replace(t{i}, '{pat}', '{repl}', 'g') AS t{i + 1} "
+            f"FROM s{i})".replace("FROM s0", "FROM base")
+        )
+    last = len(PII_PATTERNS)
+    sums = ", ".join(
+        f"CAST(SUM(n_{n}) AS BIGINT) AS n_{n}" for n, _, _ in PII_PATTERNS
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT source, COUNT(*) AS n_docs, {sums}, "
+        f"CAST(SUM(length(t{last})) AS BIGINT) AS sum_len_redacted "
+        f"FROM s{last} GROUP BY source ORDER BY source"
+    )
+
+
+@_register(
+    "q284_pii_redact",
+    _pii_oracle_sql(),
+    "PII redaction audit (operators/curation.py::redact_pii): "
+    "deterministically inject email/phone/IPv4/card shapes into 2/3 of "
+    "documents, scrub with the ordered JVM-side regex fold (no UDF, no "
+    "shuffle — redaction rides the scan projection), and account for "
+    "every replacement per source: per-type counts plus the redacted "
+    "byte total, all reproduced verbatim by the oracle's identical "
+    "pattern chain (Java-regex/RE2 shared subset). The release-review "
+    "scrub stage the reference never needed (it ships flow metadata, "
+    "not text — pkg/labeler/labeler.go)",
+)
+def q284(spark, sf_dir):
+    from kubenetmon_spark.operators.curation import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 card 4"),
+        F.lpad((F.col("doc_id") % 100000).cast("string"), 15, "0"),
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 3 < 2, injected).otherwise(F.col("text")).alias(
+            "text"
+        ),
+    )
+    red = redact_pii(base, "text", "redacted")
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("n_email"),
+            F.sum("n_ssn").alias("n_ssn"),
+            F.sum("n_phone").alias("n_phone"),
+            F.sum("n_ipv4").alias("n_ipv4"),
+            F.sum("n_number").alias("n_number"),
+            F.sum(F.length("redacted")).alias("sum_len_redacted"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -538,3 +538,54 @@ def dedup_lines_incremental(
         else new_lines.distinct()
     )
     return per_doc, updated
+
+
+# --- PII redaction -----------------------------------------------------
+#
+# Pre-release scrubbing: structured-identifier patterns (emails, SSN/
+# phone shapes, IPv4s, long card-like digit runs) are replaced with
+# typed placeholders, with per-document counts of what was removed —
+# the audit trail a release review wants. Everything is JVM-side
+# ``regexp_replace``/``regexp_count`` inside one projection: no UDF, no
+# shuffle, whole-stage-codegen over the scan, so redaction rides along
+# with any other per-document pass at corpus scale.
+#
+# Patterns apply IN ORDER and each counts/replaces on the text as left
+# by the previous ones (an SSN consumed by the email pattern is not
+# double-counted). The defaults stay in the regex subset shared by
+# Java's engine and RE2 (character classes, bounded repeats, ASCII \b)
+# so the gate oracle reproduces the fold verbatim.
+
+#: (name, pattern, replacement) — ordered; names become n_<name> count
+#: columns. SSN before phone (both dashed-digit shapes, disjoint via
+#: group widths); phone before the card-run pattern so a replaced
+#: phone's digits can't re-match as a number run.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b", "<IP>"),
+    ("number", r"\b[0-9]{13,19}\b", "<NUMBER>"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Replace PII-shaped spans in ``text_col`` with typed placeholders.
+
+    Appends ``out_col`` (the scrubbed text) and one ``n_<name>`` LONG
+    per pattern counting the spans that pattern replaced, in
+    application order. Reference parallel: the reference ships raw flow
+    metadata to ClickHouse and has no scrub stage
+    (pkg/labeler/labeler.go); for a training-data engine the scrub is a
+    first-class release gate."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in patterns if patterns is not None else PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select("*", *counts, cur.alias(out_col))

@@ -717,3 +717,52 @@ class TestCharEntropy:
             with_char_entropy(df)._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestRedactPii:
+    def test_each_pattern_replaces_and_counts(self, spark):
+        from kubenetmon_spark.operators.curation import redact_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.b+c@ex-ample.org here"),
+                (2, "ssn 123-45-6789 phone 555-123-4567"),
+                (3, "host 192.168.0.1 card 4111111111111111"),
+                (4, "clean text, nothing to scrub"),
+            ],
+            ["id", "text"],
+        )
+        got = {r.id: r for r in redact_pii(df).collect()}
+        assert got[1].redacted == "mail <EMAIL> here"
+        assert (got[1].n_email, got[1].n_ssn) == (1, 0)
+        assert got[2].redacted == "ssn <SSN> phone <PHONE>"
+        assert (got[2].n_ssn, got[2].n_phone) == (1, 1)
+        assert got[3].redacted == "host <IP> card <NUMBER>"
+        assert (got[3].n_ipv4, got[3].n_number) == (1, 1)
+        assert got[4].redacted == got[4].text
+        assert (
+            got[4].n_email + got[4].n_ssn + got[4].n_phone
+            + got[4].n_ipv4 + got[4].n_number
+        ) == 0
+
+    def test_sequential_no_double_count(self, spark):
+        from kubenetmon_spark.operators.curation import redact_pii
+
+        # the email's digits must not re-match as a number run, and the
+        # replaced phone's digits must not feed the card pattern
+        df = spark.createDataFrame(
+            [(1, "x 12345678901234@ex.com y 555-123-4567 z")], ["id", "text"]
+        )
+        r = redact_pii(df).collect()[0]
+        assert r.redacted == "x <EMAIL> y <PHONE> z"
+        assert (r.n_email, r.n_phone, r.n_number) == (1, 1, 0)
+
+    def test_plan_no_shuffle_and_empty(self, spark):
+        from kubenetmon_spark.operators.curation import redact_pii
+
+        df = spark.createDataFrame([(1, "a@b.co")], ["id", "text"])
+        plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+        empty = spark.createDataFrame([], "id long, text string")
+        assert redact_pii(empty).count() == 0
