@@ -54,7 +54,15 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    fair_scheduler: bool = False,
 ) -> SparkSession:
+    """``fair_scheduler=True`` sets ``spark.scheduler.mode=FAIR`` so
+    concurrent queries from different threads round-robin the cluster's
+    task slots instead of queueing FIFO behind whichever job got there
+    first — the serving posture for dashboard-style load, where one
+    heavy rollup must not starve ten cheap top-talker panels
+    (ClickHouse gives the reference this per-query fairness natively;
+    see tools/concurrency_bench.py for the measured comparison)."""
     cpus = default_parallelism()
     if master is None:
         master = f"local[{cpus}]"
@@ -82,6 +90,8 @@ def get_spark(
         .config("spark.driver.memory", default_driver_mem())
         .config("spark.ui.enabled", "false")
     )
+    if fair_scheduler:
+        builder = builder.config("spark.scheduler.mode", "FAIR")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
