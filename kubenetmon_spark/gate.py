@@ -14939,6 +14939,101 @@ def q284(spark, sf_dir):
     )
 
 
+@_register(
+    "q285_cosine_dedup_incremental",
+    f"""
+    WITH b1 AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 250
+      UNION ALL
+      SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 10
+    ),
+    b2 AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 250
+      UNION ALL
+      SELECT vec_id + 20000, embedding FROM embeddings WHERE vec_id < 20
+      UNION ALL
+      SELECT vec_id + 30000, embedding FROM embeddings
+      WHERE vec_id >= 250 AND vec_id < 260
+    ),
+    n1 AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nm
+      FROM b1
+    ),
+    n2 AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nm
+      FROM b2
+    ),
+    drop1 AS (
+      SELECT DISTINCT b.vec_id FROM n1 a JOIN n1 b ON a.vec_id < b.vec_id
+      WHERE CAST(ROUND({_DOT.format(a='a.embedding', b='b.embedding')}
+                       / (a.nm * b.nm), 4) * 10000 AS BIGINT) >= 10000
+    ),
+    surv1 AS (
+      SELECT * FROM n1 WHERE vec_id NOT IN (SELECT vec_id FROM drop1)
+    ),
+    drop2 AS (
+      SELECT DISTINCT b.vec_id FROM surv1 a JOIN n2 b ON true
+      WHERE CAST(ROUND({_DOT.format(a='a.embedding', b='b.embedding')}
+                       / (a.nm * b.nm), 4) * 10000 AS BIGINT) >= 10000
+      UNION
+      SELECT DISTINCT b.vec_id FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
+      WHERE CAST(ROUND({_DOT.format(a='a.embedding', b='b.embedding')}
+                       / (a.nm * b.nm), 4) * 10000 AS BIGINT) >= 10000
+    )
+    SELECT 1 AS phase, vec_id FROM surv1
+    UNION ALL
+    SELECT 2 AS phase, vec_id FROM n2
+    WHERE vec_id NOT IN (SELECT vec_id FROM drop2)
+    ORDER BY phase, vec_id
+    """,
+    "incremental embedding near-dup dedup (operators/similarity.py::"
+    "cosine_dedup_incremental; streamed form streaming/curation.py::"
+    "start_cosine_dedup_stream): batch 1 builds the sign-LSH survivor "
+    "index (planted +10000 copies drop in-batch), batch 2 dedups "
+    "against the persisted index (+20000 copies of indexed survivors "
+    "drop cross-batch, +30000 copies drop in-batch) without re-banding "
+    "batch 1. Oracle-paired at the exact-duplicate threshold via the "
+    "q273 argument: exact-direction pairs agree on every band key, so "
+    "the LSH candidate set provably contains every qualifying pair and "
+    "the drop sets match the oracle's all-pairs formulation exactly",
+)
+def q285(spark, sf_dir):
+    from kubenetmon_spark.operators.similarity import cosine_dedup_incremental
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b1 = e.filter(F.col("vec_id") < 250).unionByName(
+        e.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    )
+    b2 = (
+        e.filter(F.col("vec_id") >= 250)
+        .unionByName(
+            e.filter(F.col("vec_id") < 20).select(
+                (F.col("vec_id") + 20000).alias("vec_id"), "embedding"
+            )
+        )
+        .unionByName(
+            e.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 260)).select(
+                (F.col("vec_id") + 30000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    surv1, idx_bands, idx_vecs = cosine_dedup_incremental(
+        b1, None, None, threshold_bp=10000
+    )
+    surv2, _, _ = cosine_dedup_incremental(
+        b2, idx_bands, idx_vecs, threshold_bp=10000
+    )
+    return (
+        surv1.select(F.lit(1).alias("phase"), "vec_id")
+        .unionByName(surv2.select(F.lit(2).alias("phase"), "vec_id"))
+        .orderBy("phase", "vec_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -90,6 +90,68 @@ def _band_sign_matrix(dim: int, bands: int, band_bits: int):
 COSINE_EXACT_UNGUARDED_LIMIT = 10_000
 
 
+def sign_band_rows(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 16,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Sign-LSH band rows ``(_id, _band, _key)`` for each vector: one
+    BLAS matmul per Arrow batch against the deterministic md5-derived
+    hyperplane matrix (``_band_sign_matrix``), packed into one integer
+    key per band. The skinny (id, band, key) shape is what shuffles —
+    the vectors themselves never ride through the band explosion.
+    Shared by :func:`cosine_near_dup_pairs` (self-join candidates) and
+    :func:`cosine_dedup_incremental` (persisted survivor index)."""
+    import numpy as np
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    band_schema = StructType(
+        [
+            StructField("_id", LongType(), False),
+            StructField("_band", IntegerType(), False),
+            StructField("_key", LongType(), False),
+        ]
+    )
+    n_bands, r = int(bands), int(band_bits)
+
+    def band_gen(batches):
+        import pandas as pd
+
+        planes = {}  # dim -> sign matrix (built once per worker)
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b[id_col].to_numpy(dtype="int64")
+            v = np.stack([np.asarray(x, dtype="float64") for x in b[vec_col]])
+            dim = v.shape[1]
+            if dim not in planes:
+                planes[dim] = _band_sign_matrix(dim, n_bands, r)
+            bits = (v @ planes[dim].T) > 0  # (n, bands*r) booleans
+            keys = np.zeros((len(ids), n_bands), dtype=np.int64)
+            for p in range(n_bands * r):
+                keys[:, p // r] |= bits[:, p].astype(np.int64) << (p % r)
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(ids, n_bands),
+                    "_band": np.tile(
+                        np.arange(n_bands, dtype=np.int32), len(ids)
+                    ),
+                    "_key": keys.reshape(-1),
+                }
+            )
+
+    return vectors.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        band_gen, band_schema
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold_bp: int = 9500,
@@ -249,46 +311,8 @@ def cosine_near_dup_pairs(
     # 3. the surviving candidate ids join back to the vectors table
     #    (AQE picks broadcast vs shuffle by size) for the exact
     #    Arrow-batched re-rank.
-    from pyspark.sql.types import IntegerType
-
-    band_schema = StructType(
-        [
-            StructField("_id", LongType(), False),
-            StructField("_band", IntegerType(), False),
-            StructField("_key", LongType(), False),
-        ]
-    )
     n_bands, r = int(bands), int(band_bits)
-
-    def band_gen(batches):
-        import pandas as pd
-
-        planes = {}  # dim -> sign matrix (built once per worker)
-        for b in batches:
-            if not len(b):
-                continue
-            ids = b[id_col].to_numpy(dtype="int64")
-            v = np.stack([np.asarray(x, dtype="float64") for x in b[vec_col]])
-            dim = v.shape[1]
-            if dim not in planes:
-                planes[dim] = _band_sign_matrix(dim, n_bands, r)
-            bits = (v @ planes[dim].T) > 0  # (n, bands*r) booleans
-            keys = np.zeros((len(ids), n_bands), dtype=np.int64)
-            for p in range(n_bands * r):
-                keys[:, p // r] |= bits[:, p].astype(np.int64) << (p % r)
-            yield pd.DataFrame(
-                {
-                    "_id": np.repeat(ids, n_bands),
-                    "_band": np.tile(
-                        np.arange(n_bands, dtype=np.int32), len(ids)
-                    ),
-                    "_key": keys.reshape(-1),
-                }
-            )
-
-    banded = vectors.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        band_gen, band_schema
-    )
+    banded = sign_band_rows(vectors, id_col, vec_col, n_bands, r)
     a = banded.alias("a")
     b = banded.alias("b")
     cand_ids = (
@@ -332,6 +356,110 @@ def cosine_near_dup_pairs(
             )
 
     return cand.mapInPandas(score, pair_schema)
+
+
+def cosine_dedup_incremental(
+    batch: DataFrame,
+    index_bands: DataFrame | None,
+    index_vectors: DataFrame | None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_bp: int = 9500,
+    bands: int = 16,
+    band_bits: int = 16,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Embedding near-duplicate dedup of a NEW batch against a
+    persisted sign-LSH survivor index — the semantic-space twin of
+    :func:`~kubenetmon_spark.operators.dedup.minhash_dedup_incremental`
+    (same continuous-crawl shape, streamed by
+    streaming/curation.py::start_cosine_dedup_stream): each arriving
+    batch is checked against everything already kept without ever
+    re-banding the corpus.
+
+    Returns ``(survivors, new_bands, new_vectors)``: survivors are the
+    batch rows to keep; their band rows and vectors are the caller's
+    index delta. Index schemas: ``index_bands (_id, _band, _key)``,
+    ``index_vectors (_id, _v)``.
+
+    Drop rule (deterministic, identical to the MinHash twin): a batch
+    doc drops iff its EXACT cosine (round(cos,4)*10000, the q27/q273
+    arithmetic) >= ``threshold_bp`` against (a) any indexed survivor or
+    (b) any smaller-id doc within its own batch. Candidates come only
+    from band-key equi-joins, so recall follows
+    :func:`cosine_near_dup_pairs`'s LSH contract: emitted drops are
+    always TRUE near-dups (exact re-verify), exact-direction duplicates
+    are never missed, borderline pairs carry the quantified band-miss
+    probability.
+
+    Scale posture: per batch, one banding scan (Arrow matmul) + skinny
+    id-only candidate joins (batch x batch and batch x index) + exact
+    re-rank on candidates only. Index growth is survivors-only: `bands`
+    rows/doc of longs plus one vector row/doc."""
+    banded = sign_band_rows(
+        batch, id_col, vec_col, bands, band_bits
+    ).localCheckpoint(eager=True)
+    bv = batch.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")
+    )
+
+    cos = _dot(F.col("_v1"), F.col("_v2")) / (
+        _norm(F.col("_v1")) * _norm(F.col("_v2"))
+    )
+
+    def verify(cand_ids, vec1_src):
+        """ids of batch docs (id_2) whose exact cosine to id_1 >= thr."""
+        return (
+            cand_ids.join(
+                vec1_src.select(
+                    F.col("_id").alias("id_1"), F.col("_v").alias("_v1")
+                ),
+                "id_1",
+            )
+            .join(
+                bv.select(F.col("_id").alias("id_2"), F.col("_v").alias("_v2")),
+                "id_2",
+            )
+            .filter(
+                (F.round(cos, 4) * 10000).cast("long") >= F.lit(threshold_bp)
+            )
+            .select("id_2")
+        )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    internal = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_1"), F.col("b._id").alias("id_2"))
+        .dropDuplicates(["id_1", "id_2"])
+    )
+    dropped = verify(internal, bv)
+    if index_bands is not None and index_vectors is not None:
+        cross = (
+            index_bands.select(F.col("_id").alias("id_1"), "_band", "_key")
+            .join(
+                banded.select(F.col("_id").alias("id_2"), "_band", "_key"),
+                ["_band", "_key"],
+            )
+            .select("id_1", "id_2")
+            .distinct()
+        )
+        dropped = dropped.unionByName(verify(cross, index_vectors))
+    dropped = dropped.select(F.col("id_2").alias("_drop")).distinct()
+
+    survivors = batch.join(
+        dropped, batch[id_col].cast("long") == F.col("_drop"), "left_anti"
+    )
+    keep_ids = survivors.select(F.col(id_col).cast("long").alias("_keep"))
+    new_bands = banded.join(
+        keep_ids, banded["_id"] == F.col("_keep"), "left_semi"
+    )
+    new_vectors = bv.join(keep_ids, bv["_id"] == F.col("_keep"), "left_semi")
+    return survivors, new_bands, new_vectors
 
 
 def ivf_topk(

@@ -148,3 +148,61 @@ def start_minhash_dedup_stream(
         "checkpointLocation", checkpoint_dir
     )
     return _apply_trigger(writer, trigger).start()
+
+
+def start_cosine_dedup_stream(
+    vecs_stream: DataFrame,
+    out_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_bp: int = 9500,
+    bands: int = 16,
+    band_bits: int = 16,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """foreachBatch wiring of ``cosine_dedup_incremental`` — the
+    embedding-space twin of :func:`start_minhash_dedup_stream`, same
+    at-least-once contract: survivors land in ``out_path/_bid=<n>``;
+    their band keys and vectors append to
+    ``index_path/bands|vectors/_bid=<n>`` (deterministic per-batch dirs
+    so a replayed batch overwrites its own output, and the index read
+    filters the current batch id out before deduping against it)."""
+    from pyspark.sql import functions as F
+
+    from kubenetmon_spark.operators.similarity import cosine_dedup_incremental
+    from kubenetmon_spark.streaming.job import _apply_trigger
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+
+        def read_index(sub):
+            try:
+                df = spark.read.option(
+                    "basePath", f"{index_path}/{sub}"
+                ).parquet(f"{index_path}/{sub}")
+            except Exception:
+                return None
+            # a replayed batch must not see its own partial writes
+            return df.filter(F.col("_bid") != batch_id).drop("_bid")
+
+        ib, iv = read_index("bands"), read_index("vectors")
+        if ib is None or iv is None:
+            ib = iv = None
+        survivors, new_bands, new_vectors = cosine_dedup_incremental(
+            batch_df, ib, iv, id_col, vec_col,
+            threshold_bp=threshold_bp, bands=bands, band_bits=band_bits,
+        )
+        survivors.write.mode("overwrite").parquet(f"{out_path}/_bid={batch_id}")
+        new_bands.write.mode("overwrite").parquet(
+            f"{index_path}/bands/_bid={batch_id}"
+        )
+        new_vectors.write.mode("overwrite").parquet(
+            f"{index_path}/vectors/_bid={batch_id}"
+        )
+
+    writer = vecs_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    return _apply_trigger(writer, trigger).start()
