@@ -15024,6 +15024,12 @@ def q285(spark, sf_dir):
     surv1, idx_bands, idx_vecs = cosine_dedup_incremental(
         b1, None, None, threshold_bp=10000
     )
+    # production (start_cosine_dedup_stream) persists the index to
+    # parquet between batches; mirror that boundary so phase 2 reads
+    # materialized phase-1 results instead of replaying its whole DAG
+    surv1 = surv1.localCheckpoint(eager=True)
+    idx_bands = idx_bands.localCheckpoint(eager=True)
+    idx_vecs = idx_vecs.localCheckpoint(eager=True)
     surv2, _, _ = cosine_dedup_incremental(
         b2, idx_bands, idx_vecs, threshold_bp=10000
     )

@@ -67,6 +67,15 @@ KNOWN = {
     "broadcastable side by construction), then one anti-join of the doc "
     "table against the dropped-id list; ~linear at sf1 (30.5s, same "
     "cost envelope as q23 + anti-join)",
+    "q285_cosine_dedup_incremental": "two incremental phases composed "
+    "in one gate DAG: each phase is banding (Arrow matmul, eagerly "
+    "localCheckpointed) + skinny id-only candidate joins (band-key "
+    "self-join and batch-x-index join, SMJ over derived no-stats "
+    "tables — q279's exact family) + anti/semi splits; phase-1 "
+    "survivors/index are localCheckpointed at the gate to mirror the "
+    "parquet persistence boundary of start_cosine_dedup_stream, so "
+    "every counted exchange carries candidate-id-sized rows, never "
+    "vectors (sign_band_rows ships keys only).",
     "q26_flow_pipeline": "only 2 exchanges are fact-side (summing agg + "
     "query group key, asserted in test_plans.py); the rest build tiny "
     "broadcast dimensions",
