@@ -15040,6 +15040,62 @@ def q285(spark, sf_dir):
     )
 
 
+@_register(
+    "q286_shard_pack_balanced",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rnk
+      FROM d
+    ), s AS (
+      SELECT doc_id, n_tokens, rnk,
+             CASE WHEN rnk % 16 < 8 THEN rnk % 16
+                  ELSE 15 - rnk % 16 END AS shard
+      FROM r
+    )
+    SELECT CAST(shard AS INTEGER) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(MIN(rnk) AS BIGINT) AS min_rank,
+           CAST(MAX(rnk) AS BIGINT) AS max_rank,
+           MIN(doc_id) AS min_doc
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+    "balanced N-shard training export (operators/curation.py::"
+    "shard_pack_balanced, n=8): global rank by (tokens DESC, doc_id) "
+    "dealt serpentine across shards — first-fit-decreasing balance "
+    "without a driver loop. The rank is computed via range exchange + "
+    "per-partition row_number + a partition-count prefix sum (the "
+    "materialize-once idiom), never a single-partition window; the "
+    "oracle replays the same strict total order with a flat "
+    "ROW_NUMBER. Per-shard token sums agree exactly because the deal "
+    "is a pure function of the rank",
+)
+def q286(spark, sf_dir):
+    from kubenetmon_spark.operators.curation import shard_pack_balanced
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    packed = shard_pack_balanced(d, n_shards=8, token_col="n_tokens", id_col="doc_id")
+    return (
+        packed.groupBy(F.col("_shard").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.min("_rank").cast("bigint").alias("min_rank"),
+            F.max("_rank").cast("bigint").alias("max_rank"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -18,6 +18,9 @@ Scale posture:
   sequential dependency of packing. A document larger than the budget
   keeps its bin (overflow), exactly like concat-and-split training
   tokenizers.
+- ``shard_pack_balanced``: terminal N-shard export balancing. One
+  range exchange (materialized once) + a per-partition window + a
+  partition-count prefix sum; no global single-task stage anywhere.
 - ``mixture_sample``: per-stratum deterministic hash thresholds
   (sampling.py convention: md5 of the stable id, first 4 hex chars).
   The decision is a pure function of (id, stratum rate) — identical
@@ -93,6 +96,81 @@ def pack_greedy(
     w = Window.partitionBy(shard_col).orderBy(order_col)
     cum_before = F.sum(token_col).over(w) - F.col(token_col)
     return df.withColumn("bin", F.floor(cum_before / budget))
+
+
+def shard_pack_balanced(
+    df: DataFrame,
+    n_shards: int,
+    token_col: str,
+    id_col: str,
+    n_rank_partitions: int | None = None,
+) -> DataFrame:
+    """Deal rows into ``n_shards`` near-equal-token output shards —
+    the terminal export step of a training-data pipeline ("write N
+    shards of ~equal token count for N data-loader workers").
+
+    Rows are ranked globally by ``(token_col DESC, id_col)`` and dealt
+    serpentine (boustrophedon): rank r goes to shard ``r % 2n`` on the
+    forward pass, ``2n-1 - r % 2n`` on the return pass. With the
+    longest documents dealt first, shard token totals differ by at
+    most one document within any serpentine round — the distributed,
+    loop-free analogue of first-fit-decreasing.
+
+    The global rank is computed scalably (a single-partition
+    ``row_number`` window would serialize the corpus through one
+    task): ``repartitionByRange`` on the sort key, per-partition local
+    ``row_number``, then a partition-count prefix-sum (one tiny
+    driver-side list, one row per partition) broadcast back as the
+    rank offset. The range-partitioned table is materialized once
+    (eager ``localCheckpoint``) BEFORE the count pass: range bounds
+    come from execution-time sampling, so the offsets job and the
+    final job must observe the same physical partitioning — one
+    corpus materialization, amortized into the export write this
+    operator terminates. Output is deterministic because
+    ``(token_col DESC, id_col)`` is a strict total order.
+
+    Returns the input plus ``_rank`` (0-based global) and ``_shard``.
+    Downstream writers partition/bucket by ``_shard``; that shuffle is
+    exactly the one the export itself requires.
+    """
+    n = int(n_shards)
+    if n <= 0:
+        raise ValueError("n_shards must be positive")
+    parts = int(
+        n_rank_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    ranged = (
+        df.repartitionByRange(parts, F.col(token_col).desc(), F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    local = F.row_number().over(
+        Window.partitionBy("_pid").orderBy(
+            F.col(token_col).desc(), F.col(id_col)
+        )
+    )
+    ranked = ranged.withColumn("_local", local)
+    # one row per partition: bounded by the partition count, never data
+    counts = dict(
+        (r["_pid"], r["n"])
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.lit(0)
+    for pid in sorted(offsets):
+        off = F.when(F.col("_pid") == pid, F.lit(offsets[pid])).otherwise(off)
+    rank = (off + F.col("_local") - 1).cast("long")
+    phase = rank % (2 * n)
+    shard = F.when(phase < n, phase).otherwise(2 * n - 1 - phase)
+    return (
+        ranked.withColumn("_rank", rank)
+        .withColumn("_shard", shard.cast("int"))
+        .drop("_pid", "_local")
+    )
 
 
 def mixture_sample(

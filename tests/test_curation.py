@@ -766,3 +766,87 @@ class TestRedactPii:
 
         empty = spark.createDataFrame([], "id long, text string")
         assert redact_pii(empty).count() == 0
+
+
+class TestShardPackBalanced:
+    def _spec(self, rows, n):
+        """sequential serpentine deal over (tokens desc, id) order."""
+        order = sorted(rows, key=lambda r: (-r[1], r[0]))
+        out = {}
+        for rank, (i, _) in enumerate(order):
+            p = rank % (2 * n)
+            out[i] = p if p < n else 2 * n - 1 - p
+        return out
+
+    def test_matches_spec_and_is_partitioning_invariant(self, spark):
+        from kubenetmon_spark.operators.curation import shard_pack_balanced
+
+        rows = [
+            (i, int(hashlib.md5(str(i).encode()).hexdigest()[:3], 16))
+            for i in range(500)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        want = self._spec(rows, 4)
+        got = {
+            r.doc_id: r._shard
+            for r in shard_pack_balanced(df, 4, "n_tokens", "doc_id").collect()
+        }
+        assert got == want
+        # same logical result from a different input partitioning and a
+        # different rank-partition count
+        got2 = {
+            r.doc_id: r._shard
+            for r in shard_pack_balanced(
+                df.repartition(17), 4, "n_tokens", "doc_id", n_rank_partitions=5
+            ).collect()
+        }
+        assert got2 == want
+
+    def test_token_balance(self, spark):
+        from kubenetmon_spark.operators.curation import shard_pack_balanced
+
+        rows = [
+            (i, int(hashlib.md5(str(i).encode()).hexdigest()[:3], 16))
+            for i in range(1000)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        sums = {
+            r._shard: r.s
+            for r in shard_pack_balanced(df, 8, "n_tokens", "doc_id")
+            .groupBy("_shard")
+            .agg(F.sum("n_tokens").alias("s"))
+            .collect()
+        }
+        assert len(sums) == 8
+        # serpentine with descending sizes: spread bounded by the
+        # largest document (loose 2x slack for round remainders)
+        assert max(sums.values()) - min(sums.values()) <= 2 * max(
+            t for _, t in rows
+        )
+
+    def test_ranks_are_a_permutation(self, spark):
+        from kubenetmon_spark.operators.curation import shard_pack_balanced
+
+        df = spark.createDataFrame(
+            [(i, 7) for i in range(100)], "doc_id long, n_tokens long"
+        )  # all ties: id breaks them
+        ranks = sorted(
+            r._rank for r in shard_pack_balanced(df, 3, "n_tokens", "doc_id").collect()
+        )
+        assert ranks == list(range(100))
+
+    def test_more_shards_than_rows_and_empty(self, spark):
+        from kubenetmon_spark.operators.curation import shard_pack_balanced
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, 9)], "doc_id long, n_tokens long"
+        )
+        got = {
+            r.doc_id: r._shard
+            for r in shard_pack_balanced(df, 10, "n_tokens", "doc_id").collect()
+        }
+        assert got == {2: 0, 1: 1}  # 9 tokens ranks first
+        empty = df.limit(0)
+        assert shard_pack_balanced(empty, 4, "n_tokens", "doc_id").count() == 0
+        with pytest.raises(ValueError):
+            shard_pack_balanced(df, 0, "n_tokens", "doc_id")
