@@ -402,8 +402,14 @@ def cosine_dedup_incremental(
         F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")
     )
 
-    cos = _dot(F.col("_v1"), F.col("_v2")) / (
-        _norm(F.col("_v1")) * _norm(F.col("_v2"))
+    # try_divide: a zero-norm (all-zero) vector yields NULL cosine, so
+    # the >= threshold filter treats it as "no match" and the row
+    # SURVIVES — a hostile/degenerate row must never crash a continuous
+    # stream (ANSI mode makes bare division throw DIVIDE_BY_ZERO, which
+    # would kill the whole streaming query on one bad vector)
+    cos = F.try_divide(
+        _dot(F.col("_v1"), F.col("_v2")),
+        _norm(F.col("_v1")) * _norm(F.col("_v2")),
     )
 
     def verify(cand_ids, vec1_src):

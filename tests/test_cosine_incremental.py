@@ -148,3 +148,14 @@ def test_empty_batch(spark):
     empty = _df(spark, []).limit(0)
     s, b, v = cosine_dedup_incremental(empty, None, None, threshold_bp=T)
     assert s.count() == 0 and b.count() == 0 and v.count() == 0
+
+
+def test_zero_vectors_survive(spark):
+    """Zero-norm vectors make cosine NaN; NaN >= threshold is false in
+    both engines, so zero vectors always survive (and never match each
+    other) — the documented degenerate-input behavior."""
+    rows = [(1, [0.0, 0.0, 0.0, 0.0]), (2, [0.0, 0.0, 0.0, 0.0]), (3, V1)]
+    s, b, v = cosine_dedup_incremental(
+        _df(spark, rows), None, None, threshold_bp=T
+    )
+    assert sorted(r.vec_id for r in s.collect()) == [1, 2, 3]
