@@ -14948,7 +14948,12 @@ def q284(spark, sf_dir):
       SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 10
     ),
     b2 AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 250
+      -- bounded slice (q27's idiom): the oracle's in-batch all-pairs
+      -- arm is quadratic in |b2|, so the gate fixes the batch size at
+      -- every SF; unbounded-corpus evidence is the streaming scale
+      -- tool (dedup_stream_scale.py --cosine), which needs no oracle
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id >= 250 AND vec_id < 2250
       UNION ALL
       SELECT vec_id + 20000, embedding FROM embeddings WHERE vec_id < 20
       UNION ALL
@@ -15009,7 +15014,7 @@ def q285(spark, sf_dir):
         )
     )
     b2 = (
-        e.filter(F.col("vec_id") >= 250)
+        e.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 2250))
         .unionByName(
             e.filter(F.col("vec_id") < 20).select(
                 (F.col("vec_id") + 20000).alias("vec_id"), "embedding"
