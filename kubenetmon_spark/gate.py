@@ -15101,6 +15101,89 @@ def q286(spark, sf_dir):
     )
 
 
+@_register(
+    "q287_mixture_epochs",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), tot AS (
+      SELECT source, SUM(n_tokens) AS n FROM d GROUP BY source
+    ), plan AS (
+      SELECT source, n,
+             CASE source WHEN 'src0' THEN (5 * n) // 2
+                         WHEN 'src1' THEN n // 3
+                         WHEN 'src2' THEN 2 * n
+                         WHEN 'src3' THEN 0
+                         ELSE n END AS t
+      FROM tot
+    ), p AS (
+      SELECT source, CAST(t // n AS BIGINT) AS _full,
+             CAST(((t % n) * 10000) // n AS BIGINT) AS _frac_bp
+      FROM plan WHERE t > 0
+    ), x AS (
+      SELECT d.doc_id, d.source, d.n_tokens, e.epoch, p._full, p._frac_bp
+      FROM d JOIN p USING (source),
+           LATERAL (SELECT unnest(generate_series(CAST(0 AS BIGINT),
+                                                  p._full)) AS epoch) e
+    )
+    SELECT source, epoch, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM x
+    WHERE epoch < _full
+       OR substr(md5(doc_id || '|' || epoch), 1, 4) <
+          printf('%04x', (_frac_bp * 65536) // 10000)
+    GROUP BY source, epoch ORDER BY source, epoch
+    """,
+    "pretraining mixture epoching (operators/curation.py::"
+    "mixture_epochs): per-source token targets expand to whole epochs "
+    "plus an md5(id|epoch)-selected fractional epoch — the replication "
+    "half of a data mix (temperature_rates_bp is the sampling half). "
+    "Targets derived from the data exercise every branch: 2.5 epochs "
+    "(src0), fraction-only (src1), exact whole multiple (src2), "
+    "dropped (src3), identity (rest). Plan is a per-stratum scalar "
+    "collect; the expansion is a broadcast join + sequence explode "
+    "with no fact-side shuffle",
+)
+def q287(spark, sf_dir):
+    from kubenetmon_spark.operators.curation import mixture_epochs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    totals = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.sum("n_tokens").alias("n")).collect()
+    }
+    targets = {}
+    for s, n in totals.items():
+        if s == "src0":
+            targets[s] = (5 * n) // 2
+        elif s == "src1":
+            targets[s] = n // 3
+        elif s == "src2":
+            targets[s] = 2 * n
+        elif s == "src3":
+            targets[s] = 0
+        else:
+            targets[s] = n
+    out = mixture_epochs(d, targets, "n_tokens", "source", "doc_id")
+    return (
+        out.groupBy("source", "epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source", "epoch")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -268,6 +268,78 @@ def shuffle_epoch(
     return parts.sortWithinPartitions("shuffle_key")
 
 
+def mixture_epochs(
+    df: DataFrame,
+    targets: dict[str, int],
+    token_col: str,
+    stratum_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Expand each stratum to hit its token ``targets`` by repeating
+    documents across epochs — the replication half of a pretraining
+    mixture (``temperature_rates_bp`` downweights oversized sources by
+    sampling; this upweights undersized ones by epoching, the standard
+    "repeat small high-quality sources k.x times" recipe).
+
+    For stratum ``s`` with corpus tokens ``N_s`` and target ``T_s``:
+    ``full = T_s // N_s`` whole epochs (every doc appears with
+    ``epoch = 0..full-1``), plus a fractional epoch ``full`` keeping
+    each doc iff ``md5(id|epoch)``'s first 4 hex chars fall under
+    ``(T_s % N_s) * 10000 // N_s`` basis points — document-level
+    hash selection, so expected fractional tokens match the remainder
+    and the decision is a pure function of (id, epoch): deterministic
+    across runs, engines, partitionings. Strata absent from
+    ``targets`` are dropped (target 0).
+
+    Scale posture: one tiny per-stratum token agg (collected — one row
+    per stratum), then a broadcast join of the plan onto the scan and
+    an explode of ``sequence(0, full)`` — no fact-side shuffle; output
+    volume is exactly the requested token budget.
+    """
+    spark = df.sparkSession
+    totals = {
+        r["s"]: r["t"] or 0
+        for r in df.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.sum(token_col).alias("t"))
+        .collect()
+    }
+    plan = []
+    for s, n in sorted(totals.items()):
+        t = int(targets.get(s, 0))
+        if n <= 0 or t <= 0:
+            continue
+        plan.append((s, t // n, (t % n) * 10000 // n))
+    if not plan:
+        return (
+            df.withColumn("epoch", F.lit(0).cast("long")).limit(0)
+        )
+    plan_df = spark.createDataFrame(
+        plan, f"{stratum_col} string, _full long, _frac_bp long"
+    )
+    hex4 = F.substring(
+        F.md5(
+            F.concat_ws(
+                "|", F.col(id_col).cast("string"), F.col("epoch").cast("string")
+            )
+        ),
+        1,
+        4,
+    )
+    thr = F.lpad(
+        F.lower(F.hex((F.col("_frac_bp") * _BUCKETS / 10000).cast("long"))),
+        4,
+        "0",
+    )
+    return (
+        df.join(F.broadcast(plan_df), stratum_col)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0).cast("long"), F.col("_full")))
+        )
+        .filter((F.col("epoch") < F.col("_full")) | (hex4 < thr))
+        .drop("_full", "_frac_bp")
+    )
+
+
 def temperature_rates_bp(
     sizes: dict[str, int], alpha: float = 0.7, budget: int | None = None
 ) -> dict[str, int]:
