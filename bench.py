@@ -179,7 +179,12 @@ def main() -> int:
                 # this). Before flagging one, re-time best-of-2 on the
                 # warm session: a real plan regression reproduces, timer
                 # noise does not — keeps the regression list high-signal.
-                if now < 3.0:
+                # Eligibility keys on the PREVIOUS time too: a transient
+                # stall can push a 1s query past 3s (r03 saw three
+                # consecutive queries spike 3-6s and re-time back to
+                # their old numbers), and that spike is exactly the
+                # noise the re-time exists to absorb.
+                if p < 3.0 or now < 3.0:
                     for _ in range(2):
                         t0 = time.perf_counter()
                         queries[name](spark, sf_dir).write.format(
