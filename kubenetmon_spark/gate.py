@@ -15184,6 +15184,58 @@ def q287(spark, sf_dir):
     )
 
 
+@_register(
+    "q288_ivf_index_append",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROUND({_DOT.format(a='e.embedding', b='c.cv')}, 6) AS cscore
+      FROM embeddings e, c
+    ),
+    asn AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid ASC) AS rn
+      FROM scored
+    ),
+    probes AS (
+      SELECT c.cid FROM q, c
+      ORDER BY ROUND({_DOT.format(a='q.qv', b='c.cv')}, 6) DESC, c.cid ASC
+      LIMIT 4
+    )
+    SELECT a.vec_id, ROUND({_DOT.format(a='a.embedding', b='q.qv')}, 4) AS score
+    FROM asn a JOIN probes p ON a.cid = p.cid, q
+    WHERE a.rn = 1
+    ORDER BY score DESC, a.vec_id
+    LIMIT 10
+    """,
+    "incremental IVF index maintenance (operators/similarity.py::"
+    "ivf_index_append): build the persisted index on vec_id < 300, "
+    "append the rest of the corpus as a second batch against the FIXED "
+    "centroids, then search — results must equal a fresh full-corpus "
+    "build (the oracle is the full-table IVF formulation), because "
+    "assignment is a pure function of (vector, centroids) and the "
+    "append touches only the new batch (O(batch), corpus never "
+    "rescanned)",
+)
+def q288(spark, sf_dir):
+    import tempfile
+
+    from kubenetmon_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_search,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="gate_ivf_app_")
+    build_ivf_index(e.filter(F.col("vec_id") < 300), tmp, n_centroids=16)
+    ivf_index_append(spark, tmp, e.filter(F.col("vec_id") >= 300))
+    q = e.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
+    return ivf_search(spark, tmp, q, k=10, n_probe=4)
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -681,6 +681,66 @@ def ivf_search_many(
     )
 
 
+def ivf_index_append(
+    spark,
+    index_path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance of a ``build_ivf_index`` index: assign a
+    NEW batch of vectors to the EXISTING persisted centroids (the
+    structure is fixed — that is the point of an append; recentroiding
+    is a rebuild) and append them to the partitioned assignment layout.
+    A search after the append returns exactly what a fresh full-corpus
+    build would: assignment is a pure function of (vector, centroids),
+    so append order never matters.
+
+    Cost is O(new batch): one broadcast of the centroid table onto the
+    new rows and a partitioned append touching only the directories the
+    batch lands in. The corpus is never rescanned. Pair with
+    ``ivf_index_stats`` to detect when drift (one list absorbing the
+    growth) warrants a rebuild."""
+    cents = F.broadcast(
+        spark.read.parquet(f"{index_path}/centroids").select(
+            F.col("cid").alias("_cid"), F.col("cv").alias("_cv")
+        )
+    )
+    assigned = (
+        new_vectors.select(F.col(id_col), F.col(vec_col))
+        .join(cents)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_cid"),
+            F.round(_dot(F.col(vec_col), F.col("_cv")), 6).alias("_cscore"),
+        )
+        .groupBy(id_col, vec_col)
+        .agg(
+            F.max_by(
+                F.col("_cid"), F.struct(F.col("_cscore"), -F.col("_cid"))
+            ).alias("centroid")
+        )
+    )
+    assigned.write.mode("append").partitionBy("centroid").parquet(
+        f"{index_path}/assignments"
+    )
+
+
+def ivf_index_stats(spark, index_path: str) -> DataFrame:
+    """Per-centroid list sizes of a persisted IVF index — the drift
+    monitor for the append path (a list absorbing most growth degrades
+    probe selectivity; rebuild when the max/mean ratio drifts). One
+    count over the partitioned layout; partition pruning and parquet
+    row-group counts keep it metadata-cheap."""
+    return (
+        spark.read.parquet(f"{index_path}/assignments")
+        .groupBy("centroid")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("centroid")
+    )
+
+
 def _sketch_bits(vec: Column, dim: int, bits: int) -> Column:
     """b-bit sign sketch with deterministic pseudo-random hyperplanes.
 

@@ -89,3 +89,62 @@ def test_partial_probe_is_subset_of_exact(spark, ivf_fixture):
             (i, s) for i, s in _brute_topk(vecs, qvecs[r.qid], N)
         )
         assert exact[r.vec_id] == r.score
+
+
+class TestIvfIndexAppend:
+    def test_append_equals_fresh_build(self, spark, ivf_fixture, tmp_path):
+        """build(first half) + append(second half) must answer every
+        query exactly like the fresh full-corpus index, for any probe
+        width — assignment is a pure function of (vector, centroids)."""
+        from kubenetmon_spark.operators.similarity import ivf_index_append
+
+        full_idx, vecs, qvecs, queries = ivf_fixture
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(N)],
+            "vec_id int, embedding array<double>",
+        )
+        idx = str(tmp_path / "index")
+        build_ivf_index(corpus.filter(F.col("vec_id") < 60), idx, n_centroids=N_CENTROIDS)
+        ivf_index_append(spark, idx, corpus.filter(F.col("vec_id") >= 60))
+        for n_probe in (1, 3, N_CENTROIDS):
+            for j in range(N_QUERIES):
+                q = queries.filter(F.col("qid") == j).select("qv")
+                got = [
+                    (r.vec_id, r.score)
+                    for r in ivf_search(spark, idx, q, k=7, n_probe=n_probe).collect()
+                ]
+                want = [
+                    (r.vec_id, r.score)
+                    for r in ivf_search(
+                        spark, full_idx, q, k=7, n_probe=n_probe
+                    ).collect()
+                ]
+                assert got == want, (j, n_probe)
+
+    def test_append_order_invariance_and_stats(self, spark, ivf_fixture, tmp_path):
+        from kubenetmon_spark.operators.similarity import (
+            ivf_index_append,
+            ivf_index_stats,
+        )
+
+        full_idx, vecs, _, _ = ivf_fixture
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(N)],
+            "vec_id int, embedding array<double>",
+        )
+        idx = str(tmp_path / "index")
+        build_ivf_index(corpus.filter(F.col("vec_id") < 40), idx, n_centroids=N_CENTROIDS)
+        # append in two batches, larger ids first: order must not matter
+        ivf_index_append(spark, idx, corpus.filter(F.col("vec_id") >= 80))
+        ivf_index_append(
+            spark, idx, corpus.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 80))
+        )
+        got = {
+            r.centroid: r.n_vectors for r in ivf_index_stats(spark, idx).collect()
+        }
+        want = {
+            r.centroid: r.n_vectors
+            for r in ivf_index_stats(spark, full_idx).collect()
+        }
+        assert got == want
+        assert sum(got.values()) == N
