@@ -15236,6 +15236,99 @@ def q288(spark, sf_dir):
     return ivf_search(spark, tmp, q, k=10, n_probe=4)
 
 
+@_register(
+    "q289_export_pipeline",
+    """
+    WITH d AS (
+      SELECT doc_id, source, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), k AS (
+      SELECT * FROM d WHERE n_tokens >= 20
+    ), g AS (
+      SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS keep_id
+      FROM k GROUP BY fp
+    ), u AS (
+      SELECT k.doc_id, k.source, k.n_tokens
+      FROM k JOIN g ON k.doc_id = g.keep_id
+    ), tot AS (
+      SELECT source, SUM(n_tokens) AS n FROM u GROUP BY source
+    ), p AS (
+      SELECT source,
+             CAST(((3 * n) // 2) // n AS BIGINT) AS _full,
+             CAST((((3 * n) // 2) % n) * 10000 // n AS BIGINT) AS _frac_bp
+      FROM tot WHERE n > 0
+    ), x AS (
+      SELECT u.doc_id, u.n_tokens, e.epoch, p._full, p._frac_bp
+      FROM u JOIN p USING (source),
+           LATERAL (SELECT unnest(generate_series(CAST(0 AS BIGINT),
+                                                  p._full)) AS epoch) e
+    ), ep AS (
+      SELECT doc_id * 8 + epoch AS uid, n_tokens FROM x
+      WHERE epoch < _full
+         OR substr(md5(doc_id || '|' || epoch), 1, 4) <
+            printf('%04x', (_frac_bp * 65536) // 10000)
+    ), r AS (
+      SELECT uid, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, uid) - 1 AS rnk
+      FROM ep
+    )
+    SELECT CAST(CASE WHEN rnk % 8 < 4 THEN rnk % 8
+                     ELSE 7 - rnk % 8 END AS INTEGER) AS shard,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(MIN(uid) AS BIGINT) AS min_uid,
+           CAST(MAX(uid) AS BIGINT) AS max_uid
+    FROM r GROUP BY shard ORDER BY shard
+    """,
+    "end-to-end training-data EXPORT pipeline: token-length quality "
+    "gate -> exact dedup (normalized-fingerprint min-id survivor) -> "
+    "1.5-epoch mixture replication (post-dedup per-source token "
+    "targets) -> balanced 4-shard serpentine export — four operators "
+    "(drop_exact_duplicates, mixture_epochs, shard_pack_balanced) "
+    "composed and hash-matched as ONE oracle chain, proving the "
+    "intermediate contracts line up (ids -> (doc,epoch) uids -> global "
+    "rank) with no fact-side shuffle until the export's own shard "
+    "exchange",
+)
+def q289(spark, sf_dir):
+    from kubenetmon_spark.operators.curation import (
+        mixture_epochs,
+        shard_pack_balanced,
+    )
+    from kubenetmon_spark.operators.dedup import drop_exact_duplicates
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    kept = d.filter(F.col("n_tokens") >= 20)
+    uniq = drop_exact_duplicates(kept, "doc_id", "text").select(
+        "doc_id", "source", "n_tokens"
+    )
+    totals = {
+        r["source"]: r["n"]
+        for r in uniq.groupBy("source").agg(F.sum("n_tokens").alias("n")).collect()
+    }
+    targets = {s: (3 * n) // 2 for s, n in totals.items()}
+    ep = mixture_epochs(uniq, targets, "n_tokens", "source", "doc_id").select(
+        (F.col("doc_id") * 8 + F.col("epoch")).alias("uid"), "n_tokens"
+    )
+    packed = shard_pack_balanced(ep, n_shards=4, token_col="n_tokens", id_col="uid")
+    return (
+        packed.groupBy(F.col("_shard").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.min("uid").cast("bigint").alias("min_uid"),
+            F.max("uid").cast("bigint").alias("max_uid"),
+        )
+        .orderBy("shard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
