@@ -313,8 +313,9 @@ def mixture_epochs(
         return (
             df.withColumn("epoch", F.lit(0).cast("long")).limit(0)
         )
+    stype = df.schema[stratum_col].dataType.simpleString()
     plan_df = spark.createDataFrame(
-        plan, f"{stratum_col} string, _full long, _frac_bp long"
+        plan, f"{stratum_col} {stype}, _full long, _frac_bp long"
     )
     hex4 = F.substring(
         F.md5(

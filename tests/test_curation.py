@@ -935,3 +935,17 @@ class TestMixtureEpochs:
             mixture_epochs(empty, {"s0": 10}, "n_tokens", "source", "doc_id").count()
             == 0
         )
+
+    def test_non_string_stratum_column(self, spark):
+        from kubenetmon_spark.operators.curation import mixture_epochs
+
+        df = spark.createDataFrame(
+            [(i, i % 2, 10) for i in range(40)],
+            "doc_id long, bucket int, n_tokens long",
+        )
+        out = mixture_epochs(df, {0: 400, 1: 200}, "n_tokens", "bucket", "doc_id")
+        per = {
+            r.bucket: r.n
+            for r in out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert per == {0: 40, 1: 20}  # 2 epochs of bucket 0, 1 of bucket 1
