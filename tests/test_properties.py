@@ -533,3 +533,80 @@ def test_interpolate_linear_matches_sequential_reference(spark, rows):
                 (px, py), (nx, ny) = prev, nxt
                 expected[(k, x)] = py + ((ny - py) * (x - px)) // (nx - px)
     assert got == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=60),
+    n_shards=st.integers(min_value=1, max_value=9),
+)
+def test_shard_pack_matches_serpentine_spec(spark, tokens, n_shards):
+    """shard_pack_balanced == the sequential serpentine deal over
+    (tokens DESC, id), for arbitrary token multisets and shard counts."""
+    from kubenetmon_spark.operators.curation import shard_pack_balanced
+
+    rows = list(enumerate(tokens))
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r.doc_id: (r._rank, r._shard)
+        for r in shard_pack_balanced(df, n_shards, "n_tokens", "doc_id").collect()
+    }
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    for rank, (i, _) in enumerate(order):
+        p = rank % (2 * n_shards)
+        shard = p if p < n_shards else 2 * n_shards - 1 - p
+        assert got[i] == (rank, shard)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # stratum
+            st.integers(min_value=1, max_value=400),    # tokens
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    mult_bp=st.lists(
+        st.integers(min_value=0, max_value=35000), min_size=3, max_size=3
+    ),
+)
+def test_mixture_epochs_matches_spec(spark, data, mult_bp):
+    """mixture_epochs == the per-row md5 spec for arbitrary strata sizes
+    and targets from 0 to 3.5x the corpus."""
+    import hashlib
+
+    from kubenetmon_spark.operators.curation import mixture_epochs
+
+    rows = [(i, f"s{s}", t) for i, (s, t) in enumerate(data)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    totals = {}
+    for _, s, t in rows:
+        totals[s] = totals.get(s, 0) + t
+    targets = {
+        f"s{j}": totals.get(f"s{j}", 0) * mult_bp[j] // 10000 for j in range(3)
+    }
+    got = {
+        (r.doc_id, r.epoch)
+        for r in mixture_epochs(df, targets, "n_tokens", "source", "doc_id").collect()
+    }
+    want = set()
+    for i, s, _ in rows:
+        n, tgt = totals[s], targets.get(s, 0)
+        if tgt <= 0:
+            continue
+        full, bp = tgt // n, (tgt % n) * 10000 // n
+        thr = format(65536 * bp // 10000, "04x")
+        for e in range(full + 1):
+            if e < full or hashlib.md5(f"{i}|{e}".encode()).hexdigest()[:4] < thr:
+                want.add((i, e))
+    assert got == want
