@@ -15329,6 +15329,59 @@ def q289(spark, sf_dir):
     )
 
 
+@_register(
+    "q290_cusum_changepoint",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, hr, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS idx,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY hr) AS cum,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(cnt) OVER (PARTITION BY event_type) AS t
+      FROM h
+    ), d AS (
+      SELECT event_type, hr, idx, n,
+             ABS(CAST(n AS HUGEINT) * cum - CAST(idx AS HUGEINT) * t)
+               AS dev
+      FROM s
+    ), best AS (
+      SELECT event_type, idx, hr, dev, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY dev DESC, idx) AS rk
+      FROM d
+    )
+    SELECT event_type, CAST(idx AS BIGINT) AS cp_idx, hr AS cp_hr,
+           CAST(dev AS VARCHAR) AS max_abs_dev,
+           CAST(n AS BIGINT) AS n_points
+    FROM best WHERE rk = 1 ORDER BY event_type
+    """,
+    "CUSUM changepoint per event-type hourly series (operators/"
+    "timeseries.py::cusum_changepoint): argmax |n*cum_i - i*T| in "
+    "exact integers (the q195 multiply-through idiom — no mean "
+    "division, no float wobble), ties to the earliest index. One "
+    "fact-scale hourly agg; all CUSUM windows share one (series, hr) "
+    "sort over the post-agg series table",
+)
+def q290(spark, sf_dir):
+    from kubenetmon_spark.operators.timeseries import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    return cusum_changepoint(hourly, "event_type", "hr", "cnt").select(
+        "event_type",
+        F.col("cp_idx").cast("bigint").alias("cp_idx"),
+        F.col("cp_hr"),
+        F.col("max_abs_dev").cast("string").alias("max_abs_dev"),
+        F.col("n_points").cast("bigint").alias("n_points"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

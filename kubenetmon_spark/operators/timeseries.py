@@ -647,3 +647,59 @@ def seasonal_anomalies(
         *group_cols, "idx", "phase", F.col(value_col), "resid_num",
         "is_anomaly",
     )
+
+
+def cusum_changepoint(
+    series: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single changepoint per series by the classic CUSUM argmax, in
+    EXACT integer arithmetic (the q195 idiom: multiply deviations
+    through by n so no mean division ever happens): with per-series
+    total T over n points, the cumulative deviation at step i is
+
+        S_i = n * sum(x_1..x_i) - i * T        (integers throughout)
+
+    and the changepoint is the order position maximizing ``|S_i|``
+    (ties -> earliest). Returns one row per series:
+    ``(series, cp_idx, cp_<order_col>, max_abs_dev, n_points)`` where
+    ``max_abs_dev`` carries the ×n scale (divide by n² for the
+    mean-shift units; kept integer for engine-exact comparison).
+
+    Scale posture: one fact-scale aggregation builds the series table;
+    every window after it runs over #series × #steps rows sharing one
+    (series, order) sort — the q195/q203 plan family. Detection is
+    offline/batch; the streaming path feeds the same series table via
+    the minute rollup.
+    """
+    w = Window.partitionBy(series_col).orderBy(order_col)
+    wall = Window.partitionBy(series_col)
+    s = (
+        series.withColumn("_cum", F.sum(value_col).over(w))
+        .withColumn("_idx", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .withColumn("_t", F.sum(value_col).over(wall))
+        .withColumn(
+            "_dev",
+            F.abs(
+                F.col("_n").cast("decimal(38,0)") * F.col("_cum")
+                - F.col("_idx").cast("decimal(38,0)") * F.col("_t")
+            ),
+        )
+    )
+    return (
+        s.groupBy(series_col)
+        .agg(
+            F.max_by(
+                F.col("_idx"), F.struct(F.col("_dev"), -F.col("_idx"))
+            ).alias("cp_idx"),
+            F.max_by(
+                F.col(order_col), F.struct(F.col("_dev"), -F.col("_idx"))
+            ).alias(f"cp_{order_col}"),
+            F.max("_dev").cast("decimal(38,0)").alias("max_abs_dev"),
+            F.max("_n").alias("n_points"),
+        )
+        .orderBy(series_col)
+    )

@@ -1097,3 +1097,71 @@ class TestScd2NullTransitions:
             ("2024-01-02 00:00:00", "a"),
             ("2024-01-03 00:00:00", None),
         ]
+
+
+class TestCusumChangepoint:
+    @staticmethod
+    def _spec(values):
+        """Pure-Python CUSUM argmax: (idx, max|n*cum_i - i*T|), 1-based,
+        ties to the earliest index."""
+        n, t = len(values), sum(values)
+        best_idx, best_dev = None, -1
+        cum = 0
+        for i, v in enumerate(values, start=1):
+            cum += v
+            dev = abs(n * cum - i * t)
+            if dev > best_dev:
+                best_idx, best_dev = i, dev
+        return best_idx, best_dev
+
+    def test_step_series_finds_the_step(self, spark):
+        from kubenetmon_spark.operators.timeseries import cusum_changepoint
+
+        # level shift 10 -> 50 at position 20 (1-based idx 20 is the
+        # last low point: S_i peaks at the boundary)
+        vals = [10] * 20 + [50] * 20
+        rows = [("a", i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, ["g", "t", "x"])
+        out = cusum_changepoint(df, "g", "t", "x").collect()
+        assert len(out) == 1
+        idx, dev = self._spec(vals)
+        assert out[0].cp_idx == idx == 20
+        assert int(out[0].max_abs_dev) == dev
+        assert out[0].n_points == 40
+
+    def test_python_spec_differential_multi_series(self, spark):
+        import random
+
+        from kubenetmon_spark.operators.timeseries import cusum_changepoint
+
+        rng = random.Random(7)
+        series = {
+            f"s{k}": [rng.randrange(0, 1000) for _ in range(rng.randrange(3, 60))]
+            for k in range(8)
+        }
+        rows = [
+            (g, i, v) for g, vals in series.items() for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(rows, ["g", "t", "x"])
+        got = {
+            r.g: (r.cp_idx, int(r.max_abs_dev), r.n_points)
+            for r in cusum_changepoint(df, "g", "t", "x").collect()
+        }
+        for g, vals in series.items():
+            idx, dev = self._spec(vals)
+            assert got[g] == (idx, dev, len(vals)), g
+
+    def test_constant_series_dev_zero_ties_earliest(self, spark):
+        from kubenetmon_spark.operators.timeseries import cusum_changepoint
+
+        df = spark.createDataFrame(
+            [("a", i, 7) for i in range(10)], ["g", "t", "x"]
+        )
+        r = cusum_changepoint(df, "g", "t", "x").collect()[0]
+        assert int(r.max_abs_dev) == 0 and r.cp_idx == 1
+
+    def test_empty_input(self, spark):
+        from kubenetmon_spark.operators.timeseries import cusum_changepoint
+
+        df = spark.createDataFrame([], "g string, t long, x long")
+        assert cusum_changepoint(df, "g", "t", "x").count() == 0
