@@ -1,0 +1,209 @@
+"""Query-complexity guards: ClickHouse's ``max_rows_to_read`` /
+``max_bytes_to_read`` / ``max_result_rows`` / ``result_overflow_mode`` /
+``max_execution_time`` settings re-expressed for a Spark engine.
+
+The reference deployment fronts its flow table with ClickHouse, whose
+per-query complexity limits (settings/query-complexity surface) are what
+stop a runaway dashboard from scanning a year of 100 TB history. A Spark
+engine has no built-in equivalent — a bad filter simply launches the
+full scan — so this module supplies the same three protection points:
+
+- **Pre-flight scan estimate** (`estimate_scan` / `check_scan_limits`):
+  ClickHouse estimates rows/bytes from part-index metadata *before*
+  execution and refuses over-limit queries. Here the analogue is the
+  parquet FOOTER of the partition-pruned file set: driver-side, bounded
+  by file count (not data size — one footer read per file, the same
+  O(parts) cost ClickHouse pays), using the identical date-partition
+  pruning the scan itself would perform. At 100 TB this is thousands of
+  footers, not bytes of fact data.
+- **Result-row cap** (`limited_collect(max_result_rows=...)`): fetched
+  as ``LIMIT n+1`` so detecting overflow never materializes an
+  unbounded result on the driver; ``result_overflow_mode`` mirrors
+  ClickHouse's ``throw`` (error) vs ``break`` (truncate to n).
+- **Wall-clock cap** (`limited_collect(max_execution_time_s=...)`):
+  job-group cancellation (``SparkContext.cancelJobGroup`` with
+  ``interruptOnCancel``) — Spark's cooperative kill switch, the
+  analogue of ClickHouse killing the query pipeline at the deadline.
+
+Guards compose with the rest of the engine's protection theme
+(``jaccard_pairs`` ``max_df`` guard, ``COSINE_EXACT_UNGUARDED_LIMIT``):
+the engine refuses predictably-catastrophic work instead of running it.
+"""
+
+from __future__ import annotations
+
+import threading
+import uuid
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, Row
+
+
+class QueryLimitExceeded(RuntimeError):
+    """A query-complexity limit tripped (pre-flight or at runtime)."""
+
+
+@dataclass(frozen=True)
+class ScanEstimate:
+    """Pre-flight footprint of a pruned scan, from parquet footers."""
+
+    n_files: int
+    n_partitions_scanned: int
+    n_partitions_total: int
+    rows: int
+    bytes_on_disk: int
+
+
+def _partition_value(part_dir: Path) -> str:
+    return part_dir.name.split("=", 1)[1]
+
+
+def estimate_scan(
+    path: str,
+    *,
+    partition_col: str = "date",
+    min_value: str | None = None,
+    max_value: str | None = None,
+    values: list[str] | None = None,
+) -> ScanEstimate:
+    """Rows/bytes/files a partition-pruned scan would read, WITHOUT
+    reading any data: one parquet-footer ``num_rows`` per surviving
+    file plus its on-disk size (ClickHouse's ``bytes_on_disk`` notion —
+    compressed bytes, the unit its ``max_bytes_to_read`` counts).
+
+    Pruning mirrors the scan: keep ``{partition_col}=v`` directories
+    with ``min_value <= v <= max_value`` (string compare — ISO dates
+    sort correctly) or ``v in values``. An unpartitioned layout (no
+    ``{partition_col}=*`` dirs) is a single pseudo-partition.
+    """
+    import pyarrow.parquet as pq
+
+    root = Path(path)
+    part_dirs = sorted(
+        d for d in root.glob(f"{partition_col}=*") if d.is_dir()
+    )
+    if part_dirs:
+        total = len(part_dirs)
+        keep = []
+        for d in part_dirs:
+            v = _partition_value(d)
+            if values is not None and v not in values:
+                continue
+            if min_value is not None and v < min_value:
+                continue
+            if max_value is not None and v > max_value:
+                continue
+            keep.append(d)
+    else:
+        total, keep = 1, [root]
+
+    n_files = rows = nbytes = 0
+    for d in keep:
+        for f in sorted(d.rglob("*.parquet")):
+            n_files += 1
+            rows += pq.ParquetFile(f).metadata.num_rows
+            nbytes += f.stat().st_size
+    return ScanEstimate(
+        n_files=n_files,
+        n_partitions_scanned=len(keep) if part_dirs else (1 if n_files else 0),
+        n_partitions_total=total,
+        rows=rows,
+        bytes_on_disk=nbytes,
+    )
+
+
+def check_scan_limits(
+    path: str,
+    *,
+    max_rows_to_read: int | None = None,
+    max_bytes_to_read: int | None = None,
+    partition_col: str = "date",
+    min_value: str | None = None,
+    max_value: str | None = None,
+    values: list[str] | None = None,
+) -> ScanEstimate:
+    """Pre-flight gate: estimate the pruned scan and refuse over-limit
+    queries before a single executor task launches (ClickHouse
+    ``max_rows_to_read`` / ``max_bytes_to_read``, default-throw).
+    Returns the estimate when within limits."""
+    est = estimate_scan(
+        path,
+        partition_col=partition_col,
+        min_value=min_value,
+        max_value=max_value,
+        values=values,
+    )
+    if max_rows_to_read is not None and est.rows > max_rows_to_read:
+        raise QueryLimitExceeded(
+            f"scan would read {est.rows} rows from {est.n_files} files "
+            f"({est.n_partitions_scanned}/{est.n_partitions_total} "
+            f"partitions), over max_rows_to_read={max_rows_to_read}"
+        )
+    if max_bytes_to_read is not None and est.bytes_on_disk > max_bytes_to_read:
+        raise QueryLimitExceeded(
+            f"scan would read {est.bytes_on_disk} bytes on disk, over "
+            f"max_bytes_to_read={max_bytes_to_read}"
+        )
+    return est
+
+
+def limited_collect(
+    df: DataFrame,
+    *,
+    max_result_rows: int | None = None,
+    result_overflow_mode: str = "throw",
+    max_execution_time_s: float | None = None,
+) -> list[Row]:
+    """Collect under ClickHouse-style result/time limits.
+
+    ``max_result_rows`` fetches ``LIMIT n+1`` (overflow detection with a
+    bounded driver footprint); on overflow ``result_overflow_mode``
+    picks ``'throw'`` (QueryLimitExceeded) or ``'break'`` (return the
+    first n, ClickHouse's truncate-and-continue). ``max_execution_time_s``
+    runs the job in a job group on a worker thread and cancels the
+    group at the deadline — tasks die cooperatively, the session stays
+    healthy for the next query."""
+    if result_overflow_mode not in ("throw", "break"):
+        raise ValueError(f"result_overflow_mode={result_overflow_mode!r}")
+
+    probe = df.limit(max_result_rows + 1) if max_result_rows is not None else df
+
+    if max_execution_time_s is None:
+        rows = probe.collect()
+    else:
+        sc = df.sparkSession.sparkContext
+        group = f"guard-{uuid.uuid4().hex}"
+        out: list[list[Row]] = []
+        err: list[BaseException] = []
+
+        def run() -> None:
+            # Job-group properties are thread-local: set INSIDE the
+            # worker thread so only this query joins the group.
+            sc.setJobGroup(group, "limited_collect", interruptOnCancel=True)
+            try:
+                out.append(probe.collect())
+            except BaseException as e:  # noqa: BLE001 — surfaced below
+                err.append(e)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(max_execution_time_s)
+        if t.is_alive():
+            sc.cancelJobGroup(group)
+            t.join(30)
+            raise QueryLimitExceeded(
+                f"query exceeded max_execution_time_s={max_execution_time_s}; "
+                f"job group {group} cancelled"
+            )
+        if err:
+            raise err[0]
+        rows = out[0]
+
+    if max_result_rows is not None and len(rows) > max_result_rows:
+        if result_overflow_mode == "throw":
+            raise QueryLimitExceeded(
+                f"result exceeds max_result_rows={max_result_rows}"
+            )
+        return rows[:max_result_rows]
+    return rows

@@ -1,0 +1,128 @@
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from kubenetmon_spark.guards import (
+    QueryLimitExceeded,
+    check_scan_limits,
+    estimate_scan,
+    limited_collect,
+)
+
+
+@pytest.fixture(scope="module")
+def flow_table(spark, tmp_path_factory):
+    """Three date partitions with known row counts (10/20/30)."""
+    path = str(tmp_path_factory.mktemp("guards") / "flows")
+    rows = []
+    for i, (d, n) in enumerate(
+        [("2024-01-01", 10), ("2024-01-02", 20), ("2024-01-03", 30)]
+    ):
+        rows += [(d, f"pod{j % 4}", j + 100 * i) for j in range(n)]
+    df = spark.createDataFrame(rows, "date string, pod string, bytes long")
+    df.repartition(2).write.partitionBy("date").parquet(path)
+    return path
+
+
+class TestEstimateScan:
+    def test_full_scan_matches_actual_counts(self, spark, flow_table):
+        est = estimate_scan(flow_table)
+        assert est.rows == 60
+        assert est.n_partitions_total == 3
+        assert est.n_partitions_scanned == 3
+        assert est.n_files >= 3
+        assert est.bytes_on_disk > 0
+
+    def test_range_pruning_matches_filtered_count(self, spark, flow_table):
+        est = estimate_scan(
+            flow_table, min_value="2024-01-02", max_value="2024-01-03"
+        )
+        assert est.rows == 50 and est.n_partitions_scanned == 2
+        actual = (
+            spark.read.parquet(flow_table)
+            .filter(F.col("date") >= "2024-01-02")
+            .count()
+        )
+        assert est.rows == actual
+
+    def test_value_list_pruning(self, flow_table):
+        est = estimate_scan(flow_table, values=["2024-01-01"])
+        assert est.rows == 10 and est.n_partitions_scanned == 1
+
+    def test_unpartitioned_layout_is_one_pseudo_partition(
+        self, spark, tmp_path
+    ):
+        p = str(tmp_path / "flat")
+        spark.range(7).write.parquet(p)
+        est = estimate_scan(p)
+        assert est.rows == 7
+        assert est.n_partitions_total == 1 and est.n_partitions_scanned == 1
+
+
+class TestCheckScanLimits:
+    def test_rows_limit_trips_and_boundary_passes(self, flow_table):
+        with pytest.raises(QueryLimitExceeded, match="max_rows_to_read"):
+            check_scan_limits(flow_table, max_rows_to_read=59)
+        est = check_scan_limits(flow_table, max_rows_to_read=60)
+        assert est.rows == 60
+
+    def test_pruned_query_passes_where_full_scan_refused(self, flow_table):
+        with pytest.raises(QueryLimitExceeded):
+            check_scan_limits(flow_table, max_rows_to_read=30)
+        est = check_scan_limits(
+            flow_table,
+            max_rows_to_read=30,
+            min_value="2024-01-03",
+        )
+        assert est.rows == 30
+
+    def test_bytes_limit_trips(self, flow_table):
+        with pytest.raises(QueryLimitExceeded, match="max_bytes_to_read"):
+            check_scan_limits(flow_table, max_bytes_to_read=10)
+
+
+class TestLimitedCollect:
+    def test_within_limit_returns_all(self, spark):
+        rows = limited_collect(spark.range(5), max_result_rows=10)
+        assert len(rows) == 5
+
+    def test_overflow_throw(self, spark):
+        with pytest.raises(QueryLimitExceeded, match="max_result_rows"):
+            limited_collect(spark.range(100), max_result_rows=10)
+
+    def test_overflow_break_truncates(self, spark):
+        rows = limited_collect(
+            spark.range(100),
+            max_result_rows=10,
+            result_overflow_mode="break",
+        )
+        assert len(rows) == 10
+
+    def test_bad_mode_rejected(self, spark):
+        with pytest.raises(ValueError):
+            limited_collect(spark.range(1), result_overflow_mode="drop")
+
+    def test_fast_query_passes_under_deadline(self, spark):
+        rows = limited_collect(
+            spark.range(10), max_execution_time_s=60, max_result_rows=20
+        )
+        assert len(rows) == 10
+
+    def test_deadline_cancels_slow_query_and_session_survives(self, spark):
+        def sleepy(it):
+            for pdf in it:
+                time.sleep(25)
+                yield pdf
+
+        slow = spark.range(4, numPartitions=4).mapInPandas(
+            sleepy, "id long"
+        )
+        t0 = time.monotonic()
+        with pytest.raises(QueryLimitExceeded, match="max_execution_time_s"):
+            limited_collect(slow, max_execution_time_s=3)
+        assert time.monotonic() - t0 < 20
+        # the cancel must not poison the session
+        assert spark.range(3).count() == 3
