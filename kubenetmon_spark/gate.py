@@ -15382,6 +15382,60 @@ def q290(spark, sf_dir):
     )
 
 
+@_register(
+    "q291_time_decayed_sum",
+    """
+    WITH o AS (
+      SELECT user_id,
+             ((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 100000)
+              + 100000) % 100000 AS x,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t, event_id
+      FROM events
+    ), d AS (
+      SELECT user_id, t, event_id, x,
+             LEAST(COALESCE(
+               (t - LAG(t) OVER (PARTITION BY user_id
+                                 ORDER BY t, event_id)) // 3600, 0), 63)
+               AS dd
+      FROM o
+    ), p AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             list(x * 64 + dd ORDER BY t, event_id) AS l
+      FROM d GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CAST(list_reduce(
+             l, (a, b) -> (((a // 64) >> (b % 64)) + b // 64) * 64
+           ) // 64 AS BIGINT) AS decayed_sum
+    FROM p ORDER BY user_id
+    """,
+    "ClickHouse exponentialTimeDecayedSum analogue (operators/"
+    "timeseries.py::time_decayed_sum): decay by WALL TIME between "
+    "events — one floor-halving per elapsed tau=3600s, shift capped at "
+    "63 (Java wraps long shifts at 64, DuckDB saturates; both agree "
+    "below 63) — vs q90's row-order EMA. Integer shifts end-to-end, "
+    "bit-identical across engines; the oracle folds the same recurrence "
+    "with values packed as x*64+d through DuckDB's single-type "
+    "list_reduce",
+)
+def q291(spark, sf_dir):
+    from kubenetmon_spark.operators.timeseries import time_decayed_sum
+
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.pmod(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+            F.lit(100000),
+        ).alias("x"),
+    )
+    return time_decayed_sum(
+        o, ["user_id"], "ts", "event_id", "x", tau_s=3600
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

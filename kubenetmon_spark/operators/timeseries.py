@@ -703,3 +703,66 @@ def cusum_changepoint(
         )
         .orderBy(series_col)
     )
+
+
+def time_decayed_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    tau_s: int,
+) -> DataFrame:
+    """ClickHouse ``exponentialTimeDecayedSum`` analogue, engine-exact:
+    decay depends on WALL TIME elapsed between events (unlike the
+    row-order EMA of ``q90``), realized as one floor-halving per full
+    ``tau_s`` seconds elapsed:
+
+        S_i = (S_{i-1} >> min((t_i - t_{i-1}) div tau, 63)) + x_i
+
+    Integer shifts everywhere — no transcendental decay factor, so the
+    result is bit-identical across engines (the q90 floor-fold idiom,
+    time-generalized). Shift capped at 63 because Java ``>>`` on longs
+    wraps the shift amount at 64 while DuckDB saturates to 0; below 63
+    both agree, and 63 halvings of any bounded sum is already 0.
+
+    ``value_col`` must be a NON-NEGATIVE long (arithmetic shift ==
+    floor halving only then); callers bound it (the gate uses
+    ``pmod(value_cents, 100000)``).
+
+    Scale posture: one shuffle to the group key; per-group arrays are
+    micro-batch sized (the q90/q55 ordered-fold family). The fold runs
+    in whole-stage codegen via ``aggregate()`` — no Python.
+    """
+    o = df.select(
+        *group_cols,
+        F.col(ts_col).cast("long").alias("_t"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("_t", "_tb", "_x")))
+    g = o.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"), arr.alias("_arr")
+    )
+    tau = F.lit(int(tau_s))
+
+    def step(s, i):
+        prev_t = F.element_at(F.col("_arr"), i)["_t"]
+        delta = s["_t"] - prev_t
+        # exact integer quotient: subtract the remainder first so the
+        # double division is over an exact multiple of tau
+        q = ((delta - F.pmod(delta, tau)) / tau).cast("long")
+        d = F.when(i == 0, F.lit(0)).otherwise(F.least(q, F.lit(63)))
+        return F.struct(d.alias("d"), s["_x"].alias("x"))
+
+    steps = F.transform(F.col("_arr"), step)
+    dec = F.aggregate(
+        F.slice(steps, 2, F.size(steps) - 1),
+        F.element_at(steps, 1)["x"],
+        # F.shiftright only takes a literal int shift in the Python API;
+        # call_function reaches the SQL ShiftRight which takes any expr
+        lambda acc, e: F.call_function("shiftright", acc, e["d"]) + e["x"],
+    )
+    return g.select(
+        *group_cols, "n", dec.cast("long").alias("decayed_sum")
+    ).orderBy(*group_cols)

@@ -1165,3 +1165,59 @@ class TestCusumChangepoint:
 
         df = spark.createDataFrame([], "g string, t long, x long")
         assert cusum_changepoint(df, "g", "t", "x").count() == 0
+
+
+class TestTimeDecayedSum:
+    @staticmethod
+    def _spec(rows, tau):
+        """rows: [(t, tb, x)] — fold S = (S >> min(dt//tau, 63)) + x."""
+        rows = sorted(rows)
+        s = rows[0][2]
+        for (pt, _, _), (t, _, x) in zip(rows, rows[1:]):
+            s = (s >> min((t - pt) // tau, 63)) + x
+        return s
+
+    def test_halving_per_tau(self, spark):
+        from kubenetmon_spark.operators.timeseries import time_decayed_sum
+
+        rows = [("a", 0, 0, 100), ("a", 3600, 1, 7), ("a", 3600, 2, 3),
+                ("a", 1_000_000, 3, 50)]
+        df = spark.createDataFrame(rows, "g string, t long, tb long, x long")
+        r = time_decayed_sum(df, ["g"], "t", "tb", "x", tau_s=3600).collect()[0]
+        # 100 -> >>1 +7 = 57 -> >>0 +3 = 60 -> >>63(capped) +50 = 50
+        assert (r.n, r.decayed_sum) == (4, 50)
+
+    def test_python_spec_differential(self, spark):
+        import random
+
+        from kubenetmon_spark.operators.timeseries import time_decayed_sum
+
+        rng = random.Random(11)
+        data = []
+        expect = {}
+        for k in range(6):
+            g = f"s{k}"
+            t = 0
+            rows = []
+            for i in range(rng.randrange(1, 40)):
+                t += rng.randrange(0, 20000)
+                rows.append((t, i, rng.randrange(0, 100000)))
+            expect[g] = (len(rows), self._spec(rows, 3600))
+            data += [(g, *r) for r in rows]
+        df = spark.createDataFrame(data, "g string, t long, tb long, x long")
+        got = {
+            r.g: (r.n, r.decayed_sum)
+            for r in time_decayed_sum(df, ["g"], "t", "tb", "x", 3600).collect()
+        }
+        assert got == expect
+
+    def test_single_row_and_empty(self, spark):
+        from kubenetmon_spark.operators.timeseries import time_decayed_sum
+
+        one = spark.createDataFrame(
+            [("a", 5, 0, 42)], "g string, t long, tb long, x long"
+        )
+        r = time_decayed_sum(one, ["g"], "t", "tb", "x", 60).collect()[0]
+        assert (r.n, r.decayed_sum) == (1, 42)
+        empty = spark.createDataFrame([], "g string, t long, tb long, x long")
+        assert time_decayed_sum(empty, ["g"], "t", "tb", "x", 60).count() == 0
