@@ -34,14 +34,28 @@ def windowed_counts(
     window: str = "1 minute",
     watermark: str = "10 minutes",
     measure: str | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window counts (or measure sums) per key."""
+    """Watermarked tumbling-window counts (or measure sums) per key.
+
+    ``slide`` turns the window HOPPING ("top talkers over the trailing
+    5 minutes, refreshed every minute" — the dashboard read ClickHouse
+    users issue as a repeated range query): each event joins
+    window/slide overlapping windows, so aggregation state and the
+    downstream ranking table grow by that overlap factor — size the
+    watermark to (window + lateness), and keep the factor small
+    (5m/1m = 5×) at 100 TB. Everything downstream (update-mode
+    partials, foreachBatch ranking, per-window partition upsert) is
+    window-shape-agnostic and unchanged."""
     agg = (
         F.sum(measure).alias("val") if measure else F.count(F.lit(1)).alias("val")
     )
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
     return (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        .groupBy(win.alias("w"), F.col(key_col))
         .agg(agg)
         .select(
             F.col("w.start").alias("window_start"),
