@@ -66,6 +66,38 @@ def read_flows(
     return reader.parquet(path)
 
 
+def read_flows_guarded(
+    spark: SparkSession,
+    path: str,
+    *,
+    date_min: str | None = None,
+    date_max: str | None = None,
+    max_rows_to_read: int | None = None,
+    max_bytes_to_read: int | None = None,
+) -> DataFrame:
+    """Guarded flow-table read: ClickHouse-style pre-flight refusal
+    (guards.py footer estimate over the SAME date pruning the scan
+    performs) fused with the pruned read, so a dashboard cannot launch
+    an over-limit scan at all — the limit trips on the driver before
+    the first executor task. The returned DataFrame carries the date
+    filters, which Catalyst turns into PartitionFilters on the scan."""
+    from kubenetmon_spark.guards import check_scan_limits
+
+    check_scan_limits(
+        path,
+        min_value=date_min,
+        max_value=date_max,
+        max_rows_to_read=max_rows_to_read,
+        max_bytes_to_read=max_bytes_to_read,
+    )
+    df = spark.read.parquet(path)
+    if date_min is not None:
+        df = df.filter(F.col("date") >= F.lit(date_min))
+    if date_max is not None:
+        df = df.filter(F.col("date") <= F.lit(date_max))
+    return df
+
+
 def compact(spark: SparkSession, path: str, target_date: str | None = None) -> None:
     """Re-sum a closed partition (or all) — the background-merge analogue.
 

@@ -126,3 +126,33 @@ class TestLimitedCollect:
         assert time.monotonic() - t0 < 20
         # the cancel must not poison the session
         assert spark.range(3).count() == 3
+
+
+class TestReadFlowsGuarded:
+    def test_refuses_full_scan_allows_pruned(self, spark, flow_table):
+        from kubenetmon_spark.sink import read_flows_guarded
+
+        with pytest.raises(QueryLimitExceeded):
+            read_flows_guarded(spark, flow_table, max_rows_to_read=30)
+        df = read_flows_guarded(
+            spark,
+            flow_table,
+            date_min="2024-01-03",
+            max_rows_to_read=30,
+        )
+        assert df.count() == 30
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "2024-01-03" in plan
+
+    def test_estimate_equals_scan_rows_under_same_pruning(
+        self, spark, flow_table
+    ):
+        from kubenetmon_spark.sink import read_flows_guarded
+
+        df = read_flows_guarded(
+            spark, flow_table, date_min="2024-01-02", date_max="2024-01-02"
+        )
+        est = estimate_scan(
+            flow_table, min_value="2024-01-02", max_value="2024-01-02"
+        )
+        assert df.count() == est.rows == 20
