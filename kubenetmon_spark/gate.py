@@ -15436,6 +15436,57 @@ def q291(spark, sf_dir):
     )
 
 
+@_register(
+    "q292_time_decayed_max",
+    """
+    WITH o AS (
+      SELECT user_id,
+             ((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 100000)
+              + 100000) % 100000 AS x,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t, event_id
+      FROM events
+    ), d AS (
+      SELECT user_id, t, event_id, x,
+             LEAST(COALESCE(
+               (t - LAG(t) OVER (PARTITION BY user_id
+                                 ORDER BY t, event_id)) // 3600, 0), 63)
+               AS dd
+      FROM o
+    ), p AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             list(x * 64 + dd ORDER BY t, event_id) AS l
+      FROM d GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CAST(list_reduce(
+             l, (a, b) -> GREATEST((a // 64) >> (b % 64), b // 64) * 64
+           ) // 64 AS BIGINT) AS decayed_max
+    FROM p ORDER BY user_id
+    """,
+    "ClickHouse exponentialTimeDecayedMax analogue (operators/"
+    "timeseries.py::time_decayed_max): peak detection where old peaks "
+    "fade by half per elapsed tau=3600s instead of masking newer "
+    "smaller spikes forever — the alerting twin of q291's decayed sum, "
+    "same packed integer fold, GREATEST in place of +",
+)
+def q292(spark, sf_dir):
+    from kubenetmon_spark.operators.timeseries import time_decayed_max
+
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.pmod(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+            F.lit(100000),
+        ).alias("x"),
+    )
+    return time_decayed_max(
+        o, ["user_id"], "ts", "event_id", "x", tau_s=3600
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -766,3 +766,54 @@ def time_decayed_sum(
     return g.select(
         *group_cols, "n", dec.cast("long").alias("decayed_sum")
     ).orderBy(*group_cols)
+
+
+def time_decayed_max(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    tau_s: int,
+) -> DataFrame:
+    """ClickHouse ``exponentialTimeDecayedMax`` analogue — the max twin
+    of ``time_decayed_sum`` under the same engine-exact halving decay:
+
+        M_i = max(M_{i-1} >> min((t_i - t_{i-1}) div tau, 63), x_i)
+
+    "What is the peak, where old peaks fade by half per tau elapsed" —
+    the alerting read (a spike an hour ago should not mask a smaller
+    spike now forever). Same contracts as ``time_decayed_sum``:
+    non-negative long values, one shuffle to the group key, codegen
+    fold, shift capped at 63.
+    """
+    o = df.select(
+        *group_cols,
+        F.col(ts_col).cast("long").alias("_t"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("_t", "_tb", "_x")))
+    g = o.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"), arr.alias("_arr")
+    )
+    tau = F.lit(int(tau_s))
+
+    def step(s, i):
+        prev_t = F.element_at(F.col("_arr"), i)["_t"]
+        delta = s["_t"] - prev_t
+        q = ((delta - F.pmod(delta, tau)) / tau).cast("long")
+        d = F.when(i == 0, F.lit(0)).otherwise(F.least(q, F.lit(63)))
+        return F.struct(d.alias("d"), s["_x"].alias("x"))
+
+    steps = F.transform(F.col("_arr"), step)
+    dec = F.aggregate(
+        F.slice(steps, 2, F.size(steps) - 1),
+        F.element_at(steps, 1)["x"],
+        lambda acc, e: F.greatest(
+            F.call_function("shiftright", acc, e["d"]), e["x"]
+        ),
+    )
+    return g.select(
+        *group_cols, "n", dec.cast("long").alias("decayed_max")
+    ).orderBy(*group_cols)

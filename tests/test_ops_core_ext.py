@@ -1221,3 +1221,48 @@ class TestTimeDecayedSum:
         assert (r.n, r.decayed_sum) == (1, 42)
         empty = spark.createDataFrame([], "g string, t long, tb long, x long")
         assert time_decayed_sum(empty, ["g"], "t", "tb", "x", 60).count() == 0
+
+
+class TestTimeDecayedMax:
+    @staticmethod
+    def _spec(rows, tau):
+        rows = sorted(rows)
+        m = rows[0][2]
+        for (pt, _, _), (t, _, x) in zip(rows, rows[1:]):
+            m = max(m >> min((t - pt) // tau, 63), x)
+        return m
+
+    def test_old_peak_fades(self, spark):
+        from kubenetmon_spark.operators.timeseries import time_decayed_max
+
+        # peak 1000 at t=0; after 2 tau it reads 250, so the newer 400 wins
+        rows = [("a", 0, 0, 1000), ("a", 7200, 1, 400)]
+        df = spark.createDataFrame(rows, "g string, t long, tb long, x long")
+        r = time_decayed_max(df, ["g"], "t", "tb", "x", 3600).collect()[0]
+        assert (r.n, r.decayed_max) == (2, 400)
+        # but within the same tau the old peak still masks
+        rows2 = [("a", 0, 0, 1000), ("a", 1800, 1, 400)]
+        df2 = spark.createDataFrame(rows2, "g string, t long, tb long, x long")
+        r2 = time_decayed_max(df2, ["g"], "t", "tb", "x", 3600).collect()[0]
+        assert r2.decayed_max == 1000
+
+    def test_python_spec_differential(self, spark):
+        import random
+
+        from kubenetmon_spark.operators.timeseries import time_decayed_max
+
+        rng = random.Random(13)
+        data, expect = [], {}
+        for k in range(6):
+            g, t, rows = f"s{k}", 0, []
+            for i in range(rng.randrange(1, 40)):
+                t += rng.randrange(0, 20000)
+                rows.append((t, i, rng.randrange(0, 100000)))
+            expect[g] = (len(rows), self._spec(rows, 3600))
+            data += [(g, *r) for r in rows]
+        df = spark.createDataFrame(data, "g string, t long, tb long, x long")
+        got = {
+            r.g: (r.n, r.decayed_max)
+            for r in time_decayed_max(df, ["g"], "t", "tb", "x", 3600).collect()
+        }
+        assert got == expect
