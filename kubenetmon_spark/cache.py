@@ -1,0 +1,194 @@
+"""Query result cache — the ClickHouse query-cache analogue
+(``use_query_cache``/``query_cache_ttl`` settings surface).
+
+ClickHouse serves repeated dashboard panels from an in-server result
+cache keyed on the query AST, invalidated by TTL, refusing
+nondeterministic queries. The Spark-engine equivalent here is a
+parquet-backed result store keyed on
+
+    (optimized-logical-plan hash) x (input-file signature)
+
+— the plan hash (querylog.py's fingerprint idiom) identifies WHAT is
+being computed; the input signature (every input file's path, size,
+mtime, hashed) identifies the DATA VERSION, so an append/compaction to
+the underlying table invalidates automatically, with no invalidation
+hooks in the write path. Entries are written atomically (tmp dir +
+``os.replace``-style rename) so concurrent dashboard sessions can share
+one cache directory.
+
+Like ClickHouse, nondeterministic queries are refused by default: a
+cached ``now()``/``rand()`` result is a silent wrong answer, the worst
+failure mode a cache can have.
+
+Scale posture: the cache stores RESULT rows (panel-sized, thousands of
+rows), never fact data; the hit path is one small parquet read. The
+input signature is a driver-side listing of the pruned relation's
+files — O(parts), the same cost as guards.py's pre-flight.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: substrings of Spark's nondeterministic/volatile expressions as they
+#: appear in optimized-plan strings — the refusal heuristic (ClickHouse
+#: refuses caching queries with now()/rand() the same way)
+_NONDETERMINISTIC_MARKERS = (
+    "rand(",
+    "randn(",
+    "uuid()",
+    "current_timestamp",
+    "current_date",
+    "now()",
+    "unix_timestamp()",
+    "monotonically_increasing_id",
+    "shuffle(",
+    "input_file_name",
+)
+
+
+class NondeterministicQueryError(ValueError):
+    """The plan contains a volatile expression; caching it would pin a
+    value that should change between executions."""
+
+
+def _plan_string(df: DataFrame) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def cache_key(df: DataFrame) -> str:
+    """Plan-hash x input-signature key (hex). Raises
+    NondeterministicQueryError for volatile plans."""
+    plan = _plan_string(df)
+    low = plan.lower()
+    for marker in _NONDETERMINISTIC_MARKERS:
+        if marker in low:
+            raise NondeterministicQueryError(
+                f"plan contains volatile expression {marker!r}; pass "
+                "allow_nondeterministic=True to cache it anyway"
+            )
+    return _key_of(df, plan)
+
+
+def _key_of(df: DataFrame, plan: str) -> str:
+    h = hashlib.md5(plan.encode())
+    for f in sorted(df.inputFiles()):
+        local = f.removeprefix("file:")
+        try:
+            st = os.stat(local)
+            sig = f"{f}|{st.st_size}|{st.st_mtime_ns}"
+        except OSError:  # non-local FS: path alone (size/mtime unseen)
+            sig = f
+        h.update(sig.encode())
+    return h.hexdigest()
+
+
+def cached(
+    spark: SparkSession,
+    df: DataFrame,
+    cache_dir: str,
+    ttl_s: float | None = None,
+    refresh: bool = False,
+    allow_nondeterministic: bool = False,
+) -> DataFrame:
+    """Serve ``df``'s result from the cache, computing and storing it on
+    a miss. ``ttl_s`` bounds entry age (ClickHouse query_cache_ttl);
+    ``refresh`` forces recompute (``SYSTEM DROP QUERY CACHE`` for one
+    entry). The returned DataFrame always reads from the cache entry,
+    so repeated dashboard refreshes cost one small parquet scan."""
+    plan = _plan_string(df)
+    if not allow_nondeterministic:
+        low = plan.lower()
+        for marker in _NONDETERMINISTIC_MARKERS:
+            if marker in low:
+                raise NondeterministicQueryError(
+                    f"plan contains volatile expression {marker!r}; pass "
+                    "allow_nondeterministic=True to cache it anyway"
+                )
+    key = _key_of(df, plan)
+    entry = Path(cache_dir) / key
+    meta = entry / "_meta.json"
+
+    if entry.exists() and meta.exists() and not refresh:
+        age = time.time() - json.loads(meta.read_text())["created_at"]
+        if ttl_s is None or age <= ttl_s:
+            return spark.read.parquet(str(entry / "data"))
+
+    # miss/stale/refresh: compute into a tmp entry, publish by rename.
+    # A concurrent publisher winning the rename race is fine — both
+    # wrote the same deterministic result; the loser just reads theirs.
+    tmp = Path(cache_dir) / f"_tmp-{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(str(tmp / "data"))
+    (tmp / "_meta.json").write_text(
+        json.dumps(
+            {
+                "created_at": time.time(),
+                "plan_hash": hashlib.md5(plan.encode()).hexdigest()[:16],
+                "plan_head": plan.splitlines()[0][:200] if plan else "",
+            }
+        )
+    )
+    if entry.exists():  # stale/refresh: replace wholesale
+        import shutil
+
+        shutil.rmtree(entry)
+    try:
+        os.rename(tmp, entry)
+    except OSError:  # lost the publish race; serve the winner
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(str(entry / "data"))
+
+
+def drop_cache(cache_dir: str, key: str | None = None) -> int:
+    """``SYSTEM DROP QUERY CACHE``: remove one entry or all. Returns the
+    number of entries removed."""
+    import shutil
+
+    root = Path(cache_dir)
+    if not root.exists():
+        return 0
+    targets = (
+        [root / key] if key else [d for d in root.iterdir() if d.is_dir()]
+    )
+    n = 0
+    for t in targets:
+        if t.exists():
+            shutil.rmtree(t)
+            n += 1
+    return n
+
+
+def cache_entries(cache_dir: str) -> list[dict]:
+    """``system.query_cache`` analogue: one dict per entry with key,
+    age, result size on disk."""
+    root = Path(cache_dir)
+    out: list[dict] = []
+    if not root.exists():
+        return out
+    now = time.time()
+    for d in sorted(root.iterdir()):
+        m = d / "_meta.json"
+        if not d.is_dir() or not m.exists():
+            continue
+        meta = json.loads(m.read_text())
+        size = sum(
+            f.stat().st_size for f in (d / "data").rglob("*") if f.is_file()
+        )
+        out.append(
+            {
+                "key": d.name,
+                "age_s": round(now - meta["created_at"], 3),
+                "plan_hash": meta["plan_hash"],
+                "bytes_on_disk": size,
+            }
+        )
+    return out
