@@ -545,3 +545,114 @@ def apply_rollup_ttl(
             if part.exists():
                 shutil.rmtree(part)
     return sorted(f"date={d}" for d in affected)
+
+
+# ---------------------------------------------------------------------------
+# ALTER TABLE ... PARTITION ops (DETACH / ATTACH / MOVE / REPLACE)
+# ---------------------------------------------------------------------------
+
+def _partition_dir(path: str, partition: str) -> Path:
+    return Path(path) / f"date={partition}"
+
+
+def _schema_of(table_path: Path):
+    """Arrow schema of the first data file under a table/partition dir
+    (None when empty) — the compatibility probe for partition exchange."""
+    import pyarrow.parquet as pq
+
+    for f in sorted(table_path.rglob("*.parquet")):
+        return pq.ParquetFile(f).schema_arrow
+    return None
+
+
+def detach_partition(path: str, partition: str) -> str:
+    """``ALTER TABLE ... DETACH PARTITION``: move the partition dir into
+    ``_detached/`` — Spark scans skip underscore-prefixed dirs, so the
+    data vanishes from queries instantly (a rename, no data movement)
+    but stays on disk for re-attach or inspection."""
+    src = _partition_dir(path, partition)
+    if not src.exists():
+        raise FileNotFoundError(f"no partition date={partition} at {path}")
+    det = Path(path) / "_detached"
+    det.mkdir(exist_ok=True)
+    dst = det / src.name
+    if dst.exists():
+        raise FileExistsError(f"{dst} already detached")
+    src.rename(dst)
+    return str(dst)
+
+
+def attach_partition(path: str, partition: str) -> str:
+    """``ALTER TABLE ... ATTACH PARTITION``: restore a detached
+    partition (rename back; refuses if the live partition reappeared)."""
+    det = Path(path) / "_detached" / f"date={partition}"
+    if not det.exists():
+        raise FileNotFoundError(f"nothing detached for date={partition}")
+    dst = _partition_dir(path, partition)
+    if dst.exists():
+        raise FileExistsError(f"live partition {dst} exists; drop it first")
+    det.rename(dst)
+    return str(dst)
+
+
+def move_partition(src_path: str, dst_path: str, partition: str) -> None:
+    """``ALTER TABLE ... MOVE PARTITION TO TABLE``: rename the partition
+    dir from one table to another after an Arrow-schema compatibility
+    probe (one footer read per side). The source loses the partition —
+    ClickHouse MOVE semantics, and the atomic half of a backfill swap."""
+    src = _partition_dir(src_path, partition)
+    if not src.exists():
+        raise FileNotFoundError(f"no partition date={partition} at {src_path}")
+    dst = _partition_dir(dst_path, partition)
+    if dst.exists():
+        raise FileExistsError(f"{dst} exists; use replace_partition")
+    s_schema, d_schema = _schema_of(src), _schema_of(Path(dst_path))
+    if d_schema is not None and s_schema is not None and s_schema != d_schema:
+        raise ValueError(
+            f"schema mismatch moving date={partition}: source "
+            f"{s_schema.names} vs destination {d_schema.names}"
+        )
+    Path(dst_path).mkdir(parents=True, exist_ok=True)
+    src.rename(dst)
+
+
+def replace_partition(dst_path: str, src_path: str, partition: str) -> None:
+    """``ALTER TABLE dst REPLACE PARTITION ... FROM src``: atomically
+    swap dst's partition for a COPY of src's (src keeps its data — the
+    staging-table backfill pattern: recompute into staging, replace
+    into prod). Copy lands under an underscore temp dir (invisible to
+    scans), then two renames publish it; the visible window never shows
+    a half-copied partition."""
+    import shutil
+
+    src = _partition_dir(src_path, partition)
+    if not src.exists():
+        raise FileNotFoundError(f"no partition date={partition} at {src_path}")
+    s_schema, d_schema = _schema_of(src), _schema_of(Path(dst_path))
+    if d_schema is not None and s_schema is not None and s_schema != d_schema:
+        raise ValueError(
+            f"schema mismatch replacing date={partition}: source "
+            f"{s_schema.names} vs destination {d_schema.names}"
+        )
+    tmp = Path(dst_path) / f"_replace-{partition}"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    shutil.copytree(src, tmp)
+    dst = _partition_dir(dst_path, partition)
+    old = Path(dst_path) / f"_old-{partition}"
+    if old.exists():
+        shutil.rmtree(old)
+    if dst.exists():
+        dst.rename(old)
+    tmp.rename(dst)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def detached_partitions(path: str) -> list[str]:
+    """``system.detached_parts`` analogue."""
+    det = Path(path) / "_detached"
+    if not det.exists():
+        return []
+    return sorted(
+        d.name.split("=", 1)[1] for d in det.glob("date=*") if d.is_dir()
+    )

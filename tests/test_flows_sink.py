@@ -464,3 +464,74 @@ class TestQueryLog:
         rows = {r.name: r for r in slow.collect()}
         assert rows["mod7"].n_runs == 2
         assert rows["mod3"].n_runs == 1
+
+
+class TestPartitionOps:
+    @pytest.fixture()
+    def two_tables(self, spark, tmp_path):
+        prod, stage = str(tmp_path / "prod"), str(tmp_path / "stage")
+        mk = lambda d, v: spark.createDataFrame(
+            [(d, f"p{i}", v) for i in range(5)],
+            "date string, pod string, bytes long",
+        )
+        for d in ("2024-01-01", "2024-01-02"):
+            mk(d, 1).write.mode("append").partitionBy("date").parquet(prod)
+        mk("2024-01-02", 99).write.partitionBy("date").parquet(stage)
+        return prod, stage
+
+    def test_detach_attach_roundtrip(self, spark, two_tables):
+        from kubenetmon_spark.sink import (
+            attach_partition,
+            detach_partition,
+            detached_partitions,
+        )
+
+        prod, _ = two_tables
+        assert spark.read.parquet(prod).count() == 10
+        detach_partition(prod, "2024-01-01")
+        # underscore dir is invisible to scans
+        assert spark.read.parquet(prod).count() == 5
+        assert detached_partitions(prod) == ["2024-01-01"]
+        with pytest.raises(FileNotFoundError):
+            detach_partition(prod, "2024-01-01")
+        attach_partition(prod, "2024-01-01")
+        assert spark.read.parquet(prod).count() == 10
+        assert detached_partitions(prod) == []
+
+    def test_replace_partition_swaps_values_and_keeps_source(
+        self, spark, two_tables
+    ):
+        from kubenetmon_spark.sink import replace_partition
+
+        prod, stage = two_tables
+        replace_partition(prod, stage, "2024-01-02")
+        got = (
+            spark.read.parquet(prod)
+            .groupBy("date")
+            .agg(F.sum("bytes").alias("s"))
+            .collect()
+        )
+        assert {(str(r.date), r.s) for r in got} == {
+            ("2024-01-01", 5),
+            ("2024-01-02", 495),
+        }
+        # source table unchanged (REPLACE copies)
+        assert spark.read.parquet(stage).count() == 5
+
+    def test_move_partition_transfers_and_schema_guard(
+        self, spark, two_tables, tmp_path
+    ):
+        from kubenetmon_spark.sink import move_partition
+
+        prod, stage = two_tables
+        dest = str(tmp_path / "dest")
+        move_partition(prod, dest, "2024-01-01")
+        assert spark.read.parquet(dest).count() == 5
+        assert spark.read.parquet(prod).count() == 5
+        # schema-incompatible destination refuses
+        bad = str(tmp_path / "bad")
+        spark.createDataFrame(
+            [("2024-01-05", 1.5)], "date string, other double"
+        ).write.partitionBy("date").parquet(bad)
+        with pytest.raises(ValueError, match="schema mismatch"):
+            move_partition(stage, bad, "2024-01-02")
