@@ -33,6 +33,7 @@ the engine refuses predictably-catastrophic work instead of running it.
 from __future__ import annotations
 
 import threading
+import time
 import uuid
 from dataclasses import dataclass
 from pathlib import Path
@@ -207,3 +208,61 @@ def limited_collect(
             )
         return rows[:max_result_rows]
     return rows
+
+
+def check_quota(
+    spark,
+    log_path: str,
+    name: str,
+    *,
+    window_s: float = 3600.0,
+    max_queries: int | None = None,
+    max_result_rows: int | None = None,
+    now: float | None = None,
+) -> dict:
+    """ClickHouse quota analogue (``CREATE QUOTA ... FOR INTERVAL 1
+    hour MAX queries = N, result_rows = M``): enforce per-principal
+    rolling-window limits off the query log (querylog.py's
+    ``system.query_log`` table, whose ``name`` column is the
+    principal/panel key). Returns the window usage dict when within
+    quota; raises QueryLimitExceeded when a subsequent query would
+    exceed it.
+
+    The check is one aggregation over the log's recent window — the
+    log is one row per query, so this is dashboard-metadata scale, not
+    fact scale. Call before ``run_logged`` (the pair is the ClickHouse
+    request path: quota check, then execute-and-account).
+    """
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    now = time.time() if now is None else now
+    cutoff = _dt.datetime.fromtimestamp(
+        now - window_s, tz=_dt.timezone.utc
+    ).isoformat()
+    try:
+        log = spark.read.parquet(log_path)
+    except Exception:  # no log yet: zero usage
+        return {"queries": 0, "result_rows": 0}
+    agg = (
+        log.filter((F.col("name") == name) & (F.col("started_at") >= cutoff))
+        .agg(
+            F.count(F.lit(1)).alias("q"),
+            F.coalesce(F.sum("n_output_rows"), F.lit(0)).alias("r"),
+        )
+        .collect()[0]
+    )
+    usage = {"queries": int(agg.q), "result_rows": int(agg.r)}
+    if max_queries is not None and usage["queries"] >= max_queries:
+        raise QueryLimitExceeded(
+            f"quota: {name} ran {usage['queries']} queries in the last "
+            f"{window_s:.0f}s, at/over max_queries={max_queries}"
+        )
+    if max_result_rows is not None and usage["result_rows"] >= max_result_rows:
+        raise QueryLimitExceeded(
+            f"quota: {name} produced {usage['result_rows']} result rows "
+            f"in the last {window_s:.0f}s, at/over "
+            f"max_result_rows={max_result_rows}"
+        )
+    return usage

@@ -156,3 +156,43 @@ class TestReadFlowsGuarded:
             flow_table, min_value="2024-01-02", max_value="2024-01-02"
         )
         assert df.count() == est.rows == 20
+
+
+class TestQuota:
+    def test_quota_counts_window_and_trips(self, spark, tmp_path):
+        from kubenetmon_spark.guards import check_quota
+        from kubenetmon_spark.querylog import run_logged
+
+        log = str(tmp_path / "qlog")
+        # empty log: zero usage
+        usage = check_quota(spark, log, "panel_a", max_queries=2)
+        assert usage == {"queries": 0, "result_rows": 0}
+        run_logged(spark, "panel_a", spark.range(5), log_path=log)
+        run_logged(spark, "panel_a", spark.range(7), log_path=log)
+        run_logged(spark, "panel_b", spark.range(3), log_path=log)
+        # panel_a at its 2-query quota -> a third is refused
+        with pytest.raises(QueryLimitExceeded, match="max_queries"):
+            check_quota(spark, log, "panel_a", max_queries=2)
+        # other principals unaffected; higher quota passes with usage
+        assert check_quota(spark, log, "panel_b", max_queries=2) == {
+            "queries": 1,
+            "result_rows": 3,
+        }
+        usage = check_quota(spark, log, "panel_a", max_queries=10)
+        assert usage == {"queries": 2, "result_rows": 12}
+        # result-row quota trips too
+        with pytest.raises(QueryLimitExceeded, match="result rows"):
+            check_quota(spark, log, "panel_a", max_result_rows=12)
+
+    def test_window_excludes_old_entries(self, spark, tmp_path):
+        from kubenetmon_spark.guards import check_quota
+        from kubenetmon_spark.querylog import run_logged
+
+        log = str(tmp_path / "qlog2")
+        run_logged(spark, "p", spark.range(4), log_path=log)
+        # a "now" far in the future puts the entry outside the window
+        usage = check_quota(
+            spark, log, "p", window_s=60, max_queries=1,
+            now=time.time() + 3600,
+        )
+        assert usage == {"queries": 0, "result_rows": 0}
