@@ -656,3 +656,92 @@ def detached_partitions(path: str) -> list[str]:
     return sorted(
         d.name.split("=", 1)[1] for d in det.glob("date=*") if d.is_dir()
     )
+
+
+# ---------------------------------------------------------------------------
+# BACKUP / RESTORE (ClickHouse BACKUP TABLE ... / RESTORE TABLE ...)
+# ---------------------------------------------------------------------------
+
+def backup_table(
+    path: str, backup_dir: str, *, base_backup: str | None = None
+) -> dict:
+    """``BACKUP TABLE ... TO`` with ClickHouse's incremental semantics:
+    copy the table's partition files into ``backup_dir`` and write a
+    ``_manifest.json`` recording every file's relative path, size, and
+    md5. With ``base_backup``, files already present in the base's
+    manifest (same path+size+md5) are NOT copied again — the manifest
+    still lists them, pointing at the base (incremental backup chain).
+
+    Driver-side file copy: backups are an ops action, not a query; at
+    warehouse scale the same layout maps to object-store copy jobs.
+    Returns the manifest dict."""
+    import hashlib
+    import json
+    import shutil
+
+    root, bdir = Path(path), Path(backup_dir)
+    bdir.mkdir(parents=True, exist_ok=True)
+    base_entries: dict[str, dict] = {}
+    if base_backup is not None:
+        base_manifest = json.loads(
+            (Path(base_backup) / "_manifest.json").read_text()
+        )
+        base_entries = {e["path"]: e for e in base_manifest["files"]}
+
+    files = []
+    for f in sorted(root.rglob("*.parquet")):
+        rel = str(f.relative_to(root))
+        if rel.startswith(("_", ".")):
+            continue
+        md5 = hashlib.md5(f.read_bytes()).hexdigest()
+        entry = {"path": rel, "size": f.stat().st_size, "md5": md5}
+        base = base_entries.get(rel)
+        if base and base["size"] == entry["size"] and base["md5"] == md5:
+            entry["in_base"] = True
+        else:
+            dst = bdir / rel
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copy2(f, dst)
+        files.append(entry)
+    manifest = {
+        "source": str(root),
+        "base_backup": base_backup,
+        "n_files": len(files),
+        "files": files,
+    }
+    (bdir / "_manifest.json").write_text(json.dumps(manifest, indent=1))
+    return manifest
+
+
+def restore_table(backup_dir: str, dest_path: str) -> int:
+    """``RESTORE TABLE ... FROM``: rebuild the table from a backup
+    (following the incremental chain for files stored in a base), then
+    VERIFY every restored file's size+md5 against the manifest —
+    a corrupt or truncated backup refuses to restore silently.
+    Returns the number of files restored."""
+    import hashlib
+    import json
+    import shutil
+
+    bdir = Path(backup_dir)
+    manifest = json.loads((bdir / "_manifest.json").read_text())
+    dest = Path(dest_path)
+    dest.mkdir(parents=True, exist_ok=True)
+    base = Path(manifest["base_backup"]) if manifest["base_backup"] else None
+    n = 0
+    for e in manifest["files"]:
+        src = (base if e.get("in_base") else bdir) / e["path"]
+        if not src.exists():
+            raise FileNotFoundError(
+                f"backup missing {e['path']} "
+                f"({'base' if e.get('in_base') else 'backup'} layer)"
+            )
+        out = dest / e["path"]
+        out.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy2(src, out)
+        if out.stat().st_size != e["size"] or (
+            hashlib.md5(out.read_bytes()).hexdigest() != e["md5"]
+        ):
+            raise ValueError(f"checksum mismatch restoring {e['path']}")
+        n += 1
+    return n

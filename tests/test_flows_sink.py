@@ -535,3 +535,62 @@ class TestPartitionOps:
         ).write.partitionBy("date").parquet(bad)
         with pytest.raises(ValueError, match="schema mismatch"):
             move_partition(stage, bad, "2024-01-02")
+
+
+class TestBackupRestore:
+    def test_full_backup_restore_roundtrip(self, spark, tmp_path):
+        from kubenetmon_spark.sink import backup_table, restore_table
+
+        src = str(tmp_path / "t")
+        spark.createDataFrame(
+            [("2024-01-01", i) for i in range(20)]
+            + [("2024-01-02", i) for i in range(30)],
+            "date string, v long",
+        ).write.partitionBy("date").parquet(src)
+        bk = str(tmp_path / "bk")
+        man = backup_table(src, bk)
+        assert man["n_files"] >= 2
+        dest = str(tmp_path / "restored")
+        n = restore_table(bk, dest)
+        assert n == man["n_files"]
+        a = sorted(map(tuple, spark.read.parquet(src).collect()))
+        b = sorted(map(tuple, spark.read.parquet(dest).collect()))
+        assert a == b
+
+    def test_incremental_backup_skips_unchanged(self, spark, tmp_path):
+        from kubenetmon_spark.sink import backup_table, restore_table
+
+        src = str(tmp_path / "t2")
+        spark.createDataFrame(
+            [("2024-01-01", 1)], "date string, v long"
+        ).write.partitionBy("date").parquet(src)
+        base = str(tmp_path / "base")
+        backup_table(src, base)
+        # append a new partition; incremental backup copies only it
+        spark.createDataFrame(
+            [("2024-01-02", 2)], "date string, v long"
+        ).write.mode("append").partitionBy("date").parquet(src)
+        inc = str(tmp_path / "inc")
+        man = backup_table(src, inc, base_backup=base)
+        copied = [e for e in man["files"] if not e.get("in_base")]
+        in_base = [e for e in man["files"] if e.get("in_base")]
+        assert len(in_base) >= 1 and len(copied) >= 1
+        assert all("2024-01-02" in e["path"] for e in copied)
+        dest = str(tmp_path / "r2")
+        restore_table(inc, dest)
+        assert spark.read.parquet(dest).count() == 2
+
+    def test_corrupt_backup_refuses_restore(self, spark, tmp_path):
+        from kubenetmon_spark.sink import backup_table, restore_table
+        from pathlib import Path
+
+        src = str(tmp_path / "t3")
+        spark.createDataFrame(
+            [("2024-01-01", 1)], "date string, v long"
+        ).write.partitionBy("date").parquet(src)
+        bk = str(tmp_path / "bk3")
+        man = backup_table(src, bk)
+        victim = Path(bk) / man["files"][0]["path"]
+        victim.write_bytes(victim.read_bytes()[:-4] + b"XXXX")
+        with pytest.raises(ValueError, match="checksum mismatch"):
+            restore_table(bk, str(tmp_path / "r3"))
