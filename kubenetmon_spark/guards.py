@@ -266,3 +266,52 @@ def check_quota(
             f"max_result_rows={max_result_rows}"
         )
     return usage
+
+
+class RowPolicies:
+    """ClickHouse row policies (``CREATE ROW POLICY ... ON table TO
+    user USING expr [AS RESTRICTIVE]``): per-(table, principal)
+    row-level security applied as plan-level filters — Catalyst pushes
+    them into the scan like any predicate, so policy enforcement rides
+    predicate pushdown for free.
+
+    Combination semantics match ClickHouse: PERMISSIVE policies OR
+    together (any grants visibility), RESTRICTIVE policies AND on top
+    (each must also hold). A table with at least one policy for some
+    principal hides ALL rows from principals with no permissive policy
+    — the ClickHouse default-deny posture. Tables with no policies are
+    unrestricted.
+    """
+
+    def __init__(self) -> None:
+        self._permissive: dict[tuple[str, str], list[str]] = {}
+        self._restrictive: dict[tuple[str, str], list[str]] = {}
+        self._tables: set[str] = set()
+
+    def add(
+        self,
+        table: str,
+        principal: str,
+        using: str,
+        *,
+        restrictive: bool = False,
+    ) -> "RowPolicies":
+        store = self._restrictive if restrictive else self._permissive
+        store.setdefault((table, principal), []).append(using)
+        self._tables.add(table)
+        return self
+
+    def apply(self, df: DataFrame, table: str, principal: str) -> DataFrame:
+        """Return ``df`` filtered to what ``principal`` may see of
+        ``table``."""
+        from pyspark.sql import functions as F
+
+        if table not in self._tables:
+            return df
+        perm = self._permissive.get((table, principal), [])
+        if not perm:
+            return df.filter(F.lit(False))  # default deny
+        cond = F.expr(" OR ".join(f"({p})" for p in perm))
+        for r in self._restrictive.get((table, principal), []):
+            cond = cond & F.expr(r)
+        return df.filter(cond)

@@ -196,3 +196,42 @@ class TestQuota:
             now=time.time() + 3600,
         )
         assert usage == {"queries": 0, "result_rows": 0}
+
+
+class TestRowPolicies:
+    def test_permissive_or_restrictive_and_default_deny(self, spark):
+        from kubenetmon_spark.guards import RowPolicies
+
+        df = spark.createDataFrame(
+            [("teamA", "prod", 1), ("teamA", "dev", 2),
+             ("teamB", "prod", 3), ("teamB", "dev", 4)],
+            "team string, env string, v long",
+        )
+        pol = (
+            RowPolicies()
+            .add("flows", "alice", "team = 'teamA'")
+            .add("flows", "alice", "env = 'prod'")  # OR: A-rows or prod-rows
+            .add("flows", "bob", "team = 'teamB'")
+            .add("flows", "bob", "env = 'prod'", restrictive=True)  # AND
+        )
+        alice = {r.v for r in pol.apply(df, "flows", "alice").collect()}
+        assert alice == {1, 2, 3}
+        bob = {r.v for r in pol.apply(df, "flows", "bob").collect()}
+        assert bob == {3}
+        # principal with no policy on a policied table sees nothing
+        assert pol.apply(df, "flows", "mallory").count() == 0
+        # unrestricted table passes through untouched
+        assert pol.apply(df, "other_table", "mallory").count() == 4
+
+    def test_policy_filter_reaches_the_scan(self, spark, tmp_path):
+        from kubenetmon_spark.guards import RowPolicies
+
+        p = str(tmp_path / "t")
+        spark.createDataFrame(
+            [("teamA", 1), ("teamB", 2)], "team string, v long"
+        ).write.parquet(p)
+        pol = RowPolicies().add("t", "alice", "team = 'teamA'")
+        out = pol.apply(spark.read.parquet(p), "t", "alice")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "team" in plan
+        assert [r.v for r in out.collect()] == [1]
