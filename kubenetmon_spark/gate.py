@@ -15487,6 +15487,61 @@ def q292(spark, sf_dir):
     )
 
 
+@_register(
+    "q293_blast_radius",
+    """
+    WITH RECURSIVE e AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS s,
+             's' || CAST(l.l_suppkey AS VARCHAR) AS d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), sym AS MATERIALIZED (
+      SELECT s, d FROM e UNION SELECT d, s FROM e
+    ), r AS (
+      SELECT 's1' AS node, 0 AS hops
+      UNION
+      SELECT sym.d, r.hops + 1
+      FROM r JOIN sym ON sym.s = r.node
+      WHERE r.hops < 3
+    )
+    SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+    FROM r GROUP BY node ORDER BY hops, node
+    """,
+    "k-hop blast radius (operators/graph.py::k_hop_reachability): "
+    "level-synchronous BFS with min hop distance over the undirected "
+    "customer-supplier trade graph, seeded at supplier 1, k=3 — the "
+    "'which services are within k hops of this pod' read over flow "
+    "(local, remote) pairs. Spark: one frontier-join + anti-join per "
+    "level, lineage cut per level, driver sees only emptiness scalars; "
+    "oracle: DuckDB recursive CTE (UNION-dedup'd, hop-capped) + MIN",
+)
+def q293(spark, sf_dir):
+    from kubenetmon_spark.operators.graph import k_hop_reachability
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    e = (
+        o.join(l, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "s"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "d"
+            ),
+        )
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+    seeds = spark.createDataFrame([("s1",)], "node string")
+    return (
+        k_hop_reachability(sym, "s", "d", seeds, k=3)
+        .select("node", F.col("hops").cast("bigint").alias("hops"))
+        .orderBy("hops", "node")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

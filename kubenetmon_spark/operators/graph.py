@@ -165,3 +165,50 @@ def pagerank_exact(
     ed.unpersist()
     nodes.unpersist()
     return pr
+
+
+def k_hop_reachability(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    seeds: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Level-synchronous BFS: every node within ``k`` directed hops of
+    any seed, with its MINIMUM hop distance — the "blast radius" query
+    over a flow/communication graph (which services are ≤ k hops from
+    this pod), a read the reference's users run against the flow table's
+    (local, remote) pairs.
+
+    ``seeds`` is a 1-column DataFrame named ``node``. Returns
+    ``(node, hops)``, hops in [0, k], one row per reached node.
+
+    Per level: one equi-join frontier⋈edges (keyed on src — the classic
+    Pregel superstep), a distinct, and an anti-join against the visited
+    set; each level's result is ``localCheckpoint``-ed so the loop's
+    lineage stays flat. Driver sees only the per-level emptiness scalar
+    (bounded by k iterations); rows never collect. Min-hops is implicit:
+    a node joins `visited` the FIRST level it appears, and the anti-join
+    keeps later sightings out.
+    """
+    visited = seeds.select(
+        F.col("node"), F.lit(0).alias("hops")
+    ).distinct().localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).distinct()
+    for level in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(level))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited

@@ -1266,3 +1266,48 @@ class TestTimeDecayedMax:
             for r in time_decayed_max(df, ["g"], "t", "tb", "x", 3600).collect()
         }
         assert got == expect
+
+
+class TestKHopReachability:
+    def test_min_hops_on_known_graph(self, spark):
+        from kubenetmon_spark.operators.graph import k_hop_reachability
+
+        # a -> b -> c -> d, plus shortcut a -> c; e unreachable
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("e", "a")],
+            "s string, d string",
+        )
+        seeds = spark.createDataFrame([("a",)], "node string")
+        got = {
+            r.node: r.hops
+            for r in k_hop_reachability(edges, "s", "d", seeds, 3).collect()
+        }
+        # directed: e never reached; c via the shortcut at hop 1
+        assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+    def test_k_truncates_and_multi_seed(self, spark):
+        from kubenetmon_spark.operators.graph import k_hop_reachability
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+            "s string, d string",
+        )
+        seeds = spark.createDataFrame([("a",), ("x",)], "node string")
+        got = {
+            r.node: r.hops
+            for r in k_hop_reachability(edges, "s", "d", seeds, 1).collect()
+        }
+        assert got == {"a": 0, "x": 0, "b": 1, "y": 1}
+
+    def test_cycle_terminates(self, spark):
+        from kubenetmon_spark.operators.graph import k_hop_reachability
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a")], "s string, d string"
+        )
+        seeds = spark.createDataFrame([("a",)], "node string")
+        got = {
+            r.node: r.hops
+            for r in k_hop_reachability(edges, "s", "d", seeds, 10).collect()
+        }
+        assert got == {"a": 0, "b": 1}
