@@ -15542,6 +15542,87 @@ def q293(spark, sf_dir):
     )
 
 
+@_register(
+    "q294_temporal_reachability",
+    """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS s,
+             's' || CAST(l.l_suppkey AS VARCHAR) AS d,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o.o_orderdate AS DATE)) AS BIGINT)
+               * 86400 AS ts
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), sym AS MATERIALIZED (
+      SELECT s, d, ts FROM e UNION SELECT d, s, ts FROM e
+    ), a0(node, arrival) AS (VALUES ('c1', CAST(0 AS BIGINT))),
+    a1 AS MATERIALIZED (
+      SELECT node, MIN(arrival) AS arrival FROM (
+        SELECT node, arrival FROM a0
+        UNION ALL
+        SELECT sym.d, sym.ts FROM a0
+        JOIN sym ON sym.s = a0.node AND sym.ts >= a0.arrival
+      ) GROUP BY node
+    ), a2 AS MATERIALIZED (
+      SELECT node, MIN(arrival) AS arrival FROM (
+        SELECT node, arrival FROM a1
+        UNION ALL
+        SELECT sym.d, sym.ts FROM a1
+        JOIN sym ON sym.s = a1.node AND sym.ts >= a1.arrival
+      ) GROUP BY node
+    ), a3 AS MATERIALIZED (
+      SELECT node, MIN(arrival) AS arrival FROM (
+        SELECT node, arrival FROM a2
+        UNION ALL
+        SELECT sym.d, sym.ts FROM a2
+        JOIN sym ON sym.s = a2.node AND sym.ts >= a2.arrival
+      ) GROUP BY node
+    )
+    SELECT node, arrival FROM a3 ORDER BY arrival, node
+    """,
+    "Time-respecting reachability / taint spread (operators/graph.py::"
+    "temporal_reachability): earliest arrival at each node along paths "
+    "whose edge timestamps never decrease — 'what could data from X "
+    "at t0 have reached, and when' — 3 Bellman-Ford relaxations over "
+    "the day-stamped trade graph seeded at customer 1. Min-arrival "
+    "per node is lossless state (earlier arrival enables a superset "
+    "of onward edges), keeping state O(nodes) not O(paths); the "
+    "oracle unrolls the identical relaxation as a MATERIALIZED CTE "
+    "chain. Day epochs via unix_date*86400 on both engines — "
+    "timezone-free",
+)
+def q294(spark, sf_dir):
+    from kubenetmon_spark.operators.graph import temporal_reachability
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    e = (
+        o.join(l, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "s"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "d"
+            ),
+            (F.unix_date(F.col("o_orderdate").cast("date")) * 86400)
+            .cast("long")
+            .alias("ts"),
+        )
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(
+            F.col("d").alias("s"), F.col("s").alias("d"), F.col("ts")
+        )
+    ).distinct()
+    seeds = spark.createDataFrame([("c1", 0)], "node string, arrival long")
+    return (
+        temporal_reachability(sym, "s", "d", "ts", seeds, rounds=3)
+        .select("node", F.col("arrival").cast("bigint").alias("arrival"))
+        .orderBy("arrival", "node")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -212,3 +212,56 @@ def k_hop_reachability(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    ts_col: str,
+    seeds: DataFrame,
+    rounds: int,
+) -> DataFrame:
+    """Time-respecting reachability ("taint spread"): the earliest time
+    each node can be reached from the seeds along paths whose edge
+    timestamps NEVER DECREASE — data can only propagate forward in
+    time. The security read over a flow graph: "what could data
+    exfiltrated from pod X at t0 have reached, and when, at the
+    earliest".
+
+    ``seeds`` is (node, arrival). Each of ``rounds`` Bellman-Ford-style
+    relaxations joins the CURRENT min-arrival table to the edge list
+    with the time constraint ``edge.ts >= arrival(src)`` and folds
+    ``min(edge.ts)`` into the arrival table — keeping only the minimum
+    arrival per node is lossless here (an earlier arrival enables a
+    superset of onward edges), which is what keeps state O(nodes)
+    instead of O(paths). After k rounds the table holds every node
+    reachable by a time-respecting path of ≤ k hops with its exact
+    earliest arrival.
+
+    Per round: one equi-join (keyed on src) + one min-aggregation;
+    lineage cut per round; nothing collects to the driver.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_s"),
+        F.col(dst_col).alias("_d"),
+        F.col(ts_col).cast("long").alias("_t"),
+    ).distinct()
+    arr = (
+        seeds.select("node", F.col("arrival").cast("long").alias("arrival"))
+        .groupBy("node")
+        .agg(F.min("arrival").alias("arrival"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        step = (
+            arr.join(e, (arr["node"] == e["_s"]) & (e["_t"] >= arr["arrival"]))
+            .select(F.col("_d").alias("node"), F.col("_t").alias("arrival"))
+        )
+        arr = (
+            arr.unionByName(step)
+            .groupBy("node")
+            .agg(F.min("arrival").alias("arrival"))
+            .localCheckpoint(eager=True)
+        )
+    return arr

@@ -1311,3 +1311,61 @@ class TestKHopReachability:
             for r in k_hop_reachability(edges, "s", "d", seeds, 10).collect()
         }
         assert got == {"a": 0, "b": 1}
+
+
+class TestTemporalReachability:
+    def test_time_respecting_only(self, spark):
+        from kubenetmon_spark.operators.graph import temporal_reachability
+
+        # a-(t=5)->b-(t=3)->c: c unreachable (3 < 5); b-(t=9)->d reachable
+        edges = spark.createDataFrame(
+            [("a", "b", 5), ("b", "c", 3), ("b", "d", 9)],
+            "s string, d string, ts long",
+        )
+        seeds = spark.createDataFrame(
+            [("a", 0)], "node string, arrival long"
+        )
+        got = {
+            r.node: r.arrival
+            for r in temporal_reachability(
+                edges, "s", "d", "ts", seeds, 3
+            ).collect()
+        }
+        assert got == {"a": 0, "b": 5, "d": 9}
+
+    def test_earliest_arrival_wins_and_enables_more(self, spark):
+        from kubenetmon_spark.operators.graph import temporal_reachability
+
+        # two routes to b: t=10 direct, t=2 via x; early arrival at b
+        # enables the t=4 edge onward
+        edges = spark.createDataFrame(
+            [("a", "b", 10), ("a", "x", 1), ("x", "b", 2), ("b", "c", 4)],
+            "s string, d string, ts long",
+        )
+        seeds = spark.createDataFrame(
+            [("a", 0)], "node string, arrival long"
+        )
+        got = {
+            r.node: r.arrival
+            for r in temporal_reachability(
+                edges, "s", "d", "ts", seeds, 3
+            ).collect()
+        }
+        assert got == {"a": 0, "x": 1, "b": 2, "c": 4}
+
+    def test_seed_arrival_gates_first_hop(self, spark):
+        from kubenetmon_spark.operators.graph import temporal_reachability
+
+        edges = spark.createDataFrame(
+            [("a", "b", 5)], "s string, d string, ts long"
+        )
+        late_seed = spark.createDataFrame(
+            [("a", 6)], "node string, arrival long"
+        )
+        got = {
+            r.node: r.arrival
+            for r in temporal_reachability(
+                edges, "s", "d", "ts", late_seed, 2
+            ).collect()
+        }
+        assert got == {"a": 6}  # edge at t=5 predates the taint
