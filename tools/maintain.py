@@ -18,6 +18,12 @@ Usage:
   python tools/maintain.py backfill <obs_path> <table_path> \\
       --dates 2024-01-03,2024-01-04 --pods p.parquet --nodes n.parquet \\
       --prefixes cp.parquet   # late-data / fixed-labeler replay
+  python tools/maintain.py backup <table_path> <backup_dir> [--base DIR]
+  python tools/maintain.py restore <backup_dir> <dest_path>
+  python tools/maintain.py detach|attach <table_path> <YYYY-MM-DD>
+  python tools/maintain.py move-partition <src> <dst> <YYYY-MM-DD>
+  python tools/maintain.py replace-partition <dst> <src> <YYYY-MM-DD>
+  python tools/maintain.py estimate <table_path> [--min-date D] [--max-date D]
 """
 
 from __future__ import annotations
@@ -90,6 +96,42 @@ def main() -> int:
     bf.add_argument("--pods", required=True, help="pods dim parquet snapshot")
     bf.add_argument("--nodes", required=True, help="nodes dim parquet snapshot")
     bf.add_argument("--prefixes", required=True, help="cloud-prefix dim parquet")
+    bk = sub.add_parser(
+        "backup", help="BACKUP TABLE ... TO (manifest-checksummed copy)"
+    )
+    bk.add_argument("table_path")
+    bk.add_argument("backup_dir")
+    bk.add_argument(
+        "--base", default=None, help="base backup dir for an incremental"
+    )
+    rs = sub.add_parser(
+        "restore", help="RESTORE TABLE ... FROM (md5-verified)"
+    )
+    rs.add_argument("backup_dir")
+    rs.add_argument("dest_path")
+    for name, helptext in (
+        ("detach", "DETACH PARTITION into scan-invisible _detached/"),
+        ("attach", "ATTACH a detached partition back"),
+    ):
+        sp = sub.add_parser(name, help=helptext)
+        sp.add_argument("table_path")
+        sp.add_argument("partition", help="YYYY-MM-DD")
+    mv = sub.add_parser("move-partition", help="MOVE PARTITION TO TABLE")
+    mv.add_argument("src_path")
+    mv.add_argument("dst_path")
+    mv.add_argument("partition")
+    rp = sub.add_parser(
+        "replace-partition", help="REPLACE PARTITION FROM (atomic copy-swap)"
+    )
+    rp.add_argument("dst_path")
+    rp.add_argument("src_path")
+    rp.add_argument("partition")
+    es = sub.add_parser(
+        "estimate", help="pre-flight scan estimate from parquet footers"
+    )
+    es.add_argument("table_path")
+    es.add_argument("--min-date", default=None)
+    es.add_argument("--max-date", default=None)
     args = ap.parse_args()
 
     from kubenetmon_spark.session import get_spark
@@ -98,6 +140,51 @@ def main() -> int:
     if args.cmd == "retention":
         dropped = apply_retention(args.table_path, keep_days=args.keep_days)
         print(f"dropped {len(dropped)} partitions: {dropped}")
+        return 0
+    if args.cmd == "backup":
+        from kubenetmon_spark.sink import backup_table
+
+        man = backup_table(
+            args.table_path, args.backup_dir, base_backup=args.base
+        )
+        copied = sum(1 for e in man["files"] if not e.get("in_base"))
+        print(f"backed up {copied}/{man['n_files']} files to {args.backup_dir}")
+        return 0
+    if args.cmd == "restore":
+        from kubenetmon_spark.sink import restore_table
+
+        n = restore_table(args.backup_dir, args.dest_path)
+        print(f"restored {n} files to {args.dest_path}")
+        return 0
+    if args.cmd in ("detach", "attach"):
+        from kubenetmon_spark.sink import attach_partition, detach_partition
+
+        fn = detach_partition if args.cmd == "detach" else attach_partition
+        print(fn(args.table_path, args.partition))
+        return 0
+    if args.cmd == "move-partition":
+        from kubenetmon_spark.sink import move_partition
+
+        move_partition(args.src_path, args.dst_path, args.partition)
+        print(f"moved date={args.partition}: {args.src_path} -> {args.dst_path}")
+        return 0
+    if args.cmd == "replace-partition":
+        from kubenetmon_spark.sink import replace_partition
+
+        replace_partition(args.dst_path, args.src_path, args.partition)
+        print(f"replaced date={args.partition} in {args.dst_path}")
+        return 0
+    if args.cmd == "estimate":
+        from kubenetmon_spark.guards import estimate_scan
+
+        est = estimate_scan(
+            args.table_path, min_value=args.min_date, max_value=args.max_date
+        )
+        print(
+            f"{est.rows} rows, {est.bytes_on_disk} bytes in {est.n_files} "
+            f"files ({est.n_partitions_scanned}/{est.n_partitions_total} "
+            "partitions)"
+        )
         return 0
 
     spark = get_spark("maintain")
