@@ -610,3 +610,69 @@ def test_mixture_epochs_matches_spec(spark, data, mult_bp):
             if e < full or hashlib.md5(f"{i}|{e}".encode()).hexdigest()[:4] < thr:
                 want.add((i, e))
     assert got == want
+
+
+def test_k_hop_and_temporal_reachability_match_python_bfs(spark):
+    """Randomized differential: level-synchronous BFS and min-arrival
+    relaxation vs sequential Python references on random digraphs."""
+    import random
+
+    from kubenetmon_spark.operators.graph import (
+        k_hop_reachability,
+        temporal_reachability,
+    )
+
+    rng = random.Random(23)
+    for trial in range(3):
+        n = rng.randrange(6, 14)
+        nodes = [f"n{i}" for i in range(n)]
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes), rng.randrange(0, 50))
+            for _ in range(rng.randrange(5, 40))
+        ]
+        seeds = rng.sample(nodes, rng.randrange(1, 3))
+        k = rng.randrange(1, 5)
+
+        # Python BFS (min hops)
+        exp_hops = {s: 0 for s in seeds}
+        frontier = set(seeds)
+        for lvl in range(1, k + 1):
+            nxt = {
+                d for (s, d, _) in edges if s in frontier
+            } - exp_hops.keys()
+            for d in nxt:
+                exp_hops[d] = lvl
+            frontier = nxt
+            if not frontier:
+                break
+
+        # Python Bellman-Ford min-arrival (k rounds, seeds arrival 0)
+        exp_arr = {s: 0 for s in seeds}
+        for _ in range(k):
+            cur = dict(exp_arr)
+            for (s, d, t) in edges:
+                if s in cur and t >= cur[s]:
+                    if d not in exp_arr or t < exp_arr[d]:
+                        exp_arr[d] = min(exp_arr.get(d, t), t)
+            # recompute fixpoint-style against updated table next round
+
+        e_df = spark.createDataFrame(edges, "s string, d string, ts long")
+        seed_df = spark.createDataFrame(
+            [(s,) for s in seeds], "node string"
+        )
+        got_hops = {
+            r.node: r.hops
+            for r in k_hop_reachability(e_df, "s", "d", seed_df, k).collect()
+        }
+        assert got_hops == exp_hops, f"trial {trial} hops"
+
+        seed_arr = spark.createDataFrame(
+            [(s, 0) for s in seeds], "node string, arrival long"
+        )
+        got_arr = {
+            r.node: r.arrival
+            for r in temporal_reachability(
+                e_df, "s", "d", "ts", seed_arr, k
+            ).collect()
+        }
+        assert got_arr == exp_arr, f"trial {trial} arrivals"
