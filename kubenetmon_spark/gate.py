@@ -15623,6 +15623,52 @@ def q294(spark, sf_dir):
     )
 
 
+@_register(
+    "q295_anova",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CAST(((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    % 100000) + 100000) % 100000 AS HUGEINT) AS x
+      FROM events
+    ), g AS (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS ng,
+             SUM(x) AS sg, SUM(x * x) AS qg
+      FROM o GROUP BY event_type
+    ), t AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS k, SUM(ng) AS n, SUM(sg) AS s,
+             SUM((ng * qg - sg * sg) // ng) AS ssw,
+             SUM((sg * sg) // ng) AS sb
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           CAST((n * sb - s * s) // n AS VARCHAR) AS ssb,
+           CAST(ssw AS VARCHAR) AS ssw,
+           CAST((((n * sb - s * s) // n) * (n - k) * 10000)
+                // (ssw * (k - 1)) AS BIGINT) AS f_bp
+    FROM t
+    """,
+    "One-way ANOVA (ClickHouse analysisOfVariance) over per-event-type "
+    "values, engine-exact: integer group moments with floor division "
+    "only at ANOVA's two real divisions (operators/stats.py::"
+    "anova_exact — the q196/q274 integer-surrogate idiom); SSB/SSW "
+    "hashed as exact integer strings, F in basis points. All "
+    "quantities non-negative so div==floor on both engines",
+)
+def q295(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import anova_exact
+
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        F.pmod(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+            F.lit(100000),
+        ).alias("x"),
+    )
+    return anova_exact(o, "event_type", "x")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

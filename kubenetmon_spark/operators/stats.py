@@ -1238,3 +1238,53 @@ def min_sample_sizes(
         n_conv.alias("n_conversion"),
         n_cont.alias("n_continuous"),
     )
+
+
+def anova_exact(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """One-way ANOVA (ClickHouse ``analysisOfVariance`` / ``anova``) as
+    an ENGINE-EXACT integer surrogate (the q196/q274 idiom): the
+    between/within sums of squares and the F statistic are computed
+    from exact integer group moments with floor division at the two
+    places real ANOVA divides, so every engine and partitioning
+    produces identical values.
+
+        ssw_g = n_g * Q_g - S_g^2            (exact, per group)
+        SSW   = sum_g  ssw_g div n_g         (floor per group)
+        SSB   = (n * sum_g (S_g^2 div n_g) - S^2) div n
+        f_bp  = (SSB * (n - k) * 10000) div (SSW * (k - 1))
+
+    ``value_col`` must be a NON-NEGATIVE bounded long (callers pmod) so
+    n_g*Q_g stays in int64/decimal range at scale and ``div`` (truncate)
+    equals floor on both engines. The floor errors are <k units of the
+    sums — invisible at 4 decimal places of F — and deterministic,
+    which is the point: a float ANOVA hashes differently per
+    partitioning; this one never does.
+
+    One aggregation to k group-moment rows, then scalar algebra over
+    those k rows — fact data is touched exactly once.
+    """
+    x = F.col(value_col).cast("decimal(38,0)")
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(x).alias("_s"),
+        F.sum(x * x).alias("_q"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+        F.sum("_n").alias("n"),
+        F.sum("_s").alias("s"),
+        F.sum(F.expr("(_n * _q - _s * _s) div _n")).alias("ssw"),
+        F.sum(F.expr("(_s * _s) div _n")).alias("_sb"),
+    )
+    return tot.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("(n * _sb - s * s) div n").cast("string").alias("ssb"),
+        F.col("ssw").cast("string").alias("ssw"),
+        F.expr(
+            "(((n * _sb - s * s) div n) * (n - k) * 10000)"
+            " div (ssw * (k - 1))"
+        )
+        .cast("bigint")
+        .alias("f_bp"),
+    )

@@ -1369,3 +1369,52 @@ class TestTemporalReachability:
             ).collect()
         }
         assert got == {"a": 6}  # edge at t=5 predates the taint
+
+
+class TestAnovaExact:
+    @staticmethod
+    def _spec(groups):
+        """Python reference of the integer surrogate."""
+        mom = [(len(v), sum(v), sum(x * x for x in v)) for v in groups]
+        k = len(mom)
+        n = sum(m[0] for m in mom)
+        s = sum(m[1] for m in mom)
+        ssw = sum((ng * qg - sg * sg) // ng for ng, sg, qg in mom)
+        sb = sum((sg * sg) // ng for ng, sg, _ in mom)
+        ssb = (n * sb - s * s) // n
+        f_bp = (ssb * (n - k) * 10000) // (ssw * (k - 1))
+        return k, n, str(ssb), str(ssw), f_bp
+
+    def test_matches_python_reference_and_float_anova(self, spark):
+        import random
+
+        from kubenetmon_spark.operators.stats import anova_exact
+
+        rng = random.Random(5)
+        groups = {
+            g: [rng.randrange(0, 1000) + off
+                for _ in range(rng.randrange(20, 60))]
+            for g, off in [("a", 0), ("b", 300), ("c", 900)]
+        }
+        rows = [(g, x) for g, vs in groups.items() for x in vs]
+        df = spark.createDataFrame(rows, "g string, x long")
+        r = anova_exact(df, "g", "x").collect()[0]
+        k, n, ssb, ssw, f_bp = self._spec(list(groups.values()))
+        assert (r.k, r.n, r.ssb, r.ssw, r.f_bp) == (k, n, ssb, ssw, f_bp)
+        # the integer surrogate tracks the real float F closely
+        means = {g: sum(v) / len(v) for g, v in groups.items()}
+        gm = sum(sum(v) for v in groups.values()) / n
+        ssb_f = sum(len(v) * (means[g] - gm) ** 2 for g, v in groups.items())
+        ssw_f = sum(
+            (x - means[g]) ** 2 for g, v in groups.items() for x in v
+        )
+        f_float = (ssb_f / (k - 1)) / (ssw_f / (n - k))
+        assert abs(r.f_bp / 10000 - f_float) / f_float < 1e-3
+
+    def test_identical_groups_give_zero_f(self, spark):
+        from kubenetmon_spark.operators.stats import anova_exact
+
+        rows = [(g, x) for g in ("a", "b") for x in (10, 20, 30)]
+        df = spark.createDataFrame(rows, "g string, x long")
+        r = anova_exact(df, "g", "x").collect()[0]
+        assert r.f_bp == 0 and r.ssb == "0"
