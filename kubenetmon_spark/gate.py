@@ -15669,6 +15669,71 @@ def q295(spark, sf_dir):
     return anova_exact(o, "event_type", "x")
 
 
+@_register(
+    "q296_bounding_ratio",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+             event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT f.event_type,
+           CAST(l.y - f.y AS VARCHAR) AS dy,
+           CAST(l.t - f.t AS BIGINT) AS dt,
+           CAST(((l.y - f.y) * 10000) // NULLIF(l.t - f.t, 0) AS BIGINT)
+             AS slope_bp
+    FROM o f JOIN o l ON f.event_type = l.event_type
+    WHERE f.rn_a = 1 AND l.rn_d = 1
+    ORDER BY f.event_type
+    """,
+    "ClickHouse boundingRatio: slope between the chronologically first "
+    "and last point of each series, exact integers — dy hashed as an "
+    "integer string (signed), slope in basis points via integral "
+    "division (Spark div and DuckDB // BOTH truncate toward zero, so "
+    "negative slopes agree; it's Python's floor // that differs). "
+    "(ts, event_id) tiebreak makes first/last deterministic. Spark "
+    "computes both endpoints in ONE aggregation via min_by/max_by over "
+    "the (t, event_id) struct — no window, no self-join",
+)
+def q296(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        F.col("ts").cast("long").alias("t"),
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    key = F.struct(F.col("t"), F.col("event_id"))
+    g = o.groupBy("event_type").agg(
+        F.min_by(F.struct("y", "t"), key).alias("_f"),
+        F.max_by(F.struct("y", "t"), key).alias("_l"),
+    )
+    return (
+        g.select(
+            "event_type",
+            (F.col("_l.y") - F.col("_f.y")).alias("_dy"),
+            (F.col("_l.t") - F.col("_f.t")).cast("bigint").alias("dt"),
+        )
+        .select(
+            "event_type",
+            F.col("_dy").cast("string").alias("dy"),
+            "dt",
+            F.expr("(_dy * 10000) div nullif(dt, 0)")
+            .cast("bigint")
+            .alias("slope_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
