@@ -15734,6 +15734,126 @@ def q296(spark, sf_dir):
     )
 
 
+@_register(
+    "q297_skip_index_scan",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS value_e2
+    FROM events
+    WHERE user_id = 7
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "ClickHouse data-skipping indexes (MergeTree INDEX ... TYPE minmax/"
+    "set(N)/bloom_filter) re-expressed with the parquet FILE as granule "
+    "(operators/skipindex.py): the gate rewrites events into 16 "
+    "range-clustered files, builds all three index kinds on user_id, "
+    "and answers a needle point-lookup through read_indexed — the gate "
+    "body asserts the indexed scan opened STRICTLY fewer files than the "
+    "table has, and the oracle proves pruning never changed the answer "
+    "(an index may only prove absence). Build is one distributed scan; "
+    "probe collects qualifying file names only — the ClickHouse "
+    "part-list memory shape",
+)
+def q297(spark, sf_dir):
+    import tempfile
+
+    from kubenetmon_spark.operators.skipindex import (
+        IndexSpec,
+        build_skip_index,
+        read_indexed,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="gate_skipidx_")
+    tbl, idx = tmp + "/events", tmp + "/idx"
+    ev = _t(spark, sf_dir, "events")
+    ev.repartitionByRange(16, "user_id").write.parquet(tbl)
+    build_skip_index(
+        spark,
+        tbl,
+        [
+            IndexSpec("user_id", "minmax"),
+            IndexSpec("user_id", "bloom", bits=4096, hashes=3),
+            IndexSpec("user_id", "set", max_values=64),
+        ],
+        idx,
+    )
+    df = read_indexed(spark, tbl, idx, [("user_id", "eq", 7)])
+    n_total = len(spark.read.parquet(tbl).inputFiles())
+    n_kept = len(df.inputFiles())
+    if not n_kept < n_total:
+        raise AssertionError(
+            f"skip index pruned nothing ({n_kept}/{n_total} files)"
+        )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.col("value").cast(DEC2) * 100))
+            .cast("bigint")
+            .alias("value_e2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "q298_token_search_indexed",
+    """
+    SELECT doc_id, lang,
+           CAST(len(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), t -> t = 'dup')) AS BIGINT) AS n_hits
+    FROM documents
+    WHERE list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                        'dup')
+      AND list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                        'vector')
+    ORDER BY doc_id
+    """,
+    "ClickHouse tokenbf_v1 skip index + hasToken: a two-token AND "
+    "search over documents.text served through a per-file token bloom "
+    "filter (operators/skipindex.py) — all grams of both tokens must "
+    "be present for a file to survive pruning, then the REAL "
+    "tokenized predicate re-evaluates on the kept files so bloom "
+    "false positives never escape. Token alphabet [a-z0-9] matches "
+    "ClickHouse's tokenbf tokenizer on lowered text",
+)
+def q298(spark, sf_dir):
+    import tempfile
+
+    from kubenetmon_spark.operators.skipindex import (
+        IndexSpec,
+        build_skip_index,
+        read_indexed,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="gate_tokenbf_")
+    tbl, idx = tmp + "/documents", tmp + "/idx"
+    docs = _t(spark, sf_dir, "documents")
+    docs.repartition(8, "doc_id").write.parquet(tbl)
+    build_skip_index(
+        spark, tbl, [IndexSpec("text", "tokenbf", bits=16384, hashes=3)], idx
+    )
+    df = read_indexed(
+        spark,
+        tbl,
+        idx,
+        [("text", "has_token", "dup"), ("text", "has_token", "vector")],
+    )
+    toks = F.split(F.lower("text"), "[^a-z0-9]+")
+    return (
+        df.select(
+            "doc_id",
+            "lang",
+            F.size(F.filter(toks, lambda t: t == F.lit("dup")))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

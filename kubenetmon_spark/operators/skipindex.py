@@ -1,0 +1,470 @@
+"""ClickHouse-style data-skipping indexes with the parquet FILE as granule.
+
+ClickHouse MergeTree tables carry secondary "skip indexes" — ``minmax``,
+``set(N)``, ``bloom_filter``, ``tokenbf_v1``, ``ngrambf_v1`` — small
+per-granule summaries consulted before reading, so a needle-in-haystack
+predicate on a non-sort-key column skips most of the table (the reference
+deployment's flow table leans on the ORDER BY key for pruning and on these
+indexes for everything else; reference migrations/0001_network_flows_0.sql
+defines the ORDER BY clustering this complements).
+
+Spark's natural skip unit is the parquet file: a scan over an explicit
+file list never opens the skipped files, and row-group stats inside the
+kept files still apply via normal parquet filter pushdown.  So the Spark
+translation is:
+
+1. **Build** (``build_skip_index``): one distributed pass per index over
+   the table keyed by ``input_file_name()`` → a tiny parquet index table
+   (one row per data file) under ``index_dir/<column>__<kind>/``, plus a
+   ``_spec.json`` sidecar recording the parameters and the column's exact
+   Spark dtype (hash inputs are type-tagged — query literals must be cast
+   back to the stored dtype or bloom probes would miss).
+2. **Prune** (``candidate_files``): evaluate the predicate against the
+   index table *distributed*, collect only the QUALIFYING file names
+   (same memory shape as ClickHouse's in-memory part list — file paths,
+   never payloads).
+3. **Read** (``read_indexed``): intersect candidates across conditions,
+   FAIL OPEN for files the index has never seen (data appended after the
+   build is always read — an index can only prove absence for files it
+   summarized), then scan the kept files with the real predicate applied
+   on top.  The index is an optimization, never a correctness input: the
+   final filter is always evaluated, so false positives cost I/O only and
+   false negatives cannot exist by construction.
+
+Index payloads are bounded by design (the r02-advice bounded-fold rule):
+
+- ``minmax``: min/max/counts per file — O(1) per file.
+- ``set``: distinct values per file, but collected ONLY for files whose
+  distinct count (computed first) is ≤ ``max_values``; overflowing files
+  store NULL (= cannot prune), so no unbounded collect ever runs.
+- ``bloom`` / ``tokenbf`` / ``ngrambf``: an m-bit bloom filter stored as
+  ≤ m/64 (word, bits) pairs; the build aggregates bit positions with
+  ``bit_or`` so per-group state is at most the filter size.
+
+All build/prune expressions are JVM built-ins (xxhash64 / pmod / bit_or /
+shiftleft) — zero Python on the data path; the only Python is the
+driver-side file-list bookkeeping ClickHouse also does.
+
+At 100 TB: the build is one scan (runs inside compaction, like the
+reference's part merges); the index is ~files × (bits/8) bytes — 1 M
+files × 1 KiB = 1 GiB of index scanned distributed, with only matching
+path strings collected.  ``read_indexed`` refuses to enumerate when
+pruning wouldn't pay (``min_prune_ratio``), falling back to a plain
+directory scan so the file-list plumbing never costs more than it saves.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import asdict, dataclass
+from pathlib import Path
+from urllib.parse import unquote
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_KINDS = ("minmax", "set", "bloom", "tokenbf", "ngrambf")
+_TOKEN_RE = "[^a-z0-9]+"
+
+
+@dataclass(frozen=True)
+class IndexSpec:
+    """Declaration of one skip index (ClickHouse ``INDEX ... TYPE ...``)."""
+
+    column: str
+    kind: str
+    bits: int = 8192       # bloom filter size in bits (bloom/tokenbf/ngrambf)
+    hashes: int = 3        # bloom hash count k
+    max_values: int = 128  # set(N) cap
+    ngram: int = 3         # ngrambf gram length
+
+    def __post_init__(self) -> None:
+        if self.kind not in _KINDS:
+            raise ValueError(f"unknown index kind {self.kind!r}")
+        if self.bits % 64 != 0 or self.bits <= 0:
+            raise ValueError("bits must be a positive multiple of 64")
+        if not 1 <= self.hashes <= 16:
+            raise ValueError("hashes must be in 1..16")
+        if self.ngram < 2:
+            raise ValueError("ngram must be >= 2")
+
+    @property
+    def name(self) -> str:
+        return f"{self.column}__{self.kind}"
+
+
+def _rel_file_col(table_dir: str) -> Column:
+    """``input_file_name()`` decoded and made relative to ``table_dir``.
+
+    input_file_name() returns a URL-encoded URI; decode it (protecting
+    literal '+', which form-decoding would turn into a space) before
+    stripping the escaped base path — the export.py manifest idiom.
+    """
+    decoded = F.url_decode(F.regexp_replace(F.input_file_name(), "[+]", "%2B"))
+    return F.regexp_replace(
+        decoded, ".*" + re.escape(table_dir.rstrip("/") + "/"), ""
+    ).alias("file")
+
+
+def _rel_path(uri: str, table_dir: str) -> str:
+    """Normalize an ``inputFiles()`` URI to the same relative form."""
+    p = unquote(uri.replace("+", "%2B"))
+    if p.startswith("file:"):
+        p = re.sub("^file:/+", "/", p)
+    base = table_dir.rstrip("/") + "/"
+    idx = p.find(base)
+    return p[idx + len(base):] if idx >= 0 else p
+
+
+def _positions(col: Column, spec: IndexSpec) -> Column:
+    """The k bloom bit positions of a value — array<int> of pmod'd hashes."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(spec.bits)).cast("int")
+            for i in range(spec.hashes)
+        ]
+    )
+
+
+def _terms(df: DataFrame, file_col: Column, spec: IndexSpec) -> DataFrame:
+    """(file, term) rows to be bloom-hashed, per the index kind."""
+    c = F.col(spec.column)
+    if spec.kind == "bloom":
+        return df.select(file_col, c.alias("term")).where(c.isNotNull())
+    s = F.lower(c)
+    if spec.kind == "tokenbf":
+        toks = F.array_distinct(F.split(s, _TOKEN_RE))
+    else:  # ngrambf; sequence(1, 0) would DESCEND, so guard short strings
+        n = spec.ngram
+        toks = F.when(
+            F.length(s) >= n,
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(lower({spec.column})) - {n - 1}),"
+                    f" i -> substring(lower({spec.column}), i, {n}))"
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.where(c.isNotNull())
+        .select(file_col, F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+    )
+
+
+def _write_spec(out_dir: Path, spec: IndexSpec, dtype: str) -> None:
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "_spec.json").write_text(
+        json.dumps({**asdict(spec), "dtype": dtype})
+    )
+
+
+def build_skip_index(
+    spark: SparkSession,
+    table_dir: str,
+    specs: list[IndexSpec],
+    index_dir: str,
+) -> dict[str, int]:
+    """Build each index as a small parquet table; returns rows per index."""
+    df = spark.read.parquet(table_dir)
+    out: dict[str, int] = {}
+    for spec in specs:
+        dtype = df.schema[spec.column].dataType.simpleString()
+        dest = Path(index_dir) / spec.name
+        file_col = _rel_file_col(table_dir)
+        c = F.col(spec.column)
+        if spec.kind == "minmax":
+            idx = (
+                df.groupBy(file_col)
+                .agg(
+                    F.min(c).alias("min_v"),
+                    F.max(c).alias("max_v"),
+                    F.count(c).alias("n_vals"),
+                    F.count("*").alias("n_rows"),
+                )
+            )
+        elif spec.kind == "set":
+            # Bounded fold: count distincts FIRST, collect only small files.
+            d = df.select(file_col, c.alias("v")).where(c.isNotNull()).distinct()
+            counts = d.groupBy("file").agg(F.count("*").alias("n_distinct"))
+            small = counts.where(F.col("n_distinct") <= spec.max_values)
+            vals = (
+                d.join(F.broadcast(small.select("file")), "file")
+                .groupBy("file")
+                .agg(F.sort_array(F.collect_set("v")).alias("vals"))
+            )
+            idx = counts.join(vals, "file", "left")
+        else:  # bloom family
+            pos = (
+                _terms(df, file_col, spec)
+                .select("file", F.explode(_positions(F.col("term"), spec)).alias("p"))
+                .distinct()
+            )
+            idx = (
+                pos.selectExpr(
+                    "file",
+                    "CAST(p DIV 64 AS INT) AS w",
+                    "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) AS b",
+                )
+                .groupBy("file", "w")
+                .agg(F.expr("bit_or(b)").alias("b"))
+                .groupBy("file")
+                .agg(
+                    F.sort_array(F.collect_list(F.struct("w", "b"))).alias("words")
+                )
+            )
+        idx.coalesce(1).write.mode("overwrite").parquet(str(dest))
+        _write_spec(dest, spec, dtype)
+        out[spec.name] = spark.read.parquet(str(dest)).count()
+    return out
+
+
+def list_indexes(index_dir: str) -> dict[str, dict]:
+    """name -> spec dict (incl. stored dtype) for every built index."""
+    out: dict[str, dict] = {}
+    root = Path(index_dir)
+    if not root.is_dir():
+        return out
+    for child in sorted(root.iterdir()):
+        spec_file = child / "_spec.json"
+        if spec_file.is_file():
+            out[child.name] = json.loads(spec_file.read_text())
+    return out
+
+
+def _probe_positions(
+    spark: SparkSession, terms: list, dtype: str, spec: dict
+) -> list[list[int]]:
+    """Bloom positions of query terms, computed BY SPARK so the hash is
+    bit-identical to the build (xxhash64 is type-tagged; a Python
+    reimplementation would have to replicate Spark's byte layout)."""
+    exprs = []
+    for j, t in enumerate(terms):
+        lit = F.lit(t).cast(dtype)
+        for i in range(spec["hashes"]):
+            exprs.append(
+                F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(spec["bits"]))
+                .cast("int")
+                .alias(f"p_{j}_{i}")
+            )
+    row = spark.range(1).select(*exprs).first()
+    return [
+        [row[f"p_{j}_{i}"] for i in range(spec["hashes"])]
+        for j in range(len(terms))
+    ]
+
+
+def _bloom_candidates(
+    spark: SparkSession,
+    idx: DataFrame,
+    spec: dict,
+    term_groups: list[list],
+    dtype: str,
+) -> set[str]:
+    """Files that MAY contain, for SOME term-group, ALL its terms.
+
+    ``term_groups`` is OR-of-ANDs: eq/IN pass one group per value (each a
+    single term); token/substring search passes ONE group with all its
+    tokens/grams (all must be present).
+    """
+    entries = idx.select(
+        "file", F.explode("words").alias("e")
+    ).select("file", F.col("e.w").alias("w"), F.col("e.b").alias("b"))
+    out: set[str] = set()
+    for group in term_groups:
+        pos = _probe_positions(spark, group, dtype, spec)
+        need: dict[int, int] = {}
+        for plist in pos:
+            for p in plist:
+                w, bit = p // 64, 1 << (p % 64)
+                need[w] = need.get(w, 0) | bit
+        need_df = spark.createDataFrame(
+            [(w, _to_signed64(m)) for w, m in need.items()], "w int, need long"
+        )
+        sat = entries.join(F.broadcast(need_df), "w").where(
+            F.col("b").bitwiseAND(F.col("need")) == F.col("need")
+        )
+        rows = (
+            sat.groupBy("file")
+            .agg(F.count("*").alias("n_ok"))
+            .where(F.col("n_ok") == len(need))
+            .select("file")
+            .collect()
+        )
+        out.update(r.file for r in rows)
+    return out
+
+
+def _to_signed64(m: int) -> int:
+    return m - (1 << 64) if m >= (1 << 63) else m
+
+
+def _query_terms(op: str, value, spec: dict) -> list[list] | None:
+    """Translate (op, value) to bloom OR-of-AND term groups; None = the
+    index cannot serve this op (caller falls back to reading)."""
+    kind = spec["kind"]
+    if kind == "bloom":
+        if op == "eq":
+            return [[value]]
+        if op == "in":
+            return [[v] for v in value]
+        return None
+    if kind == "tokenbf":
+        if op not in ("has_token", "has_all_tokens", "eq"):
+            return None
+        text = value if isinstance(value, str) else " ".join(value)
+        toks = [t for t in re.split(_TOKEN_RE, text.lower()) if t]
+        return [toks] if toks else None
+    if kind == "ngrambf":
+        if op not in ("like_substr", "eq"):
+            return None
+        n = spec["ngram"]
+        s = str(value).lower()
+        if len(s) < n:
+            return None  # needle shorter than the gram — cannot prune
+        return [[s[i : i + n] for i in range(len(s) - n + 1)]]
+    return None
+
+
+def candidate_files(
+    spark: SparkSession,
+    index_dir: str,
+    name: str,
+    op: str,
+    value,
+) -> set[str] | None:
+    """Files that may satisfy ``column <op> value`` per index ``name``.
+
+    Returns ``None`` when this index cannot decide (unsupported op, or a
+    set index that overflowed everywhere) — meaning "no pruning from me".
+    A returned set is a PROOF that every other file has no matching row.
+    """
+    specs = list_indexes(index_dir)
+    if name not in specs:
+        raise KeyError(f"no index {name!r} under {index_dir}")
+    spec = specs[name]
+    idx = spark.read.parquet(str(Path(index_dir) / name))
+    dtype = spec["dtype"]
+    kind = spec["kind"]
+    if kind == "minmax":
+        if op == "in":  # union of per-value point probes (tighter than a range)
+            out: set[str] = set()
+            for v in value:
+                out |= candidate_files(spark, index_dir, name, "eq", v)
+            return out
+        if op == "eq":
+            lo = hi = F.lit(value).cast(dtype)
+        elif op == "between":
+            lo, hi = F.lit(value[0]).cast(dtype), F.lit(value[1]).cast(dtype)
+        else:
+            return None
+        rows = idx.where(
+            (hi >= F.col("min_v")) & (lo <= F.col("max_v"))
+        ).select("file").collect()
+        return {r.file for r in rows}
+    if kind == "set":
+        if op == "eq":
+            vals = [value]
+        elif op == "in":
+            vals = list(value)
+        else:
+            return None
+        cond = F.col("vals").isNull()  # overflowed file: cannot exclude
+        for v in vals:
+            cond = cond | F.array_contains(F.col("vals"), F.lit(v).cast(dtype))
+        rows = idx.where(cond).select("file").collect()
+        return {r.file for r in rows}
+    groups = _query_terms(op, value, spec)
+    if groups is None:
+        return None
+    if not groups or any(len(g) == 0 for g in groups):
+        return None
+    return _bloom_candidates(spark, idx, spec, groups, dtype)
+
+
+def _spark_predicate(column: str, op: str, value) -> Column:
+    """The REAL predicate — always applied after pruning."""
+    c = F.col(column)
+    if op == "eq":
+        return c == F.lit(value)
+    if op == "in":
+        return c.isin(list(value))
+    if op == "between":
+        return c.between(F.lit(value[0]), F.lit(value[1]))
+    if op in ("has_token", "has_all_tokens"):
+        toks = [t for t in re.split(_TOKEN_RE, str(value).lower()) if t]
+        cond = F.lit(True)
+        for t in toks:
+            cond = cond & F.array_contains(
+                F.split(F.lower(c), _TOKEN_RE), F.lit(t)
+            )
+        return cond
+    if op == "like_substr":
+        return F.lower(c).contains(str(value).lower())
+    raise ValueError(f"unsupported op {op!r}")
+
+
+def read_indexed(
+    spark: SparkSession,
+    table_dir: str,
+    index_dir: str,
+    conditions: list[tuple[str, str, object]],
+    min_prune_ratio: float = 0.0,
+    apply_filter: bool = True,
+) -> DataFrame:
+    """Scan ``table_dir`` with skip-index file pruning for ``conditions``.
+
+    ``conditions`` — [(column, op, value)] ANDed together; every condition
+    that has a usable index contributes an intersection of candidates.
+    Files unknown to SOME used index are kept (fail-open: appended-after-
+    build data is always read).  If pruning would drop less than
+    ``min_prune_ratio`` of the files, the plain directory scan is used —
+    the explicit file list has driver-side cost, so don't pay it for
+    nothing.  The real predicate is always applied (``apply_filter``),
+    so index false positives never reach the caller.
+    """
+    full = spark.read.parquet(table_dir)
+    pred = None
+    if apply_filter:
+        for column, op, value in conditions:
+            p = _spark_predicate(column, op, value)
+            pred = p if pred is None else (pred & p)
+
+    specs = list_indexes(index_dir)
+    by_col: dict[str, list[str]] = {}
+    for name, s in specs.items():
+        by_col.setdefault(s["column"], []).append(name)
+
+    keep: set[str] | None = None  # None = no index applied yet
+    known: set[str] = set()
+    for column, op, value in conditions:
+        for name in by_col.get(column, ()):
+            cand = candidate_files(spark, index_dir, name, op, value)
+            if cand is None:
+                continue
+            idx_files = {
+                r.file
+                for r in spark.read.parquet(str(Path(index_dir) / name))
+                .select("file")
+                .collect()
+            }
+            known |= idx_files
+            keep = cand if keep is None else (keep & cand)
+
+    if keep is None:
+        return full.where(pred) if pred is not None else full
+
+    actual = {_rel_path(u, table_dir): u for u in full.inputFiles()}
+    kept_abs = [
+        uri
+        for rel, uri in actual.items()
+        if rel in keep or rel not in known  # fail open for unindexed files
+    ]
+    if len(actual) == 0 or 1 - len(kept_abs) / len(actual) < min_prune_ratio:
+        return full.where(pred) if pred is not None else full
+    if not kept_abs:
+        empty = full.where(F.lit(False))
+        return empty.where(pred) if pred is not None else empty
+    df = spark.read.option("basePath", table_dir).parquet(*kept_abs)
+    return df.where(pred) if pred is not None else df
