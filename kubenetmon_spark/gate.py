@@ -15854,6 +15854,178 @@ def q298(spark, sf_dir):
     )
 
 
+@_register(
+    "q299_time_decayed_count_avg",
+    """
+    WITH o AS (
+      SELECT user_id,
+             ((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 100000)
+              + 100000) % 100000 AS x,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t, event_id
+      FROM events
+    ), d AS (
+      SELECT user_id, t, event_id, x,
+             LEAST(COALESCE(
+               (t - LAG(t) OVER (PARTITION BY user_id
+                                 ORDER BY t, event_id)) // 3600, 0), 63)
+               AS dd
+      FROM o
+    ), p AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             list(x * 64 + dd ORDER BY t, event_id) AS ls,
+             list(1 * 64 + dd ORDER BY t, event_id) AS lc
+      FROM d GROUP BY user_id
+    ), r AS (
+      SELECT user_id, n,
+             CAST(list_reduce(
+               lc, (a, b) -> (((a // 64) >> (b % 64)) + b // 64) * 64
+             ) // 64 AS BIGINT) AS decayed_count,
+             CAST(list_reduce(
+               ls, (a, b) -> (((a // 64) >> (b % 64)) + b // 64) * 64
+             ) // 64 AS BIGINT) AS decayed_sum
+      FROM p
+    )
+    SELECT user_id, n, decayed_count, decayed_sum,
+           CAST((decayed_sum * 10000) // NULLIF(decayed_count, 0) AS BIGINT)
+             AS decayed_avg_bp
+    FROM r ORDER BY user_id
+    """,
+    "ClickHouse exponentialTimeDecayedCount + exponentialTimeDecayedAvg "
+    "(operators/timeseries.py::time_decayed_count_avg), completing the "
+    "q291/q292 family: the count fold is the q291 sum fold with every "
+    "event weighing 1, the avg is their basis-point ratio under "
+    "truncating integral division — both folds over ONE sorted "
+    "per-group array in ONE aggregation, integer shifts end-to-end",
+)
+def q299(spark, sf_dir):
+    from kubenetmon_spark.operators.timeseries import time_decayed_count_avg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.pmod(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long"), F.lit(100000)
+        ).alias("x"),
+    )
+    return time_decayed_count_avg(
+        ev, ["user_id"], "ts", "event_id", "x", tau_s=3600
+    )
+
+
+@_register(
+    "q300_geo_distance",
+    """
+    WITH pts AS (
+      SELECT c_nationkey,
+             (c_custkey % 17000) / 100.0 - 85.0 AS lat,
+             ((c_custkey * 7) % 36000) / 100.0 - 180.0 AS lon
+      FROM customer
+    ), d AS (
+      SELECT c_nationkey,
+             2 * 6371008.8 * asin(LEAST(sqrt(
+               sin((radians(52.52) - radians(lat)) / 2)
+                 * sin((radians(52.52) - radians(lat)) / 2)
+               + cos(radians(lat)) * cos(radians(52.52))
+                 * sin((radians(13.405) - radians(lon)) / 2)
+                 * sin((radians(13.405) - radians(lon)) / 2)
+             ), 1.0)) AS dist
+      FROM pts
+    )
+    SELECT c_nationkey, COUNT(*) AS n,
+           CAST(ROUND(MIN(dist)) AS BIGINT) AS min_m,
+           CAST(ROUND(MAX(dist)) AS BIGINT) AS max_m
+    FROM d GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "ClickHouse greatCircleDistance (operators/geo.py::"
+    "great_circle_distance_m): haversine meters on the IUGG mean "
+    "sphere, customer points (key-derived deterministic coords) to a "
+    "fixed reference — MIN/MAX per nation because they are order-"
+    "independent under double arithmetic (a SUM of doubles is not), "
+    "rounded to whole meters; squaring by multiplication, not pow "
+    "(libm pow(x,2) is not guaranteed the exact product). Pure "
+    "codegen projection, no UDF, no shuffle beyond the group agg",
+)
+def q300(spark, sf_dir):
+    from kubenetmon_spark.operators.geo import great_circle_distance_m
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        ((F.col("c_custkey") % 17000) / 100.0 - 85.0).alias("lat"),
+        (((F.col("c_custkey") * 7) % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    d = c.withColumn(
+        "dist",
+        great_circle_distance_m(
+            "lat", "lon", F.lit(52.52), F.lit(13.405)
+        ),
+    )
+    return (
+        d.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("dist")).cast("bigint").alias("min_m"),
+            F.round(F.max("dist")).cast("bigint").alias("max_m"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@_register(
+    "q301_average_precision",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 500
+               AS score,
+             CASE WHEN (user_id + event_id) % 3 = 0 THEN 1 ELSE 0 END
+               AS label
+      FROM events
+    ), b AS (
+      SELECT event_type, score,
+             SUM(label) AS dtp, COUNT(*) AS nn
+      FROM o GROUP BY event_type, score
+    ), c AS (
+      SELECT event_type, dtp,
+             SUM(dtp) OVER (PARTITION BY event_type ORDER BY score DESC)
+               AS tp,
+             SUM(nn) OVER (PARTITION BY event_type ORDER BY score DESC)
+               AS cum
+      FROM b
+    ), a AS (
+      SELECT event_type, SUM(dtp) AS n_pos,
+             SUM(dtp * ((tp * 1000000) // cum)) AS num
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(num // NULLIF(n_pos, 0) AS BIGINT) AS ap_ppm
+    FROM a ORDER BY event_type
+    """,
+    "exact average precision / area under the precision-recall curve "
+    "(ClickHouse arrayAUCPR, the PR twin of q180's ROC AUC) — "
+    "operators/stats.py::average_precision_exact: thresholds sweep "
+    "distinct scores descending, each precision floors to ppm before "
+    "the outer sum, recall normalization floors once at the end — all "
+    "int64, so both engines agree bit-for-bit; raw rows shuffle once "
+    "(map-side pre-agg to score blocks), the window runs over the "
+    "small distinct-score table",
+)
+def q301(spark, sf_dir):
+    from kubenetmon_spark.operators.stats import average_precision_exact
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+            % 500
+        ).alias("score"),
+        F.when((F.col("user_id") + F.col("event_id")) % 3 == 0, 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    return average_precision_exact(ev, ["event_type"], "score", "label")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

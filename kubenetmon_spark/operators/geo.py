@@ -51,3 +51,33 @@ def point_in_polygon(
         crossings.append(spans & crosses)
     # boolean XOR as != (Columns have no ^ operator; inputs never null)
     return reduce(lambda a, b: a != b, crossings)
+
+
+EARTH_RADIUS_M = 6371008.8  # IUGG mean radius, meters
+
+
+def great_circle_distance_m(
+    lat1: Column | str,
+    lon1: Column | str,
+    lat2: Column | str,
+    lon2: Column | str,
+) -> Column:
+    """ClickHouse ``greatCircleDistance`` analogue: haversine distance in
+    meters on a sphere of mean radius 6371008.8 m (ClickHouse uses its
+    own sphere constant and an ellipsoid-corrected ``geoDistance``
+    variant; the formula here is the textbook haversine, and callers
+    comparing across engines should round to whole meters — the final
+    double differs from another engine's libm by ulps at most).
+
+    Pure built-in trig (radians/sin/cos/asin/sqrt) — codegen, no UDF,
+    no shuffle: a per-row projection that composes with any scan.
+    """
+    la1, lo1 = F.radians(F.col(lat1) if isinstance(lat1, str) else lat1), \
+        F.radians(F.col(lon1) if isinstance(lon1, str) else lon1)
+    la2, lo2 = F.radians(F.col(lat2) if isinstance(lat2, str) else lat2), \
+        F.radians(F.col(lon2) if isinstance(lon2, str) else lon2)
+    sa, so = F.sin((la2 - la1) / 2), F.sin((lo2 - lo1) / 2)
+    # sa * sa, not pow(sa, 2): pow is a libm call not guaranteed to be
+    # the exact product, and the oracle squares by multiplication too
+    h = sa * sa + F.cos(la1) * F.cos(la2) * so * so
+    return F.lit(2 * EARTH_RADIUS_M) * F.asin(F.least(F.sqrt(h), F.lit(1.0)))

@@ -1288,3 +1288,62 @@ def anova_exact(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         .cast("bigint")
         .alias("f_bp"),
     )
+
+
+def average_precision_exact(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact average precision (the step-interpolated area under the
+    precision-recall curve — ClickHouse ``arrayAUCPR``, sklearn
+    ``average_precision_score``) as a grouped aggregate on integer
+    scores, in parts-per-million so every engine agrees bit-for-bit.
+
+    Thresholds sweep the DISTINCT scores descending (ties form one
+    block, the standard definition):
+
+        AP = sum_k (TP_k - TP_{k-1}) / n_pos * TP_k / (TP_k + FP_k)
+
+    Integer surrogate: each precision term floors to ppm BEFORE the
+    outer sum, then the recall normalization floors once at the end —
+    ``ap_ppm = (sum_k dTP * ((TP_k * 1e6) div N_k)) div n_pos`` — all
+    int64, truncating division in both engines (operands non-negative).
+    The surrogate is within n_distinct_scores/1e6 of the real AP.
+
+    Plan: one partial-agg shuffle to (group, score) blocks, one rank
+    window per group over the (small) distinct-score table, one hash
+    agg — the raw rows shuffle once, pre-aggregated map-side.
+    """
+    from pyspark.sql.window import Window
+
+    pos = F.col(label_col) == 1
+    blocks = (
+        df.groupBy(*group_cols, score_col)
+        .agg(
+            F.count(F.when(pos, 1)).alias("_p"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(score_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = blocks.select(
+        *group_cols,
+        F.col("_p").alias("_dtp"),
+        F.sum("_p").over(w).alias("_tp"),
+        F.sum("_n").over(w).alias("_cum"),
+    )
+    term = F.col("_dtp") * F.expr("(_tp * 1000000) div _cum")
+    agg = cum.groupBy(*group_cols).agg(
+        F.sum("_dtp").alias("n_pos"),
+        F.sum(term).alias("_num"),
+    )
+    return agg.select(
+        *group_cols,
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.expr("_num div nullif(n_pos, 0)").cast("bigint").alias("ap_ppm"),
+    ).orderBy(*group_cols)

@@ -817,3 +817,75 @@ def time_decayed_max(
     return g.select(
         *group_cols, "n", dec.cast("long").alias("decayed_max")
     ).orderBy(*group_cols)
+
+
+def time_decayed_count_avg(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    tau_s: int,
+) -> DataFrame:
+    """ClickHouse ``exponentialTimeDecayedCount`` + ``...Avg`` analogues,
+    completing the exponentialTimeDecayed* family (q291 Sum, q292 Max)
+    under the same engine-exact halving decay:
+
+        C_i = (C_{i-1} >> d_i) + 1          (Count: every event weighs 1)
+        A_i = S_i * 10000 div C_i           (Avg, in basis points)
+
+    where ``d_i = min((t_i - t_{i-1}) div tau, 63)`` and ``S`` is the
+    q291 decayed sum. "How many recent events / what's the recent mean,
+    where recency fades by half per tau elapsed" — the rate-vs-volume
+    read of the same decay.
+
+    Both folds run over ONE sorted per-group array in ONE aggregation
+    (one shuffle total, codegen ``aggregate()``, no Python); same
+    contracts as ``time_decayed_sum``: non-negative long values, shift
+    capped at 63 (Java wraps long shifts at 64, DuckDB saturates —
+    below 63 they agree).
+    """
+    o = df.select(
+        *group_cols,
+        F.col(ts_col).cast("long").alias("_t"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("_t", "_tb", "_x")))
+    g = o.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"), arr.alias("_arr")
+    )
+    tau = F.lit(int(tau_s))
+
+    def step(s, i):
+        prev_t = F.element_at(F.col("_arr"), i)["_t"]
+        delta = s["_t"] - prev_t
+        q = ((delta - F.pmod(delta, tau)) / tau).cast("long")
+        d = F.when(i == 0, F.lit(0)).otherwise(F.least(q, F.lit(63)))
+        return F.struct(d.alias("d"), s["_x"].alias("x"))
+
+    steps = F.transform(F.col("_arr"), step)
+    tail = F.slice(steps, 2, F.size(steps) - 1)
+    dsum = F.aggregate(
+        tail,
+        F.element_at(steps, 1)["x"],
+        lambda acc, e: F.call_function("shiftright", acc, e["d"]) + e["x"],
+    )
+    dcount = F.aggregate(
+        tail,
+        F.lit(1).cast("long"),
+        lambda acc, e: F.call_function("shiftright", acc, e["d"]) + F.lit(1),
+    )
+    return (
+        g.select(
+            *group_cols,
+            "n",
+            dcount.cast("long").alias("decayed_count"),
+            dsum.cast("long").alias("decayed_sum"),
+        )
+        .withColumn(
+            "decayed_avg_bp",
+            F.expr("(decayed_sum * 10000) div nullif(decayed_count, 0)"),
+        )
+        .orderBy(*group_cols)
+    )

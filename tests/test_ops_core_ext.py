@@ -1418,3 +1418,174 @@ class TestAnovaExact:
         df = spark.createDataFrame(rows, "g string, x long")
         r = anova_exact(df, "g", "x").collect()[0]
         assert r.f_bp == 0 and r.ssb == "0"
+
+
+class TestTimeDecayedCountAvg:
+    @staticmethod
+    def _spec(rows, tau):
+        """rows: [(t, tb, x)] -> (count, sum, avg_bp) under halving decay."""
+        rows = sorted(rows)
+        s, c = rows[0][2], 1
+        for (pt, _, _), (t, _, x) in zip(rows, rows[1:]):
+            d = min((t - pt) // tau, 63)
+            s = (s >> d) + x
+            c = (c >> d) + 1
+        return c, s, (s * 10000) // c
+
+    def test_count_and_avg(self, spark):
+        from kubenetmon_spark.operators.timeseries import time_decayed_count_avg
+
+        rows = [("a", 0, 0, 100), ("a", 3600, 1, 7), ("a", 3600, 2, 3),
+                ("a", 1_000_000, 3, 50)]
+        df = spark.createDataFrame(rows, "g string, t long, tb long, x long")
+        r = time_decayed_count_avg(df, ["g"], "t", "tb", "x", 3600).collect()[0]
+        # counts: 1 -> >>1 +1 = 1 -> +1 = 2 -> >>63 +1 = 1; sum ends 50
+        assert (r.n, r.decayed_count, r.decayed_sum) == (4, 1, 50)
+        assert r.decayed_avg_bp == 500000
+
+    def test_python_spec_differential(self, spark):
+        import random
+
+        from kubenetmon_spark.operators.timeseries import time_decayed_count_avg
+
+        rng = random.Random(13)
+        data, expect = [], {}
+        for k in range(6):
+            g, t, rows = f"s{k}", 0, []
+            for i in range(rng.randrange(1, 40)):
+                t += rng.randrange(0, 20000)
+                rows.append((t, i, rng.randrange(0, 100000)))
+            expect[g] = self._spec(rows, 3600)
+            data += [(g, *r) for r in rows]
+        df = spark.createDataFrame(data, "g string, t long, tb long, x long")
+        got = {
+            r.g: (r.decayed_count, r.decayed_sum, r.decayed_avg_bp)
+            for r in time_decayed_count_avg(
+                df, ["g"], "t", "tb", "x", 3600
+            ).collect()
+        }
+        assert got == expect
+
+    def test_single_row_and_empty(self, spark):
+        from kubenetmon_spark.operators.timeseries import time_decayed_count_avg
+
+        one = spark.createDataFrame(
+            [("a", 5, 0, 42)], "g string, t long, tb long, x long"
+        )
+        r = time_decayed_count_avg(one, ["g"], "t", "tb", "x", 60).collect()[0]
+        assert (r.n, r.decayed_count, r.decayed_sum, r.decayed_avg_bp) == (
+            1, 1, 42, 420000,
+        )
+        empty = spark.createDataFrame([], "g string, t long, tb long, x long")
+        assert time_decayed_count_avg(empty, ["g"], "t", "tb", "x", 60).count() == 0
+
+
+class TestGreatCircleDistance:
+    def test_known_distances(self, spark):
+        from kubenetmon_spark.operators.geo import great_circle_distance_m
+
+        # Berlin -> Paris ~878 km; same point -> 0; pole-to-pole clamp
+        df = spark.createDataFrame(
+            [(52.52, 13.405, 48.8566, 2.3522),
+             (10.0, 20.0, 10.0, 20.0),
+             (90.0, 0.0, -90.0, 0.0)],
+            "lat1 double, lon1 double, lat2 double, lon2 double",
+        )
+        r = [
+            row.d
+            for row in df.select(
+                great_circle_distance_m("lat1", "lon1", "lat2", "lon2").alias("d")
+            ).collect()
+        ]
+        assert abs(r[0] - 878_000) < 3_000
+        assert r[1] == 0.0
+        import math
+
+        assert abs(r[2] - math.pi * 6371008.8) < 1.0  # half circumference
+
+    def test_symmetry(self, spark):
+        from kubenetmon_spark.operators.geo import great_circle_distance_m
+
+        df = spark.createDataFrame(
+            [(1.5, -30.0, -60.25, 101.75)],
+            "lat1 double, lon1 double, lat2 double, lon2 double",
+        )
+        a = df.select(
+            great_circle_distance_m("lat1", "lon1", "lat2", "lon2").alias("d")
+        ).collect()[0].d
+        b = df.select(
+            great_circle_distance_m("lat2", "lon2", "lat1", "lon1").alias("d")
+        ).collect()[0].d
+        assert a == b > 0
+
+
+class TestAveragePrecisionExact:
+    @staticmethod
+    def _spec(pairs):
+        """pairs: [(score, label)] -> (n_pos, ap_ppm) per the ppm-floor
+        step definition (ties = one threshold block, scores desc)."""
+        from collections import defaultdict
+
+        blocks = defaultdict(lambda: [0, 0])
+        for s, l in pairs:
+            blocks[s][0] += l
+            blocks[s][1] += 1
+        tp = cum = num = 0
+        for s in sorted(blocks, reverse=True):
+            dtp, n = blocks[s]
+            tp += dtp
+            cum += n
+            num += dtp * ((tp * 1_000_000) // cum)
+        n_pos = tp
+        return n_pos, (num // n_pos) if n_pos else None
+
+    def test_perfect_and_worst_ranking(self, spark):
+        from kubenetmon_spark.operators.stats import average_precision_exact
+
+        perfect = [("g", 10, 1), ("g", 9, 1), ("g", 2, 0), ("g", 1, 0)]
+        worst = [("g", 10, 0), ("g", 9, 0), ("g", 2, 1), ("g", 1, 1)]
+        for rows, expect_ap in ((perfect, 1_000_000), (worst, 416_666)):
+            df = spark.createDataFrame(rows, "g string, score long, label int")
+            r = average_precision_exact(df, ["g"], "score", "label").collect()[0]
+            assert (r.n_pos, r.ap_ppm) == (2, expect_ap)
+            assert self._spec([(s, l) for _, s, l in rows]) == (2, expect_ap)
+
+    def test_tie_block_single_threshold(self, spark):
+        from kubenetmon_spark.operators.stats import average_precision_exact
+
+        # all scores equal -> one block: AP = prevalence
+        rows = [("g", 5, 1), ("g", 5, 0), ("g", 5, 0), ("g", 5, 1)]
+        df = spark.createDataFrame(rows, "g string, score long, label int")
+        r = average_precision_exact(df, ["g"], "score", "label").collect()[0]
+        assert (r.n_pos, r.ap_ppm) == (2, 500_000)
+
+    def test_python_spec_differential(self, spark):
+        import random
+
+        from kubenetmon_spark.operators.stats import average_precision_exact
+
+        rng = random.Random(17)
+        data, expect = [], {}
+        for k in range(5):
+            g = f"g{k}"
+            pairs = [
+                (rng.randrange(-20, 20), rng.randrange(0, 2))
+                for _ in range(rng.randrange(3, 60))
+            ]
+            expect[g] = self._spec(pairs)
+            data += [(g, s, l) for s, l in pairs]
+        df = spark.createDataFrame(data, "g string, score long, label int")
+        got = {
+            r.g: (r.n_pos, r.ap_ppm)
+            for r in average_precision_exact(df, ["g"], "score", "label").collect()
+        }
+        assert got == expect
+
+    def test_no_positives_null(self, spark):
+        from kubenetmon_spark.operators.stats import average_precision_exact
+
+        df = spark.createDataFrame(
+            [("g", 3, 0), ("g", 1, 0)], "g string, score long, label int"
+        )
+        r = average_precision_exact(df, ["g"], "score", "label").collect()[0]
+        assert (r.n_pos, r.ap_ppm) == (0, None)
