@@ -16026,6 +16026,70 @@ def q301(spark, sf_dir):
     return average_precision_exact(ev, ["event_type"], "score", "label")
 
 
+@_register(
+    "q302_range_dict",
+    """
+    WITH dim AS (
+      SELECT i // 3 AS k, i % 3 AS period,
+             DATE '1992-01-01' + CAST((i % 3) * 800 AS INTEGER) AS r_start,
+             DATE '1992-01-01' + CAST((i % 3) * 800 + 799 AS INTEGER) AS r_end,
+             (i // 3) * 100 + (i % 3) AS rate
+      FROM (SELECT unnest(generate_series(0, 74)) AS i)
+    ), f AS (
+      SELECT o_custkey % 25 AS k, CAST(o_orderdate AS DATE) AS d,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    )
+    SELECT f.k, COALESCE(dim.rate, -1) AS rate,
+           COUNT(*) AS n, CAST(SUM(f.cents) AS BIGINT) AS cents
+    FROM f LEFT JOIN dim
+      ON f.k = dim.k AND f.d BETWEEN dim.r_start AND dim.r_end
+    GROUP BY f.k, COALESCE(dim.rate, -1)
+    ORDER BY f.k, rate
+    """,
+    "ClickHouse range_hashed dictionary (operators/dicts.py::"
+    "dict_get_range): dictGet('tariff','rate',key,date) with "
+    "inclusive-both-ends validity ranges as ONE LEFT broadcast join — "
+    "disjoint ranges per key mean at most one match, so there is no "
+    "window, no dedup, zero fact-side shuffle beyond the final group "
+    "agg; unmatched dates fall to the dictGetOrDefault value (-1). "
+    "strict=True proves disjointness with a dim-only self-join probe",
+)
+def q302(spark, sf_dir):
+    from kubenetmon_spark.operators.dicts import dict_get_range
+
+    dim = spark.range(75).select(
+        (F.col("id") / 3).cast("long").alias("k"),
+        (F.col("id") % 3).alias("period"),
+        F.date_add(
+            F.lit("1992-01-01").cast("date"), ((F.col("id") % 3) * 800).cast("int")
+        ).alias("r_start"),
+        F.date_add(
+            F.lit("1992-01-01").cast("date"),
+            ((F.col("id") % 3) * 800 + 799).cast("int"),
+        ).alias("r_end"),
+        ((F.col("id") / 3).cast("long") * 100 + F.col("id") % 3).alias("rate"),
+    )
+    f = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 25).alias("k"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    j = dict_get_range(
+        f, dim.select("k", "r_start", "r_end", "rate"),
+        ["k"], "d", "r_start", "r_end", strict=True,
+    )
+    return (
+        j.withColumn("rate", F.coalesce(F.col("rate"), F.lit(-1)))
+        .groupBy("k", "rate")
+        .agg(F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("cents"))
+        .orderBy("k", "rate")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -96,3 +96,54 @@ def dict_is_in(ancestor: Column | str, path_col: str = "path") -> Column:
     ``dict_get_hierarchy`` — resolve once, test many."""
     anc = F.col(ancestor) if isinstance(ancestor, str) else ancestor
     return F.array_contains(F.col(path_col), anc)
+
+
+def dict_get_range(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    strict: bool = False,
+) -> DataFrame:
+    """ClickHouse ``range_hashed`` dictionary lookup: attach the dim row
+    whose key matches AND whose ``[start, end]`` range (both ends
+    inclusive, the ClickHouse rule) contains the fact's ``ts_col`` —
+    ``dictGet('tariffs', 'rate', key, date)`` as a LEFT broadcast join.
+
+    Ranges must be non-overlapping per key (the range_hashed contract;
+    ClickHouse picks an arbitrary row on overlap — this engine refuses
+    to guess: pass ``strict=True`` to ASSERT disjointness with one tiny
+    dim self-join before the lookup). With disjoint ranges each fact
+    matches at most one dim row, so the join is the whole plan: zero
+    fact-side shuffle, no window, no dedup. Unmatched facts keep NULL
+    dim columns — wrap with ``coalesce`` for dictGetOrDefault.
+
+    Scale: dictionaries are broadcast-sized by definition (ClickHouse
+    holds them in RAM on every server); the disjointness probe is
+    dim × dim, never facts.
+    """
+    if strict:
+        a, b = dim.alias("a"), dim.alias("b")
+        cond = F.lit(True)
+        for k in key_cols:
+            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+        cond = (
+            cond
+            & (F.col(f"a.{start_col}") <= F.col(f"b.{end_col}"))
+            & (F.col(f"b.{start_col}") <= F.col(f"a.{end_col}"))
+            & (F.col(f"a.{start_col}") < F.col(f"b.{start_col}"))
+        )
+        n = a.join(b, cond).count()
+        if n:
+            raise ValueError(
+                f"range_hashed dim has {n} overlapping range pair(s)"
+            )
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (facts[k] == dim[k])
+    cond = cond & facts[ts_col].between(dim[start_col], dim[end_col])
+    return facts.join(F.broadcast(dim), cond, "left").drop(
+        *[dim[k] for k in key_cols]
+    )

@@ -745,3 +745,72 @@ def restore_table(backup_dir: str, dest_path: str) -> int:
             raise ValueError(f"checksum mismatch restoring {e['path']}")
         n += 1
     return n
+
+
+def clear_column_in_partition(
+    spark: SparkSession,
+    path: str,
+    partition: str,
+    column: str,
+    default_sql: str = "NULL",
+) -> None:
+    """ClickHouse ``ALTER TABLE ... CLEAR COLUMN col IN PARTITION``:
+    rewrite ONE date partition with ``column`` reset to its default
+    expression (``default_sql``, evaluated per row, cast to the
+    column's type). Rows, keys, and every other column are preserved —
+    this reclaims space / redacts a column for cold data without
+    dropping rows (vs ``delete_where``) or partitions (vs
+    ``apply_retention``)."""
+    d = partition.split("=", 1)[1] if "=" in partition else partition
+    df = spark.read.parquet(path)
+    if column not in df.columns:
+        raise ValueError(f"no column {column!r} in {path}")
+    sub = df.filter(F.col("date") == F.lit(d))
+    cleared = sub.withColumn(
+        column, F.expr(default_sql).cast(dict(sub.dtypes)[column])
+    ).localCheckpoint(eager=True)  # never delete inputs under a lazy read
+    key = [c for c in PRIMARY_KEY_PREFIX if c in cleared.columns]
+    out = cleared.repartition(F.col("date"))
+    if key:  # non-flow tables may have none of the sort-key columns
+        out = out.sortWithinPartitions(*key)
+    out.write.mode("overwrite").partitionBy("date").parquet(path)
+
+
+def apply_column_ttl(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    keep_days: int,
+    default_sql: str = "NULL",
+    today: date | None = None,
+) -> list[str]:
+    """ClickHouse column TTL (``col TYPE ... TTL date + INTERVAL n
+    DAY``): partitions older than the cutoff are rewritten with
+    ``column`` reset to its default, keeping the rows — the
+    middle ground between full retention and whole-partition drops
+    (reference pattern: keep 90 days of flows but only 7 days of the
+    heavy ``flags`` JSON).
+
+    Idempotent and incremental like ClickHouse's per-part TTL info: a
+    ``_column_ttl_<col>`` marker is written into each rewritten
+    partition directory, so re-runs skip already-expired partitions
+    (each partition is rewritten exactly once per column TTL).
+    Returns the partitions rewritten this call.
+    """
+    cutoff = (today or date.today()) - timedelta(days=keep_days)
+    root = Path(path)
+    done: list[str] = []
+    if not root.exists():
+        return done
+    for part in sorted(root.glob("date=*")):
+        try:
+            part_date = date.fromisoformat(part.name.split("=", 1)[1])
+        except ValueError:
+            continue
+        marker = part / f"_column_ttl_{column}"
+        if part_date >= cutoff or marker.exists():
+            continue
+        clear_column_in_partition(spark, path, part.name, column, default_sql)
+        marker.touch()
+        done.append(part.name)
+    return done

@@ -96,3 +96,57 @@ class TestDictGetHierarchy:
         )
         assert "BroadcastHashJoin" in plan
         assert "Exchange hashpartitioning" not in plan  # zero fact shuffle
+
+
+class TestDictGetRange:
+    def _dim(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k int, r_start int, r_end int, rate int"
+        )
+
+    def test_inclusive_bounds_and_default(self, spark):
+        from kubenetmon_spark.operators.dicts import dict_get_range
+
+        dim = self._dim(spark, [(1, 10, 19, 100), (1, 20, 29, 200)])
+        facts = spark.createDataFrame(
+            [(1, 9), (1, 10), (1, 19), (1, 20), (1, 30), (2, 15)],
+            "k int, ts int",
+        )
+        got = {
+            (r.k, r.ts): r.rate
+            for r in dict_get_range(
+                facts, dim, ["k"], "ts", "r_start", "r_end"
+            ).collect()
+        }
+        # both ends inclusive (the ClickHouse range_hashed rule)
+        assert got == {(1, 9): None, (1, 10): 100, (1, 19): 100,
+                       (1, 20): 200, (1, 30): None, (2, 15): None}
+
+    def test_strict_refuses_overlap(self, spark):
+        from kubenetmon_spark.operators.dicts import dict_get_range
+
+        dim = self._dim(spark, [(1, 10, 25, 100), (1, 20, 29, 200)])
+        facts = spark.createDataFrame([(1, 22)], "k int, ts int")
+        with pytest.raises(ValueError, match="overlapping"):
+            dict_get_range(
+                facts, dim, ["k"], "ts", "r_start", "r_end", strict=True
+            )
+        # overlap on DIFFERENT keys is fine
+        ok = self._dim(spark, [(1, 10, 25, 100), (2, 20, 29, 200)])
+        assert (
+            dict_get_range(
+                facts, ok, ["k"], "ts", "r_start", "r_end", strict=True
+            ).collect()[0].rate
+            == 100
+        )
+
+    def test_broadcast_plan_no_fact_shuffle(self, spark):
+        from kubenetmon_spark.operators.dicts import dict_get_range
+
+        dim = self._dim(spark, [(1, 0, 100, 7)])
+        facts = spark.createDataFrame([(1, 5)], "k int, ts int")
+        plan = dict_get_range(
+            facts, dim, ["k"], "ts", "r_start", "r_end"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan

@@ -594,3 +594,77 @@ class TestBackupRestore:
         victim.write_bytes(victim.read_bytes()[:-4] + b"XXXX")
         with pytest.raises(ValueError, match="checksum mismatch"):
             restore_table(bk, str(tmp_path / "r3"))
+
+
+class TestColumnTtl:
+    @pytest.fixture()
+    def table(self, spark, tmp_path):
+        path = str(tmp_path / "ttl_tbl")
+        spark.createDataFrame(
+            [(d, i, f"pod-{i}", 100 * i)
+             for d in ("2024-02-01", "2024-02-20", "2024-03-01")
+             for i in range(4)],
+            "date string, k int, podName string, bytes long",
+        ).withColumn("date", F.col("date").cast("date")).write.partitionBy(
+            "date"
+        ).parquet(path)
+        return path
+
+    def test_clear_column_in_partition(self, spark, table):
+        from kubenetmon_spark.sink import clear_column_in_partition
+
+        clear_column_in_partition(
+            spark, table, "date=2024-02-01", "podName", "'<expired>'"
+        )
+        df = spark.read.parquet(table)
+        old = df.filter("date = '2024-02-01'")
+        assert old.count() == 4  # rows kept
+        assert {r.podName for r in old.collect()} == {"<expired>"}
+        # other partitions and other columns untouched
+        assert df.filter("date = '2024-03-01' AND podName = 'pod-1'").count() == 1
+        assert df.filter("date = '2024-02-01'").agg(
+            F.sum("bytes")
+        ).collect()[0][0] == 600
+
+    def test_unknown_column_refused(self, spark, table):
+        from kubenetmon_spark.sink import clear_column_in_partition
+
+        with pytest.raises(ValueError):
+            clear_column_in_partition(spark, table, "date=2024-02-01", "nope")
+
+    def test_column_ttl_cutoff_and_idempotence(self, spark, table):
+        from kubenetmon_spark.sink import apply_column_ttl
+
+        done = apply_column_ttl(
+            spark, table, "podName", keep_days=10,
+            today=date(2024, 3, 5),
+        )
+        # 02-01 and 02-20 are older than 10 days before 03-05; 03-01 is not
+        assert done == ["date=2024-02-01", "date=2024-02-20"]
+        df = spark.read.parquet(table)
+        assert df.filter("date < '2024-03-01'").filter(
+            "podName IS NOT NULL"
+        ).count() == 0
+        assert df.filter("date = '2024-03-01' AND podName IS NULL").count() == 0
+        # second run: markers make it a no-op (each partition once)
+        assert apply_column_ttl(
+            spark, table, "podName", keep_days=10, today=date(2024, 3, 5)
+        ) == []
+
+    def test_per_column_markers_independent(self, spark, table):
+        from kubenetmon_spark.sink import apply_column_ttl
+
+        apply_column_ttl(spark, table, "podName", 10, today=date(2024, 3, 5))
+        # a different column's TTL still processes the same partitions
+        done = apply_column_ttl(
+            spark, table, "bytes", 25, default_sql="0",
+            today=date(2024, 3, 5),
+        )
+        assert done == ["date=2024-02-01"]
+        df = spark.read.parquet(table)
+        assert df.filter("date = '2024-02-01'").agg(
+            F.sum("bytes")
+        ).collect()[0][0] == 0
+        assert df.filter("date = '2024-02-20'").agg(
+            F.sum("bytes")
+        ).collect()[0][0] == 600
