@@ -16090,6 +16090,130 @@ def q302(spark, sf_dir):
     )
 
 
+@_register(
+    "q303_hash_functions",
+    """
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex
+    FROM documents
+    ORDER BY doc_id LIMIT 500
+    """,
+    "ClickHouse cryptographic digest surface: SHA256 registered as an "
+    "inline SQL function returning FixedString-shaped BINARY (sql.py; "
+    "MD5/SHA1 are non-shadowable Spark builtins that already emit the "
+    "hex a ClickHouse user writes as lower(hex(MD5(s)))) — "
+    "Catalyst inlines the bodies into the scan projection, no UDF. "
+    "cityHash64/sipHash64 are registered with the documented "
+    "same-uses-different-values xxhash64 surrogate and excluded from "
+    "the cross-engine oracle for that reason",
+)
+def q303(spark, sf_dir):
+    from kubenetmon_spark.sql import register_sql_surface
+
+    register_sql_surface(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT doc_id,
+               md5(text) AS md5_hex,
+               lower(hex(SHA256(text))) AS sha256_hex
+        FROM documents
+        ORDER BY doc_id LIMIT 500
+        """
+    )
+
+
+@_register(
+    "q304_format_datetime",
+    """
+    SELECT event_id,
+           strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS iso,
+           strftime(date_trunc('second', ts), '%d.%m.%y') AS euro,
+           strftime(date_trunc('second', ts), '%H:%M') AS hm
+    FROM events
+    ORDER BY event_id LIMIT 1000
+    """,
+    "ClickHouse formatDateTime (MySQL-syntax specifiers: %i is "
+    "minute, %M refused as ambiguous across ClickHouse versions): "
+    "sql.py rewrites the specifiers to Java patterns and inlines "
+    "date_format so the projection stays in codegen; the oracle "
+    "formats with C-strftime (%M minute) — textually different "
+    "format strings, specifier-for-specifier identical output",
+)
+def q304(spark, sf_dir):
+    from kubenetmon_spark.sql import register_sql_surface
+
+    register_sql_surface(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id,
+               formatDateTime(date_trunc('second', ts), '%Y-%m-%d %H:%i:%S')
+                 AS iso,
+               formatDateTime(date_trunc('second', ts), '%d.%m.%y') AS euro,
+               formatDateTime(date_trunc('second', ts), '%H:%i') AS hm
+        FROM events
+        ORDER BY event_id LIMIT 1000
+        """
+    )
+
+
+@_register(
+    "q305_parse_best_effort",
+    """
+    WITH raw AS (
+      SELECT * FROM (VALUES
+        (1, '2024-03-01 12:34:56'), (2, '2024-03-01T12:34:56'),
+        (3, '2024/03/02 01:02:03'), (4, '2024-03-03'),
+        (5, '05.04.2024'),          (6, '1709290000'),
+        (7, 'not a date'),          (8, '2024/03/05'),
+        (9, ''),                    (10, '2024-13-45')
+      ) AS t(id, s)
+    )
+    SELECT id, s,
+           CAST(epoch(COALESCE(
+             try_strptime(s, '%Y-%m-%d %H:%M:%S'),
+             try_strptime(s, '%Y-%m-%dT%H:%M:%S'),
+             try_strptime(s, '%Y/%m/%d %H:%M:%S'),
+             try_strptime(s, '%Y-%m-%d'),
+             try_strptime(s, '%Y/%m/%d'),
+             try_strptime(s, '%d.%m.%Y'),
+             CASE WHEN regexp_matches(s, '^[0-9]{10}$')
+                  THEN make_timestamp(CAST(s AS BIGINT) * 1000000) END
+           )) AS BIGINT) AS epoch_s
+    FROM raw ORDER BY id
+    """,
+    "ClickHouse parseDateTimeBestEffort(OrNull): the forgiving ingest "
+    "parser as a coalesce over the real-feed format ladder (ISO, "
+    "T-separated, slashed, date-only, dotted European, 10-digit "
+    "epoch) — sql.py registers it over try_to_timestamp so bad input "
+    "yields NULL, never an ingest-killing throw; compared as epoch "
+    "seconds so both engines' timestamp renderings stay out of the "
+    "hash. Invalid month/day (2024-13-45) and empty string fall "
+    "through every rung",
+)
+def q305(spark, sf_dir):
+    from kubenetmon_spark.sql import register_sql_surface
+
+    register_sql_surface(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH raw AS (
+          SELECT * FROM (VALUES
+            (1, '2024-03-01 12:34:56'), (2, '2024-03-01T12:34:56'),
+            (3, '2024/03/02 01:02:03'), (4, '2024-03-03'),
+            (5, '05.04.2024'),          (6, '1709290000'),
+            (7, 'not a date'),          (8, '2024/03/05'),
+            (9, ''),                    (10, '2024-13-45')
+          ) AS t(id, s)
+        )
+        SELECT id, s,
+               CAST(to_unix_timestamp(parseDateTimeBestEffort(s)) AS BIGINT)
+                 AS epoch_s
+        FROM raw ORDER BY id
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

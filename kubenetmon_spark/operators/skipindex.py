@@ -160,6 +160,47 @@ def _write_spec(out_dir: Path, spec: IndexSpec, dtype: str) -> None:
     )
 
 
+def _build_index_df(df: DataFrame, table_dir: str, spec: IndexSpec) -> DataFrame:
+    """The per-kind build aggregation over ``df`` (full table or just the
+    not-yet-indexed files) — one row per file."""
+    file_col = _rel_file_col(table_dir)
+    c = F.col(spec.column)
+    if spec.kind == "minmax":
+        return df.groupBy(file_col).agg(
+            F.min(c).alias("min_v"),
+            F.max(c).alias("max_v"),
+            F.count(c).alias("n_vals"),
+            F.count("*").alias("n_rows"),
+        )
+    if spec.kind == "set":
+        # Bounded fold: count distincts FIRST, collect only small files.
+        d = df.select(file_col, c.alias("v")).where(c.isNotNull()).distinct()
+        counts = d.groupBy("file").agg(F.count("*").alias("n_distinct"))
+        small = counts.where(F.col("n_distinct") <= spec.max_values)
+        vals = (
+            d.join(F.broadcast(small.select("file")), "file")
+            .groupBy("file")
+            .agg(F.sort_array(F.collect_set("v")).alias("vals"))
+        )
+        return counts.join(vals, "file", "left")
+    pos = (
+        _terms(df, file_col, spec)
+        .select("file", F.explode(_positions(F.col("term"), spec)).alias("p"))
+        .distinct()
+    )
+    return (
+        pos.selectExpr(
+            "file",
+            "CAST(p DIV 64 AS INT) AS w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) AS b",
+        )
+        .groupBy("file", "w")
+        .agg(F.expr("bit_or(b)").alias("b"))
+        .groupBy("file")
+        .agg(F.sort_array(F.collect_list(F.struct("w", "b"))).alias("words"))
+    )
+
+
 def build_skip_index(
     spark: SparkSession,
     table_dir: str,
@@ -168,52 +209,17 @@ def build_skip_index(
 ) -> dict[str, int]:
     """Build each index as a small parquet table; returns rows per index."""
     df = spark.read.parquet(table_dir)
+    all_files = sorted(_rel_path(u, table_dir) for u in df.inputFiles())
+    files_df = spark.createDataFrame([(f,) for f in all_files], "file string")
     out: dict[str, int] = {}
     for spec in specs:
         dtype = df.schema[spec.column].dataType.simpleString()
         dest = Path(index_dir) / spec.name
-        file_col = _rel_file_col(table_dir)
-        c = F.col(spec.column)
-        if spec.kind == "minmax":
-            idx = (
-                df.groupBy(file_col)
-                .agg(
-                    F.min(c).alias("min_v"),
-                    F.max(c).alias("max_v"),
-                    F.count(c).alias("n_vals"),
-                    F.count("*").alias("n_rows"),
-                )
-            )
-        elif spec.kind == "set":
-            # Bounded fold: count distincts FIRST, collect only small files.
-            d = df.select(file_col, c.alias("v")).where(c.isNotNull()).distinct()
-            counts = d.groupBy("file").agg(F.count("*").alias("n_distinct"))
-            small = counts.where(F.col("n_distinct") <= spec.max_values)
-            vals = (
-                d.join(F.broadcast(small.select("file")), "file")
-                .groupBy("file")
-                .agg(F.sort_array(F.collect_set("v")).alias("vals"))
-            )
-            idx = counts.join(vals, "file", "left")
-        else:  # bloom family
-            pos = (
-                _terms(df, file_col, spec)
-                .select("file", F.explode(_positions(F.col("term"), spec)).alias("p"))
-                .distinct()
-            )
-            idx = (
-                pos.selectExpr(
-                    "file",
-                    "CAST(p DIV 64 AS INT) AS w",
-                    "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) AS b",
-                )
-                .groupBy("file", "w")
-                .agg(F.expr("bit_or(b)").alias("b"))
-                .groupBy("file")
-                .agg(
-                    F.sort_array(F.collect_list(F.struct("w", "b"))).alias("words")
-                )
-            )
+        # left-complete so ZERO-ROW files get a (null-payload) index row:
+        # they'd otherwise never be indexed and stay fail-open forever.
+        # Null payloads behave correctly per kind (minmax/bloom prove the
+        # empty file matches nothing; set keeps it, harmlessly).
+        idx = files_df.join(_build_index_df(df, table_dir, spec), "file", "left")
         idx.coalesce(1).write.mode("overwrite").parquet(str(dest))
         _write_spec(dest, spec, dtype)
         out[spec.name] = spark.read.parquet(str(dest)).count()
@@ -468,3 +474,59 @@ def read_indexed(
         return empty.where(pred) if pred is not None else empty
     df = spark.read.option("basePath", table_dir).parquet(*kept_abs)
     return df.where(pred) if pred is not None else df
+
+
+def update_skip_index(
+    spark: SparkSession,
+    table_dir: str,
+    index_dir: str,
+) -> dict[str, int]:
+    """Incrementally index files appended since the last build — the
+    ClickHouse contract that every new part gets its index rows ON
+    INSERT, without rebuilding existing parts.
+
+    For each built index (``list_indexes``): diff the table's current
+    file list against the index's file column, run the same build
+    aggregation over ONLY the missing files (one scan of the new data
+    per index), and append the rows. Until this runs, ``read_indexed``
+    already fails open for unindexed files, so the update narrows I/O
+    rather than fixing correctness — safe to run from a foreachBatch
+    hook or a compaction cron with no coordination.
+
+    Returns ``{index_name: n_new_files_indexed}``.
+    """
+    specs = list_indexes(index_dir)
+    if not specs:
+        return {}
+    actual = {
+        _rel_path(u, table_dir): u
+        for u in spark.read.parquet(table_dir).inputFiles()
+    }
+    out: dict[str, int] = {}
+    for name, spec_d in specs.items():
+        dest = Path(index_dir) / name
+        indexed = {
+            r.file
+            for r in spark.read.parquet(str(dest)).select("file").collect()
+        }
+        missing = sorted(set(actual) - indexed)
+        out[name] = len(missing)
+        if not missing:
+            continue
+        spec = IndexSpec(
+            column=spec_d["column"],
+            kind=spec_d["kind"],
+            bits=spec_d["bits"],
+            hashes=spec_d["hashes"],
+            max_values=spec_d["max_values"],
+            ngram=spec_d["ngram"],
+        )
+        df = spark.read.option("basePath", table_dir).parquet(
+            *[actual[rel] for rel in missing]
+        )
+        missing_df = spark.createDataFrame(
+            [(f,) for f in missing], "file string"
+        )
+        idx = missing_df.join(_build_index_df(df, table_dir, spec), "file", "left")
+        idx.coalesce(1).write.mode("append").parquet(str(dest))
+    return out

@@ -814,3 +814,52 @@ def apply_column_ttl(
         marker.touch()
         done.append(part.name)
     return done
+
+
+def column_stats(path: str) -> list[dict]:
+    """Per-column storage statistics — the ClickHouse ``system.columns``
+    / ``system.parts_columns`` observability analogue: for every column,
+    its physical type, compressed and uncompressed byte totals,
+    value/null counts, and whether every row-group carries min/max
+    statistics (the data-skipping readiness signal the skip-index and
+    z-order tooling rely on).
+
+    Footer-only like ``table_stats`` (no data IO); per-column sizes come
+    from the parquet column-chunk metadata, so "which column is eating
+    the table" (ClickHouse's first compression question) is answerable
+    without a scan. Glob covers flat tables AND date-partitioned ones.
+    """
+    import pyarrow.parquet as pq
+
+    root = Path(path)
+    files = sorted(root.rglob("*.parquet")) if root.is_dir() else [root]
+    acc: dict[str, dict] = {}
+    for f in files:
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                st = acc.setdefault(
+                    name,
+                    {
+                        "column": name,
+                        "physical_type": c.physical_type,
+                        "compressed_bytes": 0,
+                        "uncompressed_bytes": 0,
+                        "n_values": 0,
+                        "n_nulls": 0,
+                        "has_minmax_stats": True,
+                        "compression": c.compression,
+                    },
+                )
+                st["compressed_bytes"] += c.total_compressed_size
+                st["uncompressed_bytes"] += c.total_uncompressed_size
+                stats = c.statistics
+                if stats is None or not stats.has_min_max:
+                    st["has_minmax_stats"] = False
+                if stats is not None:
+                    st["n_nulls"] += stats.null_count or 0
+                st["n_values"] += g.num_rows
+    return sorted(acc.values(), key=lambda d: -d["compressed_bytes"])

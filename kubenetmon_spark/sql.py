@@ -169,6 +169,28 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("moduloOrZero", "(a BIGINT, b BIGINT)", "BIGINT",
      "CASE WHEN b = 0 THEN 0 ELSE a % b END"),
     ("cityHash64", "(s STRING)", "BIGINT", "xxhash64(s)"),
+    # MD5/SHA1 cannot be registered (Spark builtins of the same name
+    # are non-shadowable); Spark's md5/sha1/sha2 already emit the
+    # lowercase hex a ClickHouse user writes as lower(hex(MD5(s))).
+    # SHA256 is free and returns ClickHouse's FixedString-shaped BINARY.
+    ("SHA256", "(s STRING)", "BINARY", "to_binary(sha2(s, 256), 'hex')"),
+    # sipHash64: same USES (stable 64-bit hash), different VALUES —
+    # the cityHash64 caveat in the module docstring applies.
+    ("sipHash64", "(s STRING)", "BIGINT", "xxhash64(s, 1)"),
+    # parseDateTimeBestEffort: ClickHouse's forgiving ingest parser as a
+    # coalesce over the format ladder real feeds contain (ISO with/out
+    # 'T', slashed, date-only, dotted European, 10-digit epoch);
+    # unparseable input returns NULL like parseDateTimeBestEffortOrNull.
+    ("parseDateTimeBestEffort", "(s STRING)", "TIMESTAMP",
+     "coalesce("
+     "try_to_timestamp(s, 'yyyy-MM-dd HH:mm:ss'),"
+     "try_to_timestamp(s, 'yyyy-MM-dd''T''HH:mm:ss'),"
+     "try_to_timestamp(s, 'yyyy/MM/dd HH:mm:ss'),"
+     "try_to_timestamp(s, 'yyyy-MM-dd'),"
+     "try_to_timestamp(s, 'yyyy/MM/dd'),"
+     "try_to_timestamp(s, 'dd.MM.yyyy'),"
+     "CASE WHEN s rlike '^[0-9]{10}$'"
+     " THEN timestamp_seconds(cast(s as bigint)) END)"),
     ("splitByChar", "(sep STRING, s STRING)", "ARRAY<STRING>",
      "split(s, regexp_replace(sep, '([^a-zA-Z0-9])', '\\\\\\\\$1'))"),
     ("arrayStringConcat", "(a ARRAY<STRING>, sep STRING)", "STRING",

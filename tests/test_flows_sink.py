@@ -668,3 +668,24 @@ class TestColumnTtl:
         assert df.filter("date = '2024-02-20'").agg(
             F.sum("bytes")
         ).collect()[0][0] == 600
+
+
+class TestColumnStats:
+    def test_footer_only_column_profile(self, spark, tmp_path):
+        from kubenetmon_spark.sink import column_stats
+
+        path = str(tmp_path / "cstats")
+        spark.createDataFrame(
+            [("2024-03-01", i, f"payload-{i}-" * 40, i if i % 2 else None)
+             for i in range(100)],
+            "date string, k long, fat string, maybe long",
+        ).write.partitionBy("date").parquet(path)
+        stats = {r["column"]: r for r in column_stats(path)}
+        assert set(stats) == {"k", "fat", "maybe"}  # partition col not physical
+        assert stats["fat"]["physical_type"] == "BYTE_ARRAY"
+        # the unique ~450-char string column dominates storage -> first
+        assert column_stats(path)[0]["column"] == "fat"
+        assert stats["k"]["n_values"] == 100 and stats["k"]["n_nulls"] == 0
+        assert stats["maybe"]["n_nulls"] == 50
+        assert stats["k"]["has_minmax_stats"] is True
+        assert stats["k"]["compressed_bytes"] > 0

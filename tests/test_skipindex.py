@@ -213,3 +213,45 @@ def test_randomized_no_false_negatives(indexed_table):
             _ids(read_indexed(spark, tbl, idx, [("text", "has_token", tok)]))
             == expect
         )
+
+
+class TestUpdateSkipIndex:
+    def test_incremental_append_then_converge(self, spark, tmp_path):
+        from kubenetmon_spark.operators.skipindex import (
+            build_skip_index,
+            update_skip_index,
+        )
+
+        tbl, idx = str(tmp_path / "tbl"), str(tmp_path / "idx")
+        spark.range(0, 2000).selectExpr(
+            "id", "CAST(id DIV 500 AS INT) AS uid"
+        ).repartitionByRange(4, "id").write.parquet(tbl)
+        build_skip_index(
+            spark, tbl,
+            [IndexSpec("uid", "minmax"), IndexSpec("uid", "bloom", bits=1024)],
+            idx,
+        )
+        # nothing new yet -> all-zero update
+        assert set(update_skip_index(spark, tbl, idx).values()) == {0}
+
+        spark.range(1).selectExpr(
+            "id + 99999 AS id", "CAST(42 AS INT) AS uid"
+        ).write.mode("append").parquet(tbl)
+        first = update_skip_index(spark, tbl, idx)
+        assert all(v >= 1 for v in first.values())
+        # converges: second run indexes nothing (zero-row files included)
+        assert set(update_skip_index(spark, tbl, idx).values()) == {0}
+
+        # the new needle is now PRUNED to its file, not fail-open
+        df = read_indexed(spark, tbl, idx, [("uid", "eq", 42)])
+        total = len(spark.read.parquet(tbl).inputFiles())
+        assert df.count() == 1 and len(df.inputFiles()) < total
+        # old needles still exact
+        assert read_indexed(spark, tbl, idx, [("uid", "eq", 1)]).count() == 500
+
+    def test_update_without_indexes_noop(self, spark, tmp_path):
+        from kubenetmon_spark.operators.skipindex import update_skip_index
+
+        tbl = str(tmp_path / "t2")
+        spark.range(10).write.parquet(tbl)
+        assert update_skip_index(spark, tbl, str(tmp_path / "noidx")) == {}

@@ -547,3 +547,53 @@ class TestArrayMapStragglers:
             " CAST(4 AS BIGINT), CAST(40 AS BIGINT)))",
         )
         assert got == {1: 10, 2: 0, 3: 0, 4: 40}
+
+
+class TestDigestsAndParsers:
+    def test_sha256_binary_composes_with_hex(self, spark):
+        from kubenetmon_spark.sql import register_clickhouse_sql_functions
+
+        register_clickhouse_sql_functions(spark)
+        r = spark.sql(
+            "SELECT lower(hex(SHA256('abc'))) AS h, md5('abc') AS m"
+        ).collect()[0]
+        assert r.h == (
+            "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+        )
+        assert r.m == "900150983cd24fb0d6963f7d28e17f72"
+
+    def test_siphash64_stable_and_distinct_from_cityhash(self, spark):
+        from kubenetmon_spark.sql import register_clickhouse_sql_functions
+
+        register_clickhouse_sql_functions(spark)
+        r = spark.sql(
+            "SELECT sipHash64('abc') AS s1, sipHash64('abc') AS s2,"
+            " cityHash64('abc') AS c"
+        ).collect()[0]
+        assert r.s1 == r.s2 and r.s1 != r.c
+
+    def test_parse_best_effort_ladder(self, spark):
+        from kubenetmon_spark.sql import register_clickhouse_sql_functions
+
+        register_clickhouse_sql_functions(spark)
+        rows = spark.sql(
+            """
+            SELECT s, CAST(to_unix_timestamp(parseDateTimeBestEffort(s))
+                      AS BIGINT) AS e
+            FROM VALUES ('2024-03-01 12:00:00'), ('2024-03-01T12:00:00'),
+                        ('2024/03/01 12:00:00'), ('2024-03-01'),
+                        ('01.03.2024'), ('1709290000'),
+                        ('garbage'), ('2024-13-45') AS t(s)
+            """
+        ).collect()
+        got = {r.s: r.e for r in rows}
+        noon = 1709294400  # 2024-03-01 12:00:00 UTC
+        day = 1709251200   # 2024-03-01 00:00:00 UTC
+        assert got["2024-03-01 12:00:00"] == noon
+        assert got["2024-03-01T12:00:00"] == noon
+        assert got["2024/03/01 12:00:00"] == noon
+        assert got["2024-03-01"] == day
+        assert got["01.03.2024"] == day
+        assert got["1709290000"] == 1709290000
+        assert got["garbage"] is None
+        assert got["2024-13-45"] is None
