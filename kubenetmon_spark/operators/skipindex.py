@@ -530,3 +530,84 @@ def update_skip_index(
         idx = missing_df.join(_build_index_df(df, table_dir, spec), "file", "left")
         idx.coalesce(1).write.mode("append").parquet(str(dest))
     return out
+
+
+def explain_prune(
+    spark: SparkSession,
+    table_dir: str,
+    index_dir: str,
+    conditions: list[tuple[str, str, object]],
+) -> list[dict]:
+    """ClickHouse ``EXPLAIN indexes = 1`` analogue: per applicable index,
+    how many of the table's files survive its pruning for each
+    condition — the "which index is doing the work" answer an operator
+    needs before trusting a slow query to an index.
+
+    Returns one dict per (condition, index) pair:
+    ``{condition, index, kind, n_files, n_candidates, decisive}`` where
+    ``decisive`` marks indexes that actually excluded something, plus a
+    final ``{"condition": "<combined>"}`` row with the intersected
+    candidate count ``read_indexed`` would scan. Read-only: collects
+    file-name sets exactly like the read path, scans no data.
+    """
+    specs = list_indexes(index_dir)
+    by_col: dict[str, list[str]] = {}
+    for name, s in specs.items():
+        by_col.setdefault(s["column"], []).append(name)
+    actual = {
+        _rel_path(u, table_dir) for u in spark.read.parquet(table_dir).inputFiles()
+    }
+    out: list[dict] = []
+    keep: set[str] | None = None
+    known: set[str] = set()
+    for column, op, value in conditions:
+        cond_label = f"{column} {op} {value!r}"
+        for name in sorted(by_col.get(column, ())):
+            cand = candidate_files(spark, index_dir, name, op, value)
+            if cand is None:
+                out.append(
+                    {
+                        "condition": cond_label,
+                        "index": name,
+                        "kind": specs[name]["kind"],
+                        "n_files": len(actual),
+                        "n_candidates": None,
+                        "decisive": False,
+                    }
+                )
+                continue
+            idx_files = {
+                r.file
+                for r in spark.read.parquet(str(Path(index_dir) / name))
+                .select("file")
+                .collect()
+            }
+            known |= idx_files
+            keep = cand if keep is None else (keep & cand)
+            out.append(
+                {
+                    "condition": cond_label,
+                    "index": name,
+                    "kind": specs[name]["kind"],
+                    "n_files": len(actual),
+                    "n_candidates": len(cand & actual),
+                    "decisive": len(cand & actual) < len(actual),
+                }
+            )
+    if keep is None:
+        combined = len(actual)
+    else:
+        combined = len(
+            [f for f in actual if f in keep or f not in known]
+        )
+    out.append(
+        {
+            "condition": "<combined>",
+            "index": None,
+            "kind": None,
+            "n_files": len(actual),
+            "n_candidates": combined,
+            "decisive": combined < len(actual),
+        }
+    )
+    return out
