@@ -16214,6 +16214,66 @@ def q305(spark, sf_dir):
     )
 
 
+@_register(
+    "q306_agg_foreach",
+    """
+    WITH e AS (
+      SELECT vec_id % 4 AS g,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+               AS v
+      FROM embeddings
+    ), f AS (
+      SELECT g,
+             list_reduce(list(v),
+               (a, b) -> list_transform(range(1, len(a) + 1),
+                                        i -> a[i] + b[i])) AS sums,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY g
+    )
+    SELECT g, CAST(len(sums) AS BIGINT) AS dim,
+           CAST(sums[1] AS BIGINT) AS s1,
+           CAST(sums[64] AS BIGINT) AS s64,
+           CAST(list_sum(sums) AS BIGINT) AS total,
+           n,
+           CAST((sums[1] * 10000) // n AS BIGINT) AS avg1_bp
+    FROM f ORDER BY g
+    """,
+    "ClickHouse -ForEach combinator (sumForEach/avgForEach/countForEach "
+    "— operators/agg.py::agg_foreach): element-wise aggregation of the "
+    "embedding arrays per group; posexplode + ONE (group,pos) shuffle "
+    "with map-side partials, per-group fold bounded by the array "
+    "dimension. floor(x*1e4+0.5) scaling is the q50 engine-identical "
+    "rounding; avgForEach = the bp ratio under truncating division",
+)
+def q306(spark, sf_dir):
+    from kubenetmon_spark.operators.agg import agg_foreach
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 4).alias("g"), "embedding"
+    )
+    r = agg_foreach(
+        e,
+        ["g"],
+        "embedding",
+        value=F.expr("cast(floor(cast(col as double) * 10000 + 0.5) as bigint)"),
+    )
+    return (
+        r.select(
+            "g",
+            F.size("sums").cast("bigint").alias("dim"),
+            F.element_at("sums", 1).cast("bigint").alias("s1"),
+            F.element_at("sums", 64).cast("bigint").alias("s64"),
+            F.aggregate(
+                "sums", F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).alias("total"),
+            F.element_at("counts", 1).cast("bigint").alias("n"),
+        )
+        .withColumn("avg1_bp", F.expr("(s1 * 10000) div n"))
+        .orderBy("g")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

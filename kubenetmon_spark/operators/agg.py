@@ -360,3 +360,42 @@ def sparkbar(
     return asm.select(
         *group_cols, F.concat_ws("", chars).alias("sparkbar")
     )
+
+
+def agg_foreach(
+    df: DataFrame,
+    group_cols: list[str],
+    array_col: str,
+    value: Column | None = None,
+) -> DataFrame:
+    """ClickHouse ``-ForEach`` combinator (``sumForEach``, ``avgForEach``,
+    ``countForEach``): aggregate array columns ELEMENT-WISE per group,
+    returning arrays of per-position sums/counts (ragged arrays fine —
+    each position counts only the rows that reach it, the ClickHouse
+    rule).
+
+    ``value`` optionally transforms each element before summing (e.g.
+    integer scaling for engine-exact floats); it receives the exploded
+    element column.
+
+    Plan: posexplode → ONE shuffle to (group, pos) with map-side partial
+    aggregation → per-group fold of at most array-dim rows into the
+    result arrays (bounded by the array dimension, never by row count).
+    Returns group_cols + ``sums`` (array<long>) + ``counts``
+    (array<long>) ordered by position.
+    """
+    e = df.select(*group_cols, F.posexplode(F.col(array_col)))
+    v = F.col("col") if value is None else value
+    per = e.groupBy(*group_cols, "pos").agg(
+        F.sum(v).alias("_v"), F.count("*").alias("_n")
+    )
+    packed = F.array_sort(F.collect_list(F.struct("pos", "_v", "_n")))
+    return (
+        per.groupBy(*group_cols)
+        .agg(packed.alias("_p"))
+        .select(
+            *group_cols,
+            F.transform(F.col("_p"), lambda s: s["_v"]).alias("sums"),
+            F.transform(F.col("_p"), lambda s: s["_n"]).alias("counts"),
+        )
+    )

@@ -1380,3 +1380,31 @@ class TestInterpolateLinear:
             ("a", 10, 100), ("a", 13, None), ("a", 20, 200),
         ])
         assert got[("a", 13)] == 100 + (100 * 3) // 10
+
+
+class TestAggForeach:
+    def test_ragged_arrays_positionwise(self, spark):
+        from kubenetmon_spark.operators.agg import agg_foreach
+
+        df = spark.createDataFrame(
+            [("a", [1, 2, 3]), ("a", [10, 20]), ("a", [100]), ("b", [])],
+            "g string, arr array<long>",
+        )
+        out = {r.g: (r.sums, r.counts) for r in agg_foreach(df, ["g"], "arr").collect()}
+        # ClickHouse rule: each position counts rows that reach it
+        assert out["a"] == ([111, 22, 3], [3, 2, 1])
+        assert "b" not in out  # empty arrays contribute no positions
+
+    def test_value_transform(self, spark):
+        from pyspark.sql import functions as F
+
+        from kubenetmon_spark.operators.agg import agg_foreach
+
+        df = spark.createDataFrame(
+            [("a", [1.04, 2.06]), ("a", [0.5, 0.5])], "g string, arr array<double>"
+        )
+        r = agg_foreach(
+            df, ["g"], "arr",
+            value=F.expr("cast(floor(col * 10 + 0.5) as bigint)"),
+        ).collect()[0]
+        assert r.sums == [10 + 5, 21 + 5] and r.counts == [2, 2]
