@@ -16274,6 +16274,205 @@ def q306(spark, sf_dir):
     )
 
 
+@_register(
+    "q307_promql_grid",
+    """
+    WITH base AS (
+      SELECT user_id % 4 AS k,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    s0 AS (SELECT k, ts_s, SUM(cents) AS inc FROM base GROUP BY 1, 2),
+    s AS (
+      SELECT k, ts_s,
+             CAST(SUM(inc) OVER (PARTITION BY k ORDER BY ts_s) % 100000
+                  AS BIGINT) AS v
+      FROM s0
+    ),
+    p AS (
+      SELECT k, ts_s, v, lag(ts_s) OVER w AS pts, lag(v) OVER w AS pv
+      FROM s WINDOW w AS (PARTITION BY k ORDER BY ts_s)
+    ),
+    params AS (
+      SELECT CAST(epoch(date_trunc('day', min(ts))) AS BIGINT) AS start_s
+      FROM events
+    ),
+    grid AS (
+      SELECT CAST(range AS BIGINT) AS i,
+             start_s + CAST(range AS BIGINT) * 3600 AS t
+      FROM range(48), params
+    ),
+    sa AS (
+      SELECT s.k, g.i, g.t,
+             COUNT(*) AS n_samples,
+             arg_max(s.v, s.ts_s) AS last_v,
+             arg_min(s.v, s.ts_s) AS first_v,
+             max(s.ts_s) AS last_ts,
+             min(s.ts_s) AS first_ts
+      FROM grid g JOIN s ON s.ts_s <= g.t AND s.ts_s > g.t - 7200
+      GROUP BY 1, 2, 3
+    ),
+    pa AS (
+      SELECT p.k, g.i,
+             SUM(CASE WHEN p.v < p.pv THEN p.pv ELSE 0 END) AS resets,
+             arg_max(CASE WHEN p.v >= p.pv THEN p.v - p.pv ELSE p.v END,
+                     p.ts_s) AS li,
+             arg_max(p.ts_s - p.pts, p.ts_s) AS ld
+      FROM grid g JOIN p ON p.ts_s <= g.t AND p.pts > g.t - 7200
+      GROUP BY 1, 2
+    )
+    SELECT sa.k, sa.t AS bucket_ts, sa.n_samples, sa.last_v,
+           CASE WHEN n_samples >= 2 THEN last_v - first_v END AS delta,
+           CASE WHEN n_samples >= 2
+                THEN last_v - first_v + COALESCE(resets, 0) END AS increase,
+           CASE WHEN n_samples >= 2 THEN
+             CAST(floor(CAST((last_v - first_v + COALESCE(resets, 0))
+                             * 10000 AS DOUBLE) / (last_ts - first_ts))
+                  AS BIGINT) END AS rate_bp,
+           CAST(floor(CAST(li * 10000 AS DOUBLE) / ld) AS BIGINT) AS irate_bp
+    FROM sa LEFT JOIN pa ON pa.k = sa.k AND pa.i = sa.i
+    ORDER BY sa.k, bucket_ts
+    """,
+    "ClickHouse timeSeries*ToGrid family / PromQL evaluation "
+    "(operators/timeseries.py::promql_to_grid): a per-user-cohort "
+    "counter series (cumulative cents mod 1e5, so it RESETS) is "
+    "evaluated at 48 hourly grid points with a 2h trailing window — "
+    "resample-with-staleness last value, gauge delta, reset-adjusted "
+    "PromQL increase, span-exact rate_bp, and latest-pair irate_bp, "
+    "all exact integers; bounded sequence-explode coverage instead of "
+    "a range join (O(rows*window/step), 2 shuffles, no driver collect)",
+)
+def q307(spark, sf_dir):
+    from kubenetmon_spark.operators.timeseries import promql_to_grid
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 4).alias("k"),
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    s0 = base.groupBy("k", "ts_s").agg(F.sum("cents").alias("inc"))
+    cum = Window.partitionBy("k").orderBy("ts_s")
+    samples = s0.select(
+        "k",
+        "ts_s",
+        (F.sum("inc").over(cum) % 100000).alias("v"),
+    )
+    start_s = (
+        ev.agg(
+            F.unix_timestamp(F.date_trunc("day", F.min("ts"))).alias("s")
+        ).collect()[0]["s"]
+    )
+    return (
+        promql_to_grid(
+            samples,
+            ["k"],
+            "ts_s",
+            "v",
+            start_s=start_s,
+            n_buckets=48,
+            step_s=3600,
+            window_s=7200,
+        )
+        .orderBy("k", "bucket_ts")
+    )
+
+
+@_register(
+    "q308_ranking_metrics",
+    """
+    WITH cnt AS (
+      SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2
+    ),
+    runs AS (
+      SELECT event_type, user_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, user_id) AS rank
+      FROM cnt QUALIFY rank <= 10
+    ),
+    qrels AS (
+      SELECT event_type, user_id, 2 - user_id % 4 AS rel
+      FROM cnt WHERE user_id % 4 <= 1
+    ),
+    j AS (
+      SELECT r.event_type, r.rank, COALESCE(q.rel, 0) AS rel
+      FROM runs r LEFT JOIN qrels q USING (event_type, user_id)
+    ),
+    pr AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits_k,
+             CAST(COUNT(*) AS BIGINT) AS n_ret,
+             MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+             CAST(SUM(rel * (27720 // (rank + 1))) AS BIGINT) AS dcg
+      FROM j GROUP BY 1
+    ),
+    iq AS (
+      SELECT event_type, rel,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY rel DESC, user_id) AS pos
+      FROM qrels
+    ),
+    ideal AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rel,
+             CAST(SUM(CASE WHEN pos <= 10
+                           THEN rel * (27720 // (pos + 1))
+                           ELSE 0 END) AS BIGINT) AS idcg
+      FROM iq GROUP BY 1
+    )
+    SELECT pr.event_type AS event_type, n_rel, hits_k,
+           CAST(floor(hits_k * 1000000.0 / n_rel) AS BIGINT)
+             AS recall_k_ppm,
+           CAST(floor(hits_k * 1000000.0 / n_ret) AS BIGINT)
+             AS precision_k_ppm,
+           COALESCE(CAST(floor(1000000.0 / first_rel) AS BIGINT), 0)
+             AS mrr_ppm,
+           CAST(floor(dcg * 1000000.0 / idcg) AS BIGINT) AS ndcg_k_ppm
+    FROM pr JOIN ideal USING (event_type)
+    ORDER BY event_type
+    """,
+    "retrieval-evaluation metrics over a ranked run vs graded qrels "
+    "(operators/retrieval.py::ranking_metrics): recall@10, "
+    "precision@10, MRR and NDCG@10 per query (event_type), TREC "
+    "run+qrels layout; NDCG uses the exact-integer harmonic discount "
+    "rel*(lcm(2..11)//(rank+1)) so every value hash-matches ANSI SQL; "
+    "one (query,doc) equi-join + two (query) hash aggs, no windows "
+    "over the run, nothing collects",
+)
+def q308(spark, sf_dir):
+    from kubenetmon_spark.operators.retrieval import ranking_metrics
+
+    ev = _t(spark, sf_dir, "events")
+    cnt = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("user_id")
+    )
+    runs = (
+        cnt.select(
+            "event_type",
+            "user_id",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 10)
+    )
+    qrels = cnt.filter(F.col("user_id") % 4 <= 1).select(
+        "event_type",
+        "user_id",
+        (F.lit(2) - F.col("user_id") % 4).alias("rel"),
+    )
+    return ranking_metrics(
+        runs,
+        qrels,
+        k=10,
+        query_col="event_type",
+        doc_col="user_id",
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -233,3 +233,129 @@ def phrase_search(
     return occ.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
+
+
+def ranking_metrics(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query retrieval-evaluation metrics over a ranked run:
+    recall@k, precision@k, MRR and NDCG@k — the eval loop every
+    retrieval / ANN / reranker component in a training-data platform is
+    tuned against (TREC run+qrels layout).
+
+    ``runs``: (query, doc, rank) with rank 1-based; ``qrels``: (query,
+    doc, rel) graded relevance, rel > 0 rows only. Output per query:
+    ``n_rel``, ``hits_k``, ``recall_k_ppm``, ``precision_k_ppm``,
+    ``mrr_ppm`` (0 when no relevant doc is retrieved), ``ndcg_k_ppm``.
+
+    Exact-integer contract (hash-matchable against any SQL engine):
+    NDCG uses the HARMONIC discount 1/(rank+1) instead of the classic
+    1/log2(rank+1) — log2 is irrational and libm-dependent, the
+    harmonic discount keeps the same monotone rank-decay shape and
+    makes DCG an exact integer: rel * (L // (rank+1)) with
+    L = lcm(2..k+1), so every per-position term divides exactly.
+    IDCG ranks the query's own rels descending over the top
+    min(n_rel, k) ideal slots. All ratios are floor ppm.
+
+    Scale posture: one equi-join runs->qrels on (query, doc) followed
+    by a (query) hash agg; IDCG is a second (query) agg on the (far
+    smaller) qrels side joined back co-located. No window over the
+    full run is needed — ranks arrive precomputed; nothing collects.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    import math
+
+    L = math.lcm(*range(2, k + 2))
+
+    q = F.col(query_col)
+    rel_pos = qrels.filter(F.col(rel_col) > 0)
+
+    joined = (
+        runs.filter(F.col(rank_col) <= k)
+        .join(
+            rel_pos.select(
+                q.alias("_q"), F.col(doc_col).alias("_d"),
+                F.col(rel_col).alias("_r"),
+            ),
+            (q == F.col("_q")) & (F.col(doc_col) == F.col("_d")),
+            "left",
+        )
+        .select(
+            q.alias("_query"),
+            F.col(rank_col).alias("_rank"),
+            F.coalesce(F.col("_r"), F.lit(0)).alias("_rel"),
+        )
+    )
+    per_run = joined.groupBy("_query").agg(
+        F.sum(F.when(F.col("_rel") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("hits_k"),
+        F.count(F.lit(1)).cast("long").alias("_n_ret"),
+        F.min(F.when(F.col("_rel") > 0, F.col("_rank"))).alias("_first"),
+        F.sum(
+            F.col("_rel") * F.lit(L).cast("long") / (F.col("_rank") + 1)
+        )
+        .cast("long")
+        .alias("_dcg"),
+    )
+
+    ideal = (
+        rel_pos.groupBy(q.alias("_query"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rel"),
+            F.slice(
+                F.sort_array(F.collect_list(F.col(rel_col)), asc=False),
+                1,
+                k,
+            ).alias("_top"),
+        )
+        .withColumn(
+            "_idcg",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_top"),
+                    F.sequence(
+                        F.lit(2), F.size(F.col("_top")) + F.lit(1)
+                    ),
+                    lambda r, d: r.cast("long")
+                    * F.floor(F.lit(L).cast("long") / d).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+
+    out = (
+        per_run.join(ideal, "_query", "inner")
+        .select(
+            F.col("_query").alias(query_col),
+            "n_rel",
+            "hits_k",
+            F.floor(
+                F.col("hits_k") * F.lit(1000000) / F.col("n_rel")
+            )
+            .cast("long")
+            .alias("recall_k_ppm"),
+            F.floor(
+                F.col("hits_k") * F.lit(1000000) / F.col("_n_ret")
+            )
+            .cast("long")
+            .alias("precision_k_ppm"),
+            F.coalesce(
+                F.floor(F.lit(1000000) / F.col("_first")).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("mrr_ppm"),
+            F.floor(F.col("_dcg") * F.lit(1000000) / F.col("_idcg"))
+            .cast("long")
+            .alias("ndcg_k_ppm"),
+        )
+    )
+    return out

@@ -584,14 +584,18 @@ def explain_prune(
             }
             known |= idx_files
             keep = cand if keep is None else (keep & cand)
+            # mirror read_indexed's fail-open: files this index has never
+            # seen (appended after build) are always kept, so they can
+            # never make an index look decisive
+            n_kept = len(cand & actual) + len(actual - idx_files)
             out.append(
                 {
                     "condition": cond_label,
                     "index": name,
                     "kind": specs[name]["kind"],
                     "n_files": len(actual),
-                    "n_candidates": len(cand & actual),
-                    "decisive": len(cand & actual) < len(actual),
+                    "n_candidates": n_kept,
+                    "decisive": n_kept < len(actual),
                 }
             )
     if keep is None:

@@ -889,3 +889,151 @@ def time_decayed_count_avg(
         )
         .orderBy(*group_cols)
     )
+
+
+def promql_to_grid(
+    samples: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    start_s: int,
+    n_buckets: int,
+    step_s: int,
+    window_s: int,
+) -> DataFrame:
+    """ClickHouse's ``timeSeries*ToGrid`` family (PromQL evaluation
+    semantics re-expressed as one distributed pass): resample-with-
+    staleness, ``delta``, ``increase``, ``rate`` and ``irate`` of a
+    counter series, evaluated at every grid point ``t_i = start_s +
+    i*step_s`` (``i < n_buckets``) over the trailing window
+    ``(t_i - window_s, t_i]``.
+
+    Inputs: ``samples`` carries ``key_cols``, an epoch-second BIGINT
+    ``ts_col`` UNIQUE per key (pre-aggregate duplicate timestamps), and
+    an integer counter ``value_col``. Output per (key, bucket_ts):
+
+    - ``n_samples`` — samples in the window.
+    - ``last_v``   — latest sample value (timeSeriesResampleToGridWithStaleness
+      with staleness = window_s); NULL if the window is empty.
+    - ``delta``    — last - first (gauge delta), NULL when n < 2.
+    - ``increase`` — counter increase, reset-adjusted exactly like
+      PromQL: (last - first) + sum(prev_v) over in-window consecutive
+      sample pairs where the counter dropped. NULL when n < 2.
+    - ``rate_bp``  — floor(increase * 10000 / (last_ts - first_ts)).
+      Deliberate deviation from PromQL, documented: the rate is exact
+      over the OBSERVED span instead of boundary-extrapolated to the
+      window, keeping the whole family in exact integer arithmetic
+      (hash-matchable against any SQL engine). NULL when n < 2.
+    - ``irate_bp`` — floor(pair_increase * 10000 / pair_duration) of
+      the LATEST consecutive pair with both endpoints in-window
+      (PromQL irate, same reset rule: a drop counts from 0). NULL if
+      no such pair.
+
+    Scale posture (the 100 TB question): no range join and no
+    per-grid-point scan. Each sample covers the grid points whose
+    window contains it — a bounded ``sequence()`` explode of exactly
+    ceil(window_s/step_s) grid indices per row — and each consecutive
+    pair likewise; both fan-outs then hash-aggregate on (key, bucket).
+    Cost is O(rows * window/step) with ONE shuffle for the lag pass
+    (key-partitioned sort) and one hash-agg shuffle on (key, bucket);
+    the pair-side and sample-side aggregates share that partitioning
+    and join co-located. Nothing collects to the driver.
+
+    Reference: ClickHouse timeSeriesResampleToGridWithStaleness /
+    timeSeriesRateToGrid / timeSeriesDeltaToGrid / timeSeriesInstantRateToGrid;
+    kubenetmon dashboards compute exactly these per-pod rates over the
+    SummingMergeTree minute rollup (SURVEY.md section 2 A2/A4).
+    """
+    ts = F.col(ts_col).cast("long")
+    v = F.col(value_col).cast("long")
+    start = F.lit(int(start_s)).cast("long")
+    step = F.lit(int(step_s)).cast("long")
+    win = F.lit(int(window_s)).cast("long")
+    last_i = F.lit(int(n_buckets) - 1).cast("long")
+
+    def _cover(lo_ts, hi_ts):
+        # grid indices i with lo_ts <= t_i <= hi_ts, clamped to the grid
+        i_lo = F.greatest(
+            F.lit(0).cast("long"),
+            _floor_div(lo_ts - start + step - F.lit(1), step),
+        )
+        i_hi = F.least(last_i, _floor_div(hi_ts - start, step))
+        return F.when(i_lo <= i_hi, F.sequence(i_lo, i_hi)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    # ---- sample-side: first/last/count per (key, bucket) ------------
+    # sample at ts is in window of t iff ts <= t < ts + window
+    s_cov = samples.select(
+        *key_cols,
+        ts.alias("_ts"),
+        v.alias("_v"),
+        F.explode(_cover(ts, ts + win - F.lit(1))).alias("_i"),
+    )
+    sample_agg = s_cov.groupBy(*key_cols, "_i").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.max_by("_v", "_ts").alias("last_v"),
+        F.min_by("_v", "_ts").alias("_first_v"),
+        F.max("_ts").alias("_last_ts"),
+        F.min("_ts").alias("_first_ts"),
+    )
+
+    # ---- pair-side: reset adjustment + latest pair (irate) ----------
+    w = Window.partitionBy(*key_cols).orderBy("_ts")
+    pairs = (
+        samples.select(*key_cols, ts.alias("_ts"), v.alias("_v"))
+        .withColumn("_pts", F.lag("_ts").over(w))
+        .withColumn("_pv", F.lag("_v").over(w))
+        .filter(F.col("_pts").isNotNull())
+    )
+    # pair (pts, ts) fully in window of t iff ts <= t < pts + window
+    p_cov = pairs.select(
+        *key_cols,
+        "_ts",
+        F.when(F.col("_v") < F.col("_pv"), F.col("_pv"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_reset_add"),
+        F.when(F.col("_v") >= F.col("_pv"), F.col("_v") - F.col("_pv"))
+        .otherwise(F.col("_v"))
+        .cast("long")
+        .alias("_pair_inc"),
+        (F.col("_ts") - F.col("_pts")).alias("_pair_dur"),
+        F.explode(_cover(F.col("_ts"), F.col("_pts") + win - F.lit(1))).alias(
+            "_i"
+        ),
+    )
+    pair_agg = p_cov.groupBy(*key_cols, "_i").agg(
+        F.sum("_reset_add").alias("_resets"),
+        F.max_by("_pair_inc", "_ts").alias("_li"),
+        F.max_by("_pair_dur", "_ts").alias("_ld"),
+    )
+
+    two = F.col("n_samples") >= 2
+    out = (
+        sample_agg.join(pair_agg, [*key_cols, "_i"], "left")
+        .withColumn("_resets", F.coalesce(F.col("_resets"), F.lit(0)))
+        .select(
+            *key_cols,
+            (start + F.col("_i") * step).alias("bucket_ts"),
+            "n_samples",
+            "last_v",
+            F.when(two, F.col("last_v") - F.col("_first_v")).alias("delta"),
+            F.when(
+                two,
+                F.col("last_v") - F.col("_first_v") + F.col("_resets"),
+            ).alias("increase"),
+            F.when(
+                two,
+                _floor_div(
+                    (F.col("last_v") - F.col("_first_v") + F.col("_resets"))
+                    * F.lit(10000),
+                    F.col("_last_ts") - F.col("_first_ts"),
+                ),
+            ).alias("rate_bp"),
+            _floor_div(F.col("_li") * F.lit(10000), F.col("_ld")).alias(
+                "irate_bp"
+            ),
+        )
+    )
+    return out

@@ -1408,3 +1408,114 @@ class TestAggForeach:
             value=F.expr("cast(floor(col * 10 + 0.5) as bigint)"),
         ).collect()[0]
         assert r.sums == [10 + 5, 21 + 5] and r.counts == [2, 2]
+
+
+class TestPromqlGrid:
+    def _run(self, spark, rows, **kw):
+        from kubenetmon_spark.operators.timeseries import promql_to_grid
+
+        df = spark.createDataFrame(rows, "k string, ts_s long, v long")
+        out = promql_to_grid(df, ["k"], "ts_s", "v", **kw)
+        return {
+            (r.k, r.bucket_ts): r for r in out.collect()
+        }
+
+    def test_counter_with_reset_hand_computed(self, spark):
+        rows = [("a", 10, 5), ("a", 20, 8), ("a", 30, 2), ("a", 40, 4)]
+        got = self._run(
+            spark, rows, start_s=0, n_buckets=6, step_s=10, window_s=25
+        )
+        assert ("a", 0) not in got  # empty window -> no row
+        r10 = got[("a", 10)]
+        assert (r10.n_samples, r10.last_v) == (1, 5)
+        assert r10.delta is None and r10.increase is None
+        assert r10.rate_bp is None and r10.irate_bp is None
+        r20 = got[("a", 20)]
+        assert (r20.delta, r20.increase) == (3, 3)
+        assert (r20.rate_bp, r20.irate_bp) == (3000, 3000)
+        r30 = got[("a", 30)]  # reset 8->2 counts from 0
+        assert (r30.last_v, r30.delta, r30.increase) == (2, -3, 5)
+        assert (r30.rate_bp, r30.irate_bp) == (2500, 2000)
+        r40 = got[("a", 40)]  # window (15,40]: first=8, reset inside
+        assert (r40.delta, r40.increase, r40.rate_bp) == (-4, 4, 2000)
+        r50 = got[("a", 50)]  # window (25,50]: {30,40} only
+        assert (r50.n_samples, r50.delta, r50.increase) == (2, 2, 2)
+
+    def test_grid_clamps_and_keys_are_independent(self, spark):
+        rows = [
+            ("a", -100, 1), ("a", 5, 2), ("a", 999, 3),  # outside grid
+            ("b", 5, 7), ("b", 15, 9),
+        ]
+        got = self._run(
+            spark, rows, start_s=0, n_buckets=2, step_s=10, window_s=10
+        )
+        # ts=5 covers only t=10 (window (0,10]); t=0's window (-10,0]
+        # is empty; -100 and 999 never leak into the 2-point grid
+        assert set(got) == {("a", 10), ("b", 10)}
+        # b's ts=15 covers only t in [15,24] — beyond the 2-point grid
+        assert got[("b", 10)].n_samples == 1
+        assert got[("b", 10)].increase is None
+        assert got[("a", 10)].n_samples == 1
+
+    def test_empty_input(self, spark):
+        from kubenetmon_spark.operators.timeseries import promql_to_grid
+
+        df = spark.createDataFrame([], "k string, ts_s long, v long")
+        out = promql_to_grid(
+            df, ["k"], "ts_s", "v",
+            start_s=0, n_buckets=4, step_s=10, window_s=20,
+        )
+        assert out.count() == 0
+
+    def test_differential_vs_python_spec(self, spark):
+        import random
+
+        rng = random.Random(77)
+        rows = []
+        for k in ("a", "b", "c"):
+            ts = sorted(rng.sample(range(0, 500), 40))
+            cum = 0
+            for t in ts:
+                cum = (cum + rng.randint(0, 50)) % 300  # forced resets
+                rows.append((k, t, cum))
+        start, n, step, win = 0, 12, 40, 100
+        got = self._run(
+            spark, rows,
+            start_s=start, n_buckets=n, step_s=step, window_s=win,
+        )
+
+        by_key = {}
+        for k, t, v in rows:
+            by_key.setdefault(k, []).append((t, v))
+        import math
+
+        for k, series in by_key.items():
+            series.sort()
+            for i in range(n):
+                t = start + i * step
+                inw = [(ts, v) for ts, v in series if t - win < ts <= t]
+                if not inw:
+                    assert (k, t) not in got
+                    continue
+                r = got[(k, t)]
+                assert r.n_samples == len(inw)
+                assert r.last_v == inw[-1][1]
+                if len(inw) >= 2:
+                    resets = sum(
+                        pv
+                        for (pts, pv), (ts, v) in zip(inw, inw[1:])
+                        if v < pv
+                    )
+                    inc = inw[-1][1] - inw[0][1] + resets
+                    assert r.delta == inw[-1][1] - inw[0][1]
+                    assert r.increase == inc
+                    assert r.rate_bp == math.floor(
+                        inc * 10000 / (inw[-1][0] - inw[0][0])
+                    )
+                    (pts, pv), (lts, lv) = inw[-2], inw[-1]
+                    pinc = lv - pv if lv >= pv else lv
+                    assert r.irate_bp == math.floor(
+                        pinc * 10000 / (lts - pts)
+                    )
+                else:
+                    assert r.delta is None and r.increase is None

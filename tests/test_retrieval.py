@@ -158,3 +158,62 @@ class TestPhraseSearch:
             for r in phrase_search(df, "a a").collect()
         }
         assert got == {0: 3}  # overlapping matches count; doc 1 has none
+
+
+class TestRankingMetrics:
+    def _run(self, spark, runs, qrels, k=3):
+        from kubenetmon_spark.operators.retrieval import ranking_metrics
+
+        r = spark.createDataFrame(
+            runs, "query_id string, doc_id long, rank int"
+        )
+        q = spark.createDataFrame(
+            qrels, "query_id string, doc_id long, rel int"
+        )
+        out = ranking_metrics(r, q, k=k)
+        return {row.query_id: row for row in out.collect()}
+
+    def test_hand_computed(self, spark):
+        # k=3 -> L = lcm(2,3,4) = 12
+        runs = [("q", 1, 1), ("q", 2, 2), ("q", 3, 3), ("q", 4, 4)]
+        qrels = [("q", 2, 2), ("q", 3, 1), ("q", 9, 1)]
+        got = self._run(spark, runs, qrels)["q"]
+        assert (got.n_rel, got.hits_k) == (3, 2)
+        assert got.recall_k_ppm == 666666
+        assert got.precision_k_ppm == 666666
+        assert got.mrr_ppm == 500000  # first relevant at rank 2
+        # dcg = 2*(12//3) + 1*(12//4) = 11; idcg = 2*6+1*4+1*3 = 19
+        assert got.ndcg_k_ppm == 11 * 1000000 // 19
+
+    def test_no_relevant_retrieved(self, spark):
+        runs = [("q", 1, 1), ("q", 2, 2)]
+        qrels = [("q", 50, 1)]
+        got = self._run(spark, runs, qrels)["q"]
+        assert got.hits_k == 0 and got.mrr_ppm == 0
+        assert got.recall_k_ppm == 0 and got.ndcg_k_ppm == 0
+
+    def test_perfect_run_is_ppm_one(self, spark):
+        runs = [("q", 1, 1), ("q", 2, 2)]
+        qrels = [("q", 1, 2), ("q", 2, 1)]
+        got = self._run(spark, runs, qrels)["q"]
+        assert got.ndcg_k_ppm == 1000000
+        assert got.recall_k_ppm == 1000000
+        assert got.mrr_ppm == 1000000
+
+    def test_rank_beyond_k_ignored_and_zero_rel_qrels_dropped(self, spark):
+        runs = [("q", 1, 1), ("q", 2, 4)]  # rank 4 > k
+        qrels = [("q", 2, 1), ("q", 1, 0)]  # rel 0 row is not relevant
+        got = self._run(spark, runs, qrels)["q"]
+        assert got.n_rel == 1 and got.hits_k == 0
+
+    def test_queries_without_qrels_are_dropped(self, spark):
+        runs = [("q", 1, 1), ("r", 1, 1)]
+        qrels = [("q", 1, 1)]
+        got = self._run(spark, runs, qrels)
+        assert set(got) == {"q"}
+
+    def test_k_validation(self, spark):
+        from kubenetmon_spark.operators.retrieval import ranking_metrics
+
+        with pytest.raises(ValueError):
+            ranking_metrics(None, None, k=0)

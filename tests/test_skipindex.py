@@ -166,6 +166,9 @@ def test_fail_open_for_files_appended_after_build(indexed_table):
             probe = spark.read.parquet(str(f))
             if probe.where("uid = 99").count():
                 f.unlink()
+        # the unlink is out-of-band: drop the cached file listing or
+        # every later read of tbl still sees (and ignores) the dead file
+        spark.catalog.refreshByPath(tbl)
 
 
 def test_min_prune_ratio_skips_file_list(indexed_table):
