@@ -929,15 +929,16 @@ def promql_to_grid(
       (PromQL irate, same reset rule: a drop counts from 0). NULL if
       no such pair.
 
-    Scale posture (the 100 TB question): no range join and no
-    per-grid-point scan. Each sample covers the grid points whose
-    window contains it — a bounded ``sequence()`` explode of exactly
-    ceil(window_s/step_s) grid indices per row — and each consecutive
-    pair likewise; both fan-outs then hash-aggregate on (key, bucket).
-    Cost is O(rows * window/step) with ONE shuffle for the lag pass
-    (key-partitioned sort) and one hash-agg shuffle on (key, bucket);
-    the pair-side and sample-side aggregates share that partitioning
-    and join co-located. Nothing collects to the driver.
+    Scale posture (the 100 TB question): no range join, no
+    per-grid-point scan, and ONE pass over the series. Each sample
+    covers the grid points whose window contains it — a bounded
+    ``sequence()`` explode of exactly ceil(window_s/step_s) grid
+    indices per row — and each consecutive pair likewise; BOTH
+    coverage fan-outs are emitted from the same post-lag row (one
+    array concat, one explode), so the plan is: one scan, one
+    key-partitioned sort for the lag window, one (key, bucket)
+    hash-agg with conditional aggregates. No self-join, no second
+    scan, nothing collects to the driver. Cost O(rows * window/step).
 
     Reference: ClickHouse timeSeriesResampleToGridWithStaleness /
     timeSeriesRateToGrid / timeSeriesDeltaToGrid / timeSeriesInstantRateToGrid;
@@ -962,78 +963,90 @@ def promql_to_grid(
             F.array().cast("array<bigint>")
         )
 
-    # ---- sample-side: first/last/count per (key, bucket) ------------
-    # sample at ts is in window of t iff ts <= t < ts + window
-    s_cov = samples.select(
-        *key_cols,
-        ts.alias("_ts"),
-        v.alias("_v"),
-        F.explode(_cover(ts, ts + win - F.lit(1))).alias("_i"),
-    )
-    sample_agg = s_cov.groupBy(*key_cols, "_i").agg(
-        F.count(F.lit(1)).alias("n_samples"),
-        F.max_by("_v", "_ts").alias("last_v"),
-        F.min_by("_v", "_ts").alias("_first_v"),
-        F.max("_ts").alias("_last_ts"),
-        F.min("_ts").alias("_first_ts"),
-    )
-
-    # ---- pair-side: reset adjustment + latest pair (irate) ----------
+    # ---- one pass: lag, then emit both coverage fan-outs together ----
     w = Window.partitionBy(*key_cols).orderBy("_ts")
-    pairs = (
+    lagged = (
         samples.select(*key_cols, ts.alias("_ts"), v.alias("_v"))
         .withColumn("_pts", F.lag("_ts").over(w))
         .withColumn("_pv", F.lag("_v").over(w))
-        .filter(F.col("_pts").isNotNull())
     )
-    # pair (pts, ts) fully in window of t iff ts <= t < pts + window
-    p_cov = pairs.select(
-        *key_cols,
-        "_ts",
-        F.when(F.col("_v") < F.col("_pv"), F.col("_pv"))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("_reset_add"),
-        F.when(F.col("_v") >= F.col("_pv"), F.col("_v") - F.col("_pv"))
-        .otherwise(F.col("_v"))
-        .cast("long")
-        .alias("_pair_inc"),
-        (F.col("_ts") - F.col("_pts")).alias("_pair_dur"),
-        F.explode(_cover(F.col("_ts"), F.col("_pts") + win - F.lit(1))).alias(
-            "_i"
+    # sample at ts is in window of t iff ts <= t < ts + window;
+    # pair (pts, ts) is fully in window iff ts <= t < pts + window
+    sample_ev = F.transform(
+        _cover(F.col("_ts"), F.col("_ts") + win - F.lit(1)),
+        lambda i: F.struct(
+            i.alias("_i"),
+            F.lit(False).alias("_is_pair"),
+            F.col("_ts").alias("_ets"),
+            F.col("_v").alias("_ev"),
+            F.lit(None).cast("long").alias("_reset_add"),
+            F.lit(None).cast("long").alias("_pair_inc"),
+            F.lit(None).cast("long").alias("_pair_dur"),
         ),
     )
-    pair_agg = p_cov.groupBy(*key_cols, "_i").agg(
-        F.sum("_reset_add").alias("_resets"),
-        F.max_by("_pair_inc", "_ts").alias("_li"),
-        F.max_by("_pair_dur", "_ts").alias("_ld"),
+    pair_ev = F.when(
+        F.col("_pts").isNotNull(),
+        F.transform(
+            _cover(F.col("_ts"), F.col("_pts") + win - F.lit(1)),
+            lambda i: F.struct(
+                i.alias("_i"),
+                F.lit(True).alias("_is_pair"),
+                F.col("_ts").alias("_ets"),
+                F.lit(None).cast("long").alias("_ev"),
+                F.when(F.col("_v") < F.col("_pv"), F.col("_pv"))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("_reset_add"),
+                F.when(
+                    F.col("_v") >= F.col("_pv"), F.col("_v") - F.col("_pv")
+                )
+                .otherwise(F.col("_v"))
+                .cast("long")
+                .alias("_pair_inc"),
+                (F.col("_ts") - F.col("_pts")).alias("_pair_dur"),
+            ),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<_i:bigint,_is_pair:boolean,_ets:bigint,_ev:bigint,"
+        "_reset_add:bigint,_pair_inc:bigint,_pair_dur:bigint>>"
+    ))
+    ev = lagged.select(
+        *key_cols,
+        F.explode(F.concat(sample_ev, pair_ev)).alias("_e"),
+    ).select(*key_cols, "_e.*")
+
+    is_s = ~F.col("_is_pair")
+    agg = ev.groupBy(*key_cols, "_i").agg(
+        F.sum(F.when(is_s, 1).otherwise(0)).cast("long").alias("n_samples"),
+        F.max(F.when(is_s, F.struct("_ets", "_ev"))).alias("_last"),
+        F.min(F.when(is_s, F.struct("_ets", "_ev"))).alias("_first"),
+        F.coalesce(F.sum("_reset_add"), F.lit(0)).alias("_resets"),
+        F.max(
+            F.when(
+                F.col("_is_pair"),
+                F.struct("_ets", "_pair_inc", "_pair_dur"),
+            )
+        ).alias("_lp"),
     )
 
     two = F.col("n_samples") >= 2
-    out = (
-        sample_agg.join(pair_agg, [*key_cols, "_i"], "left")
-        .withColumn("_resets", F.coalesce(F.col("_resets"), F.lit(0)))
-        .select(
-            *key_cols,
-            (start + F.col("_i") * step).alias("bucket_ts"),
-            "n_samples",
-            "last_v",
-            F.when(two, F.col("last_v") - F.col("_first_v")).alias("delta"),
-            F.when(
-                two,
-                F.col("last_v") - F.col("_first_v") + F.col("_resets"),
-            ).alias("increase"),
-            F.when(
-                two,
-                _floor_div(
-                    (F.col("last_v") - F.col("_first_v") + F.col("_resets"))
-                    * F.lit(10000),
-                    F.col("_last_ts") - F.col("_first_ts"),
-                ),
-            ).alias("rate_bp"),
-            _floor_div(F.col("_li") * F.lit(10000), F.col("_ld")).alias(
-                "irate_bp"
+    inc = F.col("_last._ev") - F.col("_first._ev") + F.col("_resets")
+    out = agg.select(
+        *key_cols,
+        (start + F.col("_i") * step).alias("bucket_ts"),
+        "n_samples",
+        F.col("_last._ev").alias("last_v"),
+        F.when(two, F.col("_last._ev") - F.col("_first._ev")).alias("delta"),
+        F.when(two, inc).alias("increase"),
+        F.when(
+            two,
+            _floor_div(
+                inc * F.lit(10000),
+                F.col("_last._ets") - F.col("_first._ets"),
             ),
-        )
+        ).alias("rate_bp"),
+        _floor_div(
+            F.col("_lp._pair_inc") * F.lit(10000), F.col("_lp._pair_dur")
+        ).alias("irate_bp"),
     )
     return out

@@ -247,6 +247,14 @@ KNOWN = {
     "corpus/query-cardinality; plan-asserted that only centroids "
     "broadcast — tests/test_plans.py kNN test), plus the label-vote "
     "agg and eval join over k-row-per-probe tables",
+    "q308_ranking_metrics": "all joins broadcast (qrels side is the "
+    "small one by definition) and WindowGroupLimit pushes the top-10 "
+    "rank cut into the partial sort; the extra exchanges are the "
+    "GATE's data synthesis re-deriving runs+qrels from the same "
+    "(event_type,user_id) pre-agg three times — identical exchange "
+    "subtrees AQE reuses at runtime; real use reads precomputed "
+    "run/qrel tables and the operator itself adds one broadcast join "
+    "+ two (query) hash aggs",
 }
 
 #: adjudicated bench-timing regressions (VERDICT r02 #2): every entry a
