@@ -16473,6 +16473,58 @@ def q308(spark, sf_dir):
     ).orderBy("event_type")
 
 
+@_register(
+    "q309_embedding_contamination",
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nm
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id AS bench_id, embedding, nm FROM n WHERE vec_id % 25 = 0
+    ),
+    c AS (
+      SELECT vec_id AS corpus_id, embedding, nm FROM n
+      WHERE vec_id % 25 <> 0
+      UNION ALL
+      SELECT vec_id + 10000, embedding, nm FROM n WHERE vec_id % 25 = 0
+    )
+    SELECT c.corpus_id, b.bench_id,
+           CAST(ROUND({_DOT.format(a='c.embedding', b='b.embedding')}
+                      / (c.nm * b.nm) * 10000, 0) AS BIGINT) AS cosine_bp
+    FROM c, b
+    WHERE CAST(ROUND({_DOT.format(a='c.embedding', b='b.embedding')}
+                     / (c.nm * b.nm) * 10000, 0) AS BIGINT) >= 4000
+    ORDER BY corpus_id, bench_id
+    """,
+    "embedding-space benchmark decontamination "
+    "(operators/contamination.py::embedding_contamination_pairs, "
+    "method='exact'): every 25th embedding is the eval suite, the "
+    "corpus is the rest plus PLANTED copies of the eval vectors under "
+    "shifted ids; pairs at cosine_bp >= 4000 catch both the planted "
+    "exact copies (10000) and the organic near-threshold tail — the "
+    "benchmark side broadcasts, the corpus scans once with zero "
+    "shuffle, and the max_benchmark tripwire enforces that posture "
+    "(the q22 lesson applied at design time)",
+)
+def q309(spark, sf_dir):
+    from kubenetmon_spark.operators.contamination import (
+        embedding_contamination_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bench = e.filter(F.col("vec_id") % 25 == 0)
+    corpus = e.filter(F.col("vec_id") % 25 != 0).unionByName(
+        bench.select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    )
+    return embedding_contamination_pairs(
+        corpus, bench, threshold_bp=4000, method="exact"
+    ).orderBy("corpus_id", "bench_id")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

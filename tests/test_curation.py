@@ -949,3 +949,97 @@ class TestMixtureEpochs:
             for r in out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         assert per == {0: 40, 1: 20}  # 2 epochs of bucket 0, 1 of bucket 1
+
+
+class TestEmbeddingContamination:
+    def _vecs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_planted_copy_flagged_exact(self, spark):
+        from kubenetmon_spark.operators.contamination import (
+            embedding_contamination_pairs,
+        )
+
+        bench = self._vecs(spark, [(0, [1.0, 0.0, 0.0])])
+        corpus = self._vecs(
+            spark,
+            [
+                (10, [2.0, 0.0, 0.0]),     # same direction -> 10000
+                (11, [0.0, 1.0, 0.0]),     # orthogonal -> 0
+                (12, [1.0, 1.0, 0.0]),     # 45 deg -> 7071
+                (13, [0.0, 0.0, 0.0]),     # zero norm -> NULL, never matches
+            ],
+        )
+        got = {
+            (r.corpus_id, r.bench_id): r.cosine_bp
+            for r in embedding_contamination_pairs(
+                corpus, bench, threshold_bp=7000
+            ).collect()
+        }
+        assert got == {(10, 0): 10000, (12, 0): 7071}
+
+    def test_lsh_subset_of_exact_at_dup_threshold(self, spark):
+        from kubenetmon_spark.operators.contamination import (
+            embedding_contamination_pairs,
+        )
+
+        import random
+
+        rng = random.Random(3)
+        dim = 16
+        bench_rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(4)
+        ]
+        corpus_rows = [
+            (100 + i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(30)
+        ] + [(200 + i, v) for i, v in enumerate(r[1] for r in bench_rows)]
+        bench = self._vecs(spark, bench_rows)
+        corpus = self._vecs(spark, corpus_rows)
+        exact = {
+            (r.corpus_id, r.bench_id)
+            for r in embedding_contamination_pairs(
+                corpus, bench, threshold_bp=10000
+            ).collect()
+        }
+        lsh = {
+            (r.corpus_id, r.bench_id)
+            for r in embedding_contamination_pairs(
+                corpus, bench, threshold_bp=10000, method="lsh"
+            ).collect()
+        }
+        planted = {(200 + i, i) for i in range(4)}
+        assert lsh <= exact
+        # exact-direction copies agree on every band key -> never missed
+        assert planted <= lsh
+
+    def test_max_benchmark_tripwire(self, spark):
+        from kubenetmon_spark.operators.contamination import (
+            embedding_contamination_pairs,
+        )
+
+        bench = self._vecs(spark, [(i, [1.0, 0.0]) for i in range(5)])
+        corpus = self._vecs(spark, [(10, [1.0, 0.0])])
+        with pytest.raises(ValueError):
+            embedding_contamination_pairs(
+                corpus, bench, max_benchmark=4
+            )
+
+    def test_decontaminate_by_embedding(self, spark):
+        from kubenetmon_spark.operators.contamination import (
+            decontaminate_by_embedding,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "keep"), (2, "contaminated")], "doc_id long, text string"
+        )
+        vecs = self._vecs(
+            spark, [(1, [0.0, 1.0, 0.0]), (2, [1.0, 0.0, 0.0])]
+        )
+        bench = self._vecs(spark, [(0, [2.0, 0.0, 0.0])])
+        out = decontaminate_by_embedding(
+            corpus, vecs, bench, threshold_bp=9500
+        )
+        assert [r.doc_id for r in out.collect()] == [1]
