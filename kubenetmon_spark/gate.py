@@ -16525,6 +16525,51 @@ def q309(spark, sf_dir):
     ).orderBy("corpus_id", "bench_id")
 
 
+@_register(
+    "q310_leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_SQL},
+    edges AS (
+      SELECT id_1 AS a, id_2 AS b FROM pairs
+      UNION
+      SELECT id_2 AS a, id_1 AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS cluster_rep FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.cluster_rep, d.doc_id) AS cluster_rep,
+           CASE WHEN substr(md5(CAST(COALESCE(c.cluster_rep, d.doc_id)
+                                     AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    "near-dup-aware train/test split "
+    "(operators/sampling.py::leakage_safe_split): the hash split "
+    "decision is made on the duplicate-CLUSTER representative (q43's "
+    "connected components over minhash-LSH pairs; singletons are their "
+    "own cluster), so near-duplicates can never straddle train/test — "
+    "components run on the tiny edge set, the corpus takes one "
+    "broadcast left join + a narrow md5 filter, zero corpus shuffle",
+)
+def q310(spark, sf_dir):
+    from kubenetmon_spark.operators.sampling import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, bands=4, n=3,
+        verify_threshold_bp=3000,
+    )
+    return leakage_safe_split(d, pairs, "doc_id", train_bp=9000).orderBy(
+        "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -92,3 +92,47 @@ def stratified_sample_exact(
         .drop("_h", "_rn")
         .select(*df.columns)
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_bp: int = 9000,
+) -> DataFrame:
+    """Near-dup-aware train/test split: the split decision is made per
+    duplicate CLUSTER, not per document, so two near-duplicates can
+    never straddle the boundary — the leakage a naive hash split
+    silently ships (the eval twin of decontamination: here the corpus
+    is split against itself).
+
+    ``dup_pairs``: (id_1, id_2) near-duplicate edges (minhash_lsh_pairs
+    / cosine_near_dup_pairs output). Every document resolves to its
+    cluster representative (min id via connected components; documents
+    in no pair are their own singleton cluster), and the cluster rep —
+    not the doc id — feeds the deterministic :func:`hash_keep`
+    decision. Output: (id, cluster_rep, split 'train'|'test').
+
+    Scale posture: components run on the EDGE set (tiny next to the
+    corpus — near-dup pairs), the corpus itself takes one broadcast
+    left join of the node->rep map and a narrow hash filter; no corpus
+    shuffle. The rep map is bounded by the number of duplicated docs,
+    not corpus size.
+    """
+    from kubenetmon_spark.operators.graph import duplicate_clusters
+
+    reps = duplicate_clusters(dup_pairs).select(
+        F.col("node").alias("_n"), F.col("cluster_rep").alias("_rep")
+    )
+    withrep = docs.join(
+        F.broadcast(reps), docs[id_col] == F.col("_n"), "left"
+    ).withColumn(
+        "cluster_rep", F.coalesce(F.col("_rep"), F.col(id_col))
+    )
+    return withrep.select(
+        F.col(id_col),
+        "cluster_rep",
+        F.when(hash_keep(F.col("cluster_rep"), train_bp), F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

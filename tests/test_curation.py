@@ -1043,3 +1043,48 @@ class TestEmbeddingContamination:
             corpus, vecs, bench, threshold_bp=9500
         )
         assert [r.doc_id for r in out.collect()] == [1]
+
+
+class TestLeakageSafeSplit:
+    def test_cluster_members_share_split(self, spark):
+        from kubenetmon_spark.operators.sampling import leakage_safe_split
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(20)], "doc_id long"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 5), (5, 9), (2, 3)], "id_1 long, id_2 long"
+        )
+        out = leakage_safe_split(docs, pairs, "doc_id", train_bp=5000)
+        rows = {r.doc_id: r for r in out.collect()}
+        assert len(rows) == 20
+        # chained cluster {1,5,9} -> rep 1, shared fate
+        assert {rows[i].cluster_rep for i in (1, 5, 9)} == {1}
+        assert len({rows[i].split for i in (1, 5, 9)}) == 1
+        assert {rows[i].cluster_rep for i in (2, 3)} == {2}
+        assert rows[2].split == rows[3].split
+        # singletons are their own cluster
+        assert rows[7].cluster_rep == 7
+        # the split decision is hash_keep(rep), verified directly
+        from kubenetmon_spark.operators.sampling import hash_keep
+        from pyspark.sql import functions as F
+
+        expect = {
+            r.doc_id: "train" if r.keep else "test"
+            for r in docs.select(
+                "doc_id", hash_keep(F.col("doc_id"), 5000).alias("keep")
+            ).collect()
+        }
+        for i in (0, 4, 6, 7, 8):  # singleton docs: rep == id
+            assert rows[i].split == expect[i]
+
+    def test_empty_pairs_is_plain_hash_split(self, spark):
+        from kubenetmon_spark.operators.sampling import leakage_safe_split
+
+        docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+        pairs = spark.createDataFrame([], "id_1 long, id_2 long")
+        out = leakage_safe_split(docs, pairs, "doc_id", train_bp=10000)
+        rows = out.collect()
+        assert len(rows) == 10
+        assert all(r.split == "train" for r in rows)
+        assert all(r.cluster_rep == r.doc_id for r in rows)
