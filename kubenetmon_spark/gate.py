@@ -16570,6 +16570,50 @@ def q310(spark, sf_dir):
     )
 
 
+@_register(
+    "q311_hard_negatives",
+    f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nm
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding AS qv, nm AS qnm
+      FROM n WHERE vec_id % 50 = 0
+    ),
+    s AS (
+      SELECT q.qid, c.vec_id,
+             CAST(ROUND({_DOT.format(a='c.embedding', b='q.qv')}
+                        / (c.nm * q.qnm) * 10000, 0) AS BIGINT) AS cosine_bp
+      FROM n c JOIN q ON c.label <> q.qlabel
+    ),
+    r AS (
+      SELECT qid, vec_id, cosine_bp,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine_bp DESC, vec_id) AS rk
+      FROM s
+    )
+    SELECT qid, vec_id, cosine_bp, rk FROM r WHERE rk <= 5
+    ORDER BY qid, rk
+    """,
+    "hard-negative mining for contrastive training "
+    "(operators/similarity.py::hard_negative_mining): per probe vector "
+    "(every 50th embedding), the top-5 corpus vectors by cosine with a "
+    "DIFFERENT label — the near-miss examples that define the decision "
+    "boundary; probe panel broadcasts, corpus scans once, per-query "
+    "top-k runs as WindowGroupLimit (partial top-k per task before the "
+    "single qid shuffle), ranking on integer cosine_bp with id "
+    "tie-break",
+)
+def q311(spark, sf_dir):
+    from kubenetmon_spark.operators.similarity import hard_negative_mining
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return hard_negative_mining(e, queries, k=5).orderBy("qid", "rk")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -1172,3 +1172,62 @@ def pca_project(
         )
         proj_cols.append(expr)
     return df.withColumn("pca", F.array(*proj_cols))
+
+
+def hard_negative_mining(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard negatives for contrastive training: per query, the top-k
+    corpus vectors by cosine whose ``label_col`` DIFFERS from the
+    query's — the "similar but wrong" examples a retrieval/embedding
+    model learns the most from (in-batch random negatives are too
+    easy; the near-misses define the decision boundary).
+
+    Output: (qid, id, cosine_bp, rk) with rk 1..k. Deterministic:
+    ranking on integer ``cosine_bp`` (= round(cos*10000), the q309
+    scaled-before-rounding convention) with id tie-break.
+
+    Scale posture: the query panel broadcasts (queries are a probe
+    set, not a second corpus), the corpus scans ONCE — the per-query
+    top-k is a rank window Spark executes as WindowGroupLimit (partial
+    top-k inside each task before the single (qid) shuffle of
+    surviving candidates), never a global sort. For corpus-x-corpus
+    mining, compose with the persisted IVF index instead
+    (build_ivf_index + ivf_search_many, then anti-join positives).
+    """
+    q = queries.select(
+        F.col(id_col).alias("_qid"),
+        F.col(vec_col).alias("_qv"),
+        F.col(label_col).alias("_qlabel"),
+    )
+    c = vectors.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cv"),
+        F.col(label_col).alias("_clabel"),
+    )
+    cos = F.try_divide(
+        _dot(F.col("_cv"), F.col("_qv")),
+        _norm(F.col("_cv")) * _norm(F.col("_qv")),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("_clabel") != F.col("_qlabel"))
+        .select(
+            F.col("_qid").alias("qid"),
+            F.col("_cid").alias(id_col),
+            F.round(cos * F.lit(10000.0), 0).cast("long").alias("cosine_bp"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cosine_bp"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

@@ -728,3 +728,47 @@ class TestRemoveDuplicateSpans:
         }
         # below k tokens: no grams, nothing removed (even exact copies)
         assert got[1].n_removed == 0 and got[2].n_removed == 0
+
+
+class TestHardNegativeMining:
+    def test_excludes_same_label_and_ranks_by_cosine(self, spark):
+        from kubenetmon_spark.operators.similarity import (
+            hard_negative_mining,
+        )
+
+        vecs = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0], 0),    # the query
+                (1, [1.0, 0.0], 0),    # same label: excluded even at cos 1
+                (2, [2.0, 0.0], 1),    # diff label, cos 10000 -> rk 1
+                (3, [1.0, 1.0], 1),    # cos 7071 -> rk 2
+                (4, [0.0, 1.0], 1),    # cos 0 -> rk 3
+                (5, [-1.0, 0.0], 1),   # cos -10000 -> rk 4
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        q = vecs.filter(F.col("vec_id") == 0)
+        got = hard_negative_mining(vecs, q, k=3).orderBy("rk").collect()
+        assert [(r.vec_id, r.cosine_bp, r.rk) for r in got] == [
+            (2, 10000, 1),
+            (3, 7071, 2),
+            (4, 0, 3),
+        ]
+
+    def test_plan_uses_window_group_limit_and_broadcast(self, spark):
+        from kubenetmon_spark.operators.similarity import (
+            hard_negative_mining,
+        )
+
+        vecs = spark.createDataFrame(
+            [(i, [float(i), 1.0], i % 3) for i in range(50)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        q = vecs.filter(F.col("vec_id") < 3)
+        plan = (
+            hard_negative_mining(vecs, q, k=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "WindowGroupLimit" in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
