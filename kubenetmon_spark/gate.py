@@ -16614,6 +16614,56 @@ def q311(spark, sf_dir):
     return hard_negative_mining(e, queries, k=5).orderBy("qid", "rk")
 
 
+@_register(
+    "q312_agg_resample",
+    """
+    WITH src AS (
+      SELECT o_orderpriority, month(o_orderdate) AS m,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    b AS (
+      SELECT o_orderpriority, (m - 1) // 3 AS bkt,
+             CAST(SUM(cents) AS BIGINT) AS s, COUNT(*) AS n
+      FROM src WHERE m >= 1 AND m < 13 GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT DISTINCT o_orderpriority, j
+      FROM src, (SELECT range AS j FROM range(4))
+    ),
+    f AS (
+      SELECT g.o_orderpriority, g.j,
+             COALESCE(b.s, 0) AS s, COALESCE(b.n, 0) AS n
+      FROM grid g LEFT JOIN b
+        ON b.o_orderpriority = g.o_orderpriority AND b.bkt = g.j
+    )
+    SELECT o_orderpriority,
+           list(s ORDER BY j) AS sums,
+           list(n ORDER BY j) AS counts
+    FROM f GROUP BY 1 ORDER BY 1
+    """,
+    "the -Resample aggregate combinator "
+    "(operators/agg.py::agg_resample — sumResample/countResample): "
+    "per order priority, revenue cents and order counts split into 4 "
+    "quarterly buckets of the order month, rendered as ONE ARRAY per "
+    "group with 0-defaults for empty slots exactly like ClickHouse; "
+    "one (group,bucket) hash agg with map-side partials, constant-size "
+    "per-group assembly, no grid-x-fact explode",
+)
+def q312(spark, sf_dir):
+    from kubenetmon_spark.operators.agg import agg_resample
+
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderpriority",
+        F.month("o_orderdate").alias("m"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return agg_resample(
+        src, ["o_orderpriority"], "cents", "m", start=1, end=13, step=3
+    ).orderBy("o_orderpriority")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -1519,3 +1519,38 @@ class TestPromqlGrid:
                     )
                 else:
                     assert r.delta is None and r.increase is None
+
+
+class TestAggResample:
+    def test_buckets_fill_and_drop(self, spark):
+        from kubenetmon_spark.operators.agg import agg_resample
+
+        df = spark.createDataFrame(
+            [
+                ("g", 1, 10), ("g", 2, 20),   # bucket 0 (keys 1-3)
+                ("g", 5, 5),                  # bucket 1 (keys 4-6)
+                ("g", 12, 99),                # >= end: dropped
+                ("g", 0, 99),                 # < start: dropped
+                ("h", 7, 1),                  # bucket 2 (keys 7-9)
+            ],
+            "k string, key int, v int",
+        )
+        out = {
+            r.k: r
+            for r in agg_resample(
+                df, ["k"], "v", "key", start=1, end=12, step=3
+            ).collect()
+        }
+        # ceil((12-1)/3) = 4 buckets
+        assert out["g"].sums == [30, 5, 0, 0]
+        assert out["g"].counts == [2, 1, 0, 0]
+        assert out["h"].sums == [0, 0, 1, 0]
+        assert out["h"].counts == [0, 0, 1, 0]
+
+    def test_validation(self, spark):
+        from kubenetmon_spark.operators.agg import agg_resample
+
+        with pytest.raises(ValueError):
+            agg_resample(None, ["k"], "v", "key", start=5, end=5, step=1)
+        with pytest.raises(ValueError):
+            agg_resample(None, ["k"], "v", "key", start=0, end=5, step=0)
