@@ -16664,6 +16664,66 @@ def q312(spark, sf_dir):
     ).orderBy("o_orderpriority")
 
 
+def _q313_oracle() -> str:
+    from kubenetmon_spark.functions.normalize import sql_normalize_query
+
+    expr = (
+        "'SELECT ' || event_type || ' FROM logs WHERE user = ' || "
+        "CAST(user_id AS VARCHAR) || ' AND tag = ''' || event_type || "
+        "''' AND day IN (' || CAST(day(ts) AS VARCHAR) || ', ' || "
+        "CAST(day(ts) + 1 AS VARCHAR) || ')'"
+    )
+    return f"""
+    WITH s AS (
+      SELECT {sql_normalize_query(expr)} AS skeleton, user_id
+      FROM events
+    )
+    SELECT skeleton, COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM s GROUP BY skeleton ORDER BY skeleton
+    """
+
+
+@_register(
+    "q313_normalize_query",
+    _q313_oracle(),
+    "ClickHouse normalizeQuery / normalizedQueryHash "
+    "(functions/normalize.py): a templated query-log line is rebuilt "
+    "per event (identifier varies, literals vary), and normalization "
+    "collapses string + numeric literals to '?', IN-lists to '?..' — "
+    "one skeleton per event_type; the same regex chain (word-boundary "
+    "patterns only — no lookbehind, so Java regex and RE2 agree) is "
+    "emitted as SQL by sql_normalize_query for the oracle; pure "
+    "projections, one hash agg",
+)
+def q313(spark, sf_dir):
+    from kubenetmon_spark.functions.normalize import normalize_query
+
+    ev = _t(spark, sf_dir, "events")
+    qtxt = F.concat(
+        F.lit("SELECT "),
+        F.col("event_type"),
+        F.lit(" FROM logs WHERE user = "),
+        F.col("user_id").cast("string"),
+        F.lit(" AND tag = '"),
+        F.col("event_type"),
+        F.lit("' AND day IN ("),
+        F.dayofmonth("ts").cast("string"),
+        F.lit(", "),
+        (F.dayofmonth("ts") + 1).cast("string"),
+        F.lit(")"),
+    )
+    return (
+        ev.select(normalize_query(qtxt).alias("skeleton"), "user_id")
+        .groupBy("skeleton")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("skeleton")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

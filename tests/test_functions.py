@@ -219,3 +219,77 @@ def test_is_private_ipv6_pair(spark):
         "a", is_private_ipv6_pair(F.col("hi"), F.col("lo")).alias("p")
     ).collect()}
     assert got == cases
+
+
+class TestNormalizeQuery:
+    def _norm(self, spark, s):
+        from kubenetmon_spark.functions.normalize import normalize_query
+
+        return (
+            spark.createDataFrame([(s,)], "t string")
+            .select(normalize_query(F.col("t")).alias("n"))
+            .collect()[0]["n"]
+        )
+
+    def test_literals_and_lists(self, spark):
+        got = self._norm(
+            spark,
+            "SELECT a FROM t WHERE x = 42 AND s = 'hi there' "
+            "AND k IN (1, 2, 3) AND f = 3.14e-2",
+        )
+        assert got == (
+            "SELECT a FROM t WHERE x = ? AND s = ? AND k IN (?..) "
+            "AND f = ?"
+        )
+
+    def test_identifier_digits_preserved(self, spark):
+        assert (
+            self._norm(spark, "SELECT col3 FROM t2 WHERE v = 7")
+            == "SELECT col3 FROM t2 WHERE v = ?"
+        )
+
+    def test_whitespace_collapse_and_trim(self, spark):
+        assert self._norm(spark, "  a   =  5  ") == "a = ?"
+
+    def test_hash_groups_match_skeleton_groups(self, spark):
+        from kubenetmon_spark.functions.normalize import (
+            normalize_query,
+            normalized_query_hash,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("q1 = 5",), ("q1 = 77",),      # same skeleton
+                ("q2 = 'x'",),                   # different skeleton
+            ],
+            "t string",
+        )
+        rows = df.select(
+            normalize_query(F.col("t")).alias("n"),
+            normalized_query_hash(F.col("t")).alias("h"),
+        ).collect()
+        by_n = {}
+        for r in rows:
+            by_n.setdefault(r.n, set()).add(r.h)
+        assert all(len(v) == 1 for v in by_n.values())
+        assert len({next(iter(v)) for v in by_n.values()}) == len(by_n)
+
+    def test_sql_twin_matches(self, spark):
+        import duckdb
+
+        from kubenetmon_spark.functions.normalize import (
+            sql_normalize_query,
+        )
+
+        samples = [
+            "SELECT a FROM t WHERE x = 42 AND s = 'hi' AND k IN (1,2,3)",
+            "  a   =  5  ",
+            "col3 = 7e9 OR v = -3.5",
+            "s = 'it''s' AND n = 1",
+        ]
+        for s in samples:
+            duck = duckdb.execute(
+                f"SELECT {sql_normalize_query('s')} FROM (SELECT ? AS s)",
+                [s],
+            ).fetchone()[0]
+            assert duck == self._norm(spark, s)
