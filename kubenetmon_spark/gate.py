@@ -16724,6 +16724,49 @@ def q313(spark, sf_dir):
     )
 
 
+@_register(
+    "q314_ngram_novelty",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ref AS (
+      SELECT DISTINCT s.shingle
+      FROM sh s JOIN documents d ON d.doc_id = s._id
+      WHERE length(d.source) = 5
+    ),
+    dd AS (
+      SELECT s._id, s.shingle
+      FROM sh s JOIN documents d ON d.doc_id = s._id
+      WHERE length(d.source) = 4
+    )
+    SELECT dd._id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS total_grams,
+           CAST(SUM(CASE WHEN ref.shingle IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_grams,
+           CAST(SUM(CASE WHEN ref.shingle IS NULL THEN 1 ELSE 0 END)
+                * 10000 AS BIGINT)
+             // COUNT(*) AS novelty_bp
+    FROM dd LEFT JOIN ref USING (shingle)
+    GROUP BY 1 ORDER BY 1
+    """,
+    "per-document n-gram novelty vs a reference corpus "
+    "(operators/curation.py::ngram_novelty — the memorization / "
+    "new-source audit): docs from the single-digit sources are scored "
+    "against the gram set of the double-digit sources; distinct "
+    "3-gram shingles via the shared Arrow shingler, reference "
+    "collapses to DISTINCT grams once, one gram-key equi-join (the "
+    "q101 span-audit shape), exact-integer novelty_bp",
+)
+def q314(spark, sf_dir):
+    from kubenetmon_spark.operators.curation import ngram_novelty
+
+    d = _t(spark, sf_dir, "documents")
+    probe = d.filter(F.length("source") == 4)
+    ref = d.filter(F.length("source") == 5)
+    return ngram_novelty(probe, ref, "doc_id", "text", n=3).orderBy(
+        "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -740,3 +740,55 @@ def redact_pii(
         counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
         cur = F.regexp_replace(cur, pat, repl)
     return df.select("*", *counts, cur.alias(out_col))
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    broadcast_reference: bool = False,
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus: the
+    fraction of a doc's DISTINCT n-grams that appear nowhere in the
+    reference — the memorization/novelty audit a training pipeline
+    runs before adding a new source (a crawl that is 95% n-gram-known
+    against the existing corpus buys nothing; generated text that is
+    0% novel against the model's train set is regurgitation).
+
+    Output: (id, total_grams, novel_grams, novelty_bp) with
+    ``novelty_bp = novel*10000 // total`` exact-integer.
+
+    Scale posture: both sides shingle via the Arrow-batched
+    ``shingle_set`` (byte-identical grams to the dedup/oracle
+    convention); the reference collapses to DISTINCT grams once and
+    the probe is a single gram-key equi-join (one shuffle each side,
+    the q101 span-audit shape) — set ``broadcast_reference=True`` when
+    the reference gram set is dimension-sized. Per-doc aggregation
+    rides the gram join's output.
+    """
+    from kubenetmon_spark.operators.dedup import shingle_set
+
+    d_sh = shingle_set(docs, id_col, text_col, n)
+    r_sh = (
+        shingle_set(reference, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    if broadcast_reference:
+        r_sh = F.broadcast(r_sh)
+    j = d_sh.join(r_sh, "shingle", "left")
+    return (
+        j.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("total_grams"),
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("novel_grams"),
+        )
+        .withColumn(
+            "novelty_bp", F.expr("novel_grams * 10000 div total_grams")
+        )
+    )

@@ -1088,3 +1088,43 @@ class TestLeakageSafeSplit:
         assert len(rows) == 10
         assert all(r.split == "train" for r in rows)
         assert all(r.cluster_rep == r.doc_id for r in rows)
+
+
+class TestNgramNovelty:
+    def test_hand_computed(self, spark):
+        from kubenetmon_spark.operators.curation import ngram_novelty
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d"),        # grams: "a b c", "b c d"
+                (2, "x y z w"),        # grams: "x y z", "y z w"
+            ],
+            "doc_id long, text string",
+        )
+        ref = spark.createDataFrame(
+            [(9, "a b c d e")],  # contains "a b c" and "b c d"
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r
+            for r in ngram_novelty(docs, ref, n=3).collect()
+        }
+        assert (got[1].total_grams, got[1].novel_grams) == (2, 0)
+        assert got[1].novelty_bp == 0
+        assert (got[2].total_grams, got[2].novel_grams) == (2, 2)
+        assert got[2].novelty_bp == 10000
+
+    def test_short_doc_and_broadcast_path(self, spark):
+        from kubenetmon_spark.operators.curation import ngram_novelty
+
+        docs = spark.createDataFrame(
+            [(1, "only two")], "doc_id long, text string"
+        )
+        ref = spark.createDataFrame(
+            [(9, "nothing shared here")], "doc_id long, text string"
+        )
+        # n=2 grams; broadcast path must agree with default
+        a = ngram_novelty(docs, ref, n=2).collect()
+        b = ngram_novelty(docs, ref, n=2, broadcast_reference=True).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert a[0].novelty_bp == 10000
