@@ -16767,6 +16767,142 @@ def q314(spark, sf_dir):
     )
 
 
+@_register(
+    "q315_streaming_rates",
+    """
+    WITH base AS (
+      SELECT user_id % 4 AS k,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    s0 AS (SELECT k, ts_s, SUM(cents) AS inc FROM base GROUP BY 1, 2),
+    s AS (
+      SELECT k, ts_s,
+             CAST(SUM(inc) OVER (PARTITION BY k ORDER BY ts_s) % 100000
+                  AS BIGINT) AS v
+      FROM s0
+    ),
+    p AS (
+      SELECT k, ts_s, v, lag(ts_s) OVER w AS pts, lag(v) OVER w AS pv
+      FROM s WINDOW w AS (PARTITION BY k ORDER BY ts_s)
+    ),
+    params AS (
+      SELECT ((min(ts_s) + 3599) // 3600) * 3600 AS t_lo,
+             ((max(ts_s) + 7199) // 3600) * 3600 AS t_hi
+      FROM s
+    ),
+    grid AS (
+      SELECT t_lo + CAST(range AS BIGINT) * 3600 AS t
+      FROM params, range(0, 100000)
+      WHERE t_lo + CAST(range AS BIGINT) * 3600 <= t_hi
+    ),
+    sa AS (
+      SELECT s.k, g.t,
+             COUNT(*) AS n_samples,
+             arg_max(s.v, s.ts_s) AS last_v,
+             arg_min(s.v, s.ts_s) AS first_v,
+             max(s.ts_s) AS last_ts,
+             min(s.ts_s) AS first_ts
+      FROM grid g JOIN s ON s.ts_s <= g.t AND s.ts_s > g.t - 7200
+      GROUP BY 1, 2
+    ),
+    pa AS (
+      SELECT p.k, g.t,
+             SUM(CASE WHEN p.v < p.pv THEN p.pv ELSE 0 END) AS resets,
+             arg_max(CASE WHEN p.v >= p.pv THEN p.v - p.pv ELSE p.v END,
+                     p.ts_s) AS li,
+             arg_max(p.ts_s - p.pts, p.ts_s) AS ld
+      FROM grid g JOIN p ON p.ts_s <= g.t AND p.pts > g.t - 7200
+      GROUP BY 1, 2
+    )
+    SELECT sa.k, sa.t AS bucket_ts, sa.n_samples, sa.last_v,
+           CASE WHEN n_samples >= 2 THEN last_v - first_v END AS delta,
+           CASE WHEN n_samples >= 2
+                THEN last_v - first_v + COALESCE(resets, 0) END AS increase,
+           CASE WHEN n_samples >= 2 THEN
+             CAST(floor(CAST((last_v - first_v + COALESCE(resets, 0))
+                             * 10000 AS DOUBLE) / (last_ts - first_ts))
+                  AS BIGINT) END AS rate_bp,
+           CAST(floor(CAST(li * 10000 AS DOUBLE) / ld) AS BIGINT) AS irate_bp
+    FROM sa LEFT JOIN pa ON pa.k = sa.k AND pa.t = sa.t
+    ORDER BY sa.k, bucket_ts
+    """,
+    "the STREAMING form of q307 (streaming/rates.py::start_rates_stream "
+    "over operators/timeseries.py::promql_to_grid): the same per-cohort "
+    "counter samples arrive as 3 chronological micro-batches "
+    "(maxFilesPerTrigger=1, pinned mtimes); each batch recomputes only "
+    "the grid buckets its samples can influence from a bounded "
+    "persisted sample buffer and upserts those partitions — the final "
+    "table hash-matches the one-shot batch evaluation over the NATURAL "
+    "hourly grid (oracle computes that grid directly)",
+)
+def q315(spark, sf_dir):
+    import os
+    import tempfile
+
+    from kubenetmon_spark.streaming.rates import (
+        read_rates,
+        start_rates_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 4).alias("k"),
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("ts_s"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    s0 = base.groupBy("k", "ts_s").agg(F.sum("cents").alias("inc"))
+    cum = Window.partitionBy("k").orderBy("ts_s")
+    samples = s0.select(
+        "k", "ts_s", (F.sum("inc").over(cum) % 100000).alias("v")
+    )
+    lo, hi = samples.agg(F.min("ts_s"), F.max("ts_s")).collect()[0]
+    cuts = [lo + (hi - lo + 2) // 3, lo + 2 * ((hi - lo + 2) // 3)]
+
+    tmp = tempfile.mkdtemp(prefix="gate_srates_")
+    src = os.path.join(tmp, "src")
+    slices = [
+        samples.filter(F.col("ts_s") <= cuts[0]),
+        samples.filter(
+            (F.col("ts_s") > cuts[0]) & (F.col("ts_s") <= cuts[1])
+        ),
+        samples.filter(F.col("ts_s") > cuts[1]),
+    ]
+    # the file source orders by MODIFICATION TIME: pin mtimes per write
+    # (part names are UUIDs — name order is NOT write order) so the
+    # three chronological slices replay in order
+    seen: set = set()
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("append").parquet(src)
+        for f in os.listdir(src):
+            if f.endswith(".parquet") and f not in seen:
+                os.utime(
+                    os.path.join(src, f),
+                    (1700000000 + i, 1700000000 + i),
+                )
+                seen.add(f)
+
+    stream = (
+        spark.readStream.schema("k bigint, ts_s bigint, v bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_rates_stream(
+        stream,
+        os.path.join(tmp, "out"),
+        os.path.join(tmp, "buf"),
+        os.path.join(tmp, "ckpt"),
+        ["k"],
+        step_s=3600,
+        window_s=7200,
+    )
+    q.awaitTermination(600)
+    return read_rates(spark, os.path.join(tmp, "out")).orderBy(
+        "k", "bucket_ts"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

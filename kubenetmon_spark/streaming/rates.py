@@ -1,0 +1,143 @@
+"""Streaming PromQL rates — the continuous form of
+``operators/timeseries.py::promql_to_grid`` (ClickHouse's
+``timeSeries*ToGrid`` family), i.e. the live per-pod rate/increase
+dashboard the reference deployment actually watches.
+
+Design (the repo's established incremental-foreachBatch shape, like
+streaming/topk.py and streaming/dedup.py): the stream carries raw
+counter SAMPLES (key, event-time epoch-second, cumulative value);
+each micro-batch
+
+1. dedups (key, ts) against a persisted bounded SAMPLE BUFFER
+   (max-value wins — retried batches are idempotent),
+2. recomputes with the batch operator EXACTLY the grid buckets this
+   batch's samples can influence — bucket t depends on samples in
+   ``(t - window, t]``, so a sample at s touches buckets
+   ``[ceil(s/step), floor((s+window-1)/step)]`` and nothing else
+   (late samples that land BETWEEN old samples re-split their pair;
+   both fragments' coverage stays inside the touched range), and
+3. upserts those bucket partitions (dynamic overwrite) and trims the
+   buffer to the retention horizon.
+
+Exactness contract: the output table equals the batch
+``promql_to_grid`` over ALL samples for every bucket, PROVIDED each
+sample arrives within ``lateness_s`` of the max event time already
+seen (default: one full window). Samples later than that are DROPPED
+at the door — the watermark semantics of every other stream here —
+because their touched buckets' peers may already be trimmed.
+
+Bounded state (the 100 TB question): the buffer keeps only samples
+with ``ts > max_seen - (lateness + window + 2*step)`` — a fixed time
+span per key, independent of stream length; the recompute cost per
+batch is O(batch + buffer slice) with the batch operator's one-pass
+plan. Nothing collects to the driver except the batch's min/max
+event-time scalars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def start_rates_stream(
+    stream: DataFrame,
+    out_path: str,
+    buffer_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    ts_col: str = "ts_s",
+    value_col: str = "v",
+    step_s: int = 60,
+    window_s: int = 300,
+    lateness_s: int | None = None,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Continuously evaluate resample/delta/increase/rate/irate grid
+    buckets from a stream of counter samples. ``ts_col`` is an
+    epoch-second BIGINT event time; duplicate (key, ts) samples
+    collapse to the max value (idempotent retries)."""
+    from kubenetmon_spark.operators.timeseries import promql_to_grid
+
+    step, win = int(step_s), int(window_s)
+    late = int(lateness_s) if lateness_s is not None else win
+    retain = late + win + 2 * step
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        b = batch.select(
+            *key_cols,
+            F.col(ts_col).cast("long").alias("_ts"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+        buf = _read_or_none(spark, buffer_path)
+        if buf is not None:
+            prev_max = buf.agg(F.max("_ts").alias("m")).collect()[0]["m"]
+            if prev_max is not None:
+                b = b.filter(F.col("_ts") > prev_max - late)
+        if not b.take(1):
+            return
+        merged = (
+            (buf.unionByName(b) if buf is not None else b)
+            .groupBy(*key_cols, "_ts")
+            .agg(F.max("_v").alias("_v"))
+        )
+        # materialize: the grid read and the buffer overwrite below
+        # both consume this plan (and buf's files get rewritten)
+        merged = merged.localCheckpoint(eager=True)
+
+        lohi = b.agg(
+            F.min("_ts").alias("lo"), F.max("_ts").alias("hi")
+        ).collect()[0]
+        t_lo = -(-lohi["lo"] // step) * step  # first bucket >= lo
+        t_hi = ((lohi["hi"] + win - 1) // step) * step
+        n = (t_hi - t_lo) // step + 1
+        if n > 0:
+            grid = promql_to_grid(
+                merged.select(
+                    *key_cols,
+                    F.col("_ts").alias(ts_col),
+                    F.col("_v").alias(value_col),
+                ),
+                key_cols,
+                ts_col,
+                value_col,
+                start_s=t_lo,
+                n_buckets=n,
+                step_s=step,
+                window_s=win,
+            ).localCheckpoint(eager=True)
+            (
+                grid.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket_ts")
+                .parquet(out_path)
+            )
+        max_seen = merged.agg(F.max("_ts").alias("m")).collect()[0]["m"]
+        (
+            merged.filter(F.col("_ts") > max_seen - retain)
+            .write.mode("overwrite")
+            .parquet(buffer_path)
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def read_rates(spark: SparkSession, out_path: str) -> DataFrame:
+    return spark.read.parquet(out_path)

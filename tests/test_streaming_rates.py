@@ -1,0 +1,137 @@
+"""Streaming PromQL rates vs the batch promql_to_grid answer, across
+multiple micro-batches (maxFilesPerTrigger=1), plus restart and
+late-drop semantics."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from kubenetmon_spark.streaming.rates import read_rates, start_rates_stream
+
+SCHEMA = "k string, ts_s long, v long"
+
+
+def _write_files(spark, d, rows_by_file):
+    for rows in rows_by_file:
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+    return str(d)
+
+
+def _run_stream(spark, tmp_path, rows_by_file, name, **kw):
+    src = _write_files(spark, tmp_path / f"{name}_src", rows_by_file)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / f"{name}_out")
+    q = start_rates_stream(
+        stream,
+        out,
+        str(tmp_path / f"{name}_buf"),
+        str(tmp_path / f"{name}_ckpt"),
+        ["k"],
+        step_s=10,
+        window_s=25,
+        **kw,
+    )
+    q.awaitTermination(300)
+    return out
+
+
+def _batch_reference(spark, rows, step=10, win=25):
+    from kubenetmon_spark.operators.timeseries import promql_to_grid
+
+    df = spark.createDataFrame(rows, SCHEMA)
+    lo = min(r[1] for r in rows)
+    hi = max(r[1] for r in rows)
+    t_lo = -(-lo // step) * step
+    t_hi = ((hi + win - 1) // step) * step
+    return promql_to_grid(
+        df.groupBy("k", "ts_s").agg(F.max("v").alias("v")),
+        ["k"],
+        "ts_s",
+        "v",
+        start_s=t_lo,
+        n_buckets=(t_hi - t_lo) // step + 1,
+        step_s=step,
+        window_s=win,
+    )
+
+
+def _snap(df):
+    return sorted(
+        (
+            r.k, r.bucket_ts, r.n_samples, r.last_v, r.delta,
+            r.increase, r.rate_bp, r.irate_bp,
+        )
+        for r in df.collect()
+    )
+
+
+def test_stream_matches_batch_across_batches(spark, tmp_path):
+    rng = random.Random(11)
+    series = []
+    for k in ("a", "b"):
+        cum, ts = 0, 0
+        for _ in range(30):
+            ts += rng.randint(3, 12)
+            cum = (cum + rng.randint(0, 40)) % 200  # forced resets
+            series.append((k, ts, cum))
+    series.sort(key=lambda r: r[1])  # chronological arrival
+    thirds = [series[:20], series[20:40], series[40:]]
+    out = _run_stream(spark, tmp_path, thirds, "m")
+    got = _snap(read_rates(spark, out))
+    exp = _snap(_batch_reference(spark, series))
+    assert got == exp
+
+
+def test_restart_is_idempotent_and_appends_continue(spark, tmp_path):
+    first = [[("a", 10, 5), ("a", 20, 8)]]
+    src = _write_files(spark, tmp_path / "r_src", first)
+    args = dict(
+        out_path=str(tmp_path / "r_out"),
+        buffer_path=str(tmp_path / "r_buf"),
+        checkpoint=str(tmp_path / "r_ckpt"),
+        key_cols=["k"],
+        step_s=10,
+        window_s=25,
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_rates_stream(stream, **args)
+        q.awaitTermination(300)
+
+    run()
+    snap1 = _snap(read_rates(spark, args["out_path"]))
+    run()  # restart with no new data: nothing changes
+    assert _snap(read_rates(spark, args["out_path"])) == snap1
+    # append a later sample; only its touched buckets change
+    _write_files(spark, tmp_path / "r_src", [[("a", 30, 2)]])
+    run()
+    exp = _snap(
+        _batch_reference(spark, [("a", 10, 5), ("a", 20, 8), ("a", 30, 2)])
+    )
+    assert _snap(read_rates(spark, args["out_path"])) == exp
+
+
+def test_too_late_samples_are_dropped(spark, tmp_path):
+    # lateness 20s: the 2nd batch's ts=5 sample arrives 95s after
+    # max_seen=100 and must be ignored
+    batches = [
+        [("a", 90, 50), ("a", 100, 60)],
+        [("a", 5, 1), ("a", 110, 70)],
+    ]
+    out = _run_stream(spark, tmp_path, batches, "late", lateness_s=20)
+    kept = [("a", 90, 50), ("a", 100, 60), ("a", 110, 70)]
+    exp = _snap(_batch_reference(spark, kept))
+    assert _snap(read_rates(spark, out)) == exp
