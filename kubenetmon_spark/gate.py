@@ -16903,6 +16903,82 @@ def q315(spark, sf_dir):
     )
 
 
+@_register(
+    "q316_table_diff",
+    """
+    WITH l AS (
+      SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+    ),
+    r AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X-CHANGED'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'Z'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_orderpriority, o_orderstatus
+      FROM orders WHERE o_orderkey % 500 = 0
+    ),
+    j AS (
+      SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+             CASE WHEN l.o_orderkey IS NULL THEN 'added'
+                  WHEN r.o_orderkey IS NULL THEN 'removed'
+                  WHEN l.o_orderpriority IS DISTINCT FROM r.o_orderpriority
+                    OR l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+                  THEN 'changed' END AS status,
+             list_filter(
+               [CASE WHEN l.o_orderpriority IS DISTINCT FROM
+                          r.o_orderpriority THEN 'o_orderpriority' END,
+                CASE WHEN l.o_orderstatus IS DISTINCT FROM
+                          r.o_orderstatus THEN 'o_orderstatus' END],
+               x -> x IS NOT NULL) AS diffs
+      FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+    )
+    SELECT o_orderkey, status,
+           CASE WHEN status = 'changed' THEN diffs
+                ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+    FROM j WHERE status IS NOT NULL
+    ORDER BY o_orderkey, status
+    """,
+    "snapshot/replica content diff (operators/audit.py::table_diff): "
+    "orders vs a deterministically mutated copy (every 97th removed, "
+    "every 13th changed in two columns, every 500th re-added under a "
+    "shifted key) — added/removed/changed per key with the changed "
+    "column-name list; ONE full outer join on the key, output bounded "
+    "by churn; the content twin of backup_table's file verification",
+)
+def q316(spark, sf_dir):
+    from kubenetmon_spark.operators.audit import table_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    changed = F.col("o_orderkey") % 13 == 0
+    right = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(changed, F.lit("X-CHANGED"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+            F.when(changed, F.lit("Z"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 500 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_orderpriority",
+                "o_orderstatus",
+            )
+        )
+    )
+    return table_diff(o, right, ["o_orderkey"]).orderBy(
+        "o_orderkey", "status"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

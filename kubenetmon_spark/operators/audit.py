@@ -82,3 +82,75 @@ def referential_violations(
     return child.join(
         p, child[child_key] == F.col("__pk"), "left_anti"
     )
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two versions of a table (yesterday's
+    backup vs today's, a replica vs its source, pre- vs post-mutation):
+    per key, ``status`` is ``added`` (right only), ``removed`` (left
+    only) or ``changed`` (both sides present, any compared column
+    null-safely different), plus the ``changed_cols`` name list.
+    Unchanged rows are NOT emitted — the diff is the small output.
+
+    ``compare_cols`` defaults to every shared non-key column. Keys are
+    assumed unique per side (it is a snapshot diff; pre-aggregate if
+    not).
+
+    Scale posture: ONE full outer join on the key columns — both
+    sides shuffle once on the same key, the comparison is a narrow
+    projection, and the emitted rows are bounded by the churn, not
+    the table. This is the engine-side answer to "what did the backup
+    chain change" (sink.py::backup_table verifies files; this
+    verifies CONTENT).
+    """
+    if compare_cols is None:
+        shared = [c for c in left.columns if c in set(right.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    l = left.select(
+        *[F.col(c).alias(f"_l_{c}") for c in key_cols + compare_cols]
+    ).withColumn("_l", F.lit(1))
+    r = right.select(
+        *[F.col(c).alias(f"_r_{c}") for c in key_cols + compare_cols]
+    ).withColumn("_r", F.lit(1))
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"_l_{c}") == F.col(f"_r_{c}")
+        cond = eq if cond is None else (cond & eq)
+    j = l.join(r, cond, "full_outer")
+
+    diffs = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"_l_{c}").eqNullSafe(F.col(f"_r_{c}")),
+                    F.lit(c),
+                )
+                for c in compare_cols
+            ]
+        )
+    )
+    status = (
+        F.when(F.col("_l").isNull(), F.lit("added"))
+        .when(F.col("_r").isNull(), F.lit("removed"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+    )
+    keys = [
+        F.coalesce(F.col(f"_l_{c}"), F.col(f"_r_{c}")).alias(c)
+        for c in key_cols
+    ]
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(
+            *keys,
+            "status",
+            F.when(F.col("status") == "changed", diffs)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("changed_cols"),
+        )
+    )

@@ -1589,3 +1589,46 @@ class TestAveragePrecisionExact:
         )
         r = average_precision_exact(df, ["g"], "score", "label").collect()[0]
         assert (r.n_pos, r.ap_ppm) == (0, None)
+
+
+class TestTableDiff:
+    def test_added_removed_changed(self, spark):
+        from kubenetmon_spark.operators.audit import table_diff
+
+        left = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+            "k long, s string, v int",
+        )
+        right = spark.createDataFrame(
+            [(1, "a", 10), (2, "B", 21), (4, None, 40), (5, "e", 50)],
+            "k long, s string, v int",
+        )
+        got = {
+            r.k: (r.status, list(r.changed_cols))
+            for r in table_diff(left, right, ["k"]).collect()
+        }
+        # 1 unchanged (not emitted), 4 unchanged with NULLs (null-safe)
+        assert got == {
+            2: ("changed", ["s", "v"]),
+            3: ("removed", []),
+            5: ("added", []),
+        }
+
+    def test_null_transitions_are_changes(self, spark):
+        from kubenetmon_spark.operators.audit import table_diff
+
+        left = spark.createDataFrame([(1, None)], "k long, s string")
+        right = spark.createDataFrame([(1, "x")], "k long, s string")
+        got = table_diff(left, right, ["k"]).collect()
+        assert [(r.status, list(r.changed_cols)) for r in got] == [
+            ("changed", ["s"])
+        ]
+
+    def test_compare_cols_subset(self, spark):
+        from kubenetmon_spark.operators.audit import table_diff
+
+        left = spark.createDataFrame([(1, "a", 1)], "k long, s string, v int")
+        right = spark.createDataFrame(
+            [(1, "a", 999)], "k long, s string, v int"
+        )
+        assert table_diff(left, right, ["k"], ["s"]).count() == 0
