@@ -315,3 +315,75 @@ class RowPolicies:
         for r in self._restrictive.get((table, principal), []):
             cond = cond & F.expr(r)
         return df.filter(cond)
+
+
+class ColumnPolicies:
+    """ClickHouse column-level access (``GRANT SELECT(col, ...) ON
+    table TO user`` and column masking): per-(table, principal) column
+    grants applied as a plan-level projection — pruned columns never
+    leave the scan (Catalyst column pruning), so enforcement is also
+    an IO win.
+
+    Semantics: a table with at least one grant for ANY principal is
+    protected — principals read only their granted columns; ungranted
+    principals get the ClickHouse default-deny (no columns -> error,
+    surfaced here as ValueError rather than an empty projection).
+    ``mask`` grants keep the column but replace its value (audit
+    pipelines that need the shape but not the PII): ``'null'`` nulls
+    it, ``'hash'`` replaces with md5 text — deterministic, so joins
+    and group-bys on the masked column still work. Tables with no
+    policies are unrestricted.
+    """
+
+    def __init__(self) -> None:
+        self._grants: dict[tuple[str, str], set[str]] = {}
+        self._masks: dict[tuple[str, str], dict[str, str]] = {}
+        self._tables: set[str] = set()
+
+    def grant(
+        self, table: str, principal: str, columns: list[str]
+    ) -> "ColumnPolicies":
+        self._grants.setdefault((table, principal), set()).update(columns)
+        self._tables.add(table)
+        return self
+
+    def mask(
+        self, table: str, principal: str, column: str, mode: str = "hash"
+    ) -> "ColumnPolicies":
+        if mode not in ("hash", "null"):
+            raise ValueError(f"unknown mask mode {mode!r}")
+        self._masks.setdefault((table, principal), {})[column] = mode
+        self._tables.add(table)
+        return self
+
+    def apply(self, df: DataFrame, table: str, principal: str) -> DataFrame:
+        """Project ``df`` down to what ``principal`` may read of
+        ``table`` (granted columns as-is, masked columns transformed)."""
+        from pyspark.sql import functions as F
+
+        if table not in self._tables:
+            return df
+        granted = self._grants.get((table, principal), set())
+        masks = self._masks.get((table, principal), {})
+        if not granted and not masks:
+            raise ValueError(
+                f"principal {principal!r} has no column grants on "
+                f"{table!r} (default deny)"
+            )
+        cols = []
+        for c in df.columns:
+            if c in masks:
+                if masks[c] == "null":
+                    cols.append(
+                        F.lit(None).cast(dict(df.dtypes)[c]).alias(c)
+                    )
+                else:
+                    cols.append(F.md5(F.col(c).cast("string")).alias(c))
+            elif c in granted:
+                cols.append(F.col(c))
+        if not cols:
+            raise ValueError(
+                f"none of {principal!r}'s grants on {table!r} exist in "
+                "the DataFrame"
+            )
+        return df.select(*cols)

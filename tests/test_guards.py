@@ -235,3 +235,69 @@ class TestRowPolicies:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters" in plan and "team" in plan
         assert [r.v for r in out.collect()] == [1]
+
+
+class TestColumnPolicies:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "alice", 100), (2, "bob", 200)],
+            "id long, user string, amount int",
+        )
+
+    def test_grant_projects_and_prunes(self, spark, tmp_path):
+        from kubenetmon_spark.guards import ColumnPolicies
+
+        path = str(tmp_path / "cp_tbl")
+        self._df(spark).write.parquet(path)
+        p = ColumnPolicies().grant("t", "analyst", ["id", "amount"])
+        out = p.apply(spark.read.parquet(path), "t", "analyst")
+        assert out.columns == ["id", "amount"]
+        # pruning reaches the SCAN: the ungranted column is never read
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        read_schema = [
+            ln for ln in plan.splitlines() if "ReadSchema" in ln
+        ]
+        assert read_schema and all("user" not in ln for ln in read_schema)
+
+    def test_mask_hash_is_deterministic_and_joinable(self, spark):
+        from kubenetmon_spark.guards import ColumnPolicies
+
+        p = (
+            ColumnPolicies()
+            .grant("t", "auditor", ["id"])
+            .mask("t", "auditor", "user", "hash")
+        )
+        a = p.apply(self._df(spark), "t", "auditor")
+        b = p.apply(self._df(spark), "t", "auditor")
+        assert a.join(b, ["id", "user"]).count() == 2  # same hashes
+        vals = {r.user for r in a.collect()}
+        assert "alice" not in vals and all(len(v) == 32 for v in vals)
+
+    def test_mask_null_keeps_type(self, spark):
+        from kubenetmon_spark.guards import ColumnPolicies
+
+        p = (
+            ColumnPolicies()
+            .grant("t", "x", ["id"])
+            .mask("t", "x", "amount", "null")
+        )
+        out = p.apply(self._df(spark), "t", "x")
+        assert dict(out.dtypes)["amount"] == "int"
+        assert all(r.amount is None for r in out.collect())
+
+    def test_default_deny_and_unprotected_tables(self, spark):
+        from kubenetmon_spark.guards import ColumnPolicies
+
+        p = ColumnPolicies().grant("t", "analyst", ["id"])
+        with pytest.raises(ValueError):
+            p.apply(self._df(spark), "t", "stranger")
+        # other tables unrestricted
+        assert p.apply(self._df(spark), "other", "stranger").columns == [
+            "id", "user", "amount",
+        ]
+
+    def test_bad_mask_mode(self, spark):
+        from kubenetmon_spark.guards import ColumnPolicies
+
+        with pytest.raises(ValueError):
+            ColumnPolicies().mask("t", "x", "c", "rot13")
