@@ -130,3 +130,70 @@ def node_throughput(flows: DataFrame, top: int = 20) -> DataFrame:
         .orderBy(F.desc("bytes_per_sec"), "localNode", "intervalStartTime")
         .limit(top)
     )
+
+
+def pod_traffic_rates(
+    flows: DataFrame,
+    step_s: int = 300,
+    window_s: int = 900,
+    n_buckets: int = 48,
+    direction: str = "out",
+) -> DataFrame:
+    """Per-pod byte RATES on a regular grid — the Grafana panel the
+    reference deployment actually watches (rate of
+    kubenetmon-exported bytes per pod, PromQL `rate()` shape), served
+    straight from the flow table.
+
+    The minute rollup stores per-bucket byte SUMS; accumulating them
+    per pod gives a monotone counter, and
+    :func:`~kubenetmon_spark.operators.timeseries.promql_to_grid`
+    evaluates rate/increase/delta at ``step_s`` grid points over a
+    trailing ``window_s`` — identical semantics to pointing Prometheus
+    at the reference's metrics endpoint, but computed from the same
+    table the SQL queries read (one engine, no second store).
+
+    Direction is pinned (the double-observation contract, see module
+    docstring). Grid starts at the table's first bucket, truncated to
+    ``step_s``.
+    """
+    base = (
+        flows.filter(F.col("direction") == direction)
+        .groupBy(
+            F.col("localPod").alias("pod"),
+            F.unix_timestamp("intervalStartTime").alias("ts_s"),
+        )
+        .agg(F.sum("bytes").alias("inc"))
+    )
+    from pyspark.sql.window import Window
+
+    from kubenetmon_spark.operators.timeseries import promql_to_grid
+
+    cum = Window.partitionBy("pod").orderBy("ts_s")
+    samples = base.select(
+        "pod", "ts_s", F.sum("inc").over(cum).alias("v")
+    )
+    start_row = flows.agg(
+        F.min(F.unix_timestamp("intervalStartTime")).alias("lo")
+    ).collect()[0]
+    if start_row["lo"] is None:
+        return samples.select(
+            "pod",
+            F.lit(None).cast("long").alias("bucket_ts"),
+            F.lit(None).cast("long").alias("n_samples"),
+            F.lit(None).cast("long").alias("last_v"),
+            F.lit(None).cast("long").alias("delta"),
+            F.lit(None).cast("long").alias("increase"),
+            F.lit(None).cast("long").alias("rate_bp"),
+            F.lit(None).cast("long").alias("irate_bp"),
+        ).limit(0)
+    start = (start_row["lo"] // step_s) * step_s
+    return promql_to_grid(
+        samples,
+        ["pod"],
+        "ts_s",
+        "v",
+        start_s=start,
+        n_buckets=n_buckets,
+        step_s=step_s,
+        window_s=window_s,
+    )

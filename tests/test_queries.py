@@ -71,3 +71,27 @@ def test_server_balance(flows):
 def test_node_throughput(flows):
     rows = node_throughput(flows, top=10).collect()
     assert rows and all(r.bytes_per_sec > 0 for r in rows)
+
+
+def test_pod_traffic_rates(flows):
+    from kubenetmon_spark.queries import pod_traffic_rates
+
+    out = pod_traffic_rates(flows, step_s=300, window_s=900, n_buckets=48)
+    rows = out.collect()
+    assert rows, "demo flows must produce at least one grid bucket"
+    cols = set(out.columns)
+    assert {"pod", "bucket_ts", "rate_bp", "increase", "delta"} <= cols
+    # counters are monotone per pod: increase == delta, never negative
+    for r in rows:
+        if r.increase is not None:
+            assert r.increase == r.delta >= 0
+            assert r.rate_bp is not None and r.rate_bp >= 0
+    # grid alignment
+    assert all(r.bucket_ts % 300 == 0 for r in rows)
+
+
+def test_pod_traffic_rates_empty(spark, flows):
+    from kubenetmon_spark.queries import pod_traffic_rates
+
+    empty = flows.filter(F.lit(False))
+    assert pod_traffic_rates(empty).count() == 0
