@@ -16325,7 +16325,8 @@ def q306(spark, sf_dir):
     SELECT sa.k, sa.t AS bucket_ts, sa.n_samples, sa.last_v,
            CASE WHEN n_samples >= 2 THEN last_v - first_v END AS delta,
            CASE WHEN n_samples >= 2
-                THEN last_v - first_v + COALESCE(resets, 0) END AS increase,
+                THEN CAST(last_v - first_v + COALESCE(resets, 0) AS BIGINT)
+                END AS increase,
            CASE WHEN n_samples >= 2 THEN
              CAST(floor(CAST((last_v - first_v + COALESCE(resets, 0))
                              * 10000 AS DOUBLE) / (last_ts - first_ts))
@@ -16479,7 +16480,7 @@ def q308(spark, sf_dir):
     WITH n AS (
       SELECT vec_id, embedding,
              sqrt({_DOT.format(a='embedding', b='embedding')}) AS nm
-      FROM embeddings
+      FROM embeddings WHERE vec_id < 5000
     ),
     b AS (
       SELECT vec_id AS bench_id, embedding, nm FROM n WHERE vec_id % 25 = 0
@@ -16513,7 +16514,13 @@ def q309(spark, sf_dir):
         embedding_contamination_pairs,
     )
 
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 5000)  # q27 slice idiom: the exact
+        # all-pairs gate stays bounded at every SF; the full-table
+        # scale path is method='lsh' (subset-tested in unit tests)
+    )
     bench = e.filter(F.col("vec_id") % 25 == 0)
     corpus = e.filter(F.col("vec_id") % 25 != 0).unionByName(
         bench.select(
@@ -16576,7 +16583,7 @@ def q310(spark, sf_dir):
     WITH n AS (
       SELECT vec_id, label, embedding,
              sqrt({_DOT.format(a='embedding', b='embedding')}) AS nm
-      FROM embeddings
+      FROM embeddings WHERE vec_id < 5000
     ),
     q AS (
       SELECT vec_id AS qid, label AS qlabel, embedding AS qv, nm AS qnm
@@ -16609,7 +16616,10 @@ def q310(spark, sf_dir):
 def q311(spark, sf_dir):
     from kubenetmon_spark.operators.similarity import hard_negative_mining
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 5000  # q27 slice idiom: bounded exact panel;
+        # corpus-x-corpus mining composes with the persisted IVF index
+    )
     queries = e.filter(F.col("vec_id") % 50 == 0)
     return hard_negative_mining(e, queries, k=5).orderBy("qid", "rk")
 
@@ -16819,7 +16829,8 @@ def q314(spark, sf_dir):
     SELECT sa.k, sa.t AS bucket_ts, sa.n_samples, sa.last_v,
            CASE WHEN n_samples >= 2 THEN last_v - first_v END AS delta,
            CASE WHEN n_samples >= 2
-                THEN last_v - first_v + COALESCE(resets, 0) END AS increase,
+                THEN CAST(last_v - first_v + COALESCE(resets, 0) AS BIGINT)
+                END AS increase,
            CASE WHEN n_samples >= 2 THEN
              CAST(floor(CAST((last_v - first_v + COALESCE(resets, 0))
                              * 10000 AS DOUBLE) / (last_ts - first_ts))
