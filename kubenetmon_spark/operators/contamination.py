@@ -126,15 +126,23 @@ def embedding_contamination_pairs(
         sign_band_rows,
     )
 
+    # Norms are computed ONCE per row, not once per pair: each norm is
+    # an array fold as costly as the dot product itself, so folding it
+    # into the pair expression would triple the per-pair work (the
+    # value is identical either way — same fold over the same doubles).
     b = benchmark_vecs.select(
-        F.col(id_col).alias("bench_id"), F.col(vec_col).alias("_bv")
+        F.col(id_col).alias("bench_id"),
+        F.col(vec_col).alias("_bv"),
+        _norm(F.col(vec_col)).alias("_bnm"),
     )
     c = corpus_vecs.select(
-        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cnm"),
     )
     cos = F.try_divide(
         _dot(F.col("_cv"), F.col("_bv")),
-        _norm(F.col("_cv")) * _norm(F.col("_bv")),
+        F.col("_cnm") * F.col("_bnm"),
     )
     scored_cols = [
         F.col("corpus_id"),

@@ -13,8 +13,10 @@ file list never opens the skipped files, and row-group stats inside the
 kept files still apply via normal parquet filter pushdown.  So the Spark
 translation is:
 
-1. **Build** (``build_skip_index``): one distributed pass per index over
-   the table keyed by ``input_file_name()`` → a tiny parquet index table
+1. **Build** (``build_skip_index``): distributed passes over the table
+   keyed by ``input_file_name()`` — indexes on the same column SHARE
+   scans (minmax = one stats pass; set + bloom both read one distinct
+   (file, value) frame) → a tiny parquet index table
    (one row per data file) under ``index_dir/<column>__<kind>/``, plus a
    ``_spec.json`` sidecar recording the parameters and the column's exact
    Spark dtype (hash inputs are type-tagged — query literals must be cast
@@ -160,34 +162,8 @@ def _write_spec(out_dir: Path, spec: IndexSpec, dtype: str) -> None:
     )
 
 
-def _build_index_df(df: DataFrame, table_dir: str, spec: IndexSpec) -> DataFrame:
-    """The per-kind build aggregation over ``df`` (full table or just the
-    not-yet-indexed files) — one row per file."""
-    file_col = _rel_file_col(table_dir)
-    c = F.col(spec.column)
-    if spec.kind == "minmax":
-        return df.groupBy(file_col).agg(
-            F.min(c).alias("min_v"),
-            F.max(c).alias("max_v"),
-            F.count(c).alias("n_vals"),
-            F.count("*").alias("n_rows"),
-        )
-    if spec.kind == "set":
-        # Bounded fold: count distincts FIRST, collect only small files.
-        d = df.select(file_col, c.alias("v")).where(c.isNotNull()).distinct()
-        counts = d.groupBy("file").agg(F.count("*").alias("n_distinct"))
-        small = counts.where(F.col("n_distinct") <= spec.max_values)
-        vals = (
-            d.join(F.broadcast(small.select("file")), "file")
-            .groupBy("file")
-            .agg(F.sort_array(F.collect_set("v")).alias("vals"))
-        )
-        return counts.join(vals, "file", "left")
-    pos = (
-        _terms(df, file_col, spec)
-        .select("file", F.explode(_positions(F.col("term"), spec)).alias("p"))
-        .distinct()
-    )
+def _bloom_words(pos: DataFrame) -> DataFrame:
+    """(file, p) bit positions -> one (file, words) row per file."""
     return (
         pos.selectExpr(
             "file",
@@ -201,16 +177,97 @@ def _build_index_df(df: DataFrame, table_dir: str, spec: IndexSpec) -> DataFrame
     )
 
 
+def _build_index_dfs(
+    df: DataFrame, table_dir: str, specs: list[IndexSpec]
+) -> tuple[dict[str, DataFrame], list[DataFrame]]:
+    """Build aggregations for ALL requested indexes with shared scans.
+
+    Specs on the same column share work: ``minmax`` is one per-file
+    stats pass; ``set`` and ``bloom`` both derive from ONE distinct
+    (file, value) frame (bloom positions of the distinct values are the
+    distinct positions of all values), which is persisted because two
+    index writes consume it.  ``tokenbf``/``ngrambf`` keep their own
+    tokenize+explode pass (the term universe is kind-specific).  So a
+    table with minmax+set+bloom on a column costs two scans total, not
+    three — the per-part merge-time build shape ClickHouse uses.
+
+    Returns (name -> index DataFrame, frames to unpersist after writes).
+    """
+    file_col = _rel_file_col(table_dir)
+    out: dict[str, DataFrame] = {}
+    persisted: list[DataFrame] = []
+    scalar_by_col: dict[str, list[IndexSpec]] = {}
+    for spec in specs:
+        if spec.kind in ("minmax", "set", "bloom"):
+            scalar_by_col.setdefault(spec.column, []).append(spec)
+        else:  # tokenbf / ngrambf: kind-specific term explode
+            pos = (
+                _terms(df, file_col, spec)
+                .select(
+                    "file", F.explode(_positions(F.col("term"), spec)).alias("p")
+                )
+                .distinct()
+            )
+            out[spec.name] = _bloom_words(pos)
+    for column, group in scalar_by_col.items():
+        c = F.col(column)
+        for spec in group:
+            if spec.kind == "minmax":
+                out[spec.name] = df.groupBy(file_col).agg(
+                    F.min(c).alias("min_v"),
+                    F.max(c).alias("max_v"),
+                    F.count(c).alias("n_vals"),
+                    F.count("*").alias("n_rows"),
+                )
+        dist_specs = [s for s in group if s.kind in ("set", "bloom")]
+        if not dist_specs:
+            continue
+        d = df.select(file_col, c.alias("v")).where(c.isNotNull()).distinct()
+        if len(dist_specs) > 1:
+            # bounded: one row per (file, distinct value) — index-sized
+            d = d.persist()
+            persisted.append(d)
+        for spec in dist_specs:
+            if spec.kind == "set":
+                # Bounded fold: count distincts FIRST, collect small files.
+                counts = d.groupBy("file").agg(F.count("*").alias("n_distinct"))
+                small = counts.where(F.col("n_distinct") <= spec.max_values)
+                vals = (
+                    d.join(F.broadcast(small.select("file")), "file")
+                    .groupBy("file")
+                    .agg(F.sort_array(F.collect_set("v")).alias("vals"))
+                )
+                out[spec.name] = counts.join(vals, "file", "left")
+            else:  # bloom over the distinct values
+                pos = d.select(
+                    "file", F.explode(_positions(F.col("v"), spec)).alias("p")
+                ).distinct()
+                out[spec.name] = _bloom_words(pos)
+    return out, persisted
+
+
+def _build_index_df(df: DataFrame, table_dir: str, spec: IndexSpec) -> DataFrame:
+    """The per-kind build aggregation over ``df`` (full table or just the
+    not-yet-indexed files) — one row per file."""
+    built, _ = _build_index_dfs(df, table_dir, [spec])
+    return built[spec.name]
+
+
 def build_skip_index(
     spark: SparkSession,
     table_dir: str,
     specs: list[IndexSpec],
     index_dir: str,
 ) -> dict[str, int]:
-    """Build each index as a small parquet table; returns rows per index."""
+    """Build each index as a small parquet table; returns rows per index.
+
+    Specs sharing a column share scans (``_build_index_dfs``) — building
+    minmax+set+bloom together costs two passes over the data, not three.
+    """
     df = spark.read.parquet(table_dir)
     all_files = sorted(_rel_path(u, table_dir) for u in df.inputFiles())
     files_df = spark.createDataFrame([(f,) for f in all_files], "file string")
+    built, persisted = _build_index_dfs(df, table_dir, specs)
     out: dict[str, int] = {}
     for spec in specs:
         dtype = df.schema[spec.column].dataType.simpleString()
@@ -219,10 +276,16 @@ def build_skip_index(
         # they'd otherwise never be indexed and stay fail-open forever.
         # Null payloads behave correctly per kind (minmax/bloom prove the
         # empty file matches nothing; set keeps it, harmlessly).
-        idx = files_df.join(_build_index_df(df, table_dir, spec), "file", "left")
-        idx.coalesce(1).write.mode("overwrite").parquet(str(dest))
+        idx = files_df.join(built[spec.name], "file", "left")
+        # repartition(1), NOT coalesce(1): coalesce would collapse the
+        # whole build aggregation into a single task; repartition keeps
+        # the scan/distinct/bit-fold parallel and funnels only the tiny
+        # per-file result rows into the one output file.
+        idx.repartition(1).write.mode("overwrite").parquet(str(dest))
         _write_spec(dest, spec, dtype)
         out[spec.name] = spark.read.parquet(str(dest)).count()
+    for d in persisted:
+        d.unpersist()
     return out
 
 
@@ -528,7 +591,8 @@ def update_skip_index(
             [(f,) for f in missing], "file string"
         )
         idx = missing_df.join(_build_index_df(df, table_dir, spec), "file", "left")
-        idx.coalesce(1).write.mode("append").parquet(str(dest))
+        # repartition(1) keeps the build parallel (see build_skip_index)
+        idx.repartition(1).write.mode("append").parquet(str(dest))
     return out
 
 
