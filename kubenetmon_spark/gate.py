@@ -16990,6 +16990,82 @@ def q316(spark, sf_dir):
     )
 
 
+@_register(
+    "q317_schema_evolution",
+    """
+    WITH v1 AS (
+      SELECT event_id, user_id, event_type, value
+      FROM events WHERE user_id % 2 = 0
+    ), v2 AS (
+      SELECT user_id, event_type AS etype, value,
+             'r' || CAST(user_id % 3 AS VARCHAR) AS region
+      FROM events WHERE user_id % 2 = 1
+    ), unioned AS (
+      SELECT CAST(user_id AS INT) AS user_id, event_type AS etype,
+             'unassigned' AS region, value FROM v1
+      UNION ALL
+      SELECT CAST(user_id AS INT), etype, region, value FROM v2
+    )
+    SELECT etype, region, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM unioned GROUP BY etype, region ORDER BY etype, region
+    """,
+    "ClickHouse ALTER TABLE ADD/DROP/RENAME/MODIFY COLUMN as "
+    "metadata-only schema evolution (evolve.py): generation 1 of a "
+    "table lands with the old schema; four instant ALTERs (ADD region "
+    "DEFAULT, RENAME event_type->etype, DROP event_id, MODIFY user_id "
+    "INT) touch only the _schema_log.json sidecar; generation 2 "
+    "appends in the evolved schema; read_evolved unifies both "
+    "generations in one mergeSchema scan + narrow projections (no "
+    "shuffle, no rewrite) — old rows surface the DEFAULT, renamed "
+    "columns unify, dropped bytes hide. The oracle reconstructs the "
+    "same two-generation union directly. The merge-time twin "
+    "(materialize_schema) is pinned by tests/test_evolve.py",
+)
+def q317(spark, sf_dir):
+    import tempfile
+
+    from kubenetmon_spark.evolve import (
+        add_column,
+        drop_column,
+        modify_column,
+        read_evolved,
+        rename_column,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="gate_evolve_")
+    tbl = tmp + "/events_v"
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.filter(F.col("user_id") % 2 == 0).write.parquet(tbl)
+    add_column(tbl, "region", "string", default="'unassigned'")
+    rename_column(tbl, "event_type", "etype")
+    drop_column(tbl, "event_id")
+    modify_column(tbl, "user_id", "int")
+    ev.filter(F.col("user_id") % 2 == 1).select(
+        "user_id",
+        F.col("event_type").alias("etype"),
+        "value",
+        F.concat(F.lit("r"), (F.col("user_id") % 3).cast("string")).alias(
+            "region"
+        ),
+    ).write.mode("append").parquet(tbl)
+    return (
+        read_evolved(spark, tbl)
+        .groupBy("etype", "region")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("etype", "region")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------
