@@ -246,13 +246,6 @@ def _build_index_dfs(
     return out, persisted
 
 
-def _build_index_df(df: DataFrame, table_dir: str, spec: IndexSpec) -> DataFrame:
-    """The per-kind build aggregation over ``df`` (full table or just the
-    not-yet-indexed files) — one row per file."""
-    built, _ = _build_index_dfs(df, table_dir, [spec])
-    return built[spec.name]
-
-
 def build_skip_index(
     spark: SparkSession,
     table_dir: str,
@@ -566,13 +559,18 @@ def update_skip_index(
         for u in spark.read.parquet(table_dir).inputFiles()
     }
     out: dict[str, int] = {}
+    # Group indexes by their missing-file set so the usual case — all
+    # indexes updated together after an append — shares scans exactly
+    # like build_skip_index (one stats pass + one distinct pass per
+    # column, not one scan per index).
+    by_missing: dict[tuple[str, ...], list[IndexSpec]] = {}
     for name, spec_d in specs.items():
         dest = Path(index_dir) / name
         indexed = {
             r.file
             for r in spark.read.parquet(str(dest)).select("file").collect()
         }
-        missing = sorted(set(actual) - indexed)
+        missing = tuple(sorted(set(actual) - indexed))
         out[name] = len(missing)
         if not missing:
             continue
@@ -584,15 +582,23 @@ def update_skip_index(
             max_values=spec_d["max_values"],
             ngram=spec_d["ngram"],
         )
+        by_missing.setdefault(missing, []).append(spec)
+    for missing, group in by_missing.items():
         df = spark.read.option("basePath", table_dir).parquet(
             *[actual[rel] for rel in missing]
         )
         missing_df = spark.createDataFrame(
             [(f,) for f in missing], "file string"
         )
-        idx = missing_df.join(_build_index_df(df, table_dir, spec), "file", "left")
-        # repartition(1) keeps the build parallel (see build_skip_index)
-        idx.repartition(1).write.mode("append").parquet(str(dest))
+        built, persisted = _build_index_dfs(df, table_dir, group)
+        for spec in group:
+            idx = missing_df.join(built[spec.name], "file", "left")
+            # repartition(1) keeps the build parallel (see build_skip_index)
+            idx.repartition(1).write.mode("append").parquet(
+                str(Path(index_dir) / spec.name)
+            )
+        for d in persisted:
+            d.unpersist()
     return out
 
 
