@@ -38,6 +38,13 @@ after the ADD also reads as the default; declare ``default=None``
 (nullable, no backfill) when NULL must be storable, the same choice
 ClickHouse forces between ``x T DEFAULT d`` and ``x Nullable(T)``.
 
+Validation happens at READ time, not ALTER time (the DDL functions are
+pure sidecar writes with no SparkSession): a DROP/RENAME/MODIFY naming
+a column that never existed raises a ``ValueError`` from the next
+``read_evolved`` — check the first read after an ALTER, the same way a
+bad ClickHouse mutation surfaces in ``system.mutations`` after the
+fact rather than failing the ALTER statement.
+
 At 100 TB: ``mergeSchema`` reads every file footer — fine for the
 evolved-read path (footers are the index ClickHouse also reads), but
 hot dashboards should run against materialized tables; the log is the
@@ -68,10 +75,21 @@ def schema_log(path: str) -> list[dict]:
     return json.loads(p.read_text())["ops"]
 
 
+def _write_log(path: str, ops: list[dict]) -> None:
+    # Atomic replace (the cache.py idiom): a concurrent read_evolved
+    # must never observe a truncated sidecar mid-write.
+    import os
+
+    target = _log_path(path)
+    tmp = target.with_name(target.name + f".tmp.{os.getpid()}")
+    tmp.write_text(json.dumps({"version": 1, "ops": ops}))
+    os.replace(tmp, target)
+
+
 def _append_op(path: str, op: dict) -> None:
     ops = schema_log(path)
     ops.append(op)
-    _log_path(path).write_text(json.dumps({"version": 1, "ops": ops}))
+    _write_log(path, ops)
 
 
 def add_column(
@@ -189,5 +207,5 @@ def materialize_schema(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
-    _log_path(path).write_text(json.dumps({"version": 1, "ops": []}))
+    _write_log(path, [])
     return len(ops)
