@@ -171,6 +171,17 @@ def _apply_ops(df: DataFrame, ops: list[dict]) -> DataFrame:
     return df
 
 
+def apply_schema_log(df: DataFrame, path: str) -> DataFrame:
+    """Replay the table's recorded ALTERs onto ``df`` — the streaming
+    entry point: a ``readStream`` over an evolving table keeps running
+    across ALTERs by reading with the mergeSchema-union schema
+    (``spark.read.option("mergeSchema", True).parquet(path).schema``)
+    and applying the log per micro-batch (pure projections are
+    streaming-legal and stateless). Batch callers use
+    :func:`read_evolved`, which wires the same replay to a plain read."""
+    return _apply_ops(df, schema_log(path))
+
+
 def read_evolved(spark: SparkSession, path: str) -> DataFrame:
     """Read the table with every recorded ALTER applied, in order.
 
@@ -182,6 +193,13 @@ def read_evolved(spark: SparkSession, path: str) -> DataFrame:
     if ops:
         reader = reader.option("mergeSchema", "true")
     return _apply_ops(reader.parquet(path), ops)
+
+
+def evolved_schema(spark: SparkSession, path: str):
+    """The mergeSchema-union PHYSICAL schema of the table's files — what
+    a ``readStream`` should be given before :func:`apply_schema_log`
+    (the stream reads raw generations; the replay evolves them)."""
+    return spark.read.option("mergeSchema", "true").parquet(path).schema
 
 
 def materialize_schema(

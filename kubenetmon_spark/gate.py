@@ -16865,9 +16865,12 @@ def q315(spark, sf_dir):
     )
     s0 = base.groupBy("k", "ts_s").agg(F.sum("cents").alias("inc"))
     cum = Window.partitionBy("k").orderBy("ts_s")
+    # checkpoint once: three slice writes below each coalesce(1) —
+    # without this the full scan+agg+window plan would re-execute
+    # single-task per slice
     samples = s0.select(
         "k", "ts_s", (F.sum("inc").over(cum) % 100000).alias("v")
-    )
+    ).localCheckpoint(eager=True)
     lo, hi = samples.agg(F.min("ts_s"), F.max("ts_s")).collect()[0]
     cuts = [lo + (hi - lo + 2) // 3, lo + 2 * ((hi - lo + 2) // 3)]
 
