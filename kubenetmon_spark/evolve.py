@@ -38,12 +38,17 @@ after the ADD also reads as the default; declare ``default=None``
 (nullable, no backfill) when NULL must be storable, the same choice
 ClickHouse forces between ``x T DEFAULT d`` and ``x Nullable(T)``.
 
-Validation happens at READ time, not ALTER time (the DDL functions are
-pure sidecar writes with no SparkSession): a DROP/RENAME/MODIFY naming
-a column that never existed raises a ``ValueError`` from the next
-``read_evolved`` — check the first read after an ALTER, the same way a
-bad ClickHouse mutation surfaces in ``system.mutations`` after the
-fact rather than failing the ALTER statement.
+Validation happens at ALTER time (the ClickHouse contract — a bad
+ALTER fails at the statement): the sidecar tracks the logical column
+list through the log (base derived once from the newest file's footer
++ partition dirs, no SparkSession needed), so DROP/RENAME/MODIFY of a
+missing column, ADD of a live column, and RENAME onto a live column
+are refused immediately. Reusing a RETIRED name — one dropped or
+renamed-away while its bytes still sit in old files — is refused until
+:func:`materialize_schema` clears the residue, because stale physical
+bytes under a reused name would be indistinguishable from the new
+logical column at read time. ALTERs on one table are serialized by an
+O_EXCL lockfile (concurrent unserialized ALTERs would lose an op).
 
 At 100 TB: ``mergeSchema`` reads every file footer — fine for the
 evolved-read path (footers are the index ClickHouse also reads), but
@@ -55,6 +60,7 @@ permanent tax.
 from __future__ import annotations
 
 import json
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,21 +81,145 @@ def schema_log(path: str) -> list[dict]:
     return json.loads(p.read_text())["ops"]
 
 
-def _write_log(path: str, ops: list[dict]) -> None:
+def _read_log(path: str) -> dict:
+    p = _log_path(path)
+    if not p.is_file():
+        return {"version": 1, "ops": [], "columns": None, "retired": []}
+    d = json.loads(p.read_text())
+    d.setdefault("columns", None)
+    d.setdefault("retired", [])
+    return d
+
+
+def _write_log(path: str, log: dict) -> None:
     # Atomic replace (the cache.py idiom): a concurrent read_evolved
     # must never observe a truncated sidecar mid-write.
     import os
 
     target = _log_path(path)
     tmp = target.with_name(target.name + f".tmp.{os.getpid()}")
-    tmp.write_text(json.dumps({"version": 1, "ops": ops}))
+    tmp.write_text(json.dumps(log))
     os.replace(tmp, target)
 
 
+@contextmanager
+def _ddl_lock(path: str, timeout_s: float = 5.0):
+    """Serialize ALTERs on one table (O_EXCL lockfile): the sidecar
+    update is read-modify-write, and two unserialized concurrent ALTERs
+    would silently drop one op (last writer wins). ClickHouse
+    serializes ALTERs the same way."""
+    import os
+    import time as _time
+
+    lock = Path(path) / (_LOG_NAME + ".lock")
+    deadline = _time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"schema DDL lock held too long: {lock} (stale? remove it)"
+                )
+            _time.sleep(0.05)
+    try:
+        yield
+    finally:
+        os.close(fd)
+        os.unlink(lock)
+
+
+def _physical_base_columns(path: str) -> list[str]:
+    """Logical columns of a not-yet-altered table: the newest data
+    file's parquet schema (footer only, via pyarrow) plus any
+    ``key=value`` partition-directory columns. Assumes the pre-log
+    table is schema-homogeneous — the state every table written by one
+    job is in; mixed-generation tables only arise THROUGH this log."""
+    import pyarrow.parquet as pq
+
+    root = Path(path)
+    files = sorted(
+        root.rglob("*.parquet"), key=lambda p: (p.stat().st_mtime, str(p))
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {path}; write data first")
+    cols = list(pq.read_schema(str(files[-1])).names)
+    for f in files:
+        for seg in f.relative_to(root).parts[:-1]:
+            if "=" in seg:
+                part = seg.split("=", 1)[0]
+                if part not in cols:
+                    cols.append(part)
+    return cols
+
+
+def _validated(log: dict, path: str, op: dict) -> dict:
+    """ALTER-time validation (the ClickHouse contract: bad ALTERs fail
+    at the statement). Tracks the logical column list through the log,
+    plus the RETIRED set — physical names dropped or renamed-away whose
+    bytes still sit in old files. Reusing a retired name would make the
+    stale bytes indistinguishable from the new logical column at read
+    time (silent data corruption), so it is refused until
+    :func:`materialize_schema` clears the residue."""
+    cols = log["columns"]
+    if cols is None:
+        cols = _physical_base_columns(path)
+    retired = set(log["retired"])
+    kind = op["op"]
+    if kind == "add":
+        col = op["col"]
+        if col in cols:
+            raise ValueError(f"ADD COLUMN {col!r}: column already exists")
+        if col in retired:
+            raise ValueError(
+                f"ADD COLUMN {col!r}: a dropped/renamed-away column of "
+                "this name still has bytes in old files; run "
+                "materialize_schema first"
+            )
+        cols = cols + [col]
+    elif kind == "drop":
+        col = op["col"]
+        if col not in cols:
+            raise ValueError(f"DROP COLUMN {col!r}: no such column (have {cols})")
+        cols = [c for c in cols if c != col]
+        retired.add(col)
+    elif kind == "rename":
+        old, new = op["old"], op["new"]
+        if old not in cols:
+            raise ValueError(f"RENAME COLUMN {old!r}: no such column (have {cols})")
+        if new in cols:
+            raise ValueError(
+                f"RENAME COLUMN {old!r} -> {new!r}: target column exists "
+                "(renaming onto a live column would silently merge them)"
+            )
+        if new in retired:
+            raise ValueError(
+                f"RENAME COLUMN {old!r} -> {new!r}: a dropped/renamed-away "
+                f"column named {new!r} still has bytes in old files; run "
+                "materialize_schema first"
+            )
+        cols = [new if c == old else c for c in cols]
+        retired.add(old)
+        retired.discard(new)  # new name is live again from this point
+    elif kind == "modify":
+        if op["col"] not in cols:
+            raise ValueError(
+                f"MODIFY COLUMN {op['col']!r}: no such column (have {cols})"
+            )
+    else:  # pragma: no cover - internal
+        raise ValueError(f"unknown schema op {kind!r}")
+    return {
+        "version": 1,
+        "ops": log["ops"] + [op],
+        "columns": cols,
+        "retired": sorted(retired),
+    }
+
+
 def _append_op(path: str, op: dict) -> None:
-    ops = schema_log(path)
-    ops.append(op)
-    _write_log(path, ops)
+    with _ddl_lock(path):
+        _write_log(path, _validated(_read_log(path), path, op))
 
 
 def add_column(
@@ -99,7 +229,10 @@ def add_column(
 
     ``default`` is a SQL expression string evaluated per row at read
     (cast to ``dtype``); ``None`` means nullable-without-backfill.
-    Metadata-only: no file is read or written except the sidecar.
+    Metadata cost only: one footer read (first ALTER) + the sidecar.
+    Refused if the name is live, or retired-with-residue (a previously
+    dropped/renamed-away column of the same name still has bytes in old
+    files — materialize first; reusing the name would resurrect them).
     """
     _append_op(path, {"op": "add", "col": column, "dtype": dtype, "default": default})
 
@@ -112,7 +245,10 @@ def drop_column(path: str, column: str) -> None:
 
 def rename_column(path: str, old: str, new: str) -> None:
     """``ALTER TABLE RENAME COLUMN old TO new`` — files written before
-    the rename keep the old physical name; reads unify both."""
+    the rename keep the old physical name; reads unify both. Renaming
+    onto a live column is refused (ClickHouse behavior — it would
+    silently merge two columns), as is reusing a retired name whose
+    bytes still linger (materialize first)."""
     _append_op(path, {"op": "rename", "old": old, "new": new})
 
 
@@ -173,12 +309,23 @@ def _apply_ops(df: DataFrame, ops: list[dict]) -> DataFrame:
 
 def apply_schema_log(df: DataFrame, path: str) -> DataFrame:
     """Replay the table's recorded ALTERs onto ``df`` — the streaming
-    entry point: a ``readStream`` over an evolving table keeps running
-    across ALTERs by reading with the mergeSchema-union schema
-    (``spark.read.option("mergeSchema", True).parquet(path).schema``)
-    and applying the log per micro-batch (pure projections are
-    streaming-legal and stateless). Batch callers use
-    :func:`read_evolved`, which wires the same replay to a plain read."""
+    entry point: a ``readStream`` started with the mergeSchema-union
+    schema (:func:`evolved_schema`) applies the log per micro-batch
+    (pure projections are streaming-legal and stateless).
+
+    **Streaming schema boundary (be honest about it):** a Spark file
+    stream pins its SOURCE schema at start. ALTERs that only reshape
+    existing physical columns — DROP, MODIFY, and any op over columns
+    the pinned schema already carries — apply live, batch by batch. An
+    ADD or RENAME issued *after* the stream started introduces a NEW
+    physical column in newly written files that the pinned schema
+    cannot see: post-ALTER rows would read the DEFAULT (ADD) or NULL
+    (RENAME) instead of their real values. Restart the stream (same
+    checkpoint — offsets carry over) after such ALTERs so the pinned
+    schema re-derives; until the restart the stream is behind the
+    ALTER, never wrong about pre-ALTER data. Batch callers use
+    :func:`read_evolved`, which has no pinned schema and no such
+    boundary."""
     return _apply_ops(df, schema_log(path))
 
 
@@ -187,12 +334,26 @@ def read_evolved(spark: SparkSession, path: str) -> DataFrame:
 
     One ``mergeSchema`` parquet read + pure column projections — the
     op replay adds no shuffle and no Python, and filters/pruning push
-    through it. Equivalent to a plain read when the log is empty."""
+    through it. Equivalent to a plain read when the log is empty.
+
+    Safe against a concurrent :func:`materialize_schema`: if the log
+    was read just before a materialization truncated it, the op replay
+    fails plan-side (the rewritten files no longer carry dropped/old
+    columns) — caught here, the log is re-read once and the plan
+    rebuilt against the new (empty) log."""
     ops = schema_log(path)
-    reader = spark.read
-    if ops:
-        reader = reader.option("mergeSchema", "true")
-    return _apply_ops(reader.parquet(path), ops)
+    for attempt in (0, 1):
+        reader = spark.read
+        if ops:
+            reader = reader.option("mergeSchema", "true")
+        try:
+            return _apply_ops(reader.parquet(path), ops)
+        except ValueError:
+            fresh = schema_log(path)
+            if attempt == 0 and fresh != ops:
+                ops = fresh  # materialize_schema won the race; replay anew
+                continue
+            raise
 
 
 def evolved_schema(spark: SparkSession, path: str):
@@ -225,5 +386,7 @@ def materialize_schema(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
-    _write_log(path, [])
+    # files now carry the evolved schema: empty log, no retired residue,
+    # logical columns re-derive from footers at the next ALTER
+    _write_log(path, {"version": 1, "ops": [], "columns": None, "retired": []})
     return len(ops)

@@ -147,17 +147,66 @@ def test_materialize_folds_log_and_plain_read_agrees(spark, tmp_path):
     assert materialize_schema(spark, tbl) == 0
 
 
-def test_bad_ops_raise_at_read(spark, tmp_path):
+def test_bad_ops_raise_at_alter(spark, tmp_path):
+    # the ClickHouse contract: a bad ALTER fails at the statement, and
+    # nothing lands in the log
     tbl = str(tmp_path / "t")
     _v1(spark, tbl)
-    drop_column(tbl, "nope")
     with pytest.raises(ValueError, match="DROP COLUMN"):
-        read_evolved(spark, tbl).columns
-    tbl2 = str(tmp_path / "t2")
-    _v1(spark, tbl2)
-    rename_column(tbl2, "missing", "x")
+        drop_column(tbl, "nope")
     with pytest.raises(ValueError, match="RENAME COLUMN"):
-        read_evolved(spark, tbl2).columns
+        rename_column(tbl, "missing", "x")
+    with pytest.raises(ValueError, match="MODIFY COLUMN"):
+        modify_column(tbl, "missing", "int")
+    with pytest.raises(ValueError, match="already exists"):
+        add_column(tbl, "amount", "bigint")
+    assert schema_log(tbl) == []
+
+
+def test_retired_name_reuse_refused_until_materialize(spark, tmp_path):
+    # re-ADD after DROP (or RENAME onto a retired name) would resurrect
+    # the stale bytes still sitting in old files — refused with a
+    # materialize-first error; allowed again after materialization
+    tbl = str(tmp_path / "t")
+    _v1(spark, tbl)
+    drop_column(tbl, "amount")
+    with pytest.raises(ValueError, match="materialize_schema first"):
+        add_column(tbl, "amount", "bigint", default="0")
+    rename_column(tbl, "grp", "cohort")
+    with pytest.raises(ValueError, match="materialize_schema first"):
+        rename_column(tbl, "cohort", "grp")
+    materialize_schema(spark, tbl)
+    add_column(tbl, "amount", "bigint", default="0")  # residue gone: OK
+    got = read_evolved(spark, tbl)
+    assert got.filter(F.col("amount") == 0).count() == 100
+
+
+def test_rename_onto_live_column_refused(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    _v1(spark, tbl)
+    with pytest.raises(ValueError, match="target column exists"):
+        rename_column(tbl, "grp", "amount")
+
+
+def test_ddl_lock_serializes_and_cleans_up(spark, tmp_path):
+    import os
+
+    tbl = str(tmp_path / "t")
+    _v1(spark, tbl)
+    lock = os.path.join(tbl, "_schema_log.json.lock")
+    # a held lock makes a concurrent ALTER time out instead of losing it
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with pytest.raises(TimeoutError):
+            from kubenetmon_spark.evolve import _ddl_lock
+
+            with _ddl_lock(tbl, timeout_s=0.2):
+                pass
+    finally:
+        os.close(fd)
+        os.unlink(lock)
+    add_column(tbl, "x", "int")  # lock released: DDL works and cleans up
+    assert not os.path.exists(lock)
 
 
 def test_empty_log_is_plain_read(spark, tmp_path):
@@ -200,7 +249,7 @@ def test_streaming_read_applies_log(spark, tmp_path):
     ).option(
         "checkpointLocation", str(tmp_path / "ckpt")
     ).start()
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), q.exception()
 
     batch = sorted(
         tuple(r)
