@@ -72,8 +72,6 @@ def start_rates_stream(
     retain = late + win + 2 * step
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        if not batch.take(1):
-            return
         spark = batch.sparkSession
         b = batch.select(
             *key_cols,
@@ -81,11 +79,17 @@ def start_rates_stream(
             F.col(value_col).cast("long").alias("_v"),
         )
         buf = _read_or_none(spark, buffer_path)
+        prev_max = None
         if buf is not None:
             prev_max = buf.agg(F.max("_ts").alias("m")).collect()[0]["m"]
             if prev_max is not None:
                 b = b.filter(F.col("_ts") > prev_max - late)
-        if not b.take(1):
+        # one scalar agg doubles as the emptiness probe (replaces two
+        # take(1) jobs) and feeds the touched-bucket range below
+        lohi = b.agg(
+            F.min("_ts").alias("lo"), F.max("_ts").alias("hi")
+        ).collect()[0]
+        if lohi["lo"] is None:
             return
         merged = (
             (buf.unionByName(b) if buf is not None else b)
@@ -95,10 +99,6 @@ def start_rates_stream(
         # materialize: the grid read and the buffer overwrite below
         # both consume this plan (and buf's files get rewritten)
         merged = merged.localCheckpoint(eager=True)
-
-        lohi = b.agg(
-            F.min("_ts").alias("lo"), F.max("_ts").alias("hi")
-        ).collect()[0]
         t_lo = -(-lohi["lo"] // step) * step  # first bucket >= lo
         t_hi = ((lohi["hi"] + win - 1) // step) * step
         n = (t_hi - t_lo) // step + 1
@@ -123,7 +123,11 @@ def start_rates_stream(
                 .partitionBy("bucket_ts")
                 .parquet(out_path)
             )
-        max_seen = merged.agg(F.max("_ts").alias("m")).collect()[0]["m"]
+        # merged's max is max(buffer max, this batch's hi) — known on the
+        # driver already, no extra job over merged
+        max_seen = (
+            lohi["hi"] if prev_max is None else max(prev_max, lohi["hi"])
+        )
         (
             merged.filter(F.col("_ts") > max_seen - retain)
             .write.mode("overwrite")
