@@ -34,10 +34,17 @@ from pyspark.sql import functions as F
 
 #: literal-matching patterns, applied in order; shared verbatim with
 #: the SQL oracle builder below.
-_STRING_LIT = "'[^']*'"
+#: - string literals handle SQL doubled-quote escapes ('it''s' is ONE
+#:   literal, not two) so equivalent templates hash identically;
+#: - whitespace is an EXPLICIT class, not \s: Java's \s includes
+#:   vertical tab (\x0B) while RE2's does not — the explicit class is
+#:   the intersection both engines parse identically (verified:
+#:   bare \s diverges on \x0B between Spark and DuckDB).
+_STRING_LIT = "'([^']|'')*'"
 _NUM_LIT = r"\b[0-9]+(\.[0-9]+)?([eE][-+]?[0-9]+)?\b"
-_LIST_OF_PLACEHOLDERS = r"\?(\s*,\s*\?)+"
-_WS = r"\s+"
+_WS_CLASS = r"[ \t\n\x0B\f\r]"
+_LIST_OF_PLACEHOLDERS = rf"\?({_WS_CLASS}*,{_WS_CLASS}*\?)+"
+_WS = _WS_CLASS + "+"
 
 
 def normalize_query(col: Column) -> Column:

@@ -241,10 +241,15 @@ def check_quota(
     cutoff = _dt.datetime.fromtimestamp(
         now - window_s, tz=_dt.timezone.utc
     ).isoformat()
-    try:
-        log = spark.read.parquet(log_path)
-    except Exception:  # no log yet: zero usage
+    # Only a log that does not exist yet means zero usage; any OTHER
+    # read failure (corrupt file, permissions) must FAIL CLOSED — a
+    # quota module that returns zero usage on error silently disables
+    # enforcement exactly when the log is being tampered with/broken.
+    import os
+
+    if not os.path.exists(log_path):
         return {"queries": 0, "result_rows": 0}
+    log = spark.read.parquet(log_path)
     agg = (
         log.filter((F.col("name") == name) & (F.col("started_at") >= cutoff))
         .agg(

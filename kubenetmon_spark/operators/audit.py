@@ -33,16 +33,21 @@ def check_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     aggs = [F.count("*").alias("n_rows")]
     for name, pred in rules.items():
         aggs.append(
-            F.sum(
-                F.when(pred.isNull() | ~pred, 1).otherwise(0)
+            # coalesce: SUM over zero rows is NULL — an empty partition
+            # must audit as 0 violations, not NULL
+            F.coalesce(
+                F.sum(F.when(pred.isNull() | ~pred, 1).otherwise(0)),
+                F.lit(0),
             ).alias(f"_v_{name}")
         )
     one = df.agg(*aggs)
     pairs = F.array(
         *[
+            # backticks: rule names are arbitrary labels — a dot in
+            # F.col would otherwise parse as a struct-field reference
             F.struct(
                 F.lit(name).alias("rule"),
-                F.col(f"_v_{name}").alias("n_violations"),
+                F.col(f"`_v_{name}`").alias("n_violations"),
             )
             for name in rules
         ]

@@ -93,6 +93,18 @@ def shingle_set(
 
         from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+        # The Arrow stage carries _id as LongType; a non-integral id
+        # column would silently CAST to NULL (every downstream
+        # anti-join/dedup would then no-op — silent data corruption for
+        # safety-critical consumers like decontaminate). Refuse instead.
+        id_dtype = df.schema[id_col].dataType.simpleString()
+        if id_dtype not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                f"shingle_set: id column {id_col!r} has type {id_dtype}; "
+                "need an integral id — derive a surrogate first, e.g. "
+                f".withColumn({id_col!r}, F.xxhash64({id_col!r}))"
+            )
+
         out_schema = StructType(
             [StructField("_id", LongType(), True), StructField("shingle", StringType(), True)]
         )

@@ -32,12 +32,18 @@ def hash_keep(id_col: Column, keep_bp: int) -> Column:
 
     keep_bp >= 10000 keeps EVERYTHING: the naive threshold would be
     '10000' — five chars, lexicographically BELOW 'ffff' — silently
-    keeping only 1/16 of rows; 'g' sorts above every hex digit."""
-    if keep_bp >= 10000:
-        threshold = "g"
-    else:
-        threshold = format(int(_BUCKETS * keep_bp / 10000), "04x")
-    return F.substring(F.md5(id_col.cast("string")), 1, 4) < F.lit(threshold)
+    keeping only 1/16 of rows; 'g' sorts above every hex digit.
+
+    NULL ids have no hash: they are deterministically DROPPED for any
+    partial rate (md5(NULL) is NULL — made explicit here rather than
+    left to three-valued logic) and KEPT when keep_bp >= 10000, so the
+    keep-everything contract holds on dirty data too. SQL twins
+    (WHERE substr(md5(...),1,4) < 't') agree on every non-NULL id and
+    drop NULL ids — identical to this predicate below 10000."""
+    pred = F.substring(F.md5(id_col.cast("string")), 1, 4) < F.lit(
+        "g" if keep_bp >= 10000 else format(int(_BUCKETS * keep_bp / 10000), "04x")
+    )
+    return F.coalesce(pred, F.lit(keep_bp >= 10000))
 
 
 def deterministic_sample(df: DataFrame, id_col: str, keep_bp: int) -> DataFrame:
@@ -84,7 +90,12 @@ def stratified_sample_exact(
         *rest,
     )
     if bounded:
-        sel = _partition_bottom_k(sel, list(strata_cols), n, dedup=False)
+        # sort by (_h, id) only: id is unique per contract, so the
+        # order is total without touching payload columns (array/map
+        # payloads are unhashable in the pandas fold's sort)
+        sel = _partition_bottom_k(
+            sel, list(strata_cols), n, dedup=False, sort_cols=["_h", id_col]
+        )
     w = Window.partitionBy(*strata_cols).orderBy("_h", id_col)
     return (
         sel.withColumn("_rn", F.row_number().over(w))

@@ -196,7 +196,11 @@ def _kmv_hash(col):
 
 
 def _partition_bottom_k(
-    df: DataFrame, group_cols: list[str], k: int, dedup: bool
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    dedup: bool,
+    sort_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per INPUT PARTITION, keep only the ``k`` smallest-``_h`` rows of
     each group — a zero-shuffle Arrow-batched fold that bounds what any
@@ -218,8 +222,15 @@ def _partition_bottom_k(
     ``sort_array``, so hash ties keep identical survivors too.
     ``dedup=True`` additionally drops duplicate (group, _h) pairs
     locally (KMV wants distinct hashes; the final collect_set still
-    dedups across partitions)."""
-    sort_cols = [c for c in df.columns if c not in group_cols]
+    dedups across partitions).
+
+    ``sort_cols`` overrides the ordering columns: pass it when the
+    frame carries PAYLOAD columns that must ride along untouched —
+    payloads must not join the sort (array/map payloads are unhashable
+    in the pandas sort, and a unique tiebreaker makes them redundant
+    anyway). Default: every non-group column."""
+    if sort_cols is None:
+        sort_cols = [c for c in df.columns if c not in group_cols]
     gcols = list(group_cols)
 
     def fold(batches):

@@ -36,16 +36,44 @@ event-time scalars.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
-def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(path)
-    except Exception:
+def _latest_buffer_version(buffer_path: str) -> int:
+    """Highest COMMITTED buffer version (``v=N`` dir carrying Spark's
+    ``_SUCCESS`` marker), or -1 if none. Versions are never overwritten
+    in place — a crash mid-write leaves the previous version intact and
+    unreferenced garbage at ``v=N+1`` (no ``_SUCCESS``), so replayed
+    batches always recompute from committed state instead of silently
+    starting over. A missing/other-error directory is an empty buffer
+    ONLY when it genuinely does not exist; read failures of a committed
+    version propagate (a quota/exactness component must fail loud, not
+    reset state)."""
+    root = Path(buffer_path)
+    if not root.is_dir():
+        return -1
+    best = -1
+    for child in root.iterdir():
+        if child.name.startswith("v=") and (child / "_SUCCESS").is_file():
+            try:
+                best = max(best, int(child.name[2:]))
+            except ValueError:
+                continue
+    return best
+
+
+def read_buffer(spark: SparkSession, buffer_path: str) -> DataFrame | None:
+    """The latest committed sample buffer, or None before the first
+    batch. (The buffer root holds versioned ``v=N`` subdirs — read
+    through this helper, not the root.)"""
+    v = _latest_buffer_version(buffer_path)
+    if v < 0:
         return None
+    return spark.read.parquet(str(Path(buffer_path) / f"v={v}"))
 
 
 def start_rates_stream(
@@ -78,7 +106,12 @@ def start_rates_stream(
             F.col(ts_col).cast("long").alias("_ts"),
             F.col(value_col).cast("long").alias("_v"),
         )
-        buf = _read_or_none(spark, buffer_path)
+        prev_v = _latest_buffer_version(buffer_path)
+        buf = (
+            spark.read.parquet(str(Path(buffer_path) / f"v={prev_v}"))
+            if prev_v >= 0
+            else None
+        )
         prev_max = None
         if buf is not None:
             prev_max = buf.agg(F.max("_ts").alias("m")).collect()[0]["m"]
@@ -128,11 +161,24 @@ def start_rates_stream(
         max_seen = (
             lohi["hi"] if prev_max is None else max(prev_max, lohi["hi"])
         )
+        # Durable buffer turnover: write a NEW version, never overwrite
+        # the one just read — a crash mid-write leaves prev_v committed,
+        # so the checkpoint's replay recomputes from real state (the
+        # groupBy-max merge is idempotent, so a replay after a crash
+        # that DID commit also converges). Prune all-but-latest after
+        # the commit; a crash between write and prune leaves harmless
+        # stale versions below the new maximum.
+        import shutil
+
+        new_v = prev_v + 1
         (
             merged.filter(F.col("_ts") > max_seen - retain)
             .write.mode("overwrite")
-            .parquet(buffer_path)
+            .parquet(str(Path(buffer_path) / f"v={new_v}"))
         )
+        for child in Path(buffer_path).iterdir():
+            if child.name.startswith("v=") and child.name != f"v={new_v}":
+                shutil.rmtree(child, ignore_errors=True)
 
     return (
         stream.writeStream.outputMode("append")

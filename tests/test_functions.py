@@ -293,3 +293,34 @@ class TestNormalizeQuery:
                 [s],
             ).fetchone()[0]
             assert duck == self._norm(spark, s)
+
+
+def test_normalize_query_escaped_quote_and_vtab(spark):
+    # review fixes: 'it''s' is ONE literal; \x0B whitespace collapses
+    # identically in Spark (Java regex) and the DuckDB oracle (RE2)
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from kubenetmon_spark.functions.normalize import (
+        normalize_query,
+        sql_normalize_query,
+    )
+
+    rows = [
+        ("SELECT 'it''s'",),
+        ("a\x0bb  c",),
+        ("IN (1, 2,  3)",),
+    ]
+    df = spark.createDataFrame(rows, "q string")
+    got = [r[0] for r in df.select(normalize_query(F.col("q"))).collect()]
+    assert got[0] == "SELECT ?"  # doubled quote = ONE literal, not two
+    assert got[1] == "a b c"  # vertical tab collapsed
+    oracle = [
+        duckdb.sql(
+            f"SELECT {sql_normalize_query('q')} FROM (SELECT ? AS q)",
+            params=[q],
+        ).fetchone()[0]
+        for (q,) in rows
+    ]
+    assert oracle == got  # the two engines stay in lockstep

@@ -1632,3 +1632,76 @@ class TestTableDiff:
             [(1, "a", 999)], "k long, s string, v int"
         )
         assert table_diff(left, right, ["k"], ["s"]).count() == 0
+
+
+class TestReviewHardening:
+    """Round-3 code-review fixes: silent-corruption and fail-open paths."""
+
+    def test_stratified_bounded_survives_array_payload(self, spark):
+        # the bounded fold used to sort by ALL non-strata columns —
+        # numpy-array payloads are unhashable in the pandas sort
+        from kubenetmon_spark.operators.sampling import stratified_sample_exact
+
+        df = spark.range(0, 200).selectExpr(
+            "CAST(id % 3 AS INT) AS src",
+            "id AS doc_id",
+            "array(CAST(id AS DOUBLE), 1.0) AS embedding",
+        )
+        bounded = stratified_sample_exact(df, ["src"], 5, "doc_id", bounded=True)
+        exact = stratified_sample_exact(df, ["src"], 5, "doc_id", bounded=False)
+        assert sorted(r.doc_id for r in bounded.collect()) == sorted(
+            r.doc_id for r in exact.collect()
+        )
+
+    def test_hash_keep_null_ids_explicit(self, spark):
+        from pyspark.sql import functions as F
+
+        from kubenetmon_spark.operators.sampling import hash_keep
+
+        df = spark.createDataFrame(
+            [("a",), (None,), ("b",)], "doc_id string"
+        )
+        # keep-everything keeps NULL ids too (the documented contract)
+        assert df.filter(hash_keep(F.col("doc_id"), 10000)).count() == 3
+        # partial rates drop NULL ids deterministically (no 3VL surprises)
+        kept = df.filter(hash_keep(F.col("doc_id"), 5000))
+        assert kept.filter(F.col("doc_id").isNull()).count() == 0
+
+    def test_check_rules_dot_name_and_empty_df(self, spark):
+        from pyspark.sql import functions as F
+
+        from kubenetmon_spark.operators.audit import check_rules
+
+        df = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+        got = check_rules(
+            df.filter(F.lit(False)), {"v.nonneg": F.col("v") >= 0}
+        ).collect()
+        assert got[0]["rule"] == "v.nonneg"
+        assert got[0]["n_violations"] == 0  # empty table: 0, never NULL
+
+    def test_shingle_set_refuses_string_ids(self, spark):
+        import pytest as _pytest
+
+        from kubenetmon_spark.operators.dedup import shingle_set
+
+        docs = spark.createDataFrame(
+            [("doc-1", "a b c d")], "doc_id string, text string"
+        )
+        with _pytest.raises(ValueError, match="integral id"):
+            shingle_set(docs, "doc_id", "text").count()
+
+    def test_check_quota_fails_closed_on_corrupt_log(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from kubenetmon_spark.guards import check_quota
+
+        # missing log: zero usage (allowed)
+        assert check_quota(
+            spark, str(tmp_path / "nope"), "u1", max_queries=1
+        ) == {"queries": 0, "result_rows": 0}
+        # corrupt log: must raise, not silently disable enforcement
+        bad = tmp_path / "log"
+        bad.mkdir()
+        (bad / "part-0.parquet").write_bytes(b"not parquet")
+        with _pytest.raises(Exception):
+            check_quota(spark, str(bad), "u1", max_queries=1)

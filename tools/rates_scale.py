@@ -35,7 +35,7 @@ def main() -> int:
     from pyspark.sql.window import Window
 
     from kubenetmon_spark.session import get_spark
-    from kubenetmon_spark.streaming.rates import start_rates_stream
+    from kubenetmon_spark.streaming.rates import read_buffer, start_rates_stream
 
     spark = get_spark("rates_scale")
     spark.sparkContext.setLogLevel("ERROR")
@@ -86,7 +86,7 @@ def main() -> int:
         or p["durationMs"].get("triggerExecution", 0) > 0
     ]
     grid_rows = spark.read.parquet(out).count()
-    buf_rows = spark.read.parquet(buf).count()
+    buf_rows = read_buffer(spark, buf).count()
     print(
         f"samples={n_samples} batches={len(files)} grid_rows={grid_rows} "
         f"buffer_rows={buf_rows} wall={wall:.1f}s"
