@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
+from kubenetmon_spark.streaming.state import read_state_or_none
 
 
 def start_incremental_dedup_stream(
@@ -59,10 +60,9 @@ def start_incremental_dedup_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            seen = spark.read.parquet(index_path)
-        except Exception:
-            seen = None
+        # absent index = first batch; unreadable EXISTING index raises
+        # (a silent None would re-admit every already-seen line)
+        seen = read_state_or_none(spark, index_path)
         if seen is not None:
             # A replayed batch must not see its own partial writes:
             # partition-prune away _bid == batch_id before the anti-join.
@@ -119,11 +119,12 @@ def start_minhash_dedup_stream(
         spark = batch_df.sparkSession
 
         def read_index(sub):
-            try:
-                df = spark.read.option(
-                    "basePath", f"{index_path}/{sub}"
-                ).parquet(f"{index_path}/{sub}")
-            except Exception:
+            # absent = first batch; unreadable EXISTING index raises (a
+            # silent None would re-admit known duplicates)
+            df = read_state_or_none(
+                spark, f"{index_path}/{sub}", base_path=f"{index_path}/{sub}"
+            )
+            if df is None:
                 return None
             # a replayed batch must not see its own partial writes
             return df.filter(F.col("_bid") != batch_id).drop("_bid")
@@ -178,11 +179,12 @@ def start_cosine_dedup_stream(
         spark = batch_df.sparkSession
 
         def read_index(sub):
-            try:
-                df = spark.read.option(
-                    "basePath", f"{index_path}/{sub}"
-                ).parquet(f"{index_path}/{sub}")
-            except Exception:
+            # absent = first batch; unreadable EXISTING index raises (a
+            # silent None would re-admit known duplicates)
+            df = read_state_or_none(
+                spark, f"{index_path}/{sub}", base_path=f"{index_path}/{sub}"
+            )
+            if df is None:
                 return None
             # a replayed batch must not see its own partial writes
             return df.filter(F.col("_bid") != batch_id).drop("_bid")

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from kubenetmon_spark.streaming.state import read_state_or_none
 
 
 def _latest_open(
@@ -35,11 +36,10 @@ def _latest_open(
     """The open set as of the newest completed batch (optionally
     excluding a batch id — a replayed batch must not see its own
     partial writes)."""
-    try:
-        df = spark.read.option("basePath", f"{scd2_path}/open").parquet(
-            f"{scd2_path}/open"
-        )
-    except Exception:
+    df = read_state_or_none(
+        spark, f"{scd2_path}/open", base_path=f"{scd2_path}/open"
+    )
+    if df is None:
         return None
     if exclude_bid is not None:
         df = df.filter(F.col("_bid") != exclude_bid)
@@ -110,12 +110,9 @@ def read_scd2(spark: SparkSession, scd2_path: str) -> DataFrame:
     open_df = _latest_open(spark, scd2_path)
     if open_df is None:
         raise FileNotFoundError(f"no open set under {scd2_path}/open")
-    try:
-        closed = (
-            spark.read.option("basePath", f"{scd2_path}/closed")
-            .parquet(f"{scd2_path}/closed")
-            .drop("_bid")
-        )
-    except Exception:
+    closed = read_state_or_none(
+        spark, f"{scd2_path}/closed", base_path=f"{scd2_path}/closed"
+    )
+    if closed is None:  # nothing ever closed yet
         return open_df
-    return closed.unionByName(open_df)
+    return closed.drop("_bid").unionByName(open_df)

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from kubenetmon_spark.streaming.state import read_state_or_none
 
 
 def windowed_moment_sums(
@@ -54,11 +55,12 @@ def start_moment_stream(
             return
         spark = batch.sparkSession
         merged = batch.select("window_start", "n", "sx", "sxx")
-        try:
+        # absent state = first batch; unreadable EXISTING state raises
+        prev = read_state_or_none(spark, out_path)
+        if prev is not None:
             touched = batch.select("window_start").distinct()
             stored = (
-                spark.read.parquet(out_path)
-                .join(F.broadcast(touched), "window_start")
+                prev.join(F.broadcast(touched), "window_start")
                 .select("window_start", "n", "sx", "sxx")
             )
             merged = merged.unionByName(
@@ -68,8 +70,6 @@ def start_moment_stream(
                     "left_anti",
                 )
             )
-        except Exception:  # first batch
-            pass
         merged = merged.localCheckpoint(eager=True)
         (
             merged.write.mode("overwrite")

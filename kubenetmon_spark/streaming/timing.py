@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from kubenetmon_spark.operators.agg import timing_bucket, weighted_quantile_exact
+from kubenetmon_spark.streaming.state import read_state_or_none
 
 
 def windowed_timing_histogram(
@@ -64,11 +65,12 @@ def start_timing_histogram_stream(
             return
         spark = batch.sparkSession
         merged = batch.select("window_start", "tb", "cnt")
-        try:
+        # absent state = first batch; unreadable EXISTING state raises
+        prev = read_state_or_none(spark, out_path)
+        if prev is not None:
             touched = batch.select("window_start").distinct()
             stored = (
-                spark.read.parquet(out_path)
-                .join(F.broadcast(touched), "window_start")
+                prev.join(F.broadcast(touched), "window_start")
                 .select("window_start", "tb", "cnt")
             )
             # batch rows carry the state's ABSOLUTE counts — they win;
@@ -80,8 +82,6 @@ def start_timing_histogram_stream(
                     "left_anti",
                 )
             )
-        except Exception:  # first batch: nothing stored yet
-            pass
         merged = merged.localCheckpoint(eager=True)
         (
             merged.write.mode("overwrite")

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from kubenetmon_spark.streaming.state import read_state_or_none
 
 
 def windowed_counts(
@@ -90,11 +91,13 @@ def start_topk_stream(
         # stored partitions of touched windows UNION batch updates
         # (batch value wins); rank that.
         candidates = batch.select("window_start", key_col, "val")
-        try:
+        # only a genuinely-absent state means first batch; a failed read
+        # of EXISTING state must raise, not silently reset the rankings
+        prev = read_state_or_none(spark, out_path)
+        if prev is not None:
             touched = batch.select("window_start").distinct()
             stored = (
-                spark.read.parquet(out_path)
-                .join(F.broadcast(touched), "window_start")
+                prev.join(F.broadcast(touched), "window_start")
                 .select("window_start", key_col, "val")
             )
             candidates = candidates.unionByName(
@@ -104,8 +107,6 @@ def start_topk_stream(
                     "left_anti",
                 )
             )
-        except Exception:  # first batch: nothing stored yet
-            pass
         w = Window.partitionBy("window_start").orderBy(
             F.desc("val"), F.col(key_col)
         )
