@@ -1,0 +1,420 @@
+"""Filesystem adapter for lifecycle/state file operations.
+
+Every table-lifecycle operator in this package (partition detach/
+attach/move/replace in sink.py, TTL markers, backup manifests,
+streaming buffer commits in streaming/rates.py, committed-batch
+markers in streaming/job.py, the schema-evolution sidecar in
+evolve.py, skip-index directories, rollup freshness markers, the
+query-result cache) needs a handful of small file operations next to
+the parquet data Spark reads and writes. On one box those are
+pathlib/os calls; on the cluster a 100 TB deployment actually runs
+on, the table roots are ``hdfs://`` / ``s3a://`` / ``abfs://`` URIs
+and raw ``os`` calls silently see "nothing there" (the fail-open
+failure mode guards.py exists to prevent).
+
+This module is the seam: one small FS interface with two
+implementations, chosen per-path.
+
+- :class:`LocalFS` — plain local paths (no scheme). pathlib/os/shutil;
+  ``write_text_atomic`` is write-temp + ``os.replace`` (atomic), and
+  ``create_exclusive`` is ``O_CREAT|O_EXCL`` (atomic).
+- :class:`HadoopFS` — any URI-form path (``hdfs://``, ``s3a://``,
+  ``file:/``, ...). Wraps the JVM's ``org.apache.hadoop.fs.FileSystem``
+  obtained from the active SparkSession, so every store Spark itself
+  can read/write is covered with zero new dependencies, and the exact
+  same connector configuration (credentials, endpoints) applies.
+
+Semantics notes, where stores genuinely differ:
+
+- ``write_text_atomic``: LocalFS is rename-atomic. HadoopFS writes the
+  final object in ONE ``create(overwrite=True)`` + close — atomic on
+  object stores (PUT either lands whole or not at all); on HDFS a
+  reader racing the close can see a short read, which surfaces as a
+  loud parse error in every caller (all sidecars are JSON), never as
+  silently-empty state. Rename-based publish is deliberately NOT used
+  here: object-store rename is copy+delete, leaving a missing-target
+  window that DOES read as silently-empty.
+- ``create_exclusive`` (DDL lock): atomic on local disk and HDFS
+  (``create(overwrite=false)``); on S3A it is best-effort (S3 has no
+  compare-and-set create without S3 conditional writes). Concurrent
+  DDL from multiple drivers against the same S3 table root should be
+  serialized by the orchestrator — the lock still serializes the
+  common one-driver case.
+- ``rename_no_replace`` (cache publish): both implementations fail if
+  the destination exists, which callers treat as "lost the publish
+  race — serve the winner's entry".
+
+Reference parity note: the reference delegates all of this to
+ClickHouse's MergeTree storage layer (parts live wherever the disk
+config points, including S3-backed disks). This adapter is the Spark
+engine's equivalent of that disk abstraction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+from typing import Iterator
+
+__all__ = [
+    "FS",
+    "LocalFS",
+    "HadoopFS",
+    "get_fs",
+    "is_uri",
+    "join",
+    "parent",
+    "basename",
+    "strip_scheme",
+]
+
+
+def is_uri(path: str) -> bool:
+    """True when the path must go through Hadoop (scheme-qualified)."""
+    p = str(path)
+    return "://" in p or p.startswith("file:/")
+
+
+def join(base: str, *parts: str) -> str:
+    """POSIX-style join that works for both local paths and URIs
+    (``Path /`` would mangle ``scheme://``)."""
+    out = str(base).rstrip("/")
+    for p in parts:
+        out += "/" + str(p).strip("/")
+    return out
+
+
+def basename(path: str) -> str:
+    return str(path).rstrip("/").rsplit("/", 1)[-1]
+
+
+def parent(path: str) -> str:
+    p = str(path).rstrip("/")
+    head = p.rsplit("/", 1)[0]
+    return head
+
+
+def strip_scheme(path: str) -> str:
+    """Local filesystem path for a ``file:`` URI (identity otherwise).
+    Useful where a local library (pyarrow footer reads) needs an
+    OS path for data that lives on the local store."""
+    p = str(path)
+    if p.startswith("file://"):
+        return p[len("file://") :] or "/"
+    if p.startswith("file:/"):
+        return p[len("file:") :]
+    return p
+
+
+class FS:
+    """The operation set lifecycle code needs. Paths are strings
+    (local paths for LocalFS, URIs for HadoopFS)."""
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def is_dir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def is_file(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def mkdirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    def list_names(self, path: str) -> list[str]:
+        """Immediate child names (files and dirs), sorted."""
+        raise NotImplementedError
+
+    def walk_files(self, path: str) -> Iterator[tuple[str, int, int]]:
+        """All files under ``path`` recursively as
+        ``(full_path, size_bytes, mtime_ns)``, hidden dirs/files
+        (``_``/``.`` prefixed) INCLUDED — callers filter."""
+        raise NotImplementedError
+
+    def glob_parquet(self, path: str, include_hidden: bool = False) -> list[str]:
+        """Full paths of ``*.parquet`` files under ``path``, sorted.
+        By default skips files under ``_``/``.``-prefixed directories
+        (Spark's reader ignores those — ``_temporary`` from a crashed
+        write must not read as data)."""
+        out = []
+        base = str(path).rstrip("/")
+        for full, _size, _mt in self.walk_files(path):
+            if not full.endswith(".parquet"):
+                continue
+            rel = full[len(base) :].lstrip("/")
+            segs = rel.split("/")
+            if not include_hidden and any(
+                s.startswith(("_", ".")) for s in segs
+            ):
+                continue
+            out.append(full)
+        return sorted(out)
+
+    def read_bytes(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def read_text(self, path: str) -> str:
+        return self.read_bytes(path).decode("utf-8")
+
+    def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        self.write_bytes_atomic(path, text.encode("utf-8"))
+
+    def create_exclusive(self, path: str) -> None:
+        """Create an empty file, failing with FileExistsError if it
+        already exists. The DDL-lock primitive."""
+        raise NotImplementedError
+
+    def remove_file(self, path: str) -> None:
+        raise NotImplementedError
+
+    def delete_dir(self, path: str, ignore_missing: bool = True) -> None:
+        raise NotImplementedError
+
+    def rename_no_replace(self, src: str, dst: str) -> None:
+        """Move ``src`` to ``dst``; FileExistsError if ``dst`` exists."""
+        raise NotImplementedError
+
+    def copy_file(self, src: str, dst: str) -> None:
+        raise NotImplementedError
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        """Recursive copy of a directory (dst created)."""
+        self.mkdirs(dst)
+        base = str(src).rstrip("/")
+        for full, _size, _mt in self.walk_files(src):
+            rel = full[len(base) :].lstrip("/")
+            target = join(dst, rel)
+            tparent = parent(target)
+            if tparent:
+                self.mkdirs(tparent)
+            self.copy_file(full, target)
+
+    def file_size(self, path: str) -> int:
+        raise NotImplementedError
+
+    # JSON sidecar helpers (the dominant use)
+    def read_json(self, path: str) -> dict:
+        return json.loads(self.read_text(path))
+
+    def write_json_atomic(self, path: str, obj: dict) -> None:
+        self.write_text_atomic(path, json.dumps(obj))
+
+
+class LocalFS(FS):
+    """Plain local paths — pathlib/os/shutil, all-atomic primitives."""
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def is_file(self, path: str) -> bool:
+        return os.path.isfile(path)
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def list_names(self, path: str) -> list[str]:
+        return sorted(os.listdir(path))
+
+    def walk_files(self, path: str) -> Iterator[tuple[str, int, int]]:
+        for dirpath, _dirs, files in os.walk(path):
+            for f in files:
+                full = os.path.join(dirpath, f)
+                try:
+                    st = os.stat(full)
+                except OSError:
+                    continue
+                yield full, st.st_size, st.st_mtime_ns
+
+    def read_bytes(self, path: str) -> bytes:
+        return Path(path).read_bytes()
+
+    def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        target = Path(path)
+        tmp = target.with_name(f".{target.name}.tmp.{os.getpid()}")
+        tmp.write_bytes(data)
+        os.replace(tmp, target)
+
+    def create_exclusive(self, path: str) -> None:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+
+    def remove_file(self, path: str) -> None:
+        os.unlink(path)
+
+    def delete_dir(self, path: str, ignore_missing: bool = True) -> None:
+        try:
+            shutil.rmtree(path)
+        except FileNotFoundError:
+            if not ignore_missing:
+                raise
+
+    def rename_no_replace(self, src: str, dst: str) -> None:
+        if os.path.exists(dst):
+            raise FileExistsError(dst)
+        # os.rename onto an existing EMPTY dir would succeed on POSIX
+        # only if dst is empty; the exists() check above keeps the
+        # contract uniform with HadoopFS.
+        os.rename(src, dst)
+
+    def copy_file(self, src: str, dst: str) -> None:
+        shutil.copy2(src, dst)
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        shutil.copytree(src, dst)
+
+    def file_size(self, path: str) -> int:
+        return os.stat(path).st_size
+
+
+class HadoopFS(FS):
+    """URI-form paths through the JVM's Hadoop ``FileSystem`` — the
+    same connector stack Spark's own reads/writes use, so hdfs/s3a/gs/
+    abfs/file all work with the session's existing configuration."""
+
+    def __init__(self, spark=None) -> None:
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "HadoopFS needs an active SparkSession (URI-form table "
+                "paths are resolved through the JVM Hadoop FileSystem)"
+            )
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _jpath(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(str(path))
+
+    def _fs(self, jpath):
+        return jpath.getFileSystem(self._conf)
+
+    def exists(self, path: str) -> bool:
+        p = self._jpath(path)
+        return bool(self._fs(p).exists(p))
+
+    def is_dir(self, path: str) -> bool:
+        p = self._jpath(path)
+        fs = self._fs(p)
+        return bool(fs.exists(p) and fs.getFileStatus(p).isDirectory())
+
+    def is_file(self, path: str) -> bool:
+        p = self._jpath(path)
+        fs = self._fs(p)
+        return bool(fs.exists(p) and fs.getFileStatus(p).isFile())
+
+    def mkdirs(self, path: str) -> None:
+        p = self._jpath(path)
+        self._fs(p).mkdirs(p)
+
+    def list_names(self, path: str) -> list[str]:
+        p = self._jpath(path)
+        statuses = self._fs(p).listStatus(p)
+        return sorted(s.getPath().getName() for s in statuses)
+
+    def walk_files(self, path: str) -> Iterator[tuple[str, int, int]]:
+        p = self._jpath(path)
+        fs = self._fs(p)
+        if not fs.exists(p):
+            return
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            yield (
+                st.getPath().toString(),
+                int(st.getLen()),
+                int(st.getModificationTime()) * 1_000_000,
+            )
+
+    def read_bytes(self, path: str) -> bytes:
+        p = self._jpath(path)
+        fs = self._fs(p)
+        stream = fs.open(p)
+        try:
+            bos = self._jvm.java.io.ByteArrayOutputStream()
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                stream, bos, 65536, False
+            )
+            return bytes(bos.toByteArray())
+        finally:
+            stream.close()
+
+    def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        # One create(overwrite=True) + close: atomic PUT on object
+        # stores; on HDFS a racing reader can see a short read, which
+        # every caller surfaces loudly (JSON parse error), never as
+        # empty state. See module docstring for why rename-publish is
+        # NOT used here.
+        p = self._jpath(path)
+        fs = self._fs(p)
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
+    def create_exclusive(self, path: str) -> None:
+        p = self._jpath(path)
+        fs = self._fs(p)
+        try:
+            out = fs.create(p, False)
+            out.close()
+        except Exception as exc:  # py4j wraps FileAlreadyExistsException
+            msg = str(exc)
+            if "FileAlreadyExists" in msg or "already exists" in msg:
+                raise FileExistsError(path) from None
+            raise
+
+    def remove_file(self, path: str) -> None:
+        p = self._jpath(path)
+        fs = self._fs(p)
+        if not fs.delete(p, False):
+            raise FileNotFoundError(path)
+
+    def delete_dir(self, path: str, ignore_missing: bool = True) -> None:
+        p = self._jpath(path)
+        fs = self._fs(p)
+        if not fs.delete(p, True) and not ignore_missing:
+            raise FileNotFoundError(path)
+
+    def rename_no_replace(self, src: str, dst: str) -> None:
+        s, d = self._jpath(src), self._jpath(dst)
+        fs = self._fs(s)
+        if fs.exists(d):
+            raise FileExistsError(dst)
+        if not fs.rename(s, d):
+            # Hadoop rename returns false (rather than raising) on a
+            # lost race or missing parent; both are publish failures.
+            raise FileExistsError(dst)
+
+    def copy_file(self, src: str, dst: str) -> None:
+        s, d = self._jpath(src), self._jpath(dst)
+        self._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            self._fs(s), s, self._fs(d), d, False, True, self._conf
+        )
+
+    def file_size(self, path: str) -> int:
+        p = self._jpath(path)
+        return int(self._fs(p).getFileStatus(p).getLen())
+
+
+_LOCAL = LocalFS()
+
+
+def get_fs(path: str, spark=None) -> FS:
+    """The right FS for ``path``: HadoopFS for any scheme-qualified
+    URI, LocalFS otherwise. ``spark`` is only needed for URIs (and
+    defaults to the active session)."""
+    if is_uri(path):
+        return HadoopFS(spark)
+    return _LOCAL

@@ -1,0 +1,184 @@
+"""FS adapter: both implementations must expose identical semantics.
+
+HadoopFS is exercised against ``file:/`` URIs — the JVM's
+LocalFileSystem goes through the exact same ``org.apache.hadoop.fs``
+code path an hdfs:// or s3a:// URI would, so this is a real test of
+the adapter (not a mock), minus only the remote wire.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kubenetmon_spark import fs as fsmod
+from kubenetmon_spark.fs import (
+    HadoopFS,
+    LocalFS,
+    basename,
+    get_fs,
+    is_uri,
+    join,
+    parent,
+    strip_scheme,
+)
+
+
+def _roots(tmp_path, spark):
+    local_root = str(tmp_path / "local")
+    uri_root = "file:" + str(tmp_path / "hadoop")
+    return [
+        (LocalFS(), local_root),
+        (HadoopFS(spark), uri_root),
+    ]
+
+
+class TestPathHelpers:
+    def test_is_uri(self):
+        assert is_uri("hdfs://nn/tables/x")
+        assert is_uri("s3a://bucket/key")
+        assert is_uri("file:/tmp/x")
+        assert not is_uri("/tmp/x")
+        assert not is_uri("relative/path")
+
+    def test_join_local_and_uri(self):
+        assert join("/a/b", "c") == "/a/b/c"
+        assert join("s3a://bkt/t/", "date=2024-01-01") == (
+            "s3a://bkt/t/date=2024-01-01"
+        )
+        assert join("/a", "b", "c.json") == "/a/b/c.json"
+
+    def test_basename_parent(self):
+        assert basename("s3a://bkt/t/date=x") == "date=x"
+        assert parent("s3a://bkt/t/date=x") == "s3a://bkt/t"
+        assert basename("/a/b") == "b"
+        assert parent("/a/b") == "/a"
+
+    def test_strip_scheme(self):
+        assert strip_scheme("file:/tmp/x") == "/tmp/x"
+        assert strip_scheme("file:///tmp/x") == "/tmp/x"
+        assert strip_scheme("/tmp/x") == "/tmp/x"
+
+    def test_get_fs_dispatch(self, spark):
+        assert isinstance(get_fs("/tmp/x"), LocalFS)
+        assert isinstance(get_fs("file:/tmp/x", spark), HadoopFS)
+        assert isinstance(get_fs("s3a://bkt/x", spark), HadoopFS)
+
+
+class TestBothImpls:
+    def test_roundtrip_text_and_exists(self, tmp_path, spark):
+        for fs, root in _roots(tmp_path, spark):
+            fs.mkdirs(root)
+            p = join(root, "_meta.json")
+            assert not fs.exists(p)
+            fs.write_text_atomic(p, '{"a": 1}')
+            assert fs.exists(p) and fs.is_file(p) and not fs.is_dir(p)
+            assert fs.read_json(p) == {"a": 1}
+            # overwrite goes through the same atomic path
+            fs.write_json_atomic(p, {"a": 2})
+            assert fs.read_json(p) == {"a": 2}
+
+    def test_mkdirs_list_delete(self, tmp_path, spark):
+        for fs, root in _roots(tmp_path, spark):
+            fs.mkdirs(join(root, "d1"))
+            fs.mkdirs(join(root, "d2"))
+            fs.write_text_atomic(join(root, "f.txt"), "x")
+            assert fs.list_names(root) == ["d1", "d2", "f.txt"]
+            assert fs.is_dir(join(root, "d1"))
+            fs.delete_dir(join(root, "d1"))
+            assert not fs.exists(join(root, "d1"))
+            # missing delete is tolerated by default, loud on demand
+            fs.delete_dir(join(root, "gone"))
+            with pytest.raises(FileNotFoundError):
+                fs.delete_dir(join(root, "gone"), ignore_missing=False)
+
+    def test_create_exclusive_is_a_lock(self, tmp_path, spark):
+        for fs, root in _roots(tmp_path, spark):
+            fs.mkdirs(root)
+            lock = join(root, "_log.lock")
+            fs.create_exclusive(lock)
+            with pytest.raises(FileExistsError):
+                fs.create_exclusive(lock)
+            fs.remove_file(lock)
+            fs.create_exclusive(lock)  # reusable after release
+
+    def test_rename_no_replace(self, tmp_path, spark):
+        for fs, root in _roots(tmp_path, spark):
+            src, dst = join(root, "tmp-1"), join(root, "entry")
+            fs.mkdirs(src)
+            fs.write_text_atomic(join(src, "x.txt"), "1")
+            fs.rename_no_replace(src, dst)
+            assert fs.read_text(join(dst, "x.txt")) == "1"
+            fs.mkdirs(src)
+            with pytest.raises(FileExistsError):
+                fs.rename_no_replace(src, dst)  # lost the publish race
+
+    def test_glob_parquet_skips_hidden_dirs(self, tmp_path, spark):
+        for fs, root in _roots(tmp_path, spark):
+            fs.mkdirs(join(root, "date=2024-01-01"))
+            fs.mkdirs(join(root, "_temporary", "0"))
+            fs.mkdirs(join(root, ".staging"))
+            fs.write_bytes_atomic(
+                join(root, "date=2024-01-01", "part-0.parquet"), b"pq"
+            )
+            fs.write_bytes_atomic(
+                join(root, "_temporary", "0", "part-x.parquet"), b"pq"
+            )
+            fs.write_bytes_atomic(
+                join(root, ".staging", "part-y.parquet"), b"pq"
+            )
+            fs.write_bytes_atomic(join(root, "_SUCCESS"), b"")
+            got = fs.glob_parquet(root)
+            assert [basename(g) for g in got] == ["part-0.parquet"]
+            all_got = fs.glob_parquet(root, include_hidden=True)
+            assert len(all_got) == 3
+
+    def test_walk_files_sizes(self, tmp_path, spark):
+        for fs, root in _roots(tmp_path, spark):
+            fs.mkdirs(join(root, "a"))
+            fs.write_bytes_atomic(join(root, "a", "f1"), b"12345")
+            files = list(fs.walk_files(root))
+            assert len(files) == 1
+            full, size, mtime_ns = files[0]
+            assert basename(full) == "f1" and size == 5 and mtime_ns > 0
+            assert fs.file_size(join(root, "a", "f1")) == 5
+
+    def test_copy_file_and_tree(self, tmp_path, spark):
+        for fs, root in _roots(tmp_path, spark):
+            src = join(root, "src")
+            fs.mkdirs(join(src, "sub"))
+            fs.write_text_atomic(join(src, "a.txt"), "A")
+            fs.write_text_atomic(join(src, "sub", "b.txt"), "B")
+            fs.copy_file(join(src, "a.txt"), join(root, "a2.txt"))
+            assert fs.read_text(join(root, "a2.txt")) == "A"
+            fs.copy_tree(src, join(root, "dst"))
+            assert fs.read_text(join(root, "dst", "sub", "b.txt")) == "B"
+            # source intact (copy, not move)
+            assert fs.read_text(join(src, "a.txt")) == "A"
+
+    def test_remove_file_missing_raises(self, tmp_path, spark):
+        for fs, root in _roots(tmp_path, spark):
+            fs.mkdirs(root)
+            with pytest.raises(FileNotFoundError):
+                fs.remove_file(join(root, "nope"))
+
+
+class TestSparkInterop:
+    """Spark-written data must be visible through the adapter and
+    vice versa — the actual deployment contract."""
+
+    def test_spark_write_then_adapter_lifecycle(self, tmp_path, spark):
+        for fs, root in _roots(tmp_path, spark):
+            table = join(root, "t")
+            spark.range(10).withColumnRenamed("id", "v").write.parquet(table)
+            parts = fs.glob_parquet(table)
+            assert parts, "adapter must see Spark-written parquet"
+            # adapter-side marker next to the data, Spark still reads
+            fs.write_json_atomic(join(table, "_marker.json"), {"ok": True})
+            assert spark.read.parquet(table).count() == 10
+            assert fs.read_json(join(table, "_marker.json")) == {"ok": True}
+            fs.delete_dir(table)
+            assert not fs.exists(table)
+
+    def test_hadoop_uri_requires_session(self):
+        # plain-path dispatch never needs spark
+        assert isinstance(get_fs("/x"), LocalFS)
