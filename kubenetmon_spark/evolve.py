@@ -48,7 +48,17 @@ renamed-away while its bytes still sit in old files — is refused until
 :func:`materialize_schema` clears the residue, because stale physical
 bytes under a reused name would be indistinguishable from the new
 logical column at read time. ALTERs on one table are serialized by an
-O_EXCL lockfile (concurrent unserialized ALTERs would lose an op).
+exclusive-create lockfile (concurrent unserialized ALTERs would lose
+an op). The lockfile lives NEXT TO the table root, not inside it, so
+:func:`materialize_schema`'s full-table overwrite cannot delete a held
+lock mid-operation; materialization itself runs under the same lock
+for its entire duration, so an ALTER can never slip between its log
+read and its log truncation and be silently erased.
+
+All sidecar/lock file I/O goes through :mod:`kubenetmon_spark.fs`, so
+tables on ``hdfs://`` / ``s3a://`` roots evolve the same way local
+ones do (URI paths need an active SparkSession for the footer read
+and the sidecar I/O).
 
 At 100 TB: ``mergeSchema`` reads every file footer — fine for the
 evolved-read path (footers are the index ClickHouse also reads), but
@@ -59,63 +69,70 @@ permanent tax.
 
 from __future__ import annotations
 
-import json
 from contextlib import contextmanager
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kubenetmon_spark import fs as _fsm
+
 _LOG_NAME = "_schema_log.json"
 
 
-def _log_path(path: str) -> Path:
-    return Path(path) / _LOG_NAME
+def _log_path(path: str) -> str:
+    return _fsm.join(path, _LOG_NAME)
+
+
+def _lock_path(path: str) -> str:
+    """The DDL lockfile is a SIBLING of the table root (``<root>._ddl.
+    lock``), never inside it: materialize_schema overwrites the root
+    wholesale, and a lock living inside would be deleted while held."""
+    p = str(path).rstrip("/")
+    return p + "._ddl.lock"
 
 
 def schema_log(path: str) -> list[dict]:
     """The ordered ALTER ops recorded for the table (empty if none)."""
+    fs = _fsm.get_fs(path)
     p = _log_path(path)
-    if not p.is_file():
+    if not fs.is_file(p):
         return []
-    return json.loads(p.read_text())["ops"]
+    return fs.read_json(p)["ops"]
 
 
 def _read_log(path: str) -> dict:
+    fs = _fsm.get_fs(path)
     p = _log_path(path)
-    if not p.is_file():
+    if not fs.is_file(p):
         return {"version": 1, "ops": [], "columns": None, "retired": []}
-    d = json.loads(p.read_text())
+    d = fs.read_json(p)
     d.setdefault("columns", None)
     d.setdefault("retired", [])
     return d
 
 
 def _write_log(path: str, log: dict) -> None:
-    # Atomic replace (the cache.py idiom): a concurrent read_evolved
-    # must never observe a truncated sidecar mid-write.
-    import os
-
-    target = _log_path(path)
-    tmp = target.with_name(target.name + f".tmp.{os.getpid()}")
-    tmp.write_text(json.dumps(log))
-    os.replace(tmp, target)
+    # Atomic publish (rename-replace locally, single PUT on object
+    # stores): a concurrent read_evolved must never observe a
+    # truncated sidecar mid-write.
+    _fsm.get_fs(path).write_json_atomic(_log_path(path), log)
 
 
 @contextmanager
 def _ddl_lock(path: str, timeout_s: float = 5.0):
-    """Serialize ALTERs on one table (O_EXCL lockfile): the sidecar
-    update is read-modify-write, and two unserialized concurrent ALTERs
-    would silently drop one op (last writer wins). ClickHouse
-    serializes ALTERs the same way."""
-    import os
+    """Serialize ALTERs on one table (exclusive-create lockfile): the
+    sidecar update is read-modify-write, and two unserialized
+    concurrent ALTERs would silently drop one op (last writer wins).
+    ClickHouse serializes ALTERs the same way. Exclusive-create is
+    atomic on local disk and HDFS; see fs.py for the S3 caveat."""
     import time as _time
 
-    lock = Path(path) / (_LOG_NAME + ".lock")
+    fs = _fsm.get_fs(path)
+    lock = _lock_path(path)
     deadline = _time.monotonic() + timeout_s
     while True:
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            fs.create_exclusive(lock)
             break
         except FileExistsError:
             if _time.monotonic() > deadline:
@@ -126,8 +143,7 @@ def _ddl_lock(path: str, timeout_s: float = 5.0):
     try:
         yield
     finally:
-        os.close(fd)
-        os.unlink(lock)
+        fs.remove_file(lock)
 
 
 def _physical_base_columns(path: str) -> list[str]:
@@ -135,18 +151,37 @@ def _physical_base_columns(path: str) -> list[str]:
     file's parquet schema (footer only, via pyarrow) plus any
     ``key=value`` partition-directory columns. Assumes the pre-log
     table is schema-homogeneous — the state every table written by one
-    job is in; mixed-generation tables only arise THROUGH this log."""
+    job is in; mixed-generation tables only arise THROUGH this log.
+    For URI-form roots the newest file's bytes are fetched through the
+    Hadoop FS (one small object read)."""
+    import io
+
     import pyarrow.parquet as pq
 
-    root = Path(path)
+    fs = _fsm.get_fs(path)
+    root = str(path).rstrip("/")
     files = sorted(
-        root.rglob("*.parquet"), key=lambda p: (p.stat().st_mtime, str(p))
+        (
+            (full, mtime)
+            for full, _size, mtime in fs.walk_files(root)
+            if full.endswith(".parquet")
+            and not any(
+                seg.startswith(("_", "."))
+                for seg in full[len(root) :].lstrip("/").split("/")
+            )
+        ),
+        key=lambda t: (t[1], t[0]),
     )
     if not files:
         raise ValueError(f"no parquet files under {path}; write data first")
-    cols = list(pq.read_schema(str(files[-1])).names)
-    for f in files:
-        for seg in f.relative_to(root).parts[:-1]:
+    newest = files[-1][0]
+    if _fsm.is_uri(newest):
+        schema = pq.read_schema(io.BytesIO(fs.read_bytes(newest)))
+    else:
+        schema = pq.read_schema(newest)
+    cols = list(schema.names)
+    for full, _mt in files:
+        for seg in full[len(root) :].lstrip("/").split("/")[:-1]:
             if "=" in seg:
                 part = seg.split("=", 1)[0]
                 if part not in cols:
@@ -233,6 +268,14 @@ def add_column(
     Refused if the name is live, or retired-with-residue (a previously
     dropped/renamed-away column of the same name still has bytes in old
     files — materialize first; reusing the name would resurrect them).
+
+    Cast caveat (same as MODIFY's "widen, don't narrow"): post-ALTER
+    files carry real values which are cast to ``dtype`` on read; a
+    value the cast cannot represent yields NULL (ANSI-off cast) and —
+    when a DEFAULT is declared — reads as the DEFAULT via coalesce,
+    masking the bad value. Write the column as ``dtype`` (or wider)
+    from the start, or declare ``default=None`` so cast failures stay
+    visible as NULLs.
     """
     _append_op(path, {"op": "add", "col": column, "dtype": dtype, "default": default})
 
@@ -367,6 +410,7 @@ def materialize_schema(
     spark: SparkSession,
     path: str,
     partition_by: list[str] | None = None,
+    lock_timeout_s: float = 5.0,
 ) -> int:
     """Fold the schema log into the data files (the merge that
     ClickHouse would eventually run): rewrite the table through the
@@ -375,18 +419,32 @@ def materialize_schema(
 
     Idempotent: with an empty log this is a no-op. ``partition_by``
     re-establishes the table's partition layout (pass the same columns
-    the writers use)."""
-    ops = schema_log(path)
-    if not ops:
-        return 0
-    # Materialize before overwriting the path being read (compact()'s
-    # read-then-overwrite idiom).
-    evolved = read_evolved(spark, path).localCheckpoint(eager=True)
-    writer = evolved.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
-    # files now carry the evolved schema: empty log, no retired residue,
-    # logical columns re-derive from footers at the next ALTER
-    _write_log(path, {"version": 1, "ops": [], "columns": None, "retired": []})
-    return len(ops)
+    the writers use).
+
+    Runs under the table's DDL lock for its FULL duration (read ops,
+    rewrite, truncate): an ALTER committed between the log read and the
+    truncating write would otherwise be silently erased — never applied
+    to data, no error surfaced. Concurrent ALTERs during a long
+    materialization therefore time out loudly instead (raise
+    ``lock_timeout_s`` on huge tables if DDL-during-merge contention is
+    expected). The lockfile lives outside the table root, so the
+    overwrite cannot delete it while held."""
+    with _ddl_lock(path, timeout_s=lock_timeout_s):
+        ops = schema_log(path)
+        if not ops:
+            return 0
+        # Materialize before overwriting the path being read
+        # (compact()'s read-then-overwrite idiom).
+        evolved = _apply_ops(
+            spark.read.option("mergeSchema", "true").parquet(path), ops
+        ).localCheckpoint(eager=True)
+        writer = evolved.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        # files now carry the evolved schema: empty log, no retired
+        # residue, logical columns re-derive from footers at next ALTER
+        _write_log(
+            path, {"version": 1, "ops": [], "columns": None, "retired": []}
+        )
+        return len(ops)

@@ -52,6 +52,7 @@ engine's equivalent of that disk abstraction.
 
 from __future__ import annotations
 
+import io
 import json
 import os
 import shutil
@@ -198,6 +199,12 @@ class FS:
     def file_size(self, path: str) -> int:
         raise NotImplementedError
 
+    def open_seekable(self, path: str):
+        """A read-only seekable binary file object — what pyarrow
+        footer reads need (they seek to EOF-8, never scan the file, so
+        on remote stores only footer-sized ranges transfer)."""
+        raise NotImplementedError
+
     # JSON sidecar helpers (the dominant use)
     def read_json(self, path: str) -> dict:
         return json.loads(self.read_text(path))
@@ -274,6 +281,9 @@ class LocalFS(FS):
     def file_size(self, path: str) -> int:
         return os.stat(path).st_size
 
+    def open_seekable(self, path: str):
+        return open(path, "rb")
+
 
 class HadoopFS(FS):
     """URI-form paths through the JVM's Hadoop ``FileSystem`` — the
@@ -291,6 +301,7 @@ class HadoopFS(FS):
                 "paths are resolved through the JVM Hadoop FileSystem)"
             )
         self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
         self._conf = spark._jsc.hadoopConfiguration()
 
     def _jpath(self, path: str):
@@ -406,6 +417,70 @@ class HadoopFS(FS):
     def file_size(self, path: str) -> int:
         p = self._jpath(path)
         return int(self._fs(p).getFileStatus(p).getLen())
+
+    def open_seekable(self, path: str):
+        p = self._jpath(path)
+        fs = self._fs(p)
+        size = int(fs.getFileStatus(p).getLen())
+        return _HadoopSeekableFile(self, fs.open(p), size)
+
+
+class _HadoopSeekableFile(io.RawIOBase):
+    """Read-only seekable view over a Hadoop FSDataInputStream.
+    Positioned ``readFully(pos, buf)`` per read — pyarrow footer reads
+    (seek EOF-8, read footer, read row-group metadata) transfer only
+    the ranges they touch, never the object body."""
+
+    def __init__(self, hfs: "HadoopFS", jstream, size: int) -> None:
+        super().__init__()
+        self._hfs = hfs
+        self._jstream = jstream
+        self._size = size
+        self._pos = 0
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = offset
+        elif whence == 1:
+            self._pos += offset
+        elif whence == 2:
+            self._pos = self._size + offset
+        else:  # pragma: no cover - io contract
+            raise ValueError(f"bad whence {whence}")
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def readinto(self, b) -> int:
+        n = min(len(b), self._size - self._pos)
+        if n <= 0:
+            return 0
+        jvm = self._hfs._jvm
+        self._jstream.seek(self._pos)
+        bos = jvm.java.io.ByteArrayOutputStream(n)
+        # copyBytes(in, out, count, close=False): bounded JVM-side copy;
+        # the bytes cross to Python once, as the final byte[] transfer
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+            self._jstream, bos, n, False
+        )
+        data = bytes(bos.toByteArray())
+        b[: len(data)] = data
+        self._pos += len(data)
+        return len(data)
+
+    def close(self) -> None:
+        if not self.closed:
+            try:
+                self._jstream.close()
+            finally:
+                super().close()
 
 
 _LOCAL = LocalFS()

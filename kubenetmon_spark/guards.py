@@ -36,9 +36,10 @@ import threading
 import time
 import uuid
 from dataclasses import dataclass
-from pathlib import Path
 
 from pyspark.sql import DataFrame, Row
+
+from kubenetmon_spark import fs as _fsm
 
 
 class QueryLimitExceeded(RuntimeError):
@@ -56,8 +57,8 @@ class ScanEstimate:
     bytes_on_disk: int
 
 
-def _partition_value(part_dir: Path) -> str:
-    return part_dir.name.split("=", 1)[1]
+def _partition_value(part_dir: str) -> str:
+    return _fsm.basename(part_dir).split("=", 1)[1]
 
 
 def estimate_scan(
@@ -77,12 +78,20 @@ def estimate_scan(
     with ``min_value <= v <= max_value`` (string compare — ISO dates
     sort correctly) or ``v in values``. An unpartitioned layout (no
     ``{partition_col}=*`` dirs) is a single pseudo-partition.
+
+    Works on URI-form roots (hdfs/s3a): listing and footer reads go
+    through the FS adapter, and footer reads transfer only the byte
+    ranges pyarrow seeks to — never the object body.
     """
     import pyarrow.parquet as pq
 
-    root = Path(path)
+    fs = _fsm.get_fs(path)
+    root = str(path).rstrip("/")
     part_dirs = sorted(
-        d for d in root.glob(f"{partition_col}=*") if d.is_dir()
+        _fsm.join(root, name)
+        for name in (fs.list_names(root) if fs.is_dir(root) else [])
+        if name.startswith(f"{partition_col}=")
+        and fs.is_dir(_fsm.join(root, name))
     )
     if part_dirs:
         total = len(part_dirs)
@@ -101,10 +110,11 @@ def estimate_scan(
 
     n_files = rows = nbytes = 0
     for d in keep:
-        for f in sorted(d.rglob("*.parquet")):
+        for f in fs.glob_parquet(d):
             n_files += 1
-            rows += pq.ParquetFile(f).metadata.num_rows
-            nbytes += f.stat().st_size
+            with fs.open_seekable(f) as fh:
+                rows += pq.ParquetFile(fh).metadata.num_rows
+            nbytes += fs.file_size(f)
     return ScanEstimate(
         n_files=n_files,
         n_partitions_scanned=len(keep) if part_dirs else (1 if n_files else 0),
@@ -245,9 +255,10 @@ def check_quota(
     # read failure (corrupt file, permissions) must FAIL CLOSED — a
     # quota module that returns zero usage on error silently disables
     # enforcement exactly when the log is being tampered with/broken.
-    import os
-
-    if not os.path.exists(log_path):
+    # The existence probe goes through the FS adapter so URI-form log
+    # paths (file:/..., hdfs://, s3a://) stay fail-closed too — a raw
+    # os.path.exists would read every URI as "no log" and fail OPEN.
+    if not _fsm.get_fs(log_path, spark).exists(log_path):
         return {"queries": 0, "result_rows": 0}
     log = spark.read.parquet(log_path)
     agg = (

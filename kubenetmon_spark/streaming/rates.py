@@ -36,14 +36,14 @@ event-time scalars.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from kubenetmon_spark import fs as _fsm
 
-def _latest_buffer_version(buffer_path: str) -> int:
+
+def _latest_buffer_version(buffer_path: str, spark=None) -> int:
     """Highest COMMITTED buffer version (``v=N`` dir carrying Spark's
     ``_SUCCESS`` marker), or -1 if none. Versions are never overwritten
     in place — a crash mid-write leaves the previous version intact and
@@ -52,15 +52,18 @@ def _latest_buffer_version(buffer_path: str) -> int:
     starting over. A missing/other-error directory is an empty buffer
     ONLY when it genuinely does not exist; read failures of a committed
     version propagate (a quota/exactness component must fail loud, not
-    reset state)."""
-    root = Path(buffer_path)
-    if not root.is_dir():
+    reset state). Listing goes through the FS adapter, so URI-form
+    buffer roots (hdfs/s3a) behave identically."""
+    fs = _fsm.get_fs(buffer_path, spark)
+    if not fs.is_dir(buffer_path):
         return -1
     best = -1
-    for child in root.iterdir():
-        if child.name.startswith("v=") and (child / "_SUCCESS").is_file():
+    for name in fs.list_names(buffer_path):
+        if name.startswith("v=") and fs.is_file(
+            _fsm.join(buffer_path, name, "_SUCCESS")
+        ):
             try:
-                best = max(best, int(child.name[2:]))
+                best = max(best, int(name[2:]))
             except ValueError:
                 continue
     return best
@@ -69,11 +72,25 @@ def _latest_buffer_version(buffer_path: str) -> int:
 def read_buffer(spark: SparkSession, buffer_path: str) -> DataFrame | None:
     """The latest committed sample buffer, or None before the first
     batch. (The buffer root holds versioned ``v=N`` subdirs — read
-    through this helper, not the root.)"""
-    v = _latest_buffer_version(buffer_path)
+    through this helper, not the root.)
+
+    Concurrent-prune tolerance: the stream retains one superseded
+    version behind the latest, but a monitoring read that resolved
+    version N can still lose a slow scan to two back-to-back batch
+    turnovers — on read failure, re-resolve the latest version once
+    and retry before propagating."""
+    v = _latest_buffer_version(buffer_path, spark)
     if v < 0:
         return None
-    return spark.read.parquet(str(Path(buffer_path) / f"v={v}"))
+    try:
+        df = spark.read.parquet(_fsm.join(buffer_path, f"v={v}"))
+        df.schema  # force plan resolution while the version exists
+        return df
+    except Exception:
+        v2 = _latest_buffer_version(buffer_path, spark)
+        if v2 == v:
+            raise  # not a turnover race: fail loud (committed state)
+        return spark.read.parquet(_fsm.join(buffer_path, f"v={v2}"))
 
 
 def start_rates_stream(
@@ -106,9 +123,9 @@ def start_rates_stream(
             F.col(ts_col).cast("long").alias("_ts"),
             F.col(value_col).cast("long").alias("_v"),
         )
-        prev_v = _latest_buffer_version(buffer_path)
+        prev_v = _latest_buffer_version(buffer_path, spark)
         buf = (
-            spark.read.parquet(str(Path(buffer_path) / f"v={prev_v}"))
+            spark.read.parquet(_fsm.join(buffer_path, f"v={prev_v}"))
             if prev_v >= 0
             else None
         )
@@ -165,20 +182,28 @@ def start_rates_stream(
         # the one just read — a crash mid-write leaves prev_v committed,
         # so the checkpoint's replay recomputes from real state (the
         # groupBy-max merge is idempotent, so a replay after a crash
-        # that DID commit also converges). Prune all-but-latest after
-        # the commit; a crash between write and prune leaves harmless
-        # stale versions below the new maximum.
-        import shutil
-
+        # that DID commit also converges). Prune versions BELOW new_v-1
+        # after the commit: the immediately superseded version survives
+        # one turnover so a concurrent monitoring read (read_buffer /
+        # tools/rates_scale.py) that resolved it just before this commit
+        # is not rmtree'd mid-scan. A crash between write and prune
+        # leaves harmless stale versions below the new maximum.
+        fs = _fsm.get_fs(buffer_path, spark)
         new_v = prev_v + 1
         (
             merged.filter(F.col("_ts") > max_seen - retain)
             .write.mode("overwrite")
-            .parquet(str(Path(buffer_path) / f"v={new_v}"))
+            .parquet(_fsm.join(buffer_path, f"v={new_v}"))
         )
-        for child in Path(buffer_path).iterdir():
-            if child.name.startswith("v=") and child.name != f"v={new_v}":
-                shutil.rmtree(child, ignore_errors=True)
+        for name in fs.list_names(buffer_path):
+            if not name.startswith("v="):
+                continue
+            try:
+                v_num = int(name[2:])
+            except ValueError:
+                continue
+            if v_num < new_v - 1:
+                fs.delete_dir(_fsm.join(buffer_path, name))
 
     return (
         stream.writeStream.outputMode("append")

@@ -19,24 +19,27 @@ loudly instead of corrupting quietly.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
+
+from kubenetmon_spark import fs as _fsm
 
 
 def read_state_or_none(
     spark: SparkSession, path: str, base_path: str | None = None
 ) -> DataFrame | None:
     """The persisted state at ``path``, or None ONLY when no state has
-    ever been committed there. Read errors of existing state re-raise."""
-    if not os.path.isdir(path):
+    ever been committed there. Read errors of existing state re-raise.
+
+    The data-file probe ignores files under ``_``/``.``-prefixed
+    directories (``_temporary`` left by a crashed first write): Spark's
+    reader skips those, so counting them as "state exists" would turn a
+    crashed FIRST write into a permanent 'unable to infer schema' error
+    on every subsequent batch instead of the documented no-state case.
+    Works on URI-form state paths (hdfs/s3a) through the FS adapter."""
+    fs = _fsm.get_fs(path, spark)
+    if not fs.is_dir(path):
         return None
-    has_part = any(
-        f.endswith(".parquet")
-        for _, _, files in os.walk(path)
-        for f in files
-    )
-    if not has_part:
+    if not fs.glob_parquet(path):  # hidden dirs excluded by default
         return None
     reader = spark.read
     if base_path is not None:

@@ -191,9 +191,14 @@ def test_rename_onto_live_column_refused(spark, tmp_path):
 def test_ddl_lock_serializes_and_cleans_up(spark, tmp_path):
     import os
 
+    from kubenetmon_spark.evolve import _lock_path
+
     tbl = str(tmp_path / "t")
     _v1(spark, tbl)
-    lock = os.path.join(tbl, "_schema_log.json.lock")
+    lock = _lock_path(tbl)
+    # the lock is a SIBLING of the table root: materialize's overwrite
+    # of the root cannot delete a held lock
+    assert os.path.dirname(lock) == os.path.dirname(tbl)
     # a held lock makes a concurrent ALTER time out instead of losing it
     fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     try:
@@ -207,6 +212,58 @@ def test_ddl_lock_serializes_and_cleans_up(spark, tmp_path):
         os.unlink(lock)
     add_column(tbl, "x", "int")  # lock released: DDL works and cleans up
     assert not os.path.exists(lock)
+
+
+def test_materialize_holds_ddl_lock_for_full_duration(spark, tmp_path):
+    # an ALTER committed between materialize's log read and its
+    # truncating write would be silently erased; materialize therefore
+    # runs under the DDL lock, so concurrent DDL times out loudly.
+    import os
+
+    from kubenetmon_spark.evolve import _lock_path
+
+    tbl = str(tmp_path / "t")
+    _v1(spark, tbl)
+    add_column(tbl, "region", "string", default="'unassigned'")
+    lock = _lock_path(tbl)
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with pytest.raises(TimeoutError):
+            materialize_schema(spark, tbl, lock_timeout_s=0.2)
+        # nothing was folded: the log is intact
+        assert len(schema_log(tbl)) == 1
+    finally:
+        os.close(fd)
+        os.unlink(lock)
+    assert materialize_schema(spark, tbl) == 1
+    assert schema_log(tbl) == []
+    assert "region" in spark.read.parquet(tbl).columns
+
+
+def test_evolve_on_hadoop_uri_root(spark, tmp_path):
+    # the whole DDL+read+materialize lifecycle against a URI-form root
+    # (file:/ through the real Hadoop FileSystem — the same code path
+    # an hdfs:// or s3a:// table root takes)
+    tbl = "file:" + str(tmp_path / "uri_tbl")
+    spark.range(50).selectExpr(
+        "id", "CAST(id % 3 AS INT) AS grp", "id * 2 AS amount"
+    ).write.parquet(tbl)
+    add_column(tbl, "region", "string", default="'unknown'")
+    rename_column(tbl, "grp", "cohort")
+    got = read_evolved(spark, tbl)
+    assert set(got.columns) == {"id", "cohort", "amount", "region"}
+    assert got.filter(F.col("region") == "unknown").count() == 50
+    # append a post-ALTER generation, then materialize through the URI
+    spark.range(50, 60).selectExpr(
+        "id", "CAST(id % 3 AS INT) AS cohort", "id * 2 AS amount",
+        "'eu' AS region",
+    ).write.mode("append").parquet(tbl)
+    assert materialize_schema(spark, tbl) == 2
+    plain = spark.read.parquet(tbl)
+    assert set(plain.columns) == {"id", "cohort", "amount", "region"}
+    assert plain.count() == 60
+    assert plain.filter(F.col("region") == "eu").count() == 10
+    assert schema_log(tbl) == []
 
 
 def test_empty_log_is_plain_read(spark, tmp_path):

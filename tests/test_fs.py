@@ -182,3 +182,24 @@ class TestSparkInterop:
     def test_hadoop_uri_requires_session(self):
         # plain-path dispatch never needs spark
         assert isinstance(get_fs("/x"), LocalFS)
+
+
+class TestSeekable:
+    def test_pyarrow_footer_read_through_adapter(self, tmp_path, spark):
+        import pyarrow.parquet as pq
+
+        for fs, root in _roots(tmp_path, spark):
+            table = join(root, "t")
+            spark.range(100).write.parquet(table)
+            f = fs.glob_parquet(table)[0]
+            with fs.open_seekable(f) as fh:
+                pf = pq.ParquetFile(fh)
+                rows = pf.metadata.num_rows
+                names = list(pf.schema_arrow.names)
+            assert names == ["id"]
+            # files may split rows across tasks; footer rows must sum
+            total = 0
+            for g in fs.glob_parquet(table):
+                with fs.open_seekable(g) as fh:
+                    total += pq.ParquetFile(fh).metadata.num_rows
+            assert total == 100 and rows >= 1

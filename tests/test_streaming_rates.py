@@ -135,3 +135,65 @@ def test_too_late_samples_are_dropped(spark, tmp_path):
     kept = [("a", 90, 50), ("a", 100, 60), ("a", 110, 70)]
     exp = _snap(_batch_reference(spark, kept))
     assert _snap(read_rates(spark, out)) == exp
+
+
+def test_buffer_retains_one_superseded_version(spark, tmp_path):
+    # the prune keeps v=latest AND v=latest-1: a monitoring read that
+    # resolved the previous version just before a commit must not have
+    # its files deleted mid-scan; only older versions are removed
+    import os
+
+    from kubenetmon_spark.streaming.rates import (
+        _latest_buffer_version,
+        read_buffer,
+    )
+
+    rows_by_file = [
+        [("a", 100, 10)],
+        [("a", 110, 20)],
+        [("a", 120, 35)],
+    ]
+    _run_stream(spark, tmp_path, rows_by_file, "retain")
+    buf = str(tmp_path / "retain_buf")
+    latest = _latest_buffer_version(buf)
+    assert latest >= 2  # one version per non-empty batch
+    versions = sorted(
+        int(n[2:]) for n in os.listdir(buf) if n.startswith("v=")
+    )
+    assert versions == [latest - 1, latest]
+    # both retained versions are committed and readable
+    assert read_buffer(spark, buf).count() > 0
+    assert (
+        spark.read.parquet(os.path.join(buf, f"v={latest - 1}")).count() > 0
+    )
+
+
+def test_rates_stream_on_hadoop_uri_paths(spark, tmp_path):
+    # the whole buffer-commit lifecycle against URI-form (file:)
+    # roots through the Hadoop FS adapter
+    rows_by_file = [
+        [("a", 100, 10), ("a", 110, 25)],
+        [("a", 120, 45)],
+    ]
+    src = _write_files(spark, tmp_path / "uri_src", rows_by_file)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = "file:" + str(tmp_path / "uri_out")
+    q = start_rates_stream(
+        stream,
+        out,
+        "file:" + str(tmp_path / "uri_buf"),
+        str(tmp_path / "uri_ckpt"),
+        ["k"],
+        step_s=10,
+        window_s=25,
+    )
+    q.awaitTermination(300)
+    ref = _batch_reference(spark, [r for f in rows_by_file for r in f])
+    got = read_rates(spark, out).select(*ref.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
