@@ -13,8 +13,12 @@ being computed; the input signature (every input file's path, size,
 mtime, hashed) identifies the DATA VERSION, so an append/compaction to
 the underlying table invalidates automatically, with no invalidation
 hooks in the write path. Entries are written atomically (tmp dir +
-``os.replace``-style rename) so concurrent dashboard sessions can share
-one cache directory.
+rename-without-replace through the FS adapter) so concurrent dashboard
+sessions can share one cache directory — including a cache directory
+on hdfs://s3a:// (rename loser = lost the publish race, same
+semantics on every store). For non-local INPUT files the signature
+uses the path set alone: Spark writers never rewrite a file in place
+(new UUID part names per write), so any data change changes the set.
 
 Like ClickHouse, nondeterministic queries are refused by default: a
 cached ``now()``/``rand()`` result is a silent wrong answer, the worst
@@ -29,13 +33,14 @@ files — O(parts), the same cost as guards.py's pre-flight.
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 import time
 import uuid
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+from kubenetmon_spark import fs as _fsm
+from kubenetmon_spark.fs import join as _join
 
 #: substrings of Spark's nondeterministic/volatile expressions as they
 #: appear in optimized-plan strings — the refusal heuristic (ClickHouse
@@ -113,56 +118,56 @@ def cached(
                     "allow_nondeterministic=True to cache it anyway"
                 )
     key = _key_of(df, plan)
-    entry = Path(cache_dir) / key
-    meta = entry / "_meta.json"
+    fs = _fsm.get_fs(cache_dir, spark)
+    entry = _join(cache_dir, key)
+    meta = _join(entry, "_meta.json")
 
-    if entry.exists() and meta.exists() and not refresh:
-        age = time.time() - json.loads(meta.read_text())["created_at"]
+    if fs.exists(entry) and fs.exists(meta) and not refresh:
+        age = time.time() - fs.read_json(meta)["created_at"]
         if ttl_s is None or age <= ttl_s:
-            return spark.read.parquet(str(entry / "data"))
+            return spark.read.parquet(_join(entry, "data"))
 
     # miss/stale/refresh: compute into a tmp entry, publish by rename.
     # A concurrent publisher winning the rename race is fine — both
     # wrote the same deterministic result; the loser just reads theirs.
-    tmp = Path(cache_dir) / f"_tmp-{uuid.uuid4().hex}"
-    df.write.mode("overwrite").parquet(str(tmp / "data"))
-    (tmp / "_meta.json").write_text(
-        json.dumps(
-            {
-                "created_at": time.time(),
-                "plan_hash": hashlib.md5(plan.encode()).hexdigest()[:16],
-                "plan_head": plan.splitlines()[0][:200] if plan else "",
-            }
-        )
+    tmp = _join(cache_dir, f"_tmp-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(_join(tmp, "data"))
+    fs.write_json_atomic(
+        _join(tmp, "_meta.json"),
+        {
+            "created_at": time.time(),
+            "plan_hash": hashlib.md5(plan.encode()).hexdigest()[:16],
+            "plan_head": plan.splitlines()[0][:200] if plan else "",
+        },
     )
-    if entry.exists():  # stale/refresh: replace wholesale
-        import shutil
-
-        shutil.rmtree(entry)
+    if fs.exists(entry):  # stale/refresh: replace wholesale
+        fs.delete_dir(entry)
     try:
-        os.rename(tmp, entry)
-    except OSError:  # lost the publish race; serve the winner
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(str(entry / "data"))
+        fs.rename_no_replace(tmp, entry)
+    except (OSError, FileExistsError):  # lost the race; serve the winner
+        fs.delete_dir(tmp)
+    return spark.read.parquet(_join(entry, "data"))
 
 
 def drop_cache(cache_dir: str, key: str | None = None) -> int:
     """``SYSTEM DROP QUERY CACHE``: remove one entry or all. Returns the
     number of entries removed."""
-    import shutil
-
-    root = Path(cache_dir)
-    if not root.exists():
+    fs = _fsm.get_fs(cache_dir)
+    if not fs.exists(cache_dir):
         return 0
     targets = (
-        [root / key] if key else [d for d in root.iterdir() if d.is_dir()]
+        [_join(cache_dir, key)]
+        if key
+        else [
+            _join(cache_dir, n)
+            for n in fs.list_names(cache_dir)
+            if fs.is_dir(_join(cache_dir, n))
+        ]
     )
     n = 0
     for t in targets:
-        if t.exists():
-            shutil.rmtree(t)
+        if fs.exists(t):
+            fs.delete_dir(t)
             n += 1
     return n
 
@@ -170,22 +175,21 @@ def drop_cache(cache_dir: str, key: str | None = None) -> int:
 def cache_entries(cache_dir: str) -> list[dict]:
     """``system.query_cache`` analogue: one dict per entry with key,
     age, result size on disk."""
-    root = Path(cache_dir)
+    fs = _fsm.get_fs(cache_dir)
     out: list[dict] = []
-    if not root.exists():
+    if not fs.exists(cache_dir):
         return out
     now = time.time()
-    for d in sorted(root.iterdir()):
-        m = d / "_meta.json"
-        if not d.is_dir() or not m.exists():
+    for name in fs.list_names(cache_dir):
+        d = _join(cache_dir, name)
+        m = _join(d, "_meta.json")
+        if not fs.is_dir(d) or not fs.exists(m):
             continue
-        meta = json.loads(m.read_text())
-        size = sum(
-            f.stat().st_size for f in (d / "data").rglob("*") if f.is_file()
-        )
+        meta = fs.read_json(m)
+        size = sum(s for _f, s, _m in fs.walk_files(_join(d, "data")))
         out.append(
             {
-                "key": d.name,
+                "key": name,
                 "age_s": round(now - meta["created_at"], 3),
                 "plan_hash": meta["plan_hash"],
                 "bytes_on_disk": size,

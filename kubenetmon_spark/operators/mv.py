@@ -32,10 +32,12 @@ from __future__ import annotations
 import hashlib
 import json
 from functools import reduce
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from kubenetmon_spark import fs as _fsm
+from kubenetmon_spark.fs import join as _join
 
 _STATE_FILE = "_refresh_state.json"
 
@@ -71,18 +73,24 @@ def aggregate_delta(
     )
 
 
-def _partition_signatures(fact_root: Path, partition_col: str) -> dict[str, str]:
+def _partition_signatures(fact_root: str, partition_col: str) -> dict[str, str]:
+    fs = _fsm.get_fs(fact_root)
     sigs: dict[str, str] = {}
-    for part in sorted(fact_root.glob(f"{partition_col}=*")):
-        if not part.is_dir():
+    if not fs.is_dir(fact_root):
+        return sigs
+    for name in fs.list_names(fact_root):
+        if not name.startswith(f"{partition_col}="):
+            continue
+        part = _join(fact_root, name)
+        if not fs.is_dir(part):
             continue
         entries = sorted(
-            (f.name, f.stat().st_size, f.stat().st_mtime_ns)
-            for f in part.iterdir()
-            if f.is_file() and not f.name.startswith(("_", "."))
+            (f[len(part) :].lstrip("/"), size, mtime)
+            for f, size, mtime in fs.walk_files(part)
+            if not _fsm.basename(f).startswith(("_", "."))
         )
         digest = hashlib.md5(json.dumps(entries).encode()).hexdigest()
-        sigs[part.name.split("=", 1)[1]] = digest
+        sigs[name.split("=", 1)[1]] = digest
     return sigs
 
 
@@ -107,14 +115,13 @@ def refresh_rollup(
     """
     if partition_col not in key_cols:
         raise ValueError(f"{partition_col!r} must be one of key_cols")
-    fact_root = Path(fact_path)
-    rollup_root = Path(rollup_path)
-    state_path = rollup_root / _STATE_FILE
+    fs = _fsm.get_fs(rollup_path, spark)
+    state_path = _join(rollup_path, _STATE_FILE)
 
-    current = _partition_signatures(fact_root, partition_col)
+    current = _partition_signatures(fact_path, partition_col)
     previous: dict[str, str] = {}
-    if state_path.exists():
-        previous = json.loads(state_path.read_text())
+    if fs.exists(state_path):
+        previous = fs.read_json(state_path)
 
     changed = [p for p, sig in current.items() if previous.get(p) != sig]
     dropped = [p for p in previous if p not in current]
@@ -132,14 +139,12 @@ def refresh_rollup(
         )
     for p in dropped:
         # retention dropped the fact partition; mirror it in the rollup
-        part_dir = rollup_root / f"{partition_col}={p}"
-        if part_dir.exists():
-            import shutil
+        part_dir = _join(rollup_path, f"{partition_col}={p}")
+        if fs.exists(part_dir):
+            fs.delete_dir(part_dir)
 
-            shutil.rmtree(part_dir)
-
-    rollup_root.mkdir(parents=True, exist_ok=True)
-    state_path.write_text(json.dumps(current, sort_keys=True))
+    fs.mkdirs(rollup_path)
+    fs.write_text_atomic(state_path, json.dumps(current, sort_keys=True))
     return sorted(changed + dropped)
 
 

@@ -60,11 +60,13 @@ from __future__ import annotations
 import json
 import re
 from dataclasses import asdict, dataclass
-from pathlib import Path
 from urllib.parse import unquote
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from kubenetmon_spark import fs as _fsm
+from kubenetmon_spark.fs import join as _join
 
 _KINDS = ("minmax", "set", "bloom", "tokenbf", "ngrambf")
 _TOKEN_RE = "[^a-z0-9]+"
@@ -155,10 +157,11 @@ def _terms(df: DataFrame, file_col: Column, spec: IndexSpec) -> DataFrame:
     )
 
 
-def _write_spec(out_dir: Path, spec: IndexSpec, dtype: str) -> None:
-    out_dir.mkdir(parents=True, exist_ok=True)
-    (out_dir / "_spec.json").write_text(
-        json.dumps({**asdict(spec), "dtype": dtype})
+def _write_spec(out_dir: str, spec: IndexSpec, dtype: str) -> None:
+    fs = _fsm.get_fs(out_dir)
+    fs.mkdirs(out_dir)
+    fs.write_json_atomic(
+        _join(out_dir, "_spec.json"), {**asdict(spec), "dtype": dtype}
     )
 
 
@@ -264,7 +267,7 @@ def build_skip_index(
     out: dict[str, int] = {}
     for spec in specs:
         dtype = df.schema[spec.column].dataType.simpleString()
-        dest = Path(index_dir) / spec.name
+        dest = _join(index_dir, spec.name)
         # left-complete so ZERO-ROW files get a (null-payload) index row:
         # they'd otherwise never be indexed and stay fail-open forever.
         # Null payloads behave correctly per kind (minmax/bloom prove the
@@ -274,9 +277,9 @@ def build_skip_index(
         # whole build aggregation into a single task; repartition keeps
         # the scan/distinct/bit-fold parallel and funnels only the tiny
         # per-file result rows into the one output file.
-        idx.repartition(1).write.mode("overwrite").parquet(str(dest))
+        idx.repartition(1).write.mode("overwrite").parquet(dest)
         _write_spec(dest, spec, dtype)
-        out[spec.name] = spark.read.parquet(str(dest)).count()
+        out[spec.name] = spark.read.parquet(dest).count()
     for d in persisted:
         d.unpersist()
     return out
@@ -285,13 +288,13 @@ def build_skip_index(
 def list_indexes(index_dir: str) -> dict[str, dict]:
     """name -> spec dict (incl. stored dtype) for every built index."""
     out: dict[str, dict] = {}
-    root = Path(index_dir)
-    if not root.is_dir():
+    fs = _fsm.get_fs(index_dir)
+    if not fs.is_dir(index_dir):
         return out
-    for child in sorted(root.iterdir()):
-        spec_file = child / "_spec.json"
-        if spec_file.is_file():
-            out[child.name] = json.loads(spec_file.read_text())
+    for name in fs.list_names(index_dir):
+        spec_file = _join(index_dir, name, "_spec.json")
+        if fs.is_file(spec_file):
+            out[name] = fs.read_json(spec_file)
     return out
 
 
@@ -406,7 +409,7 @@ def candidate_files(
     if name not in specs:
         raise KeyError(f"no index {name!r} under {index_dir}")
     spec = specs[name]
-    idx = spark.read.parquet(str(Path(index_dir) / name))
+    idx = spark.read.parquet(_join(index_dir, name))
     dtype = spec["dtype"]
     kind = spec["kind"]
     if kind == "minmax":
@@ -507,7 +510,7 @@ def read_indexed(
                 continue
             idx_files = {
                 r.file
-                for r in spark.read.parquet(str(Path(index_dir) / name))
+                for r in spark.read.parquet(_join(index_dir, name))
                 .select("file")
                 .collect()
             }
@@ -565,10 +568,10 @@ def update_skip_index(
     # column, not one scan per index).
     by_missing: dict[tuple[str, ...], list[IndexSpec]] = {}
     for name, spec_d in specs.items():
-        dest = Path(index_dir) / name
+        dest = _join(index_dir, name)
         indexed = {
             r.file
-            for r in spark.read.parquet(str(dest)).select("file").collect()
+            for r in spark.read.parquet(dest).select("file").collect()
         }
         missing = tuple(sorted(set(actual) - indexed))
         out[name] = len(missing)
@@ -595,7 +598,7 @@ def update_skip_index(
             idx = missing_df.join(built[spec.name], "file", "left")
             # repartition(1) keeps the build parallel (see build_skip_index)
             idx.repartition(1).write.mode("append").parquet(
-                str(Path(index_dir) / spec.name)
+                _join(index_dir, spec.name)
             )
         for d in persisted:
             d.unpersist()
@@ -648,7 +651,7 @@ def explain_prune(
                 continue
             idx_files = {
                 r.file
-                for r in spark.read.parquet(str(Path(index_dir) / name))
+                for r in spark.read.parquet(_join(index_dir, name))
                 .select("file")
                 .collect()
             }

@@ -15,15 +15,49 @@ Storage layout mirrors what the reference's DDL buys from ClickHouse
 
 from __future__ import annotations
 
-import shutil
 from datetime import date, timedelta
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kubenetmon_spark import fs as _fsm
+from kubenetmon_spark.fs import join as _join
 from kubenetmon_spark.operators.flows import summing_aggregate
 from kubenetmon_spark.schema import PRIMARY_KEY_PREFIX
+
+# All lifecycle file operations (partition detach/attach/move/replace,
+# TTL drops and markers, backup manifests) go through the FS adapter
+# (kubenetmon_spark/fs.py): a table root given as hdfs://s3a://abfs://
+# URI runs the same lifecycle through the JVM Hadoop FileSystem the
+# data writes already use. Rename-based ops (detach/attach/move) are
+# single metadata renames on HDFS; on object stores Hadoop emulates
+# rename as copy+delete — still correct (the ops never overwrite an
+# existing destination) but O(partition bytes), so schedule them like
+# the data movements they physically are there.
+
+
+def _same_store(a: str, b: str, op: str) -> None:
+    """Two-path lifecycle ops (move/replace/backup/restore) run through
+    ONE FS implementation — both paths must be the same addressing form
+    (both plain local, or both URIs; HadoopFS handles mixed schemes
+    itself). Mixing a local path with a URI would silently resolve the
+    URI against the local filesystem."""
+    if _fsm.is_uri(a) != _fsm.is_uri(b):
+        raise ValueError(
+            f"{op}: paths mix local and URI addressing ({a!r} vs {b!r}); "
+            "use the same form for both (e.g. file:/... for both)"
+        )
+
+
+def _list_date_partitions(fs: "_fsm.FS", path: str) -> list[str]:
+    """Sorted ``date=...`` child directory names of a table root."""
+    if not fs.is_dir(path):
+        return []
+    return sorted(
+        n
+        for n in fs.list_names(path)
+        if n.startswith("date=") and fs.is_dir(_join(path, n))
+    )
 
 
 def write_flows(
@@ -130,17 +164,15 @@ def apply_retention(path: str, keep_days: int = 90, today: date | None = None) -
     today = today or date.today()
     cutoff = today - timedelta(days=keep_days)
     dropped: list[str] = []
-    root = Path(path)
-    if not root.exists():
-        return dropped
-    for part in sorted(root.glob("date=*")):
+    fs = _fsm.get_fs(path)
+    for name in _list_date_partitions(fs, path):
         try:
-            part_date = date.fromisoformat(part.name.split("=", 1)[1])
+            part_date = date.fromisoformat(name.split("=", 1)[1])
         except ValueError:
             continue
         if part_date < cutoff:
-            shutil.rmtree(part)
-            dropped.append(part.name)
+            fs.delete_dir(_join(path, name))
+            dropped.append(name)
     return dropped
 
 
@@ -188,21 +220,23 @@ def table_stats(path: str) -> list[dict]:
     """
     import pyarrow.parquet as pq
 
-    root = Path(path)
+    fs = _fsm.get_fs(path)
     out: list[dict] = []
-    for part in sorted(root.glob("date=*")):
-        files = sorted(part.glob("*.parquet"))
+    for name in _list_date_partitions(fs, path):
+        part = _join(path, name)
+        files = fs.glob_parquet(part)
         rows = 0
         row_groups = 0
         nbytes = 0
         for f in files:
-            md = pq.read_metadata(f)
+            with fs.open_seekable(f) as fh:
+                md = pq.read_metadata(fh)
             rows += md.num_rows
             row_groups += md.num_row_groups
-            nbytes += f.stat().st_size
+            nbytes += fs.file_size(f)
         out.append(
             {
-                "partition": part.name,
+                "partition": name,
                 "n_files": len(files),
                 "n_rows": rows,
                 "n_row_groups": row_groups,
@@ -358,10 +392,9 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> list[str]:
             .partitionBy("date")
             .parquet(path)
         )
+    fs = _fsm.get_fs(path, spark)
     for d in emptied:
-        part = Path(path) / f"date={d}"
-        if part.exists():
-            shutil.rmtree(part)
+        fs.delete_dir(_join(path, f"date={d}"))
     return sorted(f"date={d}" for d in affected)
 
 
@@ -474,12 +507,13 @@ def sample_files(
     """
     import hashlib
 
-    root = Path(path)
+    fs = _fsm.get_fs(path, spark)
+    base = str(path).rstrip("/")
     files = sorted(
-        str(p.relative_to(root)) for p in root.rglob("*.parquet")
+        f[len(base) :].lstrip("/") for f in fs.glob_parquet(base)
     )
     keep = [
-        str(root / f)
+        _join(base, f)
         for f in files
         if int(hashlib.md5(f"{f}|{salt}".encode()).hexdigest()[:8], 16)
         % 100
@@ -539,11 +573,10 @@ def apply_rollup_ttl(
     # day — source partitions the dynamic overwrite didn't rewrite must
     # be dropped explicitly (same contract as delete_where)
     kept = {str(r.date) for r in rolled.select("date").distinct().collect()}
+    fs = _fsm.get_fs(path, spark)
     for d in affected:
         if str(d) not in kept:
-            part = Path(path) / f"date={d}"
-            if part.exists():
-                shutil.rmtree(part)
+            fs.delete_dir(_join(path, f"date={d}"))
     return sorted(f"date={d}" for d in affected)
 
 
@@ -551,69 +584,78 @@ def apply_rollup_ttl(
 # ALTER TABLE ... PARTITION ops (DETACH / ATTACH / MOVE / REPLACE)
 # ---------------------------------------------------------------------------
 
-def _partition_dir(path: str, partition: str) -> Path:
-    return Path(path) / f"date={partition}"
+def _partition_dir(path: str, partition: str) -> str:
+    return _join(path, f"date={partition}")
 
 
-def _schema_of(table_path: Path):
+def _schema_of(fs: "_fsm.FS", table_path: str):
     """Arrow schema of the first data file under a table/partition dir
-    (None when empty) — the compatibility probe for partition exchange."""
+    (None when empty) — the compatibility probe for partition exchange.
+    One footer read; only sought byte ranges transfer on remote FS."""
     import pyarrow.parquet as pq
 
-    for f in sorted(table_path.rglob("*.parquet")):
-        return pq.ParquetFile(f).schema_arrow
+    for f in fs.glob_parquet(table_path):
+        with fs.open_seekable(f) as fh:
+            return pq.ParquetFile(fh).schema_arrow
     return None
 
 
 def detach_partition(path: str, partition: str) -> str:
     """``ALTER TABLE ... DETACH PARTITION``: move the partition dir into
     ``_detached/`` — Spark scans skip underscore-prefixed dirs, so the
-    data vanishes from queries instantly (a rename, no data movement)
-    but stays on disk for re-attach or inspection."""
+    data vanishes from queries instantly (a rename; metadata-only on
+    HDFS, copy+delete under the hood on object stores) but stays
+    available for re-attach or inspection."""
+    fs = _fsm.get_fs(path)
     src = _partition_dir(path, partition)
-    if not src.exists():
+    if not fs.exists(src):
         raise FileNotFoundError(f"no partition date={partition} at {path}")
-    det = Path(path) / "_detached"
-    det.mkdir(exist_ok=True)
-    dst = det / src.name
-    if dst.exists():
+    det = _join(path, "_detached")
+    fs.mkdirs(det)
+    dst = _join(det, f"date={partition}")
+    if fs.exists(dst):
         raise FileExistsError(f"{dst} already detached")
-    src.rename(dst)
-    return str(dst)
+    fs.rename_no_replace(src, dst)
+    return dst
 
 
 def attach_partition(path: str, partition: str) -> str:
     """``ALTER TABLE ... ATTACH PARTITION``: restore a detached
     partition (rename back; refuses if the live partition reappeared)."""
-    det = Path(path) / "_detached" / f"date={partition}"
-    if not det.exists():
+    fs = _fsm.get_fs(path)
+    det = _join(path, "_detached", f"date={partition}")
+    if not fs.exists(det):
         raise FileNotFoundError(f"nothing detached for date={partition}")
     dst = _partition_dir(path, partition)
-    if dst.exists():
+    if fs.exists(dst):
         raise FileExistsError(f"live partition {dst} exists; drop it first")
-    det.rename(dst)
-    return str(dst)
+    fs.rename_no_replace(det, dst)
+    return dst
 
 
 def move_partition(src_path: str, dst_path: str, partition: str) -> None:
     """``ALTER TABLE ... MOVE PARTITION TO TABLE``: rename the partition
     dir from one table to another after an Arrow-schema compatibility
     probe (one footer read per side). The source loses the partition —
-    ClickHouse MOVE semantics, and the atomic half of a backfill swap."""
+    ClickHouse MOVE semantics, and the atomic half of a backfill swap.
+    Cross-filesystem moves are not supported (same-store rename only,
+    like ClickHouse's same-disk MOVE)."""
+    _same_store(src_path, dst_path, "move_partition")
+    fs = _fsm.get_fs(src_path)
     src = _partition_dir(src_path, partition)
-    if not src.exists():
+    if not fs.exists(src):
         raise FileNotFoundError(f"no partition date={partition} at {src_path}")
     dst = _partition_dir(dst_path, partition)
-    if dst.exists():
+    if fs.exists(dst):
         raise FileExistsError(f"{dst} exists; use replace_partition")
-    s_schema, d_schema = _schema_of(src), _schema_of(Path(dst_path))
+    s_schema, d_schema = _schema_of(fs, src), _schema_of(fs, dst_path)
     if d_schema is not None and s_schema is not None and s_schema != d_schema:
         raise ValueError(
             f"schema mismatch moving date={partition}: source "
             f"{s_schema.names} vs destination {d_schema.names}"
         )
-    Path(dst_path).mkdir(parents=True, exist_ok=True)
-    src.rename(dst)
+    fs.mkdirs(dst_path)
+    fs.rename_no_replace(src, dst)
 
 
 def replace_partition(dst_path: str, src_path: str, partition: str) -> None:
@@ -623,38 +665,39 @@ def replace_partition(dst_path: str, src_path: str, partition: str) -> None:
     into prod). Copy lands under an underscore temp dir (invisible to
     scans), then two renames publish it; the visible window never shows
     a half-copied partition."""
-    import shutil
-
+    _same_store(src_path, dst_path, "replace_partition")
+    fs = _fsm.get_fs(dst_path)
     src = _partition_dir(src_path, partition)
-    if not src.exists():
+    if not fs.exists(src):
         raise FileNotFoundError(f"no partition date={partition} at {src_path}")
-    s_schema, d_schema = _schema_of(src), _schema_of(Path(dst_path))
+    s_schema, d_schema = _schema_of(fs, src), _schema_of(fs, dst_path)
     if d_schema is not None and s_schema is not None and s_schema != d_schema:
         raise ValueError(
             f"schema mismatch replacing date={partition}: source "
             f"{s_schema.names} vs destination {d_schema.names}"
         )
-    tmp = Path(dst_path) / f"_replace-{partition}"
-    if tmp.exists():
-        shutil.rmtree(tmp)
-    shutil.copytree(src, tmp)
+    tmp = _join(dst_path, f"_replace-{partition}")
+    fs.delete_dir(tmp)
+    fs.copy_tree(src, tmp)
     dst = _partition_dir(dst_path, partition)
-    old = Path(dst_path) / f"_old-{partition}"
-    if old.exists():
-        shutil.rmtree(old)
-    if dst.exists():
-        dst.rename(old)
-    tmp.rename(dst)
-    shutil.rmtree(old, ignore_errors=True)
+    old = _join(dst_path, f"_old-{partition}")
+    fs.delete_dir(old)
+    if fs.exists(dst):
+        fs.rename_no_replace(dst, old)
+    fs.rename_no_replace(tmp, dst)
+    fs.delete_dir(old)
 
 
 def detached_partitions(path: str) -> list[str]:
     """``system.detached_parts`` analogue."""
-    det = Path(path) / "_detached"
-    if not det.exists():
+    fs = _fsm.get_fs(path)
+    det = _join(path, "_detached")
+    if not fs.exists(det):
         return []
     return sorted(
-        d.name.split("=", 1)[1] for d in det.glob("date=*") if d.is_dir()
+        n.split("=", 1)[1]
+        for n in fs.list_names(det)
+        if n.startswith("date=") and fs.is_dir(_join(det, n))
     )
 
 
@@ -673,43 +716,50 @@ def backup_table(
     still lists them, pointing at the base (incremental backup chain).
 
     Driver-side file copy: backups are an ops action, not a query; at
-    warehouse scale the same layout maps to object-store copy jobs.
+    warehouse scale the same layout maps to object-store copy jobs
+    (the md5 pass streams each file through the driver once — the
+    integrity price this manifest format pays by design).
     Returns the manifest dict."""
     import hashlib
     import json
-    import shutil
 
-    root, bdir = Path(path), Path(backup_dir)
-    bdir.mkdir(parents=True, exist_ok=True)
+    _same_store(path, backup_dir, "backup_table")
+    if base_backup is not None:
+        _same_store(backup_dir, base_backup, "backup_table")
+    fs = _fsm.get_fs(path)
+    root = str(path).rstrip("/")
+    fs.mkdirs(backup_dir)
     base_entries: dict[str, dict] = {}
     if base_backup is not None:
-        base_manifest = json.loads(
-            (Path(base_backup) / "_manifest.json").read_text()
-        )
-        base_entries = {e["path"]: e for e in base_manifest["files"]}
+        base_entries = {
+            e["path"]: e
+            for e in fs.read_json(_join(base_backup, "_manifest.json"))[
+                "files"
+            ]
+        }
 
     files = []
-    for f in sorted(root.rglob("*.parquet")):
-        rel = str(f.relative_to(root))
-        if rel.startswith(("_", ".")):
-            continue
-        md5 = hashlib.md5(f.read_bytes()).hexdigest()
-        entry = {"path": rel, "size": f.stat().st_size, "md5": md5}
+    for f in fs.glob_parquet(root):
+        rel = f[len(root) :].lstrip("/")
+        md5 = hashlib.md5(fs.read_bytes(f)).hexdigest()
+        entry = {"path": rel, "size": fs.file_size(f), "md5": md5}
         base = base_entries.get(rel)
         if base and base["size"] == entry["size"] and base["md5"] == md5:
             entry["in_base"] = True
         else:
-            dst = bdir / rel
-            dst.parent.mkdir(parents=True, exist_ok=True)
-            shutil.copy2(f, dst)
+            dst = _join(backup_dir, rel)
+            fs.mkdirs(_fsm.parent(dst))
+            fs.copy_file(f, dst)
         files.append(entry)
     manifest = {
-        "source": str(root),
+        "source": root,
         "base_backup": base_backup,
         "n_files": len(files),
         "files": files,
     }
-    (bdir / "_manifest.json").write_text(json.dumps(manifest, indent=1))
+    fs.write_text_atomic(
+        _join(backup_dir, "_manifest.json"), json.dumps(manifest, indent=1)
+    )
     return manifest
 
 
@@ -720,27 +770,25 @@ def restore_table(backup_dir: str, dest_path: str) -> int:
     a corrupt or truncated backup refuses to restore silently.
     Returns the number of files restored."""
     import hashlib
-    import json
-    import shutil
 
-    bdir = Path(backup_dir)
-    manifest = json.loads((bdir / "_manifest.json").read_text())
-    dest = Path(dest_path)
-    dest.mkdir(parents=True, exist_ok=True)
-    base = Path(manifest["base_backup"]) if manifest["base_backup"] else None
+    _same_store(backup_dir, dest_path, "restore_table")
+    fs = _fsm.get_fs(backup_dir)
+    manifest = fs.read_json(_join(backup_dir, "_manifest.json"))
+    fs.mkdirs(dest_path)
+    base = manifest["base_backup"]
     n = 0
     for e in manifest["files"]:
-        src = (base if e.get("in_base") else bdir) / e["path"]
-        if not src.exists():
+        src = _join(base if e.get("in_base") else backup_dir, e["path"])
+        if not fs.exists(src):
             raise FileNotFoundError(
                 f"backup missing {e['path']} "
                 f"({'base' if e.get('in_base') else 'backup'} layer)"
             )
-        out = dest / e["path"]
-        out.parent.mkdir(parents=True, exist_ok=True)
-        shutil.copy2(src, out)
-        if out.stat().st_size != e["size"] or (
-            hashlib.md5(out.read_bytes()).hexdigest() != e["md5"]
+        out = _join(dest_path, e["path"])
+        fs.mkdirs(_fsm.parent(out))
+        fs.copy_file(src, out)
+        if fs.file_size(out) != e["size"] or (
+            hashlib.md5(fs.read_bytes(out)).hexdigest() != e["md5"]
         ):
             raise ValueError(f"checksum mismatch restoring {e['path']}")
         n += 1
@@ -798,21 +846,19 @@ def apply_column_ttl(
     Returns the partitions rewritten this call.
     """
     cutoff = (today or date.today()) - timedelta(days=keep_days)
-    root = Path(path)
+    fs = _fsm.get_fs(path, spark)
     done: list[str] = []
-    if not root.exists():
-        return done
-    for part in sorted(root.glob("date=*")):
+    for name in _list_date_partitions(fs, path):
         try:
-            part_date = date.fromisoformat(part.name.split("=", 1)[1])
+            part_date = date.fromisoformat(name.split("=", 1)[1])
         except ValueError:
             continue
-        marker = part / f"_column_ttl_{column}"
-        if part_date >= cutoff or marker.exists():
+        marker = _join(path, name, f"_column_ttl_{column}")
+        if part_date >= cutoff or fs.exists(marker):
             continue
-        clear_column_in_partition(spark, path, part.name, column, default_sql)
-        marker.touch()
-        done.append(part.name)
+        clear_column_in_partition(spark, path, name, column, default_sql)
+        fs.write_bytes_atomic(marker, b"")
+        done.append(name)
     return done
 
 
@@ -831,11 +877,12 @@ def column_stats(path: str) -> list[dict]:
     """
     import pyarrow.parquet as pq
 
-    root = Path(path)
-    files = sorted(root.rglob("*.parquet")) if root.is_dir() else [root]
+    fs = _fsm.get_fs(path)
+    files = fs.glob_parquet(path) if fs.is_dir(path) else [str(path)]
     acc: dict[str, dict] = {}
     for f in files:
-        md = pq.read_metadata(f)
+        with fs.open_seekable(f) as fh:
+            md = pq.read_metadata(fh)
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):

@@ -37,13 +37,13 @@ Spark's executor parallelism replaces the 20 inserter workers
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from kubenetmon_spark import fs as _fsm
 from kubenetmon_spark.config import RuntimeConfig
 from kubenetmon_spark.functions.flags import canonical_flags_json
 from kubenetmon_spark.operators.flows import summing_aggregate, to_flow_rows
@@ -155,7 +155,11 @@ def start_flow_stream(
     disjoint-interval LPM dimension is re-persisted and the stale one
     released, so micro-batches always broadcast a cached build.
     """
-    markers = Path(checkpoint_path) / "_committed_batches"
+    # Batch markers live next to the checkpoint — URI-safe through the
+    # FS adapter, so exactly-once marker replay also holds when the
+    # checkpoint root is hdfs://s3a:// (where production checkpoints
+    # live; marker creation is an atomic PUT there).
+    markers = _fsm.join(checkpoint_path, "_committed_batches")
 
     # Flatten the prefix dimension to disjoint intervals ONCE per refresh
     # (the reference builds its trie once per daily refresh,
@@ -166,8 +170,9 @@ def start_flow_stream(
     dims = {"pods": pods, "nodes": nodes, "disjoint": disjoint, "n": 0}
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = markers / str(batch_id)
-        if marker.exists():  # foreachBatch retry of an already-written batch
+        fs = _fsm.get_fs(markers, batch_df.sparkSession)
+        marker = _fsm.join(markers, str(batch_id))
+        if fs.exists(marker):  # foreachBatch retry of a written batch
             return
         if dim_loader is not None and dim_refresh_batches > 0:
             dims["n"] += 1
@@ -201,8 +206,8 @@ def start_flow_stream(
                 )
         finally:
             labeled.unpersist()
-        markers.mkdir(parents=True, exist_ok=True)
-        marker.touch()
+        fs.mkdirs(markers)
+        fs.write_bytes_atomic(marker, b"")
 
     writer = (
         observations.writeStream.queryName(query_name)

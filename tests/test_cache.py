@@ -119,3 +119,26 @@ class TestCached:
         assert drop_cache(cdir, key=entries[0]["key"]) == 1
         assert cache_entries(cdir) == []
         assert drop_cache(cdir) == 0
+
+
+def test_cache_on_hadoop_uri_dir(spark, tmp_path):
+    # the whole hit/miss/drop lifecycle against a URI-form cache dir
+    from kubenetmon_spark.cache import cache_entries, cached, drop_cache
+
+    tbl = str(tmp_path / "t")
+    spark.range(20).write.parquet(tbl)
+    base = spark.read.parquet(tbl)
+    df = base.groupBy((base.id % 3).alias("g")).count()
+    cache_dir = "file:" + str(tmp_path / "cache")
+    first = cached(spark, df, cache_dir)
+    assert first.count() == 3
+    entries = cache_entries(cache_dir)
+    assert len(entries) == 1 and entries[0]["bytes_on_disk"] > 0
+    # hit: served from the entry (no recompute path assertion needed —
+    # the read is against the cache dir)
+    again = cached(spark, df, cache_dir)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, first.collect())
+    )
+    assert drop_cache(cache_dir) == 1
+    assert cache_entries(cache_dir) == []
