@@ -17069,6 +17069,90 @@ def q317(spark, sf_dir):
     )
 
 
+@_register(
+    "q318_png_codec_features",
+    """
+    WITH ids AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id
+      FROM documents WHERE doc_id < 64
+    ),
+    sums AS (
+      SELECT media_id,
+             SUM((media_id*37 + y.y*31 + x.x*17) % 256) AS s_r,
+             SUM((media_id*37 + y.y*31 + x.x*17 + 97) % 256) AS s_g,
+             SUM((media_id*37 + y.y*31 + x.x*17 + 194) % 256) AS s_b
+      FROM ids
+      CROSS JOIN generate_series(0, 15) AS y(y)
+      CROSS JOIN generate_series(0, 11) AS x(x)
+      GROUP BY media_id
+    )
+    SELECT media_id,
+           CAST((s_r * 100) // 192 AS BIGINT) AS mean_r_e2,
+           CAST((s_g * 100) // 192 AS BIGINT) AS mean_g_e2,
+           CAST((s_b * 100) // 192 AS BIGINT) AS mean_b_e2
+    FROM sums ORDER BY media_id
+    """,
+    "REAL image codec end-to-end: formula pixels -> pure-Python PNG "
+    "encode (filter type cycles 0-4 by doc id) -> decode_image "
+    "(codec='png': zlib inflate, CRC, all five defilters) -> channel "
+    "means. The oracle computes the identical means straight from the "
+    "pixel formula, so any codec corruption hash-fails; the PNG byte "
+    "stream itself is exercised for real (vendored codec, "
+    "functions/png.py)",
+)
+def q318(spark, sf_dir):
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from kubenetmon_spark.operators.media import (
+        decode_image,
+        mean_channel_features,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select(F.col("doc_id").cast("long").alias("media_id"))
+    )
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+
+    def encode_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from kubenetmon_spark.functions.png import encode_png
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                y = np.arange(16, dtype=np.int64)[:, None, None]
+                x = np.arange(12, dtype=np.int64)[None, :, None]
+                c = np.arange(3, dtype=np.int64)[None, None, :]
+                img = ((mid * 37 + y * 31 + x * 17 + c * 97) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(
+                    bytearray(encode_png(img, filter_type=mid % 5))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": payloads}
+            )
+
+    media = ids.mapInPandas(encode_batches, schema)
+    decoded = decode_image(media, out_width=12, out_height=16, codec="png")
+    return mean_channel_features(decoded).orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -166,16 +166,23 @@ def decode_image(
 ) -> DataFrame:
     """Decode+resize images to fixed-size ``H*W*3`` RGB byte buffers.
 
-    ``codec='auto'`` requires an image library (PIL/opencv) — not
-    present in this environment, so it raises ``NotImplementedError``
-    naming the dependency. ``codec='fake'`` runs the identical Spark
-    plumbing (mapInPandas, Arrow batches, DECODED_SCHEMA, NumPy
-    vectorized per batch) with a deterministic stand-in decode: the
-    content bytes are treated as a flat pixel stream and
-    nearest-neighbor-resampled to the output size — so resize geometry,
-    batch shapes, and downstream feature code are all exercised for
-    real; only the codec math is fake. A real decoder replaces ONLY the
-    per-batch body.
+    Codecs:
+
+    - ``codec='png'`` — REAL decode via the vendored pure-Python PNG
+      codec (functions/png.py, zlib + NumPy, no third-party image
+      libs): 8-bit gray/RGB/palette/alpha PNGs decode to true pixels
+      inside the Arrow batches. This is the default real path in
+      environments without PIL/opencv.
+    - ``codec='auto'`` — prefer an installed image library (PIL) for
+      full-format coverage; falls back to the pure-Python PNG codec
+      when no library is present (PNG-only, other formats raise
+      ``PngFormatError`` per row -> null pixels, see below).
+    - ``codec='fake'`` runs the identical Spark plumbing (mapInPandas,
+      Arrow batches, DECODED_SCHEMA, NumPy vectorized per batch) with
+      a deterministic stand-in decode: the content bytes are treated
+      as a flat pixel stream and nearest-neighbor-resampled — resize
+      geometry, batch shapes, and downstream feature code exercised
+      for real with synthetic bytes.
 
     ``decoder`` is the injection point for a real codec (the feed
     fetcher's injectable-callable design, sources/fetch.py): a picklable
@@ -194,7 +201,17 @@ def decode_image(
             def one(b) -> bytes | None:
                 if b is None:
                     return None
-                img = np.asarray(decoder(bytes(b)), dtype=np.uint8)
+                # Per-row decode tolerance (the proto-ingest posture,
+                # sources/proto.py): one corrupt/foreign-format blob
+                # nulls ITS pixels instead of failing the whole task —
+                # at 100 TB some fraction of scraped bytes is always
+                # broken. Contract violations by the DECODER itself
+                # (wrong shape) still fail loud — that's a code bug,
+                # not a data defect.
+                try:
+                    img = np.asarray(decoder(bytes(b)), dtype=np.uint8)
+                except Exception:
+                    return None
                 if img.ndim != 3 or img.shape[2] != 3:
                     raise ValueError(
                         f"decoder must return (H, W, 3) uint8, got {img.shape}"
@@ -217,19 +234,30 @@ def decode_image(
         return media.select("media_id", "content").mapInPandas(
             decode_batches, DECODED_SCHEMA
         )
-    if codec == "auto":
-        try:
-            import PIL.Image  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "decode_image needs an image codec (pillow or opencv-python); "
-                "not available in this environment. Pass codec='fake' for "
-                "the deterministic plumbing path, or use "
-                "extract_media_features for byte-level work."
-            ) from e
-        raise NotImplementedError("codec integration point")  # pragma: no cover
+    if codec in ("auto", "png"):
+        if codec == "auto":
+            try:
+                import PIL.Image as _PIL
+
+                def _pil_decoder(b: bytes):
+                    import io
+
+                    import numpy as np
+
+                    return np.asarray(
+                        _PIL.open(io.BytesIO(b)).convert("RGB"), dtype=np.uint8
+                    )
+
+                return decode_image(
+                    media, out_width, out_height, decoder=_pil_decoder
+                )
+            except ImportError:
+                pass  # fall through to the pure-Python PNG codec
+        from kubenetmon_spark.functions.png import decode_png
+
+        return decode_image(media, out_width, out_height, decoder=decode_png)
     if codec != "fake":
-        raise ValueError("codec must be 'auto' or 'fake'")
+        raise ValueError("codec must be 'auto', 'png', or 'fake'")
     n_out = out_width * out_height * 3
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

@@ -98,6 +98,11 @@ class TestMediaChain:
         with pytest.raises(Exception, match="H, W, 3"):
             decode_image(media, decoder=bad).collect()
 
-    def test_auto_codec_still_raises_without_library(self, media):
-        with pytest.raises(NotImplementedError, match="codec"):
-            decode_image(media, codec="auto").collect()
+    def test_auto_codec_falls_back_to_pure_python_png(self, spark, media):
+        # no PIL in this environment: 'auto' decodes through the
+        # vendored PNG codec; the text-derived content here is NOT
+        # PNG, so every row decodes to null pixels (per-row tolerance)
+        # instead of raising — the stream survives foreign bytes.
+        rows = decode_image(media, codec="auto").collect()
+        assert len(rows) > 0
+        assert all(r.pixels is None for r in rows)
