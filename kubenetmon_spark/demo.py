@@ -42,7 +42,7 @@ def _pod_ip(uid):
 
 
 def build_flow_inputs(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, events_filter=None
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """(observations, pods, nodes, prefixes) derived from sf tables.
 
@@ -54,9 +54,13 @@ def build_flow_inputs(
     this is the representative shape, not a benchmark trick.
     """
     ev = load_table(spark, sf_dir, "events")
+    if events_filter is not None:
+        # the v6 twin (build_flow_inputs6) derives each family from its
+        # half of the events; dims still cover ALL users (unfiltered)
+        ev = ev.filter(events_filter)
     if ev.rdd.getNumPartitions() < default_parallelism():
         ev = ev.repartition(default_parallelism())
-    users = ev.select("user_id").distinct()
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
     pods = users.select(
         _pod_ip(F.col("user_id")).alias("pod_ip"),
         F.concat(F.lit("pod-"), F.col("user_id").cast("string")).alias("name"),
@@ -133,4 +137,108 @@ def flagship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("readable", format_readable_size("total_bytes"))
         .orderBy(F.desc("total_bytes"), "localPod", "remotePod", "connectionClass")
         .limit(20)
+    )
+
+
+def build_flow_inputs6(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(observations, pods, nodes, prefixes, prefixes6): the MIXED
+    IPv4+IPv6 derivation for the v6 labeling mode
+    (``cfg.ignore_ipv6=False`` — the metering extension the reference
+    lacks, it drops v6 at labeler.go:243-247).
+
+    Even event_ids derive exactly the v4 observations of
+    :func:`build_flow_inputs`; odd event_ids derive the v6 twin, same
+    counters, with the v4 address columns null and the v6 columns
+    carrying deterministic strings:
+
+    - user u's v6 pod:  fd00::<u div 65536 hex>:<u mod 65536 hex> (ULA
+      — private short-circuit, INTRA_VPC)
+    - view     -> 2600:1f14:<e%200 hex>::1  aws/ec2 us-west-2 (the /32
+                  must win LPM over the nested 2600::/16) -> INTRA_REGION
+    - purchase -> 2a00:1450:<e%200 hex>::1  gcp -> PUBLIC_INTERNET
+    - click    -> v6 pod of user (u+1+e%97)%150 -> INTRA_VPC
+    - signup   -> fe80::<e%200 hex>:1 link-local -> INTRA_VPC
+    - error    -> 2001:db8:<e%200 hex>::1 unlisted -> PUBLIC_INTERNET
+
+    Pods carry BOTH address rows (one per family, same metadata), so
+    family-blind string-equality pod joins resolve either endpoint.
+    """
+    from kubenetmon_spark.operators.lpm import prefixes6_from_cidrs
+
+    obs4, pods4, nodes, prefixes = build_flow_inputs(
+        spark, sf_dir, events_filter=F.col("event_id") % 2 == 0
+    )
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 2 == 1)
+    if ev.rdd.getNumPartitions() < default_parallelism():
+        ev = ev.repartition(default_parallelism())
+
+    e = F.col("event_id")
+    u = F.col("user_id")
+
+    def pod_ip6(uid):
+        return F.concat(
+            F.lit("fd00::"),
+            F.lower(F.hex((uid / 65536).cast("long") % 65536)),
+            F.lit(":"),
+            F.lower(F.hex(uid.cast("long") % 65536)),
+        )
+
+    h = F.lower(F.hex(e % 200))
+    u2 = (u + 1 + e % 97) % 150
+    dst6 = (
+        F.when(F.col("event_type") == "view", F.concat(F.lit("2600:1f14:"), h, F.lit("::1")))
+        .when(F.col("event_type") == "purchase", F.concat(F.lit("2a00:1450:"), h, F.lit("::1")))
+        .when(F.col("event_type") == "click", pod_ip6(u2))
+        .when(F.col("event_type") == "signup", F.concat(F.lit("fe80::"), h, F.lit(":1")))
+        .otherwise(F.concat(F.lit("2001:db8:"), h, F.lit("::1")))
+    )
+    obs6 = ev.select(
+        F.concat(F.lit("node-"), (u % 5 + 1).cast("string")).alias("node_name"),
+        F.col("ts"),
+        F.lit(6).cast("int").alias("proto"),
+        F.lit(None).cast("string").alias("orig_src_ip"),
+        pod_ip6(u).alias("orig_src_v6"),
+        (30000 + e % 20000).cast("int").alias("orig_src_port"),
+        F.lit(None).cast("string").alias("orig_dst_ip"),
+        dst6.alias("orig_dst_v6"),
+        F.lit(443).cast("int").alias("orig_dst_port"),
+        (e % 50 + 1).cast("long").alias("orig_packets"),
+        (F.round(F.col("value") * 100, 0).cast("long") + e % 1000 + 1).alias("orig_bytes"),
+        F.lit(None).cast("string").alias("reply_src_ip"),
+        dst6.alias("reply_src_v6"),
+        F.lit(443).cast("int").alias("reply_src_port"),
+        F.lit(None).cast("string").alias("reply_dst_ip"),
+        pod_ip6(u).alias("reply_dst_v6"),
+        (30000 + e % 20000).cast("int").alias("reply_dst_port"),
+        (e % 25 + 1).cast("long").alias("reply_packets"),
+        (F.round(F.col("value") * 37, 0).cast("long") + e % 777 + 1).alias("reply_bytes"),
+    )
+    pods6 = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().select(
+            pod_ip6(F.col("user_id")).alias("pod_ip"),
+            F.concat(F.lit("pod-"), F.col("user_id").cast("string")).alias("name"),
+            F.concat(F.lit("ns"), (F.col("user_id") % 10).cast("string")).alias("namespace"),
+            F.concat(F.lit("node-"), (F.col("user_id") % 5 + 1).cast("string")).alias("node_name"),
+            F.concat(F.lit("app-"), (F.col("user_id") % 7).cast("string")).alias("label_app"),
+            F.lit(None).cast("string").alias("label_k8s_app"),
+            F.concat(F.lit("i-"), F.col("user_id").cast("string")).alias("label_control_plane_id"),
+        )
+    )
+    prefixes6 = prefixes6_from_cidrs(
+        spark,
+        [
+            # nested: the /32 must win LPM over the /16
+            ("2600:1f14::/32", "aws", "ec2", "us-west-2"),
+            ("2600::/16", "aws", "amazon", "us-east-1"),
+            ("2a00:1450::/32", "gcp", "google", "europe-west1"),
+        ],
+    )
+    return (
+        obs4.unionByName(obs6),
+        pods4.unionByName(pods6),
+        nodes,
+        prefixes,
+        prefixes6,
     )

@@ -17,11 +17,15 @@ from pyspark.sql import functions as F
 def ip_to_long(ip: Column | str) -> Column:
     """Dotted-quad string -> numeric (big-endian uint32 as long).
 
-    Pure expression: split + fold, stays in codegen.
+    Pure expression: split + fold, stays in codegen. Total function:
+    non-dotted-quad input (a v6 string in mixed-family streams,
+    garbage) yields NULL via try_cast rather than an ANSI cast error —
+    the caller's miss/reject path handles null, a thrown cast would
+    kill the whole task for one bad row.
     """
     col = F.col(ip) if isinstance(ip, str) else ip
     return F.aggregate(
-        F.transform(F.split(col, r"\."), lambda x: x.cast("long")),
+        F.transform(F.split(col, r"\."), lambda x: x.try_cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc * 256 + x,
     )
@@ -101,3 +105,60 @@ def is_private_ipv6_pair(hi, lo):
     link_local = F.shiftrightunsigned(hi, 54) == F.lit(0x3FA)  # fe80::/10
     loopback = (hi == F.lit(0)) & (lo == F.lit(1))
     return ula | link_local | loopback
+
+
+def ipv6_string_to_pair(col: Column | str) -> tuple[Column, Column]:
+    """IPv6 string (full or ``::``-compressed hex groups) -> signed
+    int64 ``(hi, lo)`` pair — the 128-bit form the v6 LPM joins on
+    (operators/lpm.py). Pure Column expressions (array ops + ``conv`` +
+    bit shifts), no UDF, so the parse rides whole-stage codegen on the
+    fact scan.
+
+    Parse contract: lowercase/uppercase hex groups, at most one ``::``.
+    Unparseable forms — dotted-quad tails (``::ffff:1.2.3.4``), zone
+    ids (``%eth0``), malformed group counts — yield a NULL pair, which
+    the labeler turns into a per-row reject (fail loud, never
+    misclassify). Top-bit addresses reinterpret correctly: ``conv``
+    yields a 16-bit group value, and ``shiftleft`` wraps into the
+    signed int64 exactly like the dimension's split128.
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    # at most ONE "::" (split on it yields exactly 2 parts); a second
+    # one would silently drop groups, so it must null the parse
+    has_dc = c.contains("::") & (F.size(F.split(c, "::")) == 2)
+    bad_dc = c.contains("::") & (F.size(F.split(c, "::")) != 2)
+    c = F.when(~bad_dc, c)  # null out multi-"::" inputs entirely
+    left = F.when(has_dc, F.split(c, "::").getItem(0)).otherwise(c)
+    right = F.when(has_dc, F.split(c, "::").getItem(1)).otherwise(F.lit(""))
+    lg = F.filter(F.split(left, ":"), lambda x: x != "")
+    rg = F.filter(F.split(right, ":"), lambda x: x != "")
+    pad = F.lit(8) - F.size(lg) - F.size(rg)
+    groups = F.when(
+        has_dc & (pad >= 0),
+        F.concat(
+            lg,
+            F.array_repeat(F.lit("0"), pad.cast("int")),
+            rg,
+        ),
+    ).otherwise(F.when(~has_dc & (F.size(lg) == 8), lg))
+    # validity: exactly 8 groups, every group 1-4 hex chars
+    ok_groups = F.forall(
+        groups, lambda x: x.rlike("^[0-9a-f]{1,4}$")
+    ) & (F.size(groups) == 8)
+    g = [
+        F.when(ok_groups, F.conv(groups.getItem(i), 16, 10).cast("long"))
+        for i in range(8)
+    ]
+    hi = (
+        F.shiftleft(g[0], 48)
+        .bitwiseOR(F.shiftleft(g[1], 32))
+        .bitwiseOR(F.shiftleft(g[2], 16))
+        .bitwiseOR(g[3])
+    )
+    lo = (
+        F.shiftleft(g[4], 48)
+        .bitwiseOR(F.shiftleft(g[5], 32))
+        .bitwiseOR(F.shiftleft(g[6], 16))
+        .bitwiseOR(g[7])
+    )
+    return hi, lo

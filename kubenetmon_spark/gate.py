@@ -17153,6 +17153,83 @@ def q318(spark, sf_dir):
     return mean_channel_features(decoded).orderBy("media_id")
 
 
+@_register(
+    "q319_labeler_ipv6",
+    """
+    WITH base AS (
+      SELECT CASE WHEN event_id % 2 = 1 THEN 'v6' ELSE 'v4' END AS family,
+             CASE event_type
+               WHEN 'view' THEN 'INTRA_REGION'
+               WHEN 'purchase' THEN 'PUBLIC_INTERNET'
+               WHEN 'click' THEN 'INTRA_VPC'
+               WHEN 'signup' THEN 'INTRA_VPC'
+               ELSE 'PUBLIC_INTERNET' END AS connectionClass,
+             CASE event_type
+               WHEN 'view' THEN 'aws'
+               WHEN 'purchase' THEN 'gcp'
+               WHEN 'click' THEN 'aws'
+               WHEN 'signup' THEN 'aws'
+               ELSE '' END AS remoteCloud,
+             CASE
+               WHEN event_type IN ('view', 'click', 'signup')
+                 THEN 'us-west-2'
+               WHEN event_type = 'purchase' THEN
+                 CASE WHEN event_id % 2 = 1
+                      THEN 'europe-west1' ELSE 'us-central1' END
+               ELSE '' END AS remoteRegion,
+             CAST(ROUND(value * 100, 0) AS BIGINT)
+               + event_id % 1000 + 1 AS b_out,
+             CAST(ROUND(value * 37, 0) AS BIGINT)
+               + event_id % 777 + 1 AS b_in
+      FROM events
+    )
+    SELECT family, connectionClass, remoteCloud, remoteRegion,
+           '' AS reject, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(b_out) AS BIGINT) AS bytes_out_sum,
+           CAST(SUM(b_in) AS BIGINT) AS bytes_in_sum
+    FROM base GROUP BY 1, 2, 3, 4
+    ORDER BY family, connectionClass, remoteCloud, remoteRegion
+    """,
+    "IPv6 labeling END-TO-END (cfg.ignore_ipv6=False — the metering "
+    "extension; the reference drops v6 at labeler.go:243-247): a mixed "
+    "v4+v6 observation stream runs the FULL labeler — v6 endpoints "
+    "parse to 128-bit pairs in-plan (no UDF), ULA/link-local short-"
+    "circuit as private, public v6 remotes classify through the "
+    "disjoint-interval v6 LPM (nested /32-under-/16 must win), v4 rows "
+    "classify identically to q26 in the same plan. reject column rides "
+    "in the group key, so ANY unexpected per-row reject (including "
+    "ipv6_parse_error) hash-fails the gate",
+)
+def q319(spark, sf_dir):
+    from dataclasses import replace
+
+    from kubenetmon_spark.demo import DEMO_CFG, build_flow_inputs6
+    from kubenetmon_spark.operators.label import label_flows
+
+    obs, pods, nodes, prefixes, prefixes6 = build_flow_inputs6(spark, sf_dir)
+    cfg = replace(DEMO_CFG, ignore_ipv6=False)
+    labeled = label_flows(
+        obs, pods, nodes, prefixes, cfg, prefixes6=prefixes6
+    )
+    return (
+        labeled.groupBy(
+            F.when(F.col("remoteIPv4").contains(":"), "v6")
+            .otherwise("v4")
+            .alias("family"),
+            "connectionClass",
+            "remoteCloud",
+            "remoteRegion",
+            F.coalesce("reject_reason", F.lit("")).alias("reject"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bytes_out").alias("bytes_out_sum"),
+            F.sum("bytes_in").alias("bytes_in_sum"),
+        )
+        .orderBy("family", "connectionClass", "remoteCloud", "remoteRegion")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

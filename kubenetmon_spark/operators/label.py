@@ -47,6 +47,8 @@ def label_flows(
     extra_flags: dict[str, Column] | None = None,
     lpm_mode: str = "disjoint",
     prefixes_are_disjoint: bool = False,
+    prefixes6: DataFrame | None = None,
+    prefixes6_are_disjoint: bool = False,
 ) -> DataFrame:
     """Observations (OBSERVATION_SCHEMA) -> labeled flows.
 
@@ -54,6 +56,22 @@ def label_flows(
     directional counters (bytes_out/in, packets_out/in) and a
     ``reject_reason`` column (null = accepted). Feed accepted rows to
     operators.flows.to_flow_rows for the 2-row direction fan-out.
+
+    IPv6 (``cfg.ignore_ipv6=False`` — beyond-reference mode; the
+    reference drops v6 at F5): v6 observations flow through the same
+    pipeline. Endpoints coalesce to the v6 string columns; the remote
+    parses to a 128-bit (hi, lo) pair in-plan (functions/ip.py, no
+    UDF) and classifies through ``prefixes6``
+    (net_hi/net_lo/end_hi/end_lo dimension, see
+    lpm.prefixes6_from_cidrs) via one extra broadcast join — still
+    zero fact-side shuffle, still streaming-legal. ULA/link-local/
+    loopback short-circuit as private (INTRA_VPC). Unparseable v6
+    strings (dotted-quad tails, zone ids) reject per-row as
+    ``ipv6_parse_error`` — never a silent misclassification. Pod and
+    node dimension joins stay string-equality, so v6 pod IPs label
+    when the dim carries the same string form the agent reports. The
+    output ``localIPv4``/``remoteIPv4`` columns carry the v6 string in
+    this mode (schema-stable; the name keeps reference parity).
     """
     obs = observations
     r = F.lit(None).cast("string")
@@ -83,15 +101,18 @@ def label_flows(
     # F4 UDP ignore (reference pkg/labeler/labeler.go:183-188, 237-239)
     if cfg.ignore_udp:
         r = _reject(F.col("proto") == 17, "udp_ignored", r)
-    # F5 IPv6 (reference labeler.go:243-247, 379-405)
-    r = _reject(
-        F.col("orig_src_v6").isNotNull()
-        | F.col("orig_dst_v6").isNotNull()
-        | F.col("reply_src_v6").isNotNull()
-        | F.col("reply_dst_v6").isNotNull(),
-        "ipv6",
-        r,
-    )
+    # F5 IPv6 (reference labeler.go:243-247, 379-405); with
+    # cfg.ignore_ipv6=False the reject is skipped and v6 rows label
+    # through the v6 LPM below (this engine's metering extension).
+    if cfg.ignore_ipv6:
+        r = _reject(
+            F.col("orig_src_v6").isNotNull()
+            | F.col("orig_dst_v6").isNotNull()
+            | F.col("reply_src_v6").isNotNull()
+            | F.col("reply_dst_v6").isNotNull(),
+            "ipv6",
+            r,
+        )
     obs = obs.withColumn("_r", r)
 
     # P8 flags, evaluated HERE so extra_flags expressions can reference the
@@ -107,10 +128,17 @@ def label_flows(
     )
 
     # P1 endpoint extraction with NAT resolution (see module docstring).
+    # v6 mode: conntrack tuples are single-family per flow, so the v6
+    # string column fills in exactly when the v4 one is absent.
+    if cfg.ignore_ipv6:
+        src_ip_e, dst_ip_e = F.col("orig_src_ip"), F.col("reply_src_ip")
+    else:
+        src_ip_e = F.coalesce("orig_src_ip", "orig_src_v6")
+        dst_ip_e = F.coalesce("reply_src_ip", "reply_src_v6")
     obs = (
-        obs.withColumn("src_ip", F.col("orig_src_ip"))
+        obs.withColumn("src_ip", src_ip_e)
         .withColumn("src_port", F.col("orig_src_port"))
-        .withColumn("dst_ip", F.col("reply_src_ip"))
+        .withColumn("dst_ip", dst_ip_e)
         .withColumn("dst_port", F.col("reply_src_port"))
     )
 
@@ -195,7 +223,41 @@ def label_flows(
     # reference's short-circuit, plus dedup so the per-IP reduce is tiny
     # relative to fact rows.
     obs = obs.withColumn("remote_ip_num", ip_to_long("remote_ip"))
-    obs = obs.withColumn("_remote_private", is_private_ip_num(F.col("remote_ip_num")))
+    if cfg.ignore_ipv6:
+        obs = obs.withColumn(
+            "_remote_private", is_private_ip_num(F.col("remote_ip_num"))
+        )
+    else:
+        # v6 remotes: parse to the 128-bit pair in-plan; a v6 string
+        # that fails the parse contract rejects per-row (never a
+        # silent PUBLIC_INTERNET misclassification).
+        from kubenetmon_spark.functions.ip import (
+            ipv6_string_to_pair,
+            is_private_ipv6_pair,
+        )
+
+        is_v6 = F.col("remote_ip").contains(":")
+        hi6, lo6 = ipv6_string_to_pair(F.col("remote_ip"))
+        obs = (
+            obs.withColumn("_r6_hi", F.when(is_v6, hi6))
+            .withColumn("_r6_lo", F.when(is_v6, lo6))
+            .withColumn("_remote_is_v6", is_v6)
+        )
+        obs = obs.withColumn(
+            "_r",
+            _reject(
+                F.col("_remote_is_v6") & F.col("_r6_hi").isNull(),
+                "ipv6_parse_error",
+                F.col("_r"),
+            ),
+        )
+        obs = obs.withColumn(
+            "_remote_private",
+            F.when(
+                F.col("_remote_is_v6"),
+                is_private_ipv6_pair(F.col("_r6_hi"), F.col("_r6_lo")),
+            ).otherwise(is_private_ip_num(F.col("remote_ip_num"))),
+        )
     if lpm_mode == "disjoint":
         # The dimension is flattened to disjoint intervals at build time, so
         # the per-row LPM is a single broadcast equi+range join: no distinct,
@@ -224,6 +286,32 @@ def label_flows(
         matched = lpm_lookup(public_ips, prefixes, "remote_ip_num")
         obs = obs.join(matched.withColumnRenamed("remote_ip_num", "_mip"),
                        obs["remote_ip_num"] == F.col("_mip"), "left").drop("_mip")
+
+    if not cfg.ignore_ipv6 and prefixes6 is not None:
+        # J5v6: one more broadcast join on the (hi, lo) pair — v4 rows
+        # carry null pairs and match nothing; the v6 attributes
+        # coalesce into the same lpm_* columns, so J7's CASE is
+        # family-agnostic from here down.
+        from kubenetmon_spark.operators.lpm import (
+            disjoint_prefixes6,
+            lpm_lookup6,
+        )
+
+        d6 = (
+            prefixes6
+            if prefixes6_are_disjoint
+            else disjoint_prefixes6(prefixes6)
+        )
+        obs = lpm_lookup6(
+            obs, prefixes6, hi_col="_r6_hi", lo_col="_r6_lo",
+            out_prefix="_v6lpm_", disjoint=d6,
+        )
+        for attr in ("cloud", "region", "service"):
+            obs = obs.withColumn(
+                f"lpm_{attr}",
+                F.coalesce(f"lpm_{attr}", f"_v6lpm_{attr}"),
+            ).drop(f"_v6lpm_{attr}")
+        obs = obs.drop("_v6lpm_prefix_len")
 
     same_cloud = F.col("lpm_cloud") == F.lit(cfg.cloud)
     cls = (

@@ -144,3 +144,142 @@ def test_prefix_priority_dedup(spark):
     az = dim.filter(F.col("cloud") == "azure").collect()
     assert len(az) == 1
     assert az[0].service == "azurestorage" and az[0].region == "eastus"
+
+
+class TestIPv6Mode:
+    """cfg.ignore_ipv6=False — the v6 metering extension. The mixed-
+    family end-to-end classification is hash-gated (q319); these pin
+    the per-row behaviors the gate's aggregation could mask."""
+
+    @pytest.fixture(scope="class")
+    def labeled6(self, spark):
+        from dataclasses import replace
+
+        from kubenetmon_spark.operators.lpm import prefixes6_from_cidrs
+        from tests.fixtures import _obs, T0
+
+        cfg = replace(CFG, ignore_ipv6=False)
+        prefixes = build_cloud_prefixes(raw_prefixes_df(spark))
+        prefixes6 = prefixes6_from_cidrs(
+            spark,
+            [
+                ("2600:1f14::/32", "aws", "ec2", "us-west-2"),
+                ("2600::/16", "aws", "amazon", "us-east-1"),
+                ("2a00:1450::/32", "gcp", "google", "europe-west1"),
+            ],
+        )
+
+        def obs6(node, port, remote6, **kw):
+            # v6 endpoints ride the v6 columns; v4 columns stay null
+            row = list(
+                _obs(node, T0, 6, None, port, None, 443, None, 443, None, port, **kw)
+            )
+            row[3 + 1] = "fd00::0:1"          # orig_src_v6 (pod)
+            row[11 + 1] = remote6             # reply_src_v6 slot
+            # row layout: node, ts, proto, osrc, osv6, osport, odst,
+            # odv6, odport, op, ob, rsrc, rsv6, rsport, rdst, rdv6, ...
+            return tuple(row)
+
+        schema = observations_df(spark).schema
+        rows = [
+            # 61: public v6 in the nested /32 (aws us-west-2) -> INTRA_REGION
+            obs6("node-1", 6001, "2600:1f14:aa::1"),
+            # 62: v6 in the /16 but not /32 (us-east-1) -> INTER_REGION
+            obs6("node-1", 6002, "2600:beef::1"),
+            # 63: other-cloud v6 -> PUBLIC_INTERNET
+            obs6("node-1", 6003, "2a00:1450:4001::5"),
+            # 64: unlisted public v6 -> PUBLIC_INTERNET
+            obs6("node-1", 6004, "2001:db8::1"),
+            # 65: ULA remote -> private short-circuit, INTRA_VPC
+            obs6("node-1", 6005, "fd12:3456::9"),
+            # 66: link-local remote -> INTRA_VPC
+            obs6("node-1", 6006, "fe80::1"),
+            # 67: zone id -> out of parse contract -> per-row reject
+            obs6("node-1", 6007, "fe80::1%eth0"),
+        ]
+        pods6 = spark.createDataFrame(
+            [("fd00::0:1", "pod-v6", "ns6", "node-1", "app6", None, "i-6")],
+            "pod_ip string, name string, namespace string, node_name string,"
+            " label_app string, label_k8s_app string,"
+            " label_control_plane_id string",
+        )
+        out = label_flows(
+            spark.createDataFrame(rows, schema),
+            pods_df(spark).unionByName(pods6),
+            nodes_df(spark),
+            prefixes,
+            cfg,
+            prefixes6=prefixes6,
+        )
+        out.cache()
+        return out
+
+    def test_v6_classification_matrix(self, labeled6):
+        got = {
+            r.localPort: (r.connectionClass, r.remoteCloud, r.remoteRegion)
+            for r in labeled6.filter(F.col("reject_reason").isNull()).collect()
+        }
+        assert got == {
+            6001: ("INTRA_REGION", "aws", "us-west-2"),
+            6002: ("INTER_REGION", "aws", "us-east-1"),
+            6003: ("PUBLIC_INTERNET", "gcp", "europe-west1"),
+            6004: ("PUBLIC_INTERNET", "", ""),
+            6005: ("INTRA_VPC", "aws", "us-west-2"),
+            6006: ("INTRA_VPC", "aws", "us-west-2"),
+        }, got
+
+    def test_v6_parse_error_rejects_per_row(self, labeled6):
+        rejects = {
+            r.localPort: r.reject_reason
+            for r in labeled6.filter(F.col("reject_reason").isNotNull()).collect()
+        }
+        assert rejects == {6007: "ipv6_parse_error"}, rejects
+
+    def test_v6_pod_labels_and_address_passthrough(self, labeled6):
+        row = labeled6.filter(F.col("localPort") == 6001).collect()[0]
+        assert row.localPod == "pod-v6" and row.localNamespace == "ns6"
+        assert row.localIPv4 == "fd00::0:1"  # v6 string in the stable column
+        assert row.remoteIPv4 == "2600:1f14:aa::1"
+        assert row.flow_type == "fromPodOnNode"
+
+    def test_reference_parity_mode_still_rejects_v6(self, labeled):
+        # default cfg: the F5 reject is untouched
+        assert (
+            labeled.filter(F.col("reject_reason") == "ipv6").count() == 1
+        )
+
+
+def test_ipv6_string_to_pair_differential(spark):
+    # differential vs Python's ipaddress over the parse contract
+    import ipaddress
+
+    from kubenetmon_spark.functions.ip import ipv6_string_to_pair
+
+    cases = [
+        "2001:db8::1", "::1", "::", "fe80::a:b:c:d",
+        "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff",
+        "2001:0db8:0000:0000:0000:0000:0000:0001", "1:2:3:4:5:6:7:8",
+        "2600:1f14:aa::1", "ABCD::EF",
+        # out-of-contract -> null pair by design
+        "bad::zz", "1.2.3.4", "::ffff:1.2.3.4", "1:2:3", "2001:db8::1%x",
+        "1:2:3:4:5:6:7:8:9", "1::2::3",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    hi, lo = ipv6_string_to_pair("s")
+    got = {r.s: (r.hi, r.lo) for r in df.select("s", hi.alias("hi"), lo.alias("lo")).collect()}
+
+    def want(s):
+        if "%" in s or "." in s:
+            return (None, None)  # contract: zone ids / dotted tails -> null
+        try:
+            v = int(ipaddress.IPv6Address(s))
+        except Exception:
+            return (None, None)
+        h, l = (v >> 64) & (2**64 - 1), v & (2**64 - 1)
+        return (
+            h - 2**64 if h >= 2**63 else h,
+            l - 2**64 if l >= 2**63 else l,
+        )
+
+    for s in cases:
+        assert got[s] == want(s), (s, got[s], want(s))
