@@ -2013,7 +2013,11 @@ def q55(spark, sf_dir):
 
 @_register(
     "q56_approx_sketches",
-    None,  # sketch internals differ across engines by design — rows-only
+    # ROWS-ONLY BY DESIGN (one of exactly two: q56, q113) — sketch
+    # internals differ across engines, so no value hash can match. Its
+    # hash-matching integer twin is q283 (deterministic HLL, exact
+    # oracle); the driver records the weaker rows-only check here.
+    None,
     "approximate aggregates (HLL++ count-distinct, approx percentiles): "
     "no oracle on purpose — DuckDB's approx internals differ. Sketch-only "
     "by design: mixing countDistinct with other aggs forces an Expand "
@@ -4549,8 +4553,12 @@ def q112(spark, sf_dir):
 
 @_register(
     "q113_dsir_select",
-    None,  # float log-weights + Gumbel draws — validated against a
-    # NumPy/pure-Python reference in tests/test_dsir.py (BM25 pattern)
+    # ROWS-ONLY BY DESIGN (one of exactly two: q56, q113) — float
+    # log-weights + Gumbel draws can't hash-match across engines;
+    # validated against a NumPy/pure-Python reference in
+    # tests/test_dsir.py. Its hash-matching integer twin is q274
+    # (integer-arithmetic DSIR, exact oracle).
+    None,
     "DSIR data selection (Xie et al. 2023): hashed-n-gram importance "
     "weights of every doc against a target slice (sources src0/src1), "
     "deterministic Gumbel top-k sample — operators/dsir.py; ratio "

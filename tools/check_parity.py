@@ -6,10 +6,19 @@ order-insensitive values.
 
 Usage: python tools/check_parity.py [sf_dir] [query_name ...]
 Defaults to /root/testdata/sf0.001 and all queries.
+
+Every run also updates PARITY_MANIFEST.json at the repo root — one
+entry per (sf, query): status (hash_pass / rows_only / fail:reason)
+plus the md5 of the normalized result rows. The manifest is COMMITTED,
+so a regression in any gate (including the q51+ tail the driver's
+50-query sample never sees) shows up as a diff in review, not only in
+a tool run. Partial runs update only the entries they executed.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import math
 import sys
 import time
@@ -44,6 +53,32 @@ def normalize_df(pdf):
     return cols, rows
 
 
+MANIFEST = Path(__file__).resolve().parent.parent / "PARITY_MANIFEST.json"
+
+
+def _update_manifest(sf_dir: str, entries: dict[str, dict]) -> None:
+    """Merge this run's results into the committed manifest (sorted
+    keys -> stable diffs)."""
+    sf_key = Path(sf_dir).name
+    data: dict = {}
+    if MANIFEST.is_file():
+        data = json.loads(MANIFEST.read_text())
+    sec = data.setdefault(sf_key, {})
+    sec.update(entries)
+    data[sf_key] = dict(sorted(sec.items()))
+    MANIFEST.write_text(
+        json.dumps(dict(sorted(data.items())), indent=1, sort_keys=True)
+        + "\n"
+    )
+
+
+def _rows_md5(rows) -> str:
+    h = hashlib.md5()
+    for r in rows:
+        h.update(repr(r).encode())
+    return h.hexdigest()
+
+
 def main():
     args = sys.argv[1:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
@@ -61,32 +96,43 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     passed, failed, rows_only = [], [], []
+    manifest: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
             sdf = queries[name](spark, sf_dir).toPandas()
         except Exception as e:
             failed.append((name, f"SPARK ERROR: {e}"))
+            manifest[name] = {"status": f"fail:spark:{str(e)[:120]}"}
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             continue
         if name not in oracles:
             rows_only.append(name)
+            _, rrows = normalize_df(sdf)
+            manifest[name] = {
+                "status": "rows_only",
+                "n_rows": len(rrows),
+                "md5": _rows_md5(rrows),
+            }
             print(f"ROWS-ONLY {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             failed.append((name, f"ORACLE ERROR: {e}"))
+            manifest[name] = {"status": f"fail:oracle:{str(e)[:120]}"}
             print(f"FAIL {name}: oracle error: {str(e)[:300]}")
             continue
         scols, srows = normalize_df(sdf)
         ocols, orows = normalize_df(odf)
         if scols != ocols:
             failed.append((name, f"columns differ: spark={scols} oracle={ocols}"))
+            manifest[name] = {"status": "fail:columns"}
             print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
             continue
         if len(srows) != len(orows):
             failed.append((name, f"row count: spark={len(srows)} oracle={len(orows)}"))
+            manifest[name] = {"status": "fail:rows"}
             print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
             continue
         if srows != orows:
@@ -96,10 +142,17 @@ def main():
             for a, b in diffs:
                 print(f"   spark:  {a}")
                 print(f"   oracle: {b}")
+            manifest[name] = {"status": "fail:values"}
             continue
         passed.append(name)
+        manifest[name] = {
+            "status": "hash_pass",
+            "n_rows": len(srows),
+            "md5": _rows_md5(srows),
+        }
         print(f"PASS {name}: {len(srows)} rows, cols={scols} ({time.time()-t0:.1f}s)")
 
+    _update_manifest(sf_dir, manifest)
     print(f"\n{len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only of {len(names)}")
     spark.stop()
     return 1 if failed else 0
