@@ -154,6 +154,87 @@ def main() -> int:
     wire.unpersist()
     obs.unpersist()
 
+    # Rate-based streaming metrics (VERDICT r03 #4): the wall-clock of
+    # the trigger-heavy gates (q34/q267/q315) swings 1.5-3x between
+    # boots because it includes trigger scheduling waits and checkpoint
+    # fsyncs. The stable signal is the STEADY-STATE per-batch rate:
+    # rows/s over the batches AFTER the first (the first batch absorbs
+    # plan compile + codegen), using each batch's triggerExecution time
+    # from the stream's own progress events — busy time only, no
+    # inter-trigger waits. A plan regression moves these numbers; a
+    # noisy boot does not.
+    def steady_rate(query) -> tuple[float | None, int]:
+        progress = [
+            p
+            for p in (query.recentProgress or [])
+            if p.get("numInputRows", 0) > 0
+        ]
+        tail = progress[1:] if len(progress) > 1 else progress
+        rows = sum(p["numInputRows"] for p in tail)
+        ms = sum(
+            p.get("durationMs", {}).get("triggerExecution", 0) for p in tail
+        )
+        if not rows or not ms:
+            return None, len(progress)
+        return round(rows / (ms / 1000.0)), len(progress)
+
+    import tempfile
+
+    streaming: dict[str, object] = {}
+    # flow-stream steady state: the q34 pipeline shape, 8 micro-batches
+    from kubenetmon_spark.sink import read_flows  # noqa: F401
+    from kubenetmon_spark.streaming import (
+        read_observations,
+        start_flow_stream,
+    )
+
+    stmp = tempfile.mkdtemp(prefix="bench_stream_")
+    obs.repartition(8).write.mode("overwrite").parquet(f"{stmp}/obs")
+    q = start_flow_stream(
+        read_observations(spark, f"{stmp}/obs", max_files_per_trigger=1),
+        f"{stmp}/flows",
+        f"{stmp}/ckpt",
+        pods,
+        nodes,
+        dim,
+        DEMO_CFG,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(900)
+    rate, n_batches = steady_rate(q)
+    streaming["flow_obs_per_sec"] = rate
+    streaming["flow_batches"] = n_batches
+
+    # rates-stream steady state: the q315 shape — counter samples over
+    # many batches, buffer turnover + grid upsert per batch
+    from kubenetmon_spark.streaming.rates import start_rates_stream
+
+    samples = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "concat('k', user_id % 64) AS k",
+            "CAST(1700000000 + event_id % 3600 AS LONG) AS ts_s",
+            "CAST(event_id AS LONG) AS v",
+        )
+    )
+    samples.repartition(6).write.mode("overwrite").parquet(f"{stmp}/samples")
+    rq = start_rates_stream(
+        spark.readStream.schema("k string, ts_s long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stmp}/samples"),
+        f"{stmp}/rates_out",
+        f"{stmp}/rates_buf",
+        f"{stmp}/rates_ckpt",
+        ["k"],
+        step_s=60,
+        window_s=300,
+        trigger={"availableNow": True},
+    )
+    rq.awaitTermination(900)
+    rate, n_batches = steady_rate(rq)
+    streaming["rates_samples_per_sec"] = rate
+    streaming["rates_batches"] = n_batches
+
     # Regression diff vs the previous run's full detail (if present):
     # a query is flagged when it got both absolutely (>0.3 s) and
     # relatively (>1.5x) slower — plan regressions, not timer noise.
@@ -212,6 +293,7 @@ def main() -> int:
                 "ingest_obs_per_sec": ingest_rate,
                 "ingest_proto_obs_per_sec": proto_rate,
                 "ingest_obs": n_obs,
+                "streaming": streaming,
                 "regressions": regressions,
             },
             indent=1,
@@ -233,6 +315,7 @@ def main() -> int:
                 "ingest_obs_per_sec": ingest_rate,
                 "ingest_proto_obs_per_sec": proto_rate,
                 "ingest_obs": n_obs,
+                "streaming": streaming,
                 "regressions": regressions[:10],
                 "detail": "BENCH_DETAIL.json",
             }
