@@ -196,7 +196,7 @@ def main() -> int:
         f"{stmp}/ckpt",
         pods,
         nodes,
-        dim,
+        prefixes,
         DEMO_CFG,
         trigger={"availableNow": True},
     )

@@ -144,8 +144,16 @@ def cached(
         fs.delete_dir(entry)
     try:
         fs.rename_no_replace(tmp, entry)
-    except (OSError, FileExistsError):  # lost the race; serve the winner
-        fs.delete_dir(tmp)
+    except (OSError, FileExistsError):
+        if fs.exists(_join(entry, "data")):
+            # lost the publish race to a real winner: serve theirs
+            fs.delete_dir(tmp)
+        else:
+            # rename failed with NO winner present (rename-less or
+            # degraded store): serve this computation's own tmp entry —
+            # correct result, just unshared; drop_cache sweeps the
+            # underscore debris
+            return spark.read.parquet(_join(tmp, "data"))
     return spark.read.parquet(_join(entry, "data"))
 
 
@@ -155,20 +163,25 @@ def drop_cache(cache_dir: str, key: str | None = None) -> int:
     fs = _fsm.get_fs(cache_dir)
     if not fs.exists(cache_dir):
         return 0
-    targets = (
-        [_join(cache_dir, key)]
-        if key
-        else [
-            _join(cache_dir, n)
-            for n in fs.list_names(cache_dir)
-            if fs.is_dir(_join(cache_dir, n))
-        ]
-    )
+    targets = []
+    debris = []
+    if key:
+        targets = [_join(cache_dir, key)]
+    else:
+        for name in fs.list_names(cache_dir):
+            t = _join(cache_dir, name)
+            if not fs.is_dir(t):
+                continue
+            # _tmp-* dirs are unpublished computations (lost races /
+            # rename-less stores) — swept, but not counted as entries
+            (debris if name.startswith(("_", ".")) else targets).append(t)
     n = 0
     for t in targets:
         if fs.exists(t):
             fs.delete_dir(t)
             n += 1
+    for t in debris:
+        fs.delete_dir(t)
     return n
 
 
@@ -181,6 +194,8 @@ def cache_entries(cache_dir: str) -> list[dict]:
         return out
     now = time.time()
     for name in fs.list_names(cache_dir):
+        if name.startswith(("_", ".")):
+            continue  # _tmp-* debris is not a published entry
         d = _join(cache_dir, name)
         m = _join(d, "_meta.json")
         if not fs.is_dir(d) or not fs.exists(m):

@@ -203,3 +203,70 @@ class TestSeekable:
                 with fs.open_seekable(g) as fh:
                     total += pq.ParquetFile(fh).metadata.num_rows
             assert total == 100 and rows >= 1
+
+
+class TestRenameLessStore:
+    """Fault injection for object stores where rename is unavailable
+    or loses races: publish-by-rename consumers must degrade to
+    'serve the winner', and versioned-commit state (rates buffer)
+    must never depend on rename at all."""
+
+    def test_cache_survives_rename_failure(self, tmp_path, spark, monkeypatch):
+        # every rename fails as if another publisher always wins: the
+        # cache must still return the correct result (recompute, try to
+        # publish, lose, serve) and never raise
+        from kubenetmon_spark import cache as cache_mod
+        from kubenetmon_spark.fs import LocalFS
+
+        class NoRenameFS(LocalFS):
+            def rename_no_replace(self, src, dst):
+                raise FileExistsError(dst)
+
+        monkeypatch.setattr(
+            cache_mod._fsm, "get_fs", lambda path, spark=None: NoRenameFS()
+        )
+        tbl = str(tmp_path / "t")
+        spark.range(30).write.parquet(tbl)
+        base = spark.read.parquet(tbl)
+        df = base.groupBy((base.id % 5).alias("g")).count()
+        cache_dir = str(tmp_path / "cache")
+        out = cache_mod.cached(spark, df, cache_dir)
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, df.collect())
+        )
+        # nothing published, nothing leaked visible: only tmp debris,
+        # which the next drop_cache(key=None) ignores (dirs only,
+        # underscore-prefixed entries are not cache entries)
+        from kubenetmon_spark.cache import cache_entries
+
+        assert cache_entries(cache_dir) == []
+
+    def test_rates_buffer_commit_is_rename_free(self, tmp_path, spark):
+        # crash-mid-write shape: an UNCOMMITTED v=1 (no _SUCCESS) next
+        # to a committed v=0 — the reader must pick v=0, never v=1;
+        # this is the property that makes the buffer safe on stores
+        # with non-atomic rename (it never renames at all)
+        import os
+
+        from kubenetmon_spark.streaming.rates import (
+            _latest_buffer_version,
+            read_buffer,
+        )
+
+        buf = tmp_path / "buf"
+        spark.range(5).selectExpr(
+            "concat('k', id) AS k", "CAST(id AS LONG) AS _ts",
+            "CAST(id * 2 AS LONG) AS _v",
+        ).write.parquet(str(buf / "v=0"))
+        # fake a crashed write: data file present, no _SUCCESS
+        (buf / "v=1").mkdir()
+        import shutil
+
+        part = next(
+            p for p in (buf / "v=0").iterdir() if p.suffix == ".parquet"
+        )
+        shutil.copy2(part, buf / "v=1" / part.name)
+        assert (buf / "v=0" / "_SUCCESS").exists()
+        assert not (buf / "v=1" / "_SUCCESS").exists()
+        assert _latest_buffer_version(str(buf)) == 0
+        assert read_buffer(spark, str(buf)).count() == 5
