@@ -166,7 +166,7 @@ def _physical_base_columns(path: str) -> list[str]:
             for full, _size, mtime in fs.walk_files(root)
             if full.endswith(".parquet")
             and not any(
-                seg.startswith(("_", "."))
+                _fsm._is_hidden_segment(seg)
                 for seg in full[len(root) :].lstrip("/").split("/")
             )
         ),

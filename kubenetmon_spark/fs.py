@@ -97,6 +97,12 @@ def parent(path: str) -> str:
     return head
 
 
+def _is_hidden_segment(name: str) -> bool:
+    """Spark's hiddenFileFilter: ``_``/``.``-prefixed names are hidden
+    EXCEPT ``key=value`` partition-style names (``_bid=3`` is data)."""
+    return name.startswith(("_", ".")) and "=" not in name
+
+
 def strip_scheme(path: str) -> str:
     """Local filesystem path for a ``file:`` URI (identity otherwise).
     Useful where a local library (pyarrow footer reads) needs an
@@ -137,9 +143,11 @@ class FS:
 
     def glob_parquet(self, path: str, include_hidden: bool = False) -> list[str]:
         """Full paths of ``*.parquet`` files under ``path``, sorted.
-        By default skips files under ``_``/``.``-prefixed directories
-        (Spark's reader ignores those — ``_temporary`` from a crashed
-        write must not read as data)."""
+        By default applies SPARK'S hidden-path rule (a segment starting
+        with ``_`` or ``.`` is hidden UNLESS it contains ``=`` — so
+        ``_temporary`` debris from a crashed write never reads as data,
+        while deliberate ``_bid=N``-style partition dirs, which Spark
+        itself reads, do)."""
         out = []
         base = str(path).rstrip("/")
         for full, _size, _mt in self.walk_files(path):
@@ -147,9 +155,7 @@ class FS:
                 continue
             rel = full[len(base) :].lstrip("/")
             segs = rel.split("/")
-            if not include_hidden and any(
-                s.startswith(("_", ".")) for s in segs
-            ):
+            if not include_hidden and any(_is_hidden_segment(s) for s in segs):
                 continue
             out.append(full)
         return sorted(out)

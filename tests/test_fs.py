@@ -112,13 +112,19 @@ class TestBothImpls:
             with pytest.raises(FileExistsError):
                 fs.rename_no_replace(src, dst)  # lost the publish race
 
-    def test_glob_parquet_skips_hidden_dirs(self, tmp_path, spark):
+    def test_glob_parquet_applies_sparks_hidden_rule(self, tmp_path, spark):
         for fs, root in _roots(tmp_path, spark):
             fs.mkdirs(join(root, "date=2024-01-01"))
             fs.mkdirs(join(root, "_temporary", "0"))
             fs.mkdirs(join(root, ".staging"))
+            # _bid=N is Spark-visible (underscore BUT key=value form) —
+            # streaming indexes use exactly this layout deliberately
+            fs.mkdirs(join(root, "_bid=7"))
             fs.write_bytes_atomic(
                 join(root, "date=2024-01-01", "part-0.parquet"), b"pq"
+            )
+            fs.write_bytes_atomic(
+                join(root, "_bid=7", "part-b.parquet"), b"pq"
             )
             fs.write_bytes_atomic(
                 join(root, "_temporary", "0", "part-x.parquet"), b"pq"
@@ -128,9 +134,13 @@ class TestBothImpls:
             )
             fs.write_bytes_atomic(join(root, "_SUCCESS"), b"")
             got = fs.glob_parquet(root)
-            assert [basename(g) for g in got] == ["part-0.parquet"]
+            assert [basename(g) for g in got] == [
+                "part-b.parquet", "part-0.parquet",
+            ] or [basename(g) for g in got] == [
+                "part-0.parquet", "part-b.parquet",
+            ]
             all_got = fs.glob_parquet(root, include_hidden=True)
-            assert len(all_got) == 3
+            assert len(all_got) == 4
 
     def test_walk_files_sizes(self, tmp_path, spark):
         for fs, root in _roots(tmp_path, spark):
