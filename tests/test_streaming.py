@@ -363,3 +363,36 @@ def test_to_kafka_records_shape_and_roundtrip(spark):
     schema = "localPod string, remotePod string, direction string, bytes long, packets long"
     back = rec.select(F.from_json("value", schema).alias("o")).select("o.*")
     assert back.collect()[0].bytes == 100
+
+
+def test_flow_stream_on_uri_roots(spark, stream_inputs, tmp_path):
+    """The full q34 shape with the TABLE, CHECKPOINT, and DEAD-LETTER
+    roots all URI-form (file:) — batch markers, sink appends, and
+    compaction all run through the Hadoop FS path, matching the batch
+    answer exactly. The deployment shape where everything lives on
+    object storage."""
+    obs_dir, pods, nodes, prefixes = stream_inputs
+    table = "file:" + str(tmp_path / "flows")
+    ckpt = "file:" + str(tmp_path / "ckpt")
+    stream = read_observations(spark, obs_dir, max_files_per_trigger=1)
+    q = start_flow_stream(
+        stream, table, ckpt, pods, nodes, prefixes, DEMO_CFG,
+        dead_letter_path="file:" + str(tmp_path / "dead"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+    # exactly-once markers landed next to the URI checkpoint
+    import os
+
+    markers = tmp_path / "ckpt" / "_committed_batches"
+    assert markers.is_dir() and len(os.listdir(markers)) >= 3
+    compact(spark, table)
+    expected = build_network_flows(spark, SF_DIR)
+    assert _sorted_rows(read_flows(spark, table)) == _sorted_rows(expected)
+    # retention through the adapter on the URI root drops partitions
+    from kubenetmon_spark.sink import apply_retention
+
+    import datetime as dt
+
+    dropped = apply_retention(table, keep_days=0, today=dt.date(2100, 1, 1))
+    assert dropped  # every partition is older than the 2100 cutoff
