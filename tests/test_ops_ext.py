@@ -162,11 +162,14 @@ def test_media_features_match_hashlib(spark):
     assert feats[2].n_bytes == 1 and feats[2].header_hex == b"x".hex()
 
 
-def test_media_codec_stubs_raise(spark):
+def test_media_codec_fallbacks_and_stubs(spark):
     df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
     m = media_from_text(df)
-    with pytest.raises(NotImplementedError):
-        decode_image(m)
+    # image decode no longer stubs: 'auto' falls back to the vendored
+    # pure-Python PNG codec; non-PNG content nulls its pixels per-row
+    rows = decode_image(m).collect()
+    assert len(rows) == 1 and rows[0].pixels is None
+    # audio remains a documented injection point (no vendored codec)
     with pytest.raises(NotImplementedError):
         resample_audio(m)
 
@@ -325,14 +328,28 @@ class TestFakeDecode:
         for i, col in enumerate(["mean_r_e2", "mean_g_e2", "mean_b_e2"]):
             assert r[col] == int(a[:, i].astype(int).sum()) * 100 // 64
 
-    def test_auto_codec_raises_cleanly(self, spark):
-        import pytest as _pytest
+    def test_auto_codec_decodes_real_png_and_nulls_foreign(self, spark):
+        from kubenetmon_spark.functions.png import encode_png
+        from kubenetmon_spark.operators.media import (
+            decode_image,
+            media_from_text,
+        )
 
-        from kubenetmon_spark.operators.media import decode_image, media_from_text
+        import numpy as np
 
-        docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
-        with _pytest.raises((NotImplementedError, Exception)):
-            decode_image(media_from_text(docs)).collect()
+        img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+        media = spark.createDataFrame(
+            [(1, bytearray(encode_png(img))), (2, bytearray(b"not png"))],
+            "media_id long, content binary",
+        )
+        rows = {
+            r.media_id: r
+            for r in decode_image(
+                media, out_width=4, out_height=4, codec="auto"
+            ).collect()
+        }
+        assert bytes(rows[1].pixels) == img.tobytes()
+        assert rows[2].pixels is None
 
 
 class TestPerceptualHash:
