@@ -215,17 +215,11 @@ def build_flow_inputs6(
         (e % 25 + 1).cast("long").alias("reply_packets"),
         (F.round(F.col("value") * 37, 0).cast("long") + e % 777 + 1).alias("reply_bytes"),
     )
-    pods6 = (
-        load_table(spark, sf_dir, "events").select("user_id").distinct().select(
-            pod_ip6(F.col("user_id")).alias("pod_ip"),
-            F.concat(F.lit("pod-"), F.col("user_id").cast("string")).alias("name"),
-            F.concat(F.lit("ns"), (F.col("user_id") % 10).cast("string")).alias("namespace"),
-            F.concat(F.lit("node-"), (F.col("user_id") % 5 + 1).cast("string")).alias("node_name"),
-            F.concat(F.lit("app-"), (F.col("user_id") % 7).cast("string")).alias("label_app"),
-            F.lit(None).cast("string").alias("label_k8s_app"),
-            F.concat(F.lit("i-"), F.col("user_id").cast("string")).alias("label_control_plane_id"),
-        )
-    )
+    # pods6 = pods4 with the v6 address: recover user_id from the pod
+    # name instead of re-scanning + re-distincting the events table
+    # (saves one event-volume shuffle — the plan-audit XCHG note)
+    uid6 = F.split(F.col("name"), "-").getItem(1).cast("long")
+    pods6 = pods4.withColumn("pod_ip", pod_ip6(uid6))
     prefixes6 = prefixes6_from_cidrs(
         spark,
         [

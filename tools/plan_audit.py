@@ -79,6 +79,13 @@ KNOWN = {
     "q26_flow_pipeline": "only 2 exchanges are fact-side (summing agg + "
     "query group key, asserted in test_plans.py); the rest build tiny "
     "broadcast dimensions",
+    "q319_labeler_ipv6": "q26's twin over a mixed v4+v6 stream: the ONLY "
+    "fact-side exchanges are the two event-half repartitions (ingest "
+    "spreading, same as build_flow_inputs) and the final class agg; the "
+    "rest build broadcast dimensions (pods distinct, disjoint v4/v6 "
+    "interval sweeps — feed-sized). All labeler joins incl. the v6 LPM "
+    "are broadcast (18 BHJ, 0 SMJ; fact side exchange-free through the "
+    "join chain, checked via explain_query)",
     "q73_lone_late_shipper": "decorrelated Q21: co-partitioned per-order "
     "aggregates replace a raw-fact broadcast (plan-asserted)",
     "q113_dsir_select": "the SMJ is the raw-vs-target bucket-distribution "
