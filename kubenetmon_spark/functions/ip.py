@@ -107,48 +107,43 @@ def is_private_ipv6_pair(hi, lo):
     return ula | link_local | loopback
 
 
-def ipv6_string_to_pair(col: Column | str) -> tuple[Column, Column]:
-    """IPv6 string (full or ``::``-compressed hex groups) -> signed
-    int64 ``(hi, lo)`` pair — the 128-bit form the v6 LPM joins on
-    (operators/lpm.py). Pure Column expressions (array ops + ``conv`` +
-    bit shifts), no UDF, so the parse rides whole-stage codegen on the
-    fact scan.
+def ipv6_groups(col: Column | str) -> Column:
+    """IPv6 string (full or ``::``-compressed) -> validated 8-element
+    hex-group array, or NULL for out-of-contract forms (dotted-quad
+    tails, zone ids, multi-``::``, wrong group counts).
 
-    Parse contract: lowercase/uppercase hex groups, at most one ``::``.
-    Unparseable forms — dotted-quad tails (``::ffff:1.2.3.4``), zone
-    ids (``%eth0``), malformed group counts — yield a NULL pair, which
-    the labeler turns into a per-row reject (fail loud, never
-    misclassify). Top-bit addresses reinterpret correctly: ``conv``
-    yields a 16-bit group value, and ``shiftleft`` wraps into the
-    signed int64 exactly like the dimension's split128.
-    """
+    ONE whole-string regex per form decides validity (not a per-group
+    regex — this expression runs per FACT ROW in the labeler, so the
+    regex count is the cost driver), then array ops expand the ``::``.
+    Stage this into a real column and feed :func:`ipv6_pair_from_groups`
+    so the parse is evaluated once per row, not once per consumer of
+    the pair."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
-    # at most ONE "::" (split on it yields exactly 2 parts); a second
-    # one would silently drop groups, so it must null the parse
-    has_dc = c.contains("::") & (F.size(F.split(c, "::")) == 2)
-    bad_dc = c.contains("::") & (F.size(F.split(c, "::")) != 2)
-    c = F.when(~bad_dc, c)  # null out multi-"::" inputs entirely
-    left = F.when(has_dc, F.split(c, "::").getItem(0)).otherwise(c)
-    right = F.when(has_dc, F.split(c, "::").getItem(1)).otherwise(F.lit(""))
+    hexg = "[0-9a-f]{1,4}"
+    full_ok = c.rlike(f"^{hexg}(:{hexg}){{7}}$")
+    comp_ok = c.rlike(f"^({hexg}(:{hexg})*)?::({hexg}(:{hexg})*)?$")
+    has_dc = c.contains("::")
+    parts = F.split(c, "::")
+    left = parts.getItem(0)
+    right = F.when(F.size(parts) == 2, parts.getItem(1))
     lg = F.filter(F.split(left, ":"), lambda x: x != "")
     rg = F.filter(F.split(right, ":"), lambda x: x != "")
     pad = F.lit(8) - F.size(lg) - F.size(rg)
-    groups = F.when(
-        has_dc & (pad >= 0),
-        F.concat(
-            lg,
-            F.array_repeat(F.lit("0"), pad.cast("int")),
-            rg,
-        ),
-    ).otherwise(F.when(~has_dc & (F.size(lg) == 8), lg))
-    # validity: exactly 8 groups, every group 1-4 hex chars
-    ok_groups = F.forall(
-        groups, lambda x: x.rlike("^[0-9a-f]{1,4}$")
-    ) & (F.size(groups) == 8)
-    g = [
-        F.when(ok_groups, F.conv(groups.getItem(i), 16, 10).cast("long"))
-        for i in range(8)
-    ]
+    expanded = F.concat(
+        lg, F.array_repeat(F.lit("0"), pad.cast("int")), rg
+    )
+    return (
+        F.when(~has_dc & full_ok, F.split(c, ":"))
+        .when(has_dc & comp_ok & (pad >= 0), expanded)
+    )
+
+
+def ipv6_pair_from_groups(groups: Column) -> tuple[Column, Column]:
+    """Validated group array (:func:`ipv6_groups`, ideally staged as a
+    column) -> signed int64 ``(hi, lo)``. ``conv`` + ``shiftleft`` wrap
+    top-bit addresses into the signed int64 exactly like the
+    dimension\'s split128; a NULL array yields a NULL pair."""
+    g = [F.conv(groups.getItem(i), 16, 10).cast("long") for i in range(8)]
     hi = (
         F.shiftleft(g[0], 48)
         .bitwiseOR(F.shiftleft(g[1], 32))
@@ -162,3 +157,17 @@ def ipv6_string_to_pair(col: Column | str) -> tuple[Column, Column]:
         .bitwiseOR(g[7])
     )
     return hi, lo
+
+
+def ipv6_string_to_pair(col: Column | str) -> tuple[Column, Column]:
+    """IPv6 string (full or ``::``-compressed hex groups) -> signed
+    int64 ``(hi, lo)`` pair — the 128-bit form the v6 LPM joins on
+    (operators/lpm.py). Pure Column expressions, no UDF.
+
+    Parse contract: hex groups (any case), at most one ``::``;
+    dotted-quad tails, zone ids, and malformed group counts yield a
+    NULL pair, which the labeler turns into a per-row reject (fail
+    loud, never misclassify). Hot paths should stage
+    :func:`ipv6_groups` into a column and use
+    :func:`ipv6_pair_from_groups` (one parse per row)."""
+    return ipv6_pair_from_groups(ipv6_groups(col))

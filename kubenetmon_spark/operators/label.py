@@ -230,18 +230,26 @@ def label_flows(
     else:
         # v6 remotes: parse to the 128-bit pair in-plan; a v6 string
         # that fails the parse contract rejects per-row (never a
-        # silent PUBLIC_INTERNET misclassification).
+        # silent PUBLIC_INTERNET misclassification). The group parse
+        # (the regex work) is STAGED into one column so it evaluates
+        # once per row; hi/lo derive from the staged array with
+        # conv+shift only.
         from kubenetmon_spark.functions.ip import (
-            ipv6_string_to_pair,
+            ipv6_groups,
+            ipv6_pair_from_groups,
             is_private_ipv6_pair,
         )
 
         is_v6 = F.col("remote_ip").contains(":")
-        hi6, lo6 = ipv6_string_to_pair(F.col("remote_ip"))
+        obs = obs.withColumn(
+            "_r6_groups", F.when(is_v6, ipv6_groups(F.col("remote_ip")))
+        )
+        hi6, lo6 = ipv6_pair_from_groups(F.col("_r6_groups"))
         obs = (
-            obs.withColumn("_r6_hi", F.when(is_v6, hi6))
-            .withColumn("_r6_lo", F.when(is_v6, lo6))
+            obs.withColumn("_r6_hi", hi6)
+            .withColumn("_r6_lo", lo6)
             .withColumn("_remote_is_v6", is_v6)
+            .drop("_r6_groups")
         )
         obs = obs.withColumn(
             "_r",
