@@ -5,7 +5,11 @@ rewrite, rollup-TTL, retention drop — over the sf1 flow table, recording
 per-partition parallelism evidence (date-partition counts and files per
 partition) alongside wall times.
 
-Usage: python tools/lifecycle_scale.py [sf_dir]   (default .scale/sf1)
+Usage: python tools/lifecycle_scale.py [sf_dir] [--uri]
+(default .scale/sf1). --uri runs the whole lifecycle against file:
+URI-form table roots through the Hadoop FS adapter — the object-store
+code path — so its cost and correctness are measured at sf1, not only
+unit-tested.
 Prints one JSON line with a per-job {seconds, ...evidence} map.
 """
 
@@ -26,6 +30,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main() -> int:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     args = sys.argv[1:]
+    use_uri = "--uri" in args
+    args = [a for a in args if a != "--uri"]
     sf_dir = args[0] if args else str(
         Path(__file__).resolve().parent.parent / ".scale/sf1"
     )
@@ -49,8 +55,9 @@ def main() -> int:
     spark = get_spark("lifecycle_scale")
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="lifecycle_scale_")
-    flows_path = f"{tmp}/flows"
-    out: dict = {"sf_dir": sf_dir}
+    root = f"file:{tmp}" if use_uri else tmp
+    flows_path = f"{root}/flows"
+    out: dict = {"sf_dir": sf_dir, "addressing": "uri" if use_uri else "local"}
 
     obs, pods, nodes, prefixes = build_flow_inputs(spark, sf_dir)
     dim = disjoint_prefixes(prefixes).persist()
@@ -68,9 +75,20 @@ def main() -> int:
         out[name] = {"s": round(time.perf_counter() - t0, 1)}
         return r
 
+    from kubenetmon_spark import fs as _fsm
+
     def part_evidence():
-        parts = sorted(Path(flows_path).glob("date=*"))
-        files = [len(list(p.glob("*.parquet"))) for p in parts]
+        fs = _fsm.get_fs(flows_path, spark)
+        parts = [
+            n
+            for n in (
+                fs.list_names(flows_path) if fs.is_dir(flows_path) else []
+            )
+            if n.startswith("date=")
+        ]
+        files = [
+            len(fs.glob_parquet(_fsm.join(flows_path, n))) for n in parts
+        ]
         return {
             "n_date_partitions": len(parts),
             "files_per_partition_max": max(files, default=0),
@@ -94,24 +112,34 @@ def main() -> int:
     timed(
         "projection",
         lambda: write_projection(
-            spark, flows_path, f"{tmp}/proj", ["remoteApp", "remotePod"]
+            spark, flows_path, f"{root}/proj", ["remoteApp", "remotePod"]
         ),
     )
     out["projection"]["n_date_partitions"] = len(
-        list(Path(f"{tmp}/proj").glob("date=*"))
+        [
+            n
+            for n in _fsm.get_fs(f"{root}/proj", spark).list_names(
+                f"{root}/proj"
+            )
+            if n.startswith("date=")
+        ]
     )
 
     timed(
         "zorder",
         lambda: zorder_write(
-            post, f"{tmp}/z", ["localPort", "remotePort"], n_files=32
+            post, f"{root}/z", ["localPort", "remotePort"], n_files=32
         ),
     )
-    out["zorder"]["n_files"] = len(list(Path(f"{tmp}/z").glob("*.parquet")))
+    out["zorder"]["n_files"] = len(
+        _fsm.get_fs(f"{root}/z", spark).glob_parquet(f"{root}/z")
+    )
 
     # age half the partitions into daily rollup, then drop the oldest
     dates = sorted(
-        d.name.split("=", 1)[1] for d in Path(flows_path).glob("date=*")
+        n.split("=", 1)[1]
+        for n in _fsm.get_fs(flows_path, spark).list_names(flows_path)
+        if n.startswith("date=")
     )
     mid = date.fromisoformat(dates[len(dates) // 2])
     fake_today = mid + timedelta(days=3)
