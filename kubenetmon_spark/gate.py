@@ -17238,6 +17238,94 @@ def q319(spark, sf_dir):
     )
 
 
+@_register(
+    "q320_wav_codec_resample",
+    """
+    WITH ids AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id
+      FROM documents WHERE doc_id < 48
+    ),
+    pts AS (
+      SELECT media_id, i.i,
+             ((media_id*31 + (i.i // 2)*17) % 2048) - 1024 AS s0,
+             ((media_id*31 +
+               (CASE WHEN i.i // 2 + 1 > 239
+                     THEN 239 ELSE i.i // 2 + 1 END)*17) % 2048)
+               - 1024 AS s1,
+             i.i % 2 AS odd
+      FROM ids CROSS JOIN generate_series(0, 479) AS i(i)
+    ),
+    vals AS (
+      -- floor midpoint: DuckDB's // truncates toward zero on
+      -- negatives, so shift by an even offset into non-negative range
+      -- (s in [-1024,1023] -> s0+s1+4096 >= 0), divide, shift back
+      SELECT media_id,
+             CASE WHEN odd = 0 THEN s0
+                  ELSE (s0 + s1 + 4096) // 2 - 2048 END AS v
+      FROM pts
+    )
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(MIN(v) AS BIGINT) AS min_v,
+           CAST(MAX(v) AS BIGINT) AS max_v
+    FROM vals GROUP BY media_id ORDER BY media_id
+    """,
+    "REAL audio codec end-to-end: formula 8 kHz PCM -> stdlib WAV "
+    "encode (RIFF 16-bit) -> resample_audio decode + integer-exact "
+    "2x linear upsample to 16 kHz -> amplitude features. The oracle "
+    "computes every resampled value from the formula (even i = source "
+    "sample, odd i = floor midpoint with end clamp), so codec or "
+    "interpolator corruption hash-fails; negative amplitudes pin "
+    "floor-division agreement between engines",
+)
+def q320(spark, sf_dir):
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from kubenetmon_spark.operators.media import (
+        pcm_features,
+        resample_audio,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 48)
+        .select(F.col("doc_id").cast("long").alias("media_id"))
+    )
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+
+    def encode_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from kubenetmon_spark.functions.wav import encode_wav
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                t = np.arange(240, dtype=np.int64)
+                s = ((mid * 31 + t * 17) % 2048) - 1024
+                payloads.append(bytearray(encode_wav(s, 8000)))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": payloads}
+            )
+
+    media = ids.mapInPandas(encode_batches, schema)
+    return pcm_features(resample_audio(media, 16000)).orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # registry accessors
 # ---------------------------------------------------------------------------

@@ -327,17 +327,119 @@ def mean_channel_features(decoded: DataFrame) -> DataFrame:
     return decoded.select("media_id", "pixels").mapInPandas(batches, schema)
 
 
-def resample_audio(media: DataFrame, target_rate: int = 16000) -> DataFrame:
-    """Resample audio to a target rate. STUB: requires an audio library
-    (soundfile/librosa), not present in this environment."""
-    try:
-        import soundfile  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "resample_audio needs an audio codec (soundfile/librosa); "
-            "not available in this environment."
-        ) from e
-    raise NotImplementedError("codec integration point")  # pragma: no cover
+RESAMPLED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("src_rate", IntegerType(), True),
+        StructField("rate", IntegerType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("samples", BinaryType(), True),  # int32 LE mono PCM
+    ]
+)
+
+
+def resample_audio(
+    media: DataFrame, target_rate: int = 16000, decoder=None
+) -> DataFrame:
+    """Decode audio content and resample to ``target_rate`` — mono
+    int32 little-endian PCM buffers, one row per media item.
+
+    Real path by default: the vendored stdlib WAV codec
+    (functions/wav.py — 8/16-bit PCM, integer mono mixdown) decodes,
+    and an EXACT int64 linear interpolator resamples (engine-exact, so
+    gates can oracle every output value). ``decoder`` is the injection
+    point for richer codecs (soundfile/librosa wrappers): a picklable
+    ``bytes -> (samples int array, sample_rate)`` callable running
+    inside the Arrow batches. Per-row tolerance like decode_image:
+    corrupt/foreign-format content nulls ITS row's samples (rate
+    carries the target; src_rate/n_samples null) instead of failing
+    the task.
+    """
+    rate = int(target_rate)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kubenetmon_spark.functions.wav import (
+            decode_wav,
+            resample_linear_int,
+        )
+
+        dec = decoder if decoder is not None else decode_wav
+
+        for pdf in it:
+            src_rates, n_out, bufs = [], [], []
+            for b in pdf["content"]:
+                if b is None:
+                    src_rates.append(None)
+                    n_out.append(None)
+                    bufs.append(None)
+                    continue
+                try:
+                    samples, src = dec(bytes(b))
+                    out = resample_linear_int(samples, src, rate)
+                except Exception:
+                    src_rates.append(None)
+                    n_out.append(None)
+                    bufs.append(None)
+                    continue
+                src_rates.append(int(src))
+                n_out.append(len(out))
+                bufs.append(np.asarray(out, dtype="<i4").tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "src_rate": pd.array(src_rates, dtype="Int32"),
+                    "rate": rate,
+                    "n_samples": pd.array(n_out, dtype="Int64"),
+                    "samples": bufs,
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, RESAMPLED_SCHEMA
+    )
+
+
+def pcm_features(resampled: DataFrame) -> DataFrame:
+    """Integer amplitude features over resampled PCM buffers
+    (RESAMPLED_SCHEMA) — the audio twin of mean_channel_features:
+    count/sum/sum-of-abs/min/max per item, exact int64, NumPy over the
+    same Arrow batches. Null buffers yield null features."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_samples", LongType(), True),
+            StructField("sum_v", LongType(), True),
+            StructField("sum_abs", LongType(), True),
+            StructField("min_v", LongType(), True),
+            StructField("max_v", LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            cols = {k: [] for k in ("n_samples", "sum_v", "sum_abs", "min_v", "max_v")}
+            for b in pdf["samples"]:
+                if b is None:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                v = np.frombuffer(bytes(b), dtype="<i4").astype(np.int64)
+                cols["n_samples"].append(v.size)
+                cols["sum_v"].append(int(v.sum()))
+                cols["sum_abs"].append(int(np.abs(v).sum()))
+                cols["min_v"].append(int(v.min()) if v.size else None)
+                cols["max_v"].append(int(v.max()) if v.size else None)
+            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
+
+    return resampled.select("media_id", "samples").mapInPandas(
+        batches, schema
+    )
 
 
 AHASH_SCHEMA = StructType(

@@ -162,16 +162,17 @@ def test_media_features_match_hashlib(spark):
     assert feats[2].n_bytes == 1 and feats[2].header_hex == b"x".hex()
 
 
-def test_media_codec_fallbacks_and_stubs(spark):
+def test_media_codec_fallbacks(spark):
     df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
     m = media_from_text(df)
-    # image decode no longer stubs: 'auto' falls back to the vendored
-    # pure-Python PNG codec; non-PNG content nulls its pixels per-row
+    # neither media op stubs anymore: both fall back to vendored
+    # pure-Python codecs (PNG / WAV); foreign-format content nulls its
+    # row instead of raising — the per-row tolerance contract
     rows = decode_image(m).collect()
     assert len(rows) == 1 and rows[0].pixels is None
-    # audio remains a documented injection point (no vendored codec)
-    with pytest.raises(NotImplementedError):
-        resample_audio(m)
+    arows = resample_audio(m).collect()
+    assert len(arows) == 1 and arows[0].samples is None
+    assert arows[0].rate == 16000
 
 
 def test_sample_frames_metadata_arithmetic(spark):
