@@ -165,16 +165,18 @@ def drop_cache(cache_dir: str, key: str | None = None) -> int:
         return 0
     targets = []
     debris = []
-    if key:
-        targets = [_join(cache_dir, key)]
-    else:
-        for name in fs.list_names(cache_dir):
-            t = _join(cache_dir, name)
-            if not fs.is_dir(t):
-                continue
-            # _tmp-* dirs are unpublished computations (lost races /
-            # rename-less stores) — swept, but not counted as entries
-            (debris if name.startswith(("_", ".")) else targets).append(t)
+    for name in fs.list_names(cache_dir):
+        t = _join(cache_dir, name)
+        if not fs.is_dir(t):
+            continue
+        # _tmp-* dirs are unpublished computations (lost races /
+        # rename-less stores) — swept on EVERY drop (keyed or not),
+        # never counted as entries; otherwise a keyed-drop-only
+        # operator accumulates orphaned tmp dirs without bound
+        if name.startswith(("_", ".")):
+            debris.append(t)
+        elif key is None or name == key:
+            targets.append(t)
     n = 0
     for t in targets:
         if fs.exists(t):

@@ -154,12 +154,10 @@ def _physical_base_columns(path: str) -> list[str]:
     job is in; mixed-generation tables only arise THROUGH this log.
     For URI-form roots the newest file's bytes are fetched through the
     Hadoop FS (one small object read)."""
-    import io
-
     import pyarrow.parquet as pq
 
     fs = _fsm.get_fs(path)
-    root = str(path).rstrip("/")
+    root = fs.canonical(path)  # slicing base must match walk spelling
     files = sorted(
         (
             (full, mtime)
@@ -175,10 +173,10 @@ def _physical_base_columns(path: str) -> list[str]:
     if not files:
         raise ValueError(f"no parquet files under {path}; write data first")
     newest = files[-1][0]
-    if _fsm.is_uri(newest):
-        schema = pq.read_schema(io.BytesIO(fs.read_bytes(newest)))
-    else:
-        schema = pq.read_schema(newest)
+    # footer-only read through the seekable adapter: only the sought
+    # byte ranges transfer on remote stores, never the file body
+    with fs.open_seekable(newest) as fh:
+        schema = pq.read_schema(fh)
     cols = list(schema.names)
     for full, _mt in files:
         for seg in full[len(root) :].lstrip("/").split("/")[:-1]:

@@ -98,9 +98,11 @@ def parent(path: str) -> str:
 
 
 def _is_hidden_segment(name: str) -> bool:
-    """Spark's hiddenFileFilter: ``_``/``.``-prefixed names are hidden
-    EXCEPT ``key=value`` partition-style names (``_bid=3`` is data)."""
-    return name.startswith(("_", ".")) and "=" not in name
+    """Spark's hiddenFileFilter: ``_``-prefixed names are hidden except
+    ``key=value`` partition-style names (``_bid=3`` is data), and
+    ``.``-prefixed names are ALWAYS hidden (Spark hides ``.k=v`` too —
+    verified against its reader)."""
+    return (name.startswith("_") and "=" not in name) or name.startswith(".")
 
 
 def strip_scheme(path: str) -> str:
@@ -118,6 +120,14 @@ def strip_scheme(path: str) -> str:
 class FS:
     """The operation set lifecycle code needs. Paths are strings
     (local paths for LocalFS, URIs for HadoopFS)."""
+
+    def canonical(self, path: str) -> str:
+        """The path in the SAME spelling ``walk_files`` yields — callers
+        that slice relative paths out of walked results must slice
+        against this, never against their own spelling (``file:///x``
+        vs the canonical ``file:/x`` would silently break the
+        hidden-segment filter and every rel computation)."""
+        raise NotImplementedError
 
     def exists(self, path: str) -> bool:
         raise NotImplementedError
@@ -149,7 +159,7 @@ class FS:
         while deliberate ``_bid=N``-style partition dirs, which Spark
         itself reads, do)."""
         out = []
-        base = str(path).rstrip("/")
+        base = self.canonical(path)
         for full, _size, _mt in self.walk_files(path):
             if not full.endswith(".parquet"):
                 continue
@@ -193,7 +203,7 @@ class FS:
     def copy_tree(self, src: str, dst: str) -> None:
         """Recursive copy of a directory (dst created)."""
         self.mkdirs(dst)
-        base = str(src).rstrip("/")
+        base = self.canonical(src)
         for full, _size, _mt in self.walk_files(src):
             rel = full[len(base) :].lstrip("/")
             target = join(dst, rel)
@@ -221,6 +231,11 @@ class FS:
 
 class LocalFS(FS):
     """Plain local paths — pathlib/os/shutil, all-atomic primitives."""
+
+    def canonical(self, path: str) -> str:
+        # os.walk yields paths prefixed with exactly the argument
+        # string, so the canonical form is the trimmed argument
+        return str(path).rstrip("/")
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
@@ -315,6 +330,15 @@ class HadoopFS(FS):
 
     def _fs(self, jpath):
         return jpath.getFileSystem(self._conf)
+
+    def canonical(self, path: str) -> str:
+        # Hadoop statuses render as the FULLY QUALIFIED Path string
+        # (scheme + authority + single-slash form) — 'file:///x' and
+        # 'file:/x' both canonicalize to the same spelling walk_files
+        # yields, so rel-slicing is spelling-independent
+        p = self._jpath(path)
+        fs = self._fs(p)
+        return str(fs.makeQualified(p).toString()).rstrip("/")
 
     def exists(self, path: str) -> bool:
         p = self._jpath(path)
@@ -468,15 +492,13 @@ class _HadoopSeekableFile(io.RawIOBase):
         n = min(len(b), self._size - self._pos)
         if n <= 0:
             return 0
-        jvm = self._hfs._jvm
         self._jstream.seek(self._pos)
-        bos = jvm.java.io.ByteArrayOutputStream(n)
-        # copyBytes(in, out, count, close=False): bounded JVM-side copy;
-        # the bytes cross to Python once, as the final byte[] transfer
-        jvm.org.apache.hadoop.io.IOUtils.copyBytes(
-            self._jstream, bos, n, False
-        )
-        data = bytes(bos.toByteArray())
+        # InputStream.readNBytes(int) (Java 9+) returns EXACTLY the
+        # requested count (short only at EOF) as a byte[] py4j converts
+        # once. NOT IOUtils.copyBytes(in, out, n, close): py4j binds
+        # its int overload where n is the BUFFER size, not a count —
+        # that copied from pos to EOF and broke bounded footer reads.
+        data = bytes(self._jstream.readNBytes(n))
         b[: len(data)] = data
         self._pos += len(data)
         return len(data)

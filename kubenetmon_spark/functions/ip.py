@@ -132,9 +132,11 @@ def ipv6_groups(col: Column | str) -> Column:
     expanded = F.concat(
         lg, F.array_repeat(F.lit("0"), pad.cast("int")), rg
     )
+    # pad >= 1: '::' must stand for AT LEAST one zero group
+    # ('1:2:3:4:5:6:7::8' is RFC-invalid and must null, not parse)
     return (
         F.when(~has_dc & full_ok, F.split(c, ":"))
-        .when(has_dc & comp_ok & (pad >= 0), expanded)
+        .when(has_dc & comp_ok & (pad >= 1), expanded)
     )
 
 

@@ -84,10 +84,17 @@ def _partition_signatures(fact_root: str, partition_col: str) -> dict[str, str]:
         part = _join(fact_root, name)
         if not fs.is_dir(part):
             continue
+        cpart = fs.canonical(part)
+        # filter with Spark's hidden rule on EVERY rel segment: staging
+        # debris under _replace-*/.crc dirs must not perturb the
+        # signature (Spark never reads it, so it is not table churn)
         entries = sorted(
-            (f[len(part) :].lstrip("/"), size, mtime)
+            (rel, size, mtime)
             for f, size, mtime in fs.walk_files(part)
-            if not _fsm.basename(f).startswith(("_", "."))
+            for rel in [f[len(cpart) :].lstrip("/")]
+            if not any(
+                _fsm._is_hidden_segment(seg) for seg in rel.split("/")
+            )
         )
         digest = hashlib.md5(json.dumps(entries).encode()).hexdigest()
         sigs[name.split("=", 1)[1]] = digest

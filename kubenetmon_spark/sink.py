@@ -508,7 +508,7 @@ def sample_files(
     import hashlib
 
     fs = _fsm.get_fs(path, spark)
-    base = str(path).rstrip("/")
+    base = fs.canonical(path)  # slicing base must match walk spelling
     files = sorted(
         f[len(base) :].lstrip("/") for f in fs.glob_parquet(base)
     )
@@ -727,7 +727,7 @@ def backup_table(
     if base_backup is not None:
         _same_store(backup_dir, base_backup, "backup_table")
     fs = _fsm.get_fs(path)
-    root = str(path).rstrip("/")
+    root = fs.canonical(path)  # slicing base must match walk spelling
     fs.mkdirs(backup_dir)
     base_entries: dict[str, dict] = {}
     if base_backup is not None:

@@ -117,6 +117,9 @@ class TestBothImpls:
             fs.mkdirs(join(root, "date=2024-01-01"))
             fs.mkdirs(join(root, "_temporary", "0"))
             fs.mkdirs(join(root, ".staging"))
+            # dot-prefixed key=value is STILL hidden to Spark (only
+            # underscore key=value is exempt)
+            fs.mkdirs(join(root, ".k=1"))
             # _bid=N is Spark-visible (underscore BUT key=value form) —
             # streaming indexes use exactly this layout deliberately
             fs.mkdirs(join(root, "_bid=7"))
@@ -132,6 +135,7 @@ class TestBothImpls:
             fs.write_bytes_atomic(
                 join(root, ".staging", "part-y.parquet"), b"pq"
             )
+            fs.write_bytes_atomic(join(root, ".k=1", "part-k.parquet"), b"pq")
             fs.write_bytes_atomic(join(root, "_SUCCESS"), b"")
             got = fs.glob_parquet(root)
             assert [basename(g) for g in got] == [
@@ -140,7 +144,7 @@ class TestBothImpls:
                 "part-0.parquet", "part-b.parquet",
             ]
             all_got = fs.glob_parquet(root, include_hidden=True)
-            assert len(all_got) == 4
+            assert len(all_got) == 5
 
     def test_walk_files_sizes(self, tmp_path, spark):
         for fs, root in _roots(tmp_path, spark):
@@ -244,12 +248,19 @@ class TestRenameLessStore:
         assert sorted(map(tuple, out.collect())) == sorted(
             map(tuple, df.collect())
         )
-        # nothing published, nothing leaked visible: only tmp debris,
-        # which the next drop_cache(key=None) ignores (dirs only,
-        # underscore-prefixed entries are not cache entries)
-        from kubenetmon_spark.cache import cache_entries
+        # nothing published, nothing leaked visible: only tmp debris
+        from kubenetmon_spark.cache import cache_entries, drop_cache
 
         assert cache_entries(cache_dir) == []
+        # a KEYED drop also sweeps the debris (keyed-drop-only
+        # operators must not accumulate orphaned tmp dirs)
+        import os
+
+        assert any(n.startswith("_tmp-") for n in os.listdir(cache_dir))
+        assert drop_cache(cache_dir, key="nonexistent") == 0
+        assert not any(
+            n.startswith("_tmp-") for n in os.listdir(cache_dir)
+        )
 
     def test_rates_buffer_commit_is_rename_free(self, tmp_path, spark):
         # crash-mid-write shape: an UNCOMMITTED v=1 (no _SUCCESS) next
@@ -280,3 +291,56 @@ class TestRenameLessStore:
         assert not (buf / "v=1" / "_SUCCESS").exists()
         assert _latest_buffer_version(str(buf)) == 0
         assert read_buffer(spark, str(buf)).count() == 5
+
+
+class TestSeekableBounded:
+    def test_mid_file_read_is_exactly_n_bytes(self, tmp_path, spark):
+        # regression: the JVM read MUST be bounded by the requested
+        # count (the py4j copyBytes int overload treated it as a
+        # BUFFER size and copied to EOF)
+        data = bytes(range(256)) * 64  # 16 KiB
+        for fs, root in _roots(tmp_path, spark):
+            fs.mkdirs(root)
+            f = join(root, "blob.bin")
+            fs.write_bytes_atomic(f, data)
+            with fs.open_seekable(f) as fh:
+                fh.seek(100)
+                got = fh.read(16)
+                assert got == data[100:116]
+                assert fh.tell() == 116
+                # backward seek after a read still lands right
+                fh.seek(-8, 2)
+                assert fh.read(8) == data[-8:]
+
+    def test_footer_read_on_wide_schema(self, tmp_path, spark):
+        # a footer larger than pyarrow's speculative tail read forces
+        # multiple bounded range reads through the adapter
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kubenetmon_spark.fs import HadoopFS
+
+        ncols = 3000  # footer ~ hundreds of KB
+        table = pa.table(
+            {f"c{i:04d}": pa.array([i], type=pa.int64()) for i in range(ncols)}
+        )
+        local = str(tmp_path / "wide.parquet")
+        pq.write_table(table, local)
+        fs = HadoopFS(spark)
+        with fs.open_seekable("file:" + local) as fh:
+            md = pq.read_metadata(fh)
+        assert md.num_columns == ncols and md.num_rows == 1
+
+    def test_glob_parquet_authority_spelling(self, tmp_path, spark):
+        # file:// (authority/triple-slash) spelling must filter hidden
+        # dirs exactly like the canonical file:/ spelling
+        from kubenetmon_spark.fs import HadoopFS
+
+        fs = HadoopFS(spark)
+        root3 = "file://" + str(tmp_path / "t3")
+        fs.mkdirs(join(root3, "_hidden"))
+        fs.mkdirs(join(root3, "date=1"))
+        fs.write_bytes_atomic(join(root3, "_hidden", "b.parquet"), b"pq")
+        fs.write_bytes_atomic(join(root3, "date=1", "a.parquet"), b"pq")
+        got = fs.glob_parquet(root3)
+        assert [basename(g) for g in got] == ["a.parquet"]

@@ -263,6 +263,7 @@ def test_ipv6_string_to_pair_differential(spark):
         # out-of-contract -> null pair by design
         "bad::zz", "1.2.3.4", "::ffff:1.2.3.4", "1:2:3", "2001:db8::1%x",
         "1:2:3:4:5:6:7:8:9", "1::2::3",
+        "1:2:3:4:5:6:7::8",  # '::' standing for ZERO groups: RFC-invalid
     ]
     df = spark.createDataFrame([(c,) for c in cases], "s string")
     hi, lo = ipv6_string_to_pair("s")
