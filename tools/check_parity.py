@@ -56,15 +56,22 @@ def normalize_df(pdf):
 MANIFEST = Path(__file__).resolve().parent.parent / "PARITY_MANIFEST.json"
 
 
-def _update_manifest(sf_dir: str, entries: dict[str, dict]) -> None:
-    """Merge this run's results into the committed manifest (sorted
-    keys -> stable diffs)."""
+def _update_manifest(
+    sf_dir: str, entries: dict[str, dict], full_run: bool
+) -> None:
+    """Record this run's results in the committed manifest (sorted
+    keys -> stable diffs). A FULL run REPLACES the sf section, so
+    renamed/removed gates and typo'd one-off entries don't linger;
+    a partial run merges only what it executed."""
     sf_key = Path(sf_dir).name
     data: dict = {}
     if MANIFEST.is_file():
         data = json.loads(MANIFEST.read_text())
-    sec = data.setdefault(sf_key, {})
-    sec.update(entries)
+    if full_run:
+        sec = dict(entries)
+    else:
+        sec = data.setdefault(sf_key, {})
+        sec.update(entries)
     data[sf_key] = dict(sorted(sec.items()))
     MANIFEST.write_text(
         json.dumps(dict(sorted(data.items())), indent=1, sort_keys=True)
@@ -152,7 +159,7 @@ def main():
         }
         print(f"PASS {name}: {len(srows)} rows, cols={scols} ({time.time()-t0:.1f}s)")
 
-    _update_manifest(sf_dir, manifest)
+    _update_manifest(sf_dir, manifest, full_run=not wanted)
     print(f"\n{len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only of {len(names)}")
     spark.stop()
     return 1 if failed else 0
