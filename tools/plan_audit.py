@@ -274,6 +274,13 @@ KNOWN = {
 #: audit. (bench.py additionally re-times sub-3s flags best-of-2 on the
 #: warm session before listing them, so pure timer noise self-clears.)
 BENCH_NOTES = {
+    "q101_duplicate_spans": "r04 flag 3.25s->5.22s adjudicated as host "
+    "variance: no commit in the round touched dedup.py's span path, "
+    "and best-of-3 warm on an idle box immediately after the flagged "
+    "run lands 2.95-3.44s — at the previous reading. The flagged "
+    "sample ran mid-suite next to the streaming trio; mid-3s queries "
+    "sit just above the bench's auto-re-time threshold (both readings "
+    ">3s), which is why this one surfaced raw.",
     "q04_minute_rollup": "r03 flag 0.62s->0.99s adjudicated as session "
     "drift on a sub-second query: plan unchanged (scan -> partial/final "
     "hash agg -> sort, the SummingMergeTree rollup's minimal shape, "
