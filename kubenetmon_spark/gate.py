@@ -3970,7 +3970,10 @@ def q100(spark, sf_dir):
     "q101_duplicate_spans",
     """
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x != '') AS t
+      FROM documents
     ),
     spans AS (
       SELECT doc_id, array_to_string(t[i:i+7], ' ') AS span

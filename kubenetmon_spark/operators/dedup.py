@@ -551,7 +551,13 @@ def duplicate_span_fraction(
     drop ~5x; kept as the string here so the DuckDB oracle can mirror
     exactly.
     """
-    toks = F.split(F.col(text_col), " ")
+    # tokenize EXACTLY like remove_duplicate_spans (\s+ split, empties
+    # filtered): the measurement and the removal must agree on what a
+    # token is, or a doc flagged as duplicated here can be untouched
+    # by the remover (and double spaces would inject phantom tokens)
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+    )
     spans_arr = F.transform(
         F.sequence(F.lit(1), F.size(toks) - n + 1),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
@@ -609,15 +615,18 @@ def remove_duplicate_spans(
       4. left-anti join tokens against covered positions (both sides
          already keyed by doc), regroup per doc to reassemble.
     """
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("_p", "_t"),
-    ).filter(F.col("_t") != "")
     arr = df.select(
         F.col(id_col),
         F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias(
             "_a"
         ),
+    )
+    # tokens MUST posexplode the SAME filtered array the gram positions
+    # index into: an unfiltered split carries empty tokens (leading/
+    # double whitespace), shifting _p off the gram coordinate system
+    # and removing the WRONG tokens — silent text corruption
+    toks = arr.select(
+        F.col(id_col), F.posexplode("_a").alias("_p", "_t")
     )
     grams = arr.select(
         F.col(id_col),

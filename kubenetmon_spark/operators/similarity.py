@@ -53,7 +53,12 @@ def brute_force_topk(
     joined = vectors.crossJoin(F.broadcast(query))
     score = _dot(F.col(vec_col), F.col("qv"))
     if metric == "cosine":
-        score = score / (_norm(F.col(vec_col)) * _norm(F.col("qv")))
+        # try_divide: a zero-norm vector scores NULL (sorts last)
+        # instead of raising DIVIDE_BY_ZERO under ANSI mode — the same
+        # degenerate-row convention as cosine_dedup_incremental
+        score = F.try_divide(
+            score, _norm(F.col(vec_col)) * _norm(F.col("qv"))
+        )
     scored = joined.select(
         F.col(id_col), F.round(score, round_digits).alias("score")
     )
@@ -126,6 +131,16 @@ def sign_band_rows(
 
         planes = {}  # dim -> sign matrix (built once per worker)
         for b in batches:
+            if not len(b):
+                continue
+            # degenerate rows (NULL/empty embeddings) must never kill a
+            # continuous dedup stream: drop them here — a NULL vector
+            # has no direction, so it can never band-collide anyway
+            # (the zero-NORM case downstream is try_divide-guarded)
+            ok = b[vec_col].map(
+                lambda x: x is not None and len(x) > 0
+            )
+            b = b[ok]
             if not len(b):
                 continue
             ids = b[id_col].to_numpy(dtype="int64")
@@ -216,8 +231,17 @@ def cosine_near_dup_pairs(
     corpora, not a 100 TB path.
 
     Returns (id_1, id_2, cosine_bp) with cosine in integer basis points.
-    Rounding is HALF_UP at 4 decimals in all methods, so results are
-    bit-identical across engines.
+    Rounding is HALF_UP at 4 decimals in all methods, via the SAME
+    shortest-decimal-representation semantics (Spark BigDecimal /
+    Python Decimal(repr)), so the double -> bp mapping is identical
+    everywhere. Precision scope, stated honestly: the lsh/
+    broadcast_matrix DOT PRODUCT uses BLAS/pairwise summation while
+    'sql' folds sequentially, so the two can differ in the final ulp
+    of the cosine — a pair flips 1 bp across methods only when its
+    true cosine sits within ~1 ulp of an exact x.xxxx5 boundary
+    (probability ~1e-12 per pair on real-valued embeddings; the
+    integer-arithmetic operators elsewhere exist precisely because
+    float folds are order-sensitive).
     """
     if method in ("sql", "broadcast_matrix") and not unsafe_exact:
         n_vecs = vectors.select(id_col).count()
@@ -238,7 +262,12 @@ def cosine_near_dup_pairs(
         )
         a, b = norm.alias("a"), norm.alias("b")
         pairs = a.join(b, F.col("a._id") < F.col("b._id"))
-        cos = _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+        # try_divide: zero-norm vectors yield NULL cosine (dropped by
+        # the threshold filter) rather than an ANSI DIVIDE_BY_ZERO
+        cos = F.try_divide(
+            _dot(F.col("a._v"), F.col("b._v")),
+            F.col("a._n") * F.col("b._n"),
+        )
         return (
             pairs.select(
                 F.col("a._id").alias("id_1"),
@@ -260,10 +289,35 @@ def cosine_near_dup_pairs(
     )
 
     def _bp_halfup(s: "np.ndarray") -> "np.ndarray":
-        # HALF_UP at 4 decimals then *1e4 -> long, replicating the
-        # exact double-op sequence of round(cos,4)*10000 CAST LONG
-        r4 = np.floor(np.abs(s) * 1e4 + 0.5) / 1e4 * np.sign(s)
-        return (r4 * 1e4).astype("int64")
+        # EXACT replication of Spark's round(cos, 4)*10000 CAST LONG:
+        # Spark rounds via BigDecimal.valueOf(double) — the SHORTEST
+        # decimal representation (Double.toString) — then HALF_UP.
+        # Python's repr(float) is the same shortest round-trip string,
+        # so Decimal(repr(x)) sees the identical digits. A plain
+        # floor(|x|*1e4+0.5) differs for doubles whose shortest repr
+        # ends in ...5 beyond the 4th decimal (e.g. 0.26745 as a
+        # double slightly below the rational — HALF_UP on the STRING
+        # rounds up, the float multiply rounds down). The Python loop
+        # runs only over the CANDIDATE pairs (already a tiny fraction
+        # of the pair space), after the vectorized dot.
+        import decimal
+
+        q = decimal.Decimal("0.0001")
+
+        def one(x: float) -> int:
+            return int(
+                decimal.Decimal(repr(float(x))).quantize(
+                    q, rounding=decimal.ROUND_HALF_UP
+                )
+                * 10000
+            )
+
+        arr = np.asarray(s, dtype="float64")
+        flat = arr.ravel()
+        out = np.fromiter(
+            (one(x) for x in flat), dtype="int64", count=flat.size
+        )
+        return out.reshape(arr.shape)
 
     if method == "broadcast_matrix":
         spark = vectors.sparkSession

@@ -216,7 +216,12 @@ def _winnow_arrow(df: DataFrame, text_col: str, k: int, w: int) -> DataFrame:
             StructField("fp_digest", StringType(), True),
         ]
     )
-    pows = [ROLL_BASE ** (k - 1 - j) for j in range(k)]
+    # MODULAR power table: the raw 31^(k-1-j) overflows int64 for
+    # k >= 10-14, silently wrapping the hash away from the SQL path's
+    # Horner-mod values. pow(..., ROLL_MOD) keeps every product below
+    # 2^52 (codepoints < 2^21 x powers < 2^31), so the mod-at-the-end
+    # sum is EXACTLY the Horner-mod result for any k.
+    pows = [pow(ROLL_BASE, k - 1 - j, ROLL_MOD) for j in range(k)]
 
     def gen(batches):
         import numpy as np
@@ -227,7 +232,9 @@ def _winnow_arrow(df: DataFrame, text_col: str, k: int, w: int) -> DataFrame:
 
         def one(text):
             if text is None:
-                return (None, None, None)
+                # PARITY with method='sql': trim(NULL) falls to the
+                # empty-array branch there, yielding the zero-gram row
+                return (0, 0, hashlib.md5(b"").hexdigest())
             s = text.strip(" ")  # ASCII-space trim, same as SQL trim()
             if len(s) < k:
                 return (0, 0, hashlib.md5(b"").hexdigest())
@@ -394,7 +401,9 @@ def _ngram_repetition_arrow(df: DataFrame, text_col: str, n: int) -> DataFrame:
     def gen(batches):
         def one(text):
             if text is None:
-                return (None, None, None)
+                # PARITY with method='sql': NULL text falls to the
+                # empty-array branch there, yielding (0, 0, 0)
+                return (0, 0, 0)
             toks = ws.split(text.strip(" "))  # ASCII-space trim = SQL trim()
             total = len(toks) - n + 1
             if total <= 0:
@@ -426,10 +435,15 @@ def char_ngram_counts(
     the probe-distance use below never shuffles the corpus at all.
     """
     # substring with a dynamic start needs expr(): the Column form takes
-    # only literal positions.
+    # only literal positions. The CASE guard matters: Spark's
+    # sequence(1, 0) DESCENDS to [1, 0], which would emit two phantom
+    # truncated grams for every doc shorter than n (and for empty/NULL
+    # text) — short docs must yield ZERO gram rows.
     grams = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)),"
-        f" i -> substring({text_col}, i, {n}))"
+        f"CASE WHEN length({text_col}) >= {n} THEN "
+        f"transform(sequence(1, length({text_col}) - {n - 1}),"
+        f" i -> substring({text_col}, i, {n})) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
     return (
         df.select(F.col(id_col), F.explode(grams).alias("gram"))
@@ -470,8 +484,12 @@ def ngram_distance_to_probe(
         g = probe[i : i + n]
         probe_grams[g] = probe_grams.get(g, 0) + 1
     size_b = sum(probe_grams.values())
+    # explicit schema: a probe shorter than n yields ZERO grams, and
+    # createDataFrame cannot infer a schema from an empty list — the
+    # empty-probe branch below is documented behavior, not dead code
     pdf = spark.createDataFrame(
-        [(g, c) for g, c in probe_grams.items()], ["gram", "probe_cnt"]
+        [(g, c) for g, c in probe_grams.items()],
+        "gram string, probe_cnt int",
     )
     counts = char_ngram_counts(df, id_col, text_col, n)
     common = (
@@ -538,10 +556,17 @@ def with_gopher_rules(
     n_ell_end = F.size(
         F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
     )
+    import re as _re
+
     stop_present = None
     for w in stopwords:
+        # regex-escape the word (same as _marker_count): a custom
+        # stopword like 'u.s.' must match literally, not as wildcards
         present = (
-            F.regexp_count(t, F.lit(rf"(?:^|\s){w}(?=\s|$)")) > 0
+            F.regexp_count(
+                t, F.lit(rf"(?:^|\s){_re.escape(w)}(?=\s|$)")
+            )
+            > 0
         ).cast("int")
         stop_present = present if stop_present is None else stop_present + present
 
@@ -675,8 +700,12 @@ def ngram_search_to_probe(
         g = probe[i : i + n]
         probe_grams[g] = probe_grams.get(g, 0) + 1
     size_b = sum(probe_grams.values())
+    # explicit schema: a probe shorter than n yields ZERO grams, and
+    # createDataFrame cannot infer a schema from an empty list — the
+    # empty-probe branch below is documented behavior, not dead code
     pdf = spark.createDataFrame(
-        [(g, c) for g, c in probe_grams.items()], ["gram", "probe_cnt"]
+        [(g, c) for g, c in probe_grams.items()],
+        "gram string, probe_cnt int",
     )
     counts = char_ngram_counts(df, id_col, text_col, n)
     common = (

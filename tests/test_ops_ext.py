@@ -790,3 +790,122 @@ class TestHardNegativeMining:
         assert "WindowGroupLimit" in plan
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestReviewPassRegressions:
+    """Round-4 second review pass: each case reproduces a fixed bug."""
+
+    def test_remove_duplicate_spans_leading_whitespace(self, spark):
+        # positions must index the FILTERED token array: leading/double
+        # whitespace used to shift the removal window onto WRONG tokens
+        from kubenetmon_spark.operators.dedup import remove_duplicate_spans
+
+        span = "x1 x2 x3 x4 x5 x6 x7 x8"
+        rows = [
+            (1, f"  {span} y {span}"),     # leading spaces + dup span
+            (2, f"{span} z"),              # makes the span corpus-global
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in remove_duplicate_spans(df, "doc_id", k=8).collect()
+        }
+        # doc 1: the SECOND occurrence's 8 tokens are removed; 'y' stays
+        assert out[1].dedup_text == f"{span} y"
+        assert out[1].n_removed == 8
+        # doc 2 keeps the first-by-(doc,pos) occurrence? ordering is
+        # (doc_id, pos): doc 1 pos 0 is first, so doc 2's copy removes
+        assert out[2].dedup_text == "z"
+        assert out[2].n_removed == 8
+
+    def test_null_embedding_survives_banding(self, spark):
+        # a NULL embedding must not kill the banding stage (and thus
+        # the continuous dedup stream) — it simply never collides
+        from kubenetmon_spark.operators.similarity import (
+            cosine_dedup_incremental,
+        )
+
+        rows = [
+            (1, [1.0, 2.0, 3.0, 4.0]),
+            (2, None),
+            (3, [2.0, 4.0, 6.0, 8.0]),  # dup of 1
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        surv, b, v = cosine_dedup_incremental(
+            df, None, None, threshold_bp=10000
+        )
+        ids = sorted(r.vec_id for r in surv.collect())
+        # 3 deduped against 1; NULL row 2 survives (no direction)
+        assert ids == [1, 2]
+
+    def test_char_ngram_counts_short_docs_yield_no_rows(self, spark):
+        # sequence(1, 0) DESCENDS in Spark: short/empty/null docs used
+        # to emit two phantom truncated grams
+        from kubenetmon_spark.operators.text import char_ngram_counts
+
+        df = spark.createDataFrame(
+            [(1, "ab"), (2, ""), (3, None), (4, "abcd")],
+            "doc_id long, text string",
+        )
+        got = char_ngram_counts(df, "doc_id", "text", n=3).collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r.doc_id, []).append((r.gram, r.cnt))
+        assert 1 not in by_doc and 2 not in by_doc and 3 not in by_doc
+        assert sorted(by_doc[4]) == [("abc", 1), ("bcd", 1)]
+
+    def test_probe_shorter_than_n_supported(self, spark):
+        # empty-probe branches used to be dead code (createDataFrame
+        # cannot infer a schema from an empty list)
+        from kubenetmon_spark.operators.text import ngram_distance_to_probe
+
+        df = spark.createDataFrame(
+            [(1, "hello world")], "doc_id long, text string"
+        )
+        row = ngram_distance_to_probe(df, "doc_id", "text", "ab", n=3).collect()[0]
+        # probe has no grams: distance = full symmetric difference
+        assert row.ngram_dist_bp == 10000
+
+    def test_winnow_arrow_large_k_matches_sql(self, spark):
+        # 31^(k-1) overflows int64 at k>=14; the modular power table
+        # must keep arrow == sql for any k
+        from kubenetmon_spark.operators.text import with_winnow_fingerprint
+
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog repeatedly"),
+             (2, None)],
+            "doc_id long, text string",
+        )
+        a = {
+            r.doc_id: (r.n_grams, r.n_fp, r.fp_digest)
+            for r in with_winnow_fingerprint(
+                df, k=16, w=4, method="arrow"
+            ).collect()
+        }
+        s = {
+            r.doc_id: (r.n_grams, r.n_fp, r.fp_digest)
+            for r in with_winnow_fingerprint(
+                df, k=16, w=4, method="sql"
+            ).collect()
+        }
+        assert a == s  # incl. the NULL-text row (parity fix)
+
+    def test_gopher_custom_stopwords_regex_escaped(self, spark):
+        from kubenetmon_spark.operators.text import with_gopher_rules
+
+        # 'u.s.' must match literally — the unescaped '.' used to match
+        # 'used' etc., silently flipping g_stopword_ok
+        df = spark.createDataFrame(
+            [(1, "we used many tools and saw results here today"),
+             (2, "the u.s. economy and e.g. trade links grew today")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.g_stopword_ok
+            for r in with_gopher_rules(
+                df, stopwords=["u.s.", "e.g."], min_stopwords=2
+            ).collect()
+        }
+        assert got == {1: False, 2: True}

@@ -95,6 +95,10 @@ def main():
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = [w for w in wanted if w not in queries]
+    if unknown:
+        print(f"unknown query name(s): {unknown} — not recorded")
+        return 2
     names = wanted or list(queries)
 
     spark = get_spark("parity", master="local[8]", shuffle_partitions=8)
