@@ -53,12 +53,18 @@ def chunk_documents(
     if not 0 <= overlap < window:
         raise ValueError("need 0 <= overlap < window")
     step = window - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # FILTER empty tokens rather than probing element 1: F.trim strips
+    # only SPACES, so a doc starting with \n or \t used to carry a
+    # leading empty token and be dropped WHOLESALE by the probe (silent
+    # corpus loss), and trailing newlines inflated n_tokens
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+    )
     base = df.select(
         F.col(id_col),
         toks.alias("_toks"),
         F.size(toks).alias("_n"),
-    ).filter((F.col("_n") > 0) & (F.element_at("_toks", 1) != ""))
+    ).filter(F.col("_n") > 0)
     return (
         base.select(
             id_col,
@@ -242,17 +248,27 @@ def shuffle_epoch(
     n_shards: int | None = None,
 ) -> DataFrame:
     """Deterministic global shuffle for one training epoch — every
-    epoch sees the whole dataset in a different but REPRODUCIBLE order
-    (the property data loaders need: re-running epoch 3 after a crash
-    yields byte-identical shard contents).
+    epoch sees the whole dataset in a different but REPRODUCIBLE
+    GLOBAL ORDER: the key ``md5(id | epoch)`` is a pure function of
+    the row, so the concatenation of shards read in shard order is the
+    identical sequence on every re-run.
 
-    Order key = md5(id | epoch). Scale shape: ``repartitionByRange`` on
-    the key then ``sortWithinPartitions`` — a distributed range sort
-    (sampled range exchange + local sorts), NEVER a single-partition
-    global orderBy. Ranges are sampled so the row order across shard
-    boundaries is still globally sorted by the key; with ``n_shards``
-    the output is that many ordered shards (files map 1:1 to shards on
-    write).
+    Determinism scope, stated precisely: the global ORDER is exact;
+    SHARD BOUNDARIES are not pinned across environments, because
+    ``repartitionByRange`` samples range bounds from the input's
+    physical partitioning — re-running after a crash on a different
+    partition layout (AQE coalesce, recompacted files, another cluster
+    size) can move boundary-adjacent rows into neighboring shards.
+    Loaders that require byte-identical PER-SHARD files across
+    environments should shard explicitly by key prefix
+    (``pmod(xxhash64(shuffle_key), n_shards)`` + sort within shard)
+    and trade away the global cross-shard order.
+
+    Scale shape: ``repartitionByRange`` on the key then
+    ``sortWithinPartitions`` — a distributed range sort (sampled range
+    exchange + local sorts), NEVER a single-partition global orderBy;
+    with ``n_shards`` the output is that many ordered shards (files
+    map 1:1 to shards on write).
 
     Appends ``shuffle_key`` (kept so a reader can verify the order).
     """
@@ -627,10 +643,16 @@ def dedup_lines_incremental(
 
     Returns ``(deduped, updated_index)``: the per-document reassembly
     (same columns as dedup_lines) and the new index (old ∪ new batch's
-    surviving lines) to persist for the next increment. Running the
-    batches in sequence is EXACTLY equivalent to one dedup_lines over
-    the concatenated corpus in batch order — the invariant the test
-    pins.
+    surviving lines) to persist for the next increment. Equivalence
+    contract, stated precisely: running batches in sequence equals one
+    dedup_lines over the concatenated corpus IFF document ids are
+    monotone across batches (each batch's ids all exceed the previous
+    batch's — the natural shape for crawl increments). The incremental
+    form privileges ARRIVAL order (an earlier batch always wins a
+    shared line), while the one-shot form privileges the smaller
+    (id, pos); with non-monotone ids across batches the two can keep
+    the same line in different documents. The test pins the monotone
+    case.
 
     Scale: the anti-join against the index hash-partitions on line
     text (same key as the in-batch first-occurrence window, so the

@@ -152,6 +152,10 @@ def mann_whitney_u(
     """
     from pyspark.sql.window import Window
 
+    # rank over ONLY the two compared variants: a third variant's rows
+    # in the same group would otherwise pollute the pooled ranking and
+    # silently corrupt U/z while n1/n2 still look correct
+    df = df.filter(F.col(variant_col).isin(control, treatment))
     x = F.col(value_col)
     w = Window.partitionBy(*group_cols).orderBy(x)
     # doubled midrank = rank_first + rank_last = 2*rank + (ties-1)
@@ -599,6 +603,17 @@ def variance_exact(
     )
 
 
+def _q_tag(p: float) -> str:
+    """Column tag for a quantile level: integral percents keep the
+    classic form ('50' for 0.5 -> p50_*); non-integral levels use
+    basis points with a 'bp' suffix ('5010bp' for 0.501), correctly
+    rounded — never float-truncated."""
+    pct = p * 100
+    if abs(pct - round(pct)) < 1e-9:
+        return str(int(round(pct)))
+    return f"{int(round(p * 10000))}bp"
+
+
 def quantile_definitions(
     df: DataFrame,
     group_cols: list[str],
@@ -631,8 +646,16 @@ def quantile_definitions(
     )
     aggs = [F.max("_n").alias("n")]
     outs = []
-    for p in levels:
-        tag = str(int(p * 100))
+    # integral-percent levels keep their classic tags (p50_*); others
+    # get basis-point tags (p5010bp_*). str(int(p*100)) both mislabeled
+    # non-integral floats (int(0.29*100) == 28 -> p28_*) and COLLIDED
+    # for two levels in the same percent (ambiguous-reference crash).
+    tags = [_q_tag(p) for p in levels]
+    if len(set(tags)) != len(tags):
+        raise ValueError(
+            f"quantile levels collide at 4-decimal resolution: {levels}"
+        )
+    for p, tag in zip(levels, tags):
         h = F.lit(p) * (F.col("_n") - 1)
         lo_idx = F.floor(h) + 1
         hi_idx = F.ceil(h) + 1
@@ -646,8 +669,7 @@ def quantile_definitions(
         ]
     agg = ranked.groupBy(*group_cols).agg(*aggs)
     cols = [*group_cols, "n"]
-    for p in levels:
-        tag = str(int(p * 100))
+    for tag in tags:
         lo, hi, fr = F.col(f"_lo{tag}"), F.col(f"_hi{tag}"), F.col(f"_fr{tag}")
         cols += [
             lo.alias(f"p{tag}_low"),
@@ -833,9 +855,14 @@ def ols2_exact(
     exact integer strings (num/den pairs hash identically across
     engines) plus convenience float betas.
 
-    Overflow contract: |x|,|y| ≤ ~1e4 and n ≤ ~1e6 keep every product
-    under 1e38. One hash-agg shuffle; everything else is per-group
-    scalar algebra on one row per group.
+    Overflow contract (ENFORCED, fail-loud): with M = max(|x1|, |x2|,
+    |y|) per group, the worst term is |b0_num| ≤ ~16·n⁵M⁵, so
+    decimal(38,0) is safe when n·M ≤ 2e7 (e.g. n ≤ 1e4 at M ≤ 2e3, or
+    n ≤ 1e6 at M ≤ 20). A per-group tripwire raises a clear rescale
+    message instead of an opaque NUMERIC_VALUE_OUT_OF_RANGE mid-plan
+    (non-ANSI engines would silently NULL the betas — worse). One
+    hash-agg shuffle; everything else is per-group scalar algebra on
+    one row per group.
     """
     x1, x2, y = F.col(x1_col), F.col(x2_col), F.col(y_col)
     agg = df.groupBy(*group_cols).agg(
@@ -848,6 +875,9 @@ def ols2_exact(
         F.sum(x1 * x2).alias("s12"),
         F.sum(x1 * y).alias("s1y"),
         F.sum(x2 * y).alias("s2y"),
+        F.greatest(
+            F.max(F.abs(x1)), F.max(F.abs(x2)), F.max(F.abs(y))
+        ).alias("_m"),
     )
     D38 = "decimal(38,0)"
 
@@ -864,6 +894,25 @@ def ols2_exact(
     n1 = c1y * c22 - c2y * c12
     n2 = c2y * c11 - c1y * c12
     n0 = dec("sy") * det - n1 * dec("s1") - n2 * dec("s2")
+    # fail-loud tripwire BEFORE the decimal algebra can overflow: the
+    # guard column is referenced by det's branch so it evaluates first
+    guard = F.when(
+        F.col("n").cast("double") * F.col("_m").cast("double") > 2e7,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "ols2_exact: n*max|value| exceeds the decimal(38,0) "
+                    "product budget (n*M <= 2e7); rescale the fixed "
+                    "point (divide values by 10^k) or split groups. "
+                    "group n="
+                ),
+                F.col("n").cast("string"),
+                F.lit(" max|v|="),
+                F.col("_m").cast("string"),
+            )
+        ).cast(D38),
+    )
+    det = F.coalesce(guard, det)
     return agg.select(
         *group_cols,
         F.col("n").cast("long").alias("n"),
@@ -902,7 +951,7 @@ def winsorize(
     q = quantile_definitions(
         df, group_cols, value_col, levels=(lo_p, hi_p)
     )
-    lo_tag, hi_tag = str(int(lo_p * 100)), str(int(hi_p * 100))
+    lo_tag, hi_tag = _q_tag(lo_p), _q_tag(hi_p)
     bounds = q.select(
         *group_cols,
         F.col(f"p{lo_tag}_low").alias("_wlo"),
@@ -952,10 +1001,18 @@ def calibration_bins(
         .agg(
             F.count("*").alias("n"),
             F.sum(y).alias("n_pos"),
-            F.floor(F.sum(s) * 10000 / (F.count("*") * score_scale))
+            # integer `div`, not double /: sum(s)*10000 over ~2^52
+            # loses double precision and can floor off-by-one vs an
+            # exact oracle; int64 div is exact to 9.2e18
+            F.expr(
+                f"(sum({score_col}) * 10000)"
+                f" div (count(*) * {int(score_scale)})"
+            )
             .cast("long")
             .alias("mean_score_bp"),
-            F.floor(F.sum(y) * 10000 / F.count("*"))
+            F.expr(
+                f"(sum(cast({label_col} as long)) * 10000) div count(*)"
+            )
             .cast("long")
             .alias("pos_rate_bp"),
         )
@@ -1281,9 +1338,12 @@ def anova_exact(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.expr("(n * _sb - s * s) div n").cast("string").alias("ssb"),
         F.col("ssw").cast("string").alias("ssw"),
+        # nullif: k=1 (no between-group df) or ssw=0 (zero within-group
+        # variance) yields NULL F instead of an ANSI DIVIDE_BY_ZERO
+        # killing the job — the convention of average_precision_exact
         F.expr(
             "(((n * _sb - s * s) div n) * (n - k) * 10000)"
-            " div (ssw * (k - 1))"
+            " div nullif(ssw * (k - 1), 0)"
         )
         .cast("bigint")
         .alias("f_bp"),

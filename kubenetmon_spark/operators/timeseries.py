@@ -912,9 +912,19 @@ def promql_to_grid(
     ``ts_col`` UNIQUE per key (pre-aggregate duplicate timestamps), and
     an integer counter ``value_col``. Output per (key, bucket_ts):
 
-    - ``n_samples`` — samples in the window.
+    SPARSE GRID (documented deviation from ClickHouse's dense grid):
+    a (key, bucket) whose trailing window contains NO sample emits NO
+    ROW — the coverage fan-out is sample-driven, so empty buckets are
+    never materialized. That is the scale-correct shape (a dense
+    n_keys x n_buckets grid over a 100 TB corpus is mostly empty rows)
+    and what the streaming upsert (streaming/rates.py) depends on;
+    consumers needing the dense grid densify with
+    :func:`fill_time_grid` / ``WITH FILL`` (q39) after. Every emitted
+    row therefore has ``n_samples >= 1``.
+
+    - ``n_samples`` — samples in the window (>= 1 by the above).
     - ``last_v``   — latest sample value (timeSeriesResampleToGridWithStaleness
-      with staleness = window_s); NULL if the window is empty.
+      with staleness = window_s).
     - ``delta``    — last - first (gauge delta), NULL when n < 2.
     - ``increase`` — counter increase, reset-adjusted exactly like
       PromQL: (last - first) + sum(prev_v) over in-window consecutive

@@ -1705,3 +1705,100 @@ class TestReviewHardening:
         (bad / "part-0.parquet").write_bytes(b"not parquet")
         with _pytest.raises(Exception):
             check_quota(spark, str(bad), "u1", max_queries=1)
+
+
+class TestThirdReviewPassRegressions:
+    """Round-4 third review pass (timeseries/stats/curation)."""
+
+    def test_chunk_documents_whitespace_led_docs_survive(self, spark):
+        from kubenetmon_spark.operators.curation import chunk_documents
+
+        df = spark.createDataFrame(
+            [
+                (1, "\nLeading newline doc here"),
+                (2, "\tHello world foo"),
+                (3, "trailing newline\n"),
+                (4, "   "),
+                (5, None),
+            ],
+            "doc_id long, text string",
+        )
+        got = {}
+        for r in chunk_documents(df, window=3, overlap=0).collect():
+            got.setdefault(r.doc_id, []).append((r.chunk, r.n_tokens))
+        # whitespace-led docs chunk instead of vanishing wholesale
+        assert got[1] == [("Leading newline doc", 3), ("here", 1)]
+        assert got[2] == [("Hello world foo", 3)]
+        # trailing whitespace does not inflate token counts
+        assert got[3] == [("trailing newline", 2)]
+        # all-whitespace / NULL docs yield nothing
+        assert 4 not in got and 5 not in got
+
+    def test_mann_whitney_ignores_other_variants(self, spark):
+        from kubenetmon_spark.operators.stats import mann_whitney_u
+
+        base = [("g", "ctl", v) for v in (1, 2, 3)] + [
+            ("g", "trt", v) for v in (4, 5, 6)
+        ]
+        extra = base + [("g", "other", v) for v in (10, 20, 30, 40)]
+        df1 = spark.createDataFrame(base, "g string, var string, x long")
+        df2 = spark.createDataFrame(extra, "g string, var string, x long")
+        r1 = mann_whitney_u(df1, ["g"], "x", "var", "ctl", "trt").collect()[0]
+        r2 = mann_whitney_u(df2, ["g"], "x", "var", "ctl", "trt").collect()[0]
+        # a third variant's rows must not pollute the pooled ranking
+        assert (r1.n1, r1.n2, r1.u1, r1.z) == (r2.n1, r2.n2, r2.u1, r2.z)
+        assert r1.u1 == 0.0
+
+    def test_anova_degenerate_groups_null_not_crash(self, spark):
+        from kubenetmon_spark.operators.stats import anova_exact
+
+        # k=1 (single group) and ssw=0 (zero within-group variance)
+        one = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("a", 5)], "grp string, x long"
+        )
+        r = anova_exact(one, "grp", "x").collect()[0]
+        assert r.k == 1 and r.f_bp is None
+        const = spark.createDataFrame(
+            [("a", 1), ("a", 1), ("b", 2), ("b", 2)], "grp string, x long"
+        )
+        r = anova_exact(const, "grp", "x").collect()[0]
+        assert r.ssw == "0" and r.f_bp is None
+
+    def test_quantile_tags_correct_and_collision_checked(self, spark):
+        import pytest as _pytest
+
+        from kubenetmon_spark.operators.stats import quantile_definitions
+
+        df = spark.createDataFrame(
+            [("g", v) for v in range(1, 101)], "g string, x long"
+        )
+        # 0.29 is an integral percent whose float form truncates:
+        # int(0.29*100) == 28 used to mislabel it p28_*; correct
+        # rounding labels it p29_*
+        cols = quantile_definitions(df, ["g"], "x", levels=(0.29,)).columns
+        assert any(c.startswith("p29_") for c in cols)
+        assert not any(c.startswith("p28") for c in cols)
+        # classic integral percents keep their classic names
+        cols = quantile_definitions(df, ["g"], "x", levels=(0.5, 0.9)).columns
+        assert "p50_inc" in cols and "p90_inc" in cols
+        # same-percent level pairs are distinct tags, not a crash
+        cols = quantile_definitions(
+            df, ["g"], "x", levels=(0.501, 0.509)
+        ).columns
+        assert any(c.startswith("p5010bp_") for c in cols)
+        assert any(c.startswith("p5090bp_") for c in cols)
+        # true collisions refuse loudly
+        with _pytest.raises(ValueError, match="collide"):
+            quantile_definitions(df, ["g"], "x", levels=(0.50001, 0.50004))
+
+    def test_ols2_overflow_tripwire(self, spark):
+        import pytest as _pytest
+
+        from kubenetmon_spark.operators.stats import ols2_exact
+
+        big = spark.createDataFrame(
+            [("g", 10**8, 7, 3), ("g", 1, 2, 3), ("g", 5, 9, 11)],
+            "g string, x1 long, x2 long, y long",
+        )
+        with _pytest.raises(Exception, match="product budget"):
+            ols2_exact(big, ["g"], "x1", "x2", "y").collect()
