@@ -24,6 +24,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _contains_map(dt) -> bool:
+    """True if the type (recursively) contains a MapType — the one
+    common type Spark cannot sort by."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -49,6 +63,15 @@ def asof_join(
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in set(on) | {ts_col}]
+    left_payload = set(left.columns) - set(on) - {ts_col}
+    clash = (set(right_cols) | {asof_ts_col}) & left_payload
+    if clash:
+        # Silently emitting two columns with one name poisons every
+        # downstream select with AMBIGUOUS_REFERENCE — fail here, where
+        # the caller can rename or narrow right_cols.
+        raise ValueError(
+            f"right_cols/asof_ts_col collide with left columns: {sorted(clash)}"
+        )
     payload = F.struct(F.col(ts_col).alias("_ts"), *[F.col(c) for c in right_cols])
 
     # right rows carry their payload; left rows carry null payload
@@ -74,9 +97,18 @@ def asof_join(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_only_cols],
     )
     u = l.unionByName(r)
+    # Tiebreak among right rows sharing (on, ts): order by the payload
+    # struct itself (nulls first, so left rows keep sorting after right
+    # rows at equal ts) whenever the payload is orderable — without it,
+    # which duplicate wins depends on partitioning/merge order. A payload
+    # containing a map is unorderable; those fall back to the 2-key sort
+    # and duplicate (on, ts) right rows resolve arbitrarily there.
+    order_keys = [F.col(ts_col).asc(), F.col("_side").asc()]
+    if not _contains_map(r.schema["_payload"].dataType):
+        order_keys.append(F.col("_payload").asc_nulls_first())
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .orderBy(*order_keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("_m", F.last("_payload", ignorenulls=True).over(w))

@@ -132,6 +132,10 @@ def pagerank_exact(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    if unit > (2**63 - 1) // 100:
+        # damping_pct * sum(contribs) must fit a BIGINT (sum of all
+        # contributions is bounded by `unit`, the total mass).
+        raise ValueError("unit must be <= (2^63-1)//100 to avoid overflow")
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
     out_deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
     nodes = (
@@ -144,9 +148,13 @@ def pagerank_exact(
     pr = nodes.withColumn("pr", F.lit(unit // n).cast("long"))
     ed = e.join(out_deg, "_s").persist()
     for _ in range(iterations):
+        # Integral `div`, not double `/` + cast: float division is only
+        # floor-exact below ~2^53, and rounds UP across an integer once
+        # 1/deg drops under half an ulp of pr (deg in the millions at a
+        # 100 TB edge list) — either breaks the bit-exact contract.
         contribs = (
             ed.join(pr, ed["_s"] == pr["node"])
-            .select("_d", (F.col("pr") / F.col("_deg")).cast("long").alias("_c"))
+            .select("_d", F.expr("pr div _deg").alias("_c"))
             .groupBy("_d")
             .agg(F.sum("_c").alias("_sc"))
         )
@@ -156,8 +164,10 @@ def pagerank_exact(
                 "node",
                 (
                     F.lit(base)
-                    + (F.lit(damping_pct) * F.coalesce(F.col("_sc"), F.lit(0)))
-                    / 100
+                    + F.expr(
+                        f"(CAST({damping_pct} AS BIGINT)"
+                        " * coalesce(_sc, CAST(0 AS BIGINT))) div 100"
+                    )
                 ).cast("long").alias("pr"),
             )
             .localCheckpoint(eager=True)

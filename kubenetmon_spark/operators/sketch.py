@@ -150,6 +150,15 @@ def heavy_hitters_weighted(
         counters: dict = {}
         for b in batches:
             sums = b.groupby(key_col)[weight_col].sum()
+            # Misra-Gries is only correct for positive increments; a
+            # negative batch weight-sum would silently evict true heavy
+            # hitters. Fail loudly instead of returning a wrong top-k.
+            if (sums < 0).any():
+                bad = sums[sums < 0].index[0]
+                raise ValueError(
+                    "heavy_hitters_weighted requires non-negative "
+                    f"weights; key {bad!r} has a negative batch sum"
+                )
             counters = _fold_mg(counters, sums, num_counters)
         yield pd.DataFrame({"key": list(counters.keys())})
 
@@ -173,7 +182,7 @@ def heavy_hitters_weighted(
 #
 # The ENGINE-EXACT twin of uniq_state/uniq_merge: where HLL packing
 # varies with merge order (and across libraries), the KMV synopsis —
-# the k smallest distinct 60-bit md5-derived hash values — is a pure
+# the k smallest distinct 52-bit md5-derived hash values — is a pure
 # SET function of the input: any engine, any partitioning, any merge
 # tree produces byte-identical states and estimates. That makes it safe
 # to persist per partition, diff across replicas, and ORACLE-CHECK
@@ -264,7 +273,7 @@ def kmv_state(
     out_col: str = "kmv_sketch",
 ) -> DataFrame:
     """Per group, the sorted array of the ``k`` smallest distinct
-    60-bit hash values — a mergeable distinct-count state that is
+    52-bit hash values — a mergeable distinct-count state that is
     bit-identical across engines and partitionings.
 
     Build shape: a zero-shuffle per-partition bottom-k fold
@@ -295,8 +304,8 @@ def kmv_merge(
     """Union KMV states and estimate distinct counts — ClickHouse's
     ``uniqMerge`` with deterministic integer math: fewer than ``k``
     values means the count is EXACT; otherwise the classic estimator
-    ``(k-1) * 2^60 div kth_min`` (all BIGINT, floor division), so every
-    engine lands on the same integer."""
+    ``(k-1) * 2^52 div kth_min`` (all BIGINT, floor division — 52 =
+    ``_KMV_BITS``), so every engine lands on the same integer."""
     merged = (
         sketches.select(*group_cols, F.explode(sketch_col).alias("_h"))
         .distinct()
@@ -437,7 +446,12 @@ def kmv_overlap(
         "group_2",
         "n_union_sample",
         "n_common",
-        F.expr("_num div n_union_sample").alias("jaccard_bp"),
+        # nullif: a group whose values were all NULL has an EMPTY
+        # sketch; a pair of such groups has a 0-size union sample, and
+        # ANSI `div` by zero would kill the whole job for one
+        # degenerate pair. Overlap of two empty sets is undefined ->
+        # NULL, matching this file's try_divide/nullif convention.
+        F.expr("_num div nullif(n_union_sample, 0)").alias("jaccard_bp"),
     )
 
 

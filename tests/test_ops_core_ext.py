@@ -574,6 +574,19 @@ class TestWeightedHeavyHitters:
         exp = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
         assert got == exp
 
+    def test_negative_weight_fails_loudly(self, spark):
+        # Misra-Gries needs positive increments; a negative weight used
+        # to silently evict true heavy hitters instead of erroring.
+        import pytest
+
+        from kubenetmon_spark.operators.sketch import heavy_hitters_weighted
+
+        df = spark.createDataFrame(
+            [("a", 10), ("b", -3), ("a", 5)], "k string, w long"
+        )
+        with pytest.raises(Exception, match="non-negative"):
+            heavy_hitters_weighted(df, "k", "w", k=2).collect()
+
 
 class TestSeasonalDecompose:
     def test_recovers_injected_pattern(self, spark):
@@ -668,6 +681,46 @@ class TestPagerankExact:
         ra = sorted((r.node, r.pr) for r in pagerank_exact(a, iterations=6).collect())
         rb = sorted((r.node, r.pr) for r in pagerank_exact(b, iterations=6).collect())
         assert ra == rb
+
+    def test_floor_exact_above_double_precision(self, spark):
+        # Regression: pr/deg was computed as DOUBLE division + cast,
+        # which stops being floor-exact once pr exceeds 2^53 (and can
+        # round UP across an integer for huge degrees). With
+        # unit=2^56 the old code diverges from true integer floor.
+        from kubenetmon_spark.operators.graph import pagerank_exact
+
+        edges = [(s, d) for s in range(7) for d in range(7) if (s * 3 + d) % 4 and s != d]
+        unit = 2**56
+        got = {
+            r.node: r.pr
+            for r in pagerank_exact(
+                spark.createDataFrame(edges, ["src", "dst"]),
+                iterations=6,
+                unit=unit,
+            ).collect()
+        }
+
+        # pure-Python integer reference (same floor-division spec)
+        nodes = sorted({n for e in edges for n in e})
+        n = len(nodes)
+        deg = {s: sum(1 for a, _ in edges if a == s) for s in nodes}
+        base = (unit * 15) // (100 * n)
+        pr = {v: unit // n for v in nodes}
+        for _ in range(6):
+            sc = {v: 0 for v in nodes}
+            for s, d in edges:
+                sc[d] += pr[s] // deg[s]
+            pr = {v: base + (85 * sc[v]) // 100 for v in nodes}
+        assert got == pr
+
+    def test_unit_overflow_guard(self, spark):
+        import pytest
+
+        from kubenetmon_spark.operators.graph import pagerank_exact
+
+        e = spark.createDataFrame([(0, 1)], ["src", "dst"])
+        with pytest.raises(ValueError, match="unit"):
+            pagerank_exact(e, unit=2**63 // 10)
 
 
 class TestSeasonalForecast:
@@ -1045,6 +1098,25 @@ class TestKmvOverlap:
         st = kmv_state(df, ["grp"], "user", k=512)
         r = kmv_overlap(st, "grp", k=512).collect()[0]
         assert abs(r.jaccard_bp - 3333) < 700  # within sampling error
+
+    def test_empty_sketch_pair_yields_null_not_div0(self, spark):
+        # Regression: two all-NULL-value groups produce EMPTY sketches;
+        # their pair's union sample is size 0 and the ANSI `div` used to
+        # kill the job with DIVIDE_BY_ZERO. Undefined overlap -> NULL.
+        from kubenetmon_spark.operators.sketch import kmv_overlap, kmv_state
+
+        df = spark.createDataFrame(
+            [("a", None), ("b", None), ("c", "u1")],
+            "grp string, user string",
+        )
+        st = kmv_state(df, ["grp"], "user", k=64)
+        got = {
+            (r.group_1, r.group_2): (r.n_union_sample, r.jaccard_bp)
+            for r in kmv_overlap(st, "grp", k=64).collect()
+        }
+        assert got[("a", "b")] == (0, None)
+        assert got[("a", "c")] == (1, 0)
+        assert got[("b", "c")] == (1, 0)
 
 
 class TestEntityClustersDeterminism:

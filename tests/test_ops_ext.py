@@ -223,6 +223,37 @@ def test_asof_join_semantics(spark):
     assert got[1].lval == "L1"  # left payload preserved
 
 
+def test_asof_join_duplicate_right_ts_deterministic(spark):
+    # Regression: duplicate right rows at equal (key, ts) used to
+    # resolve by partition/merge order; with an orderable payload the
+    # MAX payload struct now wins deterministically.
+    from kubenetmon_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 100)], "event_id long, k string, ts long"
+    )
+    right_rows = [("a", 50, "v1"), ("a", 50, "v9"), ("a", 50, "v5")]
+    for seed in range(3):
+        right = spark.createDataFrame(
+            right_rows[seed:] + right_rows[:seed], "k string, ts long, rval string"
+        ).repartition(seed + 2)
+        got = asof_join(left, right, on=["k"], ts_col="ts").collect()[0]
+        assert got.rval == "v9"
+
+
+def test_asof_join_column_collision_fails_loudly(spark):
+    # Regression: a right payload column named like a left column used
+    # to emit two same-named output columns (ambiguous downstream).
+    import pytest
+
+    from kubenetmon_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("a", 10, 1)], "k string, ts long, val long")
+    right = spark.createDataFrame([("a", 5, 2)], "k string, ts long, val long")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on=["k"], ts_col="ts")
+
+
 def test_winnow_arrow_equals_sql(spark):
     df = spark.createDataFrame(
         [(1, "  the quick brown fox jumps over the lazy dog  "),
