@@ -273,6 +273,11 @@ def ranking_metrics(
     import math
 
     L = math.lcm(*range(2, k + 2))
+    # Discount table L // (rank+1) precomputed driver-side as exact
+    # Python integers: L = lcm(2..k+1) passes 2^53 around k=40, where a
+    # double division would stop being floor-exact and silently break
+    # the hash-matchable contract. k+1 literal longs, broadcast free.
+    disc = F.array(*[F.lit(L // d).cast("long") for d in range(2, k + 2)])
 
     q = F.col(query_col)
     rel_pos = qrels.filter(F.col(rel_col) > 0)
@@ -300,7 +305,8 @@ def ranking_metrics(
         F.count(F.lit(1)).cast("long").alias("_n_ret"),
         F.min(F.when(F.col("_rel") > 0, F.col("_rank"))).alias("_first"),
         F.sum(
-            F.col("_rel") * F.lit(L).cast("long") / (F.col("_rank") + 1)
+            F.col("_rel").cast("long")
+            * F.element_at(disc, F.col("_rank").cast("int"))
         )
         .cast("long")
         .alias("_dcg"),
@@ -321,11 +327,8 @@ def ranking_metrics(
             F.aggregate(
                 F.zip_with(
                     F.col("_top"),
-                    F.sequence(
-                        F.lit(2), F.size(F.col("_top")) + F.lit(1)
-                    ),
-                    lambda r, d: r.cast("long")
-                    * F.floor(F.lit(L).cast("long") / d).cast("long"),
+                    F.slice(disc, 1, F.size(F.col("_top"))),
+                    lambda r, w: r.cast("long") * w,
                 ),
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
@@ -339,23 +342,19 @@ def ranking_metrics(
             F.col("_query").alias(query_col),
             "n_rel",
             "hits_k",
-            F.floor(
-                F.col("hits_k") * F.lit(1000000) / F.col("n_rel")
-            )
-            .cast("long")
-            .alias("recall_k_ppm"),
-            F.floor(
-                F.col("hits_k") * F.lit(1000000) / F.col("_n_ret")
-            )
-            .cast("long")
-            .alias("precision_k_ppm"),
+            # all ratios are integral `div`, not floor(double): hits/n
+            # are small, but _dcg * 1e6 crosses 2^53 around k=25 with
+            # graded rels — decimal div keeps every engine on the same
+            # integer at any k.
+            F.expr("(hits_k * 1000000L) div n_rel").alias("recall_k_ppm"),
+            F.expr("(hits_k * 1000000L) div _n_ret").alias("precision_k_ppm"),
             F.coalesce(
-                F.floor(F.lit(1000000) / F.col("_first")).cast("long"),
-                F.lit(0).cast("long"),
+                F.expr("1000000L div _first"), F.lit(0).cast("long")
             ).alias("mrr_ppm"),
-            F.floor(F.col("_dcg") * F.lit(1000000) / F.col("_idcg"))
-            .cast("long")
-            .alias("ndcg_k_ppm"),
+            F.expr(
+                "CAST((CAST(_dcg AS DECIMAL(38,0)) * 1000000) div "
+                "CAST(_idcg AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("ndcg_k_ppm"),
         )
     )
     return out

@@ -77,15 +77,30 @@ def stratified_sample_exact(
 
     ``id_col`` must uniquely identify rows; duplicate ids make the
     rank among their copies arbitrary (same caveat as any hash draw).
+    NULL ids fail loudly: a NULL hash sorts FIRST in Spark's window but
+    LAST in the bounded fold's pandas sort, so letting it through would
+    make ``bounded`` silently change which rows win the draw.
     """
     from pyspark.sql.window import Window
 
     from kubenetmon_spark.operators.sketch import _partition_bottom_k
 
     rest = [c for c in df.columns if c not in strata_cols and c != id_col]
+    h = F.coalesce(
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    "stratified_sample_exact: NULL id — id_col must "
+                    "uniquely identify rows; filter or fill NULL ids first"
+                )
+            ).cast("string"),
+        ),
+        F.md5(F.col(id_col).cast("string")),
+    )
     sel = df.select(
         *strata_cols,
-        F.md5(F.col(id_col).cast("string")).alias("_h"),
+        h.alias("_h"),
         id_col,
         *rest,
     )

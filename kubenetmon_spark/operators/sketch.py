@@ -281,7 +281,15 @@ def kmv_state(
     hash shuffle, which then carries at most ``k`` longs per
     (partition, group) — no global distinct over every (group, hash)
     pair, and no unbounded collect. Final state size is at most ``k``
-    longs per group."""
+    longs per group.
+
+    NULL values are skipped, but their GROUPS are kept (empty-array
+    state — ClickHouse GROUP BY semantics, and what kmv_overlap's
+    empty-pair guard expects). The mechanism is deliberate even though
+    it reads incidental: NULL hashes sort LAST in the fold's pandas
+    sort (never displacing a real value from the bottom-k) and the
+    final ``collect_set`` drops them — an explicit pre-filter would
+    erase all-NULL groups entirely, which is the wrong contract."""
     h = _kmv_hash(value_col).alias("_h")
     pre = _partition_bottom_k(
         df.select(*group_cols, h), group_cols, k, dedup=True
@@ -347,8 +355,24 @@ def quantile_sample_state(
 
     Bounded build: the per-partition bottom-k fold runs first (zero
     shuffle), so the per-group collect sees at most ``k`` rows per
-    input partition — never the whole group (ADVICE r02)."""
-    h = _kmv_hash(key_col).alias("_h")
+    input partition — never the whole group (ADVICE r02).
+
+    NULL keys fail loudly: a NULL hash sorts LAST in the fold's pandas
+    sort but FIRST in the final ``sort_array``, so letting one through
+    would let a junk entry displace real sample rows — and a NULL key
+    breaks the uniqueness contract anyway."""
+    h = F.coalesce(
+        F.when(
+            F.col(key_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    "quantile_sample_state: NULL key — key_col must "
+                    "uniquely identify rows within the group"
+                )
+            ).cast("long"),
+        ),
+        _kmv_hash(key_col),
+    ).alias("_h")
     pre = _partition_bottom_k(
         df.select(*group_cols, h, F.col(value_col).alias("_v")),
         group_cols,

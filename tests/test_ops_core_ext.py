@@ -152,6 +152,23 @@ class TestStratifiedSampleExact:
             )
             assert got == want  # fold is partitioning-invariant + exact
 
+    def test_null_id_fails_loudly(self, spark):
+        # Regression: a NULL id hashes to NULL, which sorts FIRST in
+        # Spark's window but LAST in the bounded fold's pandas sort —
+        # bounded/unbounded silently disagreed on which rows win.
+        import pytest
+
+        from kubenetmon_spark.operators.sampling import stratified_sample_exact
+
+        df = spark.createDataFrame(
+            [(1, "s"), (None, "s"), (2, "s")], "id long, stratum string"
+        )
+        for bounded in (True, False):
+            with pytest.raises(Exception, match="NULL id"):
+                stratified_sample_exact(
+                    df, ["stratum"], 2, "id", bounded=bounded
+                ).collect()
+
 
 class TestRedaction:
     def test_counts_and_replacement(self, spark):
@@ -1044,6 +1061,31 @@ class TestQuantileSketch:
             ["grp"], [0, 50, 100], k=256,
         ).collect()[0]
         assert (whole.p0, whole.p50, whole.p100) == (got.p0, got.p50, got.p100)
+
+    def test_null_key_fails_loudly(self, spark):
+        # Regression: a NULL key's NULL hash sorted LAST in the fold
+        # but FIRST in the final sort_array — it could displace a real
+        # sample row. NULL keys break the uniqueness contract: raise.
+        import pytest
+
+        from kubenetmon_spark.operators.sketch import quantile_sample_state
+
+        df = spark.createDataFrame(
+            [("g", "k1", 1), ("g", None, 2)], "grp string, k string, v long"
+        )
+        with pytest.raises(Exception, match="NULL key"):
+            quantile_sample_state(df, ["grp"], "v", "k", k=8).collect()
+
+    def test_kmv_state_skips_null_values(self, spark):
+        from kubenetmon_spark.operators.sketch import kmv_merge, kmv_state
+
+        df = spark.createDataFrame(
+            [("g", "a"), ("g", None), ("g", "b"), ("g", None)],
+            "grp string, v string",
+        )
+        st = kmv_state(df, ["grp"], "v", k=8)
+        got = kmv_merge(st, ["grp"], k=8).collect()[0]
+        assert got.n_distinct_est == 2  # NULLs skipped, exact below k
 
     def test_partition_invariance_and_accuracy(self, spark):
         from pyspark.sql import functions as F

@@ -217,3 +217,25 @@ class TestRankingMetrics:
 
         with pytest.raises(ValueError):
             ranking_metrics(None, None, k=0)
+
+    def test_large_k_stays_integer_exact(self, spark):
+        # Regression: at k=40, L = lcm(2..41) > 2^53 and the old
+        # floor(double) discount/ppm math silently drifted off the
+        # exact-integer contract. Compare against a pure-Python
+        # integer reference at k=40.
+        import math
+
+        k = 40
+        L = math.lcm(*range(2, k + 2))
+        assert L > 2**53  # the regime the fix targets
+        runs = [("q", d, d) for d in range(1, k + 1)]
+        qrels = [("q", d, 1 + d % 3) for d in range(1, k + 1, 2)]
+        got = self._run(spark, runs, qrels, k=k)["q"]
+
+        rel = {d: r for _, d, r in qrels}
+        dcg = sum(rel.get(d, 0) * (L // (d + 1)) for d in range(1, k + 1))
+        top = sorted(rel.values(), reverse=True)[:k]
+        idcg = sum(r * (L // (i + 2)) for i, r in enumerate(top))
+        assert got.ndcg_k_ppm == (dcg * 1_000_000) // idcg
+        assert got.mrr_ppm == 1_000_000 // 1  # doc 1 is relevant at rank 1
+        assert got.recall_k_ppm == (got.hits_k * 1_000_000) // len(qrels)
