@@ -15,6 +15,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _join_groups_nullsafe(
+    left: DataFrame, right: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Inner join on group keys with ``eqNullSafe`` per key, keeping the
+    LEFT side's key columns — ``join(on=[cols])`` uses plain equality,
+    which silently drops NULL group keys that the upstream groupBy kept."""
+    r = right
+    for g in group_cols:
+        r = r.withColumnRenamed(g, f"_r_{g}")
+    cond = F.lit(True)
+    for g in group_cols:
+        cond = cond & left[g].eqNullSafe(r[f"_r_{g}"])
+    return left.join(r, cond).drop(*[f"_r_{g}" for g in group_cols])
+
+
 def two_phase_count_distinct(
     df: DataFrame, keys: list[str], value_col: str, out_col: str = "n_distinct"
 ) -> DataFrame:
@@ -25,9 +40,16 @@ def two_phase_count_distinct(
     distinct-value count, not its row count. Phase 2 counts the surviving
     rows per key. Identical result to countDistinct, different shuffle
     shape; use when a key can hold a large fraction of all rows.
+
+    NULL values are filtered first: ``countDistinct`` ignores NULLs,
+    but a (key, NULL) group would survive phase 1 and count as one
+    extra distinct in phase 2. (Keys whose values are ALL NULL are
+    consequently absent, exactly like countDistinct-over-groupBy —
+    there is no group to emit a 0 for.)
     """
     return (
-        df.groupBy(*keys, value_col)
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
         .agg(F.lit(1).alias("_one"))
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias(out_col))
@@ -75,8 +97,17 @@ def width_bucket_histogram(
     v_e2 = (F.col(value_col).cast(f"decimal(18,{decimals})") * (10**decimals)).cast(
         "bigint"
     )
-    return df.groupBy(
-        *group_cols, F.floor(v_e2 / bucket_width_e2).alias("bucket")
+    # floor via pmod + integral div, not floor(double/): a double
+    # quotient is only floor-exact below 2^53, and a bare `div`
+    # truncates toward zero (wrong bucket for negative values).
+    # (v - pmod(v, w)) is exactly divisible by w with pmod always
+    # non-negative, so the composite IS the mathematical floor at any
+    # int64 magnitude.
+    w = int(bucket_width_e2)
+    keyed = df.withColumn("_ve2", v_e2)
+    return keyed.groupBy(
+        *group_cols,
+        F.expr(f"(_ve2 - pmod(_ve2, {w})) div {w}").alias("bucket"),
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -221,7 +252,10 @@ def bitmap_aggregate(
     n_sets = trip.groupBy(*group_cols).agg(
         F.count_distinct(F.col(set_col)).alias("_nk")
     )
-    joined = per_elem.join(n_sets, group_cols)
+    # null-SAFE join-back: groupBy keeps a NULL group key, but the plain
+    # equi-join would drop it — the NULL group's cardinalities would
+    # silently vanish from the result.
+    joined = _join_groups_nullsafe(per_elem, n_sets, group_cols)
     return joined.groupBy(*group_cols).agg(
         F.max("_nk").cast("long").alias("n_sets"),
         F.count(F.when(F.col("_k") == F.col("_nk"), 1)).alias("and_card"),
@@ -332,7 +366,9 @@ def sparkbar(
     mm = df.groupBy(*group_cols).agg(
         F.min(x_col).alias("_minx"), F.max(x_col).alias("_maxx")
     )
-    j = df.join(mm, group_cols)
+    # null-safe join-back, same reason as bitmap_aggregate: a NULL
+    # group key must keep its bar instead of silently dropping
+    j = _join_groups_nullsafe(df, mm, group_cols)
     # `div` (true integer division), never float `/`: a double quotient
     # can round across an integer boundary for large values
     bucket = F.expr(
@@ -434,9 +470,12 @@ def agg_resample(
     if step <= 0 or end <= start:
         raise ValueError("need step > 0 and end > start")
     nb = (int(end) - int(start) + int(step) - 1) // int(step)
-    bucket = F.floor(
-        (F.col(key_col).cast("long") - F.lit(int(start))) / F.lit(int(step))
-    ).cast("long")
+    # key - start is non-negative after the range filter, so integral
+    # `div` IS floor — and stays exact past 2^53 where floor(double/)
+    # silently drifts.
+    bucket = F.expr(
+        f"(CAST({key_col} AS BIGINT) - {int(start)}) div {int(step)}"
+    )
     g = (
         df.filter(
             (F.col(key_col) >= F.lit(int(start)))

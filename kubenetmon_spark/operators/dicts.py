@@ -125,6 +125,23 @@ def dict_get_range(
     dim × dim, never facts.
     """
     if strict:
+        # Two probes cover every overlap: the self-join needs a strict
+        # a.start < b.start to avoid matching a row with itself, which
+        # would miss pairs sharing a START (equal starts always overlap
+        # — both ranges contain the start — including exact duplicate
+        # rows, where no inequality can tell a from b). Those are the
+        # groupBy's job.
+        dup = (
+            dim.groupBy(*key_cols, start_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"range_hashed dim has {dup} (key, start) group(s) with "
+                "more than one range — equal-start ranges always overlap"
+            )
         a, b = dim.alias("a"), dim.alias("b")
         cond = F.lit(True)
         for k in key_cols:

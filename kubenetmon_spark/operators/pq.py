@@ -62,7 +62,12 @@ def pq_train(
     (same convention as ``clustering.kmeans_fit``). Empty clusters keep
     their previous centroid. One scan + one m*k-row shuffle per
     iteration, regardless of m.
+
+    NULL embeddings are dropped before training (one degenerate crawl
+    row must not kill the whole fit — the sign-LSH convention in
+    operators/similarity.py).
     """
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     first = (
         vectors.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
@@ -140,7 +145,9 @@ def pq_encode(
     out_col: str = "pq_code",
 ) -> DataFrame:
     """Append the m-byte PQ code (array<int>, one codebook index per
-    subspace; ties -> lowest index via argmin). Shuffle-free Arrow scan."""
+    subspace; ties -> lowest index via argmin). Shuffle-free Arrow scan.
+    A NULL embedding keeps its row with a NULL code (the row survives;
+    a null array can't be quantized) — no crash, no silent drop."""
     m, k, dsub = codebooks.shape
     sc = vectors.sparkSession.sparkContext
     bc = sc.broadcast(np.asarray(codebooks, dtype=np.float64))
@@ -156,15 +163,25 @@ def pq_encode(
         for b in batches:
             if not len(b):
                 continue
-            v = np.array(
-                [np.asarray(x, dtype=np.float64) for x in b[vec_col]]
-            ).reshape(len(b), m, dsub)
-            codes = np.empty((len(b), m), dtype=np.int32)
-            for j in range(m):
-                d = -2.0 * (v[:, j, :] @ cb[j].T) + cb_sq[j]
-                codes[:, j] = np.argmin(d, axis=1)
+            ok = b[vec_col].notna().to_numpy()
+            out = [None] * len(b)
+            if ok.any():
+                v = np.array(
+                    [
+                        np.asarray(x, dtype=np.float64)
+                        for x in b[vec_col][ok]
+                    ]
+                ).reshape(int(ok.sum()), m, dsub)
+                codes = np.empty((int(ok.sum()), m), dtype=np.int32)
+                for j in range(m):
+                    d = -2.0 * (v[:, j, :] @ cb[j].T) + cb_sq[j]
+                    codes[:, j] = np.argmin(d, axis=1)
+                it = iter(codes)
+                out = [
+                    next(it).tolist() if good else None for good in ok
+                ]
             b = b.copy()
-            b[out_col] = [row.tolist() for row in codes]
+            b[out_col] = out
             yield b
 
     return vectors.mapInPandas(enc, out_schema)
@@ -209,7 +226,10 @@ def pq_topk(
             yield pd.DataFrame({id_col: b[id_col], "adc_dist": dist})
 
     return (
+        # NULL codes (pq_encode's NULL-embedding rows) are unscoreable:
+        # filtered scan-side, never reaching the numpy gather.
         encoded.select(id_col, code_col)
+        .filter(F.col(code_col).isNotNull())
         .mapInPandas(score, out_schema)
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(topk)
@@ -297,6 +317,7 @@ def ivfpq_topk(
 
     return (
         vectors.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
         .mapInPandas(score, out_schema)
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(topk)
@@ -321,8 +342,14 @@ def pq_train_residual(
 
     from kubenetmon_spark.operators.clustering import kmeans_assign
 
-    # residuals as a transient projection (never lands at rest)
-    assigned = kmeans_assign(vectors, cc, id_col=id_col, vec_col=vec_col)
+    # residuals as a transient projection (never lands at rest);
+    # NULL embeddings dropped up front, matching pq_train
+    assigned = kmeans_assign(
+        vectors.filter(F.col(vec_col).isNotNull()),
+        cc,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
 
     def residualize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

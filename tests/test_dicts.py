@@ -140,6 +140,24 @@ class TestDictGetRange:
             == 100
         )
 
+    def test_strict_refuses_equal_start_overlap(self, spark):
+        # Regression: the self-join probe needs a.start < b.start, so
+        # two ranges sharing a START (incl. exact duplicate rows) used
+        # to slip past strict=True and silently duplicate facts.
+        from kubenetmon_spark.operators.dicts import dict_get_range
+
+        facts = spark.createDataFrame([(1, 22)], "k int, ts int")
+        same_start = self._dim(spark, [(1, 20, 25, 100), (1, 20, 29, 200)])
+        with pytest.raises(ValueError, match="equal-start"):
+            dict_get_range(
+                facts, same_start, ["k"], "ts", "r_start", "r_end", strict=True
+            )
+        dup_rows = self._dim(spark, [(1, 20, 29, 200), (1, 20, 29, 200)])
+        with pytest.raises(ValueError, match="equal-start"):
+            dict_get_range(
+                facts, dup_rows, ["k"], "ts", "r_start", "r_end", strict=True
+            )
+
     def test_broadcast_plan_no_fact_shuffle(self, spark):
         from kubenetmon_spark.operators.dicts import dict_get_range
 

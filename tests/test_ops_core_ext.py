@@ -527,6 +527,37 @@ class TestExactMoments:
         for r in h.collect():
             assert r.bucket >= 0
 
+    def test_histogram_floor_on_negatives(self, spark):
+        # Regression: bucket was floor(double /); now pmod+div — must
+        # still round toward -inf for negative values, not toward zero.
+        from kubenetmon_spark.operators.agg import width_bucket_histogram
+
+        df = spark.createDataFrame(
+            [("g", -0.01), ("g", -25.00), ("g", -25.01), ("g", 0.0), ("g", 24.99)],
+            "k string, value double",
+        )
+        got = {
+            r.bucket: r.n
+            for r in width_bucket_histogram(df, "value", ["k"], 2500).collect()
+        }
+        # buckets of 25.00: [-50, -25) -> -2, [-25, 0) -> -1, [0, 25) -> 0
+        assert got == {-2: 1, -1: 2, 0: 2}
+
+    def test_two_phase_count_distinct_ignores_nulls(self, spark):
+        # Regression: a (key, NULL) group survived phase 1 and counted
+        # as one extra distinct vs countDistinct.
+        from kubenetmon_spark.operators.agg import two_phase_count_distinct
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", None), ("a", 2), ("b", None)],
+            "k string, v int",
+        )
+        got = {
+            r.k: r.n_distinct
+            for r in two_phase_count_distinct(df, ["k"], "v").collect()
+        }
+        assert got == {"a": 2}  # b has only NULLs -> absent, like countDistinct
+
 
 class TestUniqStateMerge:
     def test_union_of_parts_equals_whole_and_close_to_exact(self, spark):

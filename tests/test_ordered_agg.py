@@ -686,6 +686,20 @@ class TestBitmapAggregate:
         ).collect()[0]
         assert (r.n_sets, r.and_card, r.or_card, r.xor_card) == (1, 10, 10, 10)
 
+    def test_null_group_key_survives(self, spark):
+        # Regression: the join-back on group cols used plain equality,
+        # so the NULL group's cardinalities silently vanished.
+        from kubenetmon_spark.operators.agg import bitmap_aggregate
+
+        rows = [(None, 1, 1), (None, 1, 2), (None, 2, 2), ("g", 1, 9)]
+        df = spark.createDataFrame(rows, "grp string, s int, elem int")
+        got = {
+            r.grp: (r.n_sets, r.and_card, r.or_card, r.xor_card)
+            for r in bitmap_aggregate(df, ["grp"], "s", "elem").collect()
+        }
+        assert got[None] == (2, 1, 2, 1)
+        assert got["g"] == (1, 1, 1, 1)
+
 
 class TestMaxIntersections:
     def test_matches_python_sweep(self, spark):
@@ -1021,6 +1035,17 @@ class TestSparkbar:
         df = spark.createDataFrame([("g", 4, 5), ("g", 4, 5)], ["k", "x", "y"])
         got = sparkbar(df, ["k"], "x", "y", width=3).collect()[0].sparkbar
         assert got == "█  "  # all mass in bucket 0, rest empty
+
+    def test_null_group_key_survives(self, spark):
+        from kubenetmon_spark.operators.agg import sparkbar
+
+        df = spark.createDataFrame(
+            [(None, 0, 1), (None, 1, 7), ("g", 0, 3)],
+            "k string, x int, y int",
+        )
+        got = {r.k: r.sparkbar for r in sparkbar(df, ["k"], "x", "y", width=2).collect()}
+        assert set(got) == {None, "g"}
+        assert got[None] == "▂█"
 
 
 class TestMeanZTest:

@@ -176,3 +176,21 @@ class TestIVFPQ:
         raw_err = recon_err(V, raw_books)
         res_err = recon_err(V - coarse[assign], res_books)
         assert res_err < raw_err
+
+
+def test_null_embeddings_survive_pipeline(spark, clustered):
+    # Regression: one NULL embedding crashed every numpy reshape in the
+    # PQ family. Train drops it, encode keeps the row with a NULL code,
+    # search never scores it.
+    df, _ = clustered
+    dirty = df.unionByName(
+        spark.createDataFrame([(9999, None)], "vec_id long, embedding array<double>")
+    )
+    books = pq_train(dirty, m=4, k=8, n_iter=2)
+    enc = pq_encode(dirty, books)
+    rows = {r.vec_id: r.pq_code for r in enc.collect()}
+    assert rows[9999] is None
+    assert len(rows) == 241 and rows[0] is not None
+    q = [0.0] * 16
+    top = pq_topk(enc, books, q, topk=5).collect()
+    assert 9999 not in {r.vec_id for r in top}
