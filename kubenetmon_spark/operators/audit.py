@@ -124,7 +124,9 @@ def table_diff(
     ).withColumn("_r", F.lit(1))
     cond = None
     for c in key_cols:
-        eq = F.col(f"_l_{c}") == F.col(f"_r_{c}")
+        # eqNullSafe: a NULL-keyed row must match ITSELF across sides —
+        # plain equality would report it as removed+added every diff
+        eq = F.col(f"_l_{c}").eqNullSafe(F.col(f"_r_{c}"))
         cond = eq if cond is None else (cond & eq)
     j = l.join(r, cond, "full_outer")
 

@@ -141,6 +141,10 @@ def refresh_rollup(
         (
             partials.repartition(F.col(partition_col))
             .write.mode("overwrite")
+            # pinned per-write (sink.py convention), NOT inherited from
+            # the session: under the default "static" mode this
+            # overwrite would wipe every untouched rollup partition
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partition_col)
             .parquet(rollup_path)
         )

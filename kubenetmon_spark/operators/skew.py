@@ -35,7 +35,17 @@ def salted_join(
     The large side gets a random-free, deterministic salt from a hash of
     ALL its columns (uniform, reproducible); the small side is exploded
     to every salt value so each bucket can satisfy the join.
+
+    Join types preserving the SMALL side's unmatched rows (right/full
+    outer) are refused: the small side is replicated ``salt_n`` times,
+    so each of its unmatched rows would surface ``salt_n`` duplicates.
     """
+    if how.replace("_", "").lower() in {"right", "rightouter", "full", "fullouter", "outer"}:
+        raise ValueError(
+            f"salted_join cannot preserve small-side unmatched rows "
+            f"(how={how!r}): the replicated small side would emit "
+            f"{salt_n} duplicates per unmatched row"
+        )
     lcols = [c for c in large.columns]
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in lcols]), F.lit(salt_n))
     l = large.withColumn("_salt", salt)

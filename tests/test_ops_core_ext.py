@@ -280,6 +280,22 @@ class TestSkewTools:
         b = {r.k: r.v for r in df.groupBy("k").agg(F.sum("v").alias("v")).collect()}
         assert a == b
 
+    def test_salted_join_refuses_small_side_outer(self, spark):
+        # Regression: right/full outer would emit salt_n duplicates of
+        # every unmatched small-side row (the small side is replicated).
+        import pytest
+
+        from kubenetmon_spark.operators.skew import salted_join
+
+        large = spark.createDataFrame([(1, 1)], "k long, v long")
+        small = spark.createDataFrame([(2, "d")], "k long, d string")
+        for how in ("right", "right_outer", "full", "full_outer", "outer"):
+            with pytest.raises(ValueError, match="unmatched"):
+                salted_join(large, small, ["k"], salt_n=4, how=how)
+        # left outer is fine: unmatched LARGE rows are not replicated
+        got = salted_join(large, small, ["k"], salt_n=4, how="left").collect()
+        assert len(got) == 1 and got[0].d is None
+
 
 class TestSCD2:
     def test_intervals_from_snapshots(self, spark):
@@ -1777,6 +1793,18 @@ class TestTableDiff:
             [(1, "a", 999)], "k long, s string, v int"
         )
         assert table_diff(left, right, ["k"], ["s"]).count() == 0
+
+    def test_null_key_matches_itself(self, spark):
+        # Regression: plain key equality reported a NULL-keyed row as
+        # removed+added every diff; eqNullSafe matches it to itself.
+        from kubenetmon_spark.operators.audit import table_diff
+
+        left = spark.createDataFrame([(None, "a")], "k string, s string")
+        right = spark.createDataFrame([(None, "b")], "k string, s string")
+        got = table_diff(left, right, ["k"]).collect()
+        assert [(r.k, r.status, list(r.changed_cols)) for r in got] == [
+            (None, "changed", ["s"])
+        ]
 
 
 class TestReviewHardening:
