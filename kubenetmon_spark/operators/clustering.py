@@ -69,8 +69,11 @@ def kmeans_fit(
 
     Stops early when the max centroid shift (L2) drops below ``tol``.
     Empty clusters keep their previous centroid (deterministic, no
-    respawn randomness).
+    respawn randomness). NULL embeddings are dropped before the fit
+    (one degenerate crawl row must not kill the job — the PQ/sign-LSH
+    convention).
     """
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     cents = _init_centroids(vectors, k, id_col, vec_col)
     dim = cents.shape[1]
     sc = vectors.sparkSession.sparkContext
@@ -147,12 +150,22 @@ def kmeans_assign(
         for b in batches:
             if not len(b):
                 continue
-            v = np.array([np.asarray(x, dtype=np.float64) for x in b[vec_col]])
-            d = -2.0 * (v @ c.T) + c_sq
-            cl = np.argmin(d, axis=1)
+            # NULL embeddings keep their row with NULL cluster/sq_dist
+            # (pq_encode convention) instead of crashing the reshape
+            ok = b[vec_col].notna().to_numpy()
             b = b.copy()
-            b["cluster"] = cl.astype(np.int32)
-            b["sq_dist"] = d[np.arange(len(v)), cl] + (v * v).sum(axis=1)
+            b["cluster"] = pd.array([None] * len(b), dtype="Int32")
+            b["sq_dist"] = np.full(len(b), np.nan)
+            if ok.any():
+                v = np.array(
+                    [np.asarray(x, dtype=np.float64) for x in b[vec_col][ok]]
+                )
+                d = -2.0 * (v @ c.T) + c_sq
+                cl = np.argmin(d, axis=1)
+                b.loc[ok, "cluster"] = cl.astype(np.int32)
+                b.loc[ok, "sq_dist"] = d[np.arange(len(v)), cl] + (v * v).sum(
+                    axis=1
+                )
             yield b
 
     schema = StructType(
@@ -211,13 +224,15 @@ def kmeans_fit_exact(
     early exit); empty clusters keep their previous centroid. Per
     iteration: one Arrow scan emitting per-batch integer partial sums,
     one k-row shuffle, a k x dim driver update — same plan shape and
-    cost as ``kmeans_fit``.
+    cost as ``kmeans_fit``. NULL embeddings are dropped (kmeans_fit
+    convention).
 
     Overflow margins (int64): per-dim |q| <= scale * max|x|; batch
     partial sums add len(batch) of them and distances square one
     difference times dim — all far inside 2^63 for embedding-range
     inputs at the default scale.
     """
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     init_rows = (
         vectors.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
@@ -297,15 +312,21 @@ def kmeans_assign_exact(
         for b in batches:
             if not len(b):
                 continue
-            q = np.floor(
-                np.array(
-                    [np.asarray(x, dtype=np.float64) for x in b[vec_col]]
-                )
-                * scale
-            ).astype(np.int64)
-            d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            ok = b[vec_col].notna().to_numpy()
             b = b.copy()
-            b["cluster"] = np.argmin(d, axis=1).astype(np.int32)
+            b["cluster"] = pd.array([None] * len(b), dtype="Int32")
+            if ok.any():
+                q = np.floor(
+                    np.array(
+                        [
+                            np.asarray(x, dtype=np.float64)
+                            for x in b[vec_col][ok]
+                        ]
+                    )
+                    * scale
+                ).astype(np.int64)
+                d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                b.loc[ok, "cluster"] = np.argmin(d, axis=1).astype(np.int32)
             yield b
 
     schema = StructType(

@@ -161,3 +161,34 @@ class TestKmeansExact:
             cents.append(kmeans_fit_exact(df, k=3, n_iter=4))
         # int64 partial sums are associative: same bits, any partitioning
         assert (cents[0] == cents[1]).all()
+
+
+def test_null_embeddings_survive(spark):
+    # Regression: a single NULL embedding crashed the numpy reshape in
+    # fit and assign. Fit drops NULLs; assign keeps the row with a NULL
+    # cluster.
+    import numpy as np
+
+    from kubenetmon_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_assign_exact,
+        kmeans_fit,
+        kmeans_fit_exact,
+    )
+
+    rows = [(i, [float(i % 3), float(i % 5)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    dirty = df.unionByName(
+        spark.createDataFrame([(99, None)], "vec_id long, embedding array<double>")
+    )
+    cents = kmeans_fit(dirty, k=3, n_iter=2)
+    got = {r.vec_id: r.cluster for r in kmeans_assign(dirty, cents).collect()}
+    assert got[99] is None and len(got) == 31
+    assert all(v is not None for k, v in got.items() if k != 99)
+
+    icents = kmeans_fit_exact(dirty, k=3, n_iter=2)
+    got_i = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign_exact(dirty, np.asarray(icents)).collect()
+    }
+    assert got_i[99] is None and len(got_i) == 31
