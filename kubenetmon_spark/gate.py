@@ -9302,8 +9302,13 @@ def q195(spark, sf_dir):
     "q196_ols_two_features",
     """
     WITH e AS (
-      SELECT event_type, user_id % 97 AS x1, event_id % 89 AS x2,
-             (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) % 10007
+      -- scales sized for the overflow contract THROUGH sf1 (n ~ 2e5
+      -- per group): 24*n^5*Mx^4*My with Mx=30, My=1008 is ~6e36 of
+      -- the 5e37 budget; the previous %97/%89/%10007 scales tripped
+      -- the ols2_exact guard at sf0.1 (n ~ 2e4 made the single-M form
+      -- fire) and genuinely overflow decimal(38,0) at sf1
+      SELECT event_type, user_id % 31 AS x1, event_id % 29 AS x2,
+             (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) % 1009
                AS y
       FROM events
     ),
@@ -9348,11 +9353,11 @@ def q196(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
-        (F.col("user_id") % 97).alias("x1"),
-        (F.col("event_id") % 89).alias("x2"),
+        (F.col("user_id") % 31).alias("x1"),
+        (F.col("event_id") % 29).alias("x2"),
         (
             (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-            % 10007
+            % 1009
         ).alias("y"),
     )
     return (

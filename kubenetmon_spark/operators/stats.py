@@ -855,14 +855,20 @@ def ols2_exact(
     exact integer strings (num/den pairs hash identically across
     engines) plus convenience float betas.
 
-    Overflow contract (ENFORCED, fail-loud): with M = max(|x1|, |x2|,
-    |y|) per group, the worst term is |b0_num| ≤ ~16·n⁵M⁵, so
-    decimal(38,0) is safe when n·M ≤ 2e7 (e.g. n ≤ 1e4 at M ≤ 2e3, or
-    n ≤ 1e6 at M ≤ 20). A per-group tripwire raises a clear rescale
-    message instead of an opaque NUMERIC_VALUE_OUT_OF_RANGE mid-plan
-    (non-ANSI engines would silently NULL the betas — worse). One
-    hash-agg shuffle; everything else is per-group scalar algebra on
-    one row per group.
+    Overflow contract (ENFORCED, fail-loud): with Mx = max(|x1|, |x2|)
+    and My = max|y| per group, the binding term is
+      |b0_num| = |Sy·D − N1·S1 − N2·S2| ≤ 24·n⁵·Mx⁴·My
+    (D ≤ 8n⁴Mx⁴, N1/N2 ≤ 8n⁴Mx³My, each |S| ≤ nM — a rigorous worst
+    case, derived term-by-term). A per-group tripwire raises a clear
+    rescale message when that bound exceeds 5e37 (2× inside the
+    decimal(38,0) ceiling) instead of an opaque
+    NUMERIC_VALUE_OUT_OF_RANGE mid-plan (non-ANSI engines would
+    silently NULL the betas — worse). Tracking the FEATURE scale
+    separately from the TARGET scale matters: the single-M form of
+    this bound (~n·M ≤ 2e7) rejected realistic fixed-point targets
+    (y ~ 1e4 cents over 2e4 rows) whose x-moments were tiny and whose
+    algebra fit with 4 digits to spare. One hash-agg shuffle;
+    everything else is per-group scalar algebra on one row per group.
     """
     x1, x2, y = F.col(x1_col), F.col(x2_col), F.col(y_col)
     agg = df.groupBy(*group_cols).agg(
@@ -875,9 +881,8 @@ def ols2_exact(
         F.sum(x1 * x2).alias("s12"),
         F.sum(x1 * y).alias("s1y"),
         F.sum(x2 * y).alias("s2y"),
-        F.greatest(
-            F.max(F.abs(x1)), F.max(F.abs(x2)), F.max(F.abs(y))
-        ).alias("_m"),
+        F.greatest(F.max(F.abs(x1)), F.max(F.abs(x2))).alias("_mx"),
+        F.max(F.abs(y)).alias("_my"),
     )
     D38 = "decimal(38,0)"
 
@@ -895,20 +900,31 @@ def ols2_exact(
     n2 = c2y * c11 - c1y * c12
     n0 = dec("sy") * det - n1 * dec("s1") - n2 * dec("s2")
     # fail-loud tripwire BEFORE the decimal algebra can overflow: the
-    # guard column is referenced by det's branch so it evaluates first
+    # guard column is referenced by det's branch so it evaluates first.
+    # Bound computed in doubles — n⁵·Mx⁴·My tops out near 1e190 for
+    # int64 inputs, far inside double range, and a worst-case ESTIMATE
+    # only needs ~1 ulp of accuracy against a 2× margin.
+    bound = (
+        F.pow(F.col("n").cast("double"), F.lit(5.0))
+        * F.pow(F.col("_mx").cast("double"), F.lit(4.0))
+        * F.col("_my").cast("double")
+        * F.lit(24.0)
+    )
     guard = F.when(
-        F.col("n").cast("double") * F.col("_m").cast("double") > 2e7,
+        bound > F.lit(5e37),
         F.raise_error(
             F.concat(
                 F.lit(
-                    "ols2_exact: n*max|value| exceeds the decimal(38,0) "
-                    "product budget (n*M <= 2e7); rescale the fixed "
-                    "point (divide values by 10^k) or split groups. "
-                    "group n="
+                    "ols2_exact: 24*n^5*Mx^4*My exceeds the "
+                    "decimal(38,0) product budget (<= 5e37); rescale "
+                    "the fixed point (divide values by 10^k) or split "
+                    "groups. group n="
                 ),
                 F.col("n").cast("string"),
-                F.lit(" max|v|="),
-                F.col("_m").cast("string"),
+                F.lit(" max|x|="),
+                F.col("_mx").cast("string"),
+                F.lit(" max|y|="),
+                F.col("_my").cast("string"),
             )
         ).cast(D38),
     )

@@ -1969,9 +1969,45 @@ class TestThirdReviewPassRegressions:
 
         from kubenetmon_spark.operators.stats import ols2_exact
 
+        # genuinely over the budget: 24*n^5*Mx^4*My with Mx=My=1e8,
+        # n=3 is ~6e44 >> 5e37
         big = spark.createDataFrame(
-            [("g", 10**8, 7, 3), ("g", 1, 2, 3), ("g", 5, 9, 11)],
+            [("g", 10**8, 7, 10**8), ("g", 1, 2, 3), ("g", 5, 9, 11)],
             "g string, x1 long, x2 long, y long",
         )
         with _pytest.raises(Exception, match="product budget"):
             ols2_exact(big, ["g"], "x1", "x2", "y").collect()
+
+    def test_ols2_mixed_scales_compute(self, spark):
+        # Regression: the single-M tripwire (n*M <= 2e7) fired on a
+        # small-x / fixed-point-y group whose algebra fits decimal(38,0)
+        # with digits to spare — it killed the sf0.1 bench via q196.
+        # 2e4 rows, Mx <= 96, My ~ 1e4: bound ~ 7e34 of the 5e37 budget.
+        from kubenetmon_spark.operators.stats import ols2_exact
+
+        rows = [
+            ("g", i % 97, (i * 7) % 89, (i * i) % 10007)
+            for i in range(20000)
+        ]
+        df = spark.createDataFrame(rows, "g string, x1 long, x2 long, y long")
+        r = ols2_exact(df, ["g"], "x1", "x2", "y").collect()[0]
+        assert r.n == 20000 and int(r.det) != 0
+        # exact integer strings reproduce a Python bigint reference
+        n = len(rows)
+        s1 = sum(x1 for _, x1, _, _ in rows)
+        s2 = sum(x2 for _, _, x2, _ in rows)
+        sy = sum(y for *_, y in rows)
+        s11 = sum(x1 * x1 for _, x1, _, _ in rows)
+        s22 = sum(x2 * x2 for _, _, x2, _ in rows)
+        s12 = sum(x1 * x2 for _, x1, x2, _ in rows)
+        s1y = sum(x1 * y for _, x1, _, y in rows)
+        s2y = sum(x2 * y for _, _, x2, y in rows)
+        c11, c22 = n * s11 - s1 * s1, n * s22 - s2 * s2
+        c12 = n * s12 - s1 * s2
+        c1y, c2y = n * s1y - s1 * sy, n * s2y - s2 * sy
+        det = c11 * c22 - c12 * c12
+        n1 = c1y * c22 - c2y * c12
+        n2 = c2y * c11 - c1y * c12
+        assert int(r.det) == det
+        assert int(r.b1_num) == n1 and int(r.b2_num) == n2
+        assert int(r.b0_num) == sy * det - n1 * s1 - n2 * s2
