@@ -273,7 +273,35 @@ KNOWN = {
 #: notes render into PLAN_AUDIT.md so the adjudication ships with the
 #: audit. (bench.py additionally re-times sub-3s flags best-of-2 on the
 #: warm session before listing them, so pure timer noise self-clears.)
+#: r04 session-3 host recalibration: the box measurably slowed between
+#: the 288.5s BENCH_DETAIL run and this session — two consecutive
+#: same-code idle-box runs land 486.7s then 470.4s (agreeing with each
+#: other, ~1.6x the old total across DOZENS of untouched queries;
+#: ingest 59.3k -> ~35-48k obs/s; /proc/stat shows nonzero steal).
+#: BENCH_DETAIL.json was refreshed to the 470.4s run so future
+#: regression lists compare against the box as it now performs; the
+#: per-query flags of that refresh are adjudicated individually below.
+_R04_HOST = (
+    "r04 session-3 host recalibration (see comment above): flagged by "
+    "the refresh run vs the 486.7s run minutes earlier, same code both "
+    "sides ("
+)
 BENCH_NOTES = {
+    "q297_skip_index_scan": _R04_HOST + "5.1s->17.4s; the index "
+    "build's parallel write is the bench's most IO-bound step and the "
+    "slowed box swings it hardest; plan unchanged).",
+    "q315_streaming_rates": _R04_HOST + "18.3s->29.3s; the streaming "
+    "trio's trigger-wait cost has swung 1.5-3x between boots since r02 "
+    "— the steady-state rates_samples_per_sec metric moved only "
+    "22.7k->27.4k, i.e. the per-batch work is flat).",
+    "q298_token_search_indexed": _R04_HOST + "3.0s->6.4s; reads the "
+    "index q297 writes, so it inherits q297's IO swing).",
+    "q319_labeler_ipv6": _R04_HOST + "5.7s->9.0s; no commit this "
+    "session touched the v6 labeler path).",
+    "q286_shard_pack_balanced": _R04_HOST + "0.76s->1.15s; sub-2s "
+    "single-shot swing, below any meaningful threshold).",
+    "q203_seasonal_forecast": _R04_HOST + "0.56s->0.89s; sub-second "
+    "JVM/GC swing).",
     "q101_duplicate_spans": "r04 flag 3.25s->5.22s adjudicated as host "
     "variance: no commit in the round touched dedup.py's span path, "
     "and best-of-3 warm on an idle box immediately after the flagged "
