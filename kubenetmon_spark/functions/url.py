@@ -76,7 +76,11 @@ def cut_query_string(url: Column | str) -> Column:
 
 def url_param(url: Column | str, name: str) -> Column:
     """Value of one query parameter — '' if absent (ClickHouse
-    ``extractURLParameter``). ``name`` must be a literal identifier."""
+    ``extractURLParameter``). ``name`` is escaped, so a parameter
+    named 'a.b' matches literally instead of 'a' + any-char + 'b'
+    (the gopher-stopword regex-escape lesson)."""
+    import re
+
     return F.regexp_extract(
-        _c(url), r"[?&]" + name + r"=([^&#]*)", 1
+        _c(url), r"[?&]" + re.escape(name) + r"=([^&#]*)", 1
     )

@@ -77,6 +77,15 @@ class TestUrlFunctions:
         assert r.cut == "https://h.com/p"
         assert r.fss == "h"
 
+    def test_param_name_with_metacharacters(self, spark):
+        # Regression: the name went into the regex unescaped, so
+        # 'a.b' also matched 'aXb' (and 'q+' broke the pattern).
+        df = spark.createDataFrame(
+            [("https://h.com/p?aXb=wrong&a.b=right",)], ["url"]
+        )
+        r = df.select(url_param("url", "a.b").alias("v")).collect()[0]
+        assert r.v == "right"
+
 
 DOC_SCHEMA = StructType(
     [StructField("doc_id", LongType()), StructField("text", StringType())]
