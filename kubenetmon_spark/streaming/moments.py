@@ -17,7 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
-from kubenetmon_spark.streaming.state import read_state_or_none
 
 
 def windowed_moment_sums(
@@ -48,29 +47,26 @@ def start_moment_stream(
     trigger: dict | None = None,
 ) -> StreamingQuery:
     """Upsert each updated window's sum triple (absolute state values —
-    the same merge contract as streaming/timing.py histograms)."""
+    the same upsert contract as streaming/timing.py histograms).
+
+    Unlike timing.py there is NO stored-state read-back here, by
+    construction: the state key (window_start) IS the partition
+    column, update mode emits each touched window's ABSOLUTE triple,
+    and dynamic overwrite replaces exactly the touched partitions —
+    so the merge is the overwrite itself. (timing.py must read back
+    because its state rows are (window, bucket): a batch touches some
+    buckets of a window but the overwrite replaces the whole window
+    partition.) An earlier version carried timing.py's read+anti-join
+    anyway; its surviving-stored-rows set is provably empty here and
+    it cost a full state read per micro-batch.
+    """
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
             return
-        spark = batch.sparkSession
-        merged = batch.select("window_start", "n", "sx", "sxx")
-        # absent state = first batch; unreadable EXISTING state raises
-        prev = read_state_or_none(spark, out_path)
-        if prev is not None:
-            touched = batch.select("window_start").distinct()
-            stored = (
-                prev.join(F.broadcast(touched), "window_start")
-                .select("window_start", "n", "sx", "sxx")
-            )
-            merged = merged.unionByName(
-                stored.join(
-                    batch.select("window_start"),
-                    ["window_start"],
-                    "left_anti",
-                )
-            )
-        merged = merged.localCheckpoint(eager=True)
+        merged = batch.select(
+            "window_start", "n", "sx", "sxx"
+        ).localCheckpoint(eager=True)
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
