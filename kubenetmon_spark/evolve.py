@@ -268,12 +268,14 @@ def add_column(
     files — materialize first; reusing the name would resurrect them).
 
     Cast caveat (same as MODIFY's "widen, don't narrow"): post-ALTER
-    files carry real values which are cast to ``dtype`` on read; a
-    value the cast cannot represent yields NULL (ANSI-off cast) and —
-    when a DEFAULT is declared — reads as the DEFAULT via coalesce,
-    masking the bad value. Write the column as ``dtype`` (or wider)
-    from the start, or declare ``default=None`` so cast failures stay
-    visible as NULLs.
+    files carry real values which are cast to ``dtype`` on read. Under
+    this engine's default sessions (Spark 4, ANSI ON) a value the cast
+    cannot represent FAILS THE READ loudly (CAST_OVERFLOW and kin) —
+    one bad value bricks the table until fixed or widened. Only under
+    an ANSI-off session does the legacy caveat apply: the failed cast
+    yields NULL, and a declared DEFAULT then masks the bad value via
+    coalesce. Either way: write the column as ``dtype`` (or wider)
+    from the start.
     """
     _append_op(path, {"op": "add", "col": column, "dtype": dtype, "default": default})
 
@@ -295,8 +297,9 @@ def rename_column(path: str, old: str, new: str) -> None:
 
 def modify_column(path: str, column: str, dtype: str) -> None:
     """``ALTER TABLE MODIFY COLUMN column dtype`` — cast-on-read until
-    materialized. Casts that cannot represent a value yield NULL (Spark
-    ANSI-off cast), so widen, don't narrow, on live tables."""
+    materialized. Under ANSI (this engine's default) a value the cast
+    cannot represent fails the read loudly; under ANSI-off it silently
+    reads NULL. Widen, don't narrow, on live tables either way."""
     _append_op(path, {"op": "modify", "col": column, "dtype": dtype})
 
 
