@@ -150,6 +150,9 @@ def compact(spark: SparkSession, path: str, target_date: str | None = None) -> N
         compacted.repartition(F.col("date"))
         .sortWithinPartitions(*key)
         .write.mode("overwrite")
+        # pinned per-write: under the default "static" overwrite mode a
+        # target_date compaction would wipe every OTHER date partition
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("date")
         .parquet(path)
     )
@@ -356,6 +359,8 @@ def mutate(
         updated.repartition(F.col("date"))
         .sortWithinPartitions(*key)
         .write.mode("overwrite")
+        # pinned per-write (mutations touch only affected partitions)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("date")
         .parquet(path)
     )
@@ -389,6 +394,8 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> list[str]:
             .repartition(F.col("date"))
             .sortWithinPartitions(*key)
             .write.mode("overwrite")
+            # pinned per-write (deletes touch only affected partitions)
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("date")
             .parquet(path)
         )
@@ -479,6 +486,8 @@ def deduplicate(
         out = out.sortWithinPartitions(*sort_key)
     (
         out.write.mode("overwrite")
+        # pinned per-write (dedup touches only duplicate-bearing partitions)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("date")
         .parquet(path)
     )
@@ -566,6 +575,8 @@ def apply_rollup_ttl(
         rolled.repartition(F.col("date"))
         .sortWithinPartitions(*key)
         .write.mode("overwrite")
+        # pinned per-write (rollup-TTL touches only aged partitions)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("date")
         .parquet(path)
     )
@@ -821,7 +832,10 @@ def clear_column_in_partition(
     out = cleared.repartition(F.col("date"))
     if key:  # non-flow tables may have none of the sort-key columns
         out = out.sortWithinPartitions(*key)
-    out.write.mode("overwrite").partitionBy("date").parquet(path)
+    # pinned per-write (clears exactly one date partition)
+    out.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("date").parquet(path)
 
 
 def apply_column_ttl(

@@ -197,6 +197,44 @@ class TestMutations:
         )
         assert after.schema == schema_before  # types preserved by cast
 
+    def test_mutate_safe_under_static_overwrite_session(
+        self, spark, fact, tmp_path
+    ):
+        # Regression: the partition-scoped rewrites inherited
+        # partitionOverwriteMode from the session; under Spark's default
+        # "static" a one-partition mutation wiped every other partition.
+        # The pin is per-write, so even a static session stays safe.
+        from kubenetmon_spark.sink import mutate
+
+        two_day = fact.unionByName(
+            fact.withColumn("date", F.date_add("date", 1))
+        )
+        path = self._write(spark, two_day, tmp_path)
+        dates = sorted(
+            str(r.date)
+            for r in read_flows(spark, path).select("date").distinct().collect()
+        )
+        assert len(dates) == 2
+        n_before = read_flows(spark, path).count()
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "static")
+        try:
+            rewritten = mutate(
+                spark,
+                path,
+                f"direction = 'out' AND date = '{dates[0]}'",
+                {"bytes": "bytes + 1"},
+            )
+        finally:
+            spark.conf.set(key, prev)
+        assert rewritten == [f"date={dates[0]}"]
+        after = read_flows(spark, path)
+        assert after.count() == n_before  # other partitions survived
+        assert sorted(
+            str(r.date) for r in after.select("date").distinct().collect()
+        ) == dates
+
     def test_mutate_no_match_touches_nothing(self, spark, fact, tmp_path):
         import os
 
