@@ -621,9 +621,14 @@ def build_ivf_index(
             ).alias("centroid")
         )
     )
-    assigned.write.mode("overwrite").partitionBy("centroid").parquet(
-        f"{index_path}/assignments"
-    )
+    # pinned STATIC (the inverse of the sink rewrites' dynamic pin):
+    # this is a whole-index REBUILD, and under the engine's default
+    # dynamic session a rebuild with fewer centroids would leave the
+    # dropped centroids' stale assignment partitions on disk — every
+    # later search would keep surfacing their vectors.
+    assigned.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("centroid").parquet(f"{index_path}/assignments")
     centroids.select(
         F.col("_cid").alias("cid"), F.col("_cv").alias("cv")
     ).write.mode("overwrite").parquet(f"{index_path}/centroids")

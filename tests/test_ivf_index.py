@@ -148,3 +148,32 @@ class TestIvfIndexAppend:
         }
         assert got == want
         assert sum(got.values()) == N
+
+
+def test_rebuild_with_fewer_centroids_leaves_no_stale_partitions(
+    spark, tmp_path
+):
+    # Regression: the index build is a whole-table overwrite, but the
+    # engine's sessions default to DYNAMIC partition overwrite — a
+    # rebuild with fewer centroids left the dropped centroids' stale
+    # assignment partitions on disk, and every later search kept
+    # surfacing their vectors. The build now pins static overwrite.
+    import numpy as np
+
+    from kubenetmon_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_stats,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 8))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id int, embedding array<double>",
+    )
+    idx = str(tmp_path / "index")
+    build_ivf_index(corpus, idx, n_centroids=8)
+    build_ivf_index(corpus, idx, n_centroids=3)  # rebuild, coarser
+    stats = ivf_index_stats(spark, idx).collect()
+    assert {r.centroid for r in stats} <= {0, 1, 2}
+    assert sum(r.n_vectors for r in stats) == 60  # no stale rows linger
