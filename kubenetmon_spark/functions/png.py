@@ -27,9 +27,12 @@ The encoder exists for tests and synthetic data (filter-type coverage
 is selectable); it writes valid non-interlaced 8-bit RGB PNGs.
 
 Scale posture: decode runs inside ``mapInPandas`` batches on
-executors — pure NumPy per scanline, no Python-per-pixel loops except
-the inherently sequential Paeth/Sub/Average recurrences, which run
-per-row over NumPy vectors (row-parallel work stays vectorized).
+executors. None/Up rows are whole-row NumPy ops and Sub is a
+per-lane vectorized cumsum; Average and Paeth carry an inherently
+sequential left-to-right recurrence and run as per-byte Python over
+their rows — correct, and fine for the codec's role (proving the
+multimodal chain on real bytes; a production deployment injects a
+native decoder through the same ``decoder=`` seam).
 """
 
 from __future__ import annotations
@@ -89,8 +92,12 @@ def _defilter(raw: bytes, height: int, stride: int, bpp: int):
         if f == 0:  # None
             out[y] = cur
         elif f == 1:  # Sub
-            for x in range(bpp, stride):
-                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+            # cur[x] += cur[x-bpp] is exactly a running sum mod 256
+            # within each byte LANE — a vectorized cumsum per lane
+            # (uint64 keeps the raw sum exact; & 0xFF is the mod)
+            for lane in range(bpp):
+                s = np.cumsum(cur[lane::bpp], dtype=np.uint64)
+                cur[lane::bpp] = (s & 0xFF).astype(np.uint8)
             out[y] = cur
         elif f == 2:  # Up
             out[y] = cur + prev  # uint8 wraps mod 256, per spec
