@@ -678,7 +678,7 @@ def remove_duplicate_spans(
         F.col("_hit").isNull(),
         F.struct(F.col("_p").alias("p"), F.col("_t").alias("t")),
     )
-    return flagged.groupBy(id_col).agg(
+    rebuilt = flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(keep_struct)), lambda s: s["t"]
@@ -689,4 +689,22 @@ def remove_duplicate_spans(
         F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).alias(
             "n_removed"
         ),
+    )
+    # Zero-token docs (empty/whitespace-only/NULL text) emit no token
+    # rows, so the regroup alone would silently DROP them from the
+    # corpus (the chunk_documents lesson). Left-join back from the full
+    # doc list: they survive as ("", 0, 0).
+    return (
+        arr.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
+                "n_tokens"
+            ),
+            F.coalesce(F.col("n_removed"), F.lit(0).cast("long")).alias(
+                "n_removed"
+            ),
+        )
     )

@@ -676,3 +676,50 @@ def test_k_hop_and_temporal_reachability_match_python_bfs(spark):
             ).collect()
         }
         assert got_arr == exp_arr, f"trial {trial} arrivals"
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.text(alphabet=" ab", max_size=24),  # tiny alphabet -> real dup spans
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+def test_remove_duplicate_spans_matches_bruteforce(spark, docs, k):
+    """ExactSubstr removal == a sequential Python scan: first (doc,pos)
+    occurrence of every duplicated k-gram survives, all other
+    occurrences' tokens are cut, every input doc survives (empty docs
+    included — the silent-doc-loss regression)."""
+    import re
+
+    from kubenetmon_spark.operators.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.dedup_text, r.n_tokens, r.n_removed)
+        for r in remove_duplicate_spans(df, "doc_id", "text", k=k).collect()
+    }
+
+    toks = {
+        i: [t for t in re.split(r"\s+", text) if t]
+        for i, text in enumerate(docs)
+    }
+    occs: dict[str, list[tuple[int, int]]] = {}
+    for i in sorted(toks):
+        a = toks[i]
+        for p in range(len(a) - k + 1):
+            occs.setdefault(" ".join(a[p : p + k]), []).append((i, p))
+    covered: dict[int, set] = {i: set() for i in toks}
+    for g, lst in occs.items():
+        if len(lst) > 1:
+            for i, p in lst[1:]:  # (doc, pos) order = first survives
+                covered[i].update(range(p, p + k))
+    for i, a in toks.items():
+        kept = " ".join(t for x, t in enumerate(a) if x not in covered[i])
+        want = (kept, len(a), len(covered[i]))
+        assert got[i] == want, f"doc {i}: {got[i]} != {want}"
+    assert set(got) == set(toks)  # every doc survives, empty ones too
