@@ -511,7 +511,24 @@ def dedup_lines(
             ).alias(out_col),
         )
     )
-    return per_doc
+    # Docs with NO non-empty lines emit no line rows, so the regroup
+    # alone would silently drop them — the one-row-per-input-document
+    # promise above requires the join-back (the chunk_documents /
+    # remove_duplicate_spans lesson). They come back as ("", 0, 0).
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_lines"), F.lit(0).cast("long")).alias(
+                "n_lines"
+            ),
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias(
+                "n_kept"
+            ),
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+        )
+    )
 
 
 def split_dataset(
@@ -673,9 +690,17 @@ def dedup_lines_incremental(
         fresh = lines
     w = Window.partitionBy("_line").orderBy(F.col(id_col), F.col("_pos"))
     ranked = fresh.withColumn("_rk", F.row_number().over(w))
+    # base off the full batch doc list, not the non-empty line rows:
+    # docs with no non-empty lines must survive as ("", 0, 0) — same
+    # contract (and fix) as dedup_lines
     per_doc = (
-        lines.groupBy(id_col)
-        .agg(F.count("*").alias("n_lines"))
+        new_docs.select(id_col)
+        .join(
+            lines.groupBy(id_col).agg(F.count("*").alias("n_lines")),
+            id_col,
+            "left",
+        )
+        .withColumn("n_lines", F.coalesce(F.col("n_lines"), F.lit(0).cast("long")))
         .join(
             ranked.filter(F.col("_rk") == 1)
             .groupBy(id_col)

@@ -269,10 +269,14 @@ def test_dedup_lines_conservation_and_first_wins(spark, docs):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r.doc_id: r for r in dedup_lines(df, "doc_id").collect()}
     seen: set[str] = set()
+    assert set(out) == set(range(len(docs)))  # one row per input doc
     for i, lines in enumerate(docs):
         nonempty = [l for l in lines if l != ""]
         if not nonempty:
-            assert i not in out
+            # no non-empty lines: the doc survives as ("", 0, 0)
+            # instead of silently vanishing from the corpus
+            r = out[i]
+            assert (r.n_lines, r.n_kept, r.dedup_text) == (0, 0, "")
             continue
         expect = []
         for pos, l in enumerate(nonempty):
