@@ -329,7 +329,11 @@ def group_array_sample(
     h = F.md5(F.concat_ws("|", F.col(value_col).cast("string"), F.lit(salt)))
     w = Window.partitionBy(*group_cols).orderBy(h, F.col(value_col))
     return (
+        # NULL values filtered up front (the ClickHouse aggregate
+        # convention): a NULL used to win a rank slot and then vanish
+        # from collect_list, silently shrinking the sample below k
         df.select(*group_cols, value_col)
+        .filter(F.col(value_col).isNotNull())
         .distinct()
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)

@@ -974,6 +974,16 @@ class TestGroupArraySample:
         }
         assert out == out2
 
+    def test_null_values_never_occupy_slots(self, spark):
+        # Regression: a NULL value won a rank slot then vanished from
+        # collect_list, shrinking the sample below k.
+        from kubenetmon_spark.operators.agg import group_array_sample
+
+        rows = [("g", v) for v in range(10)] + [("g", None)] * 5
+        df = spark.createDataFrame(rows, "k string, v int")
+        got = group_array_sample(df, ["k"], "v", 10).collect()[0].sample
+        assert len(got) == 10 and None not in got
+
 
 class TestCorrMatrix:
     def test_matches_numpy(self, spark):
