@@ -39,6 +39,12 @@ def windowed_counts(
 ) -> DataFrame:
     """Watermarked tumbling-window counts (or measure sums) per key.
 
+    ``measure`` must be NON-NEGATIVE per event: the downstream top-k
+    upsert's candidate rule (stored top-k ∪ batch updates) relies on
+    per-key values only ever growing — a negative measure (deltas,
+    refunds) would let a shrunken key squat in the stored ranking with
+    its stale larger value.
+
     ``slide`` turns the window HOPPING ("top talkers over the trailing
     5 minutes, refreshed every minute" — the dashboard read ClickHouse
     users issue as a repeated range query): each event joins
