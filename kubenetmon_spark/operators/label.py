@@ -346,8 +346,18 @@ def label_flows(
     ).withColumn("remote_service", F.coalesce("lpm_service", F.lit("")))
 
     # P6 AZ lookup via the node dimension (reference labeler.go:341-346,
-    # 360-366): pod's node name -> zone label.
-    zones = F.broadcast(nodes.select(F.col("name").alias("_zn"), F.col("zone").alias("_zz")))
+    # 360-366): pod's node name -> zone label. One row per name is
+    # ENFORCED (min zone — deterministic), not assumed: k8s guarantees
+    # name uniqueness at any instant, but a stale/concatenated dim
+    # snapshot with duplicate names would silently MULTIPLY fact rows
+    # here — corrupting every downstream sum — where the reference's
+    # map-keyed cache just takes the last write. node_ips above already
+    # guards the same way (distinct).
+    zones = F.broadcast(
+        nodes.groupBy(F.col("name").alias("_zn")).agg(
+            F.min("zone").alias("_zz")
+        )
+    )
     obs = obs.join(zones, obs["local_pod_node_name"] == F.col("_zn"), "left").withColumn(
         "local_az", F.coalesce("_zz", F.lit(""))
     ).drop("_zn", "_zz")

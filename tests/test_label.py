@@ -284,3 +284,16 @@ def test_ipv6_string_to_pair_differential(spark):
 
     for s in cases:
         assert got[s] == want(s), (s, got[s], want(s))
+
+
+def test_duplicate_node_names_never_multiply_facts(spark):
+    # Regression: the AZ lookup joined on node name without dedup — a
+    # stale dim snapshot with duplicate names silently multiplied fact
+    # rows (corrupting every downstream sum). One row per name is now
+    # enforced (min zone, deterministic).
+    prefixes = build_cloud_prefixes(raw_prefixes_df(spark))
+    obs, pods, nodes = observations_df(spark), pods_df(spark), nodes_df(spark)
+    dup_nodes = nodes.unionByName(nodes)  # every name twice
+    n_clean = label_flows(obs, pods, nodes, prefixes, CFG).count()
+    n_dup = label_flows(obs, pods, dup_nodes, prefixes, CFG).count()
+    assert n_dup == n_clean
