@@ -41,18 +41,20 @@ def two_phase_count_distinct(
     rows per key. Identical result to countDistinct, different shuffle
     shape; use when a key can hold a large fraction of all rows.
 
-    NULL values are filtered first: ``countDistinct`` ignores NULLs,
-    but a (key, NULL) group would survive phase 1 and count as one
-    extra distinct in phase 2. (Keys whose values are ALL NULL are
-    consequently absent, exactly like countDistinct-over-groupBy —
-    there is no group to emit a 0 for.)
+    NULL handling matches ``groupBy(keys).agg(countDistinct(value))``
+    exactly: rows are NOT pre-filtered, so a key whose values are all
+    NULL still forms a phase-1 group and emits ``out_col = 0`` (phase 2
+    uses ``count(value_col)``, which skips the NULL-value row). A
+    pre-filter would silently drop such keys — a lossy difference for
+    drop-in swaps. One skew note: a hot key's NULL rows all land on one
+    reducer in phase 1 (NULL is a single "value"), same as any other
+    single hot value.
     """
     return (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(*keys, value_col)
+        df.groupBy(*keys, value_col)
         .agg(F.lit(1).alias("_one"))
         .groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias(out_col))
+        .agg(F.count(F.col(value_col)).alias(out_col))
     )
 
 
@@ -104,10 +106,16 @@ def width_bucket_histogram(
     # non-negative, so the composite IS the mathematical floor at any
     # int64 magnitude.
     w = int(bucket_width_e2)
-    keyed = df.withColumn("_ve2", v_e2)
+    # Collision-proof temp name: withColumn silently REPLACES an existing
+    # column, which would corrupt a caller's `_ve2` (and misgroup if it
+    # were in group_cols). Uniquify instead of assuming.
+    tmp = "_ve2"
+    while tmp in df.columns:
+        tmp = "_" + tmp
+    keyed = df.withColumn(tmp, v_e2)
     return keyed.groupBy(
         *group_cols,
-        F.expr(f"(_ve2 - pmod(_ve2, {w})) div {w}").alias("bucket"),
+        F.expr(f"(`{tmp}` - pmod(`{tmp}`, {w})) div {w}").alias("bucket"),
     ).agg(F.count(F.lit(1)).alias("n"))
 
 

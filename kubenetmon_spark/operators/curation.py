@@ -513,20 +513,25 @@ def dedup_lines(
     )
     # Docs with NO non-empty lines emit no line rows, so the regroup
     # alone would silently drop them — the one-row-per-input-document
-    # promise above requires the join-back (the chunk_documents /
-    # remove_duplicate_spans lesson). They come back as ("", 0, 0).
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
+    # promise above requires a survival path (the chunk_documents /
+    # remove_duplicate_spans lesson). Shape: UNION of per_doc with the
+    # null-safe-anti-joined missing ids, NOT a left join over the full
+    # doc list — the heavy rebuilt-text column flows straight to the
+    # output without re-shuffling through a join, and only two id
+    # columns move through the anti-join. eqNullSafe so a NULL-id
+    # document (one group, pre-existing groupBy semantics) keeps its
+    # COMPUTED output instead of being silently swapped for ("", 0, 0).
+    missing = df.select(id_col).join(
+        per_doc.select(F.col(id_col).alias("_rid")),
+        F.col(id_col).eqNullSafe(F.col("_rid")),
+        "left_anti",
+    )
+    return per_doc.select(id_col, "n_lines", "n_kept", out_col).unionByName(
+        missing.select(
             F.col(id_col),
-            F.coalesce(F.col("n_lines"), F.lit(0).cast("long")).alias(
-                "n_lines"
-            ),
-            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias(
-                "n_kept"
-            ),
-            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.lit(0).cast("long").alias("n_lines"),
+            F.lit(0).cast("long").alias("n_kept"),
+            F.lit("").alias(out_col),
         )
     )
 

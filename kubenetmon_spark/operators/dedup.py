@@ -692,19 +692,22 @@ def remove_duplicate_spans(
     )
     # Zero-token docs (empty/whitespace-only/NULL text) emit no token
     # rows, so the regroup alone would silently DROP them from the
-    # corpus (the chunk_documents lesson). Left-join back from the full
-    # doc list: they survive as ("", 0, 0).
-    return (
-        arr.select(id_col)
-        .join(rebuilt, id_col, "left")
-        .select(
+    # corpus (the chunk_documents lesson). They survive as ("", 0, 0)
+    # via a UNION with the null-safe-anti-joined missing ids — not a
+    # left join over the full doc list, so the heavy rebuilt-text
+    # column never re-shuffles through a join (only ids do), and a
+    # NULL-id document keeps its computed output instead of being
+    # silently replaced.
+    missing = arr.select(id_col).join(
+        rebuilt.select(F.col(id_col).alias("_rid")),
+        F.col(id_col).eqNullSafe(F.col("_rid")),
+        "left_anti",
+    )
+    return rebuilt.select(id_col, out_col, "n_tokens", "n_removed").unionByName(
+        missing.select(
             F.col(id_col),
-            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
-            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
-                "n_tokens"
-            ),
-            F.coalesce(F.col("n_removed"), F.lit(0).cast("long")).alias(
-                "n_removed"
-            ),
+            F.lit("").alias(out_col),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("n_removed"),
         )
     )

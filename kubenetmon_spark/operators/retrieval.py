@@ -273,6 +273,17 @@ def ranking_metrics(
     import math
 
     L = math.lcm(*range(2, k + 2))
+    # Explicit ceiling, not an opaque literal/cast failure: the largest
+    # discount literal is L // 2 and must fit a long. lcm(2..k+1)
+    # crosses int64 at k = 46, so k <= 45 is the supported range for
+    # the exact-integer harmonic-NDCG contract — far past any retrieval
+    # eval cutoff in practice (TREC uses 10/100 with float log2 NDCG;
+    # this exact variant tops out where int64 does).
+    if L // 2 > 2**63 - 1:
+        raise ValueError(
+            f"ranking_metrics: k={k} overflows the exact-integer discount "
+            "table (lcm(2..k+1)//2 exceeds int64); supported k <= 45"
+        )
     # Discount table L // (rank+1) precomputed driver-side as exact
     # Python integers: L = lcm(2..k+1) passes 2^53 around k=40, where a
     # double division would stop being floor-exact and silently break
@@ -304,11 +315,17 @@ def ranking_metrics(
         .alias("hits_k"),
         F.count(F.lit(1)).cast("long").alias("_n_ret"),
         F.min(F.when(F.col("_rel") > 0, F.col("_rank"))).alias("_first"),
+        # DCG accumulates in decimal(38,0), not long: each discount
+        # literal fits int64 (guarded above), but rel * discount does
+        # NOT at high k (rel=2 with L//2 near 2^63 overflows). Decimal
+        # keeps the math exact and ANSI-loud far past any real grading.
         F.sum(
-            F.col("_rel").cast("long")
-            * F.element_at(disc, F.col("_rank").cast("int"))
+            F.col("_rel").cast("decimal(19,0)")
+            * F.element_at(disc, F.col("_rank").cast("int")).cast(
+                "decimal(19,0)"
+            )
         )
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("_dcg"),
     )
 
@@ -323,15 +340,18 @@ def ranking_metrics(
             ).alias("_top"),
         )
         .withColumn(
+            # same decimal widening as _dcg: rel * discount can pass
+            # int64 even when both factors fit it.
             "_idcg",
             F.aggregate(
                 F.zip_with(
                     F.col("_top"),
                     F.slice(disc, 1, F.size(F.col("_top"))),
-                    lambda r, w: r.cast("long") * w,
+                    lambda r, w: r.cast("decimal(19,0)")
+                    * w.cast("decimal(19,0)"),
                 ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, x: (acc + x).cast("decimal(38,0)"),
             ),
         )
     )

@@ -507,6 +507,24 @@ class TestDedupLines:
         assert got[1].dedup_text == "only line"
         assert got[2].dedup_text == "" and got[2].n_kept == 0
 
+    def test_null_id_doc_keeps_computed_output(self, spark):
+        # Regression: the empty-doc survival join-back used null-unsafe
+        # equality, so a NULL-id document's COMPUTED output was silently
+        # replaced by ("", 0, 0) and emitted twice. Null-safe anti-join
+        # keeps exactly one row with the real result.
+        from kubenetmon_spark.operators.curation import dedup_lines
+
+        df = spark.createDataFrame(
+            [(None, "solo line\nanother"), (2, "")],
+            "doc_id int, text string",
+        )
+        rows = dedup_lines(df, "doc_id").collect()
+        assert len(rows) == 2
+        got = {r.doc_id: r for r in rows}
+        assert got[None].dedup_text == "solo line\nanother"
+        assert (got[None].n_lines, got[None].n_kept) == (2, 2)
+        assert got[2].dedup_text == "" and got[2].n_lines == 0
+
 
 class TestSplitDataset:
     def test_partition_is_total_and_stable(self, spark):

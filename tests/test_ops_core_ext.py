@@ -559,9 +559,33 @@ class TestExactMoments:
         # buckets of 25.00: [-50, -25) -> -2, [-25, 0) -> -1, [0, 25) -> 0
         assert got == {-2: 1, -1: 2, 0: 2}
 
+    def test_histogram_temp_column_collision(self, spark):
+        # Regression: withColumn("_ve2", ...) silently replaced a caller's
+        # pre-existing _ve2 column; the temp name must uniquify around it.
+        from kubenetmon_spark.operators.agg import width_bucket_histogram
+
+        df = spark.createDataFrame(
+            [("g", 1.0, "keepme"), ("g", 26.0, "keepme")],
+            "k string, value double, _ve2 string",
+        )
+        got = {
+            r.bucket: r.n
+            for r in width_bucket_histogram(df, "value", ["k"], 2500).collect()
+        }
+        assert got == {0: 1, 1: 1}
+        # grouping by the caller's _ve2 must also work (not misgroup on
+        # the internal value column)
+        got2 = width_bucket_histogram(df, "value", ["_ve2"], 2500).collect()
+        assert {(r._ve2, r.bucket, r.n) for r in got2} == {
+            ("keepme", 0, 1),
+            ("keepme", 1, 1),
+        }
+
     def test_two_phase_count_distinct_ignores_nulls(self, spark):
-        # Regression: a (key, NULL) group survived phase 1 and counted
-        # as one extra distinct vs countDistinct.
+        # NULL semantics must match groupBy(k).agg(countDistinct(v))
+        # EXACTLY: NULL values never count as a distinct, but a key whose
+        # values are ALL NULL still emits a row with 0 (a pre-filter would
+        # silently lose that group — the drop-in-swap hazard).
         from kubenetmon_spark.operators.agg import two_phase_count_distinct
 
         df = spark.createDataFrame(
@@ -572,7 +596,13 @@ class TestExactMoments:
             r.k: r.n_distinct
             for r in two_phase_count_distinct(df, ["k"], "v").collect()
         }
-        assert got == {"a": 2}  # b has only NULLs -> absent, like countDistinct
+        ref = {
+            r.k: r.n
+            for r in df.groupBy("k")
+            .agg(F.count_distinct("v").alias("n"))
+            .collect()
+        }
+        assert got == ref == {"a": 2, "b": 0}
 
 
 class TestUniqStateMerge:

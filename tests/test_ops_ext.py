@@ -778,6 +778,24 @@ class TestRemoveDuplicateSpans:
         # below k tokens: no grams, nothing removed (even exact copies)
         assert got[1].n_removed == 0 and got[2].n_removed == 0
 
+    def test_null_id_doc_keeps_computed_output(self, spark):
+        # Regression: the zero-token survival join-back used null-unsafe
+        # equality on id_col, so a NULL-id document's computed dedup was
+        # silently swapped for ("", 0, 0) and duplicated. Null-safe
+        # anti-join keeps one row with the real rebuilt text.
+        from kubenetmon_spark.operators.dedup import remove_duplicate_spans
+
+        df = spark.createDataFrame(
+            [(None, "a b c d e f"), (2, "")],
+            "doc_id int, text string",
+        )
+        rows = remove_duplicate_spans(df, "doc_id", k=4).collect()
+        assert len(rows) == 2
+        got = {r.doc_id: r for r in rows}
+        assert got[None].dedup_text == "a b c d e f"
+        assert (got[None].n_tokens, got[None].n_removed) == (6, 0)
+        assert got[2].dedup_text == "" and got[2].n_tokens == 0
+
 
 class TestHardNegativeMining:
     def test_excludes_same_label_and_ranks_by_cosine(self, spark):

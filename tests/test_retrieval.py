@@ -218,6 +218,18 @@ class TestRankingMetrics:
         with pytest.raises(ValueError):
             ranking_metrics(None, None, k=0)
 
+    def test_k_ceiling_is_explicit(self, spark):
+        # Regression: k past the int64 discount ceiling failed with an
+        # opaque literal/cast error; it must raise a clear ValueError.
+        # k=45 is the last supported value (lcm(2..47)//2 crosses int64
+        # at k=46) and must still run end-to-end.
+        from kubenetmon_spark.operators.retrieval import ranking_metrics
+
+        with pytest.raises(ValueError, match="k <= 45"):
+            ranking_metrics(None, None, k=46)
+        got = self._run(spark, [("q", 1, 1)], [("q", 1, 1)], k=45)["q"]
+        assert got.ndcg_k_ppm == 1_000_000
+
     def test_large_k_stays_integer_exact(self, spark):
         # Regression: at k=40, L = lcm(2..41) > 2^53 and the old
         # floor(double) discount/ppm math silently drifted off the
