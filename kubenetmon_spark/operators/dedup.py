@@ -541,11 +541,15 @@ def duplicate_span_fraction(
     Docs shorter than ``n`` tokens produce no row (they have no spans).
     Fraction is integer basis points (floor), exact in any engine.
 
-    Scale: spans explode to ~one row per token — the groupBy(span)
-    count and the join back both shuffle O(total tokens), which is the
-    inherent cost of exact global span counting. Both sides of the join
-    are hash-partitioned on span (co-partitioned, AQE coalesces); the
-    per-doc rollup then shuffles one row per (doc, distinct span). For
+    Scale: spans explode to ~one row per token. Corpus-wide counts come
+    from a window count over partitionBy(span) — ONE pass over the
+    exploded spans (the groupBy+join-back alternative scans the corpus
+    and re-runs the span-generation expression twice, measured 2.1x
+    slower at sf0.1), so exactly two exchanges: spans by span, then the
+    per-doc rollup by doc. Same shape and skew posture as
+    ``remove_duplicate_spans``'s gram window: a boilerplate mega-span
+    lands one reducer, but the window buffer is spillable and the sf1
+    adversarial-skew study (SCALE.md) bounds the hot-span case. For
     100 TB corpora swap the raw span string for xxhash64(span) before
     the shuffle — collision probability is negligible and shuffle bytes
     drop ~5x; kept as the string here so the DuckDB oracle can mirror
@@ -566,9 +570,9 @@ def duplicate_span_fraction(
         df.filter(F.size(toks) >= n)
         .select(F.col(id_col), F.explode(spans_arr).alias("span"))
     )
-    counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy("span")
     per_doc = (
-        spans.join(counts, on="span")
+        spans.withColumn("_c", F.count(F.lit(1)).over(w))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_spans"),

@@ -302,6 +302,16 @@ BENCH_NOTES = {
     "single-shot swing, below any meaningful threshold).",
     "q203_seasonal_forecast": _R04_HOST + "0.56s->0.89s; sub-second "
     "JVM/GC swing).",
+    "q118_curation_pipeline": "r04 regression 4.20s->7.65s adjudicated "
+    "AND fixed in r05: profiling split the 6.4s warm cost as "
+    "duplicate_span_fraction 5.9s / with_quality 0.24s — the span "
+    "counter's groupBy+join-back shape scanned the corpus and re-ran "
+    "the span-generation expression twice (r04's shared-tokenizer fix, "
+    "0d62e2b, made that expression pricier, which is what the bench "
+    "caught). Rewritten as a single-pass window count over "
+    "partitionBy(span) (same shape as remove_duplicate_spans' gram "
+    "window): best-of-3 warm at sf0.1 q118 6.14s->4.59s, "
+    "q101 5.89s->3.20s, outputs hash-identical.",
     "q101_duplicate_spans": "r04 flag 3.25s->5.22s adjudicated as host "
     "variance: no commit in the round touched dedup.py's span path, "
     "and best-of-3 warm on an idle box immediately after the flagged "
