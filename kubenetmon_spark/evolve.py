@@ -118,17 +118,109 @@ def _write_log(path: str, log: dict) -> None:
     _fsm.get_fs(path).write_json_atomic(_log_path(path), log)
 
 
+# Lease parameters for stores without atomic exclusive create.
+# TTL bounds how long a crashed driver's lease blocks DDL (takeover
+# after expiry); settle is how long a PUT is given to become the
+# winner before the read-back-verify — S3 is read-after-write
+# consistent, so the residual unsafety is only two PUTs landing
+# within the same settle window AND the store reordering them
+# between the two confirmation reads.
+_LEASE_TTL_S = 60.0
+_LEASE_SETTLE_S = 0.15
+
+
+def _read_lease(fs, lock: str) -> dict | None:
+    """The current lease, or None if absent/not-yet-readable. A
+    truncated/unparseable read (a PUT racing us) reads as None — the
+    acquire loop retries and, if it never resolves, times out loudly
+    naming the lock path; it never fails open."""
+    try:
+        d = fs.read_json(lock)
+    except Exception:
+        return None
+    if not isinstance(d, dict) or "owner" not in d:
+        return None
+    return d
+
+
+def _acquire_lease(fs, lock: str, timeout_s: float) -> str:
+    """Mutual exclusion on stores whose create() is check-then-create
+    (S3A and friends — fs.supports_atomic_create is False): stake a
+    uuid-stamped lease with a last-writer-wins PUT, then read back
+    TWICE (settle delay between) and proceed only if both reads show
+    our uuid. A racing driver's PUT either lands before our reads —
+    we see their uuid and back off — or after both — then THEY read
+    back and see themselves, and we see them on the next loop. Expired
+    leases (crashed drivers) are taken over after TTL. Exactly one
+    driver proceeds; every loser raises TimeoutError naming the lock."""
+    import time as _time
+    import uuid as _uuid
+
+    me = _uuid.uuid4().hex
+    deadline = _time.monotonic() + timeout_s
+    while True:
+        cur = _read_lease(fs, lock)
+        now = _time.time()
+        if cur is None or now - float(cur.get("acquired_unix", now)) > float(
+            cur.get("ttl_s", _LEASE_TTL_S)
+        ):
+            fs.write_json_atomic(
+                lock,
+                {"owner": me, "acquired_unix": now, "ttl_s": _LEASE_TTL_S},
+            )
+            _time.sleep(_LEASE_SETTLE_S)
+            got = _read_lease(fs, lock)
+            if got is not None and got.get("owner") == me:
+                _time.sleep(_LEASE_SETTLE_S)
+                got2 = _read_lease(fs, lock)
+                if got2 is not None and got2.get("owner") == me:
+                    return me
+            # lost the race — fall through to contend
+        if _time.monotonic() > deadline:
+            raise TimeoutError(
+                f"schema DDL lease contention: {lock} is held (or being "
+                "fought over); retry, or remove the lease file if its "
+                "owner is known dead"
+            )
+        _time.sleep(0.1)
+
+
+def _release_lease(fs, lock: str, me: str) -> None:
+    """Delete the lease only if still ours — after a TTL takeover the
+    file belongs to the new owner and must be left alone."""
+    got = _read_lease(fs, lock)
+    if got is not None and got.get("owner") == me:
+        try:
+            fs.remove_file(lock)
+        except FileNotFoundError:
+            pass
+
+
 @contextmanager
 def _ddl_lock(path: str, timeout_s: float = 5.0):
-    """Serialize ALTERs on one table (exclusive-create lockfile): the
-    sidecar update is read-modify-write, and two unserialized
-    concurrent ALTERs would silently drop one op (last writer wins).
-    ClickHouse serializes ALTERs the same way. Exclusive-create is
-    atomic on local disk and HDFS; see fs.py for the S3 caveat."""
+    """Serialize ALTERs on one table: the sidecar update is
+    read-modify-write, and two unserialized concurrent ALTERs would
+    silently drop one op (last writer wins). ClickHouse serializes
+    ALTERs the same way (server-side). Two regimes, chosen by what the
+    store can actually guarantee (fs.supports_atomic_create):
+
+    - atomic-create stores (local disk, HDFS): exclusive-create
+      lockfile — a true compare-and-set.
+    - object stores (S3A/GS/ABFS/...): uuid-stamped lease with
+      read-back-verify and TTL takeover (_acquire_lease) — never a
+      bare create_exclusive, whose check-then-create there would let
+      two drivers both "win" and silently lose an op."""
     import time as _time
 
     fs = _fsm.get_fs(path)
     lock = _lock_path(path)
+    if not fs.supports_atomic_create(lock):
+        me = _acquire_lease(fs, lock, timeout_s)
+        try:
+            yield
+        finally:
+            _release_lease(fs, lock, me)
+        return
     deadline = _time.monotonic() + timeout_s
     while True:
         try:

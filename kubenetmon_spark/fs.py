@@ -34,12 +34,19 @@ Semantics notes, where stores genuinely differ:
   silently-empty state. Rename-based publish is deliberately NOT used
   here: object-store rename is copy+delete, leaving a missing-target
   window that DOES read as silently-empty.
-- ``create_exclusive`` (DDL lock): atomic on local disk and HDFS
-  (``create(overwrite=false)``); on S3A it is best-effort (S3 has no
-  compare-and-set create without S3 conditional writes). Concurrent
-  DDL from multiple drivers against the same S3 table root should be
-  serialized by the orchestrator — the lock still serializes the
-  common one-driver case.
+- ``create_exclusive`` (lock primitive): atomic on local disk
+  (``O_CREAT|O_EXCL``) and on HDFS (namenode-serialized
+  ``create(overwrite=false)``). On S3A and the other object-store
+  connectors it is exists-check-then-PUT — NOT compare-and-set —
+  so it must never be the sole guard there.
+  ``supports_atomic_create`` reports which regime a path is in
+  (conservative scheme allowlist for HadoopFS: only HDFS-family
+  schemes answer True; s3a/gs/abfs/wasb/oss — and even ``file:``
+  through Hadoop's RawLocalFileSystem, whose create(overwrite=false)
+  is check-then-create — answer False). Callers that need a mutual-
+  exclusion lock on a False store use the uuid-stamped lease protocol
+  in evolve.py (write lease, read-back-verify, TTL takeover) instead
+  of trusting create_exclusive.
 - ``rename_no_replace`` (cache publish): both implementations fail if
   the destination exists, which callers treat as "lost the publish
   race — serve the winner's entry".
@@ -56,6 +63,7 @@ import io
 import json
 import os
 import shutil
+import uuid
 from pathlib import Path
 from typing import Iterator
 
@@ -184,7 +192,15 @@ class FS:
 
     def create_exclusive(self, path: str) -> None:
         """Create an empty file, failing with FileExistsError if it
-        already exists. The DDL-lock primitive."""
+        already exists. A correct lock primitive ONLY where
+        ``supports_atomic_create`` is True."""
+        raise NotImplementedError
+
+    def supports_atomic_create(self, path: str) -> bool:
+        """True when ``create_exclusive`` on this store is a real
+        compare-and-set (two racing creators: exactly one wins).
+        False means check-then-create under the hood — lock callers
+        must use the lease protocol instead (evolve._ddl_lock)."""
         raise NotImplementedError
 
     def remove_file(self, path: str) -> None:
@@ -267,13 +283,23 @@ class LocalFS(FS):
 
     def write_bytes_atomic(self, path: str, data: bytes) -> None:
         target = Path(path)
-        tmp = target.with_name(f".{target.name}.tmp.{os.getpid()}")
+        # Temp name must be unique PER CALL, not per process: two
+        # threads of one driver writing the same sidecar (e.g. both
+        # staking a DDL lease) would otherwise share a pid-only temp
+        # name — one replace wins, the other hits FileNotFoundError
+        # and, worse, can publish the OTHER thread's bytes.
+        tmp = target.with_name(
+            f".{target.name}.tmp.{os.getpid()}.{uuid.uuid4().hex[:12]}"
+        )
         tmp.write_bytes(data)
         os.replace(tmp, target)
 
     def create_exclusive(self, path: str) -> None:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         os.close(fd)
+
+    def supports_atomic_create(self, path: str) -> bool:
+        return True  # O_CREAT|O_EXCL is a kernel compare-and-set
 
     def remove_file(self, path: str) -> None:
         os.unlink(path)
@@ -315,7 +341,15 @@ class HadoopFS(FS):
         if spark is None:
             from pyspark.sql import SparkSession
 
-            spark = SparkSession.getActiveSession()
+            # getActiveSession is THREAD-LOCAL: lifecycle ops invoked
+            # from a worker thread (e.g. two in-process drivers racing
+            # a DDL lease in tests, or a foreachBatch callback thread)
+            # would see None even though the JVM session is alive —
+            # fall back to the process-wide instantiated session.
+            spark = (
+                SparkSession.getActiveSession()
+                or SparkSession._instantiatedSession
+            )
         if spark is None:
             raise RuntimeError(
                 "HadoopFS needs an active SparkSession (URI-form table "
@@ -415,6 +449,24 @@ class HadoopFS(FS):
             if "FileAlreadyExists" in msg or "already exists" in msg:
                 raise FileExistsError(path) from None
             raise
+
+    # Schemes where create(overwrite=false) is serialized by a real
+    # metadata service (HDFS namenode / Ozone OM) and therefore IS a
+    # compare-and-set. Everything else — s3a/gs/abfs/wasb/oss/cos, and
+    # even file: through Hadoop's RawLocalFileSystem — implements it as
+    # exists-check-then-create, which two racing drivers can both pass.
+    # Conservative by design: an unknown scheme gets the lease protocol,
+    # which is correct (just two settle-reads slower), whereas wrongly
+    # trusting create_exclusive is the silent-corruption path.
+    _ATOMIC_CREATE_SCHEMES = frozenset(
+        {"hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs"}
+    )
+
+    def supports_atomic_create(self, path: str) -> bool:
+        p = self._jpath(path)
+        fs = self._fs(p)
+        scheme = fs.makeQualified(p).toUri().getScheme()
+        return str(scheme) in self._ATOMIC_CREATE_SCHEMES
 
     def remove_file(self, path: str) -> None:
         p = self._jpath(path)

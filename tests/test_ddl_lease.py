@@ -1,0 +1,234 @@
+"""DDL lease protocol on stores without atomic exclusive create.
+
+The silent-corruption window this closes: on S3-class stores,
+``create_exclusive`` is exists-check-then-PUT, so two drivers issuing
+concurrent schema DDL against the same table root could BOTH "acquire"
+the lockfile and the read-modify-write of the schema sidecar would drop
+one driver's op (last writer wins). evolve._ddl_lock now selects the
+uuid-stamped lease protocol (stake with last-writer-wins PUT,
+read-back-verify twice, TTL takeover of dead owners) whenever
+``fs.supports_atomic_create`` is False.
+
+Every test here drives the protocol through the FS ADAPTER with a
+simulated non-atomic store: a LocalFS subclass whose create_exclusive
+deliberately check-then-creates with a sleep in the TOCTOU window and
+which reports supports_atomic_create=False — exactly the S3A regime.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import pytest
+
+from kubenetmon_spark.evolve import (
+    _acquire_lease,
+    _ddl_lock,
+    _lock_path,
+    _read_lease,
+    _release_lease,
+    add_column,
+    schema_log,
+)
+from kubenetmon_spark.fs import LocalFS
+
+
+class NonAtomicFS(LocalFS):
+    """The S3A regime: create_exclusive has a real TOCTOU window (both
+    racers can pass the exists check) and the adapter says so."""
+
+    def __init__(self, toctou_sleep_s: float = 0.0) -> None:
+        self._toctou = toctou_sleep_s
+
+    def supports_atomic_create(self, path: str) -> bool:
+        return False
+
+    def create_exclusive(self, path: str) -> None:
+        if os.path.exists(path):
+            raise FileExistsError(path)
+        if self._toctou:
+            time.sleep(self._toctou)  # widen the check-then-create window
+        with open(path, "wb"):
+            pass
+
+
+@pytest.fixture()
+def nonatomic(monkeypatch):
+    """Route every evolve FS lookup through the simulated store."""
+    fs = NonAtomicFS(toctou_sleep_s=0.05)
+    import kubenetmon_spark.fs as fsm
+
+    monkeypatch.setattr(fsm, "get_fs", lambda path, spark=None: fs)
+    return fs
+
+
+def test_broken_primitive_demonstrated(tmp_path):
+    # Sanity: the simulated store's create_exclusive really IS broken —
+    # two racers in the TOCTOU window both succeed. This is what the
+    # lease protocol exists to not depend on.
+    fs = NonAtomicFS(toctou_sleep_s=0.2)
+    lock = str(tmp_path / "l")
+    wins = []
+
+    def racer():
+        try:
+            fs.create_exclusive(lock)
+            wins.append(1)
+        except FileExistsError:
+            pass
+
+    ts = [threading.Thread(target=racer) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(wins) == 2  # both "won" — create_exclusive is unusable here
+
+
+def test_two_driver_race_one_winner_one_loud_loser(nonatomic, tmp_path):
+    # Two drivers contend for the lease; the winner holds it for longer
+    # than the loser's timeout. Exactly one proceeds, the other raises
+    # TimeoutError (loud), and nothing fails open.
+    tbl = str(tmp_path / "t")
+    outcome: dict[str, object] = {}
+    entered = threading.Event()
+    release = threading.Event()
+
+    def winner():
+        with _ddl_lock(tbl, timeout_s=5.0):
+            entered.set()
+            release.wait(10.0)
+        outcome["winner"] = "ok"
+
+    def loser():
+        entered.wait(10.0)
+        try:
+            with _ddl_lock(tbl, timeout_s=0.5):
+                outcome["loser"] = "entered"  # must not happen
+        except TimeoutError:
+            outcome["loser"] = "timeout"
+
+    tw, tl = threading.Thread(target=winner), threading.Thread(target=loser)
+    tw.start()
+    tl.start()
+    tl.join(15.0)
+    release.set()
+    tw.join(15.0)
+    assert outcome == {"winner": "ok", "loser": "timeout"}
+    # winner's release removed the lease
+    assert not os.path.exists(_lock_path(tbl))
+
+
+def test_concurrent_acquires_serialize(nonatomic, tmp_path):
+    # N threads hammer the lease; a shared counter verifies mutual
+    # exclusion (never two holders), and every thread eventually runs.
+    lock = str(tmp_path / "t") + "._ddl.lock"
+    inside = []
+    overlap = []
+    mu = threading.Lock()
+
+    def worker(i):
+        me = _acquire_lease(nonatomic, lock, timeout_s=30.0)
+        with mu:
+            inside.append(i)
+            if len(inside) > 1:
+                overlap.append(tuple(inside))
+        time.sleep(0.05)
+        with mu:
+            inside.remove(i)
+        _release_lease(nonatomic, lock, me)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(60.0)
+    assert overlap == []  # never two concurrent holders
+
+
+def test_ttl_takeover_of_dead_owner(nonatomic, tmp_path):
+    # A crashed driver's lease (expired TTL) must be taken over, not
+    # block DDL forever.
+    lock = str(tmp_path / "t") + "._ddl.lock"
+    stale = {"owner": "deadbeef", "acquired_unix": time.time() - 3600, "ttl_s": 60.0}
+    with open(lock, "w") as f:
+        json.dump(stale, f)
+    me = _acquire_lease(nonatomic, lock, timeout_s=5.0)
+    got = _read_lease(nonatomic, lock)
+    assert got is not None and got["owner"] == me != "deadbeef"
+    _release_lease(nonatomic, lock, me)
+    assert not os.path.exists(lock)
+
+
+def test_release_leaves_taken_over_lease_alone(nonatomic, tmp_path):
+    # After a TTL takeover, the OLD owner's release must not delete the
+    # NEW owner's lease.
+    lock = str(tmp_path / "t") + "._ddl.lock"
+    new_lease = {"owner": "newowner", "acquired_unix": time.time(), "ttl_s": 60.0}
+    with open(lock, "w") as f:
+        json.dump(new_lease, f)
+    _release_lease(nonatomic, lock, "oldowner")
+    got = _read_lease(nonatomic, lock)
+    assert got is not None and got["owner"] == "newowner"
+
+
+def test_fresh_lease_is_not_taken_over(nonatomic, tmp_path):
+    # A live (unexpired) foreign lease blocks acquisition until timeout.
+    lock = str(tmp_path / "t") + "._ddl.lock"
+    live = {"owner": "alive", "acquired_unix": time.time(), "ttl_s": 60.0}
+    with open(lock, "w") as f:
+        json.dump(live, f)
+    with pytest.raises(TimeoutError, match="lease"):
+        _acquire_lease(nonatomic, lock, timeout_s=0.5)
+    got = _read_lease(nonatomic, lock)
+    assert got is not None and got["owner"] == "alive"  # untouched
+
+
+def test_unparseable_lease_times_out_loud_never_open(nonatomic, tmp_path):
+    # A persistently truncated lease (the HDFS short-read shape) must
+    # surface as a loud TimeoutError naming the lock — never as a
+    # successful acquire over someone else's lease. (A truncated read
+    # is indistinguishable from a mid-PUT race, so the loop retries;
+    # here the "PUT" never completes because our own stake is also
+    # clobbered each poll.)
+    lock = str(tmp_path / "t") + "._ddl.lock"
+
+    class AlwaysGarbageFS(NonAtomicFS):
+        def read_bytes(self, path: str) -> bytes:
+            return b'{"owner": "trunc'  # short read, forever
+
+    fs = AlwaysGarbageFS()
+    with open(lock, "w") as f:
+        f.write("ignored")
+    with pytest.raises(TimeoutError, match="lease"):
+        _acquire_lease(fs, lock, timeout_s=0.8)
+
+
+def test_two_driver_alter_race_end_to_end(nonatomic, spark, tmp_path):
+    # The actual corruption scenario: two drivers ALTER the same table
+    # concurrently on the non-atomic store. With the lease both ops
+    # serialize — the schema log holds BOTH columns, nothing lost.
+    tbl = str(tmp_path / "t")
+    spark.range(0, 10).selectExpr("id", "id * 2 AS v").write.parquet(tbl)
+
+    errs = []
+
+    def alter(col):
+        try:
+            add_column(tbl, col, "int")
+        except Exception as exc:  # pragma: no cover - failure detail
+            errs.append(exc)
+
+    ta = threading.Thread(target=alter, args=("c_a",))
+    tb = threading.Thread(target=alter, args=("c_b",))
+    ta.start()
+    tb.start()
+    ta.join(60.0)
+    tb.join(60.0)
+    assert errs == []
+    added = {o["col"] for o in schema_log(tbl) if o["op"] == "add"}
+    assert added == {"c_a", "c_b"}  # no lost update
+    assert not os.path.exists(_lock_path(tbl))
