@@ -38,6 +38,43 @@ def _reject(cond: Column, reason: str, current: Column) -> Column:
     return F.when(current.isNotNull(), current).when(cond, F.lit(reason)).otherwise(F.lit(None))
 
 
+def _sql_lit(s: str) -> str:
+    """A config string as a safe SQL string literal (quotes doubled,
+    backslashes escaped) — cfg values are trusted deployment config,
+    but a stray quote must corrupt nothing."""
+    return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def prepare_label_dims(pods: DataFrame, nodes: DataFrame) -> dict:
+    """Derive + persist the labeler's three dimension subtrees ONCE for
+    long-lived callers (the streaming jobs): the pod-by-IP index with
+    its ambiguity guard, the node-IP set for the node-flow filter, and
+    the zone-by-node-name lookup. Without this every micro-batch
+    re-runs three small aggregations before it can broadcast — pure
+    fixed cost at high trigger rates (the same hoisting
+    ``prefixes_are_disjoint`` already does for the LPM dimension).
+    Pass the returned dict to ``label_flows(..., prepared=...)``;
+    release with ``release_label_dims`` on dimension refresh."""
+    pod_dim = pods_with_ambiguity(pods).persist()
+    node_ips = (
+        nodes.select(F.col("internal_ip").alias("_nip")).distinct().persist()
+    )
+    zones = (
+        nodes.groupBy(F.col("name").alias("_zn"))
+        .agg(F.min("zone").alias("_zz"))
+        .persist()
+    )
+    for d in (pod_dim, node_ips, zones):
+        d.count()
+    return {"pod_dim": pod_dim, "node_ips": node_ips, "zones": zones}
+
+
+def release_label_dims(prepared: dict) -> None:
+    """Unpersist a ``prepare_label_dims`` result (dimension refresh)."""
+    for d in prepared.values():
+        d.unpersist()
+
+
 def label_flows(
     observations: DataFrame,
     pods: DataFrame,
@@ -49,6 +86,7 @@ def label_flows(
     prefixes_are_disjoint: bool = False,
     prefixes6: DataFrame | None = None,
     prefixes6_are_disjoint: bool = False,
+    prepared: dict | None = None,
 ) -> DataFrame:
     """Observations (OBSERVATION_SCHEMA) -> labeled flows.
 
@@ -146,7 +184,13 @@ def label_flows(
     # sourced from a node IP (hostNetwork) is ambiguous — reject. Expressed
     # as two broadcast lookups; J2 in SURVEY §2 calls for a left-anti join,
     # the reject-column variant keeps the row for the dead-letter stream.
-    node_ips = F.broadcast(nodes.select(F.col("internal_ip").alias("_nip")).distinct())
+    # ``prepared`` (prepare_label_dims) supplies the pre-persisted dim
+    # subtrees so a per-micro-batch caller skips the re-derivation.
+    node_ips = F.broadcast(
+        prepared["node_ips"]
+        if prepared is not None
+        else nodes.select(F.col("internal_ip").alias("_nip")).distinct()
+    )
     obs = obs.join(node_ips, obs["orig_src_ip"] == F.col("_nip"), "left").withColumn(
         "_src_is_node", F.col("_nip").isNotNull()
     ).drop("_nip")
@@ -160,7 +204,9 @@ def label_flows(
     # J1 pod-by-IP lookups for both endpoints (broadcast left outer joins;
     # reference labeler.go:432-472, watcher.go:123-143). The multi-match
     # error becomes an `ambiguous` flag from dims.pods_with_ambiguity.
-    pod_dim = F.broadcast(pods_with_ambiguity(pods))
+    pod_dim = F.broadcast(
+        prepared["pod_dim"] if prepared is not None else pods_with_ambiguity(pods)
+    )
     for side in ("src", "dst"):
         pd = pod_dim.select(
             F.col("pod_ip").alias(f"_{side}_pod_ip"),
@@ -197,25 +243,34 @@ def label_flows(
 
     # P4 local/remote normalization + counter orientation
     # (reference labeler.go:276-331): orig counters measure src->dst.
-    is_to_pod = F.col("flow_type") == "toPodOnNode"
-
-    def pick(local_side: str, remote_side: str, col: str) -> Column:
-        return F.when(is_to_pod, F.col(f"{remote_side}_{col}")).otherwise(F.col(f"{local_side}_{col}"))
+    # SQL-string projection, ONE py4j roundtrip for the whole block:
+    # plan construction runs once per micro-batch in the streaming jobs,
+    # and per-Column building cost (a JVM roundtrip per op) was ~30% of
+    # a small batch's trigger time — selectExpr moves the parse JVM-side.
+    def pick(local_side: str, remote_side: str, col: str, alias: str) -> str:
+        return (
+            f"CASE WHEN flow_type = 'toPodOnNode' THEN {remote_side}_{col} "
+            f"ELSE {local_side}_{col} END AS {alias}"
+        )
 
     sel = [
-        pick("src", "dst", "ip").alias("local_ip"),
-        pick("src", "dst", "port").alias("local_port"),
-        pick("dst", "src", "ip").alias("remote_ip"),
-        pick("dst", "src", "port").alias("remote_port"),
-        F.when(is_to_pod, F.col("reply_bytes")).otherwise(F.col("orig_bytes")).alias("bytes_out"),
-        F.when(is_to_pod, F.col("orig_bytes")).otherwise(F.col("reply_bytes")).alias("bytes_in"),
-        F.when(is_to_pod, F.col("reply_packets")).otherwise(F.col("orig_packets")).alias("packets_out"),
-        F.when(is_to_pod, F.col("orig_packets")).otherwise(F.col("reply_packets")).alias("packets_in"),
+        pick("src", "dst", "ip", "local_ip"),
+        pick("src", "dst", "port", "local_port"),
+        pick("dst", "src", "ip", "remote_ip"),
+        pick("dst", "src", "port", "remote_port"),
+        # bytes_out: toPodOnNode -> reply counters, else orig (and the
+        # mirror for bytes_in) — remote_side is the THEN branch
+        pick("orig", "reply", "bytes", "bytes_out"),
+        pick("reply", "orig", "bytes", "bytes_in"),
+        pick("orig", "reply", "packets", "packets_out"),
+        pick("reply", "orig", "packets", "packets_in"),
     ]
     for f in _POD_FIELDS:
-        sel.append(pick("src", "dst", f"pod_{f}").alias(f"local_pod_{f}"))
-        sel.append(pick("dst", "src", f"pod_{f}").alias(f"remote_pod_{f}"))
-    obs = obs.select("node_name", "ts", "proto", "flow_type", "_r", "_flags", *sel)
+        sel.append(pick("src", "dst", f"pod_{f}", f"local_pod_{f}"))
+        sel.append(pick("dst", "src", f"pod_{f}", f"remote_pod_{f}"))
+    obs = obs.selectExpr(
+        "node_name", "ts", "proto", "flow_type", "_r", "_flags", *sel
+    )
 
     # J6 private-IP short-circuit + J5 LPM + J7 classification
     # (reference pkg/labeler/remote.go:131-175). The LPM join runs only
@@ -354,7 +409,9 @@ def label_flows(
     # map-keyed cache just takes the last write. node_ips above already
     # guards the same way (distinct).
     zones = F.broadcast(
-        nodes.groupBy(F.col("name").alias("_zn")).agg(
+        prepared["zones"]
+        if prepared is not None
+        else nodes.groupBy(F.col("name").alias("_zn")).agg(
             F.min("zone").alias("_zz")
         )
     )
@@ -367,47 +424,47 @@ def label_flows(
 
     # P5 pod metadata projection with app-label fallback
     # (reference labeler.go:334-373), P9 runtime constants,
-    # P2 proto rendering.
-    flags = F.col("_flags")
-    out = obs.select(
-        F.col("ts"),
-        F.col("_r").alias("reject_reason"),
-        F.col("flow_type"),
-        F.lit(cfg.environment).alias("environment"),
-        F.lit(cfg.cluster).alias("cluster"),
-        flags.alias("connectionFlags"),
-        F.lit(cfg.cloud).alias("localCloud"),
-        F.lit(cfg.region).alias("localRegion"),
-        F.lit("").alias("localCell"),
-        F.col("local_az").alias("localAvailabilityZone"),
-        F.coalesce("local_pod_node_name", F.lit("")).alias("localNode"),
-        F.coalesce("local_pod_label_control_plane_id", F.lit("")).alias("localInstanceID"),
-        F.coalesce("local_pod_namespace", F.lit("")).alias("localNamespace"),
-        F.coalesce("local_pod_name", F.lit("")).alias("localPod"),
-        F.coalesce("local_pod_label_app", "local_pod_label_k8s_app", F.lit("")).alias("localApp"),
-        F.col("local_ip").alias("localIPv4"),
-        F.col("local_port").alias("localPort"),
-        F.when(F.col("proto") == 6, "TCP").when(F.col("proto") == 17, "UDP").otherwise(
-            F.col("proto").cast("string")
-        ).alias("proto"),
-        F.col("connection_class").alias("connectionClass"),
-        F.col("remote_cloud").alias("remoteCloud"),
-        F.col("remote_region").alias("remoteRegion"),
-        F.lit("").alias("remoteCell"),
-        F.col("remote_az").alias("remoteAvailabilityZone"),
-        F.lit("UNKNOWN").alias("remoteCluster"),  # reference labeler.go:375
-        F.coalesce("remote_pod_node_name", F.lit("")).alias("remoteNode"),
-        F.coalesce("remote_pod_label_control_plane_id", F.lit("")).alias("remoteInstanceID"),
-        F.coalesce("remote_pod_namespace", F.lit("")).alias("remoteNamespace"),
-        F.coalesce("remote_pod_name", F.lit("")).alias("remotePod"),
-        F.coalesce("remote_pod_label_app", "remote_pod_label_k8s_app", F.lit("")).alias("remoteApp"),
-        F.col("remote_ip").alias("remoteIPv4"),
-        F.col("remote_port").alias("remotePort"),
-        F.col("remote_service").alias("remoteService"),
-        F.col("bytes_out"),
-        F.col("bytes_in"),
-        F.col("packets_out"),
-        F.col("packets_in"),
+    # P2 proto rendering. SQL-string projection (one roundtrip, see the
+    # P4 note); cfg-derived literals go through _sql_lit so a quote in
+    # a config value cannot break out of the string literal.
+    out = obs.selectExpr(
+        "ts",
+        "_r AS reject_reason",
+        "flow_type",
+        f"{_sql_lit(cfg.environment)} AS environment",
+        f"{_sql_lit(cfg.cluster)} AS cluster",
+        "_flags AS connectionFlags",
+        f"{_sql_lit(cfg.cloud)} AS localCloud",
+        f"{_sql_lit(cfg.region)} AS localRegion",
+        "'' AS localCell",
+        "local_az AS localAvailabilityZone",
+        "coalesce(local_pod_node_name, '') AS localNode",
+        "coalesce(local_pod_label_control_plane_id, '') AS localInstanceID",
+        "coalesce(local_pod_namespace, '') AS localNamespace",
+        "coalesce(local_pod_name, '') AS localPod",
+        "coalesce(local_pod_label_app, local_pod_label_k8s_app, '') AS localApp",
+        "local_ip AS localIPv4",
+        "local_port AS localPort",
+        "CASE WHEN proto = 6 THEN 'TCP' WHEN proto = 17 THEN 'UDP' "
+        "ELSE CAST(proto AS STRING) END AS proto",
+        "connection_class AS connectionClass",
+        "remote_cloud AS remoteCloud",
+        "remote_region AS remoteRegion",
+        "'' AS remoteCell",
+        "remote_az AS remoteAvailabilityZone",
+        "'UNKNOWN' AS remoteCluster",  # reference labeler.go:375
+        "coalesce(remote_pod_node_name, '') AS remoteNode",
+        "coalesce(remote_pod_label_control_plane_id, '') AS remoteInstanceID",
+        "coalesce(remote_pod_namespace, '') AS remoteNamespace",
+        "coalesce(remote_pod_name, '') AS remotePod",
+        "coalesce(remote_pod_label_app, remote_pod_label_k8s_app, '') AS remoteApp",
+        "remote_ip AS remoteIPv4",
+        "remote_port AS remotePort",
+        "remote_service AS remoteService",
+        "bytes_out",
+        "bytes_in",
+        "packets_out",
+        "packets_in",
     )
     return out
 

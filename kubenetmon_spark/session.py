@@ -89,6 +89,13 @@ def get_spark(
         # default_driver_mem for the derivation and the env override).
         .config("spark.driver.memory", default_driver_mem())
         .config("spark.ui.enabled", "false")
+        # PySpark 4's per-expression call-site capture costs ~20 py4j
+        # roundtrips PER Column op — measured 5,900 roundtrips (~0.9 s
+        # driver-side) to construct one labeler plan, i.e. ~30% of a
+        # small micro-batch's trigger time. An engine builds plans in
+        # hot loops; it trades the debug-only DataFrame call-site
+        # context away. Re-enable ad hoc when chasing a plan bug.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if fair_scheduler:
         builder = builder.config("spark.scheduler.mode", "FAIR")

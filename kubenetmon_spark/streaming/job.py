@@ -165,9 +165,24 @@ def start_flow_stream(
     # (the reference builds its trie once per daily refresh,
     # reference pkg/labeler/remote.go:98-126); persist so micro-batches
     # broadcast the cached intervals instead of re-running the sweep.
+    # The same hoisting applies to the labeler's three derived dim
+    # subtrees (pod-ambiguity index, node-IP set, zone lookup): without
+    # prepare_label_dims every micro-batch re-ran those aggregations —
+    # pure per-trigger fixed cost (measured ~0.3s/batch at sf0.1).
+    from kubenetmon_spark.operators.label import (
+        prepare_label_dims,
+        release_label_dims,
+    )
+
     disjoint = disjoint_prefixes(prefixes).persist()
     disjoint.count()
-    dims = {"pods": pods, "nodes": nodes, "disjoint": disjoint, "n": 0}
+    dims = {
+        "pods": pods,
+        "nodes": nodes,
+        "disjoint": disjoint,
+        "prepared": prepare_label_dims(pods, nodes),
+        "n": 0,
+    }
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         fs = _fsm.get_fs(markers, batch_df.sparkSession)
@@ -180,9 +195,14 @@ def start_flow_stream(
                 new_pods, new_nodes, new_prefixes = dim_loader()
                 fresh = disjoint_prefixes(new_prefixes).persist()
                 fresh.count()
+                fresh_prepared = prepare_label_dims(new_pods, new_nodes)
                 dims["disjoint"].unpersist()
+                release_label_dims(dims["prepared"])
                 dims.update(
-                    pods=new_pods, nodes=new_nodes, disjoint=fresh
+                    pods=new_pods,
+                    nodes=new_nodes,
+                    disjoint=fresh,
+                    prepared=fresh_prepared,
                 )
         labeled = label_flows(
             batch_df,
@@ -191,7 +211,13 @@ def start_flow_stream(
             dims["disjoint"],
             cfg,
             prefixes_are_disjoint=True,
-        ).persist()
+            prepared=dims["prepared"],
+        )
+        # Persist only when a second consumer (the dead-letter write)
+        # exists: with one consumer, materializing all 40 labeled
+        # columns into the cache is pure per-batch overhead.
+        if dead_letter_path is not None:
+            labeled = labeled.persist()
         try:
             accepted, dead = split_rejected(labeled)
             flows = summing_aggregate(to_flow_rows(accepted))
@@ -205,7 +231,8 @@ def start_flow_stream(
                     .parquet(dead_letter_path)
                 )
         finally:
-            labeled.unpersist()
+            if dead_letter_path is not None:
+                labeled.unpersist()
         fs.mkdirs(markers)
         fs.write_bytes_atomic(marker, b"")
 
