@@ -29,3 +29,38 @@ observability  Per-batch metrics listener, reference-named Prometheus
 """
 
 __version__ = "0.1.0"
+
+# Minimal versioned public API: the names a reference user needs to run
+# the headline pipeline (session -> label -> fan-out/aggregate -> sink ->
+# query surface) plus the streaming entry points. Resolved lazily so
+# `import kubenetmon_spark` stays cheap (no SparkSession, no submodule
+# import cost) until a symbol is actually used; everything else remains
+# importable from its submodule (stable paths, documented above).
+_PUBLIC_API = {
+    "get_spark": "kubenetmon_spark.session",
+    "RuntimeConfig": "kubenetmon_spark.config",
+    "label_flows": "kubenetmon_spark.operators.label",
+    "split_rejected": "kubenetmon_spark.operators.label",
+    "prepare_label_dims": "kubenetmon_spark.operators.label",
+    "to_flow_rows": "kubenetmon_spark.operators.flows",
+    "summing_aggregate": "kubenetmon_spark.operators.flows",
+    "write_flows": "kubenetmon_spark.sink",
+    "read_flows": "kubenetmon_spark.sink",
+    "compact": "kubenetmon_spark.sink",
+    "apply_retention": "kubenetmon_spark.sink",
+    "register_flow_views": "kubenetmon_spark.queries",
+    "register_sql_surface": "kubenetmon_spark.sql",
+    "read_observations": "kubenetmon_spark.streaming.job",
+    "start_flow_stream": "kubenetmon_spark.streaming.job",
+}
+
+__all__ = sorted(_PUBLIC_API) + ["__version__"]
+
+
+def __getattr__(name: str):
+    mod = _PUBLIC_API.get(name)
+    if mod is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod), name)
