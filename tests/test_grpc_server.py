@@ -1,0 +1,165 @@
+"""gRPC ingest servicer (sources/grpc_server.py).
+
+The transport-free handler (``FlowHandlerServicer.submit``) is tested
+end-to-end without grpcio: encode observations with the wire-compatible
+codec -> submit the stream -> landing parquet -> streaming decode +
+labeler -> sums equal the batch pipeline over the same observations.
+The grpcio shell itself (``serve``) runs only where grpcio is
+installed (skipif) — in this environment it must raise the documented
+ImportError pointing at the supported transports.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+
+import pytest
+from pyspark.sql import functions as F
+
+HAVE_GRPC = importlib.util.find_spec("grpc") is not None
+
+
+class TestObservationSummaryCodec:
+    def test_roundtrip(self):
+        from kubenetmon_spark.sources.grpc_server import (
+            decode_observation_summary,
+            encode_observation_summary,
+        )
+
+        for n in (0, 1, 127, 128, 300, 0xFFFFFFFF):
+            assert decode_observation_summary(encode_observation_summary(n)) == n
+        assert encode_observation_summary(0) == b""  # proto3 zero-default
+        with pytest.raises(ValueError):
+            encode_observation_summary(-1)
+        with pytest.raises(ValueError):
+            encode_observation_summary(2**32)
+
+
+class TestSubmitHandler:
+    def test_e2e_stream_equals_batch(self, spark, tmp_path):
+        from kubenetmon_spark.demo import DEMO_CFG, build_flow_inputs
+        from kubenetmon_spark.operators.flows import (
+            summing_aggregate,
+            to_flow_rows,
+        )
+        from kubenetmon_spark.operators.label import (
+            label_flows,
+            split_rejected,
+        )
+        from kubenetmon_spark.sources.grpc_server import (
+            FlowHandlerServicer,
+            decode_observation_summary,
+        )
+        from kubenetmon_spark.sources.proto import encode_observations_df
+        from kubenetmon_spark.sources.receiver import (
+            read_received_observations,
+        )
+
+        obs, pods, nodes, prefixes = build_flow_inputs(
+            spark, "/root/testdata/sf0.001"
+        )
+        obs = obs.limit(300)
+        wire = [r.value for r in encode_observations_df(obs).collect()]
+
+        landing = str(tmp_path / "landing")
+        servicer = FlowHandlerServicer(landing)
+        summary = servicer.submit(iter(wire))
+        assert decode_observation_summary(summary) == len(wire)
+        assert servicer.stats["accepted"] == len(wire)
+        assert servicer.stats["files"] == 1
+
+        # landed bytes -> streaming decode -> labeler == batch labeler
+        decoded = spark.read.schema("value binary").parquet(landing)
+        from kubenetmon_spark.sources.proto import parse_proto_observations
+
+        stream_obs = parse_proto_observations(decoded)
+
+        def sums(o):
+            labeled = label_flows(o, pods, nodes, prefixes, DEMO_CFG)
+            accepted, _ = split_rejected(labeled)
+            return (
+                summing_aggregate(to_flow_rows(accepted))
+                .agg(
+                    F.sum("bytes").alias("b"),
+                    F.sum("packets").alias("p"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()[0]
+            )
+
+        got, want = sums(stream_obs), sums(obs)
+        assert (got.b, got.p, got.n) == (want.b, want.p, want.n)
+        assert want.n > 0
+
+        # and the streaming reader consumes the same landing dir
+        sdf = read_received_observations(spark, landing)
+        assert sdf.isStreaming
+
+    def test_bad_messages_skip_and_continue(self, tmp_path, spark):
+        from kubenetmon_spark.demo import build_flow_inputs
+        from kubenetmon_spark.sources.grpc_server import (
+            FlowHandlerServicer,
+            decode_observation_summary,
+        )
+        from kubenetmon_spark.sources.proto import encode_observations_df
+
+        obs, *_ = build_flow_inputs(spark, "/root/testdata/sf0.001")
+        wire = [r.value for r in encode_observations_df(obs.limit(5)).collect()]
+        stream = [wire[0], b"\xff\xff\xff", wire[1], b"", wire[2]]
+        servicer = FlowHandlerServicer(str(tmp_path / "landing"))
+        summary = servicer.submit(iter(stream))
+        # empty bytes decode as an (all-default) observation in proto3;
+        # only the genuinely corrupt frame is rejected
+        assert decode_observation_summary(summary) == 4
+        assert servicer.stats["rejected"] == 1
+
+    def test_flushes_in_batches(self, tmp_path, spark):
+        from kubenetmon_spark.demo import build_flow_inputs
+        from kubenetmon_spark.sources.grpc_server import FlowHandlerServicer
+        from kubenetmon_spark.sources.proto import encode_observations_df
+
+        obs, *_ = build_flow_inputs(spark, "/root/testdata/sf0.001")
+        wire = [r.value for r in encode_observations_df(obs.limit(25)).collect()]
+        servicer = FlowHandlerServicer(str(tmp_path / "l"), batch_size=10)
+        servicer.submit(iter(wire))
+        # 25 messages at batch_size 10 -> 3 landed files, bounded memory
+        assert servicer.stats["files"] == 3
+        assert servicer.stats["accepted"] == 25
+
+
+class TestGrpcShell:
+    @pytest.mark.skipif(HAVE_GRPC, reason="grpcio present: shell serves")
+    def test_absent_grpcio_raises_documented_importerror(self, tmp_path):
+        from kubenetmon_spark.sources.grpc_server import serve
+
+        with pytest.raises(ImportError, match="HTTP receiver"):
+            serve(str(tmp_path / "landing"))
+
+    @pytest.mark.skipif(not HAVE_GRPC, reason="grpcio not installed")
+    def test_wire_roundtrip_over_grpc(self, spark, tmp_path):
+        import grpc
+
+        from kubenetmon_spark.demo import build_flow_inputs
+        from kubenetmon_spark.sources.grpc_server import (
+            METHOD_NAME,
+            SERVICE_NAME,
+            decode_observation_summary,
+            serve,
+        )
+        from kubenetmon_spark.sources.proto import encode_observations_df
+
+        obs, *_ = build_flow_inputs(spark, "/root/testdata/sf0.001")
+        wire = [r.value for r in encode_observations_df(obs.limit(20)).collect()]
+        server, port, servicer = serve(str(tmp_path / "landing"))
+        try:
+            channel = grpc.insecure_channel(f"127.0.0.1:{port}")
+            submit = channel.stream_unary(
+                f"/{SERVICE_NAME}/{METHOD_NAME}",
+                request_serializer=None,
+                response_deserializer=None,
+            )
+            resp = submit(iter(wire))
+            assert decode_observation_summary(resp) == 20
+            assert servicer.stats["accepted"] == 20
+        finally:
+            server.stop(0)
