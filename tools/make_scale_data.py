@@ -2,9 +2,23 @@
 """Build a larger scale factor from sf0.1 by id-shifted replication —
 the input for tools/scale_sweep.py and the SCALE.md scaling study.
 
-    python tools/make_scale_data.py [COPIES] [SRC] [DST]
+    python tools/make_scale_data.py [COPIES] [SRC] [DST] [--off=N] [--docs=word-suffix]
 
 Defaults: 10 copies of /root/testdata/sf0.1 into .scale/sf1.
+
+Second-level builds (sf10 from sf1) pass ``--off=100000000`` so the id
+blocks of the ten sf1 copies don't collide, and ``--docs=word-suffix``:
+the rotation trick does NOT compose with itself (two rotation passes
+whose total shifts coincide mod doc length yield near-identical texts,
+and the dedup operators' TRUE output would grow with the data
+construction, not the corpus). Word-suffixing every token with the copy
+id keeps every within-copy duplicate relation EXACTLY (the same
+transform applies to both sides of any in-copy near-dup pair) while
+making cross-copy shingle/span overlap literally zero — vocabulary
+grows linearly with copies, which is what genuinely-new data does.
+Embeddings keep the cyclic rotation; at 100 copies total rotation can
+wrap dim=64, so cosine-near-dup outputs are NOT size-trustworthy on a
+second-level build (IVF/kNN top-k shapes are — output is k-bounded).
 
 Design rules (each one was learned the hard way — see SCALE.md):
 
@@ -39,11 +53,20 @@ PART_WORDS = ["", " crimson", " emerald", " golden", " ivory", " marbled",
 def main() -> int:
     import duckdb
 
-    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    dst = sys.argv[3] if len(sys.argv) > 3 else str(
+    global OFF
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    copies = int(args[0]) if len(args) > 0 else 10
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    dst = args[2] if len(args) > 2 else str(
         Path(__file__).resolve().parent.parent / ".scale/sf1"
     )
+    doc_mode = "rotate"
+    for a in sys.argv[1:]:
+        if a.startswith("--off="):
+            OFF = int(a.split("=", 1)[1])
+        elif a.startswith("--docs="):
+            doc_mode = a.split("=", 1)[1]
+    assert doc_mode in ("rotate", "word-suffix"), doc_mode
     assert copies <= len(PART_WORDS), "add more pairwise-distant suffix words"
     Path(dst).mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
@@ -93,17 +116,35 @@ def main() -> int:
             "(event_id + c.off)::BIGINT AS event_id, ts::TIMESTAMP_NS AS ts,"
             f" (user_id + (c.off // {OFF}) * {n_users})::BIGINT AS user_id,"
             " event_type, value, props", "event_id")
-    copy_to("documents",
-            "(doc_id + c.off)::BIGINT AS doc_id,"
-            " CASE WHEN c.off = 0 THEN text ELSE array_to_string("
+    if doc_mode == "rotate":
+        doc_text = (
+            "CASE WHEN c.off = 0 THEN text ELSE array_to_string("
             f"  list_concat(string_split(text, ' ')[(1 + (c.off // {OFF}) * 7"
             "     % greatest(len(string_split(text, ' ')), 1)):],"
             f"   string_split(text, ' ')[1:((c.off // {OFF}) * 7"
             "     % greatest(len(string_split(text, ' ')), 1))]), ' ')"
-            f" || ' v' || CAST(c.off // {OFF} AS VARCHAR) END AS text,"
+            f" || ' v' || CAST(c.off // {OFF} AS VARCHAR) END"
+        )
+        doc_chars = (
+            "CASE WHEN c.off = 0 THEN n_chars ELSE n_chars +"
+            f" length(' v' || CAST(c.off // {OFF} AS VARCHAR)) END"
+        )
+    else:  # word-suffix: every token tagged with the copy id (see header)
+        doc_text = (
+            "CASE WHEN c.off = 0 THEN text ELSE array_to_string("
+            "  list_transform(string_split(text, ' '), w -> CASE WHEN w = ''"
+            f"    THEN w ELSE w || '_w' || CAST(c.off // {OFF} AS VARCHAR)"
+            "    END), ' ') END"
+        )
+        doc_chars = (
+            "CASE WHEN c.off = 0 THEN n_chars ELSE"
+            f" length({doc_text}) END"
+        )
+    copy_to("documents",
+            "(doc_id + c.off)::BIGINT AS doc_id,"
+            f" {doc_text} AS text,"
             " lang, source,"
-            " CASE WHEN c.off = 0 THEN n_chars ELSE n_chars +"
-            f" length(' v' || CAST(c.off // {OFF} AS VARCHAR)) END AS n_chars",
+            f" {doc_chars} AS n_chars",
             "doc_id")
     copy_to("embeddings",
             "(vec_id + c.off)::BIGINT AS vec_id,"
