@@ -196,6 +196,12 @@ def _release_lease(fs, lock: str, me: str) -> None:
             pass
 
 
+class DdlLeaseLost(RuntimeError):
+    """The DDL lease was taken over mid-critical-section (this driver
+    stalled past the TTL and another driver claimed the table). The
+    pending write was NOT published; retry the ALTER."""
+
+
 @contextmanager
 def _ddl_lock(path: str, timeout_s: float = 5.0):
     """Serialize ALTERs on one table: the sidecar update is
@@ -209,15 +215,34 @@ def _ddl_lock(path: str, timeout_s: float = 5.0):
     - object stores (S3A/GS/ABFS/...): uuid-stamped lease with
       read-back-verify and TTL takeover (_acquire_lease) — never a
       bare create_exclusive, whose check-then-create there would let
-      two drivers both "win" and silently lose an op."""
+      two drivers both "win" and silently lose an op.
+
+    Yields a zero-arg ``fence()`` callable: call it immediately before
+    publishing a write made under the lock. On the lease branch it
+    re-reads the lease and raises :class:`DdlLeaseLost` if ownership
+    moved (a TTL takeover while this driver stalled) — narrowing the
+    takeover-overwrite window from the whole critical section to one
+    read-to-write gap. On the atomic branch it is a no-op (the
+    lockfile cannot be taken over)."""
     import time as _time
 
     fs = _fsm.get_fs(path)
     lock = _lock_path(path)
     if not fs.supports_atomic_create(lock):
         me = _acquire_lease(fs, lock, timeout_s)
+
+        def fence() -> None:
+            got = _read_lease(fs, lock)
+            if got is None or got.get("owner") != me:
+                raise DdlLeaseLost(
+                    f"DDL lease on {lock} lost to "
+                    f"{got.get('owner') if got else 'nobody'} — this "
+                    "driver stalled past the lease TTL; the pending "
+                    "schema write was aborted, retry the ALTER"
+                )
+
         try:
-            yield
+            yield fence
         finally:
             _release_lease(fs, lock, me)
         return
@@ -233,7 +258,7 @@ def _ddl_lock(path: str, timeout_s: float = 5.0):
                 )
             _time.sleep(0.05)
     try:
-        yield
+        yield lambda: None
     finally:
         fs.remove_file(lock)
 
@@ -343,8 +368,10 @@ def _validated(log: dict, path: str, op: dict) -> dict:
 
 
 def _append_op(path: str, op: dict) -> None:
-    with _ddl_lock(path):
-        _write_log(path, _validated(_read_log(path), path, op))
+    with _ddl_lock(path) as fence:
+        new_log = _validated(_read_log(path), path, op)
+        fence()  # lease still ours after the read-modify work
+        _write_log(path, new_log)
 
 
 def add_column(
@@ -522,7 +549,7 @@ def materialize_schema(
     ``lock_timeout_s`` on huge tables if DDL-during-merge contention is
     expected). The lockfile lives outside the table root, so the
     overwrite cannot delete it while held."""
-    with _ddl_lock(path, timeout_s=lock_timeout_s):
+    with _ddl_lock(path, timeout_s=lock_timeout_s) as fence:
         ops = schema_log(path)
         if not ops:
             return 0
@@ -531,12 +558,19 @@ def materialize_schema(
         evolved = _apply_ops(
             spark.read.option("mergeSchema", "true").parquet(path), ops
         ).localCheckpoint(eager=True)
+        # The checkpoint can take minutes on a big table — long enough
+        # to stall past a lease TTL. Fence before the destructive
+        # overwrite AND again before the log truncate: a driver whose
+        # lease was taken over must not clobber the new owner's table
+        # state or erase an ALTER the new owner committed meanwhile.
+        fence()
         writer = evolved.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
         # files now carry the evolved schema: empty log, no retired
         # residue, logical columns re-derive from footers at next ALTER
+        fence()
         _write_log(
             path, {"version": 1, "ops": [], "columns": None, "retired": []}
         )

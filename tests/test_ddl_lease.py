@@ -207,6 +207,67 @@ def test_unparseable_lease_times_out_loud_never_open(nonatomic, tmp_path):
         _acquire_lease(fs, lock, timeout_s=0.8)
 
 
+def test_fence_detects_ttl_takeover(nonatomic, tmp_path):
+    # A driver that stalls past the TTL inside the critical section
+    # must NOT publish: the fence re-reads the lease and raises loudly
+    # when ownership moved.
+    from kubenetmon_spark.evolve import DdlLeaseLost
+
+    tbl = str(tmp_path / "t")
+    lock = _lock_path(tbl)
+    with _ddl_lock(tbl, timeout_s=5.0) as fence:
+        fence()  # still ours
+        # simulate a takeover while stalled: another driver's lease
+        with open(lock, "w") as f:
+            json.dump(
+                {"owner": "usurper", "acquired_unix": time.time(), "ttl_s": 60.0},
+                f,
+            )
+        with pytest.raises(DdlLeaseLost, match="taken over|lost to"):
+            fence()
+    # release must have left the usurper's lease alone
+    got = _read_lease(nonatomic, lock)
+    assert got is not None and got["owner"] == "usurper"
+    os.unlink(lock)
+
+
+def test_fence_noop_on_atomic_store(tmp_path):
+    # LocalFS (atomic create): fence is a no-op, lock behavior unchanged.
+    tbl = str(tmp_path / "t")
+    with _ddl_lock(tbl, timeout_s=5.0) as fence:
+        fence()
+        assert os.path.exists(_lock_path(tbl))
+    assert not os.path.exists(_lock_path(tbl))
+
+
+def test_append_op_aborts_on_takeover(nonatomic, spark, tmp_path, monkeypatch):
+    # End-to-end: add_column whose validation stalls past a takeover
+    # must abort WITHOUT writing, and the log must keep only the new
+    # owner's view.
+    import kubenetmon_spark.evolve as ev
+
+    tbl = str(tmp_path / "t")
+    spark.range(5).selectExpr("id", "id AS v").write.parquet(tbl)
+    lock = _lock_path(tbl)
+    real_validated = ev._validated
+
+    def stalling_validated(log, path, op):
+        out = real_validated(log, path, op)
+        with open(lock, "w") as f:  # takeover lands mid-validation
+            json.dump(
+                {"owner": "usurper", "acquired_unix": time.time(), "ttl_s": 60.0},
+                f,
+            )
+        return out
+
+    monkeypatch.setattr(ev, "_validated", stalling_validated)
+    with pytest.raises(ev.DdlLeaseLost):
+        add_column(tbl, "c", "int")
+    monkeypatch.setattr(ev, "_validated", real_validated)
+    os.unlink(lock)
+    assert schema_log(tbl) == []  # nothing published by the loser
+
+
 def test_two_driver_alter_race_end_to_end(nonatomic, spark, tmp_path):
     # The actual corruption scenario: two drivers ALTER the same table
     # concurrently on the non-atomic store. With the lease both ops
