@@ -119,81 +119,218 @@ def _write_log(path: str, log: dict) -> None:
 
 
 # Lease parameters for stores without atomic exclusive create.
-# TTL bounds how long a crashed driver's lease blocks DDL (takeover
-# after expiry); settle is how long a PUT is given to become the
-# winner before the read-back-verify — S3 is read-after-write
-# consistent, so the residual unsafety is only two PUTs landing
-# within the same settle window AND the store reordering them
-# between the two confirmation reads.
-_LEASE_TTL_S = 60.0
+# The protocol never compares another machine's clock with ours:
+# takeover requires the SAME lease bytes observed unchanged for a full
+# GRACE window on the contender's own monotonic clock — a live holder
+# defeats every observation window by heartbeating (re-stamping the
+# lease) far more often than that. settle is how long a PUT is given
+# to become the winner before the read-back-verify; S3 is
+# read-after-write consistent, so the residual unsafety is two PUTs
+# landing within one settle window AND reordering between the two
+# confirmation reads.
+_LEASE_TTL_S = 60.0        # written into the lease (informational)
+_LEASE_HEARTBEAT_S = 15.0  # holder re-stamps the lease this often
+_LEASE_GRACE_S = 60.0      # silence a contender must observe to take over
 _LEASE_SETTLE_S = 0.15
 
+# sentinel: the lease file exists but could not be parsed (a PUT racing
+# the read, a truncated object, or a foreign/empty lockfile). Treated
+# as HELD BY UNKNOWN: never overwritten, never taken over — contention
+# ends in a loud TimeoutError telling the operator to inspect it. This
+# is what keeps one transient S3 read error (503, short read) from
+# reading as "absent" and fail-opening over a LIVE lease.
+_UNREADABLE = object()
 
-def _read_lease(fs, lock: str) -> dict | None:
-    """The current lease, or None if absent/not-yet-readable. A
-    truncated/unparseable read (a PUT racing us) reads as None — the
-    acquire loop retries and, if it never resolves, times out loudly
-    naming the lock path; it never fails open."""
+
+def _read_lease(fs, lock: str):
+    """None = confirmed absent; a dict = the parsed lease;
+    ``_UNREADABLE`` = exists but unreadable/unparseable (see above)."""
     try:
-        d = fs.read_json(lock)
+        raw = fs.read_bytes(lock)
+    except FileNotFoundError:
+        return None
     except Exception:
-        return None
+        # could not CONFIRM absence (throttle, network): assume held
+        return _UNREADABLE if fs_exists_quiet(fs, lock) else None
+    import json as _json
+
+    try:
+        d = _json.loads(raw.decode("utf-8"))
+    except Exception:
+        return _UNREADABLE
     if not isinstance(d, dict) or "owner" not in d:
-        return None
+        return _UNREADABLE
     return d
 
 
-def _acquire_lease(fs, lock: str, timeout_s: float) -> str:
+def fs_exists_quiet(fs, path: str) -> bool:
+    """exists() that maps its own errors to True (held-by-unknown is
+    the conservative answer when the store can't be asked)."""
+    try:
+        return fs.exists(path)
+    except Exception:
+        return True
+
+
+class _LeaseHold:
+    """A held DDL lease: heartbeats while held, fences before writes.
+
+    The heartbeat re-stamps ``acquired_unix`` every ``_LEASE_HEARTBEAT_S``
+    — observers key on the BYTES changing, so a live holder is never
+    taken over no matter how long the critical section runs (the
+    materialize_schema overwrite can take minutes). Each beat
+    read-verifies ownership first and STOPS (marking the hold lost)
+    if the lease was taken over — it must never clobber a usurper."""
+
+    def __init__(self, fs, lock: str, owner: str) -> None:
+        import threading as _threading
+
+        self._fs = fs
+        self._lock_path = lock
+        self.owner = owner
+        self.lost = False
+        self._stop = _threading.Event()
+        self._thread = _threading.Thread(target=self._beat, daemon=True)
+        self._thread.start()
+
+    def _stamp(self) -> None:
+        import time as _time
+
+        self._fs.write_json_atomic(
+            self._lock_path,
+            {
+                "owner": self.owner,
+                "acquired_unix": _time.time(),
+                "ttl_s": _LEASE_TTL_S,
+            },
+        )
+
+    def _beat(self) -> None:
+        while not self._stop.wait(_LEASE_HEARTBEAT_S):
+            got = _read_lease(self._fs, self._lock_path)
+            if isinstance(got, dict) and got.get("owner") == self.owner:
+                self._stamp()
+            else:
+                self.lost = True
+                return
+
+    def fence(self) -> None:
+        """Raise :class:`DdlLeaseLost` unless the lease is verifiably
+        still ours — call immediately before publishing any write made
+        under the lock."""
+        got = _read_lease(self._fs, self._lock_path)
+        if self.lost or not (
+            isinstance(got, dict) and got.get("owner") == self.owner
+        ):
+            self.lost = True
+            raise DdlLeaseLost(
+                f"DDL lease on {self._lock_path} was taken over (this "
+                "driver stalled past the takeover grace window) or is "
+                "unreadable; the pending schema write was aborted — "
+                "retry the ALTER"
+            )
+
+    def release(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=_LEASE_HEARTBEAT_S + 5)
+        got = _read_lease(self._fs, self._lock_path)
+        if isinstance(got, dict) and got.get("owner") == self.owner:
+            try:
+                self._fs.remove_file(self._lock_path)
+            except FileNotFoundError:
+                pass
+
+
+def _acquire_lease(fs, lock: str, timeout_s: float) -> _LeaseHold:
     """Mutual exclusion on stores whose create() is check-then-create
-    (S3A and friends — fs.supports_atomic_create is False): stake a
-    uuid-stamped lease with a last-writer-wins PUT, then read back
-    TWICE (settle delay between) and proceed only if both reads show
-    our uuid. A racing driver's PUT either lands before our reads —
-    we see their uuid and back off — or after both — then THEY read
-    back and see themselves, and we see them on the next loop. Expired
-    leases (crashed drivers) are taken over after TTL. Exactly one
-    driver proceeds; every loser raises TimeoutError naming the lock."""
+    (S3A and friends — fs.supports_atomic_create is False).
+
+    Stake: uuid-stamped last-writer-wins PUT, then two read-backs
+    (settle delay between) — proceed only if both show our uuid; a
+    racing driver's PUT either lands before our reads (we back off) or
+    after both (they verify and win, we see them next loop).
+
+    Takeover: NO wall-clock expiry comparison (cross-machine clock skew
+    would let a fast clock steal a live lease). A contender takes over
+    only after observing the same lease bytes for ``_LEASE_GRACE_S`` of
+    its OWN monotonic time — a dead holder's lease never changes, a
+    live one heartbeats every ``_LEASE_HEARTBEAT_S``. With the default
+    5 s acquire timeout a dead lease therefore fails LOUD rather than
+    being silently claimed; pass a timeout > grace to wait out a dead
+    owner, or remove the lease file manually.
+
+    Unreadable lease files (truncated PUT, foreign/empty lockfile from
+    a mixed-addressing deployment) are held-by-unknown: never
+    overwritten, never taken over — loud timeout."""
     import time as _time
     import uuid as _uuid
 
     me = _uuid.uuid4().hex
     deadline = _time.monotonic() + timeout_s
+    observed: tuple[tuple, float] | None = None  # (content key, t_mono)
+    staked = False
+    unreadable_since: float | None = None
     while True:
         cur = _read_lease(fs, lock)
-        now = _time.time()
-        if cur is None or now - float(cur.get("acquired_unix", now)) > float(
-            cur.get("ttl_s", _LEASE_TTL_S)
-        ):
+        if cur is not _UNREADABLE:
+            unreadable_since = None
+        if cur is None:
+            stake = True
+        elif cur is _UNREADABLE:
+            observed = None
+            now_m = _time.monotonic()
+            if unreadable_since is None:
+                unreadable_since = now_m
+            # Re-stake ONLY if we already staked in THIS acquire and the
+            # bytes have stayed unreadable for a settle-scale window:
+            # on stores whose overwrite is not one atomic PUT (Hadoop's
+            # RawLocalFileSystem truncates then streams), two racing
+            # stakes can interleave into permanently-unparseable bytes —
+            # wreckage of OUR race, safe to overwrite; every other
+            # stake may legally overwrite an in-flight PUT anyway
+            # (last-writer-wins), and the read-back picks one winner.
+            # A foreign unreadable lease that PREDATES our acquire is
+            # never overwritten (staked is False) — loud timeout.
+            stake = staked and (now_m - unreadable_since) >= 4 * _LEASE_SETTLE_S
+        else:
+            if cur.get("owner") == me:
+                # our earlier PUT landed after all — a read-back racing
+                # a concurrent create-truncate can misread and make us
+                # "lose" our own stake; without this check we would
+                # contend forever against our own orphaned lease.
+                return _LeaseHold(fs, lock, me)
+            key = (cur.get("owner"), cur.get("acquired_unix"))
+            now_m = _time.monotonic()
+            if observed is None or observed[0] != key:
+                observed = (key, now_m)
+            stake = now_m - observed[1] >= _LEASE_GRACE_S
+        if stake:
+            staked = True
+            unreadable_since = None
             fs.write_json_atomic(
                 lock,
-                {"owner": me, "acquired_unix": now, "ttl_s": _LEASE_TTL_S},
+                {
+                    "owner": me,
+                    "acquired_unix": _time.time(),
+                    "ttl_s": _LEASE_TTL_S,
+                },
             )
             _time.sleep(_LEASE_SETTLE_S)
             got = _read_lease(fs, lock)
-            if got is not None and got.get("owner") == me:
+            if isinstance(got, dict) and got.get("owner") == me:
                 _time.sleep(_LEASE_SETTLE_S)
                 got2 = _read_lease(fs, lock)
-                if got2 is not None and got2.get("owner") == me:
-                    return me
-            # lost the race — fall through to contend
+                if isinstance(got2, dict) and got2.get("owner") == me:
+                    return _LeaseHold(fs, lock, me)
+            observed = None  # lost the race — contend
         if _time.monotonic() > deadline:
             raise TimeoutError(
-                f"schema DDL lease contention: {lock} is held (or being "
-                "fought over); retry, or remove the lease file if its "
-                "owner is known dead"
+                f"schema DDL lease contention: {lock} is held, unreadable, "
+                "or being fought over; retry (with timeout > "
+                f"{_LEASE_GRACE_S:.0f}s to wait out a dead owner), or "
+                "remove the lease file if its owner is known dead"
             )
         _time.sleep(0.1)
-
-
-def _release_lease(fs, lock: str, me: str) -> None:
-    """Delete the lease only if still ours — after a TTL takeover the
-    file belongs to the new owner and must be left alone."""
-    got = _read_lease(fs, lock)
-    if got is not None and got.get("owner") == me:
-        try:
-            fs.remove_file(lock)
-        except FileNotFoundError:
-            pass
 
 
 class DdlLeaseLost(RuntimeError):
@@ -213,14 +350,15 @@ def _ddl_lock(path: str, timeout_s: float = 5.0):
     - atomic-create stores (local disk, HDFS): exclusive-create
       lockfile — a true compare-and-set.
     - object stores (S3A/GS/ABFS/...): uuid-stamped lease with
-      read-back-verify and TTL takeover (_acquire_lease) — never a
+      read-back-verify, a heartbeat while held, and observed-silence
+      takeover (_acquire_lease) — never a
       bare create_exclusive, whose check-then-create there would let
       two drivers both "win" and silently lose an op.
 
     Yields a zero-arg ``fence()`` callable: call it immediately before
     publishing a write made under the lock. On the lease branch it
     re-reads the lease and raises :class:`DdlLeaseLost` if ownership
-    moved (a TTL takeover while this driver stalled) — narrowing the
+    moved (a grace-window takeover while this driver stalled) — narrowing the
     takeover-overwrite window from the whole critical section to one
     read-to-write gap. On the atomic branch it is a no-op (the
     lockfile cannot be taken over)."""
@@ -229,22 +367,11 @@ def _ddl_lock(path: str, timeout_s: float = 5.0):
     fs = _fsm.get_fs(path)
     lock = _lock_path(path)
     if not fs.supports_atomic_create(lock):
-        me = _acquire_lease(fs, lock, timeout_s)
-
-        def fence() -> None:
-            got = _read_lease(fs, lock)
-            if got is None or got.get("owner") != me:
-                raise DdlLeaseLost(
-                    f"DDL lease on {lock} lost to "
-                    f"{got.get('owner') if got else 'nobody'} — this "
-                    "driver stalled past the lease TTL; the pending "
-                    "schema write was aborted, retry the ALTER"
-                )
-
+        hold = _acquire_lease(fs, lock, timeout_s)
         try:
-            yield fence
+            yield hold.fence
         finally:
-            _release_lease(fs, lock, me)
+            hold.release()
         return
     deadline = _time.monotonic() + timeout_s
     while True:

@@ -45,7 +45,8 @@ Semantics notes, where stores genuinely differ:
   through Hadoop's RawLocalFileSystem, whose create(overwrite=false)
   is check-then-create — answer False). Callers that need a mutual-
   exclusion lock on a False store use the uuid-stamped lease protocol
-  in evolve.py (write lease, read-back-verify, TTL takeover) instead
+  in evolve.py (write lease, read-back-verify, heartbeat while held,
+  observed-silence takeover) instead
   of trusting create_exclusive.
 - ``rename_no_replace`` (cache publish): both implementations fail if
   the destination exists, which callers treat as "lost the publish

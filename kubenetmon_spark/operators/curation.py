@@ -471,8 +471,10 @@ def dedup_lines(
     order. Empty lines are dropped outright.
 
     Returns ``(id_col, {out_col}, n_lines, n_kept)`` — one row per
-    input document (documents whose every line was claimed elsewhere
-    come back with an empty string, so corpus accounting stays exact).
+    DISTINCT document id (duplicate ids conflate into one group, like
+    any id-keyed aggregation here; documents whose every line was
+    claimed elsewhere come back with an empty string, so corpus
+    accounting stays exact).
 
     Scale: two shuffles, both on natural keys — (1) hash partition by
     line text for the first-occurrence window (the dedup state IS the
@@ -521,7 +523,12 @@ def dedup_lines(
     # columns move through the anti-join. eqNullSafe so a NULL-id
     # document (one group, pre-existing groupBy semantics) keeps its
     # COMPUTED output instead of being silently swapped for ("", 0, 0).
-    missing = df.select(id_col).join(
+    # distinct() on the missing side: the output contract is one row
+    # per DISTINCT id (the groupBy already conflates duplicate ids on
+    # the content-bearing path; without distinct, duplicate ids with
+    # empty text would emit multiple rows while content-bearing ones
+    # emit one — an inconsistent multiplicity).
+    missing = df.select(id_col).distinct().join(
         per_doc.select(F.col(id_col).alias("_rid")),
         F.col(id_col).eqNullSafe(F.col("_rid")),
         "left_anti",

@@ -702,7 +702,10 @@ def remove_duplicate_spans(
     # column never re-shuffles through a join (only ids do), and a
     # NULL-id document keeps its computed output instead of being
     # silently replaced.
-    missing = arr.select(id_col).join(
+    # distinct(): one output row per DISTINCT id in all cases — the
+    # content-bearing path's groupBy already conflates duplicate ids,
+    # so the survival path must too.
+    missing = arr.select(id_col).distinct().join(
         rebuilt.select(F.col(id_col).alias("_rid")),
         F.col(id_col).eqNullSafe(F.col("_rid")),
         "left_anti",

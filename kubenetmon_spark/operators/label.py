@@ -39,9 +39,13 @@ def _reject(cond: Column, reason: str, current: Column) -> Column:
 
 
 def _sql_lit(s: str) -> str:
-    """A config string as a safe SQL string literal (quotes doubled,
-    backslashes escaped) — cfg values are trusted deployment config,
-    but a stray quote must corrupt nothing."""
+    """A config string as a safe SQL string literal — backslash-escaped
+    for Spark's DEFAULT parser mode (verified: both ``\\'`` and ``''``
+    un-escape there; with legacy ``spark.sql.parser.escapedStringLiterals``
+    NOTHING un-escapes, so embedded quotes are unrepresentable in that
+    mode — the engine's session factory never enables it). cfg values
+    are trusted deployment config; this only guarantees a stray quote
+    corrupts nothing."""
     return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 

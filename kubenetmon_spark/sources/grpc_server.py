@@ -77,7 +77,14 @@ class FlowHandlerServicer:
     Reuses :class:`ObservationReceiver` purely for its atomic parquet
     landing (``_land``) and stats — the HTTP server half is never
     started. One ``submit`` call = one client stream = one landed file
-    (matching the HTTP receiver's one-file-per-request shape).
+    PER ``batch_size`` flush (an unbounded agent stream must not buffer
+    unboundedly, so a 25k-message stream at the default 10k lands 3
+    files). This also means a stream that errors mid-way has already
+    landed its completed batches — at-least-once landing within a
+    stream, unlike the HTTP receiver's all-or-nothing single-request
+    body; the downstream flow table is idempotent per batch marker, and
+    the reference server likewise inserts as the stream flows
+    (server.go:100-118), not transactionally at stream end.
     """
 
     def __init__(self, landing_dir: str, batch_size: int = 10_000) -> None:

@@ -525,6 +525,19 @@ class TestDedupLines:
         assert (got[None].n_lines, got[None].n_kept) == (2, 2)
         assert got[2].dedup_text == "" and got[2].n_lines == 0
 
+    def test_duplicate_ids_conflate_to_one_row(self, spark):
+        # Contract: one row per DISTINCT id. Duplicate ids conflate on
+        # the content path (groupBy) — the empty-doc survival path must
+        # match that multiplicity, not emit one row per input row.
+        from kubenetmon_spark.operators.curation import dedup_lines
+
+        df = spark.createDataFrame(
+            [(1, "x"), (1, "y"), (2, ""), (2, "")],
+            "doc_id int, text string",
+        )
+        rows = dedup_lines(df, "doc_id").collect()
+        assert sorted(r.doc_id for r in rows) == [1, 2]
+
 
 class TestSplitDataset:
     def test_partition_is_total_and_stable(self, spark):

@@ -6,8 +6,10 @@ concurrent schema DDL against the same table root could BOTH "acquire"
 the lockfile and the read-modify-write of the schema sidecar would drop
 one driver's op (last writer wins). evolve._ddl_lock now selects the
 uuid-stamped lease protocol (stake with last-writer-wins PUT,
-read-back-verify twice, TTL takeover of dead owners) whenever
-``fs.supports_atomic_create`` is False.
+read-back-verify twice, heartbeat while held, takeover only after a
+contender observes the same lease bytes unchanged for a full grace
+window on its OWN monotonic clock — no cross-machine clock comparison)
+whenever ``fs.supports_atomic_create`` is False.
 
 Every test here drives the protocol through the FS ADAPTER with a
 simulated non-atomic store: a LocalFS subclass whose create_exclusive
@@ -25,11 +27,11 @@ import time
 import pytest
 
 from kubenetmon_spark.evolve import (
+    _UNREADABLE,
     _acquire_lease,
     _ddl_lock,
     _lock_path,
     _read_lease,
-    _release_lease,
     add_column,
     schema_log,
 )
@@ -131,7 +133,7 @@ def test_concurrent_acquires_serialize(nonatomic, tmp_path):
     mu = threading.Lock()
 
     def worker(i):
-        me = _acquire_lease(nonatomic, lock, timeout_s=30.0)
+        hold = _acquire_lease(nonatomic, lock, timeout_s=30.0)
         with mu:
             inside.append(i)
             if len(inside) > 1:
@@ -139,7 +141,7 @@ def test_concurrent_acquires_serialize(nonatomic, tmp_path):
         time.sleep(0.05)
         with mu:
             inside.remove(i)
-        _release_lease(nonatomic, lock, me)
+        hold.release()
 
     ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
     for t in ts:
@@ -149,30 +151,51 @@ def test_concurrent_acquires_serialize(nonatomic, tmp_path):
     assert overlap == []  # never two concurrent holders
 
 
-def test_ttl_takeover_of_dead_owner(nonatomic, tmp_path):
-    # A crashed driver's lease (expired TTL) must be taken over, not
-    # block DDL forever.
+def test_silent_dead_owner_taken_over_after_grace(nonatomic, tmp_path, monkeypatch):
+    # A crashed driver's lease never changes; a contender that observes
+    # the SAME bytes for a full grace window (its own monotonic clock —
+    # immune to cross-machine wall-clock skew) takes over.
+    import kubenetmon_spark.evolve as ev
+
+    monkeypatch.setattr(ev, "_LEASE_GRACE_S", 0.3)
     lock = str(tmp_path / "t") + "._ddl.lock"
     stale = {"owner": "deadbeef", "acquired_unix": time.time() - 3600, "ttl_s": 60.0}
     with open(lock, "w") as f:
         json.dump(stale, f)
-    me = _acquire_lease(nonatomic, lock, timeout_s=5.0)
+    hold = _acquire_lease(nonatomic, lock, timeout_s=5.0)
     got = _read_lease(nonatomic, lock)
-    assert got is not None and got["owner"] == me != "deadbeef"
-    _release_lease(nonatomic, lock, me)
+    assert isinstance(got, dict) and got["owner"] == hold.owner != "deadbeef"
+    hold.release()
     assert not os.path.exists(lock)
 
 
+def test_dead_owner_not_claimed_within_default_timeout(nonatomic, tmp_path):
+    # With the production grace (60s) a dead lease fails LOUD inside a
+    # short acquire timeout instead of being silently claimed — the
+    # operator chooses between waiting out the grace and removing it.
+    lock = str(tmp_path / "t") + "._ddl.lock"
+    stale = {"owner": "deadbeef", "acquired_unix": time.time() - 3600, "ttl_s": 60.0}
+    with open(lock, "w") as f:
+        json.dump(stale, f)
+    with pytest.raises(TimeoutError, match="lease"):
+        _acquire_lease(nonatomic, lock, timeout_s=0.6)
+    got = _read_lease(nonatomic, lock)
+    assert isinstance(got, dict) and got["owner"] == "deadbeef"  # untouched
+
+
 def test_release_leaves_taken_over_lease_alone(nonatomic, tmp_path):
-    # After a TTL takeover, the OLD owner's release must not delete the
+    # After a takeover, the OLD owner's release must not delete the
     # NEW owner's lease.
+    from kubenetmon_spark.evolve import _LeaseHold
+
     lock = str(tmp_path / "t") + "._ddl.lock"
     new_lease = {"owner": "newowner", "acquired_unix": time.time(), "ttl_s": 60.0}
     with open(lock, "w") as f:
         json.dump(new_lease, f)
-    _release_lease(nonatomic, lock, "oldowner")
+    old = _LeaseHold(nonatomic, lock, "oldowner")
+    old.release()
     got = _read_lease(nonatomic, lock)
-    assert got is not None and got["owner"] == "newowner"
+    assert isinstance(got, dict) and got["owner"] == "newowner"
 
 
 def test_fresh_lease_is_not_taken_over(nonatomic, tmp_path):
@@ -184,16 +207,13 @@ def test_fresh_lease_is_not_taken_over(nonatomic, tmp_path):
     with pytest.raises(TimeoutError, match="lease"):
         _acquire_lease(nonatomic, lock, timeout_s=0.5)
     got = _read_lease(nonatomic, lock)
-    assert got is not None and got["owner"] == "alive"  # untouched
+    assert isinstance(got, dict) and got["owner"] == "alive"  # untouched
 
 
 def test_unparseable_lease_times_out_loud_never_open(nonatomic, tmp_path):
-    # A persistently truncated lease (the HDFS short-read shape) must
-    # surface as a loud TimeoutError naming the lock — never as a
-    # successful acquire over someone else's lease. (A truncated read
-    # is indistinguishable from a mid-PUT race, so the loop retries;
-    # here the "PUT" never completes because our own stake is also
-    # clobbered each poll.)
+    # A persistently truncated lease (the HDFS short-read shape) is
+    # held-by-unknown: never staked over, never taken over — a loud
+    # TimeoutError naming the lock, and the bytes stay untouched.
     lock = str(tmp_path / "t") + "._ddl.lock"
 
     class AlwaysGarbageFS(NonAtomicFS):
@@ -205,6 +225,77 @@ def test_unparseable_lease_times_out_loud_never_open(nonatomic, tmp_path):
         f.write("ignored")
     with pytest.raises(TimeoutError, match="lease"):
         _acquire_lease(fs, lock, timeout_s=0.8)
+    with open(lock) as f:
+        assert f.read() == "ignored"  # never overwritten
+
+
+def test_transient_read_errors_do_not_fail_open(nonatomic, tmp_path):
+    # One transient read error (S3 503 throttle) over a LIVE foreign
+    # lease must read as held-by-unknown, not absent — a contender must
+    # never stake over it.
+    lock = str(tmp_path / "t") + "._ddl.lock"
+    live = {"owner": "alive", "acquired_unix": time.time(), "ttl_s": 60.0}
+    with open(lock, "w") as f:
+        json.dump(live, f)
+
+    class ThrottledFS(NonAtomicFS):
+        def read_bytes(self, path: str) -> bytes:
+            raise OSError("SlowDown: please reduce your request rate")
+
+    fs = ThrottledFS()
+    assert _read_lease(fs, lock) is _UNREADABLE
+    with pytest.raises(TimeoutError, match="lease"):
+        _acquire_lease(fs, lock, timeout_s=0.5)
+    got = _read_lease(nonatomic, lock)  # through a healthy adapter
+    assert isinstance(got, dict) and got["owner"] == "alive"
+
+
+def test_foreign_empty_lockfile_never_overwritten(nonatomic, tmp_path):
+    # An EMPTY lockfile (the atomic-regime exclusive-create artifact, or
+    # a leftover from a mixed plain-path/URI deployment) is
+    # held-by-unknown: the lease branch must not stake over it.
+    lock = str(tmp_path / "t") + "._ddl.lock"
+    open(lock, "wb").close()
+    assert _read_lease(nonatomic, lock) is _UNREADABLE
+    with pytest.raises(TimeoutError, match="lease"):
+        _acquire_lease(nonatomic, lock, timeout_s=0.5)
+    assert os.path.getsize(lock) == 0  # untouched
+
+
+def test_heartbeat_defeats_observation_and_stops_after_takeover(
+    nonatomic, tmp_path, monkeypatch
+):
+    import kubenetmon_spark.evolve as ev
+
+    monkeypatch.setattr(ev, "_LEASE_HEARTBEAT_S", 0.1)
+    monkeypatch.setattr(ev, "_LEASE_GRACE_S", 0.5)
+    lock = str(tmp_path / "t") + "._ddl.lock"
+    hold = _acquire_lease(nonatomic, lock, timeout_s=5.0)
+    # a live holder heartbeats faster than the grace window, so a
+    # contender can NEVER complete an unchanged-observation — even
+    # though it watches for longer than the grace
+    with pytest.raises(TimeoutError, match="lease"):
+        _acquire_lease(nonatomic, lock, timeout_s=1.2)
+    first = _read_lease(nonatomic, lock)
+    time.sleep(0.3)
+    second = _read_lease(nonatomic, lock)
+    assert second["owner"] == hold.owner
+    assert second["acquired_unix"] > first["acquired_unix"]  # beating
+    # takeover: a usurper replaces the lease; the old heartbeat must
+    # detect it, mark the hold lost, and never clobber the usurper
+    with open(lock, "w") as f:
+        json.dump(
+            {"owner": "usurper", "acquired_unix": time.time(), "ttl_s": 60.0},
+            f,
+        )
+    time.sleep(0.4)
+    assert hold.lost is True
+    got = _read_lease(nonatomic, lock)
+    assert got["owner"] == "usurper"
+    with pytest.raises(Exception):
+        hold.fence()
+    hold.release()
+    assert _read_lease(nonatomic, lock)["owner"] == "usurper"  # left alone
 
 
 def test_fence_detects_ttl_takeover(nonatomic, tmp_path):

@@ -796,6 +796,17 @@ class TestRemoveDuplicateSpans:
         assert (got[None].n_tokens, got[None].n_removed) == (6, 0)
         assert got[2].dedup_text == "" and got[2].n_tokens == 0
 
+    def test_duplicate_ids_conflate_to_one_row(self, spark):
+        # one row per DISTINCT id on both the content and survival paths
+        from kubenetmon_spark.operators.dedup import remove_duplicate_spans
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (1, "g h i j k l"), (2, ""), (2, "")],
+            "doc_id int, text string",
+        )
+        rows = remove_duplicate_spans(df, "doc_id", k=4).collect()
+        assert sorted(r.doc_id for r in rows) == [1, 2]
+
 
 class TestHardNegativeMining:
     def test_excludes_same_label_and_ranks_by_cosine(self, spark):

@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Scaling-exponent study over the engine's five most expensive
-operator shapes (r04 VERDICT #4): measure wall-clock at sf{0.1,1,10}
+operator shapes (r04 VERDICT #4; six GATES — minhash-LSH has a batch
+and an incremental registration): measure wall-clock at sf{0.1,1,10}
 and fit the per-decade exponent e = log10(t_next / t_prev). A shape is
 scale-linear when e ~ 1; e > ~1.2 on the 1 -> 10 decade (where fixed
 overhead no longer matters) is a super-linear outlier that needs a fix.
@@ -28,9 +29,10 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
-# The five heavy shapes (r04 VERDICT #4) by their gate registrations —
-# gates take (spark, sf_dir), so the same code paths the correctness
-# manifest pins are what get timed.
+# The five heavy shapes (r04 VERDICT #4) as six gate registrations
+# (minhash-LSH twice: batch + incremental) — gates take (spark,
+# sf_dir), so the same code paths the correctness manifest pins are
+# what get timed.
 SHAPES = [
     "q23_minhash_lsh",
     "q279_minhash_dedup_incremental",
