@@ -78,7 +78,11 @@ KNOWN = {
     "vectors (sign_band_rows ships keys only).",
     "q26_flow_pipeline": "only 2 exchanges are fact-side (summing agg + "
     "query group key, asserted in test_plans.py); the rest build tiny "
-    "broadcast dimensions",
+    "broadcast dimensions. Standalone count is 11; in a full audit "
+    "session the count can read 15 because q34's stream persists the "
+    "prepared labeler dims (r05) and q26's plan then carries "
+    "InMemoryTableScan dim subtrees — cache-inflated counting, not a "
+    "plan change (q26 got FASTER in the same round's bench)",
     "q319_labeler_ipv6": "q26's twin over a mixed v4+v6 stream: the ONLY "
     "fact-side exchanges are the two event-half repartitions (ingest "
     "spreading, same as build_flow_inputs) and the final class agg; the "
