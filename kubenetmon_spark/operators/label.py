@@ -155,19 +155,14 @@ def label_flows(
             "ipv6",
             r,
         )
-    obs = obs.withColumn("_r", r)
-
     # P8 flags, evaluated HERE so extra_flags expressions can reference the
     # raw observation columns (the reference annotates flags from the flow
     # record, reference pkg/labeler/labeler.go:120-123); the map rides along
     # to the output projection.
-    obs = obs.withColumn(
-        "_flags",
-        F.map_from_arrays(
-            F.array(*[F.lit(k) for k in (extra_flags or {})]),
-            F.array(*list((extra_flags or {}).values())),
-        ).cast("map<string,boolean>"),
-    )
+    flags_expr = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in (extra_flags or {})]),
+        F.array(*list((extra_flags or {}).values())),
+    ).cast("map<string,boolean>")
 
     # P1 endpoint extraction with NAT resolution (see module docstring).
     # v6 mode: conntrack tuples are single-family per flow, so the v6
@@ -177,11 +172,19 @@ def label_flows(
     else:
         src_ip_e = F.coalesce("orig_src_ip", "orig_src_v6")
         dst_ip_e = F.coalesce("reply_src_ip", "reply_src_v6")
-    obs = (
-        obs.withColumn("src_ip", src_ip_e)
-        .withColumn("src_port", F.col("orig_src_port"))
-        .withColumn("dst_ip", dst_ip_e)
-        .withColumn("dst_port", F.col("reply_src_port"))
+    # ONE select for the reject column, the flags map, and the endpoint
+    # extraction: every withColumn/select call pays a JVM plan-analysis
+    # roundtrip, and this function builds once per micro-batch in the
+    # streaming jobs — folding consecutive column additions into single
+    # selects measurably cuts the per-trigger fixed cost.
+    obs = obs.select(
+        "*",
+        r.alias("_r"),
+        flags_expr.alias("_flags"),
+        src_ip_e.alias("src_ip"),
+        F.col("orig_src_port").alias("src_port"),
+        dst_ip_e.alias("dst_ip"),
+        F.col("reply_src_port").alias("dst_port"),
     )
 
     # F6 node-flow filter (reference labeler.go:249-253, 407-427): traffic
@@ -190,20 +193,18 @@ def label_flows(
     # the reject-column variant keeps the row for the dead-letter stream.
     # ``prepared`` (prepare_label_dims) supplies the pre-persisted dim
     # subtrees so a per-micro-batch caller skips the re-derivation.
-    node_ips = F.broadcast(
+    node_ips = (
         prepared["node_ips"]
         if prepared is not None
         else nodes.select(F.col("internal_ip").alias("_nip")).distinct()
     )
-    obs = obs.join(node_ips, obs["orig_src_ip"] == F.col("_nip"), "left").withColumn(
-        "_src_is_node", F.col("_nip").isNotNull()
-    ).drop("_nip")
-    obs = obs.join(node_ips, obs["reply_src_ip"] == F.col("_nip"), "left").withColumn(
-        "_reply_src_is_node", F.col("_nip").isNotNull()
-    ).drop("_nip")
-    obs = obs.withColumn(
-        "_r", _reject(F.col("_src_is_node") | F.col("_reply_src_is_node"), "node_flow", F.col("_r"))
-    ).drop("_src_is_node", "_reply_src_is_node")
+    node_ips2 = node_ips.select(F.col("_nip").alias("_nip2"))
+    obs = obs.join(
+        F.broadcast(node_ips), obs["orig_src_ip"] == F.col("_nip"), "left"
+    )
+    obs = obs.join(
+        F.broadcast(node_ips2), obs["reply_src_ip"] == F.col("_nip2"), "left"
+    )
 
     # J1 pod-by-IP lookups for both endpoints (broadcast left outer joins;
     # reference labeler.go:432-472, watcher.go:123-143). The multi-match
@@ -217,33 +218,47 @@ def label_flows(
             F.col("ambiguous").alias(f"{side}_pod_ambiguous"),
             *[F.col(f"pod.{f}").alias(f"{side}_pod_{f}") for f in _POD_FIELDS],
         )
-        obs = obs.join(pd, obs[f"{side}_ip"] == F.col(f"_{side}_pod_ip"), "left").drop(
-            f"_{side}_pod_ip"
-        )
-    obs = obs.withColumn(
-        "_r",
-        _reject(
-            F.coalesce("src_pod_ambiguous", F.lit(False))
-            | F.coalesce("dst_pod_ambiguous", F.lit(False)),
-            "ambiguous_pod",
-            F.col("_r"),
-        ),
-    )
+        obs = obs.join(pd, obs[f"{side}_ip"] == F.col(f"_{side}_pod_ip"), "left")
 
-    # P3 flow-type classification (reference labeler.go:149-161, 475-499):
-    # which endpoint is local to the observing node.
+    # ONE select folds F6/J1's reject updates, P3 flow-type, and F7 —
+    # the reject ORDER (node_flow -> ambiguous_pod -> unknown_direction,
+    # first reason wins) mirrors the Go early-return order exactly as
+    # the old per-withColumn chain did; the expressions are simply
+    # composed instead of landed one plan node at a time.
+    # P3 flow-type classification (reference labeler.go:149-161,
+    # 475-499): which endpoint is local to the observing node.
     src_on_node = F.col("src_pod_name").isNotNull() & (F.col("src_pod_node_name") == F.col("node_name"))
     dst_on_node = F.col("dst_pod_name").isNotNull() & (F.col("dst_pod_node_name") == F.col("node_name"))
-    obs = obs.withColumn(
-        "flow_type",
+    flow_type_e = (
         F.when(src_on_node & dst_on_node, "betweenPodsOnNode")
         .when(src_on_node, "fromPodOnNode")
         .when(dst_on_node, "toPodOnNode")
-        .otherwise("unknown"),
+        .otherwise("unknown")
+    )
+    # F6 node-flow reject (the two _nip join hits)
+    r = _reject(
+        F.col("_nip").isNotNull() | F.col("_nip2").isNotNull(),
+        "node_flow",
+        F.col("_r"),
+    )
+    r = _reject(
+        F.coalesce("src_pod_ambiguous", F.lit(False))
+        | F.coalesce("dst_pod_ambiguous", F.lit(False)),
+        "ambiguous_pod",
+        r,
     )
     # F7 unknown-direction drop (reference labeler.go:319-331) — a warning,
     # not an error, in the reference; same dead-letter treatment here.
-    obs = obs.withColumn("_r", _reject(F.col("flow_type") == "unknown", "unknown_direction", F.col("_r")))
+    r = _reject(flow_type_e == "unknown", "unknown_direction", r)
+    obs = obs.select(
+        *[
+            c
+            for c in obs.columns
+            if c not in ("_r", "_nip", "_nip2", "_src_pod_ip", "_dst_pod_ip")
+        ],
+        r.alias("_r"),
+        flow_type_e.alias("flow_type"),
+    )
 
     # P4 local/remote normalization + counter orientation
     # (reference labeler.go:276-331): orig counters measure src->dst.
@@ -281,12 +296,17 @@ def label_flows(
     # over DISTINCT non-private remote IPs — the same work-avoidance as the
     # reference's short-circuit, plus dedup so the per-IP reduce is tiny
     # relative to fact rows.
-    obs = obs.withColumn("remote_ip_num", ip_to_long("remote_ip"))
     if cfg.ignore_ipv6:
-        obs = obs.withColumn(
-            "_remote_private", is_private_ip_num(F.col("remote_ip_num"))
+        # v4 path: fold the ip-num and private-flag into ONE select
+        # (see the plan-analysis note above)
+        num = ip_to_long("remote_ip")
+        obs = obs.select(
+            "*",
+            num.alias("remote_ip_num"),
+            is_private_ip_num(num).alias("_remote_private"),
         )
     else:
+        obs = obs.withColumn("remote_ip_num", ip_to_long("remote_ip"))
         # v6 remotes: parse to the 128-bit pair in-plan; a v6 string
         # that fails the parse contract rejects per-row (never a
         # silent PUBLIC_INTERNET misclassification). The group parse
@@ -390,19 +410,24 @@ def label_flows(
         .when(F.col("lpm_region") == "", "UNKNOWN")  # error branch (remote.go:148-152)
         .otherwise("INTER_REGION")
     )
-    obs = obs.withColumn("connection_class", cls)
-    obs = obs.withColumn(
-        "_r", _reject(F.col("connection_class") == "UNKNOWN", "remote_label_error", F.col("_r"))
-    )
-    obs = obs.withColumn(
-        "remote_cloud",
-        F.when(F.col("_remote_private"), F.lit(cfg.cloud)).otherwise(F.coalesce("lpm_cloud", F.lit(""))),
-    ).withColumn(
-        "remote_region",
+    # J7's classification, its reject, and the remote_* projections fold
+    # into ONE select (plan-analysis note above); `cls` is reused as an
+    # expression inside the reject instead of landing as a column first.
+    obs = obs.select(
+        *[c for c in obs.columns if c != "_r"],
+        cls.alias("connection_class"),
+        _reject(cls == "UNKNOWN", "remote_label_error", F.col("_r")).alias(
+            "_r"
+        ),
+        F.when(F.col("_remote_private"), F.lit(cfg.cloud))
+        .otherwise(F.coalesce("lpm_cloud", F.lit("")))
+        .alias("remote_cloud"),
         F.when(F.col("_remote_private"), F.lit(cfg.region))
         .when(F.col("lpm_region") == "global", F.lit(cfg.region))  # anycast -> local region
-        .otherwise(F.coalesce("lpm_region", F.lit(""))),
-    ).withColumn("remote_service", F.coalesce("lpm_service", F.lit("")))
+        .otherwise(F.coalesce("lpm_region", F.lit("")))
+        .alias("remote_region"),
+        F.coalesce("lpm_service", F.lit("")).alias("remote_service"),
+    )
 
     # P6 AZ lookup via the node dimension (reference labeler.go:341-346,
     # 360-366): pod's node name -> zone label. One row per name is
@@ -419,12 +444,18 @@ def label_flows(
             F.min("zone").alias("_zz")
         )
     )
-    obs = obs.join(zones, obs["local_pod_node_name"] == F.col("_zn"), "left").withColumn(
-        "local_az", F.coalesce("_zz", F.lit(""))
-    ).drop("_zn", "_zz")
-    obs = obs.join(zones, obs["remote_pod_node_name"] == F.col("_zn"), "left").withColumn(
-        "remote_az", F.coalesce("_zz", F.lit(""))
-    ).drop("_zn", "_zz")
+    zones2 = zones.select(
+        F.col("_zn").alias("_zn2"), F.col("_zz").alias("_zz2")
+    )
+    obs = obs.join(zones, obs["local_pod_node_name"] == F.col("_zn"), "left")
+    obs = obs.join(
+        F.broadcast(zones2), obs["remote_pod_node_name"] == F.col("_zn2"), "left"
+    )
+    obs = obs.select(
+        *[c for c in obs.columns if c not in ("_zn", "_zz", "_zn2", "_zz2")],
+        F.coalesce("_zz", F.lit("")).alias("local_az"),
+        F.coalesce("_zz2", F.lit("")).alias("remote_az"),
+    )
 
     # P5 pod metadata projection with app-label fallback
     # (reference labeler.go:334-373), P9 runtime constants,
