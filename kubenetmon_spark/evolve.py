@@ -133,25 +133,47 @@ _LEASE_HEARTBEAT_S = 15.0  # holder re-stamps the lease this often
 _LEASE_GRACE_S = 60.0      # silence a contender must observe to take over
 _LEASE_SETTLE_S = 0.15
 
-# sentinel: the lease file exists but could not be parsed (a PUT racing
-# the read, a truncated object, or a foreign/empty lockfile). Treated
-# as HELD BY UNKNOWN: never overwritten, never taken over — contention
-# ends in a loud TimeoutError telling the operator to inspect it. This
-# is what keeps one transient S3 read error (503, short read) from
-# reading as "absent" and fail-opening over a LIVE lease.
+# Two distinct non-answer sentinels — conflating them would let a
+# throttled READ start the race-wreckage re-stake clock and overwrite a
+# LIVE holder's lease:
+# - _UNREADABLE: bytes were actually READ but don't parse (a PUT racing
+#   the read, a truncated object, or a foreign/empty lockfile). Held by
+#   unknown: never overwritten, never taken over — except by the
+#   bounded re-stake of a driver that ALREADY staked in this acquire
+#   (its own race's wreckage).
+# - _UNAVAILABLE: the read request itself FAILED (S3 503, network) and
+#   absence could not be confirmed. Held by unknown, and NEVER eligible
+#   for re-stake — the bytes underneath may be a live verified lease.
+# Both end contention in a loud TimeoutError if they persist.
 _UNREADABLE = object()
+_UNAVAILABLE = object()
+
+# Error shapes that mean "confirmed absent" from the JVM adapters —
+# HadoopFS surfaces a missing object as a py4j-wrapped java
+# FileNotFoundException, never Python's FileNotFoundError, and paying
+# an extra exists() RPC per poll on the COMMON (uncontended) path is
+# waste.
+_NOT_FOUND_MARKERS = (
+    "FileNotFoundException",
+    "NoSuchKey",
+    "File does not exist",
+    "No such file",
+)
 
 
 def _read_lease(fs, lock: str):
     """None = confirmed absent; a dict = the parsed lease;
-    ``_UNREADABLE`` = exists but unreadable/unparseable (see above)."""
+    ``_UNREADABLE`` / ``_UNAVAILABLE`` = see the sentinel notes."""
     try:
         raw = fs.read_bytes(lock)
     except FileNotFoundError:
         return None
-    except Exception:
+    except Exception as exc:
+        msg = str(exc)
+        if any(m in msg for m in _NOT_FOUND_MARKERS):
+            return None  # the store's own not-found shape
         # could not CONFIRM absence (throttle, network): assume held
-        return _UNREADABLE if fs_exists_quiet(fs, lock) else None
+        return _UNAVAILABLE if fs_exists_quiet(fs, lock) else None
     import json as _json
 
     try:
@@ -206,11 +228,36 @@ class _LeaseHold:
         )
 
     def _beat(self) -> None:
+        import time as _time
+
+        # Transient failures (throttled read, failed stamp PUT) retry on
+        # the next tick — a single 503 must neither silently kill the
+        # thread (frozen bytes would eventually read as a dead owner)
+        # nor abort a minutes-long materialization via a spurious
+        # `lost`. Only two things end the beat: VERIFIED foreign
+        # ownership, or failing to confirm ownership for half the grace
+        # window (past that, a contender may legitimately be close to
+        # taking over, so we stop claiming the lease).
+        unconfirmed_since: float | None = None
         while not self._stop.wait(_LEASE_HEARTBEAT_S):
+            ok = False
             got = _read_lease(self._fs, self._lock_path)
-            if isinstance(got, dict) and got.get("owner") == self.owner:
-                self._stamp()
-            else:
+            if isinstance(got, dict):
+                if got.get("owner") == self.owner:
+                    try:
+                        self._stamp()
+                        ok = True
+                    except Exception:
+                        ok = False  # transient PUT failure — retry
+                else:
+                    self.lost = True  # verifiably taken over
+                    return
+            now = _time.monotonic()
+            if ok:
+                unconfirmed_since = None
+            elif unconfirmed_since is None:
+                unconfirmed_since = now
+            elif now - unconfirmed_since >= _LEASE_GRACE_S / 2:
                 self.lost = True
                 return
 
@@ -270,40 +317,73 @@ def _acquire_lease(fs, lock: str, timeout_s: float) -> _LeaseHold:
     observed: tuple[tuple, float] | None = None  # (content key, t_mono)
     staked = False
     unreadable_since: float | None = None
+    # Per-driver deterministic jitter (from our own uuid) desynchronizes
+    # re-stake attempts: on a store whose overwrite is NOT one atomic
+    # PUT, two racers whose synchronized re-stakes keep corrupting each
+    # other would otherwise livelock to a double timeout.
+    jitter = int(me[:4], 16) / 0xFFFF * 3 * _LEASE_SETTLE_S
+
+    def _verify() -> bool:
+        """Settle, then double read-back: ownership counts only when two
+        spaced reads BOTH show our uuid — a racing driver's slow PUT
+        either lands before our reads (we back off) or after both (they
+        run their own verify and win; we see them next loop)."""
+        _time.sleep(_LEASE_SETTLE_S)
+        got = _read_lease(fs, lock)
+        if not (isinstance(got, dict) and got.get("owner") == me):
+            return False
+        _time.sleep(_LEASE_SETTLE_S)
+        got2 = _read_lease(fs, lock)
+        return isinstance(got2, dict) and got2.get("owner") == me
+
     while True:
         cur = _read_lease(fs, lock)
         if cur is not _UNREADABLE:
             unreadable_since = None
         if cur is None:
             stake = True
+        elif cur is _UNAVAILABLE:
+            # the read itself failed — the bytes may be a LIVE verified
+            # lease, so this never counts toward re-stake eligibility
+            observed = None
+            stake = False
         elif cur is _UNREADABLE:
             observed = None
             now_m = _time.monotonic()
             if unreadable_since is None:
                 unreadable_since = now_m
-            # Re-stake ONLY if we already staked in THIS acquire and the
-            # bytes have stayed unreadable for a settle-scale window:
-            # on stores whose overwrite is not one atomic PUT (Hadoop's
-            # RawLocalFileSystem truncates then streams), two racing
-            # stakes can interleave into permanently-unparseable bytes —
-            # wreckage of OUR race, safe to overwrite; every other
-            # stake may legally overwrite an in-flight PUT anyway
-            # (last-writer-wins), and the read-back picks one winner.
-            # A foreign unreadable lease that PREDATES our acquire is
-            # never overwritten (staked is False) — loud timeout.
-            stake = staked and (now_m - unreadable_since) >= 4 * _LEASE_SETTLE_S
+            # Re-stake ONLY if we already staked in THIS acquire and
+            # ACTUALLY-READ bytes have stayed unparseable for a
+            # settle-scale window: on stores whose overwrite is not one
+            # atomic PUT (Hadoop's RawLocalFileSystem truncates then
+            # streams), two racing stakes can interleave into
+            # permanently-unparseable bytes — wreckage of OUR race,
+            # safe to overwrite; every other stake may legally
+            # overwrite an in-flight PUT anyway (last-writer-wins), and
+            # the read-back picks one winner. A foreign unreadable
+            # lease that PREDATES our acquire is never overwritten
+            # (staked is False) — loud timeout.
+            stake = staked and (
+                now_m - unreadable_since >= 4 * _LEASE_SETTLE_S + jitter
+            )
         else:
             if cur.get("owner") == me:
-                # our earlier PUT landed after all — a read-back racing
-                # a concurrent create-truncate can misread and make us
-                # "lose" our own stake; without this check we would
-                # contend forever against our own orphaned lease.
-                return _LeaseHold(fs, lock, me)
-            key = (cur.get("owner"), cur.get("acquired_unix"))
-            now_m = _time.monotonic()
-            if observed is None or observed[0] != key:
-                observed = (key, now_m)
-            stake = now_m - observed[1] >= _LEASE_GRACE_S
+                # our earlier PUT landed after all (a read-back racing a
+                # concurrent create-truncate can misread and make us
+                # "lose" our own stake) — but a slow foreign PUT may
+                # still be in flight, so this grants NOTHING by itself:
+                # it funnels into the same double-read-back verify as a
+                # fresh stake.
+                if _verify():
+                    return _LeaseHold(fs, lock, me)
+                observed = None
+                stake = False
+            else:
+                key = (cur.get("owner"), cur.get("acquired_unix"))
+                now_m = _time.monotonic()
+                if observed is None or observed[0] != key:
+                    observed = (key, now_m)
+                stake = now_m - observed[1] >= _LEASE_GRACE_S
         if stake:
             staked = True
             unreadable_since = None
@@ -315,13 +395,8 @@ def _acquire_lease(fs, lock: str, timeout_s: float) -> _LeaseHold:
                     "ttl_s": _LEASE_TTL_S,
                 },
             )
-            _time.sleep(_LEASE_SETTLE_S)
-            got = _read_lease(fs, lock)
-            if isinstance(got, dict) and got.get("owner") == me:
-                _time.sleep(_LEASE_SETTLE_S)
-                got2 = _read_lease(fs, lock)
-                if isinstance(got2, dict) and got2.get("owner") == me:
-                    return _LeaseHold(fs, lock, me)
+            if _verify():
+                return _LeaseHold(fs, lock, me)
             observed = None  # lost the race — contend
         if _time.monotonic() > deadline:
             raise TimeoutError(
@@ -494,15 +569,19 @@ def _validated(log: dict, path: str, op: dict) -> dict:
     }
 
 
-def _append_op(path: str, op: dict) -> None:
-    with _ddl_lock(path) as fence:
+def _append_op(path: str, op: dict, lock_timeout_s: float = 5.0) -> None:
+    with _ddl_lock(path, timeout_s=lock_timeout_s) as fence:
         new_log = _validated(_read_log(path), path, op)
         fence()  # lease still ours after the read-modify work
         _write_log(path, new_log)
 
 
 def add_column(
-    path: str, column: str, dtype: str, default: str | None = None
+    path: str,
+    column: str,
+    dtype: str,
+    default: str | None = None,
+    lock_timeout_s: float = 5.0,
 ) -> None:
     """``ALTER TABLE ADD COLUMN column dtype [DEFAULT default]``.
 
@@ -523,30 +602,43 @@ def add_column(
     coalesce. Either way: write the column as ``dtype`` (or wider)
     from the start.
     """
-    _append_op(path, {"op": "add", "col": column, "dtype": dtype, "default": default})
+    _append_op(
+        path,
+        {"op": "add", "col": column, "dtype": dtype, "default": default},
+        lock_timeout_s,
+    )
 
 
-def drop_column(path: str, column: str) -> None:
+def drop_column(path: str, column: str, lock_timeout_s: float = 5.0) -> None:
     """``ALTER TABLE DROP COLUMN`` — hides the column immediately; the
     bytes on disk go away at the next :func:`materialize_schema`."""
-    _append_op(path, {"op": "drop", "col": column})
+    _append_op(path, {"op": "drop", "col": column}, lock_timeout_s)
 
 
-def rename_column(path: str, old: str, new: str) -> None:
+def rename_column(
+    path: str, old: str, new: str, lock_timeout_s: float = 5.0
+) -> None:
     """``ALTER TABLE RENAME COLUMN old TO new`` — files written before
     the rename keep the old physical name; reads unify both. Renaming
     onto a live column is refused (ClickHouse behavior — it would
     silently merge two columns), as is reusing a retired name whose
     bytes still linger (materialize first)."""
-    _append_op(path, {"op": "rename", "old": old, "new": new})
+    _append_op(path, {"op": "rename", "old": old, "new": new}, lock_timeout_s)
 
 
-def modify_column(path: str, column: str, dtype: str) -> None:
+def modify_column(
+    path: str, column: str, dtype: str, lock_timeout_s: float = 5.0
+) -> None:
     """``ALTER TABLE MODIFY COLUMN column dtype`` — cast-on-read until
     materialized. Under ANSI (this engine's default) a value the cast
     cannot represent fails the read loudly; under ANSI-off it silently
-    reads NULL. Widen, don't narrow, on live tables either way."""
-    _append_op(path, {"op": "modify", "col": column, "dtype": dtype})
+    reads NULL. Widen, don't narrow, on live tables either way.
+
+    ``lock_timeout_s`` (also on add/drop/rename): the DDL-lock wait.
+    On object stores, reclaiming a CRASHED driver's lease requires
+    observing a full takeover-grace window of silence — pass a value
+    > 60s there (the lease-contention error says so too)."""
+    _append_op(path, {"op": "modify", "col": column, "dtype": dtype}, lock_timeout_s)
 
 
 def _apply_ops(df: DataFrame, ops: list[dict]) -> DataFrame:

@@ -32,8 +32,14 @@ Semantics notes, where stores genuinely differ:
   reader racing the close can see a short read, which surfaces as a
   loud parse error in every caller (all sidecars are JSON), never as
   silently-empty state. Rename-based publish is deliberately NOT used
-  here: object-store rename is copy+delete, leaving a missing-target
-  window that DOES read as silently-empty.
+  on object stores: their rename is copy+delete, leaving a
+  missing-target window that DOES read as silently-empty. The ``file:``
+  scheme is the exception both ways — RawLocalFileSystem's
+  create(overwrite) is truncate-then-stream (concurrent writers
+  interleave into corrupt bytes; observed in the DDL-lease race
+  drives) while local rename-replace is atomic with no missing-target
+  window — so local-scheme URIs publish via temp + ``os.replace``,
+  matching LocalFS semantics exactly.
 - ``create_exclusive`` (lock primitive): atomic on local disk
   (``O_CREAT|O_EXCL``) and on HDFS (namenode-serialized
   ``create(overwrite=false)``). On S3A and the other object-store
@@ -430,9 +436,27 @@ class HadoopFS(FS):
         # stores; on HDFS a racing reader can see a short read, which
         # every caller surfaces loudly (JSON parse error), never as
         # empty state. See module docstring for why rename-publish is
-        # NOT used here.
+        # NOT used on object stores.
+        #
+        # file: is the exception BOTH ways: Hadoop's RawLocalFileSystem
+        # create(overwrite) is truncate-then-stream — two concurrent
+        # writers interleave into corrupt bytes (observed in the DDL
+        # lease race drives) — while a local rename-replace IS atomic
+        # with no missing-target window. So local-scheme paths publish
+        # via temp + java.nio ATOMIC_MOVE, matching LocalFS semantics.
         p = self._jpath(path)
         fs = self._fs(p)
+        scheme = str(fs.makeQualified(p).toUri().getScheme())
+        if scheme == "file":
+            local = str(fs.makeQualified(p).toUri().getPath())
+            d, name = os.path.split(local)
+            tmp = os.path.join(
+                d, f".{name}.tmp.{os.getpid()}.{uuid.uuid4().hex[:12]}"
+            )
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, local)
+            return
         out = fs.create(p, True)
         try:
             out.write(bytearray(data))

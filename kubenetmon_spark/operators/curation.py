@@ -514,7 +514,7 @@ def dedup_lines(
         )
     )
     # Docs with NO non-empty lines emit no line rows, so the regroup
-    # alone would silently drop them — the one-row-per-input-document
+    # alone would silently drop them — the one-row-per-DISTINCT-id
     # promise above requires a survival path (the chunk_documents /
     # remove_duplicate_spans lesson). Shape: UNION of per_doc with the
     # null-safe-anti-joined missing ids, NOT a left join over the full

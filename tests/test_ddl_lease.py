@@ -27,6 +27,7 @@ import time
 import pytest
 
 from kubenetmon_spark.evolve import (
+    _UNAVAILABLE,
     _UNREADABLE,
     _acquire_lease,
     _ddl_lock,
@@ -243,10 +244,44 @@ def test_transient_read_errors_do_not_fail_open(nonatomic, tmp_path):
             raise OSError("SlowDown: please reduce your request rate")
 
     fs = ThrottledFS()
-    assert _read_lease(fs, lock) is _UNREADABLE
+    assert _read_lease(fs, lock) is _UNAVAILABLE
     with pytest.raises(TimeoutError, match="lease"):
         _acquire_lease(fs, lock, timeout_s=0.5)
     got = _read_lease(nonatomic, lock)  # through a healthy adapter
+    assert isinstance(got, dict) and got["owner"] == "alive"
+
+
+def test_failed_reads_never_enable_restake(nonatomic, tmp_path):
+    # The finding this pins: a contender that already staked (lost the
+    # race) and then suffers throttled READS must not treat the
+    # unreadable state as race wreckage and overwrite the live winner.
+    lock = str(tmp_path / "t") + "._ddl.lock"
+    live = {"owner": "alive", "acquired_unix": time.time(), "ttl_s": 60.0}
+    with open(lock, "w") as f:
+        json.dump(live, f)
+
+    class StakeThenThrottleFS(NonAtomicFS):
+        """First read shows the live lease misread as a lost race is
+        not even needed — simply make every read after construction
+        fail, and count writes."""
+
+        def __init__(self):
+            super().__init__()
+            self.writes = 0
+
+        def read_bytes(self, path: str) -> bytes:
+            raise OSError("SlowDown")
+
+        def write_bytes_atomic(self, path: str, data: bytes) -> None:
+            self.writes += 1
+            super().write_bytes_atomic(path, data)
+
+    fs = StakeThenThrottleFS()
+    with pytest.raises(TimeoutError, match="lease"):
+        _acquire_lease(fs, lock, timeout_s=1.2)
+    # _UNAVAILABLE never reads as absent or as wreckage: zero writes
+    assert fs.writes == 0
+    got = _read_lease(nonatomic, lock)
     assert isinstance(got, dict) and got["owner"] == "alive"
 
 
@@ -282,13 +317,16 @@ def test_heartbeat_defeats_observation_and_stops_after_takeover(
     assert second["owner"] == hold.owner
     assert second["acquired_unix"] > first["acquired_unix"]  # beating
     # takeover: a usurper replaces the lease; the old heartbeat must
-    # detect it, mark the hold lost, and never clobber the usurper
-    with open(lock, "w") as f:
-        json.dump(
-            {"owner": "usurper", "acquired_unix": time.time(), "ttl_s": 60.0},
-            f,
-        )
-    time.sleep(0.4)
+    # detect it, mark the hold lost, and never clobber the usurper.
+    # An in-flight beat's read-then-stamp can clobber one atomic
+    # usurper write (sub-ms window at 0.1s period) — rewrite until the
+    # beat observes it, which is the same converging behavior a real
+    # usurper's own heartbeat provides.
+    usurper = {"owner": "usurper", "acquired_unix": time.time(), "ttl_s": 60.0}
+    deadline = time.monotonic() + 10.0
+    while not hold.lost and time.monotonic() < deadline:
+        nonatomic.write_json_atomic(lock, usurper)
+        time.sleep(0.15)
     assert hold.lost is True
     got = _read_lease(nonatomic, lock)
     assert got["owner"] == "usurper"
@@ -296,6 +334,67 @@ def test_heartbeat_defeats_observation_and_stops_after_takeover(
         hold.fence()
     hold.release()
     assert _read_lease(nonatomic, lock)["owner"] == "usurper"  # left alone
+
+
+def test_heartbeat_survives_transient_failures(nonatomic, tmp_path, monkeypatch):
+    # One throttled read or one failed stamp PUT must not kill the
+    # heartbeat or spuriously mark the hold lost (a minutes-long
+    # materialization would be wasted and its lease would freeze).
+    import kubenetmon_spark.evolve as ev
+
+    monkeypatch.setattr(ev, "_LEASE_HEARTBEAT_S", 0.05)
+    lock = str(tmp_path / "t") + "._ddl.lock"
+
+    class FlakyFS(NonAtomicFS):
+        def __init__(self):
+            super().__init__()
+            self.fail_reads = 0
+            self.fail_writes = 0
+
+        def read_bytes(self, path: str) -> bytes:
+            if self.fail_reads > 0:
+                self.fail_reads -= 1
+                raise OSError("SlowDown")
+            return super().read_bytes(path)
+
+        def write_bytes_atomic(self, path: str, data: bytes) -> None:
+            if self.fail_writes > 0:
+                self.fail_writes -= 1
+                raise OSError("SlowDown")
+            super().write_bytes_atomic(path, data)
+
+    fs = FlakyFS()
+    hold = _acquire_lease(fs, lock, timeout_s=5.0)
+    first = _read_lease(fs, lock)
+    fs.fail_reads = 2   # two throttled beats
+    fs.fail_writes = 1  # one failed stamp
+    time.sleep(0.6)     # ~12 beat ticks
+    assert hold.lost is False
+    latest = _read_lease(fs, lock)
+    assert latest["owner"] == hold.owner
+    assert latest["acquired_unix"] > first["acquired_unix"]  # still beating
+    hold.release()
+    assert not os.path.exists(lock)
+
+
+def test_dead_owner_reclaimable_through_public_alter_api(
+    nonatomic, spark, tmp_path, monkeypatch
+):
+    # The takeover path must be REACHABLE from the public DDL API: an
+    # ALTER with lock_timeout_s > grace waits out a crashed driver's
+    # lease instead of requiring manual lockfile surgery.
+    import kubenetmon_spark.evolve as ev
+
+    monkeypatch.setattr(ev, "_LEASE_GRACE_S", 0.3)
+    tbl = str(tmp_path / "t")
+    spark.range(5).selectExpr("id", "id AS v").write.parquet(tbl)
+    lock = _lock_path(tbl)
+    stale = {"owner": "crashed", "acquired_unix": time.time() - 9999, "ttl_s": 60.0}
+    with open(lock, "w") as f:
+        json.dump(stale, f)
+    add_column(tbl, "c", "int", lock_timeout_s=5.0)
+    assert [o["op"] for o in schema_log(tbl)] == ["add"]
+    assert not os.path.exists(lock)
 
 
 def test_fence_detects_ttl_takeover(nonatomic, tmp_path):
