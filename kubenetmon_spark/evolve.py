@@ -164,6 +164,8 @@ _NOT_FOUND_MARKERS = (
 def _read_lease(fs, lock: str):
     """None = confirmed absent; a dict = the parsed lease;
     ``_UNREADABLE`` / ``_UNAVAILABLE`` = see the sentinel notes."""
+    import posixpath as _pp
+
     try:
         raw = fs.read_bytes(lock)
     except FileNotFoundError:
@@ -171,7 +173,17 @@ def _read_lease(fs, lock: str):
     except Exception as exc:
         msg = str(exc)
         if any(m in msg for m in _NOT_FOUND_MARKERS):
-            return None  # the store's own not-found shape
+            # A marker alone is not proof the LOCK is absent: an
+            # unrelated error whose text merely mentions a missing file
+            # (a credentials/config path inside a py4j traceback) would
+            # otherwise read as "lease absent" and let a contender stake
+            # over a live lease. Genuine not-found shapes from Hadoop/S3
+            # name the object they failed on, so require the lock's own
+            # name in the message for the RPC-free fast path; anything
+            # else pays one exists() to confirm.
+            if _pp.basename(lock.rstrip("/")) in msg:
+                return None  # the store's own not-found shape, for US
+            return _UNAVAILABLE if fs_exists_quiet(fs, lock) else None
         # could not CONFIRM absence (throttle, network): assume held
         return _UNAVAILABLE if fs_exists_quiet(fs, lock) else None
     import json as _json
@@ -244,6 +256,12 @@ class _LeaseHold:
             got = _read_lease(self._fs, self._lock_path)
             if isinstance(got, dict):
                 if got.get("owner") == self.owner:
+                    # Re-check stop immediately before the PUT: release()
+                    # may have set it while we were reading, and a stamp
+                    # landing after release()'s remove would resurrect an
+                    # ownerless lease that contenders must wait out.
+                    if self._stop.is_set():
+                        return
                     try:
                         self._stamp()
                         ok = True
@@ -280,6 +298,15 @@ class _LeaseHold:
     def release(self) -> None:
         self._stop.set()
         self._thread.join(timeout=_LEASE_HEARTBEAT_S + 5)
+        if self._thread.is_alive():
+            # The beat thread is wedged (e.g. a _stamp PUT stuck in the
+            # store client for >20s). Deleting now would race that PUT:
+            # it could land AFTER our remove and resurrect an ownerless
+            # lease contenders must wait a full grace window to reclaim.
+            # Leave the lease in place — the wedged beat re-checks
+            # _stop before every future PUT and exits, after which the
+            # frozen bytes age out via the normal takeover protocol.
+            return
         got = _read_lease(self._fs, self._lock_path)
         if isinstance(got, dict) and got.get("owner") == self.owner:
             try:

@@ -443,13 +443,16 @@ class HadoopFS(FS):
         # writers interleave into corrupt bytes (observed in the DDL
         # lease race drives) — while a local rename-replace IS atomic
         # with no missing-target window. So local-scheme paths publish
-        # via temp + java.nio ATOMIC_MOVE, matching LocalFS semantics.
+        # via temp file + os.replace (atomic on POSIX), matching LocalFS
+        # semantics. Hadoop's create() would have made parent dirs
+        # implicitly; os.makedirs keeps that contract on this branch.
         p = self._jpath(path)
         fs = self._fs(p)
         scheme = str(fs.makeQualified(p).toUri().getScheme())
         if scheme == "file":
             local = str(fs.makeQualified(p).toUri().getPath())
             d, name = os.path.split(local)
+            os.makedirs(d, exist_ok=True)
             tmp = os.path.join(
                 d, f".{name}.tmp.{os.getpid()}.{uuid.uuid4().hex[:12]}"
             )

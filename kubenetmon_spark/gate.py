@@ -3968,7 +3968,7 @@ def q100(spark, sf_dir):
 
 @_register(
     "q101_duplicate_spans",
-    """
+    r"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(text, '\s+'),

@@ -99,12 +99,22 @@ class FlowHandlerServicer:
         """Consume one client stream of raw Observation bytes; land
         accepted messages (flushing every ``batch_size`` so an
         unbounded agent stream never buffers unboundedly); return the
-        encoded ObservationSummary. Per-message decode errors are
-        counted and skipped — the stream stays alive, exactly the
-        reference server's accounting (server.go:100-113)."""
-        accepted = 0
+        encoded ObservationSummary.
+
+        The summary counts every message RECEIVED on the stream — the
+        reference server increments its counter before any processing
+        (server.go:63-77), and this matches it. Where we are
+        deliberately MORE lenient: a proto-undecodable message aborts
+        the reference's whole stream, while here it is counted,
+        recorded in ``stats["rejected"]``, skipped for landing, and the
+        stream stays alive. On any stream the reference would actually
+        answer (all messages well-formed) the two counts are therefore
+        identical; on a malformed stream the reference returns an RPC
+        error and no summary at all, so no count can diverge."""
+        received = 0
         batch: list[bytes] = []
         for msg in message_iter:
+            received += 1
             try:
                 decode_observation(msg)
             except (ValueError, UnicodeDecodeError):
@@ -112,13 +122,12 @@ class FlowHandlerServicer:
                     self._rx.stats["rejected"] += 1
                 continue
             batch.append(msg)
-            accepted += 1
             if len(batch) >= self.batch_size:
                 self._rx._land(batch)
                 batch = []
         if batch:
             self._rx._land(batch)
-        return encode_observation_summary(accepted)
+        return encode_observation_summary(received)
 
 
 def serve(

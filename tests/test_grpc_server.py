@@ -108,10 +108,14 @@ class TestSubmitHandler:
         stream = [wire[0], b"\xff\xff\xff", wire[1], b"", wire[2]]
         servicer = FlowHandlerServicer(str(tmp_path / "landing"))
         summary = servicer.submit(iter(stream))
-        # empty bytes decode as an (all-default) observation in proto3;
-        # only the genuinely corrupt frame is rejected
-        assert decode_observation_summary(summary) == 4
+        # the summary counts every message RECEIVED (reference
+        # server.go:63-77 increments before processing); empty bytes
+        # decode as an (all-default) observation in proto3, so only the
+        # genuinely corrupt frame is rejected for landing — counted in
+        # the summary but skipped on disk
+        assert decode_observation_summary(summary) == 5
         assert servicer.stats["rejected"] == 1
+        assert servicer.stats["accepted"] == 4
 
     def test_flushes_in_batches(self, tmp_path, spark):
         from kubenetmon_spark.demo import build_flow_inputs
