@@ -2013,28 +2013,79 @@ def q55(spark, sf_dir):
 
 @_register(
     "q56_approx_sketches",
-    # ROWS-ONLY BY DESIGN (one of exactly two: q56, q113) — sketch
-    # internals differ across engines, so no value hash can match. Its
-    # hash-matching integer twin is q283 (deterministic HLL, exact
-    # oracle); the driver records the weaker rows-only check here.
-    None,
-    "approximate aggregates (HLL++ count-distinct, approx percentiles): "
-    "no oracle on purpose — DuckDB's approx internals differ. Sketch-only "
-    "by design: mixing countDistinct with other aggs forces an Expand "
-    "double-scan, and exact percentile buffers every group value — at "
-    "100 TB you run the sketches alone (the test suite computes the exact "
-    "counterparts separately to bound the error)",
+    """
+    WITH s AS (
+      SELECT event_type,
+             COUNT(DISTINCT user_id) AS exact_users,
+             approx_count_distinct(user_id) AS a,
+             approx_quantile(value, 0.5) AS p,
+             COUNT(value) AS n_vals
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(s.exact_users AS BIGINT) AS exact_users,
+           CAST(s.n_vals AS BIGINT) AS n_vals,
+           abs(s.a - s.exact_users)
+             <= GREATEST(CAST(ceil(0.10 * s.exact_users) AS BIGINT), 3)
+             AS users_within_10pct,
+           ((SELECT COUNT(*) FROM events e
+             WHERE e.event_type = s.event_type AND e.value < s.p)
+               <= CAST(ceil(0.55 * s.n_vals) AS BIGINT)
+            AND (SELECT COUNT(*) FROM events e
+                 WHERE e.event_type = s.event_type AND e.value <= s.p)
+               >= CAST(floor(0.45 * s.n_vals) AS BIGINT))
+             AS p50_within_rank_band
+    FROM s ORDER BY event_type
+    """,
+    "approximate aggregates (HLL++ count-distinct, approx percentiles) "
+    "as a HASH-CHECKABLE CONTRACT: sketch bytes/estimates legitimately "
+    "differ per engine, so the gate outputs what IS portable — the "
+    "exact counts plus booleans asserting each engine's OWN sketch "
+    "lands inside a generous accuracy band (10% + 3 on distinct users "
+    "at rsd 0.02, a 45-55% rank band for the approx median). Both "
+    "sketches still execute for real and garbage estimates fail the "
+    "gate; closes the former rows-only annotation. The exact "
+    "countDistinct twin column forces an Expand double-scan here — "
+    "acceptable for a correctness gate; at 100 TB you run the sketches "
+    "alone (q283 is the engine-exact mergeable-HLL path)",
 )
 def q56(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
-            F.expr("approx_percentile(value, 0.5)").alias("approx_p50"),
-        )
-        .orderBy("event_type")
+    s = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("_a"),
+        F.expr("approx_percentile(value, 0.5)").alias("_p"),
+        F.count("value").alias("n_vals"),
     )
+    chk = (
+        ev.join(F.broadcast(s), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("exact_users").alias("exact_users"),
+            F.first("n_vals").alias("n_vals"),
+            F.first("_a").alias("_a"),
+            F.first("_p").alias("_p"),
+            F.sum(
+                F.when(F.col("value") < F.col("_p"), 1).otherwise(0)
+            ).alias("_lt"),
+            F.sum(
+                F.when(F.col("value") <= F.col("_p"), 1).otherwise(0)
+            ).alias("_le"),
+        )
+    )
+    return chk.select(
+        "event_type",
+        "exact_users",
+        "n_vals",
+        (
+            F.abs(F.col("_a") - F.col("exact_users"))
+            <= F.greatest(F.ceil(F.col("exact_users") * 0.10), F.lit(3))
+        ).alias("users_within_10pct"),
+        (
+            (F.col("_lt") <= F.ceil(F.col("n_vals") * 0.55))
+            & (F.col("_le") >= F.floor(F.col("n_vals") * 0.45))
+        ).alias("p50_within_rank_band"),
+    ).orderBy("event_type")
 
 
 @_register(
@@ -4554,28 +4605,106 @@ def q112(spark, sf_dir):
     )
 
 
+def _dsir_gumbel_oracle_sql(buckets: int = 4096, k: int = 50, seed: int = 42) -> str:
+    """Full value-hash oracle for q113: the identical fixed-point-ln
+    Gumbel top-k pipeline in DuckDB SQL (functions/fxlog.py emits the
+    integer ln chains for both engines from one step table)."""
+    from kubenetmon_spark.functions.fxlog import LN2_FX, fx_ln_wrap_sql
+
+    h = f"CAST('0x' || substr(md5(g), 1, 13) AS BIGINT) % {buckets}"
+    ratio_fx = fx_ln_wrap_sql(
+        fx_ln_wrap_sql("SELECT * FROM ratio0", "_num", "_ln_num"),
+        "_den",
+        "_ln_den",
+    )
+    gum_u_fx = fx_ln_wrap_sql("SELECT * FROM gum0", "_h", "_ln_u_neg")
+    gum_l_fx = fx_ln_wrap_sql("SELECT * FROM gum1", "_L", "_ln_L")
+    return rf"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id, source,
+             unnest(list_concat(t,
+               list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                              i -> t[i] || ' ' || t[i + 1]))) AS g
+      FROM toks
+    ),
+    rawf AS MATERIALIZED (
+      SELECT doc_id AS _id, {h} AS bucket, COUNT(*) AS cnt
+      FROM grams GROUP BY 1, 2
+    ),
+    tgtf AS MATERIALIZED (
+      SELECT {h} AS bucket, COUNT(*) AS tgt_n
+      FROM grams WHERE source IN ('src0', 'src1') GROUP BY 1
+    ),
+    rdist AS (SELECT bucket, SUM(cnt) AS raw_n FROM rawf GROUP BY bucket),
+    tot AS (SELECT (SELECT SUM(raw_n) FROM rdist) AS R,
+                   (SELECT COALESCE(SUM(tgt_n), 0) FROM tgtf) AS T),
+    ratio0 AS (
+      SELECT r.bucket,
+             CAST((COALESCE(t.tgt_n, 0) + 1) * (tot.R + {buckets})
+                  AS BIGINT) AS _num,
+             CAST((r.raw_n + 1) * (tot.T + {buckets}) AS BIGINT) AS _den
+      FROM rdist r LEFT JOIN tgtf t USING (bucket), tot
+    ),
+    ratio AS (
+      SELECT bucket, CAST(_ln_num - _ln_den AS BIGINT) AS lr
+      FROM {ratio_fx} rq
+    ),
+    scores AS (
+      SELECT f._id AS doc_id, CAST(SUM(f.cnt * r.lr) AS BIGINT) AS score
+      FROM rawf f JOIN ratio r USING (bucket) GROUP BY 1
+    ),
+    gum0 AS (
+      SELECT doc_id, score,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{seed}'),
+                  1, 13) AS BIGINT) + 1 AS _h
+      FROM scores
+    ),
+    gum1 AS (
+      SELECT doc_id, score,
+             CAST(GREATEST({52 * LN2_FX} - _ln_u_neg, 1) AS BIGINT) AS _L
+      FROM {gum_u_fx} g1
+    ),
+    gum AS (
+      SELECT doc_id,
+             CAST(score + {40 * LN2_FX} - _ln_L AS BIGINT) AS gumbel_key_fx
+      FROM {gum_l_fx} g2
+    ),
+    top AS (
+      SELECT * FROM gum ORDER BY gumbel_key_fx DESC, doc_id LIMIT {k}
+    )
+    SELECT doc_id, gumbel_key_fx FROM top ORDER BY doc_id
+    """
+
+
 @_register(
     "q113_dsir_select",
-    # ROWS-ONLY BY DESIGN (one of exactly two: q56, q113) — float
-    # log-weights + Gumbel draws can't hash-match across engines;
-    # validated against a NumPy/pure-Python reference in
-    # tests/test_dsir.py. Its hash-matching integer twin is q274
-    # (integer-arithmetic DSIR, exact oracle).
-    None,
+    _dsir_gumbel_oracle_sql(),
     "DSIR data selection (Xie et al. 2023): hashed-n-gram importance "
     "weights of every doc against a target slice (sources src0/src1), "
-    "deterministic Gumbel top-k sample — operators/dsir.py; ratio "
-    "table broadcast, one token-volume shuffle",
+    "Gumbel top-k sample WITHOUT replacement — with every logarithm "
+    "computed as the engine-portable fixed-point integer ln of "
+    "functions/fxlog.py (atanh series, truncating integer ops both "
+    "engines share exactly), so selection AND keys value-hash-match "
+    "the DuckDB oracle bit for bit; integer log-weight sums are "
+    "partition-order-independent where float sums are not. Closes the "
+    "former rows-only gate (the float twin gumbel_topk stays "
+    "NumPy-validated in tests/test_dsir.py). Ratio table broadcast, "
+    "one token-volume shuffle — operators/dsir.py::"
+    "dsir_gumbel_sample_exact",
 )
 def q113(spark, sf_dir):
-    from kubenetmon_spark.operators.dsir import dsir_log_weights, gumbel_topk
+    from kubenetmon_spark.operators.dsir import dsir_gumbel_sample_exact
 
     docs = _t(spark, sf_dir, "documents")
     target = docs.filter(F.col("source").isin("src0", "src1"))
-    w = dsir_log_weights(docs, target, "doc_id", buckets=4096)
     return (
-        gumbel_topk(w, "doc_id", 50, seed=42)
-        .select("doc_id")
+        dsir_gumbel_sample_exact(docs, target, "doc_id", buckets=4096, k=50, seed=42)
         .orderBy("doc_id")
     )
 
@@ -14361,9 +14490,9 @@ def q273(spark, sf_dir):
     "hashed uni+bigram features, two bucket distributions, broadcast "
     "basis-point ratio table, one per-doc weighted sum, deterministic "
     "top-k; the md5-prefix bucket hash is engine-portable where "
-    "xxhash64 is not) — operators/dsir.py::dsir_integer_scores; "
-    "shrinks the un-oracled surface to the two genuinely float-bound "
-    "gates (q56 HLL, q113 Gumbel)",
+    "xxhash64 is not) — operators/dsir.py::dsir_integer_scores. "
+    "Since r6, q113 itself also hash-matches via the fixed-point-ln "
+    "Gumbel path; this gate keeps the noise-free RANKING surface",
 )
 def q274(spark, sf_dir):
     from kubenetmon_spark.operators.dsir import dsir_integer_scores
@@ -14846,7 +14975,8 @@ def _hll_oracle_sql(p: int) -> str:
     "into per-type distinct-event estimates with the raw Flajolet "
     "harmonic-mean estimator in PURE integer arithmetic (fixed-point "
     "2^-rho terms, 128-bit alpha numerator) — so unlike the library "
-    "sketches of q56 (rows-only: packed bytes differ per engine), the "
+    "sketches of q56 (packed bytes differ per engine; its gate hashes "
+    "accuracy-contract booleans instead), the "
     "DuckDB oracle reproduces registers AND estimates bit-for-bit: "
     "merging per-day MAX registers equals the global build. No "
     "small-range linear counting by design (ln() is not portable-"

@@ -23,7 +23,10 @@ data-selection recipe; on this engine it is three DataFrame stages:
 Float note: log-weights are doubles, so cross-engine value-hash parity
 is not guaranteed at the margins — the correctness evidence is the
 NumPy reference comparison in tests/test_dsir.py (same pattern as BM25
-and the PQ/IVF family).
+and the PQ/IVF family). ``dsir_gumbel_sample_exact`` below is the
+engine-portable twin: the same sampling recipe with every log computed
+as the fixed-point integer ln of functions/fxlog.py, hash-exact on any
+engine (it carries q113's full DuckDB oracle).
 """
 
 from __future__ import annotations
@@ -139,8 +142,8 @@ def gumbel_topk(
 
 # --- exact-integer surrogate (oracle-able twin of the float path) -------
 #
-# The float path's log-weights and Gumbel draws are libm-bound, so q113
-# is a rows-only gate by design. This surrogate keeps the IDENTICAL
+# The float path's log-weights and Gumbel draws are libm-bound and not
+# cross-engine hashable. This surrogate keeps the IDENTICAL
 # pipeline shape — hashed-gram features, two bucket distributions, a
 # broadcast ratio table, one per-doc weighted sum, deterministic top-k —
 # but scores with exact integer arithmetic, so a DuckDB oracle
@@ -238,4 +241,119 @@ def dsir_integer_scores(
         .orderBy(F.desc("score"), F.col("_id"))
         .limit(k)
         .withColumnRenamed("_id", id_col)
+    )
+
+
+def dsir_gumbel_sample_exact(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    buckets: int = 4096,
+    k: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """Gumbel top-k DSIR SAMPLING with engine-portable integer keys:
+    (id, gumbel_key_fx) for the ``k`` sampled docs.
+
+    Same statistical recipe as ``dsir_log_weights`` + ``gumbel_topk``
+    (weights proportional to the importance ratio, perturbed by a
+    per-doc Gumbel draw, global top-k without replacement) — but every
+    logarithm is the fixed-point integer ln of functions/fxlog.py and
+    every sum is an integer sum, so the selection AND the keys are
+    bit-identical on any engine, any partition layout (float log-sums
+    are partition-order-dependent; integer sums commute exactly).
+    This is what lets q113's gate carry a full DuckDB value-hash
+    oracle instead of a rows-only check.
+
+    Construction (all scale-2^40 fixed point):
+    - per-bucket log-ratio lr = fxln((t_f+1)(R+B)) - fxln((r_f+1)(T+B))
+      (add-one smoothing exactly as the float path);
+    - per-doc log-weight = sum_f cnt_f * lr_f  (exact integer);
+    - Gumbel draw from the portable md5 hash: u = (h52+1)/2^52,
+      G = -ln(-ln u) computed as 40*LN2 - fxln(max(52*LN2 - fxln(h52+1), 1));
+    - key = log-weight + G, top-k by (key desc, id).
+
+    Scale posture: identical to dsir_integer_scores — one token-volume
+    shuffle for features, a <= ``buckets``-row broadcast ratio table,
+    one per-doc agg; the fxln chains are pure codegen arithmetic on
+    the ratio table (tiny) and on the per-doc weight rows (one
+    projection). The float twin (gumbel_topk) remains the statistical
+    reference, validated against NumPy in tests/test_dsir.py.
+    """
+    from kubenetmon_spark.functions.fxlog import LN2_FX, with_fx_ln
+
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("g")), 1, 13), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+
+    def feats(df):
+        return (
+            _portable_grams(df, id_col, text_col)
+            .select("_id", bucket.alias("bucket"))
+            .groupBy("_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    raw_feats = feats(raw).localCheckpoint(eager=True)
+    tgt_feats = feats(target)
+    rdist = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("raw_n"))
+    tdist = tgt_feats.groupBy("bucket").agg(F.sum("cnt").alias("tgt_n"))
+    totals = rdist.agg(F.sum("raw_n")).collect()[0][0] or 0
+    t_totals = tdist.agg(F.sum("tgt_n")).collect()[0][0] or 0
+    ratio = (
+        rdist.join(tdist, "bucket", "left")
+        .select(
+            "bucket",
+            (
+                (F.coalesce("tgt_n", F.lit(0)) + 1)
+                * F.lit(int(totals) + buckets)
+            )
+            .cast("long")
+            .alias("_num"),
+            ((F.col("raw_n") + 1) * F.lit(int(t_totals) + buckets))
+            .cast("long")
+            .alias("_den"),
+        )
+    )
+    ratio = with_fx_ln(ratio, "_num", "_ln_num")
+    ratio = with_fx_ln(ratio, "_den", "_ln_den")
+    ratio = ratio.select(
+        "bucket", (F.col("_ln_num") - F.col("_ln_den")).alias("lr")
+    )
+    weights = (
+        raw_feats.join(F.broadcast(ratio), "bucket")
+        .groupBy("_id")
+        .agg(F.sum(F.col("cnt") * F.col("lr")).alias("_logw"))
+    )
+    # portable Gumbel: 52-bit md5 prefix of "id:seed" -> u in (0, 1]
+    h52 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("_id").cast("string"), F.lit(str(seed)))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    weights = with_fx_ln(weights.withColumn("_h", h52), "_h", "_ln_u_neg")
+    # L = -ln u = 52*LN2 - fxln(h52+1), clamped >= 1 (u == 1 edge)
+    weights = weights.withColumn(
+        "_L",
+        F.greatest(F.lit(52 * LN2_FX) - F.col("_ln_u_neg"), F.lit(1)),
+    )
+    weights = with_fx_ln(weights, "_L", "_ln_L")
+    return (
+        weights.select(
+            F.col("_id").alias(id_col),
+            (
+                F.col("_logw") + F.lit(40 * LN2_FX) - F.col("_ln_L")
+            ).alias("gumbel_key_fx"),
+        )
+        .orderBy(F.desc("gumbel_key_fx"), F.col(id_col))
+        .limit(k)
     )

@@ -486,7 +486,8 @@ def kmv_overlap(
 # md5 hash, so registers AND estimates are bit-identical across engines,
 # partitionings, and merge orders — unlike library HLLs (Spark's
 # hll_sketch_agg, uniq_state above), whose packed bytes vary per
-# implementation and are rows-only by design in the gate (q56).
+# implementation (q56's gate therefore hashes accuracy-contract
+# booleans rather than the sketch values themselves).
 #
 # Register build: bucket = top ``p`` hash bits; rho = position of the
 # first 1-bit in the remaining ``52 - p`` bits (all-zero remainder =>

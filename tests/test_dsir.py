@@ -118,6 +118,88 @@ def test_gumbel_topk_deterministic_and_biased(spark):
     assert sel_mean > all_mean
 
 
+def test_gumbel_exact_matches_pure_python_pipeline(spark):
+    """The portable-exact sampler must agree BIT FOR BIT with a pure
+    Python re-derivation (md5 buckets, fixed-point lns, integer sums)
+    — this is the same contract its DuckDB oracle (q113) relies on."""
+    import hashlib
+
+    from kubenetmon_spark.functions.fxlog import LN2_FX, fx_ln_int
+    from kubenetmon_spark.operators.dsir import dsir_gumbel_sample_exact
+
+    raw, tgt = _corpora(4)
+    raw_df = spark.createDataFrame(raw, ["doc_id", "text"])
+    tgt_df = spark.createDataFrame(tgt, ["doc_id", "text"])
+    buckets, k, seed = 512, 12, 42
+    got = [
+        (r.doc_id, r.gumbel_key_fx)
+        for r in dsir_gumbel_sample_exact(
+            raw_df, tgt_df, "doc_id", buckets=buckets, k=k, seed=seed
+        ).collect()
+    ]
+
+    def md5_52(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+
+    raw_counts: dict = {}
+    tgt_counts: dict = {}
+    doc_feats: dict = {}
+    for _, text in tgt:
+        for g in _py_grams(text):
+            b = md5_52(g) % buckets
+            tgt_counts[b] = tgt_counts.get(b, 0) + 1
+    for did, text in raw:
+        for g in _py_grams(text):
+            b = md5_52(g) % buckets
+            raw_counts[b] = raw_counts.get(b, 0) + 1
+            doc_feats.setdefault(did, {})
+            doc_feats[did][b] = doc_feats[did].get(b, 0) + 1
+    rt, tt = sum(raw_counts.values()), sum(tgt_counts.values())
+    lr = {
+        b: fx_ln_int((tgt_counts.get(b, 0) + 1) * (rt + buckets))
+        - fx_ln_int((raw_counts[b] + 1) * (tt + buckets))
+        for b in raw_counts
+    }
+    keys = []
+    for did, feats in doc_feats.items():
+        score = sum(c * lr[b] for b, c in feats.items())
+        h = md5_52(f"{did}:{seed}") + 1
+        L = max(52 * LN2_FX - fx_ln_int(h), 1)
+        keys.append((did, score + 40 * LN2_FX - fx_ln_int(L)))
+    exp = sorted(keys, key=lambda x: (-x[1], x[0]))[:k]
+    assert sorted(got) == sorted(exp)
+    # and stable under repartition (integer sums commute exactly)
+    got2 = [
+        (r.doc_id, r.gumbel_key_fx)
+        for r in dsir_gumbel_sample_exact(
+            raw_df.repartition(7), tgt_df.repartition(3), "doc_id",
+            buckets=buckets, k=k, seed=seed,
+        ).collect()
+    ]
+    assert sorted(got2) == sorted(exp)
+
+
+def test_gumbel_exact_seed_changes_sample(spark):
+    from kubenetmon_spark.operators.dsir import dsir_gumbel_sample_exact
+
+    raw, tgt = _corpora(6)
+    raw_df = spark.createDataFrame(raw, ["doc_id", "text"])
+    tgt_df = spark.createDataFrame(tgt, ["doc_id", "text"])
+    a = sorted(
+        r.doc_id
+        for r in dsir_gumbel_sample_exact(
+            raw_df, tgt_df, "doc_id", buckets=256, k=10, seed=1
+        ).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in dsir_gumbel_sample_exact(
+            raw_df, tgt_df, "doc_id", buckets=256, k=10, seed=2
+        ).collect()
+    )
+    assert len(a) == 10 and a != b
+
+
 def test_integer_scores_rank_target_like_docs_first(spark):
     from kubenetmon_spark.operators.dsir import dsir_integer_scores
 

@@ -19,6 +19,7 @@ Usage: python tools/plan_audit.py [sf_dir] [out_md]
 
 from __future__ import annotations
 
+import json
 import re
 import sys
 import time
@@ -92,10 +93,23 @@ KNOWN = {
     "join chain, checked via explain_query)",
     "q73_lone_late_shipper": "decorrelated Q21: co-partitioned per-order "
     "aggregates replace a raw-fact broadcast (plan-asserted)",
-    "q113_dsir_select": "the SMJ is the raw-vs-target bucket-distribution "
-    "FULL OUTER join (<= buckets rows each side; full outer cannot "
-    "broadcast); doc-facing joins broadcast the ratio table, and the raw "
-    "feature pass is checkpointed so it runs once",
+    "q113_dsir_select": "r6 fixed-point-ln Gumbel path (XCHG 7->4, SMJ "
+    "gone): two corpora feature/distribution aggs are the only "
+    "exchanges — the raw feature agg carries token volume "
+    "(localCheckpointed, runs once), the bucket-distribution aggs carry "
+    "<= buckets rows; the fxln ratio table broadcasts back and the "
+    "per-doc Gumbel-key projection plus TakeOrderedAndProject ride "
+    "exchange-free",
+    "q193_line_dedup": "XCHG 4->5 after r5's missing-doc survival path "
+    "(dedup_lines): only the line-text window shuffle and the doc-id "
+    "reassembly agg carry data volume; the new exchange is the "
+    "distinct-id build feeding the BROADCAST anti-join (two id columns, "
+    "no text), and the final source rollup + sort ride post-agg row "
+    "counts",
+    "q221_corpus_pipeline_v3": "same dedup_lines shape as q193 (quality "
+    "filter is a scan-side projection): XCHG 4->5 is the id-only "
+    "distinct for the broadcast anti-join survival path; data volume "
+    "moves only through the line window + doc reassembly",
     "q133_cramers_v": "only the cell-count agg shuffles data volume; the "
     "margin windows and final agg all operate on one row per contingency "
     "cell (<= |a|x|b| per group)",
@@ -445,6 +459,22 @@ def main() -> int:
     lines += ["", "## Bench regression adjudications", ""]
     for q, why in BENCH_NOTES.items():
         lines.append(f"- {q}: {why}")
+
+    # Regenerating this file must not erase bench.py's auto-written
+    # round-over-round adjudication section — rebuild it from
+    # BENCH_DETAIL.json (the durable record).
+    detail_path = Path(__file__).resolve().parent.parent / "BENCH_DETAIL.json"
+    if detail_path.exists():
+        try:
+            import bench as _bench
+
+            section = _bench.format_round_adjudications(
+                json.loads(detail_path.read_text())
+            )
+            if section:
+                lines.append(section)
+        except Exception:
+            pass
 
     Path(out_md).write_text("\n".join(lines) + "\n")
     print(f"wrote {out_md} ({len(rows)} queries, {len(flagged)} flagged)")
