@@ -442,11 +442,11 @@ class DdlLeaseLost(RuntimeError):
 
 
 @contextmanager
-def _ddl_lock(path: str, timeout_s: float = 5.0):
-    """Serialize ALTERs on one table: the sidecar update is
-    read-modify-write, and two unserialized concurrent ALTERs would
-    silently drop one op (last writer wins). ClickHouse serializes
-    ALTERs the same way (server-side). Two regimes, chosen by what the
+def exclusive_lock(lock: str, timeout_s: float = 5.0, what: str = "lock"):
+    """Generic cross-driver mutual exclusion on an explicit lock-file
+    path — the DDL lock's machinery, reusable by other critical
+    sections (the storage lifecycle's partition mutation guard in
+    sink.py). Two regimes, chosen by what the
     store can actually guarantee (fs.supports_atomic_create):
 
     - atomic-create stores (local disk, HDFS): exclusive-create
@@ -466,8 +466,7 @@ def _ddl_lock(path: str, timeout_s: float = 5.0):
     lockfile cannot be taken over)."""
     import time as _time
 
-    fs = _fsm.get_fs(path)
-    lock = _lock_path(path)
+    fs = _fsm.get_fs(lock)
     if not fs.supports_atomic_create(lock):
         hold = _acquire_lease(fs, lock, timeout_s)
         try:
@@ -483,13 +482,26 @@ def _ddl_lock(path: str, timeout_s: float = 5.0):
         except FileExistsError:
             if _time.monotonic() > deadline:
                 raise TimeoutError(
-                    f"schema DDL lock held too long: {lock} (stale? remove it)"
+                    f"{what} held too long: {lock} (stale? remove it)"
                 )
             _time.sleep(0.05)
     try:
         yield lambda: None
     finally:
         fs.remove_file(lock)
+
+
+@contextmanager
+def _ddl_lock(path: str, timeout_s: float = 5.0):
+    """Serialize ALTERs on one table: the sidecar update is
+    read-modify-write, and two unserialized concurrent ALTERs would
+    silently drop one op (last writer wins). ClickHouse serializes
+    ALTERs the same way (server-side). Thin wrapper binding
+    :func:`exclusive_lock` to the table's DDL lockfile."""
+    with exclusive_lock(
+        _lock_path(path), timeout_s=timeout_s, what="schema DDL lock"
+    ) as fence:
+        yield fence
 
 
 def _physical_base_columns(path: str) -> list[str]:

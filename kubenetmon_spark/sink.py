@@ -15,6 +15,7 @@ Storage layout mirrors what the reference's DDL buys from ClickHouse
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from datetime import date, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,6 +59,156 @@ def _list_date_partitions(fs: "_fsm.FS", path: str) -> list[str]:
         for n in fs.list_names(path)
         if n.startswith("date=") and fs.is_dir(_join(path, n))
     )
+
+
+# --- partition mutation guard vs concurrent appends ---------------------
+#
+# compact()/apply_retention() read-modify-write (or drop) a date
+# partition; a streaming micro-batch appending into that partition
+# between the read and the overwrite would be silently LOST. The
+# reference's analogue (MergeTree background merges) is safe under
+# concurrent inserts by construction; here the same guarantee is an
+# enforced two-sided protocol over the FS adapter (never just a
+# documented caveat):
+#
+# - mutators take an EXCLUSIVE per-partition lock (evolve.py's
+#   exclusive_lock: atomic-create lockfile where the store has one, the
+#   heartbeat/fencing lease elsewhere), then WAIT until no append
+#   intent is in flight for the partition;
+# - appenders publish a per-partition APPEND INTENT file before
+#   checking for locks, write, then retract the intent. Publishing
+#   BEFORE checking is what closes the race on a linearizable store:
+#   whichever side's visibility check runs second sees the other side.
+#   An appender that finds a lock retracts its intents (so it never
+#   deadlocks the mutator) and retries until the lock clears.
+#
+# Common-path cost for the stream: one intent PUT + one lock existence
+# check + one DELETE per touched date per micro-batch — no data-plane
+# work, no extra shuffle. A crashed appender leaves a stale intent;
+# mutators then fail LOUD with the intent path and age (the house rule:
+# no silent steals — remove the file if its owner is known dead).
+
+_LIFECYCLE_DIR = "_lifecycle"
+_TABLE_WIDE = "_table"
+
+
+def _lifecycle_lock(path: str, partition: str) -> str:
+    return _join(path, _LIFECYCLE_DIR, "locks", f"{partition}.lock")
+
+
+def _intent_dir(path: str, partition: str) -> str:
+    return _join(path, _LIFECYCLE_DIR, "appends", partition)
+
+
+def _live_intents(fs: "_fsm.FS", path: str, partition: str | None) -> list[str]:
+    """Append-intent file paths for one partition, or for ALL partitions
+    when ``partition`` is None (table-wide mutation)."""
+    root = _join(path, _LIFECYCLE_DIR, "appends")
+    if not fs.is_dir(root):
+        return []
+    parts = [partition] if partition is not None else fs.list_names(root)
+    out: list[str] = []
+    for part in parts:
+        d = _join(root, part)
+        if fs.is_dir(d):
+            out.extend(_join(d, n) for n in fs.list_names(d))
+    return out
+
+
+@contextmanager
+def partition_mutation_guard(
+    path: str,
+    partition: str | None = None,
+    lock_timeout_s: float = 10.0,
+    drain_timeout_s: float = 120.0,
+):
+    """Exclusive right to rewrite/drop ``partition`` (``date=...``; None
+    = the whole table) with no append landing mid-mutation. Yields the
+    lock's ``fence()`` — call it immediately before publishing the
+    rewrite. Raises TimeoutError (listing the in-flight intent files)
+    if appends do not drain: a mutation targeting a partition a stream
+    is actively writing is an operator error and fails loud."""
+    import time as _time
+
+    from kubenetmon_spark.evolve import exclusive_lock
+
+    fs = _fsm.get_fs(path)
+    part = partition if partition is not None else _TABLE_WIDE
+    lock = _lifecycle_lock(path, part)
+    fs.mkdirs(_join(path, _LIFECYCLE_DIR, "locks"))
+    with exclusive_lock(
+        lock, timeout_s=lock_timeout_s, what="partition lifecycle lock"
+    ) as fence:
+        deadline = _time.monotonic() + drain_timeout_s
+        while True:
+            intents = _live_intents(fs, path, partition)
+            if not intents:
+                break
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"partition mutation on {path} ({part}) blocked: "
+                    f"append intents still in flight after "
+                    f"{drain_timeout_s:.0f}s: {intents[:5]} — a stream is "
+                    "writing this partition (stop it or target a closed "
+                    "partition), or a crashed appender left a stale "
+                    "intent (remove the file if its owner is known dead)"
+                )
+            _time.sleep(0.2)
+        yield fence
+
+
+@contextmanager
+def append_intent(path: str, partitions: list[str], wait_s: float = 120.0):
+    """Declare an in-flight append to ``partitions`` (``date=...``
+    names). Publishes one intent file per partition, THEN checks for
+    lifecycle locks (table-wide or per-partition): if any is held, the
+    intents are retracted and the append waits for the mutator —
+    retrying until ``wait_s``, then raising. Use around every append
+    that can race a lifecycle op (the streaming flow sink does)."""
+    import time as _time
+    import uuid as _uuid
+
+    fs = _fsm.get_fs(path)
+    token = _uuid.uuid4().hex
+    locks = [_lifecycle_lock(path, _TABLE_WIDE)] + [
+        _lifecycle_lock(path, p) for p in partitions
+    ]
+    deadline = _time.monotonic() + wait_s
+    placed: list[str] = []
+
+    def _retract() -> None:
+        for p in placed:
+            try:
+                fs.remove_file(p)
+            except FileNotFoundError:
+                pass
+        placed.clear()
+
+    while True:
+        for part in partitions:
+            d = _intent_dir(path, part)
+            fs.mkdirs(d)
+            intent = _join(d, f"{token}.json")
+            fs.write_json_atomic(intent, {"created_unix": _time.time()})
+            placed.append(intent)
+        held = [lk for lk in locks if fs.exists(lk)]
+        if not held:
+            break
+        # a mutator holds the partition: retract so IT never waits on
+        # us, then wait for it
+        _retract()
+        if _time.monotonic() > deadline:
+            raise TimeoutError(
+                f"append to {path} blocked: lifecycle lock(s) held for "
+                f">{wait_s:.0f}s on {held} — a compaction/retention run "
+                "is rewriting the target partition(s); the batch was NOT "
+                "written and can be retried"
+            )
+        _time.sleep(0.2)
+    try:
+        yield
+    finally:
+        _retract()
 
 
 def write_flows(
@@ -132,30 +283,52 @@ def read_flows_guarded(
     return df
 
 
-def compact(spark: SparkSession, path: str, target_date: str | None = None) -> None:
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_date: str | None = None,
+    lock_timeout_s: float = 10.0,
+    drain_timeout_s: float = 120.0,
+) -> None:
     """Re-sum a closed partition (or all) — the background-merge analogue.
 
     Idempotent: summing_aggregate over already-compacted data is a no-op
     row-wise. Runs per date partition, embarrassingly parallel, and with
     dynamic partition overwrite only rewrites the partitions it touched.
+
+    Safe under concurrent streaming appends BY CONSTRUCTION, not by
+    convention: the whole read-checkpoint-overwrite runs inside
+    :func:`partition_mutation_guard`, so an append into the target
+    partition either completes before the compaction reads (its rows
+    are compacted) or waits/fails loud behind the lock (its rows land
+    after the overwrite) — never silently lost in between. MergeTree
+    background merges give the same guarantee server-side.
     """
-    df = spark.read.parquet(path)
-    if target_date is not None:
-        df = df.filter(F.col("date") == F.lit(target_date))
-    # Materialize before overwriting the same path we read from — the write
-    # must never delete input files while the read is still lazy.
-    compacted = summing_aggregate(df).localCheckpoint(eager=True)
-    key = [c for c in PRIMARY_KEY_PREFIX if c in compacted.columns]
-    (
-        compacted.repartition(F.col("date"))
-        .sortWithinPartitions(*key)
-        .write.mode("overwrite")
-        # pinned per-write: under the default "static" overwrite mode a
-        # target_date compaction would wipe every OTHER date partition
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("date")
-        .parquet(path)
-    )
+    part = f"date={target_date}" if target_date is not None else None
+    with partition_mutation_guard(
+        path,
+        part,
+        lock_timeout_s=lock_timeout_s,
+        drain_timeout_s=drain_timeout_s,
+    ) as fence:
+        df = spark.read.parquet(path)
+        if target_date is not None:
+            df = df.filter(F.col("date") == F.lit(target_date))
+        # Materialize before overwriting the same path we read from — the
+        # write must never delete input files while the read is still lazy.
+        compacted = summing_aggregate(df).localCheckpoint(eager=True)
+        key = [c for c in PRIMARY_KEY_PREFIX if c in compacted.columns]
+        fence()  # abort (loud) if the lease moved during the long read
+        (
+            compacted.repartition(F.col("date"))
+            .sortWithinPartitions(*key)
+            .write.mode("overwrite")
+            # pinned per-write: under the default "static" overwrite mode a
+            # target_date compaction would wipe every OTHER date partition
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("date")
+            .parquet(path)
+        )
 
 
 def apply_retention(path: str, keep_days: int = 90, today: date | None = None) -> list[str]:
@@ -163,6 +336,12 @@ def apply_retention(path: str, keep_days: int = 90, today: date | None = None) -
 
     Matches the reference's ``ttl_only_drop_parts=1`` semantics (whole
     parts dropped, never row-level deletes). Returns dropped partitions.
+
+    Each drop runs under :func:`partition_mutation_guard`: a TTL
+    partition is 90 days cold so contention is pathological, but a
+    replayed/backfill append racing the drop would otherwise be half
+    deleted or silently resurrect the partition — same enforcement as
+    ``compact``, at a few uncontended FS round-trips per dropped date.
     """
     today = today or date.today()
     cutoff = today - timedelta(days=keep_days)
@@ -174,7 +353,8 @@ def apply_retention(path: str, keep_days: int = 90, today: date | None = None) -
         except ValueError:
             continue
         if part_date < cutoff:
-            fs.delete_dir(_join(path, name))
+            with partition_mutation_guard(path, name):
+                fs.delete_dir(_join(path, name))
             dropped.append(name)
     return dropped
 

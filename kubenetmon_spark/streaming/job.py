@@ -50,7 +50,7 @@ from kubenetmon_spark.operators.flows import summing_aggregate, to_flow_rows
 from kubenetmon_spark.operators.label import label_flows, split_rejected
 from kubenetmon_spark.operators.lpm import disjoint_prefixes
 from kubenetmon_spark.schema import DIM_COLS, OBSERVATION_SCHEMA
-from kubenetmon_spark.sink import write_flows
+from kubenetmon_spark.sink import append_intent, write_flows
 
 
 def read_observations(
@@ -220,8 +220,22 @@ def start_flow_stream(
             labeled = labeled.persist()
         try:
             accepted, dead = split_rejected(labeled)
-            flows = summing_aggregate(to_flow_rows(accepted))
-            write_flows(flows, table_path)
+            flows = summing_aggregate(to_flow_rows(accepted)).persist()
+            # Publish per-date append intents before writing so a
+            # concurrent compaction/retention of the same partition
+            # either waits for this batch or this batch waits for it —
+            # never a silent lost-append (sink.partition_mutation_guard
+            # is the other side). The distinct-dates action also
+            # materializes `flows` into the cache the write then reads,
+            # so the labeler chain still runs exactly once per batch.
+            dates = [
+                f"date={r['date']}"
+                for r in flows.select("date").distinct().collect()
+            ]
+            if dates:
+                with append_intent(table_path, dates):
+                    write_flows(flows, table_path)
+            flows.unpersist()
             if dead_letter_path is not None:
                 (
                     dead.groupBy("reject_reason")

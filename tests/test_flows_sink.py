@@ -799,3 +799,144 @@ class TestUriLifecycle:
             move_partition(
                 "file:" + str(tmp_path / "a"), str(tmp_path / "b"), "2024-01-01"
             )
+
+
+class TestMutationGuard:
+    """compact/retention vs concurrent appends — the ENFORCED protocol
+    (sink.partition_mutation_guard + sink.append_intent), not the old
+    documented-only 'closed partitions' caveat. MergeTree background
+    merges are safe under concurrent inserts; these tests pin the same
+    guarantee here: an append either lands before the mutation reads
+    (and is folded in) or after its overwrite (and survives it), or one
+    side fails LOUD — never a silently lost row."""
+
+    PART = "date=2024-03-01"
+
+    def test_append_refused_while_partition_locked(self, spark, fact, tmp_path):
+        from kubenetmon_spark.sink import append_intent, partition_mutation_guard
+
+        path = str(tmp_path / "t1")
+        write_flows(fact, path)
+        with partition_mutation_guard(path, self.PART):
+            with pytest.raises(TimeoutError, match="lifecycle lock"):
+                with append_intent(path, [self.PART], wait_s=0.6):
+                    pass  # pragma: no cover - must not be reached
+            # no intent litter left behind by the refused append
+            from kubenetmon_spark import fs as _fsm
+            from kubenetmon_spark.sink import _live_intents
+
+            assert _live_intents(_fsm.get_fs(path), path, self.PART) == []
+        # lock released -> the append proceeds and lands
+        with append_intent(path, [self.PART], wait_s=5.0):
+            write_flows(fact, path)
+        assert read_flows(spark, path).count() == 48
+
+    def test_table_wide_lock_blocks_every_partition(self, spark, fact, tmp_path):
+        from kubenetmon_spark.sink import append_intent, partition_mutation_guard
+
+        path = str(tmp_path / "t2")
+        write_flows(fact, path)
+        with partition_mutation_guard(path, None):  # compact-all shape
+            with pytest.raises(TimeoutError, match="lifecycle lock"):
+                with append_intent(path, ["date=2099-01-01"], wait_s=0.6):
+                    pass  # pragma: no cover
+
+    def test_unrelated_partition_append_not_blocked(self, spark, fact, tmp_path):
+        from kubenetmon_spark.sink import append_intent, partition_mutation_guard
+
+        path = str(tmp_path / "t3")
+        write_flows(fact, path)
+        with partition_mutation_guard(path, self.PART):
+            # hot partition elsewhere keeps flowing during a cold compact
+            with append_intent(path, ["date=2099-01-01"], wait_s=2.0):
+                pass
+
+    def test_mutator_waits_out_inflight_append_then_fails_loud(
+        self, spark, fact, tmp_path
+    ):
+        import time
+
+        from kubenetmon_spark import fs as _fsm
+        from kubenetmon_spark.fs import join as _join
+        from kubenetmon_spark.sink import _intent_dir
+
+        path = str(tmp_path / "t4")
+        write_flows(fact, path)
+        fs = _fsm.get_fs(path)
+        d = _intent_dir(path, self.PART)
+        fs.mkdirs(d)
+        intent = _join(d, "deadbeef.json")
+        fs.write_json_atomic(intent, {"created_unix": time.time()})
+        # a (possibly crashed) appender is in flight: compaction refuses
+        # loudly, naming the intent
+        with pytest.raises(TimeoutError, match="deadbeef"):
+            compact(spark, path, target_date="2024-03-01", drain_timeout_s=0.8)
+        fs.remove_file(intent)
+        compact(spark, path, target_date="2024-03-01")  # now proceeds
+        assert read_flows(spark, path).count() == summing_aggregate(fact).count()
+
+    def test_forced_mid_compact_append_loses_no_rows(
+        self, spark, fact, tmp_path, monkeypatch
+    ):
+        """The round-5 race, forced: an append arrives while compact is
+        inside its read-checkpoint window. The guard serializes them —
+        the final table carries BOTH the compacted base and the
+        appended batch (pre-guard, the overwrite silently deleted the
+        appended files)."""
+        import threading
+        import time
+
+        import kubenetmon_spark.sink as sink_mod
+        from kubenetmon_spark.sink import append_intent
+
+        path = str(tmp_path / "t5")
+        write_flows(fact, path)
+        base = fact.agg(F.sum("bytes")).collect()[0][0]
+
+        real = sink_mod.summing_aggregate
+
+        def slow_summing(df):
+            out = real(df)
+            time.sleep(1.5)  # hold the read-to-overwrite window open
+            return out
+
+        monkeypatch.setattr(sink_mod, "summing_aggregate", slow_summing)
+        errs: list[Exception] = []
+
+        def run_compact():
+            try:
+                compact(spark, path, target_date="2024-03-01")
+            except Exception as exc:  # pragma: no cover
+                errs.append(exc)
+
+        t = threading.Thread(target=run_compact)
+        t.start()
+        time.sleep(0.5)  # compact now holds the lock, mid-read
+        with append_intent(path, [self.PART], wait_s=30.0):
+            write_flows(fact, path)
+        t.join(60)
+        assert not t.is_alive() and errs == []
+        got = read_flows(spark, path).agg(F.sum("bytes")).collect()[0][0]
+        assert got == 2 * base  # nothing lost on either side
+
+    def test_retention_drop_guarded(self, spark, fact, tmp_path):
+        import time
+
+        from kubenetmon_spark import fs as _fsm
+        from kubenetmon_spark.fs import join as _join
+        from kubenetmon_spark.sink import _intent_dir
+
+        path = str(tmp_path / "t6")
+        write_flows(fact, path)
+        fs = _fsm.get_fs(path)
+        d = _intent_dir(path, self.PART)
+        fs.mkdirs(d)
+        fs.write_json_atomic(_join(d, "x.json"), {"created_unix": time.time()})
+        with pytest.raises(TimeoutError, match="append intents"):
+            from kubenetmon_spark.sink import partition_mutation_guard
+
+            with partition_mutation_guard(path, self.PART, drain_timeout_s=0.5):
+                pass  # pragma: no cover
+        fs.remove_file(_join(d, "x.json"))
+        dropped = apply_retention(path, keep_days=90, today=date(2024, 9, 1))
+        assert dropped == ["date=2024-03-01"]
