@@ -29,6 +29,55 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
+ADJUDICATION_MARKER = "## Round-over-round bench adjudications"
+
+
+def format_round_adjudications(detail: dict) -> str:
+    """The PLAN_AUDIT.md section for bench-adjudicated round-over-round
+    moves (also re-appended by tools/plan_audit.py after it regenerates
+    the file). Every flagged move carries a best-of-3 verdict — the
+    house discipline q118/q101 got by hand in r5, automated."""
+    adj = detail.get("round_adjudications")
+    if not adj:
+        return ""
+    base = detail.get("round_baseline", "?")
+    lines = [
+        "",
+        f"{ADJUDICATION_MARKER} (auto, written by bench.py)",
+        "",
+        f"Baseline: {base} (same sf). Flag: >1.15x and >0.5s vs the "
+        "previous round's top-slowest map; every flag re-timed "
+        "best-of-3 on the warm session before a verdict.",
+        "",
+    ]
+    for a in adj:
+        lines.append(
+            f"- {a['q']}: prev {a['prev']:.2f}s -> first {a['first']:.2f}s, "
+            f"best-of-3 {a['now']:.2f}s -> {a['verdict'].upper()}"
+            + (
+                " (re-timed inside the flag band: investigate the plan)"
+                if a["verdict"] == "regression"
+                else " (absorbed by re-timing: host/trigger jitter)"
+            )
+        )
+    return "\n".join(lines) + "\n"
+
+
+def _write_adjudications_to_plan_audit(
+    detail: dict, audit_path: str | Path | None = None
+) -> None:
+    audit = Path(audit_path or Path(__file__).resolve().parent / "PLAN_AUDIT.md")
+    section = format_round_adjudications(detail)
+    if not audit.exists() or not section:
+        return
+    text = audit.read_text()
+    cut = text.find(ADJUDICATION_MARKER)
+    if cut != -1:
+        # replace our previous section (it is always the file's tail)
+        text = text[:cut].rstrip() + "\n"
+    audit.write_text(text.rstrip() + "\n" + section)
+
+
 def main() -> int:
     # The bench contract runs on the 128 GiB/32-core driver box; pin the
     # heap the numbers were calibrated on HERE (library default derives
@@ -282,6 +331,60 @@ def main() -> int:
                 )
         regressions.sort(key=lambda r: r["now"] - r["prev"], reverse=True)
 
+    # Round-over-round regression check (VERDICT r05 #6): the
+    # detail-file diff above only sees the immediately previous bench
+    # invocation, and its 1.5x threshold let a +18% drift (q294 r4->r5)
+    # through unadjudicated. Diff the last committed round bench
+    # (highest BENCH_r{N}.json, same sf) at +/-15%, re-time every flag
+    # best-of-3 on the warm session, and record a verdict either way —
+    # adjudications land in BENCH_DETAIL.json and PLAN_AUDIT.md.
+    round_adjudications: list[dict] = []
+    round_baseline = ""
+    root = Path(__file__).resolve().parent
+    cands = sorted(
+        (
+            (int(m2.group(1)), p)
+            for p in root.glob("BENCH_r*.json")
+            for m2 in [re.match(r"BENCH_r(\d+)\.json$", p.name)]
+            if m2
+        ),
+    )
+    if cands:
+        prev_path = cands[-1][1]
+        try:
+            prev_doc = json.loads(prev_path.read_text())
+        except Exception:
+            prev_doc = {}
+        if prev_doc.get("sf") == sf:
+            round_baseline = prev_path.name
+            for name, p in (prev_doc.get("queries") or {}).items():
+                now = timings.get(name)
+                if now is None or not (now > p * 1.15 and now - p > 0.5):
+                    continue
+                first = now
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    queries[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    now = min(now, round(time.perf_counter() - t0, 3))
+                timings[name] = now
+                verdict = (
+                    "regression"
+                    if (now > p * 1.15 and now - p > 0.5)
+                    else "noise"
+                )
+                round_adjudications.append(
+                    {
+                        "q": name,
+                        "prev": p,
+                        "first": first,
+                        "now": now,
+                        "verdict": verdict,
+                    }
+                )
+            total = round(sum(timings.values()), 3)
+
     ingest_rate = round(n_obs / ingest_s)
     proto_rate = round(n_obs / proto_s)
     detail_path.write_text(
@@ -295,10 +398,18 @@ def main() -> int:
                 "ingest_obs": n_obs,
                 "streaming": streaming,
                 "regressions": regressions,
+                "round_baseline": round_baseline,
+                "round_adjudications": round_adjudications,
             },
             indent=1,
             sort_keys=True,
         )
+    )
+    _write_adjudications_to_plan_audit(
+        {
+            "round_baseline": round_baseline,
+            "round_adjudications": round_adjudications,
+        }
     )
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:20]
@@ -317,6 +428,7 @@ def main() -> int:
                 "ingest_obs": n_obs,
                 "streaming": streaming,
                 "regressions": regressions[:10],
+                "regressions_vs_round": round_adjudications[:10],
                 "detail": "BENCH_DETAIL.json",
             }
         )
