@@ -305,6 +305,15 @@ _R04_HOST = (
     "sides ("
 )
 BENCH_NOTES = {
+    "q294_temporal_reachability": "r5 uptick (8.14->9.61s, VERDICT r05 "
+    "#2) adjudicated r6 with the house best-of-3 idle-box discipline: "
+    "5.29s best-of-3 (all runs 5.29-5.79s), FASTER than both r4 and r5 "
+    "— host/trigger jitter, plan unchanged (0 joins, 1 range exchange, "
+    "localCheckpoint per relaxation round), no fix needed.",
+    "q293_blast_radius": "r5 uptick (7.51->8.60s) adjudicated r6 "
+    "alongside q294: best-of-3 4.96s (4.96-4.98s, tight), faster than "
+    "both rounds — same host-jitter verdict; the k-hop frontier loop's "
+    "flat-plan discipline is intact.",
     "q297_skip_index_scan": _R04_HOST + "5.1s->17.4s; the index "
     "build's parallel write is the bench's most IO-bound step and the "
     "slowed box swings it hardest; plan unchanged).",
