@@ -6,7 +6,8 @@ the reference's README top-talkers query (reference README.md:180-184).
 The derivation is pure column arithmetic so a SQL oracle can reproduce
 the entire pipeline end-to-end (gate query q26_flow_pipeline):
 
-- user u's pod: ip 10.0.(u//256).(u%256), on node-(u%5+1)
+- user u's pod: ip 10.(u//65536 %100).(u//256 %256).(u%256) — the old
+  10.0.Y.Z form for u < 65536, unique to 6.55M users — on node-(u%5+1)
 - event e of user u becomes one observation from u's pod:
     view     -> 52.218.(e%200).(e%250+1)   AWS s3 prefix, local region
     purchase -> 35.1.(e%200).(e%250+1)     GCP prefix -> PUBLIC_INTERNET
@@ -36,8 +37,21 @@ DEMO_CFG = RuntimeConfig(
 
 
 def _pod_ip(uid):
+    # 10.(u//65536 % 100).(u//256 % 256).(u%256): identical to the old
+    # 10.0.Y.Z scheme for u < 65536 (every committed small-SF hash is
+    # unchanged), but unique up to 6.55M users — at sf10 (150k users)
+    # the two-octet form wrapped, every pod IP collided 2-3x, and the
+    # ambiguity guard correctly rejected 100% of flows (caught by the
+    # lifecycle-exponent study's non-empty assert, round 6). The %100
+    # cap keeps the second octet clear of the signup target range
+    # (10.200.x.y), which must never look like a pod.
     return F.concat(
-        F.lit("10.0."), ((uid / 256).cast("int") % 256).cast("string"), F.lit("."), (uid % 256).cast("string")
+        F.lit("10."),
+        ((uid / 65536).cast("int") % 100).cast("string"),
+        F.lit("."),
+        ((uid / 256).cast("int") % 256).cast("string"),
+        F.lit("."),
+        (uid % 256).cast("string"),
     )
 
 

@@ -337,6 +337,13 @@ class TestSCD2:
 
 
 def test_approx_sketches_error_bounded(spark):
+    """q56 is now a hash-checkable CONTRACT (see its gate registration):
+    it emits the exact counts plus booleans asserting Spark's OWN
+    sketches (HLL++ count-distinct, approx median) land inside the
+    accuracy band. Assert the exact columns against an independent
+    recomputation and that every band boolean holds — a garbage sketch
+    estimate flips a boolean and fails here exactly as it fails the
+    DuckDB hash gate."""
     from kubenetmon_spark.gate import gate_queries
     from kubenetmon_spark.tables import load_table
 
@@ -352,15 +359,17 @@ def test_approx_sketches_error_bounded(spark):
         .groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("exact_users"),
-            F.expr("percentile(value, 0.5)").alias("exact_p50"),
+            F.count("value").alias("n_vals"),
         )
         .collect()
     }
     assert set(approx) == set(exact)
     for et, a in approx.items():
         e = exact[et]
-        assert abs(a.approx_users - e.exact_users) <= max(2, 0.05 * e.exact_users)
-        assert abs(a.approx_p50 - e.exact_p50) <= 0.05 * max(1.0, abs(e.exact_p50))
+        assert a.exact_users == e.exact_users
+        assert a.n_vals == e.n_vals
+        assert a.users_within_10pct, f"{et}: HLL estimate outside 10%+3 band"
+        assert a.p50_within_rank_band, f"{et}: approx median outside 45-55% rank band"
 
 
 class TestEmptyInputs:
