@@ -42,9 +42,15 @@ def backfill_dates(
     flow table from raw observations; returns the number of rows
     written. Idempotent: rerunning with the same inputs rewrites the
     same partitions to the same content.
+
+    Guarded (sink.partitions_mutation_guard): a streaming append into a
+    partition being backfilled either drains before the recompute reads
+    or waits behind the lock — never lands inside the overwrite window
+    where the dynamic overwrite would silently delete its files.
     """
     if not dates:
         return 0
+    from kubenetmon_spark.sink import partitions_mutation_guard
     day = F.to_date(F.col("ts"))
     obs = observations.filter(day.isin(dates))
     labeled = label_flows(obs, pods, nodes, prefixes, cfg)
@@ -60,16 +66,24 @@ def backfill_dates(
     row_obs = Observation()
     flows = flows.observe(row_obs, F.count(F.lit(1)).alias("n"))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            flows.write.mode("overwrite")
-            .partitionBy("date")
-            .parquet(table_path)
-        )
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        else:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    with partitions_mutation_guard(
+        table_path, [f"date={d}" for d in dates]
+    ) as fence:
+        fence()
+        try:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            (
+                flows.write.mode("overwrite")
+                .partitionBy("date")
+                .parquet(table_path)
+            )
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+            else:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     return int(row_obs.get["n"])

@@ -63,9 +63,17 @@ def _list_date_partitions(fs: "_fsm.FS", path: str) -> list[str]:
 
 # --- partition mutation guard vs concurrent appends ---------------------
 #
-# compact()/apply_retention() read-modify-write (or drop) a date
-# partition; a streaming micro-batch appending into that partition
-# between the read and the overwrite would be silently LOST. The
+# EVERY op that read-modify-writes (or drops/renames) a date partition
+# runs under this guard: compact, apply_retention, mutate, delete_where,
+# deduplicate, apply_rollup_ttl, clear_column_in_partition (and so
+# apply_column_ttl), detach/attach/move/replace partition, and
+# backfill_dates (backfill.py). A streaming micro-batch appending into
+# the partition between the op's read and its overwrite would be
+# silently LOST. Ops that DISCOVER their affected partitions by
+# scanning (mutate/delete_where/deduplicate/rollup) lock the discovered
+# set and then RE-READ under the lock, so a batch landing between
+# discovery and lock folds into the rewrite instead of being
+# overwritten away (see each op's concurrency note). The
 # reference's analogue (MergeTree background merges) is safe under
 # concurrent inserts by construction; here the same guarantee is an
 # enforced two-sided protocol over the FS adapter (never just a
@@ -154,6 +162,40 @@ def partition_mutation_guard(
                     "intent (remove the file if its owner is known dead)"
                 )
             _time.sleep(0.2)
+        yield fence
+
+
+@contextmanager
+def partitions_mutation_guard(
+    path: str,
+    partitions: list[str],
+    lock_timeout_s: float = 10.0,
+    drain_timeout_s: float = 120.0,
+):
+    """Multi-partition form of :func:`partition_mutation_guard` for
+    lifecycle ops whose rewrite spans several ``date=...`` partitions
+    (mutate / delete_where / deduplicate / rollup-TTL / backfill).
+    Locks are acquired in sorted order so two multi-partition mutators
+    cannot deadlock each other silently — a contender that cannot make
+    progress fails loud via ``lock_timeout_s``. Yields one ``fence()``
+    that checks every held lock."""
+    from contextlib import ExitStack
+
+    with ExitStack() as stack:
+        fences = [
+            stack.enter_context(
+                partition_mutation_guard(
+                    path, p, lock_timeout_s=lock_timeout_s,
+                    drain_timeout_s=drain_timeout_s,
+                )
+            )
+            for p in sorted(set(partitions))
+        ]
+
+        def fence() -> None:
+            for f in fences:
+                f()
+
         yield fence
 
 
@@ -503,6 +545,8 @@ def mutate(
     path: str,
     predicate: str,
     assignments: dict[str, str],
+    lock_timeout_s: float = 10.0,
+    drain_timeout_s: float = 120.0,
 ) -> list[str]:
     """ClickHouse mutation analogue: ``ALTER TABLE ... UPDATE col =
     expr WHERE predicate`` as a partition-scoped rewrite job.
@@ -517,76 +561,125 @@ def mutate(
     per-row; non-matching rows in an affected partition are rewritten
     byte-identical.
 
+    Concurrency: the affected partitions are discovered by an unguarded
+    scan, then LOCKED (:func:`partitions_mutation_guard` — appends into
+    them drain or the mutation fails loud) and RE-READ under the lock,
+    so a batch that lands between discovery and lock is mutated too,
+    never overwritten away. Matching rows appended into *other*
+    partitions after discovery are not mutated — ClickHouse semantics
+    exactly (inserts concurrent with a mutation are not mutated).
+
     Returns the list of rewritten ``date=...`` partition names.
     """
-    df = spark.read.parquet(path)
     pred = F.expr(predicate)
-    affected = [r.date for r in df.filter(pred).select("date").distinct().collect()]
+    affected = [
+        r.date
+        for r in spark.read.parquet(path)
+        .filter(pred)
+        .select("date")
+        .distinct()
+        .collect()
+    ]
     if not affected:
         return []
-    sub = df.filter(F.col("date").isin(affected))
-    updated = sub
-    for col, expr in assignments.items():
-        updated = updated.withColumn(
-            col,
-            F.when(pred, F.expr(expr).cast(dict(sub.dtypes)[col])).otherwise(
-                F.col(col)
-            ),
-        )
-    updated = updated.localCheckpoint(eager=True)
-    key = [c for c in PRIMARY_KEY_PREFIX if c in updated.columns]
-    (
-        updated.repartition(F.col("date"))
-        .sortWithinPartitions(*key)
-        .write.mode("overwrite")
-        # pinned per-write (mutations touch only affected partitions)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("date")
-        .parquet(path)
-    )
-    return sorted(f"date={d}" for d in affected)
-
-
-def delete_where(spark: SparkSession, path: str, predicate: str) -> list[str]:
-    """ClickHouse ``ALTER TABLE ... DELETE WHERE`` / lightweight-DELETE
-    analogue: partition-scoped rewrite keeping only non-matching rows.
-    Partitions with no matching rows are not touched (row-level
-    retention, vs ``apply_retention``'s whole-partition drops).
-    Returns the rewritten partition names."""
-    df = spark.read.parquet(path)
-    pred = F.expr(predicate)
-    affected = [r.date for r in df.filter(pred).select("date").distinct().collect()]
-    if not affected:
-        return []
-    remaining = (
-        df.filter(F.col("date").isin(affected))
-        .filter(~pred)
-        .localCheckpoint(eager=True)
-    )
-    # Dynamic overwrite only rewrites partitions PRESENT in the output —
-    # a fully-deleted partition writes no rows, so drop it explicitly.
-    kept = {r.date for r in remaining.select("date").distinct().collect()}
-    emptied = [d for d in affected if d not in kept]
-    key = [c for c in PRIMARY_KEY_PREFIX if c in remaining.columns]
-    if kept:
+    with partitions_mutation_guard(
+        path,
+        [f"date={d}" for d in affected],
+        lock_timeout_s=lock_timeout_s,
+        drain_timeout_s=drain_timeout_s,
+    ) as fence:
+        # fresh read under the lock: new files in the locked partitions
+        # (appends that won the race to land first) are included
+        df = spark.read.parquet(path)
+        sub = df.filter(F.col("date").isin(affected))
+        updated = sub
+        for col, expr in assignments.items():
+            updated = updated.withColumn(
+                col,
+                F.when(pred, F.expr(expr).cast(dict(sub.dtypes)[col])).otherwise(
+                    F.col(col)
+                ),
+            )
+        updated = updated.localCheckpoint(eager=True)
+        key = [c for c in PRIMARY_KEY_PREFIX if c in updated.columns]
+        fence()
         (
-            remaining.filter(F.col("date").isin(list(kept)))
-            .repartition(F.col("date"))
+            updated.repartition(F.col("date"))
             .sortWithinPartitions(*key)
             .write.mode("overwrite")
-            # pinned per-write (deletes touch only affected partitions)
+            # pinned per-write (mutations touch only affected partitions)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("date")
             .parquet(path)
         )
-    fs = _fsm.get_fs(path, spark)
-    for d in emptied:
-        fs.delete_dir(_join(path, f"date={d}"))
+    return sorted(f"date={d}" for d in affected)
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    lock_timeout_s: float = 10.0,
+    drain_timeout_s: float = 120.0,
+) -> list[str]:
+    """ClickHouse ``ALTER TABLE ... DELETE WHERE`` / lightweight-DELETE
+    analogue: partition-scoped rewrite keeping only non-matching rows.
+    Partitions with no matching rows are not touched (row-level
+    retention, vs ``apply_retention``'s whole-partition drops).
+    Same discover-lock-reread protocol as ``mutate`` (see its
+    concurrency note). Returns the rewritten partition names."""
+    pred = F.expr(predicate)
+    affected = [
+        r.date
+        for r in spark.read.parquet(path)
+        .filter(pred)
+        .select("date")
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return []
+    with partitions_mutation_guard(
+        path,
+        [f"date={d}" for d in affected],
+        lock_timeout_s=lock_timeout_s,
+        drain_timeout_s=drain_timeout_s,
+    ) as fence:
+        df = spark.read.parquet(path)  # fresh listing under the lock
+        remaining = (
+            df.filter(F.col("date").isin(affected))
+            .filter(~pred)
+            .localCheckpoint(eager=True)
+        )
+        # Dynamic overwrite only rewrites partitions PRESENT in the output —
+        # a fully-deleted partition writes no rows, so drop it explicitly.
+        kept = {r.date for r in remaining.select("date").distinct().collect()}
+        emptied = [d for d in affected if d not in kept]
+        key = [c for c in PRIMARY_KEY_PREFIX if c in remaining.columns]
+        fence()
+        if kept:
+            (
+                remaining.filter(F.col("date").isin(list(kept)))
+                .repartition(F.col("date"))
+                .sortWithinPartitions(*key)
+                .write.mode("overwrite")
+                # pinned per-write (deletes touch only affected partitions)
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("date")
+                .parquet(path)
+            )
+        fs = _fsm.get_fs(path, spark)
+        for d in emptied:
+            fs.delete_dir(_join(path, f"date={d}"))
     return sorted(f"date={d}" for d in affected)
 
 
 def deduplicate(
-    spark: SparkSession, path: str, by: list[str] | None = None
+    spark: SparkSession,
+    path: str,
+    by: list[str] | None = None,
+    lock_timeout_s: float = 10.0,
+    drain_timeout_s: float = 120.0,
 ) -> list[str]:
     """ClickHouse ``OPTIMIZE TABLE ... DEDUPLICATE [BY col, ...]``
     analogue: drop duplicate rows at rest, partition-scoped.
@@ -638,39 +731,49 @@ def deduplicate(
         return []
     from pyspark.sql.window import Window
 
-    scoped = df.filter(F.col("date").isin(dup_dates))
-    rest = [c for c in df.columns if c not in key]
-    tiebreak = (
-        F.concat_ws("\x01", *[F.col(c).cast("string") for c in rest])
-        if rest
-        else F.lit(1)
-    )
-    aug = scoped
-    for c in key:
-        if types[c].startswith("map"):
-            aug = aug.withColumn(f"_k_{c}", key_expr(c))
-    w = Window.partitionBy(*key_names).orderBy(tiebreak)
-    deduped = (
-        aug.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", *[n for n in key_names if n.startswith("_k_")])
-    )
-    deduped = deduped.localCheckpoint(eager=True)
-    # non-flow tables share none of the flow primary key — fall back to
-    # the dedup key so the rewrite is still deterministically ordered
-    sort_key = [c for c in PRIMARY_KEY_PREFIX if c in deduped.columns] or [
-        c for c in key if c in deduped.columns
-    ]
-    out = deduped.repartition(F.col("date"))
-    if sort_key:
-        out = out.sortWithinPartitions(*sort_key)
-    (
-        out.write.mode("overwrite")
-        # pinned per-write (dedup touches only duplicate-bearing partitions)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("date")
-        .parquet(path)
-    )
+    with partitions_mutation_guard(
+        path,
+        [f"date={d}" for d in dup_dates],
+        lock_timeout_s=lock_timeout_s,
+        drain_timeout_s=drain_timeout_s,
+    ) as fence:
+        # same discover-lock-reread protocol as mutate: rows appended
+        # into a duplicate-bearing partition before the lock landed are
+        # deduplicated WITH the rest, never overwritten away
+        scoped = spark.read.parquet(path).filter(F.col("date").isin(dup_dates))
+        rest = [c for c in df.columns if c not in key]
+        tiebreak = (
+            F.concat_ws("\x01", *[F.col(c).cast("string") for c in rest])
+            if rest
+            else F.lit(1)
+        )
+        aug = scoped
+        for c in key:
+            if types[c].startswith("map"):
+                aug = aug.withColumn(f"_k_{c}", key_expr(c))
+        w = Window.partitionBy(*key_names).orderBy(tiebreak)
+        deduped = (
+            aug.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", *[n for n in key_names if n.startswith("_k_")])
+        )
+        deduped = deduped.localCheckpoint(eager=True)
+        # non-flow tables share none of the flow primary key — fall back to
+        # the dedup key so the rewrite is still deterministically ordered
+        sort_key = [c for c in PRIMARY_KEY_PREFIX if c in deduped.columns] or [
+            c for c in key if c in deduped.columns
+        ]
+        out = deduped.repartition(F.col("date"))
+        if sort_key:
+            out = out.sortWithinPartitions(*sort_key)
+        fence()
+        (
+            out.write.mode("overwrite")
+            # pinned per-write (dedup touches only duplicate-bearing partitions)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("date")
+            .parquet(path)
+        )
     return sorted(f"date={d}" for d in dup_dates)
 
 
@@ -719,6 +822,8 @@ def apply_rollup_ttl(
     age_days: int,
     granularity_seconds: int = 86400,
     today: date | None = None,
+    lock_timeout_s: float = 10.0,
+    drain_timeout_s: float = 120.0,
 ) -> list[str]:
     """ClickHouse ``TTL ... GROUP BY <dims> SET bytes = sum(bytes)``
     analogue: partitions older than ``age_days`` are re-aggregated IN
@@ -732,42 +837,83 @@ def apply_rollup_ttl(
     ``apply_retention``: the common lifecycle is 7 days raw ->
     rollup-TTL to daily -> 90 days -> drop.
     """
+    from contextlib import ExitStack
+
     today = today or date.today()
     cutoff = (today - timedelta(days=age_days)).isoformat()
-    df = spark.read.parquet(path)
-    old = df.filter(F.col("date") < F.lit(cutoff))
-    affected = [r.date for r in old.select("date").distinct().collect()]
+    affected = [
+        r.date
+        for r in spark.read.parquet(path)
+        .filter(F.col("date") < F.lit(cutoff))
+        .select("date")
+        .distinct()
+        .collect()
+    ]
     if not affected:
         return []
     g = int(granularity_seconds)
-    coarse = old.withColumn(
-        "intervalStartTime",
-        F.timestamp_seconds(
-            (F.unix_timestamp("intervalStartTime") / g).cast("bigint") * g
-        ),
-    ).withColumn("intervalSeconds", F.lit(g).cast("int"))
-    rolled = summing_aggregate(coarse).withColumn(
-        "date", F.to_date("intervalStartTime")
-    )
-    rolled = rolled.localCheckpoint(eager=True)
-    key = [c for c in PRIMARY_KEY_PREFIX if c in rolled.columns]
-    (
-        rolled.repartition(F.col("date"))
-        .sortWithinPartitions(*key)
-        .write.mode("overwrite")
-        # pinned per-write (rollup-TTL touches only aged partitions)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("date")
-        .parquet(path)
-    )
-    # granularities coarser than a day move rows to the bucket's first
-    # day — source partitions the dynamic overwrite didn't rewrite must
-    # be dropped explicitly (same contract as delete_where)
-    kept = {str(r.date) for r in rolled.select("date").distinct().collect()}
-    fs = _fsm.get_fs(path, spark)
-    for d in affected:
-        if str(d) not in kept:
-            fs.delete_dir(_join(path, f"date={d}"))
+    with ExitStack() as stack:
+        # lock the aged sources (discover-lock-reread, like mutate), then
+        # re-derive the rollup from a fresh read under the locks
+        fences = [
+            stack.enter_context(
+                partition_mutation_guard(
+                    path, p, lock_timeout_s=lock_timeout_s,
+                    drain_timeout_s=drain_timeout_s,
+                )
+            )
+            for p in sorted(f"date={d}" for d in set(affected))
+        ]
+        old = (
+            spark.read.parquet(path)
+            .filter(F.col("date") < F.lit(cutoff))
+            .filter(F.col("date").isin(affected))
+        )
+        coarse = old.withColumn(
+            "intervalStartTime",
+            F.timestamp_seconds(
+                (F.unix_timestamp("intervalStartTime") / g).cast("bigint") * g
+            ),
+        ).withColumn("intervalSeconds", F.lit(g).cast("int"))
+        rolled = summing_aggregate(coarse).withColumn(
+            "date", F.to_date("intervalStartTime")
+        )
+        rolled = rolled.localCheckpoint(eager=True)
+        kept = {str(r.date) for r in rolled.select("date").distinct().collect()}
+        # granularities coarser than a day move rows to the bucket's
+        # FIRST day — those target partitions may be outside the aged
+        # set; lock them too before publishing (sorted within this
+        # extra batch; a cross-mutator collision fails loud on the lock
+        # timeout rather than deadlocking)
+        extra = sorted(kept - {str(d) for d in affected})
+        fences += [
+            stack.enter_context(
+                partition_mutation_guard(
+                    path, f"date={d}", lock_timeout_s=lock_timeout_s,
+                    drain_timeout_s=drain_timeout_s,
+                )
+            )
+            for d in extra
+        ]
+        key = [c for c in PRIMARY_KEY_PREFIX if c in rolled.columns]
+        for f in fences:
+            f()
+        (
+            rolled.repartition(F.col("date"))
+            .sortWithinPartitions(*key)
+            .write.mode("overwrite")
+            # pinned per-write (rollup-TTL touches only aged partitions)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("date")
+            .parquet(path)
+        )
+        # source partitions the dynamic overwrite didn't rewrite (their
+        # rows moved to the bucket's first day) must be dropped
+        # explicitly (same contract as delete_where)
+        fs = _fsm.get_fs(path, spark)
+        for d in affected:
+            if str(d) not in kept:
+                fs.delete_dir(_join(path, f"date={d}"))
     return sorted(f"date={d}" for d in affected)
 
 
@@ -796,7 +942,9 @@ def detach_partition(path: str, partition: str) -> str:
     ``_detached/`` — Spark scans skip underscore-prefixed dirs, so the
     data vanishes from queries instantly (a rename; metadata-only on
     HDFS, copy+delete under the hood on object stores) but stays
-    available for re-attach or inspection."""
+    available for re-attach or inspection. Guarded: an append into the
+    partition drains first (or the detach fails loud), so no batch's
+    files are half-moved."""
     fs = _fsm.get_fs(path)
     src = _partition_dir(path, partition)
     if not fs.exists(src):
@@ -806,21 +954,30 @@ def detach_partition(path: str, partition: str) -> str:
     dst = _join(det, f"date={partition}")
     if fs.exists(dst):
         raise FileExistsError(f"{dst} already detached")
-    fs.rename_no_replace(src, dst)
+    with partition_mutation_guard(path, f"date={partition}") as fence:
+        fence()
+        fs.rename_no_replace(src, dst)
     return dst
 
 
 def attach_partition(path: str, partition: str) -> str:
     """``ALTER TABLE ... ATTACH PARTITION``: restore a detached
-    partition (rename back; refuses if the live partition reappeared)."""
+    partition (rename back; refuses if the live partition reappeared).
+    Guarded like detach: a concurrent append that would recreate the
+    live dir mid-attach waits (its rows land beside the attached
+    files) instead of colliding with the rename."""
     fs = _fsm.get_fs(path)
     det = _join(path, "_detached", f"date={partition}")
     if not fs.exists(det):
         raise FileNotFoundError(f"nothing detached for date={partition}")
-    dst = _partition_dir(path, partition)
-    if fs.exists(dst):
-        raise FileExistsError(f"live partition {dst} exists; drop it first")
-    fs.rename_no_replace(det, dst)
+    with partition_mutation_guard(path, f"date={partition}") as fence:
+        dst = _partition_dir(path, partition)
+        if fs.exists(dst):
+            raise FileExistsError(
+                f"live partition {dst} exists; drop it first"
+            )
+        fence()
+        fs.rename_no_replace(det, dst)
     return dst
 
 
@@ -830,23 +987,34 @@ def move_partition(src_path: str, dst_path: str, partition: str) -> None:
     probe (one footer read per side). The source loses the partition —
     ClickHouse MOVE semantics, and the atomic half of a backfill swap.
     Cross-filesystem moves are not supported (same-store rename only,
-    like ClickHouse's same-disk MOVE)."""
+    like ClickHouse's same-disk MOVE). Guarded on BOTH tables'
+    partition: source appends drain before the rename and destination
+    appends cannot recreate the dir mid-move (which would otherwise
+    fail the rename after the source was already committed to go)."""
     _same_store(src_path, dst_path, "move_partition")
     fs = _fsm.get_fs(src_path)
     src = _partition_dir(src_path, partition)
     if not fs.exists(src):
         raise FileNotFoundError(f"no partition date={partition} at {src_path}")
-    dst = _partition_dir(dst_path, partition)
-    if fs.exists(dst):
-        raise FileExistsError(f"{dst} exists; use replace_partition")
-    s_schema, d_schema = _schema_of(fs, src), _schema_of(fs, dst_path)
-    if d_schema is not None and s_schema is not None and s_schema != d_schema:
-        raise ValueError(
-            f"schema mismatch moving date={partition}: source "
-            f"{s_schema.names} vs destination {d_schema.names}"
-        )
-    fs.mkdirs(dst_path)
-    fs.rename_no_replace(src, dst)
+    with partition_mutation_guard(src_path, f"date={partition}") as sfence:
+        with partition_mutation_guard(dst_path, f"date={partition}") as dfence:
+            dst = _partition_dir(dst_path, partition)
+            if fs.exists(dst):
+                raise FileExistsError(f"{dst} exists; use replace_partition")
+            s_schema, d_schema = _schema_of(fs, src), _schema_of(fs, dst_path)
+            if (
+                d_schema is not None
+                and s_schema is not None
+                and s_schema != d_schema
+            ):
+                raise ValueError(
+                    f"schema mismatch moving date={partition}: source "
+                    f"{s_schema.names} vs destination {d_schema.names}"
+                )
+            fs.mkdirs(dst_path)
+            sfence()
+            dfence()
+            fs.rename_no_replace(src, dst)
 
 
 def replace_partition(dst_path: str, src_path: str, partition: str) -> None:
@@ -855,7 +1023,11 @@ def replace_partition(dst_path: str, src_path: str, partition: str) -> None:
     staging-table backfill pattern: recompute into staging, replace
     into prod). Copy lands under an underscore temp dir (invisible to
     scans), then two renames publish it; the visible window never shows
-    a half-copied partition."""
+    a half-copied partition. The swap itself is guarded: an append into
+    the destination partition between the rename-out and the rename-in
+    would recreate the live dir, fail the publish, AND strand the old
+    data under ``_old-`` — the guard drains appends first and holds
+    them out through both renames."""
     _same_store(src_path, dst_path, "replace_partition")
     fs = _fsm.get_fs(dst_path)
     src = _partition_dir(src_path, partition)
@@ -869,14 +1041,16 @@ def replace_partition(dst_path: str, src_path: str, partition: str) -> None:
         )
     tmp = _join(dst_path, f"_replace-{partition}")
     fs.delete_dir(tmp)
-    fs.copy_tree(src, tmp)
-    dst = _partition_dir(dst_path, partition)
-    old = _join(dst_path, f"_old-{partition}")
-    fs.delete_dir(old)
-    if fs.exists(dst):
-        fs.rename_no_replace(dst, old)
-    fs.rename_no_replace(tmp, dst)
-    fs.delete_dir(old)
+    fs.copy_tree(src, tmp)  # the slow copy runs BEFORE taking the lock
+    with partition_mutation_guard(dst_path, f"date={partition}") as fence:
+        dst = _partition_dir(dst_path, partition)
+        old = _join(dst_path, f"_old-{partition}")
+        fs.delete_dir(old)
+        fence()
+        if fs.exists(dst):
+            fs.rename_no_replace(dst, old)
+        fs.rename_no_replace(tmp, dst)
+        fs.delete_dir(old)
 
 
 def detached_partitions(path: str) -> list[str]:
@@ -1001,21 +1175,23 @@ def clear_column_in_partition(
     dropping rows (vs ``delete_where``) or partitions (vs
     ``apply_retention``)."""
     d = partition.split("=", 1)[1] if "=" in partition else partition
-    df = spark.read.parquet(path)
-    if column not in df.columns:
-        raise ValueError(f"no column {column!r} in {path}")
-    sub = df.filter(F.col("date") == F.lit(d))
-    cleared = sub.withColumn(
-        column, F.expr(default_sql).cast(dict(sub.dtypes)[column])
-    ).localCheckpoint(eager=True)  # never delete inputs under a lazy read
-    key = [c for c in PRIMARY_KEY_PREFIX if c in cleared.columns]
-    out = cleared.repartition(F.col("date"))
-    if key:  # non-flow tables may have none of the sort-key columns
-        out = out.sortWithinPartitions(*key)
-    # pinned per-write (clears exactly one date partition)
-    out.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("date").parquet(path)
+    with partition_mutation_guard(path, f"date={d}") as fence:
+        df = spark.read.parquet(path)
+        if column not in df.columns:
+            raise ValueError(f"no column {column!r} in {path}")
+        sub = df.filter(F.col("date") == F.lit(d))
+        cleared = sub.withColumn(
+            column, F.expr(default_sql).cast(dict(sub.dtypes)[column])
+        ).localCheckpoint(eager=True)  # never delete inputs under a lazy read
+        key = [c for c in PRIMARY_KEY_PREFIX if c in cleared.columns]
+        out = cleared.repartition(F.col("date"))
+        if key:  # non-flow tables may have none of the sort-key columns
+            out = out.sortWithinPartitions(*key)
+        fence()
+        # pinned per-write (clears exactly one date partition)
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("date").parquet(path)
 
 
 def apply_column_ttl(

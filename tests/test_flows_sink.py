@@ -940,3 +940,241 @@ class TestMutationGuard:
         fs.remove_file(_join(d, "x.json"))
         dropped = apply_retention(path, keep_days=90, today=date(2024, 9, 1))
         assert dropped == ["date=2024-03-01"]
+
+
+class TestLifecycleGuardsExtended:
+    """Round-6: the discover-lock-reread protocol extended from
+    compact/retention to EVERY partition-rewriting lifecycle op —
+    mutate, delete_where, deduplicate, rollup-TTL, clear-column,
+    detach/attach/move/replace, backfill. Same invariant as
+    TestMutationGuard: an append either folds into the mutation's
+    input (it landed before the lock, and the fresh re-read under the
+    lock picks it up) or lands after the overwrite — never silently
+    lost — and an in-flight append makes the mutator fail LOUD."""
+
+    PART = "date=2024-03-01"
+
+    def _stale_intent(self, path):
+        import time
+
+        from kubenetmon_spark import fs as _fsm
+        from kubenetmon_spark.fs import join as _join
+        from kubenetmon_spark.sink import _intent_dir
+
+        fs = _fsm.get_fs(path)
+        d = _intent_dir(path, self.PART)
+        fs.mkdirs(d)
+        p = _join(d, "stale.json")
+        fs.write_json_atomic(p, {"created_unix": time.time()})
+        return fs, p
+
+    def test_mutate_refuses_inflight_append(self, spark, fact, tmp_path):
+        from kubenetmon_spark.sink import mutate
+
+        path = str(tmp_path / "m")
+        write_flows(fact, path)
+        fs, intent = self._stale_intent(path)
+        with pytest.raises(TimeoutError, match="append intents"):
+            mutate(
+                spark, path, "direction = 'out'", {"bytes": "bytes * 2"},
+                drain_timeout_s=0.5,
+            )
+        # refused BEFORE any rewrite: table bytes untouched
+        assert read_flows(spark, path).count() == 24
+        fs.remove_file(intent)
+        assert mutate(
+            spark, path, "direction = 'out'", {"bytes": "bytes * 2"}
+        ) == [self.PART]
+
+    def test_delete_where_refuses_inflight_append(self, spark, fact, tmp_path):
+        from kubenetmon_spark.sink import delete_where
+
+        path = str(tmp_path / "d")
+        write_flows(fact, path)
+        fs, intent = self._stale_intent(path)
+        with pytest.raises(TimeoutError, match="append intents"):
+            delete_where(spark, path, "direction = 'out'", drain_timeout_s=0.5)
+        assert read_flows(spark, path).count() == 24
+        fs.remove_file(intent)
+        delete_where(spark, path, "direction = 'out'")
+        assert read_flows(spark, path).filter("direction = 'out'").count() == 0
+
+    def test_deduplicate_refuses_inflight_append(self, spark, fact, tmp_path):
+        from kubenetmon_spark.sink import deduplicate
+
+        path = str(tmp_path / "dd")
+        write_flows(fact, path)
+        write_flows(fact, path)  # full-row duplicates across batches
+        fs, intent = self._stale_intent(path)
+        with pytest.raises(TimeoutError, match="append intents"):
+            deduplicate(spark, path, drain_timeout_s=0.5)
+        assert read_flows(spark, path).count() == 48
+        fs.remove_file(intent)
+        deduplicate(spark, path)
+        assert read_flows(spark, path).count() == 24
+
+    def test_rollup_ttl_refuses_inflight_append(self, spark, fact, tmp_path):
+        from kubenetmon_spark.sink import apply_rollup_ttl
+
+        path = str(tmp_path / "r")
+        write_flows(fact, path)
+        fs, intent = self._stale_intent(path)
+        with pytest.raises(TimeoutError, match="append intents"):
+            apply_rollup_ttl(
+                spark, path, 2, today=date(2024, 3, 10), drain_timeout_s=0.5
+            )
+        fs.remove_file(intent)
+        assert apply_rollup_ttl(spark, path, 2, today=date(2024, 3, 10)) == [
+            self.PART
+        ]
+
+    def test_detach_refuses_inflight_append(self, spark, fact, tmp_path):
+        import functools
+
+        import kubenetmon_spark.sink as sink_mod
+        from kubenetmon_spark.sink import detach_partition
+
+        path = str(tmp_path / "det")
+        write_flows(fact, path)
+        fs, intent = self._stale_intent(path)
+        real = sink_mod.partition_mutation_guard
+        short = functools.partial(real, drain_timeout_s=0.5)
+        try:
+            sink_mod.partition_mutation_guard = short
+            with pytest.raises(TimeoutError, match="append intents"):
+                detach_partition(path, "2024-03-01")
+        finally:
+            sink_mod.partition_mutation_guard = real
+        # nothing half-moved: partition still live, still queryable
+        assert read_flows(spark, path).count() == 24
+        fs.remove_file(intent)
+        detach_partition(path, "2024-03-01")
+        from kubenetmon_spark.sink import detached_partitions
+
+        assert detached_partitions(path) == ["2024-03-01"]
+
+    def test_mutate_folds_append_landing_before_lock(
+        self, spark, fact, tmp_path, monkeypatch
+    ):
+        """The discovery->lock window, forced: a batch lands AFTER the
+        mutation discovered its affected partitions but BEFORE it took
+        the locks. Pre-guard, the overwrite deleted that batch's files;
+        now the fresh re-read under the lock folds it in — the late
+        batch is mutated WITH the rest."""
+        from contextlib import contextmanager
+
+        import kubenetmon_spark.sink as sink_mod
+        from kubenetmon_spark.sink import mutate
+
+        path = str(tmp_path / "fold")
+        write_flows(fact, path)
+        base_out = (
+            fact.filter("direction = 'out'").agg(F.sum("bytes")).collect()[0][0]
+        )
+        real = sink_mod.partitions_mutation_guard
+
+        @contextmanager
+        def inject_then_guard(p, parts, **kw):
+            write_flows(fact, path)  # the racing batch: lands pre-lock
+            with real(p, parts, **kw) as f:
+                yield f
+
+        monkeypatch.setattr(sink_mod, "partitions_mutation_guard", inject_then_guard)
+        mutate(spark, path, "direction = 'out'", {"bytes": "bytes * 2"})
+        after = read_flows(spark, path)
+        assert after.count() == 48  # both batches present
+        got = after.filter("direction = 'out'").agg(F.sum("bytes")).collect()[0][0]
+        assert got == 2 * (2 * base_out)  # BOTH batches mutated
+
+    def test_forced_mid_mutate_append_serializes(
+        self, spark, fact, tmp_path, monkeypatch
+    ):
+        """An append arriving while mutate holds the lock waits it out
+        and lands AFTER the overwrite (unmutated) — or, if it wins the
+        lock race, folds in (mutated). Either way: no lost rows, no
+        error. The slowed checkpoint holds mutate's window open."""
+        import threading
+        import time
+
+        from pyspark.sql import DataFrame
+
+        from kubenetmon_spark.sink import append_intent, mutate
+
+        path = str(tmp_path / "ser")
+        write_flows(fact, path)
+        base_out = (
+            fact.filter("direction = 'out'").agg(F.sum("bytes")).collect()[0][0]
+        )
+        real_ckpt = DataFrame.localCheckpoint
+
+        def slow_ckpt(self_df, *a, **kw):
+            out = real_ckpt(self_df, *a, **kw)
+            time.sleep(1.5)  # hold the read-to-overwrite window open
+            return out
+
+        monkeypatch.setattr(DataFrame, "localCheckpoint", slow_ckpt)
+        errs: list[Exception] = []
+
+        def run_mutate():
+            try:
+                mutate(spark, path, "direction = 'out'", {"bytes": "bytes * 2"})
+            except Exception as exc:  # pragma: no cover
+                errs.append(exc)
+
+        t = threading.Thread(target=run_mutate)
+        t.start()
+        time.sleep(0.6)  # mutate should now hold the lock, mid-checkpoint
+        with append_intent(path, [self.PART], wait_s=30.0):
+            write_flows(fact, path)
+        t.join(60)
+        assert not t.is_alive() and errs == []
+        after = read_flows(spark, path)
+        assert after.count() == 48  # nothing lost on either side
+        got = after.filter("direction = 'out'").agg(F.sum("bytes")).collect()[0][0]
+        # append landed after the overwrite (unmutated): 2x + 1x;
+        # or folded in before the lock (both mutated): 2x + 2x
+        assert got in (3 * base_out, 4 * base_out)
+
+    def test_backfill_refuses_inflight_append(self, spark, fact, tmp_path):
+        import functools
+
+        import kubenetmon_spark.sink as sink_mod
+        from kubenetmon_spark.backfill import backfill_dates
+        from kubenetmon_spark.dims import build_cloud_prefixes
+
+        path = str(tmp_path / "bf")
+        write_flows(fact, path)
+        fs, intent = self._stale_intent(path)
+        real = sink_mod.partitions_mutation_guard
+        short = functools.partial(real, drain_timeout_s=0.5)
+        prefixes = build_cloud_prefixes(raw_prefixes_df(spark))
+        try:
+            sink_mod.partitions_mutation_guard = short
+            with pytest.raises(TimeoutError, match="append intents"):
+                backfill_dates(
+                    spark,
+                    observations_df(spark),
+                    path,
+                    ["2024-03-01"],
+                    pods_df(spark),
+                    nodes_df(spark),
+                    prefixes,
+                    CFG,
+                )
+        finally:
+            sink_mod.partitions_mutation_guard = real
+        assert read_flows(spark, path).count() == 24  # untouched
+        fs.remove_file(intent)
+        n = backfill_dates(
+            spark,
+            observations_df(spark),
+            path,
+            ["2024-03-01"],
+            pods_df(spark),
+            nodes_df(spark),
+            prefixes,
+            CFG,
+        )
+        assert n > 0
+        # backfill is the one true overwrite: the doubled rows are gone
+        assert read_flows(spark, path).count() == n
