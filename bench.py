@@ -32,6 +32,41 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 ADJUDICATION_MARKER = "## Round-over-round bench adjudications"
 
 
+def load_round_baseline(root, sf):
+    """(name, queries) of the newest committed ``BENCH_r{N}.json`` at
+    the same scale factor, or ``("", {})``. Handles BOTH formats: the
+    bench's own JSON line and the driver's wrapper ``{n, rc, cpus, sf,
+    tail, parsed: {...}}`` (unwrapping ``parsed``) — without the unwrap
+    the queries map read empty and the round check silently never
+    fired (found in round 6). The map carries the run's 20 slowest
+    queries — exactly the population where round-over-round drift is
+    worth chasing; the full per-query map of the *immediately previous
+    invocation* is diffed separately via BENCH_DETAIL.json."""
+    root = Path(root)
+    cands = sorted(
+        (int(m.group(1)), p)
+        for p in root.glob("BENCH_r*.json")
+        for m in [re.match(r"BENCH_r(\d+)\.json$", p.name)]
+        if m
+    )
+    if not cands:
+        return "", {}
+    prev_path = cands[-1][1]
+    try:
+        prev_doc = json.loads(prev_path.read_text())
+    except Exception:
+        return "", {}
+    if not prev_doc.get("queries") and isinstance(
+        prev_doc.get("parsed"), dict
+    ):
+        prev_doc = prev_doc["parsed"]
+    if prev_doc.get("sf") != sf or not isinstance(
+        prev_doc.get("queries"), dict
+    ):
+        return "", {}
+    return prev_path.name, prev_doc["queries"]
+
+
 def format_round_adjudications(detail: dict) -> str:
     """The PLAN_AUDIT.md section for bench-adjudicated round-over-round
     moves (also re-appended by tools/plan_audit.py after it regenerates
@@ -339,51 +374,37 @@ def main() -> int:
     # best-of-3 on the warm session, and record a verdict either way —
     # adjudications land in BENCH_DETAIL.json and PLAN_AUDIT.md.
     round_adjudications: list[dict] = []
-    round_baseline = ""
-    root = Path(__file__).resolve().parent
-    cands = sorted(
-        (
-            (int(m2.group(1)), p)
-            for p in root.glob("BENCH_r*.json")
-            for m2 in [re.match(r"BENCH_r(\d+)\.json$", p.name)]
-            if m2
-        ),
+    round_baseline, prev_queries = load_round_baseline(
+        Path(__file__).resolve().parent, sf
     )
-    if cands:
-        prev_path = cands[-1][1]
-        try:
-            prev_doc = json.loads(prev_path.read_text())
-        except Exception:
-            prev_doc = {}
-        if prev_doc.get("sf") == sf:
-            round_baseline = prev_path.name
-            for name, p in (prev_doc.get("queries") or {}).items():
-                now = timings.get(name)
-                if now is None or not (now > p * 1.15 and now - p > 0.5):
-                    continue
-                first = now
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    queries[name](spark, sf_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    now = min(now, round(time.perf_counter() - t0, 3))
-                timings[name] = now
-                verdict = (
-                    "regression"
-                    if (now > p * 1.15 and now - p > 0.5)
-                    else "noise"
-                )
-                round_adjudications.append(
-                    {
-                        "q": name,
-                        "prev": p,
-                        "first": first,
-                        "now": now,
-                        "verdict": verdict,
-                    }
-                )
-            total = round(sum(timings.values()), 3)
+    if round_baseline:
+        for name, p in prev_queries.items():
+            now = timings.get(name)
+            if now is None or not (now > p * 1.15 and now - p > 0.5):
+                continue
+            first = now
+            for _ in range(3):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                now = min(now, round(time.perf_counter() - t0, 3))
+            timings[name] = now
+            verdict = (
+                "regression"
+                if (now > p * 1.15 and now - p > 0.5)
+                else "noise"
+            )
+            round_adjudications.append(
+                {
+                    "q": name,
+                    "prev": p,
+                    "first": first,
+                    "now": now,
+                    "verdict": verdict,
+                }
+            )
+        total = round(sum(timings.values()), 3)
 
     ingest_rate = round(n_obs / ingest_s)
     proto_rate = round(n_obs / proto_s)

@@ -63,7 +63,13 @@ by_name = {{q.name: q.spark_fn for q in _REGISTRY}}
 out = {{}}
 for name in {SHAPES!r}:
     fn = by_name[name]
-    fn(spark, {sf_dir!r}).collect()  # discard: plan compile + codegen
+    # Discard run doubles as the CARDINALITY CHECK: round 6 found the
+    # r5 q26 sf10 reading had timed an empty pipeline (a synthetic
+    # pod-IP wrap made the labeler reject 100% of rows — SCALE.md
+    # round-6 correction). A timing of zero output rows is not a
+    # measurement of the shape.
+    n_rows = len(fn(spark, {sf_dir!r}).collect())
+    assert n_rows > 0, f"{{name}} returned 0 rows at {sf_dir!r} - timing it would measure an empty pipeline"
     best = None
     for _ in range({runs}):
         t0 = time.monotonic()
