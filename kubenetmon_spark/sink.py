@@ -996,6 +996,14 @@ def move_partition(src_path: str, dst_path: str, partition: str) -> None:
     src = _partition_dir(src_path, partition)
     if not fs.exists(src):
         raise FileNotFoundError(f"no partition date={partition} at {src_path}")
+    # fail fast BEFORE the locks: a same-table "move" (src == dst) would
+    # otherwise self-deadlock acquiring its own partition lock twice and
+    # surface as a confusing 10s lock timeout instead of this error
+    if fs.exists(_partition_dir(dst_path, partition)):
+        raise FileExistsError(
+            f"{_partition_dir(dst_path, partition)} exists; use "
+            "replace_partition"
+        )
     with partition_mutation_guard(src_path, f"date={partition}") as sfence:
         with partition_mutation_guard(dst_path, f"date={partition}") as dfence:
             dst = _partition_dir(dst_path, partition)

@@ -52,7 +52,11 @@ def main() -> int:
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).write.format("noop").mode("overwrite").save()
 
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     fails: list[str] = []
+    empties: list[str] = []
     t_all = time.perf_counter()
     for name, fn in gate_queries().items():
         if any(name.startswith(s) for s in skip):
@@ -60,15 +64,35 @@ def main() -> int:
             continue
         t0 = time.perf_counter()
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            print(f"OK {name} {time.perf_counter() - t0:.1f}s", flush=True)
+            # Row-count Observation on the noop write: "ran without
+            # error" is not "computed something" — the r5 q26 sf10
+            # phantom (SCALE.md round-6 correction) executed a whole
+            # labeler pipeline that rejected 100% of rows and swept
+            # green. Zero-row outputs are reported as DEGENERATE for
+            # adjudication (a few gates are legitimately empty at some
+            # SFs — q08's anti-join is empty whenever every customer
+            # has an order — so this is a report, not a hard failure).
+            obs = Observation()
+            df = fn(spark, sf_dir)
+            df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            n = int(obs.get["n"])
+            tag = "OK" if n > 0 else "DEGENERATE"
+            if n == 0:
+                empties.append(name)
+            print(
+                f"{tag} {name} rows={n} {time.perf_counter() - t0:.1f}s",
+                flush=True,
+            )
         except Exception as e:  # noqa: BLE001 - sweep must not abort
             fails.append(name)
             msg = str(e).splitlines()[0][:160]
             print(f"FAIL {name}: {type(e).__name__}: {msg}", flush=True)
     print(
         f"DONE {time.perf_counter() - t_all:.0f}s; "
-        f"{len(fails)} failures: {fails}"
+        f"{len(fails)} failures: {fails}; "
+        f"{len(empties)} zero-row outputs to adjudicate: {empties}"
     )
     spark.stop()
     return 1 if fails else 0
