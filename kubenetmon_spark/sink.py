@@ -135,7 +135,19 @@ def partition_mutation_guard(
     lock's ``fence()`` — call it immediately before publishing the
     rewrite. Raises TimeoutError (listing the in-flight intent files)
     if appends do not drain: a mutation targeting a partition a stream
-    is actively writing is an operator error and fails loud."""
+    is actively writing is an operator error and fails loud.
+
+    Mutator-vs-mutator across GRANULARITIES is also excluded (round 6):
+    a table-wide mutation (``compact(path)`` with no target) and a
+    per-partition one hold DIFFERENT lock files, so without more they
+    would both proceed and one rewrite would silently lose the other.
+    The protocol mirrors append_intent's defer rule: a per-partition
+    mutator that finds the table-wide lock after staking its own
+    releases and retries (it never blocks the table-wide mutator); the
+    table-wide mutator, once it holds ``_table``, waits for every other
+    per-partition lock to clear. A multi-partition op already holding
+    sibling locks when a table-wide mutation starts fails LOUD on its
+    next acquisition (lock timeout) and unwinds — loud beats lost."""
     import time as _time
 
     from kubenetmon_spark.evolve import exclusive_lock
@@ -143,10 +155,56 @@ def partition_mutation_guard(
     fs = _fsm.get_fs(path)
     part = partition if partition is not None else _TABLE_WIDE
     lock = _lifecycle_lock(path, part)
-    fs.mkdirs(_join(path, _LIFECYCLE_DIR, "locks"))
-    with exclusive_lock(
-        lock, timeout_s=lock_timeout_s, what="partition lifecycle lock"
-    ) as fence:
+    locks_dir = _join(path, _LIFECYCLE_DIR, "locks")
+    table_lock = _lifecycle_lock(path, _TABLE_WIDE)
+    fs.mkdirs(locks_dir)
+    acquire_deadline = _time.monotonic() + lock_timeout_s
+    while True:
+        ctx = exclusive_lock(
+            lock, timeout_s=lock_timeout_s, what="partition lifecycle lock"
+        )
+        fence = ctx.__enter__()
+        if partition is None or not fs.exists(table_lock):
+            break
+        # a table-wide mutation is in progress: defer (release our
+        # stake so IT never waits on us), then retry
+        ctx.__exit__(None, None, None)
+        if _time.monotonic() > acquire_deadline:
+            raise TimeoutError(
+                f"partition mutation on {path} ({part}) blocked: "
+                f"table-wide lifecycle lock held ({table_lock}) — a "
+                "whole-table compact/mutation is running; retry after "
+                "it finishes (or remove the lock if its owner is known "
+                "dead)"
+            )
+        _time.sleep(0.2)
+    try:
+        if partition is None:
+            # table-wide: per-partition mutators defer to us, but ones
+            # already holding their lock must finish (or fail loud)
+            # before we may read — wait for every other lock to clear
+            deadline = _time.monotonic() + drain_timeout_s
+            while True:
+                others = [
+                    n
+                    for n in (
+                        fs.list_names(locks_dir)
+                        if fs.is_dir(locks_dir)
+                        else []
+                    )
+                    if n.endswith(".lock") and n != f"{_TABLE_WIDE}.lock"
+                ]
+                if not others:
+                    break
+                if _time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"table-wide mutation on {path} blocked: "
+                        f"per-partition lifecycle locks still held after "
+                        f"{drain_timeout_s:.0f}s: {others[:5]} — another "
+                        "lifecycle op is mid-rewrite (let it finish, or "
+                        "remove the lock if its owner is known dead)"
+                    )
+                _time.sleep(0.2)
         deadline = _time.monotonic() + drain_timeout_s
         while True:
             intents = _live_intents(fs, path, partition)
@@ -163,6 +221,8 @@ def partition_mutation_guard(
                 )
             _time.sleep(0.2)
         yield fence
+    finally:
+        ctx.__exit__(None, None, None)
 
 
 @contextmanager

@@ -1178,3 +1178,103 @@ class TestLifecycleGuardsExtended:
         assert n > 0
         # backfill is the one true overwrite: the doubled rows are gone
         assert read_flows(spark, path).count() == n
+
+
+class TestCrossGranularityMutatorExclusion:
+    """Round-6: a table-wide mutation (compact with no target) and a
+    per-partition one hold DIFFERENT lock files — without the defer
+    protocol they would both proceed and one rewrite would silently
+    lose the other. Per-partition mutators defer to the table-wide
+    lock; the table-wide mutator waits for held partition locks."""
+
+    PART = "date=2024-03-01"
+
+    def test_table_wide_blocks_partition_mutator(self, spark, fact, tmp_path):
+        from kubenetmon_spark.sink import partition_mutation_guard
+
+        path = str(tmp_path / "x1")
+        write_flows(fact, path)
+        with partition_mutation_guard(path, None):
+            with pytest.raises(TimeoutError, match="table-wide"):
+                with partition_mutation_guard(
+                    path, self.PART, lock_timeout_s=0.6
+                ):
+                    pass  # pragma: no cover
+        # table-wide released -> the per-partition mutator proceeds
+        with partition_mutation_guard(path, self.PART):
+            pass
+
+    def test_partition_mutator_blocks_table_wide(self, spark, fact, tmp_path):
+        from kubenetmon_spark.sink import partition_mutation_guard
+
+        path = str(tmp_path / "x2")
+        write_flows(fact, path)
+        with partition_mutation_guard(path, self.PART):
+            with pytest.raises(
+                TimeoutError, match="per-partition lifecycle locks"
+            ):
+                with partition_mutation_guard(
+                    path, None, drain_timeout_s=0.6
+                ):
+                    pass  # pragma: no cover
+        with partition_mutation_guard(path, None):
+            pass
+
+    def test_no_stale_lock_litter_after_defer(self, spark, fact, tmp_path):
+        """The deferring per-partition mutator must retract its stake
+        each retry — a leaked partition lock would wedge the table-wide
+        mutator it deferred to."""
+        from kubenetmon_spark import fs as _fsm
+        from kubenetmon_spark.fs import join as _join
+        from kubenetmon_spark.sink import (
+            _LIFECYCLE_DIR,
+            partition_mutation_guard,
+        )
+
+        path = str(tmp_path / "x3")
+        write_flows(fact, path)
+        fs = _fsm.get_fs(path)
+        locks_dir = _join(path, _LIFECYCLE_DIR, "locks")
+        with partition_mutation_guard(path, None):
+            with pytest.raises(TimeoutError):
+                with partition_mutation_guard(
+                    path, self.PART, lock_timeout_s=0.6
+                ):
+                    pass  # pragma: no cover
+            names = [
+                n for n in fs.list_names(locks_dir) if n.endswith(".lock")
+            ]
+            assert names == ["_table.lock"]  # only the table-wide stake
+        assert [
+            n for n in fs.list_names(locks_dir) if n.endswith(".lock")
+        ] == []
+
+    def test_compact_all_vs_compact_partition_serialize(
+        self, spark, fact, tmp_path
+    ):
+        """End-to-end: a whole-table compact and a targeted compact
+        racing in threads serialize (or one fails loud) — the summed
+        table is exactly the one-batch fold either way."""
+        import threading
+
+        path = str(tmp_path / "x4")
+        write_flows(fact, path)
+        write_flows(fact, path)
+        want = summing_aggregate(fact).count()
+        errs: list[Exception] = []
+
+        def run(target):
+            try:
+                compact(spark, path, target_date=target)
+            except TimeoutError:
+                pass  # loud loser is an allowed outcome
+            except Exception as exc:  # pragma: no cover
+                errs.append(exc)
+
+        t1 = threading.Thread(target=run, args=(None,))
+        t2 = threading.Thread(target=run, args=("2024-03-01",))
+        t1.start(); t2.start(); t1.join(60); t2.join(60)
+        assert not t1.is_alive() and not t2.is_alive() and errs == []
+        assert read_flows(spark, path).count() == want
+        got = read_flows(spark, path).agg(F.sum("bytes")).collect()[0][0]
+        assert got == 2 * fact.agg(F.sum("bytes")).collect()[0][0]
