@@ -1278,3 +1278,58 @@ class TestCrossGranularityMutatorExclusion:
         assert read_flows(spark, path).count() == want
         got = read_flows(spark, path).agg(F.sum("bytes")).collect()[0][0]
         assert got == 2 * fact.agg(F.sum("bytes")).collect()[0][0]
+
+
+class TestRollupTtlCoarseBuckets:
+    """Weekly (coarser-than-day) rollup moves rows to the bucket's
+    FIRST day — a partition that may not exist yet and is outside the
+    aged source set. Round-6's guard must lock those targets too, and
+    the source partitions the dynamic overwrite didn't rewrite must be
+    dropped (the pre-existing contract, now exercised under locks)."""
+
+    def test_weekly_rollup_moves_and_drops_sources(self, spark, fact, tmp_path):
+        from kubenetmon_spark.sink import apply_rollup_ttl
+
+        path = str(tmp_path / "weekly")
+        # spread the fixture across three consecutive days
+        for shift in (0, 1, 2):
+            write_flows(fact.withColumn("date", F.date_add("date", shift))
+                        .withColumn("intervalStartTime",
+                                    F.col("intervalStartTime") + F.expr(f"INTERVAL {shift} DAYS")), path)
+        before = read_flows(spark, path)
+        bytes_before = before.agg(F.sum("bytes")).collect()[0][0]
+        rewritten = apply_rollup_ttl(
+            spark, path, age_days=7, granularity_seconds=7 * 86400,
+            today=date(2024, 3, 20),
+        )
+        assert sorted(rewritten) == [
+            "date=2024-03-01", "date=2024-03-02", "date=2024-03-03",
+        ]
+        after = read_flows(spark, path)
+        # all three days collapse into one weekly bucket on one date
+        dates = sorted(str(r.date) for r in after.select("date").distinct().collect())
+        assert len(dates) == 1
+        assert after.agg(F.sum("bytes")).collect()[0][0] == bytes_before
+        assert (
+            after.select("intervalSeconds").distinct().collect()[0][0]
+            == 7 * 86400
+        )
+        # source partitions whose rows moved away are gone from disk
+        from kubenetmon_spark import fs as _fsm
+
+        live = [
+            n
+            for n in _fsm.get_fs(path).list_names(path)
+            if n.startswith("date=")
+        ]
+        assert live == [f"date={dates[0]}"]
+        # and no lock litter remains from the extra target acquisition
+        from kubenetmon_spark.fs import join as _join
+        from kubenetmon_spark.sink import _LIFECYCLE_DIR
+
+        locks = _join(path, _LIFECYCLE_DIR, "locks")
+        fs = _fsm.get_fs(path)
+        assert [
+            n for n in (fs.list_names(locks) if fs.is_dir(locks) else [])
+            if n.endswith(".lock")
+        ] == []
