@@ -49,22 +49,23 @@ def load_round_baseline(root, sf):
         for m in [re.match(r"BENCH_r(\d+)\.json$", p.name)]
         if m
     )
-    if not cands:
-        return "", {}
-    prev_path = cands[-1][1]
-    try:
-        prev_doc = json.loads(prev_path.read_text())
-    except Exception:
-        return "", {}
-    if not prev_doc.get("queries") and isinstance(
-        prev_doc.get("parsed"), dict
-    ):
-        prev_doc = prev_doc["parsed"]
-    if prev_doc.get("sf") != sf or not isinstance(
-        prev_doc.get("queries"), dict
-    ):
-        return "", {}
-    return prev_path.name, prev_doc["queries"]
+    # newest-first, falling PAST rounds benched at another scale factor
+    # (one off-sf round must not silently disable the check against the
+    # latest same-sf baseline)
+    for _n, prev_path in reversed(cands):
+        try:
+            prev_doc = json.loads(prev_path.read_text())
+        except Exception:
+            continue
+        if not prev_doc.get("queries") and isinstance(
+            prev_doc.get("parsed"), dict
+        ):
+            prev_doc = prev_doc["parsed"]
+        if prev_doc.get("sf") == sf and isinstance(
+            prev_doc.get("queries"), dict
+        ):
+            return prev_path.name, prev_doc["queries"]
+    return "", {}
 
 
 def format_round_adjudications(detail: dict) -> str:

@@ -708,7 +708,11 @@ def delete_where(
         df = spark.read.parquet(path)  # fresh listing under the lock
         remaining = (
             df.filter(F.col("date").isin(affected))
-            .filter(~pred)
+            # ClickHouse DELETE WHERE deletes rows where the predicate
+            # is TRUE; a NULL-evaluating row is NOT deleted. Spark's
+            # filter(~pred) keeps only TRUE, so it would silently drop
+            # NULL-evaluating rows — keep them explicitly.
+            .filter(~pred | pred.isNull())
             .localCheckpoint(eager=True)
         )
         # Dynamic overwrite only rewrites partitions PRESENT in the output —
@@ -955,6 +959,24 @@ def apply_rollup_ttl(
             )
             for d in extra
         ]
+        # a target partition outside the aged set was ABSENT (or empty)
+        # at discovery — had it held rows, its date (< cutoff by
+        # construction) would be in `affected`, locked, re-read, and
+        # folded. If files appeared there between discovery and this
+        # lock (a backfill/late append racing the rollup), the dynamic
+        # overwrite below would silently delete them: refuse loud
+        # instead — a rerun folds the new rows in as an aged source.
+        fs = _fsm.get_fs(path, spark)
+        for d in extra:
+            tdir = _join(path, f"date={d}")
+            if fs.is_dir(tdir) and fs.glob_parquet(tdir):
+                raise RuntimeError(
+                    f"rollup-TTL target partition date={d} gained rows "
+                    f"between discovery and lock (a backfill or late "
+                    f"append raced this rollup) — rerun apply_rollup_ttl "
+                    "so the new rows fold in as an aged source; nothing "
+                    "was rewritten"
+                )
         key = [c for c in PRIMARY_KEY_PREFIX if c in rolled.columns]
         for f in fences:
             f()
@@ -1109,7 +1131,13 @@ def replace_partition(dst_path: str, src_path: str, partition: str) -> None:
         )
     tmp = _join(dst_path, f"_replace-{partition}")
     fs.delete_dir(tmp)
-    fs.copy_tree(src, tmp)  # the slow copy runs BEFORE taking the lock
+    # the slow copy runs under the SOURCE partition's guard (an append
+    # into src mid-copy would capture a torn batch — some files copied,
+    # some not — and atomically publish that inconsistency into dst),
+    # but BEFORE the destination lock, so dst appends are held out only
+    # for the two renames
+    with partition_mutation_guard(src_path, f"date={partition}"):
+        fs.copy_tree(src, tmp)
     with partition_mutation_guard(dst_path, f"date={partition}") as fence:
         dst = _partition_dir(dst_path, partition)
         old = _join(dst_path, f"_old-{partition}")

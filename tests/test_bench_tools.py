@@ -141,3 +141,14 @@ class TestLoadRoundBaseline:
 
         name, qs = load_round_baseline(Path(__file__).resolve().parents[1], 0.1)
         assert name.startswith("BENCH_r") and len(qs) > 0
+
+    def test_falls_past_off_sf_round_to_latest_same_sf(self, tmp_path):
+        """One round benched at another scale factor must not silently
+        disable the check — the loader falls back to the newest
+        same-sf baseline."""
+        from bench import load_round_baseline
+
+        self._write(tmp_path, "BENCH_r05.json", {"sf": 0.1, "queries": {"a": 1.0}})
+        self._write(tmp_path, "BENCH_r06.json", {"sf": 1.0, "queries": {"b": 2.0}})
+        name, qs = load_round_baseline(tmp_path, 0.1)
+        assert name == "BENCH_r05.json" and qs == {"a": 1.0}

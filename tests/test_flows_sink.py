@@ -1333,3 +1333,157 @@ class TestRollupTtlCoarseBuckets:
             n for n in (fs.list_names(locks) if fs.is_dir(locks) else [])
             if n.endswith(".lock")
         ] == []
+
+
+class TestReviewPassFixes:
+    """Round-6 review findings, pinned: delete_where NULL-predicate
+    rows survive (ClickHouse semantics), rollup-TTL's out-of-source
+    bucket target is exercised and its mid-run-append race refuses
+    loud, and replace_partition snapshots its source under the guard."""
+
+    def test_delete_where_keeps_null_evaluating_rows(
+        self, spark, fact, tmp_path
+    ):
+        from kubenetmon_spark.sink import delete_where, mutate
+
+        path = str(tmp_path / "nulldel")
+        write_flows(fact, path)
+        # manufacture NULL-evaluating rows: NULL out remoteApp on the
+        # localPort=5001 pair
+        mutate(spark, path, "localPort = 5001", {"remoteApp": "NULL"})
+        before = read_flows(spark, path)
+        n_null = before.filter("remoteApp IS NULL").count()
+        assert n_null == 2  # in + out rows of the scenario
+        # TRUE rows deleted, FALSE ('') kept, NULL kept — CH semantics
+        keep_expected = before.filter(
+            "remoteApp = '' OR remoteApp IS NULL"
+        ).count()
+        delete_where(spark, path, "remoteApp <> ''")
+        after = read_flows(spark, path)
+        assert after.count() == keep_expected
+        assert after.filter("remoteApp IS NULL").count() == n_null
+
+    def test_rollup_three_day_bucket_targets_outside_sources(
+        self, spark, fact, tmp_path
+    ):
+        """2024-03-01 is an exact epoch-week boundary, so the weekly
+        test's bucket start coincided with a source date; 3-day buckets
+        (floor to 2024-02-29) force the bucket-start partition OUTSIDE
+        the aged source set — the `extra` lock path for real."""
+        from kubenetmon_spark.sink import apply_rollup_ttl
+
+        path = str(tmp_path / "r3d")
+        write_flows(fact, path)
+        bytes_before = read_flows(spark, path).agg(F.sum("bytes")).collect()[0][0]
+        rewritten = apply_rollup_ttl(
+            spark, path, age_days=7, granularity_seconds=3 * 86400,
+            today=date(2024, 3, 20),
+        )
+        assert rewritten == ["date=2024-03-01"]
+        after = read_flows(spark, path)
+        dates = [str(r.date) for r in after.select("date").distinct().collect()]
+        assert dates == ["2024-02-29"]  # moved to the bucket's first day
+        assert after.agg(F.sum("bytes")).collect()[0][0] == bytes_before
+        from kubenetmon_spark import fs as _fsm
+
+        live = sorted(
+            n
+            for n in _fsm.get_fs(path).list_names(path)
+            if n.startswith("date=")
+        )
+        assert live == ["date=2024-02-29"]  # source dropped
+
+    def test_rollup_refuses_when_target_gains_rows_mid_run(
+        self, spark, fact, tmp_path, monkeypatch
+    ):
+        """A backfill landing in the (previously absent) bucket-target
+        partition between discovery and the extra lock must abort the
+        rollup loudly — the dynamic overwrite would have deleted it."""
+        import kubenetmon_spark.sink as sink_mod
+        from kubenetmon_spark.sink import apply_rollup_ttl
+
+        path = str(tmp_path / "r3race")
+        write_flows(fact, path)
+        target_dir = str(tmp_path / "r3race" / "date=2024-02-29")
+        real = sink_mod.summing_aggregate
+
+        def inject_then_aggregate(df):
+            # runs inside the source locks, before the extra target
+            # lock: the racing backfill's files appear now
+            spark.range(1).write.mode("overwrite").parquet(target_dir)
+            return real(df)
+
+        monkeypatch.setattr(sink_mod, "summing_aggregate", inject_then_aggregate)
+        n_before = read_flows(spark, path).count()
+        with pytest.raises(RuntimeError, match="gained rows"):
+            apply_rollup_ttl(
+                spark, path, age_days=7, granularity_seconds=3 * 86400,
+                today=date(2024, 3, 20),
+            )
+        # nothing was rewritten: sources intact (the injected partition
+        # itself now shows up in a table read — exclude it), injected
+        # files intact
+        assert (
+            read_flows(spark, path)
+            .filter(F.col("date") != F.lit("2024-02-29").cast("date"))
+            .count()
+            == n_before
+        )
+        assert spark.read.parquet(target_dir).count() == 1
+        # and no lock litter after the loud abort
+        from kubenetmon_spark import fs as _fsm
+        from kubenetmon_spark.fs import join as _join
+        from kubenetmon_spark.sink import _LIFECYCLE_DIR
+
+        locks = _join(path, _LIFECYCLE_DIR, "locks")
+        fs = _fsm.get_fs(path)
+        assert [
+            n for n in (fs.list_names(locks) if fs.is_dir(locks) else [])
+            if n.endswith(".lock")
+        ] == []
+
+    def test_replace_partition_source_append_refused_mid_copy(
+        self, spark, fact, tmp_path
+    ):
+        """The copy phase holds the SOURCE partition's guard: an append
+        intent into the source table refuses while the copy runs (no
+        torn snapshot can publish)."""
+        from kubenetmon_spark.sink import append_intent, replace_partition
+
+        src = str(tmp_path / "src_t")
+        dst = str(tmp_path / "dst_t")
+        write_flows(fact, src)
+        write_flows(fact, dst)
+        import threading
+        import time as _t
+
+        from kubenetmon_spark import fs as _fsm
+
+        entered = threading.Event()
+        orig_copy = _fsm.get_fs(src).__class__.copy_tree
+        results = []
+
+        def slow_copy(self_fs, a, b):
+            entered.set()
+            _t.sleep(1.2)
+            return orig_copy(self_fs, a, b)
+
+        cls = _fsm.get_fs(src).__class__
+        cls.copy_tree = slow_copy
+        try:
+            t = threading.Thread(
+                target=lambda: replace_partition(dst, src, "2024-03-01")
+            )
+            t.start()
+            assert entered.wait(10)
+            with pytest.raises(TimeoutError, match="lifecycle lock"):
+                with append_intent(src, ["date=2024-03-01"], wait_s=0.5):
+                    pass  # pragma: no cover
+            t.join(60)
+            assert not t.is_alive()
+        finally:
+            cls.copy_tree = orig_copy
+        # swap completed; a post-swap append into src proceeds
+        with append_intent(src, ["date=2024-03-01"], wait_s=5.0):
+            write_flows(fact, src)
+        assert read_flows(spark, src).count() == 48

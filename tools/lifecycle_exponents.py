@@ -280,8 +280,14 @@ def main() -> int:
         t01 = results["sf0.1"]["times"][name]
         t1 = results["sf1"]["times"][name]
         t10 = results["sf10"]["times"][name]
-        e01 = math.log10(t1 / t01) if t01 > 0 else float("nan")
-        e110 = math.log10(t10 / t1) if t1 > 0 else float("nan")
+
+        def _e(a: float, b: float) -> float:
+            # both operands guarded: a sub-millisecond op rounds to
+            # 0.000s and log10 of/by zero would abort the whole study
+            return math.log10(b / a) if a > 0 and b > 0 else float("nan")
+
+        e01 = _e(t01, t1)
+        e110 = _e(t1, t10)
         report["exponents"][name] = {
             "e_01_to_1": round(e01, 3),
             "e_1_to_10": round(e110, 3),
