@@ -663,10 +663,11 @@ def mutate(
         updated = updated.localCheckpoint(eager=True)
         key = [c for c in PRIMARY_KEY_PREFIX if c in updated.columns]
         fence()
+        out = updated.repartition(F.col("date"))
+        if key:  # non-flow tables may carry none of the sort-key columns
+            out = out.sortWithinPartitions(*key)
         (
-            updated.repartition(F.col("date"))
-            .sortWithinPartitions(*key)
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             # pinned per-write (mutations touch only affected partitions)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("date")
@@ -722,11 +723,13 @@ def delete_where(
         key = [c for c in PRIMARY_KEY_PREFIX if c in remaining.columns]
         fence()
         if kept:
+            out = remaining.filter(F.col("date").isin(list(kept))).repartition(
+                F.col("date")
+            )
+            if key:  # non-flow tables may carry none of the sort keys
+                out = out.sortWithinPartitions(*key)
             (
-                remaining.filter(F.col("date").isin(list(kept)))
-                .repartition(F.col("date"))
-                .sortWithinPartitions(*key)
-                .write.mode("overwrite")
+                out.write.mode("overwrite")
                 # pinned per-write (deletes touch only affected partitions)
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("date")

@@ -1487,3 +1487,25 @@ class TestReviewPassFixes:
         with append_intent(src, ["date=2024-03-01"], wait_s=5.0):
             write_flows(fact, src)
         assert read_flows(spark, src).count() == 48
+
+
+def test_mutate_delete_on_keyless_table(spark, tmp_path):
+    """mutate/delete_where work on ANY date-partitioned table — one with
+    none of the flow sort-key columns must not crash on an empty
+    sortWithinPartitions (deduplicate and clear-column already
+    guarded; mutate/delete did not)."""
+    from kubenetmon_spark.sink import delete_where, mutate
+
+    path = str(tmp_path / "keyless")
+    spark.createDataFrame(
+        [(date(2024, 3, 1), "a", 1), (date(2024, 3, 1), "b", None)],
+        "date date, name string, v int",
+    ).write.partitionBy("date").parquet(path)
+    assert mutate(spark, path, "name = 'a'", {"v": "v * 10"}) == [
+        "date=2024-03-01"
+    ]
+    got = {r.name: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 10, "b": None}
+    # v IS NULL for 'b': predicate "v > 5" is TRUE for a, NULL for b
+    assert delete_where(spark, path, "v > 5") == ["date=2024-03-01"]
+    assert [r.name for r in spark.read.parquet(path).collect()] == ["b"]
