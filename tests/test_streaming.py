@@ -396,3 +396,56 @@ def test_flow_stream_on_uri_roots(spark, stream_inputs, tmp_path):
 
     dropped = apply_retention(table, keep_days=0, today=dt.date(2100, 1, 1))
     assert dropped  # every partition is older than the 2100 cutoff
+
+
+def test_live_stream_vs_lifecycle_ops_no_lost_rows(spark, stream_inputs, tmp_path):
+    """The production race, end-to-end: a REAL micro-batched flow
+    stream (one file per trigger, append intents published by
+    foreachBatch) while a lifecycle thread hammers the same table with
+    table-wide compacts and an identity mutation. The guard protocol
+    must serialize every collision; the final compacted table is
+    EXACTLY the one-shot batch answer — not a row lost to an overwrite
+    window, not a batch dropped by a lock (row-preserving ops only, so
+    exact equality is the invariant)."""
+    import threading
+
+    from kubenetmon_spark.sink import mutate
+
+    obs_dir, pods, nodes, prefixes = stream_inputs
+    table = str(tmp_path / "flows")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_flow_stream(
+        read_observations(spark, obs_dir, max_files_per_trigger=1),
+        table, ckpt, pods, nodes, prefixes, DEMO_CFG,
+        trigger={"availableNow": True},
+    )
+    errs: list[Exception] = []
+    stop = threading.Event()
+
+    def lifecycle():
+        import os
+
+        while not stop.is_set():
+            try:
+                if os.path.isdir(table) and any(
+                    n.startswith("date=") for n in os.listdir(table)
+                ):
+                    compact(spark, table)  # table-wide: the coarse lock
+                    mutate(
+                        spark, table, "direction = 'out'",
+                        {"bytes": "bytes + 0"},
+                    )
+            except Exception as exc:  # pragma: no cover
+                errs.append(exc)
+                return
+    t = threading.Thread(target=lifecycle)
+    t.start()
+    try:
+        q.awaitTermination(600)
+    finally:
+        stop.set()
+        t.join(120)
+    assert not t.is_alive() and errs == []
+    compact(spark, table)
+    expected = build_network_flows(spark, SF_DIR)
+    assert _sorted_rows(read_flows(spark, table)) == _sorted_rows(expected)
