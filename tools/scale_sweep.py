@@ -22,11 +22,18 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 #: known output-bound quadratic baselines excluded by default (their
-#: documented scale substitutes are swept instead — see SCALE.md)
-# No default exclusions: q22's all-pairs Jaccard used to be skipped
-# here, but its gate now runs the max_df-guarded form (bounded fan-out),
-# so the whole surface sweeps unexcluded.
-DEFAULT_SKIP: set[str] = set()
+#: documented scale substitutes are swept instead — see SCALE.md).
+#: q22's all-pairs Jaccard was once here and graduated out (its gate
+#: now runs the max_df-guarded bounded-fan-out form). q88 re-enters in
+#: round 6: its TRUE output is quadratic in the data by TPC-H name
+#: construction (names draw from a tiny vocabulary, so pairs within
+#: levenshtein<=3 genuinely explode — 55M output pairs at sf1, ~5.5B
+#: at sf10 ≈ hours of legitimate OUTPUT emission, caught by the sf10
+#: sweep wedging on it). No operator fix makes a 5.5B-row answer
+#: cheap; the documented scale substitute is q231_entity_resolution
+#: (exact-collapse first, then compare distinct texts — ~2s), which
+#: sweeps normally.
+DEFAULT_SKIP: set[str] = {"q88_fuzzy_pairs"}
 
 
 def main() -> int:
