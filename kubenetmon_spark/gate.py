@@ -10421,7 +10421,8 @@ def q210(spark, sf_dir):
     WITH v AS (
       SELECT vec_id, label,
              CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)
-                  AS BIGINT) % 8 AS b
+                  AS BIGINT)
+               % (SELECT GREATEST(8, COUNT(*) // 256) FROM embeddings) AS b
       FROM embeddings
     ),
     p AS (
@@ -10445,14 +10446,19 @@ def q210(spark, sf_dir):
     "deterministic negative sampling for contrastive pairs — "
     "operators/curation.py::sample_negatives: negatives are a pure "
     "function of md5(salt:anchor:candidate) within the anchor's hash "
-    "bucket (n/buckets candidates per anchor, never all-pairs) — "
-    "reproducible contrastive datasets on any engine/partitioning",
+    "bucket. Buckets SCALE with the corpus (max(8, n/256), mirrored in "
+    "the oracle's scalar subquery) per the operator's own contract — a "
+    "CONSTANT bucket count is still Θ(n²/buckets) candidate pairs, "
+    "which the r6 sf10 sweep caught wedging on 5e9 intermediate rows; "
+    "scaled buckets keep ~256 candidates per anchor (linear total) and "
+    "are bit-identical at every parity SF (all give 8)",
 )
 def q211(spark, sf_dir):
     from kubenetmon_spark.operators.curation import sample_negatives
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
-    neg = sample_negatives(emb, "vec_id", "label", k=3, buckets=8)
+    buckets = max(8, emb.count() // 256)
+    neg = sample_negatives(emb, "vec_id", "label", k=3, buckets=buckets)
     joined = neg.join(
         emb.select(F.col("vec_id").alias("anchor_id"), "label"),
         "anchor_id",

@@ -4,7 +4,11 @@ scale factor and report failures + timings — the scale-bug hunter that
 caught the q100/q170 int64 overflows (SCALE.md round-2 section).
 
 Usage:
-    python tools/scale_sweep.py [SF_DIR] [--skip qNN,qMM]
+    python tools/scale_sweep.py [SF_DIR] [--skip qNN,qMM] [--start-at qNNN]
+
+``--start-at`` resumes an interrupted sweep at the named query
+(registration order) — everything before it prints SKIP; merge the two
+logs for the full picture.
 
 SF_DIR defaults to .scale/sf1 (build it with tools/make_scale_data.py).
 Queries run one at a time through the no-op sink; failures are caught
@@ -42,9 +46,12 @@ def main() -> int:
         Path(__file__).resolve().parent.parent / ".scale/sf1"
     )
     skip = set(DEFAULT_SKIP)
+    start_at = None
     for a in sys.argv[1:]:
         if a.startswith("--skip"):
             skip |= set(a.split("=", 1)[1].split(","))
+        elif a.startswith("--start-at"):
+            start_at = a.split("=", 1)[1]
 
     # sf1-in-local-mode needs the big-box heap (SCALE.md driver-heap
     # note); pin it here, not in the library default.
@@ -65,7 +72,14 @@ def main() -> int:
     fails: list[str] = []
     empties: list[str] = []
     t_all = time.perf_counter()
+    started = start_at is None
     for name, fn in gate_queries().items():
+        if not started:
+            if name == start_at:
+                started = True
+            else:
+                print(f"SKIP {name}")
+                continue
         if any(name.startswith(s) for s in skip):
             print(f"SKIP {name}")
             continue
