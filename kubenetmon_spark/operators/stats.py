@@ -1271,11 +1271,19 @@ def min_sample_sizes(
     """
     x = F.col(value_col)
     s = F.col(success_col).cast("long")
+    # Σx² in DECIMAL(38,0): int64 Σx² overflows once |x|~1e6 meets sf10
+    # row counts (caught by the r6 sf10 sweep — the same class as the
+    # r2 q100/q170 overflows; DuckDB's SUM(BIGINT) is HUGEINT, so the
+    # oracle was safe all along). The cast rides BEFORE the multiply —
+    # x*x itself already overflows long. Downstream use is double
+    # arithmetic; the same exact integer reaches the same double either
+    # way, so small-SF hashes are unchanged.
+    xd = x.cast("decimal(19,0)")
     agg = df.groupBy(*group_cols).agg(
         F.count("*").alias("n"),
         F.sum(s).alias("npos"),
         F.sum(x).alias("sx"),
-        F.sum(x * x).alias("sxx"),
+        F.sum(xd * xd).alias("sxx"),
     )
     n = F.col("n").cast("double")
     p1 = F.col("npos") / n
@@ -1293,7 +1301,12 @@ def min_sample_sizes(
         (p2 > 0) & (p1 < 1), F.ceil(conv * conv).cast("long")
     )
     mean = F.col("sx") / n
-    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    # square sx through DOUBLE exactly like the oracle's
+    # CAST(sx AS DOUBLE) * sx — long*long overflows at the same scale
+    # the Σx² fix above addresses
+    var = (
+        F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / n
+    ) / (n - 1)
     mde_abs = F.lit(mde_cont_rel) * mean
     n_cont = F.when(
         (F.col("n") > 1) & (var > 0) & (mean != 0),
