@@ -32,16 +32,53 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 ADJUDICATION_MARKER = "## Round-over-round bench adjudications"
 
 
+def _committed_full_map(root, bench_name: str, sf) -> dict:
+    """The FULL per-query map of the round ``bench_name`` belongs to:
+    BENCH_DETAIL.json as committed alongside it (the driver's round
+    commit carries both). The wrapper's own map holds only the 20
+    slowest queries, which left 299 of 319 invisible to the
+    round-over-round check — q56/q113 moved 11x/2x in r6 without the
+    check firing (VERDICT r06 #1). Empty dict when git or the
+    committed detail is unavailable (the caller falls back to the
+    wrapper's top-20 — degraded, never broken)."""
+    import subprocess
+
+    try:
+        log = subprocess.run(
+            ["git", "-C", str(root), "log", "-n1", "--format=%H",
+             "--", bench_name],
+            capture_output=True, text=True, timeout=30,
+        )
+        commit = log.stdout.strip().splitlines()
+        if log.returncode != 0 or not commit:
+            return {}
+        show = subprocess.run(
+            ["git", "-C", str(root), "show",
+             f"{commit[0]}:BENCH_DETAIL.json"],
+            capture_output=True, text=True, timeout=30,
+        )
+        if show.returncode != 0:
+            return {}
+        doc = json.loads(show.stdout)
+        if doc.get("sf") != sf:
+            return {}
+        q = doc.get("queries")
+        return q if isinstance(q, dict) else {}
+    except Exception:
+        return {}
+
+
 def load_round_baseline(root, sf):
     """(name, queries) of the newest committed ``BENCH_r{N}.json`` at
     the same scale factor, or ``("", {})``. Handles BOTH formats: the
     bench's own JSON line and the driver's wrapper ``{n, rc, cpus, sf,
     tail, parsed: {...}}`` (unwrapping ``parsed``) — without the unwrap
     the queries map read empty and the round check silently never
-    fired (found in round 6). The map carries the run's 20 slowest
-    queries — exactly the population where round-over-round drift is
-    worth chasing; the full per-query map of the *immediately previous
-    invocation* is diffed separately via BENCH_DETAIL.json."""
+    fired (found in round 6). The wrapper carries only the run's 20
+    slowest queries, so the map is WIDENED to the full per-query map
+    from the BENCH_DETAIL.json committed with that round (VERDICT r06
+    #1 — the top-20-only diff let q56/q113 move unflagged); the
+    wrapper's entries win on overlap (same run, same numbers)."""
     root = Path(root)
     cands = sorted(
         (int(m.group(1)), p)
@@ -64,8 +101,24 @@ def load_round_baseline(root, sf):
         if prev_doc.get("sf") == sf and isinstance(
             prev_doc.get("queries"), dict
         ):
-            return prev_path.name, prev_doc["queries"]
+            full = _committed_full_map(root, prev_path.name, sf)
+            return prev_path.name, {**full, **prev_doc["queries"]}
     return "", {}
+
+
+def flag_round_moves(
+    prev_queries: dict, timings: dict
+) -> list[str]:
+    """Query names that moved past the round-over-round flag band
+    (>1.15x AND >0.5s slower than the committed round baseline) —
+    every flag then gets the best-of-3 re-time before a verdict."""
+    return [
+        name
+        for name, p in prev_queries.items()
+        if timings.get(name) is not None
+        and timings[name] > p * 1.15
+        and timings[name] - p > 0.5
+    ]
 
 
 def format_round_adjudications(detail: dict) -> str:
@@ -82,8 +135,9 @@ def format_round_adjudications(detail: dict) -> str:
         f"{ADJUDICATION_MARKER} (auto, written by bench.py)",
         "",
         f"Baseline: {base} (same sf). Flag: >1.15x and >0.5s vs the "
-        "previous round's top-slowest map; every flag re-timed "
-        "best-of-3 on the warm session before a verdict.",
+        "round's FULL committed per-query map (BENCH_DETAIL.json at "
+        "the round commit; wrapper top-20 as fallback); every flag "
+        "re-timed best-of-3 on the warm session before a verdict.",
         "",
     ]
     for a in adj:
@@ -379,10 +433,9 @@ def main() -> int:
         Path(__file__).resolve().parent, sf
     )
     if round_baseline:
-        for name, p in prev_queries.items():
-            now = timings.get(name)
-            if now is None or not (now > p * 1.15 and now - p > 0.5):
-                continue
+        for name in flag_round_moves(prev_queries, timings):
+            p = prev_queries[name]
+            now = timings[name]
             first = now
             for _ in range(3):
                 t0 = time.perf_counter()

@@ -10451,14 +10451,15 @@ def q210(spark, sf_dir):
     "CONSTANT bucket count is still Θ(n²/buckets) candidate pairs, "
     "which the r6 sf10 sweep caught wedging on 5e9 intermediate rows; "
     "scaled buckets keep ~256 candidates per anchor (linear total) and "
-    "are bit-identical at every parity SF (all give 8)",
+    "are bit-identical at every parity SF (all give 8). Round 7 moved "
+    "the formula INTO the operator (buckets=None default derives it), "
+    "so the gate now exercises the enforced default path",
 )
 def q211(spark, sf_dir):
     from kubenetmon_spark.operators.curation import sample_negatives
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
-    buckets = max(8, emb.count() // 256)
-    neg = sample_negatives(emb, "vec_id", "label", k=3, buckets=buckets)
+    neg = sample_negatives(emb, "vec_id", "label", k=3)
     joined = neg.join(
         emb.select(F.col("vec_id").alias("anchor_id"), "label"),
         "anchor_id",
@@ -17468,6 +17469,73 @@ def q320(spark, sf_dir):
 
     media = ids.mapInPandas(encode_batches, schema)
     return pcm_features(resample_audio(media, 16000)).orderBy("media_id")
+
+
+@_register(
+    "q321_fuzzy_sorted_neighborhood",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS blk
+      FROM part
+    ),
+    r AS (
+      SELECT p_partkey, p_name, blk,
+             ROW_NUMBER() OVER (
+               PARTITION BY blk ORDER BY p_name, p_partkey
+             ) AS rn
+      FROM p
+    ),
+    pairs AS (
+      SELECT a.blk AS block,
+             LEAST(a.p_partkey, b.p_partkey) AS a_id,
+             GREATEST(a.p_partkey, b.p_partkey) AS b_id,
+             levenshtein(a.p_name, b.p_name) AS d
+      FROM r a JOIN r b
+        ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 8
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+    )
+    SELECT block,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(d) AS BIGINT) AS min_d,
+           CAST(SUM(d) AS BIGINT) AS sum_d,
+           CAST(MIN(a_id * 10000000 + b_id) AS BIGINT) AS min_pair
+    FROM pairs GROUP BY block ORDER BY block
+    """,
+    "BOUNDED fuzzy linkage — operators/fuzzy.py::"
+    "sorted_neighborhood_pairs (Hernandez & Stolfo merge/purge): sort "
+    "within block by (name, id), compare each record against only the "
+    "next 8 in sort order, keep levenshtein<=3. Comparator AND output "
+    "are n*window by construction, so this is the member of the fuzzy "
+    "family that sweeps at sf10 — q88's exact-within-block form is "
+    "output-quadratic on TPC-H's tiny name vocabulary (~5.5e9 pairs at "
+    "sf10, excluded with documented substitutes; VERDICT r06 #6). The "
+    "oracle rebuilds the identical neighborhood with ROW_NUMBER and an "
+    "offset band join, recomputing every kept distance exactly",
+)
+def q321(spark, sf_dir):
+    from kubenetmon_spark.operators.fuzzy import sorted_neighborhood_pairs
+
+    p = _t(spark, sf_dir, "part")
+    pairs = sorted_neighborhood_pairs(
+        p,
+        id_col="p_partkey",
+        text_col="p_name",
+        block_col=F.element_at(F.split("p_name", " "), 2),
+        max_distance=3,
+        window=8,
+    )
+    return (
+        pairs.groupBy("block")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("distance").alias("min_d"),
+            F.sum("distance").alias("sum_d"),
+            F.min(F.col("a_id") * 10000000 + F.col("b_id")).alias(
+                "min_pair"
+            ),
+        )
+        .orderBy("block")
+    )
 
 
 # ---------------------------------------------------------------------------

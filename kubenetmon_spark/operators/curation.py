@@ -590,13 +590,25 @@ def split_dataset(
     return df.withColumn(out_col, expr)
 
 
+#: per-anchor candidate-pool size the default bucket count targets:
+#: buckets = max(8, n // NEGATIVE_POOL_TARGET) keeps ~256 candidates
+#: per anchor, so total candidate pairs stay LINEAR in the corpus.
+NEGATIVE_POOL_TARGET = 256
+#: refusal threshold for explicit constant buckets: a per-anchor pool
+#: above this on a >10k-row corpus is the Θ(n²/buckets) shape the r6
+#: sf10 sweep caught wedging on ~5e9 intermediate pairs (SCALE.md).
+NEGATIVE_UNGUARDED_POOL_LIMIT = 4096
+NEGATIVE_UNGUARDED_DOC_LIMIT = 10_000
+
+
 def sample_negatives(
     df: DataFrame,
     id_col: str,
     label_col: str,
     k: int = 3,
-    buckets: int = 8,
+    buckets: int | None = None,
     salt: str = "neg",
+    unsafe_fixed_buckets: bool = False,
 ) -> DataFrame:
     """Deterministic negative sampling for contrastive training pairs:
     for every anchor row, pick ``k`` rows with a DIFFERENT label,
@@ -607,17 +619,43 @@ def sample_negatives(
 
     Candidates are restricted to the anchor's hash bucket
     (md5(candidate) % buckets == md5(anchor) % buckets), so the join
-    is (n/buckets)-per-anchor instead of all-pairs. ``buckets`` MUST
-    scale with the corpus: fixed buckets is still Θ(n²/buckets)
-    candidate pairs (the sf1 sweep measured exactly that) — size
-    ``buckets ≈ n / desired_pool`` so per-anchor candidate counts stay
-    constant and total work stays linear; the bucket equi-join
-    shuffles both sides once on the bucket key either way.
+    is (n/buckets)-per-anchor instead of all-pairs.
+
+    **Scale boundary (enforced).** ``buckets`` MUST scale with the
+    corpus: a constant bucket count is still Θ(n²/buckets) candidate
+    pairs — the r6 sf10 sweep measured exactly that (~5e9 intermediate
+    rows from buckets=8 at 20M rows). The default (``buckets=None``)
+    therefore derives ``max(8, n // NEGATIVE_POOL_TARGET)``, keeping
+    the per-anchor pool ~constant and total work linear (one count job
+    buys the guarantee). An EXPLICIT ``buckets`` on a corpus over
+    ``NEGATIVE_UNGUARDED_DOC_LIMIT`` rows whose per-anchor pool
+    ``n / buckets`` exceeds ``NEGATIVE_UNGUARDED_POOL_LIMIT`` is
+    refused — pass ``unsafe_fixed_buckets=True`` to force the
+    quadratic plan (the :func:`jaccard_pairs` precedent). The bucket
+    equi-join shuffles both sides once on the bucket key either way.
     Anchors whose bucket lacks k differently-labeled rows return
     fewer negatives (count them; don't silently re-draw).
 
     Returns (anchor_id, neg_id, neg_rank 1..k).
     """
+    if buckets is None:
+        n = df.count()
+        buckets = max(8, n // NEGATIVE_POOL_TARGET)
+    elif not unsafe_fixed_buckets:
+        n = df.count()
+        if (
+            n > NEGATIVE_UNGUARDED_DOC_LIMIT
+            and n // buckets > NEGATIVE_UNGUARDED_POOL_LIMIT
+        ):
+            raise ValueError(
+                f"sample_negatives: {n} rows with buckets={buckets} "
+                f"gives a ~{n // buckets}-candidate pool per anchor "
+                f"(limit {NEGATIVE_UNGUARDED_POOL_LIMIT}) — the "
+                "Θ(n²/buckets) shape. Pass buckets=None to derive "
+                f"max(8, n//{NEGATIVE_POOL_TARGET}), scale buckets "
+                "with the corpus yourself, or force the quadratic "
+                "plan with unsafe_fixed_buckets=True."
+            )
     h = lambda c: F.conv(
         F.substring(F.md5(c), 1, 8), 16, 10
     ).cast("long")

@@ -25,7 +25,7 @@ block key instead (e.g. add a length bucket).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -108,6 +108,93 @@ def blocked_levenshtein_pairs(
         pairs.withColumn("distance", d.cast("long"))
         .filter(F.col("distance") >= 0)
         .select("block", "a_id", "b_id", "distance")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | Column,
+    max_distance: int,
+    window: int = 8,
+) -> DataFrame:
+    """Sorted-neighborhood fuzzy linkage (Hernández & Stolfo's classic
+    merge/purge method): within each block, sort records by text and
+    compare each record only against the next ``window`` records in
+    sort order, keeping pairs with ``levenshtein <= max_distance``.
+
+    Returns ``(block, a_id, b_id, distance)`` where ``(a_id, b_id)``
+    is the pair normalized to ``a_id < b_id``; a qualifying neighbor
+    pair is emitted exactly once (the sort order ``(text, id)`` is a
+    total order, so each unordered pair has one forward offset).
+
+    **Scale posture — the LINEAR member of the fuzzy family.**
+    :func:`blocked_levenshtein_pairs` is exact within a block but does
+    O(block²) comparator work, which is output-unbounded on
+    vocabulary-limited corpora (the r6 sf10 sweep measured ~5.5e9
+    qualifying pairs on TPC-H part names — hours of legitimate output,
+    excluded from sweeps as q88). This operator bounds BOTH the
+    comparator and the output at ``n * window`` by construction, and
+    the PLAN is join-free: the neighborhood is materialized by
+    ``lead(j)`` columns over one window spec, so the whole operator is
+    scan -> one exchange on block -> one sort -> Window -> explode ->
+    threshold-bounded 3-arg levenshtein — no self-join, no second
+    scan, nothing to broadcast (the first cut ranked-and-self-joined,
+    which planned a broadcast of the entire ranked table: fine at test
+    SF, wrong at 100 TB). ``window`` is a PLAN-WIDTH knob (2·window
+    lead expressions), sized for the classic merge/purge 10-20 range.
+    Recall is the trade: only near-neighbors IN SORT ORDER are
+    compared — the standard record-linkage accuracy/cost dial (raise
+    ``window`` or union a second pass with a different sort key for
+    more recall). Skewed hot blocks cost sort time, never quadratic
+    comparator time.
+    """
+    block = F.col(block_col) if isinstance(block_col, str) else block_col
+    slim = df.select(
+        block.alias("block"),
+        F.col(id_col).alias("a_id"),
+        F.col(text_col).alias("a_text"),
+    )
+    w = Window.partitionBy("block").orderBy("a_text", "a_id")
+    neighborhood = F.array(
+        *[
+            F.struct(
+                F.lead("a_id", j).over(w).alias("b_id"),
+                F.lead("a_text", j).over(w).alias("b_text"),
+            )
+            for j in range(1, int(window) + 1)
+        ]
+    )
+    # window expressions must be projected before the generator sees
+    # them (Spark rejects lead() under explode): one select computes
+    # the neighborhood array, the next explodes it
+    pairs = (
+        slim.select("block", "a_id", "a_text", neighborhood.alias("_nbs"))
+        .select(
+            "block", "a_id", "a_text", F.explode("_nbs").alias("_nb")
+        )
+        .filter(F.col("_nb.b_id").isNotNull())
+        .select(
+            "block",
+            "a_id",
+            "a_text",
+            F.col("_nb.b_id").alias("b_id"),
+            F.col("_nb.b_text").alias("b_text"),
+        )
+    )
+    d = F.levenshtein(
+        F.col("a_text"), F.col("b_text"), int(max_distance)
+    )
+    return (
+        pairs.withColumn("distance", d.cast("long"))
+        .filter(F.col("distance") >= 0)
+        .select(
+            "block",
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+            "distance",
+        )
     )
 
 

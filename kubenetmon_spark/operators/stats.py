@@ -1259,7 +1259,8 @@ def min_sample_sizes(
     ``minSampleSizeContinuous``) at alpha=0.05 / power=0.8 — the
     metering-analytics question "how long must this experiment run".
 
-    Per group, from EXACT integer sums only:
+    Per group, from EXACT integer sums (integral value columns; a
+    fractional value column sums through double — see the Σx² note):
       conversion: n = (z_a*sqrt(2*p̄(1−p̄)) + z_p*sqrt(p1(1−p1)+p2(1−p2)))²
                       / mde²,  p2 = p1 − mde, p̄ = (p1+p2)/2
       continuous: n = 2*(z_a+z_p)²·σ̂² / (mde_rel·mean)²
@@ -1269,21 +1270,41 @@ def min_sample_sizes(
     integer). Null when the group is degenerate (p1 ≤ mde, zero mean
     or variance).
     """
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
     x = F.col(value_col)
     s = F.col(success_col).cast("long")
-    # Σx² in DECIMAL(38,0): int64 Σx² overflows once |x|~1e6 meets sf10
-    # row counts (caught by the r6 sf10 sweep — the same class as the
-    # r2 q100/q170 overflows; DuckDB's SUM(BIGINT) is HUGEINT, so the
-    # oracle was safe all along). The cast rides BEFORE the multiply —
-    # x*x itself already overflows long. Downstream use is double
-    # arithmetic; the same exact integer reaches the same double either
-    # way, so small-SF hashes are unchanged.
-    xd = x.cast("decimal(19,0)")
+    # Σx² for INTEGRAL inputs rides DECIMAL(38,0): int64 Σx² overflows
+    # once |x|~1e6 meets sf10 row counts (caught by the r6 sf10 sweep —
+    # the same class as the r2 q100/q170 overflows; DuckDB's
+    # SUM(BIGINT) is HUGEINT, so the oracle was safe all along). The
+    # cast rides BEFORE the multiply — x*x itself already overflows
+    # long. A FRACTIONAL value column must NOT take that path: casting
+    # to decimal(19,0) rounds each value to an integer and corrupts
+    # the variance (r6 advisor catch) — fractional inputs square
+    # through double, which is what their downstream arithmetic is
+    # anyway. Either way the same value reaches the same double, so
+    # hashes for integral callers (q218) are unchanged.
+    vtype = df.schema[value_col].dataType
+    integral = isinstance(
+        vtype, (ByteType, ShortType, IntegerType, LongType)
+    ) or (isinstance(vtype, DecimalType) and vtype.scale == 0)
+    if integral:
+        xd = x.cast("decimal(19,0)")
+        sxx = F.sum(xd * xd)
+    else:
+        sxx = F.sum(x.cast("double") * x.cast("double"))
     agg = df.groupBy(*group_cols).agg(
         F.count("*").alias("n"),
         F.sum(s).alias("npos"),
         F.sum(x).alias("sx"),
-        F.sum(xd * xd).alias("sxx"),
+        sxx.alias("sxx"),
     )
     n = F.col("n").cast("double")
     p1 = F.col("npos") / n

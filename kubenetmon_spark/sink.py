@@ -164,7 +164,16 @@ def partition_mutation_guard(
             lock, timeout_s=lock_timeout_s, what="partition lifecycle lock"
         )
         fence = ctx.__enter__()
-        if partition is None or not fs.exists(table_lock):
+        # the probe runs while we HOLD the lock: an FS error here must
+        # release it or the leaked .lock file wedges every future
+        # mutator on this partition (r6 advisor catch) — mirror the
+        # finally that protects the yielded body below
+        try:
+            table_locked = partition is not None and fs.exists(table_lock)
+        except BaseException:
+            ctx.__exit__(None, None, None)
+            raise
+        if not table_locked:
             break
         # a table-wide mutation is in progress: defer (release our
         # stake so IT never waits on us), then retry
@@ -1132,24 +1141,45 @@ def replace_partition(dst_path: str, src_path: str, partition: str) -> None:
             f"schema mismatch replacing date={partition}: source "
             f"{s_schema.names} vs destination {d_schema.names}"
         )
-    tmp = _join(dst_path, f"_replace-{partition}")
-    fs.delete_dir(tmp)
+    import uuid as _uuid
+
+    # staging dir is unique PER INVOCATION: the copy phase runs under
+    # the SOURCE guard only, so two concurrent replaces into the same
+    # destination partition (from different sources) would interleave
+    # delete_dir/copy_tree on a shared deterministic tmp path and
+    # publish a mixed snapshot once one reached the dst lock (r6
+    # advisor catch). Unique names make the copies independent; the
+    # dst guard then serializes the publishes.
+    tmp = _join(
+        dst_path, f"_replace-{partition}-{_uuid.uuid4().hex[:12]}"
+    )
     # the slow copy runs under the SOURCE partition's guard (an append
     # into src mid-copy would capture a torn batch — some files copied,
     # some not — and atomically publish that inconsistency into dst),
     # but BEFORE the destination lock, so dst appends are held out only
     # for the two renames
-    with partition_mutation_guard(src_path, f"date={partition}"):
-        fs.copy_tree(src, tmp)
-    with partition_mutation_guard(dst_path, f"date={partition}") as fence:
-        dst = _partition_dir(dst_path, partition)
-        old = _join(dst_path, f"_old-{partition}")
-        fs.delete_dir(old)
-        fence()
-        if fs.exists(dst):
-            fs.rename_no_replace(dst, old)
-        fs.rename_no_replace(tmp, dst)
-        fs.delete_dir(old)
+    try:
+        with partition_mutation_guard(src_path, f"date={partition}"):
+            fs.copy_tree(src, tmp)
+        with partition_mutation_guard(
+            dst_path, f"date={partition}"
+        ) as fence:
+            dst = _partition_dir(dst_path, partition)
+            old = _join(dst_path, f"_old-{partition}")
+            fs.delete_dir(old)
+            fence()
+            if fs.exists(dst):
+                fs.rename_no_replace(dst, old)
+            fs.rename_no_replace(tmp, dst)
+            fs.delete_dir(old)
+    except BaseException:
+        # best-effort orphan cleanup: tmp (if still present) was never
+        # published, and src retains the data — nothing is lost
+        try:
+            fs.delete_dir(tmp)
+        except Exception:
+            pass
+        raise
 
 
 def detached_partitions(path: str) -> list[str]:

@@ -152,3 +152,139 @@ class TestLoadRoundBaseline:
         self._write(tmp_path, "BENCH_r06.json", {"sf": 1.0, "queries": {"b": 2.0}})
         name, qs = load_round_baseline(tmp_path, 0.1)
         assert name == "BENCH_r05.json" and qs == {"a": 1.0}
+
+
+class TestScaleSweepArgs:
+    """tools/scale_sweep.py's flag parser must honor BOTH forms the
+    usage line advertises (r6 advisor: a bare '--start-at q211' used
+    to IndexError and leak the value into SF_DIR)."""
+
+    def _parse(self, argv):
+        from tools.scale_sweep import parse_args
+
+        return parse_args(argv)
+
+    def test_equals_and_space_forms_agree(self):
+        for argv in (
+            ["/sf", "--skip=q1,q2", "--start-at=q5"],
+            ["/sf", "--skip", "q1,q2", "--start-at", "q5"],
+            ["--skip", "q1,q2", "/sf", "--start-at=q5"],
+        ):
+            pos, skip, start = self._parse(argv)
+            assert pos == ["/sf"]
+            assert {"q1", "q2"} <= skip
+            assert start == "q5"
+
+    def test_default_skip_preserved_and_errors_loud(self):
+        import pytest
+
+        from tools.scale_sweep import DEFAULT_SKIP
+
+        pos, skip, start = self._parse([])
+        assert pos == [] and start is None and DEFAULT_SKIP <= skip
+        with pytest.raises(SystemExit):
+            self._parse(["--start-at"])  # missing value
+        with pytest.raises(SystemExit):
+            self._parse(["--frobnicate=1"])  # unknown flag
+
+
+class TestRoundBaselineFullMap:
+    """VERDICT r06 #1: the round-over-round check must see ALL queries,
+    not just the driver wrapper's 20 slowest — q56/q113 moved 11x/2x in
+    r6 without the check firing because neither was in r5's top-20."""
+
+    def _make_round_repo(self, tmp_path, wrapper, detail):
+        import json
+        import subprocess
+
+        (tmp_path / "BENCH_r05.json").write_text(json.dumps(wrapper))
+        (tmp_path / "BENCH_DETAIL.json").write_text(json.dumps(detail))
+        for cmd in (
+            ["git", "init", "-q"],
+            ["git", "add", "-A"],
+            ["git", "-c", "user.email=t@t", "-c", "user.name=t",
+             "commit", "-qm", "round 5"],
+        ):
+            subprocess.run(cmd, cwd=tmp_path, check=True)
+
+    def test_non_top20_regression_is_flagged(self, tmp_path):
+        from bench import flag_round_moves, load_round_baseline
+
+        wrapper = {"parsed": {"sf": 0.1, "queries": {"q_slow": 10.0}}}
+        detail = {
+            "sf": 0.1,
+            "queries": {"q_slow": 10.0, "q_hidden": 1.0},
+        }
+        self._make_round_repo(tmp_path, wrapper, detail)
+        name, prev = load_round_baseline(tmp_path, 0.1)
+        assert name == "BENCH_r05.json"
+        # the committed full map widened the wrapper's top-20
+        assert prev == {"q_slow": 10.0, "q_hidden": 1.0}
+        # a planted 2x move in the NON-top-20 query is now flagged
+        assert flag_round_moves(
+            prev, {"q_slow": 10.1, "q_hidden": 2.0}
+        ) == ["q_hidden"]
+        # inside the band (either axis) is not
+        assert flag_round_moves(
+            prev, {"q_slow": 10.1, "q_hidden": 1.1}
+        ) == []
+
+    def test_no_git_falls_back_to_wrapper_top20(self, tmp_path):
+        import json
+
+        from bench import load_round_baseline
+
+        (tmp_path / "BENCH_r05.json").write_text(
+            json.dumps({"parsed": {"sf": 0.1, "queries": {"q_a": 2.0}}})
+        )
+        name, prev = load_round_baseline(tmp_path, 0.1)
+        assert name == "BENCH_r05.json" and prev == {"q_a": 2.0}
+
+    def test_off_sf_committed_detail_ignored(self, tmp_path):
+        from bench import load_round_baseline
+
+        wrapper = {"parsed": {"sf": 0.1, "queries": {"q_a": 2.0}}}
+        detail = {"sf": 1.0, "queries": {"q_a": 2.0, "q_b": 9.9}}
+        self._make_round_repo(tmp_path, wrapper, detail)
+        _, prev = load_round_baseline(tmp_path, 0.1)
+        assert prev == {"q_a": 2.0}
+
+
+class TestDegenerateGate:
+    """VERDICT r06 #5: the sweep's DEGENERATE queue is a standing GATE
+    — a zero-row query without a DuckDB-verified adjudication in
+    tools/degenerate_adjudications.json must turn the sweep red."""
+
+    def test_known_adjudications_present_and_split(self):
+        from tools.scale_sweep import load_adjudications, split_adjudicated
+
+        adj = load_adjudications()
+        # the three r6 adjudications survive builder turnover
+        for q in (
+            "q09_unambiguous_dim_guard",
+            "q70_part_value_share",
+            "q118_curation_pipeline",
+        ):
+            assert q in adj and "DuckDB" in adj[q] or "sweep" in adj[q]
+        a, u = split_adjudicated(
+            ["q09_unambiguous_dim_guard", "q999_new_gate"], adj
+        )
+        assert a == ["q09_unambiguous_dim_guard"]
+        assert u == ["q999_new_gate"]  # -> exit 1 in main()
+
+    def test_missing_sidecar_means_everything_unadjudicated(self, tmp_path):
+        from tools.scale_sweep import load_adjudications, split_adjudicated
+
+        adj = load_adjudications(tmp_path / "nope.json")
+        assert adj == {}
+        a, u = split_adjudicated(["q1"], adj)
+        assert a == [] and u == ["q1"]
+
+    def test_comment_keys_ignored(self, tmp_path):
+        import json
+
+        from tools.scale_sweep import load_adjudications
+
+        p = tmp_path / "adj.json"
+        p.write_text(json.dumps({"_comment": "x", "q5": "evidence"}))
+        assert load_adjudications(p) == {"q5": "evidence"}

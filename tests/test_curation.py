@@ -606,6 +606,52 @@ class TestSampleNegatives:
         df = spark.createDataFrame([(1, 0), (2, 0)], ["id", "label"])
         assert sample_negatives(df, "id", "label", k=3, buckets=1).count() == 0
 
+    def test_default_derives_scaled_buckets(self, spark):
+        """buckets=None derives max(8, n//256) — for a small corpus
+        that's 8, so the default is bit-identical to the old
+        buckets=8 literal (q211 parity unchanged)."""
+        from kubenetmon_spark.operators.curation import sample_negatives
+
+        rows = [(i, i % 3) for i in range(60)]
+        df = spark.createDataFrame(rows, ["id", "label"])
+        a = sample_negatives(df, "id", "label", k=2)
+        b = sample_negatives(df, "id", "label", k=2, buckets=8)
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+
+    def test_constant_buckets_refused_on_large_corpus(self, spark):
+        """An explicit constant bucket count whose per-anchor pool
+        exceeds the limit on a >10k corpus is the Θ(n²/buckets) shape
+        the r6 sf10 sweep wedged on — the operator must refuse it
+        BEFORE planning the join, and the default must stay linear
+        (derived buckets keep the pool at ~256 regardless of n)."""
+        import pytest
+
+        from kubenetmon_spark.operators.curation import (
+            NEGATIVE_POOL_TARGET,
+            sample_negatives,
+        )
+
+        n = 100_000
+        df = spark.range(n).select(
+            F.col("id"), (F.col("id") % 5).alias("label")
+        )
+        with pytest.raises(ValueError, match="quadratic|buckets"):
+            sample_negatives(df, "id", "label", buckets=8)
+        # scaled explicit buckets pass the guard (the q211 gate shape)
+        out = sample_negatives(
+            df.limit(20_000), "id", "label", buckets=20_000 // 256
+        )
+        assert out.columns == ["anchor_id", "neg_id", "neg_rank"]
+        # the default derives the linear shape: pool stays ~256
+        assert n // max(8, n // NEGATIVE_POOL_TARGET) <= 256
+        # unsafe override is honored (plan only — don't execute n²/8)
+        forced = sample_negatives(
+            df, "id", "label", buckets=8, unsafe_fixed_buckets=True
+        )
+        assert forced.columns == ["anchor_id", "neg_id", "neg_rank"]
+
 
 class TestDedupSkewStress:
     def test_mega_duplicated_boilerplate_line(self, spark):

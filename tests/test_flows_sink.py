@@ -1509,3 +1509,78 @@ def test_mutate_delete_on_keyless_table(spark, tmp_path):
     # v IS NULL for 'b': predicate "v > 5" is TRUE for a, NULL for b
     assert delete_where(spark, path, "v > 5") == ["date=2024-03-01"]
     assert [r.name for r in spark.read.parquet(path).collect()] == ["b"]
+
+
+class TestGuardFaultAndStaging:
+    """Round-7 advisor fixes: (1) an FS error during the guard's
+    post-acquire table-lock probe must release the just-created .lock
+    file instead of wedging every future mutator; (2) replace_partition
+    stages under a per-invocation unique dir so two concurrent replaces
+    into the same destination partition cannot interleave on a shared
+    tmp path, and orphaned staging is cleaned on failure."""
+
+    PART = "date=2024-03-01"
+
+    def test_fs_error_during_defer_probe_releases_lock(
+        self, spark, fact, tmp_path, monkeypatch
+    ):
+        from kubenetmon_spark.fs import LocalFS
+        from kubenetmon_spark.sink import partition_mutation_guard
+
+        path = str(tmp_path / "t")
+        write_flows(fact, path)
+        orig = LocalFS.exists
+
+        def boom(self, p):
+            if p.endswith("_table.lock"):
+                raise OSError("injected probe failure")
+            return orig(self, p)
+
+        monkeypatch.setattr(LocalFS, "exists", boom)
+        with pytest.raises(OSError, match="injected probe failure"):
+            with partition_mutation_guard(path, self.PART):
+                pass  # pragma: no cover - must not be reached
+        monkeypatch.undo()
+        # the failed acquisition must NOT leak its .lock: a fresh
+        # mutator acquires within a short timeout instead of timing out
+        with partition_mutation_guard(path, self.PART, lock_timeout_s=2.0):
+            pass
+
+    def test_replace_partition_staging_cleaned_on_success(
+        self, spark, fact, tmp_path
+    ):
+        import os
+
+        from kubenetmon_spark.sink import replace_partition
+
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        write_flows(fact, src)
+        write_flows(fact, dst)
+        write_flows(fact, dst)  # dst differs from src (2x rows)
+        replace_partition(dst, src, "2024-03-01")
+        assert read_flows(spark, dst).count() == read_flows(spark, src).count()
+        assert [n for n in os.listdir(dst) if n.startswith("_replace-")] == []
+        assert [n for n in os.listdir(dst) if n.startswith("_old-")] == []
+
+    def test_replace_partition_staging_cleaned_on_failure(
+        self, spark, fact, tmp_path, monkeypatch
+    ):
+        import os
+
+        from kubenetmon_spark.fs import LocalFS
+        from kubenetmon_spark.sink import replace_partition
+
+        src, dst = str(tmp_path / "src2"), str(tmp_path / "dst2")
+        write_flows(fact, src)
+        write_flows(fact, dst)
+
+        def boom(self, a, b):
+            raise OSError("injected rename failure")
+
+        monkeypatch.setattr(LocalFS, "rename_no_replace", boom)
+        with pytest.raises(OSError, match="injected rename failure"):
+            replace_partition(dst, src, "2024-03-01")
+        monkeypatch.undo()
+        # staging orphan removed; destination data intact
+        assert [n for n in os.listdir(dst) if n.startswith("_replace-")] == []
+        assert read_flows(spark, dst).count() == 24

@@ -205,6 +205,87 @@ class TestFuzzyPairs:
         assert out.count() == 0
 
 
+class TestSortedNeighborhood:
+    """sorted_neighborhood_pairs: the linear member of the fuzzy
+    family — matches a Python re-implementation of the merge/purge
+    neighborhood exactly, and a wide window recovers every
+    blocked-exact pair (window >= block size => identical answers)."""
+
+    WORDS = [
+        "small ring", "smell ring", "red ring", "red king", "blue bolt",
+        "blue belt", "blue bolts", "green anvil", "grain anvil",
+        "smoll ring", "rad ring",
+    ]
+
+    def _py_expected(self, words, window, max_d=3):
+        by_block: dict[str, list[tuple[str, int]]] = {}
+        for i, w in enumerate(words):
+            by_block.setdefault(w.split()[1], []).append((w, i))
+        exp = {}
+        for members in by_block.values():
+            members.sort()  # (text, id) — the operator's sort order
+            for pos, (wa, ia) in enumerate(members):
+                for (wb, ib) in members[pos + 1 : pos + 1 + window]:
+                    d = _py_lev(wa, wb)
+                    if d <= max_d:
+                        exp[(min(ia, ib), max(ia, ib))] = d
+        return exp
+
+    def _run(self, spark, window):
+        from kubenetmon_spark.operators.fuzzy import (
+            sorted_neighborhood_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(self.WORDS)],
+            "id long, name string",
+        )
+        return {
+            (r["a_id"], r["b_id"]): r["distance"]
+            for r in sorted_neighborhood_pairs(
+                df, "id", "name",
+                F.element_at(F.split("name", " "), 2), 3, window=window,
+            ).collect()
+        }
+
+    def test_matches_python_neighborhood(self, spark):
+        for window in (1, 2, 8):
+            assert self._run(spark, window) == self._py_expected(
+                self.WORDS, window
+            ), f"window={window}"
+
+    def test_wide_window_equals_blocked_exact(self, spark):
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(self.WORDS)],
+            "id long, name string",
+        )
+        exact = {
+            (r["a_id"], r["b_id"]): r["distance"]
+            for r in blocked_levenshtein_pairs(
+                df, "id", "name", F.element_at(F.split("name", " "), 2), 3
+            ).collect()
+        }
+        assert self._run(spark, window=len(self.WORDS)) == exact
+
+    def test_partitioning_independent(self, spark):
+        from kubenetmon_spark.operators.fuzzy import (
+            sorted_neighborhood_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(self.WORDS)],
+            "id long, name string",
+        ).repartition(7)
+        got = {
+            (r["a_id"], r["b_id"]): r["distance"]
+            for r in sorted_neighborhood_pairs(
+                df, "id", "name",
+                F.element_at(F.split("name", " "), 2), 3, window=2,
+            ).collect()
+        }
+        assert got == self._py_expected(self.WORDS, 2)
+
+
 class TestSemanticDedup:
     def test_matches_numpy_greedy(self, spark):
         from kubenetmon_spark.operators.dedup import semantic_dedup

@@ -1381,6 +1381,29 @@ class TestMinSampleSizes:
         r = min_sample_sizes(df, ["g"], "x", "s").collect()[0]
         assert r.n_conversion is None and r.n_continuous is None
 
+    def test_fractional_values_not_rounded(self, spark):
+        """A DOUBLE value column must not ride the integral
+        decimal(19,0) Σx² path — that rounds each value to an integer
+        and corrupts the variance (r6 advisor catch). Values 0.25 apart
+        would all round to 0/1, collapsing the variance entirely."""
+        import math
+
+        from kubenetmon_spark.operators.stats import (
+            Z_ALPHA_2,
+            Z_POWER,
+            min_sample_sizes,
+        )
+
+        xs = [0.25 * (i % 8) for i in range(160)]
+        rows = [("g", float(x), 0) for x in xs]
+        df = spark.createDataFrame(rows, "g string, x double, s int")
+        r = min_sample_sizes(df, ["g"], "x", "s").collect()[0]
+        n = len(xs)
+        mean = sum(xs) / n
+        var = (sum(x * x for x in xs) - sum(xs) ** 2 / n) / (n - 1)
+        cont = 2 * (Z_ALPHA_2 + Z_POWER) ** 2 * var / ((0.01 * mean) ** 2)
+        assert abs(r.n_continuous - math.ceil(cont)) <= 1
+
 
 class TestInterpolateLinear:
     def _run(self, spark, rows):

@@ -27,6 +27,17 @@ ordered to keep every repeat shape-identical to its first run:
 - rollup_ttl:  re-aggregates aged partitions in place; the fold is
                idempotent row-wise so run #2 scans+rewrites the same
                partitions (same shape, sink.py::apply_rollup_ttl);
+- mutate:      ALTER..UPDATE over every partition (predicate matches
+               the 'in' direction, value-preserving assignment) — the
+               rewrite shape is identical on every run;
+- delete_where: ALTER..DELETE of a ~10% row slice; each run deletes a
+               DIFFERENT same-size slice (bytes % 10 = 3, then 4) so
+               the scan+rewrite shape repeats while rows only shrink
+               by a sliver between runs;
+- column_ttl:  clears one column in aged partitions; the per-partition
+               marker makes re-runs no-ops, so run #2 clears a
+               DIFFERENT column over the same partition set
+               (sink.py::apply_column_ttl);
 - retention:   metadata-only partition drop — timed once (a second run
                would be a no-op over zero partitions);
 - ivf_rebuild: whole-index rebuild over the SF's embeddings table
@@ -66,6 +77,9 @@ OPS = [
     "backup_incr",
     "restore",
     "rollup_ttl",
+    "mutate",
+    "delete_where",
+    "column_ttl",
     "retention",
     "ivf_rebuild",
 ]
@@ -97,10 +111,13 @@ from kubenetmon_spark.operators.similarity import build_ivf_index
 from kubenetmon_spark.operators.zorder import zorder_write
 from kubenetmon_spark.session import get_spark
 from kubenetmon_spark.sink import (
+    apply_column_ttl,
     apply_retention,
     apply_rollup_ttl,
     backup_table,
     compact,
+    delete_where,
+    mutate,
     restore_table,
     write_flows,
 )
@@ -208,6 +225,52 @@ if runs > 1:  # idempotent fold: run #2 rescans+rewrites the same aged range
     timed(
         "rollup_ttl",
         lambda: apply_rollup_ttl(spark, flows_path, 2, today=fake_today),
+    )
+
+# mutation family (VERDICT r06 #7). Cardinality-asserted per the
+# house rule: an op that touched nothing measured nothing.
+m_parts = timed(
+    "mutate",
+    lambda: mutate(
+        spark, flows_path, "direction = 'in'", {{"remoteCell": "''"}}
+    ),
+)
+assert m_parts, "mutate touched no partitions — nothing measured"
+evidence["mutate_partitions"] = len(m_parts)
+if runs > 1:
+    timed(
+        "mutate",
+        lambda: mutate(
+            spark, flows_path, "direction = 'in'", {{"remoteCell": "''"}}
+        ),
+    )
+
+d_parts = timed(
+    "delete_where", lambda: delete_where(spark, flows_path, "bytes % 10 = 3")
+)
+assert d_parts, "delete_where touched no partitions — nothing measured"
+evidence["delete_partitions"] = len(d_parts)
+if runs > 1:
+    timed(
+        "delete_where",
+        lambda: delete_where(spark, flows_path, "bytes % 10 = 4"),
+    )
+
+c_parts = timed(
+    "column_ttl",
+    lambda: apply_column_ttl(
+        spark, flows_path, "remoteApp", 2, default_sql="''", today=fake_today
+    ),
+)
+assert c_parts, "column_ttl touched no partitions — nothing measured"
+evidence["column_ttl_partitions"] = len(c_parts)
+if runs > 1:
+    timed(
+        "column_ttl",
+        lambda: apply_column_ttl(
+            spark, flows_path, "localApp", 2, default_sql="''",
+            today=fake_today,
+        ),
     )
 
 dropped = timed(

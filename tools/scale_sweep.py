@@ -12,8 +12,15 @@ logs for the full picture.
 
 SF_DIR defaults to .scale/sf1 (build it with tools/make_scale_data.py).
 Queries run one at a time through the no-op sink; failures are caught
-and summarized instead of aborting the sweep. Exit code 1 if anything
-failed.
+and summarized instead of aborting the sweep.
+
+Exit code 1 if anything failed OR any query returned zero rows without
+a standing adjudication in tools/degenerate_adjudications.json — the
+DEGENERATE queue is a GATE, not a report (VERDICT r06 #5): a zero-row
+output either has written DuckDB-cross-checked evidence that empty is
+the correct answer at this scale, or the sweep is red. The r5
+empty-labeler phantom (a pipeline that rejected 100% of rows and swept
+green) is the failure mode this closes permanently.
 """
 
 from __future__ import annotations
@@ -40,18 +47,48 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 DEFAULT_SKIP: set[str] = {"q88_fuzzy_pairs"}
 
 
+def parse_args(
+    argv: list[str],
+) -> tuple[list[str], set[str], str | None]:
+    """Parse sweep argv into (positionals, skip set, start_at).
+
+    Accepts BOTH ``--skip=qNN,qMM`` and ``--skip qNN,qMM`` forms (the
+    usage line always advertised the space form but the old parser
+    only handled ``=``, mis-parsing the value as SF_DIR — r6 advisor
+    catch). Unknown flags and a flag missing its value fail loud with
+    the usage text instead of being silently swallowed."""
+    skip = set(DEFAULT_SKIP)
+    start_at = None
+    pos: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--"):
+            if "=" in a:
+                flag, val = a.split("=", 1)
+            else:
+                flag = a
+                i += 1
+                if i >= len(argv):
+                    raise SystemExit(f"{flag} needs a value\n{__doc__}")
+                val = argv[i]
+            if flag == "--skip":
+                skip |= {s for s in val.split(",") if s}
+            elif flag == "--start-at":
+                start_at = val
+            else:
+                raise SystemExit(f"unknown flag {flag}\n{__doc__}")
+        else:
+            pos.append(a)
+        i += 1
+    return pos, skip, start_at
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    args, skip, start_at = parse_args(sys.argv[1:])
     sf_dir = args[0] if args else str(
         Path(__file__).resolve().parent.parent / ".scale/sf1"
     )
-    skip = set(DEFAULT_SKIP)
-    start_at = None
-    for a in sys.argv[1:]:
-        if a.startswith("--skip"):
-            skip |= set(a.split("=", 1)[1].split(","))
-        elif a.startswith("--start-at"):
-            start_at = a.split("=", 1)[1]
 
     # sf1-in-local-mode needs the big-box heap (SCALE.md driver-heap
     # note); pin it here, not in the library default.
@@ -89,10 +126,10 @@ def main() -> int:
             # error" is not "computed something" — the r5 q26 sf10
             # phantom (SCALE.md round-6 correction) executed a whole
             # labeler pipeline that rejected 100% of rows and swept
-            # green. Zero-row outputs are reported as DEGENERATE for
-            # adjudication (a few gates are legitimately empty at some
-            # SFs — q08's anti-join is empty whenever every customer
-            # has an order — so this is a report, not a hard failure).
+            # green. Zero-row outputs are DEGENERATE: either a standing
+            # adjudication in degenerate_adjudications.json documents
+            # that empty is correct at this scale (DuckDB-verified), or
+            # the sweep exits nonzero (VERDICT r06 #5).
             obs = Observation()
             df = fn(spark, sf_dir)
             df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
@@ -110,13 +147,46 @@ def main() -> int:
             fails.append(name)
             msg = str(e).splitlines()[0][:160]
             print(f"FAIL {name}: {type(e).__name__}: {msg}", flush=True)
+    adjudicated, unadjudicated = split_adjudicated(
+        empties, load_adjudications()
+    )
     print(
         f"DONE {time.perf_counter() - t_all:.0f}s; "
         f"{len(fails)} failures: {fails}; "
-        f"{len(empties)} zero-row outputs to adjudicate: {empties}"
+        f"{len(adjudicated)} adjudicated-empty (see "
+        f"degenerate_adjudications.json): {adjudicated}; "
+        f"{len(unadjudicated)} UNADJUDICATED DEGENERATE (sweep is red "
+        f"until each has DuckDB-verified evidence in the sidecar): "
+        f"{unadjudicated}"
     )
     spark.stop()
-    return 1 if fails else 0
+    return 1 if fails or unadjudicated else 0
+
+
+def load_adjudications(
+    path: str | Path | None = None,
+) -> dict[str, str]:
+    """The standing DEGENERATE adjudication sidecar (query name ->
+    written evidence note). Missing file = no adjudications: every
+    zero-row output fails the sweep until adjudicated."""
+    import json
+
+    p = Path(path or Path(__file__).resolve().parent
+             / "degenerate_adjudications.json")
+    if not p.exists():
+        return {}
+    doc = json.loads(p.read_text())
+    return {k: v for k, v in doc.items() if not k.startswith("_")}
+
+
+def split_adjudicated(
+    empties: list[str], adjudications: dict[str, str]
+) -> tuple[list[str], list[str]]:
+    """(adjudicated, unadjudicated) partition of the sweep's zero-row
+    queries. Unadjudicated entries make the sweep exit nonzero."""
+    adj = [q for q in empties if q in adjudications]
+    unadj = [q for q in empties if q not in adjudications]
+    return adj, unadj
 
 
 if __name__ == "__main__":

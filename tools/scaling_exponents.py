@@ -7,6 +7,12 @@ scale-linear when e ~ 1; e > ~1.2 on the 1 -> 10 decade (where fixed
 overhead no longer matters) is a super-linear outlier that needs a fix.
 
     python tools/scaling_exponents.py [--runs=2] [--out=json_path]
+                                      [--shapes=qNN,qMM]
+
+``--shapes`` overrides the default shape list with named gates — the
+round-7 span/minhash re-baseline (VERDICT r06 #1: the rotate-built sf1
+corpus was span-degenerate, so those exponents needed re-fitting on
+the word-suffix rebuild) runs exactly the affected family.
 
 Inputs: /root/testdata/sf0.1, .scale/sf1 (tools/make_scale_data.py),
 .scale/sf10 (same tool, --off=100000000 --docs=word-suffix — see its
@@ -49,9 +55,10 @@ SFS = [
 ]
 
 
-def _time_sf(sf_dir: str, runs: int) -> dict[str, float]:
+def _time_sf(sf_dir: str, runs: int, shapes: list[str] = None) -> dict[str, float]:
     """Run every shape at one SF in a fresh subprocess (one JVM per SF:
     heap sizing and cache state can't leak across decades)."""
+    shapes = shapes or SHAPES
     code = f"""
 import json, sys, time
 sys.path.insert(0, {str(ROOT)!r})
@@ -61,7 +68,7 @@ spark = get_spark("scaling_exponents")
 spark.sparkContext.setLogLevel("ERROR")
 by_name = {{q.name: q.spark_fn for q in _REGISTRY}}
 out = {{}}
-for name in {SHAPES!r}:
+for name in {shapes!r}:
     fn = by_name[name]
     # Discard run doubles as the CARDINALITY CHECK: round 6 found the
     # r5 q26 sf10 reading had timed an empty pipeline (a synthetic
@@ -99,11 +106,14 @@ print(json.dumps(out))
 def main() -> int:
     runs = 2
     out_path = str(ROOT / ".scale/exponents.json")
+    shapes = list(SHAPES)
     for a in sys.argv[1:]:
         if a.startswith("--runs="):
             runs = int(a.split("=", 1)[1])
         elif a.startswith("--out="):
             out_path = a.split("=", 1)[1]
+        elif a.startswith("--shapes="):
+            shapes = [s for s in a.split("=", 1)[1].split(",") if s]
 
     results: dict[str, dict[str, float]] = {}
     for sf_name, sf_dir, _mult in SFS:
@@ -111,13 +121,13 @@ def main() -> int:
             raise SystemExit(f"missing {sf_dir} — build it first (see header)")
         print(f"== {sf_name} ({sf_dir})", flush=True)
         t0 = time.monotonic()
-        results[sf_name] = _time_sf(sf_dir, runs)
+        results[sf_name] = _time_sf(sf_dir, runs, shapes)
         print(f"   {sf_name} done in {time.monotonic() - t0:.0f}s", flush=True)
 
     report = {"runs": runs, "times_s": results, "exponents": {}}
     print(f"\n{'shape':36} {'sf0.1':>8} {'sf1':>8} {'sf10':>8} "
           f"{'e(0.1->1)':>10} {'e(1->10)':>9}")
-    for name in SHAPES:
+    for name in shapes:
         t01 = results["sf0.1"][name]
         t1 = results["sf1"][name]
         t10 = results["sf10"][name]
