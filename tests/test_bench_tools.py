@@ -170,17 +170,23 @@ class TestScaleSweepArgs:
             ["/sf", "--skip", "q1,q2", "--start-at", "q5"],
             ["--skip", "q1,q2", "/sf", "--start-at=q5"],
         ):
-            pos, skip, start = self._parse(argv)
+            pos, skip, start, only = self._parse(argv)
             assert pos == ["/sf"]
             assert {"q1", "q2"} <= skip
             assert start == "q5"
+            assert only == set()
+
+    def test_only_filter(self):
+        for argv in (["--only=q321,q118"], ["--only", "q321,q118"]):
+            _, _, _, only = self._parse(argv)
+            assert only == {"q321", "q118"}
 
     def test_default_skip_preserved_and_errors_loud(self):
         import pytest
 
         from tools.scale_sweep import DEFAULT_SKIP
 
-        pos, skip, start = self._parse([])
+        pos, skip, start, only = self._parse([])
         assert pos == [] and start is None and DEFAULT_SKIP <= skip
         with pytest.raises(SystemExit):
             self._parse(["--start-at"])  # missing value
@@ -259,13 +265,12 @@ class TestDegenerateGate:
         from tools.scale_sweep import load_adjudications, split_adjudicated
 
         adj = load_adjudications()
-        # the three r6 adjudications survive builder turnover
-        for q in (
-            "q09_unambiguous_dim_guard",
-            "q70_part_value_share",
-            "q118_curation_pipeline",
-        ):
-            assert q in adj and "DuckDB" in adj[q] or "sweep" in adj[q]
+        # the standing r6 adjudications survive builder turnover; q118
+        # was REMOVED in r7 (the word-suffix corpus rebuild made it
+        # non-degenerate, so a future empty q118 must fail the sweep)
+        for q in ("q09_unambiguous_dim_guard", "q70_part_value_share"):
+            assert q in adj and ("DuckDB" in adj[q] or "sweep" in adj[q])
+        assert "q118_curation_pipeline" not in adj
         a, u = split_adjudicated(
             ["q09_unambiguous_dim_guard", "q999_new_gate"], adj
         )

@@ -5,6 +5,11 @@ caught the q100/q170 int64 overflows (SCALE.md round-2 section).
 
 Usage:
     python tools/scale_sweep.py [SF_DIR] [--skip qNN,qMM] [--start-at qNNN]
+                                [--only qNN,qMM]
+
+``--only`` restricts the sweep to the named queries (prefix match,
+like --skip) — the targeted re-sweep shape for a corpus rebuild or a
+new gate, when the full surface has already swept at that SF.
 
 ``--start-at`` resumes an interrupted sweep at the named query
 (registration order) — everything before it prints SKIP; merge the two
@@ -49,7 +54,7 @@ DEFAULT_SKIP: set[str] = {"q88_fuzzy_pairs"}
 
 def parse_args(
     argv: list[str],
-) -> tuple[list[str], set[str], str | None]:
+) -> tuple[list[str], set[str], str | None, set[str]]:
     """Parse sweep argv into (positionals, skip set, start_at).
 
     Accepts BOTH ``--skip=qNN,qMM`` and ``--skip qNN,qMM`` forms (the
@@ -59,6 +64,7 @@ def parse_args(
     the usage text instead of being silently swallowed."""
     skip = set(DEFAULT_SKIP)
     start_at = None
+    only: set[str] = set()
     pos: list[str] = []
     i = 0
     while i < len(argv):
@@ -76,16 +82,18 @@ def parse_args(
                 skip |= {s for s in val.split(",") if s}
             elif flag == "--start-at":
                 start_at = val
+            elif flag == "--only":
+                only |= {s for s in val.split(",") if s}
             else:
                 raise SystemExit(f"unknown flag {flag}\n{__doc__}")
         else:
             pos.append(a)
         i += 1
-    return pos, skip, start_at
+    return pos, skip, start_at, only
 
 
 def main() -> int:
-    args, skip, start_at = parse_args(sys.argv[1:])
+    args, skip, start_at, only = parse_args(sys.argv[1:])
     sf_dir = args[0] if args else str(
         Path(__file__).resolve().parent.parent / ".scale/sf1"
     )
@@ -117,6 +125,8 @@ def main() -> int:
             else:
                 print(f"SKIP {name}")
                 continue
+        if only and not any(name.startswith(s) for s in only):
+            continue
         if any(name.startswith(s) for s in skip):
             print(f"SKIP {name}")
             continue
