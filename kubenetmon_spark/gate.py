@@ -15672,8 +15672,14 @@ def q293(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
+    # Dedup on the two INT keys before building node strings: the
+    # distinct shuffle moves 16 bytes/row instead of two ~8-char
+    # strings (guide §2.3 narrower types), and concat on distinct int
+    # pairs is injective so the string edge set is identical.
     e = (
         o.join(l, l["l_orderkey"] == o["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
                 "s"
@@ -15682,14 +15688,18 @@ def q293(spark, sf_dir):
                 "d"
             ),
         )
-        .distinct()
     )
+    # No .distinct() on the union: e is already distinct and every
+    # forward edge starts 'c'/ends 's' while every reversed edge starts
+    # 's'/ends 'c', so the two halves cannot collide — which also
+    # proves the union duplicate-free (edges_are_distinct below), so
+    # the operator skips its defensive full-width string dedup.
     sym = e.unionByName(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).distinct()
+    )
     seeds = spark.createDataFrame([("s1",)], "node string")
     return (
-        k_hop_reachability(sym, "s", "d", seeds, k=3)
+        k_hop_reachability(sym, "s", "d", seeds, k=3, edges_are_distinct=True)
         .select("node", F.col("hops").cast("bigint").alias("hops"))
         .orderBy("hops", "node")
     )
@@ -15748,8 +15758,21 @@ def q294(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
+    # Same narrow-key dedup as q293: distinct over (int, int, long)
+    # instead of (string, string, long); concat on distinct key tuples
+    # is injective so the edge set is unchanged, and the 'c'/'s'
+    # prefixes make the symmetric union duplicate-free — the operator
+    # skips its defensive string-width dedup (edges_are_distinct).
     e = (
         o.join(l, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            "o_custkey",
+            "l_suppkey",
+            (F.unix_date(F.col("o_orderdate").cast("date")) * 86400)
+            .cast("long")
+            .alias("ts"),
+        )
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
                 "s"
@@ -15757,20 +15780,19 @@ def q294(spark, sf_dir):
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
                 "d"
             ),
-            (F.unix_date(F.col("o_orderdate").cast("date")) * 86400)
-            .cast("long")
-            .alias("ts"),
+            "ts",
         )
-        .distinct()
     )
     sym = e.unionByName(
         e.select(
             F.col("d").alias("s"), F.col("s").alias("d"), F.col("ts")
         )
-    ).distinct()
+    )
     seeds = spark.createDataFrame([("c1", 0)], "node string, arrival long")
     return (
-        temporal_reachability(sym, "s", "d", "ts", seeds, rounds=3)
+        temporal_reachability(
+            sym, "s", "d", "ts", seeds, rounds=3, edges_are_distinct=True
+        )
         .select("node", F.col("arrival").cast("bigint").alias("arrival"))
         .orderBy("arrival", "node")
     )

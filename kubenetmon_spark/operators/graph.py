@@ -136,7 +136,14 @@ def pagerank_exact(
         # damping_pct * sum(contribs) must fit a BIGINT (sum of all
         # contributions is bounded by `unit`, the total mass).
         raise ValueError("unit must be <= (2^63-1)//100 to avoid overflow")
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    # Lineage cut: `e` feeds THREE consumers (out_deg/ed, nodes) that
+    # materialize in separate jobs — without it the caller's edge plan
+    # and the distinct run once per consumer.
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     out_deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
     nodes = (
         e.select(F.col("_s").alias("node"))
@@ -183,6 +190,7 @@ def k_hop_reachability(
     dst_col: str,
     seeds: DataFrame,
     k: int,
+    edges_are_distinct: bool = False,
 ) -> DataFrame:
     """Level-synchronous BFS: every node within ``k`` directed hops of
     any seed, with its MINIMUM hop distance — the "blast radius" query
@@ -192,6 +200,15 @@ def k_hop_reachability(
 
     ``seeds`` is a 1-column DataFrame named ``node``. Returns
     ``(node, hops)``, hops in [0, k], one row per reached node.
+
+    ``edges_are_distinct=True`` skips the defensive edge dedup — the
+    ``prefixes_are_disjoint`` pattern: when the caller PROVES the edge
+    list is duplicate-free (e.g. built from a distinct on narrower
+    pre-projection keys), the full-width edge shuffle disappears and
+    only the materialization remains. Duplicate edges would not change
+    the result (BFS reachability is idempotent over parallel edges) —
+    the dedup exists to bound the per-level join fan-out, so only skip
+    it when duplicates genuinely cannot occur.
 
     Per level: one equi-join frontier⋈edges (keyed on src — the classic
     Pregel superstep), a distinct, and an anti-join against the visited
@@ -205,9 +222,16 @@ def k_hop_reachability(
         F.col("node"), F.lit(0).alias("hops")
     ).distinct().localCheckpoint(eager=True)
     frontier = visited.select("node")
-    e = edges.select(
-        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
-    ).distinct()
+    # Materialize the (distinct) edge list ONCE: each level launches its
+    # own job, and without the lineage cut the caller's full upstream
+    # edge-construction plan (typically a fact-scale join + distinct,
+    # e.g. q293's orders⋈lineitem) re-executes EVERY level — k+1 scans
+    # of the fact tables for a k-hop query (measured 5.3s → 2.6s at
+    # sf0.1, guide §2.4/§5: remove repeated work, cut lineage).
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    if not edges_are_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
     for level in range(1, k + 1):
         nxt = (
             frontier.join(e, frontier["node"] == e["_s"])
@@ -219,7 +243,10 @@ def k_hop_reachability(
         )
         if not nxt.take(1):
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # visited is a union of ≤ k+1 already-checkpointed level frames
+        # — flat lineage by construction, so no per-level checkpoint of
+        # the union itself (it was one extra job per level).
+        visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
     return visited
 
@@ -231,6 +258,7 @@ def temporal_reachability(
     ts_col: str,
     seeds: DataFrame,
     rounds: int,
+    edges_are_distinct: bool = False,
 ) -> DataFrame:
     """Time-respecting reachability ("taint spread"): the earliest time
     each node can be reached from the seeds along paths whose edge
@@ -251,12 +279,22 @@ def temporal_reachability(
 
     Per round: one equi-join (keyed on src) + one min-aggregation;
     lineage cut per round; nothing collects to the driver.
+
+    ``edges_are_distinct=True``: as in :func:`k_hop_reachability` —
+    duplicate edges cannot change the min-arrival result, the dedup
+    only bounds join fan-out; skip it when the caller proves the edge
+    list is already duplicate-free.
     """
+    # Same lineage cut as k_hop_reachability: without it every
+    # relaxation round re-executes the caller's edge-construction plan.
     e = edges.select(
         F.col(src_col).alias("_s"),
         F.col(dst_col).alias("_d"),
         F.col(ts_col).cast("long").alias("_t"),
-    ).distinct()
+    )
+    if not edges_are_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
     arr = (
         seeds.select("node", F.col("arrival").cast("long").alias("arrival"))
         .groupBy("node")

@@ -131,7 +131,19 @@ def start_rates_stream(
         )
         prev_max = None
         if buf is not None:
-            prev_max = buf.agg(F.max("_ts").alias("m")).collect()[0]["m"]
+            # The committed version's max event time is exact driver
+            # knowledge at commit time (max_seen below) — read it from
+            # the version's sidecar instead of launching a scan+agg job
+            # per batch; fall back to the agg for buffers written before
+            # the sidecar existed (or if the sidecar write was lost).
+            fs0 = _fsm.get_fs(buffer_path, spark)
+            meta_p = _fsm.join(buffer_path, f"v={prev_v}", "_meta.json")
+            try:
+                prev_max = fs0.read_json(meta_p).get("max_ts")
+            except Exception:
+                prev_max = None
+            if prev_max is None:
+                prev_max = buf.agg(F.max("_ts").alias("m")).collect()[0]["m"]
             if prev_max is not None:
                 b = b.filter(F.col("_ts") > prev_max - late)
         # one scalar agg doubles as the emptiness probe (replaces two
@@ -166,11 +178,59 @@ def start_rates_stream(
                 n_buckets=n,
                 step_s=step,
                 window_s=win,
-            ).localCheckpoint(eager=True)
+            )
+            # Partition the output by UTC DAY, not by bucket: dynamic
+            # partition overwrite pays a driver-side commit per
+            # partition dir, and a per-bucket layout meant hundreds of
+            # commits per batch (measured 11s of a 15s q315 batch at
+            # sf0.1, 721 hourly dirs — guide §6 small files/commit
+            # cost). Day is the ClickHouse-standard partition unit.
+            # Upsert is copy-on-write within the touched days: the
+            # batch recomputed buckets [t_lo, t_hi]; rows of the
+            # touched days OUTSIDE that range are read back (bounded:
+            # keys x buckets-per-day per day, partition-pruned) and
+            # rewritten verbatim alongside the fresh grid. Buckets
+            # never lose rows (samples only accumulate), so untouched
+            # days and un-recomputed buckets are byte-stable.
+            d_lo, d_hi = t_lo // 86400, t_hi // 86400
+            fs_out = _fsm.get_fs(out_path, spark)
+            keep_old = None
+            if fs_out.is_dir(out_path):
+                prev = spark.read.parquet(out_path)
+                if "bucket_day" not in prev.columns:
+                    raise RuntimeError(
+                        f"rates table at {out_path} uses the legacy "
+                        "per-bucket partition layout; rebuild it (drop "
+                        "the directory and replay the checkpoint) "
+                        "before resuming with the day-partitioned sink"
+                    )
+                keep_old = (
+                    prev.filter(
+                        F.col("bucket_day").between(d_lo, d_hi)
+                        & (
+                            (F.col("bucket_ts") < t_lo)
+                            | (F.col("bucket_ts") > t_hi)
+                        )
+                    )
+                    .select(*grid.columns)
+                    # materialize BEFORE the overwrite deletes the
+                    # very partitions this slice was read from
+                    .localCheckpoint(eager=True)
+                )
+            out = grid if keep_old is None else grid.unionByName(keep_old)
+            # exact floor division (pmod >= 0), matching the driver's
+            # Python `//` for any sign of bucket_ts
+            day = F.expr(
+                "(bucket_ts - pmod(bucket_ts, 86400)) div 86400"
+            ).alias("bucket_day")
             (
-                grid.write.mode("overwrite")
+                out.withColumn("bucket_day", day)
+                # cluster by day so each task owns whole day dirs —
+                # one file per touched day, not tasks x days
+                .repartition(F.col("bucket_day"))
+                .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("bucket_ts")
+                .partitionBy("bucket_day")
                 .parquet(out_path)
             )
         # merged's max is max(buffer max, this batch's hi) — known on the
@@ -190,10 +250,25 @@ def start_rates_stream(
         # leaves harmless stale versions below the new maximum.
         fs = _fsm.get_fs(buffer_path, spark)
         new_v = prev_v + 1
+        # The buffer is bounded state (fixed time span per key) — don't
+        # let it inherit the merge shuffle's partition count as its
+        # file count (32 tiny files per version locally, re-listed and
+        # re-opened every batch). One output file per 32 merge
+        # partitions keeps files big at any scale; coalesce, not
+        # repartition, so no extra shuffle.
+        n_parts = max(1, merged.rdd.getNumPartitions() // 32)
         (
             merged.filter(F.col("_ts") > max_seen - retain)
+            .coalesce(n_parts)
             .write.mode("overwrite")
             .parquet(_fsm.join(buffer_path, f"v={new_v}"))
+        )
+        # Sidecar AFTER the parquet commit: the version only becomes
+        # the latest once _SUCCESS exists, and readers fall back to a
+        # scan+agg if the sidecar is missing — never trusted blindly.
+        fs.write_json_atomic(
+            _fsm.join(buffer_path, f"v={new_v}", "_meta.json"),
+            {"max_ts": int(max_seen)},
         )
         for name in fs.list_names(buffer_path):
             if not name.startswith("v="):
@@ -215,4 +290,9 @@ def start_rates_stream(
 
 
 def read_rates(spark: SparkSession, out_path: str) -> DataFrame:
-    return spark.read.parquet(out_path)
+    """The grid table with its storage partition column dropped and
+    ``bucket_ts`` last — the exact column set and order the per-bucket
+    layout's readers always saw."""
+    df = spark.read.parquet(out_path)
+    cols = [c for c in df.columns if c not in ("bucket_day", "bucket_ts")]
+    return df.select(*cols, "bucket_ts")

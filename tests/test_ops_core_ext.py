@@ -1512,6 +1512,29 @@ class TestKHopReachability:
         }
         assert got == {"a": 0, "b": 1}
 
+    def test_edges_are_distinct_flag_identical_result(self, spark):
+        # the r7 fast path skips the defensive edge dedup; BFS is
+        # idempotent over parallel edges, so even a caller that LIES
+        # (duplicate edges with the flag set) gets identical results
+        from kubenetmon_spark.operators.graph import k_hop_reachability
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")],
+            "s string, d string",
+        )
+        seeds = spark.createDataFrame([("a",)], "node string")
+        base = {
+            r.node: r.hops
+            for r in k_hop_reachability(edges, "s", "d", seeds, 3).collect()
+        }
+        fast = {
+            r.node: r.hops
+            for r in k_hop_reachability(
+                edges, "s", "d", seeds, 3, edges_are_distinct=True
+            ).collect()
+        }
+        assert fast == base == {"a": 0, "b": 1, "c": 1, "d": 2}
+
 
 class TestTemporalReachability:
     def test_time_respecting_only(self, spark):
@@ -1552,6 +1575,32 @@ class TestTemporalReachability:
             ).collect()
         }
         assert got == {"a": 0, "x": 1, "b": 2, "c": 4}
+
+    def test_edges_are_distinct_flag_identical_result(self, spark):
+        # min-arrival relaxation is idempotent over parallel edges:
+        # the r7 dedup-skip fast path must agree even on duplicates
+        from kubenetmon_spark.operators.graph import temporal_reachability
+
+        edges = spark.createDataFrame(
+            [("a", "b", 5), ("a", "b", 5), ("b", "c", 7), ("b", "c", 3)],
+            "s string, d string, ts long",
+        )
+        seeds = spark.createDataFrame(
+            [("a", 0)], "node string, arrival long"
+        )
+        base = {
+            r.node: r.arrival
+            for r in temporal_reachability(
+                edges, "s", "d", "ts", seeds, 3
+            ).collect()
+        }
+        fast = {
+            r.node: r.arrival
+            for r in temporal_reachability(
+                edges, "s", "d", "ts", seeds, 3, edges_are_distinct=True
+            ).collect()
+        }
+        assert fast == base == {"a": 0, "b": 5, "c": 7}
 
     def test_seed_arrival_gates_first_hop(self, spark):
         from kubenetmon_spark.operators.graph import temporal_reachability

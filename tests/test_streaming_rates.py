@@ -168,6 +168,57 @@ def test_buffer_retains_one_superseded_version(spark, tmp_path):
     )
 
 
+def test_buffer_meta_sidecar_and_agg_fallback(spark, tmp_path):
+    # r7: the buffer version carries a _meta.json sidecar with its exact
+    # max event time (saves a scan+agg job per batch). A version WITHOUT
+    # the sidecar (pre-r7 buffer, or a lost write) must fall back to the
+    # agg and produce the same stream results — here the sidecar is
+    # deleted between batches and late-drop semantics must still hold.
+    import json
+    import os
+
+    from kubenetmon_spark.streaming.rates import _latest_buffer_version
+
+    first = [[("a", 90, 50), ("a", 100, 60)]]
+    src = _write_files(spark, tmp_path / "meta_src", first)
+    args = dict(
+        out_path=str(tmp_path / "meta_out"),
+        buffer_path=str(tmp_path / "meta_buf"),
+        checkpoint=str(tmp_path / "meta_ckpt"),
+        key_cols=["k"],
+        step_s=10,
+        window_s=25,
+        lateness_s=20,
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_rates_stream(stream, **args)
+        q.awaitTermination(300)
+
+    run()
+    buf = args["buffer_path"]
+    v = _latest_buffer_version(buf)
+    meta = os.path.join(buf, f"v={v}", "_meta.json")
+    assert json.load(open(meta))["max_ts"] == 100
+    os.remove(meta)  # simulate a pre-sidecar buffer
+    # 2nd batch: ts=5 is 95s late vs max_seen=100 (recovered via the
+    # agg fallback) and must be dropped; ts=110 lands
+    _write_files(spark, tmp_path / "meta_src", [[("a", 5, 1), ("a", 110, 70)]])
+    run()
+    kept = [("a", 90, 50), ("a", 100, 60), ("a", 110, 70)]
+    exp = _snap(_batch_reference(spark, kept))
+    assert _snap(read_rates(spark, args["out_path"])) == exp
+    # the new latest version re-carries the sidecar
+    v2 = _latest_buffer_version(buf)
+    meta2 = os.path.join(buf, f"v={v2}", "_meta.json")
+    assert json.load(open(meta2))["max_ts"] == 110
+
+
 def test_rates_stream_on_hadoop_uri_paths(spark, tmp_path):
     # the whole buffer-commit lifecycle against URI-form (file:)
     # roots through the Hadoop FS adapter
