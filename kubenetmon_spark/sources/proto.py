@@ -80,13 +80,30 @@ def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
 def _fields(buf: bytes):
     """Iterate (field_number, wire_type, value) over one message's
     bytes. Values: int for varint/fixed; bytes for length-delimited.
-    Unknown wire types raise (malformed payload)."""
+    Unknown wire types raise (malformed payload).
+
+    Hot path (the per-row decode loop of the proto ingest boundary —
+    guide §4.2's "make the per-task work fast"): varints are read
+    inline with a single-byte fast path — field keys and most counters
+    fit 7 bits, and the function-call-per-varint indirection was ~50%
+    of decode CPU in profile."""
     i = 0
-    while i < len(buf):
-        key, i = _read_varint(buf, i)
+    n = len(buf)
+    while i < n:
+        b = buf[i]
+        if b < 0x80:
+            key = b
+            i += 1
+        else:
+            key, i = _read_varint(buf, i)
         fnum, wt = key >> 3, key & 7
         if wt == _VARINT:
-            val, i = _read_varint(buf, i)
+            b = buf[i] if i < n else 0
+            if b < 0x80 and i < n:
+                val = b
+                i += 1
+            else:
+                val, i = _read_varint(buf, i)
         elif wt == _FIXED64:
             if i + 8 > len(buf):
                 raise ValueError("truncated fixed64")
@@ -98,8 +115,13 @@ def _fields(buf: bytes):
             val = int.from_bytes(buf[i : i + 4], "little")
             i += 4
         elif wt == _LEN:
-            ln, i = _read_varint(buf, i)
-            if i + ln > len(buf):
+            b = buf[i] if i < n else 0
+            if b < 0x80 and i < n:
+                ln = b
+                i += 1
+            else:
+                ln, i = _read_varint(buf, i)
+            if i + ln > n:
                 raise ValueError("truncated length-delimited field")
             val = buf[i : i + ln]
             i += ln
@@ -114,7 +136,13 @@ def _decode_endpoint(buf: bytes) -> dict[str, Any]:
     out: dict[str, Any] = {"ip": None, "v6": None, "port": 0}
     for fnum, wt, val in _fields(buf):
         if fnum == 1 and wt == _FIXED32:  # v4 (big-endian address value)
-            out["ip"] = str(ipaddress.IPv4Address(val.to_bytes(4, "big")))
+            # dotted quad straight off the int — identical to
+            # str(IPv4Address(...)) for every uint32, without the
+            # object construction (~15% of decode CPU in profile)
+            out["ip"] = (
+                f"{(val >> 24) & 255}.{(val >> 16) & 255}."
+                f"{(val >> 8) & 255}.{val & 255}"
+            )
             out["v6"] = None
         elif fnum == 2 and wt == _LEN:  # v6 raw 16 bytes
             if len(val) != 16:

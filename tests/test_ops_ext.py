@@ -510,6 +510,62 @@ class TestNgramDistance:
         assert got[0] == 0
         assert got[1] == 10000
 
+    def test_long_probe_fallback_path_matches_reference(self, spark):
+        # r7: probes with <= 64 distinct grams run the zero-shuffle
+        # regexp_count fast path; longer probes keep the explode+join
+        # path. Both must match the Python reference — including a
+        # regex-special-character probe on the fast path and a probe
+        # with self-overlapping repeated grams.
+        from kubenetmon_spark.operators.text import ngram_distance_to_probe
+
+        long_probe = "".join(
+            f"{chr(97 + i % 26)}{chr(97 + (i * 11) % 26)}{i % 10}"
+            for i in range(40)
+        )
+        n_distinct = len(
+            {long_probe[i : i + 3] for i in range(len(long_probe) - 2)}
+        )
+        assert n_distinct > 64  # genuinely exercises the fallback path
+        special_probe = "a.b(c)d*e+a.b"
+        overlap_probe = "aaaa bbbb"
+        rows = [
+            (0, long_probe),
+            (1, long_probe[10:50] + " tail"),
+            (2, "a.b(c)d"),
+            (3, "aaaaaa xbbbb"),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, ["id", "s"])
+        from collections import Counter
+
+        from kubenetmon_spark.operators.text import ngram_search_to_probe
+
+        def ref_search_bp(s, probe, n=3):
+            a = Counter(s[i : i + n] for i in range(max(len(s) - n + 1, 0)))
+            b = Counter(
+                probe[i : i + n] for i in range(max(len(probe) - n + 1, 0))
+            )
+            sb = sum(b.values())
+            if sb == 0:
+                return 0
+            common = sum(min(a[g], c) for g, c in b.items())
+            return (common * 10000) // sb
+
+        for probe in (long_probe, special_probe, overlap_probe):
+            got = {
+                r.id: r.ngram_dist_bp
+                for r in ngram_distance_to_probe(
+                    df, "id", "s", probe
+                ).collect()
+            }
+            got_s = {
+                r.id: r.ngram_search_bp
+                for r in ngram_search_to_probe(df, "id", "s", probe).collect()
+            }
+            for i, s in rows:
+                assert got[i] == self._ref_bp(s, probe), (probe[:12], i, s)
+                assert got_s[i] == ref_search_bp(s, probe), (probe[:12], i, s)
+
 
 class TestKnnJoin:
     def _mk(self, spark, n=60, dim=8, seed=7):
