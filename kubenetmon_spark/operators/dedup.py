@@ -559,17 +559,62 @@ def duplicate_span_fraction(
     # filtered): the measurement and the removal must agree on what a
     # token is, or a doc flagged as duplicated here can be untouched
     # by the remover (and double spaces would inject phantom tokens)
-    toks = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
-    )
-    spans_arr = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - n + 1),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    spans = (
-        df.filter(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(spans_arr).alias("span"))
-    )
+    #
+    # Span GENERATION runs in the shared Arrow-batched shape of
+    # shingle_set (r7): Spark's interpreted higher-order lambdas made
+    # the transform+slice+array_join explode 85% of this operator's
+    # cost (3.4s of 4.0s at sf0.1) where a C-speed split + join emits
+    # byte-identical spans. Non-integral id columns take the
+    # expression path below (the Arrow stage carries _id as long —
+    # same contract as shingle_set).
+    id_dtype = df.schema[id_col].dataType.simpleString()
+    if id_dtype in ("bigint", "int", "smallint", "tinyint"):
+        import re as _re
+
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        out_schema = StructType(
+            [
+                StructField(id_col, LongType(), True),
+                StructField("span", StringType(), True),
+            ]
+        )
+        ws = _re.compile(r"\s+")
+
+        def gen(batches):
+            import pandas as pd
+
+            for b in batches:
+                ids, spans_l = [], []
+                for _id, text in zip(b[id_col], b[text_col]):
+                    if text is None:
+                        continue
+                    toks_py = [t for t in ws.split(text) if t != ""]
+                    for i in range(len(toks_py) - n + 1):
+                        ids.append(_id)
+                        spans_l.append(" ".join(toks_py[i : i + n]))
+                yield pd.DataFrame({id_col: ids, "span": spans_l})
+
+        spans = df.select(
+            F.col(id_col).cast("long").alias(id_col), text_col
+        ).mapInPandas(gen, out_schema)
+    else:
+        toks = F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+        )
+        spans_arr = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+        spans = (
+            df.filter(F.size(toks) >= n)
+            .select(F.col(id_col), F.explode(spans_arr).alias("span"))
+        )
     w = Window.partitionBy("span")
     per_doc = (
         spans.withColumn("_c", F.count(F.lit(1)).over(w))
@@ -632,6 +677,11 @@ def remove_duplicate_spans(
     toks = arr.select(
         F.col(id_col), F.posexplode("_a").alias("_p", "_t")
     )
+    # (r7 note: the Arrow gram generation that pays off in
+    # duplicate_span_fraction was A/B'd here and does NOT win — this
+    # operator pre-materializes the token array `_a` once, so its
+    # expression-path gram build is already ~0.5s warm at sf0.1,
+    # on par with the Arrow stage but without the Python workers.)
     grams = arr.select(
         F.col(id_col),
         F.explode(

@@ -71,18 +71,26 @@ def connected_components(
     )
     # Labels only ever decrease, so the (exact, decimal) label sum is a
     # monotone potential: unchanged sum <=> no label changed. That makes
-    # the convergence check a cheap aggregate instead of a self-join.
+    # the convergence check a cheap aggregate instead of a self-join —
+    # and the aggregate rides the SAME job that materializes the round
+    # (observe + localCheckpoint), so each round is one job, not two
+    # (r7; the separate post-checkpoint agg scan was pure per-round
+    # fixed cost, and at scale a full extra pass over the labels).
+    from pyspark.sql import Observation
+
     prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iter):
+        ob = Observation()
         new_labels = (
             sym.join(labels, sym["b"] == labels["node"], "inner")
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("comp").alias("comp"))
+            .observe(
+                ob, F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+            )
             .localCheckpoint(eager=True)
         )
-        cur_sum = new_labels.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)"))
-        ).collect()[0][0]
+        cur_sum = ob.get["s"]
         labels = new_labels
         if cur_sum == prev_sum:
             return labels
