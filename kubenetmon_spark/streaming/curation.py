@@ -35,7 +35,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
-from kubenetmon_spark.streaming.state import read_state_or_none
+from kubenetmon_spark.streaming.state import (
+    bounded_coalesce,
+    read_state_or_none,
+)
 
 
 def start_incremental_dedup_stream(
@@ -78,8 +81,10 @@ def start_incremental_dedup_stream(
             new_lines = updated
         # Deterministic per-batch directories: a retry overwrites the
         # same content instead of appending duplicates.
-        out.write.mode("overwrite").parquet(f"{out_path}/_bid={batch_id}")
-        new_lines.write.mode("overwrite").parquet(
+        bounded_coalesce(out).write.mode("overwrite").parquet(
+            f"{out_path}/_bid={batch_id}"
+        )
+        bounded_coalesce(new_lines).write.mode("overwrite").parquet(
             f"{index_path}/_bid={batch_id}"
         )
 
@@ -137,11 +142,13 @@ def start_minhash_dedup_stream(
             num_hashes=num_hashes, bands=bands, n=n,
             verify_threshold_bp=verify_threshold_bp,
         )
-        survivors.write.mode("overwrite").parquet(f"{out_path}/_bid={batch_id}")
-        new_bands.write.mode("overwrite").parquet(
+        bounded_coalesce(survivors).write.mode("overwrite").parquet(
+            f"{out_path}/_bid={batch_id}"
+        )
+        bounded_coalesce(new_bands).write.mode("overwrite").parquet(
             f"{index_path}/bands/_bid={batch_id}"
         )
-        new_shingles.write.mode("overwrite").parquet(
+        bounded_coalesce(new_shingles).write.mode("overwrite").parquet(
             f"{index_path}/shingles/_bid={batch_id}"
         )
 
@@ -196,11 +203,13 @@ def start_cosine_dedup_stream(
             batch_df, ib, iv, id_col, vec_col,
             threshold_bp=threshold_bp, bands=bands, band_bits=band_bits,
         )
-        survivors.write.mode("overwrite").parquet(f"{out_path}/_bid={batch_id}")
-        new_bands.write.mode("overwrite").parquet(
+        bounded_coalesce(survivors).write.mode("overwrite").parquet(
+            f"{out_path}/_bid={batch_id}"
+        )
+        bounded_coalesce(new_bands).write.mode("overwrite").parquet(
             f"{index_path}/bands/_bid={batch_id}"
         )
-        new_vectors.write.mode("overwrite").parquet(
+        bounded_coalesce(new_vectors).write.mode("overwrite").parquet(
             f"{index_path}/vectors/_bid={batch_id}"
         )
 

@@ -24,6 +24,18 @@ from pyspark.sql import DataFrame, SparkSession
 from kubenetmon_spark import fs as _fsm
 
 
+def bounded_coalesce(df: DataFrame) -> DataFrame:
+    """Cap a micro-batch output's file count at one file per 32 cores
+    (r7, guide §6): incremental streams write one ``_bid=`` dir per
+    batch, and letting each dir inherit the shuffle's partition count
+    as its file count multiplies the state table's file census by the
+    core count — every subsequent batch re-lists and re-opens all of
+    it. One file per 32 cores keeps batch-state files large at any
+    cluster size; ``coalesce`` so no extra shuffle."""
+    n = max(1, df.sparkSession.sparkContext.defaultParallelism // 32)
+    return df.coalesce(n)
+
+
 def read_state_or_none(
     spark: SparkSession, path: str, base_path: str | None = None
 ) -> DataFrame | None:
