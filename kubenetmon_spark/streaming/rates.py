@@ -193,10 +193,16 @@ def start_rates_stream(
             # never lose rows (samples only accumulate), so untouched
             # days and un-recomputed buckets are byte-stable.
             d_lo, d_hi = t_lo // 86400, t_hi // 86400
-            fs_out = _fsm.get_fs(out_path, spark)
             keep_old = None
-            if fs_out.is_dir(out_path):
-                prev = spark.read.parquet(out_path)
+            # read_state_or_none, not a bare read: a crashed FIRST grid
+            # write leaves out_path holding only _temporary — the
+            # replayed batch must see "no committed grid yet", not die
+            # on schema inference (streaming/state.py's documented
+            # distinction).
+            from kubenetmon_spark.streaming.state import read_state_or_none
+
+            prev = read_state_or_none(spark, out_path)
+            if prev is not None:
                 if "bucket_day" not in prev.columns:
                     raise RuntimeError(
                         f"rates table at {out_path} uses the legacy "
