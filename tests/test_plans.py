@@ -26,6 +26,29 @@ def test_labeler_has_no_sort_merge_join(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_labeler_paired_dim_joins_reuse_broadcasts(spark):
+    """Each dim joined once per endpoint side (node IPs, pods, zones)
+    must BUILD its broadcast once: the rename rides a Project above the
+    join, so the second side's exchange canonicalizes equal and the
+    planner emits a ReusedExchange. Checked with AQE off because the
+    static ReuseExchangeAndSubquery rule is the deterministic,
+    explain-visible form of the same canonical-equality condition AQE's
+    runtime stage reuse applies."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        obs, pods, nodes, prefixes = build_flow_inputs(spark, SF_DIR)
+        plan = _plan(label_flows(obs, pods, nodes, prefixes, DEMO_CFG))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    n_reused = plan.count("ReusedExchange")
+    assert n_reused >= 3, (
+        "labeler's paired dim joins stopped sharing broadcast builds "
+        f"(ReusedExchange x{n_reused}, expected the node-IP, pod and "
+        "zone pairs)"
+    )
+
+
 def test_filter_and_projection_pushdown(spark):
     li = load_table(spark, SF_DIR, "lineitem")
     df = li.filter(F.col("l_quantity") < 5).select("l_quantity", "l_extendedprice")
