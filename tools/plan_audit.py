@@ -93,6 +93,14 @@ KNOWN = {
     "join chain, checked via explain_query)",
     "q73_lone_late_shipper": "decorrelated Q21: co-partitioned per-order "
     "aggregates replace a raw-fact broadcast (plan-asserted)",
+    "q56_approx_sketches": "r7 distinct-split shape (OPTIMIZATION_r07.md "
+    "§4): COUNT(DISTINCT user_id) no longer rides the sketch "
+    "aggregation, so the planner's 4-phase Expand rewrite is gone "
+    "(~100k HLL/percentile buffers -> 5, 12x isolated A/B). The four "
+    "exchanges are the sketch agg's partial/final pair on event_type "
+    "plus the exact_users distinct agg and its per-type count — all but "
+    "the first carry distinct-user-or-smaller rows, and the count joins "
+    "back via a broadcast of <= |event_type| rows",
     "q113_dsir_select": "r6 fixed-point-ln Gumbel path (XCHG 7->4, SMJ "
     "gone): two corpora feature/distribution aggs are the only "
     "exchanges — the raw feature agg carries token volume "
