@@ -36,6 +36,23 @@ DEMO_CFG = RuntimeConfig(
 )
 
 
+def _local_dim(spark: SparkSession, data, schema: str) -> DataFrame:
+    """A tiny driver-side dimension as a ONE-slice DataFrame.
+
+    ``createDataFrame(list)`` parallelizes into ``defaultParallelism``
+    Python-backed slices, so every scan of a 3-row dim schedules a
+    core-count of tasks, each paying a Python-worker round-trip —
+    measured ~0.4-0.6s per tiny-dim job at local[32], and ~13s (!) when
+    a ``coalesce(1)`` later serializes those 32 round-trips into one
+    task. One slice = one task per scan, and the dim-build jobs
+    (LPM sweep, node-dim distinct/agg) drop to ~0.1s. Real dims are
+    feed-sized (≤ ~100k rows) — one partition is the right layout for
+    them at any scale."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), schema
+    )
+
+
 def _pod_ip(uid):
     # 10.(u//65536 % 100).(u//256 % 256).(u%256): identical to the old
     # 10.0.Y.Z scheme for u < 65536 (every committed small-SF hash is
@@ -84,11 +101,13 @@ def build_flow_inputs(
         F.lit(None).cast("string").alias("label_k8s_app"),
         F.concat(F.lit("i-"), F.col("user_id").cast("string")).alias("label_control_plane_id"),
     )
-    nodes = spark.createDataFrame(
+    nodes = _local_dim(
+        spark,
         [(f"node-{i}", f"192.168.0.{i}", "zone-a" if i % 2 else "zone-b") for i in range(1, 6)],
         "name string, internal_ip string, zone string",
     )
-    prefixes = spark.createDataFrame(
+    prefixes = _local_dim(
+        spark,
         [
             # nested prefixes: the /16 must win LPM over the /8
             ("52.218.0.0/16", 52 * 2**24 + 218 * 2**16, 52 * 2**24 + 219 * 2**16 - 1, 16, "aws", "s3", "us-west-2"),

@@ -76,21 +76,32 @@ def prepare_label_dims(pods: DataFrame, nodes: DataFrame) -> dict:
     cost at streaming trigger rates. Collection happens HERE, once per
     dimension refresh, never per batch."""
     pod_dim = pods_with_ambiguity(pods).persist()
-    node_ips = (
-        nodes.select(F.col("internal_ip").alias("_nip")).distinct().persist()
+    pod_dim.count()
+    # Collect the node literals FIRST — when they fit (the
+    # overwhelmingly common case) the node-dim DataFrames never appear
+    # in any plan, so persisting+counting them was two pure-overhead
+    # jobs per dimension refresh (~0.8s measured warm at local[32]).
+    # Only the >LITERAL_NODE_DIM_LIMIT fallback, where label_flows
+    # broadcast-joins them per batch, persists. (A coalesce(1) on the
+    # tiny dims was tried here and in disjoint_prefixes and REVERTED:
+    # a single-task stage over a parallelized local relation stalls
+    # ~6s/stage at local[32] — measured, see OPTIMIZATION_r07.md.)
+    node_ips = nodes.select(F.col("internal_ip").alias("_nip")).distinct()
+    zones = nodes.groupBy(F.col("name").alias("_zn")).agg(
+        F.min("zone").alias("_zz")
     )
-    zones = (
-        nodes.groupBy(F.col("name").alias("_zn"))
-        .agg(F.min("zone").alias("_zz"))
-        .persist()
-    )
-    for d in (pod_dim, node_ips, zones):
-        d.count()
+    literals = _collect_node_literals(node_ips, zones)
+    if literals["node_ip_set"] is None:
+        node_ips = node_ips.persist()
+        node_ips.count()
+    if literals["zone_map"] is None:
+        zones = zones.persist()
+        zones.count()
     return {
         "pod_dim": pod_dim,
         "node_ips": node_ips,
         "zones": zones,
-        **_collect_node_literals(node_ips, zones),
+        **literals,
     }
 
 

@@ -285,8 +285,12 @@ def prefixes6_from_cidrs(spark, rows):
         out.append(
             (s_hi, s_lo, e_hi, e_lo, net.prefixlen, cloud, service, region)
         )
+    # ONE slice: createDataFrame(list) would parallelize the feed-sized
+    # dim into defaultParallelism Python-backed slices, making every
+    # scan (the v6 sweep runs several) schedule a core-count of tasks
+    # each paying a Python-worker round-trip (see demo._local_dim).
     return spark.createDataFrame(
-        out,
+        spark.sparkContext.parallelize(out, 1),
         "net_hi long, net_lo long, end_hi long, end_lo long,"
         " prefix_len int, cloud string, service string, region string",
     )
