@@ -29,7 +29,7 @@ from kubenetmon_spark.functions import format_readable_size
 from kubenetmon_spark.operators.flows import summing_aggregate, to_flow_rows
 from kubenetmon_spark.operators.label import label_flows, split_rejected
 from kubenetmon_spark.session import default_parallelism
-from kubenetmon_spark.tables import load_table
+from kubenetmon_spark.tables import load_table, local_df
 
 DEMO_CFG = RuntimeConfig(
     environment="development", cloud="aws", region="us-west-2", cluster="demo", ignore_udp=True
@@ -37,20 +37,11 @@ DEMO_CFG = RuntimeConfig(
 
 
 def _local_dim(spark: SparkSession, data, schema: str) -> DataFrame:
-    """A tiny driver-side dimension as a ONE-slice DataFrame.
-
-    ``createDataFrame(list)`` parallelizes into ``defaultParallelism``
-    Python-backed slices, so every scan of a 3-row dim schedules a
-    core-count of tasks, each paying a Python-worker round-trip —
-    measured ~0.4-0.6s per tiny-dim job at local[32], and ~13s (!) when
-    a ``coalesce(1)`` later serializes those 32 round-trips into one
-    task. One slice = one task per scan, and the dim-build jobs
-    (LPM sweep, node-dim distinct/agg) drop to ~0.1s. Real dims are
-    feed-sized (≤ ~100k rows) — one partition is the right layout for
-    them at any scale."""
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(data, 1), schema
-    )
+    """A tiny driver-side dimension as a ONE-slice DataFrame (see
+    tables.local_df — the shared helper; a later ``coalesce(1)`` over
+    the default 32-slice layout was measured ~13s (!) because the one
+    task serializes 32 Python-worker round-trips)."""
+    return local_df(spark, data, schema)
 
 
 def _pod_ip(uid):

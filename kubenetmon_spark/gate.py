@@ -53,6 +53,7 @@ from kubenetmon_spark.operators.text import (
     with_winnow_fingerprint,
 )
 from kubenetmon_spark.tables import load_table
+from kubenetmon_spark.tables import local_df as _local_df
 
 DEC2 = "decimal(12,2)"
 RATE = "decimal(6,4)"
@@ -15712,7 +15713,7 @@ def q293(spark, sf_dir):
     sym = e.unionByName(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
-    seeds = spark.createDataFrame([("s1",)], "node string")
+    seeds = _local_df(spark, [("s1",)], "node string")
     return (
         k_hop_reachability(sym, "s", "d", seeds, k=3, edges_are_distinct=True)
         .select("node", F.col("hops").cast("bigint").alias("hops"))
@@ -15803,7 +15804,7 @@ def q294(spark, sf_dir):
             F.col("d").alias("s"), F.col("s").alias("d"), F.col("ts")
         )
     )
-    seeds = spark.createDataFrame([("c1", 0)], "node string, arrival long")
+    seeds = _local_df(spark, [("c1", 0)], "node string, arrival long")
     return (
         temporal_reachability(
             sym, "s", "d", "ts", seeds, rounds=3, edges_are_distinct=True

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kubenetmon_spark.operators.sampling import _BUCKETS
+from kubenetmon_spark.tables import local_df
 
 
 def chunk_documents(
@@ -330,8 +331,10 @@ def mixture_epochs(
             df.withColumn("epoch", F.lit(0).cast("long")).limit(0)
         )
     stype = df.schema[stratum_col].dataType.simpleString()
-    plan_df = spark.createDataFrame(
-        plan, f"{stratum_col} {stype}, _full long, _frac_bp long"
+    # one-slice plan frame (tables.local_df): the per-stratum plan is a
+    # handful of rows; core-count slicing cost a task storm per scan
+    plan_df = local_df(
+        spark, plan, f"{stratum_col} {stype}, _full long, _frac_bp long"
     )
     hex4 = F.substring(
         F.md5(

@@ -288,9 +288,12 @@ def prefixes6_from_cidrs(spark, rows):
     # ONE slice: createDataFrame(list) would parallelize the feed-sized
     # dim into defaultParallelism Python-backed slices, making every
     # scan (the v6 sweep runs several) schedule a core-count of tasks
-    # each paying a Python-worker round-trip (see demo._local_dim).
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(out, 1),
+    # each paying a Python-worker round-trip (see tables.local_df).
+    from kubenetmon_spark.tables import local_df
+
+    return local_df(
+        spark,
+        out,
         "net_hi long, net_lo long, end_hi long, end_lo long,"
         " prefix_len int, cloud string, service string, region string",
     )

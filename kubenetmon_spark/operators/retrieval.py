@@ -216,8 +216,14 @@ def phrase_search(
         raise ValueError("empty phrase")
     k = len(terms)
     spark = df.sparkSession
-    offsets = spark.createDataFrame(
-        [(t, j) for j, t in enumerate(terms)], ["token", "j"]
+    # one-slice probe frame with an explicit schema (tables.local_df):
+    # a k-row phrase table scanned under a broadcast build — core-count
+    # slicing cost 32 Python-backed tasks per build, and the bare
+    # column-name form additionally ran a schema-inference job
+    from kubenetmon_spark.tables import local_df
+
+    offsets = local_df(
+        spark, [(t, int(j)) for j, t in enumerate(terms)], "token string, j int"
     )
     toks = tokenize_positions(df, text_col, id_col).filter(
         F.col("token").isin(list(set(terms)))

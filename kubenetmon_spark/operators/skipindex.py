@@ -67,6 +67,7 @@ from pyspark.sql import functions as F
 
 from kubenetmon_spark import fs as _fsm
 from kubenetmon_spark.fs import join as _join
+from kubenetmon_spark.tables import local_df
 
 _KINDS = ("minmax", "set", "bloom", "tokenbf", "ngrambf")
 _TOKEN_RE = "[^a-z0-9]+"
@@ -262,7 +263,10 @@ def build_skip_index(
     """
     df = spark.read.parquet(table_dir)
     all_files = sorted(_rel_path(u, table_dir) for u in df.inputFiles())
-    files_df = spark.createDataFrame([(f,) for f in all_files], "file string")
+    # one-slice frames for the tiny file/probe lists (tables.local_df):
+    # the default core-count slicing scheduled 32 Python-backed tasks
+    # per scan of a dozens-of-rows frame
+    files_df = local_df(spark, [(f,) for f in all_files], "file string")
     built, persisted = _build_index_dfs(df, table_dir, specs)
     out: dict[str, int] = {}
     for spec in specs:
@@ -349,8 +353,8 @@ def _bloom_candidates(
             for p in plist:
                 w, bit = p // 64, 1 << (p % 64)
                 need[w] = need.get(w, 0) | bit
-        need_df = spark.createDataFrame(
-            [(w, _to_signed64(m)) for w, m in need.items()], "w int, need long"
+        need_df = local_df(
+            spark, [(w, _to_signed64(m)) for w, m in need.items()], "w int, need long"
         )
         sat = entries.join(F.broadcast(need_df), "w").where(
             F.col("b").bitwiseAND(F.col("need")) == F.col("need")
@@ -595,8 +599,8 @@ def update_skip_index(
         df = spark.read.option("basePath", table_dir).parquet(
             *[actual[rel] for rel in missing]
         )
-        missing_df = spark.createDataFrame(
-            [(f,) for f in missing], "file string"
+        missing_df = local_df(
+            spark, [(f,) for f in missing], "file string"
         )
         built, persisted = _build_index_dfs(df, table_dir, group)
         for spec in group:

@@ -25,6 +25,22 @@ TABLE_NAMES = [
 ]
 
 
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """A small driver-side row list as a ONE-slice DataFrame.
+
+    ``createDataFrame(list)`` parallelizes into ``defaultParallelism``
+    Python-backed slices, so every scan of a handful-of-rows frame
+    (dim builds, probe tables, seed frames, file lists) schedules a
+    core-count of tasks, each paying a Python-worker round-trip —
+    measured ~0.4-0.6s per tiny-frame job at local[32]. One slice =
+    one task per scan. Driver-side lists are bounded by construction
+    (≤ ~100k rows everywhere this is used), so one partition is the
+    right layout at any scale."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
