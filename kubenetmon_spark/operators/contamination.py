@@ -37,7 +37,13 @@ def contamination_pairs(
     """(corpus_id, bench_id, shared, bench_total, containment_bp) for
     pairs whose containment >= threshold_bp. Integer basis points
     (floor), so results are engine-exact."""
-    c_sh = shingle_set(corpus, id_col, text_col, n).select(
+    # fanout the CORPUS side only: a single-split corpus serializes the
+    # shingle stage and the broadcast-join map side on one core
+    # (tables.fanout — no-op at scale). The benchmark side stays at its
+    # natural layout — it is tiny and broadcasts.
+    from kubenetmon_spark.tables import fanout
+
+    c_sh = shingle_set(fanout(corpus), id_col, text_col, n).select(
         F.col("_id").alias("corpus_id"), "shingle"
     )
     b_sh = shingle_set(benchmark, id_col, text_col, n).select(
@@ -135,7 +141,12 @@ def embedding_contamination_pairs(
         F.col(vec_col).alias("_bv"),
         _norm(F.col(vec_col)).alias("_bnm"),
     )
-    c = corpus_vecs.select(
+    # fanout the corpus side: per-row cost is |benchmark| JVM fold dot
+    # products, serialized on one core when the corpus is a single
+    # split (tables.fanout — no-op at scale; benchmark broadcasts).
+    from kubenetmon_spark.tables import fanout
+
+    c = fanout(corpus_vecs).select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("_cv"),
         _norm(F.col(vec_col)).alias("_cnm"),

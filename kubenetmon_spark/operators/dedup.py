@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kubenetmon_spark.tables import fanout
+
 
 def _tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
@@ -192,8 +194,10 @@ def jaccard_pairs(
                 "unsafe_exact=True."
             )
     # Materialize the shingle set once — it is scanned three times below
-    # (sizes + both sides of the self-join).
-    sh = shingle_set(df, id_col, text_col, n, max_df).localCheckpoint(eager=True)
+    # (sizes + both sides of the self-join). fanout: a single-split
+    # corpus otherwise serializes the Arrow shingle stage and the join
+    # map sides on one core (tables.fanout — no-op at scale).
+    sh = shingle_set(fanout(df), id_col, text_col, n, max_df).localCheckpoint(eager=True)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("_id").alias("id_1"), "shingle")
     b = sh.select(F.col("_id").alias("id_2"), "shingle")
@@ -228,7 +232,7 @@ def minhash_signatures(
     oracle computes the identical signature), unlike seeded-random
     permutations.
     """
-    sh = shingle_set(df, id_col, text_col, n)
+    sh = shingle_set(fanout(df), id_col, text_col, n)
     hashed = sh.withColumn("h", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))).withColumn(
         "hv", F.md5(F.concat_ws(":", F.col("h"), F.col("shingle")))
     )
@@ -258,7 +262,10 @@ def minhash_lsh_pairs(
     # One tokenization pass: the shingle set feeds BOTH the signature
     # aggregation and the verify join; localCheckpoint materializes it so
     # the Arrow shingle stage runs once, not once per downstream scan.
-    sh = shingle_set(df, id_col, text_col, n).localCheckpoint(eager=True)
+    # fanout: parallelize the Arrow shingle stage and the 8-way md5
+    # min-agg map side when the corpus arrives as fewer-than-core
+    # splits (measured 1.0s -> 0.2s warm at sf0.1; no-op at scale).
+    sh = shingle_set(fanout(df), id_col, text_col, n).localCheckpoint(eager=True)
     # Signatures + set sizes in ONE shuffle over shingle rows: the 8
     # minhashes are columnar MIN aggregates (map-side combined) instead of
     # an 8x exploded (_id, h) row stream — same md5(h ':' shingle) values,
@@ -600,8 +607,8 @@ def duplicate_span_fraction(
                         spans_l.append(" ".join(toks_py[i : i + n]))
                 yield pd.DataFrame({id_col: ids, "span": spans_l})
 
-        spans = df.select(
-            F.col(id_col).cast("long").alias(id_col), text_col
+        spans = fanout(
+            df.select(F.col(id_col).cast("long").alias(id_col), text_col)
         ).mapInPandas(gen, out_schema)
     else:
         toks = F.filter(

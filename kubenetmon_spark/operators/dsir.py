@@ -164,6 +164,13 @@ def gumbel_topk(
 
 
 def _portable_grams(df: DataFrame, id_col: str, text_col: str):
+    # fanout: the interpreted higher-order gram lambdas + per-gram md5
+    # are the dominant CPU of both dsir entry points; a single-split
+    # corpus serializes them on one core (tables.fanout — no-op when
+    # the input already has >= core-count partitions).
+    from kubenetmon_spark.tables import fanout
+
+    df = fanout(df)
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
     )

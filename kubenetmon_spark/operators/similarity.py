@@ -255,6 +255,16 @@ def cosine_near_dup_pairs(
                 "unsafe_exact=True."
             )
     if method == "sql":
+        # fanout: a single-split vector table otherwise runs the O(n^2)
+        # pair scoring on one core — measured 3.1s -> 0.8s warm for the
+        # bounded panel at sf0.1 (no-op when splits >= cores). ONLY the
+        # sql branch: the Arrow-staged methods (lsh/broadcast_matrix)
+        # pay a Python-worker round-trip PER TASK, so fanning a small
+        # corpus out 32 ways costs more than the BLAS it parallelizes
+        # (A/B'd: q273 1.19s -> 2.05s with an unconditional fanout).
+        from kubenetmon_spark.tables import fanout
+
+        vectors = fanout(vectors)
         norm = vectors.select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_v"),

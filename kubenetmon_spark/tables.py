@@ -41,6 +41,35 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     )
 
 
+def fanout(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Scale-adaptive parallelism FLOOR for compute-heavy map stages —
+    the dual of :func:`local_df`.
+
+    A small parquet table arrives as one split (a parquet row group is
+    unsplittable), so every downstream map stage — Arrow tokenize
+    passes, per-gram md5, BLAS batches, O(n^2) bounded self-joins —
+    runs on ONE core until the first exchange, no matter how many are
+    idle. AQE cannot help: it sizes partitions by BYTES, and these
+    stages are CPU-bound at tiny byte sizes (a 0.6 MB document table
+    carries seconds of single-core hashing).
+
+    Repartition to ``defaultParallelism`` ONLY when the input has fewer
+    partitions: at production scale inputs arrive with >= core-count
+    splits and this is a no-op (no exchange added to the plan), so the
+    floor is scale-adaptive rather than a local-mode constant. Apply it
+    to corpus-scale inputs of expensive operators, NOT to tiny frames
+    (broadcast probes, dims — those want :func:`local_df`'s one slice).
+
+    Results are unaffected by layout: house operators are
+    partition-order-independent by design (integer-exact sums,
+    min/count aggregates, per-row hashing).
+    """
+    target = parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":

@@ -2099,3 +2099,51 @@ class TestThirdReviewPassRegressions:
         assert int(r.det) == det
         assert int(r.b1_num) == n1 and int(r.b2_num) == n2
         assert int(r.b0_num) == sy * det - n1 * s1 - n2 * s2
+
+
+class TestFanout:
+    """tables.fanout — the scale-adaptive parallelism floor (r7)."""
+
+    def test_single_partition_input_gets_floored(self, spark):
+        from kubenetmon_spark.tables import fanout
+
+        base = spark.range(0, 1000).coalesce(1)
+        assert base.rdd.getNumPartitions() == 1
+        out = fanout(base, parts=4)
+        assert out.rdd.getNumPartitions() == 4
+        # layout only — values identical
+        assert sorted(r.id for r in out.collect()) == list(range(1000))
+
+    def test_noop_when_input_already_at_floor(self, spark):
+        from kubenetmon_spark.tables import fanout
+
+        base = spark.range(0, 100).repartition(4)
+        out = fanout(base, parts=4)
+        # no repartition node added: the same DataFrame comes back
+        assert out is base
+
+    def test_default_floor_is_default_parallelism(self, spark):
+        from kubenetmon_spark.tables import fanout
+
+        p = spark.sparkContext.defaultParallelism
+        base = spark.range(0, 100).coalesce(1)
+        out = fanout(base)
+        if p > 1:
+            assert out.rdd.getNumPartitions() == p
+        else:
+            assert out is base
+
+    def test_minhash_results_layout_independent(self, spark):
+        # the operator-level guarantee the fanout sites rely on: the
+        # same pairs come out whatever the input partition layout
+        from kubenetmon_spark.operators.dedup import minhash_lsh_pairs
+
+        rows = [
+            (i, "alpha beta gamma delta epsilon zeta eta theta " + str(i % 3))
+            for i in range(24)
+        ]
+        df1 = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+        df8 = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+        got1 = sorted(map(tuple, minhash_lsh_pairs(df1, "doc_id", "text").collect()))
+        got8 = sorted(map(tuple, minhash_lsh_pairs(df8, "doc_id", "text").collect()))
+        assert got1 == got8 and got1
