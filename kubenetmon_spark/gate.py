@@ -12183,6 +12183,11 @@ def q235(spark, sf_dir):
         li.join(p, li["l_partkey"] == p["p_partkey"])
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
         .distinct()
+        # materialize once: the (order, brand) frame feeds FOUR
+        # consumers (the N count action plus cnt and both self-join
+        # sides) and would otherwise re-run the lineitem join+distinct
+        # for each (r7)
+        .localCheckpoint(eager=True)
     )
     n_orders = ob.select("ok").distinct().count()
     cnt = ob.groupBy("brand").agg(F.count("*").alias("n"))
