@@ -1149,7 +1149,14 @@ def covariance_matrix_exact(
     Overflow: |q| ≤ scale, so cov_num ≤ n²·scale² — keep n·scale
     under ~3e9 (e.g. 1e6 rows at scale 1000) or pre-scale down.
     """
-    q = df.select(int_scaled_vec(F.col(vec_col), scale).alias("q"))
+    # fanout: the 2080-terms-per-row explode below is the CPU-heavy map
+    # stage and the corpus often arrives as fewer splits than cores
+    # (no-op once splits >= cores — tables.fanout); both aggregations
+    # read this one scaled frame, so the dim-sums pass no longer
+    # re-scans and re-scales the base column (r7)
+    from kubenetmon_spark.tables import fanout
+
+    q = fanout(df.select(int_scaled_vec(F.col(vec_col), scale).alias("q")))
     pairs = q.select(
         F.explode(
             F.flatten(
@@ -1174,7 +1181,7 @@ def covariance_matrix_exact(
         F.sum("xy").alias("s_ij"), F.count("*").alias("n")
     )
     dim_sums = (
-        df.select(F.posexplode(int_scaled_vec(F.col(vec_col), scale)))
+        q.select(F.posexplode(F.col("q")))
         .groupBy("pos")
         .agg(F.sum("col").alias("s"))
     )
