@@ -7267,8 +7267,14 @@ def q159(spark, sf_dir):
 )
 def q160(spark, sf_dir):
     from kubenetmon_spark.sql import register_sql_surface
+    from kubenetmon_spark.tables import fanout
 
     register_sql_surface(spark, sf_dir)
+    # the JSON map stage runs five get_json_object parses per row and
+    # the events file arrives as one split, so it was single-core
+    # (~22us/row measured); floor its parallelism via the shared
+    # scale-adaptive helper — no exchange once splits >= cores (r7)
+    fanout(spark.table("events")).createOrReplaceTempView("events_fanout_q160")
     return spark.sql(
         """
         WITH j AS (
@@ -7280,7 +7286,7 @@ def q160(spark, sf_dir):
                              ELSE 'false' END,
                         ', "arr": [', CAST(user_id AS STRING), ', ',
                         CAST(event_id % 7 AS STRING), ']}') AS doc
-          FROM events
+          FROM events_fanout_q160
         )
         SELECT event_type,
                SUM(JSONExtractInt(doc, 'a')) AS s_a,
