@@ -268,8 +268,14 @@ def build_skip_index(
     # per scan of a dozens-of-rows frame
     files_df = local_df(spark, [(f,) for f in all_files], "file string")
     built, persisted = _build_index_dfs(df, table_dir, specs)
-    out: dict[str, int] = {}
-    for spec in specs:
+    # Materialize shared frames BEFORE the writes run: the persisted
+    # distinct frame feeds two index writes, and with the writes now
+    # submitted concurrently a cold cache would be computed once per
+    # racing consumer instead of once.
+    for d in persisted:
+        d.count()
+
+    def _write_one(spec: IndexSpec) -> None:
         dtype = df.schema[spec.column].dataType.simpleString()
         dest = _join(index_dir, spec.name)
         # left-complete so ZERO-ROW files get a (null-payload) index row:
@@ -283,6 +289,22 @@ def build_skip_index(
         # per-file result rows into the one output file.
         idx.repartition(1).write.mode("overwrite").parquet(dest)
         _write_spec(dest, spec, dtype)
+
+    if len(specs) > 1:
+        # The per-spec index jobs are independent (disjoint dests, all
+        # inputs materialized above); submitting them concurrently
+        # overlaps their scheduling/stage gaps — each job alone leaves
+        # most executor slots idle between its tiny stages.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(specs))) as ex:
+            list(ex.map(_write_one, specs))
+    else:
+        for spec in specs:
+            _write_one(spec)
+
+    out: dict[str, int] = {}
+    for spec in specs:
         # every build frame aggregates to AT MOST one row per file
         # (groupBy(file) throughout _build_index_dfs) and the
         # left-complete join pins the row count to the file list —
@@ -401,6 +423,69 @@ def _query_terms(op: str, value, spec: dict) -> list[list] | None:
     return None
 
 
+def _cand_known(
+    spark: SparkSession,
+    index_dir: str,
+    name: str,
+    op: str,
+    value,
+) -> tuple[set[str] | None, set[str] | None]:
+    """(candidate files, files KNOWN to this index) in one index read.
+
+    Candidates ``None`` = the index cannot serve ``op`` (no pruning from
+    me, and no job runs).  For minmax/set the match flag rides the same
+    collect that enumerates the index's file column — one job per index
+    per condition instead of a match collect plus a separate
+    known-files collect (``read_indexed`` was paying two tiny-job
+    scheduling round-trips per index, r7); minmax ``in`` likewise folds
+    its per-value point probes into ONE collect (a file matches the OR
+    of the point conditions exactly when it is in the union of the
+    per-value candidate sets).  The bloom family keeps its distributed
+    probe join (the part-list memory contract: only matching names are
+    ever collected), so its known set comes back ``None`` and the
+    caller collects/caches the file column once per index.
+    """
+    specs = list_indexes(index_dir)
+    if name not in specs:
+        raise KeyError(f"no index {name!r} under {index_dir}")
+    spec = specs[name]
+    idx = spark.read.parquet(_join(index_dir, name))
+    dtype = spec["dtype"]
+    kind = spec["kind"]
+    if kind == "minmax":
+        if op == "eq":
+            points = [(F.lit(value).cast(dtype),) * 2]
+        elif op == "in":  # union of per-value point probes (tighter than a range)
+            points = [(F.lit(v).cast(dtype),) * 2 for v in value]
+        elif op == "between":
+            points = [(F.lit(value[0]).cast(dtype), F.lit(value[1]).cast(dtype))]
+        else:
+            return None, None
+        cond = F.lit(False)
+        for lo, hi in points:
+            cond = cond | ((hi >= F.col("min_v")) & (lo <= F.col("max_v")))
+        rows = idx.select("file", cond.alias("m")).collect()
+        return {r.file for r in rows if r.m}, {r.file for r in rows}
+    if kind == "set":
+        if op == "eq":
+            vals = [value]
+        elif op == "in":
+            vals = list(value)
+        else:
+            return None, None
+        cond = F.col("vals").isNull()  # overflowed file: cannot exclude
+        for v in vals:
+            cond = cond | F.array_contains(F.col("vals"), F.lit(v).cast(dtype))
+        rows = idx.select("file", cond.alias("m")).collect()
+        return {r.file for r in rows if r.m}, {r.file for r in rows}
+    groups = _query_terms(op, value, spec)
+    if groups is None:
+        return None, None
+    if not groups or any(len(g) == 0 for g in groups):
+        return None, None
+    return _bloom_candidates(spark, idx, spec, groups, dtype), None
+
+
 def candidate_files(
     spark: SparkSession,
     index_dir: str,
@@ -414,47 +499,7 @@ def candidate_files(
     set index that overflowed everywhere) — meaning "no pruning from me".
     A returned set is a PROOF that every other file has no matching row.
     """
-    specs = list_indexes(index_dir)
-    if name not in specs:
-        raise KeyError(f"no index {name!r} under {index_dir}")
-    spec = specs[name]
-    idx = spark.read.parquet(_join(index_dir, name))
-    dtype = spec["dtype"]
-    kind = spec["kind"]
-    if kind == "minmax":
-        if op == "in":  # union of per-value point probes (tighter than a range)
-            out: set[str] = set()
-            for v in value:
-                out |= candidate_files(spark, index_dir, name, "eq", v)
-            return out
-        if op == "eq":
-            lo = hi = F.lit(value).cast(dtype)
-        elif op == "between":
-            lo, hi = F.lit(value[0]).cast(dtype), F.lit(value[1]).cast(dtype)
-        else:
-            return None
-        rows = idx.where(
-            (hi >= F.col("min_v")) & (lo <= F.col("max_v"))
-        ).select("file").collect()
-        return {r.file for r in rows}
-    if kind == "set":
-        if op == "eq":
-            vals = [value]
-        elif op == "in":
-            vals = list(value)
-        else:
-            return None
-        cond = F.col("vals").isNull()  # overflowed file: cannot exclude
-        for v in vals:
-            cond = cond | F.array_contains(F.col("vals"), F.lit(v).cast(dtype))
-        rows = idx.where(cond).select("file").collect()
-        return {r.file for r in rows}
-    groups = _query_terms(op, value, spec)
-    if groups is None:
-        return None
-    if not groups or any(len(g) == 0 for g in groups):
-        return None
-    return _bloom_candidates(spark, idx, spec, groups, dtype)
+    return _cand_known(spark, index_dir, name, op, value)[0]
 
 
 def _spark_predicate(column: str, op: str, value) -> Column:
@@ -510,21 +555,47 @@ def read_indexed(
     for name, s in specs.items():
         by_col.setdefault(s["column"], []).append(name)
 
+    # Each (condition, index) probe is an independent tiny job; submit
+    # them concurrently (the probe was a serial chain of sub-second
+    # collects whose cost was scheduling gaps, r7) and merge the results
+    # afterwards — set intersection/union is order-insensitive, so the
+    # outcome is identical to the old sequential loop.
+    probes = [
+        (column, op, value, name)
+        for column, op, value in conditions
+        for name in by_col.get(column, ())
+    ]
+
+    def _probe(args):
+        column, op, value, name = args
+        return name, _cand_known(spark, index_dir, name, op, value)
+
+    if len(probes) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(probes))) as ex:
+            results = list(ex.map(_probe, probes))
+    else:
+        results = [_probe(p) for p in probes]
+
     keep: set[str] | None = None  # None = no index applied yet
     known: set[str] = set()
-    for column, op, value in conditions:
-        for name in by_col.get(column, ()):
-            cand = candidate_files(spark, index_dir, name, op, value)
-            if cand is None:
-                continue
-            idx_files = {
-                r.file
-                for r in spark.read.parquet(_join(index_dir, name))
-                .select("file")
-                .collect()
-            }
-            known |= idx_files
-            keep = cand if keep is None else (keep & cand)
+    known_by_name: dict[str, set[str]] = {}  # one file-list collect per index
+    for name, (cand, idx_files) in results:
+        if cand is None:
+            continue
+        if idx_files is None:  # bloom family: collect once, cache
+            idx_files = known_by_name.get(name)
+            if idx_files is None:
+                idx_files = {
+                    r.file
+                    for r in spark.read.parquet(_join(index_dir, name))
+                    .select("file")
+                    .collect()
+                }
+        known_by_name[name] = idx_files
+        known |= idx_files
+        keep = cand if keep is None else (keep & cand)
 
     if keep is None:
         return full.where(pred) if pred is not None else full

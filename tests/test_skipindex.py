@@ -284,3 +284,67 @@ def test_explain_prune_reports_decisive_indexes(indexed_table):
         [("uid", "eq", 3), ("val", "eq", 5), ("text", "has_token", "word3")],
     )
     assert len(got.inputFiles()) == combined["n_candidates"]
+
+
+def test_cand_known_one_pass_matches_candidate_files(indexed_table):
+    """r7: minmax/set probes return (candidates, known) from ONE collect —
+    the known set must be the index's complete file list and the
+    candidate set identical to the public candidate_files answer,
+    including the minmax IN path (one OR'd collect must equal the union
+    of per-value point probes)."""
+    from kubenetmon_spark.operators.skipindex import _cand_known
+
+    spark, tbl, idx = indexed_table
+    all_files = {
+        r.file
+        for r in spark.read.parquet(idx + "/uid__minmax").select("file").collect()
+    }
+    for name, op, value in [
+        ("uid__minmax", "eq", 3),
+        ("uid__minmax", "in", [1, 7]),
+        ("uid__minmax", "between", (2, 4)),
+        ("uid__set", "eq", 3),
+        ("uid__set", "in", [1, 7]),
+        ("val__set", "eq", 5),  # overflowed: every file survives
+    ]:
+        cand, known = _cand_known(spark, idx, name, op, value)
+        assert known == all_files, (name, op)
+        assert cand == candidate_files(spark, idx, name, op, value), (name, op)
+    # minmax IN == union of point probes (the old recursive shape)
+    union = candidate_files(spark, idx, "uid__minmax", "eq", 1) | candidate_files(
+        spark, idx, "uid__minmax", "eq", 7
+    )
+    assert _cand_known(spark, idx, "uid__minmax", "in", [1, 7])[0] == union
+    # bloom family: candidates distributed, known deferred to the caller
+    cand, known = _cand_known(spark, idx, "uid__bloom", "eq", 3)
+    assert known is None and cand is not None
+    # unsupported op: no probe at all
+    assert _cand_known(spark, idx, "uid__bloom", "between", (1, 2)) == (None, None)
+
+
+def test_concurrent_build_identical_to_single_spec_builds(spark, tmp_path):
+    """r7: build_skip_index submits multi-spec index writes concurrently;
+    the stored index rows must be byte-identical to three single-spec
+    (serial) builds over the same table."""
+    tbl = str(tmp_path / "tbl")
+    spark.range(0, 2000).selectExpr(
+        "id", "CAST(id DIV 250 AS INT) AS uid"
+    ).repartitionByRange(8, "id").write.parquet(tbl)
+    specs = [
+        IndexSpec("uid", "minmax"),
+        IndexSpec("uid", "bloom", bits=512, hashes=3),
+        IndexSpec("uid", "set", max_values=16),
+    ]
+    multi, single = str(tmp_path / "multi"), str(tmp_path / "single")
+    build_skip_index(spark, tbl, specs, multi)
+    for s in specs:
+        build_skip_index(spark, tbl, [s], single)
+    assert list_indexes(multi) == list_indexes(single)
+    for s in specs:
+        a = sorted(
+            map(repr, spark.read.parquet(multi + "/" + s.name).collect())
+        )
+        b = sorted(
+            map(repr, spark.read.parquet(single + "/" + s.name).collect())
+        )
+        assert a == b, s.name
