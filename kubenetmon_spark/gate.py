@@ -15485,8 +15485,14 @@ def q289(spark, sf_dir):
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
     )
     kept = d.filter(F.col("n_tokens") >= 20)
-    uniq = drop_exact_duplicates(kept, "doc_id", "text").select(
-        "doc_id", "source", "n_tokens"
+    # the slim post-dedup frame feeds two jobs (the totals collect and
+    # the pack chain's materialization) — checkpoint it once so the
+    # scan + fingerprint-dedup chain runs once, not per consumer (r7;
+    # the q235 multi-consumer precedent)
+    uniq = (
+        drop_exact_duplicates(kept, "doc_id", "text")
+        .select("doc_id", "source", "n_tokens")
+        .localCheckpoint(eager=True)
     )
     totals = {
         r["source"]: r["n"]
