@@ -156,7 +156,7 @@ def format_round_adjudications(detail: dict) -> str:
 def _write_adjudications_to_plan_audit(
     detail: dict, audit_path: str | Path | None = None
 ) -> None:
-    audit = Path(audit_path or Path(__file__).resolve().parent / "PLAN_AUDIT.md")
+    audit = Path(audit_path or _out_dir() / "PLAN_AUDIT.md")
     section = format_round_adjudications(detail)
     if not audit.exists() or not section:
         return
@@ -166,6 +166,20 @@ def _write_adjudications_to_plan_audit(
         # replace our previous section (it is always the file's tail)
         text = text[:cut].rstrip() + "\n"
     audit.write_text(text.rstrip() + "\n" + section)
+
+
+def _out_dir() -> Path:
+    """Where generated artifacts (BENCH_DETAIL.json, the PLAN_AUDIT.md
+    adjudication tail) land. Default: repo root — the CLOSING record.
+    Smokes and one-off runs set $SPARK_GRAFT_BENCH_OUT to a scratch dir
+    so they stop clobbering the committed records (VERDICT r07 #3/#7:
+    an sf0.01 smoke once overwrote the sf0.1 closing detail)."""
+    out = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out:
+        p = Path(out)
+        p.mkdir(parents=True, exist_ok=True)
+        return p
+    return Path(__file__).resolve().parent
 
 
 def main() -> int:
@@ -220,13 +234,7 @@ def main() -> int:
     # (the pipeline inside one streaming micro-batch), measured on a warm
     # session so it reflects the plan, not JVM startup.
     from kubenetmon_spark.demo import DEMO_CFG, build_flow_inputs
-    from kubenetmon_spark.operators.flows import summing_aggregate, to_flow_rows
-    from kubenetmon_spark.operators.label import (
-        label_flows,
-        prepare_label_dims,
-        split_rejected,
-    )
-
+    from kubenetmon_spark.operators.label import prepare_label_dims
     from kubenetmon_spark.operators.lpm import disjoint_prefixes
 
     obs, pods, nodes, prefixes = build_flow_inputs(spark, sf_dir)
@@ -241,24 +249,36 @@ def main() -> int:
     # (prepare_label_dims — start_flow_stream's exact micro-batch
     # posture, which is the pipeline this measures); noted with
     # old numbers in OPTIMIZATION_r07.md.
-    dim = disjoint_prefixes(prefixes).persist()
+    dim = disjoint_prefixes(prefixes).repartition(1).persist()
     dim.count()
     prepared = prepare_label_dims(pods, nodes)
+    # r8: start_flow_stream's micro-batch now binds the batch under a
+    # temp view and runs ONE prebuilt SQL text (flowsql.py — built once
+    # per dimension refresh, like the dims above). The ingest bench
+    # measures that exact posture: the timed region is the per-batch
+    # work (view bind + spark.sql + execution); the once-per-refresh
+    # text build sits outside it, like dim prep. The DataFrame-path
+    # equivalent (label_flows -> split -> fan-out -> summing_aggregate)
+    # is pinned row-identical by tests/test_flowsql.py.
+    from kubenetmon_spark.flowsql import (
+        collect_lpm_segments,
+        flow_batch_sql,
+        register_flow_dim_views,
+        supports_sql_path,
+    )
+
+    assert supports_sql_path(DEMO_CFG, prepared)
+    _views = register_flow_dim_views(spark, prepared, dim, tag="bench")
+    _segments = collect_lpm_segments(dim)
+    _ingest_sql = flow_batch_sql(
+        DEMO_CFG, prepared, "_bench_ingest_obs", *_views, _segments
+    )
 
     def run_ingest():
-        labeled = label_flows(
-            obs,
-            pods,
-            nodes,
-            dim,
-            DEMO_CFG,
-            prefixes_are_disjoint=True,
-            prepared=prepared,
-        )
-        accepted, _ = split_rejected(labeled)
-        summing_aggregate(to_flow_rows(accepted)).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        obs.createOrReplaceTempView("_bench_ingest_obs")
+        spark.sql(_ingest_sql).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     # BASELINE.md's >= 20k obs/s floor is a SUSTAINED rate (20 workers
     # flushing 15k-row batches every 30s, forever) — so measure steady
@@ -288,21 +308,16 @@ def main() -> int:
     wire = encode_observations_df(obs).persist()
     wire.count()
 
+    _proto_sql = flow_batch_sql(
+        DEMO_CFG, prepared, "_bench_proto_obs", *_views, _segments
+    )
+
     def run_proto_ingest():
         decoded = parse_proto_observations(wire)
-        labeled = label_flows(
-            decoded,
-            pods,
-            nodes,
-            dim,
-            DEMO_CFG,
-            prefixes_are_disjoint=True,
-            prepared=prepared,
-        )
-        accepted, _ = split_rejected(labeled)
-        summing_aggregate(to_flow_rows(accepted)).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        decoded.createOrReplaceTempView("_bench_proto_obs")
+        spark.sql(_proto_sql).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     run_proto_ingest()
     proto_s = None
@@ -398,7 +413,7 @@ def main() -> int:
     # Regression diff vs the previous run's full detail (if present):
     # a query is flagged when it got both absolutely (>0.3 s) and
     # relatively (>1.5x) slower — plan regressions, not timer noise.
-    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path = _out_dir() / "BENCH_DETAIL.json"
     regressions = []
     if detail_path.exists():
         try:
@@ -487,6 +502,8 @@ def main() -> int:
         json.dumps(
             {
                 "sf": sf,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
                 "total_s": total,
                 "queries": timings,
                 "ingest_obs_per_sec": ingest_rate,
@@ -519,6 +536,12 @@ def main() -> int:
                 "queries": slowest,
                 "n_queries": len(timings),
                 "sf": sf,
+                # scaling contract made self-evident (VERDICT r07 #2):
+                # the EFFECTIVE parallelism and master, read back from
+                # the live context — proof the $SPARK_GRAFT_CPUS env was
+                # honored, not just echoed.
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
                 "ingest_obs_per_sec": ingest_rate,
                 "ingest_proto_obs_per_sec": proto_rate,
                 "ingest_obs": n_obs,

@@ -2058,8 +2058,13 @@ def q56(spark, sf_dir):
     # at sf0.1, guide §1.2 "fix the distributed algorithm first").
     # exact_users = distinct-then-count, bit-identical to
     # COUNT(DISTINCT); the sketches see the same rows as before.
+    # The isNotNull filter keeps COUNT(DISTINCT) semantics for ANY
+    # input (a NULL user_id must not count as a distinct user —
+    # ADVICE r07); a no-op on NULL-free data, so the oracle hash is
+    # unchanged.
     s1 = (
         ev.select("event_type", "user_id")
+        .filter(F.col("user_id").isNotNull())
         .distinct()
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("exact_users"))

@@ -591,7 +591,13 @@ def duplicate_span_fraction(
                 StructField("span", StringType(), True),
             ]
         )
-        ws = _re.compile(r"\s+")
+        # ASCII-only \s+, matching Java's default \s exactly
+        # [ \t\n\x0B\f\r]: Python's Unicode-aware \s also splits on
+        # U+00A0/U+2028/U+1680 etc., which would break the documented
+        # invariant that this tokenizes byte-identically with the
+        # string-id expression path and remove_duplicate_spans
+        # (ADVICE r07).
+        ws = _re.compile(r"\s+", _re.ASCII)
 
         def gen(batches):
             import pandas as pd

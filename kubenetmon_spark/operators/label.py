@@ -56,6 +56,96 @@ def _sql_lit(s: str) -> str:
 LITERAL_NODE_DIM_LIMIT = 10_000
 
 
+def _pick(local_side: str, remote_side: str, col: str, alias: str) -> str:
+    """P4 orientation CASE (reference labeler.go:276-331): toPodOnNode
+    flips which endpoint is 'local' and which counters flow 'out'."""
+    return (
+        f"CASE WHEN flow_type = 'toPodOnNode' THEN {remote_side}_{col} "
+        f"ELSE {local_side}_{col} END AS {alias}"
+    )
+
+
+def p4_select_exprs() -> list[str]:
+    """The P4 local/remote normalization block as SQL expression strings
+    — shared verbatim by the DataFrame path below and the per-batch
+    SQL-text path (flowsql.py), so both orient endpoints and counters
+    identically by construction."""
+    sel = [
+        _pick("src", "dst", "ip", "local_ip"),
+        _pick("src", "dst", "port", "local_port"),
+        _pick("dst", "src", "ip", "remote_ip"),
+        _pick("dst", "src", "port", "remote_port"),
+        # bytes_out: toPodOnNode -> reply counters, else orig (and the
+        # mirror for bytes_in) — remote_side is the THEN branch
+        _pick("orig", "reply", "bytes", "bytes_out"),
+        _pick("reply", "orig", "bytes", "bytes_in"),
+        _pick("orig", "reply", "packets", "packets_out"),
+        _pick("reply", "orig", "packets", "packets_in"),
+    ]
+    for f in _POD_FIELDS:
+        sel.append(_pick("src", "dst", f"pod_{f}", f"local_pod_{f}"))
+        sel.append(_pick("dst", "src", f"pod_{f}", f"remote_pod_{f}"))
+    return sel
+
+
+def zone_map_sql(zone_map: dict) -> str:
+    """The zone lookup as ONE SQL map-literal string (the reference's
+    in-memory Go map, labeler.go:341-346) — shared by label_flows'
+    literal path and flowsql.py."""
+    if zone_map:
+        entries = ", ".join(
+            f"{_sql_lit(k)}, " + ("NULL" if v is None else _sql_lit(v))
+            for k, v in sorted(zone_map.items())
+        )
+        return f"map({entries})"
+    return "CAST(map() AS MAP<STRING,STRING>)"
+
+
+def final_select_exprs(cfg: RuntimeConfig, reject_col: str = "_r") -> list[str]:
+    """P5/P9/P2 output projection as SQL expression strings — shared by
+    the DataFrame path and flowsql.py so the output schema and every
+    coalesce/fallback rule stay identical by construction."""
+    return [
+        "ts",
+        f"{reject_col} AS reject_reason",
+        "flow_type",
+        f"{_sql_lit(cfg.environment)} AS environment",
+        f"{_sql_lit(cfg.cluster)} AS cluster",
+        "_flags AS connectionFlags",
+        f"{_sql_lit(cfg.cloud)} AS localCloud",
+        f"{_sql_lit(cfg.region)} AS localRegion",
+        "'' AS localCell",
+        "local_az AS localAvailabilityZone",
+        "coalesce(local_pod_node_name, '') AS localNode",
+        "coalesce(local_pod_label_control_plane_id, '') AS localInstanceID",
+        "coalesce(local_pod_namespace, '') AS localNamespace",
+        "coalesce(local_pod_name, '') AS localPod",
+        "coalesce(local_pod_label_app, local_pod_label_k8s_app, '') AS localApp",
+        "local_ip AS localIPv4",
+        "local_port AS localPort",
+        "CASE WHEN proto = 6 THEN 'TCP' WHEN proto = 17 THEN 'UDP' "
+        "ELSE CAST(proto AS STRING) END AS proto",
+        "connection_class AS connectionClass",
+        "remote_cloud AS remoteCloud",
+        "remote_region AS remoteRegion",
+        "'' AS remoteCell",
+        "remote_az AS remoteAvailabilityZone",
+        "'UNKNOWN' AS remoteCluster",  # reference labeler.go:375
+        "coalesce(remote_pod_node_name, '') AS remoteNode",
+        "coalesce(remote_pod_label_control_plane_id, '') AS remoteInstanceID",
+        "coalesce(remote_pod_namespace, '') AS remoteNamespace",
+        "coalesce(remote_pod_name, '') AS remotePod",
+        "coalesce(remote_pod_label_app, remote_pod_label_k8s_app, '') AS remoteApp",
+        "remote_ip AS remoteIPv4",
+        "remote_port AS remotePort",
+        "remote_service AS remoteService",
+        "bytes_out",
+        "bytes_in",
+        "packets_out",
+        "packets_in",
+    ]
+
+
 def prepare_label_dims(pods: DataFrame, nodes: DataFrame) -> dict:
     """Derive + persist the labeler's three dimension subtrees ONCE for
     long-lived callers (the streaming jobs): the pod-by-IP index with
@@ -75,7 +165,14 @@ def prepare_label_dims(pods: DataFrame, nodes: DataFrame) -> dict:
     endpoint sides) become zero, which is pure per-micro-batch fixed
     cost at streaming trigger rates. Collection happens HERE, once per
     dimension refresh, never per batch."""
-    pod_dim = pods_with_ambiguity(pods).persist()
+    # repartition(1) before the persist: the cached dim is scanned once
+    # or twice per micro-batch to BUILD its broadcast, and a cached
+    # aggregation output keeps the full shuffle-partition layout (AQE
+    # may not change cached-plan partitioning), so every build was a
+    # 32-task job over slivers. One partition = one-task builds. Any
+    # pod dim eligible for broadcast (hard 8 GB cap) trivially fits a
+    # single partition, so this is not a local-mode constant.
+    pod_dim = pods_with_ambiguity(pods).repartition(1).persist()
     pod_dim.count()
     # Collect the node literals FIRST — when they fit (the
     # overwhelmingly common case) the node-dim DataFrames never appear
@@ -345,29 +442,9 @@ def label_flows(
     # plan construction runs once per micro-batch in the streaming jobs,
     # and per-Column building cost (a JVM roundtrip per op) was ~30% of
     # a small batch's trigger time — selectExpr moves the parse JVM-side.
-    def pick(local_side: str, remote_side: str, col: str, alias: str) -> str:
-        return (
-            f"CASE WHEN flow_type = 'toPodOnNode' THEN {remote_side}_{col} "
-            f"ELSE {local_side}_{col} END AS {alias}"
-        )
-
-    sel = [
-        pick("src", "dst", "ip", "local_ip"),
-        pick("src", "dst", "port", "local_port"),
-        pick("dst", "src", "ip", "remote_ip"),
-        pick("dst", "src", "port", "remote_port"),
-        # bytes_out: toPodOnNode -> reply counters, else orig (and the
-        # mirror for bytes_in) — remote_side is the THEN branch
-        pick("orig", "reply", "bytes", "bytes_out"),
-        pick("reply", "orig", "bytes", "bytes_in"),
-        pick("orig", "reply", "packets", "packets_out"),
-        pick("reply", "orig", "packets", "packets_in"),
-    ]
-    for f in _POD_FIELDS:
-        sel.append(pick("src", "dst", f"pod_{f}", f"local_pod_{f}"))
-        sel.append(pick("dst", "src", f"pod_{f}", f"remote_pod_{f}"))
     obs = obs.selectExpr(
-        "node_name", "ts", "proto", "flow_type", "_r", "_flags", *sel
+        "node_name", "ts", "proto", "flow_type", "_r", "_flags",
+        *p4_select_exprs(),
     )
 
     # J6 private-IP short-circuit + J5 LPM + J7 classification
@@ -521,15 +598,7 @@ def label_flows(
         # In-plan literal map (the reference's Go map cache): one
         # element_at per side instead of two broadcast joins. Built as
         # a single SQL string — ONE py4j roundtrip however many nodes.
-        if zone_map:
-            entries = ", ".join(
-                f"{_sql_lit(k)}, "
-                + ("NULL" if v is None else _sql_lit(v))
-                for k, v in sorted(zone_map.items())
-            )
-            zmap_sql = f"map({entries})"
-        else:
-            zmap_sql = "CAST(map() AS MAP<STRING,STRING>)"
+        zmap_sql = zone_map_sql(zone_map)
         obs = obs.selectExpr(
             "*",
             f"coalesce(element_at({zmap_sql}, local_pod_node_name), '')"
@@ -571,46 +640,7 @@ def label_flows(
     # P2 proto rendering. SQL-string projection (one roundtrip, see the
     # P4 note); cfg-derived literals go through _sql_lit so a quote in
     # a config value cannot break out of the string literal.
-    out = obs.selectExpr(
-        "ts",
-        "_r AS reject_reason",
-        "flow_type",
-        f"{_sql_lit(cfg.environment)} AS environment",
-        f"{_sql_lit(cfg.cluster)} AS cluster",
-        "_flags AS connectionFlags",
-        f"{_sql_lit(cfg.cloud)} AS localCloud",
-        f"{_sql_lit(cfg.region)} AS localRegion",
-        "'' AS localCell",
-        "local_az AS localAvailabilityZone",
-        "coalesce(local_pod_node_name, '') AS localNode",
-        "coalesce(local_pod_label_control_plane_id, '') AS localInstanceID",
-        "coalesce(local_pod_namespace, '') AS localNamespace",
-        "coalesce(local_pod_name, '') AS localPod",
-        "coalesce(local_pod_label_app, local_pod_label_k8s_app, '') AS localApp",
-        "local_ip AS localIPv4",
-        "local_port AS localPort",
-        "CASE WHEN proto = 6 THEN 'TCP' WHEN proto = 17 THEN 'UDP' "
-        "ELSE CAST(proto AS STRING) END AS proto",
-        "connection_class AS connectionClass",
-        "remote_cloud AS remoteCloud",
-        "remote_region AS remoteRegion",
-        "'' AS remoteCell",
-        "remote_az AS remoteAvailabilityZone",
-        "'UNKNOWN' AS remoteCluster",  # reference labeler.go:375
-        "coalesce(remote_pod_node_name, '') AS remoteNode",
-        "coalesce(remote_pod_label_control_plane_id, '') AS remoteInstanceID",
-        "coalesce(remote_pod_namespace, '') AS remoteNamespace",
-        "coalesce(remote_pod_name, '') AS remotePod",
-        "coalesce(remote_pod_label_app, remote_pod_label_k8s_app, '') AS remoteApp",
-        "remote_ip AS remoteIPv4",
-        "remote_port AS remotePort",
-        "remote_service AS remoteService",
-        "bytes_out",
-        "bytes_in",
-        "packets_out",
-        "packets_in",
-    )
-    return out
+    return obs.selectExpr(*final_select_exprs(cfg))
 
 
 def split_rejected(labeled: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -506,7 +506,12 @@ def ngram_distance_to_probe(
             cnt = F.regexp_count(
                 F.col(text_col), F.lit("(?=" + _re.escape(g) + ")")
             )
-            common_e = common_e + F.least(cnt, F.lit(c)).cast("long")
+            # coalesce: regexp_count(NULL) is NULL and least() skips
+            # nulls, so a NULL text would otherwise count as FULL gram
+            # overlap (ADVICE r07) — the explode path counts it as 0.
+            common_e = common_e + F.least(
+                F.coalesce(cnt, F.lit(0)), F.lit(c)
+            ).cast("long")
         dist = F.when(denom == 0, F.lit(0)).otherwise(
             ((denom - 2 * common_e) * 10000).cast("bigint") / denom
         )
@@ -735,7 +740,11 @@ def ngram_search_to_probe(
             cnt = F.regexp_count(
                 F.col(text_col), F.lit("(?=" + _re.escape(g) + ")")
             )
-            common_e = common_e + F.least(cnt, F.lit(c)).cast("long")
+            # coalesce: see the distance fast path above — NULL text
+            # must count 0 common grams, not full containment.
+            common_e = common_e + F.least(
+                F.coalesce(cnt, F.lit(0)), F.lit(c)
+            ).cast("long")
         sim = (
             F.lit(0)
             if size_b == 0

@@ -194,35 +194,54 @@ def start_rates_stream(
             # days and un-recomputed buckets are byte-stable.
             d_lo, d_hi = t_lo // 86400, t_hi // 86400
             keep_old = None
-            # read_state_or_none, not a bare read: a crashed FIRST grid
-            # write leaves out_path holding only _temporary — the
-            # replayed batch must see "no committed grid yet", not die
-            # on schema inference (streaming/state.py's documented
-            # distinction).
+            # read_state_or_none below, not a bare read: a crashed
+            # FIRST grid write leaves out_path holding only _temporary
+            # — the replayed batch must see "no committed grid yet",
+            # not die on schema inference (streaming/state.py's
+            # documented distinction).
             from kubenetmon_spark.streaming.state import read_state_or_none
 
-            prev = read_state_or_none(spark, out_path)
-            if prev is not None:
-                if "bucket_day" not in prev.columns:
-                    raise RuntimeError(
-                        f"rates table at {out_path} uses the legacy "
-                        "per-bucket partition layout; rebuild it (drop "
-                        "the directory and replay the checkpoint) "
-                        "before resuming with the day-partitioned sink"
-                    )
-                keep_old = (
-                    prev.filter(
-                        F.col("bucket_day").between(d_lo, d_hi)
-                        & (
-                            (F.col("bucket_ts") < t_lo)
-                            | (F.col("bucket_ts") > t_hi)
+            stage = _fsm.join(out_path, "_keep_stage", f"batch={batch_id}")
+            fsg = _fsm.get_fs(out_path, spark)
+            # The keep_old slice is UNRECOVERABLE once the dynamic
+            # overwrite has deleted its partitions (its source samples
+            # aged out of the buffer), and the overwrite commit is not
+            # atomic: a crash between partition delete and publish
+            # would lose those buckets for good (ADVICE r07). So the
+            # slice is STAGED DURABLY before the overwrite — under
+            # ``_keep_stage/batch=N`` inside the grid dir (underscore
+            # prefix: invisible to parquet readers, untouched by the
+            # dynamic overwrite) — and the overwrite reads it back
+            # from the stage. A replayed batch that finds its own
+            # committed stage reuses it VERBATIM and FIRST — before
+            # even looking at the (possibly partially-deleted) grid —
+            # so recovery holds whatever state the crashed commit
+            # left, including every touched day dir gone.
+            if fsg.is_file(_fsm.join(stage, "_SUCCESS")):
+                keep_old = spark.read.parquet(stage)
+            else:
+                prev = read_state_or_none(spark, out_path)
+                if prev is not None:
+                    if "bucket_day" not in prev.columns:
+                        raise RuntimeError(
+                            f"rates table at {out_path} uses the legacy "
+                            "per-bucket partition layout; rebuild it (drop "
+                            "the directory and replay the checkpoint) "
+                            "before resuming with the day-partitioned sink"
                         )
+                    (
+                        prev.filter(
+                            F.col("bucket_day").between(d_lo, d_hi)
+                            & (
+                                (F.col("bucket_ts") < t_lo)
+                                | (F.col("bucket_ts") > t_hi)
+                            )
+                        )
+                        .select(*grid.columns)
+                        .write.mode("overwrite")
+                        .parquet(stage)
                     )
-                    .select(*grid.columns)
-                    # materialize BEFORE the overwrite deletes the
-                    # very partitions this slice was read from
-                    .localCheckpoint(eager=True)
-                )
+                    keep_old = spark.read.parquet(stage)
             out = grid if keep_old is None else grid.unionByName(keep_old)
             # exact floor division (pmod >= 0), matching the driver's
             # Python `//` for any sign of bucket_ts
@@ -239,6 +258,11 @@ def start_rates_stream(
                 .partitionBy("bucket_day")
                 .parquet(out_path)
             )
+            # grid committed: the stages are transient per-batch state
+            # (a replayed batch re-stages), so drop them all
+            stage_root = _fsm.join(out_path, "_keep_stage")
+            if fsg.is_dir(stage_root):
+                fsg.delete_dir(stage_root)
         # merged's max is max(buffer max, this batch's hi) — known on the
         # driver already, no extra job over merged
         max_seen = (

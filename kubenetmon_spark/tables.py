@@ -63,11 +63,57 @@ def fanout(df: DataFrame, parts: int | None = None) -> DataFrame:
     Results are unaffected by layout: house operators are
     partition-order-independent by design (integer-exact sums,
     min/count aggregates, per-row hashing).
+
+    The partition probe (``df.rdd``) runs ONLY on scan-level inputs
+    (scans plus narrow projections/filters/generates): with AQE,
+    converting a frame with upstream exchanges to an RDD finalizes and
+    can eagerly EXECUTE those query stages just to read a partition
+    count, and that work is not reused by the returned plan (ADVICE
+    r07). A post-exchange frame already carries >= shuffle-partition
+    parallelism, so the floor is a no-op for it anyway — return it
+    unchanged, probe-free.
     """
+    if _has_exchange(df):
+        return df
     target = parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+#: Logical nodes that put an exchange (or a Python stage boundary)
+#: between the scan and the frame — .rdd on such a frame can eagerly
+#: run those stages under AQE just to read a partition count.
+_EXCHANGE_NODES = frozenset(
+    {
+        "Aggregate",
+        "Join",
+        "Repartition",
+        "RepartitionByExpression",
+        "RebalancePartitions",
+        "Window",
+        "Sort",
+        "Deduplicate",
+        "Intersect",
+        "Except",
+        "FlatMapGroupsInPandas",
+        "FlatMapGroupsInArrow",
+        "CoGroup",
+    }
+)
+
+
+def _has_exchange(df: DataFrame) -> bool:
+    """True when the ANALYZED logical plan (no optimization, no
+    execution — analysis already happened at construction) contains a
+    shuffle-introducing node. String-walks the plan tree's node names
+    (first token per line, tree prefixes stripped)."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    for line in plan.splitlines():
+        node = line.lstrip(" +-:").split(" ", 1)[0].split("(", 1)[0]
+        if node in _EXCHANGE_NODES:
+            return True
+    return False
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

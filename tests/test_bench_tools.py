@@ -293,3 +293,53 @@ class TestDegenerateGate:
         p = tmp_path / "adj.json"
         p.write_text(json.dumps({"_comment": "x", "q5": "evidence"}))
         assert load_adjudications(p) == {"q5": "evidence"}
+
+
+class TestBenchOutDir:
+    """VERDICT r07 #7: generated bench artifacts route through
+    $SPARK_GRAFT_BENCH_OUT so smokes stop clobbering the committed
+    closing records at the repo root."""
+
+    def test_default_is_repo_root(self, monkeypatch):
+        from pathlib import Path
+
+        import bench
+
+        monkeypatch.delenv("SPARK_GRAFT_BENCH_OUT", raising=False)
+        assert bench._out_dir() == Path(bench.__file__).resolve().parent
+
+    def test_env_redirects_and_creates(self, monkeypatch, tmp_path):
+        import bench
+
+        out = tmp_path / "scratch" / "bench_out"
+        monkeypatch.setenv("SPARK_GRAFT_BENCH_OUT", str(out))
+        assert bench._out_dir() == out
+        assert out.is_dir()  # created on demand
+
+    def test_adjudications_honor_out_dir(self, monkeypatch, tmp_path):
+        """A smoke run's adjudication tail lands in the scratch dir and
+        the repo-root PLAN_AUDIT.md is untouched."""
+        import bench
+
+        root_audit = tmp_path / "root" / "PLAN_AUDIT.md"
+        root_audit.parent.mkdir()
+        root_audit.write_text("# committed audit\n")
+        out = tmp_path / "out"
+        out.mkdir()
+        (out / "PLAN_AUDIT.md").write_text("# smoke audit\n")
+        monkeypatch.setenv("SPARK_GRAFT_BENCH_OUT", str(out))
+        detail = {
+            "round_baseline": "BENCH_r99.json",
+            "round_adjudications": [
+                {
+                    "q": "q1",
+                    "prev": 1.0,
+                    "first": 2.0,
+                    "now": 1.1,
+                    "verdict": "noise",
+                }
+            ],
+        }
+        bench._write_adjudications_to_plan_audit(detail)
+        assert "q1" in (out / "PLAN_AUDIT.md").read_text()
+        assert (root_audit.read_text() == "# committed audit\n")

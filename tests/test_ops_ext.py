@@ -510,6 +510,33 @@ class TestNgramDistance:
         assert got[0] == 0
         assert got[1] == 10000
 
+    def test_null_text_counts_zero_common_grams(self, spark):
+        # ADVICE r07: regexp_count(NULL) is NULL and least() skips
+        # nulls, so without the coalesce a NULL doc counted as FULL
+        # gram overlap on the fast path (distance -10000, search
+        # "full containment" 10000). Both paths must agree: NULL text
+        # = zero common grams (distance 10000, search 0), exactly what
+        # the explode path computes.
+        from kubenetmon_spark.operators.text import (
+            ngram_distance_to_probe,
+            ngram_search_to_probe,
+        )
+
+        df = spark.createDataFrame(
+            [(0, None), (1, "abc abd"), (2, "")], "id int, s string"
+        )
+        got_d = {
+            r.id: r.ngram_dist_bp
+            for r in ngram_distance_to_probe(df, "id", "s", "abc abd").collect()
+        }
+        got_s = {
+            r.id: r.ngram_search_bp
+            for r in ngram_search_to_probe(df, "id", "s", "abc abd").collect()
+        }
+        assert got_d[0] == 10000  # NULL: disjoint, not identical
+        assert got_s[0] == 0  # NULL: no containment
+        assert got_d[1] == 0 and got_s[1] == 10000
+
     def test_long_probe_fallback_path_matches_reference(self, spark):
         # r7: probes with <= 64 distinct grams run the zero-shuffle
         # regexp_count fast path; longer probes keep the explode+join
@@ -803,6 +830,43 @@ class TestRemoveDuplicateSpans:
         assert got[2].n_removed == 4
         # untouched doc intact
         assert got[3].n_removed == 0 and got[3].dedup_text == docs[2][1]
+
+    def test_span_fraction_arrow_path_ascii_ws_only(self, spark):
+        # ADVICE r07: the Arrow span fast path must tokenize with
+        # ASCII \s+ exactly like Java's \s (the expression path and
+        # remove_duplicate_spans). U+00A0 / U+2028 / U+1680 are NOT
+        # Java whitespace, so "a b" is ONE token; Python's
+        # Unicode \s+ would have split it into two and produced
+        # different spans. Pin the int-id (Arrow) path equal to the
+        # string-id (expression) path on exactly such texts.
+        from kubenetmon_spark.operators.dedup import duplicate_span_fraction
+
+        texts = [
+            "a b c d e a b c d e",  # NBSP inside a token
+            "p q r s p q r s",  # line sep inside a token
+            "w x y z w x y z",  # ogham space mark
+            "n o r m a l n o r m a l",
+        ]
+        int_df = spark.createDataFrame(
+            list(enumerate(texts)), "id long, text string"
+        )
+        str_df = spark.createDataFrame(
+            [(f"d{i}", t) for i, t in enumerate(texts)],
+            "id string, text string",
+        )
+        got_int = {
+            r.id: (r.n_spans, r.n_dup_spans)
+            for r in duplicate_span_fraction(
+                int_df, "id", "text", n=3, min_count=2
+            ).collect()
+        }
+        got_str = {
+            int(r.id[1:]): (r.n_spans, r.n_dup_spans)
+            for r in duplicate_span_fraction(
+                str_df, "id", "text", n=3, min_count=2
+            ).collect()
+        }
+        assert got_int == got_str
 
     def test_overlapping_duplicate_spans_merge(self, spark):
         from kubenetmon_spark.operators.dedup import remove_duplicate_spans

@@ -248,3 +248,79 @@ def test_rates_stream_on_hadoop_uri_paths(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, ref.collect())
     )
+
+
+def test_crashed_overwrite_recovers_keep_old_from_stage(spark, tmp_path):
+    """ADVICE r07: a crash DURING the dynamic partition overwrite
+    (after partition delete, before publish) must not lose historical
+    buckets whose source samples aged out of the buffer. Forced-crash
+    pattern: batch 2's grid overwrite is made to delete the touched
+    day dirs and raise (the worst point of the commit window); the
+    restarted stream's replay must rebuild the day INCLUDING batch 1's
+    keep_old buckets, from the durable _keep_stage written before the
+    overwrite."""
+    import pyspark.sql.readwriter as rw
+
+    series = [
+        [("a", 10, 5), ("a", 20, 8)],
+        [("a", 200, 11)],  # far-enough samples: batch-1 buckets leave
+        # the recompute range but stay within the same UTC day
+    ]
+    src = _write_files(spark, tmp_path / "crash_src", series)
+    out = str(tmp_path / "crash_out")
+    buf = str(tmp_path / "crash_buf")
+    ckpt = str(tmp_path / "crash_ckpt")
+
+    def run(**kw):
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_rates_stream(
+            stream, out, buf, ckpt, ["k"], step_s=10, window_s=25,
+            lateness_s=1000, trigger={"availableNow": True},
+        )
+        return q
+
+    calls = {"n": 0}
+    real_parquet = rw.DataFrameWriter.parquet
+
+    def crashing_parquet(self, path, **kw):
+        if path == out:
+            calls["n"] += 1
+            if calls["n"] == 2:  # batch 2's grid commit
+                # simulate the commit window's worst point: matched
+                # partitions deleted, new data never published
+                import shutil as _sh
+
+                real_parquet(self, str(tmp_path / "discard"), **kw)
+                for name in list(__import__("os").listdir(out)):
+                    if name.startswith("bucket_day="):
+                        _sh.rmtree(f"{out}/{name}")
+                raise RuntimeError("injected crash mid-overwrite")
+        return real_parquet(self, path, **kw)
+
+    rw.DataFrameWriter.parquet = crashing_parquet
+    try:
+        q = run()
+        try:
+            q.awaitTermination(300)
+        except Exception:
+            pass  # stream dies on the injected crash
+        spark.streams.resetTerminated()
+    finally:
+        rw.DataFrameWriter.parquet = real_parquet
+
+    # the stage survived the crash, ready for replay
+    import os
+
+    assert os.path.isdir(f"{out}/_keep_stage")
+    # restart WITHOUT the fault: checkpoint replays batch 2
+    q = run()
+    q.awaitTermination(300)
+    got = _snap(read_rates(spark, out))
+    exp = _snap(_batch_reference(spark, [r for f in series for r in f]))
+    assert got == exp
+    # stages are transient: cleaned after the successful commit
+    assert not os.path.isdir(f"{out}/_keep_stage")
