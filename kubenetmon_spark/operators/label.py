@@ -173,21 +173,28 @@ def prepare_label_dims(pods: DataFrame, nodes: DataFrame) -> dict:
     # pod dim eligible for broadcast (hard 8 GB cap) trivially fits a
     # single partition, so this is not a local-mode constant.
     pod_dim = pods_with_ambiguity(pods).repartition(1).persist()
-    pod_dim.count()
-    # Collect the node literals FIRST — when they fit (the
-    # overwhelmingly common case) the node-dim DataFrames never appear
-    # in any plan, so persisting+counting them was two pure-overhead
-    # jobs per dimension refresh (~0.8s measured warm at local[32]).
-    # Only the >LITERAL_NODE_DIM_LIMIT fallback, where label_flows
+    # Node literals (when they fit — the overwhelmingly common case)
+    # keep the node-dim DataFrames out of every plan, so
+    # persisting+counting them was two pure-overhead jobs per
+    # dimension refresh (~0.8s measured warm at local[32]). Only the
+    # >LITERAL_NODE_DIM_LIMIT fallback, where label_flows
     # broadcast-joins them per batch, persists. (A coalesce(1) on the
     # tiny dims was tried here and in disjoint_prefixes and REVERTED:
     # a single-task stage over a parallelized local relation stalls
     # ~6s/stage at local[32] — measured, see OPTIMIZATION_r07.md.)
+    # r8: the pod-dim materializing count and the node-literal
+    # collects are independent tiny jobs — overlap them (guide §2.6).
     node_ips = nodes.select(F.col("internal_ip").alias("_nip")).distinct()
     zones = nodes.groupBy(F.col("name").alias("_zn")).agg(
         F.min("zone").alias("_zz")
     )
-    literals = _collect_node_literals(node_ips, zones)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fc = _pool.submit(pod_dim.count)
+        _fl = _pool.submit(_collect_node_literals, node_ips, zones)
+        _fc.result()
+        literals = _fl.result()
     if literals["node_ip_set"] is None:
         node_ips = node_ips.persist()
         node_ips.count()

@@ -25,10 +25,16 @@ pattern (job.py:168-171), chosen here because TWO stores must stay
 mutually consistent, which a single post-hoc marker cannot guarantee.
 
 Scale posture: the per-batch cost is the batch's line volume (anti-join
-against the index hash-partitions on line text); the index is an
-append-only-by-partition parquet of distinct lines — compact it with
-sink.deduplicate on a schedule if needed. Readers of ``out_path`` and
-``index_path`` see a ``_bid`` partition column (the batch id).
+against the index hash-partitions on line text). The index state FOLDS
+in-stream (state.write_batch_state, every ``fold_every`` batches):
+strictly-earlier ``_bid=`` dirs consolidate into one ``_bid=-G``
+generation dir behind an atomic manifest commit, so the per-batch
+listing stays O(fold_every) instead of growing linearly in batch count
+(VERDICT r07 #4). Readers of ``out_path`` see a ``_bid`` partition
+column (the batch id); readers of ``index_path`` should go through
+``state.read_batch_state`` (manifest-aware — a crashed fold's orphan
+generation dir is invisible there but WOULD appear in a bare
+``spark.read.parquet`` of the root).
 """
 
 from __future__ import annotations
@@ -36,8 +42,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from kubenetmon_spark.streaming.state import (
+    FOLD_EVERY_DEFAULT,
     bounded_coalesce,
-    read_state_or_none,
+    read_batch_state,
+    write_batch_state,
 )
 
 
@@ -50,12 +58,15 @@ def start_incremental_dedup_stream(
     text_col: str = "text",
     line_sep: str = "\n",
     trigger: dict | None = None,
+    fold_every: int = FOLD_EVERY_DEFAULT,
 ) -> StreamingQuery:
     """foreachBatch wiring of ``dedup_lines_incremental``: read the
     index (empty on first batch, minus this batch's own partition on a
     retry), dedup the micro-batch, overwrite survivors into
     ``out_path/_bid=<batch_id>`` and new lines into
-    ``index_path/_bid=<batch_id>``."""
+    ``index_path/_bid=<batch_id>`` (folded every ``fold_every``
+    batches so the index listing stays O(1) in stream length —
+    state.write_batch_state)."""
     from pyspark.sql import functions as F
 
     from kubenetmon_spark.operators.curation import dedup_lines_incremental
@@ -65,12 +76,11 @@ def start_incremental_dedup_stream(
         spark = batch_df.sparkSession
         # absent index = first batch; unreadable EXISTING index raises
         # (a silent None would re-admit every already-seen line)
-        seen = read_state_or_none(spark, index_path)
+        seen = read_batch_state(spark, index_path)
         if seen is not None:
             # A replayed batch must not see its own partial writes:
             # partition-prune away _bid == batch_id before the anti-join.
-            if "_bid" in seen.columns:
-                seen = seen.filter(F.col("_bid") != batch_id).drop("_bid")
+            seen = seen.filter(F.col("_bid") != batch_id).drop("_bid")
         out, updated = dedup_lines_incremental(
             batch_df, seen, id_col, text_col, line_sep
         )
@@ -84,8 +94,8 @@ def start_incremental_dedup_stream(
         bounded_coalesce(out).write.mode("overwrite").parquet(
             f"{out_path}/_bid={batch_id}"
         )
-        bounded_coalesce(new_lines).write.mode("overwrite").parquet(
-            f"{index_path}/_bid={batch_id}"
+        write_batch_state(
+            new_lines, index_path, batch_id, fold_every=fold_every
         )
 
     writer = docs_stream.writeStream.foreachBatch(process).option(
@@ -106,6 +116,7 @@ def start_minhash_dedup_stream(
     n: int = 3,
     verify_threshold_bp: int = 3000,
     trigger: dict | None = None,
+    fold_every: int = FOLD_EVERY_DEFAULT,
 ) -> StreamingQuery:
     """foreachBatch wiring of ``minhash_dedup_incremental``: NEAR-dup
     (not just exact-line) dedup of a crawl feed against a persisted
@@ -126,9 +137,7 @@ def start_minhash_dedup_stream(
         def read_index(sub):
             # absent = first batch; unreadable EXISTING index raises (a
             # silent None would re-admit known duplicates)
-            df = read_state_or_none(
-                spark, f"{index_path}/{sub}", base_path=f"{index_path}/{sub}"
-            )
+            df = read_batch_state(spark, f"{index_path}/{sub}")
             if df is None:
                 return None
             # a replayed batch must not see its own partial writes
@@ -145,11 +154,13 @@ def start_minhash_dedup_stream(
         bounded_coalesce(survivors).write.mode("overwrite").parquet(
             f"{out_path}/_bid={batch_id}"
         )
-        bounded_coalesce(new_bands).write.mode("overwrite").parquet(
-            f"{index_path}/bands/_bid={batch_id}"
+        write_batch_state(
+            new_bands, f"{index_path}/bands", batch_id,
+            fold_every=fold_every,
         )
-        bounded_coalesce(new_shingles).write.mode("overwrite").parquet(
-            f"{index_path}/shingles/_bid={batch_id}"
+        write_batch_state(
+            new_shingles, f"{index_path}/shingles", batch_id,
+            fold_every=fold_every,
         )
 
     writer = docs_stream.writeStream.foreachBatch(process).option(
@@ -169,6 +180,7 @@ def start_cosine_dedup_stream(
     bands: int = 16,
     band_bits: int = 16,
     trigger: dict | None = None,
+    fold_every: int = FOLD_EVERY_DEFAULT,
 ) -> StreamingQuery:
     """foreachBatch wiring of ``cosine_dedup_incremental`` — the
     embedding-space twin of :func:`start_minhash_dedup_stream`, same
@@ -188,9 +200,7 @@ def start_cosine_dedup_stream(
         def read_index(sub):
             # absent = first batch; unreadable EXISTING index raises (a
             # silent None would re-admit known duplicates)
-            df = read_state_or_none(
-                spark, f"{index_path}/{sub}", base_path=f"{index_path}/{sub}"
-            )
+            df = read_batch_state(spark, f"{index_path}/{sub}")
             if df is None:
                 return None
             # a replayed batch must not see its own partial writes
@@ -206,11 +216,13 @@ def start_cosine_dedup_stream(
         bounded_coalesce(survivors).write.mode("overwrite").parquet(
             f"{out_path}/_bid={batch_id}"
         )
-        bounded_coalesce(new_bands).write.mode("overwrite").parquet(
-            f"{index_path}/bands/_bid={batch_id}"
+        write_batch_state(
+            new_bands, f"{index_path}/bands", batch_id,
+            fold_every=fold_every,
         )
-        bounded_coalesce(new_vectors).write.mode("overwrite").parquet(
-            f"{index_path}/vectors/_bid={batch_id}"
+        write_batch_state(
+            new_vectors, f"{index_path}/vectors", batch_id,
+            fold_every=fold_every,
         )
 
     writer = vecs_stream.writeStream.foreachBatch(process).option(

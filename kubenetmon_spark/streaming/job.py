@@ -212,9 +212,23 @@ def start_flow_stream(
     # is re-scanned every micro-batch to build its broadcast; a single
     # cached partition makes that a one-task job (<=87k-segment dims
     # are a few MB).
-    disjoint = disjoint_prefixes(prefixes).repartition(1).persist()
-    disjoint.count()
-    prepared = prepare_label_dims(pods, nodes)
+    # The prefix flatten and the pod/node dim prep are independent
+    # chains over disjoint inputs — submit them concurrently (guide
+    # §2.6 job overlap; the r7 decision rule: concurrency pays exactly
+    # when the jobs touch disjoint inputs). ~0.4-0.5 s off every
+    # stream start / dimension refresh.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _prep_disjoint(pfx):
+        d = disjoint_prefixes(pfx).repartition(1).persist()
+        d.count()
+        return d
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fd = _pool.submit(_prep_disjoint, prefixes)
+        _fp = _pool.submit(prepare_label_dims, pods, nodes)
+        disjoint = _fd.result()
+        prepared = _fp.result()
     dims = {
         "pods": pods,
         "nodes": nodes,
@@ -239,9 +253,13 @@ def start_flow_stream(
             dims["n"] += 1
             if dims["n"] % dim_refresh_batches == 0:
                 new_pods, new_nodes, new_prefixes = dim_loader()
-                fresh = disjoint_prefixes(new_prefixes).repartition(1).persist()
-                fresh.count()
-                fresh_prepared = prepare_label_dims(new_pods, new_nodes)
+                with ThreadPoolExecutor(max_workers=2) as _rp:
+                    _fd = _rp.submit(_prep_disjoint, new_prefixes)
+                    _fp = _rp.submit(
+                        prepare_label_dims, new_pods, new_nodes
+                    )
+                    fresh = _fd.result()
+                    fresh_prepared = _fp.result()
                 dims["disjoint"].unpersist()
                 release_label_dims(dims["prepared"])
                 dims.update(
