@@ -208,6 +208,13 @@ def _trunc_div(s: np.ndarray, c) -> np.ndarray:
     return np.sign(s) * (np.abs(s) // np.int64(c))
 
 
+#: At or below this many vectors the exact-integer k-means runs its
+#: Lloyd's rounds on the driver over one collected matrix (64k x
+#: dim-64 int64 is ~32 MB); above it the per-round scan/shuffle loop
+#: runs unchanged.
+LOCAL_KMEANS_VECTOR_LIMIT = 1 << 16
+
+
 def kmeans_fit_exact(
     vectors: DataFrame,
     k: int = 8,
@@ -245,6 +252,39 @@ def kmeans_fit_exact(
     cents = quant(np.array([list(r[1]) for r in init_rows], dtype=np.float64))
     dim = cents.shape[1]
     sc = vectors.sparkSession.sparkContext
+    # Scale-adaptive algorithm choice (guide §1.2; the graph.py
+    # LOCAL_GRAPH_EDGE_LIMIT pattern): at or below
+    # LOCAL_KMEANS_VECTOR_LIMIT vectors, all n_iter Lloyd's rounds run
+    # on the driver over ONE collected quantized matrix — the
+    # distributed loop pays a scan job + k-row shuffle + collect per
+    # round for sums numpy produces in milliseconds. Bit-identical by
+    # construction: the same quant, the same int64 distance/argmin,
+    # and per-cluster sums that the distributed path merely splits
+    # into per-batch partials (int64 addition is associative).
+    # The probe is a LIMIT collect — an oversized corpus transfers
+    # only LIMIT+1 rows and takes the distributed loop unchanged.
+    probe = (
+        vectors.select(vec_col)
+        .limit(LOCAL_KMEANS_VECTOR_LIMIT + 1)
+        .toPandas()
+    )
+    if len(probe) <= LOCAL_KMEANS_VECTOR_LIMIT:
+        q = quant(
+            np.array(
+                [np.asarray(x, dtype=np.float64) for x in probe[vec_col]]
+            )
+        )
+        for _ in range(n_iter):
+            d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)  # ties -> lowest cluster
+            new_cents = cents.copy()
+            for cl in np.unique(assign):
+                mask = assign == cl
+                new_cents[cl] = _trunc_div(
+                    q[mask].sum(axis=0), int(mask.sum())
+                )
+            cents = new_cents
+        return cents
     vec_slim = vectors.select(vec_col).persist()
 
     for _ in range(n_iter):

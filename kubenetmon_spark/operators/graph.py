@@ -152,6 +152,33 @@ def pagerank_exact(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Scale-adaptive algorithm choice (guide §1.2; the literal-dims
+    # pattern): a graph at or below LOCAL_GRAPH_EDGE_LIMIT distinct
+    # edges solves in exact int64 arithmetic ON THE DRIVER — the
+    # distributed loop pays ~10 rounds of tiny-shuffle stage
+    # scheduling (~0.3 s/round at local[32]) for work numpy finishes
+    # in milliseconds, and the integer contract (floor division on
+    # non-negative values) is engine-independent, so both paths are
+    # bit-identical by construction (pinned by test). The probe is a
+    # LIMIT collect over the already-materialized edge checkpoint:
+    # graphs past the limit transfer nothing but the first
+    # LIMIT+1 rows and take the distributed loop unchanged.
+    probe = e.limit(LOCAL_GRAPH_EDGE_LIMIT + 1).collect()
+    if len(probe) <= LOCAL_GRAPH_EDGE_LIMIT:
+        node_type = (
+            e.select(F.col("_s").alias("node"))
+            .union(e.select(F.col("_d").alias("node")))
+            .schema[0]
+            .dataType
+        )
+        return _pagerank_driver_exact(
+            edges.sparkSession,
+            [(r["_s"], r["_d"]) for r in probe],
+            iterations,
+            damping_pct,
+            unit,
+            node_type,
+        )
     out_deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
     nodes = (
         e.select(F.col("_s").alias("node"))
@@ -190,6 +217,62 @@ def pagerank_exact(
     ed.unpersist()
     nodes.unpersist()
     return pr
+
+
+#: At or below this many DISTINCT edges the exact-integer graph
+#: operators solve on the driver (numpy int64) instead of paying
+#: per-iteration distributed rounds; above it the shuffling loop runs
+#: unchanged. 2^17 edges is a few MB collected — trivial against any
+#: driver sized for a 100 TB deployment, and far below where the
+#: distributed loop starts to win.
+LOCAL_GRAPH_EDGE_LIMIT = 1 << 17
+
+
+def _pagerank_driver_exact(
+    spark, edge_rows, iterations, damping_pct, unit, node_type
+) -> DataFrame:
+    """pagerank_exact's integer recurrence on collected edges —
+    bit-identical to the distributed loop: same floor divisions on the
+    same non-negative int64 values, per-destination sums in int64
+    (np.add.at — bincount would go through float64 and break exactness
+    past 2^53)."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from kubenetmon_spark.tables import local_df
+
+    nodes = sorted(
+        {v for edge in edge_rows for v in edge},
+        key=lambda v: (v is None, v),
+    )
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    s_idx = np.fromiter(
+        (idx[a] for a, _ in edge_rows), dtype=np.int64, count=len(edge_rows)
+    )
+    d_idx = np.fromiter(
+        (idx[b] for _, b in edge_rows), dtype=np.int64, count=len(edge_rows)
+    )
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, s_idx, 1)
+    base = (unit * (100 - damping_pct)) // (100 * n)
+    pr = np.full(n, unit // n, dtype=np.int64)
+    deg_s = deg[s_idx]
+    for _ in range(iterations):
+        contrib = pr[s_idx] // deg_s
+        sums = np.zeros(n, dtype=np.int64)
+        np.add.at(sums, d_idx, contrib)
+        pr = base + (np.int64(damping_pct) * sums) // 100
+    schema = StructType(
+        [
+            StructField("node", node_type, True),
+            StructField("pr", LongType(), True),
+        ]
+    )
+    return local_df(
+        spark, [(v, int(pr[idx[v]])) for v in nodes], schema
+    )
 
 
 def k_hop_reachability(

@@ -192,3 +192,27 @@ def test_null_embeddings_survive(spark):
         for r in kmeans_assign_exact(dirty, np.asarray(icents)).collect()
     }
     assert got_i[99] is None and len(got_i) == 31
+
+
+def test_kmeans_fit_exact_driver_path_identical_to_distributed(spark):
+    """r8: small corpora run all Lloyd's rounds on the driver; must be
+    bit-identical to the per-round distributed loop (incl. NULL
+    embeddings dropped and empty-cluster carry-over)."""
+    import random
+
+    import kubenetmon_spark.operators.clustering as C
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(400)
+    ]
+    rows[17] = (17, None)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    local = C.kmeans_fit_exact(df, k=8, n_iter=5)
+    saved = C.LOCAL_KMEANS_VECTOR_LIMIT
+    C.LOCAL_KMEANS_VECTOR_LIMIT = 0  # force the distributed loop
+    try:
+        dist = C.kmeans_fit_exact(df, k=8, n_iter=5)
+    finally:
+        C.LOCAL_KMEANS_VECTOR_LIMIT = saved
+    assert np.array_equal(local, dist)

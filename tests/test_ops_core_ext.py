@@ -2147,3 +2147,49 @@ class TestFanout:
         got1 = sorted(map(tuple, minhash_lsh_pairs(df1, "doc_id", "text").collect()))
         got8 = sorted(map(tuple, minhash_lsh_pairs(df8, "doc_id", "text").collect()))
         assert got1 == got8 and got1
+
+
+class TestLocalGraphPath:
+    def test_pagerank_driver_path_identical_to_distributed(self, spark):
+        """r8: small graphs solve on the driver (exact int64 numpy);
+        the two paths must be bit-identical — dense, dangling-node,
+        string-node, and chain shapes."""
+        import random
+
+        import kubenetmon_spark.operators.graph as G
+        from kubenetmon_spark.operators.graph import pagerank_exact
+
+        rng = random.Random(11)
+        cases = {
+            "dense": [
+                (rng.randrange(40), rng.randrange(40)) for _ in range(800)
+            ],
+            "dangling": [(1, 2), (2, 3), (3, 1), (4, 1), (5, 9)],
+            "strings": [("a", "b"), ("b", "c"), ("c", "a"), ("x", "a")],
+            "chain": [(i, i + 1) for i in range(200)],
+        }
+        for name, edges in cases.items():
+            schema = (
+                "s string, d string"
+                if isinstance(edges[0][0], str)
+                else "s long, d long"
+            )
+            df = spark.createDataFrame(
+                [e for e in edges if e[0] != e[1]], schema
+            )
+            local = sorted(
+                (r.node, r.pr)
+                for r in pagerank_exact(df, "s", "d", iterations=7).collect()
+            )
+            saved = G.LOCAL_GRAPH_EDGE_LIMIT
+            G.LOCAL_GRAPH_EDGE_LIMIT = 0  # force the distributed loop
+            try:
+                dist = sorted(
+                    (r.node, r.pr)
+                    for r in pagerank_exact(
+                        df, "s", "d", iterations=7
+                    ).collect()
+                )
+            finally:
+                G.LOCAL_GRAPH_EDGE_LIMIT = saved
+            assert local == dist, name
