@@ -111,6 +111,14 @@ def _has_exchange(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().analyzed().toString()
     for line in plan.splitlines():
         node = line.lstrip(" +-:").split(" ", 1)[0].split("(", 1)[0]
+        if node == "Repartition":
+            # "Repartition <n>, <shuffle>" covers BOTH repartition(n)
+            # (shuffle=true — an exchange) and coalesce(n)
+            # (shuffle=false — narrow, probe-safe; a coalesced scan is
+            # exactly the under-parallel input the floor exists for).
+            if line.rstrip().endswith("true"):
+                return True
+            continue
         if node in _EXCHANGE_NODES:
             return True
     return False
