@@ -1220,7 +1220,9 @@ def q34(spark, sf_dir):
         trigger={"availableNow": True},
     )
     q.awaitTermination(600)
-    compact(spark, f"{tmp}/flows")
+    # every append is a pre-summed micro-batch (the stream's posture),
+    # so compact's cost is merge-debt-proportional (sink.compact r8)
+    compact(spark, f"{tmp}/flows", presummed=True)
     return (
         read_flows(spark, f"{tmp}/flows")
         .groupBy("connectionClass", "direction")
@@ -14093,7 +14095,9 @@ def q267(spark, sf_dir):
         trigger={"availableNow": True},
     )
     q.awaitTermination(600)
-    compact(spark, f"{tmp}/flows")
+    # every append is a pre-summed micro-batch (the stream's posture),
+    # so compact's cost is merge-debt-proportional (sink.compact r8)
+    compact(spark, f"{tmp}/flows", presummed=True)
     return (
         read_flows(spark, f"{tmp}/flows")
         .groupBy("connectionClass", "direction")

@@ -394,42 +394,90 @@ def read_flows_guarded(
     return df
 
 
+def _n_data_files(fs: "_fsm.FS", part_dir: str) -> int:
+    """Visible ``*.parquet`` data files directly under a partition dir
+    (hidden ``_``/``.`` names — commit debris, markers — excluded, the
+    same rule Spark's scan applies)."""
+    if not fs.is_dir(part_dir):
+        return 0
+    return sum(
+        1
+        for n in fs.list_names(part_dir)
+        if n.endswith(".parquet") and not _fsm._is_hidden_segment(n)
+    )
+
+
 def compact(
     spark: SparkSession,
     path: str,
     target_date: str | None = None,
     lock_timeout_s: float = 10.0,
     drain_timeout_s: float = 120.0,
+    presummed: bool = False,
 ) -> None:
-    """Re-sum a closed partition (or all) — the background-merge analogue.
+    """Re-sum closed partitions — the background-merge analogue.
 
     Idempotent: summing_aggregate over already-compacted data is a no-op
     row-wise. Runs per date partition, embarrassingly parallel, and with
     dynamic partition overwrite only rewrites the partitions it touched.
 
+    ``presummed=True`` declares that EVERY append to this table was
+    ``summing_aggregate`` output (the streaming sink's posture — one
+    pre-summed, key-sorted file per (batch, salt), exactly ClickHouse
+    summing rows at insert-block formation). Under that declaration
+    compact's cost becomes proportional to MERGE DEBT, like MergeTree
+    merges (which only select partitions holding >1 part): a date
+    partition with at most one data file already satisfies the
+    compacted postcondition (each dim key once, sorted) and is skipped
+    outright — no read, no lock, no job; a table written by a single
+    batch compacts in one directory listing. The default (False) keeps
+    the general contract: rewrite everything, because ``write_flows``
+    also accepts unaggregated rows whose single file still needs an
+    in-file fold. The file-count probe runs before the lock: a batch
+    landing between probe and lock at worst leaves new merge debt for
+    the next compact — exactly the race a MergeTree merge selection
+    tolerates — and never loses rows, since skipped partitions are
+    never overwritten.
+
     Safe under concurrent streaming appends BY CONSTRUCTION, not by
     convention: the whole read-checkpoint-overwrite runs inside
-    :func:`partition_mutation_guard`, so an append into the target
+    :func:`partitions_mutation_guard`, so an append into a selected
     partition either completes before the compaction reads (its rows
     are compacted) or waits/fails loud behind the lock (its rows land
     after the overwrite) — never silently lost in between. MergeTree
     background merges give the same guarantee server-side.
     """
-    part = f"date={target_date}" if target_date is not None else None
-    with partition_mutation_guard(
+    fs = _fsm.get_fs(path, spark)
+    parts = (
+        [f"date={target_date}"]
+        if target_date is not None
+        else _list_date_partitions(fs, path)
+    )
+    if presummed:
+        parts = [
+            p
+            for p in parts
+            if _n_data_files(fs, _join(path, p)) >= 2
+        ]
+    if not parts:
+        return
+    dates = sorted(p.split("=", 1)[1] for p in parts)
+    with partitions_mutation_guard(
         path,
-        part,
+        parts,
         lock_timeout_s=lock_timeout_s,
         drain_timeout_s=drain_timeout_s,
     ) as fence:
-        df = spark.read.parquet(path)
-        if target_date is not None:
-            df = df.filter(F.col("date") == F.lit(target_date))
+        # IN on the partition column prunes the scan to the selected
+        # dates (PartitionFilters), so the read is debt-proportional too.
+        df = spark.read.parquet(path).filter(
+            F.col("date").isin([F.lit(d).cast("date") for d in dates])
+        )
         # Materialize before overwriting the same path we read from — the
         # write must never delete input files while the read is still lazy.
         compacted = summing_aggregate(df).localCheckpoint(eager=True)
         key = [c for c in PRIMARY_KEY_PREFIX if c in compacted.columns]
-        fence()  # abort (loud) if the lease moved during the long read
+        fence()  # abort (loud) if a lease moved during the long read
         (
             compacted.repartition(F.col("date"))
             .sortWithinPartitions(*key)

@@ -82,6 +82,76 @@ def test_sink_write_compact_retention(spark, fact, tmp_path):
     assert not list(Path(path).glob("date=*"))  # whole-part drop, like ttl_only_drop_parts
 
 
+class TestCompactMergeDebt:
+    """r8: under ``presummed=True`` (every append was summing_aggregate
+    output — the streaming sink's posture) compact cost is proportional
+    to merge debt: partitions with at most one data file are skipped
+    without a read, a lock, or a job. The default keeps the general
+    full-rewrite contract for tables that may hold unaggregated files."""
+
+    def test_single_file_partitions_skipped_untouched(
+        self, spark, fact, tmp_path
+    ):
+        import glob
+        import os
+
+        path = str(tmp_path / "flows_debt0")
+        write_flows(summing_aggregate(fact), path)  # one batch: 1 file/date
+        files = sorted(glob.glob(f"{path}/date=*/*.parquet"))
+        assert files
+        mtimes = {f: os.stat(f).st_mtime_ns for f in files}
+        before = sorted(map(tuple, read_flows(spark, path).collect()))
+        compact(spark, path, presummed=True)
+        after_files = sorted(glob.glob(f"{path}/date=*/*.parquet"))
+        # the same physical files, byte-untouched — compact was a listing
+        assert after_files == files
+        assert {f: os.stat(f).st_mtime_ns for f in after_files} == mtimes
+        assert sorted(map(tuple, read_flows(spark, path).collect())) == before
+        # the DEFAULT (no declaration) still rewrites single-file
+        # partitions — the general contract for external writers
+        compact(spark, path)
+        rewritten = sorted(glob.glob(f"{path}/date=*/*.parquet"))
+        assert rewritten != files
+        assert sorted(map(tuple, read_flows(spark, path).collect())) == before
+
+    def test_mixed_debt_rewrites_only_debted_partition(
+        self, spark, fact, tmp_path
+    ):
+        import glob
+        import os
+
+        path = str(tmp_path / "flows_debt_mixed")
+        d1 = summing_aggregate(fact)  # all rows on 2024-03-01
+        d2 = (
+            d1.withColumn("date", F.date_add("date", 1))
+            .withColumn(
+                "intervalStartTime",
+                F.col("intervalStartTime") + F.expr("INTERVAL 1 DAY"),
+            )
+        )
+        write_flows(d1.unionByName(d2), path)  # batch 1: both dates
+        write_flows(d2, path)  # batch 2: only the second date
+        f1_before = sorted(glob.glob(f"{path}/date=2024-03-01/*.parquet"))
+        m1_before = {f: os.stat(f).st_mtime_ns for f in f1_before}
+        assert len(glob.glob(f"{path}/date=2024-03-02/*.parquet")) == 2
+        compact(spark, path, presummed=True)
+        # debt-free partition: same physical file, untouched
+        f1_after = sorted(glob.glob(f"{path}/date=2024-03-01/*.parquet"))
+        assert f1_after == f1_before
+        assert {f: os.stat(f).st_mtime_ns for f in f1_after} == m1_before
+        # debted partition: folded to one file, sums doubled
+        assert len(glob.glob(f"{path}/date=2024-03-02/*.parquet")) == 1
+        got = read_flows(spark, path)
+        assert got.filter(F.col("date") == "2024-03-02").count() == d2.count()
+        s1 = got.filter(F.col("date") == "2024-03-01").agg(
+            F.sum("bytes")
+        ).collect()[0][0]
+        s2 = got.filter(F.col("date") == "2024-03-02").agg(
+            F.sum("bytes")
+        ).collect()[0][0]
+        assert s2 == 2 * s1
+
+
 class TestTableStats:
     def test_stats_reflect_compaction(self, spark, fact, tmp_path):
         from kubenetmon_spark.sink import table_stats
