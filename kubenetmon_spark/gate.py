@@ -4727,7 +4727,12 @@ def q113(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     target = docs.filter(F.col("source").isin("src0", "src1"))
     return (
-        dsir_gumbel_sample_exact(docs, target, "doc_id", buckets=4096, k=50, seed=42)
+        # target is literally a filter of docs: the subset fast path
+        # derives target features from the raw feature pass (dsir.py r8)
+        dsir_gumbel_sample_exact(
+            docs, target, "doc_id", buckets=4096, k=50, seed=42,
+            target_within_raw=True,
+        )
         .orderBy("doc_id")
     )
 
@@ -14543,7 +14548,7 @@ def q274(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     target = docs.filter(F.col("source").isin("src0", "src1"))
     return dsir_integer_scores(
-        docs, target, "doc_id", buckets=4096, k=50
+        docs, target, "doc_id", buckets=4096, k=50, target_within_raw=True
     ).orderBy(F.desc("score"), "doc_id")
 
 

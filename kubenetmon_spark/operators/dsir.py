@@ -187,6 +187,44 @@ def _portable_grams(df: DataFrame, id_col: str, text_col: str):
     )
 
 
+def _subset_dists(raw_feats: DataFrame, target: DataFrame, id_col: str):
+    """(dist, totals, t_totals) when the target corpus is a
+    deduplicated row-subset of raw with identical (id, text): target
+    features are raw features restricted to the target ids, so the
+    SECOND tokenize+hash pass over the target (the dominant extra cost
+    of both exact dsir entry points — guide §2.3 don't recompute what
+    you already shuffled) collapses to one broadcast semi-flag on the
+    checkpointed raw feature table, and BOTH bucket distributions come
+    out of ONE aggregation:
+
+      dist(bucket) = (raw_n = sum cnt, tgt_n = sum cnt over target docs)
+
+    ``tgt_n`` is NULL for buckets no target doc carries — exactly the
+    left-join semantics of the general path, so downstream smoothing
+    (`coalesce(tgt_n, 0) + 1`) is bit-identical. One job + one tiny
+    collect replace two gram passes, two distribution aggregates and
+    two scalar collects."""
+    tids = target.select(F.col(id_col).alias("_id")).distinct()
+    dist = (
+        raw_feats.join(
+            F.broadcast(tids.withColumn("_t", F.lit(1))), "_id", "left"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("cnt").alias("raw_n"),
+            F.sum(F.when(F.col("_t") == 1, F.col("cnt"))).alias("tgt_n"),
+        )
+        # <= buckets rows, consumed by the totals collect AND the ratio
+        # table — materialize once
+        .localCheckpoint(eager=True)
+    )
+    tot = dist.agg(
+        F.sum("raw_n").alias("r"),
+        F.sum(F.coalesce("tgt_n", F.lit(0))).alias("t"),
+    ).collect()[0]
+    return dist, (tot["r"] or 0), (tot["t"] or 0)
+
+
 def dsir_integer_scores(
     raw: DataFrame,
     target: DataFrame,
@@ -194,10 +232,17 @@ def dsir_integer_scores(
     text_col: str = "text",
     buckets: int = 4096,
     k: int = 50,
+    target_within_raw: bool = False,
 ) -> DataFrame:
     """(id, score) for the top-``k`` raw docs by exact-integer DSIR
     importance score (basis-point bucket ratios, deterministic
-    id tie-break). See module comment above for the formula."""
+    id tie-break). See module comment above for the formula.
+
+    ``target_within_raw=True`` declares the target a deduplicated
+    row-subset of ``raw`` with identical (id, text) — the common "target
+    is a filter of the corpus" shape — and computes target features
+    from the raw feature pass instead of re-tokenizing
+    (:func:`_subset_dists`; bit-identical output, pinned by test)."""
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("g")), 1, 13), 16, 10).cast("long"),
         F.lit(buckets),
@@ -212,11 +257,16 @@ def dsir_integer_scores(
         )
 
     raw_feats = feats(raw).localCheckpoint(eager=True)
-    tgt_feats = feats(target)
-    rdist = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("raw_n"))
-    tdist = tgt_feats.groupBy("bucket").agg(F.sum("cnt").alias("tgt_n"))
-    totals = rdist.agg(F.sum("raw_n")).collect()[0][0] or 0
-    t_totals = tdist.agg(F.sum("tgt_n")).collect()[0][0] or 0
+    if target_within_raw:
+        dist, totals, t_totals = _subset_dists(raw_feats, target, id_col)
+        rdist = dist
+        tdist = None
+    else:
+        tgt_feats = feats(target)
+        rdist = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("raw_n"))
+        tdist = tgt_feats.groupBy("bucket").agg(F.sum("cnt").alias("tgt_n"))
+        totals = rdist.agg(F.sum("raw_n")).collect()[0][0] or 0
+        t_totals = tdist.agg(F.sum("tgt_n")).collect()[0][0] or 0
     # pure int64 `div`, NOT decimal floor-division: Spark rounds a
     # decimal quotient to the result scale BEFORE floor, which can
     # disagree with an engine's integer division at exact boundaries.
@@ -230,9 +280,9 @@ def dsir_integer_scores(
     den = ((F.col("raw_n") + 1) * F.lit(int(t_totals) + buckets)).cast(
         "long"
     )
+    joined = rdist if tdist is None else rdist.join(tdist, "bucket", "left")
     ratio = (
-        rdist.join(tdist, "bucket", "left")
-        .select(
+        joined.select(
             "bucket",
             num.alias("_num"),
             den.alias("_den"),
@@ -259,6 +309,7 @@ def dsir_gumbel_sample_exact(
     buckets: int = 4096,
     k: int = 50,
     seed: int = 42,
+    target_within_raw: bool = False,
 ) -> DataFrame:
     """Gumbel top-k DSIR SAMPLING with engine-portable integer keys:
     (id, gumbel_key_fx) for the ``k`` sampled docs.
@@ -304,14 +355,17 @@ def dsir_gumbel_sample_exact(
         )
 
     raw_feats = feats(raw).localCheckpoint(eager=True)
-    tgt_feats = feats(target)
-    rdist = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("raw_n"))
-    tdist = tgt_feats.groupBy("bucket").agg(F.sum("cnt").alias("tgt_n"))
-    totals = rdist.agg(F.sum("raw_n")).collect()[0][0] or 0
-    t_totals = tdist.agg(F.sum("tgt_n")).collect()[0][0] or 0
+    if target_within_raw:
+        joined, totals, t_totals = _subset_dists(raw_feats, target, id_col)
+    else:
+        tgt_feats = feats(target)
+        rdist = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("raw_n"))
+        tdist = tgt_feats.groupBy("bucket").agg(F.sum("cnt").alias("tgt_n"))
+        totals = rdist.agg(F.sum("raw_n")).collect()[0][0] or 0
+        t_totals = tdist.agg(F.sum("tgt_n")).collect()[0][0] or 0
+        joined = rdist.join(tdist, "bucket", "left")
     ratio = (
-        rdist.join(tdist, "bucket", "left")
-        .select(
+        joined.select(
             "bucket",
             (
                 (F.coalesce("tgt_n", F.lit(0)) + 1)

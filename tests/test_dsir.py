@@ -224,3 +224,32 @@ def test_integer_scores_rank_target_like_docs_first(spark):
     assert [(r.doc_id, r.score) for r in top] == [
         (r.doc_id, r.score) for r in top2
     ]
+
+
+def test_subset_fast_path_identical_to_general(spark):
+    """r8: target_within_raw=True (target features derived from the raw
+    feature pass) must be bit-identical to the general two-pass path —
+    for both exact entry points, including NULL-text rows and a target
+    sharing only some buckets."""
+    from kubenetmon_spark.operators.dsir import (
+        dsir_gumbel_sample_exact,
+        dsir_integer_scores,
+    )
+
+    raw, _ = _corpora(7)
+    raw = raw + [(99, None)]  # NULL text survives the pipeline
+    df = spark.createDataFrame(raw, "doc_id long, text string")
+    target = df.filter("doc_id % 4 = 0")
+
+    for fn, kw in (
+        (dsir_integer_scores, {}),
+        (dsir_gumbel_sample_exact, {"seed": 3}),
+    ):
+        general = fn(
+            df, target, "doc_id", buckets=BUCKETS, k=15, **kw
+        ).collect()
+        fast = fn(
+            df, target, "doc_id", buckets=BUCKETS, k=15,
+            target_within_raw=True, **kw
+        ).collect()
+        assert [tuple(r) for r in general] == [tuple(r) for r in fast]
