@@ -323,6 +323,88 @@ def k_hop_reachability(
     if not edges_are_distinct:
         e = e.distinct()
     e = e.localCheckpoint(eager=True)
+    # Scale-adaptive algorithm choice (the pagerank_exact pattern): a
+    # graph at or below LOCAL_GRAPH_EDGE_LIMIT edges (plus a bounded
+    # seed set) runs the whole level-synchronous BFS on the driver —
+    # the distributed loop pays (join + distinct + anti-join +
+    # checkpoint + emptiness probe) of tiny-shuffle scheduling per
+    # level for set operations Python finishes in milliseconds. The
+    # driver path reproduces the SQL semantics exactly, including the
+    # null quirks (a NULL edge src matches no frontier row; a NULL
+    # destination re-enters `visited` every level because the
+    # anti-join's null comparison never matches) — pinned by a forced
+    # differential test. The size probe is a limit+count over the
+    # checkpointed edges — one tiny job, NO row transfer — so an
+    # oversized graph pays ~no overhead and takes the distributed
+    # loop unchanged (rows are only collected once the graph is known
+    # small).
+    n_edges = e.limit(LOCAL_GRAPH_EDGE_LIMIT + 1).count()
+    if n_edges <= LOCAL_GRAPH_EDGE_LIMIT:
+        probe = e.collect()
+        seed_probe = (
+            seeds.select("node")
+            .limit(LOCAL_GRAPH_EDGE_LIMIT + 1)
+            .collect()
+        )
+        if len(seed_probe) <= LOCAL_GRAPH_EDGE_LIMIT:
+            from kubenetmon_spark.tables import local_df
+
+            # result schema = the distributed loop's union schema
+            # (derived from the SAME plan shape, never executed)
+            schema = (
+                seeds.select(
+                    F.col("node"), F.lit(0).alias("hops")
+                )
+                .unionByName(
+                    e.select(
+                        F.col("_d").alias("node"),
+                        F.lit(0).alias("hops"),
+                    )
+                )
+                .schema
+            )
+            adj: dict = {}
+            for r in probe:
+                if r["_s"] is not None:
+                    adj.setdefault(r["_s"], []).append(r["_d"])
+            seen_nonnull: set = set()
+            out: list = []
+            frontier: list = []
+            has_null_seed = False
+            for r in seed_probe:
+                n = r["node"]
+                if n is None:
+                    if not has_null_seed:  # distinct on the seed frame
+                        has_null_seed = True
+                        out.append((None, 0))
+                elif n not in seen_nonnull:
+                    seen_nonnull.add(n)
+                    out.append((n, 0))
+                    frontier.append(n)
+            for level in range(1, k + 1):
+                cand: set = set()
+                saw_null_dst = False
+                for n in frontier:
+                    for d in adj.get(n, ()):
+                        if d is None:
+                            saw_null_dst = True
+                        else:
+                            cand.add(d)
+                fresh = sorted(
+                    cand - seen_nonnull, key=lambda v: (str(type(v)), v)
+                )
+                if not fresh and not saw_null_dst:
+                    break
+                for n in fresh:
+                    seen_nonnull.add(n)
+                    out.append((n, level))
+                if saw_null_dst:
+                    # null never equals null in the anti-join: a NULL
+                    # destination re-enters visited at EVERY level one
+                    # of its sources is on the frontier
+                    out.append((None, level))
+                frontier = fresh
+            return local_df(edges.sparkSession, out, schema)
     for level in range(1, k + 1):
         nxt = (
             frontier.join(e, frontier["node"] == e["_s"])
@@ -386,6 +468,77 @@ def temporal_reachability(
     if not edges_are_distinct:
         e = e.distinct()
     e = e.localCheckpoint(eager=True)
+    # Driver solve under the edge limit (the pagerank_exact /
+    # k_hop_reachability pattern): `rounds` Bellman-Ford relaxations
+    # are dict updates over a few MB of collected edges; the
+    # distributed loop pays a join + min-agg + checkpoint of
+    # tiny-shuffle scheduling per round. SQL semantics reproduced
+    # exactly: a NULL src/ts edge relaxes nothing, a NULL-arrival row
+    # enables nothing, NULL destinations form ONE group whose min
+    # folds like any other (GROUP BY treats nulls as equal), and MIN
+    # ignores nulls. Pinned by a forced differential test. Probe =
+    # limit+count (no row transfer; see k_hop_reachability).
+    n_edges = e.limit(LOCAL_GRAPH_EDGE_LIMIT + 1).count()
+    if n_edges <= LOCAL_GRAPH_EDGE_LIMIT:
+        probe = e.collect()
+        seed_probe = (
+            seeds.select(
+                "node", F.col("arrival").cast("long").alias("arrival")
+            )
+            .limit(LOCAL_GRAPH_EDGE_LIMIT + 1)
+            .collect()
+        )
+        if len(seed_probe) <= LOCAL_GRAPH_EDGE_LIMIT:
+            from kubenetmon_spark.tables import local_df
+
+            schema = (
+                seeds.select(
+                    "node", F.col("arrival").cast("long").alias("arrival")
+                )
+                .unionByName(
+                    e.select(
+                        F.col("_d").alias("node"),
+                        F.col("_t").alias("arrival"),
+                    )
+                )
+                .groupBy("node")
+                .agg(F.min("arrival").alias("arrival"))
+                .schema
+            )
+            arr: dict = {}
+            for r in seed_probe:
+                n, a = r["node"], r["arrival"]
+                if n in arr:
+                    cur = arr[n]
+                    arr[n] = (
+                        a
+                        if cur is None
+                        else cur if a is None else min(cur, a)
+                    )
+                else:
+                    arr[n] = a
+            edge_rows = [
+                (r["_s"], r["_d"], r["_t"])
+                for r in probe
+                if r["_s"] is not None and r["_t"] is not None
+            ]
+            for _ in range(rounds):
+                snapshot = dict(arr)
+                for s, d, t in edge_rows:
+                    a = snapshot.get(s)
+                    # `s in snapshot` with s=None cannot relax (join
+                    # on equality), and a None arrival enables nothing
+                    if a is None or s not in snapshot:
+                        continue
+                    if t >= a:
+                        cur = arr.get(d, t)
+                        arr[d] = t if cur is None else min(cur, t)
+            return local_df(
+                edges.sparkSession, sorted(
+                    arr.items(),
+                    key=lambda kv: (kv[0] is None, str(kv[0])),
+                ), schema
+            )
     arr = (
         seeds.select("node", F.col("arrival").cast("long").alias("arrival"))
         .groupBy("node")

@@ -2193,3 +2193,90 @@ class TestLocalGraphPath:
             finally:
                 G.LOCAL_GRAPH_EDGE_LIMIT = saved
             assert local == dist, name
+
+    def test_bfs_driver_paths_identical_to_distributed(self, spark):
+        """r8: k_hop_reachability and temporal_reachability solve on
+        the driver under the edge limit; outputs must be bit-identical
+        to the distributed loops — including the SQL null quirks (a
+        NULL destination re-enters visited every level because the
+        anti-join's null comparison never matches; NULL src/ts edges
+        and NULL arrivals relax nothing; NULL nodes group as one)."""
+        import random
+
+        import kubenetmon_spark.operators.graph as G
+        from kubenetmon_spark.operators.graph import (
+            k_hop_reachability,
+            temporal_reachability,
+        )
+
+        rng = random.Random(23)
+        dense = [(rng.randrange(30), rng.randrange(30)) for _ in range(300)]
+        cases = {
+            "dense": (dense, [0, 7]),
+            "chain": ([(i, i + 1) for i in range(60)], [0]),
+            "strings": (
+                [("a", "b"), ("b", "c"), ("c", None), ("x", "a")],
+                ["a", None],
+            ),
+            "null_dst_cycle": ([(1, 2), (2, None), (2, 1)], [1]),
+        }
+        for name, (edges, seed_nodes) in cases.items():
+            schema = (
+                "s string, d string"
+                if any(isinstance(v, str) for e in edges for v in e)
+                else "s long, d long"
+            )
+            edf = spark.createDataFrame(edges, schema)
+            sdf = spark.createDataFrame(
+                [(s,) for s in seed_nodes], schema.split(",")[0].replace("s ", "node ")
+            )
+            local = sorted(
+                ((r["node"], r["hops"]) for r in
+                 k_hop_reachability(edf, "s", "d", sdf, 4).collect()),
+                key=lambda t: (t[0] is None, str(t[0]), t[1]),
+            )
+            saved = G.LOCAL_GRAPH_EDGE_LIMIT
+            G.LOCAL_GRAPH_EDGE_LIMIT = 0
+            try:
+                dist = sorted(
+                    ((r["node"], r["hops"]) for r in
+                     k_hop_reachability(edf, "s", "d", sdf, 4).collect()),
+                    key=lambda t: (t[0] is None, str(t[0]), t[1]),
+                )
+            finally:
+                G.LOCAL_GRAPH_EDGE_LIMIT = saved
+            assert local == dist, name
+
+        tcases = {
+            "basic": (
+                [(1, 2, 10), (2, 3, 20), (3, 4, 15), (1, 3, 5)],
+                [(1, 0), (9, 100)],
+            ),
+            "null_mix": (
+                [(1, 2, 10), (2, None, 20), (None, 3, 5), (1, 3, None)],
+                [(1, 0), (None, 7), (5, None)],
+            ),
+            "ties_and_resets": (
+                [(1, 2, 10), (1, 2, 10), (2, 1, 10), (2, 3, 9)],
+                [(1, 10), (1, 12)],
+            ),
+        }
+        for name, (edges, seeds) in tcases.items():
+            edf = spark.createDataFrame(edges, "s long, d long, ts long")
+            sdf = spark.createDataFrame(seeds, "node long, arrival long")
+            local = sorted(
+                ((r["node"], r["arrival"]) for r in
+                 temporal_reachability(edf, "s", "d", "ts", sdf, 4).collect()),
+                key=lambda t: (t[0] is None, str(t[0])),
+            )
+            saved = G.LOCAL_GRAPH_EDGE_LIMIT
+            G.LOCAL_GRAPH_EDGE_LIMIT = 0
+            try:
+                dist = sorted(
+                    ((r["node"], r["arrival"]) for r in
+                     temporal_reachability(edf, "s", "d", "ts", sdf, 4).collect()),
+                    key=lambda t: (t[0] is None, str(t[0])),
+                )
+            finally:
+                G.LOCAL_GRAPH_EDGE_LIMIT = saved
+            assert local == dist, name
