@@ -146,27 +146,15 @@ def start_rates_stream(
                 prev_max = buf.agg(F.max("_ts").alias("m")).collect()[0]["m"]
             if prev_max is not None:
                 b = b.filter(F.col("_ts") > prev_max - late)
-        # one scalar agg doubles as the emptiness probe (replaces two
-        # take(1) jobs) and feeds the touched-bucket range below
-        lohi = b.agg(
-            F.min("_ts").alias("lo"), F.max("_ts").alias("hi")
-        ).collect()[0]
-        if lohi["lo"] is None:
-            return
-        merged = (
+        merged_plan = (
             (buf.unionByName(b) if buf is not None else b)
             .groupBy(*key_cols, "_ts")
             .agg(F.max("_v").alias("_v"))
         )
-        # materialize: the grid read and the buffer overwrite below
-        # both consume this plan (and buf's files get rewritten)
-        merged = merged.localCheckpoint(eager=True)
-        t_lo = -(-lohi["lo"] // step) * step  # first bucket >= lo
-        t_hi = ((lohi["hi"] + win - 1) // step) * step
-        n = (t_hi - t_lo) // step + 1
-        if n > 0:
-            grid = promql_to_grid(
-                merged.select(
+
+        def _grid_over(src: DataFrame) -> DataFrame:
+            return promql_to_grid(
+                src.select(
                     *key_cols,
                     F.col("_ts").alias(ts_col),
                     F.col("_v").alias(value_col),
@@ -179,6 +167,95 @@ def start_rates_stream(
                 step_s=step,
                 window_s=win,
             )
+
+        def _write_buffer(merged: DataFrame) -> None:
+            # merged's max is max(buffer max, this batch's hi) — known
+            # on the driver already, no extra job over merged.
+            # Runs AFTER the grid commit, always: a crash that commits
+            # the new buffer version but not the grid would make the
+            # replayed batch's prev_max filter drop its own samples.
+            max_seen = (
+                lohi["hi"]
+                if prev_max is None
+                else max(prev_max, lohi["hi"])
+            )
+            # Durable buffer turnover: write a NEW version, never
+            # overwrite the one just read — a crash mid-write leaves
+            # prev_v committed, so the checkpoint's replay recomputes
+            # from real state (the groupBy-max merge is idempotent, so
+            # a replay after a crash that DID commit also converges).
+            # Prune versions BELOW new_v-1 after the commit: the
+            # immediately superseded version survives one turnover so
+            # a concurrent monitoring read (read_buffer /
+            # tools/rates_scale.py) that resolved it just before this
+            # commit is not rmtree'd mid-scan. A crash between write
+            # and prune leaves harmless stale versions below the new
+            # maximum.
+            fs = _fsm.get_fs(buffer_path, spark)
+            new_v = prev_v + 1
+            # The buffer is bounded state (fixed time span per key) —
+            # don't let it inherit the merge shuffle's partition count
+            # as its file count (32 tiny files per version locally,
+            # re-listed and re-opened every batch). One output file
+            # per 32 merge partitions keeps files big at any scale;
+            # coalesce, not repartition, so no extra shuffle.
+            n_parts = max(1, merged.rdd.getNumPartitions() // 32)
+            (
+                merged.filter(F.col("_ts") > max_seen - retain)
+                .coalesce(n_parts)
+                .write.mode("overwrite")
+                .parquet(_fsm.join(buffer_path, f"v={new_v}"))
+            )
+            # Sidecar AFTER the parquet commit: the version only
+            # becomes the latest once _SUCCESS exists, and readers
+            # fall back to a scan+agg if the sidecar is missing —
+            # never trusted blindly.
+            fs.write_json_atomic(
+                _fsm.join(buffer_path, f"v={new_v}", "_meta.json"),
+                {"max_ts": int(max_seen)},
+            )
+            for name in fs.list_names(buffer_path):
+                if not name.startswith("v="):
+                    continue
+                try:
+                    v_num = int(name[2:])
+                except ValueError:
+                    continue
+                if v_num < new_v - 1:
+                    fs.delete_dir(_fsm.join(buffer_path, name))
+
+        # Overlap the two independent job chains (guide §2.6, disjoint
+        # inputs): the merged-buffer materialization reads (buffer v
+        # dir, batch files) while the lohi probe + keep_old staging
+        # below read (batch files, the prev grid table). The thread is
+        # joined before anything consumes `merged`, and the staging
+        # still commits durably BEFORE the grid overwrite — the crash
+        # contract is unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            _fut_merged = _pool.submit(
+                lambda: merged_plan.localCheckpoint(eager=True)
+            )
+            # one scalar agg doubles as the emptiness probe (replaces
+            # two take(1) jobs) and feeds the touched-bucket range
+            lohi = b.agg(
+                F.min("_ts").alias("lo"), F.max("_ts").alias("hi")
+            ).collect()[0]
+            if lohi["lo"] is None:
+                return
+            t_lo = -(-lohi["lo"] // step) * step  # first bucket >= lo
+            t_hi = ((lohi["hi"] + win - 1) // step) * step
+            n = (t_hi - t_lo) // step + 1
+            if n <= 0:
+                merged = _fut_merged.result()
+                _write_buffer(merged)
+                return
+            # schema-only build against the UNCHECKPOINTED plan
+            # (analysis, no job) — the staging needs grid.columns
+            # before the checkpoint thread joins; the executed grid
+            # below is rebuilt over the checkpointed frame
+            grid = _grid_over(merged_plan)
             # Partition the output by UTC DAY, not by bucket: dynamic
             # partition overwrite pays a driver-side commit per
             # partition dir, and a per-bucket layout meant hundreds of
@@ -242,6 +319,11 @@ def start_rates_stream(
                         .parquet(stage)
                     )
                     keep_old = spark.read.parquet(stage)
+            # join the overlapped materialization; the grid that
+            # EXECUTES reads the checkpointed frame (same schema as the
+            # plan the staging used)
+            merged = _fut_merged.result()
+            grid = _grid_over(merged)
             out = grid if keep_old is None else grid.unionByName(keep_old)
             # exact floor division (pmod >= 0), matching the driver's
             # Python `//` for any sign of bucket_ts
@@ -263,52 +345,7 @@ def start_rates_stream(
             stage_root = _fsm.join(out_path, "_keep_stage")
             if fsg.is_dir(stage_root):
                 fsg.delete_dir(stage_root)
-        # merged's max is max(buffer max, this batch's hi) — known on the
-        # driver already, no extra job over merged
-        max_seen = (
-            lohi["hi"] if prev_max is None else max(prev_max, lohi["hi"])
-        )
-        # Durable buffer turnover: write a NEW version, never overwrite
-        # the one just read — a crash mid-write leaves prev_v committed,
-        # so the checkpoint's replay recomputes from real state (the
-        # groupBy-max merge is idempotent, so a replay after a crash
-        # that DID commit also converges). Prune versions BELOW new_v-1
-        # after the commit: the immediately superseded version survives
-        # one turnover so a concurrent monitoring read (read_buffer /
-        # tools/rates_scale.py) that resolved it just before this commit
-        # is not rmtree'd mid-scan. A crash between write and prune
-        # leaves harmless stale versions below the new maximum.
-        fs = _fsm.get_fs(buffer_path, spark)
-        new_v = prev_v + 1
-        # The buffer is bounded state (fixed time span per key) — don't
-        # let it inherit the merge shuffle's partition count as its
-        # file count (32 tiny files per version locally, re-listed and
-        # re-opened every batch). One output file per 32 merge
-        # partitions keeps files big at any scale; coalesce, not
-        # repartition, so no extra shuffle.
-        n_parts = max(1, merged.rdd.getNumPartitions() // 32)
-        (
-            merged.filter(F.col("_ts") > max_seen - retain)
-            .coalesce(n_parts)
-            .write.mode("overwrite")
-            .parquet(_fsm.join(buffer_path, f"v={new_v}"))
-        )
-        # Sidecar AFTER the parquet commit: the version only becomes
-        # the latest once _SUCCESS exists, and readers fall back to a
-        # scan+agg if the sidecar is missing — never trusted blindly.
-        fs.write_json_atomic(
-            _fsm.join(buffer_path, f"v={new_v}", "_meta.json"),
-            {"max_ts": int(max_seen)},
-        )
-        for name in fs.list_names(buffer_path):
-            if not name.startswith("v="):
-                continue
-            try:
-                v_num = int(name[2:])
-            except ValueError:
-                continue
-            if v_num < new_v - 1:
-                fs.delete_dir(_fsm.join(buffer_path, name))
+            _write_buffer(merged)
 
     return (
         stream.writeStream.outputMode("append")
