@@ -56,6 +56,81 @@ def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+#: At or below this many DISTINCT WORDS the merge-training loop runs
+#: on the driver over one collected vocabulary (64k words x ~10 chars
+#: is ~1-2 MB) with incremental pair-count maintenance; above it the
+#: per-round distributed loop runs unchanged. The probe is a
+#: limit+count over the checkpointed word table — no row transfer for
+#: oversized vocabularies.
+LOCAL_BPE_VOCAB_LIMIT = 1 << 16
+
+
+def _bpe_train_driver(
+    rows, num_merges: int
+) -> list[tuple[str, str]]:
+    """bpe_train's merge loop over a collected (syms, cnt) vocabulary —
+    bit-identical to the distributed rounds: the same position-weighted
+    pair counts (repeated pairs inside one word count per position),
+    the same (count desc, left, right) argmax (Python code-point string
+    order == Spark's UTF8 binary order), the same greedy left-to-right
+    splice as the JVM fold, the same <2-count stop. Incremental
+    maintenance: after a merge only the words that contained the pair
+    are re-counted (the pair->words index may hold stale entries — a
+    stale word's subtract/re-add cancels exactly)."""
+    from collections import defaultdict
+
+    words = [list(r["syms"]) for r in rows]
+    cnts = [r["cnt"] for r in rows]
+    pair_counts: dict = defaultdict(int)
+    index: dict = defaultdict(set)
+    for wi, syms in enumerate(words):
+        c = cnts[wi]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += c
+            index[p].add(wi)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        (left, right), c = min(
+            pair_counts.items(),
+            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]),
+        )
+        if c < 2:
+            break
+        merges.append((left, right))
+        merged = left + right
+        for wi in list(index.get((left, right), ())):
+            syms = words[wi]
+            c_w = cnts[wi]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] -= c_w
+                if pair_counts[p] == 0:
+                    del pair_counts[p]
+            out: list = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wi] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pair_counts[p] += c_w
+                index[p].add(wi)
+        index.pop((left, right), None)
+    return merges
+
+
 def bpe_train(
     df: DataFrame, text_col: str = "text", num_merges: int = 50
 ) -> list[tuple[str, str]]:
@@ -72,6 +147,15 @@ def bpe_train(
         # trailing empty symbol — Spark's split keeps trailing empties)
         "syms", F.split(F.col("word"), "(?!^)(?=.)")
     ).select("syms", "cnt").localCheckpoint(eager=True)
+
+    # Scale-adaptive algorithm choice (the graph/kmeans driver-path
+    # pattern, guide §1.2/§5): the merge loop's state is the DISTINCT
+    # VOCABULARY — already bounded and corpus-size-independent — and
+    # each distributed round pays an explode+shuffle+limit-collect of
+    # stage scheduling for counts a dict updates in microseconds.
+    n_vocab = words.limit(LOCAL_BPE_VOCAB_LIMIT + 1).count()
+    if n_vocab <= LOCAL_BPE_VOCAB_LIMIT:
+        return _bpe_train_driver(words.collect(), num_merges)
 
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):

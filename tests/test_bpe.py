@@ -116,3 +116,32 @@ def test_apply_counts_and_empty(spark):
 def test_train_stops_when_no_repeats(spark):
     df = spark.createDataFrame([(1, "x y z")], ["doc_id", "text"])
     assert bpe_train(df, "text", num_merges=5) == []
+
+
+def test_bpe_train_driver_path_identical_to_distributed(spark):
+    """r8: small vocabularies train on the driver; the merge list must
+    be bit-identical to the distributed per-round loop — including
+    count ties (lexicographic break), repeated pairs within one word
+    ('aaa' counts (a,a) twice), and the <2-count stop."""
+    import random
+
+    import kubenetmon_spark.operators.bpe as B
+
+    rng = random.Random(31)
+    vocab = ["low", "lower", "lowest", "newer", "wider", "new",
+             "aaa", "aaaa", "ab", "ba", "xyzzy", "Zebra", "zebra"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 9))))
+        for i in range(120)
+    ]
+    rows.append((998, "   "))
+    rows.append((999, "singleton"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    local = B.bpe_train(df, "text", num_merges=24)
+    saved = B.LOCAL_BPE_VOCAB_LIMIT
+    B.LOCAL_BPE_VOCAB_LIMIT = 0  # force the distributed loop
+    try:
+        dist = B.bpe_train(df, "text", num_merges=24)
+    finally:
+        B.LOCAL_BPE_VOCAB_LIMIT = saved
+    assert local == dist and len(local) > 0
