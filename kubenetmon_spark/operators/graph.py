@@ -63,6 +63,55 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
+    # Driver simulation under the edge limit (the pagerank/BFS/bpe
+    # pattern): each distributed round is one join+min-agg+checkpoint
+    # job over a graph whose whole symmetric closure fits in a few MB.
+    # The driver path SIMULATES the exact per-round min-label
+    # propagation — same initial labels, same per-round min over
+    # matched edges, same exact-integer sum convergence test, same
+    # max_iter RuntimeError — so behavior (including non-convergence)
+    # is bit-identical, pinned by forced differential tests. Restricted
+    # to integral node types with no NULL nodes: strings would need
+    # Spark's decimal-cast-of-string semantics in the convergence sum,
+    # and NULL nodes have join-miss semantics — both fall back to the
+    # distributed loop unchanged.
+    _int_nodes = all(
+        f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+        for f in sym.schema.fields
+    )
+    if _int_nodes:
+        n_sym = sym.limit(LOCAL_GRAPH_EDGE_LIMIT + 1).count()
+        if n_sym <= LOCAL_GRAPH_EDGE_LIMIT:
+            rows = [(r["a"], r["b"]) for r in sym.collect()]
+            if all(a is not None and b is not None for a, b in rows):
+                from kubenetmon_spark.tables import local_df
+
+                schema = (
+                    sym.select(F.col("a").alias("node"))
+                    .withColumn("comp", F.col("node"))
+                    .schema
+                )
+                comp = {a: a for a, _ in rows}
+                prev_sum = sum(comp.values())
+                for _ in range(max_iter):
+                    new: dict = {}
+                    for a, b in rows:
+                        c = comp[b]
+                        if a not in new or c < new[a]:
+                            new[a] = c
+                    cur_sum = sum(new.values())
+                    comp = new
+                    if cur_sum == prev_sum:
+                        return local_df(
+                            edges.sparkSession,
+                            sorted(comp.items()),
+                            schema,
+                        )
+                    prev_sum = cur_sum
+                raise RuntimeError(
+                    f"connected_components did not converge in "
+                    f"{max_iter} rounds"
+                )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

@@ -2280,3 +2280,56 @@ class TestLocalGraphPath:
             finally:
                 G.LOCAL_GRAPH_EDGE_LIMIT = saved
             assert local == dist, name
+
+    def test_connected_components_driver_path_identical(self, spark):
+        """r8: small integral-node graphs simulate the min-label
+        propagation on the driver — labels, convergence, and the
+        max_iter RuntimeError must match the distributed loop."""
+        import random
+
+        import pytest
+
+        import kubenetmon_spark.operators.graph as G
+        from kubenetmon_spark.operators.graph import connected_components
+
+        rng = random.Random(41)
+        cases = [
+            [(rng.randrange(50), rng.randrange(50)) for _ in range(200)],
+            [(1, 2), (3, 4), (5, 6), (2, 3)],           # two components
+            [(i, i + 1) for i in range(12)],             # chain
+        ]
+        for edges in cases:
+            df = spark.createDataFrame(edges, "src long, dst long")
+            local = sorted(map(tuple, connected_components(df).collect()))
+            saved = G.LOCAL_GRAPH_EDGE_LIMIT
+            G.LOCAL_GRAPH_EDGE_LIMIT = 0
+            try:
+                dist = sorted(
+                    map(tuple, connected_components(df).collect())
+                )
+            finally:
+                G.LOCAL_GRAPH_EDGE_LIMIT = saved
+            assert local == dist
+        # non-convergence raises identically (min label moves 1 hop per
+        # round; a 12-chain cannot converge in 3 rounds either way)
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "src long, dst long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, max_iter=3)
+        saved = G.LOCAL_GRAPH_EDGE_LIMIT
+        G.LOCAL_GRAPH_EDGE_LIMIT = 0
+        try:
+            with pytest.raises(RuntimeError, match="did not converge"):
+                connected_components(chain, max_iter=3)
+        finally:
+            G.LOCAL_GRAPH_EDGE_LIMIT = saved
+        # string nodes take the distributed loop (unchanged pre-r8
+        # behavior: the convergence sum's decimal cast rejects
+        # non-numeric ids under ANSI — the driver path must NOT widen
+        # the operator's domain, only speed up the working one)
+        sdf = spark.createDataFrame(
+            [("a", "b"), ("c", "d")], "src string, dst string"
+        )
+        with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+            connected_components(sdf).collect()
