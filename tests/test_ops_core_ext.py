@@ -2235,8 +2235,8 @@ class TestLocalGraphPath:
                  k_hop_reachability(edf, "s", "d", sdf, 4).collect()),
                 key=lambda t: (t[0] is None, str(t[0]), t[1]),
             )
-            saved = G.LOCAL_GRAPH_EDGE_LIMIT
-            G.LOCAL_GRAPH_EDGE_LIMIT = 0
+            saved = G.LOCAL_REACH_EDGE_LIMIT
+            G.LOCAL_REACH_EDGE_LIMIT = 0
             try:
                 dist = sorted(
                     ((r["node"], r["hops"]) for r in
@@ -2244,7 +2244,7 @@ class TestLocalGraphPath:
                     key=lambda t: (t[0] is None, str(t[0]), t[1]),
                 )
             finally:
-                G.LOCAL_GRAPH_EDGE_LIMIT = saved
+                G.LOCAL_REACH_EDGE_LIMIT = saved
             assert local == dist, name
 
         tcases = {
@@ -2260,6 +2260,20 @@ class TestLocalGraphPath:
                 [(1, 2, 10), (1, 2, 10), (2, 1, 10), (2, 3, 9)],
                 [(1, 10), (1, 12)],
             ),
+            # randomized null-heavy shape: exercises the vectorized
+            # driver path's factorize/null-slot remap and per-round
+            # min-fold at a size where every branch sees real data
+            "dense_nulls": (
+                [
+                    (
+                        None if (7 * i) % 41 == 0 else (3 * i) % 29,
+                        None if (5 * i) % 37 == 0 else (11 * i) % 29,
+                        None if (13 * i) % 43 == 0 else (i * i) % 97,
+                    )
+                    for i in range(400)
+                ],
+                [(0, 3), (0, None), (None, 1), (28, 50)],
+            ),
         }
         for name, (edges, seeds) in tcases.items():
             edf = spark.createDataFrame(edges, "s long, d long, ts long")
@@ -2269,8 +2283,8 @@ class TestLocalGraphPath:
                  temporal_reachability(edf, "s", "d", "ts", sdf, 4).collect()),
                 key=lambda t: (t[0] is None, str(t[0])),
             )
-            saved = G.LOCAL_GRAPH_EDGE_LIMIT
-            G.LOCAL_GRAPH_EDGE_LIMIT = 0
+            saved = G.LOCAL_REACH_EDGE_LIMIT
+            G.LOCAL_REACH_EDGE_LIMIT = 0
             try:
                 dist = sorted(
                     ((r["node"], r["arrival"]) for r in
@@ -2278,7 +2292,7 @@ class TestLocalGraphPath:
                     key=lambda t: (t[0] is None, str(t[0])),
                 )
             finally:
-                G.LOCAL_GRAPH_EDGE_LIMIT = saved
+                G.LOCAL_REACH_EDGE_LIMIT = saved
             assert local == dist, name
 
     def test_connected_components_driver_path_identical(self, spark):
